@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from pyconform_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        master="local[4]",
+        app_name="pyconform_spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()
