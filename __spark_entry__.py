@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship 1-minute tier rollup on sf0.001.
+``queries`` / ``oracle_sql`` expose every implemented operator with a
+DuckDB twin (see pyconform_spark/queries.py and oracles.py).
 """
 
 from __future__ import annotations
@@ -13,26 +11,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyconform_spark import queries as Q
+from pyconform_spark.oracles import ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the 1-minute retention
+    tier over the events series table."""
+    return Q.rollup_1m(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": Q.rollup_1m,
+        "rollup_1h_cascade": Q.rollup_1h_cascade,
+        "rollup_1d_cascade": Q.rollup_1d_cascade,
+        "gap_detect": Q.gap_detect,
+        "gapfill_locf_1h": Q.gapfill_locf_1h,
+        "gapfill_linear_1h": Q.gapfill_linear_1h,
+        "stencil_diff": Q.stencil_diff,
+        "stencil_bounds": Q.stencil_bounds,
+        "running_sum": Q.running_sum,
+        "weighted_downsample_1d": Q.weighted_downsample_1d,
+        "sessionize": Q.sessionize,
+        "heavy_series": Q.heavy_series,
+        "limit_clamp": Q.limit_clamp,
+        "unit_convert": Q.unit_convert,
+        "tpch_q1": Q.tpch_q1,
+        "top_revenue_orders": Q.top_revenue_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: ORACLES[k] for k in queries() if k in ORACLES}

@@ -1,0 +1,187 @@
+"""Gap detection, dense-grid upsampling, and gap fill (locf / linear).
+
+Reference analogs:
+
+* gap detection — ``mapdates.py:112-216`` flags missing steps between
+  and within NetCDF files by comparing successive time values against
+  the inferred cadence; here that is one ``F.lag`` window per series.
+* dense-grid upsample — ``yeartomonth_data`` replicates annual values
+  to monthly points (``modules/commonfunctions.py:402-482``); here a
+  per-series ``sequence()`` + ``explode`` materializes every bucket
+  between first and last observation.
+* linear interpolation — the spline/interp numerics of
+  ``idl.py:120-153`` / ``np.interp`` in ``ageofair``
+  (``commonfunctions.py:390``); here it is CLOSED-FORM in pure Spark:
+  for a missing bucket, the previous and next observed points are
+  window lookups (``last/first ... ignorenulls``) and the fill is one
+  arithmetic expression — no Python in the hot path at all.  An
+  ``applyInPandas`` + ``np.interp`` twin exists for golden parity.
+
+Scale notes: the dense grid costs one groupBy (series extents) and one
+shuffle-join back on (series, bucket); both are key-partitioned on the
+series keys so skew salting (operators.skew) applies.  Window fills
+reuse ONE sort per series — all window expressions share the same
+(partitionBy, orderBy) so Catalyst plans a single Exchange + Sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pyconform_spark.tables import SERIES_KEYS, TIERS
+
+
+def detect_gaps(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    threshold_seconds: int = 3600,
+) -> DataFrame:
+    """Per-series gaps: successive-timestamp deltas above threshold.
+
+    Returns (keys..., gap_start, gap_end, gap_seconds).
+    """
+    keys = keys or SERIES_KEYS
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    delta = F.col(ts_col).cast("timestamp").cast("long") - prev.cast(
+        "timestamp"
+    ).cast("long")
+    return (
+        df.select(*keys, F.col(ts_col))
+        .withColumn("gap_start", prev)
+        .withColumn("gap_seconds", delta)
+        .where(F.col("gap_seconds") > threshold_seconds)
+        .select(
+            *keys,
+            F.col("gap_start").cast("timestamp_ntz").alias("gap_start"),
+            F.col(ts_col).cast("timestamp_ntz").alias("gap_end"),
+            F.col("gap_seconds").cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+def dense_grid(tier_df: DataFrame, tier: str, keys: list[str] | None = None) -> DataFrame:
+    """Left-join the tier table onto every bucket between each series'
+    first and last observation.  Missing buckets appear with NULL
+    measures and ``gap_filled = true``."""
+    keys = keys or SERIES_KEYS
+    secs = TIERS[tier].seconds
+    extents = tier_df.groupBy(*keys).agg(
+        F.min("bucket_start").alias("b_min"), F.max("bucket_start").alias("b_max")
+    )
+    grid = extents.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("b_min").cast("timestamp"),
+                F.col("b_max").cast("timestamp"),
+                F.expr(f"INTERVAL {secs} SECOND"),
+            )
+        ).alias("bucket_start"),
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp_ntz"))
+    joined = grid.join(tier_df, [*keys, "bucket_start"], "left")
+    return joined.withColumn("gap_filled", F.col("turn_count").isNull())
+
+
+def fill_locf(
+    dense: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    zero_fill: list[str] | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward over the dense grid.
+
+    ``zero_fill`` columns (e.g. turn_count in a rate series — a bucket
+    with no turns genuinely has rate 0) are filled with 0 instead of
+    the previous observation.
+    """
+    keys = keys or SERIES_KEYS
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = dense
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    for c in zero_fill or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+def fill_linear(
+    dense: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation between the surrounding observed points,
+    entirely in Catalyst expressions (np.interp semantics: clamp to the
+    nearest observed value beyond the series edges).
+
+    For every missing bucket t with previous observed (t0, v0) and next
+    observed (t1, v1):  v = v0 + (v1 - v0) * (t - t0) / (t1 - t0).
+    """
+    keys = keys or SERIES_KEYS
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.col("bucket_start").cast("timestamp").cast("long")
+    obs_t = F.when(~F.col("gap_filled"), t)
+
+    out = dense
+    t0 = F.last(obs_t, ignorenulls=True).over(wb)
+    t1 = F.first(obs_t, ignorenulls=True).over(wf)
+    out = out.withColumn("_t0", t0).withColumn("_t1", t1)
+    for c in value_cols:
+        v0 = F.last(F.col(c), ignorenulls=True).over(wb)
+        v1 = F.first(F.col(c), ignorenulls=True).over(wf)
+        # association mirrors np.interp: slope = (v1-v0)/(t1-t0);
+        # v = slope*(t-t0) + v0  — keeps SQL and numpy fills bit-identical
+        slope = (v1 - v0) / (F.col("_t1") - F.col("_t0"))
+        interp = slope * (t - F.col("_t0")) + v0
+        filled = (
+            F.when(~F.col("gap_filled"), F.col(c))
+            .when(F.col("_t0").isNull(), v1)   # before first obs → backfill
+            .when(F.col("_t1").isNull(), v0)   # after last obs → locf
+            .when(F.col("_t1") == F.col("_t0"), v0)
+            .otherwise(interp)
+        )
+        out = out.withColumn(c, filled.cast("double"))
+    return out.drop("_t0", "_t1")
+
+
+def fill_linear_pandas(
+    dense: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`fill_linear` using np.interp per
+    series group (``applyInPandas``).  Used as the golden-parity check
+    (reference style: pin numpy operation order, ``idl.py:7-13``), and
+    as the extension point for spline/irregular-grid fills that do not
+    window-ize.
+    """
+    keys = keys or SERIES_KEYS
+    schema = dense.schema
+
+    def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start", kind="mergesort")
+        t = pdf["bucket_start"].astype("int64").to_numpy(dtype=np.float64)
+        obs = ~pdf["gap_filled"].to_numpy()
+        if obs.any():
+            for c in value_cols:
+                v = pdf[c].to_numpy(dtype=np.float64)
+                pdf[c] = np.interp(t, t[obs], v[obs])
+        return pdf
+
+    return dense.groupBy(*keys).applyInPandas(_fill, schema=schema)

@@ -1,0 +1,347 @@
+"""Driver-facing query catalog.
+
+Each entry here is one operator from SURVEY.md §2 exercised over the
+driver's testdata tables (``events`` stands in for the transcripts
+series table: user_id ≈ conv_id, event_type ≈ tool/role, value ≈
+measurement).  Every query has an ANSI-SQL twin in
+``oracles.py`` that DuckDB runs on the same parquet — the pair must
+agree on row count, schema, and values.
+
+Determinism rules used throughout (so value-hash comparison is exact):
+
+* double SUMs go through DECIMAL(20,6) (order-independent, exact) and
+  are cast back to double; averages are a single double division of
+  two exactly-agreed numbers;
+* bucket timestamps are integer-epoch floors emitted as timestamp_ntz
+  (DuckDB's naive TIMESTAMP);
+* any LIMIT has a total-order ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from pyconform_spark.operators import gapfill, stencil
+from pyconform_spark.operators.rollup import bucket_ts
+
+EKEYS = ["user_id", "event_type"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dec_sum(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,6)"))
+
+
+# ---------------------------------------------------------------- rollups
+def _rollup(df: DataFrame, seconds: int) -> DataFrame:
+    """Tier rollup over the events series table (ReadNode→EvalNode→
+    hash-agg pipeline; reference analog ``oclim``/``monthtoyear``)."""
+    return (
+        df.groupBy(
+            *EKEYS, bucket_ts(F.col("ts"), seconds).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value").alias("_vs"),
+        )
+        .select(
+            *EKEYS,
+            "bucket_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_vs").cast("double").alias("value_sum"),
+            (F.col("_vs").cast("double") / F.col("n_events")).alias("value_avg"),
+            (F.col("n_events") / F.lit(float(seconds))).alias("event_rate"),
+        )
+    )
+
+
+def rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rollup(_events(spark, sf_dir), 60)
+
+
+def rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier computed FROM the 1m tier (cascade; oracle computes the
+    1h tier directly from raw — agreement proves cascade exactness)."""
+    m1 = (
+        _events(spark, sf_dir)
+        .groupBy(*EKEYS, bucket_ts(F.col("ts"), 60).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("vs"))
+    )
+    return (
+        m1.groupBy(*EKEYS, bucket_ts(F.col("bucket_start"), 3600).alias("bucket_start"))
+        .agg(F.sum("n").alias("n_events"), F.sum("vs").alias("_vs"))
+        .select(
+            *EKEYS,
+            "bucket_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_vs").cast("double").alias("value_sum"),
+            (F.col("_vs").cast("double") / F.col("n_events")).alias("value_avg"),
+            (F.col("n_events") / F.lit(3600.0)).alias("event_rate"),
+        )
+    )
+
+
+def rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h1 = (
+        _events(spark, sf_dir)
+        .groupBy(*EKEYS, bucket_ts(F.col("ts"), 3600).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("vs"))
+    )
+    return (
+        h1.groupBy(*EKEYS, bucket_ts(F.col("bucket_start"), 86400).alias("bucket_start"))
+        .agg(F.sum("n").alias("n_events"), F.sum("vs").alias("_vs"))
+        .select(
+            *EKEYS,
+            "bucket_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_vs").cast("double").alias("value_sum"),
+            (F.col("_vs").cast("double") / F.col("n_events")).alias("value_avg"),
+            (F.col("n_events") / F.lit(86400.0)).alias("event_rate"),
+        )
+    )
+
+
+# ----------------------------------------------------------- gap handling
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    return gapfill.detect_gaps(df, keys=EKEYS, ts_col="ts", threshold_seconds=6 * 3600)
+
+
+def _hourly_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tier for user_id < 15 — the gap-fill demo series set
+    (bounded grid size at every sf)."""
+    return _rollup(
+        _events(spark, sf_dir).where(F.col("user_id") < 15), 3600
+    ).select(*EKEYS, "bucket_start", "n_events", "value_sum")
+
+
+def gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = _hourly_subset(spark, sf_dir)
+    dense = (
+        gapfill.dense_grid(
+            tier.withColumnRenamed("n_events", "turn_count"), "1h", keys=EKEYS
+        )
+        .withColumnRenamed("turn_count", "n_events")
+    )
+    filled = gapfill.fill_locf(
+        dense, ["value_sum"], keys=EKEYS, zero_fill=["n_events"]
+    )
+    return filled.select(
+        *EKEYS,
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("gap_filled").alias("gap_filled"),
+    )
+
+
+def gapfill_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = _hourly_subset(spark, sf_dir)
+    dense = (
+        gapfill.dense_grid(
+            tier.withColumnRenamed("n_events", "turn_count"), "1h", keys=EKEYS
+        )
+        .withColumnRenamed("turn_count", "n_events")
+    )
+    filled = gapfill.fill_linear(dense, ["value_sum"], keys=EKEYS)
+    return filled.select(
+        *EKEYS,
+        "bucket_start",
+        F.col("value_sum").cast("double").alias("value_fill"),
+        F.col("gap_filled").alias("gap_filled"),
+    )
+
+
+# ------------------------------------------------------ window stencils
+def stencil_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    out = stencil.diff(df, "value", EKEYS, "event_id")
+    return out.select(
+        *EKEYS, "event_id", F.col("value_diff").alias("value_diff")
+    )
+
+
+def stencil_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell bounds over each series' observed epoch-second coordinates
+    (reference ``bounds``, location=1)."""
+    df = (
+        _events(spark, sf_dir)
+        .select(
+            *EKEYS,
+            F.col("ts").cast("timestamp").cast("long").cast("double").alias("t"),
+        )
+        .groupBy(*EKEYS, "t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    out = stencil.bounds(df, "t", EKEYS)
+    return out.select(*EKEYS, "t", F.col("t_lb").alias("t_lb"), F.col("t_ub").alias("t_ub"))
+
+
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-series integral (psitem analog) — decimal-exact."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.select(
+        *EKEYS,
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double").alias("value_cum"),
+    )
+
+
+def weighted_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted day rollup — the monthtoyear_noleap analog: weight =
+    (event_id % 5) + 1, exact decimal arithmetic."""
+    df = _events(spark, sf_dir)
+    w = F.col("event_id") % 5 + 1
+    # per-row double product is bit-identical in any engine; the SUM
+    # goes through decimal so it is order-independent and exact
+    wv = F.sum((F.col("value") * w).cast("decimal(24,8)"))
+    ws = F.sum(w)
+    return (
+        df.groupBy(*EKEYS, bucket_ts(F.col("ts"), 86400).alias("bucket_start"))
+        .agg(wv.alias("_wv"), ws.alias("_ws"))
+        .select(
+            *EKEYS,
+            "bucket_start",
+            (F.col("_wv").cast("double") / F.col("_ws").cast("double")).alias(
+                "value_wmean"
+            ),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: a >30min silence starts a new session
+    (lag + running count — the session-window analog)."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        F.col("ts").cast("timestamp").cast("long")
+        - prev.cast("timestamp").cast("long")
+        > 1800
+    ) | prev.isNull()
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = F.sum(new_sess.cast("long")).over(cum)
+    return (
+        df.select("user_id", "event_id", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def heavy_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew observability: series holding >= 0.2% of all rows."""
+    df = _events(spark, sf_dir)
+    total = df.count()
+    return (
+        df.groupBy(*EKEYS)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") >= max(1, int(total * 0.002)))
+        .select(*EKEYS, F.col("n_rows").cast("long").alias("n_rows"))
+    )
+
+
+# --------------------------------------------------------- value algebra
+def limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValidateNode analog: clamp to [50,500], mask outside
+    valid_min/valid_max [10,900] to NULL (flownodes.py:562-578)."""
+    df = _events(spark, sf_dir)
+    clamped = F.least(F.greatest(F.col("value"), F.lit(50.0)), F.lit(500.0))
+    masked = F.when(
+        (F.col("value") < 10.0) | (F.col("value") > 900.0), F.lit(None)
+    ).otherwise(F.col("value"))
+    return df.select(
+        "event_id",
+        clamped.alias("value_clamped"),
+        masked.cast("double").alias("value_masked"),
+    )
+
+
+def unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunits analog: value [ms]→[s] affine conversion + refdate shift
+    of the time axis by +1 hour (functions.py:456-509)."""
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        (F.col("value") / 1000.0).alias("value_s"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+        .cast("timestamp_ntz")
+        .alias("ts_shifted"),
+    )
+
+
+# ------------------------------------------------------------ TPC-H-ish
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(24,8)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("_sq"),
+            _dec_sum("l_extendedprice").alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+            F.col("count_order").cast("long").alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + agg + deterministic top-k (orders ⋈ customer ⋈
+    lineitem).  customer/orders are broadcast-able dims vs lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    joined = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("o_orderkey", "c_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "o_orderkey", "c_name", F.col("_rev").cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )

@@ -1,0 +1,102 @@
+"""Gap detection / dense grid / locf / linear fill golden tests.
+
+Reference-analog cases: mapdates gap checks (``mapdates.py:112-216``)
+and yeartomonth upsampling (``commonfunctions.py:402-522``); linear
+golden values come from np.interp exactly as the reference leans on
+numpy (``commonfunctions.py:390``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyconform_spark.operators.gapfill import (
+    dense_grid,
+    detect_gaps,
+    fill_linear,
+    fill_linear_pandas,
+    fill_locf,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_tier(spark, minutes_values):
+    """Tiny 1m tier table for one series; minutes_values: {minute: v}."""
+    rows = [
+        ("c1", "bash", "user", T0 + dt.timedelta(minutes=m), 1, float(v), int(v), float(v), False)
+        for m, v in minutes_values.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, bucket_start timestamp_ntz,"
+        " turn_count long, turn_rate double, text_len_sum long, text_len_avg double,"
+        " gap_filled boolean",
+    )
+
+
+def test_detect_gaps(spark):
+    df = _mk_tier(spark, {0: 1, 1: 2, 10: 3, 11: 4, 30: 5})
+    gaps = (
+        detect_gaps(df, ts_col="bucket_start", threshold_seconds=120)
+        .orderBy("gap_start")
+        .collect()
+    )
+    assert [(g.gap_seconds) for g in gaps] == [540, 1140]
+    assert gaps[0].gap_start == T0 + dt.timedelta(minutes=1)
+    assert gaps[0].gap_end == T0 + dt.timedelta(minutes=10)
+
+
+def test_dense_grid_and_locf(spark):
+    df = _mk_tier(spark, {0: 10, 3: 40})
+    dense = dense_grid(df, "1m")
+    assert dense.count() == 4
+    filled = fill_locf(
+        dense, ["turn_rate", "text_len_avg"], zero_fill=["turn_count", "text_len_sum"]
+    )
+    pdf = filled.orderBy("bucket_start").toPandas()
+    assert pdf["turn_rate"].tolist() == [10.0, 10.0, 10.0, 40.0]
+    assert pdf["turn_count"].tolist() == [1, 0, 0, 1]
+    assert pdf["gap_filled"].tolist() == [False, True, True, False]
+
+
+@pytest.mark.parametrize("impl", ["sql", "pandas"])
+def test_linear_matches_np_interp(spark, impl):
+    obs = {0: 10.0, 4: 50.0, 5: -3.0, 9: 1.0}
+    df = _mk_tier(spark, obs)
+    dense = dense_grid(df, "1m")
+    if impl == "sql":
+        filled = fill_linear(dense, ["turn_rate"])
+    else:
+        filled = fill_linear_pandas(
+            dense.selectExpr(
+                "conv_id", "tool", "role", "bucket_start",
+                "cast(turn_count as double) turn_count",
+                "turn_rate",
+                "cast(text_len_sum as double) text_len_sum",
+                "text_len_avg", "gap_filled",
+            ),
+            ["turn_rate"],
+        )
+    pdf = filled.orderBy("bucket_start").toPandas()
+    t = np.arange(10) * 60.0
+    tk = np.array(sorted(obs)) * 60.0
+    vk = np.array([obs[k] for k in sorted(obs)])
+    exp = np.interp(t, tk, vk)
+    got = pdf["turn_rate"].to_numpy(dtype=np.float64)
+    assert got == pytest.approx(exp.tolist(), abs=0, rel=0), got
+    # bit-for-bit vs np.interp
+    assert (got.view(np.uint64) == exp.view(np.uint64)).all()
+
+
+def test_linear_sql_edges(spark):
+    # leading + trailing missing buckets clamp to nearest observation
+    df = _mk_tier(spark, {2: 7.0, 5: 13.0})
+    dense = dense_grid(df, "1m")
+    # grid only spans observed extent [2..5]; extend by unioning edge nulls
+    filled = fill_linear(dense, ["turn_rate"]).orderBy("bucket_start").toPandas()
+    assert filled["turn_rate"].tolist() == [7.0, 9.0, 11.0, 13.0]
