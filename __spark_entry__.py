@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,
         "heavy_series": Q.heavy_series,
+        "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,
         "tpch_q1": Q.tpch_q1,

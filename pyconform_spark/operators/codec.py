@@ -1,0 +1,380 @@
+"""Time-series compression codecs: delta-of-delta (timestamps) and
+Gorilla XOR (values), as vectorized Arrow UDFs producing BinaryType
+blobs per (series, chunk).
+
+Reference analog: per-variable zlib deflate in the NetCDF writer
+(``/root/reference/source/pyconform/flownodes.py:825-838``,
+``datasets.py:407-411``) — a generic byte codec.  The north rule
+replaces it with the domain-specific codecs from Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database" (VLDB
+2015, §4.1): timestamps as delta-of-delta with variable-width classes,
+values as XOR with leading/trailing-zero windows.
+
+Implementation notes (scale + input_hint "no per-row Python"):
+
+* **Encode is fully vectorized numpy.**  Each point maps to a
+  variable-length bit token; tokens are materialized as rows of a
+  boolean bit-matrix with a per-row validity mask, and
+  ``bits[mask]`` → ``np.packbits`` emits the concatenated bitstream
+  without any Python-level loop.  This is possible because we use the
+  *non-adaptive* Gorilla value branch: every non-zero XOR is encoded
+  as ``11 + 6b leading + 7b length + meaningful bits`` (we spend one
+  extra control bit + widths vs. the adaptive '10' window-reuse branch
+  of the paper, in exchange for a data-parallel encoder; ratios on
+  rollup series are within a few % of adaptive).
+* Timestamp classes (per the paper, widened final class):
+  ``0`` dod==0; ``10``+7b dod∈[-63,64]; ``110``+9b dod∈[-255,256];
+  ``1110``+12b dod∈[-2047,2048]; ``1111``+64b raw.
+* **Decode** is a per-blob bit cursor over a Python big-int (reads are
+  per-chunk, amortized over up to CHUNK_POINTS points; used by the
+  read path and round-trip tests, not the ingest hot path).
+* Floats round-trip **bit-exactly** (XOR on the uint64 view — NaN
+  payloads and -0.0 included), timestamps exactly (int64 seconds).
+
+The Spark-side API compresses one blob per (series keys, chunk) via
+``applyInPandas`` — Arrow-batched, one numpy encode per group.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from pyconform_spark.tables import SERIES_KEYS
+
+MAGIC = b"PCS1"
+
+# ---------------------------------------------------------------------------
+# bit-matrix packer: tokens[i] = (container big-endian bits, length)
+# ---------------------------------------------------------------------------
+
+
+def _pack_tokens(containers: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Pack left-aligned variable-length bit tokens into one bitstream.
+
+    ``containers``: (n, W) uint8 matrix, each row the token's bits as
+    big-endian bytes, left-aligned (token occupies the top ``lengths[i]``
+    bits).  Returns the concatenated, byte-padded bitstream.
+    """
+    n, width = containers.shape
+    bits = np.unpackbits(containers, axis=1)  # (n, W*8)
+    mask = np.arange(width * 8)[None, :] < lengths[:, None]
+    stream = bits[mask]  # 1-D concatenated bits, row order
+    return np.packbits(stream).tobytes()
+
+
+def _u64_to_be_bytes(x: np.ndarray) -> np.ndarray:
+    """(n,) uint64 -> (n, 8) big-endian byte matrix."""
+    return x.astype(">u8").view(np.uint8).reshape(-1, 8)
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta timestamp encoding
+# ---------------------------------------------------------------------------
+
+def dod_encode(ts: np.ndarray) -> bytes:
+    """Encode an int64 array (seconds or any monotone-ish ints).
+
+    Header: MAGIC + n (u32) + t0 (i64) + d0 (i64); body: DoD tokens.
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return MAGIC + struct.pack("<I", 0)
+    head = MAGIC + struct.pack("<Iq", n, int(ts[0]))
+    if n == 1:
+        return head
+    deltas = np.diff(ts)
+    head += struct.pack("<q", int(deltas[0]))
+    if n == 2:
+        return head
+    dod = np.diff(deltas)  # n-2 tokens
+
+    # class selection (vectorized)
+    c0 = dod == 0
+    c1 = ~c0 & (dod >= -63) & (dod <= 64)
+    c2 = ~c0 & ~c1 & (dod >= -255) & (dod <= 256)
+    c3 = ~c0 & ~c1 & ~c2 & (dod >= -2047) & (dod <= 2048)
+    c4 = ~(c0 | c1 | c2 | c3)
+
+    lengths = np.select(
+        [c0, c1, c2, c3, c4], [1, 2 + 7, 3 + 9, 4 + 12, 4 + 64]
+    ).astype(np.int64)
+
+    # Build each token as a left-aligned uint128 (two u64 words) then to bytes.
+    # token value = prefix bits followed by payload, packed into the top bits.
+    udod = dod.astype(np.uint64)
+    hi = np.zeros(len(dod), dtype=np.uint64)
+    lo = np.zeros(len(dod), dtype=np.uint64)
+
+    # class 0: '0' -> hi = 0
+    # class 1: '10' + (dod+63) in 7 bits  => 9 bits total
+    v1 = (np.uint64(0b10) << np.uint64(7)) | ((udod + np.uint64(63)) & np.uint64(0x7F))
+    # class 2: '110' + (dod+255) in 9 bits => 12 bits
+    v2 = (np.uint64(0b110) << np.uint64(9)) | ((udod + np.uint64(255)) & np.uint64(0x1FF))
+    # class 3: '1110' + (dod+2047) in 12 bits => 16 bits
+    v3 = (np.uint64(0b1110) << np.uint64(12)) | (
+        (udod + np.uint64(2047)) & np.uint64(0xFFF)
+    )
+    # left-align into the 64-bit hi word
+    with np.errstate(over="ignore"):
+        hi = np.select(
+            [c0, c1, c2, c3],
+            [
+                np.uint64(0),
+                v1 << np.uint64(64 - 9),
+                v2 << np.uint64(64 - 12),
+                v3 << np.uint64(64 - 16),
+            ],
+            default=np.uint64(0b1111) << np.uint64(60),
+        )
+        # class 4 payload: raw 64-bit dod, split across hi(60..0)/lo
+        hi = np.where(c4, hi | (udod >> np.uint64(4)), hi)
+        lo = np.where(c4, udod << np.uint64(60), lo)
+
+    containers = np.concatenate(
+        [_u64_to_be_bytes(hi), _u64_to_be_bytes(lo)], axis=1
+    )  # (n-2, 16)
+    return head + _pack_tokens(containers, lengths)
+
+
+def dod_decode(blob: bytes) -> np.ndarray:
+    assert blob[:4] == MAGIC, "bad magic"
+    (n,) = struct.unpack_from("<I", blob, 4)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    (t0,) = struct.unpack_from("<q", blob, 8)
+    if n == 1:
+        return np.array([t0], dtype=np.int64)
+    (d0,) = struct.unpack_from("<q", blob, 16)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1] = t0 + d0
+    body = blob[24:]
+    stream = int.from_bytes(body, "big")
+    nbits = len(body) * 8
+    pos = 0  # bit cursor from MSB
+
+    def take(k: int) -> int:
+        nonlocal pos
+        v = (stream >> (nbits - pos - k)) & ((1 << k) - 1)
+        pos += k
+        return v
+
+    delta = d0
+    t = out[1]
+    for i in range(2, n):
+        if take(1) == 0:
+            dod = 0
+        elif take(1) == 0:
+            dod = take(7) - 63
+        elif take(1) == 0:
+            dod = take(9) - 255
+        elif take(1) == 0:
+            dod = take(12) - 2047
+        else:
+            raw = take(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        t += delta
+        out[i] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gorilla XOR value encoding
+# ---------------------------------------------------------------------------
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (result for 0 is 64)."""
+    out = np.full(len(x), 64, dtype=np.int64)
+    nz = x != 0
+    # float64 mantissa trick is lossy for >53 bits; do it in two 32-bit halves
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi_bits = np.zeros(len(x), dtype=np.int64)
+    hin = hi != 0
+    hi_bits[hin] = np.floor(np.log2(hi[hin].astype(np.float64))).astype(np.int64) + 1
+    lon = ~hin & (lo != 0)
+    lo_bits = np.zeros(len(x), dtype=np.int64)
+    lo_bits[lon] = np.floor(np.log2(lo[lon].astype(np.float64))).astype(np.int64) + 1
+    total = np.where(hin, 32 + hi_bits, lo_bits)  # highest set bit position
+    out[nz] = 64 - total[nz]
+    return out
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (result for 0 is 64)."""
+    lsb = x & (~x + np.uint64(1))  # isolate lowest set bit
+    return np.where(x == 0, 64, 63 - _clz64(lsb))
+
+
+def gorilla_encode(vals: np.ndarray) -> bytes:
+    """Encode a float64 array bit-exactly (XOR on the uint64 view).
+
+    Tokens: first value raw 64b; then per point: '0' if xor==0 else
+    '11' + 6b leading + 7b nbits + meaningful bits.  ('10' adaptive
+    branch intentionally unused — see module docstring.)
+    """
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
+    n = len(v)
+    head = MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return head
+    head += struct.pack("<Q", int(v[0]))
+    if n == 1:
+        return head
+    x = v[1:] ^ v[:-1]
+    zero = x == 0
+    lead = np.minimum(_clz64(x), 63)  # 6-bit field
+    trail = _ctz64(x)
+    nbits = np.where(zero, 0, 64 - lead - trail)
+    lengths = np.where(zero, 1, 2 + 6 + 7 + nbits).astype(np.int64)
+
+    # token = '11' (2) + lead (6) + nbits (7) + meaningful bits, left-aligned
+    # meaningful bits = x >> trail, width nbits <= 64 => token <= 79 bits
+    with np.errstate(over="ignore"):
+        meaning = np.where(zero, np.uint64(0), x >> trail.astype(np.uint64))
+        prefix = (
+            (np.uint64(0b11) << np.uint64(13))
+            | (lead.astype(np.uint64) << np.uint64(7))
+            | nbits.astype(np.uint64)
+        )  # 15-bit prefix value
+        # hi word: prefix in top 15 bits, then top bits of meaning
+        hi = prefix << np.uint64(64 - 15)
+        # meaning occupies bits [15, 15+nbits) of the 128-bit container
+        shift_hi = np.maximum(64 - 15 - nbits, 0).astype(np.uint64)
+        spill = np.maximum(nbits - (64 - 15), 0).astype(np.uint64)  # bits into lo
+        hi = hi | np.where(spill > 0, meaning >> spill, meaning << shift_hi)
+        lo = np.where(
+            spill > 0, meaning << (np.uint64(64) - spill), np.uint64(0)
+        )
+        hi = np.where(zero, np.uint64(0), hi)
+        lo = np.where(zero, np.uint64(0), lo)
+
+    containers = np.concatenate([_u64_to_be_bytes(hi), _u64_to_be_bytes(lo)], axis=1)
+    return head + _pack_tokens(containers, lengths)
+
+
+def gorilla_decode(blob: bytes) -> np.ndarray:
+    assert blob[:4] == MAGIC, "bad magic"
+    (n,) = struct.unpack_from("<I", blob, 4)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (v0,) = struct.unpack_from("<Q", blob, 8)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = v0
+    body = blob[16:]
+    stream = int.from_bytes(body, "big")
+    nbits_total = len(body) * 8
+    pos = 0
+
+    def take(k: int) -> int:
+        nonlocal pos
+        v = (stream >> (nbits_total - pos - k)) & ((1 << k) - 1)
+        pos += k
+        return v
+
+    prev = v0
+    for i in range(1, n):
+        if take(1) == 0:
+            out[i] = prev
+            continue
+        take(1)  # second control bit (always 1 in this scheme)
+        lead = take(6)
+        width = take(7)
+        meaning = take(width)
+        trail = 64 - lead - width
+        prev = prev ^ (meaning << trail)
+        out[i] = prev
+    return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side API
+# ---------------------------------------------------------------------------
+
+COMPRESSED_FIELDS = [
+    T.StructField("chunk_start", T.TimestampNTZType(), False),
+    T.StructField("n_points", T.LongType(), False),
+    T.StructField("ts_blob", T.BinaryType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+]
+
+
+def compress_tier(
+    tier_df: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    chunk_seconds: int = 86400,
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """One blob row per (series, chunk): timestamps DoD-encoded, each
+    value column Gorilla-encoded, points sorted by ``ts_col``.
+
+    The groupBy shuffles on (keys, chunk) so hot series fan out across
+    chunks; each Arrow group is one numpy encode call.
+    """
+    keys = keys or SERIES_KEYS
+    kfields = [tier_df.schema[k] for k in keys]
+    schema = T.StructType(
+        kfields
+        + COMPRESSED_FIELDS
+        + [T.StructField(f"{c}_blob", T.BinaryType(), False) for c in value_cols]
+    )
+    chunk = (
+        F.col(ts_col).cast("timestamp").cast("long")
+        - F.col(ts_col).cast("timestamp").cast("long") % chunk_seconds
+    )
+    src = tier_df.withColumn("_chunk", chunk)
+
+    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = (pdf[ts_col].astype("datetime64[s]").astype("int64")).to_numpy()
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["chunk_start"] = [pd.Timestamp(int(pdf["_chunk"].iloc[0]), unit="s")]
+        row["n_points"] = [len(pdf)]
+        ts_blob = dod_encode(ts)
+        row["ts_blob"] = [ts_blob]
+        enc_bytes = len(ts_blob)
+        for c in value_cols:
+            b = gorilla_encode(pdf[c].to_numpy(dtype=np.float64))
+            row[f"{c}_blob"] = [b]
+            enc_bytes += len(b)
+        row["raw_bytes"] = [len(pdf) * 8 * (1 + len(value_cols))]
+        row["enc_bytes"] = [enc_bytes]
+        return pd.DataFrame(row)
+
+    return src.groupBy(*keys, "_chunk").applyInPandas(_enc, schema=schema)
+
+
+def decompress_tier(
+    blobs: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Explode blob rows back into points (read path / parity checks)."""
+    keys = keys or SERIES_KEYS
+    kfields = [blobs.schema[k] for k in keys]
+    schema = T.StructType(
+        kfields
+        + [T.StructField("bucket_start", T.TimestampNTZType(), False)]
+        + [T.StructField(c, T.DoubleType(), True) for c in value_cols]
+    )
+
+    def _dec(it):
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                ts = dod_decode(r["ts_blob"])
+                out = {k: np.repeat(r[k], len(ts)) for k in keys}
+                out["bucket_start"] = pd.to_datetime(ts, unit="s")
+                for c in value_cols:
+                    out[c] = gorilla_decode(r[f"{c}_blob"])
+                yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_dec, schema=schema)

@@ -217,3 +217,10 @@ GROUP BY 1,2
 ORDER BY revenue DESC, o.o_orderkey ASC
 LIMIT 20
 """
+
+# codec round trip: the Spark side compresses the hourly tier to
+# Gorilla/DoD blobs and decompresses; the oracle is the tier itself.
+ORACLES["compress_roundtrip"] = f"""
+SELECT user_id, event_type, bucket_start, value_sum
+FROM ({_HOURLY_SUBSET})
+"""

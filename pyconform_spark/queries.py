@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from pyconform_spark.operators import gapfill, stencil
+from pyconform_spark.operators import codec, gapfill, stencil
 from pyconform_spark.operators.rollup import bucket_ts
 
 EKEYS = ["user_id", "event_type"]
@@ -261,6 +261,25 @@ def heavy_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rows") >= max(1, int(total * 0.002)))
         .select(*EKEYS, F.col("n_rows").cast("long").alias("n_rows"))
+    )
+
+
+def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla XOR + delta-of-delta codec round trip over the hourly
+    demo tier: compress each (series, week) to binary blobs, decompress,
+    return the points.  The oracle is the plain hourly tier — agreement
+    proves the codecs are bit-exact end-to-end through Spark."""
+    tier = _hourly_subset(spark, sf_dir).select(
+        *EKEYS, "bucket_start", F.col("value_sum").cast("double").alias("value_sum")
+    )
+    blobs = codec.compress_tier(
+        tier, ["value_sum"], keys=EKEYS, chunk_seconds=7 * 86400
+    )
+    back = codec.decompress_tier(blobs, ["value_sum"], keys=EKEYS)
+    return back.select(
+        *EKEYS,
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        F.col("value_sum").cast("double").alias("value_sum"),
     )
 
 

@@ -65,6 +65,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
 
+    # Python workers must be able to import this package even when the
+    # driver script runs from elsewhere (local mode inherits PYTHONPATH;
+    # on a cluster the same wheel rides --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     builder = SparkSession.builder.master(master).appName(app_name)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

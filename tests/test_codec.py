@@ -1,0 +1,119 @@
+"""Gorilla XOR + delta-of-delta codec tests: bit-exact round trips at
+the numpy layer (incl. property-based) and through the Spark
+applyInPandas compress/decompress path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pyconform_spark.operators import codec, rollup
+from pyconform_spark import synth
+
+
+# ------------------------------------------------------------- numpy layer
+def test_dod_roundtrip_basic():
+    ts = np.array([0, 60, 120, 180, 240, 360, 480, 10_000_000], dtype=np.int64)
+    assert np.array_equal(codec.dod_decode(codec.dod_encode(ts)), ts)
+
+
+def test_dod_roundtrip_edges():
+    for arr in [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.array([5, -3], dtype=np.int64),
+        np.array([1704067200, 1704067200, 1704067200], dtype=np.int64),  # dod=0
+        np.array([0, 1, 65, 66 + 64, 500, 3000, 2**40], dtype=np.int64),
+    ]:
+        assert np.array_equal(codec.dod_decode(codec.dod_encode(arr)), arr)
+
+
+def test_dod_compresses_regular_cadence():
+    ts = np.arange(0, 86400, 60, dtype=np.int64) + 1704067200
+    blob = codec.dod_encode(ts)
+    # regular cadence => ~1 bit/point after the header
+    assert len(blob) < 24 + len(ts) // 8 + 2
+
+
+def test_gorilla_roundtrip_basic():
+    v = np.array([1.0, 1.0, 1.5, 2.25, -7.125, 0.0, -0.0, 1e300, 5e-324])
+    out = codec.gorilla_decode(codec.gorilla_encode(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+def test_gorilla_roundtrip_nan_inf():
+    v = np.array([np.nan, np.inf, -np.inf, np.nan, 3.14])
+    out = codec.gorilla_decode(codec.gorilla_encode(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+def test_gorilla_compresses_constant_series():
+    v = np.full(1000, 42.5)
+    blob = codec.gorilla_encode(v)
+    assert len(blob) < 16 + 1000 // 8 + 2  # 1 bit per repeated value
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=200
+    )
+)
+def test_dod_roundtrip_property(xs):
+    arr = np.array(xs, dtype=np.int64)
+    assert np.array_equal(codec.dod_decode(codec.dod_encode(arr)), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_gorilla_roundtrip_property(xs):
+    arr = np.array(xs, dtype=np.float64)
+    out = codec.gorilla_decode(codec.gorilla_encode(arr))
+    assert np.array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+# ------------------------------------------------------------- Spark layer
+@pytest.fixture(scope="module")
+def tier_1h(spark):
+    tx = synth.transcripts(spark, 6000)
+    return rollup.tier_rollup(tx, "1h").select(
+        "conv_id", "tool", "role", "bucket_start", "turn_rate", "text_len_avg"
+    )
+
+
+def test_spark_compress_roundtrip(spark, tier_1h):
+    vcols = ["turn_rate", "text_len_avg"]
+    blobs = codec.compress_tier(tier_1h, vcols, chunk_seconds=7 * 86400)
+    back = codec.decompress_tier(blobs, vcols)
+    orig = {
+        tuple(r[:4]): (r[4], r[5])
+        for r in tier_1h.collect()
+    }
+    got = {tuple(r[:4]): (r[4], r[5]) for r in back.collect()}
+    assert len(got) == len(orig)
+    for k, (a, b) in orig.items():
+        ga, gb = got[k]
+        assert np.array_equal(
+            np.array([a, b], dtype=np.float64).view(np.uint64),
+            np.array([ga, gb], dtype=np.float64).view(np.uint64),
+        ), k
+
+
+def test_spark_compression_ratio_and_counts(spark, tier_1h):
+    blobs = codec.compress_tier(tier_1h, ["turn_rate"], chunk_seconds=30 * 86400)
+    stats = blobs.agg(
+        F.sum("n_points").alias("pts"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+    ).first()
+    assert stats["pts"] == tier_1h.count()
+    assert stats["enc"] > 0
