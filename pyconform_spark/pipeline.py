@@ -1,0 +1,188 @@
+"""Epoch-checkpointed rollup pipeline with per-partition lineage.
+
+Reference analog: PyConform's writer commits one output file at a time
+by writing ``<name>.tmp.nc`` and atomically renaming on close, and
+keeps a per-variable chunk-dedup set so a chunk is never written twice
+(``/root/reference/source/pyconform/flownodes.py:851-861,940-972``).
+Recast for a table engine:
+
+* the unit of commit is a **checkpoint epoch** — a day-aligned slice of
+  the input time range (day-aligned so no 1m/1h/1d bucket ever spans
+  two epochs and the cascade stays exact per-epoch);
+* each epoch writes the 1m tier from raw, then 1h from 1m and 1d from
+  1h (the cascade — raw data is scanned once per epoch);
+* a **lineage table** records, per (tier, epoch, shuffle partition):
+  input range, point count, committed-at ordinal.  The lineage append
+  is the COMMIT POINT: an epoch whose data files exist but has no
+  lineage rows is considered uncommitted and is rewritten (idempotent
+  overwrite), which is exactly-once at epoch granularity;
+* ``run`` called again resumes: committed epochs are skipped without
+  touching raw data.
+
+Storage here is plain parquet directories (``tiers/<tier>/epoch=<k>``)
+— the sandbox stand-in for Iceberg partitioned tables, where the
+lineage append would ride the same snapshot commit.  The layout is
+partition-pruning friendly either way: readers of a time range open
+only the epochs that intersect it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyconform_spark.operators import rollup
+from pyconform_spark.tables import SERIES_KEYS
+
+EPOCH_SECONDS = 86400  # day-aligned commit unit
+TIER_ORDER = ["1m", "1h", "1d"]
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    skipped: bool
+    points: dict[str, int]  # tier -> point count (0 if skipped)
+
+
+def _tier_path(root: str, tier: str, epoch: int) -> str:
+    return os.path.join(root, "tiers", tier, f"epoch={epoch}")
+
+
+def _lineage_path(root: str) -> str:
+    return os.path.join(root, "lineage")
+
+
+def list_epochs(transcripts: DataFrame) -> list[int]:
+    """Distinct day-aligned epoch ids present in the input (one small
+    aggregate over the raw table; at 10^12 turns this is the partition
+    listing of the ``days(ts)``-partitioned Iceberg table, no scan)."""
+    rows = (
+        transcripts.select(
+            (F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS)
+            .cast("long")
+            .alias("epoch")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["epoch"] for r in rows)
+
+
+def committed_epochs(spark: SparkSession, root: str) -> set[int]:
+    path = _lineage_path(root)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return set()
+    lin = spark.read.parquet(path)
+    # an epoch is committed only if ALL tiers have lineage rows
+    rows = (
+        lin.groupBy("checkpoint_epoch")
+        .agg(F.count_distinct("tier").alias("n_tiers"))
+        .where(F.col("n_tiers") == len(TIER_ORDER))
+        .collect()
+    )
+    return {r["checkpoint_epoch"] for r in rows}
+
+
+def _write_tier(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def _lineage_rows(tier_df: DataFrame, tier: str, epoch: int) -> DataFrame:
+    """Per-shuffle-partition lineage: (partition_id, tier, input range,
+    epoch, point count) — the observability half of the commit."""
+    return (
+        tier_df.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.col("bucket_start"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.min("bucket_start").alias("input_range_start"),
+            F.max("bucket_start").alias("input_range_end"),
+            F.count(F.lit(1)).alias("point_count"),
+        )
+        .select(
+            "partition_id",
+            F.lit(tier).alias("tier"),
+            "input_range_start",
+            "input_range_end",
+            F.lit(epoch).cast("long").alias("checkpoint_epoch"),
+            F.col("point_count").cast("long").alias("point_count"),
+        )
+    )
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    epochs: list[int] | None = None,
+) -> list[EpochResult]:
+    """Roll up every (requested) epoch, resuming past committed ones.
+
+    Returns one :class:`EpochResult` per epoch.  Safe to re-run after a
+    crash at any point: the lineage append is the commit.
+    """
+    os.makedirs(root, exist_ok=True)
+    epochs = epochs if epochs is not None else list_epochs(transcripts)
+    done = committed_epochs(spark, root)
+    results: list[EpochResult] = []
+
+    for epoch in epochs:
+        if epoch in done:
+            results.append(EpochResult(epoch, True, {t: 0 for t in TIER_ORDER}))
+            continue
+
+        lo = epoch * EPOCH_SECONDS
+        sl = transcripts.where(
+            (F.col("ts").cast("timestamp").cast("long") >= lo)
+            & (F.col("ts").cast("timestamp").cast("long") < lo + EPOCH_SECONDS)
+        )
+
+        points: dict[str, int] = {}
+        lineage_parts: list[DataFrame] = []
+
+        t1m = rollup.tier_rollup(sl, "1m")
+        _write_tier(t1m, _tier_path(root, "1m", epoch))
+        prev = spark.read.parquet(_tier_path(root, "1m", epoch))
+        lineage_parts.append(_lineage_rows(prev, "1m", epoch))
+        points["1m"] = prev.count()
+
+        for tier in ("1h", "1d"):
+            td = rollup.cascade_rollup(prev, tier)
+            _write_tier(td, _tier_path(root, tier, epoch))
+            prev = spark.read.parquet(_tier_path(root, tier, epoch))
+            lineage_parts.append(_lineage_rows(prev, tier, epoch))
+            points[tier] = prev.count()
+
+        # ---- commit point: append lineage for all three tiers at once
+        lin = lineage_parts[0]
+        for extra in lineage_parts[1:]:
+            lin = lin.unionByName(extra)
+        lin.coalesce(1).write.mode("append").parquet(_lineage_path(root))
+
+        results.append(EpochResult(epoch, False, points))
+    return results
+
+
+def read_tier(spark: SparkSession, root: str, tier: str) -> DataFrame:
+    """All committed epochs of a tier (uncommitted data dirs excluded)."""
+    done = committed_epochs(spark, root)
+    paths = [
+        _tier_path(root, tier, e)
+        for e in sorted(done)
+        if os.path.isdir(_tier_path(root, tier, e))
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed epochs for tier {tier} under {root}")
+    return spark.read.parquet(*paths)
+
+
+def lineage(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(_lineage_path(root))

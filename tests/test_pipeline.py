@@ -1,0 +1,101 @@
+"""Checkpoint/lineage/resume pipeline tests.
+
+Proves the reference's chunk-dedup + atomic-rename semantics
+(flownodes.py:851-861,940-972) hold in the epoch protocol:
+
+* a full run over all epochs equals the direct (no-checkpoint) rollup
+  bit-for-bit at every tier;
+* a crashed run (some epochs committed, one written-but-uncommitted)
+  resumes to the identical result, recomputing only what was not
+  committed;
+* lineage point counts reconcile with the tier tables.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import pipeline, synth
+from pyconform_spark.operators import rollup
+
+
+@pytest.fixture(scope="module")
+def tx(spark):
+    # 20k turns => the hottest conversations span 4+ days => >=3 epochs
+    df = synth.transcripts(spark, 20_000)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def _tier_rows(df):
+    # None-safe total order (tool is nullable)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_full_run_matches_direct(spark, tx, tmp_path):
+    root = str(tmp_path / "ckpt")
+    results = pipeline.run(spark, tx, root)
+    assert len(results) >= 2 and not any(r.skipped for r in results)
+
+    direct = rollup.all_tiers(tx)
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, f"tier {tier} mismatch"
+
+
+def test_resume_skips_committed_and_completes(spark, tx, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    epochs = pipeline.list_epochs(tx)
+    assert len(epochs) >= 3
+
+    # run only the first two epochs (simulates a job killed mid-stream)
+    first = pipeline.run(spark, tx, root, epochs=epochs[:2])
+    assert [r.skipped for r in first] == [False, False]
+
+    # crash scenario: epoch[2] data written but lineage never committed
+    lo = epochs[2] * pipeline.EPOCH_SECONDS
+    sl = tx.where(
+        (F.col("ts").cast("timestamp").cast("long") >= lo)
+        & (F.col("ts").cast("timestamp").cast("long") < lo + pipeline.EPOCH_SECONDS)
+    )
+    rollup.tier_rollup(sl, "1m").limit(3).write.mode("overwrite").parquet(
+        pipeline._tier_path(root, "1m", epochs[2])
+    )  # partial garbage data, no lineage row
+
+    assert pipeline.committed_epochs(spark, root) == set(epochs[:2])
+
+    # resume over everything
+    second = pipeline.run(spark, tx, root)
+    by_epoch = {r.epoch: r for r in second}
+    assert by_epoch[epochs[0]].skipped and by_epoch[epochs[1]].skipped
+    assert not by_epoch[epochs[2]].skipped  # uncommitted -> recomputed
+
+    direct = rollup.all_tiers(tx)
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, f"tier {tier} mismatch after resume"
+
+
+def test_lineage_counts_reconcile(spark, tx, tmp_path):
+    root = str(tmp_path / "ckpt3")
+    pipeline.run(spark, tx, root)
+    lin = pipeline.lineage(spark, root)
+    per_tier = {
+        r["tier"]: r["pts"]
+        for r in lin.groupBy("tier").agg(F.sum("point_count").alias("pts")).collect()
+    }
+    for tier in ("1m", "1h", "1d"):
+        assert per_tier[tier] == pipeline.read_tier(spark, root, tier).count()
+    # idempotent re-run must not inflate lineage
+    pipeline.run(spark, tx, root)
+    lin2 = pipeline.lineage(spark, root)
+    assert lin2.count() == lin.count()
