@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pyconform_spark import queries as Q
+from pyconform_spark import simsearch, textops
 from pyconform_spark.oracles import ORACLES
 
 
@@ -40,8 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_convert": Q.unit_convert,
         "tpch_q1": Q.tpch_q1,
         "top_revenue_orders": Q.top_revenue_orders,
+        **textops.register_text_queries(),
+        **simsearch.register_sim_queries(),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: ORACLES[k] for k in queries() if k in ORACLES}
+    all_oracles = {**ORACLES, **textops.TEXT_ORACLES, **simsearch.SIM_ORACLES}
+    return {k: all_oracles[k] for k in queries() if k in all_oracles}

@@ -1,0 +1,473 @@
+"""Text-analysis and deduplication operators over the ``documents``
+table — the training-data-pipeline half of the engine.
+
+Everything here is expressed in built-in ``pyspark.sql.functions``
+(whole-stage codegen, zero Python in the hot path) and has an exact
+ANSI-SQL twin for DuckDB.  Cross-engine exactness is achieved by
+building every hash from ``md5`` (identical in both engines):
+DuckDB's ``md5_number_lower(s)`` — the little-endian uint64 of md5
+bytes 8..16 — is reproduced in Spark by reversing the final 8 hex
+byte-pairs and ``conv(hex, 16, 10)``.  All derived arithmetic stays in
+exact integer domains (mod 2^31-1), so value hashes match bit-for-bit.
+
+Operators:
+
+* exact dedup             — hash-groupBy on text (one shuffle)
+* MinHash + LSH banding   — shingle → k minhashes → band buckets →
+                            candidate pairs via bucket self-join; the
+                            scale path for near-dup at 10^12 docs
+                            (band join is linear, never all-pairs)
+* n-gram Jaccard          — exact pairwise similarity over shingles
+                            (quadratic verify stage; run it only on
+                            LSH candidates at scale)
+* SimHash (32-bit)        — per-token hash bit votes
+* token stats / quality   — length, token count, stopword ratio
+* language ID             — stopword-vote heuristic
+* fingerprint             — rolling polynomial hash over token hashes
+
+Reference tie-in: the reference's only string machinery is CharArray
+padding (``physarray.py:623-657``); these operators are the
+transcript-scale capabilities the north rule adds on top.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+P31 = 2147483647  # 2^31 - 1 (prime); all hash arithmetic is mod P31
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows/band
+SHINGLE_N = 3
+
+# per-hash-function affine constants (a odd, b from Knuth's multiplier)
+MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]
+MINHASH_B = [(i * 2654435761) % P31 for i in range(MINHASH_K)]
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "que", "pour"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic vote order
+
+
+# ---------------------------------------------------------------- hashing
+def md5_lower64(c: Column) -> Column:
+    """DuckDB ``md5_number_lower`` as a Spark column (decimal(20,0))."""
+    h = F.md5(c)
+    le_hex = F.concat(*[F.substring(h, 33 - 2 * i, 2) for i in range(1, 9)])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def md5_lower64_sql(expr: str) -> str:
+    return f"md5_number_lower({expr})"
+
+
+def hash31(c: Column) -> Column:
+    """md5-derived token hash in [0, P31)."""
+    return (md5_lower64(c) % P31).cast("long")
+
+
+def hash31_sql(expr: str) -> str:
+    return f"(md5_number_lower({expr}) % {P31})::BIGINT"
+
+
+# ----------------------------------------------------------------- tokens
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (empty text -> empty array)."""
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def shingles(c: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    w = tokens(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def shingles_sql(n: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({TOKENS_SQL}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', list_slice({TOKENS_SQL}, i, i + {n - 1}))))"
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: the kept doc (min id) + copy count.
+
+    Scale: a single hash-shuffle on text.  At 10^12 docs, group on
+    ``md5(text)`` instead so shuffle keys are 16 bytes, and verify the
+    (vanishingly rare) md5 collisions in the reduce.
+    """
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "keep_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+       length(text)::INT AS n_chars
+FROM documents GROUP BY text
+"""
+
+
+# ------------------------------------------------------------ MinHash/LSH
+def _exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).select("doc_id", hash31(F.col("sh")).alias("h"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of (a_i*h+b_i) % P.
+
+    One explode + one hash-agg; every minhash is a MIN aggregate so the
+    map-side partial combine keeps shuffle volume at k longs per doc.
+    """
+    ex = _exploded_shingle_hashes(docs)
+    aggs = [
+        F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(k: int = MINHASH_K) -> str:
+    cols = ", ".join(
+        f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P31}) AS mh_{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {hash31_sql('sh')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql()}) AS sh FROM documents)
+)
+SELECT doc_id, {cols} FROM ex GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+
+    Unpivot signatures to (doc_id, band, band_sig) and self-join on
+    (band, band_sig) — linear in docs + bucket sizes, never all-pairs.
+    """
+    sig = minhash_signatures(docs, k)
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# DuckDB struct-unnest syntax is awkward; build the banded relation as a
+# UNION ALL instead (same plan shape, trivially portable).
+def minhash_lsh_pairs_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    rows = k // bands
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS band_sig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({minhash_signatures_sql(k)}),
+banded AS ({unions})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over distinct shingles for co-shingled pairs.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — one double division of exact
+    ints.  This is the verify stage; at scale feed it LSH candidates.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.2) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql()}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (n_inter / (sa.n_sh + sb.n_sh - n_inter))::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+SIMHASH_BITS = 32
+
+
+def simhash32(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over distinct-token hashes: bit j set iff the
+    +1/-1 votes of token-hash bit j sum positive.  One explode + one
+    agg (32 SUMs, map-side combined)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    ).select("doc_id", hash31(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash32_sql() -> str:
+    votes = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v_{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {hash31_sql('w')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({TOKENS_SQL})) AS w FROM documents)
+),
+agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM agg
+"""
+
+
+# ----------------------------------------------------- stats / quality / lang
+def token_stats(docs: DataFrame) -> DataFrame:
+    w = tokens(F.col("text"))
+    n_tok = F.size(w)
+    n_chars = F.length("text")
+    stop_all = sorted({s for v in STOPWORDS.values() for s in v})
+    stop_arr = F.array(*[F.lit(s) for s in stop_all])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0)).alias(
+            "chars_per_token"
+        ),
+        F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)).alias(
+            "stopword_ratio"
+        ),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def token_stats_sql() -> str:
+    stop_all = sorted({s for v in STOPWORDS.values() for s in v})
+    lits = ", ".join(f"'{s}'" for s in stop_all)
+    return f"""
+SELECT doc_id,
+  len({TOKENS_SQL})::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  CASE WHEN len({TOKENS_SQL}) > 0
+       THEN length(text) / len({TOKENS_SQL}) ELSE 0.0 END AS chars_per_token,
+  CASE WHEN len({TOKENS_SQL}) > 0
+       THEN len(list_filter({TOKENS_SQL}, x -> list_contains([{lits}], x)))
+            / len({TOKENS_SQL})
+       ELSE 0.0 END AS stopword_ratio,
+  len(list_distinct({TOKENS_SQL}))::BIGINT AS n_distinct_tokens
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (first
+    language in sorted order wins ties)."""
+    w = tokens(F.col("text"))
+
+    def _vote(lang: str) -> Column:
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    votes = {lang: _vote(lang) for lang in LANGS}
+    best = None
+    best_n = None
+    for lang in LANGS:
+        if best is None:
+            best, best_n = F.lit(lang), votes[lang]
+        else:
+            cond = votes[lang] > best_n
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_n = F.when(cond, votes[lang]).otherwise(best_n)
+    return docs.select(
+        "doc_id",
+        best.alias("pred_lang"),
+        best_n.cast("long").alias("n_votes"),
+    )
+
+
+def lang_id_sql() -> str:
+    def vote(lang: str) -> str:
+        lits = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        return f"len(list_filter({TOKENS_SQL}, x -> list_contains([{lits}], x)))"
+
+    cases_lang = []
+    cases_n = []
+    # mirror the sequential argmax: later langs win only on strict >
+    expr_lang = f"'{LANGS[0]}'"
+    expr_n = vote(LANGS[0])
+    for lang in LANGS[1:]:
+        v = vote(lang)
+        expr_lang = f"CASE WHEN {v} > ({expr_n}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_n = f"CASE WHEN {v} > ({expr_n}) THEN {v} ELSE {expr_n} END"
+    return f"""
+SELECT doc_id, {expr_lang} AS pred_lang, ({expr_n})::BIGINT AS n_votes
+FROM documents
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over token hashes:
+    acc = (acc*31 + h(w)) % P — order-sensitive, so permuted texts get
+    distinct fingerprints (unlike the shingle-set ops)."""
+    w = tokens(F.col("text"))
+    fp = F.aggregate(
+        F.transform(w, lambda x: hash31(x)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % P31,
+    )
+    return docs.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+def doc_fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN len({TOKENS_SQL}) = 0 THEN 0
+       ELSE list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({TOKENS_SQL}, w -> {hash31_sql('w')})),
+         (acc, h) -> (acc * 31 + h) % {P31})
+  END::BIGINT AS fingerprint
+FROM documents
+"""
+
+
+def register_text_queries() -> dict[str, callable]:
+    """(name -> callable(spark, sf_dir)) for the driver catalog."""
+
+    def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    return {
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: simhash32(_docs(s, d)),
+        "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
+        "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
+    }
+
+
+TEXT_ORACLES: dict[str, str] = {
+    "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
+    "dedup_ngram_jaccard": ngram_jaccard_pairs_sql(),
+    "dedup_simhash": simhash32_sql(),
+    "text_token_stats": token_stats_sql(),
+    "text_lang_id": lang_id_sql(),
+    "text_fingerprint": doc_fingerprint_sql(),
+}

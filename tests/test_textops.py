@@ -1,0 +1,119 @@
+"""Text / dedup / similarity-search operator tests.
+
+Mirrors the driver's correctness gate: every entry from
+``textops.register_text_queries`` and ``simsearch.register_sim_queries``
+runs against its DuckDB oracle SQL on the same parquet at sf0.001, and
+must agree on sorted rows.  Plus an independent pure-Python MinHash
+reference check (no Spark, no DuckDB).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from pyconform_spark import simsearch, textops
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _key(t):
+    return tuple((x is None, x) for x in t)
+
+
+def _compare(spark, con, fn, sql):
+    sdf = fn(spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(map(tuple, sdf.select(*cols).collect()), key=_key)
+    odf = con.execute(sql).fetch_df()
+    orows = sorted(
+        map(tuple, odf[cols].itertuples(index=False, name=None)), key=_key
+    )
+    assert srows == orows, f"{len(srows)} vs {len(orows)} rows"
+    return len(srows)
+
+
+@pytest.mark.parametrize("name", sorted(textops.TEXT_ORACLES))
+def test_textop_vs_oracle(spark, con, name):
+    n = _compare(
+        spark, con, textops.register_text_queries()[name], textops.TEXT_ORACLES[name]
+    )
+    assert n > 0
+
+
+@pytest.mark.parametrize("name", sorted(simsearch.SIM_ORACLES))
+def test_simsearch_vs_oracle(spark, con, name):
+    n = _compare(
+        spark, con, simsearch.register_sim_queries()[name], simsearch.SIM_ORACLES[name]
+    )
+    assert n > 0
+
+
+def test_minhash_matches_pure_python(spark):
+    """Independent reference: recompute one doc's signature with
+    hashlib + plain Python and compare with the Spark aggregate."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row = (
+        textops.minhash_signatures(docs.where("doc_id = 7"))
+        .collect()[0]
+        .asDict()
+    )
+    text = docs.where("doc_id = 7").first()["text"]
+    words = text.split()
+    sh = {
+        " ".join(words[i : i + textops.SHINGLE_N])
+        for i in range(len(words) - textops.SHINGLE_N + 1)
+    }
+    hs = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+        % textops.P31
+        for s in sh
+    ]
+    for i in range(textops.MINHASH_K):
+        want = min(
+            (h * textops.MINHASH_A[i] + textops.MINHASH_B[i]) % textops.P31
+            for h in hs
+        )
+        assert row[f"mh_{i}"] == want
+
+
+def test_lsh_pairs_are_jaccard_similar(spark):
+    """LSH candidates should be enriched for high Jaccard: every pair
+    produced at bands=4/k=16 has jaccard above the ambient median."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs
+    jacc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for p in pairs:
+        assert jacc.get(p, 0.0) > 0.3, (p, jacc.get(p))
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    """ANN results must be true neighbors: each (query, vec) cosine
+    equals the brute-force cosine for that pair."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in simsearch.knn_bruteforce(emb, n_queries=5, k=10**6).collect()
+    }
+    ann = simsearch.ann_lsh_topk(emb, n_queries=5, k=5).collect()
+    assert ann
+    for r in ann:
+        assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
