@@ -1,0 +1,84 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, feature
+extraction determinism, metadata-only pruning, binary dedup."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyconform_spark import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = multimodal.synth_media(spark, 120)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    out = multimodal.extract_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 120
+    for r in rows.values():
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+    # deterministic: same media_id -> same features across runs
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    for mid, r in rows.items():
+        assert r["features"] == again[mid]["features"]
+        assert r["payload_sha"] == again[mid]["payload_sha"]
+
+
+def test_feature_values_match_local_stub(spark, media):
+    row = media.where("media_id = 10").first()
+    out = (
+        multimodal.extract_features(media.where("media_id = 10"))
+        .first()
+    )
+    raw = multimodal.decode_stub(bytes(row["payload"]), row["kind"])
+    want = raw.reshape(multimodal.FEATURE_DIM, -1).mean(axis=1)
+    assert np.allclose(out["features"], want)
+    assert out["payload_sha"] == hashlib.sha256(bytes(row["payload"])).hexdigest()
+
+
+def test_decode_stub_unknown_kind_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "hologram")
+
+
+def test_media_stats_prunes_payload(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+    stats = multimodal.media_stats(on_disk)
+    got = {(r["kind"], r["format"]): r["n_items"] for r in stats.collect()}
+    assert sum(got.values()) == 120
+    # payload-free projection prunes the blob column from the scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        on_disk.select("media_id", "kind").explain("formatted")
+    explained = buf.getvalue()
+    read_schema = explained.split("ReadSchema")[1].splitlines()[0]
+    assert "payload" not in read_schema
+
+
+def test_exact_dup_media(spark):
+    base = multimodal.synth_media(spark, 40)
+    dup = base.withColumn("media_id", base["media_id"] + 1000)
+    dups = multimodal.exact_dup_media(base.unionByName(dup))
+    rows = dups.collect()
+    assert len(rows) == 40
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert all(r["keep_id"] < 1000 for r in rows)

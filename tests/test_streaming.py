@@ -1,0 +1,125 @@
+"""Stream/batch parity for the tier rollup and session windows.
+
+The streaming query graph must produce exactly the batch tier over the
+same input once drained (availableNow backfill) — this is the parity
+that makes streaming ingest resumable into the same tier tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import streaming, synth
+from pyconform_spark.operators import rollup
+from pyconform_spark.tables import TRANSCRIPTS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def tx_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tx") / "transcripts")
+    synth.transcripts(spark, 8000).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _key(t):
+    return tuple((x is None, x) for x in t)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=_key)
+
+
+def test_stream_rollup_matches_batch(spark, tx_dir):
+    batch = spark.read.parquet(tx_dir)
+    # ts must be TimestampType for watermarks; synth emits ntz
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(tx_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_tier_rollup(stream, "1m")
+    assert out.isStreaming
+    streaming.run_stream_to_memory(out, "t1m_stream")
+    got = _rows(spark.table("t1m_stream"))
+    want = _rows(rollup.tier_rollup(batch, "1m"))
+    assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, tx_dir):
+    batch = spark.read.parquet(tx_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tx_dir).schema)
+        .parquet(tx_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_sessionize(stream)
+    streaming.run_stream_to_memory(out, "sess_stream")
+    got = _rows(spark.table("sess_stream"))
+    want = _rows(streaming.stream_sessionize(batch))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append mode with a watermark: after draining batch 1, a second
+    much-later batch advances the watermark and flushes the earlier
+    windows."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    early = synth.transcripts(spark, 500)
+    # single file => batch 1 is ONE micro-batch, so the watermark only
+    # advances after it completes and nothing is emitted yet
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_tier_rollup(stream, "1m", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("append_tier")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("append_tier").count()
+
+        # batch 2: shift far into the future -> watermark passes batch 1
+        late = early.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        early_max = early.agg(
+            F.max(F.col("ts").cast("timestamp"))
+        ).first()[0]
+        emitted_early = _rows(
+            spark.table("append_tier").where(
+                F.col("bucket_start").cast("timestamp") <= early_max
+            )
+        )
+    finally:
+        q.stop()
+
+    want = rollup.tier_rollup(early, "1m")
+    n_want = want.count()
+    # after batch 1 the watermark sits 1h behind max event time: only
+    # windows ending before it are emitted — some, but not the tail
+    n_closed = want.where(
+        F.col("bucket_start").cast("timestamp").cast("long") + 60
+        <= early.agg(F.max(F.col("ts").cast("timestamp").cast("long"))).first()[0]
+        - 3600
+    ).count()
+    assert n1 == n_closed
+    assert 0 < n1 < n_want
+    # the late batch pushed the watermark past all of batch 1: batch 1's
+    # windows are now all flushed and value-identical to the batch tier
+    assert emitted_early == _rows(want)
