@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyconform_spark.synth import (
     BASE_EPOCH,
+    REP_MOD,
     CHUNK,  # noqa: F401  (documented parity constant)
     MAX_JITTER,
     ROLES,
@@ -69,7 +70,7 @@ def transcripts_pdf(n_turns: int = 60_000) -> pd.DataFrame:
         BASE_EPOCH + start_r + i * STEP_SECONDS + (i // ge_r) * gl_r + h_jit % MAX_JITTER
     )
 
-    n_rep = (h_text % 64) * (h_text % 7)
+    n_rep = (h_text % REP_MOD) * (h_text % 7)
     filler = "lorem ipsum dolor sit amet "
     text = np.where(
         h_text % 17 == 0,

@@ -31,13 +31,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
-STEP_SECONDS = 45        # nominal inter-turn cadence
-MAX_JITTER = 40          # < STEP_SECONDS => per-conv timestamps strictly increase
+# Agent transcripts turn over in seconds (tool call / result / next
+# prompt), so the 1m tier genuinely aggregates multiple turns per
+# bucket — which is also what gives the map-side partial agg real
+# shuffle reduction at scale.
+STEP_SECONDS = 6         # nominal inter-turn cadence
+MAX_JITTER = 5           # < STEP_SECONDS => per-conv timestamps strictly increase
 CHUNK = 4096             # max sequence() length per exploded row
 
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["bash", "edit", "read", "grep", "glob", "web", "task", "notebook"]
 
+REP_MOD = 8  # text filler repeats ~ U(0,7)*U(0,6) => ~280B avg text
 _M32 = 4294967296  # 2**32
 _A = 1103515245
 _C = 12345
@@ -130,7 +135,7 @@ def transcripts(spark: SparkSession, n_turns: int = 60_000) -> DataFrame:
 
     # Deterministic pseudo-text: a tagged head + a repeated filler whose
     # repeat count is power-skewed; ~1/17 of turns are empty strings.
-    n_rep = (h_text % 64) * (h_text % 7)
+    n_rep = (h_text % REP_MOD) * (h_text % 7)
     text = F.when(h_text % 17 == 0, F.lit("")).otherwise(
         F.concat(
             F.lit("t"),

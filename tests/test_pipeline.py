@@ -24,8 +24,8 @@ from pyconform_spark.operators import rollup
 
 @pytest.fixture(scope="module")
 def tx(spark):
-    # 20k turns => the hottest conversations span 4+ days => >=3 epochs
-    df = synth.transcripts(spark, 20_000)
+    # 60k turns => the hottest conversations span multiple days => >=3 epochs
+    df = synth.transcripts(spark, 60_000)
     df.persist().count()
     yield df
     df.unpersist()
