@@ -39,6 +39,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,
+        "stencil_lead_diff": Q.stencil_lead_diff,
+        "stencil_deriv3": Q.stencil_deriv3,
+        "pivot_event_types": Q.pivot_event_types,
+        "unpivot_lineitem": Q.unpivot_lineitem,
+        "expand_grid": Q.expand_grid,
+        "conditional_select": Q.conditional_select,
+        "skew_salted_rollup": Q.skew_salted_rollup,
+        "topk_per_group": Q.topk_per_group,
+        "orders_without_lineitem": Q.orders_without_lineitem,
+        "rollup_grouping_sets": Q.rollup_grouping_sets,
+        "gapfill_linear_pandas_1h": Q.gapfill_linear_pandas_1h,
         "tpch_q1": Q.tpch_q1,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),

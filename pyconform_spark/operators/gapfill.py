@@ -176,12 +176,37 @@ def fill_linear_pandas(
 
     def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start", kind="mergesort")
-        t = pdf["bucket_start"].astype("int64").to_numpy(dtype=np.float64)
+        # epoch SECONDS (exact in float64) — the same int domain the
+        # closed-form Spark/SQL fill uses, so slopes round identically
+        t = (
+            pdf["bucket_start"]
+            .astype("datetime64[s]")
+            .astype("int64")
+            .to_numpy(dtype=np.float64)
+        )
         obs = ~pdf["gap_filled"].to_numpy()
         if obs.any():
+            to = t[obs]
+            # neighbor lookup (np.interp's job) done explicitly so the
+            # arithmetic is EXACTLY slope*(t-t0)+v0 with
+            # slope=(v1-v0)/(t1-t0) — bit-identical to the closed-form
+            # Spark/SQL fill (np.interp's compiled path differs by ulps)
+            hi = np.clip(np.searchsorted(to, t, side="left"), 0, len(to) - 1)
+            lo = np.clip(hi - 1, 0, len(to) - 1)
+            exact = to[hi] == t
+            lo = np.where(exact, hi, lo)
             for c in value_cols:
                 v = pdf[c].to_numpy(dtype=np.float64)
-                pdf[c] = np.interp(t, t[obs], v[obs])
+                vo = v[obs]
+                t0, t1 = to[lo], to[hi]
+                v0, v1 = vo[lo], vo[hi]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    slope = (v1 - v0) / (t1 - t0)
+                    interp = slope * (t - t0) + v0
+                filled = np.where(t0 == t1, v0, interp)
+                filled = np.where(t <= to[0], vo[0], filled)   # backfill edge
+                filled = np.where(t >= to[-1], vo[-1], filled)  # locf edge
+                pdf[c] = np.where(obs, v, filled)
         return pdf
 
     return dense.groupBy(*keys).applyInPandas(_fill, schema=schema)

@@ -224,3 +224,117 @@ ORACLES["compress_roundtrip"] = f"""
 SELECT user_id, event_type, bucket_start, value_sum
 FROM ({_HOURLY_SUBSET})
 """
+
+# ---------------------------------------------- widened operator coverage
+ORACLES["stencil_lead_diff"] = """
+SELECT user_id, event_type, event_id,
+       CAST(value - coalesce(
+         lead(value) OVER (PARTITION BY user_id, event_type ORDER BY event_id),
+         0) AS DOUBLE) AS value_absorb
+FROM events
+"""
+
+ORACLES["stencil_deriv3"] = f"""
+WITH tier AS ({_HOURLY_SUBSET}),
+pts AS (
+  SELECT user_id, event_type,
+         (epoch_ms(bucket_start)//1000)::DOUBLE AS t, value_sum AS y
+  FROM tier
+),
+nb AS (
+  SELECT user_id, event_type, t, y,
+         lag(t)  OVER w AS x0,  lag(y)  OVER w AS y0,
+         lead(t) OVER w AS x2,  lead(y) OVER w AS y2,
+         lead(t, 2) OVER w AS x3, lead(y, 2) OVER w AS y3,
+         lag(t, 2)  OVER w AS xm2, lag(y, 2) OVER w AS ym2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)
+)
+SELECT user_id, event_type, t,
+  CASE
+    WHEN x0 IS NULL THEN
+      y * ((t - x2) + (t - x3)) / ((t - x2) * (t - x3))
+      - y2 * ((t - x3) / ((t - x2) * (x2 - x3)))
+      + y3 * ((t - x2) / ((t - x3) * (x2 - x3)))
+    WHEN x2 IS NULL THEN
+      -ym2 * ((x0 - t) / ((xm2 - x0) * (xm2 - t)))
+      + y0 * ((xm2 - t) / ((xm2 - x0) * (x0 - t)))
+      - y * ((xm2 - t) + (x0 - t)) / ((xm2 - t) * (x0 - t))
+    ELSE
+      y0 * ((t - x2) / ((x0 - t) * (x0 - x2)))
+      + y * (1.0 / (t - x2) - 1.0 / (x0 - t))
+      - y2 * ((x0 - t) / ((x0 - x2) * (t - x2)))
+  END AS deriv
+FROM nb
+"""
+
+_PIVOT_TYPES = ["click", "view", "purchase", "login", "error"]
+ORACLES["pivot_event_types"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(20,6))"
+        f" END) AS DOUBLE) AS sum_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+ORACLES["unpivot_lineitem"] = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+       l_quantity::DOUBLE AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice::DOUBLE
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount::DOUBLE
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+ORACLES["expand_grid"] = f"""
+WITH daily AS (
+  SELECT {_bucket(86400)} AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, r_regionkey, r_name, n_events
+FROM daily CROSS JOIN (SELECT r_regionkey, r_name FROM region) r
+"""
+
+ORACLES["conditional_select"] = """
+SELECT event_id,
+       CASE WHEN value >= 500.0 THEN value ELSE -1.0 END AS value_where
+FROM events
+"""
+
+ORACLES["skew_salted_rollup"] = """
+SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+       min(value) AS value_min, max(value) AS value_max
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["topk_per_group"] = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+SELECT user_id, event_id, value::DOUBLE AS value, rk::INT AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+ORACLES["orders_without_lineitem"] = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+ORACLES["rollup_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# the pandas-UDF linear fill must agree with the closed-form SQL fill
+ORACLES["gapfill_linear_pandas_1h"] = ORACLES["gapfill_linear_1h"]

@@ -364,3 +364,178 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# ------------------------------------------- widened operator coverage
+def stencil_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward difference with bottom boundary (rsdoabsorb analog,
+    commonfunctions.py:602-645)."""
+    df = _events(spark, sf_dir)
+    out = stencil.lead_diff(df, "value", EKEYS, "event_id")
+    return out.select(*EKEYS, "event_id", F.col("value_absorb"))
+
+
+def stencil_deriv3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDL 3-point nonuniform derivative (idl.py:24-70) over each
+    series' hourly value_sum — identical expression order in the SQL
+    twin makes doubles bit-exact."""
+    tier = _hourly_subset(spark, sf_dir).select(
+        *EKEYS,
+        F.col("bucket_start").cast("timestamp").cast("long").cast("double").alias("t"),
+        F.col("value_sum"),
+    )
+    out = stencil.deriv3(tier, "t", "value_sum", EKEYS)
+    return out.select(*EKEYS, "t", F.col("value_sum_deriv").alias("deriv"))
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (ocean_basin split analog, commonfunctions.py:1225-1255):
+    one column of exact value sums per event_type."""
+    df = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "login", "error"]
+    piv = (
+        df.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(_dec_sum("value"))
+    )
+    return piv.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"sum_{t}") for t in types],
+    )
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/stack (get_soilpools analog, commonfunctions.py:1109-38):
+    3 measure columns -> (measure, value) rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_orderkey") < 100
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount)"
+        ).alias("measure", "value"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def expand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast cross-join grid expansion (expand_latlon analog,
+    commonfunctions.py:1193-1219): daily event totals replicated to
+    every region."""
+    df = _events(spark, sf_dir)
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    daily = df.groupBy(bucket_ts(F.col("ts"), 86400).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return daily.crossJoin(F.broadcast(region.select("r_regionkey", "r_name"))).select(
+        "day",
+        "r_regionkey",
+        "r_name",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def conditional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cice_where analog (commonfunctions.py:903-935): operator chosen
+    by string, masked otherwise."""
+    df = _events(spark, sf_dir)
+    op, thresh, fill = ">=", 500.0, -1.0
+    cond = F.expr(f"value {op} {thresh}")
+    return df.select(
+        "event_id",
+        F.when(cond, F.col("value")).otherwise(F.lit(fill)).alias("value_where"),
+    )
+
+
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (skew.salted_agg) on per-series
+    totals — result must equal the plain single-stage aggregate, which
+    is exactly what the oracle computes."""
+    from pyconform_spark.operators import skew
+
+    df = _events(spark, sf_dir)
+    out = skew.salted_agg(
+        df,
+        EKEYS,
+        {
+            "n_events": ("*", "count"),
+            "value_min": ("value", "min"),
+            "value_max": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        *EKEYS,
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_min").cast("double").alias("value_min"),
+        F.col("value_max").cast("double").alias("value_max"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-3 events per user by value (window rank with
+    total-order tie-break)."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def orders_without_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (left_anti): orders having no lineitem rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem flags with exact sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dec_sum("l_quantity").alias("_sq"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def gapfill_linear_pandas_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/pandas-UDF twin of gapfill_linear_1h (np.interp inside
+    applyInPandas) — shares gapfill_linear_1h's SQL oracle, proving the
+    vectorized-Python path agrees with the closed-form SQL bit-for-bit."""
+    tier = _hourly_subset(spark, sf_dir)
+    dense = (
+        gapfill.dense_grid(
+            tier.withColumnRenamed("n_events", "turn_count"), "1h", keys=EKEYS
+        )
+        .withColumnRenamed("turn_count", "n_events")
+        .withColumn("value_sum", F.col("value_sum").cast("double"))
+    )
+    filled = gapfill.fill_linear_pandas(dense, ["value_sum"], keys=EKEYS)
+    return filled.select(
+        *EKEYS,
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        F.col("value_sum").cast("double").alias("value_fill"),
+        F.col("gap_filled").alias("gap_filled"),
+    )
