@@ -1,0 +1,102 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations the
+reference implements by hand (slice pushdown, column pruning) must
+appear in Catalyst's plans, plus the Spark-specific ones that matter
+at 100 TB (partial aggregation, broadcast joins, shared window sorts).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail headers ("(4) Exchange"),
+    so tree summary + detail section aren't double-counted."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    """Predicate pushdown + column pruning (reference: slice-composed
+    reads, indexing.py:125-174; static dep pruning, dataflow.py:131-164)."""
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("user_id") < 15)
+        .select("user_id", "value")
+    )
+    plan = plan_of(df)
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
+    assert "PushedFilters" in scan
+    assert "LessThan(user_id,15)" in scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_rollup_uses_partial_aggregation(spark):
+    """Map-side combine before the exchange — one shuffle, partial+final
+    (the reference's sum-like chunking guard made automatic)."""
+    plan = plan_of(Q.rollup_1m(spark, SF))
+    assert count_nodes(plan, "HashAggregate") >= 2
+    assert count_nodes(plan, "Exchange") == 1
+    # map-side combine: the pre-shuffle aggregate runs partial functions
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    plan = plan_of(Q.top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_windows_share_one_sort_per_direction(spark):
+    """fill_linear uses 4 window expressions over 2 frames; Catalyst
+    must plan at most one Exchange+Sort per (partition, order, frame)
+    — not one per expression."""
+    plan = plan_of(Q.gapfill_linear_1h(spark, SF))
+    # grid join + window partitioning: a handful of exchanges, never
+    # one per window expression (8 would mean no reuse)
+    assert count_nodes(plan, "Exchange") <= 5
+    assert count_nodes(plan, "Window") <= 3
+
+
+def test_cascade_reuses_tier_not_raw(spark):
+    """1h cascade aggregates the 1m output: its plan has exactly two
+    aggregate pairs and two exchanges (raw->1m, 1m->1h), not a second
+    scan of the raw table."""
+    plan = plan_of(Q.rollup_1h_cascade(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_minhash_single_shuffle(spark):
+    """All 16 minhash aggregates ride ONE groupBy shuffle."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyconform_spark import textops
+
+    plan = plan_of(textops.minhash_signatures(docs))
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    from pyconform_spark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(simsearch.knn_bruteforce(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
