@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": Q.rollup_1h_cascade,
         "rollup_1d_cascade": Q.rollup_1d_cascade,
         "gap_detect": Q.gap_detect,
+        "infer_cadence": Q.infer_cadence,
         "gapfill_locf_1h": Q.gapfill_locf_1h,
         "gapfill_linear_1h": Q.gapfill_linear_1h,
         "stencil_diff": Q.stencil_diff,

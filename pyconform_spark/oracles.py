@@ -338,3 +338,24 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 # the pandas-UDF linear fill must agree with the closed-form SQL fill
 ORACLES["gapfill_linear_pandas_1h"] = ORACLES["gapfill_linear_1h"]
+
+ORACLES["infer_cadence"] = """
+WITH deltas AS (
+  SELECT user_id, event_type,
+         (epoch_ms(ts)//1000)
+         - lag(epoch_ms(ts)//1000) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id) AS delta
+  FROM events
+),
+counted AS (
+  SELECT user_id, event_type, delta, count(*) AS n
+  FROM deltas WHERE delta IS NOT NULL GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY n DESC, delta ASC) AS rk
+  FROM counted
+)
+SELECT user_id, event_type, delta::BIGINT AS cadence_seconds, n::BIGINT AS n_obs
+FROM ranked WHERE rk = 1
+"""

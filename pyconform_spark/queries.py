@@ -539,3 +539,27 @@ def gapfill_linear_pandas_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_sum").cast("double").alias("value_fill"),
         F.col("gap_filled").alias("gap_filled"),
     )
+
+
+def infer_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series cadence inference (mapdates.get_files_in_order analog,
+    mapdates.py:62-79): the modal successive-timestamp delta, with a
+    deterministic tie-break (smallest delta wins ties)."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    delta = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    )
+    deltas = df.select(*EKEYS, delta.alias("delta")).where(F.col("delta").isNotNull())
+    counted = deltas.groupBy(*EKEYS, "delta").agg(F.count(F.lit(1)).alias("n"))
+    rk = Window.partitionBy(*EKEYS).orderBy(F.desc("n"), F.asc("delta"))
+    return (
+        counted.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            *EKEYS,
+            F.col("delta").cast("long").alias("cadence_seconds"),
+            F.col("n").cast("long").alias("n_obs"),
+        )
+    )
