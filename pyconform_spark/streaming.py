@@ -94,3 +94,78 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_conv_stats(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    running stats — turn count, text bytes, last timestamp, and the
+    count of intra-conversation gaps > 30 min — maintained across
+    micro-batches in group state.
+
+    This is the streaming generalization of the reference's per-file
+    sequential scan (``mapdates.py:167-216`` gap checks): state per
+    conv is O(1), keyed shuffle is on conv_id, and the Arrow batch per
+    group is processed vectorized in numpy.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_turns", T.LongType(), False),
+            T.StructField("text_bytes", T.LongType(), False),
+            T.StructField("last_ts", T.TimestampType(), True),
+            T.StructField("n_gaps", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType(), False),
+            T.StructField("text_bytes", T.LongType(), False),
+            T.StructField("last_ts_epoch", T.LongType(), True),
+            T.StructField("n_gaps", T.LongType(), False),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            n_turns, text_bytes, last_epoch, n_gaps = state.get
+        else:
+            n_turns, text_bytes, last_epoch, n_gaps = 0, 0, None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            ts = (pdf["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+            n_turns += len(pdf)
+            text_bytes += int(pdf["text"].str.len().fillna(0).sum())
+            if len(ts):
+                prevs = np.concatenate(
+                    ([last_epoch if last_epoch is not None else ts[0]], ts[:-1])
+                )
+                n_gaps += int(((ts - prevs) > 1800).sum())
+                last_epoch = int(ts[-1])
+        state.update((n_turns, text_bytes, last_epoch, n_gaps))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n_turns],
+                "text_bytes": [text_bytes],
+                "last_ts": [pd.Timestamp(last_epoch, unit="s")
+                            if last_epoch is not None else None],
+                "n_gaps": [n_gaps],
+            }
+        )
+
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark("ts", watermark)
+    return src.groupBy("conv_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -123,3 +123,64 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     # the late batch pushed the watermark past all of batch 1: batch 1's
     # windows are now all flushed and value-identical to the batch tier
     assert emitted_early == _rows(want)
+
+
+def test_stateful_conv_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches —
+    batch 2's emitted counts include batch 1's turns."""
+    src = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ck2")
+    tx = synth.transcripts(spark, 400).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    tx.persist().count()
+    b1 = tx.where(F.col("turn_idx") % 2 == 0)
+    b2 = tx.where(F.col("turn_idx") % 2 == 1)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(src)
+    )
+    out = streaming.stream_conv_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            r["conv_id"]: r["n_turns"]
+            for r in spark.table("conv_stats").collect()
+        }
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # memory sink in update mode appends rows; keep the LAST emit
+        # per conv (the most recent state)
+        final_rows = spark.table("conv_stats").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in final_rows:
+        final[r["conv_id"]] = r  # later rows overwrite earlier emissions
+
+    want = {
+        r["conv_id"]: (r["n"], r["b"])
+        for r in tx.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("b"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for cid, row in final.items():
+        assert row["n_turns"] == want[cid][0], cid
+        assert row["text_bytes"] == want[cid][1], cid
+        assert row["n_turns"] > mid.get(cid, 0)  # state accumulated
+    tx.unpersist()
