@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,
+        "climatology_hourly": Q.climatology_hourly,
+        "value_algebra": Q.value_algebra,
         "stencil_lead_diff": Q.stencil_lead_diff,
         "stencil_deriv3": Q.stencil_deriv3,
         "pivot_event_types": Q.pivot_event_types,

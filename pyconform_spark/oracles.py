@@ -359,3 +359,26 @@ ranked AS (
 SELECT user_id, event_type, delta::BIGINT AS cadence_seconds, n::BIGINT AS n_obs
 FROM ranked WHERE rk = 1
 """
+
+ORACLES["climatology_hourly"] = """
+SELECT user_id, event_type, hour(ts)::INT AS hour_of_day,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_clim,
+       count(*)::BIGINT AS n_obs
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLES["value_algebra"] = """
+SELECT event_id,
+       -value AS neg,
+       value + 1.5 AS "add",
+       value - 2.5 AS sub,
+       value * 2.0 AS mul,
+       value / 4.0 AS div,
+       value * value AS pow2,
+       sqrt(value) AS sqrt_v,
+       least(greatest(value, 100.0), 400.0) AS clamp,
+       CASE WHEN isnan(value / (value - 100.0))
+                 OR abs(value / (value - 100.0)) = 'inf'::DOUBLE
+            THEN NULL ELSE value / (value - 100.0) END AS masked_ratio
+FROM events
+"""

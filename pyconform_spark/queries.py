@@ -563,3 +563,46 @@ def infer_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_obs"),
         )
     )
+
+
+def climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day climatology (oclim analog, commonfunctions.py:35-75):
+    mean per (series, hour-of-day) across all days — the
+    calendar-bucketed rollup where the bucket is cyclic, not linear."""
+    df = _events(spark, sf_dir)
+    hod = F.hour(F.col("ts").cast("timestamp"))
+    return (
+        df.groupBy(*EKEYS, hod.alias("hour_of_day"))
+        .agg(_dec_sum("value").alias("_vs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            *EKEYS,
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            (F.col("_vs").cast("double") / F.col("n")).alias("value_clim"),
+            F.col("n").cast("long").alias("n_obs"),
+        )
+    )
+
+
+def value_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression-operator algebra in one pass (SURVEY §2.2-2.3):
+    negation, +,-,*,/,**, sqrt, limit-clamp, and masked_invalid
+    (NaN/Inf -> NULL, commonfunctions.py:841-859)."""
+    df = _events(spark, sf_dir)
+    v = F.col("value")
+    # ANSI mode: double /0 raises; try_divide yields NULL there, which
+    # the mask also produces from DuckDB's inf/nan — same final NULL
+    ratio = F.try_divide(v, v - 100.0)
+    return df.select(
+        "event_id",
+        (-v).alias("neg"),
+        (v + 1.5).alias("add"),
+        (v - 2.5).alias("sub"),
+        (v * 2.0).alias("mul"),
+        (v / 4.0).alias("div"),
+        (v * v).alias("pow2"),  # ** analog; v*v is IEEE-identical cross-engine, Math.pow is not
+        F.sqrt(v).alias("sqrt_v"),
+        F.least(F.greatest(v, F.lit(100.0)), F.lit(400.0)).alias("clamp"),
+        F.when(
+            F.isnan(ratio) | (F.abs(ratio) == float("inf")), F.lit(None)
+        ).otherwise(ratio).alias("masked_ratio"),
+    )
