@@ -1,0 +1,65 @@
+"""Skew handling over the Zipf-skewed synthetic transcripts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import synth
+from pyconform_spark.operators import skew
+
+
+@pytest.fixture(scope="module")
+def tx(spark):
+    df = synth.transcripts(spark, 30_000)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_detect_heavy_keys_finds_zipf_head(spark, tx):
+    heavy = skew.detect_heavy_keys(tx, ["conv_id"], min_share=0.01).collect()
+    assert heavy  # the Zipf head exists
+    # the hottest conversation is conv-00000000 by construction
+    assert heavy[0]["conv_id"] == "conv-00000000"
+    total = tx.count()
+    assert all(r["n_rows"] >= total * 0.01 for r in heavy)
+
+
+def test_salted_agg_equals_plain_agg_on_skewed_keys(spark, tx):
+    aggs = {
+        "n_turns": ("*", "count"),
+        "first_idx": ("turn_idx", "min"),
+        "last_idx": ("turn_idx", "max"),
+    }
+    salted = {
+        tuple(r[:1]): (r["n_turns"], r["first_idx"], r["last_idx"])
+        for r in skew.salted_agg(tx, ["conv_id"], aggs, n_salts=32).collect()
+    }
+    plain = {
+        tuple(r[:1]): (r["n"], r["lo"], r["hi"])
+        for r in tx.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("turn_idx").alias("lo"),
+            F.max("turn_idx").alias("hi"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_fans_hot_key_over_salts(spark, tx):
+    """Stage 1 must actually spread the hot key: partial rows for the
+    hottest conversation land in >1 salt group."""
+    hot = tx.where(F.col("conv_id") == "conv-00000000")
+    n = hot.count()
+    assert n > 64
+    salt = (F.monotonically_increasing_id() % 32).alias("_salt")
+    n_salts = (
+        hot.select("conv_id", salt)
+        .groupBy("conv_id", "_salt")
+        .count()
+        .count()
+    )
+    assert n_salts > 1
