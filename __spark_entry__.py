@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,
         "heavy_series": Q.heavy_series,
+        "distinct_users_per_day": Q.distinct_users_per_day,
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,

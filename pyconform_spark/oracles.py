@@ -382,3 +382,11 @@ SELECT event_id,
             THEN NULL ELSE value / (value - 100.0) END AS masked_ratio
 FROM events
 """
+
+ORACLES["distinct_users_per_day"] = f"""
+SELECT {_bucket(86400)} AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""

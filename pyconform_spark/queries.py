@@ -606,3 +606,23 @@ def value_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.isnan(ratio) | (F.abs(ratio) == float("inf")), F.lit(None)
         ).otherwise(ratio).alias("masked_ratio"),
     )
+
+
+def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (the relational-checklist 'distinct'
+    operator; Spark plans it as a two-phase expand+agg)."""
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy(bucket_ts(F.col("ts"), 86400).alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )

@@ -445,6 +445,56 @@ FROM documents
 """
 
 
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite document quality score in [0,1]: length band,
+    type-token ratio, stopword presence — the heuristic-filter stage of
+    a training-data pipeline.  Fixed evaluation order => cross-engine
+    deterministic doubles."""
+    w = tokens(F.col("text"))
+    n_tok = F.size(w)
+    n_chars = F.length("text")
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(w)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    stop_all = sorted({s for v in STOPWORDS.values() for s in v})
+    arr = F.array(*[F.lit(s) for s in stop_all])
+    stop_ratio = F.when(
+        n_tok > 0, F.size(F.filter(w, lambda x: F.array_contains(arr, x))) / n_tok
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    score = len_score * 0.4 + distinct_ratio * 0.4 + stop_ratio * 0.2
+    return docs.select(
+        "doc_id",
+        len_score.cast("double").alias("len_score"),
+        distinct_ratio.cast("double").alias("distinct_ratio"),
+        score.cast("double").alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop_all = sorted({s for v in STOPWORDS.values() for s in v})
+    lits = ", ".join(f"'{s}'" for s in stop_all)
+    n_tok = f"len({TOKENS_SQL})"
+    distinct_ratio = (
+        f"CASE WHEN {n_tok} > 0 THEN len(list_distinct({TOKENS_SQL})) / {n_tok}"
+        " ELSE 0.0 END"
+    )
+    stop_ratio = (
+        f"CASE WHEN {n_tok} > 0 THEN"
+        f" len(list_filter({TOKENS_SQL}, x -> list_contains([{lits}], x))) / {n_tok}"
+        " ELSE 0.0 END"
+    )
+    len_score = "least(length(text) / 200.0, 1.0)"
+    return f"""
+SELECT doc_id,
+       {len_score}::DOUBLE AS len_score,
+       ({distinct_ratio})::DOUBLE AS distinct_ratio,
+       ({len_score} * 0.4 + ({distinct_ratio}) * 0.4 + ({stop_ratio}) * 0.2)::DOUBLE
+         AS quality
+FROM documents
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -459,6 +509,7 @@ def register_text_queries() -> dict[str, callable]:
         "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
+        "text_quality_score": lambda s, d: quality_score(_docs(s, d)),
     }
 
 
@@ -470,4 +521,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_token_stats": token_stats_sql(),
     "text_lang_id": lang_id_sql(),
     "text_fingerprint": doc_fingerprint_sql(),
+    "text_quality_score": quality_score_sql(),
 }
