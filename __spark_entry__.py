@@ -29,6 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": Q.rollup_1d_cascade,
         "gap_detect": Q.gap_detect,
         "infer_cadence": Q.infer_cadence,
+        "json_extract_props": Q.json_extract_props,
+        "asof_join_tier": Q.asof_join_tier,
         "gapfill_locf_1h": Q.gapfill_locf_1h,
         "gapfill_linear_1h": Q.gapfill_linear_1h,
         "stencil_diff": Q.stencil_diff,

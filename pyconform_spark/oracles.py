@@ -390,3 +390,32 @@ SELECT {_bucket(86400)} AS day,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1
 """
+
+ORACLES["json_extract_props"] = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+# as-of join, same union-window formulation as the Spark operator so
+# tie-breaks are identical (window last_value ignore nulls)
+ORACLES["asof_join_tier"] = f"""
+WITH tier AS ({_HOURLY_SUBSET}),
+tagged AS (
+  SELECT user_id, event_type, bucket_start AS t, 1 AS side,
+         NULL::BIGINT AS tie, NULL::DOUBLE AS rv, bucket_start
+  FROM tier
+  UNION ALL
+  SELECT user_id, event_type, ts AS t, 0 AS side,
+         event_id AS tie, value AS rv, NULL AS bucket_start
+  FROM events WHERE user_id < 15
+),
+filled AS (
+  SELECT *, last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY t, side, tie ASC NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM tagged
+)
+SELECT user_id, event_type, bucket_start, asof_value::DOUBLE AS asof_value
+FROM filled WHERE side = 1
+"""

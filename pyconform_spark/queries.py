@@ -626,3 +626,31 @@ def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the events props column (a capability
+    the reference lacks entirely, SURVEY §2.8)."""
+    df = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return df.select("event_id", k.alias("k")).where(F.col("k").isNotNull())
+
+
+def asof_join_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each hourly tier bucket joined to the value of the
+    most recent raw event at or before the bucket start (per series);
+    deterministic tie-break on event_id."""
+    from pyconform_spark.operators.asof import asof_join
+
+    tier = _hourly_subset(spark, sf_dir).select(*EKEYS, "bucket_start")
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 15).select(
+        *EKEYS, F.col("ts").alias("ev_ts"), "value", "event_id"
+    )
+    out = asof_join(
+        tier, ev, EKEYS, "bucket_start", "ev_ts", ["value"], right_tie="event_id"
+    )
+    return out.select(
+        *EKEYS,
+        "bucket_start",
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )
