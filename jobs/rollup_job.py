@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--synth", type=int, help="generate N synthetic turns instead")
     ap.add_argument("--output", required=True, help="checkpoint root directory")
     ap.add_argument("--epochs", type=int, nargs="*", help="explicit epoch ids")
+    ap.add_argument(
+        "--mode", choices=["batch", "per-epoch"], default="batch",
+        help="batch = one raw scan per commit batch (backfills); "
+        "per-epoch = finest resume granularity (incremental ingest)",
+    )
+    ap.add_argument("--epochs-per-commit", type=int, default=64)
     args = ap.parse_args()
     if not args.input and not args.synth:
         ap.error("one of --input / --synth is required")
@@ -51,7 +57,13 @@ def main() -> None:
         if args.synth
         else spark.read.parquet(args.input)
     )
-    results = pipeline.run(spark, tx, args.output, epochs=args.epochs)
+    if args.mode == "batch":
+        results = pipeline.run_batch(
+            spark, tx, args.output, epochs=args.epochs,
+            epochs_per_commit=args.epochs_per_commit,
+        )
+    else:
+        results = pipeline.run(spark, tx, args.output, epochs=args.epochs)
     summary = {
         "epochs": len(results),
         "skipped": sum(r.skipped for r in results),

@@ -186,3 +186,110 @@ def read_tier(spark: SparkSession, root: str, tier: str) -> DataFrame:
 
 def lineage(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(root))
+
+
+def run_batch(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    epochs: list[int] | None = None,
+    epochs_per_commit: int = 64,
+) -> list[EpochResult]:
+    """Batched epoch processing: ONE scan of the raw table per commit
+    batch regardless of how many epochs it spans (``run`` scans once
+    per epoch — fine for incremental ingest, quadratic for backfills).
+
+    The tier frames carry an ``epoch`` partition column and are written
+    with dynamic partition overwrite into the same
+    ``tiers/<tier>/epoch=<k>`` layout ``run`` uses, so the two modes
+    interoperate and ``read_tier`` is unchanged.  Lineage for the whole
+    batch is appended at the end — the commit point; a crash mid-batch
+    leaves only uncommitted partition dirs, which the next run
+    overwrites (same exactly-once contract, batch granularity).
+    """
+    os.makedirs(root, exist_ok=True)
+    all_epochs = epochs if epochs is not None else list_epochs(transcripts)
+    done = committed_epochs(spark, root)
+    pending = [e for e in all_epochs if e not in done]
+    results: list[EpochResult] = [
+        EpochResult(e, True, {t: 0 for t in TIER_ORDER})
+        for e in all_epochs
+        if e in done
+    ]
+
+    epoch_col = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+
+    for i in range(0, len(pending), epochs_per_commit):
+        batch = pending[i : i + epochs_per_commit]
+        lo, hi = min(batch) * EPOCH_SECONDS, (max(batch) + 1) * EPOCH_SECONDS
+        ts_long = F.col("ts").cast("timestamp").cast("long")
+        sl = transcripts.where((ts_long >= lo) & (ts_long < hi)).where(
+            (ts_long / EPOCH_SECONDS).cast("long").isin(batch)
+        )
+
+        lineage_parts: list[DataFrame] = []
+        counts: dict[str, dict[int, int]] = {}
+        source = sl  # raw transcripts feed the 1m tier; tiers cascade after
+
+        for tier in TIER_ORDER:
+            td = (
+                rollup.tier_rollup(source, tier)
+                if tier == "1m"
+                else rollup.cascade_rollup(source, tier)
+            )
+            td = td.withColumn("epoch", epoch_col)
+            base = os.path.join(root, "tiers", tier)
+            (
+                td.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(base)
+            )
+            # read back just the batch's partitions: lineage + counts
+            # come from the files actually written, and the next tier
+            # cascades from them (epoch pruning keeps this one batch)
+            written = spark.read.parquet(base).where(F.col("epoch").isin(batch))
+            lineage_parts.append(
+                written.select(
+                    F.spark_partition_id().alias("partition_id"),
+                    "bucket_start",
+                    "epoch",
+                )
+                .groupBy("epoch", "partition_id")
+                .agg(
+                    F.min("bucket_start").alias("input_range_start"),
+                    F.max("bucket_start").alias("input_range_end"),
+                    F.count(F.lit(1)).alias("point_count"),
+                )
+                .select(
+                    "partition_id",
+                    F.lit(tier).alias("tier"),
+                    "input_range_start",
+                    "input_range_end",
+                    F.col("epoch").cast("long").alias("checkpoint_epoch"),
+                    F.col("point_count").cast("long").alias("point_count"),
+                )
+            )
+            counts[tier] = {
+                r["epoch"]: r["n"]
+                for r in written.groupBy("epoch")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            source = written.drop("epoch")
+
+        # ---- commit point for the whole batch
+        lin_all = lineage_parts[0]
+        for extra in lineage_parts[1:]:
+            lin_all = lin_all.unionByName(extra)
+        lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
+
+        for e in batch:
+            results.append(
+                EpochResult(
+                    e, False, {t: counts[t].get(e, 0) for t in TIER_ORDER}
+                )
+            )
+    return sorted(results, key=lambda r: r.epoch)

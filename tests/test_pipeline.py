@@ -99,3 +99,36 @@ def test_lineage_counts_reconcile(spark, tx, tmp_path):
     pipeline.run(spark, tx, root)
     lin2 = pipeline.lineage(spark, root)
     assert lin2.count() == lin.count()
+
+
+def test_run_batch_matches_run_and_interops(spark, tx, tmp_path):
+    """run_batch (one scan per commit batch) must produce byte-identical
+    tiers to the per-epoch run, interoperate with its layout, and
+    resume past epochs either mode committed."""
+    epochs = pipeline.list_epochs(tx)
+    root_a = str(tmp_path / "per_epoch")
+    root_b = str(tmp_path / "batched")
+
+    pipeline.run(spark, tx, root_a)
+    res_b = pipeline.run_batch(spark, tx, root_b, epochs_per_commit=2)
+    assert not any(r.skipped for r in res_b)
+    for tier in ("1m", "1h", "1d"):
+        assert _tier_rows(pipeline.read_tier(spark, root_b, tier)) == _tier_rows(
+            pipeline.read_tier(spark, root_a, tier)
+        ), tier
+
+    # resume: everything committed => all skipped
+    again = pipeline.run_batch(spark, tx, root_b)
+    assert all(r.skipped for r in again)
+
+    # interop: first epoch committed by per-epoch run, rest by batch
+    root_c = str(tmp_path / "mixed")
+    pipeline.run(spark, tx, root_c, epochs=epochs[:1])
+    mixed = pipeline.run_batch(spark, tx, root_c)
+    by_epoch = {r.epoch: r.skipped for r in mixed}
+    assert by_epoch[epochs[0]] is True
+    assert not any(by_epoch[e] for e in epochs[1:])
+    for tier in ("1m", "1h", "1d"):
+        assert _tier_rows(pipeline.read_tier(spark, root_c, tier)) == _tier_rows(
+            pipeline.read_tier(spark, root_a, tier)
+        ), tier
