@@ -293,3 +293,39 @@ def run_batch(
                 )
             )
     return sorted(results, key=lambda r: r.epoch)
+
+
+def ingest_raw(
+    transcripts: DataFrame, root: str, buckets: int | None = None
+) -> str:
+    """Land raw transcripts partitioned by day (``epoch_day=``), the
+    parquet stand-in for Iceberg's ``days(ts)`` partition transform.
+
+    Epoch-sliced reads (run / run_batch) over this layout prune to the
+    day directories instead of scanning the table — at 10^12 turns the
+    difference between touching one day and touching three years.
+    ``buckets`` optionally pre-shuffles by hash(conv_id) so each
+    partition dir holds a bounded number of well-mixed files
+    (the ``bucket(conv_id)`` transform analog).
+    """
+    path = os.path.join(root, "raw")
+    day = (
+        F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    df = transcripts.withColumn("epoch_day", day)
+    if buckets:
+        df = df.repartition(buckets, F.col("epoch_day"), F.col("conv_id"))
+    df.write.mode("overwrite").partitionBy("epoch_day").parquet(path)
+    return path
+
+
+def read_raw(spark: SparkSession, root: str) -> DataFrame:
+    """Read the partitioned raw store with the transcripts schema
+    (epoch_day is a partition column used for pruning only)."""
+    return spark.read.parquet(os.path.join(root, "raw"))
+
+
+def epoch_slice(raw: DataFrame, epochs: list[int]) -> DataFrame:
+    """Epoch filter expressed on the partition column => partition
+    pruning (no data files outside the epochs are opened)."""
+    return raw.where(F.col("epoch_day").isin(epochs)).drop("epoch_day")

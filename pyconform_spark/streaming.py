@@ -169,3 +169,57 @@ def stream_conv_stats(stream: DataFrame, watermark: str = "2 hours") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_store(
+    stream: DataFrame,
+    root: str,
+    tier: str = "1m",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+):
+    """Exactly-once streaming ingest into the tier store.
+
+    Append-mode watermarked aggregation emits each closed (series,
+    bucket) exactly once; ``foreachBatch`` lands every micro-batch
+    under ``stream_tiers/<tier>/ingest_batch=<id>/epoch=<k>`` with
+    OVERWRITE of the batch directory — so a replayed batch (foreachBatch
+    is at-least-once) rewrites its own directory instead of duplicating
+    rows.  Combined with the streaming checkpoint this is the
+    exactly-once contract of pipeline.run, at micro-batch granularity
+    (Iceberg: the same idempotency via commit-dedup on batch id).
+    """
+    import os
+
+    from pyconform_spark.pipeline import EPOCH_SECONDS
+
+    out = stream_tier_rollup(stream, tier, watermark)
+    base = os.path.join(root, "stream_tiers", tier)
+    epoch = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+
+    def _write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("epoch", epoch)
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(os.path.join(base, f"ingest_batch={batch_id}"))
+        )
+
+    writer = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(_write_batch)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_stream_store(spark, root: str, tier: str = "1m") -> DataFrame:
+    import os
+
+    base = os.path.join(root, "stream_tiers", tier)
+    return spark.read.option("basePath", base).parquet(base).drop(
+        "epoch", "ingest_batch"
+    )

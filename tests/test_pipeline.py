@@ -132,3 +132,33 @@ def test_run_batch_matches_run_and_interops(spark, tx, tmp_path):
         assert _tier_rows(pipeline.read_tier(spark, root_c, tier)) == _tier_rows(
             pipeline.read_tier(spark, root_a, tier)
         ), tier
+
+
+def test_partitioned_ingest_prunes_epoch_scans(spark, tx, tmp_path):
+    import contextlib
+    import io
+
+    root = str(tmp_path / "ingested")
+    pipeline.ingest_raw(tx, root)
+    raw = pipeline.read_raw(spark, root)
+    epochs = pipeline.list_epochs(tx)
+    sl = pipeline.epoch_slice(raw, epochs[:1])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sl.explain("formatted")
+    plan = buf.getvalue()
+    # the epoch filter must land in PartitionFilters (pruning), and the
+    # sliced rows must equal the ts-range filter over the raw frame
+    scan = plan[plan.index("Scan parquet") :]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "epoch_day" in pf
+    lo = epochs[0] * pipeline.EPOCH_SECONDS
+    want = tx.where(
+        (F.col("ts").cast("timestamp").cast("long") >= lo)
+        & (F.col("ts").cast("timestamp").cast("long") < lo + pipeline.EPOCH_SECONDS)
+    ).count()
+    assert sl.count() == want
+
+    # round trip: row-for-row identical to the source
+    assert raw.drop("epoch_day").count() == tx.count()

@@ -184,3 +184,44 @@ def test_stateful_conv_stats_across_batches(spark, tmp_path):
         assert row["text_bytes"] == want[cid][1], cid
         assert row["n_turns"] > mid.get(cid, 0)  # state accumulated
     tx.unpersist()
+
+
+def test_stream_to_store_exactly_once(spark, tmp_path):
+    """Streaming ingest writes each closed window exactly once into the
+    epoch-partitioned store; the stored rows equal the batch tier over
+    the closed range."""
+    src = str(tmp_path / "in3")
+    root = str(tmp_path / "store3")
+    ckpt = str(tmp_path / "ck3")
+    early = synth.transcripts(spark, 600)
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = streaming.stream_to_store(
+        stream, root, "1m", watermark="1 hour", checkpoint=ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        late = early.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored = streaming.read_stream_store(spark, root, "1m")
+    early_max = early.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    stored_early = stored.where(
+        F.col("bucket_start").cast("timestamp") <= early_max
+    )
+    want = rollup.tier_rollup(early, "1m")
+    assert _rows(stored_early) == _rows(want)
+    # no duplicates anywhere in the store
+    n_all = stored.count()
+    n_distinct = stored.dropDuplicates(
+        ["conv_id", "tool", "role", "bucket_start"]
+    ).count()
+    assert n_all == n_distinct
