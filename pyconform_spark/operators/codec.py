@@ -407,12 +407,19 @@ def decompress_tier(
 
     def _dec(it):
         for pdf in it:
-            for _, r in pdf.iterrows():
-                ts = dod_decode(r["ts_blob"])
-                out = {k: np.repeat(r[k], len(ts)) for k in keys}
+            # decode every blob in the Arrow batch, emit ONE frame per
+            # batch (yielding per blob row costs a pandas->Arrow round
+            # trip per series — ruinous for thin series)
+            parts = []
+            for r in pdf.itertuples(index=False):
+                rd = r._asdict()
+                ts = dod_decode(rd["ts_blob"])
+                out = {k: np.repeat(rd[k], len(ts)) for k in keys}
                 out["bucket_start"] = pd.to_datetime(ts, unit="s")
                 for c in value_cols:
-                    out[c] = gorilla_decode(r[f"{c}_blob"])
-                yield pd.DataFrame(out)
+                    out[c] = gorilla_decode(rd[f"{c}_blob"])
+                parts.append(pd.DataFrame(out))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return blobs.mapInPandas(_dec, schema=schema)

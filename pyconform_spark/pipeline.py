@@ -329,3 +329,70 @@ def epoch_slice(raw: DataFrame, epochs: list[int]) -> DataFrame:
     """Epoch filter expressed on the partition column => partition
     pruning (no data files outside the epochs are opened)."""
     return raw.where(F.col("epoch_day").isin(epochs)).drop("epoch_day")
+
+
+def compact_tier(
+    spark: SparkSession,
+    root: str,
+    tier: str = "1m",
+    value_cols: list[str] | None = None,
+) -> dict:
+    """Cold-store compaction: committed epochs of a tier are re-encoded
+    as Gorilla/delta-of-delta blobs, one blob row per (series, epoch)
+    (``cold/<tier>/epoch=<k>``).  Returns size stats.
+
+    Retention interplay: expire the hot parquet tier dirs with
+    ``retention.apply_retention`` once the cold copy exists; the read
+    path (``codec.decompress_tier``) restores points bit-exactly.
+    """
+    from pyconform_spark.operators import codec
+
+    value_cols = value_cols or ["turn_rate", "text_len_avg"]
+    done = sorted(committed_epochs(spark, root))
+    src = read_tier(spark, root, tier)
+    blobs = codec.compress_tier(
+        src, value_cols, keys=SERIES_KEYS, chunk_seconds=EPOCH_SECONDS
+    )
+    epoch = (
+        F.col("chunk_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    base = os.path.join(root, "cold", tier)
+    (
+        blobs.withColumn("epoch", epoch)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(base)
+    )
+    stats = (
+        spark.read.parquet(base)
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_points").alias("n_points"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .first()
+    )
+    return {
+        "epochs": len(done),
+        "n_blobs": stats["n_blobs"],
+        "n_points": stats["n_points"],
+        "raw_bytes": stats["raw_bytes"],
+        "enc_bytes": stats["enc_bytes"],
+        "ratio": stats["enc_bytes"] / max(stats["raw_bytes"], 1),
+    }
+
+
+def read_cold_tier(
+    spark: SparkSession,
+    root: str,
+    tier: str = "1m",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    from pyconform_spark.operators import codec
+
+    value_cols = value_cols or ["turn_rate", "text_len_avg"]
+    base = os.path.join(root, "cold", tier)
+    blobs = spark.read.parquet(base)
+    return codec.decompress_tier(blobs, value_cols, keys=SERIES_KEYS)

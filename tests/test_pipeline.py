@@ -162,3 +162,43 @@ def test_partitioned_ingest_prunes_epoch_scans(spark, tx, tmp_path):
 
     # round trip: row-for-row identical to the source
     assert raw.drop("epoch_day").count() == tx.count()
+
+
+def test_compact_tier_roundtrip_bitexact(spark, tx, tmp_path):
+    import numpy as np
+
+    root = str(tmp_path / "compact")
+    # bounded series count: blob-per-series cost is what we exercise,
+    # not 40k tiny groups
+    small = tx.where(F.col("conv_id") < "conv-00000120")
+    pipeline.run_batch(spark, small, root)
+    stats = pipeline.compact_tier(spark, root, "1h")
+    hot = pipeline.read_tier(spark, root, "1h")
+    assert stats["n_points"] == hot.count()
+    assert stats["enc_bytes"] > 0
+
+    cold = pipeline.read_cold_tier(spark, root, "1h")
+    kf = lambda r: (r[0], r[1] is None, r[1], r[2], r[3])
+    hot_rows = sorted(
+        (
+            (r["conv_id"], r["tool"], r["role"], r["bucket_start"],
+             r["turn_rate"], r["text_len_avg"])
+            for r in hot.collect()
+        ),
+        key=lambda t: tuple((x is None, x) for x in t[:4]),
+    )
+    cold_rows = sorted(
+        (
+            (r["conv_id"], r["tool"], r["role"], r["bucket_start"],
+             r["turn_rate"], r["text_len_avg"])
+            for r in cold.collect()
+        ),
+        key=lambda t: tuple((x is None, x) for x in t[:4]),
+    )
+    assert len(hot_rows) == len(cold_rows)
+    for h, c in zip(hot_rows, cold_rows):
+        assert h[:4] == c[:4]
+        assert np.array_equal(
+            np.array(h[4:], dtype=np.float64).view(np.uint64),
+            np.array(c[4:], dtype=np.float64).view(np.uint64),
+        ), h[:4]
