@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
+        "hll_distinct_users": Q.hll_distinct_users,
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,

@@ -654,3 +654,73 @@ def asof_join_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_start",
         F.col("asof_value").cast("double").alias("asof_value"),
     )
+
+
+# ------------------------------------------------------------- sketches
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 buckets
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_MAXRANK = 33  # 32-bit witness => rank in [1, 33]
+# linear-counting corrections m*ln(m/z), z = 1..m, precomputed once
+import math as _math
+_HLL_CORR = [float(_HLL_M) * _math.log(float(_HLL_M) / z) for z in range(1, _HLL_M + 1)]
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event_type, built from
+    first principles as a composition of DataFrame ops (Flajolet et
+    al. 2007) and DETERMINISTIC cross-engine: md5-derived hashes, and
+    an estimator made only of dyadic rationals (2^-rank sums are exact
+    in float64 regardless of order) and one final division — no ln()
+    small-range correction, so the raw estimate is bit-identical in
+    DuckDB.  Exact count_distinct rides along to show the error."""
+    from pyconform_spark.textops import md5_lower64
+
+    df = _events(spark, sf_dir)
+    h = md5_lower64(F.col("user_id").cast("string"))
+    bucket = (h % _HLL_M).cast("long")
+    w32 = (((h - (h % _HLL_M)) / _HLL_M) % F.lit(1 << 32).cast("decimal(20,0)")).cast(
+        "long"
+    )
+    rank = F.when(F.col("_w") == 0, F.lit(_HLL_MAXRANK))
+    for k in range(32):
+        rank = rank.when(
+            F.col("_w") % (1 << (k + 1)) == (1 << k), F.lit(k + 1)
+        )
+    per_bucket = (
+        df.select(
+            "event_type", bucket.alias("_b"), w32.alias("_w")
+        )
+        .select("event_type", "_b", rank.alias("_rank"))
+        .groupBy("event_type", "_b")
+        .agg(F.max("_rank").alias("m"))
+    )
+    agg = per_bucket.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    sum_inv = F.col("_s") + (_HLL_M - F.col("_nb"))  # absent buckets: 2^0
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_inv
+    zeros = F.lit(_HLL_M) - F.col("_nb")
+    # small-range linear-counting correction (Flajolet §4).  ln() is
+    # NOT cross-engine bit-stable (Java Math.log vs libm differ by 1
+    # ulp on ~7% of inputs), so the 512 possible correction values are
+    # precomputed in Python and embedded as literals in BOTH the Spark
+    # plan and the oracle SQL — table lookup, no transcendental call.
+    corr = F.element_at(
+        F.array(*[F.lit(v) for v in _HLL_CORR]), zeros.cast("int")
+    )
+    est = F.when((raw <= 2.5 * _HLL_M) & (zeros > 0), corr).otherwise(raw)
+    exact = (
+        df.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        agg.select("event_type", est.alias("hll_estimate"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("hll_estimate").cast("double").alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
