@@ -304,7 +304,8 @@ FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------- catalog
 def register_sim_queries() -> dict[str, callable]:
     def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return df.repartition(spark.sparkContext.defaultParallelism)
 
     return {
         "knn_bruteforce": lambda s, d: knn_bruteforce(_emb(s, d)),

@@ -499,7 +499,10 @@ def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
     def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # testdata ships one file per table => one scan task; spread the
+        # (CPU-heavy) shingle/hash work across the cluster first
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return df.repartition(spark.sparkContext.defaultParallelism)
 
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
