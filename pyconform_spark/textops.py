@@ -495,6 +495,90 @@ FROM documents
 """
 
 
+def lsh_components(docs: DataFrame) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    candidate-pair graph, labeled by the smallest doc_id in each
+    component (deterministic).
+
+    Distributed algorithm: iterative min-label propagation — each round
+    every vertex takes the min of its own label and its neighbors'
+    labels; converges in O(component diameter) rounds, each round one
+    join + one aggregate (the standard large-graph CC pattern; at
+    10^12 docs swap the loop for a stepped checkpoint every few rounds
+    to cut lineage).  The driver loop only checks a convergence count —
+    no data is collected.
+    """
+    pairs = minhash_lsh_pairs(docs)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "component_id", "nbr_label"
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("min_nbr"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
+def lsh_components_sql() -> str:
+    """Recursive-CTE transitive closure (fine at oracle scale; the
+    Spark side is the scalable path)."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach (src, dst) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+)
+SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS component_id
+FROM reach GROUP BY src
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -513,6 +597,7 @@ def register_text_queries() -> dict[str, callable]:
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         "text_quality_score": lambda s, d: quality_score(_docs(s, d)),
+        "dedup_components": lambda s, d: lsh_components(_docs(s, d)),
     }
 
 
@@ -525,4 +610,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_lang_id": lang_id_sql(),
     "text_fingerprint": doc_fingerprint_sql(),
     "text_quality_score": quality_score_sql(),
+    "dedup_components": lsh_components_sql(),
 }

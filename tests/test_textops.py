@@ -150,3 +150,24 @@ def test_hll_estimate_accuracy(spark):
     for r in rows:
         err = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert err < 0.15, (r, err)  # 512 buckets => ~4.6% typical error
+
+
+def test_lsh_components_valid_clustering(spark):
+    """Every component label is the min doc_id of the component, and
+    every LSH pair lands in the same component."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in textops.lsh_components(docs).collect()
+    }
+    pairs = textops.minhash_lsh_pairs(docs).collect()
+    assert pairs and comp
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
