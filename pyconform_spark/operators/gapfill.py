@@ -210,3 +210,81 @@ def fill_linear_pandas(
         return pdf
 
     return dense.groupBy(*keys).applyInPandas(_fill, schema=schema)
+
+
+# ----------------------------------------------------------- cubic spline
+def spline_second_derivs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Natural-cubic-spline second derivatives — the reference's
+    ``spl_init`` (``/root/reference/source/pyconform/modules/idl.py:73-117``):
+    a forward elimination + back substitution recurrence that is
+    inherently sequential, hence lives inside a grouped Arrow UDF and
+    not a window function (SURVEY §2.5)."""
+    n = len(x)
+    y2 = np.zeros(n)
+    u = np.zeros(n)
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        du = (y[i + 1] - y[i]) / (x[i + 1] - x[i]) - (y[i] - y[i - 1]) / (
+            x[i] - x[i - 1]
+        )
+        u[i] = (6.0 * du / (x[i + 1] - x[i - 1]) - sig * u[i - 1]) / p
+    for k in range(n - 2, -1, -1):
+        y2[k] = y2[k] * y2[k + 1] + u[k]
+    return y2
+
+
+def spline_eval(
+    x: np.ndarray, y: np.ndarray, y2: np.ndarray, xq: np.ndarray
+) -> np.ndarray:
+    """``spl_interp`` (idl.py:120-153): evaluate the cubic between the
+    bracketing knots (vectorized over query points)."""
+    idx = np.clip(np.searchsorted(x, xq) - 1, 0, len(x) - 2)
+    h = x[idx + 1] - x[idx]
+    a = (x[idx + 1] - xq) / h
+    b = (xq - x[idx]) / h
+    return (
+        a * y[idx]
+        + b * y[idx + 1]
+        + ((a**3 - a) * y2[idx] + (b**3 - b) * y2[idx + 1]) * (h * h) / 6.0
+    )
+
+
+def fill_spline(
+    dense: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Cubic-spline gap fill over the dense grid (the smooth upgrade of
+    fill_linear for slowly-varying series); outside the observed range
+    values clamp to the edge observations like np.interp."""
+    keys = keys or SERIES_KEYS
+    schema = dense.schema
+
+    def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start", kind="mergesort")
+        t = (
+            pdf["bucket_start"]
+            .astype("datetime64[s]")
+            .astype("int64")
+            .to_numpy(dtype=np.float64)
+        )
+        obs = ~pdf["gap_filled"].to_numpy()
+        if obs.sum() >= 2:
+            to = t[obs]
+            for c in value_cols:
+                v = pdf[c].to_numpy(dtype=np.float64)
+                vo = v[obs]
+                if len(to) >= 3:
+                    y2 = spline_second_derivs(to, vo)
+                    filled = spline_eval(to, vo, y2, t)
+                else:
+                    slope = (vo[1] - vo[0]) / (to[1] - to[0])
+                    filled = slope * (t - to[0]) + vo[0]
+                filled = np.where(t <= to[0], vo[0], filled)
+                filled = np.where(t >= to[-1], vo[-1], filled)
+                pdf[c] = np.where(obs, v, filled)
+        return pdf
+
+    return dense.groupBy(*keys).applyInPandas(_fill, schema=schema)

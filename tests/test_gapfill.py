@@ -100,3 +100,65 @@ def test_linear_sql_edges(spark):
     # grid only spans observed extent [2..5]; extend by unioning edge nulls
     filled = fill_linear(dense, ["turn_rate"]).orderBy("bucket_start").toPandas()
     assert filled["turn_rate"].tolist() == [7.0, 9.0, 11.0, 13.0]
+
+
+class TestSplineFill:
+    def test_spline_init_matches_linear_on_linear_data(self):
+        import numpy as np
+
+        from pyconform_spark.operators import gapfill as gf
+
+        x = np.array([0.0, 10.0, 25.0, 40.0, 70.0])
+        y = 3.0 * x + 7.0
+        y2 = gf.spline_second_derivs(x, y)
+        assert np.allclose(y2, 0.0, atol=1e-9)
+        xq = np.linspace(0, 70, 29)
+        out = gf.spline_eval(x, y, y2, xq)
+        assert np.allclose(out, 3.0 * xq + 7.0)
+
+    def test_spline_passes_through_knots(self):
+        import numpy as np
+
+        from pyconform_spark.operators import gapfill as gf
+
+        rng = np.random.default_rng(7)
+        x = np.sort(rng.uniform(0, 100, 12))
+        y = rng.normal(size=12)
+        y2 = gf.spline_second_derivs(x, y)
+        assert np.allclose(gf.spline_eval(x, y, y2, x), y, atol=1e-12)
+
+    def test_fill_spline_dataframe(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from pyconform_spark.operators import gapfill as gf
+
+        # one series, hourly grid 0..11h, observations at 0,3,6,9,11 of
+        # a smooth quadratic — spline fill should beat linear fill
+        base = 1704067200
+        obs_idx = [0, 3, 6, 9, 11]
+        f = lambda h: 0.5 * h * h + 2.0 * h + 1.0
+        rows = [
+            ("c1", "bash", "user",
+             __import__("datetime").datetime.utcfromtimestamp(base + 3600 * h),
+             float(f(h)) if h in obs_idx else None,
+             h not in obs_idx)
+            for h in range(12)
+        ]
+        dense = spark.createDataFrame(
+            rows,
+            "conv_id string, tool string, role string, "
+            "bucket_start timestamp_ntz, v double, gap_filled boolean",
+        )
+        got = {
+            r["bucket_start"].hour: r["v"]
+            for r in gf.fill_spline(dense, ["v"]).collect()
+        }
+        for h in range(12):
+            if h in obs_idx:
+                assert got[h] == f(h)
+            else:
+                # natural BC forces zero curvature at the ends, so edge
+                # panels deviate more on a quadratic — correct behavior
+                tol = 0.5 if h < 3 or h > 8 else 0.2
+                assert abs(got[h] - f(h)) < tol, (h, got[h], f(h))
