@@ -301,6 +301,132 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------------------------------- IVF ANN
+IVF_CELLS = 16
+
+
+def _assigned(emb: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """Assign every vector to its nearest seed centroid (IVF cell).
+
+    Centroids are the vectors with ``vec_id % floor(N/cells) == 0``
+    (deterministic seeding — the 'k-means-lite' coarse quantizer; a
+    real deployment would Lloyd-iterate, which only changes the
+    centroid table, not the plan shape).  Assignment = argmax quantized
+    cosine against the broadcast centroid table with a (cosine,
+    centroid_id) total order, so it is exact integer/double math with
+    a DuckDB twin.
+    """
+    base = _with_q(emb)
+    n = emb.count()
+    stride = max(n // n_cells, 1)
+    cents = base.where(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_cells)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nq").alias("cn"),
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "nq",
+        "cent_id",
+        _cosine(dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "q", "nq", "cent_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = IVF_CELLS
+) -> DataFrame:
+    """IVF-style ANN: search only the query's cell (1/n_cells of the
+    corpus on average — the inverted-file pruning that replaces the
+    full scan at 10^12 vectors; cell id doubles as the Iceberg
+    partition/bucket key for the vector table)."""
+    assigned = _assigned(emb, n_cells)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+        F.col("cent_id").alias("qcell"),
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        _cosine(dot(F.col("q"), F.col("qq")), F.col("nq"), F.col("qn")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cosine").cast("double").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int = 5, k: int = 5, n_cells: int = IVF_CELLS
+) -> str:
+    q = QUANT_SQL.format(c="embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq
+  FROM embeddings
+),
+params AS (
+  SELECT greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1) AS stride
+),
+cents AS (
+  SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM base, params
+  WHERE vec_id % stride = 0 AND vec_id < stride * {n_cells}
+),
+cscore AS (
+  SELECT b.vec_id, b.q, b.nq, c.cent_id,
+         {COSINE_SQL.format(dot=DOT_SQL.format(a='b.q', b='c.cq'),
+                            na='b.nq', nb='c.cn')} AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, nq, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS r
+    FROM cscore) WHERE r = 1
+),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+         {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.q'),
+                            na='a.nq', nb='b.nq')} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND b.vec_id < {n_queries}
+   AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine::DOUBLE AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------- catalog
 def register_sim_queries() -> dict[str, callable]:
     def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +437,7 @@ def register_sim_queries() -> dict[str, callable]:
         "knn_bruteforce": lambda s, d: knn_bruteforce(_emb(s, d)),
         "cosine_dup_pairs": lambda s, d: cosine_dup_pairs(_emb(s, d), 0.3, 3000),
         "ann_lsh_topk": lambda s, d: ann_lsh_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: ivf_topk(_emb(s, d)),
     }
 
 
@@ -318,4 +445,5 @@ SIM_ORACLES: dict[str, str] = {
     "knn_bruteforce": knn_bruteforce_sql(),
     "cosine_dup_pairs": cosine_dup_pairs_sql(0.3, 3000),
     "ann_lsh_topk": ann_lsh_topk_sql(),
+    "ann_ivf_topk": ivf_topk_sql(),
 }

@@ -171,3 +171,17 @@ def test_lsh_components_valid_clustering(spark):
         members[c].append(d)
     for c, ds in members.items():
         assert c == min(ds)
+
+
+def test_ivf_results_are_true_neighbors(spark):
+    """IVF top-k cosines equal the brute-force cosines for the same
+    pairs (pruning may change WHICH neighbors, never their scores)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in simsearch.knn_bruteforce(emb, n_queries=5, k=10**6).collect()
+    }
+    ivf = simsearch.ivf_topk(emb, n_queries=5, k=5).collect()
+    assert ivf
+    for r in ivf:
+        assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
