@@ -223,3 +223,28 @@ def read_stream_store(spark, root: str, tier: str = "1m") -> DataFrame:
     return spark.read.option("basePath", base).parquet(base).drop(
         "epoch", "ingest_batch"
     )
+
+
+def cascade_stream_store(spark, root: str) -> None:
+    """Derive the 1h and 1d tiers from the streaming-ingested 1m store
+    (batch cascade over closed windows — exact, since tier sums are
+    integer compositions).  Run after (or periodically alongside) the
+    streaming query; rewrites the coarse tiers from the current 1m
+    state (cheap: coarse tiers are 60x/1440x smaller)."""
+    import os
+
+    from pyconform_spark.operators import rollup
+
+    t1m = read_stream_store(spark, root, "1m")
+    t1h = rollup.cascade_rollup(t1m, "1h")
+    t1h.write.mode("overwrite").parquet(os.path.join(root, "stream_tiers", "1h"))
+    t1h_back = spark.read.parquet(os.path.join(root, "stream_tiers", "1h"))
+    rollup.cascade_rollup(t1h_back, "1d").write.mode("overwrite").parquet(
+        os.path.join(root, "stream_tiers", "1d")
+    )
+
+
+def read_cascade_tier(spark, root: str, tier: str):
+    import os
+
+    return spark.read.parquet(os.path.join(root, "stream_tiers", tier))

@@ -225,3 +225,35 @@ def test_stream_to_store_exactly_once(spark, tmp_path):
         ["conv_id", "tool", "role", "bucket_start"]
     ).count()
     assert n_all == n_distinct
+
+
+def test_stream_store_cascade_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in4")
+    root = str(tmp_path / "store4")
+    ckpt = str(tmp_path / "ck4")
+    tx = synth.transcripts(spark, 500)
+    tx.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = streaming.stream_to_store(
+        stream, root, "1m", watermark="1 hour", checkpoint=ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        late = tx.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streaming.cascade_stream_store(spark, root)
+    # the 1h cascade over the streamed 1m points equals a direct batch
+    # 1h rollup over exactly those closed 1m points' source rows
+    t1m = streaming.read_stream_store(spark, root, "1m")
+    want = rollup.cascade_rollup(t1m, "1h")
+    got = streaming.read_cascade_tier(spark, root, "1h")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
