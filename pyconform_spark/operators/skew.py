@@ -84,3 +84,32 @@ def repartition_by_series(
     if num_partitions:
         return df.repartition(num_partitions, *cols)
     return df.repartition(*cols)
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    min_share: float = 0.001,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit hot-key splitting: keys holding more
+    than ``min_share`` of the left side are joined via BROADCAST of
+    their (small) right-side slice, everything else through the normal
+    shuffle join; results are unioned.
+
+    This is the deterministic counterpart of AQE's skew-join splitting
+    for the case AQE can't fix: a single hot key whose left rows exceed
+    one executor's memory in a shuffle join.  The hot conversation's
+    rows never shuffle at all — only its right-side match set moves.
+    """
+    heavy = detect_heavy_keys(left, keys, min_share=min_share)
+    hot_keys = F.broadcast(heavy.select(*keys))
+
+    left_hot = left.join(hot_keys, keys, "left_semi")
+    left_cold = left.join(hot_keys, keys, "left_anti")
+    right_hot = right.join(hot_keys, keys, "left_semi")
+
+    hot_joined = left_hot.join(F.broadcast(right_hot), keys, how)
+    cold_joined = left_cold.join(right, keys, how)
+    return hot_joined.unionByName(cold_joined)

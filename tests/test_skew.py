@@ -63,3 +63,32 @@ def test_salted_agg_fans_hot_key_over_salts(spark, tx):
         .count()
     )
     assert n_salts > 1
+
+
+def test_skew_split_join_equals_plain_join(spark, tx):
+    """Hot-key split join must be result-identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    convs = tx.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    plain = tx.join(convs, ["conv_id"]).select("conv_id", "turn_idx", "n_turns")
+    split = skew.skew_split_join(tx, convs, ["conv_id"], min_share=0.005).select(
+        "conv_id", "turn_idx", "n_turns"
+    )
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, split.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+
+
+def test_skew_split_join_broadcasts_hot_side(spark, tx):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    convs = tx.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    out = skew.skew_split_join(tx, convs, ["conv_id"], min_share=0.005)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
