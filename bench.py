@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce",
+    "ann_ivf_topk",
+    "hll_distinct_users",
     "tpch_q1",
     "top_revenue_orders",
 ]
