@@ -724,3 +724,19 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
     )
+
+
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.8 checklist): users active on day 1
+    INTERSECT day 2, plus day-1 EXCEPT day-2, labeled and unioned."""
+    df = _events(spark, sf_dir)
+    day = bucket_ts(F.col("ts"), 86400)
+    d1 = df.where(day == F.lit("2024-01-01").cast("timestamp_ntz")).select("user_id")
+    d2 = df.where(day == F.lit("2024-01-02").cast("timestamp_ntz")).select("user_id")
+    both = d1.intersect(d2).select(F.lit("both").alias("segment"), "user_id")
+    only1 = d1.distinct().subtract(d2.distinct()).select(
+        F.lit("day1_only").alias("segment"), "user_id"
+    )
+    return both.unionByName(only1).select(
+        "segment", F.col("user_id").cast("long").alias("user_id")
+    )
