@@ -38,6 +38,7 @@ from pyconform_spark.session import get_spark
 from pyconform_spark.operators import rollup
 
 cores = int(sys.argv[1]); path = sys.argv[2]; iters = int(sys.argv[3])
+cascade_reps = int(sys.argv[4])
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=2*cores,
                   app_name=f"scaling-{{cores}}",
                   extra_conf={{"spark.ui.enabled": "false",
@@ -71,25 +72,27 @@ def cascade():
 
 flagship()  # warm-up (codegen, file listing, page cache)
 times = [flagship() for _ in range(iters)]
-cascade_times = [cascade() for _ in range(1)]
-print(json.dumps({{"cores": cores, "n_turns": n_turns,
-                  "times": [round(t, 3) for t in times],
-                  "best_sec": min(times),
-                  "throughput": n_turns / min(times),
-                  "cascade_times": [round(t, 3) for t in cascade_times],
-                  "cascade_best_sec": min(cascade_times),
-                  "cascade_throughput": n_turns / min(cascade_times)}}))
+cascade_times = [cascade() for _ in range(cascade_reps)]
+out = {{"cores": cores, "n_turns": n_turns,
+       "times": [round(t, 3) for t in times],
+       "best_sec": min(times),
+       "throughput": n_turns / min(times)}}
+if cascade_times:
+    out["cascade_times"] = [round(t, 3) for t in cascade_times]
+    out["cascade_best_sec"] = min(cascade_times)
+    out["cascade_throughput"] = n_turns / min(cascade_times)
+print(json.dumps(out))
 spark.stop()
 """
 
 
-def run_level(cores: int, path: str, iters: int = 4) -> dict:
+def run_level(cores: int, path: str, iters: int = 4, cascades: int = 1) -> dict:
     """One parallelism level in its own JVM, CPU-pinned to exactly
     ``cores`` hardware threads (otherwise the small run borrows the
     whole machine for GC/IO threads and the comparison is not N vs 4N).
     """
     script = WORKER.format(repo=REPO)
-    cmd = [sys.executable, "-c", script, str(cores), path, str(iters)]
+    cmd = [sys.executable, "-c", script, str(cores), path, str(iters), str(cascades)]
     if os.system("command -v taskset > /dev/null 2>&1") == 0:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
@@ -141,8 +144,19 @@ def main() -> None:
         raise RuntimeError(gen.stderr[-2000:])
 
     n = int(os.environ.get("SCALING_N", "4"))
-    lo = run_level(n, path)
-    hi = run_level(4 * n, path)
+    # the sandbox host has invisible co-tenant CPU steal (observed 2x
+    # swings on the wide level); visit each level twice, interleaved,
+    # and keep the better visit — steady-state capability, not luck of
+    # the draw on a noisy neighbor
+    visits = [run_level(n, path, 4, 1), run_level(4 * n, path, 4, 1),
+              run_level(n, path, 2, 0), run_level(4 * n, path, 2, 0)]
+    lo = max(visits[0], visits[2], key=lambda r: r["throughput"])
+    hi = max(visits[1], visits[3], key=lambda r: r["throughput"])
+    for merged, first in ((lo, visits[0]), (hi, visits[1])):
+        for k in ("cascade_times", "cascade_best_sec", "cascade_throughput"):
+            merged.setdefault(k, first[k])
+    lo["all_visit_best_secs"] = [visits[0]["best_sec"], visits[2]["best_sec"]]
+    hi["all_visit_best_secs"] = [visits[1]["best_sec"], visits[3]["best_sec"]]
     eff = hi["throughput"] / (4.0 * lo["throughput"])
     ceff = hi["cascade_throughput"] / (4.0 * lo["cascade_throughput"])
     result = {
