@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 P31 = 2147483647  # 2^31 - 1 (prime); all hash arithmetic is mod P31
 MINHASH_K = 16
@@ -105,7 +105,7 @@ def shingles_sql(n: int = SHINGLE_N) -> str:
     return (
         f"list_distinct(list_transform(generate_series(1, "
         f"greatest(len({TOKENS_SQL}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', list_slice({TOKENS_SQL}, i, i + {n - 1}))))"
+        f"i -> array_to_string(list_slice({TOKENS_SQL}, i, i + {n - 1}), ' ')))"
     )
 
 
@@ -579,6 +579,79 @@ FROM reach GROUP BY src
 """
 
 
+def lang_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-(labeled language) corpus stats — the grouped rollup of
+    token_stats (training-data curation view)."""
+    w = tokens(F.col("text"))
+    n_tok = F.size(w)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("n_tokens"),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+            F.min(n_tok).alias("min_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+            F.col("min_tokens").cast("int").alias("min_tokens"),
+            F.col("max_tokens").cast("int").alias("max_tokens"),
+        )
+    )
+
+
+LANG_TOKEN_STATS_SQL = f"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len({TOKENS_SQL}))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(len({TOKENS_SQL})) / count(*) AS tokens_per_doc,
+       min(len({TOKENS_SQL}))::INT AS min_tokens,
+       max(len({TOKENS_SQL}))::INT AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def top_bigrams(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word bigrams (n-gram frequency table with a
+    deterministic total order)."""
+    bg = docs.select(
+        F.explode(shingles(F.col("text"), n=2)).alias("bigram")
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "bigram",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def top_bigrams_sql(k: int = 50) -> str:
+    return f"""
+WITH bg AS (
+  SELECT unnest({shingles_sql(2)}) AS bigram FROM documents
+),
+counted AS (SELECT bigram, count(*)::BIGINT AS n_docs FROM bg GROUP BY 1),
+ranked AS (
+  SELECT bigram, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, bigram ASC) AS rank
+  FROM counted
+)
+SELECT bigram, n_docs, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -598,6 +671,8 @@ def register_text_queries() -> dict[str, callable]:
         "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         "text_quality_score": lambda s, d: quality_score(_docs(s, d)),
         "dedup_components": lambda s, d: lsh_components(_docs(s, d)),
+        "text_lang_stats": lambda s, d: lang_token_stats(_docs(s, d)),
+        "text_top_bigrams": lambda s, d: top_bigrams(_docs(s, d)),
     }
 
 
@@ -611,4 +686,6 @@ TEXT_ORACLES: dict[str, str] = {
     "text_fingerprint": doc_fingerprint_sql(),
     "text_quality_score": quality_score_sql(),
     "dedup_components": lsh_components_sql(),
+    "text_lang_stats": LANG_TOKEN_STATS_SQL,
+    "text_top_bigrams": top_bigrams_sql(),
 }
