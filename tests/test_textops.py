@@ -185,3 +185,16 @@ def test_ivf_results_are_true_neighbors(spark):
     assert ivf
     for r in ivf:
         assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
+
+
+def test_minhash_signatures_identical_across_engines(spark, con):
+    """Guard against silent hash-family divergence (the LSH PAIR set
+    can coincide even when signatures differ — compare the signatures
+    themselves)."""
+    sdf = textops.minhash_signatures(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    cols = ["doc_id"] + [f"mh_{i}" for i in range(textops.MINHASH_K)]
+    srows = sorted(map(tuple, sdf.select(*cols).collect()))
+    orows = sorted(map(tuple, con.execute(textops.minhash_signatures_sql()).fetchall()))
+    assert srows == orows
