@@ -652,6 +652,31 @@ SELECT bigram, n_docs, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+BPEISH_RE = "[a-z0-9]+|[A-Z][a-z0-9]*|[^A-Za-z0-9 ]"
+
+
+def token_count_bpeish(docs: DataFrame) -> DataFrame:
+    """BPE-ish subword-boundary token counting: lowercase runs,
+    capitalized runs, digits, and punctuation each count as tokens
+    (the cheap stand-in for a real tokenizer's length estimate; ASCII
+    regex only, so Java regex and RE2 agree)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPEISH_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpeish_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+TOKEN_COUNT_BPEISH_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPEISH_RE}'))::BIGINT AS n_bpeish_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPEISH_RE}')))::BIGINT
+         AS n_distinct
+FROM documents
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -673,6 +698,7 @@ def register_text_queries() -> dict[str, callable]:
         "dedup_components": lambda s, d: lsh_components(_docs(s, d)),
         "text_lang_stats": lambda s, d: lang_token_stats(_docs(s, d)),
         "text_top_bigrams": lambda s, d: top_bigrams(_docs(s, d)),
+        "text_token_bpeish": lambda s, d: token_count_bpeish(_docs(s, d)),
     }
 
 
@@ -688,4 +714,5 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_components": lsh_components_sql(),
     "text_lang_stats": LANG_TOKEN_STATS_SQL,
     "text_top_bigrams": top_bigrams_sql(),
+    "text_token_bpeish": TOKEN_COUNT_BPEISH_SQL,
 }
