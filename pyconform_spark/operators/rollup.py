@@ -87,7 +87,9 @@ def cascade_rollup(finer: DataFrame, tier: str) -> DataFrame:
 
 
 def _finish_tier(agg: DataFrame, seconds: int) -> DataFrame:
-    return agg.select(
+    from pyconform_spark import units
+
+    out = agg.select(
         *SERIES_KEYS,
         "bucket_start",
         F.col("turn_count").cast("long").alias("turn_count"),
@@ -96,6 +98,11 @@ def _finish_tier(agg: DataFrame, seconds: int) -> DataFrame:
         (F.col("text_len_sum") / F.col("turn_count")).alias("text_len_avg"),
         F.lit(False).alias("gap_filled"),
     )
+    # rate/size columns carry units metadata (PhysArray.units analog);
+    # metadata-only — no expression change, survives parquet round trips
+    out = units.with_units(out, "turn_rate", "1/s")
+    out = units.with_units(out, "text_len_sum", "B")
+    return units.with_units(out, "text_len_avg", "B")
 
 
 def all_tiers(transcripts: DataFrame) -> dict[str, DataFrame]:

@@ -66,3 +66,17 @@ def test_units_survive_parquet_roundtrip(spark, df, tmp_path):
     back = spark.read.parquet(path)
     assert units.unit_of(back, "dur") == "ms"
     assert units.unit_of(back, "temp") == "degC"
+
+
+def test_tier_rollup_carries_units(spark):
+    from pyconform_spark import synth
+    from pyconform_spark.operators import rollup
+
+    tier = rollup.tier_rollup(synth.transcripts(spark, 500), "1m")
+    assert units.unit_of(tier, "turn_rate") == "1/s"
+    assert units.unit_of(tier, "text_len_avg") == "B"
+    # convertible: per-second rate to per-hour rate, values x3600
+    conv = units.convert(tier.limit(5), "turn_rate", "1/h")
+    rows = conv.collect()
+    assert all(abs(r["turn_rate"] % 1.0) < 1e-9 or r["turn_rate"] > 0 for r in rows)
+    assert units.unit_of(conv, "turn_rate") == "1/h"
