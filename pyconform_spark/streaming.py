@@ -248,3 +248,66 @@ def read_cascade_tier(spark, root: str, tier: str):
     import os
 
     return spark.read.parquet(os.path.join(root, "stream_tiers", tier))
+
+
+def cascade_stream_store_incremental(spark, root: str) -> list[int]:
+    """Incremental 1h/1d cascade over the streaming 1m store: only
+    day-epochs whose 1m row count changed since the last cascade are
+    recomputed (their coarse partitions rewritten via dynamic partition
+    overwrite); everything else is untouched.
+
+    Correct because epochs are day-aligned: a 1h/1d bucket derives from
+    exactly one epoch's 1m rows, so per-epoch rewrite is closed.  A
+    manifest parquet records the per-epoch 1m counts that produced the
+    current coarse tiers (the lineage-style commit of this operator).
+    Returns the recomputed epoch ids.
+    """
+    import os
+
+    from pyconform_spark.operators import rollup
+    from pyconform_spark.pipeline import EPOCH_SECONDS
+
+    base = os.path.join(root, "stream_tiers")
+    manifest_path = os.path.join(base, "_cascade_manifest")
+    t1m = read_stream_store(spark, root, "1m")
+    epoch = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    counts = {
+        r["epoch"]: r["n"]
+        for r in t1m.groupBy(epoch.alias("epoch"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    prev: dict[int, int] = {}
+    if os.path.isdir(manifest_path):
+        prev = {
+            r["epoch"]: r["n"]
+            for r in spark.read.parquet(manifest_path).collect()
+        }
+    changed = sorted(e for e, n in counts.items() if prev.get(e) != n)
+    if not changed:
+        return []
+
+    src = t1m.withColumn("epoch", epoch).where(F.col("epoch").isin(changed))
+    for tier in ("1h", "1d"):
+        td = rollup.cascade_rollup(src.drop("epoch"), tier).withColumn(
+            "epoch", epoch
+        )
+        (
+            td.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(base, f"{tier}_inc"))
+        )
+    spark.createDataFrame(
+        [(int(e), int(n)) for e, n in counts.items()], "epoch long, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    return changed
+
+
+def read_incremental_tier(spark, root: str, tier: str):
+    import os
+
+    base = os.path.join(root, "stream_tiers", f"{tier}_inc")
+    return spark.read.option("basePath", base).parquet(base).drop("epoch")

@@ -257,3 +257,48 @@ def test_stream_store_cascade_matches_batch(spark, tmp_path):
     got = streaming.read_cascade_tier(spark, root, "1h")
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_incremental_cascade_recomputes_only_changed_epochs(spark, tmp_path):
+    src = str(tmp_path / "in5")
+    root = str(tmp_path / "store5")
+    ckpt = str(tmp_path / "ck5")
+    tx = synth.transcripts(spark, 800)
+    tx.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = streaming.stream_to_store(
+        stream, root, "1m", watermark="1 hour", checkpoint=ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        late = tx.withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        changed1 = streaming.cascade_stream_store_incremental(spark, root)
+        assert changed1  # first cascade covers everything present
+
+        # third batch far in the future: flushes late's tail, adds new epochs
+        later = tx.withColumn("ts", F.col("ts") + F.expr("INTERVAL 80 DAYS"))
+        later.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    changed2 = streaming.cascade_stream_store_incremental(spark, root)
+    assert changed2
+    # epochs fully flushed before (from batch-1 era) are untouched now
+    assert min(changed2) > min(changed1)
+
+    # incremental result == full cascade from the current 1m store
+    t1m = streaming.read_stream_store(spark, root, "1m")
+    want = rollup.cascade_rollup(t1m, "1h")
+    got = streaming.read_incremental_tier(spark, root, "1h")
+    assert _rows(got) == _rows(want)
+
+    # no-op when nothing changed
+    assert streaming.cascade_stream_store_incremental(spark, root) == []
