@@ -28,8 +28,8 @@ Implementation notes (scale + input_hint "no per-row Python"):
 * **Decode** is a linear-time numpy bit cursor that batch-decodes runs
   of '0' control tokens — the common case for tier series (constant
   cadence, repeated values): ~257M pts/s for regular-cadence
-  timestamps, ~3.5M pts/s for mostly-constant values, ~0.1-0.25M
-  pts/s worst case (fully random payloads).
+  timestamps, ~3.5M pts/s for mostly-constant values, ~0.15-0.5M
+  pts/s worst case (fully random payloads — byte-window int reads).
 * Floats round-trip **bit-exactly** (XOR on the uint64 view — NaN
   payloads and -0.0 included), timestamps exactly (int64 seconds).
 
@@ -154,13 +154,14 @@ class _BitCursor:
     for zero runs.
     """
 
-    __slots__ = ("bits", "ones", "pos", "nbits", "_j")
+    __slots__ = ("data", "ones", "pos", "nbits", "_j")
 
     def __init__(self, body: bytes):
-        self.bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits).tolist()
+        self.data = body
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+        self.ones = np.flatnonzero(bits).tolist()
         self.pos = 0
-        self.nbits = len(self.bits)
+        self.nbits = len(bits)
         self._j = 0  # monotonic pointer into ones (pos only advances)
 
     def zeros_run(self) -> int:
@@ -177,10 +178,15 @@ class _BitCursor:
         self.pos += k
 
     def take(self, k: int) -> int:
-        sl = self.bits[self.pos : self.pos + k]
+        # byte-window read: ≤9 bytes cover any k ≤ 64 at any alignment;
+        # small-int arithmetic beats per-call numpy by ~5x
+        p = self.pos
         self.pos += k
-        # left-aligned pack + big-endian int, shifted down to k bits
-        return int.from_bytes(np.packbits(sl).tobytes(), "big") >> ((-k) % 8)
+        byte0 = p >> 3
+        end_byte = (p + k + 7) >> 3
+        chunk = int.from_bytes(self.data[byte0:end_byte], "big")
+        shift = end_byte * 8 - (p + k)
+        return (chunk >> shift) & ((1 << k) - 1)
 
 
 def dod_decode(blob: bytes) -> np.ndarray:
