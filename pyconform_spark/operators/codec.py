@@ -429,3 +429,63 @@ def decompress_tier(
                 yield pd.concat(parts, ignore_index=True)
 
     return blobs.mapInPandas(_dec, schema=schema)
+
+
+def compress_tier_packed(
+    tier_df: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    chunk_seconds: int = 86400,
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """Blob-identical to :func:`compress_tier`, but one Python call per
+    PARTITION instead of per (series, chunk) group: rows are hash-
+    repartitioned on the series keys, sorted within partitions, and a
+    ``mapInPandas`` worker runs a pandas groupby-encode over the whole
+    partition.  For thin series (agent transcripts: many short series)
+    this removes the per-group Arrow round trip that dominates
+    ``applyInPandas`` — same output bytes, ~one order less Python
+    overhead."""
+    keys = keys or SERIES_KEYS
+    kfields = [tier_df.schema[k] for k in keys]
+    schema = T.StructType(
+        kfields
+        + COMPRESSED_FIELDS
+        + [T.StructField(f"{c}_blob", T.BinaryType(), False) for c in value_cols]
+    )
+    chunk = (
+        F.col(ts_col).cast("timestamp").cast("long")
+        - F.col(ts_col).cast("timestamp").cast("long") % chunk_seconds
+    )
+    src = (
+        tier_df.withColumn("_chunk", chunk)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, "_chunk", ts_col)
+    )
+
+    def _enc_part(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        out_rows = {name: [] for name in
+                    [*keys, "chunk_start", "n_points", "ts_blob",
+                     "raw_bytes", "enc_bytes"]
+                    + [f"{c}_blob" for c in value_cols]}
+        for gkey, g in pdf.groupby([*keys, "_chunk"], dropna=False, sort=True):
+            ts = g[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
+            for k, v in zip(keys, gkey):
+                out_rows[k].append(None if (isinstance(v, float) and v != v) else v)
+            out_rows["chunk_start"].append(pd.Timestamp(int(gkey[-1]), unit="s"))
+            out_rows["n_points"].append(len(g))
+            ts_blob = dod_encode(ts)
+            out_rows["ts_blob"].append(ts_blob)
+            enc = len(ts_blob)
+            for c in value_cols:
+                b = gorilla_encode(g[c].to_numpy(dtype=np.float64))
+                out_rows[f"{c}_blob"].append(b)
+                enc += len(b)
+            out_rows["raw_bytes"].append(len(g) * 8 * (1 + len(value_cols)))
+            out_rows["enc_bytes"].append(enc)
+        yield pd.DataFrame(out_rows)
+
+    return src.mapInPandas(_enc_part, schema=schema)

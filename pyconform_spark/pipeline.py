@@ -350,7 +350,7 @@ def compact_tier(
     value_cols = value_cols or ["turn_rate", "text_len_avg"]
     done = sorted(committed_epochs(spark, root))
     src = read_tier(spark, root, tier)
-    blobs = codec.compress_tier(
+    blobs = codec.compress_tier_packed(
         src, value_cols, keys=SERIES_KEYS, chunk_seconds=EPOCH_SECONDS
     )
     epoch = (

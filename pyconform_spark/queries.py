@@ -272,7 +272,7 @@ def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier = _hourly_subset(spark, sf_dir).select(
         *EKEYS, "bucket_start", F.col("value_sum").cast("double").alias("value_sum")
     )
-    blobs = codec.compress_tier(
+    blobs = codec.compress_tier_packed(
         tier, ["value_sum"], keys=EKEYS, chunk_seconds=7 * 86400
     )
     back = codec.decompress_tier(blobs, ["value_sum"], keys=EKEYS)

@@ -117,3 +117,22 @@ def test_spark_compression_ratio_and_counts(spark, tier_1h):
     ).first()
     assert stats["pts"] == tier_1h.count()
     assert stats["enc"] > 0
+
+
+def test_packed_compress_blob_identical(spark, tier_1h):
+    """compress_tier_packed must emit byte-identical blobs to
+    compress_tier for every (series, chunk)."""
+    vcols = ["turn_rate", "text_len_avg"]
+    a = codec.compress_tier(tier_1h, vcols, chunk_seconds=7 * 86400)
+    b = codec.compress_tier_packed(tier_1h, vcols, chunk_seconds=7 * 86400)
+    keyf = lambda r: tuple((x is None, x) for x in r[:4])
+    cols = ["conv_id", "tool", "role", "chunk_start", "n_points",
+            "ts_blob", "turn_rate_blob", "text_len_avg_blob"]
+    ra = sorted((tuple(r) for r in a.select(*cols).collect()), key=keyf)
+    rb = sorted((tuple(r) for r in b.select(*cols).collect()), key=keyf)
+    assert len(ra) == len(rb)
+    for x, y in zip(ra, rb):
+        assert x[:5] == y[:5]
+        assert bytes(x[5]) == bytes(y[5])
+        assert bytes(x[6]) == bytes(y[6])
+        assert bytes(x[7]) == bytes(y[7])
