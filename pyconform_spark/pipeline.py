@@ -336,22 +336,52 @@ def compact_tier(
     root: str,
     tier: str = "1m",
     value_cols: list[str] | None = None,
+    min_points: int = 8,
 ) -> dict:
-    """Cold-store compaction: committed epochs of a tier are re-encoded
-    as Gorilla/delta-of-delta blobs, one blob row per (series, epoch)
-    (``cold/<tier>/epoch=<k>``).  Returns size stats.
+    """HYBRID cold-store compaction: committed epochs of a tier are
+    re-encoded as Gorilla/delta-of-delta blobs, one blob row per
+    (series, epoch) (``cold/<tier>/epoch=<k>``) — but only for series
+    with >= ``min_points`` points in the epoch.  Blob headers cost ~40
+    bytes per series; below ``min_points`` (short conversations — the
+    bulk of a Zipf transcript corpus) the points stay as plain parquet
+    rows in ``cold/<tier>_sparse`` where columnar encoding is already
+    optimal.  Returns size stats incl. the sparse row count.
 
     Retention interplay: expire the hot parquet tier dirs with
     ``retention.apply_retention`` once the cold copy exists; the read
-    path (``codec.decompress_tier``) restores points bit-exactly.
+    path (:func:`read_cold_tier`) unions both halves bit-exactly.
     """
     from pyconform_spark.operators import codec
 
     value_cols = value_cols or ["turn_rate", "text_len_avg"]
     done = sorted(committed_epochs(spark, root))
     src = read_tier(spark, root, tier)
+
+    epoch_col = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    npts = F.count(F.lit(1)).over(
+        _W.partitionBy(*SERIES_KEYS, epoch_col)
+    )
+    marked = src.withColumn("_npts", npts)
+    dense = marked.where(F.col("_npts") >= min_points).drop("_npts")
+    sparse = marked.where(F.col("_npts") < min_points).drop("_npts")
+
+    sparse_base = os.path.join(root, "cold", f"{tier}_sparse")
+    (
+        sparse.select(*SERIES_KEYS, "bucket_start", *value_cols)
+        .withColumn("epoch", epoch_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(sparse_base)
+    )
+    n_sparse = spark.read.parquet(sparse_base).count()
+
     blobs = codec.compress_tier_packed(
-        src, value_cols, keys=SERIES_KEYS, chunk_seconds=EPOCH_SECONDS
+        dense, value_cols, keys=SERIES_KEYS, chunk_seconds=EPOCH_SECONDS
     )
     epoch = (
         F.col("chunk_start").cast("timestamp").cast("long") / EPOCH_SECONDS
@@ -376,11 +406,13 @@ def compact_tier(
     )
     return {
         "epochs": len(done),
-        "n_blobs": stats["n_blobs"],
-        "n_points": stats["n_points"],
-        "raw_bytes": stats["raw_bytes"],
-        "enc_bytes": stats["enc_bytes"],
-        "ratio": stats["enc_bytes"] / max(stats["raw_bytes"], 1),
+        "n_blobs": stats["n_blobs"] or 0,
+        "n_points": (stats["n_points"] or 0) + n_sparse,
+        "n_blob_points": stats["n_points"] or 0,
+        "n_sparse_points": n_sparse,
+        "raw_bytes": stats["raw_bytes"] or 0,
+        "enc_bytes": stats["enc_bytes"] or 0,
+        "ratio": (stats["enc_bytes"] or 0) / max(stats["raw_bytes"] or 0, 1),
     }
 
 
@@ -395,4 +427,13 @@ def read_cold_tier(
     value_cols = value_cols or ["turn_rate", "text_len_avg"]
     base = os.path.join(root, "cold", tier)
     blobs = spark.read.parquet(base)
-    return codec.decompress_tier(blobs, value_cols, keys=SERIES_KEYS)
+    dense = codec.decompress_tier(blobs, value_cols, keys=SERIES_KEYS)
+    sparse_base = os.path.join(root, "cold", f"{tier}_sparse")
+    if os.path.isdir(sparse_base):
+        sparse = (
+            spark.read.parquet(sparse_base)
+            .drop("epoch")
+            .select(*SERIES_KEYS, "bucket_start", *value_cols)
+        )
+        dense = dense.unionByName(sparse)
+    return dense
