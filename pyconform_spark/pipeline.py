@@ -60,15 +60,19 @@ def list_epochs(transcripts: DataFrame) -> list[int]:
     """Distinct day-aligned epoch ids present in the input (one small
     aggregate over the raw table; at 10^12 turns this is the partition
     listing of the ``days(ts)``-partitioned Iceberg table, no scan)."""
-    rows = (
-        transcripts.select(
-            (F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS)
-            .cast("long")
-            .alias("epoch")
+    if "epoch_day" in transcripts.columns:
+        # partition-column distinct = file listing, no data scan
+        rows = transcripts.select(F.col("epoch_day").alias("epoch")).distinct().collect()
+    else:
+        rows = (
+            transcripts.select(
+                (F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS)
+                .cast("long")
+                .alias("epoch")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
     return sorted(r["epoch"] for r in rows)
 
 
@@ -118,6 +122,17 @@ def _lineage_rows(tier_df: DataFrame, tier: str, epoch: int) -> DataFrame:
     )
 
 
+def _epoch_filter(df: DataFrame, epochs: list[int]) -> DataFrame:
+    """Restrict to the given day-epochs.  If the frame carries the
+    ``epoch_day`` partition column (ingest_raw layout), filter on IT so
+    the scan prunes partitions; otherwise fall back to a ts-range
+    predicate (row-group pruning only)."""
+    if "epoch_day" in df.columns:
+        return df.where(F.col("epoch_day").isin(epochs)).drop("epoch_day")
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    return df.where((ts_long / EPOCH_SECONDS).cast("long").isin(epochs))
+
+
 def run(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -139,11 +154,7 @@ def run(
             results.append(EpochResult(epoch, True, {t: 0 for t in TIER_ORDER}))
             continue
 
-        lo = epoch * EPOCH_SECONDS
-        sl = transcripts.where(
-            (F.col("ts").cast("timestamp").cast("long") >= lo)
-            & (F.col("ts").cast("timestamp").cast("long") < lo + EPOCH_SECONDS)
-        )
+        sl = _epoch_filter(transcripts, [epoch])
 
         points: dict[str, int] = {}
         lineage_parts: list[DataFrame] = []
@@ -223,11 +234,7 @@ def run_batch(
 
     for i in range(0, len(pending), epochs_per_commit):
         batch = pending[i : i + epochs_per_commit]
-        lo, hi = min(batch) * EPOCH_SECONDS, (max(batch) + 1) * EPOCH_SECONDS
-        ts_long = F.col("ts").cast("timestamp").cast("long")
-        sl = transcripts.where((ts_long >= lo) & (ts_long < hi)).where(
-            (ts_long / EPOCH_SECONDS).cast("long").isin(batch)
-        )
+        sl = _epoch_filter(transcripts, batch)
 
         lineage_parts: list[DataFrame] = []
         counts: dict[str, dict[int, int]] = {}

@@ -202,3 +202,34 @@ def test_compact_tier_roundtrip_bitexact(spark, tx, tmp_path):
             np.array(h[4:], dtype=np.float64).view(np.uint64),
             np.array(c[4:], dtype=np.float64).view(np.uint64),
         ), h[:4]
+
+
+def test_run_batch_over_ingested_raw_prunes_and_matches(spark, tx, tmp_path):
+    """run_batch over the day-partitioned raw store must produce the
+    same tiers as over the flat frame, with the epoch filter landing in
+    PartitionFilters."""
+    import contextlib
+    import io
+
+    root = str(tmp_path / "ing2")
+    pipeline.ingest_raw(tx, root)
+    raw = pipeline.read_raw(spark, root)
+
+    epochs = pipeline.list_epochs(raw)
+    assert epochs == pipeline.list_epochs(tx)
+
+    sl = pipeline._epoch_filter(raw, epochs[:1])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sl.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "epoch_day" in pf
+
+    store = str(tmp_path / "store_ing")
+    pipeline.run_batch(spark, raw, store)
+    direct = rollup.all_tiers(tx)
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_rows(pipeline.read_tier(spark, store, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, tier
