@@ -28,19 +28,38 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def detect_heavy_keys(
-    df: DataFrame, keys: list[str], min_share: float = 0.001, max_keys: int = 1000
+    df: DataFrame,
+    keys: list[str],
+    min_share: float = 0.001,
+    max_keys: int | None = 1000,
 ) -> DataFrame:
-    """Keys holding more than ``min_share`` of all rows (approximate by
-    exact count — one aggregate; at extreme scale swap in a sampled
-    count with the same contract)."""
-    total = df.count()
-    return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .where(F.col("n_rows") >= max(1, int(total * min_share)))
-        .orderBy(F.desc("n_rows"))
-        .limit(max_keys)
+    """Keys holding more than ``min_share`` of all rows, in ONE pass
+    over the raw table: the per-key counts and the grand total both
+    derive from the same aggregate (total = sum over the tiny counts
+    frame, broadcast back), never a second ``df.count()`` scan — at
+    100 TB the old two-action shape was an extra full read.  Catalyst's
+    ReuseExchange collapses the shared groupBy subtree, so the physical
+    plan scans the source once.
+
+    Deterministic: ties at the ``max_keys`` boundary break on the key
+    columns, so repeated evaluation of this (lazy) plan always yields
+    the same key set.  ``max_keys=None`` skips the sort+limit entirely
+    (no single-partition gather) for callers that want the full set."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    heavy = (
+        counts.crossJoin(F.broadcast(total))
+        .where(
+            F.col("n_rows")
+            >= F.greatest(F.lit(1), F.floor(F.col("_total") * min_share)).cast("long")
+        )
+        .drop("_total")
     )
+    if max_keys is None:
+        return heavy
+    return heavy.orderBy(
+        F.desc("n_rows"), *[F.asc(k) for k in keys]
+    ).limit(max_keys)
 
 
 def salted_agg(
@@ -102,9 +121,30 @@ def skew_split_join(
     for the case AQE can't fix: a single hot key whose left rows exceed
     one executor's memory in a shuffle join.  The hot conversation's
     rows never shuffle at all — only its right-side match set moves.
+
+    Only ``inner`` and ``left`` joins are supported: for right/full
+    joins the cold branch would re-emit hot-key right rows as
+    null-padded unmatched rows (they match only in the hot branch), and
+    semi/anti joins have the dual problem — so those are refused rather
+    than silently corrupted.
+
+    The heavy-key set is MATERIALIZED to the driver once (bounded by
+    ``detect_heavy_keys``'s ``max_keys``) so all three semi/anti branch
+    joins see the identical key set — re-evaluating a lazy limit-at-
+    boundary plan per branch could classify a tie key hot in one branch
+    and cold in another, dropping or duplicating rows.
     """
-    heavy = detect_heavy_keys(left, keys, min_share=min_share)
-    hot_keys = F.broadcast(heavy.select(*keys))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"skew_split_join supports how='inner'|'left', got {how!r}: "
+            "outer/semi/anti joins would duplicate or drop hot-key rows "
+            "across the hot/cold branches"
+        )
+    key_schema = left.select(*keys).schema
+    heavy_rows = detect_heavy_keys(left, keys, min_share=min_share).select(*keys).collect()
+    if not heavy_rows:
+        return left.join(right, keys, how)
+    hot_keys = F.broadcast(left.sparkSession.createDataFrame(heavy_rows, key_schema))
 
     left_hot = left.join(hot_keys, keys, "left_semi")
     left_cold = left.join(hot_keys, keys, "left_anti")

@@ -253,15 +253,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def heavy_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew observability: series holding >= 0.2% of all rows."""
+    """Skew observability: series holding >= 0.2% of all rows.
+
+    Single-pass: per-key counts and the grand total come from one
+    aggregate (skew.detect_heavy_keys) — no separate ``df.count()``
+    action, so the raw table is scanned once (plan-gated in
+    tests/test_plans.py)."""
+    from pyconform_spark.operators import skew
+
     df = _events(spark, sf_dir)
-    total = df.count()
-    return (
-        df.groupBy(*EKEYS)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .where(F.col("n_rows") >= max(1, int(total * 0.002)))
-        .select(*EKEYS, F.col("n_rows").cast("long").alias("n_rows"))
-    )
+    heavy = skew.detect_heavy_keys(df, EKEYS, min_share=0.002, max_keys=None)
+    return heavy.select(*EKEYS, F.col("n_rows").cast("long").alias("n_rows"))
 
 
 def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,19 +348,25 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-join + agg + deterministic top-k (orders ⋈ customer ⋈
-    lineitem).  customer/orders are broadcast-able dims vs lineitem."""
+    """Join + agg + deterministic top-k (lineitem ⋈ orders ⋈ customer).
+
+    Scale shape: lineitem revenue is pre-aggregated by ``l_orderkey``
+    BEFORE any join (map-side partials cut the join input ~4×), orders
+    joins by shuffle — it is 1/4 of lineitem's row count, so
+    broadcasting it OOMs executors at sf100 — and only ``customer``
+    (the genuinely small dim) carries a broadcast hint.  Plan-gated in
+    tests/test_plans.py: exactly one broadcast join, orders side
+    shuffle-joined."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
-    joined = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    rev_by_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+    joined = rev_by_order.join(
+        orders, rev_by_order.l_orderkey == orders.o_orderkey
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        joined.groupBy("o_orderkey", "c_name")
-        .agg(F.sum(rev).alias("_rev"))
-        .select(
+        joined.select(
             "o_orderkey", "c_name", F.col("_rev").cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))

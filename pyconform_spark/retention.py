@@ -29,8 +29,13 @@ from pyconform_spark import pipeline
 
 @dataclass(frozen=True)
 class RetentionPolicy:
-    """keep_epochs[tier] = number of most-recent epochs to keep
-    (None = keep forever)."""
+    """keep_epochs[tier] = age horizon in epochs (days): an epoch is
+    expired when ``epoch < now - keep`` (None = keep forever).
+
+    Age-based, not count-based: a backfill landing 100 historical-but-
+    recent epochs at once keeps all of them as long as they are within
+    the horizon — the '1m for 7 days' economics measure wall-clock
+    age, not directory count."""
 
     keep_epochs: dict[str, int | None]
 
@@ -63,20 +68,24 @@ def apply_retention(
     policy: RetentionPolicy = DEFAULT_POLICY,
     now_epoch: int | None = None,
 ) -> dict[str, list[int]]:
-    """Expire epochs beyond each tier's horizon; returns
-    {tier: [expired epoch ids]}.  Idempotent."""
+    """Expire epochs older than each tier's age horizon
+    (``epoch < now - keep``); returns {tier: [expired epoch ids]}.
+    Idempotent.  ``now_epoch`` defaults to the max live epoch across
+    all tiers (the store's logical "now"), so a catch-up run without a
+    wall clock still measures age against the newest data."""
     expired: dict[str, list[int]] = {}
     log_rows = []
+    all_epochs = [e for t in policy.keep_epochs for e in _tier_epochs(root, t)]
+    now = now_epoch if now_epoch is not None else (max(all_epochs) if all_epochs else 0)
     for tier, keep in policy.keep_epochs.items():
         epochs = _tier_epochs(root, tier)
-        if keep is None or len(epochs) <= keep:
+        if keep is None:
             expired[tier] = []
             continue
-        horizon = epochs[-keep:] if keep > 0 else []
-        drop = [e for e in epochs if e not in horizon]
+        drop = [e for e in epochs if e < now - keep]
         for e in drop:
             shutil.rmtree(pipeline._tier_path(root, tier, e), ignore_errors=True)
-            log_rows.append((tier, e, now_epoch if now_epoch is not None else -1))
+            log_rows.append((tier, e, now))
         expired[tier] = drop
     if log_rows:
         spark.createDataFrame(log_rows, _LOG_SCHEMA).coalesce(1).write.mode(

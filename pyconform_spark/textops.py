@@ -231,11 +231,16 @@ FROM banded a JOIN banded b
 
 # --------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """Exact Jaccard over distinct shingles for co-shingled pairs.
+    """Exact Jaccard over distinct shingles for ALL co-shingled pairs.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — one double division of exact
-    ints.  This is the verify stage; at scale feed it LSH candidates.
-    """
+    ints.  The candidate stage is the full co-shingled self-join, so
+    this is the EXHAUSTIVE (small-corpus / recall-audit) variant; the
+    scale path is :func:`ngram_jaccard_lsh`, which feeds the same
+    verify math only the MinHash-LSH candidate pairs.  All joins are
+    plain shuffle equi-joins — the per-doc sizes table is one row per
+    document (unbounded at corpus scale), so it must never be
+    broadcast."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     )
@@ -250,11 +255,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter) × per-doc sizes -> thresholded Jaccard.
+    Shuffle joins only: sizes is one row per doc (never broadcast)."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -268,6 +281,67 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")
     )
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set only — the verify
+    stage of the dedup pipeline.  At 10^12 docs the LSH candidate set
+    is orders of magnitude smaller than the co-shingled self-join, so
+    the intersection count is computed by walking each pair's doc_a
+    shingles (bounded per doc) into an equi-join on (doc_b, shingle).
+
+    Every join is a shuffle equi-join; nothing unbounded is broadcast.
+    Pairs with an empty intersection fall out of the inner join — with
+    any ``threshold > 0`` they could never pass anyway."""
+    cand = pairs.select("doc_a", "doc_b")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    inter = (
+        a_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """The composed scale path: MinHash-LSH banding proposes candidate
+    pairs, exact n-gram Jaccard verifies them.  This is the operator a
+    10^12-doc dedup job runs; ngram_jaccard_pairs is its exhaustive
+    audit twin."""
+    return ngram_jaccard_verify(minhash_lsh_pairs(docs), docs, threshold)
+
+
+def ngram_jaccard_lsh_sql(threshold: float = 0.2) -> str:
+    """DuckDB twin of the composed LSH→verify path."""
+    return f"""
+WITH cand AS ({minhash_lsh_pairs_sql()}),
+sh AS (
+  SELECT doc_id, unnest({shingles_sql()}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (n_inter / (sa.n_sh + sb.n_sh - n_inter))::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= {threshold}
+"""
 
 
 def ngram_jaccard_pairs_sql(threshold: float = 0.2) -> str:
@@ -495,20 +569,26 @@ FROM documents
 """
 
 
-def lsh_components(docs: DataFrame) -> DataFrame:
-    """Near-duplicate clusters: connected components over the MinHash-LSH
-    candidate-pair graph, labeled by the smallest doc_id in each
+def connected_components(
+    pairs: DataFrame, checkpoint_every: int = 5
+) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(doc_a, doc_b)``, labeled by the smallest vertex id in each
     component (deterministic).
 
     Distributed algorithm: iterative min-label propagation — each round
     every vertex takes the min of its own label and its neighbors'
     labels; converges in O(component diameter) rounds, each round one
-    join + one aggregate (the standard large-graph CC pattern; at
-    10^12 docs swap the loop for a stepped checkpoint every few rounds
-    to cut lineage).  The driver loop only checks a convergence count —
-    no data is collected.
+    join + one aggregate (the standard large-graph CC pattern).  The
+    driver loop only checks a convergence count — no data is collected.
+
+    Every ``checkpoint_every`` rounds the label frame is
+    ``localCheckpoint()``-ed: without it each round extends the lineage
+    chain, and on a large-diameter graph the logical plan (and the
+    driver's stack when analyzing it) grows without bound.  Checkpoint
+    materialization is work the round's ``count()`` was doing anyway,
+    so the truncation is effectively free.
     """
-    pairs = minhash_lsh_pairs(docs)
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -520,7 +600,9 @@ def lsh_components(docs: DataFrame) -> DataFrame:
         .withColumn("component_id", F.col("doc_id"))
         .persist()
     )
+    rounds = 0
     while True:
+        rounds += 1
         neigh = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
@@ -532,17 +614,19 @@ def lsh_components(docs: DataFrame) -> DataFrame:
             .agg(F.min("nbr_label").alias("min_nbr"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("min_nbr"), F.col("component_id")),
-                ).alias("component_id"),
-            )
-            .persist()
+        new_labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("min_nbr"), F.col("component_id")),
+            ).alias("component_id"),
         )
+        if rounds % checkpoint_every == 0:
+            # truncate lineage: localCheckpoint materializes eagerly and
+            # replaces the plan with the checkpointed RDD
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -558,6 +642,13 @@ def lsh_components(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component_id").cast("long").alias("component_id"),
     )
+
+
+def lsh_components(docs: DataFrame) -> DataFrame:
+    """Near-duplicate clusters: connected components over the
+    MinHash-LSH candidate-pair graph (see :func:`connected_components`
+    for the propagation/checkpoint mechanics)."""
+    return connected_components(minhash_lsh_pairs(docs))
 
 
 def lsh_components_sql() -> str:
@@ -689,7 +780,10 @@ def register_text_queries() -> dict[str, callable]:
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        # the scale path: LSH candidates -> exact-Jaccard verify
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_lsh(_docs(s, d)),
+        # the exhaustive audit twin (quadratic candidate stage)
+        "dedup_jaccard_all_pairs": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash32(_docs(s, d)),
         "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
@@ -705,7 +799,8 @@ def register_text_queries() -> dict[str, callable]:
 TEXT_ORACLES: dict[str, str] = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
-    "dedup_ngram_jaccard": ngram_jaccard_pairs_sql(),
+    "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
+    "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),
     "dedup_simhash": simhash32_sql(),
     "text_token_stats": token_stats_sql(),
     "text_lang_id": lang_id_sql(),

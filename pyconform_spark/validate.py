@@ -10,6 +10,17 @@ mean-abs / masked-count statistics ride ``df.observe`` so they are
 computed **in the same pass as the real work** — no second scan (the
 reference pays a full evaluation per validation; at 100 TB a second
 scan is the difference between one job and two).
+
+INTENTIONAL DEVIATION from the reference's masking semantics: the
+reference masks INCLUSIVELY (``indata <= valid_min`` /
+``>= valid_max``) but only when the current CHUNK contains a strictly
+out-of-range value (flownodes.py:562-578) — whether a boundary-equal
+value survives depends on which chunk it lands in, i.e. on the
+partitioning.  That is not a portable semantic for a distributed
+engine, so this module masks STRICTLY (``< valid_min`` /
+``> valid_max``) and unconditionally: boundary-equal values are always
+kept, independent of partitioning, and the result is deterministic
+under any row distribution.
 """
 
 from __future__ import annotations

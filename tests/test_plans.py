@@ -59,10 +59,59 @@ def test_rollup_uses_partial_aggregation(spark):
     assert "partial_count" in plan and "partial_sum" in plan
 
 
-def test_broadcast_join_for_small_dims(spark):
-    plan = plan_of(Q.top_revenue_orders(spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so plans show only the join
+    strategies the QUERY declares — what survives a 100× scale-up."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_top_revenue_broadcasts_customer_not_orders(spark):
+    """r1 verdict scale-killer fix: orders is 1/4 of lineitem and must
+    NOT be broadcast; only customer carries the hint, and lineitem
+    revenue is pre-aggregated (partial+final) before the orders join."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.top_revenue_orders(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1  # customer only
+    assert count_nodes(plan, "SortMergeJoin") == 1      # orders side
+    assert "partial_sum" in plan  # revenue pre-agg before the join
+
+
+def test_ngram_jaccard_lsh_has_no_broadcasts(spark):
+    """r1 verdict scale-killer fix: the composed LSH→verify path must
+    not broadcast the per-doc sizes table (unbounded at corpus scale)
+    — every join is a shuffle equi-join."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = plan_of(textops.ngram_jaccard_lsh(docs))
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") >= 3
+
+
+def test_heavy_series_scans_raw_once(spark):
+    """Single-pass heavy-key detection: the per-key counts and the
+    grand total share one aggregate subtree.  AQE dedupes the shared
+    shuffle at RUNTIME (ReuseExchange), so the check runs the query and
+    inspects the final adaptive plan: the total branch must read the
+    counts exchange, not rescan the raw table."""
+    df = Q.heavy_series(spark, SF)
+    df.collect()  # materialize so AQE finalizes the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final
 
 
 def test_gapfill_windows_share_one_sort_per_direction(spark):

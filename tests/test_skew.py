@@ -80,6 +80,35 @@ def test_skew_split_join_equals_plain_join(spark, tx):
     )
 
 
+def test_skew_split_join_refuses_unsupported_join_types(spark, tx):
+    """right/full/semi/anti joins would duplicate or drop hot-key rows
+    across the hot/cold branches — refused, not silently corrupted."""
+    convs = tx.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner"):
+            skew.skew_split_join(tx, convs, ["conv_id"], how=how)
+
+
+def test_skew_split_join_left_keeps_unmatched(spark, tx):
+    """how='left': left rows without a right match survive null-padded,
+    identically to the plain left join."""
+    convs = (
+        tx.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .where(F.col("conv_id") != "conv-00000000")  # drop the hot key
+    )
+    plain = tx.join(convs, ["conv_id"], "left").select(
+        "conv_id", "turn_idx", "n_turns"
+    )
+    split = skew.skew_split_join(
+        tx, convs, ["conv_id"], min_share=0.005, how="left"
+    ).select("conv_id", "turn_idx", "n_turns")
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, split.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+
+
 def test_skew_split_join_broadcasts_hot_side(spark, tx):
     import contextlib
     import io

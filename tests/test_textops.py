@@ -198,3 +198,44 @@ def test_minhash_signatures_identical_across_engines(spark, con):
     srows = sorted(map(tuple, sdf.select(*cols).collect()))
     orows = sorted(map(tuple, con.execute(textops.minhash_signatures_sql()).fetchall()))
     assert srows == orows
+
+
+def test_connected_components_long_chain_with_checkpoints(spark):
+    """A path graph of diameter 12 forces >10 propagation rounds, so
+    the lineage-truncating localCheckpoint path (every 5 rounds) runs
+    at least twice — convergence without plan blowup, labels exact
+    (r1 verdict fix #6)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in textops.connected_components(edges, checkpoint_every=5).collect()
+    }
+    assert {d: c for d, c in comp.items() if d <= 12} == {i: 0 for i in range(13)}
+    assert {d: c for d, c in comp.items() if d >= 100} == {
+        100: 100, 101: 100, 102: 100
+    }
+
+
+def test_jaccard_verify_composition_matches_exhaustive_on_candidates(spark):
+    """ngram_jaccard_lsh == exhaustive Jaccard restricted to the LSH
+    candidate set: the composed path changes the CANDIDATES, never the
+    similarity math."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(docs).collect()
+    }
+    exhaustive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    composed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_lsh(docs, threshold=0.0).collect()
+    }
+    want = {p: j for p, j in exhaustive.items() if p in cand and j > 0.0}
+    # pairs with zero intersection cannot appear in the composed output
+    assert composed == want

@@ -61,22 +61,41 @@ def test_retention_expires_fine_tier_keeps_coarse(spark, tmp_path):
     n_epochs = len(before["1m"])
     assert n_epochs >= 3
 
-    policy = retention.RetentionPolicy({"1m": 1, "1h": 2, "1d": None})
-    expired = retention.apply_retention(spark, root, policy, now_epoch=99999)
+    # age-based horizons: keep 1m for 0 days past "now", 1h for 1 day;
+    # now is DERIVED (max live epoch) when not supplied
+    policy = retention.RetentionPolicy({"1m": 0, "1h": 1, "1d": None})
+    expired = retention.apply_retention(spark, root, policy)
 
+    now = max(before["1m"])
     after = retention.live_epochs(root)
-    assert len(after["1m"]) == 1 and after["1m"][-1] == before["1m"][-1]
-    assert len(after["1h"]) == 2
+    assert after["1m"] == [e for e in before["1m"] if e >= now]
+    assert after["1h"] == [e for e in before["1h"] if e >= now - 1]
     assert after["1d"] == before["1d"]  # keep forever
-    assert expired["1m"] == before["1m"][:-1]
+    assert expired["1m"] == [e for e in before["1m"] if e < now]
 
     # tombstones logged; lineage untouched (provenance survives expiry)
     log = retention.retention_log(spark, root)
     assert log.count() == len(expired["1m"]) + len(expired["1h"])
+    assert log.first()["expired_at_epoch"] == now
     lin = pipeline.lineage(spark, root)
     assert lin.where(F.col("tier") == "1m").count() > 0
 
     # idempotent
-    again = retention.apply_retention(spark, root, policy, now_epoch=99999)
+    again = retention.apply_retention(spark, root, policy, now_epoch=now)
     assert all(not v for v in again.values())
     assert retention.retention_log(spark, root).count() == log.count()
+
+
+def test_retention_is_age_based_not_count_based(spark, tmp_path):
+    """A backfill landing many historical-but-recent epochs keeps ALL
+    of them while they are inside the horizon (the ADVICE r1 finding:
+    count-based semantics would have expired all but N immediately)."""
+    root = str(tmp_path / "store")
+    tx = synth.transcripts(spark, 60_000)
+    pipeline.run(spark, tx, root)
+    before = retention.live_epochs(root)
+    span = max(before["1m"]) - min(before["1m"])
+    policy = retention.RetentionPolicy({"1m": span, "1h": span, "1d": None})
+    expired = retention.apply_retention(spark, root, policy)
+    assert all(not v for v in expired.values())
+    assert retention.live_epochs(root) == before
