@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,
+        "derived_defs": Q.derived_defs,
+        "derived_agg_defs": Q.derived_agg_defs,
         "climatology_hourly": Q.climatology_hourly,
         "value_algebra": Q.value_algebra,
         "stencil_lead_diff": Q.stencil_lead_diff,

@@ -616,6 +616,55 @@ def value_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DERIVED_DEFS = [
+    # value carries 'ms'; v0 is the untracked working copy (the unit
+    # checker would — correctly — refuse ms**2 - ms arithmetic)
+    "v0 = rmunits(value)",
+    "v_neg = -v0",
+    "v_poly = v0**2 - 3.0*v0 + 2.0",
+    "v_clamped = limit(v0, below=50.0, above=500.0)",
+    "v_root = sqrt(v0)",
+    "v_big = v0 > 250.0",
+    "v_fold = 2**3 + 1.5",           # parse-time constant folding
+    "v_mix = (v0 + v_neg) * 0.5",    # later defs see earlier ones
+    "v_where = where(v0 > 250.0, v0, -v0)",
+    "v_s = convert(value, units='s')",  # plan-time unit conversion ms->s
+]
+
+
+def derived_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core user surface: STRING definitions compiled
+    to Catalyst (parsing.py:275-276, dataflow.py:124-164) — operators,
+    functions, constant folding, def-chaining, and unit conversion in
+    one multi-definition spec over events."""
+    from pyconform_spark import defs, units
+
+    df = units.with_units(_events(spark, sf_dir), "value", "ms")
+    out = defs.evaluate_defs(df, DERIVED_DEFS)
+    names = [d.split("=", 1)[0].strip() for d in DERIVED_DEFS]
+    return out.select(
+        "event_id", *[F.col(n).cast("double").alias(n) if n != "v_big" else F.col(n) for n in names]
+    )
+
+
+DERIVED_AGG_DEFS = [
+    "n = count(value)",
+    "v_mean = mean(value)",
+    "v_sum = sum(value)",
+    "v_span = max(value) - min(value)",
+]
+
+
+def derived_agg_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate definitions (mean/sum/min/max, functions.py:310-436)
+    over groupBy keys — the reference's 'dimensions' argument becomes
+    the grouping key set; sums ride decimal for order-independence."""
+    from pyconform_spark import defs
+
+    df = _events(spark, sf_dir)
+    return defs.evaluate_agg_defs(df, ["event_type"], DERIVED_AGG_DEFS)
+
+
 def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregate (the relational-checklist 'distinct'
     operator; Spark plans it as a two-phase expand+agg)."""

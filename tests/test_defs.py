@@ -1,0 +1,285 @@
+"""Expression-definition front-end tests.
+
+Golden AST cases mirror the reference test surface
+(``/root/reference/source/test/parsingTests.py:107-790``) node shape
+for node shape; compile/evaluate cases check Catalyst output, plan-time
+unit checking, positive-flag reconciliation, and array indexing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import defs, units
+from pyconform_spark.defs import (
+    DefinitionError,
+    FuncType,
+    OpType,
+    VarType,
+    parse_definition,
+)
+
+
+# ----------------------------------------------------- golden AST parses
+# (input, expected AST) — shapes identical to parsingTests expectations.
+GOLDEN = [
+    # integers / floats (parsingTests.py:154-307)
+    ("1", 1),
+    ("98734786423867234", 98734786423867234),
+    ("1.", 1.0),
+    ("1.8374755", 1.8374755),
+    (".35457", 0.35457),
+    ("1e7", 1e7),
+    ("1e+7", 1e7),
+    ("1e-7", 1e-7),
+    ("1.e7", 1e7),
+    ("1.324523e7", 1.324523e7),
+    (".324523e-7", 0.324523e-7),
+    # functions (parsingTests.py:311-370)
+    ("f()", FuncType("f", [], {})),
+    ("f(1)", FuncType("f", [1], {})),
+    ("f(x)", FuncType("f", [VarType("x", [])], {})),
+    ("f(1, 2)", FuncType("f", [1, 2], {})),
+    ("f(x, y)", FuncType("f", [VarType("x", []), VarType("y", [])], {})),
+    # quoted strings as arguments (parsingTests.py:107-150)
+    ('f("1")', FuncType("f", ["1"], {})),
+    ('f(a="1")', FuncType("f", [], {"a": "1"})),
+    ('f("Hello, World!")', FuncType("f", ["Hello, World!"], {})),
+    ('g("f(x,y,z)")', FuncType("g", ["f(x,y,z)"], {})),
+    # keywords
+    ("f(x, units='m')", FuncType("f", [VarType("x", [])], {"units": "m"})),
+    ("f(a=1, b=2)", FuncType("f", [], {"a": 1, "b": 2})),
+    # variables and indexing
+    ("x", VarType("x", [])),
+    ("x[2]", VarType("x", [2])),
+    ("x[1:4]", VarType("x", [slice(1, 4, None)])),
+    ("x[1:8:2]", VarType("x", [slice(1, 8, 2)])),
+    ("x[:4]", VarType("x", [slice(None, 4, None)])),
+    ("x[1, 2]", VarType("x", [1, 2])),
+    # operators and precedence (parsing.py:82-87)
+    ("-x", OpType("-", [VarType("x", [])])),
+    ("+x", VarType("x", [])),
+    ("a + b", OpType("+", [VarType("a", []), VarType("b", [])])),
+    (
+        "a + b * c",
+        OpType("+", [VarType("a", []),
+                     OpType("*", [VarType("b", []), VarType("c", [])])]),
+    ),
+    (
+        "(a + b) * c",
+        OpType("*", [OpType("+", [VarType("a", []), VarType("b", [])]),
+                     VarType("c", [])]),
+    ),
+    # ** binds tighter than unary minus: -x**2 == -(x**2)
+    (
+        "-x**2",
+        OpType("-", [OpType("**", [VarType("x", []), 2])]),
+    ),
+    # ** is LEFT-associative in the reference grammar
+    (
+        "x**2**3",
+        OpType("**", [OpType("**", [VarType("x", []), 2]), 3]),
+    ),
+    (
+        "a < b",
+        OpType("<", [VarType("a", []), VarType("b", [])]),
+    ),
+    (
+        "a == b + c",
+        OpType("==", [VarType("a", []),
+                      OpType("+", [VarType("b", []), VarType("c", [])])]),
+    ),
+    # parse-time constant folding (parsing.py:213-262)
+    ("1 + 2", 3),
+    ("2**3 + 1.5", 9.5),
+    ("-5", -5),
+    ("2 < 3", True),
+    ("f(1 + 2)", FuncType("f", [3], {})),
+    ("x + 1*3", OpType("+", [VarType("x", []), 3])),
+]
+
+
+@pytest.mark.parametrize("text,want", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_parse_golden(text, want):
+    assert parse_definition(text) == want
+
+
+def test_parse_errors():
+    for bad in ["x +", "f(", "x[", "(a", "a ~ b", "f(a=1, 2)", "x 3"]:
+        with pytest.raises(DefinitionError):
+            parse_definition(bad)
+
+
+def test_ast_str_matches_reference_forms():
+    assert str(parse_definition("a + b")) == "(a+b)"
+    assert str(parse_definition("-x")) == "(-x)"
+    assert str(parse_definition("f(x, y, units='m')")) == "f(x,y,units=m)"
+    # reference ind_str renders [start,stop,None] with trailing colon
+    assert str(parse_definition("x[1:4]")) == "x[1:4:]"
+    assert str(parse_definition("x[2]")) == "x[2]"
+
+
+# ------------------------------------------------------------- evaluation
+@pytest.fixture()
+def df(spark):
+    d = spark.createDataFrame(
+        [(1, 100.0, 2.0), (2, 400.0, 0.5)],
+        "id long, v double, w double",
+    )
+    return d
+
+
+def _vals(out, col):
+    return {r["id"]: r[col] for r in out.select("id", col).collect()}
+
+
+def test_evaluate_defs_basic(df):
+    out = defs.evaluate_defs(
+        df,
+        [
+            "a = v + 1.5",
+            "b = -v / 4.0",
+            "c = v**2",
+            "d = sqrt(v)",
+            "e = limit(v, below=150.0, above=390.0)",
+            "f = v > 200.0",
+            "g = 2**3 + 1.0",
+            "h = (a + b) * 2.0",  # later defs see earlier ones
+        ],
+    )
+    assert _vals(out, "a") == {1: 101.5, 2: 401.5}
+    assert _vals(out, "b") == {1: -25.0, 2: -100.0}
+    assert _vals(out, "c") == {1: 10000.0, 2: 160000.0}
+    assert _vals(out, "d") == {1: 10.0, 2: 20.0}
+    assert _vals(out, "e") == {1: 150.0, 2: 390.0}
+    assert _vals(out, "f") == {1: False, 2: True}
+    assert _vals(out, "g") == {1: 9.0, 2: 9.0}
+    assert _vals(out, "h") == {1: 153.0, 2: 603.0}
+
+
+def test_unknown_variable_and_function_fail_at_compile_time(df):
+    with pytest.raises(DefinitionError, match="unknown variable 'zz'"):
+        defs.compile_defs(df, ["a = zz + 1"])
+    with pytest.raises(DefinitionError, match="unknown function 'frobnicate'"):
+        defs.compile_defs(df, ["a = frobnicate(v)"])
+
+
+def test_units_ride_definitions(df):
+    d = units.with_units(df, "v", "ms")
+    d = units.with_units(d, "w", "s")
+    out = defs.evaluate_defs(
+        d,
+        [
+            "tot = v + w",            # w converted s->ms (+1000x)
+            "prod = v * w",           # ms*s -> 0.001*s**2
+            "rate = v / w",           # ms/s -> 0.001 (dimensionless)
+            "v_s = convert(v, units='s')",
+            "relab = chunits(v, units='B')",  # reinterpret, data untouched
+            "bare = rmunits(v)",
+        ],
+    )
+    assert _vals(out, "tot") == {1: 100.0 + 2000.0, 2: 400.0 + 500.0}
+    assert units.unit_of(out, "tot") == "ms"
+    assert units.parse_unit(units.unit_of(out, "prod")).dims == (("time", 2),)
+    assert units.parse_unit(units.unit_of(out, "rate")).dims == ()
+    assert _vals(out, "v_s") == {1: 0.1, 2: 0.4}
+    assert units.unit_of(out, "v_s") == "s"
+    assert _vals(out, "relab") == {1: 100.0, 2: 400.0}
+    assert units.unit_of(out, "relab") == "B"
+    assert units.unit_of(out, "bare") is None
+
+
+def test_incompatible_units_fail_before_any_action(df):
+    d = units.with_units(df, "v", "ms")
+    d = units.with_units(d, "w", "B")
+    with pytest.raises(units.UnitsError, match="time"):
+        defs.compile_defs(d, ["bad = v + w"])  # no job ran
+
+
+def test_sqrt_units_and_power_units(df):
+    d = units.with_units(df, "v", "s")
+    out = defs.evaluate_defs(d, ["sq = v**2", "back = sqrt(v**2)"])
+    assert units.parse_unit(units.unit_of(out, "sq")).dims == (("time", 2),)
+    assert units.unit_of(out, "back") == "s"
+    with pytest.raises(units.UnitsError, match="fractional"):
+        defs.compile_defs(d, ["bad = sqrt(v)"])  # sqrt(s) has no root
+
+
+def test_positive_flag_reconciliation(df):
+    """physarray.py:392-406: up + down -> right operand flipped."""
+    d = units.with_positive(df, "v", "up")
+    d = units.with_positive(d, "w", "down")
+    out = defs.evaluate_defs(d, ["s = v + w", "m = v * w"])
+    # w (down) flipped to up: s = v + (-w), m = v * (-w)
+    assert _vals(out, "s") == {1: 98.0, 2: 399.5}
+    assert _vals(out, "m") == {1: -200.0, 2: -200.0}
+    assert units.positive_of(out, "s") == "up"
+    assert units.positive_of(out, "m") == "up"
+
+    # up()/down() functions (physarray.py:328-352)
+    out2 = defs.evaluate_defs(df, ["dv = down(v)", "uv = up(down(v))"])
+    assert _vals(out2, "dv") == {1: 100.0, 2: 400.0}  # was unset: no flip
+    assert units.positive_of(out2, "dv") == "down"
+    assert _vals(out2, "uv") == {1: -100.0, 2: -400.0}  # down->up: negated
+    assert units.positive_of(out2, "uv") == "up"
+
+    # even power clears the flag, odd keeps it (physarray.py:552-556)
+    out3 = defs.evaluate_defs(d, ["e = v**2", "o = v**3"])
+    assert units.positive_of(out3, "e") is None
+    assert units.positive_of(out3, "o") == "up"
+
+
+def test_array_indexing_maps_to_element_at_and_slice(spark):
+    d = spark.createDataFrame(
+        [(1, [10.0, 20.0, 30.0, 40.0])], "id long, emb array<double>"
+    )
+    out = defs.evaluate_defs(
+        d, ["first = emb[0]", "mid = emb[1:3]", "tail = emb[2:]"]
+    )
+    row = out.first()
+    assert row["first"] == 10.0
+    assert row["mid"] == [20.0, 30.0]
+    assert row["tail"] == [30.0, 40.0]
+    with pytest.raises(DefinitionError, match="not an array"):
+        defs.compile_defs(d, ["bad = id[0]"])
+
+
+def test_aggregate_defs(spark):
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+    out = defs.evaluate_agg_defs(
+        d,
+        ["k"],
+        [
+            "n = count(v)",
+            "m = mean(v)",
+            "tot = sum(v)",
+            "span = max(v) - min(v)",
+        ],
+    )
+    rows = {r["k"]: (r["n"], r["m"], r["tot"], r["span"]) for r in out.collect()}
+    assert rows == {"a": (2, 2.0, 4.0, 2.0), "b": (1, 10.0, 10.0, 0.0)}
+    # row-wise def in aggregate context (and vice versa) fail clearly
+    with pytest.raises(DefinitionError, match="aggregate"):
+        defs.evaluate_defs(d, ["m = mean(v)"])
+    with pytest.raises(DefinitionError, match="row-wise"):
+        defs.evaluate_agg_defs(d, ["k"], ["r = v + 1"])
+
+
+def test_defs_stay_jvm_side(spark, df):
+    """The compiled plan is pure Catalyst: one projection, no Python
+    workers (BatchEvalPython/ArrowEvalPython absent)."""
+    import contextlib
+    import io
+
+    out = defs.evaluate_defs(
+        df, ["a = v*2 + w", "b = sqrt(abs(v - w))", "c = where(v > w, v, w)"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Project" in plan
