@@ -50,7 +50,10 @@ def main() -> None:
         }
     )
     out["expired"] = retention.apply_retention(
-        spark, args.root, policy, now_epoch=args.now_epoch
+        spark,
+        args.root,
+        policy,
+        now_epoch=None if args.now_epoch < 0 else args.now_epoch,
     )
     out["live_epochs"] = {
         t: len(v) for t, v in retention.live_epochs(args.root).items()

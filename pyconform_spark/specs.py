@@ -1,0 +1,334 @@
+"""Spec-driven output pipeline — the xconform lifecycle analog.
+
+Reference flow (``/root/reference/scripts/xconform:100-165``): a JSON
+standardization file maps each OUTPUT variable to a ``definition``
+string, a ``datatype``, and an ``attributes`` dict; it is parsed into
+an ``OutputDatasetDesc`` (``datasets.py:672-869``) whose variables with
+empty/missing definitions are SKIPPED with a ``DefinitionWarning``
+(``datasets.py:731-747``); ``DataFlow`` plans definition → validator →
+writer chains (``dataflow.py:183-264``) where the ValidateNode converts
+data to the declared units, flips the declared positive direction, casts
+to the declared dtype, and masks/warns on valid_min/valid_max and
+ok_{min,max}_mean_abs (``flownodes.py:425-598``).
+
+Spark-native recast: the spec compiles to ONE declared projection —
+every definition is a Catalyst column (``defs.py``), the declared
+dtype/units/positive become cast + affine-convert + negate expressions
+folded into the same projection, the valid-range mask and mean-abs
+statistics ride ``validate.validate``'s single-pass ``observe``, and
+the committed write reuses the epoch/lineage machinery of
+``pipeline.py`` (lineage append = commit point, resume skips committed
+epochs).  The whole output dataset is one job: scan → project →
+validate → write, no per-variable passes.
+
+Skip-with-warning semantics (mirroring datasets.py:731-747 and
+extending it to the distributed case): a variable is skipped — with a
+``SpecWarning`` — when its definition is missing/empty, fails to
+parse, or references an input column (or another skipped output) that
+does not exist.  Everything else in the spec still materializes, so
+one bad entry in a 2,000-definition spec costs one variable, not the
+job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings as _warnings
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from pyconform_spark import defs as D
+from pyconform_spark import units as U
+from pyconform_spark import validate as V
+
+
+class SpecError(ValueError):
+    pass
+
+
+class SpecWarning(UserWarning):
+    """DefinitionWarning analog (datasets.py:744-746)."""
+
+
+@dataclass
+class VariableSpec:
+    """One output variable (VariableDesc analog, datasets.py:192-249)."""
+
+    name: str
+    definition: str | None = None
+    datatype: str = "double"
+    attributes: dict = field(default_factory=dict)
+
+    @property
+    def units(self) -> str | None:
+        return self.attributes.get("units")
+
+    @property
+    def positive(self) -> str | None:
+        return self.attributes.get("positive")
+
+
+def load_spec(spec) -> list[VariableSpec]:
+    """JSON path / dict -> ordered VariableSpec list (the spec's own
+    order is the evaluation order, so later definitions may reference
+    earlier outputs by name, like DataFlow's dependency chaining)."""
+    if isinstance(spec, str):
+        with open(spec) as fh:
+            spec = json.load(fh)
+    if not isinstance(spec, dict):
+        raise SpecError("spec must be a JSON object of {variable: {...}}")
+    out = []
+    for name, vdict in spec.items():
+        if not isinstance(vdict, dict):
+            raise SpecError(f"spec entry {name!r} must be an object")
+        out.append(
+            VariableSpec(
+                name=name,
+                definition=vdict.get("definition"),
+                datatype=vdict.get("datatype", "double"),
+                attributes=dict(vdict.get("attributes", {})),
+            )
+        )
+    return out
+
+
+def declared_schema(spec) -> T.StructType:
+    """The declared output StructType (the OutputDatasetDesc header),
+    with units/positive attributes as column metadata."""
+    fields = []
+    for v in load_spec(spec) if not _is_loaded(spec) else spec:
+        meta = {}
+        if v.units is not None:
+            meta[U.UNITS_KEY] = v.units
+        if v.positive is not None:
+            meta[U.POSITIVE_KEY] = v.positive
+        fields.append(
+            T.StructField(
+                v.name,
+                T._parse_datatype_string(v.datatype),
+                nullable=True,
+                metadata=meta,
+            )
+        )
+    return T.StructType(fields)
+
+
+def _is_loaded(spec) -> bool:
+    return (
+        isinstance(spec, list)
+        and all(isinstance(v, VariableSpec) for v in spec)
+    )
+
+
+def _referenced_names(ast) -> set[str]:
+    if isinstance(ast, D.VarType):
+        names = {ast.key}
+        for i in ast.ind:
+            if isinstance(i, slice):
+                for part in (i.start, i.stop, i.step):
+                    names |= _referenced_names(part) if part is not None else set()
+            else:
+                names |= _referenced_names(i)
+        return names
+    if isinstance(ast, D.OpType):
+        out: set[str] = set()
+        for a in ast.args:
+            out |= _referenced_names(a)
+        return out
+    if isinstance(ast, D.FuncType):
+        out = set()
+        for a in ast.args:
+            if not isinstance(a, str):
+                out |= _referenced_names(a)
+        for v in ast.kwds.values():
+            if not isinstance(v, str):
+                out |= _referenced_names(v)
+        return out
+    return set()
+
+
+def plan_spec(
+    df: DataFrame, spec
+) -> tuple[list[tuple[VariableSpec, D.Compiled]], list[str]]:
+    """Compile every spec variable against df; returns (planned,
+    skip-warnings).  All failures surface HERE — before any action."""
+    variables = spec if _is_loaded(spec) else load_spec(spec)
+    ctx = D._context_from(df)
+    compiler = D.Compiler(ctx, df.schema)
+    planned: list[tuple[VariableSpec, D.Compiled]] = []
+    warns: list[str] = []
+
+    def skip(v: VariableSpec, why: str) -> None:
+        msg = f"Skipping output variable {v.name!r}: {why}"
+        warns.append(msg)
+        _warnings.warn(msg, SpecWarning)
+
+    for v in variables:
+        if v.definition is None or not str(v.definition).strip():
+            skip(v, "empty or missing definition")
+            continue
+        try:
+            ast = D.parse_definition(str(v.definition))
+        except D.DefinitionError as e:
+            skip(v, f"definition does not parse ({e})")
+            continue
+        missing = _referenced_names(ast) - set(ctx)
+        if missing:
+            skip(v, f"unknown input(s) {sorted(missing)}")
+            continue
+        c = compiler.compile(ast)
+        c = _apply_declared(v, c)
+        ctx[v.name] = c
+        planned.append((v, c))
+    return planned, warns
+
+
+def _apply_declared(v: VariableSpec, c: D.Compiled) -> D.Compiled:
+    """Fold the declared units/positive into the compiled expression
+    (the ValidateNode convert/flip, flownodes.py:528-552): convert the
+    computed column into the DECLARED units when both are known, and
+    negate when the computed positive direction opposes the declared
+    one."""
+    col, unit, pos = c.col, c.unit, c.positive
+    if v.units is not None:
+        declared = U.parse_unit(v.units)
+        if unit is not None:
+            a, b = U.conversion(unit, declared)  # plan-time check
+            if a != 1.0 or b != 0.0:
+                col = col * F.lit(a) + F.lit(b)
+        unit = declared
+    if v.positive is not None:
+        if pos is not None and pos != v.positive:
+            col = -col
+        pos = v.positive
+    return D.Compiled(col=col, unit=unit, positive=pos, is_agg=c.is_agg)
+
+
+def apply_spec(
+    df: DataFrame, spec, observe: bool = True
+) -> tuple[DataFrame, Observation | None, list[str]]:
+    """definition evaluation → declared cast → valid-range mask +
+    observed statistics, as ONE projection over one scan.
+
+    Returns (output frame with exactly the declared columns,
+    Observation carrying per-column masked counts / mean-abs — read it
+    with ``validate.warnings_from`` after the first action — and the
+    skip warnings)."""
+    planned, warns = plan_spec(df, spec)
+    if not planned:
+        raise SpecError("spec produced no output variables")
+    out = df
+    col_specs = []
+    for v, c in planned:
+        out = out.withColumn(v.name, c.col)
+        out = D._attach_meta(out, v.name, c)
+        col_specs.append(
+            V.ColumnSpec(
+                v.name,
+                dtype=v.datatype,
+                valid_min=v.attributes.get("valid_min"),
+                valid_max=v.attributes.get("valid_max"),
+                ok_min_mean_abs=v.attributes.get("ok_min_mean_abs"),
+                ok_max_mean_abs=v.attributes.get("ok_max_mean_abs"),
+            )
+        )
+    validated, obs = V.validate(out, col_specs, observe=observe)
+    names = [v.name for v, _ in planned]
+    final = validated.select(*names)
+    for v, c in planned:
+        final = D._attach_meta(final, v.name, c)
+    return final, obs, warns
+
+
+# ------------------------------------------------------- committed writes
+def _out_path(root: str, epoch: int) -> str:
+    return os.path.join(root, "outputs", f"epoch={epoch}")
+
+
+def _spec_lineage_path(root: str) -> str:
+    return os.path.join(root, "spec_lineage")
+
+
+def committed_spec_epochs(spark: SparkSession, root: str) -> set[int]:
+    path = _spec_lineage_path(root)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return set()
+    rows = spark.read.parquet(path).select("checkpoint_epoch").distinct().collect()
+    return {r["checkpoint_epoch"] for r in rows}
+
+
+def run_spec(
+    spark: SparkSession,
+    df: DataFrame,
+    spec,
+    root: str,
+    ts_col: str = "ts",
+    epochs: list[int] | None = None,
+) -> dict:
+    """The xconform job: spec + input table → epoch-committed declared
+    outputs under ``root/outputs/epoch=<k>`` with per-partition lineage
+    (``root/spec_lineage``).  The lineage append is the commit point;
+    re-running resumes past committed epochs (pipeline.py contract).
+
+    Returns {"epochs": [...], "skipped": [...], "rows": {epoch: n},
+    "warnings": [...], "metrics": {epoch: observed}}."""
+    from pyconform_spark import pipeline
+
+    os.makedirs(root, exist_ok=True)
+    all_epochs = epochs if epochs is not None else pipeline.list_epochs(
+        df.withColumn("ts", F.col(ts_col))
+    )
+    done = committed_spec_epochs(spark, root)
+    ran, skipped, rows, metrics = [], [], {}, {}
+    all_warns: list[str] = []
+
+    for epoch in all_epochs:
+        if epoch in done:
+            skipped.append(epoch)
+            continue
+        sl = pipeline._epoch_filter(df.withColumn("ts", F.col(ts_col)), [epoch])
+        out, obs, warns = apply_spec(sl, spec)
+        all_warns = warns  # identical per epoch (plan-time property)
+        path = _out_path(root, epoch)
+        out.write.mode("overwrite").parquet(path)
+        written = spark.read.parquet(path)
+        lin = (
+            written.select(F.spark_partition_id().alias("partition_id"))
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("point_count"))
+            .select(
+                "partition_id",
+                F.lit("spec").alias("tier"),
+                F.lit(epoch).cast("long").alias("checkpoint_epoch"),
+                F.col("point_count").cast("long").alias("point_count"),
+            )
+        )
+        # ---- commit point
+        lin.coalesce(1).write.mode("append").parquet(_spec_lineage_path(root))
+        rows[epoch] = written.count()
+        if obs is not None:
+            metrics[epoch] = dict(obs.get)
+        ran.append(epoch)
+
+    return {
+        "epochs": ran,
+        "skipped": skipped,
+        "rows": rows,
+        "warnings": all_warns,
+        "metrics": metrics,
+    }
+
+
+def read_spec_outputs(spark: SparkSession, root: str) -> DataFrame:
+    done = committed_spec_epochs(spark, root)
+    paths = [
+        _out_path(root, e) for e in sorted(done) if os.path.isdir(_out_path(root, e))
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed spec outputs under {root}")
+    return spark.read.parquet(*paths)

@@ -111,9 +111,15 @@ def validate(
             )
         elif s.dtype is not None:
             out = out.withColumn(s.name, col)
-        if observe:
+        out_dtype = (
+            getattr(T, "_parse_datatype_string")(s.dtype)
+            if s.dtype is not None
+            else by_name[s.name]
+        )
+        if observe and _kind_of(out_dtype) in ("i", "f"):
             # mean |x| of the data actually emitted (nulls ignored) —
-            # what ValidateNode warns on (flownodes.py:580-596)
+            # what ValidateNode warns on (flownodes.py:580-596); only
+            # meaningful for numeric columns
             metric_exprs.append(
                 F.avg(F.abs(F.col(s.name))).alias(f"{s.name}_mean_abs")
             )

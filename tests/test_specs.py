@@ -1,0 +1,198 @@
+"""Spec-driven output pipeline tests — the xconform E2E analog.
+
+Mirrors dataflowTests.py:370-426 (multi-variable spec end to end):
+a 13-variable JSON spec over a small input table, every declared
+output compared bit-for-bit against an independent pandas/numpy
+oracle, plus skip-with-warning semantics and the epoch-committed
+resume contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyconform_spark import specs, units, validate
+
+
+def _ts(day: int, hour: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1 + day, hour, 0, 0)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = []
+    vals = [100.0, 250.0, 400.0, 900.0, -50.0, 0.0]
+    i = 0
+    for day in range(3):
+        for hour in (0, 6, 12, 18):
+            rows.append((i, _ts(day, hour), vals[i % len(vals)], float(i % 5 + 1)))
+            i += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, value double, weight double"
+    )
+
+
+# 13 output variables (the dataflowTests E2E width), plus 3 skip cases.
+SPEC = {
+    "v_copy": {"datatype": "double", "definition": "value"},
+    "v_scaled": {"datatype": "double", "definition": "value * 2.0 + 1.0"},
+    "v_chain": {"datatype": "double", "definition": "v_scaled - value"},
+    "v_sec": {
+        "datatype": "double",
+        "definition": "chunits(value, units='ms')",
+        "attributes": {"units": "s"},  # declared units: convert ms -> s
+    },
+    "v_sqrt": {"datatype": "double", "definition": "sqrt(abs(value))"},
+    "v_limit": {
+        "datatype": "double",
+        "definition": "limit(value, below=0.0, above=500.0)",
+    },
+    "v_where": {
+        "datatype": "double",
+        "definition": "where(value > 200.0, value, 0.0 - value)",
+    },
+    "v_poly": {"datatype": "double", "definition": "value**2 / 100.0"},
+    "v_f32": {"datatype": "float", "definition": "value / 3.0"},
+    "v_flag": {"datatype": "boolean", "definition": "value >= 250.0"},
+    "v_masked": {
+        "datatype": "double",
+        "definition": "value",
+        "attributes": {"valid_min": 0.0, "valid_max": 500.0,
+                       "ok_max_mean_abs": 100.0},
+    },
+    "v_down": {
+        "datatype": "double",
+        "definition": "up(value)",
+        "attributes": {"positive": "down"},  # declared flip: negate
+    },
+    "v_weighted": {"datatype": "double", "definition": "value * weight"},
+    # --- skip-with-warning cases (datasets.py:731-747) ---
+    "v_empty": {"datatype": "double", "definition": "   "},
+    "v_unknown": {"datatype": "double", "definition": "no_such_col + 1"},
+    "v_bad": {"datatype": "double", "definition": "value + "},
+}
+
+DECLARED = [
+    "v_copy", "v_scaled", "v_chain", "v_sec", "v_sqrt", "v_limit",
+    "v_where", "v_poly", "v_f32", "v_flag", "v_masked", "v_down",
+    "v_weighted",
+]
+
+
+def _pandas_oracle(pdf):
+    """Independent numpy twin of every declared output (bit-exact)."""
+    v, w = pdf["value"].to_numpy(), pdf["weight"].to_numpy()
+    out = {}
+    out["v_copy"] = v
+    out["v_scaled"] = v * 2.0 + 1.0
+    out["v_chain"] = (v * 2.0 + 1.0) - v
+    out["v_sec"] = v * 0.001 + 0.0
+    out["v_sqrt"] = np.sqrt(np.abs(v))
+    out["v_limit"] = np.minimum(np.maximum(v, 0.0), 500.0)
+    out["v_where"] = np.where(v > 200.0, v, 0.0 - v)
+    out["v_poly"] = (v * v) / 100.0
+    out["v_f32"] = (v / 3.0).astype(np.float32)
+    out["v_flag"] = v >= 250.0
+    out["v_masked"] = np.where((v < 0.0) | (v > 500.0), np.nan, v)
+    out["v_down"] = -v  # up(value) then declared positive=down flips
+    out["v_weighted"] = v * w
+    return out
+
+
+def test_apply_spec_matches_pandas_oracle_bitwise(spark, events):
+    out, obs, warns = specs.apply_spec(events, SPEC)
+    assert out.columns == DECLARED  # declared outputs only, spec order
+
+    got = out.toPandas()
+    pdf = events.orderBy("event_id").toPandas()
+    # row order is not guaranteed; align via a deterministic sort key
+    got = got.sort_values("v_copy", kind="stable").reset_index(drop=True)
+
+    want = _pandas_oracle(pdf)
+    import pandas as pd
+
+    wdf = pd.DataFrame(want).sort_values("v_copy", kind="stable").reset_index(drop=True)
+    for name in DECLARED:
+        a, b = got[name].to_numpy(), wdf[name].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b, equal_nan=True), name  # bit-for-bit
+        else:
+            assert (a == b).all(), name
+
+    # skip-with-warning: exactly the three bad entries, none fatal
+    assert len(warns) == 3
+    assert any("v_empty" in w and "empty" in w for w in warns)
+    assert any("v_unknown" in w and "no_such_col" in w for w in warns)
+    assert any("v_bad" in w for w in warns)
+
+    # observed metrics rode the same action
+    m = obs.get
+    assert m["v_masked_masked"] == got["v_masked"].isna().sum()
+    vw = validate.warnings_from(
+        m, [validate.ColumnSpec("v_masked", ok_max_mean_abs=100.0)]
+    )
+    assert any("mean_abs" in x for x in vw)
+
+
+def test_declared_schema_and_metadata(spark, events):
+    schema = specs.declared_schema(SPEC)
+    assert [f.name for f in schema.fields][:13] == DECLARED
+    assert schema["v_f32"].dataType.simpleString() == "float"
+    assert schema["v_flag"].dataType.simpleString() == "boolean"
+    assert schema["v_sec"].metadata[units.UNITS_KEY] == "s"
+    assert schema["v_down"].metadata[units.POSITIVE_KEY] == "down"
+
+    out, _, _ = specs.apply_spec(events, SPEC)
+    assert [f.name for f in out.schema.fields] == DECLARED
+    assert out.schema["v_f32"].dataType.simpleString() == "float"
+    assert units.unit_of(out, "v_sec") == "s"
+    assert units.positive_of(out, "v_down") == "down"
+
+
+def test_declared_units_must_be_convertible(spark, events):
+    bad = {
+        "v": {
+            "datatype": "double",
+            "definition": "chunits(value, units='ms')",
+            "attributes": {"units": "B"},  # time -> bytes: refused
+        }
+    }
+    with pytest.raises(units.UnitsError, match="time"):
+        specs.apply_spec(events, bad)
+
+
+def test_spec_with_nothing_usable_raises(spark, events):
+    with pytest.raises(specs.SpecError, match="no output"):
+        with pytest.warns(specs.SpecWarning):
+            specs.apply_spec(events, {"v": {"definition": ""}})
+
+
+def test_run_spec_commits_epochs_and_resumes(spark, events, tmp_path):
+    root = str(tmp_path / "specout")
+    res = specs.run_spec(spark, events, SPEC, root)
+    assert res["epochs"] and not res["skipped"]
+    assert sum(res["rows"].values()) == events.count()
+    assert len(res["warnings"]) == 3
+    # every epoch observed its masked-count metric
+    for e in res["epochs"]:
+        assert "v_masked_masked" in res["metrics"][e]
+
+    back = specs.read_spec_outputs(spark, root)
+    assert back.count() == events.count()
+    assert sorted(back.columns) == sorted(DECLARED)
+
+    # resume: everything committed -> all skipped, outputs untouched
+    res2 = specs.run_spec(spark, events, SPEC, root)
+    assert res2["epochs"] == [] and sorted(res2["skipped"]) == sorted(res["epochs"])
+    assert specs.read_spec_outputs(spark, root).count() == events.count()
+
+    # lineage rows exist per committed epoch
+    lin = spark.read.parquet(str(tmp_path / "specout" / "spec_lineage"))
+    assert set(
+        r["checkpoint_epoch"] for r in lin.select("checkpoint_epoch").collect()
+    ) == set(res["epochs"])
