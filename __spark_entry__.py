@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_algebra": Q.value_algebra,
         "stencil_lead_diff": Q.stencil_lead_diff,
         "stencil_deriv3": Q.stencil_deriv3,
+        "int_tabulated_series": Q.int_tabulated_series,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "expand_grid": Q.expand_grid,

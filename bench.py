@@ -116,6 +116,86 @@ def main() -> None:
         run_noop(fn(spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)
 
+    # -- skew win, quantified (ROADMAP item 8): the Zipf head conv joined
+    # back to a per-conv dim, plain shuffle join vs explicit hot-key
+    # splitting.  AQE's skew-join and size-based broadcasts are disabled
+    # for BOTH sides so the measurement isolates the query-declared
+    # strategy — the 1000-executor case where one hot conversation
+    # exceeds a task.
+    from pyspark.sql import functions as F
+
+    from pyconform_spark.operators import skew as skewops
+
+    # A genuinely hot conversation: 90% of turns share one key (the
+    # 10^12-turn regime's pathological head, where one conv's rows
+    # dwarf a task).  The synthetic Zipf head at bench sf is not yet a
+    # straggler, so the hot key is made explicit; the input is floored
+    # at 4M turns so the measurement is straggler-bound, not
+    # overhead-bound.
+    skew_src = (
+        tx if n_turns >= 4_000_000 else synth.transcripts(spark, 4_000_000)
+    )
+    hot = skew_src.withColumn(
+        "conv_id",
+        F.when(F.col("turn_idx") % 10 < 9, F.lit("conv-HOT")).otherwise(
+            F.col("conv_id")
+        ),
+    )
+    hot.persist().count()
+    convs = hot.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    convs.persist().count()
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        plain_q = lambda: hot.join(convs, ["conv_id"])
+        split_q = lambda: skewops.skew_split_join(
+            hot, convs, ["conv_id"], min_share=0.005
+        )
+        run_noop(plain_q())  # warm both paths (codegen, listing)
+        run_noop(split_q())
+        t0 = time.monotonic()
+        run_noop(plain_q())
+        t_plain = time.monotonic() - t0
+        t0 = time.monotonic()
+        run_noop(split_q())
+        t_split = time.monotonic() - t0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    convs.unpersist()
+    hot.unpersist()
+    times["skew_join_plain"] = round(t_plain, 3)
+    times["skew_join_split"] = round(t_split, 3)
+
+    # -- codec decode microbench (no Spark): worst-case random payloads
+    # vs the constant-cadence fast path, in M pts/s.
+    import numpy as np
+
+    from pyconform_spark.operators import codec
+
+    rng = np.random.RandomState(1)
+    wvals = rng.uniform(-1e9, 1e9, 200_000)
+    wblob = codec.gorilla_encode(wvals)
+    codec.gorilla_decode(wblob)  # warm
+    t0 = time.monotonic()
+    codec.gorilla_decode(wblob)
+    worst_mpts = len(wvals) / (time.monotonic() - t0) / 1e6
+    cts = np.arange(0, 86400 * 30, 60, dtype=np.int64)
+    cblob = codec.dod_encode(cts)
+    codec.dod_decode(cblob)  # warm
+    t0 = time.monotonic()
+    codec.dod_decode(cblob)
+    const_mpts = len(cts) / (time.monotonic() - t0) / 1e6
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -127,6 +207,9 @@ def main() -> None:
                 "sf": sf,
                 "transcripts_turns": n_turns,
                 "transcripts_throughput_turns_per_sec": round(throughput, 1),
+                "skew_split_speedup": round(t_plain / t_split, 2),
+                "codec_decode_worst_mpts": round(worst_mpts, 2),
+                "codec_decode_const_mpts": round(const_mpts, 1),
                 "cpus": cpus,
             }
         )

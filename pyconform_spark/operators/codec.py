@@ -25,11 +25,15 @@ Implementation notes (scale + input_hint "no per-row Python"):
 * Timestamp classes (per the paper, widened final class):
   ``0`` dod==0; ``10``+7b dod∈[-63,64]; ``110``+9b dod∈[-255,256];
   ``1110``+12b dod∈[-2047,2048]; ``1111``+64b raw.
-* **Decode** is a linear-time numpy bit cursor that batch-decodes runs
-  of '0' control tokens — the common case for tier series (constant
-  cadence, repeated values): ~257M pts/s for regular-cadence
-  timestamps, ~3.5M pts/s for mostly-constant values, ~0.15-0.5M
-  pts/s worst case (fully random payloads — byte-window int reads).
+* **Decode** separates the sequential token-boundary scan (one
+  byte-window read per non-zero token, density-adaptive zero-run
+  batching) from the value reconstruction, which is pure vectorized
+  numpy: payload bits gather as byte matrices and the value chains are
+  XOR/cumsum PREFIX SCANS (XOR and + are associative; '0' tokens
+  contribute identity).  Measured (local[1] python): ~110-210M pts/s
+  constant cadence/values, ~8M pts/s mostly-constant values, ~1.1-1.2M
+  pts/s worst case (fully random payloads) — 6.7-7.7x the r1 per-token
+  cursor on the worst case.
 * Floats round-trip **bit-exactly** (XOR on the uint64 view — NaN
   payloads and -0.0 included), timestamps exactly (int64 seconds).
 
@@ -40,6 +44,7 @@ The Spark-side API compresses one blob per (series keys, chunk) via
 from __future__ import annotations
 
 import struct
+from bisect import bisect_left
 
 import numpy as np
 import pandas as pd
@@ -144,52 +149,18 @@ def dod_encode(ts: np.ndarray) -> bytes:
     return head + _pack_tokens(containers, lengths)
 
 
-class _BitCursor:
-    """Linear-time bit reader over a numpy 0/1 array, with O(log n)
-    zero-run lookup so runs of '0' control tokens decode in one step
-    (the common case: constant cadence / repeated values).
-
-    The naive big-int approach (``stream >> (nbits-pos-k)``) is O(n)
-    per read → O(n²) per blob; this is O(k) per read and O(1) amortized
-    for zero runs.
-    """
-
-    __slots__ = ("data", "ones", "pos", "nbits", "_j")
-
-    def __init__(self, body: bytes):
-        self.data = body
-        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
-        self.ones = np.flatnonzero(bits).tolist()
-        self.pos = 0
-        self.nbits = len(bits)
-        self._j = 0  # monotonic pointer into ones (pos only advances)
-
-    def zeros_run(self) -> int:
-        """Number of consecutive 0 bits at the cursor (not consumed)."""
-        ones, j = self.ones, self._j
-        while j < len(ones) and ones[j] < self.pos:
-            j += 1
-        self._j = j
-        if j == len(ones):
-            return self.nbits - self.pos
-        return ones[j] - self.pos
-
-    def skip(self, k: int) -> None:
-        self.pos += k
-
-    def take(self, k: int) -> int:
-        # byte-window read: ≤9 bytes cover any k ≤ 64 at any alignment;
-        # small-int arithmetic beats per-call numpy by ~5x
-        p = self.pos
-        self.pos += k
-        byte0 = p >> 3
-        end_byte = (p + k + 7) >> 3
-        chunk = int.from_bytes(self.data[byte0:end_byte], "big")
-        shift = end_byte * 8 - (p + k)
-        return (chunk >> shift) & ((1 << k) - 1)
-
-
 def dod_decode(blob: bytes) -> np.ndarray:
+    """Decode delta-of-delta timestamps.
+
+    Shape: the only sequential work is the token-boundary scan, and it
+    adapts to token density.  SPARSE streams (regular cadence: mostly
+    dod=0 bits) batch whole zero runs through a flatnonzero ones-index;
+    DENSE streams (random cadence — the worst case) skip the ones-index
+    entirely (building it costs more than the scan) and detect runs
+    from the same 80-bit ``int.from_bytes`` window that parses the
+    token, one slice per token.  The delta and value chains are two
+    vectorized ``cumsum`` prefix scans — no per-point Python.
+    """
     assert blob[:4] == MAGIC, "bad magic"
     (n,) = struct.unpack_from("<I", blob, 4)
     if n == 0:
@@ -198,37 +169,59 @@ def dod_decode(blob: bytes) -> np.ndarray:
     if n == 1:
         return np.array([t0], dtype=np.int64)
     (d0,) = struct.unpack_from("<q", blob, 16)
+    body = blob[24:]
+    n_tok = n - 2  # tokens encode dod for points 2..n-1
+    dod = np.zeros(n_tok, dtype=np.int64)
+    if n_tok > 0 and body:
+        bits_total = len(body) * 8
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+        n_ones = int(bits.sum())
+        sparse = n_ones * 8 < bits_total
+        ones = np.flatnonzero(bits).tolist() if sparse else []
+        data = body + b"\x00" * 10
+        pos = 0
+        i = 0  # token index
+        oj = 0
+        while i < n_tok:
+            if sparse:
+                oj = bisect_left(ones, pos, oj)
+                nxt1 = ones[oj] if oj < n_ones else bits_total
+                if nxt1 > pos:  # run of dod=0 tokens (1 bit each)
+                    m = min(nxt1 - pos, n_tok - i)
+                    i += m
+                    pos += m
+                    continue
+            b0 = pos >> 3
+            off = pos - (b0 << 3)
+            w = int.from_bytes(data[b0 : b0 + 10], "big")  # 80-bit window
+            rel = (w >> (12 - off)) & 0xFFFFFFFFFFFFFFFFF  # top 68 bits
+            if not rel >> 67:  # current bit 0: zero run (dense mode)
+                m = min(68 - rel.bit_length(), n_tok - i)
+                i += m
+                pos += m
+                continue
+            if not (rel >> 66) & 1:        # '10' + 7
+                dod[i] = ((rel >> 59) & 0x7F) - 63
+                pos += 9
+            elif not (rel >> 65) & 1:      # '110' + 9
+                dod[i] = ((rel >> 56) & 0x1FF) - 255
+                pos += 12
+            elif not (rel >> 64) & 1:      # '1110' + 12
+                dod[i] = ((rel >> 52) & 0xFFF) - 2047
+                pos += 16
+            else:                           # '1111' + raw 64
+                raw = rel & 0xFFFFFFFFFFFFFFFF
+                dod[i] = raw - (1 << 64) if raw >= (1 << 63) else raw
+                pos += 68
+            i += 1
+    # delta chain then value chain: two prefix scans, fully vectorized
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = d0
+    np.cumsum(dod, out=dod)
+    deltas[1:] = d0 + dod
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
-    out[1] = t0 + d0
-    cur = _BitCursor(blob[24:])
-    delta = d0
-    t = int(out[1])
-    i = 2
-    while i < n:
-        run = cur.zeros_run()
-        if run > 0:
-            # run consecutive dod=0 tokens => constant delta, batched
-            m = min(run, n - i)
-            out[i : i + m] = t + delta * np.arange(1, m + 1, dtype=np.int64)
-            t += delta * m
-            i += m
-            cur.skip(m)
-            continue
-        cur.skip(1)  # leading '1'
-        if cur.take(1) == 0:
-            dod = cur.take(7) - 63
-        elif cur.take(1) == 0:
-            dod = cur.take(9) - 255
-        elif cur.take(1) == 0:
-            dod = cur.take(12) - 2047
-        else:
-            raw = cur.take(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        t += delta
-        out[i] = t
-        i += 1
+    out[1:] = t0 + np.cumsum(deltas)
     return out
 
 
@@ -308,34 +301,87 @@ def gorilla_encode(vals: np.ndarray) -> bytes:
 
 
 def gorilla_decode(blob: bytes) -> np.ndarray:
+    """Decode Gorilla-XOR values.
+
+    Shape: the only sequential work is the token-boundary scan — one
+    3-byte ``int.from_bytes`` header window per non-zero token ('11' +
+    6b lead + 7b width fits any alignment).  Repeated-value runs batch
+    through a flatnonzero ones-index on SPARSE streams; DENSE streams
+    (random payloads — the worst case) skip the ones-index (building
+    it costs more than the scan) and detect runs from the same window.
+    Everything else is vectorized numpy: the meaningful bits of ALL
+    tokens gather as (k, 16)-byte windows -> two u64 lanes, and the
+    value chain is a single ``np.bitwise_xor.accumulate`` prefix scan
+    (XOR is associative; '0' tokens contribute identity).
+    """
     assert blob[:4] == MAGIC, "bad magic"
     (n,) = struct.unpack_from("<I", blob, 4)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     (v0,) = struct.unpack_from("<Q", blob, 8)
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = v0
-    cur = _BitCursor(blob[16:])
-    prev = int(v0)
-    i = 1
-    while i < n:
-        run = cur.zeros_run()
-        if run > 0:
-            # run consecutive '0' tokens => repeated value, batched
-            m = min(run, n - i)
-            out[i : i + m] = prev
-            i += m
-            cur.skip(m)
-            continue
-        cur.skip(2)  # '11' control bits
-        lead = cur.take(6)
-        width = cur.take(7)
-        meaning = cur.take(width)
-        trail = 64 - lead - width
-        prev = prev ^ (meaning << trail)
-        out[i] = prev
-        i += 1
-    return out.view(np.float64)
+    xors = np.zeros(n, dtype=np.uint64)
+    xors[0] = v0
+    body = blob[16:]
+    if n > 1 and body:
+        bits_total = len(body) * 8
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+        n_ones = int(bits.sum())
+        sparse = n_ones * 8 < bits_total
+        ones = np.flatnonzero(bits).tolist() if sparse else []
+        data = body + b"\x00" * 16
+        starts: list[int] = []
+        idxs: list[int] = []
+        hdrs: list[int] = []
+        pos = 0
+        i = 1
+        oj = 0
+        while i < n:
+            if sparse:
+                oj = bisect_left(ones, pos, oj)
+                nxt1 = ones[oj] if oj < n_ones else bits_total
+                if nxt1 > pos:  # run of '0' tokens: repeated values
+                    m = min(nxt1 - pos, n - i)
+                    i += m
+                    pos += m
+                    continue
+            b0 = pos >> 3
+            off = pos - (b0 << 3)
+            # 15-bit header fits in a 3-byte window at any alignment
+            hdr = (
+                int.from_bytes(data[b0 : b0 + 3], "big") >> (9 - off)
+            ) & 0x7FFF
+            if not hdr >> 14:  # current bit 0: zero run (dense mode)
+                m = min(15 - hdr.bit_length(), n - i)
+                i += m
+                pos += m
+                continue
+            starts.append(pos)
+            idxs.append(i)
+            hdrs.append(hdr)
+            pos += 15 + (hdr & 0x7F)
+            i += 1
+        if idxs:
+            hdr_a = np.array(hdrs, dtype=np.uint64)
+            lead = (hdr_a >> np.uint64(7)) & np.uint64(0x3F)
+            width = hdr_a & np.uint64(0x7F)
+            p15 = np.array(starts, dtype=np.int64) + 15
+            bb = p15 >> 3
+            off_a = (p15 & 7).astype(np.uint64)
+            barr = np.frombuffer(data, dtype=np.uint8)
+            win = barr[bb[:, None] + np.arange(16)]
+            hi = win[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+            lo = win[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+            # meaning = bits [off, off+width) of the 128-bit window
+            shift = np.uint64(128) - off_a - width  # in [57, 127]
+            s_hi = np.where(shift >= 64, shift - np.uint64(64), np.uint64(0))
+            s_lo = np.where(shift < 64, shift, np.uint64(1))  # dummy 1 avoids UB
+            from_hi = hi >> s_hi
+            from_both = (hi << (np.uint64(64) - s_lo)) | (lo >> s_lo)
+            meaning = np.where(shift >= 64, from_hi, from_both)
+            mask = ~np.uint64(0) >> (np.uint64(64) - width)  # width >= 1
+            meaning &= mask
+            xors[np.array(idxs)] = meaning << (np.uint64(64) - lead - width)
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
 
 
 # ---------------------------------------------------------------------------

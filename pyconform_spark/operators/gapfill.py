@@ -288,3 +288,66 @@ def fill_spline(
         return pdf
 
     return dense.groupBy(*keys).applyInPandas(_fill, schema=schema)
+
+
+# ---------------------------------------------------- tabulated integral
+def int_tabulated_np(x: np.ndarray, y: np.ndarray) -> float:
+    """The reference's ``int_tabulated`` (idl.py:156-176) composed from
+    the spline pieces above: pad the segment count to a multiple of 4,
+    spline-resample onto a uniform grid, then apply the composite
+    5-point Newton-Cotes rule 2h/45 * (7, 32, 12, 32, 14, ..., 7).
+    Pure numpy; the Spark entry point is :func:`integrate_series`."""
+    nx = len(x)
+    if nx < 2:
+        return 0.0
+    nseg = nx - 1
+    while nseg % 4 != 0:
+        nseg += 1
+    nint = nseg // 4
+    xmin, xmax = float(np.min(x)), float(np.max(x))
+    h = (xmax - xmin) / float(nseg)
+    x_unif = np.linspace(xmin, xmax, nseg + 1)
+    y2 = spline_second_derivs(x, y)
+    z_unif = spline_eval(x, y, y2, x_unif)
+    coef = np.array([7] + [32, 12, 32, 14] * (nint - 1) + [32, 12, 32, 7],
+                    dtype="d")
+    return float(np.sum(z_unif * (2.0 * h * coef / 45.0)))
+
+
+def integrate_series(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-series tabulated integral (int_tabulated over each series'
+    (x, y) samples) as a grouped Arrow UDF — the spline recurrence is
+    inherently sequential per series, so it rides applyInPandas like
+    the other §2.5 numerics; everything around it stays JVM-side.
+
+    Output: one row per series — (*keys, integral double, n_points
+    long).  Series with < 2 points integrate to 0.0 (reference
+    behavior for degenerate input)."""
+    keys = keys or SERIES_KEYS
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.select(*keys).schema]
+        + ["integral double", "n_points long"]
+    )
+
+    def _integrate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort")
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        keep = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[keep], y[keep]
+        # collapse duplicate abscissae (keep first) — spl_init divides
+        # by successive differences
+        if len(x) > 1:
+            uniq = np.concatenate([[True], np.diff(x) > 0])
+            x, y = x[uniq], y[uniq]
+        head = pdf.iloc[:1][list(keys)].reset_index(drop=True)
+        head["integral"] = int_tabulated_np(x, y)
+        head["n_points"] = int(len(x))
+        return head
+
+    return df.groupBy(*keys).applyInPandas(_integrate, schema=out_schema)

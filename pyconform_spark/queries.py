@@ -396,6 +396,26 @@ def stencil_deriv3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*EKEYS, "t", F.col("value_sum_deriv").alias("deriv"))
 
 
+def int_tabulated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series tabulated integral (idl.py:156-176: spline-resample
+    + 5-point Newton-Cotes) over each demo series' hourly value_sum.
+    The spline recurrence is sequential per series, so there is no SQL
+    oracle — the driver records the weaker rows-only check; the golden
+    pytest (tests/test_gapfill.py) checks the math against analytic
+    integrals and the exact knot-quadrature identity."""
+    tier = _hourly_subset(spark, sf_dir).select(
+        *EKEYS,
+        F.col("bucket_start").cast("timestamp").cast("long").cast("double").alias("t"),
+        F.col("value_sum").cast("double").alias("v"),
+    )
+    out = gapfill.integrate_series(tier, "t", "v", EKEYS)
+    return out.select(
+        *EKEYS,
+        F.col("integral").cast("double").alias("integral"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (ocean_basin split analog, commonfunctions.py:1225-1255):
     one column of exact value sums per event_type."""

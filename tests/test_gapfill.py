@@ -162,3 +162,71 @@ class TestSplineFill:
                 # panels deviate more on a quadratic — correct behavior
                 tol = 0.5 if h < 3 or h > 8 else 0.2
                 assert abs(got[h] - f(h)) < tol, (h, got[h], f(h))
+
+
+# ------------------------------------------------- int_tabulated golden
+def test_int_tabulated_knot_quadrature_identity():
+    """When the input grid is ALREADY uniform with nseg % 4 == 0, the
+    spline resample is the identity at the knots, so the integral
+    reduces EXACTLY to sum(y * 2h/45 * coef) — computed here
+    independently of the implementation."""
+    import numpy as np
+
+    from pyconform_spark.operators import gapfill
+
+    x = np.linspace(0.0, 8.0, 9)  # nseg = 8, nint = 2
+    y = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0])
+    h = 1.0
+    coef = np.array([7, 32, 12, 32, 14, 32, 12, 32, 7], dtype="d")
+    want = float(np.sum(y * (2.0 * h * coef / 45.0)))
+    got = gapfill.int_tabulated_np(x, y)
+    assert got == want
+
+
+def test_int_tabulated_analytic_accuracy():
+    """5-point Newton-Cotes over a natural-cubic resample integrates
+    smooth functions to high accuracy, including NON-uniform input
+    grids (the reference's use case)."""
+    import numpy as np
+
+    from pyconform_spark.operators import gapfill
+
+    rng = np.random.RandomState(7)
+    # x^2 over [0, 2] -> 8/3, on a jittered non-uniform grid
+    x = np.sort(np.concatenate([[0.0, 2.0], rng.uniform(0, 2, 30)]))
+    got = gapfill.int_tabulated_np(x, x**2)
+    assert abs(got - 8.0 / 3.0) < 1e-3
+
+    # sin over [0, pi] -> 2
+    x2 = np.sort(np.concatenate([[0.0, np.pi], rng.uniform(0, np.pi, 40)]))
+    got2 = gapfill.int_tabulated_np(x2, np.sin(x2))
+    assert abs(got2 - 2.0) < 1e-4
+
+
+def test_integrate_series_matches_local_numpy(spark):
+    """The grouped-Arrow Spark path returns exactly the local numpy
+    result per series (and drops NaNs/duplicate abscissae first)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyconform_spark.operators import gapfill
+
+    rng = np.random.RandomState(3)
+    rows = []
+    series = {}
+    for k in ["a", "b"]:
+        x = np.sort(rng.uniform(0, 10, 17))
+        y = np.cos(x) + x
+        series[k] = (x, y)
+        rows += [(k, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    rows.append(("a", float(series["a"][0][0]), 99.0))  # duplicate abscissa
+    rows.append(("b", float("nan"), 1.0))               # NaN x dropped
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+
+    got = {
+        r["k"]: (r["integral"], r["n_points"])
+        for r in gapfill.integrate_series(df, "x", "y", ["k"]).collect()
+    }
+    for k, (x, y) in series.items():
+        assert got[k][0] == gapfill.int_tabulated_np(x, y)
+        assert got[k][1] == len(x)
