@@ -324,6 +324,38 @@ def run_spec(
     }
 
 
+def scaffold_spec(
+    df: DataFrame, rename: dict[str, str] | None = None
+) -> dict:
+    """Author a starting output spec FROM an input table — the
+    ``iconform`` analog (the reference generates output specs from
+    standardization tables; here the input schema is the source of
+    truth).  Each column becomes an identity-definition output variable
+    carrying its dtype and any units/positive metadata already riding
+    the schema; ``rename`` maps input column -> output variable name.
+    The returned dict round-trips through :func:`load_spec` /
+    :func:`run_spec`, and is the template users edit definitions into.
+    """
+    rename = rename or {}
+    spec: dict = {}
+    for fld in df.schema.fields:
+        attrs: dict = {}
+        meta = fld.metadata or {}
+        if U.UNITS_KEY in meta:
+            attrs["units"] = meta[U.UNITS_KEY]
+        if U.POSITIVE_KEY in meta:
+            attrs["positive"] = meta[U.POSITIVE_KEY]
+        out_name = rename.get(fld.name, fld.name)
+        entry: dict = {
+            "datatype": fld.dataType.simpleString(),
+            "definition": fld.name,
+        }
+        if attrs:
+            entry["attributes"] = attrs
+        spec[out_name] = entry
+    return spec
+
+
 def read_spec_outputs(spark: SparkSession, root: str) -> DataFrame:
     done = committed_spec_epochs(spark, root)
     paths = [

@@ -196,3 +196,23 @@ def test_run_spec_commits_epochs_and_resumes(spark, events, tmp_path):
     assert set(
         r["checkpoint_epoch"] for r in lin.select("checkpoint_epoch").collect()
     ) == set(res["epochs"])
+
+
+def test_scaffold_spec_roundtrips(spark, events):
+    """iconform analog: a scaffolded spec (identity definitions +
+    schema metadata) loads and runs unchanged, reproducing the input."""
+    d = units.with_units(events, "value", "ms")
+    d = units.with_positive(d, "value", "up")
+    spec = specs.scaffold_spec(d, rename={"value": "v_out"})
+    assert spec["v_out"]["definition"] == "value"
+    assert spec["v_out"]["attributes"] == {"units": "ms", "positive": "up"}
+    assert spec["event_id"]["datatype"] == "bigint"
+
+    out, _, warns = specs.apply_spec(
+        d, {k: v for k, v in spec.items() if k in ("event_id", "v_out")}
+    )
+    assert warns == []
+    got = sorted((r["event_id"], r["v_out"]) for r in out.collect())
+    want = sorted((r["event_id"], r["value"]) for r in events.collect())
+    assert got == want
+    assert units.unit_of(out, "v_out") == "ms"
