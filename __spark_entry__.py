@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stencil_lead_diff": Q.stencil_lead_diff,
         "stencil_deriv3": Q.stencil_deriv3,
         "int_tabulated_series": Q.int_tabulated_series,
+        "tem_diagnostics_series": Q.tem_diagnostics_series,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "expand_grid": Q.expand_grid,

@@ -486,3 +486,107 @@ SELECT event_type,
        (max(value) - min(value))::DOUBLE AS v_span
 FROM events GROUP BY 1
 """
+
+
+# ----------------------------------------- TEM diagnostics (DynVarMIP)
+def _deriv_case_sql(y: str) -> str:
+    """The 3-point nonuniform derivative of column family {y, y0, y2,
+    y3, ym2} over the shared t-lags (x0, x2, x3, xm2) — identical op
+    order to operators/stencil.deriv3 (bit-exact, proven by the
+    stencil_deriv3 gate)."""
+    y0, y2, y3, ym2 = f"{y}0", f"{y}2", f"{y}3", f"{y}m2"
+    return f"""CASE
+    WHEN x0 IS NULL THEN
+      {y} * ((t - x2) + (t - x3)) / ((t - x2) * (t - x3))
+      - {y2} * ((t - x3) / ((t - x2) * (x2 - x3)))
+      + {y3} * ((t - x2) / ((t - x3) * (x2 - x3)))
+    WHEN x2 IS NULL THEN
+      -{ym2} * ((x0 - t) / ((xm2 - x0) * (xm2 - t)))
+      + {y0} * ((xm2 - t) / ((xm2 - x0) * (x0 - t)))
+      - {y} * ((xm2 - t) + (x0 - t)) / ((xm2 - t) * (x0 - t))
+    ELSE
+      {y0} * ((t - x2) / ((x0 - t) * (x0 - x2)))
+      + {y} * (1.0 / (t - x2) - 1.0 / (x0 - t))
+      - {y2} * ((x0 - t) / ((x0 - x2) * (t - x2)))
+  END"""
+
+
+def _lags_sql(cols: list[str]) -> str:
+    """t-lags plus per-column neighbor lags over the shared window."""
+    parts = [
+        "lag(t) OVER w AS x0",
+        "lead(t) OVER w AS x2",
+        "lead(t, 2) OVER w AS x3",
+        "lag(t, 2) OVER w AS xm2",
+    ]
+    for y in cols:
+        parts += [
+            f"lag({y}) OVER w AS {y}0",
+            f"lead({y}) OVER w AS {y}2",
+            f"lead({y}, 2) OVER w AS {y}3",
+            f"lag({y}, 2) OVER w AS {y}m2",
+        ]
+    return ",\n         ".join(parts)
+
+
+_H_SCALE_LIT = "'0.014285714285714285'::DOUBLE"  # 100.0/7000.0, exact double
+
+ORACLES["tem_diagnostics_series"] = f"""
+WITH tier AS ({_HOURLY_SUBSET}),
+pts AS (
+  SELECT user_id, event_type,
+         (epoch_ms(bucket_start)//1000)::DOUBLE AS t,
+         value_sum AS u,
+         n_events::DOUBLE AS th,
+         value_sum / n_events AS v,
+         1.0 + user_id / 100.0 AS c,
+         user_id / 50.0 AS f,
+         value_sum * (1.0 + user_id / 100.0) AS uc
+  FROM tier
+),
+nb1 AS (
+  SELECT *, {_lags_sql(["th", "u", "uc"])}
+  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)
+),
+d1 AS (
+  SELECT user_id, event_type, t, u, th, v, c, f,
+         {_deriv_case_sql("th")} AS dth,
+         {_deriv_case_sql("u")} AS du,
+         {_deriv_case_sql("uc")} AS duc
+  FROM nb1
+),
+d1b AS (
+  SELECT *, CASE WHEN dth <> 0.0 AND isfinite(u / dth) THEN u / dth END AS psi
+  FROM d1
+),
+d1c AS (
+  SELECT *, psi * c AS psic,
+         c * (du * psi - u * v) AS epfy,
+         c * (f - duc / (2.0 * c)) * psi AS epfz
+  FROM d1b
+),
+d1d AS (SELECT *, epfy * c AS epfyc FROM d1c),
+nb2 AS (
+  SELECT user_id, event_type, t, u, v, c, f, du, duc, epfy, epfz,
+         psi, psic, epfyc,
+         {_lags_sql(["psi", "psic", "epfyc", "epfz"])}
+  FROM d1d WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)
+),
+fin AS (
+  SELECT user_id, event_type, t, u, v, c, f, du, duc, epfy, epfz,
+         {_deriv_case_sql("psi")} AS dpsi,
+         {_deriv_case_sql("psic")} AS dpsic,
+         {_deriv_case_sql("epfyc")} AS depfyc,
+         {_deriv_case_sql("epfz")} AS depfz
+  FROM nb2
+)
+SELECT user_id, event_type, t,
+       (-u * {_H_SCALE_LIT} + dpsic / (2.0 * c))::DOUBLE AS wtem,
+       (v - dpsi)::DOUBLE AS vtem,
+       ((v - dpsi) * (f - duc / (2.0 * c)))::DOUBLE AS utendvtem,
+       (-(-u * {_H_SCALE_LIT} + dpsic / (2.0 * c)) * du)::DOUBLE AS utendwtem,
+       epfy::DOUBLE AS epfy,
+       epfz::DOUBLE AS epfz,
+       ((depfyc / c + depfz) / 2.0)::DOUBLE AS utendepfd
+FROM fin
+"""

@@ -416,6 +416,35 @@ def int_tabulated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tem_diagnostics_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven DynVarMIP TEM diagnostics (SURVEY §2.5) over the demo
+    series: wtem/vtem/utendvtem/utendwtem/epfy/epfz/utendepfd as nested
+    deriv3 + pointwise-algebra compositions (dynvarmipdiags.py:22-180),
+    one shared window sort for the whole suite.  Oracle-exact — the SQL
+    twin replicates every floating-point op in order."""
+    from pyconform_spark.operators import tem
+
+    tier = _hourly_subset(spark, sf_dir).select(
+        *EKEYS,
+        F.col("bucket_start").cast("timestamp").cast("long").cast("double").alias("t"),
+        F.col("value_sum").cast("double").alias("u"),
+        F.col("n_events").cast("double").alias("th"),
+        (F.col("value_sum") / F.col("n_events")).alias("v"),
+    )
+    out = tem.tem_diagnostics(tier, EKEYS, key_scale="user_id")
+    return out.select(
+        *EKEYS,
+        "t",
+        *[
+            F.col(cname).cast("double").alias(cname)
+            for cname in (
+                "wtem", "vtem", "utendvtem", "utendwtem",
+                "epfy", "epfz", "utendepfd",
+            )
+        ],
+    )
+
+
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (ocean_basin split analog, commonfunctions.py:1225-1255):
     one column of exact value sums per event_type."""

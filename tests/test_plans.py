@@ -149,3 +149,15 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     plan = plan_of(simsearch.knn_bruteforce(emb))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tem_suite_shares_one_window_sort(spark):
+    """All seven TEM diagnostics (three chained derivative passes) must
+    ride ONE sort: the window spec is identical across every deriv3
+    call, so Catalyst plans 7 Window nodes over a single Exchange+Sort
+    — at 100 TB the whole DynVarMIP suite costs one shuffle."""
+    plan = plan_of(Q.tem_diagnostics_series(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") <= 2  # agg + window partition
+    assert count_nodes(plan, "Sort") == 1      # shared by all 7 windows
+    assert count_nodes(plan, "Window") == 7
