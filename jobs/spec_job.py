@@ -4,21 +4,39 @@ input table → validated, epoch-committed declared outputs.
 
     spark-submit --py-files dist/pyconform_spark.zip \
         jobs/spec_job.py --spec spec.json --input /path/events.parquet \
-        --root /path/out_root [--ts-col ts] [--validate-only]
+        --root /path/out_root [--ts-col ts] [--validate-only] \
+        [--module my_funcs.py ...]
 
 ``--validate-only`` mirrors xconform's no-input mode: the spec is
 parsed and planned against the input schema (every definition compiled,
-every unit checked) and the job exits before any data moves.  Variables
-with missing/unparseable definitions or unknown inputs are skipped with
-warnings, never failing the whole spec.  Re-running resumes past
-committed epochs (the lineage append is the commit point).
+every unit checked) and the job exits before any data moves.
+``--module`` mirrors ``xconform -m`` (scripts/xconform:152-155): each
+path is imported before planning, and any functions it registers via
+``pyconform_spark.defs.register_function`` become callable from spec
+definitions.  Variables with missing/unparseable definitions or unknown
+inputs are skipped with warnings, never failing the whole spec.
+Re-running resumes past committed epochs (the lineage append is the
+commit point).
 """
 
 from __future__ import annotations
 
 import argparse
+import importlib.util
 import json
 import sys
+
+
+def load_user_modules(paths: list[str]) -> list[str]:
+    """Import user function-plugin modules (xconform -m analog); their
+    import side effect is defs.register_function calls."""
+    loaded = []
+    for i, path in enumerate(paths):
+        spec = importlib.util.spec_from_file_location(f"user{i}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        loaded.append(path)
+    return loaded
 
 
 def main() -> None:
@@ -28,7 +46,12 @@ def main() -> None:
     ap.add_argument("--root", required=True, help="output root")
     ap.add_argument("--ts-col", default="ts", help="epoch-slicing timestamp column")
     ap.add_argument("--validate-only", action="store_true")
+    ap.add_argument(
+        "--module", action="append", default=[],
+        help="user function-plugin module path (repeatable; xconform -m analog)",
+    )
     args = ap.parse_args()
+    load_user_modules(args.module)
 
     from pyspark.sql import SparkSession
 

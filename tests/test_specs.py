@@ -216,3 +216,34 @@ def test_scaffold_spec_roundtrips(spark, events):
     want = sorted((r["event_id"], r["value"]) for r in events.collect())
     assert got == want
     assert units.unit_of(out, "v_out") == "ms"
+
+
+def test_user_function_module_plugin(spark, events, tmp_path):
+    """xconform -m analog: a user module registering a function via
+    defs.register_function makes it callable from spec definitions."""
+    mod = tmp_path / "user_funcs.py"
+    mod.write_text(
+        "from pyspark.sql import functions as F\n"
+        "from pyconform_spark import defs\n"
+        "\n"
+        "@defs.register_function('double_it')\n"
+        "def _double(args, kwds):\n"
+        "    a = args[0]\n"
+        "    return defs.Compiled(col=a.col * 2.0, unit=a.unit)\n"
+    )
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.spec_job import load_user_modules
+
+    try:
+        load_user_modules([str(mod)])
+        out, _, warns = specs.apply_spec(
+            events, {"v2": {"datatype": "double", "definition": "double_it(value)"}}
+        )
+        assert warns == []
+        got = sorted(r["v2"] for r in out.collect())
+        want = sorted(r["value"] * 2.0 for r in events.collect())
+        assert got == want
+    finally:
+        from pyconform_spark import defs as D
+        D.FUNCTIONS.pop("double_it", None)
