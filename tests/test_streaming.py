@@ -302,3 +302,32 @@ def test_incremental_cascade_recomputes_only_changed_epochs(spark, tmp_path):
 
     # no-op when nothing changed
     assert streaming.cascade_stream_store_incremental(spark, root) == []
+
+
+def test_spec_pipeline_applies_to_streams(spark, tx_dir):
+    """The spec compiler output is a pure projection, so the SAME spec
+    drives batch and Structured Streaming unchanged: streaming
+    apply_spec == batch apply_spec over the same input (observe=False —
+    streaming metrics ride query-progress listeners instead)."""
+    from pyconform_spark import specs
+
+    spec = {
+        "conv": {"datatype": "string", "definition": "conv_id"},
+        "idx": {"datatype": "bigint", "definition": "turn_idx"},
+        "len2": {"datatype": "double", "definition": "turn_idx * 2.0 + 1.0"},
+        "capped": {
+            "datatype": "double",
+            "definition": "limit(turn_idx, above=5.0)",
+        },
+    }
+    batch = spark.read.parquet(tx_dir)
+    want_df, _, _ = specs.apply_spec(batch, spec, observe=False)
+    stream = spark.readStream.schema(batch.schema).parquet(tx_dir)
+    got_df, _, warns = specs.apply_spec(stream, spec, observe=False)
+    assert got_df.isStreaming and warns == []
+    from pyconform_spark import streaming as S
+
+    S.run_stream_to_memory(got_df, "spec_stream", output_mode="append")
+    got = _rows(spark.table("spec_stream"))
+    want = _rows(want_df)
+    assert got == want
