@@ -140,8 +140,10 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only aggregate — never touches the payload column, so
-    the scan prunes the blob pages (ReadSchema excludes payload)."""
+    """Metadata-plus-size aggregate: the only payload access is
+    ``length`` (byte count, no decode).  At scale, store ``n_bytes``
+    as its own metadata column at ingest so this query prunes the blob
+    pages entirely; the decode path stays in extract_features."""
     return (
         media.groupBy("kind", "format")
         .agg(

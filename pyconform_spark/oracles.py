@@ -590,3 +590,17 @@ SELECT user_id, event_type, t,
        ((depfyc / c + depfz) / 2.0)::DOUBLE AS utendepfd
 FROM fin
 """
+
+# ----------------------------------------------- multimodal binary meta
+# Twin of queries.media_binary_meta: DuckDB sha256 takes VARCHAR and
+# hashes its UTF-8 bytes — identical to Spark's sha2 over the encoded
+# payload; strlen counts bytes.
+ORACLES["media_binary_meta"] = """
+SELECT event_id,
+       ['image','audio','video'][(event_id % 3 + 1)::INT] AS kind,
+       strlen(repeat('blob-' || event_id || '|', (event_id % 7 + 1)::INT))::BIGINT
+         AS n_bytes,
+       sha256(repeat('blob-' || event_id || '|', (event_id % 7 + 1)::INT))
+         AS payload_sha
+FROM events
+"""

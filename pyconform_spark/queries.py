@@ -416,6 +416,32 @@ def int_tabulated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing with a DuckDB twin: opaque
+    payloads synthesized deterministically from events (multimodal.py's
+    layout), then metadata-level ops — kind tagging, byte length,
+    content hash — that at scale never decode the blob (the decode
+    stage itself is the documented stub in multimodal.decode_stub)."""
+    df = _events(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.repeat(
+            F.concat(F.lit("blob-"), F.col("event_id").cast("string"), F.lit("|")),
+            (F.col("event_id") % 7 + 1).cast("int"),
+        ),
+        "UTF-8",
+    )
+    return df.select(
+        "event_id",
+        kind.alias("kind"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
 def tem_diagnostics_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All seven DynVarMIP TEM diagnostics (SURVEY §2.5) over the demo
     series: wtem/vtem/utendvtem/utendwtem/epfy/epfz/utendepfd as nested

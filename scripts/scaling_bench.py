@@ -149,12 +149,16 @@ def main() -> None:
     # and keep the better visit — steady-state capability, not luck of
     # the draw on a noisy neighbor
     visits = [run_level(n, path, 4, 1), run_level(4 * n, path, 4, 1),
-              run_level(n, path, 2, 0), run_level(4 * n, path, 2, 0)]
+              run_level(n, path, 2, 1), run_level(4 * n, path, 2, 1)]
     lo = max(visits[0], visits[2], key=lambda r: r["throughput"])
     hi = max(visits[1], visits[3], key=lambda r: r["throughput"])
-    for merged, first in ((lo, visits[0]), (hi, visits[1])):
-        for k in ("cascade_times", "cascade_best_sec", "cascade_throughput"):
-            merged.setdefault(k, first[k])
+    # the cascade gets the SAME two-visit keep-best treatment as the
+    # flagship — a single noisy visit must not define either level
+    for merged, a, b in ((lo, visits[0], visits[2]), (hi, visits[1], visits[3])):
+        best = max(a, b, key=lambda r: r["cascade_throughput"])
+        merged["cascade_times"] = [r["cascade_best_sec"] for r in (a, b)]
+        merged["cascade_best_sec"] = best["cascade_best_sec"]
+        merged["cascade_throughput"] = best["cascade_throughput"]
     lo["all_visit_best_secs"] = [visits[0]["best_sec"], visits[2]["best_sec"]]
     hi["all_visit_best_secs"] = [visits[1]["best_sec"], visits[3]["best_sec"]]
     eff = hi["throughput"] / (4.0 * lo["throughput"])
