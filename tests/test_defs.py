@@ -283,3 +283,33 @@ def test_defs_stay_jvm_side(spark, df):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Project" in plan
+
+
+def test_parser_accepts_reference_example_corpus():
+    """Grammar parity proof on REAL inputs: every definition string in
+    the reference's shipped example specs (read at test time from the
+    read-only reference checkout — nothing copied) must parse.  Skips
+    when the reference tree is absent."""
+    import glob
+    import json
+    import os
+
+    root = "/root/reference/examples"
+    if not os.path.isdir(root):
+        pytest.skip("reference examples not available")
+    seen = set()
+    for p in glob.glob(f"{root}/**/*.json", recursive=True):
+        try:
+            d = json.load(open(p))
+        except Exception:
+            continue
+        if not isinstance(d, dict):
+            continue
+        for vd in d.values():
+            if isinstance(vd, dict) and isinstance(vd.get("definition"), str):
+                s = vd["definition"].strip()
+                if s:
+                    seen.add(s)
+    assert len(seen) >= 50  # the corpus is real, not a handful
+    for s in sorted(seen):
+        parse_definition(s)  # must not raise
