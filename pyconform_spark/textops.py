@@ -768,6 +768,75 @@ FROM documents
 """
 
 
+# ------------------------------------------------- SimHash near-dup pairs
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, at scale:
+    byte-banding proposes candidates (two docs within Hamming k of a
+    32-bit signature share at least one of its 4 bytes whenever k < 8
+    per the pigeonhole argument for evenly spread diffs — the standard
+    Charikar/Manku crawl-dedup trick), a bit_count verify confirms.
+
+    Candidate stage is a banded self-join (linear in docs + bucket
+    sizes, never all-pairs); verify is one integer XOR + popcount per
+    candidate — all JVM-side."""
+    sig = simhash32(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256).alias(
+                "val"
+            ),
+        )
+        for b in range(4)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 6) -> str:
+    return f"""
+WITH sig AS ({simhash32_sql()}),
+banded AS (
+  SELECT doc_id, simhash, b.band, (simhash // (1 << (8 * b.band))) % 256 AS val
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -785,6 +854,7 @@ def register_text_queries() -> dict[str, callable]:
         # the exhaustive audit twin (quadratic candidate stage)
         "dedup_jaccard_all_pairs": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash32(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: simhash_near_pairs(_docs(s, d)),
         "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
@@ -802,6 +872,7 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
     "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),
     "dedup_simhash": simhash32_sql(),
+    "dedup_simhash_pairs": simhash_near_pairs_sql(),
     "text_token_stats": token_stats_sql(),
     "text_lang_id": lang_id_sql(),
     "text_fingerprint": doc_fingerprint_sql(),
