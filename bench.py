@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "tpch_q1",
     "top_revenue_orders",
+    "derived_defs",
+    "tem_diagnostics_series",
+    "dedup_simhash_pairs",
+    "media_binary_meta",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -769,29 +769,97 @@ FROM documents
 
 
 # ------------------------------------------------- SimHash near-dup pairs
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance, at scale:
-    byte-banding proposes candidates (two docs within Hamming k of a
-    32-bit signature share at least one of its 4 bytes whenever k < 8
-    per the pigeonhole argument for evenly spread diffs — the standard
-    Charikar/Manku crawl-dedup trick), a bit_count verify confirms.
+def simhash_dual(docs: DataFrame) -> DataFrame:
+    """A 64-bit SimHash signature as TWO 32-bit lanes (independently
+    salted token hashes), built in ONE aggregation: one explode, 64 SUM
+    votes, one shuffle (map-side combined).  Two lanes avoid signed
+    64-bit assembly overflow under ANSI mode while giving the same
+    Hamming geometry."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    ).select(
+        "doc_id",
+        hash31(F.col("w")).alias("h1"),
+        hash31(F.concat(F.lit("s2|"), F.col("w"))).alias("h2"),
+    )
+    votes = []
+    for lane, h in (("1", "h1"), ("2", "h2")):
+        votes += [
+            F.sum(
+                (F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{lane}_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sims = []
+    for lane in ("1", "2"):
+        sim = None
+        for j in range(SIMHASH_BITS):
+            bit = F.when(F.col(f"v{lane}_{j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            sim = bit if sim is None else sim + bit
+        sims.append(sim.cast("long").alias(f"sim{lane}"))
+    return agg.select("doc_id", *sims)
 
-    Candidate stage is a banded self-join (linear in docs + bucket
-    sizes, never all-pairs); verify is one integer XOR + popcount per
-    candidate — all JVM-side."""
-    sig = simhash32(docs)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256).alias(
-                "val"
-            ),
+
+def simhash_dual_sql() -> str:
+    parts = []
+    for lane, h in (("1", "h1"), ("2", "h2")):
+        parts += [
+            f"sum((({h} >> {j}) & 1) * 2 - 1) AS v{lane}_{j}"
+            for j in range(SIMHASH_BITS)
+        ]
+    votes = ", ".join(parts)
+    sims = []
+    for lane in ("1", "2"):
+        bits = " + ".join(
+            f"(CASE WHEN v{lane}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BITS)
         )
-        for b in range(4)
+        sims.append(f"({bits})::BIGINT AS sim{lane}")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {hash31_sql('w')} AS h1,
+         {hash31_sql("'s2|' || w")} AS h2
+  FROM (SELECT doc_id, unnest(list_distinct({TOKENS_SQL})) AS w FROM documents)
+),
+agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, {", ".join(sims)} FROM agg
+"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, at scale.
+
+    The 64-bit dual-lane signature is banded into 4 bands of 16 bits;
+    docs sharing at least one band are candidates, then one XOR +
+    popcount per lane verifies the exact Hamming distance.  The
+    pigeonhole guarantee is EXACT recall for ``max_hamming <= 3``:
+    with 4 bands, any pair differing in at most 3 bits leaves at least
+    one band untouched.  Bands are 2^16-ary, so bucket sizes stay tiny
+    as the corpus grows (the 8-bit-band variant's 256 buckets per band
+    go quadratic at corpus scale — the reason for 16-bit bands), and
+    the banded self-join stays linear in docs + bucket sizes."""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 breaks the 4-band pigeonhole recall "
+            "guarantee; add bands (wider signature) instead"
+        )
+    sig = simhash_dual(docs)
+    bands = [
+        (F.shiftright(F.col("sim1"), 16).bitwiseAND(F.lit(0xFFFF)), 0),
+        (F.col("sim1").bitwiseAND(F.lit(0xFFFF)), 1),
+        (F.shiftright(F.col("sim2"), 16).bitwiseAND(F.lit(0xFFFF)), 2),
+        (F.col("sim2").bitwiseAND(F.lit(0xFFFF)), 3),
+    ]
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), expr.cast("long").alias("val"))
+        for expr, b in bands
     ]
     banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "simhash", "bb.band", "bb.val")
+        "doc_id", "sim1", "sim2", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sim1", "sim2", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -803,37 +871,44 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sim1").alias("a1"),
+            F.col("a.sim2").alias("a2"),
+            F.col("b.sim1").alias("b1"),
+            F.col("b.sim2").alias("b2"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.where(ham <= max_hamming)
-        .select(
-            "doc_a",
-            "doc_b",
-            ham.cast("int").alias("hamming"),
-        )
+    ham = F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))) + F.bit_count(
+        F.col("a2").bitwiseXOR(F.col("b2"))
+    )
+    return cand.where(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
-def simhash_near_pairs_sql(max_hamming: int = 6) -> str:
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     return f"""
-WITH sig AS ({simhash32_sql()}),
+WITH sig AS ({simhash_dual_sql()}),
 banded AS (
-  SELECT doc_id, simhash, b.band, (simhash // (1 << (8 * b.band))) % 256 AS val
+  SELECT doc_id, sim1, sim2, b.band,
+         CASE b.band
+           WHEN 0 THEN (sim1 >> 16) & 65535
+           WHEN 1 THEN sim1 & 65535
+           WHEN 2 THEN (sim2 >> 16) & 65535
+           ELSE sim2 & 65535
+         END AS val
   FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sig_a, b.simhash AS sig_b
+         a.sim1 AS a1, a.sim2 AS a2, b.sim1 AS b1, b.sim2 AS b2
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+SELECT doc_a, doc_b,
+       (bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) <= {max_hamming}
 """
 
 
