@@ -313,3 +313,93 @@ def test_parser_accepts_reference_example_corpus():
     assert len(seen) >= 50  # the corpus is real, not a handful
     for s in sorted(seen):
         parse_definition(s)  # must not raise
+
+
+# ----------------------------------------------- property-based parsing
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_names = st.from_regex(r"[a-z][a-z0-9_]{0,5}", fullmatch=True)
+_ints = st.integers(min_value=0, max_value=10**6)
+_floats = st.floats(
+    min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+_strings = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           exclude_characters="\"'\\"),
+    max_size=8,
+)
+_binops = st.sampled_from(["+", "-", "*", "/", "**", "<", ">", "<=", ">=", "=="])
+
+
+def _render(ast) -> str:
+    """Emit concrete syntax the grammar accepts (strings quoted —
+    unlike __str__, which is the reference's display form)."""
+    if isinstance(ast, OpType):
+        if len(ast.args) == 1:
+            return f"(-{_render(ast.args[0])})"
+        return f"({_render(ast.args[0])} {ast.key} {_render(ast.args[1])})"
+    if isinstance(ast, FuncType):
+        parts = [
+            f'"{a}"' if isinstance(a, str) else _render(a) for a in ast.args
+        ]
+        parts += [
+            f'{k}={f_quote(v)}' for k, v in ast.kwds.items()
+        ]
+        return f"{ast.key}({', '.join(parts)})"
+    if isinstance(ast, VarType):
+        if not ast.ind:
+            return ast.key
+        def ind(i):
+            if isinstance(i, slice):
+                return ":".join(
+                    "" if p is None else str(p)
+                    for p in (i.start, i.stop, i.step)
+                )
+            return str(i)
+        return f"{ast.key}[{', '.join(ind(i) for i in ast.ind)}]"
+    if isinstance(ast, str):
+        return f'"{ast}"'
+    return repr(ast)
+
+
+def f_quote(v):
+    return f'"{v}"' if isinstance(v, str) else _render(v)
+
+
+def _exprs(depth):
+    """AST nodes that do NOT fold at parse time: every OpType keeps at
+    least one symbolic child, unary minus never wraps a constant."""
+    var = st.builds(lambda n: VarType(n, []), _names)
+    ivar = st.builds(
+        lambda n, i: VarType(n, [i]),
+        _names,
+        st.one_of(
+            _ints,
+            st.builds(slice, _ints, st.integers(min_value=0, max_value=10**6),
+                      st.one_of(st.none(), _ints)),
+        ),
+    )
+    if depth == 0:
+        return st.one_of(var, ivar)
+    sub = _exprs(depth - 1)
+    leafy = st.one_of(sub, _ints, _floats)
+    func = st.builds(
+        lambda n, args, kwds: FuncType(n, args, kwds),
+        _names,
+        st.lists(st.one_of(leafy, _strings), max_size=3),
+        st.dictionaries(_names, st.one_of(leafy, _strings), max_size=2),
+    )
+    binl = st.builds(lambda op, a, b: OpType(op, [a, b]), _binops, sub, leafy)
+    binr = st.builds(lambda op, a, b: OpType(op, [a, b]), _binops, leafy, sub)
+    neg = st.builds(lambda a: OpType("-", [a]), sub)
+    return st.one_of(var, ivar, func, binl, binr, neg)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_exprs(3))
+def test_parse_render_roundtrip(ast):
+    """Property: rendering any non-foldable AST to concrete syntax and
+    re-parsing reproduces the AST exactly (the parser neither loses nor
+    invents structure)."""
+    assert parse_definition(_render(ast)) == ast
