@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_convert": Q.unit_convert,
         "derived_defs": Q.derived_defs,
         "derived_agg_defs": Q.derived_agg_defs,
+        "defs_rollup_1h": Q.defs_rollup_1h,
         "climatology_hourly": Q.climatology_hourly,
         "value_algebra": Q.value_algebra,
         "stencil_lead_diff": Q.stencil_lead_diff,

@@ -604,3 +604,14 @@ SELECT event_id,
          AS payload_sha
 FROM events
 """
+
+# ------------------------------------- defs-driven tier rollup (1h)
+ORACLES["defs_rollup_1h"] = f"""
+SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+       count(value)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v_sum,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value) AS v_mean,
+       (max(value) - min(value))::DOUBLE AS v_span,
+       (count(value) / 3600.0)::DOUBLE AS v_rate
+FROM events GROUP BY 1,2,3
+"""

@@ -740,6 +740,30 @@ def derived_agg_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return defs.evaluate_agg_defs(df, ["event_type"], DERIVED_AGG_DEFS)
 
 
+def defs_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The front-end driving the ENGINE: an hourly tier rollup whose
+    aggregate columns are string definitions (count/sum/mean/min/max
+    composed with row-wise algebra), compiled and grouped over
+    (series, bucket) — how a spec-driven user would express a custom
+    retention tier."""
+    from pyconform_spark import defs
+
+    df = _events(spark, sf_dir).withColumn(
+        "bucket_start", bucket_ts(F.col("ts"), 3600)
+    )
+    return defs.evaluate_agg_defs(
+        df,
+        [*EKEYS, "bucket_start"],
+        [
+            "n_events = count(value)",
+            "v_sum = sum(value)",
+            "v_mean = mean(value)",
+            "v_span = max(value) - min(value)",
+            "v_rate = count(value) / 3600.0",
+        ],
+    )
+
+
 def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregate (the relational-checklist 'distinct'
     operator; Spark plans it as a two-phase expand+agg)."""
