@@ -1,0 +1,129 @@
+"""Standalone driver-gate replica: run EVERY __spark_entry__.queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same
+parquet, compare values bit-for-bit, and write one JSON report.
+
+This is the judge-check script (ROADMAP round-3 item 4): r1's driver
+file omitted 2 of the 52 queries, so the catalog's completeness is
+verifiable locally with one command:
+
+    python scripts/correctness_sweep.py [sf_dir] [out_json]
+
+Defaults: /root/testdata/sf0.01, stdout-only.  Exit code 1 on any
+mismatch.  Queries without an oracle (sequential numerics with no SQL
+twin) are reported as rows_only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).dt.tz_localize(None)
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            s = s.astype(bool)
+        out[c] = s
+    n = pd.DataFrame(out)
+    return n.sort_values(list(n.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame) -> str | None:
+    if len(got) != len(exp):
+        return f"rows {len(got)} != {len(exp)}"
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if pd.api.types.is_float_dtype(gv):
+            ga = gv.to_numpy(dtype=np.float64)
+            ea = ev.to_numpy(dtype=np.float64)
+            same = (ga.view(np.uint64) == ea.view(np.uint64)) | (
+                np.isnan(ga) & np.isnan(ea)
+            )
+        else:
+            same = (gv.values == ev.values) | (gv.isna().values & ev.isna().values)
+        if not same.all():
+            return f"{c}: {int((~same).sum())} value mismatches"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyconform_spark.session import get_spark
+
+    spark = get_spark(
+        master="local[8]",
+        app_name="correctness-sweep",
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qmap, omap = entry.queries(), entry.oracle_sql()
+    report: dict = {}
+    n_bad = 0
+    for name in sorted(qmap):
+        try:
+            got = qmap[name](spark, sf_dir).toPandas()
+            sql = omap.get(name)
+            if sql is None:
+                report[name] = {"rows": len(got), "status": "rows_only"}
+                continue
+            exp = con.sql(sql).df()
+            err = compare(got, exp)
+            report[name] = {
+                "rows": len(got),
+                "status": "match" if err is None else "MISMATCH",
+                **({"err": err} if err else {}),
+            }
+            if err:
+                n_bad += 1
+        except Exception as e:  # noqa: BLE001 - sweep must report, not die
+            report[name] = {"status": "ERROR", "err": str(e)[:200]}
+            n_bad += 1
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(qmap),
+        "n_oracles": len([n for n in qmap if n in omap]),
+        "n_bad": n_bad,
+        "queries": report,
+    }
+    print(json.dumps(summary))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=2)
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
