@@ -136,3 +136,42 @@ def test_packed_compress_blob_identical(spark, tier_1h):
         assert bytes(x[5]) == bytes(y[5])
         assert bytes(x[6]) == bytes(y[6])
         assert bytes(x[7]) == bytes(y[7])
+
+
+# ---------------------------------------------- property-based roundtrip
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    hnp.arrays(
+        np.float64,
+        st.integers(min_value=0, max_value=400),
+        elements=st.floats(allow_nan=True, allow_infinity=True, width=64),
+    )
+)
+def test_gorilla_roundtrip_property(vals):
+    """Any float64 array — NaN payloads, infinities, -0.0, subnormals —
+    round-trips bit-exactly (XOR on the raw uint64 view)."""
+    blob = codec.gorilla_encode(vals)
+    back = codec.gorilla_decode(blob)
+    assert back.tobytes() == np.asarray(vals, dtype=np.float64).tobytes()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    hnp.arrays(
+        np.int64,
+        st.integers(min_value=0, max_value=400),
+        # keep |values| < 2^62 so intermediate deltas cannot overflow
+        elements=st.integers(min_value=-(1 << 61), max_value=1 << 61),
+    )
+)
+def test_dod_roundtrip_property(ts):
+    """Any int64 sequence — unordered, duplicated, huge jumps crossing
+    every delta-of-delta class — round-trips exactly."""
+    blob = codec.dod_encode(ts)
+    back = codec.dod_decode(blob)
+    assert np.array_equal(back, np.asarray(ts, dtype=np.int64))
