@@ -71,24 +71,52 @@ class VariableSpec:
         return self.attributes.get("positive")
 
 
+# NetCDF/numpy datatype names (OutputDatasetDesc._NC_TYPES_,
+# datasets.py:699-700) -> Spark type names; Spark names pass through.
+_DTYPE_MAP = {
+    "float64": "double",
+    "float32": "float",
+    "real": "float",
+    "int32": "int",
+    "int64": "bigint",
+    "uint": "bigint",
+    "uint64": "bigint",
+    "ushort": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+    "char": "string",
+}
+
+
 def load_spec(spec) -> list[VariableSpec]:
     """JSON path / dict -> ordered VariableSpec list (the spec's own
     order is the evaluation order, so later definitions may reference
-    earlier outputs by name, like DataFlow's dependency chaining)."""
+    earlier outputs by name, like DataFlow's dependency chaining).
+
+    Accepts BOTH layouts the reference ships: flat
+    ``{variable: {...}}`` (CESM CMIP tables) and the xconform
+    standardization file with a ``"variables"`` section
+    (examples/simple/calculator/calculator.json); NC datatype names
+    (``float64``/``float32``/``char``/...) map to Spark types, and
+    per-variable ``dimensions``/``file`` sections are accepted and
+    ignored (relational frames carry no fixed axes)."""
     if isinstance(spec, str):
         with open(spec) as fh:
             spec = json.load(fh)
     if not isinstance(spec, dict):
         raise SpecError("spec must be a JSON object of {variable: {...}}")
+    if isinstance(spec.get("variables"), dict):
+        spec = spec["variables"]
     out = []
     for name, vdict in spec.items():
         if not isinstance(vdict, dict):
             raise SpecError(f"spec entry {name!r} must be an object")
+        dt = str(vdict.get("datatype", "double"))
         out.append(
             VariableSpec(
                 name=name,
                 definition=vdict.get("definition"),
-                datatype=vdict.get("datatype", "double"),
+                datatype=_DTYPE_MAP.get(dt, dt),
                 attributes=dict(vdict.get("attributes", {})),
             )
         )
@@ -194,12 +222,28 @@ def _apply_declared(v: VariableSpec, c: D.Compiled) -> D.Compiled:
     one."""
     col, unit, pos = c.col, c.unit, c.positive
     if v.units is not None:
-        declared = U.parse_unit(v.units)
-        if unit is not None:
-            a, b = U.conversion(unit, declared)  # plan-time check
-            if a != 1.0 or b != 0.0:
-                col = col * F.lit(a) + F.lit(b)
-        unit = declared
+        try:
+            declared = U.parse_unit(v.units)
+        except U.UnitsError:
+            # a unit label outside the engine's registry (e.g. the
+            # reference's CF strings like 'meters'): attach it as an
+            # OPAQUE metadata label — unless the computed column
+            # carries algebra-tracked units, where silently dropping
+            # the conversion would be wrong
+            if unit is not None:
+                raise U.UnitsError(
+                    f"{v.name}: declared units {v.units!r} are not in "
+                    f"the unit registry but the computed column carries "
+                    f"{unit.name!r}; register the unit or drop the "
+                    "declaration"
+                ) from None
+            declared = None  # opaque label; attached by apply_spec
+        if declared is not None:
+            if unit is not None:
+                a, b = U.conversion(unit, declared)  # plan-time check
+                if a != 1.0 or b != 0.0:
+                    col = col * F.lit(a) + F.lit(b)
+            unit = declared
     if v.positive is not None:
         if pos is not None and pos != v.positive:
             col = -col
@@ -220,11 +264,18 @@ def apply_spec(
     planned, warns = plan_spec(df, spec)
     if not planned:
         raise SpecError("spec produced no output variables")
+    # Materialize outputs under collision-proof temp names: Spark's
+    # default case-INSENSITIVE resolution makes withColumn('u', ...)
+    # silently replace an input column 'U', corrupting later
+    # definitions that still reference it (the reference's calculator
+    # spec does exactly this: output u/v from inputs U/V).  Def
+    # chaining is unaffected — it composes compiled EXPRESSIONS, not
+    # materialized columns.
     out = df
     col_specs = []
+    names = [v.name for v, _ in planned]
     for v, c in planned:
-        out = out.withColumn(v.name, c.col)
-        out = D._attach_meta(out, v.name, c)
+        out = out.withColumn(f"__out_{v.name}", c.col)
         col_specs.append(
             V.ColumnSpec(
                 v.name,
@@ -235,11 +286,20 @@ def apply_spec(
                 ok_max_mean_abs=v.attributes.get("ok_max_mean_abs"),
             )
         )
+    out = out.select(
+        *[F.col(f"__out_{n}").alias(n) for n in names]
+    )
     validated, obs = V.validate(out, col_specs, observe=observe)
-    names = [v.name for v, _ in planned]
     final = validated.select(*names)
     for v, c in planned:
         final = D._attach_meta(final, v.name, c)
+        if v.units is not None and c.unit is None:
+            # opaque declared label (outside the unit registry): carry
+            # it as plain metadata, exactly as the reference carries CF
+            # unit strings it never interprets
+            meta = dict(final.schema[v.name].metadata or {})
+            meta[U.UNITS_KEY] = v.units
+            final = final.withMetadata(v.name, meta)
     return final, obs, warns
 
 

@@ -247,3 +247,57 @@ def test_user_function_module_plugin(spark, events, tmp_path):
     finally:
         from pyconform_spark import defs as D
         D.FUNCTIONS.pop("double_it", None)
+
+
+def test_reference_calculator_spec_runs_unmodified(spark):
+    """THE parity demo: the reference's own shipped standardization
+    file (examples/simple/calculator/calculator.json, read-only at
+    test time) loads and runs through apply_spec unmodified —
+    xconform-layout 'variables' section, NC dtype names (float64 /
+    float32), CF unit strings outside the registry (opaque labels),
+    valid_min/valid_max masking, and the U+V / U-V definitions."""
+    import os
+
+    path = "/root/reference/examples/simple/calculator/calculator.json"
+    if not os.path.exists(path):
+        pytest.skip("reference example not available")
+    variables = specs.load_spec(path)
+    names = [v.name for v in variables]
+    assert {"x", "y", "t", "u", "v"} <= set(names)
+    by_name = {v.name: v for v in variables}
+    assert by_name["u"].datatype == "float"     # float32 -> float
+    assert by_name["x"].datatype == "double"    # float64 -> double
+    assert by_name["u"].definition == "U+V"
+
+    # the reference generates gridded HORZ/VERT/TIME/U/V inputs
+    # (mkinput.py); the relational frame carries them as columns
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 40
+    rows = [
+        (float(i), float(i) / 10.0, float(i * 3600),
+         float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "HORZ double, VERT double, TIME double, U double, V double"
+    )
+    out, obs, warns = specs.apply_spec(df, variables)
+    assert warns == []
+    assert out.columns == names
+
+    pdf = out.toPandas().sort_values("x").reset_index(drop=True)
+    src = df.toPandas().sort_values("HORZ").reset_index(drop=True)
+    assert np.array_equal(pdf["x"], src["HORZ"])
+    u = (src["U"] + src["V"]).to_numpy()
+    want_u = np.where((u < -1.0) | (u > 1.0), np.nan, u).astype(np.float32)
+    got_u = pdf["u"].to_numpy()
+    assert got_u.dtype == np.float32  # declared float32 honored
+    assert np.array_equal(got_u, want_u, equal_nan=True)
+    want_v = (src["U"] - src["V"]).astype(np.float32).to_numpy()
+    assert np.array_equal(pdf["v"].to_numpy(), want_v)
+
+    # CF unit strings ride as opaque metadata labels
+    assert units.unit_of(out, "x") == "meters"
+    assert units.unit_of(out, "u") == "grams"
