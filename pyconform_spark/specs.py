@@ -207,7 +207,14 @@ def plan_spec(
         if missing:
             skip(v, f"unknown input(s) {sorted(missing)}")
             continue
-        c = compiler.compile(ast)
+        try:
+            c = compiler.compile(ast)
+        except D.DefinitionError as e:
+            # e.g. a function outside the registry (window-shaped ops
+            # like the reference's `bounds` have no row-wise Column
+            # form) — one bad entry costs one variable, not the spec
+            skip(v, str(e))
+            continue
         c = _apply_declared(v, c)
         ctx[v.name] = c
         planned.append((v, c))

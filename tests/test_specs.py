@@ -301,3 +301,26 @@ def test_reference_calculator_spec_runs_unmodified(spark):
     # CF unit strings ride as opaque metadata labels
     assert units.unit_of(out, "x") == "meters"
     assert units.unit_of(out, "u") == "grams"
+
+
+def test_reference_cesm_bounds_spec_partially_plans(spark):
+    """A reference CESM CMIP6 spec (flat layout) loads and plans:
+    identity/copy variables compile; variables using window-shaped
+    functions the row-wise registry lacks (`bounds`) skip with
+    warnings instead of failing the spec."""
+    import os
+
+    path = "/root/reference/examples/CESM/CMIP6/create_bounds/lnd_bounds.json"
+    if not os.path.exists(path):
+        pytest.skip("reference example not available")
+    variables = specs.load_spec(path)
+    inputs = spark.createDataFrame(
+        [(0.0, 1.0, 2.0, 3.0)], "lat double, levgrnd double, lon double, SOILLIQ double"
+    ).withColumn("SOILICE", F.lit(4.0))
+    with pytest.warns(specs.SpecWarning):
+        planned, warns = specs.plan_spec(inputs, variables)
+    planned_names = {v.name for v, _ in planned}
+    assert "lat" in planned_names and "lon" in planned_names
+    # mrlsl = SOILLIQ + SOILICE compiles too
+    assert "mrlsl" in planned_names
+    assert any("lat_bnds" in w and "bounds" in w for w in warns)
