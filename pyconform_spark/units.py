@@ -109,6 +109,22 @@ for u in [
     simple("K", "temperature", 1.0),
     simple("degC", "temperature", 1.0, 273.15),
     simple("", None, 1.0),
+    # CF-style names the reference's shipped specs use (length/mass +
+    # spelled-out aliases) so those specs are algebra-tracked, not
+    # opaque labels
+    simple("m", "length", 1.0),
+    simple("meters", "length", 1.0),
+    simple("km", "length", 1000.0),
+    simple("cm", "length", 0.01),
+    simple("mm", "length", 0.001),
+    simple("g", "mass", 1.0),
+    simple("grams", "mass", 1.0),
+    simple("kg", "mass", 1000.0),
+    simple("mg", "mass", 0.001),
+    simple("seconds", "time", 1.0),
+    simple("minutes", "time", 60.0),
+    simple("hours", "time", 3600.0),
+    simple("days", "time", 86400.0),
 ]:
     register(u)
 
