@@ -757,8 +757,23 @@ def compile_defs(
 def evaluate_defs(df: DataFrame, defs, keep_inputs: bool = True) -> DataFrame:
     """Evaluate row-wise definitions: one ``withColumn`` chain, all
     JVM expressions.  ``defs`` is a dict {name: expr} or a list of
-    'name = expr' strings."""
+    'name = expr' strings.
+
+    A definition named exactly like an input column REDEFINES it (the
+    reference's output-shadows-input behavior); a name that collides
+    only case-insensitively is refused — Spark's default resolver
+    would silently replace the input column mid-chain (the bug the
+    reference calculator spec exposed in specs.apply_spec)."""
     compiled = compile_defs(df, defs)
+    lower_inputs = {c.lower(): c for c in df.columns}
+    for name, _ in compiled:
+        existing = lower_inputs.get(name.lower())
+        if existing is not None and existing != name:
+            raise DefinitionError(
+                f"definition {name!r} collides case-insensitively with "
+                f"input column {existing!r}: Spark's resolver would "
+                "silently replace the input; rename the output"
+            )
     out = df
     for name, c in compiled:
         if c.is_agg:

@@ -403,3 +403,15 @@ def test_parse_render_roundtrip(ast):
     re-parsing reproduces the AST exactly (the parser neither loses nor
     invents structure)."""
     assert parse_definition(_render(ast)) == ast
+
+
+def test_case_insensitive_name_collision_refused(spark):
+    """A def named 'u' over an input 'U' would make Spark's default
+    case-insensitive resolver replace the input mid-chain — refused at
+    compile time with a clear message."""
+    d = spark.createDataFrame([(1.0, 2.0)], "U double, V double")
+    with pytest.raises(DefinitionError, match="case-insensitively"):
+        defs.evaluate_defs(d, ["u = U + V"])
+    # exact-name redefinition (output shadows input) stays allowed
+    out = defs.evaluate_defs(d, ["U = U + V"])
+    assert out.first()["U"] == 3.0
