@@ -50,6 +50,13 @@ def main() -> None:
         "--module", action="append", default=[],
         help="user function-plugin module path (repeatable; xconform -m analog)",
     )
+    ap.add_argument(
+        "--mode", choices=["batch", "per-epoch"], default="batch",
+        help="batch = one input scan per commit batch (backfills); "
+        "per-epoch = finest resume granularity + observed metrics "
+        "(incremental ingest)",
+    )
+    ap.add_argument("--epochs-per-commit", type=int, default=64)
     args = ap.parse_args()
     load_user_modules(args.module)
 
@@ -82,7 +89,13 @@ def main() -> None:
         spark.stop()
         return
 
-    result = specs.run_spec(spark, df, spec, args.root, ts_col=args.ts_col)
+    if args.mode == "batch":
+        result = specs.run_spec_batch(
+            spark, df, spec, args.root, ts_col=args.ts_col,
+            epochs_per_commit=args.epochs_per_commit,
+        )
+    else:
+        result = specs.run_spec(spark, df, spec, args.root, ts_col=args.ts_col)
     print(json.dumps(result, default=str))
     spark.stop()
 

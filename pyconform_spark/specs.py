@@ -259,15 +259,19 @@ def _apply_declared(v: VariableSpec, c: D.Compiled) -> D.Compiled:
 
 
 def apply_spec(
-    df: DataFrame, spec, observe: bool = True
+    df: DataFrame,
+    spec,
+    observe: bool = True,
+    passthrough: list[str] | None = None,
 ) -> tuple[DataFrame, Observation | None, list[str]]:
     """definition evaluation → declared cast → valid-range mask +
     observed statistics, as ONE projection over one scan.
 
-    Returns (output frame with exactly the declared columns,
-    Observation carrying per-column masked counts / mean-abs — read it
-    with ``validate.warnings_from`` after the first action — and the
-    skip warnings)."""
+    Returns (output frame with exactly the declared columns — plus any
+    ``passthrough`` input columns carried verbatim, e.g. a partition
+    key — an Observation carrying per-column masked counts / mean-abs —
+    read it with ``validate.warnings_from`` after the first action —
+    and the skip warnings)."""
     planned, warns = plan_spec(df, spec)
     if not planned:
         raise SpecError("spec produced no output variables")
@@ -293,11 +297,12 @@ def apply_spec(
                 ok_max_mean_abs=v.attributes.get("ok_max_mean_abs"),
             )
         )
+    carry = list(passthrough or [])
     out = out.select(
-        *[F.col(f"__out_{n}").alias(n) for n in names]
+        *carry, *[F.col(f"__out_{n}").alias(n) for n in names]
     )
     validated, obs = V.validate(out, col_specs, observe=observe)
-    final = validated.select(*names)
+    final = validated.select(*carry, *names)
     for v, c in planned:
         final = D._attach_meta(final, v.name, c)
         if v.units is not None and c.unit is None:
@@ -421,6 +426,83 @@ def scaffold_spec(
             entry["attributes"] = attrs
         spec[out_name] = entry
     return spec
+
+
+def run_spec_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    spec,
+    root: str,
+    ts_col: str = "ts",
+    epochs: list[int] | None = None,
+    epochs_per_commit: int = 64,
+) -> dict:
+    """Batched spec materialization: ONE scan of the input per commit
+    batch regardless of how many epochs it spans — ``run_spec`` scans
+    once per epoch, which is fine for incremental ingest but quadratic
+    for backfills (pipeline.run vs run_batch, same contract).  The
+    outputs land in the same ``outputs/epoch=<k>`` layout via dynamic
+    partition overwrite, lineage for the whole batch is appended at
+    the end (the commit point), and both modes interoperate with
+    ``read_spec_outputs``."""
+    from pyconform_spark import pipeline
+
+    os.makedirs(root, exist_ok=True)
+    ts_df = df.withColumn("ts", F.col(ts_col))
+    all_epochs = epochs if epochs is not None else pipeline.list_epochs(ts_df)
+    done = committed_spec_epochs(spark, root)
+    pending = [e for e in all_epochs if e not in done]
+    skipped = [e for e in all_epochs if e in done]
+    ran: list[int] = []
+    rows: dict[int, int] = {}
+    all_warns: list[str] = []
+
+    epoch_col = (
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    base = os.path.join(root, "outputs")
+    for i in range(0, len(pending), epochs_per_commit):
+        batch = pending[i : i + epochs_per_commit]
+        sl = pipeline._epoch_filter(ts_df, batch).withColumn("epoch", epoch_col)
+        out, _, warns = apply_spec(
+            sl, spec, observe=False, passthrough=["epoch"]
+        )
+        all_warns = warns
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(base)
+        )
+        written = spark.read.parquet(base).where(F.col("epoch").isin(batch))
+        lin = (
+            written.select(
+                F.spark_partition_id().alias("partition_id"), "epoch"
+            )
+            .groupBy("epoch", "partition_id")
+            .agg(F.count(F.lit(1)).alias("point_count"))
+            .select(
+                "partition_id",
+                F.lit("spec").alias("tier"),
+                F.col("epoch").cast("long").alias("checkpoint_epoch"),
+                F.col("point_count").cast("long").alias("point_count"),
+            )
+        )
+        # ---- commit point for the whole batch
+        lin.coalesce(1).write.mode("append").parquet(_spec_lineage_path(root))
+        for r in (
+            written.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            rows[r["epoch"]] = r["n"]
+        ran.extend(batch)
+
+    return {
+        "epochs": ran,
+        "skipped": skipped,
+        "rows": rows,
+        "warnings": all_warns,
+        "metrics": {},
+    }
 
 
 def read_spec_outputs(spark: SparkSession, root: str) -> DataFrame:

@@ -324,3 +324,31 @@ def test_reference_cesm_bounds_spec_partially_plans(spark):
     # mrlsl = SOILLIQ + SOILICE compiles too
     assert "mrlsl" in planned_names
     assert any("lat_bnds" in w and "bounds" in w for w in warns)
+
+
+def test_run_spec_batch_matches_per_epoch_mode(spark, events, tmp_path):
+    """Batched spec materialization (one input scan per commit batch)
+    produces exactly the per-epoch mode's outputs — same layout, same
+    values, same resume contract (pipeline.run vs run_batch shape)."""
+    root_a = str(tmp_path / "per_epoch")
+    root_b = str(tmp_path / "batched")
+    res_a = specs.run_spec(spark, events, SPEC, root_a)
+    res_b = specs.run_spec_batch(spark, events, SPEC, root_b, epochs_per_commit=2)
+    assert sorted(res_a["epochs"]) == sorted(res_b["epochs"])
+    assert res_a["rows"] == res_b["rows"]
+    assert len(res_b["warnings"]) == 3
+
+    a = specs.read_spec_outputs(spark, root_a)
+    b = specs.read_spec_outputs(spark, root_b)
+    key = lambda t: tuple((x is None, x) for x in t)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    ra = sorted(map(tuple, a.select(*cols).collect()), key=key)
+    rb = sorted(map(tuple, b.select(*cols).collect()), key=key)
+    assert ra == rb
+
+    # resume: everything committed
+    res_b2 = specs.run_spec_batch(spark, events, SPEC, root_b)
+    assert res_b2["epochs"] == [] and sorted(res_b2["skipped"]) == sorted(
+        res_b["epochs"]
+    )
