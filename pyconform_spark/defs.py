@@ -618,6 +618,18 @@ def _down(args, kwds):
     return Compiled(col=a.col, unit=a.unit, positive="down", is_agg=a.is_agg)
 
 
+@register_function("chdims")
+def _chdims(args, kwds):
+    """functions.py:568-580: rename a variable's dimensions.  In the
+    relational recast a column has no embedded axes — dimensions are
+    the frame's key columns, renamed at frame level
+    (withColumnRenamed) — so chdims is an identity on the value and
+    its metadata; the dim-name arguments are accepted and ignored."""
+    if not args or not isinstance(args[0], Compiled):
+        raise DefinitionError("chdims(x, ...) needs an expression first")
+    return args[0]
+
+
 @register_function("masked_invalid")
 def _masked_invalid(args, kwds):
     """commonfunctions.py:841-859: NaN/Inf -> NULL."""

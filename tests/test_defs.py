@@ -415,3 +415,14 @@ def test_case_insensitive_name_collision_refused(spark):
     # exact-name redefinition (output shadows input) stays allowed
     out = defs.evaluate_defs(d, ["U = U + V"])
     assert out.first()["U"] == 3.0
+
+
+def test_chdims_is_identity_and_registry_covers_all_reference_keys(spark, df):
+    """Every §2.3 built-in function key of the reference exists in the
+    registry (functions.py: sqrt/mean/sum/min/max/up/down/chunits/
+    limit/rmunits/chdims); chdims is the documented identity."""
+    for key in ["sqrt", "mean", "sum", "min", "max", "up", "down",
+                "chunits", "limit", "rmunits", "chdims"]:
+        assert key in defs.FUNCTIONS, key
+    out = defs.evaluate_defs(df, ["r = chdims(v, 'time', 'lat')"])
+    assert _vals(out, "r") == {1: 100.0, 2: 400.0}
