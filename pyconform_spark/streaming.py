@@ -311,3 +311,57 @@ def read_incremental_tier(spark, root: str, tier: str):
 
     base = os.path.join(root, "stream_tiers", f"{tier}_inc")
     return spark.read.option("basePath", base).parquet(base).drop("epoch")
+
+
+def stream_spec_to_store(
+    stream: DataFrame,
+    spec,
+    root: str,
+    checkpoint: str | None = None,
+):
+    """Continuous spec-driven standardization: the SAME JSON output
+    spec that drives specs.run_spec applied to a Structured Stream,
+    landed exactly-once.
+
+    apply_spec compiles to a pure projection, so it rides the stream
+    unchanged (no watermark needed — no state); ``foreachBatch``
+    OVERWRITES each micro-batch's own directory
+    (``spec_stream/ingest_batch=<id>/epoch=<k>``), so at-least-once
+    batch replays rewrite instead of duplicating — the
+    stream_to_store idempotency contract applied to the xconform
+    lifecycle.  Read back with :func:`read_spec_stream_store`.
+    """
+    import os
+
+    from pyconform_spark import specs as S
+    from pyconform_spark.pipeline import EPOCH_SECONDS
+
+    epoch = (F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS).cast(
+        "long"
+    )
+    with_epoch = stream.withColumn("epoch", epoch)
+    out, _, _ = S.apply_spec(
+        with_epoch, spec, observe=False, passthrough=["epoch"]
+    )
+    base = os.path.join(root, "spec_stream")
+
+    def _write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(os.path.join(base, f"ingest_batch={batch_id}"))
+        )
+
+    writer = out.writeStream.outputMode("append").foreachBatch(_write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_spec_stream_store(spark, root: str) -> DataFrame:
+    import os
+
+    base = os.path.join(root, "spec_stream")
+    return spark.read.option("basePath", base).parquet(base).drop(
+        "epoch", "ingest_batch"
+    )

@@ -331,3 +331,31 @@ def test_spec_pipeline_applies_to_streams(spark, tx_dir):
     got = _rows(spark.table("spec_stream"))
     want = _rows(want_df)
     assert got == want
+
+
+def test_stream_spec_store_matches_batch_run_spec(spark, tx_dir, tmp_path):
+    """Continuous standardization: streaming spec materialization over
+    the transcripts store equals the batch run_spec outputs row for
+    row (exactly-once via per-batch directory overwrite)."""
+    from pyconform_spark import specs, streaming as S
+
+    spec = {
+        "conv": {"datatype": "string", "definition": "conv_id"},
+        "idx": {"datatype": "bigint", "definition": "turn_idx"},
+        "scaled": {"datatype": "double", "definition": "turn_idx * 3.0 + 1.0"},
+    }
+    batch = spark.read.parquet(tx_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(tx_dir)
+
+    root = str(tmp_path / "sstore")
+    q = S.stream_spec_to_store(
+        stream, spec, root, checkpoint=str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = _rows(S.read_spec_stream_store(spark, root))
+
+    broot = str(tmp_path / "bstore")
+    specs.run_spec(spark, batch, spec, broot)
+    want = _rows(specs.read_spec_outputs(spark, broot))
+    assert got == want and len(got) == batch.count()
