@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_cadence": Q.infer_cadence,
         "json_extract_props": Q.json_extract_props,
         "asof_join_tier": Q.asof_join_tier,
+        "range_join_windows": Q.range_join_windows,
         "gapfill_locf_1h": Q.gapfill_locf_1h,
         "gapfill_linear_1h": Q.gapfill_linear_1h,
         "stencil_diff": Q.stencil_diff,

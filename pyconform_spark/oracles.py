@@ -615,3 +615,22 @@ SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
        (count(value) / 3600.0)::DOUBLE AS v_rate
 FROM events GROUP BY 1,2,3
 """
+
+# ------------------------------------------- range (interval) join
+ORACLES["range_join_windows"] = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+iv AS (
+  SELECT user_id, k,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (k * 7) * INTERVAL 1 DAY
+           + (user_id % 24) * INTERVAL 1 HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (k * 7) * INTERVAL 1 DAY
+           + (user_id % 24 + user_id % 3 + 1) * INTERVAL 1 HOUR AS w_end
+  FROM users, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+)
+SELECT e.user_id, e.event_id::BIGINT AS event_id, iv.k::INT AS k
+FROM events e
+JOIN iv ON e.user_id = iv.user_id
+       AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+"""

@@ -740,6 +740,52 @@ def derived_agg_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return defs.evaluate_agg_defs(df, ["event_type"], DERIVED_AGG_DEFS)
 
 
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events matched into per-user weekly
+    maintenance windows via the bucket-explode equi-join
+    (operators/rangejoin.py) — never a nested-loop join (plan-gated).
+    Windows are synthesized deterministically from user_id so the
+    DuckDB twin is a plain BETWEEN join."""
+    from pyconform_spark.operators.rangejoin import range_join
+
+    df = _events(spark, sf_dir)
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    iv = (
+        df.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+        .select(
+            "user_id",
+            "k",
+            (
+                base
+                + F.make_interval(days=F.col("k") * 7, hours=F.col("user_id") % 24)
+            ).alias("w_start"),
+            (
+                base
+                + F.make_interval(
+                    days=F.col("k") * 7,
+                    hours=F.col("user_id") % 24 + F.col("user_id") % 3 + 1,
+                )
+            ).alias("w_end"),
+        )
+    )
+    out = range_join(
+        df.select("user_id", "event_id", "ts"),
+        iv,
+        ["user_id"],
+        "ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=6 * 3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("k").cast("int").alias("k"),
+    )
+
+
 def defs_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The front-end driving the ENGINE: an hourly tier rollup whose
     aggregate columns are string definitions (count/sum/mean/min/max

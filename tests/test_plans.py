@@ -161,3 +161,14 @@ def test_tem_suite_shares_one_window_sort(spark):
     assert count_nodes(plan, "Exchange") <= 2  # agg + window partition
     assert count_nodes(plan, "Sort") == 1      # shared by all 7 windows
     assert count_nodes(plan, "Window") == 7
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The interval join must plan as a bucketed equi-join: a naive
+    BETWEEN-only join becomes BroadcastNestedLoopJoin (quadratic + an
+    unbounded broadcast) — the shape that cannot survive 100 TB."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.range_join_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "SortMergeJoin") >= 1

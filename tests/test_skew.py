@@ -121,3 +121,36 @@ def test_skew_split_join_broadcasts_hot_side(spark, tx):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_range_join_matches_naive_between_join(spark, tx):
+    """Bucketed range join == naive BETWEEN join row for row, at any
+    bucket size (coarse and fine), including left_semi semantics."""
+    from pyconform_spark.operators.rangejoin import range_join
+
+    pts = tx.select("conv_id", "turn_idx", "ts").where(F.col("turn_idx") < 50)
+    iv = (
+        tx.groupBy("conv_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 40 MINUTES"))
+    )
+    naive = pts.join(iv, "conv_id").where(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+    ).select("conv_id", "turn_idx")
+    key = lambda t: tuple((x is None, x) for x in t)
+    want = sorted(map(tuple, naive.collect()), key=key)
+    for bs in (3600, 60):
+        got_df = range_join(
+            pts, iv, ["conv_id"], "ts", "w_start", "w_end", bucket_seconds=bs
+        ).select("conv_id", "turn_idx")
+        got = sorted(map(tuple, got_df.collect()), key=key)
+        assert got == want, bs
+    semi = range_join(
+        pts, iv, ["conv_id"], "ts", "w_start", "w_end",
+        bucket_seconds=3600, how="left_semi",
+    )
+    assert sorted(map(tuple, semi.select("conv_id", "turn_idx").collect()), key=key) == sorted(set(want))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner"):
+        range_join(pts, iv, ["conv_id"], "ts", "w_start", "w_end", how="left")
