@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
+        "percentiles_by_type": Q.percentiles_by_type,
         "set_ops_users": Q.set_ops_users,
         "hll_distinct_users": Q.hll_distinct_users,
         "compress_roundtrip": Q.compress_roundtrip,

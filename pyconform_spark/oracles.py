@@ -634,3 +634,23 @@ FROM events e
 JOIN iv ON e.user_id = iv.user_id
        AND e.ts >= iv.w_start AND e.ts <= iv.w_end
 """
+
+# -------------------------------------------- exact discrete percentiles
+ORACLES["percentiles_by_type"] = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+p50 AS (
+  SELECT event_type, min(value) AS p50 FROM ranked
+  WHERE rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 GROUP BY 1
+),
+p95 AS (
+  SELECT event_type, min(value) AS p95 FROM ranked
+  WHERE rk = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 GROUP BY 1
+)
+SELECT p50.event_type, p50::DOUBLE AS p50, p95::DOUBLE AS p95
+FROM p50 JOIN p95 ON p50.event_type = p95.event_type
+"""

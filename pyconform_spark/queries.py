@@ -810,6 +810,38 @@ def defs_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p95 of value per event_type):
+    rank with a total order and pick the floor((n-1)*q)+1-th row — the
+    same actual data values in both engines, unlike approximate
+    t-digest/GK sketches whose cut points are engine-specific.  At
+    scale this is one sort per group — the exact-quantile cost — with
+    ``percentile_approx`` as the documented sketch alternative when an
+    epsilon answer is acceptable."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    out = None
+    for name, q in (("p50", 0.5), ("p95", 0.95)):
+        mark = (F.floor((F.col("n") - 1) * F.lit(q)) + 1).cast("long")
+        part = (
+            ranked.where(F.col("rk") == mark)
+            .groupBy("event_type")
+            .agg(F.min("value").alias(name))
+        )
+        out = part if out is None else out.join(part, "event_type")
+    return out.select(
+        "event_type",
+        F.col("p50").cast("double").alias("p50"),
+        F.col("p95").cast("double").alias("p95"),
+    )
+
+
 def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregate (the relational-checklist 'distinct'
     operator; Spark plans it as a two-phase expand+agg)."""
