@@ -912,6 +912,45 @@ WHERE bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) <= {max_hamming}
 """
 
 
+# ------------------------------------------------ deterministic sampling
+SAMPLE_RATES = {"en": 500, "es": 250, "de": 200, "fr": 100}  # per-mille
+SAMPLE_DEFAULT = 50
+
+
+def stratified_sample(docs: DataFrame, rates: dict | None = None,
+                      default_permille: int = SAMPLE_DEFAULT) -> DataFrame:
+    """Deterministic per-language stratified sampling — the
+    data-mixing stage of a training pipeline.  The keep decision is a
+    pure function of the CONTENT hash (md5-derived, mod 1000), so the
+    sample is reproducible across runs, engines, and cluster sizes —
+    no RNG, no seed coordination, and re-sampling a grown corpus keeps
+    previously-kept documents (hash stability).  One scan, no shuffle:
+    the filter is a per-row expression."""
+    rates = rates if rates is not None else SAMPLE_RATES
+    bucket = hash31(F.concat(F.lit("sample|"), F.col("text"))) % 1000
+    rate = F.lit(default_permille)
+    for lang, pm in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return docs.where(bucket < rate).select(
+        "doc_id", "lang", bucket.cast("int").alias("sample_bucket")
+    )
+
+
+def stratified_sample_sql(rates: dict | None = None,
+                          default_permille: int = SAMPLE_DEFAULT) -> str:
+    rates = rates if rates is not None else SAMPLE_RATES
+    rate = str(default_permille)
+    for lang, pm in sorted(rates.items()):
+        rate = f"CASE WHEN lang = \'{lang}\' THEN {pm} ELSE {rate} END"
+    inner = hash31_sql("'sample|' || text")
+    bucket = f"({inner} % 1000)"
+    return f"""
+SELECT doc_id, lang, {bucket}::INT AS sample_bucket
+FROM documents
+WHERE {bucket} < ({rate})
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -938,6 +977,7 @@ def register_text_queries() -> dict[str, callable]:
         "text_lang_stats": lambda s, d: lang_token_stats(_docs(s, d)),
         "text_top_bigrams": lambda s, d: top_bigrams(_docs(s, d)),
         "text_token_bpeish": lambda s, d: token_count_bpeish(_docs(s, d)),
+        "sample_stratified": lambda s, d: stratified_sample(_docs(s, d)),
     }
 
 
@@ -956,4 +996,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_lang_stats": LANG_TOKEN_STATS_SQL,
     "text_top_bigrams": top_bigrams_sql(),
     "text_token_bpeish": TOKEN_COUNT_BPEISH_SQL,
+    "sample_stratified": stratified_sample_sql(),
 }
