@@ -951,6 +951,66 @@ WHERE {bucket} < ({rate})
 """
 
 
+# --------------------------------------------------- curation pipeline
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """The end-to-end training-data curation flow as ONE composed
+    query: exact dedup (keep min doc_id per text) -> MinHash-LSH
+    near-dup connected components over the survivors (keep each
+    component's min-id representative) -> deterministic stratified
+    sampling of what remains.  Every stage is the already-gated
+    operator; the composition itself is oracle-exact.
+
+    Scale shape: semi/anti joins on doc_id (shuffle equi-joins), the
+    banded LSH candidate stage, the checkpointed CC loop, and a
+    map-side sample filter — no stage is quadratic in the corpus.
+
+    Oracle equivalence note: the DuckDB twin runs components over the
+    FULL corpus while Spark runs them over exact-dedup survivors —
+    provably the same outcome, because an exact duplicate shares its
+    twin's signature (hence all its LSH neighbors, no unique bridges)
+    and always has the larger doc_id (so it is never a component
+    label)."""
+    keep_exact = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept1 = docs.join(keep_exact, "doc_id", "left_semi")
+    comp = lsh_components(kept1)
+    near_drop = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    kept2 = kept1.join(near_drop, "doc_id", "left_anti")
+    return stratified_sample(kept2)
+
+
+def curation_pipeline_sql() -> str:
+    return f"""
+WITH comps AS ({lsh_components_sql()}),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+near_drop AS (SELECT doc_id FROM comps WHERE doc_id <> component_id),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  JOIN exact_keep k ON d.doc_id = k.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+),
+sampled AS (
+  SELECT doc_id, lang,
+         ({hash31_sql("'sample|' || text")} % 1000) AS bucket
+  FROM kept
+)
+SELECT doc_id, lang, bucket::INT AS sample_bucket
+FROM sampled
+WHERE bucket < ({_rate_case_sql()})
+"""
+
+
+def _rate_case_sql(rates: dict | None = None,
+                   default_permille: int = SAMPLE_DEFAULT) -> str:
+    rates = rates if rates is not None else SAMPLE_RATES
+    rate = str(default_permille)
+    for lang, pm in sorted(rates.items()):
+        rate = f"CASE WHEN lang = '{lang}' THEN {pm} ELSE {rate} END"
+    return rate
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -978,6 +1038,7 @@ def register_text_queries() -> dict[str, callable]:
         "text_top_bigrams": lambda s, d: top_bigrams(_docs(s, d)),
         "text_token_bpeish": lambda s, d: token_count_bpeish(_docs(s, d)),
         "sample_stratified": lambda s, d: stratified_sample(_docs(s, d)),
+        "curation_pipeline": lambda s, d: curation_pipeline(_docs(s, d)),
     }
 
 
@@ -997,4 +1058,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_top_bigrams": top_bigrams_sql(),
     "text_token_bpeish": TOKEN_COUNT_BPEISH_SQL,
     "sample_stratified": stratified_sample_sql(),
+    "curation_pipeline": curation_pipeline_sql(),
 }
