@@ -600,6 +600,7 @@ def connected_components(
         .withColumn("component_id", F.col("doc_id"))
         .persist()
     )
+    backing = labels  # the persisted frame behind `labels`
     rounds = 0
     while True:
         rounds += 1
@@ -614,8 +615,12 @@ def connected_components(
             .agg(F.min("nbr_label").alias("min_nbr"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = labels.join(neigh, "doc_id", "left").select(
+        # carry the OLD label through the update so convergence is a
+        # filter over the (cached) frame — not a second shuffle join
+        # per round against the previous labels
+        staged = labels.join(neigh, "doc_id", "left").select(
             "doc_id",
+            F.col("component_id").alias("_old"),
             F.least(
                 F.col("component_id"),
                 F.coalesce(F.col("min_nbr"), F.col("component_id")),
@@ -624,17 +629,15 @@ def connected_components(
         if rounds % checkpoint_every == 0:
             # truncate lineage: localCheckpoint materializes eagerly and
             # replaces the plan with the checkpointed RDD
-            new_labels = new_labels.localCheckpoint()
+            staged = staged.localCheckpoint()
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            staged = staged.persist()
+        changed = staged.where(
+            F.col("component_id") != F.col("_old")
+        ).count()
+        backing.unpersist()
+        backing = staged
+        labels = staged.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
