@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_type": Q.percentiles_by_type,
         "set_ops_users": Q.set_ops_users,
         "hll_distinct_users": Q.hll_distinct_users,
+        "cms_user_counts": Q.cms_user_counts,
         "compress_roundtrip": Q.compress_roundtrip,
         "limit_clamp": Q.limit_clamp,
         "unit_convert": Q.unit_convert,

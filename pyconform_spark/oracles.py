@@ -654,3 +654,29 @@ p95 AS (
 SELECT p50.event_type, p50::DOUBLE AS p50, p95::DOUBLE AS p95
 FROM p50 JOIN p95 ON p50.event_type = p95.event_type
 """
+
+
+# ---------------------------------------- Count-Min Sketch estimates
+def _cms_hash_sql(i: int) -> str:
+    return f"(md5_number_lower('cms{i}|' || user_id::VARCHAR) % 512)"
+
+
+_CMS_CELLS = "\nUNION ALL\n".join(
+    f"SELECT {i} AS r, {_cms_hash_sql(i)}::BIGINT AS b FROM events"
+    for i in range(4)
+)
+_CMS_KEYED = "\nUNION ALL\n".join(
+    f"SELECT user_id, exact_count, {i} AS r, {_cms_hash_sql(i)}::BIGINT AS b FROM keys"
+    for i in range(4)
+)
+
+ORACLES["cms_user_counts"] = f"""
+WITH cells AS ({_CMS_CELLS}),
+sketch AS (SELECT r, b, count(*)::BIGINT AS cell_count FROM cells GROUP BY 1, 2),
+keys AS (SELECT user_id, count(*)::BIGINT AS exact_count FROM events GROUP BY 1),
+keyed AS ({_CMS_KEYED})
+SELECT k.user_id, min(s.cell_count)::BIGINT AS cms_estimate,
+       k.exact_count::BIGINT AS exact_count
+FROM keyed k JOIN sketch s ON k.r = s.r AND k.b = s.b
+GROUP BY k.user_id, k.exact_count
+"""

@@ -960,6 +960,61 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4     # hash rows
+_CMS_W = 512   # buckets per row
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) built from first principles as DataFrame ops and
+    DETERMINISTIC cross-engine: d=4 salted md5 hash rows x w=512
+    buckets, one explode + one hash-agg to build the sketch, then
+    per-key estimate = min over rows of the bucket counts.  Pure
+    integer arithmetic — value-hash exact against DuckDB.  The exact
+    count rides along to show the (always >= 0) overestimate, like
+    hll_distinct_users does for cardinality."""
+    from pyconform_spark.textops import md5_lower64
+
+    df = _events(spark, sf_dir)
+
+    def h(i: int) -> Column:
+        return (
+            md5_lower64(
+                F.concat(F.lit(f"cms{i}|"), F.col("user_id").cast("string"))
+            )
+            % _CMS_W
+        ).cast("long")
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("r"), h(i).alias("b"))
+                for i in range(_CMS_D)
+            ]
+        )
+    )
+    sketch = (
+        df.select(cells.alias("c"))
+        .select("c.r", "c.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    keys = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    keyed = keys.select("user_id", "exact_count", cells.alias("c")).select(
+        "user_id", "exact_count", "c.r", "c.b"
+    )
+    return (
+        keyed.join(sketch, ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+        .select(
+            "user_id",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+    )
+
+
 def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY §2.8 checklist): users active on day 1
     INTERSECT day 2, plus day-1 EXCEPT day-2, labeled and unioned."""

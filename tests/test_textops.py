@@ -239,3 +239,13 @@ def test_jaccard_verify_composition_matches_exhaustive_on_candidates(spark):
     want = {p: j for p, j in exhaustive.items() if p in cand and j > 0.0}
     # pairs with zero intersection cannot appear in the composed output
     assert composed == want
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min property: estimate >= exact for every key (the sketch
+    only ever collides upward)."""
+    from pyconform_spark import queries as Q
+
+    rows = Q.cms_user_counts(spark, SF).collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
