@@ -186,19 +186,23 @@ def main() -> None:
 
     from pyconform_spark.operators import codec
 
+    def best_mpts(fn, blob, n, reps=3):
+        # best-of-N: the single-threaded python measurement shares the
+        # host with the (still settling) 32-thread JVM — one quiet rep
+        # is the steady-state number
+        best = float("inf")
+        fn(blob)  # warm
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(blob)
+            best = min(best, time.monotonic() - t0)
+        return n / best / 1e6
+
     rng = np.random.RandomState(1)
     wvals = rng.uniform(-1e9, 1e9, 200_000)
-    wblob = codec.gorilla_encode(wvals)
-    codec.gorilla_decode(wblob)  # warm
-    t0 = time.monotonic()
-    codec.gorilla_decode(wblob)
-    worst_mpts = len(wvals) / (time.monotonic() - t0) / 1e6
+    worst_mpts = best_mpts(codec.gorilla_decode, codec.gorilla_encode(wvals), len(wvals))
     cts = np.arange(0, 86400 * 30, 60, dtype=np.int64)
-    cblob = codec.dod_encode(cts)
-    codec.dod_decode(cblob)  # warm
-    t0 = time.monotonic()
-    codec.dod_decode(cblob)
-    const_mpts = len(cts) / (time.monotonic() - t0) / 1e6
+    const_mpts = best_mpts(codec.dod_decode, codec.dod_encode(cts), len(cts))
 
     total = round(sum(times.values()), 3)
     print(
