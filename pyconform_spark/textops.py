@@ -1014,6 +1014,75 @@ def _rate_case_sql(rates: dict | None = None,
     return rate
 
 
+# ------------------------------------------------- text normalization
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalize_text(c: Column) -> Column:
+    """Curation-stage text normalization, ASCII-safe by construction so
+    Java and RE2 regex agree byte for byte: strip everything outside
+    [A-Za-z0-9 whitespace], lower-case via an explicit translate table
+    (no locale-dependent casing), collapse whitespace runs, trim."""
+    stripped = F.regexp_replace(c, "[^a-zA-Z0-9 \\t\\n\\r]", "")
+    lowered = F.translate(stripped, _UPPER, _LOWER)
+    return F.trim(F.regexp_replace(lowered, "[ \\t\\n\\r]+", " "))
+
+
+def _normalize_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(lower(regexp_replace("
+        f"{expr}, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')), "
+        "'[ \\t\\n\\r]+', ' ', 'g'))"
+    )
+
+
+def text_normalized(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text): the normalized form itself — input to any
+    normalization-insensitive downstream stage."""
+    return docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+def text_normalized_sql() -> str:
+    return f"""
+SELECT doc_id, {_normalize_sql('text')} AS norm_text FROM documents
+"""
+
+
+def dedup_normalized(docs: DataFrame) -> DataFrame:
+    """Exact dedup MODULO normalization: documents identical after
+    case/punctuation/whitespace normalization collapse to the min-id
+    representative — catches the near-trivial duplicates (reformatted
+    copies) that hash-exact dedup misses and MinHash wastes candidates
+    on.  One hash shuffle on the normalized text."""
+    return (
+        docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "keep_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.length("norm").cast("int").alias("n_chars"),
+        )
+    )
+
+
+def dedup_normalized_sql() -> str:
+    return f"""
+WITH normed AS (
+  SELECT doc_id, {_normalize_sql('text')} AS norm FROM documents
+)
+SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+       length(norm)::INT AS n_chars
+FROM normed GROUP BY norm
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -1042,6 +1111,8 @@ def register_text_queries() -> dict[str, callable]:
         "text_token_bpeish": lambda s, d: token_count_bpeish(_docs(s, d)),
         "sample_stratified": lambda s, d: stratified_sample(_docs(s, d)),
         "curation_pipeline": lambda s, d: curation_pipeline(_docs(s, d)),
+        "text_normalize": lambda s, d: text_normalized(_docs(s, d)),
+        "dedup_normalized": lambda s, d: dedup_normalized(_docs(s, d)),
     }
 
 
@@ -1062,4 +1133,6 @@ TEXT_ORACLES: dict[str, str] = {
     "text_token_bpeish": TOKEN_COUNT_BPEISH_SQL,
     "sample_stratified": stratified_sample_sql(),
     "curation_pipeline": curation_pipeline_sql(),
+    "text_normalize": text_normalized_sql(),
+    "dedup_normalized": dedup_normalized_sql(),
 }
