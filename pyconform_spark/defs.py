@@ -467,7 +467,13 @@ class Compiler:
             unit = None
             if au is not None:
                 unit = U.mul_units(au, bu) if key == "*" else U.div_units(au, bu)
-            col = a.col * b.col if key == "*" else a.col / b.col
+            # '/' compiles to try_divide: the session runs ANSI mode,
+            # where ANY division by zero raises at runtime — a crash no
+            # string-definition author should be able to trigger.  A
+            # zero denominator yields NULL (the repo-wide
+            # masked_invalid convention; the reference's numpy emits
+            # inf + a warning — neither engine-portable nor maskable)
+            col = a.col * b.col if key == "*" else F.try_divide(a.col, b.col)
             return Compiled(col=col, unit=unit, positive=pos,
                             is_agg=a.is_agg or b.is_agg)
         if key == "**":
@@ -675,11 +681,14 @@ def _sum(args, kwds):
 @register_function("mean")
 def _mean(args, kwds):
     """zonalmean/mean analog (functions.py:310-330): over the groupBy
-    keys of evaluate_agg_defs rather than named dimensions."""
+    keys of evaluate_agg_defs rather than named dimensions.  try_divide
+    so an all-NULL group yields NULL instead of an ANSI
+    divide-by-zero."""
     return _agg(
         args, kwds, "mean",
-        lambda a: F.sum(a.col.cast("decimal(20,6)")).cast("double")
-        / F.count(a.col),
+        lambda a: F.try_divide(
+            F.sum(a.col.cast("decimal(20,6)")).cast("double"), F.count(a.col)
+        ),
     )
 
 

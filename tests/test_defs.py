@@ -426,3 +426,14 @@ def test_chdims_is_identity_and_registry_covers_all_reference_keys(spark, df):
         assert key in defs.FUNCTIONS, key
     out = defs.evaluate_defs(df, ["r = chdims(v, 'time', 'lat')"])
     assert _vals(out, "r") == {1: 100.0, 2: 400.0}
+
+
+def test_division_by_zero_yields_null_not_ansi_error(spark):
+    """The session runs ANSI mode where ANY /0 raises; string-definition
+    authors must not be able to crash a job — '/' compiles to
+    try_divide (NULL at zero, the masked_invalid convention)."""
+    d = spark.createDataFrame([(1.0, 0.0), (8.0, 2.0)], "a double, b double")
+    out = defs.evaluate_defs(d, ["q = a / b", "z = a / (a - a)"])
+    rows = {r["a"]: (r["q"], r["z"]) for r in out.collect()}
+    assert rows[1.0] == (None, None)
+    assert rows[8.0] == (4.0, None)
