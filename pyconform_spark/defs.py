@@ -435,7 +435,9 @@ class Compiler:
         else:
             if not isinstance(ind, int):
                 raise DefinitionError(f"{v}: index must be an integer")
-            col = F.element_at(base.col, ind + 1)  # 0-based -> 1-based
+            # try_element_at: ANSI mode raises on out-of-bounds array
+            # indices — rows with short arrays yield NULL instead
+            col = F.try_element_at(base.col, F.lit(ind + 1))  # 0-based -> 1-based
         return Compiled(col=col, unit=base.unit, positive=base.positive)
 
     # -- operators --

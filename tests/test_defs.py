@@ -437,3 +437,14 @@ def test_division_by_zero_yields_null_not_ansi_error(spark):
     rows = {r["a"]: (r["q"], r["z"]) for r in out.collect()}
     assert rows[1.0] == (None, None)
     assert rows[8.0] == (4.0, None)
+
+
+def test_array_index_out_of_bounds_yields_null(spark):
+    """ANSI mode raises on out-of-bounds element_at; indexing compiles
+    to try_element_at so ragged arrays yield NULL rows, not crashes."""
+    d = spark.createDataFrame(
+        [(1, [10.0, 20.0]), (2, [30.0])], "id long, emb array<double>"
+    )
+    out = defs.evaluate_defs(d, ["second = emb[1]"])
+    rows = {r["id"]: r["second"] for r in out.collect()}
+    assert rows == {1: 20.0, 2: None}
