@@ -32,8 +32,6 @@ transcript-scale capabilities the north rule adds on top.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 P31 = 2147483647  # 2^31 - 1 (prime); all hash arithmetic is mod P31
