@@ -12,18 +12,29 @@ exact integer domains (mod 2^31-1), so value hashes match bit-for-bit.
 
 Operators:
 
-* exact dedup             — hash-groupBy on text (one shuffle)
+* exact dedup             — hash-groupBy on text (one shuffle); plus
+                            dedup MODULO normalization (reformatted copies)
 * MinHash + LSH banding   — shingle → k minhashes → band buckets →
                             candidate pairs via bucket self-join; the
                             scale path for near-dup at 10^12 docs
                             (band join is linear, never all-pairs)
-* n-gram Jaccard          — exact pairwise similarity over shingles
-                            (quadratic verify stage; run it only on
-                            LSH candidates at scale)
-* SimHash (32-bit)        — per-token hash bit votes
+* n-gram Jaccard          — exact similarity; the scale path COMPOSES
+                            LSH candidates → Jaccard verify
+                            (ngram_jaccard_lsh); the all-pairs variant
+                            is the small-corpus recall-audit twin
+* SimHash                 — 32-bit signatures, plus dual-lane 64-bit
+                            near-dup pairs (4×16-bit bands, exact
+                            recall ≤3 Hamming, XOR+popcount verify)
+* connected components    — checkpointed min-label propagation over
+                            the LSH pair graph (near-dup clusters)
 * token stats / quality   — length, token count, stopword ratio
 * language ID             — stopword-vote heuristic
 * fingerprint             — rolling polynomial hash over token hashes
+* normalization           — ASCII-safe case/punct/whitespace canon
+* stratified sampling     — deterministic content-hash keep decision
+                            with per-language rates
+* curation_pipeline       — the end-to-end composition: exact dedup →
+                            LSH components → representatives → sample
 
 Reference tie-in: the reference's only string machinery is CharArray
 padding (``physarray.py:623-657``); these operators are the
