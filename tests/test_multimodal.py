@@ -82,3 +82,34 @@ def test_exact_dup_media(spark):
     assert len(rows) == 40
     assert all(r["n_copies"] == 2 for r in rows)
     assert all(r["keep_id"] < 1000 for r in rows)
+
+
+def test_media_features_feed_similarity_search(spark):
+    """The promised composition: extract_features emits fixed-width
+    array<float>, so the similarity-search operators apply to media
+    UNCHANGED — rename (media_id, features) -> the embeddings layout
+    and run brute-force cosine top-k over it."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import multimodal, simsearch
+
+    media = multimodal.synth_media(spark, 64)
+    feats = multimodal.extract_features(media)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("kind").alias("label"),
+        F.col("features").alias("embedding"),
+    )
+    out = simsearch.knn_bruteforce(emb, n_queries=3, k=4).collect()
+    assert len(out) == 3 * 4
+    for r in out:
+        assert r["query_id"] < 3 and r["vec_id"] != r["query_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+    # top-k per query is sorted descending by cosine
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r["cosine"])
+    for q, cs in per_q.items():
+        assert cs == sorted(cs, reverse=True)
