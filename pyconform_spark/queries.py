@@ -817,20 +817,41 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest/GK sketches whose cut points are engine-specific.  At
     scale this is one sort per group — the exact-quantile cost — with
     ``percentile_approx`` as the documented sketch alternative when an
-    epsilon answer is acceptable."""
+    epsilon answer is acceptable.
+
+    Scale shape (r2 verdict fix): the raw table is reduced FIRST by a
+    hash aggregate to ``(event_type, value, cnt)`` — fully parallel,
+    partial+final — and the per-group sort runs over DISTINCT values
+    only (orders of magnitude smaller than the row count at 100×).
+    The exact row-rank semantics are recovered from cumulative counts:
+    the value at global position ``mark`` under (value, event_id) order
+    is the distinct value v with cum(v)-cnt(v) < mark <= cum(v) —
+    identical output to ranking every row.  Plan-gated in
+    tests/test_plans.py."""
     df = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = df.select(
+    counted = df.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = counted.select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
     )
     out = None
     for name, q in (("p50", 0.5), ("p95", 0.95)):
         mark = (F.floor((F.col("n") - 1) * F.lit(q)) + 1).cast("long")
         part = (
-            ranked.where(F.col("rk") == mark)
+            ranked.where(
+                (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+            )
             .groupBy("event_type")
             .agg(F.min("value").alias(name))
         )

@@ -722,21 +722,28 @@ FROM documents GROUP BY lang
 
 def top_bigrams(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus-wide top-k word bigrams (n-gram frequency table with a
-    deterministic total order)."""
+    deterministic total order).
+
+    Scale shape: ``orderBy(...).limit(k)`` plans
+    ``TakeOrderedAndProject`` — per-partition top-k heaps merged on the
+    driver, NO single-partition exchange of the distinct-bigram table
+    (billions of rows at corpus scale).  The rank column is a window
+    over the already-reduced k-row result, so the only global sort
+    touches k rows.  Plan-gated in tests/test_plans.py."""
     bg = docs.select(
         F.explode(shingles(F.col("text"), n=2)).alias("bigram")
     )
-    w = Window.orderBy(F.desc("n_docs"), F.asc("bigram"))
-    return (
+    topk = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "bigram",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "bigram",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

@@ -163,6 +163,47 @@ def test_tem_suite_shares_one_window_sort(spark):
     assert count_nodes(plan, "Window") == 7
 
 
+def test_top_bigrams_takes_ordered_not_global_sort(spark):
+    """r2 verdict scale-killer fix: corpus-wide top-k must plan
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    single-partition Exchange sorting the whole distinct-bigram table.
+    The only remaining single-partition work is the rank window over
+    the already-reduced k rows."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.top_bigrams(docs))
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    # the pre-limit pipeline must not funnel through a global sort:
+    # no Sort node other than the k-row window's own
+    assert count_nodes(plan, "Sort") <= 1
+
+
+def test_percentiles_rank_distinct_values_not_rows(spark):
+    """r2 verdict scale-killer fix: exact percentiles must hash-agg to
+    (event_type, value, cnt) BEFORE any window — the per-group sort
+    touches distinct values only.  Gate: partial+final aggregation
+    precedes the window, and no window partitions the raw row stream
+    (raw scan feeds an aggregate, not a sort)."""
+    plan = plan_of(Q.percentiles_by_type(spark, SF))
+    # the (event_type, value) count is a partial+final hash aggregate
+    assert "partial_count" in plan
+    # one static scan per percentile branch (AQE dedupes the shared
+    # count-exchange at runtime, as test_heavy_series_scans_raw_once
+    # proves for the same shape)
+    assert count_nodes(plan, "Scan parquet") <= 2
+    # every Window node's child chain contains a HashAggregate — i.e.
+    # windows run over the reduced distinct-value table, not raw rows:
+    # in the formatted detail section the aggregate node ids are lower
+    # (closer to the scan) than every window's
+    import re
+
+    agg_ids = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.M)]
+    win_ids = [int(m) for m in re.findall(r"^\((\d+)\) Window", plan, re.M)]
+    assert agg_ids and win_ids
+    assert min(agg_ids) < min(win_ids)
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     """The interval join must plan as a bucketed equi-join: a naive
     BETWEEN-only join becomes BroadcastNestedLoopJoin (quadratic + an
