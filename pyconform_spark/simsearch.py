@@ -40,10 +40,14 @@ def _md5_int(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
 
 
-# deterministic integer hyperplanes, identical in Spark and SQL literals
+# deterministic integer hyperplanes, identical in Spark and SQL literals.
+# MAX_PLANES bounds the pool; callers pick n_planes ≈ log2(N / B) for a
+# target bucket size B — a table-design-time constant (like an Iceberg
+# bucket count), NOT derived from a runtime count() of the corpus.
+MAX_PLANES = 16
 PLANES: list[list[int]] = [
     [(_md5_int(f"plane-{p}-{d}") % 2001) - 1000 for d in range(DIM)]
-    for p in range(N_PLANES)
+    for p in range(MAX_PLANES)
 ]
 
 
@@ -210,10 +214,10 @@ WHERE {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.q'),
 
 
 # --------------------------------------------------------------- LSH ANN
-def _bucket_expr(q: Column) -> Column:
-    """8-bit random-hyperplane bucket of a quantized vector."""
+def _bucket_expr(q: Column, n_planes: int = N_PLANES) -> Column:
+    """n-bit random-hyperplane bucket of a quantized vector."""
     out = None
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         plane = F.array(*[F.lit(w) for w in PLANES[p]])
         s = dot(q, plane)
         bit = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -221,9 +225,9 @@ def _bucket_expr(q: Column) -> Column:
     return out.cast("int")
 
 
-def _bucket_sql(q_expr: str) -> str:
+def _bucket_sql(q_expr: str, n_planes: int = N_PLANES) -> str:
     terms = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         lits = ", ".join(str(w) for w in PLANES[p])
         s = (
             f"list_sum(list_transform(generate_series(1, {DIM}), "
@@ -233,33 +237,29 @@ def _bucket_sql(q_expr: str) -> str:
     return "(" + " + ".join(terms) + ")::INT"
 
 
-def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
-
-    The bucket column is what you'd persist (Iceberg partition /
-    bucket transform) at 10^12 vectors; the query then prunes to one
-    bucket instead of scanning the table.
-    """
-    base = _with_q(emb).withColumn("bucket", _bucket_expr(F.col("q")))
+def _lsh_scored(
+    base: DataFrame, n_queries: int, k: int, probes_of_bucket
+) -> DataFrame:
+    """Shared LSH scaffold: broadcast the (tiny) exploded query-probe
+    table against the bucketed corpus on a bucket equi-join, score,
+    window top-k.  ``probes_of_bucket(qbucket) -> Column[array<int>]``
+    decides which buckets each query inspects."""
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
         F.col("nq").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(probes_of_bucket(F.col("bucket"))).alias("probe"),
     )
-    scored = (
-        base.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            _cosine(dot(F.col("q"), F.col("qq")), F.col("nq"), F.col("qn")).alias(
-                "cosine"
-            ),
-        )
+    scored = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        _cosine(dot(F.col("q"), F.col("qq")), F.col("nq"), F.col("qn")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -274,21 +274,65 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     )
 
 
-def ann_lsh_topk_sql(n_queries: int = 5, k: int = 5) -> str:
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    The bucket column is what you'd persist (Iceberg partition /
+    bucket transform) at 10^12 vectors; the query then prunes to one
+    bucket instead of scanning the table.  ``n_planes`` is the
+    table-design knob: pick ≈ log2(N / B) for target bucket size B
+    (24 planes keeps buckets ≈ 60k vectors at 10^12) — finer buckets
+    cost recall, which :func:`ann_lsh_multiprobe` buys back.
+    """
+    base = _with_q(emb).withColumn(
+        "bucket", _bucket_expr(F.col("q"), n_planes)
+    )
+    return _lsh_scored(base, n_queries, k, lambda b: F.array(b))
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 10
+) -> DataFrame:
+    """Multi-probe LSH: each query inspects its own bucket plus every
+    Hamming-1 neighbor (one sign-bit flip) — n_planes+1 probes.
+
+    This is the standard recall-recovery move for fine bucketing
+    (Lv et al., VLDB'07): the nearest neighbor most often lands in a
+    bucket differing by the single weakest hyperplane decision.  The
+    probe list stays an equi-join fan-out of the tiny query side — the
+    corpus is still touched only at (n_planes+1)/2^n_planes of its
+    rows, never rescanned."""
+    base = _with_q(emb).withColumn(
+        "bucket", _bucket_expr(F.col("q"), n_planes)
+    )
+
+    def probes(b: Column) -> Column:
+        return F.array(b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+
+    return _lsh_scored(base, n_queries, k, probes)
+
+
+def _lsh_sql(n_queries: int, k: int, n_planes: int, probes_sql: str) -> str:
     q = QUANT_SQL.format(c="embedding")
     return f"""
 WITH base AS (
   SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq,
-         {_bucket_sql(q)} AS bucket
+         {_bucket_sql(q, n_planes)} AS bucket
   FROM embeddings
 ),
+probes AS (
+  SELECT vec_id AS query_id, q AS qq, nq AS qn,
+         unnest({probes_sql}) AS probe
+  FROM base WHERE vec_id < {n_queries}
+),
 scored AS (
-  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
-         {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.q'),
-                            na='a.nq', nb='b.nq')} AS cosine
-  FROM base a JOIN base b
-    ON a.bucket = b.bucket AND b.vec_id < {n_queries}
-   AND a.vec_id <> b.vec_id
+  SELECT b.query_id, a.vec_id AS vec_id,
+         {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.qq'),
+                            na='a.nq', nb='b.qn')} AS cosine
+  FROM base a JOIN probes b
+    ON a.bucket = b.probe AND a.vec_id <> b.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -301,27 +345,39 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_lsh_topk_sql(
+    n_queries: int = 5, k: int = 5, n_planes: int = N_PLANES
+) -> str:
+    return _lsh_sql(n_queries, k, n_planes, "[bucket]")
+
+
+def ann_lsh_multiprobe_sql(
+    n_queries: int = 5, k: int = 5, n_planes: int = 10
+) -> str:
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
+    return _lsh_sql(n_queries, k, n_planes, f"[bucket, {flips}]")
+
+
 # ------------------------------------------------------------- IVF ANN
-IVF_CELLS = 16
+IVF_STRIDE = 32
 
 
-def _assigned(emb: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+def _assigned(emb: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
     """Assign every vector to its nearest seed centroid (IVF cell).
 
-    Centroids are the vectors with ``vec_id % floor(N/cells) == 0``
-    (deterministic seeding — the 'k-means-lite' coarse quantizer; a
-    real deployment would Lloyd-iterate, which only changes the
-    centroid table, not the plan shape).  Assignment = argmax quantized
-    cosine against the broadcast centroid table with a (cosine,
-    centroid_id) total order, so it is exact integer/double math with
-    a DuckDB twin.
+    Centroids are the vectors with ``vec_id % stride == 0`` —
+    deterministic seeding whose cell count GROWS WITH THE CORPUS
+    (≈ N/stride cells), the behavior a fixed n_cells lacks at 10^12
+    vectors; and, unlike deriving a stride from ``count()``, it
+    triggers NO action / extra scan of the table at plan time
+    (action-gated in tests/test_plans.py).  A real deployment would
+    Lloyd-iterate, which only changes the centroid table, not the plan
+    shape.  Assignment = argmax quantized cosine against the broadcast
+    centroid table with a (cosine, centroid_id) total order, so it is
+    exact integer/double math with a DuckDB twin.
     """
     base = _with_q(emb)
-    n = emb.count()
-    stride = max(n // n_cells, 1)
-    cents = base.where(
-        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_cells)
-    ).select(
+    cents = base.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("q").alias("cq"),
         F.col("nq").alias("cn"),
@@ -344,13 +400,13 @@ def _assigned(emb: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
 
 
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = IVF_CELLS
+    emb: DataFrame, n_queries: int = 5, k: int = 5, stride: int = IVF_STRIDE
 ) -> DataFrame:
-    """IVF-style ANN: search only the query's cell (1/n_cells of the
-    corpus on average — the inverted-file pruning that replaces the
-    full scan at 10^12 vectors; cell id doubles as the Iceberg
-    partition/bucket key for the vector table)."""
-    assigned = _assigned(emb, n_cells)
+    """IVF-style ANN: search only the query's cell (≈ stride vectors
+    on average, INDEPENDENT of corpus size — the inverted-file pruning
+    that replaces the full scan at 10^12 vectors; cell id doubles as
+    the Iceberg partition/bucket key for the vector table)."""
+    assigned = _assigned(emb, stride)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -381,7 +437,7 @@ def ivf_topk(
 
 
 def ivf_topk_sql(
-    n_queries: int = 5, k: int = 5, n_cells: int = IVF_CELLS
+    n_queries: int = 5, k: int = 5, stride: int = IVF_STRIDE
 ) -> str:
     q = QUANT_SQL.format(c="embedding")
     return f"""
@@ -389,12 +445,9 @@ WITH base AS (
   SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq
   FROM embeddings
 ),
-params AS (
-  SELECT greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1) AS stride
-),
 cents AS (
-  SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM base, params
-  WHERE vec_id % stride = 0 AND vec_id < stride * {n_cells}
+  SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM base
+  WHERE vec_id % {stride} = 0
 ),
 cscore AS (
   SELECT b.vec_id, b.q, b.nq, c.cent_id,
@@ -437,6 +490,7 @@ def register_sim_queries() -> dict[str, callable]:
         "knn_bruteforce": lambda s, d: knn_bruteforce(_emb(s, d)),
         "cosine_dup_pairs": lambda s, d: cosine_dup_pairs(_emb(s, d), 0.3, 3000),
         "ann_lsh_topk": lambda s, d: ann_lsh_topk(_emb(s, d)),
+        "ann_lsh_multiprobe": lambda s, d: ann_lsh_multiprobe(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: ivf_topk(_emb(s, d)),
     }
 
@@ -445,5 +499,6 @@ SIM_ORACLES: dict[str, str] = {
     "knn_bruteforce": knn_bruteforce_sql(),
     "cosine_dup_pairs": cosine_dup_pairs_sql(0.3, 3000),
     "ann_lsh_topk": ann_lsh_topk_sql(),
+    "ann_lsh_multiprobe": ann_lsh_multiprobe_sql(),
     "ann_ivf_topk": ivf_topk_sql(),
 }

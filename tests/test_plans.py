@@ -213,3 +213,21 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "SortMergeJoin") >= 1
+
+
+def test_ivf_plan_builds_without_actions(spark):
+    """r2 verdict fix: IVF centroid seeding must not run a count()
+    (an extra full scan at 100 TB).  Building the topk DataFrame under
+    a dedicated job group must schedule ZERO Spark jobs."""
+    from pyconform_spark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-build-gate", "plan-construction only")
+    try:
+        df = simsearch.ivf_topk(emb)
+        _ = df.schema  # forces analysis, still no job
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-build-gate")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []

@@ -249,3 +249,42 @@ def test_cms_never_underestimates(spark):
     rows = Q.cms_user_counts(spark, SF).collect()
     assert rows
     assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+
+
+def test_multiprobe_recovers_recall_at_finer_buckets(spark):
+    """Recall vs brute force at two bucket widths (r2 verdict item):
+    at 10 planes (1024 buckets over 500 vectors) the single-bucket
+    probe finds almost nothing; probing the Hamming-1 neighborhood
+    must strictly improve recall at the SAME bucketing, and every
+    multiprobe hit is still a true neighbor (exact cosine)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_q, k, planes = 10, 5, 10
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in simsearch.knn_bruteforce(emb, n_queries=n_q, k=10**6).collect()
+    }
+    topk = {}
+    for (qid, vid), cos in bf.items():
+        topk.setdefault(qid, []).append((-cos, vid))
+    truth = {
+        q: {v for _, v in sorted(pairs)[:k]} for q, pairs in topk.items()
+    }
+
+    def recall(rows):
+        hits = sum(
+            1 for r in rows if r["vec_id"] in truth[r["query_id"]]
+        )
+        return hits / (len(truth) * k)
+
+    single = simsearch.ann_lsh_topk(emb, n_queries=n_q, k=k, n_planes=planes).collect()
+    multi = simsearch.ann_lsh_multiprobe(emb, n_queries=n_q, k=k, n_planes=planes).collect()
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi > r_single  # probes buy recall back
+    assert len(multi) > len(single)  # more candidates surfaced
+    for r in multi:  # every hit is a true neighbor with the exact score
+        assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
+    # coarse bucketing (8 planes, 256 buckets) needs no probing to see
+    # candidates: recall there should already exceed the fine
+    # single-bucket recall — the width/recall trade the knob controls
+    coarse = simsearch.ann_lsh_topk(emb, n_queries=n_q, k=k, n_planes=8).collect()
+    assert recall(coarse) >= r_single
