@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1h": Q.gapfill_linear_1h,
         "stencil_diff": Q.stencil_diff,
         "stencil_bounds": Q.stencil_bounds,
+        "stencil_bounds_locations": Q.stencil_bounds_locations,
+        "stencil_bounds_interfaces": Q.stencil_bounds_interfaces,
         "running_sum": Q.running_sum,
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,

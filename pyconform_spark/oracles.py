@@ -138,6 +138,63 @@ SELECT user_id, event_type, t,
 FROM nb
 """
 
+ORACLES["stencil_bounds_locations"] = """
+WITH pts AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST((epoch_ms(ts)//1000) AS DOUBLE) AS t
+  FROM events),
+nb AS (
+  SELECT *, lag(t) OVER w AS prev, lead(t) OVER w AS next
+  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t))
+SELECT user_id, event_type, t,
+       t AS lb0,
+       CASE WHEN next IS NULL THEN t + (t - prev) ELSE next END AS ub0,
+       CASE WHEN prev IS NULL THEN t - (next - t)/2 ELSE (prev + t)/2 END AS lb1,
+       CASE WHEN next IS NULL THEN t + (t - prev)/2 ELSE (t + next)/2 END AS ub1,
+       CASE WHEN prev IS NULL THEN t - (next - t) ELSE prev END AS lb2,
+       t AS ub2
+FROM nb
+"""
+
+ORACLES["stencil_bounds_interfaces"] = """
+WITH pts AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST((epoch_ms(ts)//1000) AS DOUBLE) AS t
+  FROM events),
+nb AS (
+  SELECT *, lead(t) OVER w AS next,
+         row_number() OVER w - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)),
+inner_ifc AS (
+  SELECT user_id, event_type, 0.25*t + 0.75*next AS v, i + 1 AS j
+  FROM nb WHERE next IS NOT NULL),
+stats AS (
+  SELECT user_id, event_type, n,
+         min(CASE WHEN i = 0 THEN t END) AS x0,
+         min(CASE WHEN i = n-1 THEN t END) AS xm1
+  FROM nb GROUP BY user_id, event_type, n),
+istats AS (
+  SELECT user_id, event_type, min(v) AS i_lo, max(v) AS i_hi
+  FROM inner_ifc GROUP BY 1, 2),
+pads AS (
+  SELECT s.user_id, s.event_type, 2.0*x0 - i_lo AS v, 0 AS j
+  FROM stats s JOIN istats t ON s.user_id = t.user_id AND s.event_type = t.event_type
+  UNION ALL
+  SELECT s.user_id, s.event_type, 2.0*xm1 - i_hi AS v, n AS j
+  FROM stats s JOIN istats t ON s.user_id = t.user_id AND s.event_type = t.event_type),
+edges AS (
+  SELECT user_id, event_type, v, j FROM inner_ifc
+  UNION ALL SELECT user_id, event_type, v, j FROM pads),
+paired AS (
+  SELECT *, lead(v) OVER (PARTITION BY user_id, event_type ORDER BY j) AS vn
+  FROM edges)
+SELECT c.user_id, c.event_type, c.t,
+       p.v::DOUBLE AS t_lb, p.vn::DOUBLE AS t_ub
+FROM nb c JOIN paired p
+  ON c.user_id = p.user_id AND c.event_type = p.event_type AND c.i = p.j
+"""
+
 ORACLES["running_sum"] = """
 SELECT user_id, event_type, event_id,
        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

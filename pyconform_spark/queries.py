@@ -176,7 +176,14 @@ def stencil_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stencil_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell bounds over each series' observed epoch-second coordinates
     (reference ``bounds``, location=1)."""
-    df = (
+    out = stencil.bounds(_distinct_t(spark, sf_dir), "t", EKEYS)
+    return out.select(*EKEYS, "t", F.col("t_lb").alias("t_lb"), F.col("t_ub").alias("t_ub"))
+
+
+def _distinct_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each series' distinct epoch-second coordinates (the 1-D
+    coordinate variable the reference's bounds operates on)."""
+    return (
         _events(spark, sf_dir)
         .select(
             *EKEYS,
@@ -186,8 +193,46 @@ def stencil_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .drop("_n")
     )
-    out = stencil.bounds(df, "t", EKEYS)
-    return out.select(*EKEYS, "t", F.col("t_lb").alias("t_lb"), F.col("t_ub").alias("t_ub"))
+
+
+def stencil_bounds_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ``bounds`` location variants (reference
+    commonfunctions.py:295-310: 0 = value at lower edge, 1 = midpoint,
+    2 = value at upper edge) in one pass — the three withColumn chains
+    share a single (series, t) window sort."""
+    df = _distinct_t(spark, sf_dir)
+    out = stencil.bounds(df, "t", EKEYS, location=0)
+    out = out.withColumnRenamed("t_lb", "lb0").withColumnRenamed("t_ub", "ub0")
+    out = stencil.bounds(out, "t", EKEYS, location=1)
+    out = out.withColumnRenamed("t_lb", "lb1").withColumnRenamed("t_ub", "ub1")
+    out = stencil.bounds(out, "t", EKEYS, location=2)
+    out = out.withColumnRenamed("t_lb", "lb2").withColumnRenamed("t_ub", "ub2")
+    return out.select(*EKEYS, "t", "lb0", "ub0", "lb1", "ub1", "lb2", "ub2")
+
+
+def stencil_bounds_interfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds from an explicit INNER-interface table (the reference's
+    idata branch, commonfunctions.py:313-341, location=1): interfaces
+    are synthesized as asymmetric weighted midpoints 0.25*t + 0.75*next
+    (asymmetric so the result provably differs from the computed-bounds
+    path), ends padded by the location-1 rule 2*x - idata."""
+    cells = _distinct_t(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("t")
+    nxt = F.lead("t").over(w)
+    ifc = (
+        cells.withColumn("_next", nxt)
+        .where(F.col("_next").isNotNull())
+        .select(*EKEYS, (0.25 * F.col("t") + 0.75 * F.col("_next")).alias("iv"))
+    )
+    out = stencil.bounds_from_interfaces(
+        cells, ifc, "t", "iv", EKEYS, location=1, inner=True
+    )
+    return out.select(
+        *EKEYS,
+        "t",
+        F.col("t_lb").cast("double").alias("t_lb"),
+        F.col("t_ub").cast("double").alias("t_ub"),
+    )
 
 
 def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,3 +92,104 @@ def test_deriv3_matches_idl_formula(spark, uniform):
     if uniform:
         # interior of a uniform grid also equals np.gradient
         assert got[1:-1] == pytest.approx(np.gradient(y, x)[1:-1], rel=1e-12)
+
+
+def _np_bounds(x: np.ndarray, location: int, endpoints: bool) -> np.ndarray:
+    """Reference BoundsFunction computed-idata branch
+    (commonfunctions.py:295-310) transcribed for golden comparison."""
+    n = len(x)
+    out = np.stack([x, x], axis=1).astype(float)
+    dx = np.diff(x)
+    if location == 0:
+        out[:-1, 1] = x[:-1] + dx
+        if endpoints:
+            out[-1, 1] = x[-1] + dx[-1]
+    elif location == 1:
+        hdx = 0.5 * dx
+        out[1:, 0] = x[1:] - hdx
+        out[:-1, 1] = x[:-1] + hdx
+        if endpoints:
+            out[0, 0] = x[0] - hdx[0]
+            out[-1, 1] = x[-1] + hdx[-1]
+    else:
+        out[1:, 0] = x[1:] - dx
+        if endpoints:
+            out[0, 0] = x[0] - dx[0]
+    return out
+
+
+@pytest.mark.parametrize("location", [0, 1, 2])
+@pytest.mark.parametrize("endpoints", [True, False])
+def test_bounds_locations_match_reference_logic(spark, location, endpoints):
+    xs = [0.0, 1.0, 3.0, 7.0, 8.5]
+    df = _series(spark, xs, [0] * len(xs))
+    got = (
+        bounds(df, "x", ["k"], location=location, endpoints=endpoints)
+        .orderBy("x")
+        .toPandas()
+    )
+    want = _np_bounds(np.array(xs), location, endpoints)
+    assert got["x_lb"].tolist() == pytest.approx(want[:, 0].tolist(), abs=0)
+    assert got["x_ub"].tolist() == pytest.approx(want[:, 1].tolist(), abs=0)
+
+
+def _np_bounds_ifc(x: np.ndarray, idata: np.ndarray, location: int) -> np.ndarray:
+    """Reference idata branch (commonfunctions.py:313-341): full or
+    inner interfaces."""
+    n = len(x)
+    ifc = np.empty(n + 1)
+    if len(idata) == n + 1:
+        ifc[:] = idata
+    else:  # inner
+        ifc[1:-1] = idata
+        if location == 0:
+            ifc[0] = x[0]
+            ifc[-1] = 2 * x[-1] - x[-2]
+        elif location == 1:
+            ifc[0] = 2 * x[0] - idata[0]
+            ifc[-1] = 2 * x[-1] - idata[-1]
+        else:
+            ifc[0] = 2 * x[0] - x[1]
+            ifc[-1] = x[-1]
+    return np.stack([ifc[:-1], ifc[1:]], axis=1)
+
+
+@pytest.mark.parametrize("location", [0, 1, 2])
+def test_bounds_from_inner_interfaces(spark, location):
+    from pyconform_spark.operators.stencil import bounds_from_interfaces
+
+    xs = [0.0, 1.0, 3.0, 7.0, 8.5]
+    inner = [0.6, 2.1, 6.0, 7.7]  # asymmetric inner edges (n-1 of them)
+    cells = _series(spark, xs, [0] * len(xs))
+    ifc = spark.createDataFrame(
+        [("s", float(v)) for v in inner], "k string, iv double"
+    )
+    got = (
+        bounds_from_interfaces(cells, ifc, "x", "iv", ["k"], location=location)
+        .orderBy("x")
+        .toPandas()
+    )
+    want = _np_bounds_ifc(np.array(xs), np.array(inner), location)
+    assert got["x_lb"].tolist() == pytest.approx(want[:, 0].tolist(), abs=0)
+    assert got["x_ub"].tolist() == pytest.approx(want[:, 1].tolist(), abs=0)
+
+
+def test_bounds_from_full_interfaces(spark):
+    from pyconform_spark.operators.stencil import bounds_from_interfaces
+
+    xs = [0.0, 1.0, 3.0]
+    full = [-0.5, 0.4, 2.2, 3.3]
+    cells = _series(spark, xs, [0] * len(xs))
+    ifc = spark.createDataFrame(
+        [("s", float(v)) for v in full], "k string, iv double"
+    )
+    got = (
+        bounds_from_interfaces(
+            cells, ifc, "x", "iv", ["k"], location=1, inner=False
+        )
+        .orderBy("x")
+        .toPandas()
+    )
+    want = _np_bounds_ifc(np.array(xs), np.array(full), 1)
+    assert got["x_lb"].tolist() == want[:, 0].tolist()
+    assert got["x_ub"].tolist() == want[:, 1].tolist()
