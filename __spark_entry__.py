@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stencil_deriv3": Q.stencil_deriv3,
         "int_tabulated_series": Q.int_tabulated_series,
         "tem_diagnostics_series": Q.tem_diagnostics_series,
+        "vertical_interp_linear": Q.vertical_interp_linear,
         "media_binary_meta": Q.media_binary_meta,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,

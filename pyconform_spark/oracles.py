@@ -195,6 +195,37 @@ FROM nb c JOIN paired p
   ON c.user_id = p.user_id AND c.event_type = p.event_type AND c.i = p.j
 """
 
+ORACLES["vertical_interp_linear"] = f"""
+WITH tier AS ({_HOURLY_SUBSET}),
+ranked AS (
+  SELECT user_id, event_type, value_sum,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY bucket_start) - 1 AS i
+  FROM tier),
+col_air AS (
+  -- every literal cast to DOUBLE: DuckDB otherwise evaluates 0.1*i in
+  -- exact DECIMAL, while Spark's doubles round (444.0000000000001)
+  SELECT user_id, event_type,
+         (0.1::DOUBLE * i) * 1000.0::DOUBLE
+           + (0.05::DOUBLE * i + 0.01::DOUBLE) * (900.0::DOUBLE + user_id) AS p,
+         value_sum::DOUBLE AS v
+  FROM ranked),
+tgt AS (SELECT unnest([500.0, 5000.0, 20000.0, 40000.0]) AS plev),
+x AS (SELECT * FROM col_air, tgt),
+agg AS (
+  SELECT user_id, event_type, plev,
+         max(CASE WHEN p <= plev THEN {{'p': p, 'v': v}} END) AS lo,
+         min(CASE WHEN p >= plev THEN {{'p': p, 'v': v}} END) AS hi
+  FROM x GROUP BY 1, 2, 3)
+SELECT user_id, event_type, plev,
+       CAST(CASE
+         WHEN lo IS NULL OR hi IS NULL THEN NULL
+         WHEN hi.p = lo.p THEN lo.v
+         ELSE lo.v + (hi.v - lo.v) * ((plev - lo.p) / (hi.p - lo.p))
+       END AS DOUBLE) AS v_interp
+FROM agg
+"""
+
 ORACLES["running_sum"] = """
 SELECT user_id, event_type, event_id,
        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

@@ -461,6 +461,45 @@ def int_tabulated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VINTERP_PLEVS = [500.0, 5000.0, 20000.0, 40000.0]
+
+
+def vertical_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vinth2p analog (SURVEY §2.6; pnglfunctions.py:12-77): each
+    demo series is a 'column of air' whose level index is the hourly
+    bucket rank; input pressure follows the hybrid-sigma law
+    p = hyam*p0 + hybm*psfc with synthesized coefficients
+    hyam=0.1*i, hybm=0.05*i+0.01, psfc=900+user_id, p0=1000; value_sum
+    is interpolated onto 4 fixed target levels, linearly in p, NULL
+    outside the column's range (ixtrp=0).  The log-p variant is golden
+    -tested (ln is not cross-engine bit-stable); this linear twin is
+    oracle-exact."""
+    from pyconform_spark.operators import vinterp
+
+    tier = _hourly_subset(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("bucket_start")
+    col_air = tier.select(
+        *EKEYS,
+        (F.row_number().over(w) - 1).alias("_i"),
+        F.col("value_sum").cast("double").alias("_val"),
+    ).select(
+        *EKEYS,
+        vinterp.hybrid_pressure(
+            0.1 * F.col("_i"),
+            0.05 * F.col("_i") + 0.01,
+            900.0 + F.col("user_id"),
+            p0=1000.0,
+        ).alias("p"),
+        F.col("_val").alias("v"),
+    )
+    out = vinterp.vertical_interp(col_air, EKEYS, "p", "v", VINTERP_PLEVS)
+    return out.select(
+        *EKEYS,
+        F.col("plev").cast("double").alias("plev"),
+        F.col("v_interp").cast("double").alias("v_interp"),
+    )
+
+
 def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing with a DuckDB twin: opaque
     payloads synthesized deterministically from events (multimodal.py's
