@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tem_diagnostics_series": Q.tem_diagnostics_series,
         "vertical_interp_linear": Q.vertical_interp_linear,
         "media_binary_meta": Q.media_binary_meta,
+        "media_decoded_props": Q.media_decoded_props,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "expand_grid": Q.expand_grid,

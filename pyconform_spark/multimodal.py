@@ -93,6 +93,101 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
     )
 
 
+# ------------------------------------------------- real format codecs
+# Two genuinely-decodable formats with pure-Python/numpy codecs (the
+# sandbox has no media libs, but WAV and PPM are simple enough to
+# parse from first principles): the decode stage below exercises real
+# bytes end-to-end, not a hash.  Video stays stubbed (no pure-Python
+# codec is reasonable).
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Minimal RIFF/WAVE reader: walks the chunk list, returns sample
+    rate / channel count / bit depth / samples (int16 numpy) /
+    duration_ms.  Raises ValueError on malformed input like a real
+    decoder."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // n_ch
+    return {
+        "rate": rate,
+        "channels": n_ch,
+        "bits": bits,
+        "samples": samples,
+        "n_samples": n,
+        "duration_ms": (n * 1000) // rate,
+    }
+
+
+def encode_ppm(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Binary PPM (P6) writer: RGB8 raster."""
+    raster = np.asarray(pixels, dtype=np.uint8).tobytes()
+    return f"P6\n{width} {height}\n255\n".encode() + raster
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) reader: header ints (whitespace/comment
+    tolerant) + RGB8 raster; returns width/height/pixels/mean."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return {
+        "width": width,
+        "height": height,
+        "pixels": raster,
+        "mean": float(raster.sum()) / len(raster),
+    }
+
+
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB decoder — deterministic fake 'pixels/samples'.
 
@@ -137,6 +232,106 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
 
     pruned = media.select("media_id", "kind", "payload")
     return pruned.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_units", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def synth_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Stage 1 — REAL payload synthesis (mapInPandas): even ids get a
+    PCM16 WAV (n = (id%50+1)*40 samples of ((i*(id%7+1)) % 256) - 128
+    at 8 kHz), odd ids a P6 PPM ((id%16+1) × (id%8+1), pixel k =
+    (k+id) % 256).  Deterministic closed forms so a SQL oracle can
+    predict every decoded property without parsing bytes."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    k = mid % 7 + 1
+                    n = (mid % 50 + 1) * 40
+                    i = np.arange(n, dtype=np.int64)
+                    payloads.append(encode_wav((i * k) % 256 - 128, rate=8000))
+                    kinds.append("audio")
+                else:
+                    w, h = mid % 16 + 1, mid % 8 + 1
+                    kpix = np.arange(w * h * 3, dtype=np.int64)
+                    payloads.append(encode_ppm((kpix + mid) % 256, w, h))
+                    kinds.append("image")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def decode_media_props(media: DataFrame) -> DataFrame:
+    """Stage 2 — REAL decode (mapInPandas): parse the WAV chunk list /
+    PPM header from the binary column that crossed the Arrow boundary
+    and emit typed properties.  This replaces the r1/r2 hash stub for
+    the two formats with pure-Python codecs; video keeps the stub."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "kind", "n_units", "duration_ms",
+                "width", "height", "mean_value",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if kind == "audio":
+                    d = decode_wav(b)
+                    n = d["n_samples"]
+                    out["n_units"].append(n)
+                    out["duration_ms"].append(d["duration_ms"])
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_value"].append(
+                        float(d["samples"].astype(np.int64).sum()) / n
+                    )
+                elif kind == "image":
+                    d = decode_ppm(b)
+                    n = len(d["pixels"])
+                    out["n_units"].append(n)
+                    out["duration_ms"].append(None)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["mean_value"].append(
+                        float(d["pixels"].astype(np.int64).sum()) / n
+                    )
+                else:
+                    raise NotImplementedError(f"no decoder for kind={kind!r}")
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+            yield pd.DataFrame(out)
+
+    pruned = media.select("media_id", "kind", "payload")
+    return pruned.mapInPandas(_dec, schema=DECODED_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

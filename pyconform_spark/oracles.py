@@ -226,6 +226,36 @@ SELECT user_id, event_type, plev,
 FROM agg
 """
 
+ORACLES["media_decoded_props"] = """
+WITH ids AS (SELECT event_id FROM events WHERE event_id < 500),
+audio AS (
+  SELECT event_id, (event_id % 50 + 1) * 40 AS n, event_id % 7 + 1 AS k
+  FROM ids WHERE event_id % 2 = 0),
+g AS (SELECT unnest(generate_series(0, 1999)) AS i),
+asum AS (
+  SELECT a.event_id, a.n,
+         sum(((g.i * a.k) % 256) - 128)::BIGINT AS s
+  FROM audio a JOIN g ON g.i < a.n
+  GROUP BY a.event_id, a.n),
+image AS (
+  SELECT event_id, event_id % 16 + 1 AS w, event_id % 8 + 1 AS h
+  FROM ids WHERE event_id % 2 = 1),
+isum AS (
+  SELECT im.event_id, im.w, im.h, im.w * im.h * 3 AS n,
+         sum((g.i + im.event_id) % 256)::BIGINT AS s
+  FROM image im JOIN g ON g.i < im.w * im.h * 3
+  GROUP BY im.event_id, im.w, im.h)
+SELECT event_id::BIGINT AS event_id, 'audio' AS kind,
+       n::BIGINT AS n_units, ((n * 1000) // 8000)::BIGINT AS duration_ms,
+       NULL::INT AS width, NULL::INT AS height,
+       CAST(s AS DOUBLE) / n AS mean_value
+FROM asum
+UNION ALL
+SELECT event_id::BIGINT, 'image', n::BIGINT, NULL::BIGINT,
+       w::INT, h::INT, CAST(s AS DOUBLE) / n
+FROM isum
+"""
+
 ORACLES["running_sum"] = """
 SELECT user_id, event_type, event_id,
        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

@@ -113,3 +113,69 @@ def test_media_features_feed_similarity_search(spark):
         per_q[r["query_id"]].append(r["cosine"])
     for q, cs in per_q.items():
         assert cs == sorted(cs, reverse=True)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-Python RIFF/WAVE writer+reader recover samples bit-exact."""
+    import numpy as np
+
+    from pyconform_spark.multimodal import decode_wav, encode_wav
+
+    samples = ((np.arange(800, dtype=np.int64) * 3) % 256 - 128).astype("<i2")
+    blob = encode_wav(samples, rate=8000)
+    d = decode_wav(bytes(blob))
+    assert d["rate"] == 8000 and d["channels"] == 1 and d["bits"] == 16
+    assert d["n_samples"] == 800 and d["duration_ms"] == 100
+    assert (d["samples"] == samples).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope" * 10)
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+    import pytest
+
+    from pyconform_spark.multimodal import decode_ppm, encode_ppm
+
+    w, h = 5, 3
+    pix = (np.arange(w * h * 3, dtype=np.int64) * 7) % 256
+    blob = encode_ppm(pix, w, h)
+    d = decode_ppm(bytes(blob))
+    assert d["width"] == w and d["height"] == h
+    assert (d["pixels"] == pix.astype(np.uint8)).all()
+    assert d["mean"] == float(pix.sum()) / len(pix)
+    # comment-tolerant header parse
+    blob2 = b"P6\n# a comment\n5 3\n255\n" + bytes(pix.astype(np.uint8))
+    assert decode_ppm(blob2)["width"] == 5
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n000")
+
+
+def test_real_decode_pipeline_through_spark(spark):
+    """synth_real_media -> Arrow boundary -> decode_media_props: the
+    decoded properties equal the closed forms the payloads were built
+    from."""
+    from pyconform_spark import multimodal
+
+    ids = spark.range(40).withColumnRenamed("id", "media_id")
+    media = multimodal.synth_real_media(ids)
+    rows = {r["media_id"]: r for r in multimodal.decode_media_props(media).collect()}
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            n = (mid % 50 + 1) * 40
+            k = mid % 7 + 1
+            assert r["kind"] == "audio"
+            assert r["n_units"] == n
+            assert r["duration_ms"] == (n * 1000) // 8000
+            want = sum(((i * k) % 256) - 128 for i in range(n)) / n
+            assert r["mean_value"] == want
+        else:
+            w, hh = mid % 16 + 1, mid % 8 + 1
+            n = w * hh * 3
+            assert r["kind"] == "image"
+            assert (r["width"], r["height"], r["n_units"]) == (w, hh, n)
+            want = sum((kk + mid) % 256 for kk in range(n)) / n
+            assert r["mean_value"] == want
