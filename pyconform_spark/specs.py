@@ -513,3 +513,85 @@ def read_spec_outputs(spark: SparkSession, root: str) -> DataFrame:
     if not paths:
         raise FileNotFoundError(f"no committed spec outputs under {root}")
     return spark.read.parquet(*paths)
+
+
+# --------------------------------------------- CMOR-JSON MIP ingestion
+# The reference ingests MIP standards from three formats
+# (miptableparser.py:15-638); the CMOR/CMIP JSON branch
+# (ParseCmorTable, miptableparser.py:247-316) is the one that needs no
+# external libraries — reimplemented here against the same table
+# layout (Header / variable_entry / axis_entry).
+
+def parse_cmor_table(table, variables: list[str] | None = None) -> dict:
+    """One CMOR/CMIP JSON table (path or dict) -> the reference's
+    standardized ``{'variables', 'axes', 'table_info'}`` dict
+    (miptableparser.py:282-316): each requested variable is enriched
+    with ``variable_id``/``realm``/``mipTable``/``frequency`` from the
+    Header and pipe-joined ``coordinates``; every axis named in a
+    variable's ``dimensions`` is pulled from ``axis_entry``."""
+    if isinstance(table, str):
+        with open(table) as fh:
+            table = json.load(fh)
+    if not isinstance(table, dict) or "variable_entry" not in table:
+        raise SpecError("CMOR table must be a JSON object with variable_entry")
+    header = dict(table.get("Header", {}))
+    ventry = table["variable_entry"]
+    aentry = table.get("axis_entry", {})
+    v_list = list(variables) if variables else list(ventry)
+    vars_out, axes = {}, {}
+    for var in v_list:
+        if var not in ventry:
+            raise SpecError(f"variable {var!r} not in table variable_entry")
+        v = dict(ventry[var])
+        v["variable_id"] = var
+        v["realm"] = header.get("realm")
+        v["mipTable"] = str(header.get("table_id", "")).replace("Table ", "")
+        v["frequency"] = header.get("frequency")
+        dims = str(v.get("dimensions", ""))
+        v["coordinates"] = dims.replace(" ", "|")
+        vars_out[var] = v
+        for dim in dims.split():
+            if dim not in axes and dim in aentry:
+                axes[dim] = dict(aentry[dim])
+    return {"variables": vars_out, "axes": axes, "table_info": header}
+
+
+# CMOR 'type' codes -> Spark types (CMOR writes 'real' for float32)
+_CMOR_TYPE = {"real": "float", "double": "double", "integer": "int", "": "float"}
+
+# declared metadata carried from the MIP table into spec attributes
+_CMOR_ATTRS = (
+    "units", "positive", "valid_min", "valid_max",
+    "ok_min_mean_abs", "ok_max_mean_abs",
+    "long_name", "standard_name", "cell_methods", "comment",
+)
+
+
+def cmor_to_spec(table_dict: dict, definitions: dict[str, str] | None = None) -> dict:
+    """Standardized MIP table -> runnable spec dict (the iconform
+    step, ``scripts/iconform``: MIP standards + an experiment's
+    definition strings = the standardization spec).  Variables without
+    a definition keep ``definition: None`` and are skipped-with-warning
+    at plan time — exactly the xconform lifecycle for unrequested
+    outputs.  Numeric valid-range / mean-abs bounds pass through as
+    floats so ``validate`` picks them up."""
+    defs_map = definitions or {}
+    spec: dict = {}
+    for name, v in table_dict["variables"].items():
+        attrs = {}
+        for k in _CMOR_ATTRS:
+            val = v.get(k)
+            if val in (None, ""):
+                continue
+            if k in ("valid_min", "valid_max", "ok_min_mean_abs", "ok_max_mean_abs"):
+                try:
+                    val = float(val)
+                except (TypeError, ValueError):
+                    continue
+            attrs[k] = val
+        spec[name] = {
+            "definition": defs_map.get(name),
+            "datatype": _CMOR_TYPE.get(str(v.get("type", "real")), "double"),
+            "attributes": attrs,
+        }
+    return spec

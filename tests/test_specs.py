@@ -352,3 +352,96 @@ def test_run_spec_batch_matches_per_epoch_mode(spark, events, tmp_path):
     assert res_b2["epochs"] == [] and sorted(res_b2["skipped"]) == sorted(
         res_b["epochs"]
     )
+
+
+# ------------------------------------------------- CMOR-JSON ingestion
+CMOR_TABLE = {
+    "Header": {
+        "table_id": "Table Amon",
+        "realm": "atmos",
+        "frequency": "mon",
+        "mip_era": "CMIP6",
+    },
+    "variable_entry": {
+        "tas": {
+            "type": "real",
+            "units": "s",
+            "dimensions": "longitude latitude time",
+            "long_name": "Near-Surface Air Temperature",
+            "valid_min": "0.0",
+            "valid_max": "1000.0",
+            "cell_methods": "area: time: mean",
+        },
+        "rlut": {
+            "type": "real",
+            "units": "ms",
+            "positive": "up",
+            "dimensions": "longitude latitude time",
+            "long_name": "TOA Outgoing Longwave Radiation",
+        },
+        "unrequested": {
+            "type": "real",
+            "units": "kg",
+            "dimensions": "time",
+        },
+    },
+    "axis_entry": {
+        "time": {"axis": "T", "units": "days since 1850-01-01"},
+        "latitude": {"axis": "Y", "units": "degrees_north"},
+        "longitude": {"axis": "X", "units": "degrees_east"},
+    },
+}
+
+
+def test_parse_cmor_table_standardizes_like_reference():
+    td = specs.parse_cmor_table(CMOR_TABLE)
+    assert set(td) == {"variables", "axes", "table_info"}
+    tas = td["variables"]["tas"]
+    assert tas["variable_id"] == "tas"
+    assert tas["realm"] == "atmos"
+    assert tas["mipTable"] == "Amon"  # 'Table ' prefix stripped
+    assert tas["frequency"] == "mon"
+    assert tas["coordinates"] == "longitude|latitude|time"
+    # only axes referenced by requested variables are pulled in
+    td2 = specs.parse_cmor_table(CMOR_TABLE, variables=["unrequested"])
+    assert set(td2["axes"]) == {"time"}
+    assert set(td["axes"]) == {"time", "latitude", "longitude"}
+    with pytest.raises(specs.SpecError):
+        specs.parse_cmor_table(CMOR_TABLE, variables=["nope"])
+
+
+def test_cmor_table_builds_runnable_spec(spark, events):
+    """MIP table + definitions -> spec -> apply_spec end to end: the
+    declared CMOR units drive a real unit conversion (ms -> s on the
+    definition's tracked units) and valid_min/max mask as floats; the
+    definition-less variable skips with a warning (xconform
+    lifecycle)."""
+    td = specs.parse_cmor_table(CMOR_TABLE)
+    spec = specs.cmor_to_spec(
+        td,
+        definitions={
+            "tas": "convert(chunits(value, units='ms'), units='s')",
+            "rlut": "up(rmunits(value) - 100.0)",
+        },
+    )
+    assert spec["unrequested"]["definition"] is None
+    assert spec["tas"]["datatype"] == "float"
+    assert spec["tas"]["attributes"]["valid_min"] == 0.0
+    with pytest.warns(specs.SpecWarning, match="unrequested"):
+        out, obs, warns = specs.apply_spec(
+            events, spec, passthrough=["event_id"]
+        )
+    pdf = out.orderBy("event_id").toPandas()
+    assert list(pdf.columns) == ["event_id", "tas", "rlut"]
+    # tas: value ms -> s (/1000), float32 cast, mask outside [0, 1000]
+    vals = [100.0, 250.0, 400.0, 900.0, -50.0, 0.0]
+    want_tas = [np.float32(v / 1000.0) for v in vals[:4]] + [None, np.float32(0.0)]
+    got_tas = pdf["tas"].tolist()[:6]
+    for g, w in zip(got_tas, want_tas):
+        if w is None:
+            assert g is None or math.isnan(g)
+        else:
+            assert g == w
+    # rlut keeps the declared positive=up metadata
+    meta = out.schema["rlut"].metadata
+    assert meta.get(units.POSITIVE_KEY, meta.get("positive")) == "up"
