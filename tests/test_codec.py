@@ -138,6 +138,38 @@ def test_packed_compress_blob_identical(spark, tier_1h):
         assert bytes(x[7]) == bytes(y[7])
 
 
+def test_packed_streaming_across_arrow_batches(spark, tier_1h):
+    """r2 verdict item 7: the packed encoder must stream Arrow batches
+    (carrying split groups across batch boundaries), not materialize
+    the partition.  Force tiny Arrow batches so every partition spans
+    many batches and most groups split — blobs must stay identical to
+    the per-group encoder."""
+    vcols = ["turn_rate", "text_len_avg"]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        b = codec.compress_tier_packed(tier_1h, vcols, chunk_seconds=7 * 86400)
+        rows_b = b.collect()
+    finally:
+        spark.conf.set(key, old)
+    a = codec.compress_tier(tier_1h, vcols, chunk_seconds=7 * 86400)
+    keyf = lambda r: tuple((x is None, x) for x in r[:4])
+    cols = ["conv_id", "tool", "role", "chunk_start", "n_points",
+            "ts_blob", "turn_rate_blob", "text_len_avg_blob"]
+    ra = sorted((tuple(r) for r in a.select(*cols).collect()), key=keyf)
+    rb = sorted(
+        (tuple(r) for r in
+         b.sparkSession.createDataFrame(rows_b, b.schema).select(*cols).collect()),
+        key=keyf,
+    )
+    assert len(ra) == len(rb) > 0
+    for x, y in zip(ra, rb):
+        assert x[:5] == y[:5]
+        for i in (5, 6, 7):
+            assert bytes(x[i]) == bytes(y[i])
+
+
 # ---------------------------------------------- property-based roundtrip
 from hypothesis import given, settings
 from hypothesis import strategies as st
