@@ -244,10 +244,15 @@ def spline_eval(
     h = x[idx + 1] - x[idx]
     a = (x[idx + 1] - xq) / h
     b = (xq - x[idx]) / h
+    # cubes as explicit multiplies (a*a*a, not a**3): numpy's pow and
+    # SQL pow() are not ulp-identical, three multiplies are — keeps the
+    # DuckDB recursive-CTE oracle bit-exact
     return (
         a * y[idx]
         + b * y[idx + 1]
-        + ((a**3 - a) * y2[idx] + (b**3 - b) * y2[idx + 1]) * (h * h) / 6.0
+        + ((a * a * a - a) * y2[idx] + (b * b * b - b) * y2[idx + 1])
+        * (h * h)
+        / 6.0
     )
 
 
@@ -311,7 +316,10 @@ def int_tabulated_np(x: np.ndarray, y: np.ndarray) -> float:
     z_unif = spline_eval(x, y, y2, x_unif)
     coef = np.array([7] + [32, 12, 32, 14] * (nint - 1) + [32, 12, 32, 7],
                     dtype="d")
-    return float(np.sum(z_unif * (2.0 * h * coef / 45.0)))
+    # SEQUENTIAL left-to-right accumulation (cumsum), not np.sum's
+    # pairwise tree: makes the total order-pinned so a SQL ordered
+    # aggregate reproduces it bit-for-bit
+    return float(np.cumsum(z_unif * (2.0 * h * coef / 45.0))[-1])
 
 
 def integrate_series(

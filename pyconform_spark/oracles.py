@@ -256,6 +256,110 @@ SELECT event_id::BIGINT, 'image', n::BIGINT, NULL::BIGINT,
 FROM isum
 """
 
+# ---------------------------------------------- int_tabulated (spline)
+# The one catalog entry that was rows-only in r1/r2: the natural-cubic
+# spline's forward/back recurrences ARE expressible as recursive CTEs
+# (each step is a closed-form function of the previous row), the
+# uniform resample is an ASOF-join bracket, and the 5-point
+# Newton-Cotes total is an ordered aggregate.  Every float op mirrors
+# gapfill.int_tabulated_np in order (which pins cubes to a*a*a and the
+# final sum to sequential cumsum for exactly this reason).
+ORACLES["int_tabulated_series"] = f"""
+WITH RECURSIVE
+tier AS ({_HOURLY_SUBSET}),
+knots AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ms(bucket_start)//1000 AS DOUBLE) AS x,
+         value_sum::DOUBLE AS y,
+         row_number() OVER w - 1 AS j,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM tier
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket_start)),
+kn AS (
+  SELECT *, lag(x) OVER w2 AS xm, lead(x) OVER w2 AS xp,
+         lag(y) OVER w2 AS ym, lead(y) OVER w2 AS yp
+  FROM knots WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY j)),
+fwd AS (
+  SELECT user_id, event_type, j, n, 0.0::DOUBLE AS y2f, 0.0::DOUBLE AS u
+  FROM knots WHERE j = 0
+  UNION ALL
+  SELECT k.user_id, k.event_type, k.j, k.n,
+         CASE WHEN k.j >= k.n - 1 THEN 0.0
+              ELSE ((k.x - k.xm)/(k.xp - k.xm) - 1.0)
+                   / ((k.x - k.xm)/(k.xp - k.xm) * f.y2f + 2.0) END,
+         CASE WHEN k.j >= k.n - 1 THEN 0.0
+              ELSE (6.0*((k.yp - k.y)/(k.xp - k.x) - (k.y - k.ym)/(k.x - k.xm))
+                      /(k.xp - k.xm)
+                    - (k.x - k.xm)/(k.xp - k.xm) * f.u)
+                   / ((k.x - k.xm)/(k.xp - k.xm) * f.y2f + 2.0) END
+  FROM kn k JOIN fwd f
+    ON k.user_id = f.user_id AND k.event_type = f.event_type
+   AND k.j = f.j + 1),
+nmax AS (SELECT DISTINCT user_id, event_type, n FROM knots),
+bwd AS (
+  SELECT user_id, event_type, n - 1 AS j, 0.0::DOUBLE AS y2 FROM nmax
+  UNION ALL
+  SELECT f.user_id, f.event_type, f.j, f.y2f * b.y2 + f.u
+  FROM fwd f JOIN bwd b
+    ON f.user_id = b.user_id AND f.event_type = b.event_type
+   AND f.j = b.j - 1),
+params AS (
+  SELECT user_id, event_type, n, min(x) AS xmin, max(x) AS xmax,
+         ((n - 1 + 3)//4)*4 AS nseg
+  FROM knots GROUP BY user_id, event_type, n),
+gs AS (SELECT unnest(generate_series(0, 20000)) AS gi),
+grid AS (
+  SELECT p.user_id, p.event_type, p.n, p.nseg, g.gi,
+         (p.xmax - p.xmin)/p.nseg AS h,
+         CASE WHEN g.gi = p.nseg THEN p.xmax
+              ELSE g.gi * ((p.xmax - p.xmin)/p.nseg) + p.xmin END AS xq
+  FROM params p JOIN gs g ON g.gi <= p.nseg
+  WHERE p.n >= 2),
+br AS (
+  SELECT g.*, k.j AS kj, k.x AS kx
+  FROM grid g ASOF JOIN knots k
+    ON g.user_id = k.user_id AND g.event_type = k.event_type
+   AND k.x <= g.xq),
+idx AS (
+  SELECT *, greatest(0, least(n - 2,
+           CASE WHEN kx = xq THEN kj - 1 ELSE kj END)) AS ib
+  FROM br),
+ev AS (
+  SELECT i.user_id, i.event_type, i.gi, i.n, i.nseg, i.h, i.xq,
+         kl.x AS xl, kl.y AS yl, kr.x AS xr, kr.y AS yr,
+         bl.y2 AS y2l, br2.y2 AS y2r
+  FROM idx i
+  JOIN knots kl ON i.user_id = kl.user_id AND i.event_type = kl.event_type
+               AND kl.j = i.ib
+  JOIN knots kr ON i.user_id = kr.user_id AND i.event_type = kr.event_type
+               AND kr.j = i.ib + 1
+  JOIN bwd bl  ON i.user_id = bl.user_id AND i.event_type = bl.event_type
+               AND bl.j = i.ib
+  JOIN bwd br2 ON i.user_id = br2.user_id AND i.event_type = br2.event_type
+               AND br2.j = i.ib + 1),
+terms AS (
+  SELECT user_id, event_type, gi, n, nseg, h,
+         ((xr - xq)/(xr - xl)) AS a,
+         ((xq - xl)/(xr - xl)) AS b,
+         (xr - xl) AS hj,
+         (a*yl + b*yr + ((a*a*a - a)*y2l + (b*b*b - b)*y2r)*(hj*hj)/6.0)
+           * ((2.0*h) * (CASE WHEN gi = 0 OR gi = nseg THEN 7.0
+                              WHEN gi % 4 = 0 THEN 14.0
+                              WHEN gi % 4 = 2 THEN 12.0
+                              ELSE 32.0 END) / 45.0) AS term
+  FROM ev),
+integ AS (
+  SELECT user_id, event_type, sum(term ORDER BY gi) AS integral
+  FROM terms GROUP BY user_id, event_type)
+SELECT m.user_id, m.event_type,
+       CAST(CASE WHEN m.n < 2 THEN 0.0 ELSE ig.integral END AS DOUBLE)
+         AS integral,
+       m.n::BIGINT AS n_points
+FROM nmax m
+LEFT JOIN integ ig
+  ON m.user_id = ig.user_id AND m.event_type = ig.event_type
+"""
+
 ORACLES["running_sum"] = """
 SELECT user_id, event_type, event_id,
        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

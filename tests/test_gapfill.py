@@ -178,7 +178,9 @@ def test_int_tabulated_knot_quadrature_identity():
     y = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0])
     h = 1.0
     coef = np.array([7, 32, 12, 32, 14, 32, 12, 32, 7], dtype="d")
-    want = float(np.sum(y * (2.0 * h * coef / 45.0)))
+    # same sequential accumulation convention the implementation pins
+    # (np.sum's pairwise tree is not reproducible in SQL)
+    want = float(np.cumsum(y * (2.0 * h * coef / 45.0))[-1])
     got = gapfill.int_tabulated_np(x, y)
     assert got == want
 
