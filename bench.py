@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     "tem_diagnostics_series",
     "dedup_simhash_pairs",
     "media_binary_meta",
+    # r3 rotation (r2 verdict item 10): the two most expensive text
+    # composites, plus the round's new operators
+    "curation_pipeline",
+    "dedup_components",
+    "vertical_interp_linear",
+    "media_decoded_props",
+    "ann_lsh_multiprobe",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
