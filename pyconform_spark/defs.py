@@ -373,11 +373,25 @@ def _dimensionless() -> U.Unit:
 
 
 class Compiler:
-    """AST -> Catalyst Column against a name->Compiled context."""
+    """AST -> Catalyst Column against a name->Compiled context.
 
-    def __init__(self, ctx: dict[str, Compiled], schema: T.StructType | None = None):
+    ``window_keys`` partitions the window-shaped functions (e.g.
+    ``bounds``): the reference applies them along a named 1-D
+    dimension; the long-form analog is a window partitioned by the
+    OTHER key columns and ordered by the function's own coordinate
+    argument.  An empty tuple (the default) means one global series —
+    correct for coordinate/dimension tables, which are broadcast-sized;
+    pass the series keys for per-series data."""
+
+    def __init__(
+        self,
+        ctx: dict[str, Compiled],
+        schema: T.StructType | None = None,
+        window_keys: tuple[str, ...] = (),
+    ):
         self.ctx = ctx
         self.schema = schema
+        self.window_keys = tuple(window_keys)
 
     def compile(self, ast) -> Compiled:
         if isinstance(ast, (int, float, bool)):
@@ -506,8 +520,8 @@ class Compiler:
 
     # -- functions --
     def _func(self, f: FuncType) -> Compiled:
-        if f.key not in FUNCTIONS:
-            avail = ", ".join(sorted(FUNCTIONS))
+        if f.key not in FUNCTIONS and f.key not in WINDOW_FUNCTIONS:
+            avail = ", ".join(sorted({*FUNCTIONS, *WINDOW_FUNCTIONS}))
             raise DefinitionError(
                 f"unknown function {f.key!r}; available: {avail}"
             )
@@ -518,6 +532,8 @@ class Compiler:
             k: (v if isinstance(v, str) else self.compile(v))
             for k, v in f.kwds.items()
         }
+        if f.key in WINDOW_FUNCTIONS:
+            return WINDOW_FUNCTIONS[f.key](args, kwds, self.window_keys)
         return FUNCTIONS[f.key](args, kwds)
 
 
@@ -710,6 +726,81 @@ def _count(args, kwds):
     if a.is_agg:
         raise DefinitionError("count: nested aggregates are not allowed")
     return Compiled(col=F.count(a.col).cast("long"), is_agg=True)
+
+
+# ------------------------------------------- window-function registry
+# Functions whose value depends on NEIGHBORING rows along an ordered
+# coordinate (the reference implements them as array-slice arithmetic
+# over a named dimension).  Key -> callable(args, kwds, window_keys)
+# -> Compiled.  They compile to Catalyst window expressions over
+# (partitionBy window_keys, orderBy coordinate) — letting the
+# reference's own spec files (e.g. CESM create_bounds) run end to end.
+WINDOW_FUNCTIONS: dict[str, Callable] = {}
+
+
+def register_window_function(key: str):
+    def deco(fn):
+        WINDOW_FUNCTIONS[key] = fn
+        return fn
+    return deco
+
+
+def _const_kwd(kwds, key, default):
+    v = kwds.get(key)
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v
+    if not v.is_const:
+        raise DefinitionError(f"bounds: {key}= must be a constant")
+    return v.const
+
+
+@register_window_function("bounds")
+def _bounds_window(args, kwds, window_keys):
+    """The reference's ``bounds`` (commonfunctions.py:256-341,
+    computed-idata branch) as a window expression: cell bounds from the
+    coordinate argument's neighbors, emitted as the 2-element array
+    the bnds dimension becomes in long form.  ``bdim=`` (the bounds
+    dimension NAME) is accepted and ignored — array position encodes
+    it.  The interface-data branch needs positional alignment of a
+    second table and lives in ``operators/stencil.bounds_from_
+    interfaces``, outside the row-wise definition surface."""
+    from pyspark.sql import Window
+
+    if len(args) != 1 or not isinstance(args[0], Compiled):
+        raise DefinitionError("bounds(x, ...) takes one expression argument")
+    if "idata" in kwds:
+        raise DefinitionError(
+            "bounds: interface data (idata=) is table-shaped; use "
+            "operators.stencil.bounds_from_interfaces"
+        )
+    a = args[0]
+    location = int(_const_kwd(kwds, "location", 1))
+    endpoints = bool(_const_kwd(kwds, "endpoints", 1))
+    _const_kwd(kwds, "bdim", "bnds")  # validated, positionally encoded
+    if location not in (0, 1, 2):
+        raise DefinitionError("bounds: location must be 0, 1, or 2")
+    w = Window.partitionBy(*window_keys).orderBy(a.col)
+    c = a.col.cast("double")
+    prev = F.lag(c).over(w)
+    nxt = F.lead(c).over(w)
+    if location == 1:
+        lo_end = c - (nxt - c) / 2 if endpoints else c
+        hi_end = c + (c - prev) / 2 if endpoints else c
+        lower = F.when(prev.isNull(), lo_end).otherwise((prev + c) / 2)
+        upper = F.when(nxt.isNull(), hi_end).otherwise((c + nxt) / 2)
+    elif location == 0:
+        lower = c
+        hi_end = c + (c - prev) if endpoints else c
+        upper = F.when(nxt.isNull(), hi_end).otherwise(nxt)
+    else:
+        lo_end = c - (nxt - c) if endpoints else c
+        lower = F.when(prev.isNull(), lo_end).otherwise(prev)
+        upper = c
+    return Compiled(
+        col=F.array(lower, upper), unit=a.unit, positive=a.positive
+    )
 
 
 # ------------------------------------------------------------ entry points

@@ -179,13 +179,17 @@ def _referenced_names(ast) -> set[str]:
 
 
 def plan_spec(
-    df: DataFrame, spec
+    df: DataFrame, spec, window_keys: tuple[str, ...] = ()
 ) -> tuple[list[tuple[VariableSpec, D.Compiled]], list[str]]:
     """Compile every spec variable against df; returns (planned,
-    skip-warnings).  All failures surface HERE — before any action."""
+    skip-warnings).  All failures surface HERE — before any action.
+
+    ``window_keys`` partitions window-shaped definitions (``bounds``):
+    empty = one global series (coordinate tables); pass the series
+    keys for per-series data."""
     variables = spec if _is_loaded(spec) else load_spec(spec)
     ctx = D._context_from(df)
-    compiler = D.Compiler(ctx, df.schema)
+    compiler = D.Compiler(ctx, df.schema, window_keys=window_keys)
     planned: list[tuple[VariableSpec, D.Compiled]] = []
     warns: list[str] = []
 
@@ -263,6 +267,7 @@ def apply_spec(
     spec,
     observe: bool = True,
     passthrough: list[str] | None = None,
+    window_keys: tuple[str, ...] = (),
 ) -> tuple[DataFrame, Observation | None, list[str]]:
     """definition evaluation → declared cast → valid-range mask +
     observed statistics, as ONE projection over one scan.
@@ -272,7 +277,7 @@ def apply_spec(
     key — an Observation carrying per-column masked counts / mean-abs —
     read it with ``validate.warnings_from`` after the first action —
     and the skip warnings)."""
-    planned, warns = plan_spec(df, spec)
+    planned, warns = plan_spec(df, spec, window_keys=window_keys)
     if not planned:
         raise SpecError("spec produced no output variables")
     # Materialize outputs under collision-proof temp names: Spark's

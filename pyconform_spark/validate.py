@@ -80,6 +80,22 @@ def validate(
         if s.name not in by_name:
             raise KeyError(f"column {s.name!r} not in frame")
         col = F.col(s.name)
+        is_array = isinstance(by_name[s.name], T.ArrayType)
+        if is_array:
+            # bnds-dimension outputs (e.g. bounds(lat) -> array[2]): the
+            # declared scalar dtype names the ELEMENT type, exactly as
+            # the reference's dtype applies elementwise to the N-D
+            # array; min/max masking and mean-abs apply to scalars only
+            if s.dtype is not None:
+                src_kind = _kind_of(by_name[s.name].elementType)
+                dst = getattr(T, "_parse_datatype_string")(s.dtype)
+                if (src_kind, _kind_of(dst)) not in _ALLOWED:
+                    raise CastKindError(
+                        f"cast {s.name}: {by_name[s.name].simpleString()} "
+                        f"-> array<{s.dtype}> is not same-kind"
+                    )
+                out = out.withColumn(s.name, col.cast(f"array<{s.dtype}>"))
+            continue
         if s.dtype is not None:
             src_kind = _kind_of(by_name[s.name])
             dst = getattr(T, "_parse_datatype_string")(s.dtype)

@@ -303,27 +303,43 @@ def test_reference_calculator_spec_runs_unmodified(spark):
     assert units.unit_of(out, "u") == "grams"
 
 
-def test_reference_cesm_bounds_spec_partially_plans(spark):
-    """A reference CESM CMIP6 spec (flat layout) loads and plans:
-    identity/copy variables compile; variables using window-shaped
-    functions the row-wise registry lacks (`bounds`) skip with
-    warnings instead of failing the spec."""
+def test_reference_cesm_bounds_spec_runs_fully(spark):
+    """The reference's own CESM CMIP6 create_bounds spec (flat layout)
+    now runs END TO END: round 3 added `bounds` to the definition
+    surface as a window function, so the bnds variables compile to
+    array[2] columns instead of skipping.  Values checked against the
+    reference's numpy semantics (location=1; lat_bnds has
+    endpoints=0)."""
     import os
 
     path = "/root/reference/examples/CESM/CMIP6/create_bounds/lnd_bounds.json"
     if not os.path.exists(path):
         pytest.skip("reference example not available")
     variables = specs.load_spec(path)
+    lats = [-90.0, -45.0, 10.0, 90.0]
     inputs = spark.createDataFrame(
-        [(0.0, 1.0, 2.0, 3.0)], "lat double, levgrnd double, lon double, SOILLIQ double"
-    ).withColumn("SOILICE", F.lit(4.0))
-    with pytest.warns(specs.SpecWarning):
-        planned, warns = specs.plan_spec(inputs, variables)
+        [(la, 0.5 * i + 0.1, 10.0 * i, 3.0, 4.0) for i, la in enumerate(lats)],
+        "lat double, levgrnd double, lon double, SOILLIQ double, SOILICE double",
+    )
+    planned, warns = specs.plan_spec(inputs, variables)
     planned_names = {v.name for v, _ in planned}
-    assert "lat" in planned_names and "lon" in planned_names
-    # mrlsl = SOILLIQ + SOILICE compiles too
-    assert "mrlsl" in planned_names
-    assert any("lat_bnds" in w and "bounds" in w for w in warns)
+    assert {"lat", "lon", "lat_bnds", "sdepth_bnds", "mrlsl"} <= planned_names
+    assert not any("bounds" in w for w in warns)
+    out, obs, _ = specs.apply_spec(inputs, variables, observe=False)
+    rows = sorted(out.select("lat", "lat_bnds").collect(), key=lambda r: r["lat"])
+    # endpoints=0 (lat_bnds): open ends keep lower=upper=lat
+    assert rows[0]["lat_bnds"] == [-90.0, (-90.0 + -45.0) / 2]
+    assert rows[1]["lat_bnds"] == [(-90.0 + -45.0) / 2, (-45.0 + 10.0) / 2]
+    assert rows[-1]["lat_bnds"] == [(10.0 + 90.0) / 2, 90.0]
+    # sdepth_bnds (default endpoints=1): ends extrapolate symmetrically
+    sd = sorted(
+        out.select("sdepth", "sdepth_bnds").collect(), key=lambda r: r["sdepth"]
+    )
+    # sdepth_bnds declares datatype "float": float32 element cast
+    assert sd[0]["sdepth_bnds"][0] == np.float32(0.1 - 0.25)
+    assert dict(out.dtypes)["sdepth_bnds"] == "array<float>"
+    # declared float64 element type survives the array cast
+    assert dict(out.dtypes)["lat_bnds"] == "array<double>"
 
 
 def test_run_spec_batch_matches_per_epoch_mode(spark, events, tmp_path):
@@ -445,3 +461,48 @@ def test_cmor_table_builds_runnable_spec(spark, events):
     # rlut keeps the declared positive=up metadata
     meta = out.schema["rlut"].metadata
     assert meta.get(units.POSITIVE_KEY, meta.get("positive")) == "up"
+
+
+@pytest.mark.parametrize(
+    "fname, cols, idata_skips",
+    [
+        # a/b/ilev/lev _bnds use bounds(..., idata=...): the interface
+        # values live on a DIFFERENT axis length (n vs n+1) — a
+        # two-table operation in relational form, served by
+        # operators.stencil.bounds_from_interfaces and skipped (with a
+        # pointer) on the row-wise spec surface
+        ("atmos_bounds.json",
+         ["P0", "hyam", "hybm", "hyai", "hybi", "ilev", "lat", "lev", "lon",
+          "CMFMC", "CMFMCDZM"],
+         {"a_bnds", "b_bnds", "ilev_bnds", "lev_bnds"}),
+        ("ocn_bounds.json", ["IAGE", "z_t"], set()),
+        ("lnd_bounds.json", ["lat", "levgrnd", "lon", "SOILLIQ", "SOILICE"],
+         set()),
+    ],
+)
+def test_all_reference_bounds_specs_plan(spark, fname, cols, idata_skips):
+    """Every create_bounds spec the reference ships plans:
+    bounds-of-expression (`bounds(ilev * 0.001, ...)`), up(), and
+    identity definitions all compile; only the idata= variants skip,
+    each with a message naming the two-table operator that serves
+    them."""
+    import os
+
+    path = f"/root/reference/examples/CESM/CMIP6/create_bounds/{fname}"
+    if not os.path.exists(path):
+        pytest.skip("reference example not available")
+    variables = specs.load_spec(path)
+    inputs = spark.createDataFrame(
+        [tuple(float(i + 1) for i in range(len(cols)))],
+        ", ".join(f"{c} double" for c in cols),
+    )
+    if idata_skips:
+        with pytest.warns(specs.SpecWarning):
+            planned, warns = specs.plan_spec(inputs, variables)
+    else:
+        planned, warns = specs.plan_spec(inputs, variables)
+    assert len(planned) == len(variables) - len(idata_skips)
+    skipped = {w.split("'")[1] for w in warns}
+    assert skipped == idata_skips
+    for w in warns:
+        assert "bounds_from_interfaces" in w
