@@ -8,9 +8,14 @@ Operators:
   the big side.
 * blocked near-dup pairs    — all-pairs cosine WITHIN a blocking key
   (label ≈ an IVF cell): the quadratic cost is bounded per block.
-* random-hyperplane LSH ANN — the scale path: 8 signed projections
+* random-hyperplane LSH ANN — the scale path: signed projections
   bucket each vector; candidates = same bucket; top-k within bucket.
-  At 10^12 vectors the bucket join replaces the full scan.
+  At 10^12 vectors the bucket join replaces the full scan.  Recall
+  recovery at fine bucketing: multi-PROBE (query bucket + Hamming-1
+  neighbors, Lv et al. VLDB'07) and multi-TABLE (independent plane
+  families, union of candidates — Indyk-Motwani amplification).
+* IVF ANN — stride-seeded coarse quantizer; cell count grows with the
+  corpus, zero plan-time actions.
 
 Cross-engine exactness (DuckDB oracle): floats are quantized to
 integers — ``floor(x * 1e6)`` per component (float→double is exact,
@@ -44,7 +49,8 @@ def _md5_int(s: str) -> int:
 # MAX_PLANES bounds the pool; callers pick n_planes ≈ log2(N / B) for a
 # target bucket size B — a table-design-time constant (like an Iceberg
 # bucket count), NOT derived from a runtime count() of the corpus.
-MAX_PLANES = 16
+# Multi-table LSH slices disjoint plane families from the same pool.
+MAX_PLANES = 32
 PLANES: list[list[int]] = [
     [(_md5_int(f"plane-{p}-{d}") % 2001) - 1000 for d in range(DIM)]
     for p in range(MAX_PLANES)
@@ -214,21 +220,24 @@ WHERE {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.q'),
 
 
 # --------------------------------------------------------------- LSH ANN
-def _bucket_expr(q: Column, n_planes: int = N_PLANES) -> Column:
-    """n-bit random-hyperplane bucket of a quantized vector."""
+def _bucket_expr(
+    q: Column, n_planes: int = N_PLANES, offset: int = 0
+) -> Column:
+    """n-bit random-hyperplane bucket of a quantized vector; ``offset``
+    selects a disjoint plane family from the pool (multi-table LSH)."""
     out = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in PLANES[p]])
+        plane = F.array(*[F.lit(w) for w in PLANES[offset + p]])
         s = dot(q, plane)
         bit = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out.cast("int")
 
 
-def _bucket_sql(q_expr: str, n_planes: int = N_PLANES) -> str:
+def _bucket_sql(q_expr: str, n_planes: int = N_PLANES, offset: int = 0) -> str:
     terms = []
     for p in range(n_planes):
-        lits = ", ".join(str(w) for w in PLANES[p])
+        lits = ", ".join(str(w) for w in PLANES[offset + p])
         s = (
             f"list_sum(list_transform(generate_series(1, {DIM}), "
             f"i -> ({q_expr})[i] * ([{lits}])[i]))"
@@ -312,6 +321,120 @@ def ann_lsh_multiprobe(
         return F.array(b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
 
     return _lsh_scored(base, n_queries, k, probes)
+
+
+def ann_lsh_multitable(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Multi-TABLE LSH: ``n_tables`` independent hyperplane families
+    (disjoint slices of the plane pool); candidates = union of
+    same-bucket matches across tables, deduplicated before ranking.
+
+    The standard complement to multi-probe (Indyk-Motwani style
+    amplification): independent tables decorrelate the misses, so
+    recall ≈ 1-(1-r)^T for single-table recall r.  Plan shape: the
+    corpus carries one bucket column per table; the (tiny) query side
+    explodes into (table, bucket) probes; one equi-join on
+    (table, bucket) — same single-join shape as one table, T× the
+    probe fan-out, corpus never rescanned."""
+    base = _with_q(emb)
+    for t in range(n_tables):
+        base = base.withColumn(
+            f"b{t}", _bucket_expr(F.col("q"), n_planes, offset=t * n_planes)
+        )
+    corpus = base.select(
+        "vec_id", "q", "nq",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("vec_id", "q", "nq", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("query_id", "qq", "qn", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cand = (
+        corpus.join(
+            F.broadcast(queries),
+            ["t", "b"],
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(dot(F.col("q"), F.col("qq")), F.col("nq"), F.col("qn")).alias(
+                "cosine"
+            ),
+        )
+        .distinct()  # a pair found by several tables counts once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cosine").cast("double").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ann_lsh_multitable_sql(
+    n_queries: int = 5, k: int = 5, n_planes: int = 10, n_tables: int = 2
+) -> str:
+    q = QUANT_SQL.format(c="embedding")
+    bcols = ", ".join(
+        f"{_bucket_sql(q, n_planes, offset=t * n_planes)} AS b{t}"
+        for t in range(n_tables)
+    )
+    struct_list = ", ".join(
+        f"{{'t': {t}, 'b': b{t}}}" for t in range(n_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq, {bcols}
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, q, nq, tb.t AS t, tb.b AS b
+  FROM base, unnest([{struct_list}]) AS u(tb)
+),
+probes AS (
+  SELECT vec_id AS query_id, q AS qq, nq AS qn, tb.t AS t, tb.b AS b
+  FROM base, unnest([{struct_list}]) AS u(tb)
+  WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT b.query_id, a.vec_id AS vec_id,
+         {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.qq'),
+                            na='a.nq', nb='b.qn')} AS cosine
+  FROM corpus a JOIN probes b
+    ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cosine::DOUBLE AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _lsh_sql(n_queries: int, k: int, n_planes: int, probes_sql: str) -> str:
@@ -491,6 +614,7 @@ def register_sim_queries() -> dict[str, callable]:
         "cosine_dup_pairs": lambda s, d: cosine_dup_pairs(_emb(s, d), 0.3, 3000),
         "ann_lsh_topk": lambda s, d: ann_lsh_topk(_emb(s, d)),
         "ann_lsh_multiprobe": lambda s, d: ann_lsh_multiprobe(_emb(s, d)),
+        "ann_lsh_multitable": lambda s, d: ann_lsh_multitable(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: ivf_topk(_emb(s, d)),
     }
 
@@ -500,5 +624,6 @@ SIM_ORACLES: dict[str, str] = {
     "cosine_dup_pairs": cosine_dup_pairs_sql(0.3, 3000),
     "ann_lsh_topk": ann_lsh_topk_sql(),
     "ann_lsh_multiprobe": ann_lsh_multiprobe_sql(),
+    "ann_lsh_multitable": ann_lsh_multitable_sql(),
     "ann_ivf_topk": ivf_topk_sql(),
 }

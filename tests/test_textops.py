@@ -288,3 +288,29 @@ def test_multiprobe_recovers_recall_at_finer_buckets(spark):
     # single-bucket recall — the width/recall trade the knob controls
     coarse = simsearch.ann_lsh_topk(emb, n_queries=n_q, k=k, n_planes=8).collect()
     assert recall(coarse) >= r_single
+
+
+def test_multitable_amplifies_recall(spark):
+    """Two independent plane families must find at least every pair a
+    single table finds (union of candidate sets), each hit still a
+    true neighbor with the exact brute-force cosine."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_q, k, planes = 10, 5, 10
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in simsearch.knn_bruteforce(emb, n_queries=n_q, k=10**6).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ann_lsh_topk(
+            emb, n_queries=n_q, k=10**6, n_planes=planes
+        ).collect()
+    }
+    multi_rows = simsearch.ann_lsh_multitable(
+        emb, n_queries=n_q, k=10**6, n_planes=planes, n_tables=2
+    ).collect()
+    multi = {(r["query_id"], r["vec_id"]) for r in multi_rows}
+    assert single <= multi          # table 0 alone is a subset
+    assert len(multi) > len(single)  # table 1 contributes new candidates
+    for r in multi_rows:
+        assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
