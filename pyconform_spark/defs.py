@@ -851,14 +851,15 @@ def _attach_meta(df: DataFrame, name: str, c: Compiled) -> DataFrame:
 
 
 def compile_defs(
-    df: DataFrame, defs
+    df: DataFrame, defs, window_keys: tuple[str, ...] = ()
 ) -> list[tuple[str, Compiled]]:
     """Parse + compile definitions against df's schema; later
     definitions see earlier ones (DataFlow dependency order,
     dataflow.py:124-164).  All checking happens here — before any
-    action runs."""
+    action runs.  ``window_keys`` partitions window-shaped functions
+    (``bounds``); empty = one global series."""
     ctx = _context_from(df)
-    compiler = Compiler(ctx, df.schema)
+    compiler = Compiler(ctx, df.schema, window_keys=window_keys)
     out = []
     for name, text in _normalize(defs):
         ast = parse_definition(text)
@@ -868,7 +869,10 @@ def compile_defs(
     return out
 
 
-def evaluate_defs(df: DataFrame, defs, keep_inputs: bool = True) -> DataFrame:
+def evaluate_defs(
+    df: DataFrame, defs, keep_inputs: bool = True,
+    window_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Evaluate row-wise definitions: one ``withColumn`` chain, all
     JVM expressions.  ``defs`` is a dict {name: expr} or a list of
     'name = expr' strings.
@@ -878,7 +882,7 @@ def evaluate_defs(df: DataFrame, defs, keep_inputs: bool = True) -> DataFrame:
     only case-insensitively is refused — Spark's default resolver
     would silently replace the input column mid-chain (the bug the
     reference calculator spec exposed in specs.apply_spec)."""
-    compiled = compile_defs(df, defs)
+    compiled = compile_defs(df, defs, window_keys=window_keys)
     lower_inputs = {c.lower(): c for c in df.columns}
     for name, _ in compiled:
         existing = lower_inputs.get(name.lower())
