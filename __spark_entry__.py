@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_grouping_sets": Q.rollup_grouping_sets,
         "gapfill_linear_pandas_1h": Q.gapfill_linear_pandas_1h,
         "tpch_q1": Q.tpch_q1,
+        "tpch_q3": Q.tpch_q3,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

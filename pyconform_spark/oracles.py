@@ -360,6 +360,23 @@ LEFT JOIN integ ig
   ON m.user_id = ig.user_id AND m.event_type = ig.event_type
 """
 
+ORACLES["tpch_q3"] = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
 ORACLES["running_sum"] = """
 SELECT user_id, event_type, event_id,
        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

@@ -419,6 +419,48 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): filtered customer segment ⋈
+    orders ⋈ lineitem, revenue per (order, orderdate, orderpriority),
+    deterministic top-10.
+
+    Scale shape: customer is filtered THEN broadcast (a fraction of an
+    already-small dim); orders⋈lineitem is the big shuffle join with
+    the date filters pushed to both scans; revenue aggregates
+    partial+final; the top-10 is TakeOrderedAndProject.  Plan-gated."""
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # ------------------------------------------- widened operator coverage
 def stencil_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward difference with bottom boundary (rsdoabsorb analog,

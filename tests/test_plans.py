@@ -231,3 +231,19 @@ def test_ivf_plan_builds_without_actions(spark):
     finally:
         sc.setJobGroup("", "")
     assert list(jobs) == []
+
+
+def test_tpch_q3_plan_shape(spark):
+    """Q3: filtered customer is the ONLY broadcast; orders⋈lineitem is
+    a shuffle join; date filters reach both scans; final top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q3(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "partial_sum" in plan
+    # pushed date predicates on both fact scans
+    assert plan.count("PushedFilters") >= 2
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
