@@ -59,6 +59,33 @@ def stream_tier_rollup(
     )
 
 
+def stream_dedup_ingest(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup on ingest: the continuous twin of
+    ``textops.exact_dedup`` — each transcript turn is keyed by its
+    content hash and only the FIRST arrival within the watermark
+    horizon passes; replays/duplicates are dropped at the door.
+
+    Scale notes: state = one (sha) row per distinct text seen inside
+    the watermark window — ``dropDuplicatesWithinWatermark`` evicts
+    state once the event-time watermark passes, so state is bounded by
+    the dedup horizon, not the stream's lifetime.  A duplicate arriving
+    later than the horizon is admitted (documented trade: unbounded
+    exact dedup needs the batch pipeline's full-corpus pass —
+    ``curation_pipeline`` — which this stage front-loads, not
+    replaces).  Works on a batch frame via plain dropDuplicates for
+    parity testing."""
+    src = stream.withColumn("text_sha", F.sha2(F.col("text"), 256))
+    if stream.isStreaming:
+        # watermarks require TIMESTAMP (session tz = UTC, so the cast
+        # from the store's timestamp_ntz is a stable reinterpretation)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+        return src.dropDuplicatesWithinWatermark(["text_sha"])
+    return src.dropDuplicates(["text_sha"])
+
+
 def stream_sessionize(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

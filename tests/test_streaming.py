@@ -359,3 +359,36 @@ def test_stream_spec_store_matches_batch_run_spec(spark, tx_dir, tmp_path):
     specs.run_spec(spark, batch, spec, broot)
     want = _rows(specs.read_spec_outputs(spark, broot))
     assert got == want and len(got) == batch.count()
+
+
+def test_stream_dedup_ingest_drops_replays(spark, tx_dir, tmp_path):
+    """Continuous exact-dedup: an availableNow pass over a parquet dir
+    containing DUPLICATED transcript turns emits exactly one row per
+    distinct text, and the surviving sha set equals the batch
+    dropDuplicates result."""
+    from pyconform_spark import streaming as S
+
+    tx = spark.read.parquet(tx_dir)
+    dup_dir = str(tmp_path / "dup_tx")
+    # every turn written twice -> a stream full of replays
+    tx.unionAll(tx).write.mode("overwrite").parquet(dup_dir)
+
+    stream = spark.readStream.schema(tx.schema).parquet(dup_dir)
+    q = (
+        S.stream_dedup_ingest(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text_sha FROM dedup_ingest").toPandas()["text_sha"]
+    batch = (
+        S.stream_dedup_ingest(spark.read.parquet(dup_dir))
+        .select("text_sha")
+        .toPandas()["text_sha"]
+    )
+    assert got.nunique() == len(got)          # no duplicate passed
+    assert set(got) == set(batch)             # same survivor set as batch
+    assert len(got) == tx.select("text").distinct().count()
