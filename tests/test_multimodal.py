@@ -179,3 +179,43 @@ def test_real_decode_pipeline_through_spark(spark):
             assert (r["width"], r["height"], r["n_units"]) == (w, hh, n)
             want = sum((kk + mid) % 256 for kk in range(n)) / n
             assert r["mean_value"] == want
+
+
+# ------------------------------------------------ property-based codecs
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from pyconform_spark.multimodal import decode_wav, encode_wav
+
+    arr = np.asarray(samples, dtype="<i2")
+    d = decode_wav(bytes(encode_wav(arr, rate=rate)))
+    assert d["rate"] == rate and d["n_samples"] == len(arr)
+    assert (d["samples"] == arr).all()
+    assert d["duration_ms"] == (len(arr) * 1000) // rate
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from pyconform_spark.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(seed % (2**31))
+    pix = rng.randint(0, 256, w * h * 3).astype(np.uint8)
+    d = decode_ppm(bytes(encode_ppm(pix, w, h)))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["pixels"] == pix).all()
