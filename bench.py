@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "vertical_interp_linear",
     "media_decoded_props",
     "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
+    "tpch_q3",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -247,3 +247,25 @@ def test_tpch_q3_plan_shape(spark):
     assert plan.count("PushedFilters") >= 2
     assert "GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+
+def test_bounds_interfaces_is_equi_join(spark):
+    """bounds_from_interfaces must join cells to edges on
+    (keys, position) — an equi-join — never a nested loop, and the
+    edge pairing rides window functions (no self-cartesian)."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.stencil_bounds_interfaces(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "SortMergeJoin") >= 1
+
+
+def test_vertical_interp_is_one_aggregate_no_shuffle_join(spark):
+    """vertical_interp: target levels fan out map-side (explode of a
+    literal array), bracketing is ONE partial+final hash aggregate —
+    no join at all, one scan."""
+    plan = plan_of(Q.vertical_interp_linear(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_max" in plan and "partial_min" in plan
+    assert count_nodes(plan, "Generate") == 1  # the literal explode
