@@ -600,3 +600,74 @@ def cmor_to_spec(table_dict: dict, definitions: dict[str, str] | None = None) ->
             "attributes": attrs,
         }
     return spec
+
+
+# ------------------------------------------ declared-frequency tiers
+# CMOR 'frequency' codes -> fixed bucket seconds; calendar-shaped
+# frequencies (month/year) use date_trunc buckets.
+CMOR_FREQ_SECONDS = {
+    "subhr": 60, "1hr": 3600, "hr": 3600,
+    "3hr": 3 * 3600, "6hr": 6 * 3600, "day": 86400,
+}
+_CMOR_FREQ_TRUNC = {"mon": "month", "monC": "month", "yr": "year"}
+
+
+def frequency_bucket(freq: str, ts):
+    """CMOR frequency string -> bucket-start Column over ``ts``."""
+    from pyconform_spark.operators.rollup import bucket_ts
+
+    if freq in CMOR_FREQ_SECONDS:
+        return bucket_ts(ts, CMOR_FREQ_SECONDS[freq])
+    if freq in _CMOR_FREQ_TRUNC:
+        return F.date_trunc(_CMOR_FREQ_TRUNC[freq], ts.cast("timestamp")).cast(
+            "timestamp_ntz"
+        )
+    raise SpecError(f"unsupported CMOR frequency {freq!r}")
+
+
+def run_cmor_tier(
+    df: DataFrame,
+    table,
+    definitions: dict[str, str],
+    keys: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MIP table + definition strings + a raw series frame -> the
+    retention tier at the table's DECLARED frequency: each definition
+    evaluates row-wise (Catalyst, unit-checked), then averages into
+    (keys, frequency-bucket) groups — CMOR's default
+    ``time: mean`` cell method — with n_samples carried per bucket.
+
+    This is the full ``iconform → xconform`` loop landed on the rollup
+    engine: the MIP standard decides the tier cadence, the definitions
+    decide the measures, and the engine's one-shuffle partial+final
+    aggregate computes it.  Sums ride DECIMAL so the mean is
+    cross-engine exact (the repo-wide determinism convention)."""
+    td = table if isinstance(table, dict) and "table_info" in table \
+        else parse_cmor_table(table)
+    freq = td["table_info"].get("frequency")
+    if not freq:
+        raise SpecError("CMOR table Header carries no frequency")
+    spec = cmor_to_spec(td, definitions)
+    planned, warns = plan_spec(df, spec)
+    if not planned:
+        raise SpecError("no variable in the table has a definition")
+    bucket = frequency_bucket(str(freq), F.col(ts_col))
+    src = df.withColumn("bucket_start", bucket)
+    for v, c in planned:
+        src = src.withColumn(f"__m_{v.name}", c.col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_samples")]
+    finals = []
+    for v, _ in planned:
+        aggs.append(
+            F.sum(F.col(f"__m_{v.name}").cast("decimal(24,8)")).alias(
+                f"__s_{v.name}"
+            )
+        )
+        finals.append(
+            (F.col(f"__s_{v.name}").cast("double") / F.col("n_samples"))
+            .cast(v.datatype if v.datatype in ("double", "float") else "double")
+            .alias(v.name)
+        )
+    out = src.groupBy(*keys, "bucket_start").agg(*aggs)
+    return out.select(*keys, "bucket_start", "n_samples", *finals)

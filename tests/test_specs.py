@@ -506,3 +506,53 @@ def test_all_reference_bounds_specs_plan(spark, fname, cols, idata_skips):
     assert skipped == idata_skips
     for w in warns:
         assert "bounds_from_interfaces" in w
+
+
+def test_run_cmor_tier_declared_frequency(spark, events):
+    """The full iconform->xconform loop landed on the rollup engine: a
+    CMOR table's declared frequency decides the tier cadence, its
+    definitions decide the measures; values checked against a pandas
+    twin with the same decimal-mean convention."""
+    import pandas as pd
+
+    table = {
+        "Header": {"table_id": "Table day", "realm": "atmos",
+                   "frequency": "day"},
+        "variable_entry": {
+            "v_s": {"type": "double", "units": "s", "dimensions": "time"},
+            "v_amp": {"type": "real", "units": "1", "dimensions": "time"},
+        },
+        "axis_entry": {"time": {"axis": "T"}},
+    }
+    out = specs.run_cmor_tier(
+        events,
+        table,
+        definitions={
+            "v_s": "convert(chunits(value, units='ms'), units='s')",
+            "v_amp": "value * 2.0",
+        },
+        keys=[],
+        ts_col="ts",
+    ).toPandas().sort_values("bucket_start").reset_index(drop=True)
+
+    pdf = events.toPandas()
+    pdf["bucket_start"] = pdf["ts"].dt.floor("D")
+    grp = pdf.groupby("bucket_start")
+    want_n = grp.size()
+    assert out["n_samples"].tolist() == want_n.tolist()
+    for name, f in (("v_s", lambda v: v * 0.001 + 0.0), ("v_amp", lambda v: v * 2.0)):
+        want = grp["value"].apply(lambda s, f=f: float(f(s).sum()) / len(s))
+        got = out[name].to_numpy(dtype=float)
+        assert got == pytest.approx(want.to_numpy(), rel=1e-12), name
+    # declared float32 dtype applies to the mean column
+    assert str(out["v_amp"].dtype) == "float32"
+
+    # monthly frequency rides date_trunc buckets
+    table["Header"]["frequency"] = "mon"
+    mon = specs.run_cmor_tier(
+        events, table, definitions={"v_amp": "value * 2.0"}, keys=[]
+    ).toPandas()
+    assert len(mon) == 1  # all January 2024
+    with pytest.raises(specs.SpecError, match="frequency"):
+        bad = {**table, "Header": {"table_id": "T", "realm": "a"}}
+        specs.run_cmor_tier(events, bad, definitions={"v_amp": "value"}, keys=[])
