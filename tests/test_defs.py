@@ -448,3 +448,15 @@ def test_array_index_out_of_bounds_yields_null(spark):
     out = defs.evaluate_defs(d, ["second = emb[1]"])
     rows = {r["id"]: r["second"] for r in out.collect()}
     assert rows == {1: 20.0, 2: None}
+
+
+def test_modulo_is_refused_like_the_reference():
+    """The reference explicitly declines '%' (physarray.py:534-541:
+    NotImplementedError 'Modulus of PhysArray is not defined') — the
+    parser matches: '%' is not a token."""
+    import pytest
+
+    from pyconform_spark import defs
+
+    with pytest.raises(defs.DefinitionError, match="unexpected character"):
+        defs.parse_definition("a % b")
