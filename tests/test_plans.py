@@ -269,3 +269,20 @@ def test_vertical_interp_is_one_aggregate_no_shuffle_join(spark):
     assert "Join" not in plan
     assert "partial_max" in plan and "partial_min" in plan
     assert count_nodes(plan, "Generate") == 1  # the literal explode
+
+
+def test_simhash_self_join_reuses_signature_exchange(spark):
+    """The banded self-join's two sides are the SAME signature
+    pipeline; Catalyst's ReuseExchange must dedupe it so the expensive
+    128-vote aggregation and the documents scan run once."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textops.simhash_near_pairs(docs)
+    df.collect()  # AQE finalizes the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final
