@@ -970,6 +970,56 @@ WHERE {bucket} < ({rate})
 """
 
 
+# ----------------------------------------------------- decontamination
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Training-corpus decontamination against an evaluation set — the
+    n-gram overlap sweep (industry practice uses 13-grams; the demo
+    corpus' short documents use 5): a training document sharing at
+    least one word n-gram with ANY eval document is flagged, with its
+    count of distinct shared n-grams.
+
+    Scale shape: both sides explode to 31-bit shingle hashes and meet
+    in ONE shuffle equi-join on the hash — the eval side is usually
+    broadcast-sized but nothing depends on it; per-doc counts are a
+    hash aggregate.  At 10^12 training docs this is a banded-join-
+    shaped pass, linear in corpus + eval shingles."""
+    tr = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")
+    ).select("doc_id", hash31(F.col("sh")).alias("h"))
+    ev = (
+        eval_docs.select(F.explode(shingles(F.col("text"), n)).alias("sh"))
+        .select(hash31(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared"))
+        .select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+    )
+
+
+def decontaminate_sql(n: int = 5, eval_mod: int = 10, eval_rem: int = 7) -> str:
+    sh = shingles_sql(n)
+    return f"""
+WITH tr AS (
+  SELECT doc_id, {hash31_sql('sh')} AS h
+  FROM (SELECT doc_id, unnest({sh}) AS sh FROM documents
+        WHERE doc_id % {eval_mod} <> {eval_rem})
+),
+ev AS (
+  SELECT DISTINCT {hash31_sql('sh')} AS h
+  FROM (SELECT unnest({sh}) AS sh FROM documents
+        WHERE doc_id % {eval_mod} = {eval_rem})
+)
+SELECT tr.doc_id, count(DISTINCT tr.h)::BIGINT AS n_shared
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+"""
+
+
 # --------------------------------------------------- curation pipeline
 def curation_pipeline(docs: DataFrame) -> DataFrame:
     """The end-to-end training-data curation flow as ONE composed
@@ -1129,6 +1179,12 @@ def register_text_queries() -> dict[str, callable]:
         "curation_pipeline": lambda s, d: curation_pipeline(_docs(s, d)),
         "text_normalize": lambda s, d: text_normalized(_docs(s, d)),
         "dedup_normalized": lambda s, d: dedup_normalized(_docs(s, d)),
+        # decontamination demo split: docs with id%10==7 play the eval
+        # set, the rest the training corpus
+        "decontaminate_corpus": lambda s, d: decontaminate(
+            _docs(s, d).where(F.col("doc_id") % 10 != 7),
+            _docs(s, d).where(F.col("doc_id") % 10 == 7),
+        ),
     }
 
 
@@ -1151,4 +1207,5 @@ TEXT_ORACLES: dict[str, str] = {
     "curation_pipeline": curation_pipeline_sql(),
     "text_normalize": text_normalized_sql(),
     "dedup_normalized": dedup_normalized_sql(),
+    "decontaminate_corpus": decontaminate_sql(),
 }

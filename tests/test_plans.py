@@ -286,3 +286,27 @@ def test_simhash_self_join_reuses_signature_exchange(spark):
     final = buf.getvalue().split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "ReusedExchange" in final
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Pre-bucketed storage — the Iceberg ``bucket(conv_id)`` table
+    layout the north rule targets: two tier tables bucketed on the
+    series key join with ZERO Exchange in the plan (the co-located
+    join that makes repeated key-joins shuffle-free at 100 TB; only
+    the in-task sort for the merge join remains)."""
+    df = spark.range(20000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    try:
+        for t in ("bt_a", "bt_b"):
+            df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(t)
+        with _no_auto_broadcast(spark):
+            j = spark.table("bt_a").join(spark.table("bt_b"), "k").select(
+                "k", F.col("bt_a.v").alias("va"), F.col("bt_b.v").alias("vb")
+            )
+            plan = plan_of(j)
+        assert count_nodes(plan, "Exchange") == 0
+        assert count_nodes(plan, "SortMergeJoin") == 1
+    finally:
+        for t in ("bt_a", "bt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
