@@ -189,6 +189,34 @@ def main() -> None:
     times["skew_join_plain"] = round(t_plain, 3)
     times["skew_join_split"] = round(t_split, 3)
 
+    # -- ANN recall, quantified: multi-probe and multi-table recall
+    # vs exact brute force at 10 planes (1024 buckets) — the quality
+    # numbers that justify the fine-bucketing defaults.
+    from pyconform_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_q, k_r = 10, 5
+    bf_rows = simsearch.knn_bruteforce(emb, n_queries=n_q, k=k_r).collect()
+    truth = {}
+    for r in bf_rows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r["vec_id"] in truth[r["query_id"]])
+        return hits / (len(truth) * k_r)
+
+    rec_single = recall(
+        simsearch.ann_lsh_topk(emb, n_queries=n_q, k=k_r, n_planes=10).collect()
+    )
+    rec_probe = recall(
+        simsearch.ann_lsh_multiprobe(emb, n_queries=n_q, k=k_r, n_planes=10).collect()
+    )
+    rec_table = recall(
+        simsearch.ann_lsh_multitable(emb, n_queries=n_q, k=k_r, n_planes=10).collect()
+    )
+
     # -- codec decode microbench (no Spark): worst-case random payloads
     # vs the constant-cadence fast path, in M pts/s.
     import numpy as np
@@ -225,6 +253,9 @@ def main() -> None:
                 "transcripts_turns": n_turns,
                 "transcripts_throughput_turns_per_sec": round(throughput, 1),
                 "skew_split_speedup": round(t_plain / t_split, 2),
+                "ann_recall_single_bucket": round(rec_single, 3),
+                "ann_recall_multiprobe": round(rec_probe, 3),
+                "ann_recall_multitable": round(rec_table, 3),
                 "codec_decode_worst_mpts": round(worst_mpts, 2),
                 "codec_decode_const_mpts": round(const_mpts, 1),
                 "cpus": cpus,
