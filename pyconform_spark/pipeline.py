@@ -195,6 +195,28 @@ def read_tier(spark: SparkSession, root: str, tier: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_tier_as_of(
+    spark: SparkSession, root: str, tier: str, as_of_epoch: int
+) -> DataFrame:
+    """Snapshot read: only epochs committed AT OR BEFORE the given
+    checkpoint epoch — the Iceberg time-travel analog over the epoch
+    ledger (the lineage table is the snapshot log; an epoch is visible
+    exactly when its lineage rows are committed, so every reader sees
+    a consistent prefix of the ingest history)."""
+    done = {e for e in committed_epochs(spark, root) if e <= as_of_epoch}
+    paths = [
+        _tier_path(root, tier, e)
+        for e in sorted(done)
+        if os.path.isdir(_tier_path(root, tier, e))
+    ]
+    if not paths:
+        raise FileNotFoundError(
+            f"no epochs committed at or before {as_of_epoch} for tier "
+            f"{tier} under {root}"
+        )
+    return spark.read.parquet(*paths)
+
+
 def lineage(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(root))
 

@@ -233,3 +233,31 @@ def test_run_batch_over_ingested_raw_prunes_and_matches(spark, tx, tmp_path):
         got = _tier_rows(pipeline.read_tier(spark, store, tier))
         want = _tier_rows(direct[tier])
         assert got == want, tier
+
+
+def test_read_tier_as_of_is_a_consistent_prefix(spark, tmp_path):
+    """Time-travel reads: as-of an intermediate checkpoint epoch, the
+    tier equals exactly the epochs committed up to that point —
+    unaffected by later commits."""
+    from pyconform_spark import pipeline, synth
+
+    tx = synth.transcripts(spark, 30_000)
+    root = str(tmp_path / "asof")
+    res = pipeline.run(spark, tx, root)
+    epochs = sorted(r.epoch for r in res)
+    assert len(epochs) >= 2
+    mid = epochs[len(epochs) // 2 - 1]
+    snap = pipeline.read_tier_as_of(spark, root, "1m", mid)
+    full = pipeline.read_tier(spark, root, "1m")
+    # the snapshot is a strict prefix of the full tier
+    assert snap.count() < full.count()
+    import pyspark.sql.functions as F
+
+    want = sum(
+        spark.read.parquet(pipeline._tier_path(root, "1m", e)).count()
+        for e in epochs
+        if e <= mid
+    )
+    assert snap.count() == want
+    with pytest.raises(FileNotFoundError):
+        pipeline.read_tier_as_of(spark, root, "1m", min(epochs) - 1)
