@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_pandas_1h": Q.gapfill_linear_pandas_1h,
         "tpch_q1": Q.tpch_q1,
         "tpch_q3": Q.tpch_q3,
+        "tpch_q5": Q.tpch_q5,
+        "tpch_q6": Q.tpch_q6,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

@@ -419,6 +419,79 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + global agg.
+
+    Scale shape: all four predicates push to the parquet scan
+    (PushedFilters), projection prunes to 4 columns, partial+final agg
+    — the cheapest possible plan; no shuffle beyond the single-row
+    final combine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,8)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col("_r").cast("double").alias("revenue"),
+            F.col("_n").cast("long").alias("n_items"),
+        )
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join, revenue per
+    nation for intra-region orders in one year.
+
+    Scale shape: region(filtered)→nation is folded into one tiny
+    broadcast onto supplier; orders carries the date filter to its
+    scan and shuffle-joins customer (both scale with SF — neither is
+    broadcast-safe at sf100k); lineitem joins orders on orderkey
+    (the big shuffle), then suppliers on (suppkey, nationkey) — the
+    c_nationkey = s_nationkey "local supplier" predicate rides the
+    join condition, not a post-filter.  Final agg is 25 groups."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    n_r = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp_n = supp.join(
+        F.broadcast(n_r), supp.s_nationkey == n_r.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o_c = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    joined = li.join(o_c, li.l_orderkey == o_c.o_orderkey).join(
+        supp_n,
+        (li.l_suppkey == supp_n.s_suppkey)
+        & (o_c.c_nationkey == supp_n.s_nationkey),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).alias("_r"))
+        .select("n_name", F.col("_r").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): filtered customer segment ⋈
     orders ⋈ lineitem, revenue per (order, orderdate, orderpriority),

@@ -35,6 +35,14 @@ Operators:
                             with per-language rates
 * curation_pipeline       — the end-to-end composition: exact dedup →
                             LSH components → representatives → sample
+* repetition signals      — Gopher-style duplicate-token / top-bigram /
+                            duplicate-trigram fractions per doc
+* PII detect / redact     — regex email/IPv4/phone counts + scrub in
+                            the Java∩RE2 pattern subset (one scan)
+* chunk-level dedup       — fixed-token-window passage dedup, global
+                            first-occurrence wins (hash-partitioned)
+* tf/df term scoring      — top-k characteristic terms per doc by
+                            tf/df (cross-engine-exact tf·idf analog)
 
 Reference tie-in: the reference's only string machinery is CharArray
 padding (``physarray.py:623-657``); these operators are the
@@ -1149,6 +1157,275 @@ FROM normed GROUP BY norm
 """
 
 
+# ------------------------------------------ repetition quality signals
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    duplicate-token fraction, most-frequent-bigram share, and
+    duplicate-trigram fraction per document.
+
+    Scale shape: the scalar signals (token/trigram dedup counts) are
+    pure array expressions inside one projection — zero shuffle; the
+    top-bigram share explodes bigrams and hash-aggregates twice
+    ((doc, bigram) then doc), both partial+final — the only shuffles,
+    both keyed by doc_id so a later per-doc join is co-partitioned.
+    All fractions are single divisions of exactly-agreed integers."""
+    w = tokens(F.col("text"))
+    n_tok = F.size(w)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("_ndtok"),
+        F.size(trigrams).cast("long").alias("_ntri"),
+        F.size(F.array_distinct(trigrams)).cast("long").alias("_ndtri"),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("_topbg"),
+            F.sum("c").cast("long").alias("_nbg"),
+        )
+    )
+    j = per_doc.join(top, "doc_id", "left")
+    nbg = F.coalesce(F.col("_nbg"), F.lit(0))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("_ndtok")) / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(nbg > 0, F.col("_topbg") / nbg)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(F.col("_ntri") > 0, (F.col("_ntri") - F.col("_ndtri")) / F.col("_ntri"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
+def repetition_signals_sql() -> str:
+    bg_sql = (
+        f"list_transform(generate_series(1, greatest(len({TOKENS_SQL}) - 1, 0)),"
+        f" i -> array_to_string(list_slice({TOKENS_SQL}, i, i + 1), ' '))"
+    )
+    tri_sql = (
+        f"list_transform(generate_series(1, greatest(len({TOKENS_SQL}) - 2, 0)),"
+        f" i -> array_to_string(list_slice({TOKENS_SQL}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len({TOKENS_SQL})::BIGINT AS n_tokens,
+         len(list_distinct({TOKENS_SQL}))::BIGINT AS ndtok,
+         len({tri_sql})::BIGINT AS ntri,
+         len(list_distinct({tri_sql}))::BIGINT AS ndtri
+  FROM documents),
+bgc AS (
+  SELECT doc_id, bigram, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({bg_sql}) AS bigram FROM documents)
+  GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c)::BIGINT AS topbg, sum(c)::BIGINT AS nbg
+  FROM bgc GROUP BY 1)
+SELECT p.doc_id, p.n_tokens,
+  CASE WHEN p.n_tokens > 0 THEN (p.n_tokens - p.ndtok) / p.n_tokens
+       ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN coalesce(t.nbg, 0) > 0 THEN t.topbg / coalesce(t.nbg, 0)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN p.ntri > 0 THEN (p.ntri - p.ndtri) / p.ntri
+       ELSE 0.0 END AS dup_trigram_frac
+FROM per_doc p LEFT JOIN top t USING (doc_id)
+"""
+
+
+# ------------------------------------------------ PII detect / redact
+# Java regex and RE2 agree on these (no backreferences, no lookaround;
+# \\b and bounded repetition are common subset).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _with_pii(docs: DataFrame) -> Column:
+    """Deterministic synthetic PII appended to each doc (the corpus
+    itself is PII-free word soup); same expression in the SQL twin."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        d.cast("string"),
+        F.lit("@mail.example.com ip 10."),
+        (d % 200).cast("string"),
+        F.lit(".0."),
+        (d % 250).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+_WITH_PII_SQL = (
+    "text || ' contact u' || doc_id || '@mail.example.com ip 10.'"
+    " || (doc_id % 200) || '.0.' || (doc_id % 250)"
+    " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Regex PII scrub: count + redact emails, IPv4s, phone-shaped
+    numbers.  One projection, zero shuffle — the scan-shaped operator a
+    100 TB pre-training scrub pass needs.  Patterns live in the
+    Java∩RE2 common subset so the DuckDB twin is bit-identical."""
+    full = _with_pii(docs)
+    n_em = F.size(F.regexp_extract_all(full, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(full, F.lit(PII_IP_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(full, F.lit(PII_PHONE_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_ph.cast("long").alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def pii_redact_sql() -> str:
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all({_WITH_PII_SQL}, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all({_WITH_PII_SQL}, '{PII_IP_RE}'))::BIGINT AS n_ips,
+  len(regexp_extract_all({_WITH_PII_SQL}, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace({_WITH_PII_SQL}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IP_RE}', '<IP>', 'g'),
+    '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+# ---------------------------------------- passage (chunk)-level dedup
+CHUNK_TOKENS = 8
+
+
+def chunk_dedup_stats(docs: DataFrame, size: int = CHUNK_TOKENS) -> DataFrame:
+    """Passage-level dedup: split each doc into fixed ``size``-token
+    chunks, keep the global first occurrence of each chunk text
+    (min (doc_id, chunk_idx)), report per-doc survival.
+
+    This is the sub-document dedup a pre-training pipeline runs after
+    doc-level dedup (boilerplate headers/footers repeat across distinct
+    docs).  Scale shape: explode → one window partitioned by the
+    64-bit chunk hash (billions of small partitions, no global sort) →
+    hash re-agg by doc_id.  First-occurrence choice is deterministic,
+    so reruns and the SQL twin agree bit-for-bit."""
+    w = tokens(F.col("text"))
+    n_chunks = F.floor((F.size(w) + (size - 1)) / size).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * size + 1, size)),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select("doc_id", "chunk_idx", md5_lower64(F.col("chunk")).alias("ck"))
+    win = Window.partitionBy("ck").orderBy("doc_id", "chunk_idx")
+    marked = ex.withColumn("rn", F.row_number().over(win))
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        (F.col("n_kept") / F.col("n_chunks")).alias("kept_frac"),
+    )
+
+
+def chunk_dedup_stats_sql(size: int = CHUNK_TOKENS) -> str:
+    ch = (
+        f"list_transform(generate_series(1, greatest((len({TOKENS_SQL}) + {size - 1})"
+        f" // {size}, 0)), i -> array_to_string(list_slice({TOKENS_SQL},"
+        f" (i - 1) * {size} + 1, i * {size}), ' '))"
+    )
+    return f"""
+WITH ch AS (SELECT doc_id, {ch} AS chunks FROM documents),
+ex AS (
+  SELECT doc_id, i - 1 AS chunk_idx, {md5_lower64_sql('chunks[i]')} AS ck
+  FROM ch CROSS JOIN UNNEST(generate_series(1, len(chunks))) AS t(i)),
+marked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY ck ORDER BY doc_id, chunk_idx) AS rn
+  FROM ex)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT / count(*)::BIGINT
+         AS kept_frac
+FROM marked GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------- tf·idf term scoring
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf/df (monotone in
+    tf·idf for any fixed corpus size, and — unlike ln(N/df) — exactly
+    reproducible cross-engine as a single integer division).
+
+    Scale shape: explode → (doc, term) hash-agg → term-keyed df agg →
+    shuffle join on term (Zipf-skewed; AQE skew-join splits the
+    stop-word keys) → per-doc window top-k (partitioned by doc_id,
+    never global)."""
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = tf.join(df_, "term").withColumn("score", F.col("tf") / F.col("df"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, tf.tf / dfreq.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf / dfreq.df DESC, tf.term ASC) AS rk
+  FROM tf JOIN dfreq USING (term))
+SELECT doc_id, term, tf, df, score FROM scored WHERE rk <= {k}
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -1179,6 +1456,10 @@ def register_text_queries() -> dict[str, callable]:
         "curation_pipeline": lambda s, d: curation_pipeline(_docs(s, d)),
         "text_normalize": lambda s, d: text_normalized(_docs(s, d)),
         "dedup_normalized": lambda s, d: dedup_normalized(_docs(s, d)),
+        "text_repetition_signals": lambda s, d: repetition_signals(_docs(s, d)),
+        "pii_redact": lambda s, d: pii_redact(_docs(s, d)),
+        "dedup_chunks": lambda s, d: chunk_dedup_stats(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d)),
         # decontamination demo split: docs with id%10==7 play the eval
         # set, the rest the training corpus
         "decontaminate_corpus": lambda s, d: decontaminate(
@@ -1208,4 +1489,8 @@ TEXT_ORACLES: dict[str, str] = {
     "text_normalize": text_normalized_sql(),
     "dedup_normalized": dedup_normalized_sql(),
     "decontaminate_corpus": decontaminate_sql(),
+    "text_repetition_signals": repetition_signals_sql(),
+    "pii_redact": pii_redact_sql(),
+    "dedup_chunks": chunk_dedup_stats_sql(),
+    "tfidf_top_terms": tfidf_top_terms_sql(),
 }

@@ -310,3 +310,35 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         for t in ("bt_a", "bt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tpch_q6_is_one_pruned_pushed_scan_no_join(spark):
+    """Q6: the cheapest plan Spark can produce — all four predicates
+    pushed to the parquet scan, projection pruned to the 4 referenced
+    columns, partial+final agg, no join, no wide shuffle."""
+    plan = plan_of(Q.tpch_q6(spark, SF))
+    assert "Join" not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+    assert "partial_sum" in plan
+
+
+def test_tpch_q5_broadcasts_only_fixed_size_dims(spark):
+    """Q5: nation⋈region folds into supplier via broadcast (fixed-size
+    dims); customer and orders — both O(SF) — shuffle-join; lineitem
+    joins orders on orderkey as the big shuffle.  Exactly 2 broadcast
+    joins and 3 shuffle joins; the date filter reaches the orders
+    scan."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q5(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 2
+    assert count_nodes(plan, "SortMergeJoin") == 3
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "partial_sum" in plan

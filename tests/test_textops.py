@@ -314,3 +314,73 @@ def test_multitable_amplifies_recall(spark):
     assert len(multi) > len(single)  # table 1 contributes new candidates
     for r in multi_rows:
         assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
+
+
+# ------------------------------------------------ round-3 additions
+def test_repetition_signals_crafted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.repetition_signals(docs).collect()}
+    # doc 1: 4 tokens/1 distinct; bigrams 3x "a a"; trigrams 2x "a a a"
+    assert rows[1].dup_token_frac == 3 / 4
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[1].dup_trigram_frac == 1 / 2
+    # doc 2: everything distinct
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[2].top_bigram_frac == 1 / 3
+    assert rows[2].dup_trigram_frac == 0.0
+    # doc 3: 6 tokens/2 distinct; bigrams x-y,y-x,x-y,y-x,x-y; trigrams 4/2
+    assert rows[3].dup_token_frac == 4 / 6
+    assert rows[3].top_bigram_frac == 3 / 5
+    assert rows[3].dup_trigram_frac == 2 / 4
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    r = textops.pii_redact(docs).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    for tag in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tag in r.redacted
+    assert "@" not in r.redacted
+    assert "555-" not in r.redacted
+    assert "10.7.0.7" not in r.redacted
+    assert r.redacted.startswith("hello world")
+
+
+def test_chunk_dedup_keeps_global_first_occurrence(spark):
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    c = " ".join(f"c{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.chunk_dedup_stats(docs).collect()}
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)  # shared chunk lost
+    assert out[2].kept_frac == 0.5
+
+
+def test_chunk_dedup_ragged_tail_chunk(spark):
+    # 10 tokens -> chunks of 8 + 2; the 2-token tail is its own chunk
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = textops.chunk_dedup_stats(docs).collect()[0]
+    assert out.n_chunks == 2 and out.n_kept == 2
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r.doc_id: r for r in textops.tfidf_top_terms(docs, k=1).collect()
+    }
+    # doc1: common tf2/df3 = 0.67 < rare1 tf1/df1 = 1.0
+    assert top1[1].term == "rare1"
+    assert top1[2].term == "rare2"
+    assert top1[3].term == "common"
+    assert top1[1].df == 1 and top1[3].df == 3
