@@ -60,6 +60,15 @@ BENCH_QUERIES = [
     "ann_lsh_multiprobe",
     "ann_lsh_multitable",
     "tpch_q3",
+    # round-3 final additions: classic join/scan benchmarks + the new
+    # text-pipeline scan ops + unlabeled embedding dedup
+    "tpch_q5",
+    "tpch_q6",
+    "lsh_dup_pairs",
+    "pii_redact",
+    "dedup_chunks",
+    "tfidf_top_terms",
+    "text_repetition_signals",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

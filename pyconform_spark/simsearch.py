@@ -8,6 +8,9 @@ Operators:
   the big side.
 * blocked near-dup pairs    — all-pairs cosine WITHIN a blocking key
   (label ≈ an IVF cell): the quadratic cost is bounded per block.
+* LSH-bucketed near-dup pairs — the unlabeled-corpus variant: pairs
+  sharing a bucket in any of T independent plane families, verified
+  by exact cosine (precision 1.0, multi-table-amplified recall).
 * random-hyperplane LSH ANN — the scale path: signed projections
   bucket each vector; candidates = same bucket; top-k within bucket.
   At 10^12 vectors the bucket join replaces the full scan.  Recall
@@ -216,6 +219,104 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {COSINE_SQL.format(dot=DOT_SQL.format(a='a.q', b='b.q'),
                          na='a.nq', nb='b.nq')} >= {threshold}
+"""
+
+
+# -------------------------------------------- LSH-bucketed near-dup pairs
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH bucketing — the UNLABELED-corpus
+    scale path (:func:`cosine_dup_pairs` needs a label/IVF-cell
+    blocking key; a raw crawl has none).  Candidates = pairs sharing a
+    bucket in ANY of ``n_tables`` independent hyperplane families;
+    every candidate is verified by exact quantized cosine, so
+    precision is 1.0 and recall follows the multi-table amplification
+    1-(1-r)^T.
+
+    Scale shape: one explode (T rows per vector), one shuffle
+    equi-join on (table, bucket) — never all-pairs, corpus never
+    broadcast; skewed buckets split under AQE.  Cosine is computed
+    inside the join (≤T× duplicated for pairs caught by several
+    tables — T is small) and deduplicated AFTER the threshold filter,
+    which beats re-joining vectors onto a pair-id dedup: the distinct
+    input is only true near-dups, not all candidates."""
+    base = _with_q(emb)
+    ex = (
+        base.select(
+            "vec_id",
+            "q",
+            "nq",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _bucket_expr(
+                            F.col("q"), n_planes, offset=t * n_planes
+                        ).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ])
+            ).alias("tb"),
+        )
+        .select("vec_id", "q", "nq", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    a = ex.select(
+        "t",
+        "b",
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = ex.select(
+        "t",
+        "b",
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    return (
+        a.join(b, ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb"))
+            .cast("double")
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def lsh_dup_pairs_sql(
+    threshold: float = 0.8, n_planes: int = 4, n_tables: int = 2
+) -> str:
+    q = QUANT_SQL.format(c="embedding")
+    bcols = ", ".join(
+        f"{_bucket_sql(q, n_planes, offset=t * n_planes)} AS b{t}"
+        for t in range(n_tables)
+    )
+    struct_list = ", ".join(f"{{'t': {t}, 'b': b{t}}}" for t in range(n_tables))
+    cos = COSINE_SQL.format(
+        dot=DOT_SQL.format(a="a.q", b="b.q"), na="a.nq", nb="b.nq"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq, {bcols}
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, q, nq, tb.t AS t, tb.b AS b
+  FROM base, unnest([{struct_list}]) AS u(tb)
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos}::DOUBLE AS cosine
+FROM ex a JOIN ex b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
 """
 
 
@@ -612,6 +713,7 @@ def register_sim_queries() -> dict[str, callable]:
     return {
         "knn_bruteforce": lambda s, d: knn_bruteforce(_emb(s, d)),
         "cosine_dup_pairs": lambda s, d: cosine_dup_pairs(_emb(s, d), 0.3, 3000),
+        "lsh_dup_pairs": lambda s, d: lsh_dup_pairs(_emb(s, d), 0.3),
         "ann_lsh_topk": lambda s, d: ann_lsh_topk(_emb(s, d)),
         "ann_lsh_multiprobe": lambda s, d: ann_lsh_multiprobe(_emb(s, d)),
         "ann_lsh_multitable": lambda s, d: ann_lsh_multitable(_emb(s, d)),
@@ -622,6 +724,7 @@ def register_sim_queries() -> dict[str, callable]:
 SIM_ORACLES: dict[str, str] = {
     "knn_bruteforce": knn_bruteforce_sql(),
     "cosine_dup_pairs": cosine_dup_pairs_sql(0.3, 3000),
+    "lsh_dup_pairs": lsh_dup_pairs_sql(0.3),
     "ann_lsh_topk": ann_lsh_topk_sql(),
     "ann_lsh_multiprobe": ann_lsh_multiprobe_sql(),
     "ann_lsh_multitable": ann_lsh_multitable_sql(),

@@ -342,3 +342,20 @@ def test_tpch_q5_broadcasts_only_fixed_size_dims(spark):
     assert count_nodes(plan, "SortMergeJoin") == 3
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "partial_sum" in plan
+
+
+def test_lsh_dup_pairs_is_bucket_equijoin_never_allpairs(spark):
+    """lsh_dup_pairs: the self-join runs on (table, bucket) keys — no
+    cartesian product, no broadcast nested loop, corpus never
+    broadcast; the id_a < id_b and threshold predicates filter the
+    joined stream."""
+    from pyconform_spark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with _no_auto_broadcast(spark):
+        plan = plan_of(simsearch.lsh_dup_pairs(emb, 0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert "HashAggregate" in plan  # the pair-dedup distinct

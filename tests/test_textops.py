@@ -384,3 +384,35 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     assert top1[2].term == "rare2"
     assert top1[3].term == "common"
     assert top1[1].df == 1 and top1[3].df == 3
+
+
+def test_lsh_dup_pairs_exact_verify_and_amplification(spark):
+    """Every returned pair is a true near-dup with the exact cosine
+    (precision 1.0), and adding a second table only ADDS pairs."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simsearch.cosine_dup_pairs(emb, 0.3, 10**9).collect()
+    }
+    one = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simsearch.lsh_dup_pairs(emb, 0.3, n_tables=1).collect()
+    }
+    two = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simsearch.lsh_dup_pairs(emb, 0.3, n_tables=2).collect()
+    }
+    # NOTE: cosine_dup_pairs blocks on label, so `exact` is the
+    # label-blocked truth; LSH pairs may cross labels.  Verify against
+    # a genuinely exhaustive all-pairs set instead.
+    allp = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simsearch.cosine_dup_pairs(
+            emb.withColumn("label", emb.label * 0), 0.3, 10**9
+        ).collect()
+    }
+    assert set(one) <= set(two) <= set(allp)
+    for p, c in two.items():
+        assert allp[p] == c  # exact verified cosine
+    assert len(two) > len(one)  # table 1 contributes new pairs
+    assert len(two) >= len(allp) // 10  # sane recall at 4 planes x 2
