@@ -658,10 +658,19 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
+    # truncate lineage before handing the frame to consumers: the
+    # per-round InMemoryRelations nest (each round's plan embeds the
+    # previous round's), so without this a downstream join's ANALYZED
+    # plan grows exponentially in rounds-since-checkpoint — hundreds
+    # of phantom scan/join nodes Catalyst must walk on every consumer.
+    # localCheckpoint replaces all of it with one materialized leaf;
+    # the final cached round is then released.
+    final = labels.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component_id").cast("long").alias("component_id"),
-    )
+    ).localCheckpoint()
+    backing.unpersist()
+    return final
 
 
 def lsh_components(docs: DataFrame) -> DataFrame:
