@@ -107,12 +107,25 @@ TOKENS_SQL = (
 )
 
 
+def index_seq(upper: Column) -> Column:
+    """``[1..upper]`` as an int array, EMPTY when ``upper < 1``.
+
+    Spark's ``sequence(1, 0)`` counts DOWN (yields ``[1, 0]``) while
+    DuckDB's ``generate_series(1, 0)`` is empty — an unguarded
+    sliding-window builder therefore crashes (slice start 0) or
+    silently diverges from its oracle on docs shorter than the window.
+    Every window/chunk enumeration goes through this guard."""
+    return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles(c: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of a text column."""
     w = tokens(c)
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            index_seq(F.size(w) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         )
     )
@@ -1181,11 +1194,11 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     w = tokens(F.col("text"))
     n_tok = F.size(w)
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(0))),
+        index_seq(n_tok - 1),
         lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
     )
     trigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
+        index_seq(n_tok - 2),
         lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
     )
     per_doc = docs.select(
@@ -1352,7 +1365,7 @@ def chunk_dedup_stats(docs: DataFrame, size: int = CHUNK_TOKENS) -> DataFrame:
     w = tokens(F.col("text"))
     n_chunks = F.floor((F.size(w) + (size - 1)) / size).cast("int")
     chunks = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(0))),
+        index_seq(n_chunks),
         lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * size + 1, size)),
     )
     ex = docs.select(
@@ -1435,6 +1448,96 @@ SELECT doc_id, term, tf, df, score FROM scored WHERE rk <= {k}
 """
 
 
+# ------------------------------------- hashed linear quality classifier
+CLS_BUCKETS = 2001  # weight range [-1000, 1000] via md5 hashing trick
+
+
+def _feat_weight(c: Column, salt: str) -> Column:
+    """Deterministic per-feature weight via the hashing trick: the
+    feature string is md5-hashed straight to an integer weight (no
+    stored table).  Stands in for TRAINED parameters — a learned model
+    swaps this expression for a lookup into a broadcast (bucket →
+    weight) table or a literal weight array; the featurization,
+    pooling, and gating plumbing around it is unchanged."""
+    return (
+        md5_lower64(F.concat(F.lit(salt + "-"), c)) % CLS_BUCKETS - 1000
+    ).cast("long")
+
+
+def _feat_weight_sql(expr: str, salt: str) -> str:
+    # md5_number_lower is UINT64 in DuckDB: cast the (small) modulo to
+    # BIGINT BEFORE subtracting or the subtraction underflows unsigned.
+    return (
+        f"((md5_number_lower('{salt}-' || ({expr})) % {CLS_BUCKETS})::BIGINT"
+        f" - 1000)"
+    )
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """FastText-style linear text classifier (Joulin et al. 2016,
+    public): hashed unigram + bigram features, mean-pooled weights,
+    sign gate.  The model-based quality filter a pre-training pipeline
+    runs after the heuristic signals — here with md5-derived weights
+    (see :func:`_feat_weight`) so the score is cross-engine exact.
+
+    Scale shape: pure array expressions in ONE projection — hashing,
+    weight lookup, pooling all happen inside whole-stage codegen with
+    zero shuffle and zero Python; the classifier adds nothing to a
+    scan-shaped pass over 100 TB.  The score is a single division of
+    two exactly-agreed integers; the keep gate compares the integer
+    sum, not the float."""
+    w = tokens(F.col("text"))
+    n_uni = F.size(w)
+    bigrams = F.transform(
+        index_seq(n_uni - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    sum_uni = F.aggregate(
+        F.transform(w, lambda t: _feat_weight(t, "quni")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sum_bi = F.aggregate(
+        F.transform(bigrams, lambda b: _feat_weight(b, "qbi")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_feat = (n_uni + F.size(bigrams)).cast("long")
+    total = (sum_uni + sum_bi).cast("long")
+    return docs.select(
+        "doc_id",
+        n_feat.alias("n_features"),
+        F.when(n_feat > 0, total / n_feat).otherwise(F.lit(0.0)).alias("score"),
+        F.when(total >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    bg = (
+        f"list_transform(generate_series(1, greatest(len({TOKENS_SQL}) - 1, 0)),"
+        f" i -> array_to_string(list_slice({TOKENS_SQL}, i, i + 1), ' '))"
+    )
+    su = (
+        f"coalesce(list_sum(list_transform({TOKENS_SQL},"
+        f" t -> {_feat_weight_sql('t', 'quni')})), 0)"
+    )
+    sb = (
+        f"coalesce(list_sum(list_transform({bg},"
+        f" b -> {_feat_weight_sql('b', 'qbi')})), 0)"
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         (len({TOKENS_SQL}) + len({bg}))::BIGINT AS n_features,
+         ({su} + {sb})::BIGINT AS total
+  FROM documents)
+SELECT doc_id, n_features,
+       CASE WHEN n_features > 0 THEN total / n_features ELSE 0.0 END AS score,
+       CASE WHEN total >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM feat
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -1469,6 +1572,7 @@ def register_text_queries() -> dict[str, callable]:
         "pii_redact": lambda s, d: pii_redact(_docs(s, d)),
         "dedup_chunks": lambda s, d: chunk_dedup_stats(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d)),
+        "quality_classifier": lambda s, d: quality_classifier(_docs(s, d)),
         # decontamination demo split: docs with id%10==7 play the eval
         # set, the rest the training corpus
         "decontaminate_corpus": lambda s, d: decontaminate(
@@ -1502,4 +1606,5 @@ TEXT_ORACLES: dict[str, str] = {
     "pii_redact": pii_redact_sql(),
     "dedup_chunks": chunk_dedup_stats_sql(),
     "tfidf_top_terms": tfidf_top_terms_sql(),
+    "quality_classifier": quality_classifier_sql(),
 }

@@ -416,3 +416,48 @@ def test_lsh_dup_pairs_exact_verify_and_amplification(spark):
         assert allp[p] == c  # exact verified cosine
     assert len(two) > len(one)  # table 1 contributes new pairs
     assert len(two) >= len(allp) // 10  # sane recall at 4 planes x 2
+
+
+def test_quality_classifier_deterministic_and_gated(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.quality_classifier(docs).collect()}
+    # identical text -> identical score and verdict (pure function)
+    assert rows[1].score == rows[3].score
+    assert rows[1].verdict == rows[3].verdict
+    assert rows[1].n_features == 5  # 3 unigrams + 2 bigrams
+    # empty doc: no features, neutral score, kept (total = 0 >= 0)
+    assert rows[2].n_features == 0
+    assert rows[2].score == 0.0 and rows[2].verdict == "keep"
+    # score is the mean-pooled integer weight: recompute one by hand
+    import hashlib
+    def w(salt, f):
+        h = hashlib.md5(f"{salt}-{f}".encode()).digest()
+        return int.from_bytes(h[8:16], "little") % 2001 - 1000
+    total = sum(w("quni", t) for t in ["alpha", "beta", "gamma"]) + sum(
+        w("qbi", b) for b in ["alpha beta", "beta gamma"]
+    )
+    assert rows[1].score == total / 5
+    assert rows[1].verdict == ("keep" if total >= 0 else "drop")
+
+
+def test_short_doc_windows_match_duckdb_empty_list_semantics(spark, con):
+    """Spark sequence(1,0) counts DOWN; DuckDB generate_series(1,0) is
+    empty.  index_seq pins the empty semantics: every windowed op must
+    accept empty / 1-token / window-1-sized docs without error and
+    agree with its oracle's short-doc behavior."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two words")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: r for r in textops.repetition_signals(docs).collect()}
+    assert rep[1].n_tokens == 0 and rep[1].top_bigram_frac == 0.0
+    assert rep[2].dup_trigram_frac == 0.0  # no trigrams in 1 token
+    assert rep[3].top_bigram_frac == 1.0  # exactly one bigram
+    ch = {r.doc_id: r for r in textops.chunk_dedup_stats(docs).collect()}
+    assert 1 not in ch  # empty doc has zero chunks -> no group row
+    assert (ch[2].n_chunks, ch[2].n_kept) == (1, 1)
+    qc = {r.doc_id: r for r in textops.quality_classifier(docs).collect()}
+    assert qc[1].n_features == 0 and qc[1].verdict == "keep"
+    assert qc[2].n_features == 1  # 1 unigram, 0 bigrams
