@@ -1448,6 +1448,93 @@ SELECT doc_id, term, tf, df, score FROM scored WHERE rk <= {k}
 """
 
 
+# ------------------------------- content-defined chunking (CDC) dedup
+CDC_DIVISOR = 8  # expected chunk length in tokens (boundary rate 1/8)
+
+
+def cdc_chunk_dedup(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Passage dedup over CONTENT-DEFINED chunks: a token ends a chunk
+    when ``hash(token) % divisor == 0``, so boundaries are anchored to
+    content, not position.  Inserting or deleting a token re-chunks
+    only the span it lands in — every other chunk's text (and hash) is
+    unchanged — where fixed windows (:func:`chunk_dedup_stats`) shift
+    every downstream chunk.  This is rolling-hash CDC (Muthitacharoen
+    et al., SOSP'01) at token granularity.
+
+    Scale shape: explode to (doc, pos, token); the chunk id is a
+    running sum of boundary flags over a doc_id-partitioned window
+    (per-doc, fully parallel — never global); chunk texts re-assemble
+    with one doc-keyed hash-agg; first-occurrence-wins dedup then runs
+    per chunk-hash partition exactly like the fixed-window variant."""
+    w = tokens(F.col("text"))
+    ex = docs.select("doc_id", F.posexplode(w).alias("pos", "tok")).withColumn(
+        "is_cut", (hash31(F.col("tok")) % divisor == 0).cast("int")
+    )
+    # chunk id = cuts seen BEFORE this position (cut token closes its
+    # chunk): running sum shifted by one position
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    ex = ex.withColumn(
+        "cid", F.sum("is_cut").over(dw) - F.col("is_cut")
+    )
+    chunks = ex.groupBy("doc_id", "cid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("chunk")
+    )
+    keyed = chunks.select(
+        "doc_id", "cid", md5_lower64(F.col("chunk")).alias("ck")
+    )
+    win = Window.partitionBy("ck").orderBy("doc_id", "cid")
+    marked = keyed.withColumn("rn", F.row_number().over(win))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_chunks")).alias("kept_frac"),
+        )
+    )
+
+
+def cdc_chunk_dedup_sql(divisor: int = CDC_DIVISOR) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+         CASE WHEN {hash31_sql('toks[i]')} % {divisor} = 0 THEN 1 ELSE 0 END
+           AS is_cut
+  FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+  CROSS JOIN UNNEST(generate_series(1, len(toks))) AS t(i)),
+cids AS (
+  SELECT doc_id, pos, tok,
+         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos) - is_cut AS cid
+  FROM ex),
+chunks AS (
+  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM cids GROUP BY doc_id, cid),
+marked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY {md5_lower64_sql('chunk')}
+                            ORDER BY doc_id, cid) AS rn
+  FROM chunks)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT / count(*)::BIGINT
+         AS kept_frac
+FROM marked GROUP BY doc_id
+"""
+
+
 # ------------------------------------- hashed linear quality classifier
 CLS_BUCKETS = 2001  # weight range [-1000, 1000] via md5 hashing trick
 
@@ -1573,6 +1660,7 @@ def register_text_queries() -> dict[str, callable]:
         "dedup_chunks": lambda s, d: chunk_dedup_stats(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d)),
         "quality_classifier": lambda s, d: quality_classifier(_docs(s, d)),
+        "dedup_chunks_cdc": lambda s, d: cdc_chunk_dedup(_docs(s, d)),
         # decontamination demo split: docs with id%10==7 play the eval
         # set, the rest the training corpus
         "decontaminate_corpus": lambda s, d: decontaminate(
@@ -1607,4 +1695,5 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_chunks": chunk_dedup_stats_sql(),
     "tfidf_top_terms": tfidf_top_terms_sql(),
     "quality_classifier": quality_classifier_sql(),
+    "dedup_chunks_cdc": cdc_chunk_dedup_sql(),
 }

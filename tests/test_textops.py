@@ -461,3 +461,29 @@ def test_short_doc_windows_match_duckdb_empty_list_semantics(spark, con):
     qc = {r.doc_id: r for r in textops.quality_classifier(docs).collect()}
     assert qc[1].n_features == 0 and qc[1].verdict == "keep"
     assert qc[2].n_features == 1  # 1 unigram, 0 bigrams
+
+
+def test_cdc_chunks_survive_insertion_where_fixed_windows_shift(spark):
+    """The CDC property: inserting one token near the front re-chunks
+    only the affected span; fixed windows shift everything after it."""
+    base = " ".join(f"w{i}" for i in range(64))
+    edited = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    cdc = {r.doc_id: r for r in textops.cdc_chunk_dedup(docs).collect()}
+    fixed = {r.doc_id: r for r in textops.chunk_dedup_stats(docs).collect()}
+    # doc 2 shares almost all CDC chunks with doc 1 (only the first
+    # span differs) but shares NO fixed windows (every one shifted)
+    assert cdc[2].n_kept <= 2
+    assert fixed[2].n_kept == fixed[2].n_chunks  # nothing deduped
+    assert cdc[1].n_kept == cdc[1].n_chunks  # first doc keeps all
+
+
+def test_cdc_chunks_partition_the_token_stream(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    out = textops.cdc_chunk_dedup(docs).collect()[0]
+    # chunks tile the doc: token count preserved through the pipeline
+    assert out.n_chunks >= 1 and out.n_kept == out.n_chunks
