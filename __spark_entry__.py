@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": Q.running_sum,
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,
+        "counter_rate": Q.counter_rate,
+        "m4_downsample": Q.m4_downsample,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
         "percentiles_by_type": Q.percentiles_by_type,

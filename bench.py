@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "dedup_chunks",
     "tfidf_top_terms",
     "text_repetition_signals",
+    "quality_classifier",
+    "dedup_chunks_cdc",
+    "counter_rate",
+    "m4_downsample",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -392,6 +392,48 @@ SELECT user_id, event_type, {_bucket(86400)} AS bucket_start,
 FROM events GROUP BY 1,2,3
 """
 
+ORACLES["counter_rate"] = f"""
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+inc AS (
+  SELECT user_id, event_type, ts,
+         CASE
+           WHEN lag(vq) OVER w IS NULL THEN 0::BIGINT
+           WHEN vq >= lag(vq) OVER w THEN vq - lag(vq) OVER w
+           ELSE vq
+         END AS inc
+  FROM q
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+       sum(inc)::BIGINT / 100.0 AS increase,
+       sum(inc)::BIGINT / 360000.0 AS rate_per_sec,
+       count(*)::BIGINT AS n_samples
+FROM inc
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["m4_downsample"] = f"""
+WITH b AS (
+  SELECT user_id, event_type, {_bucket(21600)} AS bucket_start,
+         ts, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_start
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b)
+SELECT user_id, event_type, bucket_start,
+       min(value) AS v_min, max(value) AS v_max,
+       max(CASE WHEN ra = 1 THEN value END) AS v_first,
+       max(CASE WHEN rd = 1 THEN value END) AS v_last,
+       count(*)::BIGINT AS n_points
+FROM r GROUP BY 1, 2, 3
+"""
+
 ORACLES["sessionize"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

@@ -297,6 +297,99 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def counter_rate(
+    spark: SparkSession, sf_dir: str, seconds: int = 3600
+) -> DataFrame:
+    """Counter-reset-aware rate (the Prometheus ``rate()``/``increase``
+    semantics, public docs): per series, the per-second rate of
+    increase of a monotonic counter within each tumbling bucket, where
+    a sample DROP means the counter reset and the post-reset value is
+    the increase.
+
+    Counter arithmetic is fixed-point (value floored to centi-units)
+    so increases and their sums are exact BIGINTs cross-engine; the
+    rate is one division at the end.  Scale shape: one window sort per
+    series partition (parallel across series, never global) feeding a
+    hash-agg on (series, bucket) — the same two-exchange shape as
+    sessionize."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    prev = F.lag("vq").over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .when(F.col("vq") >= prev, F.col("vq") - prev)
+        .otherwise(F.col("vq"))
+    )
+    staged = df.select(
+        *EKEYS,
+        bucket_ts(F.col("ts"), seconds).alias("bucket_start"),
+        inc.alias("inc"),
+    )
+    return (
+        staged.groupBy(*EKEYS, "bucket_start")
+        .agg(
+            F.sum("inc").cast("long").alias("_total"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            *EKEYS,
+            "bucket_start",
+            (F.col("_total") / 100.0).alias("increase"),
+            (F.col("_total") / F.lit(float(100 * seconds))).alias(
+                "rate_per_sec"
+            ),
+            F.col("_n").cast("long").alias("n_samples"),
+        )
+    )
+
+
+def m4_downsample(
+    spark: SparkSession, sf_dir: str, seconds: int = 21600
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB'14, public): per
+    (series, pixel bucket) keep min, max, first, and last — the four
+    samples that make a line plot at that pixel width error-free.
+
+    All four outputs are PICKS of existing doubles (no arithmetic), so
+    they are cross-engine exact without decimal staging; first/last
+    use a (ts, event_id) total order.  Scale shape: one window sort
+    partitioned by (series, bucket) — parallel across buckets — whose
+    partitioning the following hash-agg reuses (no second exchange)."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        bucket_ts(F.col("ts"), seconds).alias("bucket_start"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    keys = [*EKEYS, "bucket_start"]
+    w_asc = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    w_desc = Window.partitionBy(*keys).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    staged = df.select(
+        *keys,
+        "value",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_desc).alias("_rd"),
+    )
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("v_last"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+    )
+
+
 def heavy_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew observability: series holding >= 0.2% of all rows.
 

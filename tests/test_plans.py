@@ -359,3 +359,23 @@ def test_lsh_dup_pairs_is_bucket_equijoin_never_allpairs(spark):
     assert "BroadcastHashJoin" not in plan
     assert count_nodes(plan, "SortMergeJoin") == 1
     assert "HashAggregate" in plan  # the pair-dedup distinct
+
+
+def test_counter_rate_one_sort_then_copartitioned_agg(spark):
+    """counter_rate: one exchange for the per-series window sort; the
+    (series, bucket) hash-agg must NOT re-shuffle a second time on the
+    same upstream keys beyond the bucket regroup — and nothing sorts
+    globally."""
+    plan = plan_of(Q.counter_rate(spark, SF))
+    assert count_nodes(plan, "Exchange") <= 2  # window + bucket regroup
+    assert "partial_sum" in plan  # map-side combine before the regroup
+    assert "SinglePartition" not in plan
+
+
+def test_m4_downsample_agg_reuses_window_partitioning(spark):
+    """m4_downsample windows and aggregates on the SAME keys
+    (series, bucket): exactly one exchange total — the agg consumes
+    the window's hash partitioning without a second shuffle."""
+    plan = plan_of(Q.m4_downsample(spark, SF))
+    assert count_nodes(plan, "Exchange") == 1
+    assert "SinglePartition" not in plan
