@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": Q.tpch_q3,
         "tpch_q5": Q.tpch_q5,
         "tpch_q6": Q.tpch_q6,
+        "tpch_q4": Q.tpch_q4,
+        "tpch_q10": Q.tpch_q10,
+        "tpch_q14": Q.tpch_q14,
+        "tpch_q18": Q.tpch_q18,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

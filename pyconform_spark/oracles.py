@@ -990,3 +990,60 @@ SELECT k.user_id, min(s.cell_count)::BIGINT AS cms_estimate,
 FROM keyed k JOIN sketch s ON k.r = s.r AND k.b = s.b
 GROUP BY k.user_id, k.exact_count
 """
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q10"] = """
+WITH by_cust AS (
+  SELECT o.o_custkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       CAST(b.rev AS DOUBLE) AS revenue, c.c_acctbal, n.n_name
+FROM by_cust b
+JOIN customer c ON b.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["tpch_q14"] = """
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))
+                     ELSE CAST(0 AS DECIMAL(24,8)) END) * 100 AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+              AS DOUBLE) AS promo_pct,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(20,6))) AS sq
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(20,6))) > 300)
+SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b.sq AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o_orderkey ASC
+"""

@@ -1366,3 +1366,152 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only1).select(
         "segment", F.col("user_id").cast("long").alias("user_id")
     )
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the graft schema:
+    the testdata lineitem carries no commit/receipt dates, so the Q4
+    existence predicate ``l_commitdate < l_receiptdate`` becomes "some
+    lineitem shipped more than 60 days after the order date" — the
+    same shape (date-window scan + EXISTS + 5-group agg), reference
+    semantics per TPC-H spec rev 2.18 §Q4 (public).
+
+    Scale shape: orders' quarter filter pushes to its scan; the EXISTS
+    is a LEFT SEMI shuffle join on orderkey (never materializes the
+    multi-match blowup); final agg has 5 groups, so partial agg makes
+    the last exchange ~5 rows per task."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), adapted to the graft
+    schema's customer columns: top-20 customers by revenue lost to
+    returned ('R') lineitems in one quarter's orders.
+
+    Scale shape: both date and returnflag predicates push to scans;
+    revenue is pre-aggregated per custkey BEFORE touching the customer
+    dim; orders⋈lineitem is the one big shuffle; customer joins the
+    ~|custkey| aggregate by shuffle (customer scales with SF — not
+    broadcast-safe), nation IS broadcast; the top-20 plans
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    by_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        by_cust.join(cust, by_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts, as a percentage.
+
+    Cross-engine exactness: both revenue sums are DECIMAL(24,8) —
+    exact — and the ``* 100`` happens in decimal (exact scale shift),
+    so the only float op is the final single division.  Scale shape:
+    the month filter pushes to lineitem's scan; part scales with SF
+    (200k×SF rows) so the join is a plain shuffle equi-join on
+    partkey — AQE may elect broadcast at small SF, which is exactly
+    the runtime call we want it making; the result is one row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(24,8)")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return (
+        joined.agg(
+            F.sum(promo_rev).alias("_pr"),
+            F.sum(rev).alias("_r"),
+        )
+        .select(
+            (
+                (F.col("_pr") * F.lit(100)).cast("double")
+                / F.col("_r").cast("double")
+            ).alias("promo_pct"),
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds 300, with customer and order detail.
+
+    Scale shape: the HAVING filter runs on the lineitem-only
+    aggregate (partial+final hash agg on orderkey) BEFORE any join, so
+    the surviving key set — a tiny fraction of orders — is what joins
+    orders and then customer (both shuffle equi-joins; at this
+    cardinality AQE will broadcast the filtered side at runtime).
+    Quantity sums ride DECIMAL(20,6), so the >300 cut is exact
+    cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )

@@ -379,3 +379,45 @@ def test_m4_downsample_agg_reuses_window_partitioning(spark):
     plan = plan_of(Q.m4_downsample(spark, SF))
     assert count_nodes(plan, "Exchange") == 1
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q4_semi_join_and_pushed_quarter(spark):
+    """Q4: the EXISTS compiles to a LEFT SEMI join (no multi-match
+    blowup materialized), the quarter filter reaches the orders scan,
+    and lineitem is pruned to the two referenced columns."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q4(spark, SF))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    li_scan = [s for s in plan.split("Scan parquet") if "lineitem" in s[:200]]
+    read_schema = li_scan[0].split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_tpch_q10_takeordered_broadcast_nation_only(spark):
+    """Q10: top-20 plans TakeOrderedAndProject (per-partition heaps —
+    no single-partition global sort), nation is the only broadcast
+    (customer is O(SF)), and revenue pre-aggregates on custkey before
+    the customer join (HashAggregate below the customer join)."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q10(spark, SF))
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_tpch_q18_filters_on_aggregate_before_joins(spark):
+    """Q18: the >300 HAVING runs inside the lineitem-only aggregate
+    (partial+final on orderkey) and the filter sits BELOW both joins,
+    so only surviving orderkeys shuffle into orders/customer."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q18(spark, SF))
+    assert count_nodes(plan, "SortMergeJoin") == 2
+    assert count_nodes(plan, "HashAggregate") >= 2
+    # the HAVING predicate appears as a post-agg filter on the decimal
+    # sum, not as a post-join filter: it must show up before (deeper
+    # than) the first join node in the formatted detail section
+    filt_pos = plan.index("300")
+    assert filt_pos > plan.index("HashAggregate")
