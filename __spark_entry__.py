@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "counter_rate": Q.counter_rate,
         "m4_downsample": Q.m4_downsample,
+        "anomaly_zscore": Q.anomaly_zscore,
+        "ewma_smooth": Q.ewma_smooth,
+        "slo_burn_rate": Q.slo_burn_rate,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
         "percentiles_by_type": Q.percentiles_by_type,

@@ -1047,3 +1047,70 @@ JOIN orders o   ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o_orderkey ASC
 """
+
+ORACLES["anomaly_zscore"] = f"""
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+agg AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         count(*) OVER w AS n,
+         sum(vq) OVER w AS s,
+         sum(vq * vq) OVER w AS qq,
+         vq
+  FROM q
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         CASE WHEN (n - 1) > 0 AND (n * (n * qq - s * s)) > 0
+              THEN (n * vq - s) / sqrt((n * (n * qq - s * s)) / (n - 1))
+         END AS zscore
+  FROM agg)
+SELECT user_id, event_type, ts, event_id, value, zscore,
+       coalesce(abs(zscore) > 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(vq, {k}) OVER w * {1 << (16 - 1 - k)}, 0)" if k
+    else f"vq * {1 << 15}"
+    for k in range(16)
+)
+ORACLES["ewma_smooth"] = f"""
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+s AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         ({_EWMA_TERMS}) AS s_scaled,
+         least(row_number() OVER w, 16) AS m
+  FROM q
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type, ts, event_id, value,
+       s_scaled / CAST((65536 - (1 << (16 - m)::INTEGER)) * 100 AS DOUBLE)
+         AS ewma
+FROM s
+"""
+
+ORACLES["slo_burn_rate"] = f"""
+WITH hourly AS (
+  SELECT user_id, {_bucket(3600)} AS bucket_start,
+         count(*)::BIGINT AS t1,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS e1
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT user_id, bucket_start, t1, e1,
+         sum(t1) OVER w6::BIGINT AS t6,
+         sum(e1) OVER w6::BIGINT AS e6
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY user_id, {_bucket(21600, "bucket_start")}))
+SELECT user_id, bucket_start,
+       t1 AS total_1h, e1 AS err_1h, t6 AS total_6h, e6 AS err_6h,
+       e1 / CAST(t1 AS DOUBLE) AS ratio_1h,
+       CASE WHEN e6 > 0 AND t1 > 0
+            THEN (e1 * t6) / CAST(t1 * e6 AS DOUBLE) END AS burn_rate
+FROM win
+"""

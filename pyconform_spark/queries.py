@@ -1515,3 +1515,162 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     )
+
+
+def anomaly_zscore(
+    spark: SparkSession, sf_dir: str, window: int = 20, threshold: float = 3.0
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each sample scored against
+    the trailing ``window`` samples of its own series (the classic
+    streaming-monitoring rule; reference analog: the validate/ob-range
+    masks of commonfunctions.py applied per-series instead of
+    globally).
+
+    Cross-engine exactness: values quantize to centi-units (BIGINT),
+    the window sum S and sum-of-squares Q are exact integers, and
+
+        z = (n*v - S) / sqrt(n * (n*Q - S*S) / (n - 1))
+
+    is evaluated with exactly one division, one sqrt, and one final
+    division — identical IEEE ops from identical integers on both
+    engines.  Scale shape: ONE window sort per series partition
+    (parallel across series, never global); the three window
+    aggregates share that sort."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    w = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("vq").over(w)
+    q = F.sum(F.col("vq") * F.col("vq")).over(w)
+    staged = df.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        (n * F.col("vq") - s).alias("_num"),
+        (n * (n * q - s * s)).alias("_varnum"),
+        (n - 1).alias("_nm1"),
+    )
+    den = F.sqrt(F.col("_varnum") / F.col("_nm1"))
+    z = F.when(
+        (F.col("_nm1") > 0) & (F.col("_varnum") > 0), F.col("_num") / den
+    )
+    return staged.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str, span: int = 16) -> DataFrame:
+    """Exponentially-weighted moving average with alpha = 1/2 over the
+    last ``span`` samples per series (monitoring smoother; the
+    dyadic-weight trick makes it bit-exact cross-engine: weights are
+    the exact powers 2^(span-1-k), their partial sums are exact
+    integers 2^span - 2^(span-m), and the whole smoother is ONE
+    division of two BIGINTs).
+
+    Scale shape: one window sort per series partition; the ``span``
+    lags all ride that single sort (Catalyst folds same-window lags
+    into one Window node)."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    terms = []
+    for k in range(span):
+        weight = 1 << (span - 1 - k)
+        lagged = F.lag("vq", k).over(w) if k else F.col("vq")
+        terms.append(F.coalesce(lagged * F.lit(weight), F.lit(0)))
+    s_scaled = terms[0]
+    for t in terms[1:]:
+        s_scaled = s_scaled + t
+    m = F.least(F.row_number().over(w), F.lit(span))
+    staged = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        s_scaled.alias("_s"),
+        m.alias("_m"),
+    )
+    norm = F.lit(1 << span) - F.expr(f"shiftleft(1L, {span} - _m)")
+    return staged.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        (F.col("_s") / (norm * F.lit(100)).cast("double")).alias("ewma"),
+    )
+
+
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (Google SRE workbook alerting
+    pattern, public): per user, the 1h error ratio compared to the
+    containing 6h error ratio —
+
+        burn = (err_1h * total_6h) / (total_1h * err_6h)
+
+    computed as ONE division of two exact BIGINT products, so it is
+    bit-identical cross-engine.  Scale shape: one hash-agg to
+    (user, 1h bucket) with map-side partials, then the 6h sums come
+    from an UNBOUNDED window over that AGGREGATE partitioned by
+    (user, 6h bucket) — the second exchange moves only the hourly
+    rollup (3600× smaller than raw at 1s cadence), never the raw
+    events (plan-gated: 2 exchanges, 2 hash-agg stages)."""
+    df = _events(spark, sf_dir)
+    b1 = bucket_ts(F.col("ts"), 3600)
+    hourly = (
+        df.groupBy(*[F.col(k) for k in ["user_id"]], b1.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("_t1"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("_e1"),
+        )
+    )
+    b6 = bucket_ts(F.col("bucket_start"), 21600)
+    w6 = Window.partitionBy("user_id", b6)
+    t6 = F.sum("_t1").over(w6)
+    e6 = F.sum("_e1").over(w6)
+    burn = F.when(
+        (F.col("_e6") > 0) & (F.col("total_1h") > 0),
+        (F.col("err_1h") * F.col("_t6"))
+        / (F.col("total_1h") * F.col("_e6")).cast("double"),
+    )
+    return (
+        hourly.select(
+            "user_id",
+            "bucket_start",
+            F.col("_t1").cast("long").alias("total_1h"),
+            F.col("_e1").cast("long").alias("err_1h"),
+            t6.cast("long").alias("_t6"),
+            e6.cast("long").alias("_e6"),
+        )
+        .select(
+            "user_id",
+            "bucket_start",
+            "total_1h",
+            "err_1h",
+            F.col("_t6").alias("total_6h"),
+            F.col("_e6").alias("err_6h"),
+            (F.col("err_1h") / F.col("total_1h").cast("double")).alias(
+                "ratio_1h"
+            ),
+            burn.alias("burn_rate"),
+        )
+    )

@@ -421,3 +421,25 @@ def test_tpch_q18_filters_on_aggregate_before_joins(spark):
     # than) the first join node in the formatted detail section
     filt_pos = plan.index("300")
     assert filt_pos > plan.index("HashAggregate")
+
+
+def test_anomaly_and_ewma_share_one_window_sort(spark):
+    """Rolling z-score and the EWMA's 16 lags must each compile to ONE
+    Window node over one sort per series partition — never a sort per
+    aggregate/lag."""
+    for fn in (Q.anomaly_zscore, Q.ewma_smooth):
+        plan = plan_of(fn(spark, SF))
+        assert count_nodes(plan, "Window") == 1, fn.__name__
+        assert count_nodes(plan, "Sort") == 1, fn.__name__
+        assert count_nodes(plan, "Exchange") == 1, fn.__name__
+
+
+def test_slo_burn_rate_windows_the_aggregate_not_raw(spark):
+    """The 6h window runs over the hourly AGGREGATE: raw events shuffle
+    once into the hash-agg; only the rollup re-shuffles for the window
+    (2 exchanges total, partial+final agg present)."""
+    plan = plan_of(Q.slo_burn_rate(spark, SF))
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, "HashAggregate") == 2
+    assert count_nodes(plan, "Window") == 1
+    assert "partial_count" in plan
