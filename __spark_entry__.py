@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": Q.anomaly_zscore,
         "ewma_smooth": Q.ewma_smooth,
         "slo_burn_rate": Q.slo_burn_rate,
+        "lttb_downsample": Q.lttb_downsample,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
         "percentiles_by_type": Q.percentiles_by_type,

@@ -1114,3 +1114,42 @@ SELECT user_id, bucket_start,
             THEN (e1 * t6) / CAST(t1 * e6 AS DOUBLE) END AS burn_rate
 FROM win
 """
+
+ORACLES["lttb_downsample"] = f"""
+WITH pts AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         {_bucket(21600)} AS bucket_start,
+         (epoch_ms(ts)//1000) AS x,
+         floor(value * 100)::BIGINT AS y
+  FROM events),
+cent AS (
+  SELECT user_id, event_type, bucket_start,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, count(*)::BIGINT AS n
+  FROM pts GROUP BY 1, 2, 3),
+nbr AS (
+  SELECT user_id, event_type, bucket_start,
+         lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp, lag(n) OVER w AS np,
+         lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn, lead(n) OVER w AS nn
+  FROM cent
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket_start)),
+keyed AS (
+  SELECT p.user_id, p.event_type, p.bucket_start, p.ts, p.event_id::BIGINT AS event_id,
+         p.value,
+         CASE WHEN b.np IS NOT NULL AND b.nn IS NOT NULL THEN abs(
+           ( (b.sxp - b.np * (epoch_ms(p.bucket_start)//1000))::HUGEINT * b.nn::HUGEINT
+             - (b.sxn - b.nn * (epoch_ms(p.bucket_start)//1000))::HUGEINT * b.np::HUGEINT )
+           * (p.y::HUGEINT * b.np::HUGEINT - b.syp::HUGEINT)
+           - ( (b.sxp - b.np * (epoch_ms(p.bucket_start)//1000))::HUGEINT
+               - (p.x - (epoch_ms(p.bucket_start)//1000))::HUGEINT * b.np::HUGEINT )
+           * (b.syn::HUGEINT * b.np::HUGEINT - b.syp::HUGEINT * b.nn::HUGEINT) )
+         ELSE -(p.x - (epoch_ms(p.bucket_start)//1000))::HUGEINT
+         END AS k
+  FROM pts p
+  JOIN nbr b USING (user_id, event_type, bucket_start)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, bucket_start
+                               ORDER BY k DESC, ts ASC, event_id ASC) AS rn
+  FROM keyed)
+SELECT user_id, event_type, bucket_start, ts, event_id, value
+FROM ranked WHERE rn = 1
+"""

@@ -1674,3 +1674,88 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             burn.alias("burn_rate"),
         )
     )
+
+
+def lttb_downsample(
+    spark: SparkSession, sf_dir: str, seconds: int = 21600
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    public thesis), parallel variant: per (series, bucket) keep the
+    point with the largest triangle area against the PREVIOUS bucket's
+    centroid and the NEXT bucket's centroid.  (Classic LTTB anchors on
+    the previously *selected* point — a sequential dependency; the
+    centroid-anchored variant is order-free, which is what makes it
+    embarrassingly parallel across 10^12 points.)  Edge buckets (no
+    neighbor on one side) keep their first point by (ts, event_id).
+
+    Cross-engine exactness: the area comparison is done on
+    denominator-cleared integers — with prev/next centroid sums
+    (Sx,Sy,n) and the candidate (x,y), all x's rebased to the bucket
+    start,
+
+        A * 2*np^2*nn = (Sxp*nn - Sxn*np)*(y*np - Syp)
+                      - (Sxp - x*np)*(Syn*np - Syp*nn)
+
+    — every factor an exact BIGINT, the products ridden through
+    DECIMAL(38,0) on Spark and HUGEINT in the oracle, so the argmax
+    (tie-broken by ts, event_id) is bit-identical.  Scale shape: one
+    hash-agg to bucket centroids, a lag/lead window over the tiny
+    centroid table per series, one shuffle join back to points on
+    (series, bucket), and the per-bucket argmax rides that same
+    partitioning (WindowGroupLimit prunes to the top row per bucket
+    before the final rank)."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        bucket_ts(F.col("ts"), seconds).alias("bucket_start"),
+        F.col("ts").cast("timestamp").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    cent = df.groupBy(*EKEYS, "bucket_start").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ws = Window.partitionBy(*EKEYS).orderBy("bucket_start")
+    cent = cent.select(
+        *EKEYS,
+        "bucket_start",
+        F.lag("sx").over(ws).alias("sxp"),
+        F.lag("sy").over(ws).alias("syp"),
+        F.lag("n").over(ws).alias("np"),
+        F.lead("sx").over(ws).alias("sxn"),
+        F.lead("sy").over(ws).alias("syn"),
+        F.lead("n").over(ws).alias("nn"),
+    )
+    pts = df.join(cent, [*EKEYS, "bucket_start"])
+    c = F.col("bucket_start").cast("timestamp").cast("long")
+    xr = F.col("x") - c
+    sxp_r = F.col("sxp") - F.col("np") * c
+    sxn_r = F.col("sxn") - F.col("nn") * c
+    d = lambda col: col.cast("decimal(20,0)")  # noqa: E731
+    area = (
+        (d(sxp_r) * d(F.col("nn")) - d(sxn_r) * d(F.col("np")))
+        * (d(F.col("y") * F.col("np")) - d(F.col("syp")))
+        - (d(sxp_r) - d(xr * F.col("np")))
+        * (d(F.col("syn") * F.col("np")) - d(F.col("syp") * F.col("nn")))
+    )
+    key = F.when(
+        F.col("np").isNotNull() & F.col("nn").isNotNull(), F.abs(area)
+    ).otherwise((-xr).cast("decimal(38,0)"))
+    wr = Window.partitionBy(*EKEYS, "bucket_start").orderBy(
+        F.desc("_key"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        pts.select(
+            *EKEYS,
+            "bucket_start",
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "value",
+            key.alias("_key"),
+        )
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(*EKEYS, "bucket_start", "ts", "event_id", "value")
+    )

@@ -443,3 +443,17 @@ def test_slo_burn_rate_windows_the_aggregate_not_raw(spark):
     assert count_nodes(plan, "HashAggregate") == 2
     assert count_nodes(plan, "Window") == 1
     assert "partial_count" in plan
+
+
+def test_lttb_argmax_uses_window_group_limit(spark):
+    """LTTB's per-bucket argmax must plan a WindowGroupLimit (per-
+    partition top-1 pruning BEFORE the rank materializes), and the
+    centroid table — not raw points — is the side that re-shuffles.
+    Two scans of the events table (points + centroids) is the declared
+    cost; nothing may nested-loop."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.lttb_downsample(spark, SF))
+    assert count_nodes(plan, "WindowGroupLimit") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "HashAggregate") == 2  # centroid partial+final
