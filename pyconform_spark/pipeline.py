@@ -466,3 +466,125 @@ def read_cold_tier(
         )
         dense = dense.unionByName(sparse)
     return dense
+
+
+def refresh_late(
+    spark: SparkSession, late: DataFrame, root: str
+) -> dict[str, int]:
+    """Incremental continuous-aggregate refresh: merge a batch of LATE
+    (out-of-order) turns into already-committed tiers without
+    recomputing untouched buckets (TimescaleDB's continuous-aggregate
+    refresh semantics, public docs, recast onto the epoch ledger).
+
+    Why this is exact: every tier statistic is an integer SUM
+    (turn_count, text_len_sum) and the derived rate/avg columns are
+    single divisions re-derived after the merge — so
+
+        merge(tier(on_time), tier(late)) == tier(on_time ∪ late)
+
+    bit-for-bit, at every tier, under any partitioning.  The 1h/1d
+    deltas CASCADE from the 1m delta (sums compose), so the late batch
+    is scanned once.
+
+    Why this is incremental: only the day-epochs present in the late
+    batch are read back (partition-pruned scan of
+    ``tiers/<tier>/epoch=<k>``) and only those partitions are
+    rewritten (dynamic partition overwrite).  At 10^12 turns a
+    midnight straggler touches 1-2 epochs, not the table.  On Iceberg
+    this whole function is one MERGE INTO per tier riding a snapshot
+    commit; ``localCheckpoint`` below is the plain-parquet stand-in
+    that breaks the read-own-output cycle the same way Iceberg's
+    snapshot isolation does.
+
+    The lineage append at the end is the commit point, exactly like
+    ``run_batch`` — a crash mid-refresh leaves rewritten-but-
+    uncommitted partitions that the next refresh overwrites
+    idempotently (the merge re-reads what is on disk, so re-applying
+    the SAME late batch after a crash is safe; applying it twice after
+    a successful commit would double-count, which is why callers key
+    late batches by epoch ranges in the lineage, Iceberg's
+    write.wap/branch pattern)."""
+    touched = list_epochs(late)
+    if not touched:
+        return {t: 0 for t in TIER_ORDER}
+
+    epoch_col = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+
+    from pyconform_spark.tables import TIERS
+
+    written_points: dict[str, int] = {}
+    lineage_parts: list[DataFrame] = []
+    delta = None
+    for tier in TIER_ORDER:
+        delta = (
+            rollup.tier_rollup(late, tier)
+            if delta is None
+            else rollup.cascade_rollup(delta, tier)
+        )
+        base = os.path.join(root, "tiers", tier)
+        d_sums = delta.select(
+            *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+        )
+        if os.path.isdir(base):
+            existing = (
+                spark.read.parquet(base)
+                .where(F.col("epoch").isin(touched))
+                .select(
+                    *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+                )
+            )
+            merged_sums = (
+                existing.unionByName(d_sums)
+                .groupBy(*SERIES_KEYS, "bucket_start")
+                .agg(
+                    F.sum("turn_count").alias("turn_count"),
+                    F.sum("text_len_sum").alias("text_len_sum"),
+                )
+            )
+        else:
+            merged_sums = d_sums
+        merged = rollup._finish_tier(merged_sums, TIERS[tier].seconds)
+        merged = merged.withColumn("epoch", epoch_col)
+        # break the read-own-partition cycle before the overwrite
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(base)
+        )
+        back = spark.read.parquet(base).where(F.col("epoch").isin(touched))
+        written_points[tier] = back.count()
+        lineage_parts.append(
+            back.select(
+                F.spark_partition_id().alias("partition_id"),
+                "bucket_start",
+                "epoch",
+            )
+            .groupBy("epoch", "partition_id")
+            .agg(
+                F.min("bucket_start").alias("input_range_start"),
+                F.max("bucket_start").alias("input_range_end"),
+                F.count(F.lit(1)).alias("point_count"),
+            )
+            .select(
+                "partition_id",
+                F.lit(tier).alias("tier"),
+                "input_range_start",
+                "input_range_end",
+                F.col("epoch").cast("long").alias("checkpoint_epoch"),
+                F.col("point_count").cast("long").alias("point_count"),
+            )
+        )
+        # the next tier cascades from the merged finer DELTA buckets
+        # only — recomputing coarse buckets from scratch would break
+        # incrementality, so instead the coarse delta is the late
+        # batch's own cascade (additivity makes the two equal)
+
+    lin_all = lineage_parts[0]
+    for extra in lineage_parts[1:]:
+        lin_all = lin_all.unionByName(extra)
+    lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
+    return written_points

@@ -261,3 +261,74 @@ def test_read_tier_as_of_is_a_consistent_prefix(spark, tmp_path):
     assert snap.count() == want
     with pytest.raises(FileNotFoundError):
         pipeline.read_tier_as_of(spark, root, "1m", min(epochs) - 1)
+
+
+def test_late_refresh_matches_full_recompute(spark, tx, tmp_path):
+    """Incremental continuous-aggregate refresh: committing on-time
+    rows, then merging the late stragglers with refresh_late, must
+    equal the full recompute bit-for-bit at every tier — and must NOT
+    rewrite epoch partitions the late batch doesn't touch."""
+    import os
+
+    root = str(tmp_path / "late")
+    epochs = pipeline.list_epochs(tx)
+    hot = epochs[-1]
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    is_late = (day == hot) & (
+        F.abs(F.hash("conv_id", "turn_idx")) % 5 == 0
+    )
+    ontime, late = tx.where(~is_late), tx.where(is_late)
+    assert late.count() > 0
+
+    pipeline.run_batch(spark, ontime, root)
+
+    def snapshot(tier):
+        out = {}
+        base = os.path.join(root, "tiers", tier)
+        for d in os.listdir(base):
+            if not d.startswith("epoch="):
+                continue
+            p = os.path.join(base, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(p, f)))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = {t: snapshot(t) for t in pipeline.TIER_ORDER}
+    points = pipeline.refresh_late(spark, late, root)
+    assert all(points[t] > 0 for t in pipeline.TIER_ORDER)
+
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, tier
+
+    # untouched epochs' data files are byte-identical on disk
+    for tier in pipeline.TIER_ORDER:
+        after = snapshot(tier)
+        for d, files in before[tier].items():
+            if d != f"epoch={hot}":
+                assert after[d] == files, (tier, d)
+
+
+def test_late_refresh_creates_new_epochs(spark, tx, tmp_path):
+    """A late batch for a day NEVER committed (pure backfill) must
+    create the epoch partitions and commit lineage for them."""
+    root = str(tmp_path / "backfill")
+    epochs = pipeline.list_epochs(tx)
+    first, rest_days = epochs[0], epochs[1:]
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    pipeline.run_batch(spark, tx.where(day != first), root)
+    pipeline.refresh_late(spark, tx.where(day == first), root)
+    assert first in pipeline.committed_epochs(spark, root)
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
