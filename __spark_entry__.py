@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": Q.ewma_smooth,
         "slo_burn_rate": Q.slo_burn_rate,
         "lttb_downsample": Q.lttb_downsample,
+        "histogram_quantile": Q.histogram_quantile,
         "heavy_series": Q.heavy_series,
         "distinct_users_per_day": Q.distinct_users_per_day,
         "percentiles_by_type": Q.percentiles_by_type,

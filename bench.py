@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "dedup_chunks_cdc",
     "counter_rate",
     "m4_downsample",
+    # this round's new operators: TPC-H joins + timeseries analytics
+    "tpch_q10",
+    "tpch_q18",
+    "anomaly_zscore",
+    "lttb_downsample",
+    "slo_burn_rate",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

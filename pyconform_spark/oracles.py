@@ -1153,3 +1153,37 @@ ranked AS (
 SELECT user_id, event_type, bucket_start, ts, event_id, value
 FROM ranked WHERE rn = 1
 """
+
+_HIST_CASE = ("CASE "
+    + " ".join(f"WHEN value <= {int(b)} THEN CAST({int(b)} AS DOUBLE)"
+               for b in [1, 2, 5, 10, 20, 50, 100, 200, 500])
+    + " END")
+_HIST_LO = ("CASE "
+    + " ".join(f"WHEN le_q = {int(b)} THEN CAST({int(p)} AS DOUBLE)"
+               for p, b in zip([0, 1, 2, 5, 10, 20, 50, 100, 200],
+                               [1, 2, 5, 10, 20, 50, 100, 200, 500]))
+    + " END")
+ORACLES["histogram_quantile"] = f"""
+WITH binned AS (
+  SELECT event_type, {_HIST_CASE} AS le FROM events),
+bins AS (
+  SELECT event_type, le, count(*)::BIGINT AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY le
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS total
+  FROM bins),
+targets AS (
+  SELECT c.*, qs.q, qs.q * c.total AS target
+  FROM cum c CROSS JOIN (SELECT unnest(['0.5'::DOUBLE, '0.9'::DOUBLE,
+                                        '0.99'::DOUBLE]) AS q) qs),
+pick AS (
+  SELECT event_type, q, min(le) AS le_q
+  FROM targets WHERE cum >= target GROUP BY 1, 2)
+SELECT p.event_type, p.q,
+       {_HIST_LO} + (p.le_q - {_HIST_LO})
+         * (t.target - (t.cum - t.cnt)) / CAST(t.cnt AS DOUBLE) AS q_value
+FROM pick p
+JOIN targets t ON t.event_type = p.event_type AND t.q = p.q AND t.le = p.le_q
+"""

@@ -118,6 +118,7 @@ def _lineage_rows(tier_df: DataFrame, tier: str, epoch: int) -> DataFrame:
             "input_range_end",
             F.lit(epoch).cast("long").alias("checkpoint_epoch"),
             F.col("point_count").cast("long").alias("point_count"),
+            F.lit(None).cast("string").alias("refresh_marker"),
         )
     )
 
@@ -299,6 +300,7 @@ def run_batch(
                     "input_range_end",
                     F.col("epoch").cast("long").alias("checkpoint_epoch"),
                     F.col("point_count").cast("long").alias("point_count"),
+                    F.lit(None).cast("string").alias("refresh_marker"),
                 )
             )
             counts[tier] = {
@@ -469,7 +471,7 @@ def read_cold_tier(
 
 
 def refresh_late(
-    spark: SparkSession, late: DataFrame, root: str
+    spark: SparkSession, late: DataFrame, root: str, marker: str | None = None
 ) -> dict[str, int]:
     """Incremental continuous-aggregate refresh: merge a batch of LATE
     (out-of-order) turns into already-committed tiers without
@@ -504,6 +506,8 @@ def refresh_late(
     a successful commit would double-count, which is why callers key
     late batches by epoch ranges in the lineage, Iceberg's
     write.wap/branch pattern)."""
+    if marker is not None and marker in applied_refresh_markers(spark, root):
+        return {t: 0 for t in TIER_ORDER}
     touched = list_epochs(late)
     if not touched:
         return {t: 0 for t in TIER_ORDER}
@@ -576,6 +580,7 @@ def refresh_late(
                 "input_range_end",
                 F.col("epoch").cast("long").alias("checkpoint_epoch"),
                 F.col("point_count").cast("long").alias("point_count"),
+                F.lit(marker).cast("string").alias("refresh_marker"),
             )
         )
         # the next tier cascades from the merged finer DELTA buckets
@@ -588,3 +593,25 @@ def refresh_late(
         lin_all = lin_all.unionByName(extra)
     lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
     return written_points
+
+
+def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:
+    """Markers of refresh batches whose lineage committed — the
+    replay-skip set for streaming refresh (a marker rides the SAME
+    single-file lineage append that is the refresh's commit point, so
+    marker-present <=> refresh-applied, with no window in between)."""
+    path = _lineage_path(root)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return set()
+    lin = spark.read.parquet(path)
+    if "refresh_marker" not in lin.columns:
+        return set()
+    rows = (
+        lin.where(F.col("refresh_marker").isNotNull())
+        .select("refresh_marker")
+        .distinct()
+        .collect()
+    )
+    return {r["refresh_marker"] for r in rows}

@@ -1759,3 +1759,78 @@ def lttb_downsample(
         .where(F.col("_rn") == 1)
         .select(*EKEYS, "bucket_start", "ts", "event_id", "value")
     )
+
+
+_HIST_LE = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+_HIST_QS = [0.5, 0.9, 0.99]
+
+
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style ``histogram_quantile`` (public docs): values
+    bin into fixed ``le`` boundaries per event_type, and quantiles are
+    linearly interpolated INSIDE the bucket that crosses the target
+    rank — the fixed-memory sketch answer (vs. the exact rank walk of
+    ``percentiles_by_type``).
+
+    Cross-engine exactness: bin counts and cumulative counts are
+    BIGINTs; per quantile the interpolation
+
+        q_val = lo + (hi - lo) * (q*total - cum_prev) / bin_count
+
+    is the same literal expression tree on both engines (each op one
+    IEEE rounding of identical inputs).  Scale shape: ONE shuffle of
+    raw rows into the (event_type, le) hash-agg — ~|types|*|buckets|
+    rows out — and everything after (cumulative window, quantile
+    bucket pick, interpolation join) runs on that tiny frame."""
+    df = _events(spark, sf_dir)
+    le = F.lit(None).cast("double")
+    for b in reversed(_HIST_LE):
+        le = F.when(F.col("value") <= b, F.lit(b)).otherwise(le)
+    bins = (
+        df.select("event_type", le.alias("le"))
+        .groupBy("event_type", "le")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = bins.select(
+        "event_type",
+        "le",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HIST_QS])).alias("q")
+    )
+    targets = cum.crossJoin(F.broadcast(qs)).select(
+        "event_type", "le", "cnt", "cum", "total", "q",
+        (F.col("q") * F.col("total")).alias("target"),
+    )
+    pick = (
+        targets.where(F.col("cum") >= F.col("target"))
+        .groupBy("event_type", "q")
+        .agg(F.min("le").alias("le_q"))
+    )
+    lo = F.lit(None).cast("double")
+    for i, b in enumerate(_HIST_LE):
+        prev = 0.0 if i == 0 else _HIST_LE[i - 1]
+        lo = F.when(F.col("le_q") == b, F.lit(prev)).otherwise(lo)
+    joined = pick.join(
+        targets.select("event_type", "q", "le", "cnt", "cum", "target"),
+        (pick.event_type == targets.event_type)
+        & (pick.q == targets.q)
+        & (pick.le_q == targets.le),
+    ).select(pick.event_type, pick.q, "le_q", lo.alias("lo"), "cnt", "cum", "target")
+    qval = F.col("lo") + (F.col("le_q") - F.col("lo")) * (
+        F.col("target") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt").cast("double")
+    return joined.select(
+        "event_type",
+        "q",
+        qval.alias("q_value"),
+    )

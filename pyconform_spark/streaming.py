@@ -392,3 +392,34 @@ def read_spec_stream_store(spark, root: str) -> DataFrame:
     return spark.read.option("basePath", base).parquet(base).drop(
         "epoch", "ingest_batch"
     )
+
+
+def stream_refresh_tiers(
+    stream: DataFrame, root: str, checkpoint: str | None = None
+):
+    """Streaming continuous-aggregate maintenance: every micro-batch of
+    (possibly late / out-of-order) turns is MERGED into the committed
+    1m/1h/1d tier store through :func:`pipeline.refresh_late` — the
+    raw rows flow straight into the additive merge, no watermark and
+    no streaming state, so arbitrarily late data still lands in its
+    true bucket (the watermarked ``stream_to_store`` path instead
+    drops what arrives after the watermark).
+
+    Exactly-once under foreachBatch's at-least-once contract: each
+    batch carries the idempotency marker ``stream-<batch_id>``, which
+    refresh_late commits INSIDE the same single-file lineage append
+    that commits the merge.  A replayed batch finds its marker in
+    ``pipeline.applied_refresh_markers`` and is skipped — there is no
+    state between "merge applied" and "marker recorded" because they
+    are one write."""
+    from pyconform_spark import pipeline as _pl
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        _pl.refresh_late(
+            df.sparkSession, df, root, marker=f"stream-{batch_id}"
+        )
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(_apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -75,5 +75,8 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("input_range_end", T.TimestampNTZType(), True),
         T.StructField("checkpoint_epoch", T.LongType(), False),
         T.StructField("point_count", T.LongType(), False),
+        # non-null only for rows committed by refresh_late: the
+        # idempotency key that makes streaming refresh exactly-once
+        T.StructField("refresh_marker", T.StringType(), True),
     ]
 )

@@ -392,3 +392,52 @@ def test_stream_dedup_ingest_drops_replays(spark, tx_dir, tmp_path):
     assert got.nunique() == len(got)          # no duplicate passed
     assert set(got) == set(batch)             # same survivor set as batch
     assert len(got) == tx.select("text").distinct().count()
+
+
+def test_stream_refresh_merges_late_data_exactly_once(spark, tmp_path):
+    """stream_refresh_tiers: micro-batches (including arbitrarily-late
+    rows) merge additively into the committed tier store; the final
+    tiers equal the batch rollup over everything, and a replayed batch
+    (foreachBatch at-least-once) is skipped via its lineage marker."""
+    from pyconform_spark import pipeline
+
+    src = str(tmp_path / "in6")
+    root = str(tmp_path / "store6")
+    ckpt = str(tmp_path / "ck6")
+    tx = synth.transcripts(spark, 2000)
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    first_day = pipeline.list_epochs(tx)[0]
+    ontime = tx.where(day != first_day)
+    late = tx.where(day == first_day)  # arrives AFTER newer data
+    ontime.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = streaming.stream_refresh_tiers(stream, root, checkpoint=ckpt).start()
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _rows(pipeline.read_tier(spark, root, tier))
+        assert got == _rows(direct[tier]), tier
+
+    # replay simulation: re-applying an already-committed batch is a no-op
+    markers = pipeline.applied_refresh_markers(spark, root)
+    assert len(markers) >= 2
+    bid = sorted(markers)[-1]
+    points = pipeline.refresh_late(spark, late, root, marker=bid)
+    assert points == {t: 0 for t in pipeline.TIER_ORDER}
+    for tier in pipeline.TIER_ORDER:
+        assert _rows(pipeline.read_tier(spark, root, tier)) == _rows(
+            direct[tier]
+        ), tier
