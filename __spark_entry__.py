@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": Q.tpch_q10,
         "tpch_q14": Q.tpch_q14,
         "tpch_q18": Q.tpch_q18,
+        "tpch_q7": Q.tpch_q7,
+        "tpch_q8": Q.tpch_q8,
+        "tpch_q13": Q.tpch_q13,
+        "flatline_detect": Q.flatline_detect,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

@@ -1187,3 +1187,85 @@ SELECT p.event_type, p.q,
 FROM pick p
 JOIN targets t ON t.event_type = p.event_type AND t.q = p.q AND t.le = p.le_q
 """
+
+ORACLES["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_9', 'NATION_10')
+  AND n2.n_name IN ('NATION_9', 'NATION_10')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8"] = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)) AS rev,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+  JOIN region r   ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN rev
+                     ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["flatline_detect"] = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id,
+         floor(value / 10)::BIGINT AS vq
+  FROM events),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id, vq,
+         CASE WHEN lag(vq) OVER w IS NULL OR lag(vq) OVER w <> vq
+              THEN 1 ELSE 0 END AS changed
+  FROM q
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts, vq,
+         sum(changed) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged)
+SELECT user_id, event_type, run_id::BIGINT AS run_id,
+       min(ts) AS run_start, max(ts) AS run_end,
+       count(*)::BIGINT AS run_len,
+       (min(vq) * 10)::BIGINT AS band_low
+FROM runs GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+"""

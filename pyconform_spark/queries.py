@@ -1834,3 +1834,213 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         qval.alias("q_value"),
     )
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue shipped between two named
+    nations (the graft data uses synthetic NATION_k names; NATION_9 /
+    NATION_10 are the spec's FRANCE / GERMANY, either direction), by supplier nation, customer nation,
+    and ship year.
+
+    Scale shape: the two-nation filter folds into nation before
+    anything big moves — supplier and customer each broadcast-join the
+    2-row filtered nation dim, and the cross-nation predicate
+    ``n1 <> n2`` rides the final join condition; lineitem⋈orders and
+    the supplier/customer attachments are shuffle equi-joins; the agg
+    has 2 nations × 2 nations × years groups."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name").isin("NATION_9", "NATION_10")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+    c = cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nk).select(
+        "c_custkey", "cust_nation"
+    )
+    o = orders.join(c, orders.o_custkey == c.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("_r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_r").cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_9-supplied share of
+    AMERICA-region revenue in STANDARD-type parts, per order year.
+
+    Cross-engine exactness: numerator and denominator are both
+    DECIMAL(24,8) sums conditioned on the supplier nation; the share
+    is ONE double division.  Scale shape: region→nation folds into
+    customer via broadcast (the AMERICA filter prunes 4/5 of
+    customers before the orders join); part's type filter prunes its
+    scan and shuffle-joins lineitem; the supplier nation name rides a
+    broadcast of the 25-row nation dim."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == "STANDARD"
+    )
+    n_r = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cr_nk"))
+    c = cust.join(F.broadcast(n_r), cust.c_nationkey == F.col("cr_nk")).select(
+        "c_custkey"
+    )
+    o = orders.join(c, orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    s_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    j = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == F.col("o_orderkey"))
+        .join(s_n, li.l_suppkey == F.col("s_suppkey"))
+    )
+    brazil = F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(
+        F.lit(0).cast("decimal(24,8)")
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(F.sum(brazil).alias("_b"), F.sum(rev).alias("_t"))
+        .select(
+            "o_year",
+            (
+                F.col("_b").cast("double") / F.col("_t").cast("double")
+            ).alias("mkt_share"),
+            F.col("_t").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    graft orders table has no o_comment, so the spec's NOT LIKE
+    exclusion becomes an o_orderpriority exclusion with the same plan
+    shape (filtered LEFT OUTER join aggregated twice).
+
+    Scale shape: customer LEFT joins filtered orders on custkey
+    (shuffle), first agg counts orders per customer, second agg
+    histograms the counts — both hash-aggs with partials; output is
+    ~40 rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def flatline_detect(
+    spark: SparkSession, sf_dir: str, min_run: int = 2
+) -> DataFrame:
+    """Dead-sensor / flatline detection: maximal runs of >= ``min_run``
+    consecutive samples stuck in the same coarse value band within a
+    series (classic observability health check; reference analog: the
+    constant-field masks of validate's ob-range checks applied along
+    time).  The band is floor(value/10) — band width tracks the
+    sensor's noise floor; a truly dead sensor repeats the identical
+    reading and lands in one band forever.
+
+    Run segmentation is the gaps-and-islands pattern: a change flag
+    per row (band != previous), its running sum is the run id, and
+    one hash-agg per (series, run id) yields run extents — bands are
+    BIGINTs so equality is exact cross-engine.
+    Scale shape: one window sort per series partition + one hash-agg
+    co-partitioned on its prefix; no joins."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 10).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    changed = (
+        F.lag("vq").over(w).isNull() | (F.lag("vq").over(w) != F.col("vq"))
+    ).cast("long")
+    wcum = Window.partitionBy(*EKEYS).orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = df.select(
+        *EKEYS,
+        "ts",
+        "vq",
+        F.sum(changed).over(wcum).alias("run_id"),
+    )
+    return (
+        runs.groupBy(*EKEYS, "run_id")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("vq").alias("_vq"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select(
+            *EKEYS,
+            F.col("run_id").cast("long").alias("run_id"),
+            "run_start",
+            "run_end",
+            F.col("run_len").cast("long").alias("run_len"),
+            (F.col("_vq") * 10).cast("long").alias("band_low"),
+        )
+    )
