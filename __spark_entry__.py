@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": Q.tpch_q8,
         "tpch_q13": Q.tpch_q13,
         "flatline_detect": Q.flatline_detect,
+        "tiered_read": Q.tiered_read,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

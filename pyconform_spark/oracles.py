@@ -1269,3 +1269,21 @@ SELECT user_id, event_type, run_id::BIGINT AS run_id,
 FROM runs GROUP BY 1, 2, 3
 HAVING count(*) >= 2
 """
+
+ORACLES["tiered_read"] = f"""
+SELECT '1m' AS tier, user_id, event_type, {_bucket(60)} AS bucket_start,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 2, 3, 4
+UNION ALL
+SELECT '1h', user_id, event_type, {_bucket(3600)},
+       count(*)::BIGINT,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-24'
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT '1d', user_id, event_type, {_bucket(86400)},
+       count(*)::BIGINT,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+FROM events WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 2, 3, 4
+"""

@@ -2044,3 +2044,48 @@ def flatline_detect(
             (F.col("_vq") * 10).cast("long").alias("band_low"),
         )
     )
+
+
+def tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-aware tier selection: answer one continuous time-range
+    query from the CHEAPEST tier each age band allows — raw-resolution
+    1m buckets for the newest week, 1h for the mid band, 1d beyond —
+    exactly how a monitoring store serves a 30-day dashboard panel
+    (three partition-pruned scans instead of one full-resolution
+    scan).
+
+    Scale shape: each band's ts predicate pushes to its parquet scan
+    (disjoint ranges — together they read each row once), each band is
+    an independent partial+final hash-agg at its own granularity, and
+    the UNION is append-only (no shuffle across bands).  On the tier
+    STORE this reads the 1h/1d tables instead of re-aggregating raw —
+    pipeline.read_tier does that; this query form proves the
+    band-split semantics with an oracle."""
+    df = _events(spark, sf_dir)
+    cut_hi = F.lit("2024-01-24").cast("timestamp_ntz")
+    cut_lo = F.lit("2024-01-10").cast("timestamp_ntz")
+
+    def band(rows: DataFrame, seconds: int, label: str) -> DataFrame:
+        return (
+            rows.groupBy(
+                *EKEYS, bucket_ts(F.col("ts"), seconds).alias("bucket_start")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _dec_sum("value").alias("_vs"),
+            )
+            .select(
+                F.lit(label).alias("tier"),
+                *EKEYS,
+                "bucket_start",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("_vs").cast("double").alias("value_sum"),
+            )
+        )
+
+    b1m = band(df.where(F.col("ts") >= cut_hi), 60, "1m")
+    b1h = band(
+        df.where((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi)), 3600, "1h"
+    )
+    b1d = band(df.where(F.col("ts") < cut_lo), 86400, "1d")
+    return b1m.unionByName(b1h).unionByName(b1d)

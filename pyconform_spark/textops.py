@@ -1652,6 +1652,7 @@ def register_text_queries() -> dict[str, callable]:
         "text_top_bigrams": lambda s, d: top_bigrams(_docs(s, d)),
         "text_token_bpeish": lambda s, d: token_count_bpeish(_docs(s, d)),
         "sample_stratified": lambda s, d: stratified_sample(_docs(s, d)),
+        "domain_rebalance": lambda s, d: domain_rebalance(_docs(s, d)),
         "curation_pipeline": lambda s, d: curation_pipeline(_docs(s, d)),
         "text_normalize": lambda s, d: text_normalized(_docs(s, d)),
         "dedup_normalized": lambda s, d: dedup_normalized(_docs(s, d)),
@@ -1697,3 +1698,67 @@ TEXT_ORACLES: dict[str, str] = {
     "quality_classifier": quality_classifier_sql(),
     "dedup_chunks_cdc": cdc_chunk_dedup_sql(),
 }
+
+
+def domain_rebalance(docs: DataFrame) -> DataFrame:
+    """Domain-mixing rebalance: deterministically downsample so every
+    source contributes (at most) an equal CHARACTER share — the data
+    mixing stage that stops one crawl dump from dominating a training
+    run (the source-weighting practice of public LLM data recipes).
+
+    Per source s: weight_s = total_chars / (S * chars_s), capped at 1.
+    The keep decision compares a content-hash bucket against the
+    weight CROSS-MULTIPLIED into BIGINTs —
+
+        keep  <=>  h * S * chars_s < total_chars * M
+
+    — no float ever, so the sample is bit-stable across engines,
+    partitionings, and re-runs (and at 10^12-doc scale the products
+    ride DECIMAL(38,0); here BIGINT headroom is ample).  Scale shape:
+    one hash-agg to per-source char totals (|S| rows), the grand
+    total via an unpartitioned window over those |S| rows, a
+    broadcast join back onto docs, and a map-side filter — the corpus
+    itself never shuffles."""
+    M = 1_000_000
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars_s")
+    )
+    w = Window.partitionBy()
+    per_src = per_src.select(
+        "source",
+        "chars_s",
+        F.sum("chars_s").over(w).cast("long").alias("total_chars"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_sources"),
+    )
+    h = hash31(F.concat(F.lit("rebal|"), F.col("text"))) % M
+    joined = docs.join(F.broadcast(per_src), "source")
+    keep = (
+        h * F.col("n_sources") * F.col("chars_s")
+        < F.col("total_chars") * F.lit(M)
+    )
+    return joined.where(keep).select(
+        "doc_id",
+        "source",
+        h.cast("long").alias("rebal_bucket"),
+    )
+
+
+def domain_rebalance_sql() -> str:
+    M = 1_000_000
+    inner = hash31_sql("'rebal|' || text")
+    h = f"({inner} % {M})"
+    return f"""
+WITH per_src AS (
+  SELECT source, sum(n_chars)::BIGINT AS chars_s FROM documents GROUP BY 1),
+tot AS (
+  SELECT source, chars_s,
+         sum(chars_s) OVER ()::BIGINT AS total_chars,
+         count(*) OVER ()::BIGINT AS n_sources
+  FROM per_src)
+SELECT d.doc_id, d.source, {h}::BIGINT AS rebal_bucket
+FROM documents d JOIN tot t ON d.source = t.source
+WHERE {h} * t.n_sources * t.chars_s < t.total_chars * {M}
+"""
+
+
+TEXT_ORACLES["domain_rebalance"] = domain_rebalance_sql()

@@ -457,3 +457,25 @@ def test_lttb_argmax_uses_window_group_limit(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "Scan parquet") == 2
     assert count_nodes(plan, "HashAggregate") == 2  # centroid partial+final
+
+
+def test_tiered_read_pushes_disjoint_band_predicates(spark):
+    """Each retention band's ts range reaches its own parquet scan
+    (PushedFilters on ts), the bands are independent partial+final
+    aggregates, and the union adds no shuffle — 3 exchanges total,
+    one per band's agg."""
+    plan = plan_of(Q.tiered_read(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 3
+    assert count_nodes(plan, "Exchange") == 3
+    assert count_nodes(plan, "Union") == 1
+    assert plan.count("GreaterThanOrEqual(ts") >= 2
+    assert "partial_count" in plan
+
+
+def test_flatline_one_sort_coparitioned_agg(spark):
+    """Gaps-and-islands: one window sort per series; the run hash-agg
+    is co-partitioned on the window's partition prefix (no second
+    exchange of raw rows)."""
+    plan = plan_of(Q.flatline_detect(spark, SF))
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Sort") == 1
