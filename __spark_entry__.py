@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": Q.tpch_q13,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
+        "seasonal_baseline": Q.seasonal_baseline,
+        "interarrival_stats": Q.interarrival_stats,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

@@ -1287,3 +1287,33 @@ SELECT '1d', user_id, event_type, {_bucket(86400)},
        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
 FROM events WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 2, 3, 4
 """
+
+ORACLES["seasonal_baseline"] = f"""
+WITH hourly AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2, 3)
+SELECT c.user_id, c.event_type, c.bucket_start, c.n_events, c.value_sum,
+       b.value_sum AS baseline_sum,
+       c.value_sum - b.value_sum AS residual
+FROM hourly c
+LEFT OUTER JOIN hourly b
+  ON c.user_id = b.user_id AND c.event_type = b.event_type
+ AND (epoch_ms(c.bucket_start)//1000) = (epoch_ms(b.bucket_start)//1000) + 86400
+"""
+
+ORACLES["interarrival_stats"] = """
+WITH gaps AS (
+  SELECT user_id, event_type,
+         (epoch_ms(ts)//1000) - (epoch_ms(lag(ts) OVER w)//1000) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type,
+       count(gap_s)::BIGINT AS n_gaps,
+       min(gap_s)::BIGINT AS gap_min_s,
+       max(gap_s)::BIGINT AS gap_max_s,
+       sum(gap_s)::BIGINT / CAST(count(gap_s) AS DOUBLE) AS gap_avg_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+"""

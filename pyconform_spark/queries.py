@@ -2089,3 +2089,100 @@ def tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1d = band(df.where(F.col("ts") < cut_lo), 86400, "1d")
     return b1m.unionByName(b1h).unionByName(b1d)
+
+
+def seasonal_baseline(
+    spark: SparkSession, sf_dir: str, season_seconds: int = 86400
+) -> DataFrame:
+    """Seasonal-naive baseline + residual: each hourly bucket compared
+    to the same bucket one season (day) earlier — the standard
+    first-order forecast baseline for periodic series (public
+    forecasting practice; reference analog: oclim's climatology
+    subtraction recast to a fixed-lag baseline).
+
+    Exactness: both sums ride DECIMAL staging; the residual is one
+    subtraction of two identically-derived doubles.  Scale shape: ONE
+    hash-agg to hourly buckets; the baseline attaches via a self
+    equi-join on the shifted bucket key — Catalyst/AQE plans the two
+    identical aggregate subtrees once and reuses the exchange
+    (ReusedExchange, same mechanism the heavy_series gate proves), so
+    raw is scanned once and the join shuffles only the hourly
+    rollup."""
+    df = _events(spark, sf_dir)
+    hourly = (
+        df.groupBy(
+            *EKEYS, bucket_ts(F.col("ts"), 3600).alias("bucket_start")
+        )
+        .agg(_dec_sum("value").alias("_vs"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            *EKEYS,
+            "bucket_start",
+            F.col("_vs").cast("double").alias("value_sum"),
+            F.col("_n").cast("long").alias("n_events"),
+        )
+    )
+    base = hourly.select(
+        *EKEYS,
+        (
+            F.col("bucket_start").cast("timestamp").cast("long")
+            + season_seconds
+        ).alias("_target_epoch"),
+        F.col("value_sum").alias("baseline_sum"),
+    )
+    cur = hourly.withColumn(
+        "_epoch", F.col("bucket_start").cast("timestamp").cast("long")
+    )
+    joined = cur.join(
+        base,
+        (cur.user_id == base.user_id)
+        & (cur.event_type == base.event_type)
+        & (cur["_epoch"] == base["_target_epoch"]),
+        "left_outer",
+    )
+    return joined.select(
+        cur.user_id,
+        cur.event_type,
+        "bucket_start",
+        "n_events",
+        "value_sum",
+        "baseline_sum",
+        (F.col("value_sum") - F.col("baseline_sum")).alias("residual"),
+    )
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (turn-latency) statistics per series: min/max/avg
+    of consecutive-sample gaps in seconds — the cadence-health summary
+    a series store exposes next to mapdates' order/step inference.
+
+    Gaps are exact BIGINT second differences from one window sort per
+    series; the per-series stats are one co-partitioned hash-agg
+    (same two-stage shape as sessionize); avg is a single division of
+    exact integers."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("_epoch"),
+    )
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    gap = F.col("_epoch") - F.lag("_epoch").over(w)
+    staged = df.select(*EKEYS, gap.alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        staged.groupBy(*EKEYS)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("gap_s").alias("gap_min_s"),
+            F.max("gap_s").alias("gap_max_s"),
+            F.sum("gap_s").alias("_sum"),
+        )
+        .select(
+            *EKEYS,
+            F.col("_n").cast("long").alias("n_gaps"),
+            F.col("gap_min_s").cast("long").alias("gap_min_s"),
+            F.col("gap_max_s").cast("long").alias("gap_max_s"),
+            (F.col("_sum") / F.col("_n").cast("double")).alias("gap_avg_s"),
+        )
+    )
