@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,
         "interarrival_stats": Q.interarrival_stats,
+        "window_rank_suite": Q.window_rank_suite,
+        "series_correlation": Q.series_correlation,
+        "hll_tier_merge": Q.hll_tier_merge,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

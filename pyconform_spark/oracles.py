@@ -1317,3 +1317,95 @@ SELECT user_id, event_type,
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1, 2
 """
+
+ORACLES["window_rank_suite"] = """
+SELECT user_id, event_type, event_id::BIGINT AS event_id, value,
+       rank() OVER wv::BIGINT AS rnk,
+       dense_rank() OVER wv::BIGINT AS dense_rnk,
+       ntile(4) OVER wv::BIGINT AS quartile,
+       (rank() OVER wv - 1) / CAST(count(*) OVER wp - 1 AS DOUBLE) AS pct_rank,
+       row_number() OVER wv / CAST(count(*) OVER wp AS DOUBLE) AS cume_frac
+FROM events
+WINDOW wv AS (PARTITION BY user_id, event_type ORDER BY value, event_id),
+       wp AS (PARTITION BY user_id, event_type)
+"""
+
+ORACLES["series_correlation"] = f"""
+WITH hourly AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS vq
+  FROM events GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+         a.vq AS xa, b.vq AS xb
+  FROM hourly a
+  JOIN hourly b ON a.user_id = b.user_id
+               AND a.bucket_start = b.bucket_start
+               AND a.event_type < b.event_type),
+agg AS (
+  SELECT user_id, type_a, type_b,
+         count(*)::BIGINT AS n,
+         sum(xa)::BIGINT AS sx, sum(xb)::BIGINT AS sy,
+         sum(xa * xb)::BIGINT AS sxy,
+         sum(xa * xa)::BIGINT AS sxx,
+         sum(xb * xb)::BIGINT AS syy
+  FROM j GROUP BY 1, 2, 3)
+SELECT user_id, type_a, type_b, n AS n_buckets,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       END AS pearson_r
+FROM agg
+"""
+
+# ------------------------- HLL tier-merge (register max composition)
+import math as _math
+
+_HM = 512
+_HALPHA = 0.7213 / (1 + 1.079 / _HM)
+_HRANK_CASE = ("CASE WHEN w = 0 THEN 33 " + " ".join(
+    f"WHEN w % {1 << (k + 1)} = {1 << k} THEN {k + 1}" for k in range(32)
+) + " END")
+_HCORR_LIST = "[" + ", ".join(
+    f"'{repr(float(_HM) * _math.log(float(_HM) / z))}'::DOUBLE"
+    for z in range(1, _HM + 1)
+) + "]"
+
+
+def _hll_estimate_sql(regs_cte: str, out: str) -> str:
+    """Estimator over a (event_type, m) register CTE — same dyadic
+    raw estimate + literal-table linear-counting correction as the
+    Spark side."""
+    raw = f"{repr(_HALPHA * _HM * _HM)}::DOUBLE / (s + ({_HM} - nb))"
+    return f"""
+  SELECT event_type,
+         (CASE WHEN ({raw}) <= {2.5 * _HM} AND ({_HM} - nb) > 0
+               THEN {_HCORR_LIST}[{_HM} - nb]
+               ELSE {raw} END)::DOUBLE AS {out}
+  FROM (SELECT event_type, sum(pow(2.0, -m)) AS s, count(*) AS nb
+        FROM {regs_cte} GROUP BY 1)"""
+
+
+ORACLES["hll_tier_merge"] = f"""
+WITH hashed AS (
+  SELECT event_type,
+         make_timestamp(((epoch_ms(ts)//1000) - (epoch_ms(ts)//1000) % 86400)
+                        * 1000000) AS day,
+         (md5_number_lower(user_id::VARCHAR)::HUGEINT % {_HM})::BIGINT AS b,
+         ((md5_number_lower(user_id::VARCHAR)::HUGEINT // {_HM})
+           % 4294967296)::BIGINT AS w
+  FROM events),
+ranked AS (
+  SELECT event_type, day, b, {_HRANK_CASE} AS rank FROM hashed),
+daily AS (
+  SELECT event_type, day, b, max(rank) AS m FROM ranked GROUP BY 1, 2, 3),
+merged AS (
+  SELECT event_type, b, max(m) AS m FROM daily GROUP BY 1, 2),
+direct AS (
+  SELECT event_type, b, max(rank) AS m FROM ranked GROUP BY 1, 2),
+est_m AS ({_hll_estimate_sql("merged", "merged_estimate")}),
+est_d AS ({_hll_estimate_sql("direct", "direct_estimate")})
+SELECT m.event_type, m.merged_estimate, d.direct_estimate,
+       m.merged_estimate = d.direct_estimate AS merge_exact
+FROM est_m m JOIN est_d d USING (event_type)
+"""

@@ -2186,3 +2186,173 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_sum") / F.col("_n").cast("double")).alias("gap_avg_s"),
         )
     )
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface in one query: rank, dense_rank, ntile(4),
+    percent_rank and cume_dist per series over the value order — the
+    remaining ANSI window functions a reference user would reach for
+    (SURVEY §2.8 SQL-surface completeness).
+
+    Exactness: rank/dense_rank/ntile are integers; percent_rank =
+    (rank-1)/(n-1) and cume_dist = peers_cum/n are single divisions of
+    exact BIGINTs (n from an unbounded count over the same partition).
+    Ties order deterministically via the (value, event_id) total
+    order.  Scale shape: ONE window sort per series; all five
+    functions ride it."""
+    df = _events(spark, sf_dir)
+    wv = Window.partitionBy(*EKEYS).orderBy("value", "event_id")
+    wp = Window.partitionBy(*EKEYS)
+    n = F.count(F.lit(1)).over(wp)
+    rnk = F.rank().over(wv)
+    return df.select(
+        *EKEYS,
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        rnk.cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("dense_rnk"),
+        F.ntile(4).over(wv).cast("long").alias("quartile"),
+        ((rnk - 1) / (n - 1).cast("double")).alias("pct_rank"),
+        (
+            F.row_number().over(wv) / n.cast("double")
+        ).alias("cume_frac"),
+    )
+
+
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type series per user,
+    on hourly-bucket sums — the cross-series dependency scan a
+    monitoring store runs to surface related signals.
+
+    Exactness: bucket sums are centi-quantized BIGINTs; with
+    n, Sx, Sy, Sxy, Sxx, Syy all exact integers,
+
+        corr = (n*Sxy - Sx*Sy)
+             / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    evaluates with two sqrts, one multiply, one divide — identical
+    IEEE ops from identical integers on both engines.  Scale shape:
+    one hash-agg to (user, type, bucket), a self equi-join on
+    (user, bucket) keyed type<type (no duplicate mirror pairs), and a
+    hash-agg per (user, pair) — the raw table shuffles once."""
+    df = _events(spark, sf_dir)
+    hourly = (
+        df.groupBy(
+            "user_id",
+            "event_type",
+            bucket_ts(F.col("ts"), 3600).alias("bucket_start"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq"))
+    )
+    a = hourly.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        "bucket_start",
+        F.col("vq").alias("xa"),
+    )
+    b = hourly.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        "bucket_start",
+        F.col("vq").alias("xb"),
+    )
+    j = a.join(b, ["user_id", "bucket_start"]).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    agg = j.groupBy("user_id", "type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    vx = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = agg["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select(
+        "user_id",
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_buckets"),
+        corr.alias("pearson_r"),
+    )
+
+
+def hll_tier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch tier cascade: per-day HyperLogLog sketches
+    (register = per-bucket max rank) merged across days by
+    register-wise max, then estimated — proving the sketch column
+    composes through retention tiers exactly like the integer sums do
+    (max(max) = max), so a store can keep per-day HLL registers and
+    answer any date-range distinct query WITHOUT rescanning raw.
+
+    The merged estimate is compared in-row against the direct
+    single-pass sketch over the same span: `merged_estimate` and
+    `direct_estimate` must be IDENTICAL doubles (same registers ⇒ same
+    dyadic sum), which the oracle checks bit-for-bit.  Scale shape:
+    one hash-agg to (type, day, bucket) registers — the daily sketch
+    tier, 2^9 rows per series-day — one register-merge agg, and the
+    estimator on |types| rows; raw scans once per sketch (twice total
+    here only because the direct twin is computed for the proof)."""
+    from pyconform_spark.textops import md5_lower64
+
+    df = _events(spark, sf_dir)
+    h = md5_lower64(F.col("user_id").cast("string"))
+    bucket = (h % _HLL_M).cast("long")
+    w32 = (
+        ((h - (h % _HLL_M)) / _HLL_M) % F.lit(1 << 32).cast("decimal(20,0)")
+    ).cast("long")
+    rank = F.when(F.col("_w") == 0, F.lit(_HLL_MAXRANK))
+    for k in range(32):
+        rank = rank.when(F.col("_w") % (1 << (k + 1)) == (1 << k), F.lit(k + 1))
+
+    day = bucket_ts(F.col("ts"), 86400)
+    daily_regs = (
+        df.select(
+            "event_type", day.alias("_day"), bucket.alias("_b"), w32.alias("_w")
+        )
+        .select("event_type", "_day", "_b", rank.alias("_rank"))
+        .groupBy("event_type", "_day", "_b")
+        .agg(F.max("_rank").alias("m"))
+    )
+    merged_regs = daily_regs.groupBy("event_type", "_b").agg(
+        F.max("m").alias("m")
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        agg = regs.groupBy("event_type").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        sum_inv = F.col("_s") + (_HLL_M - F.col("_nb"))
+        raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_inv
+        zeros = F.lit(_HLL_M) - F.col("_nb")
+        corr = F.element_at(
+            F.array(*[F.lit(v) for v in _HLL_CORR]), zeros.cast("int")
+        )
+        est = F.when((raw <= 2.5 * _HLL_M) & (zeros > 0), corr).otherwise(raw)
+        return agg.select("event_type", est.cast("double").alias(out))
+
+    direct_regs = (
+        df.select("event_type", bucket.alias("_b"), w32.alias("_w"))
+        .select("event_type", "_b", rank.alias("_rank"))
+        .groupBy("event_type", "_b")
+        .agg(F.max("_rank").alias("m"))
+    )
+    return (
+        estimate(merged_regs, "merged_estimate")
+        .join(estimate(direct_regs, "direct_estimate"), "event_type")
+        .select(
+            "event_type",
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+                "merge_exact"
+            ),
+        )
+    )
