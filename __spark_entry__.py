@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": Q.window_rank_suite,
         "series_correlation": Q.series_correlation,
         "hll_tier_merge": Q.hll_tier_merge,
+        "bloom_join_prune": Q.bloom_join_prune,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),

@@ -1409,3 +1409,39 @@ SELECT m.event_type, m.merged_estimate, d.direct_estimate,
        m.merged_estimate = d.direct_estimate AS merge_exact
 FROM est_m m JOIN est_d d USING (event_type)
 """
+
+_BLOOM_POS = lambda j, col: (  # noqa: E731
+    f"(md5_number_lower('bloom{j}|' || {col}::VARCHAR)::HUGEINT"
+    f" % 16384)::BIGINT"
+)
+ORACLES["bloom_join_prune"] = f"""
+WITH build AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_BLOOM_POS(0, 'user_id')} AS pos FROM build
+    UNION ALL SELECT {_BLOOM_POS(1, 'user_id')} FROM build
+    UNION ALL SELECT {_BLOOM_POS(2, 'user_id')} FROM build)),
+probe AS (
+  SELECT user_id, event_type, event_id::BIGINT AS event_id FROM events),
+exploded AS (
+  SELECT user_id, event_type, event_id, {_BLOOM_POS(0, 'user_id')} AS pos
+  FROM probe
+  UNION ALL
+  SELECT user_id, event_type, event_id, {_BLOOM_POS(1, 'user_id')} FROM probe
+  UNION ALL
+  SELECT user_id, event_type, event_id, {_BLOOM_POS(2, 'user_id')} FROM probe),
+hits AS (
+  SELECT e.user_id, e.event_type, e.event_id, count(*) AS h
+  FROM exploded e JOIN bits b USING (pos)
+  GROUP BY 1, 2, 3),
+exact AS (SELECT DISTINCT user_id FROM build)
+SELECT p.user_id, p.event_type, p.event_id,
+       coalesce(h.h = 3, FALSE) AS bloom_pass,
+       (x.user_id IS NOT NULL) AS exact_member
+FROM probe p
+LEFT OUTER JOIN hits h
+  ON p.user_id = h.user_id AND p.event_type = h.event_type
+ AND p.event_id = h.event_id
+LEFT OUTER JOIN exact x ON p.user_id = x.user_id
+"""

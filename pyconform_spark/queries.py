@@ -2356,3 +2356,81 @@ def hll_tier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BLOOM_M = 1 << 14  # bits
+_BLOOM_K = 3        # hash functions
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning from first principles (Bloom 1970,
+    public; the runtime-filter pattern Spark/Iceberg apply to big
+    joins): build a Bloom filter over the PURCHASER user set (the
+    small build side), probe every event row against it, and account
+    the result against exact membership — ``bloom_pass`` must cover
+    every true member (no false negatives, the property that makes
+    the filter a safe pre-join prune) while false positives measure
+    the wasted rows the real join would still discard.
+
+    Determinism: the k=3 hash positions are independent md5-salted
+    mods of 2^14 (same literal salts both engines); the filter is the
+    DISTINCT SET of set positions (relational bitmap), membership is
+    a positions-hit count == k.  Scale shape: build = one hash-agg of
+    the small side (≤ k·|build| rows, broadcast-sized by
+    construction); probe = k 1:1
+    broadcast joins against the distinct-bit set — the fact table
+    never shuffles and nothing aggregates it (plan-gated)."""
+    from pyconform_spark.textops import md5_lower64
+
+    df = _events(spark, sf_dir)
+    build = df.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+
+    def positions(col: Column):
+        return [
+            (
+                md5_lower64(F.concat(F.lit(f"bloom{j}|"), col.cast("string")))
+                % _BLOOM_M
+            ).cast("long")
+            for j in range(_BLOOM_K)
+        ]
+
+    bits = None
+    for j, p in enumerate(positions(F.col("user_id"))):
+        part = build.select(p.alias("pos"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+
+    pos_cols = positions(F.col("user_id"))
+    probe = df.select(
+        *EKEYS,
+        F.col("event_id").cast("long").alias("event_id"),
+        *[p.alias(f"_p{j}") for j, p in enumerate(pos_cols)],
+    )
+    # k 1:1 broadcast joins (bits.pos is distinct) — the fact table
+    # NEVER shuffles; pass = every position present
+    passed = probe
+    for j in range(_BLOOM_K):
+        bj = bits.select(
+            F.col("pos").alias(f"_q{j}"), F.lit(True).alias(f"_hit{j}")
+        )
+        passed = passed.join(
+            F.broadcast(bj), passed[f"_p{j}"] == bj[f"_q{j}"], "left_outer"
+        )
+    all_hit = F.lit(True)
+    for j in range(_BLOOM_K):
+        all_hit = all_hit & F.coalesce(F.col(f"_hit{j}"), F.lit(False))
+    passed = passed.select(
+        "user_id", "event_type", "event_id", all_hit.alias("bloom_pass")
+    )
+    exact = build.distinct().select(
+        "user_id", F.lit(True).alias("exact_member")
+    )
+    return passed.join(F.broadcast(exact), "user_id", "left_outer").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "bloom_pass",
+        F.coalesce(F.col("exact_member"), F.lit(False)).alias("exact_member"),
+    )

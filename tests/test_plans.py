@@ -479,3 +479,13 @@ def test_flatline_one_sort_coparitioned_agg(spark):
     plan = plan_of(Q.flatline_detect(spark, SF))
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Sort") == 1
+
+
+def test_bloom_prune_never_shuffles_the_fact_table(spark):
+    """Bloom pruning: the probe (fact) side rides k 1:1 broadcast
+    joins — no SortMergeJoin, no exchange of fact rows (the only
+    exchanges build the distinct bit set and the exact-member dim)."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.bloom_join_prune(spark, SF))
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 4  # 3 bits + exact

@@ -66,3 +66,15 @@ def test_m4_picks_min_max_first_last(spark, tmp_path):
     r = out[0]
     assert (r.v_first, r.v_min, r.v_max, r.v_last) == (5.0, 1.0, 9.0, 7.0)
     assert r.n_points == 4
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """The Bloom invariant that makes pruning safe: every exact member
+    passes the filter (false positives allowed, negatives never)."""
+    from pyspark.sql import functions as F
+
+    df = Q.bloom_join_prune(spark, "/root/testdata/sf0.001")
+    misses = df.where(F.col("exact_member") & ~F.col("bloom_pass")).count()
+    assert misses == 0
+    # and the filter actually prunes: some non-members fail
+    assert df.where(~F.col("bloom_pass")).count() > 0
