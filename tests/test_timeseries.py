@@ -68,13 +68,26 @@ def test_m4_picks_min_max_first_last(spark, tmp_path):
     assert r.n_points == 4
 
 
-def test_bloom_prune_no_false_negatives(spark):
+def test_bloom_prune_no_false_negatives(spark, tmp_path):
     """The Bloom invariant that makes pruning safe: every exact member
-    passes the filter (false positives allowed, negatives never)."""
+    passes the filter (false positives allowed, negatives never) —
+    crafted input with known non-members so the prune is observable."""
     from pyspark.sql import functions as F
 
-    df = Q.bloom_join_prune(spark, "/root/testdata/sf0.001")
-    misses = df.where(F.col("exact_member") & ~F.col("bloom_pass")).count()
-    assert misses == 0
-    # and the filter actually prunes: some non-members fail
-    assert df.where(~F.col("bloom_pass")).count() > 0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1-5 purchase; users 100-139 only click (non-members)
+    for i in range(50):
+        u = (i % 5) + 1
+        rows.append((i, t0 + dt.timedelta(minutes=i), u, "purchase", 1.0, "{}"))
+    for i in range(40):
+        rows.append(
+            (100 + i, t0 + dt.timedelta(minutes=i), 100 + i, "click", 1.0, "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    df = Q.bloom_join_prune(spark, str(tmp_path)).persist()
+    assert df.where(F.col("exact_member") & ~F.col("bloom_pass")).count() == 0
+    # with 15 bits set of 16384, ~40 non-members all fail w.h.p.;
+    # require that pruning removes at least half of them
+    assert df.where(~F.col("bloom_pass")).count() >= 20
+    df.unpersist()
