@@ -91,3 +91,113 @@ def test_bloom_prune_no_false_negatives(spark, tmp_path):
     # require that pruning removes at least half of them
     assert df.where(~F.col("bloom_pass")).count() >= 20
     df.unpersist()
+
+
+def test_ewma_dyadic_weights_hand_computed(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "c", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=1), 1, "c", 2.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r.ewma for r in Q.ewma_smooth(spark, str(tmp_path)).collect()}
+    # first sample: its own value; second: (200*2^15 + 100*2^14)/((2^16-2^14)*100)
+    assert out[0] == 1.0
+    assert out[1] == (200 * 32768 + 100 * 16384) / (49152 * 100)
+    assert out[1] == 5.0 / 3.0
+
+
+def test_ewma_constant_series_is_identity(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "c", 7.25, "{}") for i in range(30)
+    ]
+    _write_events(spark, tmp_path, rows)
+    vals = {r.ewma for r in Q.ewma_smooth(spark, str(tmp_path)).collect()}
+    assert vals == {7.25}
+
+
+def test_zscore_hand_computed(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "c", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=1), 1, "c", 2.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "c", 3.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r for r in Q.anomaly_zscore(spark, str(tmp_path)).collect()}
+    # window [100,200,300]: n=3, S=600, Q=140000
+    # z3 = (3*300-600)/sqrt(3*(3*140000-600^2)/2) = 300/300 = 1.0
+    assert out[0].zscore is None          # n-1 = 0
+    assert out[2].zscore == 1.0
+    assert not out[2].is_anomaly
+
+
+def test_zscore_flags_spike(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "c", float(10 + i % 2), "{}")
+        for i in range(19)
+    ] + [(19, t0 + dt.timedelta(minutes=19), 1, "c", 400.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r for r in Q.anomaly_zscore(spark, str(tmp_path)).collect()}
+    assert out[19].is_anomaly
+    assert all(not out[i].is_anomaly for i in range(19))
+
+
+def test_slo_burn_hand_computed(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)  # midnight: 1h bucket 0 inside 6h bucket 0
+    rows = []
+    eid = 0
+    # hour 0: 4 events, 2 errors
+    for j in range(4):
+        rows.append((eid, t0 + dt.timedelta(minutes=j), 1,
+                     "error" if j < 2 else "click", 1.0, "{}")); eid += 1
+    # hour 1 (same 6h window): 12 events, 2 errors
+    for j in range(12):
+        rows.append((eid, t0 + dt.timedelta(hours=1, minutes=j), 1,
+                     "error" if j < 2 else "click", 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.bucket_start.hour: r for r in Q.slo_burn_rate(spark, str(tmp_path)).collect()}
+    h0 = out[0]
+    assert (h0.total_1h, h0.err_1h, h0.total_6h, h0.err_6h) == (4, 2, 16, 4)
+    # burn = (2*16)/(4*4) = 2.0: hour 0 burns error budget 2x the 6h pace
+    assert h0.burn_rate == 2.0
+    assert out[1].burn_rate == (2 * 16) / (12 * 4)
+
+
+def test_lttb_picks_largest_triangle(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)  # bucket width 21600 s
+    rows = [
+        (0, t0, 1, "c", 10.0, "{}"),                                   # prev bucket
+        (1, t0 + dt.timedelta(seconds=21700), 1, "c", 50.0, "{}"),     # candidate A
+        (2, t0 + dt.timedelta(seconds=21800), 1, "c", 10.0, "{}"),     # candidate B
+        (3, t0 + dt.timedelta(seconds=43300), 1, "c", 10.0, "{}"),     # next bucket
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        Q.lttb_downsample(spark, str(tmp_path)).collect(),
+        key=lambda r: r.ts,
+    )
+    assert len(out) == 3  # one pick per bucket
+    # middle bucket: A (y=50) spans a larger triangle against the flat
+    # y=10 neighbors than B (y=10, collinear -> near-zero area)
+    assert out[1].event_id == 1 and out[1].value == 50.0
+    # edge buckets keep their first point
+    assert out[0].event_id == 0 and out[2].event_id == 3
+
+
+def test_flatline_band_runs_hand_computed(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 25.0, 90.0, 95.0, 99.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "c", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        Q.flatline_detect(spark, str(tmp_path)).collect(),
+        key=lambda r: r.run_start,
+    )
+    # bands: [1,1, 2, 9,9,9] -> runs >=2: band 1 (len 2), band 9 (len 3)
+    assert [(r.band_low, r.run_len) for r in out] == [(10, 2), (90, 3)]
