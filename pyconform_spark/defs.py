@@ -756,6 +756,70 @@ def _const_kwd(kwds, key, default):
     return v.const
 
 
+@register_window_function("ewma")
+def _ewma_window(args, kwds, window_keys):
+    """Dyadic EWMA smoother as a definition-surface window function:
+    ``ewma(v, t)`` smooths v along the t order with alpha = 1/2 over
+    the last ``span=`` samples (default 16) — the same exact integer
+    construction as queries.ewma_smooth (weights 2^(span-1-k), one
+    final division), so a spec author gets the engine's bit-stable
+    smoother from a definition string."""
+    from pyspark.sql import Window
+
+    if len(args) != 2:
+        raise DefinitionError("ewma(v, t, span=) takes value and order args")
+    v, t = args
+    span = int(_const_kwd(kwds, "span", 16))
+    if not 1 <= span <= 62:
+        raise DefinitionError("ewma: span must be in [1, 62]")
+    w = Window.partitionBy(*window_keys).orderBy(t.col)
+    vq = F.floor(v.col.cast("double") * 100).cast("long")
+    terms = []
+    for k in range(span):
+        weight = 1 << (span - 1 - k)
+        lagged = F.lag(vq, k).over(w) if k else vq
+        terms.append(F.coalesce(lagged * F.lit(weight), F.lit(0)))
+    s_scaled = terms[0]
+    for term in terms[1:]:
+        s_scaled = s_scaled + term
+    m = F.least(F.row_number().over(w), F.lit(span))
+    # norm = 2^span - 2^(span-m); pow(2, k) is exact in float64 for
+    # k <= 62, so the cast back to long is lossless
+    norm = F.lit(1 << span) - F.pow(F.lit(2.0), (F.lit(span) - m)).cast("long")
+    return Compiled(col=s_scaled / (norm * F.lit(100)).cast("double"))
+
+
+@register_window_function("zscore")
+def _zscore_window(args, kwds, window_keys):
+    """Rolling z-score as a definition-surface window function:
+    ``zscore(v, t)`` scores v against the trailing ``window=`` samples
+    (default 20) along the t order — the queries.anomaly_zscore
+    construction (integer moments, one sqrt, single divisions)."""
+    from pyspark.sql import Window
+
+    if len(args) != 2:
+        raise DefinitionError("zscore(v, t, window=) takes value and order args")
+    v, t = args
+    win = int(_const_kwd(kwds, "window", 20))
+    if win < 2:
+        raise DefinitionError("zscore: window must be >= 2")
+    w = (
+        Window.partitionBy(*window_keys)
+        .orderBy(t.col)
+        .rowsBetween(-(win - 1), 0)
+    )
+    vq = F.floor(v.col.cast("double") * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sm = F.sum(vq).over(w)
+    q = F.sum(vq * vq).over(w)
+    num = n * vq - sm
+    varnum = n * (n * q - sm * sm)
+    den = F.sqrt(varnum / (n - 1))
+    return Compiled(
+        col=F.when(((n - 1) > 0) & (varnum > 0), num / den)
+    )
+
+
 @register_window_function("bounds")
 def _bounds_window(args, kwds, window_keys):
     """The reference's ``bounds`` (commonfunctions.py:256-341,

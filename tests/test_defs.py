@@ -460,3 +460,35 @@ def test_modulo_is_refused_like_the_reference():
 
     with pytest.raises(defs.DefinitionError, match="unexpected character"):
         defs.parse_definition("a % b")
+
+
+def test_ewma_window_function_matches_query_twin(spark):
+    """`s = ewma(value, ts)` from a definition string equals the
+    registered ewma_smooth query on the same input."""
+    from pyconform_spark import defs
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    got = defs.evaluate_defs(
+        df, ["s = ewma(value, ts)"], window_keys=("user_id", "event_type")
+    ).select("event_id", "s")
+    want = Q.ewma_smooth(spark, sf).select("event_id", "ewma")
+    g = {r.event_id: r.s for r in got.collect()}
+    w = {r.event_id: r.ewma for r in want.collect()}
+    assert g == w
+
+
+def test_zscore_window_function_matches_query_twin(spark):
+    from pyconform_spark import defs
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    got = defs.evaluate_defs(
+        df, ["z = zscore(value, ts)"], window_keys=("user_id", "event_type")
+    ).select("event_id", "z")
+    want = Q.anomaly_zscore(spark, sf).select("event_id", "zscore")
+    g = {r.event_id: r.z for r in got.collect()}
+    w = {r.event_id: r.zscore for r in want.collect()}
+    assert g == w
