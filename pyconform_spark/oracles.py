@@ -1178,14 +1178,14 @@ targets AS (
   SELECT c.*, qs.q, qs.q * c.total AS target
   FROM cum c CROSS JOIN (SELECT unnest(['0.5'::DOUBLE, '0.9'::DOUBLE,
                                         '0.99'::DOUBLE]) AS q) qs),
-pick AS (
-  SELECT event_type, q, min(le) AS le_q
-  FROM targets WHERE cum >= target GROUP BY 1, 2)
-SELECT p.event_type, p.q,
-       {_HIST_LO} + (p.le_q - {_HIST_LO})
-         * (t.target - (t.cum - t.cnt)) / CAST(t.cnt AS DOUBLE) AS q_value
-FROM pick p
-JOIN targets t ON t.event_type = p.event_type AND t.q = p.q AND t.le = p.le_q
+picked AS (
+  SELECT event_type, q, le AS le_q, cnt, cum, target,
+         row_number() OVER (PARTITION BY event_type, q ORDER BY le) AS rn
+  FROM targets WHERE cum >= target)
+SELECT event_type, q,
+       {_HIST_LO} + (le_q - {_HIST_LO})
+         * (target - (cum - cnt)) / CAST(cnt AS DOUBLE) AS q_value
+FROM picked WHERE rn = 1
 """
 
 ORACLES["tpch_q7"] = """

@@ -1780,8 +1780,11 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same literal expression tree on both engines (each op one
     IEEE rounding of identical inputs).  Scale shape: ONE shuffle of
     raw rows into the (event_type, le) hash-agg — ~|types|*|buckets|
-    rows out — and everything after (cumulative window, quantile
-    bucket pick, interpolation join) runs on that tiny frame."""
+    rows out — and everything after — cumulative window, the
+    rank-1 pick of the crossing bucket, the interpolation — is a
+    single linear pipeline over that tiny frame (the crossing row
+    carries its own cnt/cum, so nothing joins back and nothing
+    re-derives the aggregate)."""
     df = _events(spark, sf_dir)
     le = F.lit(None).cast("double")
     for b in reversed(_HIST_LE):
@@ -1811,25 +1814,21 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "le", "cnt", "cum", "total", "q",
         (F.col("q") * F.col("total")).alias("target"),
     )
-    pick = (
+    wpick = Window.partitionBy("event_type", "q").orderBy("le")
+    picked = (
         targets.where(F.col("cum") >= F.col("target"))
-        .groupBy("event_type", "q")
-        .agg(F.min("le").alias("le_q"))
+        .withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .withColumnRenamed("le", "le_q")
     )
     lo = F.lit(None).cast("double")
     for i, b in enumerate(_HIST_LE):
         prev = 0.0 if i == 0 else _HIST_LE[i - 1]
         lo = F.when(F.col("le_q") == b, F.lit(prev)).otherwise(lo)
-    joined = pick.join(
-        targets.select("event_type", "q", "le", "cnt", "cum", "target"),
-        (pick.event_type == targets.event_type)
-        & (pick.q == targets.q)
-        & (pick.le_q == targets.le),
-    ).select(pick.event_type, pick.q, "le_q", lo.alias("lo"), "cnt", "cum", "target")
-    qval = F.col("lo") + (F.col("le_q") - F.col("lo")) * (
+    qval = lo + (F.col("le_q") - lo) * (
         F.col("target") - (F.col("cum") - F.col("cnt"))
     ) / F.col("cnt").cast("double")
-    return joined.select(
+    return picked.select(
         "event_type",
         "q",
         qval.alias("q_value"),

@@ -489,3 +489,13 @@ def test_bloom_prune_never_shuffles_the_fact_table(spark):
         plan = plan_of(Q.bloom_join_prune(spark, SF))
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "BroadcastHashJoin") == 4  # 3 bits + exact
+
+
+def test_histogram_quantile_single_raw_derivation(spark):
+    """The crossing-bucket pick must NOT join back into the aggregate
+    pipeline: one parquet scan, no SortMergeJoin — the only join is
+    the 3-row quantile broadcast cross."""
+    plan = plan_of(Q.histogram_quantile(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "HashAggregate") >= 2
