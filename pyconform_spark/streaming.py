@@ -423,3 +423,86 @@ def stream_refresh_tiers(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_anomaly_zscore(stream: DataFrame, window: int = 20,
+                          threshold: float = 3.0) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-series
+    rolling z-score over an EVENTS stream — the streaming twin of
+    queries.anomaly_zscore, maintaining only the trailing
+    ``window - 1`` quantized values per (user_id, event_type) in group
+    state (O(window) state per series, not O(history)).
+
+    Assumes in-order arrival per series across micro-batches (the
+    usual ingest contract; late rows belong to the refresh path).
+    Each Arrow batch is scored vectorized in numpy with the SAME
+    integer-moment construction as the batch query —
+
+        z = (n*v - S) / sqrt(n * (n*Q - S*S) / (n - 1))
+
+    from int64 prefix sums — so stream output equals the batch query
+    BIT-FOR-BIT (pytest parity gate), not approximately."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("zscore", T.DoubleType(), True),
+        T.StructField("is_anomaly", T.BooleanType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("tail", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        tail = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            vq = np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100
+                          ).astype(np.int64)
+            a = np.concatenate([np.asarray(tail, dtype=np.int64), vq])
+            p = len(tail)
+            cs = np.cumsum(a)
+            cq = np.cumsum(a * a)
+            idx = np.arange(p, p + len(vq))
+            lo = np.maximum(0, idx - window + 1)
+            n = idx - lo + 1
+            S = cs[idx] - np.where(lo > 0, cs[lo - 1], 0)
+            Q = cq[idx] - np.where(lo > 0, cq[lo - 1], 0)
+            num = n * vq - S
+            varnum = n * (n * Q - S * S)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                den = np.sqrt(varnum / (n - 1))
+                z = num / den
+            ok = (n > 1) & (varnum > 0)
+            zscore = np.where(ok, z, np.nan)
+            is_anom = ok & (np.abs(zscore) > threshold)
+            out = pd.DataFrame({
+                "user_id": np.full(len(vq), user_id, dtype=np.int64),
+                "event_type": event_type,
+                "ts": pdf["ts"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "value": pdf["value"].to_numpy(dtype=np.float64),
+                "zscore": zscore,
+                "is_anomaly": is_anom,
+            })
+            out["zscore"] = out["zscore"].where(ok, None)
+            yield out
+            tail = list(a[-(window - 1):]) if window > 1 else []
+        state.update(([int(x) for x in tail],))
+
+    src = stream
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -441,3 +441,54 @@ def test_stream_refresh_merges_late_data_exactly_once(spark, tmp_path):
         assert _rows(pipeline.read_tier(spark, root, tier)) == _rows(
             direct[tier]
         ), tier
+
+
+def test_stream_anomaly_zscore_matches_batch_bitwise(spark, tmp_path):
+    """Stateful streaming z-score == batch anomaly_zscore bit-for-bit:
+    the trailing-window state carries across micro-batch boundaries
+    (the input is split mid-series by time)."""
+    import math
+
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "ev_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_anomaly_zscore(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("zstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in spark.sql("select * from zstream").collect()
+    }
+    want = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in Q.anomaly_zscore(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        gz, ga = got[eid]
+        wz, wa = want[eid]
+        assert ga == wa, eid
+        assert (gz is None and wz is None) or gz == wz, (eid, gz, wz)
