@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--keep-1h", type=int, default=90)
     ap.add_argument("--keep-1d", type=int, default=-1)
     ap.add_argument("--now-epoch", type=int, default=-1)
+    ap.add_argument("--verify", action="store_true",
+                    help="audit tiers against the lineage ledger first")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,6 +41,14 @@ def main() -> None:
     )
 
     out: dict = {}
+    if args.verify:
+        audit = pipeline.verify_store(spark, args.root).collect()
+        out["verify"] = {
+            "ok": sum(r.status == "ok" for r in audit),
+            "mismatch": [(r.tier, r.epoch) for r in audit if r.status == "mismatch"],
+            "missing": [(r.tier, r.epoch) for r in audit if r.status == "missing"],
+            "orphan": [(r.tier, r.epoch) for r in audit if r.status == "orphan"],
+        }
     if args.compact_tier:
         out["compaction"] = pipeline.compact_tier(spark, args.root, args.compact_tier)
 

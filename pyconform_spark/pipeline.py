@@ -56,6 +56,22 @@ def _lineage_path(root: str) -> str:
     return os.path.join(root, "lineage")
 
 
+def _next_commit_seq(spark: SparkSession, root: str) -> int:
+    """Monotone commit ordinal: max over the ledger + 1 (0 for a new
+    store).  One tiny aggregate over the lineage table — the Iceberg
+    analog is the snapshot id the commit rides anyway."""
+    path = _lineage_path(root)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return 0
+    lin = spark.read.parquet(path)
+    if "commit_seq" not in lin.columns:
+        return 0
+    row = lin.agg(F.max("commit_seq").alias("m")).first()
+    return 0 if row["m"] is None else int(row["m"]) + 1
+
+
 def list_epochs(transcripts: DataFrame) -> list[int]:
     """Distinct day-aligned epoch ids present in the input (one small
     aggregate over the raw table; at 10^12 turns this is the partition
@@ -97,7 +113,9 @@ def _write_tier(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def _lineage_rows(tier_df: DataFrame, tier: str, epoch: int) -> DataFrame:
+def _lineage_rows(
+    tier_df: DataFrame, tier: str, epoch: int, commit_seq: int = 0
+) -> DataFrame:
     """Per-shuffle-partition lineage: (partition_id, tier, input range,
     epoch, point count) — the observability half of the commit."""
     return (
@@ -119,6 +137,7 @@ def _lineage_rows(tier_df: DataFrame, tier: str, epoch: int) -> DataFrame:
             F.lit(epoch).cast("long").alias("checkpoint_epoch"),
             F.col("point_count").cast("long").alias("point_count"),
             F.lit(None).cast("string").alias("refresh_marker"),
+            F.lit(commit_seq).cast("long").alias("commit_seq"),
         )
     )
 
@@ -159,18 +178,19 @@ def run(
 
         points: dict[str, int] = {}
         lineage_parts: list[DataFrame] = []
+        seq = _next_commit_seq(spark, root)
 
         t1m = rollup.tier_rollup(sl, "1m")
         _write_tier(t1m, _tier_path(root, "1m", epoch))
         prev = spark.read.parquet(_tier_path(root, "1m", epoch))
-        lineage_parts.append(_lineage_rows(prev, "1m", epoch))
+        lineage_parts.append(_lineage_rows(prev, "1m", epoch, seq))
         points["1m"] = prev.count()
 
         for tier in ("1h", "1d"):
             td = rollup.cascade_rollup(prev, tier)
             _write_tier(td, _tier_path(root, tier, epoch))
             prev = spark.read.parquet(_tier_path(root, tier, epoch))
-            lineage_parts.append(_lineage_rows(prev, tier, epoch))
+            lineage_parts.append(_lineage_rows(prev, tier, epoch, seq))
             points[tier] = prev.count()
 
         # ---- commit point: append lineage for all three tiers at once
@@ -257,6 +277,7 @@ def run_batch(
 
     for i in range(0, len(pending), epochs_per_commit):
         batch = pending[i : i + epochs_per_commit]
+        seq = _next_commit_seq(spark, root)
         sl = _epoch_filter(transcripts, batch)
 
         lineage_parts: list[DataFrame] = []
@@ -301,6 +322,7 @@ def run_batch(
                     F.col("epoch").cast("long").alias("checkpoint_epoch"),
                     F.col("point_count").cast("long").alias("point_count"),
                     F.lit(None).cast("string").alias("refresh_marker"),
+                    F.lit(seq).cast("long").alias("commit_seq"),
                 )
             )
             counts[tier] = {
@@ -511,6 +533,7 @@ def refresh_late(
     touched = list_epochs(late)
     if not touched:
         return {t: 0 for t in TIER_ORDER}
+    seq = _next_commit_seq(spark, root)
 
     epoch_col = (
         F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
@@ -581,6 +604,7 @@ def refresh_late(
                 F.col("epoch").cast("long").alias("checkpoint_epoch"),
                 F.col("point_count").cast("long").alias("point_count"),
                 F.lit(marker).cast("string").alias("refresh_marker"),
+                F.lit(seq).cast("long").alias("commit_seq"),
             )
         )
         # the next tier cascades from the merged finer DELTA buckets
@@ -615,3 +639,88 @@ def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:
         .collect()
     )
     return {r["refresh_marker"] for r in rows}
+
+
+def verify_store(spark: SparkSession, root: str) -> DataFrame:
+    """Integrity audit of a tier store against its lineage ledger.
+
+    For every (tier, epoch): the CURRENT truth is the lineage
+    generation with the highest ``commit_seq`` (refreshes re-commit an
+    epoch); its summed ``point_count`` must equal the rows actually on
+    disk.  Returns one row per (tier, epoch) with status:
+
+    * ``ok``         — counts match;
+    * ``mismatch``   — data and ledger disagree (corruption / partial
+      write that somehow got committed — page the operator);
+    * ``missing``    — committed in lineage but no data dir (retention
+      expiry or cold-tier compaction move both land here; cross-check
+      retention_log / the cold store);
+    * ``orphan``     — data dir with NO lineage (a crash between data
+      write and commit; the next run overwrites it — expected debris,
+      listed so operators can reclaim space).
+
+    Scale shape: the ledger is tiny; per-epoch data counts are
+    partition-pruned parquet counts (metadata-only row counts — no
+    column data read)."""
+    from pyspark.sql import types as T
+
+    lin = lineage(spark, root)
+    latest = (
+        lin.groupBy("tier", "checkpoint_epoch")
+        .agg(F.max("commit_seq").alias("_mx"))
+        .select(
+            F.col("tier").alias("_t"),
+            F.col("checkpoint_epoch").alias("_e"),
+            "_mx",
+        )
+    )
+    expected = (
+        lin.join(
+            latest,
+            (lin.tier == latest["_t"])
+            & (lin.checkpoint_epoch == latest["_e"])
+            & (lin.commit_seq == latest["_mx"]),
+        )
+        .groupBy("tier", "checkpoint_epoch")
+        .agg(F.sum("point_count").alias("expected_points"))
+        .collect()
+    )
+    exp = {(r["tier"], r["checkpoint_epoch"]): r["expected_points"] for r in expected}
+
+    def _count_rows(path: str) -> int:
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return 0
+        return spark.read.parquet(path).count()
+
+    rows = []
+    seen_dirs = set()
+    for tier in TIER_ORDER:
+        base = os.path.join(root, "tiers", tier)
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith("epoch=") and any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(os.path.join(base, d))
+                ):
+                    seen_dirs.add((tier, int(d.split("=")[1])))
+    for (tier, epoch), want in sorted(exp.items()):
+        if (tier, epoch) not in seen_dirs:
+            rows.append((tier, epoch, int(want), None, "missing"))
+            continue
+        got = _count_rows(_tier_path(root, tier, epoch))
+        rows.append(
+            (tier, epoch, int(want), got, "ok" if got == want else "mismatch")
+        )
+    for tier, epoch in sorted(seen_dirs - set(exp)):
+        rows.append((tier, epoch, None, _count_rows(_tier_path(root, tier, epoch)), "orphan"))
+
+    schema = T.StructType(
+        [
+            T.StructField("tier", T.StringType(), False),
+            T.StructField("epoch", T.LongType(), False),
+            T.StructField("expected_points", T.LongType(), True),
+            T.StructField("actual_points", T.LongType(), True),
+            T.StructField("status", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

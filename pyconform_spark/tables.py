@@ -78,5 +78,9 @@ LINEAGE_SCHEMA = T.StructType(
         # non-null only for rows committed by refresh_late: the
         # idempotency key that makes streaming refresh exactly-once
         T.StructField("refresh_marker", T.StringType(), True),
+        # monotone per-store commit ordinal: the LATEST generation per
+        # (tier, epoch) is the current truth (refreshes re-commit an
+        # epoch's lineage); verify_store audits against it
+        T.StructField("commit_seq", T.LongType(), False),
     ]
 )

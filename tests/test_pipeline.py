@@ -332,3 +332,48 @@ def test_late_refresh_creates_new_epochs(spark, tx, tmp_path):
     for tier in pipeline.TIER_ORDER:
         got = _tier_rows(pipeline.read_tier(spark, root, tier))
         assert got == _tier_rows(direct[tier]), tier
+
+
+def test_verify_store_audits_clean_corrupt_and_orphan(spark, tx, tmp_path):
+    """verify_store: clean store (incl. a late refresh) is all-ok;
+    a deleted data file flips that epoch to mismatch/missing; an
+    uncommitted dir shows as orphan."""
+    import os
+
+    root = str(tmp_path / "audit")
+    epochs = pipeline.list_epochs(tx)
+    hot = epochs[-1]
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    late = tx.where((day == hot) & (F.abs(F.hash("conv_id", "turn_idx")) % 7 == 0))
+    pipeline.run_batch(spark, tx.subtract(late), root)
+    pipeline.refresh_late(spark, late, root)
+
+    audit = pipeline.verify_store(spark, root).collect()
+    assert len(audit) == 3 * len(epochs)
+    assert all(r.status == "ok" for r in audit), [
+        (r.tier, r.epoch, r.status) for r in audit if r.status != "ok"
+    ]
+
+    # corruption: remove one parquet part from a committed 1m epoch
+    victim = os.path.join(root, "tiers", "1m", f"epoch={epochs[0]}")
+    parts = [f for f in os.listdir(victim) if f.endswith(".parquet")]
+    os.remove(os.path.join(victim, parts[0]))
+    # orphan: a data dir that never got lineage
+    orphan = os.path.join(root, "tiers", "1d", "epoch=99999")
+    os.makedirs(orphan)
+    spark.range(3).withColumn("bucket_start", F.current_timestamp()).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+
+    remaining = [f for f in os.listdir(victim) if f.endswith(".parquet")]
+    audit2 = {(r.tier, r.epoch): r for r in pipeline.verify_store(spark, root).collect()}
+    bad = audit2[("1m", epochs[0])]
+    if remaining:  # partial loss -> count disagrees
+        assert bad.status == "mismatch"
+        assert bad.actual_points < bad.expected_points
+    else:  # the only part vanished -> whole epoch gone
+        assert bad.status == "missing"
+    assert audit2[("1d", 99999)].status == "orphan"
+    assert audit2[("1h", epochs[0])].status == "ok"
