@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": Q.counter_rate,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
+        "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,
         "ewma_smooth": Q.ewma_smooth,
         "slo_burn_rate": Q.slo_burn_rate,
         "lttb_downsample": Q.lttb_downsample,

@@ -1445,3 +1445,6 @@ LEFT OUTER JOIN hits h
  AND p.event_id = h.event_id
 LEFT OUTER JOIN exact x ON p.user_id = x.user_id
 """
+
+# the chunked variant must be row-identical to the sequential one
+ORACLES["anomaly_zscore_chunked"] = ORACLES["anomaly_zscore"]

@@ -2433,3 +2433,117 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_pass",
         F.coalesce(F.col("exact_member"), F.lit(False)).alias("exact_member"),
     )
+
+
+def anomaly_zscore_chunked(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 20,
+    threshold: float = 3.0,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Skew-parallel rolling z-score: IDENTICAL semantics to
+    anomaly_zscore (it registers the SAME oracle), but a hot series no
+    longer serializes through one task — the north-star "explicit
+    skew-split for hot conversations" applied to windows, not just
+    joins/aggs.
+
+    How: rows partition into time chunks; each chunk additionally
+    BORROWS the nearest ``window - 1`` earlier rows of its series
+    (ranked across ALL previous chunks, so sparse chunks still hand
+    complete context forward); the trailing window then runs
+    partitioned by (series, chunk) — a hot conversation spreads over
+    #chunks tasks — and borrowed rows are dropped from the output.
+    The borrow set is exact: a trailing ROWS window never needs more
+    than window-1 predecessors, so chunked output == sequential output
+    row-for-row (the driver checks this against the very same DuckDB
+    oracle as the sequential query).
+
+    Cost: the tails table is ≤ (window-1) rows per (series, chunk);
+    fanning it to later chunks is quadratic in chunks-per-series,
+    which retention bounds (e.g. 90 daily chunks) — negligible next
+    to the raw scan.  Plan-gated: every exchange/sort partitions on
+    (series, chunk), never on the series alone."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        (
+            F.col("ts").cast("timestamp").cast("long") / chunk_seconds
+        ).cast("long").alias("chunk"),
+    )
+    wd = Window.partitionBy(*EKEYS, "chunk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tails = (
+        df.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= window - 1)
+        .select(*EKEYS, "chunk", "ts", "event_id", "value", "vq")
+    )
+    chunks = df.select(*EKEYS, F.col("chunk").alias("_target")).distinct()
+    cand = tails.join(
+        chunks,
+        (tails.user_id == chunks.user_id)
+        & (tails.event_type == chunks.event_type)
+        & (tails.chunk < chunks["_target"]),
+    ).select(
+        tails.user_id,
+        tails.event_type,
+        F.col("_target"),
+        tails.ts,
+        tails.event_id,
+        tails.value,
+        tails.vq,
+    )
+    wr = Window.partitionBy(*EKEYS, "_target").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    borrowed = (
+        cand.withColumn("_rn2", F.row_number().over(wr))
+        .where(F.col("_rn2") <= window - 1)
+        .select(
+            *EKEYS,
+            F.col("_target").alias("chunk"),
+            "ts",
+            "event_id",
+            "value",
+            "vq",
+            F.lit(True).alias("_borrowed"),
+        )
+    )
+    u = df.select(
+        *EKEYS, "chunk", "ts", "event_id", "value", "vq",
+        F.lit(False).alias("_borrowed"),
+    ).unionByName(borrowed)
+    w = (
+        Window.partitionBy(*EKEYS, "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("vq").over(w)
+    q = F.sum(F.col("vq") * F.col("vq")).over(w)
+    staged = u.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        "_borrowed",
+        (n * F.col("vq") - s).alias("_num"),
+        (n * (n * q - s * s)).alias("_varnum"),
+        (n - 1).alias("_nm1"),
+    ).where(~F.col("_borrowed"))
+    den = F.sqrt(F.col("_varnum") / F.col("_nm1"))
+    z = F.when(
+        (F.col("_nm1") > 0) & (F.col("_varnum") > 0), F.col("_num") / den
+    )
+    return staged.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -499,3 +499,18 @@ def test_histogram_quantile_single_raw_derivation(spark):
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_chunked_zscore_partitions_windows_on_series_and_chunk(spark):
+    """Skew-split windows: every Sort in the chunked z-score plan
+    partitions on (user_id, event_type, chunk/_target) — a hot series
+    spreads across chunk tasks; no sort keys on the bare series."""
+    import re
+
+    plan = plan_of(Q.anomaly_zscore_chunked(spark, SF))
+    # the detail section prints each Sort's partition expressions via
+    # the preceding hashpartitioning exchange
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected hash partitioned exchanges"
+    for p in parts:
+        assert "chunk" in p or "_target" in p, p

@@ -201,3 +201,23 @@ def test_flatline_band_runs_hand_computed(spark, tmp_path):
     )
     # bands: [1,1, 2, 9,9,9] -> runs >=2: band 1 (len 2), band 9 (len 3)
     assert [(r.band_low, r.run_len) for r in out] == [(10, 2), (90, 3)]
+
+
+def test_chunked_zscore_equals_sequential_at_any_chunk_width(spark):
+    """The skew-split window borrows complete context across chunk
+    boundaries: output is row-identical to the sequential query even
+    when chunks are far sparser than the window (1-day chunks over
+    series with <1 row/day)."""
+    sf = "/root/testdata/sf0.001"
+    seq = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in Q.anomaly_zscore(spark, sf).collect()
+    }
+    for cs in (86400, 7 * 86400):
+        ch = {
+            r.event_id: (r.zscore, r.is_anomaly)
+            for r in Q.anomaly_zscore_chunked(
+                spark, sf, chunk_seconds=cs
+            ).collect()
+        }
+        assert ch == seq, cs
