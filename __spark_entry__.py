@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": Q.tpch_q7,
         "tpch_q8": Q.tpch_q8,
         "tpch_q13": Q.tpch_q13,
+        "tpch_q17": Q.tpch_q17,
+        "tpch_q22": Q.tpch_q22,
+        "ohlc_1h": Q.ohlc_1h,
+        "time_weighted_avg_1d": Q.time_weighted_avg_1d,
+        "state_durations": Q.state_durations,
+        "cusum_changepoints": Q.cusum_changepoints,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,

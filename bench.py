@@ -204,9 +204,45 @@ def main() -> None:
         for k, v in saved.items():
             spark.conf.set(k, v)
     convs.unpersist()
-    hot.unpersist()
     times["skew_join_plain"] = round(t_plain, 3)
     times["skew_join_split"] = round(t_split, 3)
+
+    # -- window-skew win, quantified: the same hot conversation under a
+    # per-series rolling window.  Plain rolling z-score serializes the
+    # hot series through ONE task's sort; the chunked variant spreads it
+    # over (series, time-chunk) tasks with exact window borrowing
+    # (row-identical output — both run against the same DuckDB oracle in
+    # the catalog).  Same AQE-off confs isolate the declared strategy.
+    from pyconform_spark import queries as qmod
+
+    zin = hot.select(
+        "conv_id",
+        "ts",
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.length("text").cast("double").alias("value"),
+        F.length("text").cast("long").alias("vq"),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        plain_w = lambda: qmod.rolling_zscore_frame(zin, ["conv_id"])
+        chunk_w = lambda: qmod.rolling_zscore_chunked_frame(
+            zin, ["conv_id"], chunk_seconds=86400
+        )
+        run_noop(plain_w())  # warm both paths
+        run_noop(chunk_w())
+        t0 = time.monotonic()
+        run_noop(plain_w())
+        t_wplain = time.monotonic() - t0
+        t0 = time.monotonic()
+        run_noop(chunk_w())
+        t_wchunk = time.monotonic() - t0
+    finally:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", saved["spark.sql.shuffle.partitions"]
+        )
+    hot.unpersist()
+    times["window_skew_plain"] = round(t_wplain, 3)
+    times["window_skew_chunked"] = round(t_wchunk, 3)
 
     # -- ANN recall, quantified, vs exact brute force at the
     # rule-sized plane count log2(N/B) for target bucket B=64 (5
@@ -282,6 +318,7 @@ def main() -> None:
                 "transcripts_turns": n_turns,
                 "transcripts_throughput_turns_per_sec": round(throughput, 1),
                 "skew_split_speedup": round(t_plain / t_split, 2),
+                "window_skew_speedup": round(t_wplain / t_wchunk, 2),
                 "ann_recall_single_bucket": round(rec_single, 3),
                 "ann_recall_multiprobe": round(rec_probe, 3),
                 "ann_recall_multitable": round(rec_table, 3),

@@ -1448,3 +1448,114 @@ LEFT OUTER JOIN exact x ON p.user_id = x.user_id
 
 # the chunked variant must be row-identical to the sequential one
 ORACLES["anomaly_zscore_chunked"] = ORACLES["anomaly_zscore"]
+
+ORACLES["ohlc_1h"] = f"""
+WITH b AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         ts, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT user_id, event_type, bucket_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_points
+FROM r GROUP BY 1, 2, 3
+"""
+
+ORACLES["time_weighted_avg_1d"] = f"""
+WITH q AS (
+  SELECT user_id, event_type, {_bucket(86400)} AS bucket_start,
+         ts, event_id, floor(value * 100)::BIGINT AS vq, epoch_us(ts) AS us
+  FROM events),
+d AS (
+  SELECT user_id, event_type, bucket_start, vq,
+         lead(us) OVER (PARTITION BY user_id, event_type, bucket_start
+                        ORDER BY ts, event_id) - us AS dt
+  FROM q)
+SELECT user_id, event_type, bucket_start,
+       CASE WHEN coalesce(sum(dt), 0) = 0 THEN NULL
+            ELSE CAST(sum(vq * dt) AS DOUBLE) / CAST(sum(dt) * 100 AS DOUBLE)
+       END AS twa,
+       sum(dt)::BIGINT AS held_us,
+       count(*)::BIGINT AS n_points
+FROM d GROUP BY 1, 2, 3
+"""
+
+ORACLES["state_durations"] = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events),
+d AS (
+  SELECT user_id, event_type,
+         lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) - us AS dt
+  FROM q)
+SELECT user_id, event_type, sum(dt)::BIGINT AS held_us,
+       count(*)::BIGINT AS n_visits
+FROM d WHERE dt IS NOT NULL GROUP BY 1, 2
+"""
+
+ORACLES["cusum_changepoints"] = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         floor(value * 100)::BIGINT - 10500 AS xc
+  FROM events),
+c AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         sum(xc) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM q),
+s AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         (c - least(0, min(c) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+           AS cusum_cu
+  FROM c)
+SELECT user_id, event_type, ts, event_id, value, cusum_cu,
+       cusum_cu > 80000 AS is_alarm
+FROM s
+"""
+
+ORACLES["tpch_q17"] = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size < 15),
+lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pf ON l_partkey = p_partkey),
+a AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+           AS _avg_qty
+  FROM lp GROUP BY 1)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+         / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lp JOIN a USING (l_partkey)
+WHERE l_quantity < CAST(0.2 AS DOUBLE) * _avg_qty
+"""
+
+ORACLES["tpch_q22"] = """
+WITH base AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+a AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+           AS _avg_bal
+  FROM base WHERE c_acctbal > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM base, a
+  WHERE c_acctbal > _avg_bal),
+no_orders AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = rich.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT c_nationkey::BIGINT AS c_nationkey, count(*)::BIGINT AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+FROM no_orders GROUP BY 1
+"""

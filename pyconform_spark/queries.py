@@ -1517,6 +1517,58 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_finish(staged: DataFrame, keys: list, threshold: float) -> DataFrame:
+    """Shared tail of the rolling z-score: turn the exact-integer window
+    sums into the score with exactly one division, one sqrt, and one
+    final division — identical IEEE ops from identical integers on both
+    engines."""
+    den = F.sqrt(F.col("_varnum") / F.col("_nm1"))
+    z = F.when(
+        (F.col("_nm1") > 0) & (F.col("_varnum") > 0), F.col("_num") / den
+    )
+    return staged.select(
+        *keys,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def rolling_zscore_frame(
+    df: DataFrame, keys: list, window: int = 20, threshold: float = 3.0
+) -> DataFrame:
+    """Rolling z-score core over any keyed frame carrying columns
+    ``keys…, ts, event_id, value, vq`` (``vq`` = pre-quantized BIGINT
+    value).  Each sample is scored against the trailing ``window``
+    samples of its own series:
+
+        z = (n*v - S) / sqrt(n * (n*Q - S*S) / (n - 1))
+
+    with S/Q exact integer window sums.  Scale shape: ONE window sort
+    per series partition (parallel across series, never global); the
+    three window aggregates share that sort."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("vq").over(w)
+    q = F.sum(F.col("vq") * F.col("vq")).over(w)
+    staged = df.select(
+        *keys,
+        "ts",
+        "event_id",
+        "value",
+        (n * F.col("vq") - s).alias("_num"),
+        (n * (n * q - s * s)).alias("_varnum"),
+        (n - 1).alias("_nm1"),
+    )
+    return _zscore_finish(staged, keys, threshold)
+
+
 def anomaly_zscore(
     spark: SparkSession, sf_dir: str, window: int = 20, threshold: float = 3.0
 ) -> DataFrame:
@@ -1527,15 +1579,8 @@ def anomaly_zscore(
     globally).
 
     Cross-engine exactness: values quantize to centi-units (BIGINT),
-    the window sum S and sum-of-squares Q are exact integers, and
-
-        z = (n*v - S) / sqrt(n * (n*Q - S*S) / (n - 1))
-
-    is evaluated with exactly one division, one sqrt, and one final
-    division — identical IEEE ops from identical integers on both
-    engines.  Scale shape: ONE window sort per series partition
-    (parallel across series, never global); the three window
-    aggregates share that sort."""
+    the window sum S and sum-of-squares Q are exact integers; see
+    rolling_zscore_frame for the score algebra and scale shape."""
     df = _events(spark, sf_dir).select(
         *EKEYS,
         "ts",
@@ -1543,35 +1588,7 @@ def anomaly_zscore(
         "value",
         F.floor(F.col("value") * 100).cast("long").alias("vq"),
     )
-    w = (
-        Window.partitionBy(*EKEYS)
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(window - 1), 0)
-    )
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum("vq").over(w)
-    q = F.sum(F.col("vq") * F.col("vq")).over(w)
-    staged = df.select(
-        *EKEYS,
-        "ts",
-        "event_id",
-        "value",
-        (n * F.col("vq") - s).alias("_num"),
-        (n * (n * q - s * s)).alias("_varnum"),
-        (n - 1).alias("_nm1"),
-    )
-    den = F.sqrt(F.col("_varnum") / F.col("_nm1"))
-    z = F.when(
-        (F.col("_nm1") > 0) & (F.col("_varnum") > 0), F.col("_num") / den
-    )
-    return staged.select(
-        *EKEYS,
-        "ts",
-        F.col("event_id").cast("long").alias("event_id"),
-        "value",
-        z.alias("zscore"),
-        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
-    )
+    return rolling_zscore_frame(df, EKEYS, window=window, threshold=threshold)
 
 
 def ewma_smooth(spark: SparkSession, sf_dir: str, span: int = 16) -> DataFrame:
@@ -2470,41 +2487,70 @@ def anomaly_zscore_chunked(
         "event_id",
         "value",
         F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    return rolling_zscore_chunked_frame(
+        df,
+        EKEYS,
+        window=window,
+        threshold=threshold,
+        chunk_seconds=chunk_seconds,
+    )
+
+
+def rolling_zscore_chunked_frame(
+    df: DataFrame,
+    keys: list,
+    window: int = 20,
+    threshold: float = 3.0,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Skew-parallel core behind anomaly_zscore_chunked, over any keyed
+    frame carrying ``keys…, ts, event_id, value, vq`` — series are cut
+    into time chunks, each chunk borrows its nearest ``window - 1``
+    predecessors from ALL earlier chunks, the trailing window runs
+    partitioned by (series, chunk), and borrowed rows are dropped, so
+    the output is row-identical to rolling_zscore_frame while a hot
+    series spreads over #chunks tasks."""
+    base = df.select(
+        *keys,
+        "ts",
+        "event_id",
+        "value",
+        "vq",
         (
             F.col("ts").cast("timestamp").cast("long") / chunk_seconds
         ).cast("long").alias("chunk"),
     )
-    wd = Window.partitionBy(*EKEYS, "chunk").orderBy(
+    wd = Window.partitionBy(*keys, "chunk").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
     tails = (
-        df.withColumn("_rn", F.row_number().over(wd))
+        base.withColumn("_rn", F.row_number().over(wd))
         .where(F.col("_rn") <= window - 1)
-        .select(*EKEYS, "chunk", "ts", "event_id", "value", "vq")
+        .select(*keys, "chunk", "ts", "event_id", "value", "vq")
+    ).alias("t")
+    chunks = (
+        base.select(*keys, F.col("chunk").alias("_target")).distinct().alias("c")
     )
-    chunks = df.select(*EKEYS, F.col("chunk").alias("_target")).distinct()
-    cand = tails.join(
-        chunks,
-        (tails.user_id == chunks.user_id)
-        & (tails.event_type == chunks.event_type)
-        & (tails.chunk < chunks["_target"]),
-    ).select(
-        tails.user_id,
-        tails.event_type,
-        F.col("_target"),
-        tails.ts,
-        tails.event_id,
-        tails.value,
-        tails.vq,
+    cond = F.col("t.chunk") < F.col("c._target")
+    for k in keys:
+        cond = (F.col(f"t.{k}") == F.col(f"c.{k}")) & cond
+    cand = tails.join(chunks, cond).select(
+        *[F.col(f"t.{k}") for k in keys],
+        F.col("c._target").alias("_target"),
+        F.col("t.ts").alias("ts"),
+        F.col("t.event_id").alias("event_id"),
+        F.col("t.value").alias("value"),
+        F.col("t.vq").alias("vq"),
     )
-    wr = Window.partitionBy(*EKEYS, "_target").orderBy(
+    wr = Window.partitionBy(*keys, "_target").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
     borrowed = (
         cand.withColumn("_rn2", F.row_number().over(wr))
         .where(F.col("_rn2") <= window - 1)
         .select(
-            *EKEYS,
+            *keys,
             F.col("_target").alias("chunk"),
             "ts",
             "event_id",
@@ -2513,12 +2559,12 @@ def anomaly_zscore_chunked(
             F.lit(True).alias("_borrowed"),
         )
     )
-    u = df.select(
-        *EKEYS, "chunk", "ts", "event_id", "value", "vq",
+    u = base.select(
+        *keys, "chunk", "ts", "event_id", "value", "vq",
         F.lit(False).alias("_borrowed"),
     ).unionByName(borrowed)
     w = (
-        Window.partitionBy(*EKEYS, "chunk")
+        Window.partitionBy(*keys, "chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(-(window - 1), 0)
     )
@@ -2526,7 +2572,7 @@ def anomaly_zscore_chunked(
     s = F.sum("vq").over(w)
     q = F.sum(F.col("vq") * F.col("vq")).over(w)
     staged = u.select(
-        *EKEYS,
+        *keys,
         "ts",
         "event_id",
         "value",
@@ -2535,15 +2581,239 @@ def anomaly_zscore_chunked(
         (n * (n * q - s * s)).alias("_varnum"),
         (n - 1).alias("_nm1"),
     ).where(~F.col("_borrowed"))
-    den = F.sqrt(F.col("_varnum") / F.col("_nm1"))
-    z = F.when(
-        (F.col("_nm1") > 0) & (F.col("_varnum") > 0), F.col("_num") / den
+    return _zscore_finish(staged, keys, threshold)
+
+
+def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (series, hour): open/close are the
+    values at the first/last sample of the bucket under the total
+    (ts, event_id) order; high/low are the bucket extremes (the classic
+    financial downsample; reference analog: the min/max/first-sample
+    reductions of commonfunctions.py per time bucket).
+
+    Cross-engine exactness: every output is a PICK or min/max of an
+    existing double — zero arithmetic beyond the bucket floor.
+
+    Scale shape: min_by/max_by over a struct ordering key makes the
+    whole bar ONE partial+final aggregate with map-side combine — the
+    shuffle carries one row per bar, not per sample.  Spark plans the
+    agg sort-based (struct buffers aren't hash-aggregable), but the
+    sorts are by bare grouping keys inside each task; there is no
+    Window node and no per-sample rank materialization, unlike the
+    naive row_number formulation."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        bucket_ts(F.col("ts"), 3600).alias("bucket_start"),
     )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return df.groupBy(*EKEYS, "bucket_start").agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def time_weighted_avg_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per (series, day): each sample holds
+    its value until the NEXT sample of the same series inside the same
+    bucket, so twa = sum(v_i * dt_i) / sum(dt_i) over intra-bucket
+    deltas (the TimescaleDB time_weight('LOCF') hyperfunction shape;
+    buckets with a single sample have no held interval -> NULL).
+
+    Cross-engine exactness: values quantize to centi-units (BIGINT),
+    deltas are exact epoch-microsecond BIGINTs, so both window sums are
+    exact integers and twa is ONE double division.
+
+    Scale shape: one window sort per (series, day) partition for the
+    lead(), then a hash aggregate; day-keyed partitions keep a hot
+    series parallel across its retention span."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        bucket_ts(F.col("ts"), 86400).alias("bucket_start"),
+    )
+    w = Window.partitionBy(*EKEYS, "bucket_start").orderBy("ts", "event_id")
+    dt = F.lead("us").over(w) - F.col("us")
+    staged = df.select(*EKEYS, "bucket_start", "vq", dt.alias("dt"))
+    return staged.groupBy(*EKEYS, "bucket_start").agg(
+        F.try_divide(
+            F.sum(F.col("vq") * F.col("dt")).cast("double"),
+            (F.sum("dt") * F.lit(100).cast("long")).cast("double"),
+        ).alias("twa"),
+        F.sum("dt").alias("held_us"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-in-state per user: each event puts its user into state
+    ``event_type`` until the user's NEXT event (any type); total held
+    time and visit count aggregate per (user, state) — the TimescaleDB
+    state_agg / compact-state-timeline shape over the event stream.
+
+    Cross-engine exactness: durations are exact epoch-microsecond
+    BIGINT differences; sums are exact integer aggregates.  The last
+    event of each user holds no interval and is excluded.
+
+    Scale shape: one window sort per user partition (lead only), then
+    a hash aggregate on (user, state); no global sort, no join."""
+    df = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead("us").over(w) - F.col("us")
+    staged = df.select("user_id", "event_type", dt.alias("dt")).where(
+        F.col("dt").isNotNull()
+    )
+    return staged.groupBy("user_id", "event_type").agg(
+        F.sum("dt").alias("held_us"),
+        F.count(F.lit(1)).alias("n_visits"),
+    )
+
+
+def cusum_changepoints(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cu: int = 10_000,
+    slack_cu: int = 500,
+    h_cu: int = 80_000,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per series: the classic
+    S_i = max(0, S_{i-1} + (x_i - target - slack)) recursion, alarming
+    when S crosses ``h`` (Page's test — the streaming changepoint
+    rule).  The recursion is NOT window-expressible directly, but has
+    the exact closed form
+
+        S_i = C_i - least(0, min(C_1..C_i))
+
+    with C the running sum of the centered increments — two window
+    aggregates sharing ONE sort, fully parallel across series.
+
+    Cross-engine exactness: increments are exact centi-unit BIGINTs
+    (x_i = vq - target_cu - slack_cu), so C, the running min, S, and
+    the alarm compare are all exact integer ops.
+
+    Scale shape: one window sort per series partition; both running
+    aggregates ride it; no join, no global sort."""
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            - F.lit(target_cu + slack_cu)
+        ).alias("xc"),
+    )
+    w = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.sum("xc").over(w)
+    # window-over-window needs a materialized stage: compute C once,
+    # then the running min of C over the same order
+    staged = df.select(*EKEYS, "ts", "event_id", "value", c.alias("c"))
+    w2 = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.col("c") - F.least(F.lit(0).cast("long"), F.min("c").over(w2))
     return staged.select(
         *EKEYS,
         "ts",
         F.col("event_id").cast("long").alias("event_id"),
         "value",
-        z.alias("zscore"),
-        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+        s.alias("cusum_cu"),
+        (s > h_cu).alias("is_alarm"),
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the graft
+    schema: the classic correlated scalar subquery
+
+        l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE same part)
+
+    decorrelated into aggregate-then-join.  Part filter adapted to the
+    available columns (p_brand = 'Brand#23' AND p_size < 15; the graft
+    parquet has no p_container).
+
+    Cross-engine exactness: the per-part average is a DECIMAL sum with
+    ONE double division, 0.2*avg is one IEEE multiply, and the final
+    yearly average is a DECIMAL revenue sum with one division by 7.0.
+
+    Scale shape: the part filter broadcasts (tiny dim); the per-part
+    average is a hash agg over the semi-joined lineitem subset only —
+    never over the full fact table; the final join is part-keyed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pf = part.where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    lp = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = lp.groupBy("l_partkey").agg(
+        (
+            _dec_sum("l_quantity").cast("double") / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        lp.join(avgq, ["l_partkey"])
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            (_dec_sum("l_extendedprice").cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the graft
+    schema: customers from a fixed nation set with above-average
+    positive balances and NO urgent order, grouped by nation (the
+    phone country code of the original maps to c_nationkey and the
+    seven-year no-order window maps to the 1-URGENT priority class —
+    the graft parquet has no c_phone and every customer has orders).
+
+    Cross-engine exactness: the average balance is a DECIMAL sum with
+    ONE double division; the compare and per-group totals ride the
+    same DECIMAL->double path.
+
+    Scale shape: the scalar average broadcasts (1 row); the NOT EXISTS
+    is a left-anti shuffle join on custkey; one final hash agg."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    base = cust.where(F.col("c_nationkey").isin(nations))
+    avg_bal = base.where(F.col("c_acctbal") > 0).agg(
+        (
+            _dec_sum("c_acctbal").cast("double") / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    rich = (
+        base.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(
+        F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dec_sum("c_acctbal").cast("double").alias("totacctbal"),
     )

@@ -70,6 +70,8 @@ def compare(got: pd.DataFrame, exp: pd.DataFrame) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    # optional 4th arg: comma-separated subset of query names to check
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from pyconform_spark.session import get_spark
 
@@ -91,6 +93,8 @@ def main() -> int:
     report: dict = {}
     n_bad = 0
     for name in sorted(qmap):
+        if only is not None and name not in only:
+            continue
         try:
             got = qmap[name](spark, sf_dir).toPandas()
             sql = omap.get(name)

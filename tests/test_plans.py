@@ -514,3 +514,62 @@ def test_chunked_zscore_partitions_windows_on_series_and_chunk(spark):
     assert parts, "expected hash partitioned exchanges"
     for p in parts:
         assert "chunk" in p or "_target" in p, p
+
+
+def test_ohlc_is_one_agg_map_side_combined_no_window(spark):
+    """OHLC via min_by/max_by over a struct ordering key must plan ONE
+    partial+final aggregate with map-side combine (the shuffle carries
+    one row per bar) and NO Window node — Spark picks SortAggregate
+    for the struct buffer, but both sorts are by bare grouping keys,
+    never a per-sample rank like the row_number formulation."""
+    plan = plan_of(Q.ohlc_1h(spark, SF))
+    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "SortAggregate") == 2
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_cusum_two_running_aggs_one_sort(spark):
+    """The CUSUM closed form (running sum, then running min of it)
+    must reuse ONE sort per series partition: two Window nodes are
+    fine, but only one Sort and one Exchange — the second window's
+    (partition, order) matches the first's output layout."""
+    plan = plan_of(Q.cusum_changepoints(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_twa_and_state_durations_window_then_agg(spark):
+    """lead() then groupBy: one window sort feeding a partial+final
+    hash agg; state_durations' agg keys (user, state) co-partition
+    with the window's user partition so only ONE exchange appears in
+    its plan."""
+    plan = plan_of(Q.state_durations(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "partial_sum" in plan
+    plan2 = plan_of(Q.time_weighted_avg_1d(spark, SF))
+    assert count_nodes(plan2, "Sort") == 1
+    assert "partial_sum" in plan2
+
+
+def test_tpch_q17_broadcasts_part_filter_aggregates_subset_only(spark):
+    """The per-part average must aggregate the semi-joined lineitem
+    subset (scan→broadcast-join→agg), never the full fact table, and
+    the part filter side must broadcast."""
+    plan = plan_of(Q.tpch_q17(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    # part filter is pushed to the part scan
+    scan = plan[plan.index("Scan parquet") :]
+    assert "Brand#23" in plan
+
+
+def test_tpch_q22_anti_join_scalar_broadcast(spark):
+    """The NOT-EXISTS compiles to a left-anti join and the 1-row
+    average balance broadcasts; the urgent-order filter reaches the
+    orders scan."""
+    plan = plan_of(Q.tpch_q22(spark, SF))
+    assert "LeftAnti" in plan or "left_anti" in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row scalar cross join
+    assert "1-URGENT" in plan
