@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_1d": Q.time_weighted_avg_1d,
         "state_durations": Q.state_durations,
         "cusum_changepoints": Q.cusum_changepoints,
+        "transition_matrix": Q.transition_matrix,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,

@@ -1559,3 +1559,17 @@ SELECT c_nationkey::BIGINT AS c_nationkey, count(*)::BIGINT AS numcust,
        CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
 FROM no_orders GROUP BY 1
 """
+
+ORACLES["transition_matrix"] = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT lag(event_type) OVER w AS prev_state,
+         event_type AS curr_state,
+         us - lag(us) OVER w AS lat_us
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_state, curr_state, count(*)::BIGINT AS n_transitions,
+       sum(lat_us)::BIGINT AS latency_us_sum,
+       CAST(sum(lat_us) AS DOUBLE) / count(*) AS latency_us_mean
+FROM l WHERE prev_state IS NOT NULL GROUP BY 1, 2
+"""

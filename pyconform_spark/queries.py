@@ -2817,3 +2817,19 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         _dec_sum("c_acctbal").cast("double").alias("totacctbal"),
     )
+
+
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of each user's event stream: counts and
+    latency stats for every ordered (prev_type -> curr_type) pair (the
+    events-table twin of operators.convstats.response_latency over
+    transcripts; see that module for the scale/exactness story)."""
+    from pyconform_spark.operators import convstats
+
+    return convstats.transition_matrix(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        order_cols=["event_id"],
+    )
