@@ -207,21 +207,33 @@ def main() -> None:
     times["skew_join_plain"] = round(t_plain, 3)
     times["skew_join_split"] = round(t_split, 3)
 
-    # -- window-skew win, quantified: the same hot conversation under a
+    # -- window-skew win, quantified: a hot conversation under a
     # per-series rolling window.  Plain rolling z-score serializes the
     # hot series through ONE task's sort; the chunked variant spreads it
     # over (series, time-chunk) tasks with exact window borrowing
     # (row-identical output — both run against the same DuckDB oracle in
-    # the catalog).  Same AQE-off confs isolate the declared strategy.
+    # the catalog).  The hot conv's timestamps spread uniformly over 30
+    # days — the realistic shape (a conversation's turns are sequential
+    # in time; the merged-key `hot` frame above instead piles every
+    # conv's first minutes onto the same wall-clock hour, a time
+    # concentration no TIME-keyed split can break).
     from pyconform_spark import queries as qmod
 
-    zin = hot.select(
-        "conv_id",
-        "ts",
-        F.col("turn_idx").cast("long").alias("event_id"),
+    is_hot = F.col("turn_idx") % 10 < 9
+    spread = F.timestamp_seconds(
+        F.lit(synth.BASE_EPOCH)
+        + F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(30 * 86400))
+    ).cast("timestamp_ntz")
+    zin = skew_src.select(
+        F.when(is_hot, F.lit("conv-HOT"))
+        .otherwise(F.col("conv_id"))
+        .alias("conv_id"),
+        F.when(is_hot, spread).otherwise(F.col("ts")).alias("ts"),
+        F.xxhash64("conv_id", "turn_idx").alias("event_id"),
         F.length("text").cast("double").alias("value"),
         F.length("text").cast("long").alias("vq"),
     )
+    zin.persist().count()
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     try:
         plain_w = lambda: qmod.rolling_zscore_frame(zin, ["conv_id"])
@@ -240,6 +252,7 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.shuffle.partitions", saved["spark.sql.shuffle.partitions"]
         )
+    zin.unpersist()
     hot.unpersist()
     times["window_skew_plain"] = round(t_wplain, 3)
     times["window_skew_chunked"] = round(t_wchunk, 3)
