@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations": Q.state_durations,
         "cusum_changepoints": Q.cusum_changepoints,
         "transition_matrix": Q.transition_matrix,
+        "heartbeat_uptime": Q.heartbeat_uptime,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,

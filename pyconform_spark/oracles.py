@@ -1573,3 +1573,20 @@ SELECT prev_state, curr_state, count(*)::BIGINT AS n_transitions,
        CAST(sum(lat_us) AS DOUBLE) / count(*) AS latency_us_mean
 FROM l WHERE prev_state IS NOT NULL GROUP BY 1, 2
 """
+
+ORACLES["heartbeat_uptime"] = """
+WITH q AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+d AS (
+  SELECT user_id,
+         lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) - us AS dt
+  FROM q)
+SELECT user_id,
+       (coalesce(sum(least(dt, 21600000000)), 0) + 21600000000)::BIGINT
+         AS live_us,
+       coalesce(sum(greatest(dt - 21600000000, 0)), 0)::BIGINT AS dead_us,
+       coalesce(sum(CASE WHEN dt > 21600000000 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_outages,
+       count(*)::BIGINT AS n_heartbeats
+FROM d GROUP BY 1
+"""

@@ -2833,3 +2833,47 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         order_cols=["event_id"],
     )
+
+
+def heartbeat_uptime(
+    spark: SparkSession, sf_dir: str, liveness_s: int = 21_600
+) -> DataFrame:
+    """Heartbeat liveness accounting per user (TimescaleDB
+    heartbeat_agg analog): every event is a heartbeat that keeps its
+    user "live" for ``liveness_s``; consecutive heartbeats within the
+    window chain into continuous uptime, longer silences split into
+    (liveness window of uptime) + (the remainder as downtime).  Per
+    user: total live/dead micros across the observed extent (trailing
+    liveness after the last heartbeat included), outage count.
+
+    Cross-engine exactness: all terms are least/greatest of exact
+    epoch-microsecond BIGINT differences; sums are exact integers.
+
+    Scale shape: one window sort per user partition (lead only), one
+    hash aggregate; no join, no global sort."""
+    lw = liveness_s * 1_000_000
+    df = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead("us").over(w) - F.col("us")
+    staged = df.select("user_id", dt.alias("dt"))
+    return staged.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.least(F.col("dt"), F.lit(lw).cast("long"))), F.lit(0)
+            )
+            + F.lit(lw)
+        ).alias("live_us"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("dt") - F.lit(lw), F.lit(0).cast("long"))),
+            F.lit(0),
+        ).alias("dead_us"),
+        F.coalesce(
+            F.sum((F.col("dt") > F.lit(lw)).cast("long")), F.lit(0)
+        ).alias("n_outages"),
+        F.count(F.lit(1)).alias("n_heartbeats"),
+    )
