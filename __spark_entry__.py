@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": Q.cusum_changepoints,
         "transition_matrix": Q.transition_matrix,
         "heartbeat_uptime": Q.heartbeat_uptime,
+        "realtime_rollup_1h": Q.realtime_rollup_1h,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,

@@ -1590,3 +1590,11 @@ SELECT user_id,
        count(*)::BIGINT AS n_heartbeats
 FROM d GROUP BY 1
 """
+
+# materialized + raw-tail union must equal the direct full rollup
+ORACLES["realtime_rollup_1h"] = f"""
+SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2, 3
+"""

@@ -2877,3 +2877,43 @@ def heartbeat_uptime(
         ).alias("n_outages"),
         F.count(F.lit(1)).alias("n_heartbeats"),
     )
+
+
+def realtime_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (TimescaleDB real-time caggs):
+    the query unions the MATERIALIZED tier (everything up to the last
+    refresh watermark — here simulated by aggregating rows with
+    ts < watermark, which is what pipeline's committed tier holds) with
+    an on-the-fly aggregation of the raw tail AFTER the watermark, so
+    readers always see current data without waiting for a refresh.
+    The oracle rolls up the whole table directly — agreement proves
+    materialized + tail is exactly the full aggregate (buckets never
+    straddle the watermark because it is bucket-aligned).
+
+    Scale shape: two scans with disjoint pushed ts predicates (the
+    materialized side reads the tiny tier table in the store; this
+    query form proves semantics with an oracle), each an independent
+    partial+final hash agg; the union adds no shuffle."""
+    df = _events(spark, sf_dir)
+    watermark = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+
+    def agg(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy(
+                *EKEYS, bucket_ts(F.col("ts"), 3600).alias("bucket_start")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _dec_sum("value").alias("_vs"),
+            )
+            .select(
+                *EKEYS,
+                "bucket_start",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("_vs").cast("double").alias("value_sum"),
+            )
+        )
+
+    materialized = agg(df.where(F.col("ts") < watermark))
+    tail = agg(df.where(F.col("ts") >= watermark))
+    return materialized.unionByName(tail)

@@ -573,3 +573,18 @@ def test_tpch_q22_anti_join_scalar_broadcast(spark):
     assert "LeftAnti" in plan or "left_anti" in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row scalar cross join
     assert "1-URGENT" in plan
+
+
+def test_realtime_rollup_disjoint_pushed_bands_union_no_shuffle(spark):
+    """Real-time cagg: the materialized band and the raw tail each push
+    their ts predicate to their own scan, aggregate partial+final
+    independently, and the union adds no shuffle."""
+    plan = plan_of(Q.realtime_rollup_1h(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, "Union") == 1
+    import re
+
+    pushed = re.findall(r"PushedFilters: (.*)", plan)
+    assert any("LessThan(ts" in p for p in pushed), pushed
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
