@@ -506,3 +506,48 @@ def stream_anomaly_zscore(stream: DataFrame, window: int = 20,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ohlc(
+    stream: DataFrame, tier: str = "1m", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked OHLC bars over the per-turn text-length series:
+    open/close are the first/last turn's text length in the bucket
+    under the total (ts, turn_idx) order, high/low the extremes — the
+    streaming twin of queries.ohlc_1h's min_by/max_by shape (one
+    watermark-bounded stateful aggregate; state per open bar only).
+
+    Works identically on a batch frame, which is how parity is tested.
+    """
+    t = TIERS[tier]
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark("ts", watermark)
+    text_len = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    okey = F.struct(F.col("ts"), F.col("turn_idx"))
+    win = F.window(F.col("ts"), f"{t.seconds} seconds")
+    agg = (
+        src.select(
+            *SERIES_KEYS,
+            F.col("ts"),
+            F.col("turn_idx"),
+            text_len.alias("v"),
+        )
+        .groupBy(*SERIES_KEYS, win.alias("w"))
+        .agg(
+            F.min_by("v", okey).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return agg.select(
+        *SERIES_KEYS,
+        F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+        F.col("open").cast("long").alias("open"),
+        F.col("high").cast("long").alias("high"),
+        F.col("low").cast("long").alias("low"),
+        F.col("close").cast("long").alias("close"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )

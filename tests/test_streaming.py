@@ -492,3 +492,22 @@ def test_stream_anomaly_zscore_matches_batch_bitwise(spark, tmp_path):
         wz, wa = want[eid]
         assert ga == wa, eid
         assert (gz is None and wz is None) or gz == wz, (eid, gz, wz)
+
+
+def test_stream_ohlc_matches_batch(spark, tx_dir):
+    """OHLC bars computed by a streaming watermarked aggregate must
+    equal the batch min_by/max_by aggregate row-for-row (turn ordering
+    inside a bucket is (ts, turn_idx) in both modes)."""
+    batch = spark.read.parquet(tx_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(tx_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_ohlc(stream, "1m")
+    assert out.isStreaming
+    streaming.run_stream_to_memory(out, "ohlc_stream")
+    got = _rows(spark.table("ohlc_stream"))
+    want = _rows(streaming.stream_ohlc(batch, "1m"))
+    assert len(got) > 100
+    assert got == want
