@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": Q.transition_matrix,
         "heartbeat_uptime": Q.heartbeat_uptime,
         "realtime_rollup_1h": Q.realtime_rollup_1h,
+        "funnel_conversion": Q.funnel_conversion,
+        "cohort_retention": Q.cohort_retention,
         "flatline_detect": Q.flatline_detect,
         "tiered_read": Q.tiered_read,
         "seasonal_baseline": Q.seasonal_baseline,

@@ -1598,3 +1598,38 @@ SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
 FROM events GROUP BY 1, 2, 3
 """
+
+ORACLES["funnel_conversion"] = """
+WITH fs AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT DISTINCT f.user_id
+  FROM fs f JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > f.s_us
+   AND epoch_us(e.ts) <= f.s_us + 604800000000),
+cohorts AS (
+  SELECT make_timestamp(((f.s_us // 1000000) - (f.s_us // 1000000) % 86400)
+           * 1000000) AS cohort_day,
+         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+  FROM fs f LEFT JOIN conv c USING (user_id))
+SELECT cohort_day, count(*)::BIGINT AS n_signups,
+       sum(conv)::BIGINT AS n_converted,
+       CAST(sum(conv) AS DOUBLE) / count(*) AS conversion_rate
+FROM cohorts GROUP BY 1
+"""
+
+ORACLES["cohort_retention"] = f"""
+WITH ev AS (
+  SELECT user_id, {_bucket(86400)} AS day FROM events),
+fd AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_active_users
+FROM active a JOIN fd f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -2917,3 +2917,82 @@ def realtime_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized = agg(df.where(F.col("ts") < watermark))
     tail = agg(df.where(F.col("ts") >= watermark))
     return materialized.unionByName(tail)
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Two-step funnel per signup-day cohort: of the users whose FIRST
+    'signup' fell on day D, how many completed a 'purchase' within
+    ``window_days`` after that first signup (classic product-analytics
+    funnel; the range predicate is the reference's slice-composed
+    read applied to a self-join).
+
+    Cross-engine exactness: counts are exact; the rate is ONE double
+    division.
+
+    Scale shape: first-signup is a hash agg on user; the conversion
+    probe is a shuffle equi-join on user restricted to purchase rows
+    (filter pushed to the scan) with the time range as a residual
+    predicate; one final hash agg per cohort day."""
+    ev = _events(spark, sf_dir)
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_us"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    win_us = window_days * 86400 * 1_000_000
+    converted = (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(win_us)),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("_conv", F.lit(1).cast("long"))
+    )
+    cohorts = first_signup.join(converted, ["user_id"], "left").select(
+        F.timestamp_seconds(
+            (F.col("s_us") / 1_000_000).cast("long")
+            - (F.col("s_us") / 1_000_000).cast("long") % 86400
+        ).cast("timestamp_ntz").alias("cohort_day"),
+        F.coalesce(F.col("_conv"), F.lit(0)).alias("conv"),
+    )
+    return cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("conv").alias("n_converted"),
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    day; for each (cohort day, day offset) the count of cohort members
+    active that day (any event type) — the classic DAU retention
+    matrix, all exact integers.
+
+    Scale shape: first-day is a hash agg on user; activity days are a
+    distinct (user, day) hash agg (both map-side combined); one
+    user-keyed shuffle equi-join; one final hash agg on the pair."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        bucket_ts(F.col("ts"), 86400).alias("day"),
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    joined = active.join(first_day, ["user_id"]).select(
+        "cohort_day",
+        (
+            F.datediff(F.col("day"), F.col("cohort_day"))
+        ).cast("long").alias("day_offset"),
+        "user_id",
+    )
+    return joined.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
