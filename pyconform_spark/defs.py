@@ -989,3 +989,41 @@ def evaluate_agg_defs(
     for name, c in compiled:
         out = _attach_meta(out, name, c)
     return out
+
+
+@register_window_function("delta")
+def _delta_window(args, kwds, window_keys):
+    """``delta(v, t)``: change of v since the series' previous sample
+    along the t order (PromQL delta; the reference's deriv numerator,
+    commonfunctions.py deriv wrappers).  Centi-unit quantization keeps
+    the difference an exact integer; one final division by 100."""
+    from pyspark.sql import Window
+
+    if len(args) != 2:
+        raise DefinitionError("delta(v, t) takes value and order args")
+    v, t = args
+    w = Window.partitionBy(*window_keys).orderBy(t.col)
+    vq = F.floor(v.col.cast("double") * 100).cast("long")
+    d = vq - F.lag(vq).over(w)
+    return Compiled(col=d.cast("double") / F.lit(100.0))
+
+
+@register_window_function("irate")
+def _irate_window(args, kwds, window_keys):
+    """``irate(v, t)``: instantaneous per-second rate of change between
+    the series' last two samples (PromQL irate).  Exact integer
+    centi-delta and micro-delta, composed into ONE division:
+    (dv/100)/(dt/1e6) = dv*10000/dt."""
+    from pyspark.sql import Window
+
+    if len(args) != 2:
+        raise DefinitionError("irate(v, t) takes value and order args")
+    v, t = args
+    w = Window.partitionBy(*window_keys).orderBy(t.col)
+    vq = F.floor(v.col.cast("double") * 100).cast("long")
+    us = F.unix_micros(t.col.cast("timestamp"))
+    dv = vq - F.lag(vq).over(w)
+    dt = us - F.lag(us).over(w)
+    return Compiled(
+        col=F.try_divide((dv * F.lit(10000)).cast("double"), dt.cast("double"))
+    )

@@ -492,3 +492,46 @@ def test_zscore_window_function_matches_query_twin(spark):
     g = {r.event_id: r.z for r in got.collect()}
     w = {r.event_id: r.zscore for r in want.collect()}
     assert g == w
+
+
+def test_delta_and_irate_window_functions_match_duckdb(spark):
+    """`d = delta(value, ts)` / `r = irate(value, ts)` from definition
+    strings equal DuckDB computing the same exact-integer construction
+    on the same parquet."""
+    import duckdb
+    import numpy as np
+
+    from pyconform_spark import defs
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    got = defs.evaluate_defs(
+        df,
+        ["d = delta(value, ts)", "r = irate(value, ts)"],
+        window_keys=("user_id", "event_type"),
+    ).select("event_id", "d", "r").toPandas()
+    exp = duckdb.sql(
+        f"""
+        WITH q AS (
+          SELECT event_id, user_id, event_type, ts,
+                 floor(value * 100)::BIGINT AS vq, epoch_us(ts) AS us
+          FROM read_parquet('{sf}/events.parquet')),
+        l AS (
+          SELECT event_id,
+                 vq - lag(vq) OVER w AS dv,
+                 us - lag(us) OVER w AS dt
+          FROM q WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+        SELECT event_id, CAST(dv AS DOUBLE) / 100.0 AS d,
+               CAST(dv * 10000 AS DOUBLE) / CAST(dt AS DOUBLE) AS r
+        FROM l
+        """
+    ).df()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 500
+    for c in ("d", "r"):
+        g = got[c].to_numpy(dtype=np.float64)
+        e = exp[c].to_numpy(dtype=np.float64)
+        mask = np.isnan(g) | np.isnan(e)
+        assert (np.isnan(g) == np.isnan(e)).all(), c
+        assert (g[~mask].view(np.uint64) == e[~mask].view(np.uint64)).all(), c
