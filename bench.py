@@ -79,6 +79,18 @@ BENCH_QUERIES = [
     "anomaly_zscore",
     "lttb_downsample",
     "slo_burn_rate",
+    # third-session additions: financial/monitoring rollups, event
+    # analytics, and the adapted TPC-H tail
+    "ohlc_1h",
+    "time_weighted_avg_1d",
+    "cusum_changepoints",
+    "heartbeat_uptime",
+    "transition_matrix",
+    "realtime_rollup_1h",
+    "funnel_conversion",
+    "cohort_retention",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -588,3 +588,19 @@ def test_realtime_rollup_disjoint_pushed_bands_union_no_shuffle(spark):
     pushed = re.findall(r"PushedFilters: (.*)", plan)
     assert any("LessThan(ts" in p for p in pushed), pushed
     assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+
+
+def test_funnel_and_cohort_push_filters_no_nested_loop(spark):
+    """Funnel: the signup/purchase type filters must reach their scans
+    (the probe join touches only funnel-relevant rows); cohort: both
+    stages are map-side-combined hash aggs.  Neither may nested-loop."""
+    plan = plan_of(Q.funnel_conversion(spark, SF))
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: (.*)", plan))
+    assert "EqualTo(event_type,signup)" in pushed
+    assert "EqualTo(event_type,purchase)" in pushed
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan2 = plan_of(Q.cohort_retention(spark, SF))
+    assert "partial_count" in plan2 or "partial_min" in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
