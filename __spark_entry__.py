@@ -22,8 +22,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.rollup_1m(spark, "/root/testdata/sf0.001")
 
 
+# The driver's per-round CORRECTNESS file verifies the FIRST 50 entries of
+# queries() (dict insertion order).  Rounds 1-3 always presented the same
+# prefix, so 47 catalog entries never received a driver-side green row.
+# This list rotates them (plus this round's new queries) into the first 50
+# slots; everything else -- long-green since r1/r2 -- follows.  The full
+# catalog is still swept every round via scripts/correctness_sweep.py.
+_DRIVER_FIRST = [
+    # round-4 additions (never verified by anyone yet)
+    "tpch_q21",
+    "tpch_q20",
+    "cmor_tier_1h",
+    "promql_rate_increase",
+    "ewma_chunked_frame",
+    "media_video_props",
+    # never driver-verified before round 4
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
+    "ann_lsh_topk",
+    "bloom_join_prune",
+    "cohort_retention",
+    "curation_pipeline",
+    "cusum_changepoints",
+    "decontaminate_corpus",
+    "dedup_chunks",
+    "dedup_chunks_cdc",
+    "dedup_normalized",
+    "dedup_simhash_pairs",
+    "domain_rebalance",
+    "flatline_detect",
+    "funnel_conversion",
+    "heartbeat_uptime",
+    "hll_tier_merge",
+    "interarrival_stats",
+    "lsh_dup_pairs",
+    "ohlc_1h",
+    "pii_redact",
+    "quality_classifier",
+    "realtime_rollup_1h",
+    "sample_stratified",
+    "seasonal_baseline",
+    "series_correlation",
+    "state_durations",
+    "text_normalize",
+    "text_repetition_signals",
+    "tfidf_top_terms",
+    "tiered_read",
+    "time_weighted_avg_1d",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "transition_matrix",
+    "window_rank_suite",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    catalog = {
         "rollup_1m": Q.rollup_1m,
         "rollup_1h_cascade": Q.rollup_1h_cascade,
         "rollup_1d_cascade": Q.rollup_1d_cascade,
@@ -113,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **textops.register_text_queries(),
         **simsearch.register_sim_queries(),
     }
+    ordered = {k: catalog[k] for k in _DRIVER_FIRST if k in catalog}
+    ordered.update({k: v for k, v in catalog.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
