@@ -28,7 +28,9 @@ only the epochs that intersect it.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -492,97 +494,71 @@ def read_cold_tier(
     return dense
 
 
-def refresh_late(
-    spark: SparkSession, late: DataFrame, root: str, marker: str | None = None
+def _refresh_dirs(root: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(root, "refresh_intents"),
+        os.path.join(root, "refresh_staging"),
+        os.path.join(root, "refresh_trash"),
+    )
+
+
+def _safe_marker(marker: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in marker)
+
+
+def _partition_turn_sum(spark: SparkSession, path: str) -> int | None:
+    """sum(turn_count) of one live epoch partition dir, or None if the
+    partition has no data files.  The refresh fingerprint: every late
+    delta adds >= 1 turn, so pre-merge and post-merge sums ALWAYS
+    differ and classify a partition as published/unpublished exactly."""
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return None
+    row = spark.read.parquet(path).agg(F.sum("turn_count").alias("s")).first()
+    return None if row["s"] is None else int(row["s"])
+
+
+def _swap_in(staged: str, live: str, trash: str) -> None:
+    """Publish one staged partition dir over the live one.  The staged
+    copy is duplicated first (so recovery can always re-publish), the
+    old live dir is moved to trash, and the copy renamed into place —
+    a crash at any point leaves either old-live, missing-live, or
+    new-live, all of which recovery classifies and repairs."""
+    tmp = live + ".publish-tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.dirname(live), exist_ok=True)
+    shutil.copytree(staged, tmp)
+    if os.path.isdir(live):
+        os.makedirs(trash, exist_ok=True)
+        dst = os.path.join(trash, os.path.basename(os.path.dirname(live)) + "-" + os.path.basename(live))
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(live, dst)
+    os.rename(tmp, live)
+
+
+def _commit_refresh_lineage(
+    spark: SparkSession,
+    root: str,
+    marker: str | None,
+    rows: list[dict],
+    seq: int,
 ) -> dict[str, int]:
-    """Incremental continuous-aggregate refresh: merge a batch of LATE
-    (out-of-order) turns into already-committed tiers without
-    recomputing untouched buckets (TimescaleDB's continuous-aggregate
-    refresh semantics, public docs, recast onto the epoch ledger).
-
-    Why this is exact: every tier statistic is an integer SUM
-    (turn_count, text_len_sum) and the derived rate/avg columns are
-    single divisions re-derived after the merge — so
-
-        merge(tier(on_time), tier(late)) == tier(on_time ∪ late)
-
-    bit-for-bit, at every tier, under any partitioning.  The 1h/1d
-    deltas CASCADE from the 1m delta (sums compose), so the late batch
-    is scanned once.
-
-    Why this is incremental: only the day-epochs present in the late
-    batch are read back (partition-pruned scan of
-    ``tiers/<tier>/epoch=<k>``) and only those partitions are
-    rewritten (dynamic partition overwrite).  At 10^12 turns a
-    midnight straggler touches 1-2 epochs, not the table.  On Iceberg
-    this whole function is one MERGE INTO per tier riding a snapshot
-    commit; ``localCheckpoint`` below is the plain-parquet stand-in
-    that breaks the read-own-output cycle the same way Iceberg's
-    snapshot isolation does.
-
-    The lineage append at the end is the commit point, exactly like
-    ``run_batch`` — a crash mid-refresh leaves rewritten-but-
-    uncommitted partitions that the next refresh overwrites
-    idempotently (the merge re-reads what is on disk, so re-applying
-    the SAME late batch after a crash is safe; applying it twice after
-    a successful commit would double-count, which is why callers key
-    late batches by epoch ranges in the lineage, Iceberg's
-    write.wap/branch pattern)."""
-    if marker is not None and marker in applied_refresh_markers(spark, root):
-        return {t: 0 for t in TIER_ORDER}
-    touched = list_epochs(late)
-    if not touched:
-        return {t: 0 for t in TIER_ORDER}
-    seq = _next_commit_seq(spark, root)
-
-    epoch_col = (
-        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
-    ).cast("long")
-
-    from pyconform_spark.tables import TIERS
-
-    written_points: dict[str, int] = {}
+    """The refresh COMMIT: one lineage append covering every published
+    (tier, epoch), carrying the idempotency marker.  Lineage is derived
+    from the files actually on disk (back-read of the touched
+    partitions), so recovery can rebuild it without the original
+    delta."""
+    by_tier: dict[str, list[int]] = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r["epoch"])
+    written_points: dict[str, int] = {t: 0 for t in TIER_ORDER}
     lineage_parts: list[DataFrame] = []
-    delta = None
-    for tier in TIER_ORDER:
-        delta = (
-            rollup.tier_rollup(late, tier)
-            if delta is None
-            else rollup.cascade_rollup(delta, tier)
-        )
+    for tier, eps in by_tier.items():
         base = os.path.join(root, "tiers", tier)
-        d_sums = delta.select(
-            *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
-        )
-        if os.path.isdir(base):
-            existing = (
-                spark.read.parquet(base)
-                .where(F.col("epoch").isin(touched))
-                .select(
-                    *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
-                )
-            )
-            merged_sums = (
-                existing.unionByName(d_sums)
-                .groupBy(*SERIES_KEYS, "bucket_start")
-                .agg(
-                    F.sum("turn_count").alias("turn_count"),
-                    F.sum("text_len_sum").alias("text_len_sum"),
-                )
-            )
-        else:
-            merged_sums = d_sums
-        merged = rollup._finish_tier(merged_sums, TIERS[tier].seconds)
-        merged = merged.withColumn("epoch", epoch_col)
-        # break the read-own-partition cycle before the overwrite
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(base)
-        )
-        back = spark.read.parquet(base).where(F.col("epoch").isin(touched))
+        back = spark.read.parquet(base).where(F.col("epoch").isin(eps))
         written_points[tier] = back.count()
         lineage_parts.append(
             back.select(
@@ -607,15 +583,250 @@ def refresh_late(
                 F.lit(seq).cast("long").alias("commit_seq"),
             )
         )
-        # the next tier cascades from the merged finer DELTA buckets
-        # only — recomputing coarse buckets from scratch would break
-        # incrementality, so instead the coarse delta is the late
-        # batch's own cascade (additivity makes the two equal)
-
     lin_all = lineage_parts[0]
     for extra in lineage_parts[1:]:
         lin_all = lin_all.unionByName(extra)
     lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
+    return written_points
+
+
+def _cleanup_refresh(root: str, marker: str) -> None:
+    idir, sdir, tdir = _refresh_dirs(root)
+    safe = _safe_marker(marker)
+    for p in (
+        os.path.join(idir, safe + ".json"),
+        os.path.join(sdir, safe),
+        os.path.join(tdir, safe),
+    ):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.isfile(p):
+            os.remove(p)
+
+
+def recover_refreshes(spark: SparkSession, root: str) -> list[str]:
+    """Roll FORWARD any refresh that crashed between publishing its
+    first tier partition and committing its lineage marker.
+
+    For every orphaned intent (intent file present, marker absent from
+    the ledger), each (tier, epoch) it covers is classified by the
+    live partition's sum(turn_count) against the intent's recorded
+    fingerprints: ``pre_sum`` => not yet published (swap the retained
+    staged copy in), ``pre_sum + delta_sum`` => already published
+    (leave it), anything else => integrity error (page the operator —
+    the store was mutated outside the protocol).  Then the lineage
+    commit is replayed from the on-disk partitions.  Returns the
+    markers recovered.  Also sweeps staging/trash debris from crashes
+    that never reached the intent write (live store untouched there,
+    so deletion is the whole recovery)."""
+    idir, sdir, tdir = _refresh_dirs(root)
+    recovered: list[str] = []
+    intents = (
+        sorted(f for f in os.listdir(idir) if f.endswith(".json"))
+        if os.path.isdir(idir)
+        else []
+    )
+    if intents:
+        applied = applied_refresh_markers(spark, root)
+        for fn in intents:
+            with open(os.path.join(idir, fn)) as fh:
+                intent = json.load(fh)
+            mk = intent["marker"]
+            if mk in applied:
+                _cleanup_refresh(root, mk)
+                continue
+            seq = _next_commit_seq(spark, root)
+            staging = os.path.join(sdir, _safe_marker(mk))
+            trash = os.path.join(tdir, _safe_marker(mk))
+            for r in intent["rows"]:
+                live = _tier_path(root, r["tier"], r["epoch"])
+                staged = os.path.join(
+                    staging, r["tier"], f"epoch={r['epoch']}"
+                )
+                live_sum = _partition_turn_sum(spark, live)
+                pre = r["pre_sum"]
+                post = (pre or 0) + r["delta_sum"]
+                if live_sum == post:
+                    continue  # this partition already published
+                if live_sum == pre or live_sum is None:
+                    _swap_in(staged, live, trash)
+                else:
+                    raise RuntimeError(
+                        f"refresh recovery: tier={r['tier']} "
+                        f"epoch={r['epoch']} has sum(turn_count)="
+                        f"{live_sum}, expected {pre} (pre-merge) or "
+                        f"{post} (post-merge) — store mutated outside "
+                        f"the refresh protocol"
+                    )
+            _commit_refresh_lineage(spark, root, mk, intent["rows"], seq)
+            _cleanup_refresh(root, mk)
+            recovered.append(mk)
+    # staging/trash dirs with no intent: crashed before the intent
+    # commit => live store untouched => plain debris
+    for base in (sdir, tdir):
+        if not os.path.isdir(base):
+            continue
+        with_intent = {_safe_marker(f[: -len(".json")]) for f in intents}
+        for d in os.listdir(base):
+            if d not in with_intent:
+                shutil.rmtree(os.path.join(base, d))
+    return recovered
+
+
+def refresh_late(
+    spark: SparkSession, late: DataFrame, root: str, marker: str | None = None
+) -> dict[str, int]:
+    """Incremental continuous-aggregate refresh: merge a batch of LATE
+    (out-of-order) turns into already-committed tiers without
+    recomputing untouched buckets (TimescaleDB's continuous-aggregate
+    refresh semantics, public docs, recast onto the epoch ledger).
+
+    Why this is exact: every tier statistic is an integer SUM
+    (turn_count, text_len_sum) and the derived rate/avg columns are
+    single divisions re-derived after the merge — so
+
+        merge(tier(on_time), tier(late)) == tier(on_time ∪ late)
+
+    bit-for-bit, at every tier, under any partitioning.  The 1h/1d
+    deltas CASCADE from the 1m delta (sums compose), so the late batch
+    is scanned once.
+
+    Why this is incremental: only the day-epochs present in the late
+    batch are read back (partition-pruned scan of
+    ``tiers/<tier>/epoch=<k>``) and only those partitions are
+    rewritten.  At 10^12 turns a midnight straggler touches 1-2
+    epochs, not the table.
+
+    Why this is exactly-once (write-audit-publish, the plain-parquet
+    analog of Iceberg's WAP branch pattern — on Iceberg each tier is
+    one MERGE INTO riding a snapshot commit and all of this machinery
+    collapses into the catalog):
+
+    1. **stage** — merged partitions are computed into
+       ``refresh_staging/<marker>/`` while the live tree is untouched
+       (this also breaks the read-own-partition cycle the old
+       in-place overwrite needed a localCheckpoint for);
+    2. **intent** — a JSON intent is atomically renamed into
+       ``refresh_intents/`` recording, per (tier, epoch), the
+       pre-merge and delta ``sum(turn_count)`` fingerprints.  Deltas
+       are strictly positive, so pre != post always;
+    3. **publish** — each staged partition dir is swapped into the
+       live tree (old dir to trash, copy of staged renamed in);
+    4. **commit** — ONE lineage append carrying the marker; then
+       intent/staging/trash are deleted.
+
+    A crash before (2) leaves the live store untouched (debris swept
+    by :func:`recover_refreshes`).  A crash between (2) and (4) is
+    rolled FORWARD at the next refresh: recovery classifies every
+    partition by its fingerprint, finishes publishing from the
+    retained staged copies, and replays the lineage commit — the same
+    additive delta can never be applied twice because a published
+    partition is recognized by its post-merge sum, not re-merged.  A
+    replayed batch after (4) finds its marker in the ledger and is
+    skipped before any work."""
+    os.makedirs(root, exist_ok=True)
+    if marker is not None and marker in applied_refresh_markers(spark, root):
+        return {t: 0 for t in TIER_ORDER}
+    recover_refreshes(spark, root)
+    if marker is not None and marker in applied_refresh_markers(spark, root):
+        # the crashed refresh WAS this batch; recovery just finished it
+        return {t: 0 for t in TIER_ORDER}
+    touched = list_epochs(late)
+    if not touched:
+        return {t: 0 for t in TIER_ORDER}
+    mk = marker if marker is not None else f"auto-{time.time_ns()}"
+    seq = _next_commit_seq(spark, root)
+    idir, sdir, tdir = _refresh_dirs(root)
+    staging = os.path.join(sdir, _safe_marker(mk))
+    trash = os.path.join(tdir, _safe_marker(mk))
+
+    epoch_col = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+
+    from pyconform_spark.tables import TIERS
+
+    # ---- phase 1: stage merged partitions (live tree untouched)
+    intent_rows: list[dict] = []
+    delta = None
+    for tier in TIER_ORDER:
+        delta = (
+            rollup.tier_rollup(late, tier)
+            if delta is None
+            else rollup.cascade_rollup(delta, tier)
+        )
+        base = os.path.join(root, "tiers", tier)
+        d_sums = delta.select(
+            *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+        )
+        pre_sums: dict[int, int] = {}
+        if os.path.isdir(base):
+            live = spark.read.parquet(base).where(F.col("epoch").isin(touched))
+            pre_sums = {
+                int(r["epoch"]): int(r["s"])
+                for r in live.groupBy("epoch")
+                .agg(F.sum("turn_count").alias("s"))
+                .collect()
+            }
+            existing = live.select(
+                *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+            )
+            merged_sums = (
+                existing.unionByName(d_sums)
+                .groupBy(*SERIES_KEYS, "bucket_start")
+                .agg(
+                    F.sum("turn_count").alias("turn_count"),
+                    F.sum("text_len_sum").alias("text_len_sum"),
+                )
+            )
+        else:
+            merged_sums = d_sums
+        delta_sums = {
+            int(r["epoch"]): int(r["s"])
+            for r in d_sums.withColumn("epoch", epoch_col)
+            .groupBy("epoch")
+            .agg(F.sum("turn_count").alias("s"))
+            .collect()
+        }
+        merged = rollup._finish_tier(merged_sums, TIERS[tier].seconds)
+        merged = merged.withColumn("epoch", epoch_col)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(os.path.join(staging, tier))
+        )
+        intent_rows.extend(
+            {
+                "tier": tier,
+                "epoch": e,
+                "pre_sum": pre_sums.get(e),
+                "delta_sum": delta_sums[e],
+            }
+            for e in sorted(delta_sums)
+        )
+        # the next tier cascades from the late batch's own finer DELTA
+        # (not the merged result) — additivity makes the two equal,
+        # and the late batch is scanned only once
+
+    # ---- phase 2: intent commit (atomic rename); publish may only
+    # start after this survives
+    os.makedirs(idir, exist_ok=True)
+    ipath = os.path.join(idir, _safe_marker(mk) + ".json")
+    with open(ipath + ".tmp", "w") as fh:
+        json.dump({"marker": mk, "rows": intent_rows}, fh)
+    os.replace(ipath + ".tmp", ipath)
+
+    # ---- phase 3: publish every staged partition into the live tree
+    for r in intent_rows:
+        _swap_in(
+            os.path.join(staging, r["tier"], f"epoch={r['epoch']}"),
+            _tier_path(root, r["tier"], r["epoch"]),
+            trash,
+        )
+
+    # ---- phase 4: lineage commit (the marker rides it), then cleanup
+    written_points = _commit_refresh_lineage(spark, root, mk, intent_rows, seq)
+    _cleanup_refresh(root, mk)
     return written_points
 
 
@@ -665,6 +876,16 @@ def verify_store(spark: SparkSession, root: str) -> DataFrame:
     from pyspark.sql import types as T
 
     lin = lineage(spark, root)
+    # ledgers written before the commit_seq schema change (or mixed
+    # old+new ledgers, where old rows read as NULL) default to seq 0 so
+    # their epochs still resolve a latest generation instead of being
+    # dropped by the max-join and surfacing as spurious mismatches
+    if "commit_seq" not in lin.columns:
+        lin = lin.withColumn("commit_seq", F.lit(0).cast("long"))
+    else:
+        lin = lin.withColumn(
+            "commit_seq", F.coalesce(F.col("commit_seq"), F.lit(0)).cast("long")
+        )
     latest = (
         lin.groupBy("tier", "checkpoint_epoch")
         .agg(F.max("commit_seq").alias("_mx"))

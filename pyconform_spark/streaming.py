@@ -406,12 +406,16 @@ def stream_refresh_tiers(
     drops what arrives after the watermark).
 
     Exactly-once under foreachBatch's at-least-once contract: each
-    batch carries the idempotency marker ``stream-<batch_id>``, which
-    refresh_late commits INSIDE the same single-file lineage append
-    that commits the merge.  A replayed batch finds its marker in
-    ``pipeline.applied_refresh_markers`` and is skipped — there is no
-    state between "merge applied" and "marker recorded" because they
-    are one write."""
+    batch carries the idempotency marker ``stream-<batch_id>``.
+    refresh_late applies it write-audit-publish style — merged
+    partitions staged, a fingerprint intent recorded, partitions
+    swapped in, then ONE lineage append carrying the marker.  A batch
+    replayed after the commit finds its marker in
+    ``pipeline.applied_refresh_markers`` and is skipped; a batch
+    replayed after a crash in any earlier phase is rolled FORWARD from
+    the intent (published partitions recognized by fingerprint, never
+    re-merged), so the additive delta can never double-count
+    (crash-injection tests in tests/test_pipeline.py)."""
     from pyconform_spark import pipeline as _pl
 
     def _apply(df: DataFrame, batch_id: int) -> None:

@@ -377,3 +377,152 @@ def test_verify_store_audits_clean_corrupt_and_orphan(spark, tx, tmp_path):
         assert bad.status == "missing"
     assert audit2[("1d", 99999)].status == "orphan"
     assert audit2[("1h", epochs[0])].status == "ok"
+
+
+def _refresh_split(tx):
+    epochs = pipeline.list_epochs(tx)
+    hot = epochs[-1]
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    is_late = (day == hot) & (F.abs(F.hash("conv_id", "turn_idx")) % 5 == 0)
+    return tx.where(~is_late), tx.where(is_late)
+
+
+def test_refresh_crash_before_commit_never_double_counts(
+    spark, tx, tmp_path, monkeypatch
+):
+    """THE crash window the old in-place merge got wrong: all tier
+    partitions published, lineage append not yet run.  Replaying the
+    SAME late batch must roll forward (not re-merge), so every tier
+    still equals the full recompute — an additive double-count would
+    inflate turn_count and fail the bit-for-bit check."""
+    root = str(tmp_path / "crash1")
+    ontime, late = _refresh_split(tx)
+    pipeline.run_batch(spark, ontime, root)
+
+    real_commit = pipeline._commit_refresh_lineage
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.refresh_late(spark, late, root, marker="m1")
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", real_commit)
+
+    # marker never committed; the data IS on disk (published, uncommitted)
+    assert "m1" not in pipeline.applied_refresh_markers(spark, root)
+
+    # replay the same batch: recovery rolls the intent forward
+    points = pipeline.refresh_late(spark, late, root, marker="m1")
+    assert "m1" in pipeline.applied_refresh_markers(spark, root)
+    assert all(points[t] == 0 for t in pipeline.TIER_ORDER) or all(
+        points[t] > 0 for t in pipeline.TIER_ORDER
+    )
+
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+
+
+def test_refresh_crash_mid_publish_rolls_forward(spark, tx, tmp_path, monkeypatch):
+    """Crash after publishing only SOME tier partitions (the 1m swap
+    done, 1h/1d not): recovery must classify each partition by its
+    fingerprint and finish publishing only the unpublished ones."""
+    root = str(tmp_path / "crash2")
+    ontime, late = _refresh_split(tx)
+    pipeline.run_batch(spark, ontime, root)
+
+    real_swap = pipeline._swap_in
+    calls = {"n": 0}
+
+    def swap_then_die(staged, live, trash):
+        if calls["n"] >= 1:
+            raise RuntimeError("injected crash mid-publish")
+        calls["n"] += 1
+        real_swap(staged, live, trash)
+
+    monkeypatch.setattr(pipeline, "_swap_in", swap_then_die)
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        pipeline.refresh_late(spark, late, root, marker="m2")
+    monkeypatch.setattr(pipeline, "_swap_in", real_swap)
+
+    pipeline.refresh_late(spark, late, root, marker="m2")
+    assert "m2" in pipeline.applied_refresh_markers(spark, root)
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+
+    # audit agrees end-to-end and all staging debris is gone
+    audit = pipeline.verify_store(spark, root).collect()
+    assert all(r.status == "ok" for r in audit)
+    import os
+
+    for d in ("refresh_intents", "refresh_staging", "refresh_trash"):
+        p = os.path.join(root, d)
+        assert not os.path.isdir(p) or os.listdir(p) == [], d
+
+
+def test_refresh_crash_during_staging_leaves_live_untouched(
+    spark, tx, tmp_path, monkeypatch
+):
+    """Crash BEFORE the intent commit (while staging): the live store
+    must be byte-identical afterwards and recovery just sweeps debris."""
+    import os
+
+    root = str(tmp_path / "crash3")
+    ontime, late = _refresh_split(tx)
+    pipeline.run_batch(spark, ontime, root)
+
+    def snapshot():
+        out = {}
+        for tier in pipeline.TIER_ORDER:
+            base = os.path.join(root, "tiers", tier)
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                out[(tier, d)] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = snapshot()
+
+    real = pipeline.rollup.cascade_rollup
+
+    def die(*a, **k):
+        raise RuntimeError("injected crash during staging")
+
+    monkeypatch.setattr(pipeline.rollup, "cascade_rollup", die)
+    with pytest.raises(RuntimeError, match="during staging"):
+        pipeline.refresh_late(spark, late, root, marker="m3")
+    monkeypatch.setattr(pipeline.rollup, "cascade_rollup", real)
+
+    assert snapshot() == before
+    assert "m3" not in pipeline.applied_refresh_markers(spark, root)
+    # debris swept on the next refresh entry, which then applies cleanly
+    pipeline.refresh_late(spark, late, root, marker="m3")
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+
+
+def test_verify_store_tolerates_pre_commit_seq_ledger(spark, tx, tmp_path):
+    """A ledger written before the commit_seq column existed (or mixed
+    old+new rows reading as NULL) must still audit clean, not raise or
+    flag spurious mismatches."""
+    root = str(tmp_path / "oldledger")
+    pipeline.run_batch(spark, tx, root)
+    # rewrite the ledger without commit_seq, as an old build would have
+    lin = pipeline.lineage(spark, root).drop("commit_seq").localCheckpoint()
+    import shutil as _sh
+
+    _sh.rmtree(pipeline._lineage_path(root))
+    lin.coalesce(1).write.mode("overwrite").parquet(pipeline._lineage_path(root))
+    audit = pipeline.verify_store(spark, root).collect()
+    assert audit and all(r.status == "ok" for r in audit)
