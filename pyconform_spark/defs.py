@@ -770,8 +770,16 @@ def _ewma_window(args, kwds, window_keys):
         raise DefinitionError("ewma(v, t, span=) takes value and order args")
     v, t = args
     span = int(_const_kwd(kwds, "span", 16))
-    if not 1 <= span <= 62:
-        raise DefinitionError("ewma: span must be in [1, 62]")
+    # overflow-free bound, NOT 62: the weighted sum peaks at
+    # |vq| * (2^span - 1) and Spark's non-ANSI int64 wraps silently.
+    # With centi-quantized values (|value| <= ~8.4e4 => |vq| <= 2^23)
+    # span = 40 keeps the sum under 2^63 and norm * 100 under 2^63
+    # too; beyond that the smoother would return garbage, so refuse.
+    if not 1 <= span <= 40:
+        raise DefinitionError(
+            "ewma: span must be in [1, 40] (int64-overflow-free range "
+            "for centi-quantized values up to |8.4e4|)"
+        )
     w = Window.partitionBy(*window_keys).orderBy(t.col)
     vq = F.floor(v.col.cast("double") * 100).cast("long")
     terms = []

@@ -1170,7 +1170,7 @@ bins AS (
   SELECT event_type, le, count(*)::BIGINT AS cnt FROM binned GROUP BY 1, 2),
 cum AS (
   SELECT event_type, le, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY le
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY le NULLS LAST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
          sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS total
   FROM bins),
@@ -1180,11 +1180,12 @@ targets AS (
                                         '0.99'::DOUBLE]) AS q) qs),
 picked AS (
   SELECT event_type, q, le AS le_q, cnt, cum, target,
-         row_number() OVER (PARTITION BY event_type, q ORDER BY le) AS rn
+         row_number() OVER (PARTITION BY event_type, q ORDER BY le NULLS LAST) AS rn
   FROM targets WHERE cum >= target)
 SELECT event_type, q,
-       {_HIST_LO} + (le_q - {_HIST_LO})
-         * (target - (cum - cnt)) / CAST(cnt AS DOUBLE) AS q_value
+       CASE WHEN le_q IS NULL THEN CAST(500.0 AS DOUBLE)
+            ELSE {_HIST_LO} + (le_q - {_HIST_LO})
+              * (target - (cum - cnt)) / CAST(cnt AS DOUBLE) END AS q_value
 FROM picked WHERE rn = 1
 """
 

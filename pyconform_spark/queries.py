@@ -1602,6 +1602,14 @@ def ewma_smooth(spark: SparkSession, sf_dir: str, span: int = 16) -> DataFrame:
     Scale shape: one window sort per series partition; the ``span``
     lags all ride that single sort (Catalyst folds same-window lags
     into one Window node)."""
+    # same overflow-free bound as defs._ewma_window: the weighted sum
+    # peaks at |vq| * (2^span - 1) and non-ANSI Spark wraps int64
+    # silently, so spans past 40 would return garbage, not raise
+    if not 1 <= span <= 40:
+        raise ValueError(
+            "ewma_smooth: span must be in [1, 40] (int64-overflow-free "
+            "range for centi-quantized values up to |8.4e4|)"
+        )
     df = _events(spark, sf_dir).select(
         *EKEYS,
         "ts",
@@ -1811,9 +1819,13 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "le")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # values above the last boundary bin to le = NULL (the +Inf
+    # bucket): order NULLS LAST on BOTH engines (Spark windows default
+    # ASC NULLS FIRST, DuckDB NULLS LAST) so the +Inf bucket sits at
+    # the cumulative tail instead of inflating every finite bucket
     wcum = (
         Window.partitionBy("event_type")
-        .orderBy("le")
+        .orderBy(F.asc_nulls_last("le"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy("event_type")
@@ -1831,7 +1843,9 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "le", "cnt", "cum", "total", "q",
         (F.col("q") * F.col("total")).alias("target"),
     )
-    wpick = Window.partitionBy("event_type", "q").orderBy("le")
+    wpick = Window.partitionBy("event_type", "q").orderBy(
+        F.asc_nulls_last("le")
+    )
     picked = (
         targets.where(F.col("cum") >= F.col("target"))
         .withColumn("_rn", F.row_number().over(wpick))
@@ -1845,6 +1859,11 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     qval = lo + (F.col("le_q") - lo) * (
         F.col("target") - (F.col("cum") - F.col("cnt"))
     ) / F.col("cnt").cast("double")
+    # target lands in the +Inf bucket: Prometheus returns the highest
+    # finite boundary (no upper edge to interpolate toward)
+    qval = F.when(
+        F.col("le_q").isNull(), F.lit(float(_HIST_LE[-1]))
+    ).otherwise(qval)
     return picked.select(
         "event_type",
         "q",

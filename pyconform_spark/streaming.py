@@ -467,39 +467,47 @@ def stream_anomaly_zscore(stream: DataFrame, window: int = 20,
     def _update(key, pdfs, state: GroupState):
         user_id, event_type = key
         tail = list(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            vq = np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100
-                          ).astype(np.int64)
-            a = np.concatenate([np.asarray(tail, dtype=np.int64), vq])
-            p = len(tail)
-            cs = np.cumsum(a)
-            cq = np.cumsum(a * a)
-            idx = np.arange(p, p + len(vq))
-            lo = np.maximum(0, idx - window + 1)
-            n = idx - lo + 1
-            S = cs[idx] - np.where(lo > 0, cs[lo - 1], 0)
-            Q = cq[idx] - np.where(lo > 0, cq[lo - 1], 0)
-            num = n * vq - S
-            varnum = n * (n * Q - S * S)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                den = np.sqrt(varnum / (n - 1))
-                z = num / den
-            ok = (n > 1) & (varnum > 0)
-            zscore = np.where(ok, z, np.nan)
-            is_anom = ok & (np.abs(zscore) > threshold)
-            out = pd.DataFrame({
-                "user_id": np.full(len(vq), user_id, dtype=np.int64),
-                "event_type": event_type,
-                "ts": pdf["ts"].to_numpy(),
-                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
-                "value": pdf["value"].to_numpy(dtype=np.float64),
-                "zscore": zscore,
-                "is_anomaly": is_anom,
-            })
-            out["zscore"] = out["zscore"].where(ok, None)
-            yield out
-            tail = list(a[-(window - 1):]) if window > 1 else []
+        # a group's micro-batch rows may arrive split across several
+        # Arrow record batches (engine artifact: maxRecordsPerBatch) —
+        # concatenate and sort ONCE so a cross-chunk out-of-order row
+        # still scores against the correct trailing window; per-chunk
+        # sorting would corrupt the carried tail
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vq = np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100
+                      ).astype(np.int64)
+        a = np.concatenate([np.asarray(tail, dtype=np.int64), vq])
+        p = len(tail)
+        cs = np.cumsum(a)
+        cq = np.cumsum(a * a)
+        idx = np.arange(p, p + len(vq))
+        lo = np.maximum(0, idx - window + 1)
+        n = idx - lo + 1
+        S = cs[idx] - np.where(lo > 0, cs[lo - 1], 0)
+        Q = cq[idx] - np.where(lo > 0, cq[lo - 1], 0)
+        num = n * vq - S
+        varnum = n * (n * Q - S * S)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den = np.sqrt(varnum / (n - 1))
+            z = num / den
+        ok = (n > 1) & (varnum > 0)
+        zscore = np.where(ok, z, np.nan)
+        is_anom = ok & (np.abs(zscore) > threshold)
+        out = pd.DataFrame({
+            "user_id": np.full(len(vq), user_id, dtype=np.int64),
+            "event_type": event_type,
+            "ts": pdf["ts"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+            "value": pdf["value"].to_numpy(dtype=np.float64),
+            "zscore": zscore,
+            "is_anomaly": is_anom,
+        })
+        out["zscore"] = out["zscore"].where(ok, None)
+        yield out
+        tail = list(a[-(window - 1):]) if window > 1 else []
         state.update(([int(x) for x in tail],))
 
     src = stream

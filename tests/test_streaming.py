@@ -511,3 +511,66 @@ def test_stream_ohlc_matches_batch(spark, tx_dir):
     want = _rows(streaming.stream_ohlc(batch, "1m"))
     assert len(got) > 100
     assert got == want
+
+def test_stream_anomaly_zscore_multi_arrow_chunk_out_of_order(spark, tmp_path):
+    """A single micro-batch whose rows for ONE group span multiple
+    Arrow record batches AND are written out of time order: per-chunk
+    sorting would score later chunks against a stale tail — the sort
+    must happen once over the concatenated group (regression for the
+    maxRecordsPerBatch engine artifact)."""
+    import datetime as dt
+
+    from pyconform_spark import queries as Q
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # one series, 40 rows, shuffled so chunk boundaries split runs
+    order = [(i * 17) % 40 for i in range(40)]  # permutation of 0..39
+    for pos, i in enumerate(order):
+        rows.append(
+            (i, t0 + dt.timedelta(seconds=i), 7, "m", float(100 + (i * 13) % 37), "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    src = str(tmp_path / "chunked_in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = streaming.stream_anomaly_zscore(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("zchunks")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in spark.sql("select * from zchunks").collect()
+    }
+    want = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in Q.anomaly_zscore(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        assert got[eid] == want[eid], (eid, got[eid], want[eid])

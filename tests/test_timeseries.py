@@ -221,3 +221,73 @@ def test_chunked_zscore_equals_sequential_at_any_chunk_width(spark):
             ).collect()
         }
         assert ch == seq, cs
+
+
+def test_histogram_quantile_overflow_bucket_matches_duckdb(spark, tmp_path):
+    """Values above the last finite le boundary (500) land in the +Inf
+    bucket (le = NULL).  Latent in the shipped testdata (values max
+    ~490): the cumulative and pick windows must order NULLS LAST on
+    both engines, and a quantile target landing in +Inf returns the
+    highest finite boundary (Prometheus semantics)."""
+    import datetime as dt
+
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type "of": 80 in-range values + 40 overflow => q=0.99 (and 0.9)
+    # cross inside the +Inf bucket; q=0.5 stays finite
+    for i in range(80):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, "of", 3.0 + i % 5, "{}"))
+    for i in range(40):
+        rows.append((100 + i, t0 + dt.timedelta(seconds=100 + i), 1, "of", 900.0 + i, "{}"))
+    # type "fin": all finite, sanity control
+    for i in range(50):
+        rows.append((200 + i, t0 + dt.timedelta(seconds=200 + i), 1, "fin", 40.0 + i, "{}"))
+    _write_events(spark, tmp_path, rows)
+
+    got = {
+        (r.event_type, r.q): r.q_value
+        for r in Q.histogram_quantile(spark, str(tmp_path)).collect()
+    }
+    # 0.99 * 120 = 118.8 > 80 finite rows -> +Inf bucket -> 500.0
+    assert got[("of", 0.99)] == 500.0
+    assert got[("of", 0.9)] == 500.0
+    assert got[("of", 0.5)] <= 10.0
+
+    from pyconform_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = {
+        (t, q): v for t, q, v in con.execute(ORACLES["histogram_quantile"]).fetchall()
+    }
+    assert got == want
+
+
+def test_ewma_span_overflow_range_refused(spark, tmp_path):
+    """Spans past the int64-overflow-free bound must raise on BOTH
+    surfaces instead of silently wrapping (non-ANSI Spark)."""
+    import pytest as _pt
+
+    from pyconform_spark import defs as D
+
+    with _pt.raises(ValueError, match="span"):
+        Q.ewma_smooth(spark, "/root/testdata/sf0.001", span=41)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with _pt.raises(D.DefinitionError, match="span"):
+        D.evaluate_defs(
+            df,
+            ["s = ewma(value, ts, span=41)"],
+            window_keys=("user_id", "event_type"),
+        )
+    # the top of the safe range still compiles and runs
+    ok = D.evaluate_defs(
+        df.limit(500),
+        ["s = ewma(value, ts, span=40)"],
+        window_keys=("user_id", "event_type"),
+    )
+    assert ok.where(ok.s.isNotNull()).count() > 0
