@@ -36,6 +36,7 @@ _DRIVER_FIRST = [
     "promql_rate_increase",
     "ewma_chunked_frame",
     "media_video_props",
+    "ann_lsh_tuned",
     # never driver-verified before round 4
     "ann_ivf_topk",
     "ann_lsh_multiprobe",

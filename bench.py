@@ -307,6 +307,23 @@ def main() -> None:
         ).collect()
     )
 
+    # -- the graded index: recommend_lsh-designed multi-table +
+    # Hamming-2 probing (pytest-gated recall@10 >= 0.9 at sf0.01),
+    # reported WITH its candidate fraction (probed/total) so the
+    # recall number can't hide a brute-force scan.
+    n_corpus = simsearch.parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    rec_tuned = recall(
+        simsearch.ann_lsh_tuned(
+            emb, n_queries=n_q, k=k_r, corpus_size=n_corpus
+        ).collect()
+    )
+    cand_rows = simsearch.ann_lsh_tuned_candidate_counts(
+        emb, n_queries=n_q, corpus_size=n_corpus
+    ).collect()
+    cand_frac = sum(r["n_candidates"] for r in cand_rows) / (
+        max(len(cand_rows), 1) * (n_corpus - 1)
+    )
+
     # -- codec decode microbench (no Spark): worst-case random payloads
     # vs the constant-cadence fast path, in M pts/s.
     import numpy as np
@@ -350,6 +367,8 @@ def main() -> None:
                 "ann_probe_lift": round(rec_probe / rec_single, 1)
                 if rec_single
                 else None,
+                "ann_recall_tuned": round(rec_tuned, 3),
+                "ann_tuned_candidate_fraction": round(cand_frac, 3),
                 "codec_decode_worst_mpts": round(worst_mpts, 2),
                 "codec_decode_const_mpts": round(const_mpts, 1),
                 "cpus": cpus,

@@ -487,3 +487,80 @@ def test_cdc_chunks_partition_the_token_stream(spark):
     out = textops.cdc_chunk_dedup(docs).collect()[0]
     # chunks tile the doc: token count preserved through the pipeline
     assert out.n_chunks >= 1 and out.n_kept == out.n_chunks
+
+
+def test_ann_tuned_recall_gate(spark):
+    """THE production-grade gate the r3 verdict asked for: the tuned
+    index (multi-table + Hamming-2 probes, parameters designed from
+    the corpus row count in the parquet footer) must reach
+    recall@10 >= 0.9 against exact brute force on the sf0.01
+    embeddings — whose true top-10 neighbors sit near cosine 0.25,
+    the adversarial regime for any locality hash."""
+    sf = "/root/testdata/sf0.01"
+    n = simsearch.parquet_row_count(f"{sf}/embeddings.parquet")
+    # designer must agree with the static oracle registration
+    assert simsearch.recommend_lsh(n) == (8, 8, 2)
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    truth = {}
+    for r in simsearch.knn_bruteforce(emb, n_queries=5, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = simsearch.ann_lsh_tuned(emb, n_queries=5, k=10, corpus_size=n).collect()
+    hits = sum(1 for r in got if r["vec_id"] in truth[r["query_id"]])
+    recall = hits / (len(truth) * 10)
+    assert recall >= 0.9, recall
+
+    # candidate fraction: the honesty metric — strictly less than the
+    # whole corpus even in the adversarial regime
+    counts = {
+        r["query_id"]: r["n_candidates"]
+        for r in simsearch.ann_lsh_tuned_candidate_counts(
+            emb, n_queries=5, corpus_size=n
+        ).collect()
+    }
+    frac = sum(counts.values()) / (len(counts) * (n - 1))
+    assert 0 < frac < 0.85, frac
+
+
+def test_ann_tuned_designer_regimes():
+    """recommend_lsh scales planes with corpus size and collapses the
+    probed fraction in the realistic near-dup regime (cos >= 0.9)."""
+    p_small, t_small, r_small = simsearch.recommend_lsh(500)
+    p_dup, t_dup, r_dup = simsearch.recommend_lsh(10**12, neighbor_cos=0.9)
+    assert p_dup > p_small  # finer bucketing on the easier regime
+    # predicted recall holds at the chosen params in both regimes
+    assert simsearch.predict_recall(p_small, t_small, r_small, 0.25) >= 0.9
+    assert simsearch.predict_recall(p_dup, t_dup, r_dup, 0.9) >= 0.9
+    # near-dup regime probes a vanishing corpus fraction per table:
+    # |probes| / 2^p
+    probes = len(simsearch._probe_masks(p_dup, r_dup))
+    assert t_dup * probes / (1 << p_dup) < 0.01
+
+
+def test_ann_tuned_plan_zero_actions_and_broadcast(spark):
+    """Same gates as the other ANN paths: building the tuned plan must
+    schedule ZERO Spark jobs (the designer reads parquet footers, not
+    count()), and the candidate join must broadcast the probe side —
+    never the corpus, never a nested loop."""
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-tuned-gate", "plan construction only")
+    try:
+        n = simsearch.parquet_row_count(f"{sf}/embeddings.parquet")
+        df = simsearch.ann_lsh_tuned(emb, corpus_size=n)
+        _ = df.schema
+        jobs = sc.statusTracker().getJobIdsForGroup("ann-tuned-gate")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
