@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": Q.tpch_q8,
         "tpch_q13": Q.tpch_q13,
         "tpch_q17": Q.tpch_q17,
+        "tpch_q21": Q.tpch_q21,
+        "tpch_q20": Q.tpch_q20,
         "tpch_q22": Q.tpch_q22,
         "ohlc_1h": Q.ohlc_1h,
         "time_weighted_avg_1d": Q.time_weighted_avg_1d,

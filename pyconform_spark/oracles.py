@@ -1541,6 +1541,49 @@ FROM lp JOIN a USING (l_partkey)
 WHERE l_quantity < CAST(0.2 AS DOUBLE) * _avg_qty
 """
 
+ORACLES["tpch_q21"] = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+ORACLES["tpch_q20"] = """
+WITH agg AS (
+  SELECT l_partkey, l_suppkey,
+         sum(floor(l_quantity)::BIGINT) AS qall,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                  THEN floor(l_quantity)::BIGINT ELSE 0 END) AS qw
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND s.s_suppkey IN (
+    SELECT a.l_suppkey FROM agg a
+    WHERE a.qw * 3 > a.qall
+      AND a.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%'))
+ORDER BY s.s_name
+"""
+
 ORACLES["tpch_q22"] = """
 WITH base AS (
   SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),

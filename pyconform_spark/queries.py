@@ -2798,6 +2798,126 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    graft schema: lineitem carries no commit/receipt dates, so "late"
+    reuses tpch_q4's convention — shipped more than 60 days after the
+    order date.  For one nation's suppliers, count their late
+    lineitems on finalized multi-supplier orders where they were the
+    ONLY late supplier (EXISTS another supplier on the order, NOT
+    EXISTS another LATE supplier) — the chained semi/anti decorrelated
+    cascade, TPC-H spec rev 2.18 §Q21 (public).
+
+    Scale shape: the o_orderstatus filter pushes to the orders scan
+    and the 2-row nation dim broadcasts into supplier; the EXISTS is a
+    LEFT SEMI and the NOT EXISTS a LEFT ANTI shuffle join, both equi
+    on orderkey with the supplier inequality riding as a residual
+    condition — no correlated re-execution, no cartesian product, and
+    the multi-match blowup of a plain join never materializes.  Final
+    top-100 is a TakeOrderedAndProject over ~|suppliers| groups."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_3"
+    )
+
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    # EXISTS: some OTHER supplier has a lineitem on the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l1 = l1.join(
+        l2,
+        (l1.l_orderkey == l2.k2) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was ALSO late on the same order
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = l1.join(
+        l3,
+        (l1.l_orderkey == l3.k3) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    s = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        l1.join(s, l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted to the graft
+    schema: there is no partsupp table, so the supply catalog is the
+    distinct (part, supplier) pairs observed in lineitem, and Q20's
+    ``ps_availqty > 0.5 * correlated-year-qty`` becomes "the 1996-Q1
+    quantity of a 'small%' part exceeded a third of that pair's
+    all-time quantity" — the same nested-IN-with-correlated-aggregate
+    shape (supplier IN pairs-satisfying-an-agg-predicate IN
+    name-filtered parts), TPC-H spec rev 2.18 §Q20 (public).
+
+    Scale shape: BOTH the window and all-time quantities come from ONE
+    lineitem scan and ONE hash shuffle (conditional sum inside a
+    single groupBy — a correlated scalar subquery would re-aggregate
+    per pair); the part-name filter is a broadcast LEFT SEMI onto the
+    pair aggregate; the supplier IN is a LEFT SEMI on the distinct
+    qualifying suppliers; the 2-row nation dim broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_quantity")).alias("qty"),
+        "l_shipdate",
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_2"
+    )
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("qall"),
+        F.sum(F.when(in_window, F.col("qty")).otherwise(F.lit(0))).alias("qw"),
+    )
+    qualifying = (
+        agg.join(
+            F.broadcast(part),
+            agg.l_partkey == part.p_partkey,
+            "left_semi",
+        )
+        .where(F.col("qw") * 3 > F.col("qall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to the graft
     schema: customers from a fixed nation set with above-average

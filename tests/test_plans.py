@@ -604,3 +604,35 @@ def test_funnel_and_cohort_push_filters_no_nested_loop(spark):
     plan2 = plan_of(Q.cohort_retention(spark, SF))
     assert "partial_count" in plan2 or "partial_min" in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_tpch_q21_semi_anti_cascade_no_cartesian(spark):
+    """Q21's EXISTS/NOT EXISTS must plan as equi semi/anti joins with
+    the supplier inequality as a residual — never a correlated
+    re-execution or cartesian product — and the o_orderstatus filter
+    must reach the orders scan."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q21(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan or "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1][:400]
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+
+
+def test_tpch_q20_single_lineitem_scan_conditional_agg(spark):
+    """Q20's window and all-time pair quantities must come from ONE
+    lineitem scan + ONE hash shuffle (conditional sum), with the part
+    name filter a broadcast semi join onto the aggregate — a
+    correlated scalar subquery would re-scan per pair."""
+    plan = plan_of(Q.tpch_q20(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 4  # lineitem part supplier nation
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # part-name pushdown reaches the part scan
+    assert "StringStartsWith(p_name,small)" in plan
+    # the pair aggregate is partial+final (map-side combine)
+    assert "partial_sum" in plan
