@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,
         "ewma_smooth": Q.ewma_smooth,
+        "ewma_chunked_frame": Q.ewma_chunked_frame,
         "slo_burn_rate": Q.slo_burn_rate,
         "lttb_downsample": Q.lttb_downsample,
         "histogram_quantile": Q.histogram_quantile,

@@ -24,7 +24,9 @@ can log/act on skew (the observability half of the north rule's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def detect_heavy_keys(
@@ -103,6 +105,87 @@ def repartition_by_series(
     if num_partitions:
         return df.repartition(num_partitions, *cols)
     return df.repartition(*cols)
+
+
+def chunked_window(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    lookback: int,
+    exprs: Callable[..., dict[str, Column]],
+    ts_col: str = "ts",
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Skew-parallel TRAILING window with exact tail borrowing — the
+    window counterpart of :func:`skew_split_join`: a hot series no
+    longer serializes through one task.
+
+    Rows are cut into ``chunk_seconds`` time chunks; every chunk
+    additionally BORROWS its series' nearest ``lookback`` predecessor
+    rows ranked across ALL earlier chunks (so sparse chunks still hand
+    complete context forward); ``exprs`` then runs over a window
+    partitioned by (series, chunk) — a hot series spreads over #chunks
+    tasks — and borrowed rows are dropped from the output.
+
+    ``exprs(w)`` receives the (series, chunk) WindowSpec ordered by
+    ``order_cols`` and returns {output column name -> Column}.  The
+    CONTRACT that makes chunked output row-identical to the plain
+    ``partitionBy(keys)`` window: every expression may depend only on
+    the current row and its ``lookback`` nearest predecessors — i.e.
+    frames within ``rowsBetween(-lookback, 0)``, ``lag(c, k)`` with
+    k <= lookback, and ``row_number()`` only through the saturating
+    form ``least(row_number(), lit(lookback + 1))`` (a row with >=
+    lookback borrowed predecessors saturates identically under either
+    partitioning; one with fewer borrowed ALL of them).
+
+    Cost: the tails table is <= lookback rows per (series, chunk);
+    fanning it to later chunks is quadratic in chunks-per-series,
+    which retention bounds — negligible next to the raw scan.  Used by
+    queries.anomaly_zscore_chunked and queries.ewma_chunked_frame,
+    both oracle-checked against their sequential twins' DuckDB SQL;
+    benched as the window_skew pair (2.3-4.2x on a 90%-hot series)."""
+    data_cols = [c for c in df.columns]
+    chunk = (
+        F.col(ts_col).cast("timestamp").cast("long") / chunk_seconds
+    ).cast("long")
+    base = df.select(*data_cols, chunk.alias("_chunk"))
+
+    desc_order = [F.desc(c) for c in order_cols]
+    wd = Window.partitionBy(*keys, "_chunk").orderBy(*desc_order)
+    tails = (
+        base.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= lookback)
+        .select(*data_cols, "_chunk")
+    ).alias("t")
+    chunks = (
+        base.select(*keys, F.col("_chunk").alias("_target")).distinct().alias("c")
+    )
+    cond = F.col("t._chunk") < F.col("c._target")
+    for k in keys:
+        cond = (F.col(f"t.{k}") == F.col(f"c.{k}")) & cond
+    cand = tails.join(chunks, cond).select(
+        *[F.col(f"t.{k}") for k in keys],
+        *[F.col(f"t.{c}") for c in data_cols if c not in keys],
+        F.col("c._target").alias("_target"),
+    )
+    wr = Window.partitionBy(*keys, "_target").orderBy(*desc_order)
+    borrowed = (
+        cand.withColumn("_rn2", F.row_number().over(wr))
+        .where(F.col("_rn2") <= lookback)
+        .select(
+            *data_cols,
+            F.col("_target").alias("_chunk"),
+            F.lit(True).alias("_borrowed"),
+        )
+    )
+    u = base.withColumn("_borrowed", F.lit(False)).unionByName(borrowed)
+    w = Window.partitionBy(*keys, "_chunk").orderBy(*order_cols)
+    computed = exprs(w)
+    return (
+        u.select(*data_cols, "_borrowed", *[c.alias(n) for n, c in computed.items()])
+        .where(~F.col("_borrowed"))
+        .drop("_borrowed")
+    )
 
 
 def skew_split_join(

@@ -1449,6 +1449,7 @@ LEFT OUTER JOIN exact x ON p.user_id = x.user_id
 
 # the chunked variant must be row-identical to the sequential one
 ORACLES["anomaly_zscore_chunked"] = ORACLES["anomaly_zscore"]
+ORACLES["ewma_chunked_frame"] = ORACLES["ewma_smooth"]
 
 ORACLES["ohlc_1h"] = f"""
 WITH b AS (

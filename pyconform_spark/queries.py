@@ -2524,83 +2524,96 @@ def rolling_zscore_chunked_frame(
     chunk_seconds: int = 7 * 86400,
 ) -> DataFrame:
     """Skew-parallel core behind anomaly_zscore_chunked, over any keyed
-    frame carrying ``keys…, ts, event_id, value, vq`` — series are cut
-    into time chunks, each chunk borrows its nearest ``window - 1``
-    predecessors from ALL earlier chunks, the trailing window runs
-    partitioned by (series, chunk), and borrowed rows are dropped, so
-    the output is row-identical to rolling_zscore_frame while a hot
-    series spreads over #chunks tasks."""
-    base = df.select(
-        *keys,
-        "ts",
-        "event_id",
-        "value",
-        "vq",
-        (
-            F.col("ts").cast("timestamp").cast("long") / chunk_seconds
-        ).cast("long").alias("chunk"),
+    frame carrying ``keys…, ts, event_id, value, vq`` — delegates the
+    chunk/borrow/drop machinery to :func:`operators.skew.chunked_window`
+    (see its contract), contributing only the z-score moment
+    expressions, so the output is row-identical to
+    rolling_zscore_frame while a hot series spreads over #chunks
+    tasks."""
+    from pyconform_spark.operators.skew import chunked_window
+
+    def _moments(w):
+        wf = w.rowsBetween(-(window - 1), 0)
+        n = F.count(F.lit(1)).over(wf)
+        s = F.sum("vq").over(wf)
+        q = F.sum(F.col("vq") * F.col("vq")).over(wf)
+        return {
+            "_num": n * F.col("vq") - s,
+            "_varnum": n * (n * q - s * s),
+            "_nm1": n - 1,
+        }
+
+    staged = chunked_window(
+        df.select(*keys, "ts", "event_id", "value", "vq"),
+        keys,
+        ["ts", "event_id"],
+        lookback=window - 1,
+        exprs=_moments,
+        chunk_seconds=chunk_seconds,
     )
-    wd = Window.partitionBy(*keys, "chunk").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    tails = (
-        base.withColumn("_rn", F.row_number().over(wd))
-        .where(F.col("_rn") <= window - 1)
-        .select(*keys, "chunk", "ts", "event_id", "value", "vq")
-    ).alias("t")
-    chunks = (
-        base.select(*keys, F.col("chunk").alias("_target")).distinct().alias("c")
-    )
-    cond = F.col("t.chunk") < F.col("c._target")
-    for k in keys:
-        cond = (F.col(f"t.{k}") == F.col(f"c.{k}")) & cond
-    cand = tails.join(chunks, cond).select(
-        *[F.col(f"t.{k}") for k in keys],
-        F.col("c._target").alias("_target"),
-        F.col("t.ts").alias("ts"),
-        F.col("t.event_id").alias("event_id"),
-        F.col("t.value").alias("value"),
-        F.col("t.vq").alias("vq"),
-    )
-    wr = Window.partitionBy(*keys, "_target").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    borrowed = (
-        cand.withColumn("_rn2", F.row_number().over(wr))
-        .where(F.col("_rn2") <= window - 1)
-        .select(
-            *keys,
-            F.col("_target").alias("chunk"),
-            "ts",
-            "event_id",
-            "value",
-            "vq",
-            F.lit(True).alias("_borrowed"),
-        )
-    )
-    u = base.select(
-        *keys, "chunk", "ts", "event_id", "value", "vq",
-        F.lit(False).alias("_borrowed"),
-    ).unionByName(borrowed)
-    w = (
-        Window.partitionBy(*keys, "chunk")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(window - 1), 0)
-    )
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum("vq").over(w)
-    q = F.sum(F.col("vq") * F.col("vq")).over(w)
-    staged = u.select(
-        *keys,
-        "ts",
-        "event_id",
-        "value",
-        "_borrowed",
-        (n * F.col("vq") - s).alias("_num"),
-        (n * (n * q - s * s)).alias("_varnum"),
-        (n - 1).alias("_nm1"),
-    ).where(~F.col("_borrowed"))
     return _zscore_finish(staged, keys, threshold)
+
+
+def ewma_chunked_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = 16,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Skew-parallel EWMA: IDENTICAL semantics (and the SAME DuckDB
+    oracle) as ewma_smooth, but the trailing dyadic smoother runs
+    through :func:`operators.skew.chunked_window`, so a hot series
+    spreads over #chunks tasks instead of serializing one window sort.
+
+    The wrapper contract holds because every term is a ``lag`` of
+    depth < span and the norm's sample count uses the saturating
+    ``least(row_number(), span)`` — a row with >= span-1 borrowed
+    predecessors saturates identically under either partitioning."""
+    from pyconform_spark.operators.skew import chunked_window
+
+    if not 1 <= span <= 40:
+        raise ValueError(
+            "ewma_chunked_frame: span must be in [1, 40] (int64-"
+            "overflow-free range for centi-quantized values up to |8.4e4|)"
+        )
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+
+    def _terms(w):
+        terms = []
+        for k in range(span):
+            weight = 1 << (span - 1 - k)
+            lagged = F.lag("vq", k).over(w) if k else F.col("vq")
+            terms.append(F.coalesce(lagged * F.lit(weight), F.lit(0)))
+        s_scaled = terms[0]
+        for t in terms[1:]:
+            s_scaled = s_scaled + t
+        return {
+            "_s": s_scaled,
+            "_m": F.least(F.row_number().over(w), F.lit(span)),
+        }
+
+    staged = chunked_window(
+        df,
+        list(EKEYS),
+        ["ts", "event_id"],
+        lookback=span - 1,
+        exprs=_terms,
+        chunk_seconds=chunk_seconds,
+    )
+    norm = F.lit(1 << span) - F.expr(f"shiftleft(1L, {span} - _m)")
+    return staged.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        (F.col("_s") / (norm * F.lit(100)).cast("double")).alias("ewma"),
+    )
 
 
 def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

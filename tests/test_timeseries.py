@@ -291,3 +291,21 @@ def test_ewma_span_overflow_range_refused(spark, tmp_path):
         window_keys=("user_id", "event_type"),
     )
     assert ok.where(ok.s.isNotNull()).count() > 0
+
+
+def test_chunked_ewma_equals_sequential_at_any_chunk_width(spark):
+    """ewma_chunked_frame must equal ewma_smooth row-for-row at chunk
+    widths that cut series mid-stream (the generic chunked_window
+    contract: lags < span and the saturating row_number both survive
+    tail borrowing)."""
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.user_id, r.event_type, r.event_id): r.ewma
+        for r in Q.ewma_smooth(spark, sf).collect()
+    }
+    for chunk_s in (86400, 3 * 86400, 11 * 3600):
+        got = {
+            (r.user_id, r.event_type, r.event_id): r.ewma
+            for r in Q.ewma_chunked_frame(spark, sf, chunk_seconds=chunk_s).collect()
+        }
+        assert got == want, chunk_s
