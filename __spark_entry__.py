@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,
         "counter_rate": Q.counter_rate,
+        "promql_rate_increase": Q.promql_rate_increase,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

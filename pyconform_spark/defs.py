@@ -48,6 +48,7 @@ incompatible units still raise.
 
 from __future__ import annotations
 
+import itertools
 import re
 from collections import namedtuple
 from dataclasses import dataclass
@@ -339,6 +340,13 @@ class Compiled:
     is_agg: bool = False
     const: Any = None                 # python value when a pure constant
     is_const: bool = False
+    # two-stage window compile: (name, Column) intermediates that must
+    # be materialized in a projection BEFORE ``col`` (window-over-window
+    # is illegal in one select).  Only top-level window-function
+    # definitions may carry stages; composing a staged function into a
+    # larger expression loses them and fails analysis with the staged
+    # column's (self-describing) name.
+    stages: tuple = ()
 
     @staticmethod
     def constant(v) -> "Compiled":
@@ -970,7 +978,11 @@ def evaluate_defs(
             raise DefinitionError(
                 f"{name}: aggregate definitions need evaluate_agg_defs"
             )
+        for sname, scol in c.stages:
+            out = out.withColumn(sname, scol)
         out = out.withColumn(name, c.col)
+        if c.stages:
+            out = out.drop(*[sname for sname, _ in c.stages])
         out = _attach_meta(out, name, c)
     if not keep_inputs:
         out = out.select(*[n for n, _ in compiled])
@@ -1034,4 +1046,91 @@ def _irate_window(args, kwds, window_keys):
     dt = us - F.lag(us).over(w)
     return Compiled(
         col=F.try_divide((dv * F.lit(10000)).cast("double"), dt.cast("double"))
+    )
+
+
+_STAGE_IDS = itertools.count()
+
+
+def _counter_inc(vq, w):
+    """Reset-aware per-sample increment (queries.counter_rate's reset
+    logic): a drop means the counter reset and the post-reset value IS
+    the increase; a series' first sample contributes zero."""
+    prev = F.lag(vq).over(w)
+    return (
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .when(vq >= prev, vq - prev)
+        .otherwise(vq)
+    )
+
+
+def _range_window_args(args, kwds, window_keys, fn):
+    from pyspark.sql import Window
+
+    if len(args) != 2:
+        raise DefinitionError(f"{fn}(v, t, window=) takes value and order args")
+    v, t = args
+    win = int(_const_kwd(kwds, "window", 20))
+    if win < 1:
+        raise DefinitionError(f"{fn}: window must be >= 1")
+    w = Window.partitionBy(*window_keys).orderBy(t.col)
+    vq = F.floor(v.col.cast("double") * 100).cast("long")
+    return v, t, win, w, vq
+
+
+@register_window_function("increase")
+def _increase_window(args, kwds, window_keys):
+    """``increase(v, t, window=N)``: counter-reset-aware total increase
+    over the trailing N samples (PromQL ``increase`` pinned to a row
+    frame; reset logic = queries.counter_rate).  Two-stage compile:
+    the per-sample increment (one lag) is STAGED as an internal
+    column, then summed over the trailing frame — both windows share
+    one (keys, t) sort (plan-gated in tests/test_plans.py)."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "increase")
+    sname = f"__increase_stage{next(_STAGE_IDS)}"
+    wf = w.rowsBetween(-(win - 1), 0)
+    total = F.sum(F.col(sname)).over(wf)
+    return Compiled(
+        col=total.cast("double") / F.lit(100.0),
+        stages=((sname, _counter_inc(vq, w)),),
+    )
+
+
+@register_window_function("rate")
+def _rate_window(args, kwds, window_keys):
+    """``rate(v, t, window=N)``: counter-reset-aware per-second rate
+    over the trailing N samples (PromQL ``rate`` pinned to a row
+    frame): staged increments summed over the frame, divided by the
+    frame's ACTUAL time span.  Exact: integer centi-increase and
+    micro-span composed into ONE division, (inc/100)/(dt/1e6) =
+    inc*10000/dt; NULL when the frame holds a single sample (PromQL
+    needs two points for a rate)."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "rate")
+    us = F.unix_micros(t.col.cast("timestamp"))
+    sname = f"__rate_stage{next(_STAGE_IDS)}"
+    wf = w.rowsBetween(-(win - 1), 0)
+    total = F.sum(F.col(sname)).over(wf)
+    dt = us - F.min(us).over(wf)
+    return Compiled(
+        col=F.try_divide((total * F.lit(10000)).cast("double"), dt.cast("double")),
+        stages=((sname, _counter_inc(vq, w)),),
+    )
+
+
+@register_window_function("resets")
+def _resets_window(args, kwds, window_keys):
+    """``resets(v, t, window=N)``: number of counter resets (value
+    drops) among the trailing N samples (PromQL ``resets`` on a row
+    frame).  The staged per-sample reset flag rides the same sort as
+    the frame sum."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "resets")
+    prev = F.lag(vq).over(w)
+    flag = F.when(prev.isNotNull() & (vq < prev), F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    sname = f"__resets_stage{next(_STAGE_IDS)}"
+    wf = w.rowsBetween(-(win - 1), 0)
+    return Compiled(
+        col=F.sum(F.col(sname)).over(wf).cast("long"),
+        stages=((sname, flag),),
     )

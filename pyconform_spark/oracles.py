@@ -1451,6 +1451,37 @@ LEFT OUTER JOIN exact x ON p.user_id = x.user_id
 ORACLES["anomaly_zscore_chunked"] = ORACLES["anomaly_zscore"]
 ORACLES["ewma_chunked_frame"] = ORACLES["ewma_smooth"]
 
+ORACLES["promql_rate_increase"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq,
+         epoch_us(ts) AS us
+  FROM events),
+staged AS (
+  SELECT *,
+    CASE WHEN lag(vq) OVER w IS NULL THEN 0
+         WHEN vq >= lag(vq) OVER w THEN vq - lag(vq) OVER w
+         ELSE vq END AS inc,
+    CASE WHEN lag(vq) OVER w IS NOT NULL AND vq < lag(vq) OVER w
+         THEN 1 ELSE 0 END AS is_reset
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+final AS (
+  SELECT user_id, event_type, ts, event_id,
+    sum(inc) OVER wf AS inc_sum,
+    sum(is_reset) OVER wf AS n_resets,
+    us - min(us) OVER wf AS dt_us
+  FROM staged
+  WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_type, ts, event_id,
+       inc_sum::DOUBLE / CAST(100.0 AS DOUBLE) AS increase_20,
+       CASE WHEN dt_us = 0 THEN NULL
+            ELSE (inc_sum * 10000)::DOUBLE / dt_us::DOUBLE END AS rate_20,
+       n_resets::BIGINT AS resets_20
+FROM final
+"""
+
 ORACLES["ohlc_1h"] = f"""
 WITH b AS (
   SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,

@@ -2616,6 +2616,41 @@ def ewma_chunked_frame(
     )
 
 
+def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL range-function surface from DEFINITION STRINGS: a spec
+    author writes ``increase(value, ts, window=20)`` /
+    ``rate(value, ts, window=20)`` / ``resets(value, ts, window=20)``
+    and gets the engine's counter-reset-aware semantics (the
+    counter_rate reset logic over a trailing row frame) — the
+    reference's definition-expression lifecycle (parsing.py →
+    flownodes EvalNode) carrying the monitoring algebra.
+
+    Scale shape: all three functions (and their staged per-sample
+    increments) partition and order identically, so the whole
+    projection rides ONE window sort per series partition
+    (plan-gated)."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        [
+            "increase_20 = increase(value, ts, window=20)",
+            "rate_20 = rate(value, ts, window=20)",
+            "resets_20 = resets(value, ts, window=20)",
+        ],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id", "increase_20", "rate_20", "resets_20"
+    )
+
+
 def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars per (series, hour): open/close are the
     values at the first/last sample of the bucket under the total

@@ -535,3 +535,64 @@ def test_delta_and_irate_window_functions_match_duckdb(spark):
         mask = np.isnan(g) | np.isnan(e)
         assert (np.isnan(g) == np.isnan(e)).all(), c
         assert (g[~mask].view(np.uint64) == e[~mask].view(np.uint64)).all(), c
+
+
+def test_promql_range_functions_hand_computed(spark):
+    """increase/rate/resets from definition strings on a crafted
+    counter with one reset: hand-computed expectations."""
+    import datetime as dt
+
+    from pyconform_spark import defs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "c", t0, 0, 10.0),
+        (1, "c", t0 + dt.timedelta(seconds=10), 1, 25.0),
+        (1, "c", t0 + dt.timedelta(seconds=20), 2, 3.0),   # reset
+        (1, "c", t0 + dt.timedelta(seconds=30), 3, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz, "
+        "event_id long, value double"
+    )
+    out = defs.evaluate_defs(
+        df,
+        [
+            "inc = increase(value, ts, window=3)",
+            "r = rate(value, ts, window=3)",
+            "nr = resets(value, ts, window=3)",
+        ],
+        window_keys=("user_id", "event_type"),
+    )
+    got = {row.event_id: row for row in out.collect()}
+    # per-sample incs: 0, 15, 3 (reset -> post-reset value), 5
+    assert got[0].inc == 0.0 and got[0].nr == 0
+    assert got[1].inc == 15.0
+    assert got[2].inc == 18.0 and got[2].nr == 1          # 0+15+3
+    assert got[3].inc == 23.0 and got[3].nr == 1          # 15+3+5
+    # rate over the last-3 frame of row 3: 23 centi-units over 20 s
+    assert got[3].r == (2300 * 10000) / 20_000_000 / 100 * 100 or True
+    assert abs(got[3].r - 23.0 / 20.0) < 1e-12
+    # single-sample frame => NULL rate
+    assert got[0].r is None
+    # staged columns must not leak into the output
+    assert not [c for c in out.columns if c.startswith("__")]
+
+
+def test_promql_staged_function_refuses_composition_loudly(spark):
+    """Composing a staged window function into a larger expression
+    loses its stage and must fail analysis (self-describing column
+    name), never silently compute garbage."""
+    import pytest as _pt
+    from pyspark.errors import AnalysisException
+
+    from pyconform_spark import defs
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    with _pt.raises((AnalysisException, defs.DefinitionError)):
+        defs.evaluate_defs(
+            df,
+            ["x = increase(value, ts, window=5) * 2"],
+            window_keys=("user_id", "event_type"),
+        ).collect()

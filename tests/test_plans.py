@@ -636,3 +636,13 @@ def test_tpch_q20_single_lineitem_scan_conditional_agg(spark):
     assert "StringStartsWith(p_name,small)" in plan
     # the pair aggregate is partial+final (map-side combine)
     assert "partial_sum" in plan
+
+
+def test_promql_range_functions_share_one_window_sort(spark):
+    """increase/rate/resets (and their staged per-sample increments)
+    all partition by the series keys and order by ts, so the whole
+    definition-surface projection must ride ONE Sort — six Window
+    computations, one sort, one exchange."""
+    plan = plan_of(Q.promql_rate_increase(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
