@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_defs": Q.derived_defs,
         "derived_agg_defs": Q.derived_agg_defs,
         "defs_rollup_1h": Q.defs_rollup_1h,
+        "cmor_tier_1h": Q.cmor_tier_1h,
         "climatology_hourly": Q.climatology_hourly,
         "value_algebra": Q.value_algebra,
         "stencil_lead_diff": Q.stencil_lead_diff,

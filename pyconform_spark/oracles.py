@@ -1451,6 +1451,16 @@ LEFT OUTER JOIN exact x ON p.user_id = x.user_id
 ORACLES["anomaly_zscore_chunked"] = ORACLES["anomaly_zscore"]
 ORACLES["ewma_chunked_frame"] = ORACLES["ewma_smooth"]
 
+ORACLES["cmor_tier_1h"] = f"""
+SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+       count(*)::BIGINT AS n_samples,
+       CAST(sum(CAST(value * 2 AS DECIMAL(24,8))) AS DOUBLE) / count(*)
+         AS v_scaled,
+       CAST(sum(CAST(value + 100 AS DECIMAL(24,8))) AS DOUBLE) / count(*)
+         AS v_shift
+FROM events GROUP BY 1, 2, 3
+"""
+
 ORACLES["promql_rate_increase"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,

@@ -2616,6 +2616,45 @@ def ewma_chunked_frame(
     )
 
 
+# Inline CMOR/CMIP MIP table (the reference's miptableparser input
+# format, miptableparser.py:247-316): the Header's declared frequency
+# decides the tier cadence; variable_entry declares the outputs.
+_CMOR_TABLE_1H = {
+    "Header": {"table_id": "Table A1hr", "realm": "atmos", "frequency": "1hr"},
+    "variable_entry": {
+        "v_scaled": {"dimensions": "time", "type": "double", "units": "1"},
+        "v_shift": {"dimensions": "time", "type": "double", "units": "1"},
+    },
+    "axis_entry": {"time": {"axis": "T", "standard_name": "time"}},
+}
+
+
+def cmor_tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SIGNATURE lifecycle as one oracle-checked query:
+    MIP table in, standardized series out.  A CMOR-JSON table
+    (Header.frequency = '1hr') plus experiment definition strings
+    flows through parse_cmor_table → cmor_to_spec → plan_spec →
+    declared-frequency tier aggregate (specs.run_cmor_tier) — i.e.
+    iconform builds the spec and xconform executes it, landed on the
+    rollup engine (miptableparser.py:15-638, scripts/iconform,
+    scripts/xconform).
+
+    Cross-engine exactness: the measures are exact double ops
+    (value*2, value+100); per-bucket means ride the repo-wide
+    DECIMAL(24,8)-sum + one-division convention.  Scale shape: ONE
+    partial+final hash aggregate on (series, bucket) — the definitions
+    evaluate inside the projection feeding it."""
+    from pyconform_spark import specs
+
+    df = _events(spark, sf_dir).select(*EKEYS, "ts", "value")
+    return specs.run_cmor_tier(
+        df,
+        _CMOR_TABLE_1H,
+        definitions={"v_scaled": "value * 2", "v_shift": "value + 100"},
+        keys=list(EKEYS),
+    )
+
+
 def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL range-function surface from DEFINITION STRINGS: a spec
     author writes ``increase(value, ts, window=20)`` /
