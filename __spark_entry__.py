@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertical_interp_linear": Q.vertical_interp_linear,
         "media_binary_meta": Q.media_binary_meta,
         "media_decoded_props": Q.media_decoded_props,
+        "media_video_props": Q.media_video_props,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "expand_grid": Q.expand_grid,

@@ -94,11 +94,11 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
 
 
 # ------------------------------------------------- real format codecs
-# Two genuinely-decodable formats with pure-Python/numpy codecs (the
-# sandbox has no media libs, but WAV and PPM are simple enough to
-# parse from first principles): the decode stage below exercises real
-# bytes end-to-end, not a hash.  Video stays stubbed (no pure-Python
-# codec is reasonable).
+# Three genuinely-decodable formats with pure-Python/numpy codecs (the
+# sandbox has no media libs, but WAV, PPM, and uncompressed RIFF/AVI
+# are simple enough to parse from first principles): the decode stage
+# below exercises real bytes end-to-end, not a hash.  Compressed video
+# stays behind the stub (no pure-Python codec is reasonable).
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -188,12 +188,131 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed-AVI (RIFF) writer: one 'vids'/DIB stream of
+    BI_RGB 24-bit frames ('00db' chunks — bottom-up rows, BGR pixels,
+    rows padded to 4 bytes, the DIB conventions).  ``frames`` is
+    (n_frames, height, width, 3) uint8 RGB."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    usec = 1_000_000 // fps
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    dibs = []
+    for f in range(n):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            bgr = frames[f, y, :, ::-1].tobytes()  # RGB -> BGR
+            rows.append(bgr + b"\x00" * (stride - w * 3))
+        dibs.append(chunk(b"00db", b"".join(rows)))
+    avih = chunk(
+        b"avih",
+        struct.pack("<14I", usec, stride * h * fps, 0, 0, n, 0, 1,
+                    stride * h, w, h, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII4H",
+            0, 0, 0, 0, 1, fps, 0, n, stride * h, 0xFFFFFFFF, 0,
+            0, 0, w, h),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                    0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(dibs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Minimal uncompressed-AVI (RIFF) reader: walks the chunk tree
+    (hdrl/avih for geometry, strl/strh for the fps rational, movi for
+    '00db' DIB frames), returns width / height / n_frames / fps /
+    duration_ms / frame0 (RGB, top-down) / mean_luma_frame0 (ITU-R 601
+    integer luma, one final division).  Raises ValueError on malformed
+    or compressed input like a real decoder."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    found: dict = {"frames": []}
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            clen = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start, body_end = pos + 8, pos + 8 + clen
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)
+            elif cid == b"avih":
+                found["avih"] = struct.unpack(
+                    "<14I", buf[body_start : body_start + 56]
+                )
+            elif cid == b"strh" and buf[body_start : body_start + 4] == b"vids":
+                found["strh"] = struct.unpack(
+                    "<IHHIIIIIIII4H", buf[body_start + 8 : body_start + 56]
+                )
+            elif cid == b"strf" and "strf" not in found:
+                found["strf"] = struct.unpack(
+                    "<IiiHHIIiiII", buf[body_start : body_start + 40]
+                )
+            elif cid in (b"00db", b"00dc"):
+                found["frames"].append(buf[body_start:body_end])
+            pos = body_end + (clen & 1)
+
+    walk(payload, 12, len(payload))
+    if "avih" not in found or "strh" not in found or not found["frames"]:
+        raise ValueError("missing avih/strh/frame chunks")
+    avih = found["avih"]
+    w, h = avih[8], avih[9]
+    scale, rate = found["strh"][4], found["strh"][5]
+    if scale == 0 or rate == 0:
+        raise ValueError("bad stream rate")
+    if "strf" in found and found["strf"][5] != 0:
+        raise ValueError("compressed AVI is not supported")
+    n_frames = len(found["frames"])
+    stride = (w * 3 + 3) & ~3
+    dib = found["frames"][0]
+    if len(dib) < stride * h:
+        raise ValueError("truncated frame 0")
+    raster = np.frombuffer(dib, dtype=np.uint8, count=stride * h).reshape(
+        h, stride
+    )
+    # undo DIB conventions: bottom-up rows, BGR, stride padding
+    frame0 = raster[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    px = frame0.reshape(-1, 3).astype(np.int64)
+    luma_sum = int((px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114).sum())
+    fps = rate // scale
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "fps": fps,
+        "duration_ms": (n_frames * 1000 * scale) // rate,
+        "frame0": frame0,
+        "mean_luma_frame0": float(luma_sum) / (1000 * w * h),
+    }
+
+
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB decoder — deterministic fake 'pixels/samples'.
 
     Real deployment: replace with PIL.Image.open / soundfile.read /
     pyav frame sampling.  Raises for unknown kinds exactly like a real
-    decoder would.
+    decoder would.  (WAV, PPM, and uncompressed AVI have REAL decoders
+    above; this stub remains only for formats with no pure-Python
+    codec in the sandbox.)
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
@@ -288,11 +407,51 @@ def synth_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
 
 
+def synth_real_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL uncompressed-AVI synthesis (mapInPandas), closed forms a
+    SQL oracle can predict without parsing bytes: id ``mid`` gets
+    width = mid%8+2, height = mid%4+1, n_frames = mid%5+2 at 10 fps,
+    and frame ``f``'s RGB raster byte ``j`` (row-major, top-down) is
+    ``(j + f + mid) % 256`` — the writer applies the DIB conventions
+    (bottom-up/BGR/stride padding) which the reader must undo
+    exactly."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 8 + 2, mid % 4 + 1
+                nf = mid % 5 + 2
+                j = np.arange(w * h * 3, dtype=np.int64)
+                frames = np.stack(
+                    [((j + f + mid) % 256).reshape(h, w, 3) for f in range(nf)]
+                ).astype(np.uint8)
+                payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": ["video"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
+
+
 def decode_media_props(media: DataFrame) -> DataFrame:
     """Stage 2 — REAL decode (mapInPandas): parse the WAV chunk list /
-    PPM header from the binary column that crossed the Arrow boundary
-    and emit typed properties.  This replaces the r1/r2 hash stub for
-    the two formats with pure-Python codecs; video keeps the stub."""
+    PPM header / AVI chunk tree from the binary column that crossed
+    the Arrow boundary and emit typed properties.  All three kinds now
+    have real pure-Python decoders; the NotImplementedError path is
+    reserved for genuinely unknown kinds."""
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -324,6 +483,13 @@ def decode_media_props(media: DataFrame) -> DataFrame:
                     out["mean_value"].append(
                         float(d["pixels"].astype(np.int64).sum()) / n
                     )
+                elif kind == "video":
+                    d = decode_avi(b)
+                    out["n_units"].append(d["n_frames"])
+                    out["duration_ms"].append(d["duration_ms"])
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["mean_value"].append(d["mean_luma_frame0"])
                 else:
                     raise NotImplementedError(f"no decoder for kind={kind!r}")
                 out["media_id"].append(int(mid))

@@ -256,6 +256,30 @@ SELECT event_id::BIGINT, 'image', n::BIGINT, NULL::BIGINT,
 FROM isum
 """
 
+ORACLES["media_video_props"] = """
+WITH ids AS (SELECT event_id FROM events WHERE event_id < 300),
+geom AS (
+  SELECT event_id,
+         event_id % 8 + 2 AS w,
+         event_id % 4 + 1 AS h,
+         event_id % 5 + 2 AS nf
+  FROM ids),
+g AS (SELECT unnest(generate_series(0, 35)) AS k),
+luma AS (
+  SELECT ge.event_id, ge.w, ge.h, ge.nf,
+         sum(  299 * ((3 * g.k     + ge.event_id) % 256)
+             + 587 * ((3 * g.k + 1 + ge.event_id) % 256)
+             + 114 * ((3 * g.k + 2 + ge.event_id) % 256))::BIGINT AS s
+  FROM geom ge JOIN g ON g.k < ge.w * ge.h
+  GROUP BY ge.event_id, ge.w, ge.h, ge.nf)
+SELECT event_id::BIGINT AS event_id,
+       nf::BIGINT AS n_frames,
+       ((nf * 1000) // 10)::BIGINT AS duration_ms,
+       w::INT AS width, h::INT AS height,
+       CAST(s AS DOUBLE) / (1000 * w * h) AS mean_luma_frame0
+FROM luma
+"""
+
 # ---------------------------------------------- int_tabulated (spline)
 # The one catalog entry that was rows-only in r1/r2: the natural-cubic
 # spline's forward/back recurrences ARE expressible as recursive CTEs

@@ -219,3 +219,61 @@ def test_ppm_roundtrip_property(w, h, seed):
     d = decode_ppm(bytes(encode_ppm(pix, w, h)))
     assert (d["width"], d["height"]) == (w, h)
     assert (d["pixels"] == pix).all()
+
+
+def test_avi_roundtrip_and_conventions():
+    """encode_avi/decode_avi roundtrip: the reader must undo the DIB
+    conventions (bottom-up rows, BGR pixels, stride padding) exactly —
+    frame 0 comes back as the original top-down RGB array.  Width 3
+    forces a non-trivial stride pad (9 -> 12 bytes)."""
+    import numpy as np
+
+    from pyconform_spark import multimodal as M
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(4, 5, 3, 3), dtype=np.uint8)
+    payload = M.encode_avi(frames, fps=25)
+    d = M.decode_avi(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (3, 5, 4)
+    assert d["fps"] == 25
+    assert d["duration_ms"] == 4 * 1000 // 25
+    assert (d["frame0"] == frames[0]).all()
+    px = frames[0].reshape(-1, 3).astype(np.int64)
+    want = float((px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114).sum()) / (
+        1000 * 15
+    )
+    assert d["mean_luma_frame0"] == want
+
+
+def test_avi_decoder_refuses_malformed():
+    import numpy as np
+    import pytest
+
+    from pyconform_spark import multimodal as M
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M.decode_avi(b"not an avi at all")
+    # compressed stream (biCompression != 0) must be refused, not
+    # silently mis-decoded
+    frames = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    payload = bytearray(M.encode_avi(frames))
+    i = payload.index(b"strf")
+    # biCompression is the 6th field of BITMAPINFOHEADER (offset 16)
+    payload[i + 8 + 16 : i + 8 + 20] = (1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="compressed"):
+        M.decode_avi(bytes(payload))
+
+
+def test_decode_media_props_handles_video(spark):
+    """The mapInPandas decode path now covers kind='video' (the
+    NotImplementedError retires to unknown kinds only)."""
+    from pyconform_spark import multimodal as M
+
+    ids = spark.range(6).withColumnRenamed("id", "media_id")
+    media = M.synth_real_video(ids)
+    rows = {r.media_id: r for r in M.decode_media_props(media).collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        assert r.width == mid % 8 + 2 and r.height == mid % 4 + 1
+        assert r.n_units == mid % 5 + 2
+        assert r.duration_ms == (mid % 5 + 2) * 100
