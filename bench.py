@@ -91,6 +91,16 @@ BENCH_QUERIES = [
     "cohort_retention",
     "tpch_q17",
     "tpch_q22",
+    # round-4 additions: subquery-shaped TPC-H tail, graded ANN, the
+    # PromQL definition surface, the MIP lifecycle, chunked EWMA, and
+    # real video decode
+    "tpch_q21",
+    "tpch_q20",
+    "ann_lsh_tuned",
+    "promql_rate_increase",
+    "cmor_tier_1h",
+    "ewma_chunked_frame",
+    "media_video_props",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
@@ -152,13 +162,26 @@ def main() -> None:
     times["transcripts_cascade"] = round(cascade_sec, 3)
     throughput = n_turns / cascade_sec
 
-    for name in BENCH_QUERIES:
-        fn = qmap.get(name)
-        if fn is None:
-            continue
-        t0 = time.monotonic()
-        run_noop(fn(spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+    # Interleaved two-visit keep-best (r3 verdict item 9): the host's
+    # CPU quota swings absolute walls ~1.2-1.4x between rounds; visiting
+    # the whole list twice and keeping the per-query minimum makes
+    # per-query deltas interpretable without uniform-factor analysis.
+    # Visit 1 doubles as the codegen/file-listing warmup.
+    visits: dict[str, list[float]] = {}
+    for _visit in range(2):
+        for name in BENCH_QUERIES:
+            fn = qmap.get(name)
+            if fn is None:
+                continue
+            t0 = time.monotonic()
+            run_noop(fn(spark, sf_dir))
+            visits.setdefault(name, []).append(time.monotonic() - t0)
+    for name, ts in visits.items():
+        times[name] = round(min(ts), 3)
+    # noise marker: median max/min ratio across queries — ~1.0 on a
+    # quiet host, large when a co-tenant skewed one visit
+    ratios = sorted(max(ts) / min(ts) for ts in visits.values() if min(ts) > 0)
+    noise_ratio = ratios[len(ratios) // 2] if ratios else None
 
     # -- skew win, quantified (ROADMAP item 8): the Zipf head conv joined
     # back to a per-conv dim, plain shuffle join vs explicit hot-key
@@ -369,6 +392,10 @@ def main() -> None:
                 else None,
                 "ann_recall_tuned": round(rec_tuned, 3),
                 "ann_tuned_candidate_fraction": round(cand_frac, 3),
+                "bench_protocol": "interleaved two-visit keep-best per query",
+                "noise_max_over_min_median": round(noise_ratio, 3)
+                if noise_ratio
+                else None,
                 "codec_decode_worst_mpts": round(worst_mpts, 2),
                 "codec_decode_const_mpts": round(const_mpts, 1),
                 "cpus": cpus,

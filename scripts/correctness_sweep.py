@@ -92,20 +92,33 @@ def main() -> int:
     qmap, omap = entry.queries(), entry.oracle_sql()
     report: dict = {}
     n_bad = 0
+    import time
+
     for name in sorted(qmap):
         if only is not None and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             got = qmap[name](spark, sf_dir).toPandas()
+            spark_sec = time.monotonic() - t0
             sql = omap.get(name)
             if sql is None:
-                report[name] = {"rows": len(got), "status": "rows_only"}
+                report[name] = {
+                    "rows": len(got),
+                    "status": "rows_only",
+                    "spark_sec": round(spark_sec, 3),
+                }
                 continue
             exp = con.sql(sql).df()
             err = compare(got, exp)
             report[name] = {
                 "rows": len(got),
                 "status": "match" if err is None else "MISMATCH",
+                # coarse full-catalog perf trace (r3 verdict item 10):
+                # wall time of the Spark side at sweep scale — NOT a
+                # benchmark (shared session, no warmup), but enough to
+                # spot a query whose cost regressed by multiples
+                "spark_sec": round(spark_sec, 3),
                 **({"err": err} if err else {}),
             }
             if err:
