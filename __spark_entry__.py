@@ -32,11 +32,13 @@ _DRIVER_FIRST = [
     # round-4 additions (never verified by anyone yet)
     "tpch_q21",
     "tpch_q20",
+    "tpch_q15",
     "cmor_tier_1h",
     "promql_rate_increase",
     "ewma_chunked_frame",
     "media_video_props",
     "ann_lsh_tuned",
+    "semantic_dedup_docs",
     # never driver-verified before round 4
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
@@ -163,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": Q.tpch_q17,
         "tpch_q21": Q.tpch_q21,
         "tpch_q20": Q.tpch_q20,
+        "tpch_q15": Q.tpch_q15,
         "tpch_q22": Q.tpch_q22,
         "ohlc_1h": Q.ohlc_1h,
         "time_weighted_avg_1d": Q.time_weighted_avg_1d,

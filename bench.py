@@ -96,7 +96,9 @@ BENCH_QUERIES = [
     # real video decode
     "tpch_q21",
     "tpch_q20",
-    "ann_lsh_tuned",
+    "tpch_q15",
+    # (ann_lsh_tuned is measured separately in the ANN recall section —
+    # a timed entry here would run its heavy index build twice more)
     "promql_rate_increase",
     "cmor_tier_1h",
     "ewma_chunked_frame",

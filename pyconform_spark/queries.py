@@ -3029,6 +3029,46 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarterly revenue
+    equals the MAXIMUM quarterly revenue — the view-plus-scalar-max
+    subquery shape, TPC-H spec rev 2.18 §Q15 (public).
+
+    Cross-engine exactness: revenue stays DECIMAL through BOTH the
+    per-supplier aggregate and the max — the equality predicate
+    compares exact decimals, never doubles — and only the output
+    column casts to double.  Scale shape: ONE partial+final hash agg
+    of the date-filtered lineitem scan builds the revenue view; the
+    1-row max broadcasts back onto it (no re-aggregation, no
+    correlated re-scan); supplier joins the (tiny) winners."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,8)"
+            )
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    winners = rev.join(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    return (
+        supp.join(winners, supp.s_suppkey == winners.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to the graft
     schema: customers from a fixed nation set with above-average

@@ -321,6 +321,59 @@ WHERE {cos} >= {threshold}
 """
 
 
+# ------------------------------------------------ semantic (embedding) dedup
+def semantic_dedup_docs(
+    docs: DataFrame, emb: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """EMBEDDING-space near-duplicate dedup of the DOCUMENTS table —
+    the semantic layer over the text pipeline's lexical dedup stack:
+    docs whose embeddings share an LSH bucket and verify above the
+    cosine threshold (:func:`lsh_dup_pairs` — precision 1.0) cluster
+    by connected components (textops' checkpointed label propagation),
+    and each cluster keeps its smallest doc_id.
+
+    Output: (doc_id, cluster_id, keep, source, n_chars) — the standard
+    curation keep/drop decision keyed semantically rather than
+    lexically.  Scale shape: banded LSH equi-join for pairs (never
+    all-pairs), O(diameter) CC rounds of join+agg, one left join onto
+    the corpus; the corpus never broadcasts."""
+    from pyconform_spark import textops
+
+    pairs = lsh_dup_pairs(emb, threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = textops.connected_components(pairs)
+    cluster = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return docs.join(comp, "doc_id", "left_outer").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cluster.cast("long").alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("keep"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def semantic_dedup_docs_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({lsh_dup_pairs_sql(threshold)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach (src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(c.component_id, d.doc_id)::BIGINT AS cluster_id,
+       (COALESCE(c.component_id, d.doc_id) = d.doc_id) AS keep,
+       d.source, d.n_chars::BIGINT AS n_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 # --------------------------------------------------------------- LSH ANN
 def _bucket_expr(
     q: Column, n_planes: int = N_PLANES, offset: int = 0
@@ -1000,6 +1053,9 @@ def register_sim_queries() -> dict[str, callable]:
             corpus_size=parquet_row_count(f"{d}/embeddings.parquet"),
         ),
         "ann_ivf_topk": lambda s, d: ivf_topk(_emb(s, d)),
+        "semantic_dedup_docs": lambda s, d: semantic_dedup_docs(
+            s.read.parquet(f"{d}/documents.parquet"), _emb(s, d)
+        ),
     }
 
 
@@ -1016,4 +1072,5 @@ SIM_ORACLES: dict[str, str] = {
     # two can't drift.
     "ann_lsh_tuned": ann_lsh_tuned_sql(n_planes=8, n_tables=8, radius=2),
     "ann_ivf_topk": ivf_topk_sql(),
+    "semantic_dedup_docs": semantic_dedup_docs_sql(),
 }
