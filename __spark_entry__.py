@@ -33,6 +33,7 @@ _DRIVER_FIRST = [
     "tpch_q21",
     "tpch_q20",
     "tpch_q15",
+    "tpch_q19",
     "cmor_tier_1h",
     "promql_rate_increase",
     "ewma_chunked_frame",
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": Q.tpch_q21,
         "tpch_q20": Q.tpch_q20,
         "tpch_q15": Q.tpch_q15,
+        "tpch_q19": Q.tpch_q19,
         "tpch_q22": Q.tpch_q22,
         "ohlc_1h": Q.ohlc_1h,
         "time_weighted_avg_1d": Q.time_weighted_avg_1d,

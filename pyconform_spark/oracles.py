@@ -1650,6 +1650,18 @@ WHERE n.n_name = 'NATION_2'
 ORDER BY s.s_name
 """
 
+ORACLES["tpch_q19"] = """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
 ORACLES["tpch_q15"] = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,

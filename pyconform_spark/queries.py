@@ -3029,6 +3029,60 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted to the graft schema:
+    revenue from lineitems matching ANY of three conjunctive
+    (brand, size-range, quantity-range) clauses — the disjunctive
+    join-predicate shape, TPC-H spec rev 2.18 §Q19 (public; the
+    container/shipmode legs map to p_size, which the graft parquet
+    carries).
+
+    Scale shape: the OR spans both tables so it can only ride the join
+    as a residual — but its single-table IMPLICATIONS are derived and
+    pushed explicitly (part: brand IN the three ∧ size <= 15; lineitem:
+    quantity in the union range 1-30), the classic Q19 rewrite
+    Catalyst will not infer.  Both scans prune (plan-gated), the
+    shrunken part side broadcasts, and the residual disjunction
+    evaluates inside the join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity").between(1, 30)  # union of the three ranges
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") <= 15)  # widest of the three
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(clause)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): suppliers whose quarterly revenue
     equals the MAXIMUM quarterly revenue — the view-plus-scalar-max
@@ -3037,10 +3091,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: revenue stays DECIMAL through BOTH the
     per-supplier aggregate and the max — the equality predicate
     compares exact decimals, never doubles — and only the output
-    column casts to double.  Scale shape: ONE partial+final hash agg
-    of the date-filtered lineitem scan builds the revenue view; the
-    1-row max broadcasts back onto it (no re-aggregation, no
-    correlated re-scan); supplier joins the (tiny) winners."""
+    column casts to double.  Scale shape: partial+final hash aggs of
+    the date-filtered, 3-column-pruned lineitem scan build the
+    revenue view; the 1-row max broadcasts back onto it (Catalyst
+    turns the equality filter into a broadcast-hash equi-join key,
+    plan-gated); supplier joins the (tiny) winners."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))

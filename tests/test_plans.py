@@ -646,3 +646,35 @@ def test_promql_range_functions_share_one_window_sort(spark):
     plan = plan_of(Q.promql_rate_increase(spark, SF))
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_tpch_q15_scalar_max_no_reaggregation(spark):
+    """Q15: the 1-row max broadcasts back onto the revenue view —
+    Catalyst rewrites the `total_revenue == _mx` filter over the
+    hinted cross join into a broadcast-hash EQUI-join on the exact
+    decimal (the intended scalar-subquery shape, no cartesian blowup
+    even with auto-broadcast off); date filters reach the lineitem
+    scan and revenue pre-aggregates partial+final."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q15(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1  # 1-row max side
+    assert "partial_sum" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q19_disjunction_implications_pushed(spark):
+    """Q19: the cross-table OR can only ride the join as a residual,
+    but its single-table implications must reach BOTH scans (brand set
+    + size cap on part, quantity union-range on lineitem) and the
+    shrunken part side must broadcast."""
+    plan = plan_of(Q.tpch_q19(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # derived single-table predicates pushed to the scans
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
