@@ -34,6 +34,11 @@ _DRIVER_FIRST = [
     "tpch_q20",
     "tpch_q15",
     "tpch_q19",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
     "cmor_tier_1h",
     "promql_rate_increase",
     "ewma_chunked_frame",
@@ -168,6 +173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": Q.tpch_q20,
         "tpch_q15": Q.tpch_q15,
         "tpch_q19": Q.tpch_q19,
+        "tpch_q2": Q.tpch_q2,
+        "tpch_q9": Q.tpch_q9,
+        "tpch_q11": Q.tpch_q11,
+        "tpch_q12": Q.tpch_q12,
+        "tpch_q16": Q.tpch_q16,
         "tpch_q22": Q.tpch_q22,
         "ohlc_1h": Q.ohlc_1h,
         "time_weighted_avg_1d": Q.time_weighted_avg_1d,

@@ -103,6 +103,15 @@ BENCH_QUERIES = [
     "cmor_tier_1h",
     "ewma_chunked_frame",
     "media_video_props",
+    # round-4 continuation: the TPC-H suite is now complete (all 22);
+    # time the five closers — q9 is the heaviest star join in the
+    # catalog, q2 the correlated-min window
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q19",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -1650,6 +1650,95 @@ WHERE n.n_name = 'NATION_2'
 ORDER BY s.s_name
 """
 
+ORACLES["tpch_q2"] = """
+WITH s_r AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), pairs AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+    AND l_suppkey IN (SELECT s_suppkey FROM s_r)
+  GROUP BY 1, 2
+), mn AS (
+  SELECT *, min(supplycost) OVER (PARTITION BY l_partkey) AS _mn
+  FROM pairs
+)
+SELECT s.s_acctbal, s.s_name, s.n_name,
+       m.l_partkey AS p_partkey,
+       CAST(m.supplycost AS DOUBLE) AS supplycost
+FROM mn m JOIN s_r s ON m.l_suppkey = s.s_suppkey
+WHERE m.supplycost = m._mn
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLES["tpch_q9"] = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1::DOUBLE * p.p_retailprice * l.l_quantity
+                AS DECIMAL(24,8))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["tpch_q11"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS _value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s.s_suppkey FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(_value AS DOUBLE) >
+      (SELECT CAST(sum(_value) AS DOUBLE) FROM per_part) * 0.001::DOUBLE
+ORDER BY part_value DESC, p_partkey
+"""
+
+ORACLES["tpch_q12"] = """
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["tpch_q16"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT pr.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND pr.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
 ORACLES["tpch_q19"] = """
 SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                      AS DECIMAL(24,8))) AS DOUBLE) AS revenue

@@ -3124,6 +3124,255 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the graft schema:
+    there is no partsupp table, so the supply catalog is the distinct
+    (part, supplier) pairs observed in lineitem with supply cost =
+    the MINIMUM extended price that pair ever shipped at, and Q2's
+    region-correlated ``ps_supplycost = (SELECT min ...)`` keeps its
+    shape — suppliers in EUROPE offering size-15 parts at that part's
+    region-wide minimum cost — TPC-H spec rev 2.18 §Q2 (public).
+
+    Cross-engine exactness: cost is min over DECIMAL(18,2) casts (no
+    arithmetic), so the correlated-min equality compares exact
+    decimals.  Scale shape: the part filter broadcasts as a LEFT SEMI
+    onto lineitem BEFORE the pair aggregate (only qualifying parts'
+    rows shuffle); region suppliers fold in via broadcast; the
+    correlated min is ONE window over the already-tiny pair frame;
+    top-100 is TakeOrderedAndProject, never a global sort."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_size") == 15
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s_r = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_cost"),
+    )
+    pairs = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(s_r.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_cost").alias("supplycost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = pairs.withColumn(
+        "_mn", F.min("supplycost").over(w)
+    ).where(F.col("supplycost") == F.col("_mn"))
+    return (
+        winners.join(F.broadcast(s_r), winners.l_suppkey == s_r.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted to the graft schema:
+    there is no partsupp supply cost, so profit per lineitem =
+    ``l_extendedprice*(1-l_discount) - 0.1*p_retailprice*l_quantity``
+    (retail price stands in for supply cost at a fixed margin) summed
+    by supplier nation and order year over parts named ``red%`` —
+    the same 5-way star join + extract(year) + two-key rollup,
+    TPC-H spec rev 2.18 §Q9 (public).
+
+    Cross-engine exactness: the per-row amount is ONE double
+    expression (IEEE-identical in both engines) cast once to
+    DECIMAL(24,8) and summed exactly; only the output casts back.
+    Scale shape: the part-name filter prunes its scan and broadcasts;
+    the 100-row supplier dim and 25-row nation dim broadcast; orders
+    joins lineitem on the shuffle; one partial+final hash agg."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").like("red%")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(24,8)")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted to the
+    graft schema: per-part "stock value" = summed extended price
+    shipped by NATION_3 suppliers, keeping parts whose value exceeds
+    0.001 of the nation-wide total — the group-by + HAVING-against-
+    global-scalar-subquery shape, TPC-H spec rev 2.18 §Q11 (public).
+
+    Cross-engine exactness: per-part and total values are exact
+    DECIMAL(24,8) sums; the threshold compare happens in double on
+    identically-derived values (total * 0.001 is one double
+    multiply).  Scale shape: the nation's suppliers fold into
+    lineitem via a broadcast LEFT SEMI before the aggregate; the
+    global total re-aggregates the GROUPED frame (|parts| rows, not
+    raw) and broadcasts back as 1 row; the final sort sees only the
+    HAVING survivors."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(24,8)").alias("_v"),
+    )
+    per_part = (
+        li.join(
+            F.broadcast(s_n), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("_v").alias("_value"))
+    )
+    total = per_part.agg(
+        F.sum("_value").cast("double").alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_value").cast("double") > F.col("_total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), adapted to the graft
+    schema: lineitem has no shipmode/commitdate/receiptdate, so the
+    grouping key is l_linestatus and "late" means the line shipped
+    more than 60 days after the order date — the join + dual
+    conditional count by category shape, TPC-H spec rev 2.18 §Q12
+    (public).
+
+    Cross-engine exactness: pure integer counts.  Scale shape: the
+    late filter is a post-join predicate on both sides' columns (the
+    date bound can't prune either scan alone) but the 1996 ship-year
+    filter DOES reach the lineitem scan; one shuffle join on orderkey,
+    one 2-row hash agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship), adapted to the graft
+    schema: the supply catalog is the distinct (part, supplier) pairs
+    observed in lineitem, and the "complaints" supplier exclusion
+    becomes suppliers with negative account balance — count of
+    distinct suppliers per (brand, type, size) over a brand/type/size
+    exclusion filter, TPC-H spec rev 2.18 §Q16 (public).
+
+    Cross-engine exactness: exact COUNT(DISTINCT).  Scale shape:
+    part's filters prune its scan and the part side broadcasts onto
+    the distinct-pair frame; the excluded-supplier set is a broadcast
+    LEFT ANTI (never a NOT IN re-scan); distinct + count(distinct)
+    share one shuffle each on bounded keys."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_acctbal") < 0
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to the graft
     schema: customers from a fixed nation set with above-average

@@ -678,3 +678,63 @@ def test_tpch_q19_disjunction_implications_pushed(spark):
     assert "LessThanOrEqual(p_size,15)" in plan
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_tpch_q2_correlated_min_stays_takeordered(spark):
+    """Q2: the part filter reaches the part scan, the pair aggregate is
+    fed by LEFT-SEMI broadcasts (lineitem never joins unfiltered), the
+    correlated min is one window, and the top-100 is
+    TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(Q.tpch_q2(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Sort") == 1  # the window's partition sort
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_size,15)" in plan
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan
+
+
+def test_tpch_q9_star_join_dims_broadcast(spark):
+    """Q9: part/supplier/nation ride explicit broadcasts even with
+    auto-broadcast off (only the orders join shuffles); the name
+    filter reaches the part scan."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.tpch_q9(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 3
+    assert count_nodes(plan, "SortMergeJoin") == 1  # orders only
+    assert "CartesianProduct" not in plan
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q11_scalar_total_from_grouped_frame(spark):
+    """Q11: the nation's suppliers fold in as a broadcast LEFT SEMI
+    before the aggregate; the global total joins back as ONE broadcast
+    row (nested-loop of 1 row, not a cartesian); the nation filter is
+    pushed."""
+    plan = plan_of(Q.tpch_q11(spark, SF))
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "EqualTo(n_name,NATION_3)" in plan
+
+
+def test_tpch_q12_ship_year_pushed_late_filter_rides_join(spark):
+    """Q12: the 1996 ship-year bound prunes the lineitem scan; the
+    cross-table lateness predicate evaluates on the join; one
+    partial+final count agg."""
+    plan = plan_of(Q.tpch_q12(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q16_anti_join_broadcast_filters_pushed(spark):
+    """Q16: the complaints stand-in is a broadcast LEFT ANTI (never a
+    NOT-IN re-scan), part's brand/type/size filters reach its scan,
+    and the distinct-pair frame aggregates partially."""
+    plan = plan_of(Q.tpch_q16(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "Not(EqualTo(p_brand,Brand#5))" in plan
+    assert "In(p_size, [1,14,19,23,36,45,49,9])" in plan  # pushed In set
