@@ -39,6 +39,7 @@ _DRIVER_FIRST = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q16",
+    "quantile_sketch_tier_merge",
     "cmor_tier_1h",
     "promql_rate_increase",
     "ewma_chunked_frame",
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": Q.window_rank_suite,
         "series_correlation": Q.series_correlation,
         "hll_tier_merge": Q.hll_tier_merge,
+        "quantile_sketch_tier_merge": Q.quantile_sketch_tier_merge,
         "bloom_join_prune": Q.bloom_join_prune,
         "top_revenue_orders": Q.top_revenue_orders,
         **textops.register_text_queries(),

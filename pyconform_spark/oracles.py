@@ -1435,6 +1435,31 @@ SELECT m.event_type, m.merged_estimate, d.direct_estimate,
 FROM est_m m JOIN est_d d USING (event_type)
 """
 
+ORACLES["quantile_sketch_tier_merge"] = f"""
+WITH buckets AS (
+  SELECT event_type, {_bucket(86400)} AS day,
+         CAST(floor(value * 4) AS BIGINT) AS b,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, day, b,
+         sum(c) OVER (PARTITION BY event_type, day ORDER BY b
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS _cum,
+         sum(c) OVER (PARTITION BY event_type, day)::BIGINT AS _tot
+  FROM buckets
+)
+SELECT event_type, day,
+       (min(CASE WHEN _cum >= ceil(0.5::DOUBLE  * _tot) THEN b END) + 1)
+         ::DOUBLE * 0.25::DOUBLE AS p50_est,
+       (min(CASE WHEN _cum >= ceil(0.95::DOUBLE * _tot) THEN b END) + 1)
+         ::DOUBLE * 0.25::DOUBLE AS p95_est,
+       (min(CASE WHEN _cum >= ceil(0.99::DOUBLE * _tot) THEN b END) + 1)
+         ::DOUBLE * 0.25::DOUBLE AS p99_est,
+       max(_tot) AS n_points
+FROM cum GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 _BLOOM_POS = lambda j, col: (  # noqa: E731
     f"(md5_number_lower('bloom{j}|' || {col}::VARCHAR)::HUGEINT"
     f" % 16384)::BIGINT"

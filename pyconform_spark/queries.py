@@ -2417,6 +2417,76 @@ def hll_tier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_INV = 4  # quantile-sketch bucket width 0.25 = 2^-2: value*4 is EXACT
+
+
+def quantile_sketch_tier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch through retention tiers: per-hour
+    fixed-width histogram sketches (bucket = floor(value/0.25),
+    Prometheus-native-histogram style) merged into per-day sketches by
+    bucket-wise count sum, then p50/p95/p99 read off the merged
+    histogram — completing the mergeable-sketch family next to the
+    HLL (distinct) and Count-Min (frequency) tiers: a store keeping
+    per-hour bucket counts answers any date-range quantile without
+    rescanning raw.
+
+    Cross-engine exactness is the PROOF of merge correctness: the
+    oracle computes the day histogram DIRECTLY from raw (never via the
+    hourly tier), so a bit-identical readoff certifies sum-of-hourly ==
+    direct-daily.  All math is integer (counts, bucket ids) except the
+    rank threshold ceil(q*total) and the final (b+1)*0.25 — both single
+    IEEE ops on identically-derived values.  Scale shape: one hash agg
+    to the hourly sketch (|series|×24×|buckets| rows/day — the tier),
+    one merge agg, ONE shared window sort for cumulative+total, final
+    per-(type,day) fold; raw scans once."""
+    df = _events(spark, sf_dir)
+    b = F.floor(F.col("value") * _QSK_INV).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            bucket_ts(F.col("ts"), 86400).alias("day"),
+            bucket_ts(F.col("ts"), 3600).alias("_h"),
+            b.alias("_b"),
+        )
+        .groupBy("event_type", "day", "_h", "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = hourly.groupBy("event_type", "day", "_b").agg(
+        F.sum("c").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type", "day")
+    cum = merged.select(
+        "event_type",
+        "day",
+        "_b",
+        F.sum("c").over(wcum).alias("_cum"),
+        F.sum("c").over(wall).alias("_tot"),
+    )
+
+    def readoff(q: float, out: str) -> Column:
+        hit = F.col("_cum") >= F.ceil(F.lit(q) * F.col("_tot"))
+        est = (F.min(F.when(hit, F.col("_b"))) + 1).cast("double") * F.lit(
+            1.0 / _QSK_INV
+        )
+        return est.alias(out)
+
+    return (
+        cum.groupBy("event_type", "day")
+        .agg(
+            readoff(0.5, "p50_est"),
+            readoff(0.95, "p95_est"),
+            readoff(0.99, "p99_est"),
+            F.max("_tot").alias("n_points"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 _BLOOM_M = 1 << 14  # bits
 _BLOOM_K = 3        # hash functions
 

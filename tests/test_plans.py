@@ -738,3 +738,14 @@ def test_tpch_q16_anti_join_broadcast_filters_pushed(spark):
     assert "CartesianProduct" not in plan
     assert "Not(EqualTo(p_brand,Brand#5))" in plan
     assert "In(p_size, [1,14,19,23,36,45,49,9])" in plan  # pushed In set
+
+
+def test_quantile_sketch_merge_one_scan_one_window_sort(spark):
+    """Quantile-sketch tier merge: raw scans ONCE (the oracle carries
+    the direct-path proof), hourly→daily are partial+final hash aggs,
+    and the cumulative + total windows share one Exchange+Sort."""
+    plan = plan_of(Q.quantile_sketch_tier_merge(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert count_nodes(plan, "Sort") <= 2  # window sort + final orderBy
+    assert count_nodes(plan, "Window") <= 2
