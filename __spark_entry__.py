@@ -44,6 +44,8 @@ _DRIVER_FIRST = [
     "promql_rate_increase",
     "ewma_chunked_frame",
     "media_video_props",
+    "media_resize_props",
+    "media_frame_sample",
     "ann_lsh_tuned",
     "semantic_dedup_docs",
     # never driver-verified before round 4
@@ -149,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_binary_meta": Q.media_binary_meta,
         "media_decoded_props": Q.media_decoded_props,
         "media_video_props": Q.media_video_props,
+        "media_resize_props": Q.media_resize_props,
+        "media_frame_sample": Q.media_frame_sample,
         "pivot_event_types": Q.pivot_event_types,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "expand_grid": Q.expand_grid,

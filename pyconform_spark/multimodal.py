@@ -234,13 +234,11 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def decode_avi(payload: bytes) -> dict:
-    """Minimal uncompressed-AVI (RIFF) reader: walks the chunk tree
-    (hdrl/avih for geometry, strl/strh for the fps rational, movi for
-    '00db' DIB frames), returns width / height / n_frames / fps /
-    duration_ms / frame0 (RGB, top-down) / mean_luma_frame0 (ITU-R 601
-    integer luma, one final division).  Raises ValueError on malformed
-    or compressed input like a real decoder."""
+def _parse_avi(payload: bytes) -> dict:
+    """Walk the RIFF chunk tree (hdrl/avih for geometry, strl/strh for
+    the fps rational, movi for '00db' DIB frames); return geometry +
+    the raw DIB frame chunks.  Raises ValueError on malformed or
+    compressed input like a real decoder."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -281,27 +279,61 @@ def decode_avi(payload: bytes) -> dict:
         raise ValueError("bad stream rate")
     if "strf" in found and found["strf"][5] != 0:
         raise ValueError("compressed AVI is not supported")
-    n_frames = len(found["frames"])
+    return {
+        "width": w,
+        "height": h,
+        "scale": scale,
+        "rate": rate,
+        "frames": found["frames"],
+    }
+
+
+def _dib_to_rgb(dib: bytes, w: int, h: int) -> np.ndarray:
+    """Undo the DIB conventions: bottom-up rows, BGR, stride padding."""
     stride = (w * 3 + 3) & ~3
-    dib = found["frames"][0]
     if len(dib) < stride * h:
-        raise ValueError("truncated frame 0")
+        raise ValueError("truncated DIB frame")
     raster = np.frombuffer(dib, dtype=np.uint8, count=stride * h).reshape(
         h, stride
     )
-    # undo DIB conventions: bottom-up rows, BGR, stride padding
-    frame0 = raster[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-    px = frame0.reshape(-1, 3).astype(np.int64)
-    luma_sum = int((px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114).sum())
-    fps = rate // scale
+    return raster[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+
+
+def _luma_sum(frame: np.ndarray) -> int:
+    """ITU-R 601 integer luma sum (scaled ×1000) over an RGB frame."""
+    px = frame.reshape(-1, 3).astype(np.int64)
+    return int((px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114).sum())
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Minimal uncompressed-AVI (RIFF) reader: returns width / height /
+    n_frames / fps / duration_ms / frame0 (RGB, top-down) /
+    mean_luma_frame0 (ITU-R 601 integer luma, one final division)."""
+    p = _parse_avi(payload)
+    w, h, scale, rate = p["width"], p["height"], p["scale"], p["rate"]
+    n_frames = len(p["frames"])
+    frame0 = _dib_to_rgb(p["frames"][0], w, h)
     return {
         "width": w,
         "height": h,
         "n_frames": n_frames,
-        "fps": fps,
+        "fps": rate // scale,
         "duration_ms": (n_frames * 1000 * scale) // rate,
         "frame0": frame0,
-        "mean_luma_frame0": float(luma_sum) / (1000 * w * h),
+        "mean_luma_frame0": float(_luma_sum(frame0)) / (1000 * w * h),
+    }
+
+
+def decode_avi_frames(payload: bytes) -> dict:
+    """Like ``decode_avi`` but decodes EVERY DIB frame to an RGB array
+    (top-down) — the primitive frame sampling builds on."""
+    p = _parse_avi(payload)
+    w, h = p["width"], p["height"]
+    return {
+        "width": w,
+        "height": h,
+        "fps": p["rate"] // p["scale"],
+        "frames": [_dib_to_rgb(d, w, h) for d in p["frames"]],
     }
 
 
@@ -525,3 +557,127 @@ def exact_dup_media(media: DataFrame) -> DataFrame:
         .groupBy("payload_sha")
         .agg(F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized_payload", T.BinaryType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 2
+) -> DataFrame:
+    """REAL image resize (mapInPandas): decode each P6 PPM, resample
+    onto an (out_h × out_w) grid by nearest-neighbor (source pixel
+    ``(oy*h // out_h, ox*w // out_w)`` — pure integer index math, no
+    interpolation rounding), re-encode as P6 PPM.  The resized payload
+    stays a binary column for downstream stages; exact integer
+    diagnostics (byte length, channel sum) ride alongside so a SQL
+    oracle can certify the kernel from closed forms without parsing
+    bytes.  Streams Arrow batches; non-image rows are dropped (resize
+    is an image op), payload pages of other kinds are never read
+    because the filter happens on the pruned ``kind`` column."""
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "out_w", "out_h",
+                "resized_payload", "resized_bytes", "pixel_sum",
+                "mean_value",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                d = decode_ppm(bytes(payload))
+                w, h = d["width"], d["height"]
+                pix = d["pixels"].reshape(h, w, 3)
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                rp = pix[np.ix_(ys, xs)]
+                flat = rp.reshape(-1)
+                enc = encode_ppm(flat, out_w, out_h)
+                s = int(flat.astype(np.int64).sum())
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized_payload"].append(enc)
+                out["resized_bytes"].append(len(enc))
+                out["pixel_sum"].append(s)
+                out["mean_value"].append(float(s) / (out_w * out_h * 3))
+            yield pd.DataFrame(out)
+
+    pruned = media.where(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    )
+    return pruned.mapInPandas(_rs, schema=RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("frame_sum", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling (mapInPandas): decode every DIB frame
+    of each uncompressed AVI, keep frames ``f % stride == 0``, and emit
+    one ROW per sampled frame — the explode-shaped primitive a frame-
+    level pipeline (dedup, captioning, quality filters) consumes.
+    ``frame_sum`` is the exact RGB byte sum; ``mean_luma`` is the
+    ITU-R 601 integer luma with ONE final division — both closed-form
+    predictable by a SQL oracle.  Streams Arrow batches; output
+    cardinality is bounded by ceil(n_frames/stride) per video."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height",
+                "frame_sum", "mean_luma",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                d = decode_avi_frames(bytes(payload))
+                w, h = d["width"], d["height"]
+                for f in range(0, len(d["frames"]), stride):
+                    frame = d["frames"][f]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_sum"].append(
+                        int(frame.reshape(-1).astype(np.int64).sum())
+                    )
+                    out["mean_luma"].append(
+                        float(_luma_sum(frame)) / (1000 * w * h)
+                    )
+            yield pd.DataFrame(out)
+
+    pruned = media.where(F.col("kind") == "video").select(
+        "media_id", "kind", "payload"
+    )
+    return pruned.mapInPandas(_fs, schema=FRAME_SAMPLE_SCHEMA)

@@ -280,6 +280,59 @@ SELECT event_id::BIGINT AS event_id,
 FROM luma
 """
 
+ORACLES["media_resize_props"] = """
+WITH ids AS (SELECT event_id FROM events
+             WHERE event_id < 500 AND event_id % 2 = 1),
+geom AS (
+  SELECT event_id, event_id % 16 + 1 AS w, event_id % 8 + 1 AS h
+  FROM ids),
+o AS (SELECT unnest(generate_series(0, 23)) AS o),
+v AS (
+  SELECT g.event_id, g.w, g.h,
+         (( ((o.o // 12) * g.h // 2) * g.w
+          + ((o.o % 12) // 3) * g.w // 4 ) * 3
+          + o.o % 3 + g.event_id) % 256 AS val
+  FROM geom g CROSS JOIN o)
+SELECT event_id::BIGINT AS event_id,
+       w::INT AS width, h::INT AS height,
+       4::INT AS out_w, 2::INT AS out_h,
+       35::BIGINT AS resized_bytes,
+       sum(val)::BIGINT AS pixel_sum,
+       CAST(sum(val) AS DOUBLE) / 24 AS mean_value
+FROM v GROUP BY 1, 2, 3
+"""
+
+ORACLES["media_frame_sample"] = """
+WITH ids AS (SELECT event_id FROM events WHERE event_id < 300),
+geom AS (
+  SELECT event_id,
+         event_id % 8 + 2 AS w,
+         event_id % 4 + 1 AS h,
+         event_id % 5 + 2 AS nf
+  FROM ids),
+fr AS (SELECT unnest(generate_series(0, 5)) AS f),
+px AS (SELECT unnest(generate_series(0, 35)) AS p),
+sampled AS (
+  SELECT g.event_id, g.w, g.h, fr.f
+  FROM geom g JOIN fr ON fr.f < g.nf AND fr.f % 2 = 0),
+sums AS (
+  SELECT s.event_id, s.w, s.h, s.f,
+         sum(  (3 * px.p     + s.f + s.event_id) % 256
+             + (3 * px.p + 1 + s.f + s.event_id) % 256
+             + (3 * px.p + 2 + s.f + s.event_id) % 256)::BIGINT AS fsum,
+         sum(  299 * ((3 * px.p     + s.f + s.event_id) % 256)
+             + 587 * ((3 * px.p + 1 + s.f + s.event_id) % 256)
+             + 114 * ((3 * px.p + 2 + s.f + s.event_id) % 256))::BIGINT AS ls
+  FROM sampled s JOIN px ON px.p < s.w * s.h
+  GROUP BY 1, 2, 3, 4)
+SELECT event_id::BIGINT AS event_id,
+       f::INT AS frame_idx,
+       w::INT AS width, h::INT AS height,
+       fsum AS frame_sum,
+       CAST(ls AS DOUBLE) / (1000 * w * h) AS mean_luma
+FROM sums
+"""
+
 # ---------------------------------------------- int_tabulated (spline)
 # The one catalog entry that was rows-only in r1/r2: the natural-cubic
 # spline's forward/back recurrences ARE expressible as recursive CTEs

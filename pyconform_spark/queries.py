@@ -782,6 +782,54 @@ def media_video_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through Spark: stage 1 synthesizes genuine P6
+    PPMs from event ids, stage 2 decodes, nearest-neighbor-resamples to
+    a 4×2 grid (integer index math only), re-encodes, and emits exact
+    diagnostics.  The oracle predicts byte length, channel sum and
+    mean from the closed forms WITHOUT parsing bytes — agreement
+    proves the resample kernel picks exactly the pixels it claims.
+    Scale shape: mapInPandas streams Arrow batches; only image rows'
+    payloads are read."""
+    from pyconform_spark import multimodal
+
+    ids = _events(spark, sf_dir).where(F.col("event_id") < 500).select("event_id")
+    media = multimodal.synth_real_media(ids, id_col="event_id")
+    rs = multimodal.resize_images(media, out_w=4, out_h=2)
+    return rs.select(
+        F.col("media_id").cast("long").alias("event_id"),
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        "resized_bytes",
+        "pixel_sum",
+        "mean_value",
+    )
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through Spark: stage 1 synthesizes
+    genuine uncompressed AVIs, stage 2 decodes EVERY DIB frame and
+    keeps every 2nd one — one output row per sampled frame (the
+    explode-shaped primitive a frame-level pipeline consumes), with
+    the exact RGB byte sum and ITU-R 601 mean luma.  The oracle
+    predicts both from the closed forms WITHOUT parsing bytes."""
+    from pyconform_spark import multimodal
+
+    ids = _events(spark, sf_dir).where(F.col("event_id") < 300).select("event_id")
+    media = multimodal.synth_real_video(ids, id_col="event_id")
+    fs = multimodal.sample_video_frames(media, stride=2)
+    return fs.select(
+        F.col("media_id").cast("long").alias("event_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "frame_sum",
+        "mean_luma",
+    )
+
+
 def tem_diagnostics_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All seven DynVarMIP TEM diagnostics (SURVEY §2.5) over the demo
     series: wtem/vtem/utendvtem/utendwtem/epfy/epfz/utendepfd as nested

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from pyconform_spark import multimodal
+from pyconform_spark import multimodal as mm
 
 
 @pytest.fixture(scope="module")
@@ -277,3 +278,59 @@ def test_decode_media_props_handles_video(spark):
         assert r.width == mid % 8 + 2 and r.height == mid % 4 + 1
         assert r.n_units == mid % 5 + 2
         assert r.duration_ms == (mid % 5 + 2) * 100
+
+
+def test_resize_nearest_neighbor_picks_exact_pixels():
+    """decode(resize(x)) equals the numpy nearest-neighbor reference:
+    output pixel (oy, ox) = input pixel (oy*h//out_h, ox*w//out_w)."""
+    w, h, out_w, out_h = 7, 5, 4, 2
+    pix = (np.arange(w * h * 3, dtype=np.int64) * 31 % 256).astype(np.uint8)
+    enc = mm.encode_ppm(pix, w, h)
+    d = mm.decode_ppm(enc)
+    src = d["pixels"].reshape(h, w, 3)
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    expected = src[np.ix_(ys, xs)]
+    # through the re-encoded payload, like the Spark op does
+    enc2 = mm.encode_ppm(expected.reshape(-1), out_w, out_h)
+    d2 = mm.decode_ppm(enc2)
+    assert d2["width"] == out_w and d2["height"] == out_h
+    np.testing.assert_array_equal(
+        d2["pixels"].reshape(out_h, out_w, 3), expected
+    )
+
+
+def test_decode_avi_frames_returns_every_frame_exactly():
+    """decode_avi_frames round-trips ALL frames (not just frame 0)
+    through the DIB conventions (bottom-up, BGR, stride padding)."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 3, 5, 3), dtype=np.uint8)
+    payload = mm.encode_avi(frames, fps=10)
+    d = mm.decode_avi_frames(payload)
+    assert d["width"] == 5 and d["height"] == 3 and d["fps"] == 10
+    assert len(d["frames"]) == 4
+    for f in range(4):
+        np.testing.assert_array_equal(d["frames"][f], frames[f])
+
+
+def test_sample_video_frames_stride_and_sums(spark):
+    """The Spark frame-sample op emits exactly the f%stride==0 frames
+    with exact sums, matching a local decode of the same payloads."""
+    ids = spark.range(6).withColumnRenamed("id", "media_id")
+    media = mm.synth_real_video(ids)
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in mm.sample_video_frames(media, stride=2).collect()
+    }
+    local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    n_expected = 0
+    for mid, payload in local.items():
+        d = mm.decode_avi_frames(payload)
+        for f in range(0, len(d["frames"]), 2):
+            n_expected += 1
+            r = rows[(mid, f)]
+            frame = d["frames"][f]
+            assert r["frame_sum"] == int(
+                frame.reshape(-1).astype(np.int64).sum()
+            )
+    assert len(rows) == n_expected
