@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pyconform_spark.tables import SERIES_KEYS, TIERS
 
@@ -563,3 +563,79 @@ def stream_ohlc(
         F.col("close").cast("long").alias("close"),
         F.col("n_turns").cast("long").alias("n_turns"),
     )
+
+
+def stream_quantile_sketch(
+    stream: DataFrame,
+    tier: str = "1h",
+    watermark: str = "2 hours",
+    bucket_shift: int = 4,
+) -> DataFrame:
+    """Streaming histogram-sketch tier: per (series, window) bucket
+    counts of turn text length (bucket = text_len >> bucket_shift — a
+    power-of-two width, so the bucket id is exact integer math in any
+    engine).  ONE watermark-bounded stateful aggregate; emitting
+    COUNTS, not quantiles, keeps the state mergeable — downstream
+    ``sketch_quantile_readoff`` answers any p over any key/time slice
+    of the stored sketch without touching raw (the streaming twin of
+    queries.quantile_sketch_tier_merge).
+
+    Works identically on a batch frame, which is how parity is tested.
+    """
+    t = TIERS[tier]
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark("ts", watermark)
+    text_len = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    win = F.window(F.col("ts"), f"{t.seconds} seconds")
+    agg = (
+        src.select(
+            *SERIES_KEYS,
+            F.col("ts"),
+            F.shiftright(text_len, bucket_shift).alias("vbucket"),
+        )
+        .groupBy(*SERIES_KEYS, win.alias("w"), F.col("vbucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return agg.select(
+        *SERIES_KEYS,
+        F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+        F.col("vbucket").cast("long").alias("vbucket"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+def sketch_quantile_readoff(
+    sketch: DataFrame,
+    keys: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95),
+    bucket_shift: int = 4,
+) -> DataFrame:
+    """Merge sketch rows down to ``keys`` granularity (bucket-wise
+    count sum — the tier-merge identity) and read off upper-bound
+    quantile estimates ((b+1) * bucket width).  The cumulative and
+    total windows share one sort; the rank threshold is
+    ceil(q * total), matching the batch query's readoff exactly."""
+    merged = sketch.groupBy(*keys, "vbucket").agg(F.sum("c").alias("c"))
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("vbucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = merged.select(
+        *keys,
+        "vbucket",
+        F.sum("c").over(wcum).alias("_cum"),
+        F.sum("c").over(wall).alias("_tot"),
+    )
+    width = float(1 << bucket_shift)
+    aggs = []
+    for q in qs:
+        hit = F.col("_cum") >= F.ceil(F.lit(q) * F.col("_tot"))
+        est = (F.min(F.when(hit, F.col("vbucket"))) + 1).cast(
+            "double"
+        ) * F.lit(width)
+        aggs.append(est.alias(f"p{int(round(q * 100))}_est"))
+    aggs.append(F.max("_tot").alias("n_points"))
+    return cum.groupBy(*keys).agg(*aggs)

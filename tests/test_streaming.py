@@ -574,3 +574,45 @@ def test_stream_anomaly_zscore_multi_arrow_chunk_out_of_order(spark, tmp_path):
     assert set(got) == set(want)
     for eid in want:
         assert got[eid] == want[eid], (eid, got[eid], want[eid])
+
+
+def test_stream_quantile_sketch_matches_batch(spark, tx_dir):
+    """The streaming sketch tier equals the batch sketch over the same
+    input once drained, and the merged readoff equals a readoff of
+    bucket counts computed DIRECTLY from raw — the merge identity the
+    sketch's usefulness rests on."""
+    batch = spark.read.parquet(tx_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tx_dir).schema)
+        .parquet(tx_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_quantile_sketch(stream, "1h")
+    assert out.isStreaming
+    streaming.run_stream_to_memory(out, "qsk_stream")
+    got = _rows(spark.table("qsk_stream"))
+    want = _rows(streaming.stream_quantile_sketch(batch, "1h"))
+    assert got == want
+    assert len(got) > 0
+
+    # merged readoff (role granularity, through the hourly tier) ==
+    # direct readoff (bucket counts straight from raw)
+    merged_ro = streaming.sketch_quantile_readoff(
+        spark.table("qsk_stream"), ["role"], qs=(0.5, 0.95)
+    )
+    direct = (
+        batch.select(
+            "role",
+            F.shiftright(
+                F.coalesce(F.length("text"), F.lit(0)).cast("long"), 4
+            ).alias("vbucket"),
+        )
+        .groupBy("role", "vbucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    direct_ro = streaming.sketch_quantile_readoff(
+        direct, ["role"], qs=(0.5, 0.95)
+    )
+    assert _rows(merged_ro) == _rows(direct_ro)
