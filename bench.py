@@ -358,6 +358,30 @@ def main() -> None:
         max(len(cand_rows), 1) * (n_corpus - 1)
     )
 
+    # -- near-dup regime, MEASURED: plant one deterministic
+    # near-duplicate per vector (cos ~0.999) and ask the
+    # neighbor_cos=0.95 design for each query's top-1.  This is the
+    # regime a dedup pipeline runs in — recall stays high while the
+    # probed fraction collapses vs the adversarial-regime number above.
+    aug = simsearch.with_near_dups(emb, n_corpus=n_corpus)
+    nd_q = 20
+    nd_top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in simsearch.ann_lsh_tuned(
+            aug, n_queries=nd_q, k=1,
+            corpus_size=2 * n_corpus, neighbor_cos=0.95,
+        ).collect()
+    }
+    nd_recall = sum(
+        1 for q, v in nd_top1.items() if v == q + n_corpus
+    ) / nd_q
+    nd_counts = simsearch.ann_lsh_tuned_candidate_counts(
+        aug, n_queries=nd_q, corpus_size=2 * n_corpus, neighbor_cos=0.95
+    ).collect()
+    nd_frac = sum(r["n_candidates"] for r in nd_counts) / (
+        max(len(nd_counts), 1) * (2 * n_corpus - 1)
+    )
+
     # -- codec decode microbench (no Spark): worst-case random payloads
     # vs the constant-cadence fast path, in M pts/s.
     import numpy as np
@@ -403,6 +427,8 @@ def main() -> None:
                 else None,
                 "ann_recall_tuned": round(rec_tuned, 3),
                 "ann_tuned_candidate_fraction": round(cand_frac, 3),
+                "ann_neardup_recall_at1": round(nd_recall, 3),
+                "ann_neardup_candidate_fraction": round(nd_frac, 4),
                 "bench_protocol": "interleaved two-visit keep-best per query",
                 "noise_max_over_min_median": round(noise_ratio, 3)
                 if noise_ratio

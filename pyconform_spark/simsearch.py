@@ -1074,3 +1074,26 @@ SIM_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ivf_topk_sql(),
     "semantic_dedup_docs": semantic_dedup_docs_sql(),
 }
+
+
+def with_near_dups(
+    emb: DataFrame, n_corpus: int, eps: float = 0.05
+) -> DataFrame:
+    """Append one DETERMINISTIC near-duplicate per vector: dup(v) =
+    v + eps·reverse(v), vec_id shifted by ``n_corpus``.  For v with
+    near-orthogonal v·reverse(v) (true of random embeddings),
+    cos(v, dup) ≈ 1/sqrt(1+eps²) ≈ 0.999 — far above the ~0.25
+    background — so each original's TRUE nearest neighbor is its
+    planted dup.  This is the controlled near-dup regime (the regime a
+    100 TB dedup pipeline actually runs in) for measuring recall@1 and
+    candidate fraction; fully columnar, no Python row loop."""
+    dup = emb.select(
+        (F.col("vec_id") + F.lit(n_corpus)).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda x, y: (x + F.lit(eps) * y).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(dup)

@@ -564,3 +564,35 @@ def test_ann_tuned_plan_zero_actions_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_tuned_neardup_regime_measured(spark):
+    """The designer's near-dup promise, MEASURED (not just predicted):
+    on a corpus where every query's true nearest neighbor is a planted
+    near-duplicate (cos ≈ 0.999), the neighbor_cos=0.95 design finds
+    it for >= 90% of queries while probing under 10% of the corpus —
+    the regime where LSH actually pays."""
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = simsearch.parquet_row_count(f"{sf}/embeddings.parquet")
+    aug = simsearch.with_near_dups(emb, n_corpus=n)
+    n_q = 20
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in simsearch.ann_lsh_tuned(
+            aug, n_queries=n_q, k=1,
+            corpus_size=2 * n, neighbor_cos=0.95,
+        ).collect()
+    }
+    # truth needs no bruteforce: the planted dup IS the nearest
+    hits = sum(1 for q, v in top1.items() if v == q + n)
+    assert hits / n_q >= 0.9, (hits, n_q)
+
+    counts = {
+        r["query_id"]: r["n_candidates"]
+        for r in simsearch.ann_lsh_tuned_candidate_counts(
+            aug, n_queries=n_q, corpus_size=2 * n, neighbor_cos=0.95
+        ).collect()
+    }
+    frac = sum(counts.values()) / (max(len(counts), 1) * (2 * n - 1))
+    assert frac < 0.10, frac
