@@ -173,6 +173,28 @@ def main() -> None:
     times["transcripts_cascade"] = round(cascade_sec, 3)
     throughput = n_turns / cascade_sec
 
+    # -- ingest-time bucketing, quantified: the SAME 1m rollup over a
+    # hash(conv_id)-bucketed copy of the input plans ZERO exchanges
+    # (plan-gated in tests/test_bucketing.py) — this measures what the
+    # eliminated shuffle was worth.  Table write (ingest) is untimed:
+    # bucketing's cost is paid once at ingest, its benefit on every
+    # downstream tier/join.
+    from pyconform_spark.operators import bucketing
+
+    bucketing.write_bucketed(tx, "bench_tx_bucketed", n_buckets=cpus)
+    btx = bucketing.read_bucketed(spark, "bench_tx_bucketed")
+    run_noop(rollup.tier_rollup(btx, "1m"))  # warm
+    run_noop(rollup.tier_rollup(tx, "1m"))
+    t0 = time.monotonic()
+    run_noop(rollup.tier_rollup(btx, "1m"))
+    t_bucketed = time.monotonic() - t0
+    t0 = time.monotonic()
+    run_noop(rollup.tier_rollup(tx, "1m"))
+    t_plain_rollup = time.monotonic() - t0
+    times["rollup_1m_plain_shuffle"] = round(t_plain_rollup, 3)
+    times["rollup_1m_bucketed"] = round(t_bucketed, 3)
+    spark.sql("DROP TABLE IF EXISTS bench_tx_bucketed")
+
     # Interleaved two-visit keep-best (r3 verdict item 9): the host's
     # CPU quota swings absolute walls ~1.2-1.4x between rounds; visiting
     # the whole list twice and keeping the per-query minimum makes
@@ -418,6 +440,9 @@ def main() -> None:
                 "transcripts_turns": n_turns,
                 "transcripts_throughput_turns_per_sec": round(throughput, 1),
                 "skew_split_speedup": round(t_plain / t_split, 2),
+                "bucketed_rollup_speedup": round(
+                    t_plain_rollup / t_bucketed, 2
+                ),
                 "window_skew_speedup": round(t_wplain / t_wchunk, 2),
                 "ann_recall_single_bucket": round(rec_single, 3),
                 "ann_recall_multiprobe": round(rec_probe, 3),

@@ -1,0 +1,71 @@
+"""Ingest-time bucketing: the tier cascade over a conv_id-bucketed
+table must plan ZERO exchanges (the shuffle disappears at write time),
+with output identical to the plain-parquet path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyconform_spark import synth
+from pyconform_spark.operators import bucketing, rollup
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def _rows(df):
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    return sorted(map(tuple, df.collect()), key=key)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tx(spark):
+    tx = synth.transcripts(spark, 20_000)
+    bucketing.write_bucketed(tx, "tx_bucketed_test", n_buckets=8)
+    yield bucketing.read_bucketed(spark, "tx_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed_test")
+
+
+def test_bucketed_tier_cascade_plans_zero_exchanges(spark, bucketed_tx):
+    """hash(conv_id) bucketing satisfies the clustered distribution of
+    EVERY tier aggregate (conv_id is in every grouping set), so 1m,
+    1m→1h, and 1h→1d all plan without a single shuffle."""
+    t1m = rollup.tier_rollup(bucketed_tx, "1m")
+    assert _n_exchanges(_plan(t1m)) == 0
+    t1h = rollup.cascade_rollup(t1m, "1h")
+    assert _n_exchanges(_plan(t1h)) == 0
+    t1d = rollup.cascade_rollup(t1h, "1d")
+    assert _n_exchanges(_plan(t1d)) == 0
+
+
+def test_bucketed_rollup_rows_match_plain_path(spark, bucketed_tx):
+    """Zero-shuffle ≠ different answer: the bucketed 1m tier equals
+    the plain-parquet 1m tier row for row."""
+    plain = synth.transcripts(spark, 20_000)
+    got = _rows(rollup.tier_rollup(bucketed_tx, "1m"))
+    want = _rows(rollup.tier_rollup(plain, "1m"))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_unbucketed_baseline_does_shuffle(spark):
+    """Control: the same rollup over the unbucketed frame plans the
+    Exchange the bucketed path eliminated."""
+    tx = synth.transcripts(spark, 20_000)
+    assert _n_exchanges(_plan(rollup.tier_rollup(tx, "1m"))) >= 1
