@@ -42,6 +42,7 @@ _DRIVER_FIRST = [
     "quantile_sketch_tier_merge",
     "cmor_tier_1h",
     "promql_rate_increase",
+    "promql_quantile_over_time",
     "ewma_chunked_frame",
     "media_video_props",
     "media_resize_props",
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "counter_rate": Q.counter_rate,
         "promql_rate_increase": Q.promql_rate_increase,
+        "promql_quantile_over_time": Q.promql_quantile_over_time,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

@@ -1117,6 +1117,30 @@ def _rate_window(args, kwds, window_keys):
     )
 
 
+@register_window_function("quantile")
+def _quantile_window(args, kwds, window_keys):
+    """``quantile(v, t, q=50, window=N)``: discrete (type-1) quantile
+    of the trailing N samples (PromQL ``quantile_over_time``; the
+    reference exposes no order statistics — this is the monitoring-
+    surface extension).  EXACT cross-engine: centi-quantized values
+    are collected over the row frame, sorted, and the element at
+    integer rank ceil(q·n/100) is picked — no interpolation, one
+    final division by 100.  Scale note: the collected frame is at most
+    N elements per row; the projection rides the shared (keys, t)
+    window sort like every other range function."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "quantile")
+    q = int(_const_kwd(kwds, "q", 50))
+    if not 1 <= q <= 100:
+        raise DefinitionError("quantile: q must be in [1, 100]")
+    wf = w.rowsBetween(-(win - 1), 0)
+    arr = F.array_sort(F.collect_list(vq).over(wf))
+    n = F.size(arr)
+    rank = ((F.lit(q) * n + F.lit(99)) / F.lit(100)).cast("int")
+    return Compiled(
+        col=F.element_at(arr, rank).cast("double") / F.lit(100.0)
+    )
+
+
 @register_window_function("resets")
 def _resets_window(args, kwds, window_keys):
     """``resets(v, t, window=N)``: number of counter resets (value

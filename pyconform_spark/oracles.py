@@ -1594,6 +1594,25 @@ SELECT user_id, event_type, ts, event_id,
 FROM final
 """
 
+ORACLES["promql_quantile_over_time"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+f AS (
+  SELECT user_id, event_type, ts, event_id,
+         list_sort(list(vq) OVER wf) AS arr
+  FROM base
+  WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_type, ts, event_id,
+       list_extract(arr, (50 * len(arr) + 99) // 100)::DOUBLE
+         / CAST(100.0 AS DOUBLE) AS p50_20,
+       list_extract(arr, (95 * len(arr) + 99) // 100)::DOUBLE
+         / CAST(100.0 AS DOUBLE) AS p95_20
+FROM f
+"""
+
 ORACLES["ohlc_1h"] = f"""
 WITH b AS (
   SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,

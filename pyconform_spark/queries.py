@@ -2832,6 +2832,36 @@ def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time`` from DEFINITION STRINGS: a spec
+    author writes ``quantile(value, ts, q=95, window=20)`` and gets an
+    EXACT discrete (type-1) trailing-window quantile — centi-quantized
+    values collected over the row frame, sorted, integer-rank pick,
+    one final division (no interpolation, so the result is bit-exact
+    cross-engine).
+
+    Scale shape: both quantiles partition and order identically, so
+    the projection rides ONE window sort; the per-row state is the
+    N-element frame, never the series (plan-gated)."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        [
+            "p50_20 = quantile(value, ts, q=50, window=20)",
+            "p95_20 = quantile(value, ts, q=95, window=20)",
+        ],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(*EKEYS, "ts", "event_id", "p50_20", "p95_20")
+
+
 def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars per (series, hour): open/close are the
     values at the first/last sample of the bucket under the total

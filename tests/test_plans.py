@@ -749,3 +749,15 @@ def test_quantile_sketch_merge_one_scan_one_window_sort(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert count_nodes(plan, "Sort") <= 2  # window sort + final orderBy
     assert count_nodes(plan, "Window") <= 2
+
+
+def test_promql_quantile_shares_one_window_sort(spark):
+    """Both trailing-window quantiles ride ONE (keys, ts) sort and one
+    Exchange — the shared-window discipline of the range-function
+    registry."""
+    plan = plan_of(Q.promql_quantile_over_time(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    # sequential def evaluation may plan one Window node per quantile,
+    # but both MUST reuse the single sort above
+    assert count_nodes(plan, "Window") <= 2
