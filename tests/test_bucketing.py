@@ -69,3 +69,35 @@ def test_unbucketed_baseline_does_shuffle(spark):
     Exchange the bucketed path eliminated."""
     tx = synth.transcripts(spark, 20_000)
     assert _n_exchanges(_plan(rollup.tier_rollup(tx, "1m"))) >= 1
+
+
+def test_bucketed_join_plans_no_exchange(spark, bucketed_tx):
+    """Two tables bucketed the same way join WITHOUT shuffling either
+    side — the sort-merge-bucket join every conv-keyed enrichment
+    (tier ⋈ raw, raw ⋈ raw self-join) gets for free after ingest."""
+    from pyspark.sql import functions as F
+
+    convs = (
+        bucketed_tx.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    bucketing.write_bucketed(
+        convs.withColumn("ts", F.lit(None).cast("timestamp_ntz")),
+        "tx_convs_test",
+        n_buckets=8,
+    )
+    dim = bucketing.read_bucketed(spark, "tx_convs_test").drop("ts")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_tx.join(dim, "conv_id")
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert _n_exchanges(plan) == 0
+        assert "SortMergeJoin" in plan
+        n = joined.count()
+        assert n == bucketed_tx.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tx_convs_test")
