@@ -51,6 +51,7 @@ _DRIVER_FIRST = [
     "semantic_dedup_docs",
     # never driver-verified before round 4
     "ann_ivf_topk",
+    "ann_neardup_top1",
     "ann_lsh_multiprobe",
     "ann_lsh_multitable",
     "ann_lsh_topk",

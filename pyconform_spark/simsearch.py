@@ -866,6 +866,8 @@ def ann_lsh_tuned_sql(
     n_planes: int = 8,
     n_tables: int = 8,
     radius: int = 2,
+    source: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     q = QUANT_SQL.format(c="embedding")
     bcols = ", ".join(
@@ -882,9 +884,9 @@ def ann_lsh_tuned_sql(
         for m in masks
     )
     return f"""
-WITH base AS (
+WITH {prelude}base AS (
   SELECT vec_id, {q} AS q, {DOT_SQL.format(a=q, b=q)} AS nq, {bcols}
-  FROM embeddings
+  FROM {source}
 ),
 corpus AS (
   SELECT vec_id, q, nq, tb.t AS t, tb.b AS b
@@ -1053,6 +1055,10 @@ def register_sim_queries() -> dict[str, callable]:
             corpus_size=parquet_row_count(f"{d}/embeddings.parquet"),
         ),
         "ann_ivf_topk": lambda s, d: ivf_topk(_emb(s, d)),
+        "ann_neardup_top1": lambda s, d: ann_neardup_top1(
+            _emb(s, d),
+            n_corpus=parquet_row_count(f"{d}/embeddings.parquet"),
+        ),
         "semantic_dedup_docs": lambda s, d: semantic_dedup_docs(
             s.read.parquet(f"{d}/documents.parquet"), _emb(s, d)
         ),
@@ -1074,6 +1080,60 @@ SIM_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ivf_topk_sql(),
     "semantic_dedup_docs": semantic_dedup_docs_sql(),
 }
+
+
+NEARDUP_EPS = 0.05
+# designer output for the 1000-vector augmented corpus in the near-dup
+# regime: recommend_lsh(1000, neighbor_cos=0.95) == (9, 5, 0) — finer
+# buckets, NO Hamming probing (near-dups share buckets with high
+# probability, so single-bucket lookups suffice).  pytest asserts the
+# designer agrees so the oracle can't drift.
+NEARDUP_DESIGN = (9, 5, 0)
+
+_NEARDUP_AUG_SQL = f"""aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT count(*) FROM embeddings) AS vec_id,
+         list_transform(
+           generate_series(1, len(embedding)),
+           i -> (embedding[i]::DOUBLE
+                 + {NEARDUP_EPS}::DOUBLE
+                   * embedding[len(embedding) - i + 1]::DOUBLE)::FLOAT
+         ) AS embedding
+  FROM embeddings
+), """
+
+
+SIM_ORACLES["ann_neardup_top1"] = ann_lsh_tuned_sql(
+    n_queries=20,
+    k=1,
+    n_planes=NEARDUP_DESIGN[0],
+    n_tables=NEARDUP_DESIGN[1],
+    radius=NEARDUP_DESIGN[2],
+    source="aug",
+    prelude=_NEARDUP_AUG_SQL,
+)
+
+
+def ann_neardup_top1(
+    emb: DataFrame, n_corpus: int, n_queries: int = 20
+) -> DataFrame:
+    """Driver query for the near-dup ANN regime: augment the corpus
+    with planted near-duplicates and return each query's top-1 via the
+    designer's (9 planes, 5 tables, radius 0) index.  The DuckDB twin
+    re-derives the augmentation AND the index from the same closed
+    forms — a hash-exact row proves the whole pipeline (perturbation,
+    quantization, bucketing, probing, ranking) is engine-independent;
+    the recall/fraction claims are gated separately in pytest+bench."""
+    p, t, r = NEARDUP_DESIGN
+    return ann_lsh_tuned(
+        with_near_dups(emb, n_corpus, eps=NEARDUP_EPS),
+        n_queries=n_queries,
+        k=1,
+        n_planes=p,
+        n_tables=t,
+        radius=r,
+    )
 
 
 def with_near_dups(

@@ -575,6 +575,12 @@ def test_ann_tuned_neardup_regime_measured(spark):
     sf = "/root/testdata/sf0.01"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     n = simsearch.parquet_row_count(f"{sf}/embeddings.parquet")
+    # the driver oracle hardcodes the design for the 2N=1000 corpus;
+    # assert the live designer agrees so the SQL twin can't drift
+    assert (
+        simsearch.recommend_lsh(2 * n, neighbor_cos=0.95)
+        == simsearch.NEARDUP_DESIGN
+    )
     aug = simsearch.with_near_dups(emb, n_corpus=n)
     n_q = 20
     top1 = {
