@@ -183,14 +183,16 @@ def main() -> None:
 
     bucketing.write_bucketed(tx, "bench_tx_bucketed", n_buckets=cpus)
     btx = bucketing.read_bucketed(spark, "bench_tx_bucketed")
-    run_noop(rollup.tier_rollup(btx, "1m"))  # warm
+    run_noop(rollup.tier_rollup(btx, "1m"))  # warm both paths
     run_noop(rollup.tier_rollup(tx, "1m"))
-    t0 = time.monotonic()
-    run_noop(rollup.tier_rollup(btx, "1m"))
-    t_bucketed = time.monotonic() - t0
-    t0 = time.monotonic()
-    run_noop(rollup.tier_rollup(tx, "1m"))
-    t_plain_rollup = time.monotonic() - t0
+    t_bucketed, t_plain_rollup = float("inf"), float("inf")
+    for _visit in range(2):  # interleaved keep-best (host noise)
+        t0 = time.monotonic()
+        run_noop(rollup.tier_rollup(btx, "1m"))
+        t_bucketed = min(t_bucketed, time.monotonic() - t0)
+        t0 = time.monotonic()
+        run_noop(rollup.tier_rollup(tx, "1m"))
+        t_plain_rollup = min(t_plain_rollup, time.monotonic() - t0)
     times["rollup_1m_plain_shuffle"] = round(t_plain_rollup, 3)
     times["rollup_1m_bucketed"] = round(t_bucketed, 3)
     spark.sql("DROP TABLE IF EXISTS bench_tx_bucketed")
