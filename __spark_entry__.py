@@ -43,6 +43,7 @@ _DRIVER_FIRST = [
     "cmor_tier_1h",
     "promql_rate_increase",
     "promql_quantile_over_time",
+    "sequence_dedup",
     "ewma_chunked_frame",
     "media_video_props",
     "media_resize_props",
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": Q.counter_rate,
         "promql_rate_increase": Q.promql_rate_increase,
         "promql_quantile_over_time": Q.promql_quantile_over_time,
+        "sequence_dedup": Q.sequence_dedup,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

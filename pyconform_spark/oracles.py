@@ -1594,6 +1594,18 @@ SELECT user_id, event_type, ts, event_id,
 FROM final
 """
 
+ORACLES["sequence_dedup"] = f"""
+WITH per AS (
+  SELECT user_id, {_bucket(86400)} AS day,
+         md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS seq_hash,
+         count(*)::BIGINT AS seq_len
+  FROM events GROUP BY 1, 2)
+SELECT seq_hash, seq_len, count(*)::BIGINT AS n_userdays
+FROM per GROUP BY 1, 2
+ORDER BY n_userdays DESC, seq_hash
+LIMIT 20
+"""
+
 ORACLES["promql_quantile_over_time"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,

@@ -2832,6 +2832,51 @@ def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level (sequence) dedup: assemble each (user, day)'s
+    ordered event-type sequence into one string, fingerprint it (md5),
+    and count how many user-days share each exact sequence — the
+    whole-conversation analog of document exact-dedup (dedup a corpus
+    of multi-turn transcripts by their full ordered content, not
+    per-turn).
+
+    Cross-engine exactness: the assembled string is identical under
+    the total (ts, event_id) order and md5 is engine-independent.
+    Scale shape: ONE hash agg builds per-(user, day) sequences from an
+    array_sort over collected structs (the per-group payload is one
+    day of one user's events — bounded), one second agg counts
+    fingerprints, top-20 is TakeOrderedAndProject."""
+    df = _events(spark, sf_dir)
+    day = bucket_ts(F.col("ts"), 86400)
+    seq = F.concat_ws(
+        "|",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ),
+            lambda x: x.event_type,
+        ),
+    )
+    per_userday = (
+        df.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(seq.alias("_seq"), F.count(F.lit(1)).alias("_len"))
+        .select(
+            F.md5(F.col("_seq")).alias("seq_hash"),
+            F.col("_len").cast("long").alias("seq_len"),
+        )
+    )
+    return (
+        per_userday.groupBy("seq_hash", "seq_len")
+        .agg(F.count(F.lit(1)).alias("n_userdays"))
+        .orderBy(F.desc("n_userdays"), "seq_hash")
+        .limit(20)
+    )
+
+
 def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``quantile_over_time`` from DEFINITION STRINGS: a spec
     author writes ``quantile(value, ts, q=95, window=20)`` and gets an

@@ -761,3 +761,14 @@ def test_promql_quantile_shares_one_window_sort(spark):
     # sequential def evaluation may plan one Window node per quantile,
     # but both MUST reuse the single sort above
     assert count_nodes(plan, "Window") <= 2
+
+
+def test_sequence_dedup_takes_ordered_two_aggs(spark):
+    """Sequence dedup: per-(user, day) assembly and the fingerprint
+    count are two partial+final hash aggs over one scan; the top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(Q.sequence_dedup(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Sort") == 0
+    assert "partial_count" in plan
