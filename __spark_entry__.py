@@ -44,6 +44,7 @@ _DRIVER_FIRST = [
     "promql_rate_increase",
     "promql_quantile_over_time",
     "sequence_dedup",
+    "robust_anomaly_mad",
     "ewma_chunked_frame",
     "media_video_props",
     "media_resize_props",
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_rate_increase": Q.promql_rate_increase,
         "promql_quantile_over_time": Q.promql_quantile_over_time,
         "sequence_dedup": Q.sequence_dedup,
+        "robust_anomaly_mad": Q.robust_anomaly_mad,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

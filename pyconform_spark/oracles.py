@@ -1594,6 +1594,33 @@ SELECT user_id, event_type, ts, event_id,
 FROM final
 """
 
+ORACLES["robust_anomaly_mad"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         floor(value * 100)::BIGINT AS vq,
+         list(floor(value * 100)::BIGINT)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM events),
+m AS (
+  SELECT *, list_extract(list_sort(arr), (len(arr) + 1) // 2) AS med
+  FROM base),
+d AS (
+  SELECT *, list_extract(
+              list_sort(list_transform(arr, x -> abs(x - med))),
+              (len(arr) + 1) // 2) AS mad
+  FROM m)
+SELECT user_id, event_type, ts, event_id, value,
+       med::DOUBLE / CAST(100.0 AS DOUBLE) AS rolling_median,
+       mad::DOUBLE / CAST(100.0 AS DOUBLE) AS rolling_mad,
+       CASE WHEN mad = 0 THEN NULL
+            ELSE (vq - med)::DOUBLE / mad::DOUBLE END AS robust_z,
+       (CASE WHEN abs(CASE WHEN mad = 0 THEN NULL
+                           ELSE (vq - med)::DOUBLE / mad::DOUBLE END) > 3
+             THEN 1 ELSE 0 END)::INT AS is_outlier
+FROM d
+"""
+
 ORACLES["sequence_dedup"] = f"""
 WITH per AS (
   SELECT user_id, {_bucket(86400)} AS day,

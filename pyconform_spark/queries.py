@@ -2832,6 +2832,57 @@ def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: rolling MEDIAN + MAD (median absolute
+    deviation) z-score over the trailing 20 samples per series — the
+    outlier-resistant twin of `anomaly_zscore` (mean/stddev windows
+    are themselves corrupted by the outliers they're meant to find;
+    median/MAD are not).
+
+    Cross-engine exactness: both order statistics are discrete picks
+    from the SORTED centi-quantized window (rank ceil(n/2)) — pure
+    integer math; the z-score is ONE division of exactly-agreed
+    integers (NULL where MAD = 0, a flat window).  Scale shape: both
+    medians derive from one collect_list over the same row frame, so
+    the whole projection rides ONE (series, ts) window sort; per-row
+    state is the 20-element frame, never the series."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    wf = w.rowsBetween(-19, 0)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.collect_list(vq).over(wf).alias("_arr"),
+        vq.alias("_vq"),
+    )
+    n = F.size(F.col("_arr"))
+    rank = ((n + F.lit(1)) / F.lit(2)).cast("int")  # ceil(n/2)
+    med = F.element_at(F.array_sort(F.col("_arr")), rank)
+    devs = F.array_sort(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - med))
+    )
+    mad = F.element_at(devs, rank)
+    rz = F.try_divide(
+        (F.col("_vq") - med).cast("double"), mad.cast("double")
+    )
+    return base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        (med.cast("double") / F.lit(100.0)).alias("rolling_median"),
+        (mad.cast("double") / F.lit(100.0)).alias("rolling_mad"),
+        rz.alias("robust_z"),
+        F.when(F.abs(rz) > 3.0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
 def sequence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level (sequence) dedup: assemble each (user, day)'s
     ordered event-type sequence into one string, fingerprint it (md5),

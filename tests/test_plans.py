@@ -772,3 +772,14 @@ def test_sequence_dedup_takes_ordered_two_aggs(spark):
     assert "TakeOrderedAndProject" in plan
     assert count_nodes(plan, "Sort") == 0
     assert "partial_count" in plan
+
+
+def test_robust_anomaly_one_window_sort(spark):
+    """Median and MAD both derive from ONE collect_list over the same
+    row frame — the whole robust-z projection costs one (series, ts)
+    window sort, no second pass."""
+    plan = plan_of(Q.robust_anomaly_mad(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
