@@ -45,6 +45,7 @@ _DRIVER_FIRST = [
     "promql_quantile_over_time",
     "sequence_dedup",
     "robust_anomaly_mad",
+    "promql_slope_trend",
     "ewma_chunked_frame",
     "media_video_props",
     "media_resize_props",
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_quantile_over_time": Q.promql_quantile_over_time,
         "sequence_dedup": Q.sequence_dedup,
         "robust_anomaly_mad": Q.robust_anomaly_mad,
+        "promql_slope_trend": Q.promql_slope_trend,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

@@ -1594,6 +1594,27 @@ SELECT user_id, event_type, ts, event_id,
 FROM final
 """
 
+ORACLES["promql_slope_trend"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq,
+         (epoch_ms(ts) // 1000 - 1704067200)::BIGINT AS x
+  FROM events),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         count(*) OVER wf AS n,
+         sum(x) OVER wf AS sx, sum(vq) OVER wf AS sy,
+         sum(x * vq) OVER wf AS sxy, sum(x * x) OVER wf AS sxx
+  FROM base
+  WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+            ELSE (n * sxy - sx * sy)::DOUBLE
+                 / ((n * sxx - sx * sx) * 100)::DOUBLE END AS slope_20
+FROM s
+"""
+
 ORACLES["robust_anomaly_mad"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,

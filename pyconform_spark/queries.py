@@ -2958,6 +2958,28 @@ def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*EKEYS, "ts", "event_id", "p50_20", "p95_20")
 
 
+def promql_slope_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv`` from DEFINITION STRINGS: a spec author writes
+    ``slope(value, ts, window=20)`` and gets the least-squares
+    per-second trend of the trailing window — integer-sum closed form,
+    ONE division (defs._slope_window).  Scale shape: four frame sums
+    over one shared (series, ts) window sort."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        ["slope_20 = slope(value, ts, window=20)"],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(*EKEYS, "ts", "event_id", "slope_20")
+
+
 def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars per (series, hour): open/close are the
     values at the first/last sample of the bucket under the total

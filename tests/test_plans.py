@@ -783,3 +783,12 @@ def test_robust_anomaly_one_window_sort(spark):
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") == 1
+
+
+def test_promql_slope_one_window_sort(spark):
+    """All four least-squares frame sums ride ONE (keys, ts) window
+    sort — PromQL deriv costs one shuffle like every range function."""
+    plan = plan_of(Q.promql_slope_trend(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
