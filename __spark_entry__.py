@@ -46,6 +46,7 @@ _DRIVER_FIRST = [
     "sequence_dedup",
     "robust_anomaly_mad",
     "promql_slope_trend",
+    "promql_over_time_suite",
     "ewma_chunked_frame",
     "media_video_props",
     "media_resize_props",
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_dedup": Q.sequence_dedup,
         "robust_anomaly_mad": Q.robust_anomaly_mad,
         "promql_slope_trend": Q.promql_slope_trend,
+        "promql_over_time_suite": Q.promql_over_time_suite,
         "m4_downsample": Q.m4_downsample,
         "anomaly_zscore": Q.anomaly_zscore,
         "anomaly_zscore_chunked": Q.anomaly_zscore_chunked,

@@ -1117,6 +1117,61 @@ def _rate_window(args, kwds, window_keys):
     )
 
 
+@register_window_function("changes")
+def _changes_window(args, kwds, window_keys):
+    """``changes(v, t, window=N)``: number of times the value CHANGED
+    among the trailing N samples (PromQL ``changes``; counts any
+    difference, unlike ``resets`` which counts drops).  The staged
+    per-sample change flag rides the shared sort, exact on
+    centi-quantized integers."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "changes")
+    prev = F.lag(vq).over(w)
+    flag = (
+        F.when(prev.isNotNull() & (vq != prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    sname = f"__changes_stage{next(_STAGE_IDS)}"
+    wf = w.rowsBetween(-(win - 1), 0)
+    return Compiled(
+        col=F.sum(F.col(sname)).over(wf).cast("long"),
+        stages=((sname, flag),),
+    )
+
+
+def _make_over_time(key: str):
+    """Factory for the trivial *_over_time frame aggregates — exact by
+    construction (min/max are picks, sum is an integer sum, avg is ONE
+    division of exactly-agreed integers)."""
+
+    def _fn(args, kwds, window_keys):
+        _, t, win, w, vq = _range_window_args(args, kwds, window_keys, key)
+        wf = w.rowsBetween(-(win - 1), 0)
+        if key == "min_over":
+            out = F.min(vq).over(wf).cast("double") / F.lit(100.0)
+        elif key == "max_over":
+            out = F.max(vq).over(wf).cast("double") / F.lit(100.0)
+        elif key == "sum_over":
+            out = F.sum(vq).over(wf).cast("double") / F.lit(100.0)
+        else:  # avg_over: one division of exact integers
+            out = F.try_divide(
+                F.sum(vq).over(wf).cast("double"),
+                (F.count(F.lit(1)).over(wf) * F.lit(100)).cast("double"),
+            )
+        _fn_doc = None  # noqa: F841
+        return Compiled(col=out)
+
+    _fn.__doc__ = (
+        f"``{key}(v, t, window=N)``: PromQL {key}_time over the "
+        "trailing N samples on centi-quantized integers."
+    )
+    return _fn
+
+
+for _k in ("min_over", "max_over", "sum_over", "avg_over"):
+    register_window_function(_k)(_make_over_time(_k))
+
+
 _SLOPE_EPOCH = 1_704_067_200  # 2024-01-01: anchor keeps x² sums in int64
 
 

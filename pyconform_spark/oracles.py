@@ -1594,6 +1594,29 @@ SELECT user_id, event_type, ts, event_id,
 FROM final
 """
 
+ORACLES["promql_over_time_suite"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+staged AS (
+  SELECT *,
+    CASE WHEN lag(vq) OVER w IS NOT NULL AND vq <> lag(vq) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+SELECT user_id, event_type, ts, event_id,
+       (min(vq) OVER wf)::DOUBLE / CAST(100.0 AS DOUBLE) AS min_20,
+       (max(vq) OVER wf)::DOUBLE / CAST(100.0 AS DOUBLE) AS max_20,
+       (sum(vq) OVER wf)::DOUBLE / CAST(100.0 AS DOUBLE) AS sum_20,
+       (sum(vq) OVER wf)::DOUBLE
+         / ((count(*) OVER wf) * 100)::DOUBLE AS avg_20,
+       (sum(chg) OVER wf)::BIGINT AS changes_20
+FROM staged
+WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["promql_slope_trend"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,

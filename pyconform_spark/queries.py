@@ -2980,6 +2980,38 @@ def promql_slope_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*EKEYS, "ts", "event_id", "slope_20")
 
 
+def promql_over_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL *_over_time family from DEFINITION STRINGS —
+    min/max/sum/avg over the trailing window plus ``changes`` — all
+    exact on centi-quantized integers (avg is ONE division), all
+    riding one shared (series, ts) window sort (plan-gated).  With
+    quantile/slope/rate/increase/resets/delta/irate this completes the
+    PromQL range-function surface on the registry."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        [
+            "min_20 = min_over(value, ts, window=20)",
+            "max_20 = max_over(value, ts, window=20)",
+            "sum_20 = sum_over(value, ts, window=20)",
+            "avg_20 = avg_over(value, ts, window=20)",
+            "changes_20 = changes(value, ts, window=20)",
+        ],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id",
+        "min_20", "max_20", "sum_20", "avg_20", "changes_20",
+    )
+
+
 def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars per (series, hour): open/close are the
     values at the first/last sample of the bucket under the total

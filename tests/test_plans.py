@@ -792,3 +792,11 @@ def test_promql_slope_one_window_sort(spark):
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") == 1
+
+
+def test_promql_over_time_suite_one_window_sort(spark):
+    """min/max/sum/avg/changes (and the staged change flag) all ride
+    ONE (keys, ts) window sort and one Exchange."""
+    plan = plan_of(Q.promql_over_time_suite(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
