@@ -1172,33 +1172,34 @@ for _k in ("min_over", "max_over", "sum_over", "avg_over"):
     register_window_function(_k)(_make_over_time(_k))
 
 
-_SLOPE_EPOCH = 1_704_067_200  # 2024-01-01: anchor keeps x² sums in int64
-
-
 @register_window_function("slope")
 def _slope_window(args, kwds, window_keys):
     """``slope(v, t, window=N)``: least-squares per-second trend of
     the trailing N samples (PromQL ``deriv``).  EXACT cross-engine:
-    x = epoch seconds anchored at 2024-01-01 (so n·Σx² stays within
-    int64 for month-scale spans) and y = centi-quantized value; the
-    classic closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is pure integer
-    sums composed into ONE double division (the /100 de-quantization
-    folds into the denominator).  NULL on a single-sample or
-    zero-time-spread window.  Scale note: four frame sums over the
-    shared (keys, t) sort — no second pass, no floats until the final
-    division."""
+    x = raw epoch seconds and y = centi-quantized value, with every
+    sum/product STAGED THROUGH DECIMAL(38,0) — Spark's exact 128-bit
+    integer lane, matching DuckDB's HUGEINT sums — so the classic
+    closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) never wraps (Σx² alone
+    exceeds int64 for epoch-scale x) and needs no epoch anchor; the
+    /100 de-quantization folds into the denominator, ONE double
+    division at the end.  NULL on a single-sample or zero-time-spread
+    window.  Scale note: four frame sums over the shared (keys, t)
+    sort — no second pass, no floats until the final division."""
     _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "slope")
     wf = w.rowsBetween(-(win - 1), 0)
-    x = (
-        F.unix_micros(t.col.cast("timestamp")) / F.lit(1_000_000)
-    ).cast("long") - F.lit(_SLOPE_EPOCH)
-    n = F.count(F.lit(1)).over(wf)
-    sx = F.sum(x).over(wf)
-    sy = F.sum(vq).over(wf)
-    sxy = F.sum(x * vq).over(wf)
-    sxx = F.sum(x * x).over(wf)
+    xd = (
+        (F.unix_micros(t.col.cast("timestamp")) / F.lit(1_000_000))
+        .cast("long")
+        .cast("decimal(20,0)")
+    )
+    vqd = vq.cast("decimal(20,0)")
+    n = F.count(F.lit(1)).over(wf).cast("decimal(20,0)")
+    sx = F.sum(xd).over(wf)
+    sy = F.sum(vqd).over(wf)
+    sxy = F.sum(xd * vqd).over(wf)
+    sxx = F.sum(xd * xd).over(wf)
     num = n * sxy - sx * sy
-    den = (n * sxx - sx * sx) * F.lit(100)
+    den = (n * sxx - sx * sx) * F.lit(100).cast("decimal(20,0)")
     return Compiled(
         col=F.try_divide(num.cast("double"), den.cast("double"))
     )

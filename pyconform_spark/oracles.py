@@ -1620,12 +1620,12 @@ WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
 ORACLES["promql_slope_trend"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq,
-         (epoch_ms(ts) // 1000 - 1704067200)::BIGINT AS x
+         floor(value * 100)::HUGEINT AS vq,
+         (epoch_ms(ts) // 1000)::HUGEINT AS x
   FROM events),
 s AS (
   SELECT user_id, event_type, ts, event_id,
-         count(*) OVER wf AS n,
+         (count(*) OVER wf)::HUGEINT AS n,
          sum(x) OVER wf AS sx, sum(vq) OVER wf AS sy,
          sum(x * vq) OVER wf AS sxy, sum(x * x) OVER wf AS sxx
   FROM base

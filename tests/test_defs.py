@@ -596,3 +596,35 @@ def test_promql_staged_function_refuses_composition_loudly(spark):
             ["x = increase(value, ts, window=5) * 2"],
             window_keys=("user_id", "event_type"),
         ).collect()
+
+
+def test_new_range_functions_validate_their_knobs(spark):
+    """quantile/slope/changes/over-time reject out-of-range knobs at
+    PARSE time (DefinitionError, before any Spark job)."""
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.timestamp_seconds(F.col("id")).alias("t"),
+    )
+    for bad in (
+        "x = quantile(v, t, q=0, window=5)",
+        "x = quantile(v, t, q=101, window=5)",
+        "x = slope(v, t, window=0)",
+        "x = changes(v, t, window=-1)",
+        "x = min_over(v, t, window=0)",
+    ):
+        with pytest.raises(defs.DefinitionError):
+            defs.evaluate_defs(df, [bad], window_keys=("k",))
+
+
+def test_slope_constant_series_is_zero_and_flat_time_null(spark):
+    """Analytic anchors for slope: a constant series has slope 0; a
+    window with zero time spread (single sample) yields NULL."""
+    df = spark.createDataFrame(
+        [(1, float(7), i) for i in range(5)], "k int, v double, s long"
+    ).select("k", "v", F.timestamp_seconds(F.col("s")).alias("t"))
+    out = defs.evaluate_defs(
+        df, ["sl = slope(v, t, window=3)"], window_keys=("k",)
+    ).orderBy("t").collect()
+    assert out[0]["sl"] is None  # first row: n=1, zero spread
+    assert all(r["sl"] == 0.0 for r in out[1:])  # constant => slope 0
