@@ -45,6 +45,7 @@ _DRIVER_FIRST = [
     "promql_quantile_over_time",
     "sequence_dedup",
     "robust_anomaly_mad",
+    "holt_smoothing",
     "promql_slope_trend",
     "promql_over_time_suite",
     "ewma_chunked_frame",
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_quantile_over_time": Q.promql_quantile_over_time,
         "sequence_dedup": Q.sequence_dedup,
         "robust_anomaly_mad": Q.robust_anomaly_mad,
+        "holt_smoothing": Q.holt_smoothing,
         "promql_slope_trend": Q.promql_slope_trend,
         "promql_over_time_suite": Q.promql_over_time_suite,
         "m4_downsample": Q.m4_downsample,

@@ -1,0 +1,73 @@
+"""Sequential smoothers that don't window-ize.
+
+Holt linear (double exponential) smoothing is a COUPLED two-state
+recurrence — level and trend feed each other — so unlike the single
+EWMA (which defs.py compiles to a closed-form dyadic window sum) it
+has no frame-aggregate form.  The Spark host is a per-series
+``applyInPandas`` (Arrow-batched, numpy/python-float recurrence, one
+shuffle on the series keys); the cross-engine proof is a recursive-CTE
+DuckDB oracle stepping the SAME float expressions in the SAME order —
+the int_tabulated spline precedent (oracles.py) applied to streaming
+smoothing.
+
+Semantics (PromQL ``holt_winters``-style, trend-seeded at zero):
+
+* row 1:  s = v,  b = 0
+* row i:  s_i = sf·v_i + (1−sf)·(s_{i−1} + b_{i−1})
+          b_i = tf·(s_i − s_{i−1}) + (1−tf)·b_{i−1}
+
+``sf``/``tf`` default to exact dyadics (0.5, 0.25) so the multiplies
+are exact; the adds are IEEE-identical in any engine because the
+operation ORDER is pinned (scalar python floats, not vectorized
+rearrangements).
+
+Scale: state is two floats per series; each series lives in one task
+after the keys shuffle; a hot series is chunkable with
+skew.chunked_window-style tail carrying if ever needed (the recurrence
+carries (s, b) across chunk borders).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    sf: float = 0.5,
+    tf: float = 0.25,
+) -> DataFrame:
+    """Per-series Holt linear smoothing; returns the input rows plus
+    ``holt_level`` (the smoothed value) and ``holt_trend``."""
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("holt_level", T.DoubleType(), True),
+            T.StructField("holt_trend", T.DoubleType(), True),
+        ]
+    )
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        v = pdf[value].astype(float).tolist()
+        levels, trends = [], []
+        s_prev = b_prev = None
+        for i, vi in enumerate(v):
+            if i == 0:
+                s, b = float(vi), 0.0
+            else:
+                s = sf * vi + (1.0 - sf) * (s_prev + b_prev)
+                b = tf * (s - s_prev) + (1.0 - tf) * b_prev
+            levels.append(s)
+            trends.append(b)
+            s_prev, b_prev = s, b
+        pdf["holt_level"] = levels
+        pdf["holt_trend"] = trends
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_smooth, schema=out_schema)

@@ -1638,6 +1638,30 @@ SELECT user_id, event_type, ts, event_id,
 FROM s
 """
 
+ORACLES["holt_smoothing"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+hw AS (
+  SELECT user_id, event_type, ts, event_id, value, rn,
+         value::DOUBLE AS s, 0.0::DOUBLE AS b
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id, n.value, n.rn,
+         0.5::DOUBLE * n.value + 0.5::DOUBLE * (h.s + h.b) AS s,
+         0.25::DOUBLE * ((0.5::DOUBLE * n.value
+                          + 0.5::DOUBLE * (h.s + h.b)) - h.s)
+           + 0.75::DOUBLE * h.b AS b
+  FROM hw h JOIN base n
+    ON n.user_id = h.user_id AND n.event_type = h.event_type
+   AND n.rn = h.rn + 1)
+SELECT user_id, event_type, ts, event_id, value,
+       s AS holt_level, b AS holt_trend
+FROM hw
+"""
+
 ORACLES["robust_anomaly_mad"] = """
 WITH base AS (
   SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,

@@ -2832,6 +2832,32 @@ def promql_rate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing per series — the
+    coupled level+trend recurrence PromQL calls ``holt_winters``
+    (operators/smooth.py).  No frame-aggregate form exists (level and
+    trend feed each other), so the host is a per-series applyInPandas
+    recurrence and the ORACLE is a recursive CTE stepping the SAME
+    float expressions in the SAME order — hash-exactness proves the
+    sequential semantics are engine-independent (the int_tabulated
+    spline precedent).  Scale shape: one shuffle on the series keys,
+    two floats of state per series."""
+    from pyconform_spark.operators import smooth
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = smooth.holt_linear(
+        df, keys=list(EKEYS), order=["ts", "event_id"]
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id", "value", "holt_level", "holt_trend"
+    )
+
+
 def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection: rolling MEDIAN + MAD (median absolute
     deviation) z-score over the trailing 20 samples per series — the
