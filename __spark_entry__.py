@@ -30,6 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog is still swept every round via scripts/correctness_sweep.py.
 _DRIVER_FIRST = [
     # round-4 additions (never verified by anyone yet)
+    "acf_lags",
+    "promql_predict_linear",
+    "calendar_profile",
+    "sax_symbols",
     "tpch_q21",
     "tpch_q20",
     "tpch_q15",
@@ -126,6 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_downsample_1d": Q.weighted_downsample_1d,
         "sessionize": Q.sessionize,
         "counter_rate": Q.counter_rate,
+        "acf_lags": Q.acf_lags,
+        "promql_predict_linear": Q.promql_predict_linear,
+        "calendar_profile": Q.calendar_profile,
+        "sax_symbols": Q.sax_symbols,
         "promql_rate_increase": Q.promql_rate_increase,
         "promql_quantile_over_time": Q.promql_quantile_over_time,
         "sequence_dedup": Q.sequence_dedup,

@@ -1172,20 +1172,21 @@ for _k in ("min_over", "max_over", "sum_over", "avg_over"):
     register_window_function(_k)(_make_over_time(_k))
 
 
-@register_window_function("slope")
-def _slope_window(args, kwds, window_keys):
-    """``slope(v, t, window=N)``: least-squares per-second trend of
-    the trailing N samples (PromQL ``deriv``).  EXACT cross-engine:
-    x = raw epoch seconds and y = centi-quantized value, with every
-    sum/product STAGED THROUGH DECIMAL(38,0) — Spark's exact 128-bit
-    integer lane, matching DuckDB's HUGEINT sums — so the classic
-    closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) never wraps (Σx² alone
-    exceeds int64 for epoch-scale x) and needs no epoch anchor; the
-    /100 de-quantization folds into the denominator, ONE double
-    division at the end.  NULL on a single-sample or zero-time-spread
-    window.  Scale note: four frame sums over the shared (keys, t)
-    sort — no second pass, no floats until the final division."""
-    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, "slope")
+def _lsq_anchored(args, kwds, window_keys, fn):
+    """Shared least-squares staging for slope/predict_linear: frame
+    sums over DECIMAL(38,0) (exact 128-bit, matching DuckDB HUGEINT),
+    then every derived statistic RE-ANCHORED to the frame's earliest
+    timestamp (x′ = x − min x, an exact integer shift: Σx′ = Σx − n·a,
+    Σx′² = Σx² − 2aΣx + na², Σx′y = Σxy − aΣy) and cast down to
+    BIGINT.  Why: the regression terms D = nΣx′² − (Σx′)² and
+    M = nΣx′y − Σx′Σy are shift-invariant, and int64→double is
+    correctly rounded (one rounding) in BOTH engines while DuckDB's
+    int128→double is not (upper·2⁶⁴ + lower, two roundings) — raw
+    epoch-second sums push D past 2⁵³ where that second rounding
+    costs 1 ulp.  The BIGINT casts are exact while
+    window·time-span ≲ 3·10⁹ sec·rows (ANSI overflow is the canary).
+    Returns (n, sy, D, M, x0m) as int64-exact columns, x0m = x − a."""
+    _, t, win, w, vq = _range_window_args(args, kwds, window_keys, fn)
     wf = w.rowsBetween(-(win - 1), 0)
     xd = (
         (F.unix_micros(t.col.cast("timestamp")) / F.lit(1_000_000))
@@ -1194,15 +1195,69 @@ def _slope_window(args, kwds, window_keys):
     )
     vqd = vq.cast("decimal(20,0)")
     n = F.count(F.lit(1)).over(wf).cast("decimal(20,0)")
-    sx = F.sum(xd).over(wf)
+    a = F.min(xd).over(wf)
+    sx = F.sum(xd).over(wf) - n * a
     sy = F.sum(vqd).over(wf)
-    sxy = F.sum(xd * vqd).over(wf)
-    sxx = F.sum(xd * xd).over(wf)
-    num = n * sxy - sx * sy
-    den = (n * sxx - sx * sx) * F.lit(100).cast("decimal(20,0)")
-    return Compiled(
-        col=F.try_divide(num.cast("double"), den.cast("double"))
+    sxy = F.sum(xd * vqd).over(wf) - a * F.sum(vqd).over(wf)
+    sxx = (
+        F.sum(xd * xd).over(wf)
+        - F.lit(2).cast("decimal(20,0)") * a * F.sum(xd).over(wf)
+        + n * a * a
     )
+    dd = (n * sxx - sx * sx).cast("long")
+    mm = (n * sxy - sx * sy).cast("long")
+    return (
+        n.cast("long"),
+        sy.cast("long"),
+        dd,
+        mm,
+        (xd - a).cast("long"),
+        sx.cast("long"),
+    )
+
+
+@register_window_function("slope")
+def _slope_window(args, kwds, window_keys):
+    """``slope(v, t, window=N)``: least-squares per-second trend of
+    the trailing N samples (PromQL ``deriv``).  EXACT cross-engine via
+    the anchored int64 staging in ``_lsq_anchored`` — slope = M/(D·100)
+    with M, D int64-exact integers, so the casts and the single
+    division are bit-identical in Spark and DuckDB.  NULL on a
+    single-sample or zero-time-spread window.  Scale note: five frame
+    sums over the shared (keys, t) sort — no second pass, no floats
+    until the final division."""
+    _, _, dd, mm, _, _ = _lsq_anchored(args, kwds, window_keys, "slope")
+    return Compiled(
+        col=F.try_divide(
+            mm.cast("double"), dd.cast("double") * F.lit(100.0)
+        )
+    )
+
+
+@register_window_function("predict_linear")
+def _predict_linear_window(args, kwds, window_keys):
+    """``predict_linear(v, t, window=N, horizon=S)``: the value the
+    trailing-N least-squares line reaches S seconds after the current
+    sample (PromQL ``predict_linear`` pinned to a row frame).  With
+    the anchored int64 statistics from ``_lsq_anchored`` the closed
+    form
+
+        predict = (Σy·D + M·(n·(x′+S) − Σx′)) / (n·D·100)
+
+    is evaluated in doubles with a PINNED operation order on
+    correctly-rounded int64 inputs — bit-identical cross-engine even
+    where the products exceed 2⁵³ (both engines round the same IEEE
+    ops the same way).  NULL on a single-sample or zero-time-spread
+    window (0/0 → try_divide).  Scale note: same single window sort
+    and frame-sum pass as slope."""
+    horizon = int(_const_kwd(kwds, "horizon", 300))
+    n, sy, dd, mm, x0m, sx = _lsq_anchored(
+        args, kwds, window_keys, "predict_linear"
+    )
+    nx0sx = (n * (x0m + F.lit(horizon)) - sx).cast("double")
+    num = sy.cast("double") * dd.cast("double") + mm.cast("double") * nx0sx
+    den = n.cast("double") * dd.cast("double") * F.lit(100.0)
+    return Compiled(col=F.try_divide(num, den))
 
 
 @register_window_function("quantile")

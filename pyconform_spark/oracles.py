@@ -1624,18 +1624,26 @@ WITH base AS (
          (epoch_ms(ts) // 1000)::HUGEINT AS x
   FROM events),
 s AS (
-  SELECT user_id, event_type, ts, event_id,
+  SELECT user_id, event_type, ts, event_id, x,
          (count(*) OVER wf)::HUGEINT AS n,
-         sum(x) OVER wf AS sx, sum(vq) OVER wf AS sy,
-         sum(x * vq) OVER wf AS sxy, sum(x * x) OVER wf AS sxx
+         min(x) OVER wf AS a,
+         sum(x) OVER wf AS sxr, sum(vq) OVER wf AS sy,
+         sum(x * vq) OVER wf AS sxyr, sum(x * x) OVER wf AS sxxr
   FROM base
   WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
-                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+d AS (
+  SELECT user_id, event_type, ts, event_id, n, sy,
+         (sxr - n * a) AS sx,
+         (sxyr - a * sy) AS sxy,
+         (sxxr - 2 * a * sxr + n * a * a) AS sxx
+  FROM s)
 SELECT user_id, event_type, ts, event_id,
        CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
-            ELSE (n * sxy - sx * sy)::DOUBLE
-                 / ((n * sxx - sx * sx) * 100)::DOUBLE END AS slope_20
-FROM s
+            ELSE (n * sxy - sx * sy)::BIGINT::DOUBLE
+                 / ((n * sxx - sx * sx)::BIGINT::DOUBLE
+                    * CAST(100.0 AS DOUBLE)) END AS slope_20
+FROM d
 """
 
 ORACLES["holt_smoothing"] = """
@@ -2064,4 +2072,122 @@ SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset
        count(*)::BIGINT AS n_active_users
 FROM active a JOIN fd f USING (user_id)
 GROUP BY 1, 2
+"""
+
+ORACLES["acf_lags"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::HUGEINT AS vq,
+         lag(floor(value * 100)::HUGEINT, 1) OVER w AS l1,
+         lag(floor(value * 100)::HUGEINT, 2) OVER w AS l2,
+         lag(floor(value * 100)::HUGEINT, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, event_type,
+         count(*)::HUGEINT AS n,
+         sum(vq) AS s, sum(vq * vq) AS q,
+         sum(vq * l1) AS sxy1,
+         sum(CASE WHEN l1 IS NOT NULL THEN vq END) AS sx1, sum(l1) AS sy1,
+         sum(vq * l2) AS sxy2,
+         sum(CASE WHEN l2 IS NOT NULL THEN vq END) AS sx2, sum(l2) AS sy2,
+         sum(vq * l3) AS sxy3,
+         sum(CASE WHEN l3 IS NOT NULL THEN vq END) AS sx3, sum(l3) AS sy3
+  FROM base GROUP BY 1, 2)
+SELECT user_id, event_type, n::BIGINT AS n_obs,
+       CASE WHEN (n*n*q - n*s*s) = 0 THEN NULL
+            ELSE (n*n*sxy1 - n*s*(sx1+sy1) + (n-1)*s*s)::DOUBLE
+                 / (n*n*q - n*s*s)::DOUBLE END AS acf_1,
+       CASE WHEN (n*n*q - n*s*s) = 0 THEN NULL
+            ELSE (n*n*sxy2 - n*s*(sx2+sy2) + (n-2)*s*s)::DOUBLE
+                 / (n*n*q - n*s*s)::DOUBLE END AS acf_2,
+       CASE WHEN (n*n*q - n*s*s) = 0 THEN NULL
+            ELSE (n*n*sxy3 - n*s*(sx3+sy3) + (n-3)*s*s)::DOUBLE
+                 / (n*n*q - n*s*s)::DOUBLE END AS acf_3
+FROM g
+"""
+
+ORACLES["promql_predict_linear"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::HUGEINT AS vq,
+         (epoch_ms(ts) // 1000)::HUGEINT AS x
+  FROM events),
+s AS (
+  SELECT user_id, event_type, ts, event_id, x,
+         (count(*) OVER wf)::HUGEINT AS n,
+         min(x) OVER wf AS a,
+         sum(x) OVER wf AS sxr, sum(vq) OVER wf AS sy,
+         sum(x * vq) OVER wf AS sxyr, sum(x * x) OVER wf AS sxxr
+  FROM base
+  WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+d AS (
+  SELECT user_id, event_type, ts, event_id, n, sy,
+         (x - a) AS x0m,
+         (sxr - n * a) AS sx,
+         (sxyr - a * sy) AS sxy,
+         (sxxr - 2 * a * sxr + n * a * a) AS sxx
+  FROM s)
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+            ELSE (sy::BIGINT::DOUBLE
+                    * (n * sxx - sx * sx)::BIGINT::DOUBLE
+                  + (n * sxy - sx * sy)::BIGINT::DOUBLE
+                    * (n * (x0m + 300) - sx)::BIGINT::DOUBLE)
+                 / (n::BIGINT::DOUBLE
+                    * (n * sxx - sx * sx)::BIGINT::DOUBLE
+                    * CAST(100.0 AS DOUBLE)) END AS pred_5m,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+            ELSE (sy::BIGINT::DOUBLE
+                    * (n * sxx - sx * sx)::BIGINT::DOUBLE
+                  + (n * sxy - sx * sy)::BIGINT::DOUBLE
+                    * (n * (x0m + 3600) - sx)::BIGINT::DOUBLE)
+                 / (n::BIGINT::DOUBLE
+                    * (n * sxx - sx * sx)::BIGINT::DOUBLE
+                    * CAST(100.0 AS DOUBLE)) END AS pred_1h
+FROM d
+"""
+
+ORACLES["calendar_profile"] = """
+SELECT event_type,
+       dayofweek(ts)::INT AS dow,
+       hour(ts)::INT AS hour_of_day,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+         AS value_mean,
+       count(*)::BIGINT AS n_obs
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLES["sax_symbols"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::HUGEINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn,
+         (count(*) OVER p)::HUGEINT AS n,
+         sum(floor(value * 100)::HUGEINT) OVER p AS s,
+         sum(floor(value * 100)::HUGEINT
+             * floor(value * 100)::HUGEINT) OVER p AS q
+  FROM events
+  WINDOW p AS (PARTITION BY user_id, event_type)),
+g AS (
+  SELECT user_id, event_type,
+         (((rn - 1) * 4) // n)::BIGINT AS seg, n, s, q,
+         count(*)::BIGINT AS seglen,
+         sum(n * vq - s) AS segsum
+  FROM base GROUP BY 1, 2, 3, n, s, q),
+p AS (
+  SELECT user_id, event_type, seg, seglen,
+         CASE WHEN (n*q - s*s) = 0 THEN NULL
+              ELSE segsum::DOUBLE
+                   / (seglen::DOUBLE * sqrt((n*q - s*s)::DOUBLE)) END AS paa
+  FROM g)
+SELECT user_id, event_type, seg, seglen, paa,
+       CASE WHEN paa IS NULL THEN NULL
+            WHEN paa < CAST(-0.6745 AS DOUBLE) THEN 'a'
+            WHEN paa < CAST(0 AS DOUBLE) THEN 'b'
+            WHEN paa < CAST(0.6745 AS DOUBLE) THEN 'c'
+            ELSE 'd' END AS symbol
+FROM p
 """

@@ -3914,3 +3914,184 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation function at lags 1-3 — the
+    stationarity / seasonality diagnostic a rollup engine runs before
+    choosing a smoothing model (pairs with holt_smoothing /
+    seasonal_baseline).
+
+    EXACT cross-engine: with centi-quantized values, full-series sums
+    S = Σv, Q = Σv² and per-lag pair sums (sxyₖ = Σ vᵢv₍ᵢ₋ₖ₎ plus the
+    two marginal sums over the n−k valid pairs) staged through
+    DECIMAL(38,0) / HUGEINT, the textbook estimator
+
+        r(k) = Σ'(vᵢ−m)(v₍ᵢ₋ₖ₎−m) / Σ(vᵢ−m)²
+
+    multiplies out to pure integers:
+
+        r(k) = (n²·sxyₖ − n·S·(sxₖ+syₖ) + (n−k)·S²) / (n²·Q − n·S²)
+
+    — ONE double division per lag, NULL for constant or too-short
+    series (try_divide).  Scale shape: one (series, ts) window sort
+    for the three lags, then one map-side-combinable hash aggregate
+    per series; output is |series| rows, never the raw points."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        vq.alias("vq"),
+        *[F.lag(vq, k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(dec("vq")).alias("s"),
+        F.sum(dec("vq") * dec("vq")).alias("q"),
+    ]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(dec("vq") * dec(f"l{k}")).alias(f"sxy{k}"),
+            F.sum(
+                F.when(F.col(f"l{k}").isNotNull(), dec("vq"))
+            ).alias(f"sx{k}"),
+            F.sum(dec(f"l{k}")).alias(f"sy{k}"),
+        ]
+    g = staged.groupBy(*EKEYS).agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    den = n * n * q - n * s * s
+    outs = []
+    for k in (1, 2, 3):
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * s * (F.col(f"sx{k}") + F.col(f"sy{k}"))
+            + (n - F.lit(k).cast("decimal(20,0)")) * s * s
+        )
+        outs.append(
+            F.try_divide(num.cast("double"), den.cast("double")).alias(
+                f"acf_{k}"
+            )
+        )
+    return g.select(
+        *EKEYS, n.cast("long").alias("n_obs"), *outs
+    )
+
+
+def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear`` from DEFINITION STRINGS: the
+    trailing-20-sample least-squares line evaluated 300 s and 3600 s
+    past each sample (defs._predict_linear_window) — the alerting
+    primitive "will this series cross the threshold within the next
+    hour".  Both horizons ride ONE shared (series, ts) window sort
+    with slope's integer-sum staging; each output is one double
+    division of DECIMAL(38,0)-exact integers."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        [
+            "pred_5m = predict_linear(value, ts, window=20, horizon=300)",
+            "pred_1h = predict_linear(value, ts, window=20, horizon=3600)",
+        ],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(*EKEYS, "ts", "event_id", "pred_5m", "pred_1h")
+
+
+def calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heat-map profile: mean value per (event_type,
+    day-of-week, hour-of-day) — the cyclic two-axis twin of
+    climatology_hourly, and the shape capacity-planning dashboards
+    render.  Cross-engine: Spark ``dayofweek`` is 1=Sunday while
+    DuckDB's is 0=Sunday, so the Spark side emits ``dayofweek−1``;
+    the mean is a DECIMAL(20,6) sum with one final double division.
+    Scale shape: one map-side-combined hash aggregate to a
+    |types|·7·24-row frame; no window, no shuffle beyond the agg."""
+    df = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    return (
+        df.groupBy(
+            "event_type",
+            (F.dayofweek(ts) - F.lit(1)).cast("int").alias("dow"),
+            F.hour(ts).cast("int").alias("hour_of_day"),
+        )
+        .agg(_dec_sum("value").alias("_vs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "dow",
+            "hour_of_day",
+            (F.col("_vs").cast("double") / F.col("n")).alias("value_mean"),
+            F.col("n").cast("long").alias("n_obs"),
+        )
+    )
+
+
+def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh): z-normalize each series, PAA it
+    into 4 equal-occupancy segments, and bin each segment mean against
+    the N(0,1) quartile breakpoints (±0.6745, 0) into letters a-d —
+    the index key motif-discovery and series-similarity systems build
+    on.
+
+    EXACT cross-engine: with S = Σv, Q = Σv² (centi-quantized,
+    DECIMAL(38,0)/HUGEINT), the z-score is (n·vᵢ − S)/√(nQ − S²), so
+    each PAA mean is Σ_seg(n·vᵢ − S) — a pure integer — divided once
+    by seglen·√(nQ − S²): identical IEEE sqrt/mul/div on identical
+    integers in both engines, and the breakpoint comparisons see
+    bit-identical doubles.  NULL (not a letter) for constant series.
+    Segment id is integer math: (rank−1)·4 div n.  Scale shape: one
+    (series, ts) window sort shared by rank and the series sums, one
+    hash aggregate to 4 rows per series."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    wp = Window.partitionBy(*EKEYS)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    vqd = vq.cast("decimal(20,0)")
+    staged = df.select(
+        *EKEYS,
+        vqd.alias("vq"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("decimal(20,0)").alias("n"),
+        F.sum(vqd).over(wp).alias("s"),
+        F.sum(vqd * vqd).over(wp).alias("q"),
+    )
+    seg = F.floor(
+        (F.col("rn") - F.lit(1)) * F.lit(4) / F.col("n").cast("long")
+    ).cast("long")
+    d = F.col("n") * F.col("vq") - F.col("s")
+    g = (
+        staged.select(*EKEYS, seg.alias("seg"), d.alias("d"), "n", "s", "q")
+        .groupBy(*EKEYS, "seg", "n", "s", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("seglen"),
+            F.sum(F.col("d")).alias("segsum"),
+        )
+    )
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    paa = F.try_divide(
+        F.col("segsum").cast("double"),
+        F.col("seglen").cast("double") * F.sqrt(den.cast("double")),
+    )
+    bp = 0.6745
+    symbol = (
+        F.when(paa.isNull(), F.lit(None).cast("string"))
+        .when(paa < F.lit(-bp), F.lit("a"))
+        .when(paa < F.lit(0.0), F.lit("b"))
+        .when(paa < F.lit(bp), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return g.select(
+        *EKEYS,
+        F.col("seg").alias("seg"),
+        "seglen",
+        paa.alias("paa"),
+        symbol.alias("symbol"),
+    )

@@ -628,3 +628,43 @@ def test_slope_constant_series_is_zero_and_flat_time_null(spark):
     ).orderBy("t").collect()
     assert out[0]["sl"] is None  # first row: n=1, zero spread
     assert all(r["sl"] == 0.0 for r in out[1:])  # constant => slope 0
+
+
+def test_predict_linear_analytic_line(spark):
+    """On an exact line v = 2t + 5 the trailing-window regression must
+    reproduce the line: predict_linear(horizon=h) == v + 2h at every
+    sample past the first (first row: zero spread -> NULL)."""
+    df = spark.createDataFrame(
+        [(1, 5.0 + 2.0 * i, i) for i in range(6)],
+        "k int, v double, s long",
+    ).select("k", "v", F.timestamp_seconds(F.col("s")).alias("t"))
+    out = (
+        defs.evaluate_defs(
+            df,
+            ["p = predict_linear(v, t, window=4, horizon=10)"],
+            window_keys=("k",),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    assert out[0]["p"] is None
+    for r in out[1:]:
+        assert abs(r["p"] - (r["v"] + 20.0)) < 1e-9
+
+
+def test_predict_linear_constant_series_is_flat(spark):
+    """A constant series predicts itself at any horizon."""
+    df = spark.createDataFrame(
+        [(1, 7.0, i) for i in range(5)], "k int, v double, s long"
+    ).select("k", "v", F.timestamp_seconds(F.col("s")).alias("t"))
+    out = (
+        defs.evaluate_defs(
+            df,
+            ["p = predict_linear(v, t, window=3, horizon=3600)"],
+            window_keys=("k",),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    assert out[0]["p"] is None
+    assert all(r["p"] == 7.0 for r in out[1:])

@@ -800,3 +800,45 @@ def test_promql_over_time_suite_one_window_sort(spark):
     plan = plan_of(Q.promql_over_time_suite(spark, SF))
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_predict_linear_one_window_sort(spark):
+    """Both predict_linear horizons (and the anchored frame sums they
+    share with slope) ride ONE (keys, ts) window sort and one
+    Exchange — the whole PromQL regression family is a single pass."""
+    plan = plan_of(Q.promql_predict_linear(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    # the two horizons stack as two Window ops over the SAME sort —
+    # no second shuffle, no second sort
+    assert count_nodes(plan, "Window") <= 2
+
+
+def test_acf_lags_one_sort_one_agg(spark):
+    """ACF: the three lag columns share one (keys, ts) window sort;
+    the per-series reduction is ONE map-side-combinable hash
+    aggregate (partial+final = one Exchange beyond the window's)."""
+    plan = plan_of(Q.acf_lags(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calendar_profile_single_agg_no_shuffle_join(spark):
+    """Calendar profile is ONE hash aggregate (map-side combined to a
+    |types|*7*24 frame) — no window, no join, no sort."""
+    plan = plan_of(Q.calendar_profile(spark, SF))
+    assert count_nodes(plan, "Window") == 0
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sax_symbols_one_sort(spark):
+    """SAX: rank and the whole-series sums share the (keys, ts)
+    partitioning; exactly one Exchange moves the raw points, and the
+    4-rows-per-series reduction is a hash aggregate."""
+    plan = plan_of(Q.sax_symbols(spark, SF))
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
