@@ -71,3 +71,65 @@ def holt_linear(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_smooth, schema=out_schema)
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    period: int = 4,
+    lf: float = 0.5,
+    sf: float = 0.25,
+) -> DataFrame:
+    """Per-series additive Holt-Winters WITHOUT trend (level +
+    seasonal): the seasonal-aware smoother sitting between
+    ``holt_linear`` (trend, no season) and a full triple smoother.
+
+    Recurrence, 1-indexed with phase j = (i−1) mod p, seeded
+    L₀ = v₁ and S[j] = 0:
+
+        fitted_i = L_{i−1} + S[j]            (one-step forecast)
+        L_i      = lf·(v_i − S[j]) + (1−lf)·L_{i−1}
+        S[j]     = sf·(v_i − L_i) + (1−sf)·S[j]
+
+    lf/sf default to exact dyadics so every multiply is exact and the
+    add order is pinned — the DuckDB twin is a recursive CTE carrying
+    the p seasonal states as a LIST(DOUBLE) and stepping the SAME
+    float expressions in the SAME order.  Scale: p+1 floats of state
+    per series; one shuffle on the keys."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T  # noqa: F811
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("hw_fitted", T.DoubleType(), True),
+            T.StructField("hw_level", T.DoubleType(), True),
+            T.StructField("hw_season", T.DoubleType(), True),
+        ]
+    )
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        v = pdf[value].astype(float).tolist()
+        fitted, levels, seasons = [], [], []
+        sea = [0.0] * period
+        lvl = None
+        for i, vi in enumerate(v):
+            j = i % period
+            if i == 0:
+                lvl = float(vi)
+            f = lvl + sea[j]
+            lnew = lf * (vi - sea[j]) + (1.0 - lf) * lvl
+            snew = sf * (vi - lnew) + (1.0 - sf) * sea[j]
+            fitted.append(f)
+            levels.append(lnew)
+            seasons.append(snew)
+            lvl, sea[j] = lnew, snew
+        pdf["hw_fitted"] = fitted
+        pdf["hw_level"] = levels
+        pdf["hw_season"] = seasons
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_smooth, schema=out_schema)

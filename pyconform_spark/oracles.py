@@ -2191,3 +2191,123 @@ SELECT user_id, event_type, seg, seglen, paa,
             ELSE 'd' END AS symbol
 FROM p
 """
+
+ORACLES["seasonal_decompose"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER w AS rn,
+         CASE WHEN count(*) OVER wc = 5
+              THEN sum(floor(value * 100)::BIGINT) OVER wc END AS trend_num
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         wc AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+staged AS (
+  SELECT user_id, event_type, ts, event_id, value, trend_num,
+         ((rn - 1) % 5)::INT AS phase,
+         5 * vq - trend_num AS d
+  FROM base),
+sea AS (
+  SELECT *,
+         sum(d) OVER p AS s_num,
+         count(d) OVER p AS s_cnt
+  FROM staged
+  WINDOW p AS (PARTITION BY user_id, event_type, phase))
+SELECT user_id, event_type, ts, event_id, value, phase,
+       trend_num::DOUBLE / CAST(500.0 AS DOUBLE) AS trend,
+       CASE WHEN s_cnt = 0 THEN NULL
+            ELSE s_num::DOUBLE / (s_cnt * 500)::DOUBLE END AS seasonal,
+       value - (trend_num::DOUBLE / CAST(500.0 AS DOUBLE))
+             - (CASE WHEN s_cnt = 0 THEN NULL
+                     ELSE s_num::DOUBLE / (s_cnt * 500)::DOUBLE END)
+         AS residual
+FROM sea
+"""
+
+ORACLES["cross_corr_lagged"] = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+a AS (SELECT user_id, rn, vq AS va FROM ranked WHERE event_type = 'view'),
+b AS (SELECT user_id, rn, vq AS vb FROM ranked WHERE event_type = 'click'),
+g0 AS (
+  SELECT a.user_id, count(*)::BIGINT AS n,
+         sum(va)::BIGINT AS sx, sum(vb)::BIGINT AS sy,
+         sum(va * vb)::BIGINT AS sxy,
+         sum(va * va)::BIGINT AS sxx, sum(vb * vb)::BIGINT AS syy
+  FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn
+  GROUP BY 1),
+g1 AS (
+  SELECT a.user_id, count(*)::BIGINT AS n,
+         sum(va)::BIGINT AS sx, sum(vb)::BIGINT AS sy,
+         sum(va * vb)::BIGINT AS sxy,
+         sum(va * va)::BIGINT AS sxx, sum(vb * vb)::BIGINT AS syy
+  FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn - 1
+  GROUP BY 1),
+r0 AS (
+  SELECT user_id, n AS n_pairs_0,
+         CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
+              ELSE (n*sxy - sx*sy)::DOUBLE
+                   / (sqrt((n*sxx - sx*sx)::DOUBLE)
+                      * sqrt((n*syy - sy*sy)::DOUBLE)) END AS xcorr_0
+  FROM g0),
+r1 AS (
+  SELECT user_id, n AS n_pairs_1,
+         CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
+              ELSE (n*sxy - sx*sy)::DOUBLE
+                   / (sqrt((n*sxx - sx*sx)::DOUBLE)
+                      * sqrt((n*syy - sy*sy)::DOUBLE)) END AS xcorr_1
+  FROM g1)
+SELECT COALESCE(r0.user_id, r1.user_id) AS user_id,
+       n_pairs_0, xcorr_0, n_pairs_1, xcorr_1
+FROM r0 FULL JOIN r1 ON r0.user_id = r1.user_id
+"""
+
+ORACLES["hw_seasonal"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+hw AS (
+  SELECT user_id, event_type, ts, event_id, value, rn,
+         value::DOUBLE AS fitted, value::DOUBLE AS lvl,
+         CAST(0 AS DOUBLE) AS sj,
+         [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)] AS sea
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id, n.value, n.rn,
+         h.lvl + h.sea[((n.rn - 1) % 4 + 1)::INT] AS fitted,
+         (CAST(0.5 AS DOUBLE)
+            * (n.value - h.sea[((n.rn - 1) % 4 + 1)::INT])
+          + CAST(0.5 AS DOUBLE) * h.lvl) AS lvl,
+         (CAST(0.25 AS DOUBLE)
+            * (n.value
+               - (CAST(0.5 AS DOUBLE)
+                    * (n.value - h.sea[((n.rn - 1) % 4 + 1)::INT])
+                  + CAST(0.5 AS DOUBLE) * h.lvl))
+          + CAST(0.75 AS DOUBLE) * h.sea[((n.rn - 1) % 4 + 1)::INT])
+           AS sj,
+         list_transform([1, 2, 3, 4], i ->
+           CASE WHEN i = ((n.rn - 1) % 4 + 1)::INT
+                THEN (CAST(0.25 AS DOUBLE)
+                        * (n.value
+                           - (CAST(0.5 AS DOUBLE)
+                                * (n.value
+                                   - h.sea[((n.rn - 1) % 4 + 1)::INT])
+                              + CAST(0.5 AS DOUBLE) * h.lvl))
+                      + CAST(0.75 AS DOUBLE)
+                        * h.sea[((n.rn - 1) % 4 + 1)::INT])
+                ELSE h.sea[i] END) AS sea
+  FROM hw h JOIN base n
+    ON n.user_id = h.user_id AND n.event_type = h.event_type
+   AND n.rn = h.rn + 1)
+SELECT user_id, event_type, ts, event_id, value,
+       fitted AS hw_fitted, lvl AS hw_level, sj AS hw_season
+FROM hw
+"""

@@ -4095,3 +4095,146 @@ def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         paa.alias("paa"),
         symbol.alias("symbol"),
     )
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition per series (period
+    p=5 on the sample index): trend = centered 5-point moving average
+    (defined only on full windows), seasonal = per-(series, phase)
+    mean of the detrended values, residual = value − trend − seasonal
+    — the decomposition dashboards run before alert thresholds.
+
+    EXACT cross-engine: trend_num = Σ₅vq and the detrended value
+    d = 5·vq − trend_num are pure integers; trend and seasonal are
+    each ONE double division of int64-exact integers, and the residual
+    is the same pinned IEEE subtraction chain on bit-identical
+    doubles in both engines.  Scale shape: one (series, ts) window
+    sort for rank + centered frame, one (series, phase) window for
+    the seasonal means — two key-local shuffles, output is the input
+    rows, never a cross join."""
+    p = 5
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    wc = wo.rowsBetween(-(p // 2), p // 2)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        vq.alias("vq"),
+        F.row_number().over(wo).alias("rn"),
+        F.when(
+            F.count(F.lit(1)).over(wc) == p, F.sum(vq).over(wc)
+        ).alias("trend_num"),
+    )
+    phase = ((F.col("rn") - F.lit(1)) % F.lit(p)).cast("int")
+    d = F.lit(p) * F.col("vq") - F.col("trend_num")
+    staged = staged.select(
+        *EKEYS, "ts", "event_id", "value", "trend_num",
+        phase.alias("phase"), d.alias("d"),
+    )
+    wp = Window.partitionBy(*EKEYS, "phase")
+    s_num = F.sum("d").over(wp)
+    s_cnt = F.count("d").over(wp)
+    trend = F.col("trend_num").cast("double") / F.lit(float(p * 100))
+    seasonal = F.try_divide(
+        s_num.cast("double"), (s_cnt * F.lit(p * 100)).cast("double")
+    )
+    return staged.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        "phase",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("value") - trend - seasonal).alias("residual"),
+    )
+
+
+def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between each user's 'view' and 'click'
+    series, aligned on the per-series sample index, at lags 0 and 1
+    (does clicking FOLLOW viewing?) — the lead/lag dependency
+    diagnostic between two measurement streams.
+
+    EXACT cross-engine: Pearson over the aligned pairs with all five
+    sums on centi-quantized integers; r = num / (√dx·√dy) where num,
+    dx, dy are int64-exact, and the sqrt/mul/div chain is the same
+    pinned IEEE tree in both engines.  NULL when either side is
+    constant or fewer than 2 pairs align.  Scale shape: one window
+    sort per side for the rank, one equi-join on (user, rank) —
+    hash-partitioned, never quadratic; output is |users| rows."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    ranked = df.select(
+        "user_id",
+        "event_type",
+        vq.alias("vq"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = ranked.filter(F.col("event_type") == "view").select(
+        "user_id", "rn", F.col("vq").alias("va")
+    )
+    b = ranked.filter(F.col("event_type") == "click").select(
+        "user_id", "rn", F.col("vq").alias("vb")
+    )
+    outs = []
+    for k in (0, 1):
+        j = a.join(
+            b.select("user_id", (F.col("rn") - F.lit(k)).alias("rn"), "vb"),
+            ["user_id", "rn"],
+        )
+        g = j.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        num = (n * F.col("sxy") - sx * sy).cast("double")
+        dx = (n * F.col("sxx") - sx * sx).cast("double")
+        dy = (n * F.col("syy") - sy * sy).cast("double")
+        outs.append(
+            g.select(
+                "user_id",
+                n.cast("long").alias(f"n_pairs_{k}"),
+                F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)).alias(
+                    f"xcorr_{k}"
+                ),
+            )
+        )
+    return outs[0].join(outs[1], ["user_id"], "full").select(
+        "user_id", "n_pairs_0", "xcorr_0", "n_pairs_1", "xcorr_1"
+    )
+
+
+def hw_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + seasonal, period 4) per series —
+    the seasonal-aware smoother completing the exponential family
+    next to ewma_smooth (single) and holt_smoothing (double/trend).
+    No frame-aggregate form exists (the seasonal state array feeds
+    back), so the host is a per-series applyInPandas recurrence
+    (operators/smooth.py) and the ORACLE is a recursive CTE carrying
+    the 4 seasonal states as a LIST(DOUBLE), stepping the SAME dyadic
+    float expressions in the SAME order.  Scale shape: one shuffle on
+    the series keys, 5 floats of state per series."""
+    from pyconform_spark.operators import smooth
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = smooth.holt_winters_seasonal(
+        df, keys=list(EKEYS), order=["ts", "event_id"]
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id", "value",
+        "hw_fitted", "hw_level", "hw_season",
+    )

@@ -842,3 +842,32 @@ def test_sax_symbols_one_sort(spark):
     assert count_nodes(plan, "Exchange") <= 2
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decompose_two_keylocal_windows(spark):
+    """Seasonal decomposition: the rank/trend window and the
+    (series, phase) seasonal-mean window are both key-local — at most
+    two Exchanges, no join, never a cartesian product."""
+    plan = plan_of(Q.seasonal_decompose(spark, SF))
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corr_lagged_equijoins_only(spark):
+    """Cross-correlation aligns the two series with hash-partitioned
+    EQUI-joins on (user, rank) — no cartesian product anywhere, and
+    the filters on event_type reach the scan."""
+    plan = plan_of(Q.cross_corr_lagged(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_hw_seasonal_single_grouped_arrow_pass(spark):
+    """Holt-Winters seasonal is ONE grouped-Arrow recurrence after the
+    keys shuffle — one FlatMapGroupsInPandas, no second shuffle."""
+    plan = plan_of(Q.hw_seasonal(spark, SF))
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(plan, "Exchange") == 1

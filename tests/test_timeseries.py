@@ -309,3 +309,45 @@ def test_chunked_ewma_equals_sequential_at_any_chunk_width(spark):
             for r in Q.ewma_chunked_frame(spark, sf, chunk_seconds=chunk_s).collect()
         }
         assert got == want, chunk_s
+
+
+def test_hw_seasonal_constant_series_is_flat(spark):
+    """Analytic anchor: on a constant series the level locks to the
+    constant, every seasonal state stays 0, and the one-step forecast
+    is exact at every sample."""
+    from pyconform_spark.operators import smooth
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, i, 7.5) for i in range(12)], "k int, s long, value double"
+    ).select("k", F.timestamp_seconds(F.col("s")).alias("ts"), "value")
+    out = (
+        smooth.holt_winters_seasonal(df, keys=["k"], order=["ts"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert all(r["hw_fitted"] == 7.5 for r in out)
+    assert all(r["hw_level"] == 7.5 for r in out)
+    assert all(r["hw_season"] == 0.0 for r in out)
+
+
+def test_hw_seasonal_learns_periodic_offsets(spark):
+    """On a pure period-4 signal the seasonal states absorb the phase
+    offsets: the one-step forecast error in the last cycle must be
+    far below the first cycle's."""
+    from pyconform_spark.operators import smooth
+    import pyspark.sql.functions as F
+
+    off = [3.0, -1.0, 0.5, -2.5]
+    rows = [(1, i, 10.0 + off[i % 4]) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "k int, s long, value double"
+    ).select("k", F.timestamp_seconds(F.col("s")).alias("ts"), "value")
+    out = (
+        smooth.holt_winters_seasonal(df, keys=["k"], order=["ts"])
+        .orderBy("ts")
+        .collect()
+    )
+    err_first = sum(abs(r["hw_fitted"] - r["value"]) for r in out[4:8])
+    err_last = sum(abs(r["hw_fitted"] - r["value"]) for r in out[-4:])
+    assert err_last < err_first / 10
