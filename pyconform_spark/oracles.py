@@ -2311,3 +2311,68 @@ SELECT user_id, event_type, ts, event_id, value,
        fitted AS hw_fitted, lvl AS hw_level, sj AS hw_season
 FROM hw
 """
+
+ORACLES["interval_merge"] = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + 300000000 AS e_us,
+         event_id::BIGINT AS event_id
+  FROM events),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER (PARTITION BY user_id
+                                   ORDER BY s_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) IS NULL
+                OR s_us > max(e_us) OVER (PARTITION BY user_id
+                                          ORDER BY s_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM base),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT user_id, island::BIGINT AS island,
+       make_timestamp(min(s_us)) AS interval_start,
+       make_timestamp(max(e_us)) AS interval_end,
+       (max(e_us) - min(s_us)) / CAST(1000000.0 AS DOUBLE) AS duration_s,
+       count(*)::BIGINT AS n_events
+FROM islands
+GROUP BY 1, 2
+"""
+
+ORACLES["backtest_models"] = """
+WITH staged AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS vq,
+         lag(floor(value * 100)::BIGINT, 1) OVER w AS l1,
+         lag(floor(value * 100)::BIGINT, 4) OVER w AS l4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, event_type,
+         count(l1)::BIGINT AS n_naive,
+         sum(abs(vq - l1))::BIGINT AS ae1,
+         count(l4)::BIGINT AS n_snaive,
+         sum(abs(vq - l4))::BIGINT AS ae4
+  FROM staged GROUP BY 1, 2),
+m AS (
+  SELECT user_id, event_type, n_naive, n_snaive,
+         CASE WHEN n_naive = 0 THEN NULL
+              ELSE ae1::DOUBLE / (n_naive * 100)::DOUBLE END AS mae_naive,
+         CASE WHEN n_snaive = 0 THEN NULL
+              ELSE ae4::DOUBLE / (n_snaive * 100)::DOUBLE END AS mae_snaive
+  FROM g)
+SELECT user_id, event_type, n_naive, mae_naive, n_snaive, mae_snaive,
+       CASE WHEN mae_naive IS NULL OR mae_snaive IS NULL THEN NULL
+            WHEN mae_naive <= mae_snaive THEN 'naive'
+            ELSE 'seasonal_naive' END AS winner
+FROM m
+"""

@@ -4238,3 +4238,125 @@ def hw_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         *EKEYS, "ts", "event_id", "value",
         "hw_fitted", "hw_level", "hw_season",
     )
+
+
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval consolidation (the classic gaps-and-islands
+    UNION of ranges): each event opens a 5-minute activity interval
+    [ts, ts+300s); per user, transitively overlapping intervals merge
+    into one row (merged start/end, event count) — the range-
+    normalization primitive behind coverage accounting, maintenance
+    windows, and visit stitching (heartbeat_uptime reports totals;
+    this emits the merged intervals themselves).
+
+    EXACT cross-engine: starts/ends are epoch-microsecond BIGINTs; a
+    new island opens where start > running-max(end) of all PRECEDING
+    intervals; island id = running sum of those flags — two frame
+    aggregates on ONE (user, start) window sort, then a hash
+    aggregate.  Output timestamps are integer micros re-emitted as
+    naive timestamps.  Scale shape: one key-local sort + one
+    aggregate; no join, no global sort."""
+    span_us = 300 * 1_000_000
+    df = _events(spark, sf_dir)
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = df.select(
+        "user_id",
+        s_us.alias("s_us"),
+        (s_us + F.lit(span_us)).alias("e_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    island = F.sum("new_island").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select(
+            "user_id", "s_us", "e_us", island.alias("island")
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s_us").alias("_s"),
+            F.max("e_us").alias("_e"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("island"),
+            F.timestamp_micros(F.col("_s"))
+            .cast("timestamp_ntz")
+            .alias("interval_start"),
+            F.timestamp_micros(F.col("_e"))
+            .cast("timestamp_ntz")
+            .alias("interval_end"),
+            ((F.col("_e") - F.col("_s")) / F.lit(1_000_000.0)).alias(
+                "duration_s"
+            ),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def backtest_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest per series: one-step-ahead
+    mean absolute error of the NAIVE model (predict the previous
+    sample) vs the SEASONAL-NAIVE model (predict the sample one
+    period=4 back), plus the winner — the model-selection loop a
+    forecasting pipeline runs before choosing a smoother
+    (seasonal_baseline scores one model; this compares them).
+
+    EXACT cross-engine: both error streams are |integer − integer| on
+    centi-quantized values, summed exactly; each MAE is ONE double
+    division; the winner comparison sees bit-identical doubles.
+    Scale shape: one (series, ts) window sort for both lags, one
+    map-side-combined hash aggregate to |series| rows."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        vq.alias("vq"),
+        F.lag(vq, 1).over(w).alias("l1"),
+        F.lag(vq, 4).over(w).alias("l4"),
+    )
+    g = staged.groupBy(*EKEYS).agg(
+        F.count("l1").alias("n_naive"),
+        F.sum(F.abs(F.col("vq") - F.col("l1"))).alias("ae1"),
+        F.count("l4").alias("n_snaive"),
+        F.sum(F.abs(F.col("vq") - F.col("l4"))).alias("ae4"),
+    )
+    mae1 = F.try_divide(
+        F.col("ae1").cast("double"),
+        (F.col("n_naive") * F.lit(100)).cast("double"),
+    )
+    mae4 = F.try_divide(
+        F.col("ae4").cast("double"),
+        (F.col("n_snaive") * F.lit(100)).cast("double"),
+    )
+    winner = (
+        F.when(mae1.isNull() | mae4.isNull(), F.lit(None).cast("string"))
+        .when(mae1 <= mae4, F.lit("naive"))
+        .otherwise(F.lit("seasonal_naive"))
+    )
+    return g.select(
+        *EKEYS,
+        F.col("n_naive").cast("long").alias("n_naive"),
+        mae1.alias("mae_naive"),
+        F.col("n_snaive").cast("long").alias("n_snaive"),
+        mae4.alias("mae_snaive"),
+        winner.alias("winner"),
+    )

@@ -871,3 +871,24 @@ def test_hw_seasonal_single_grouped_arrow_pass(spark):
     plan = plan_of(Q.hw_seasonal(spark, SF))
     assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_interval_merge_one_keylocal_sort(spark):
+    """Interval consolidation: both frame aggregates (running max-end,
+    island id) ride ONE (user, start) window sort; the merge itself is
+    a hash aggregate.  No join, never a cartesian product."""
+    plan = plan_of(Q.interval_merge(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_backtest_models_one_sort_one_agg(spark):
+    """Model backtest: both lag columns share one (series, ts) window
+    sort; the per-series MAE reduction is one map-side-combined hash
+    aggregate."""
+    plan = plan_of(Q.backtest_models(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
