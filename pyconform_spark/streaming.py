@@ -639,3 +639,76 @@ def sketch_quantile_readoff(
         aggs.append(est.alias(f"p{int(round(q * 100))}_est"))
     aggs.append(F.max("_tot").alias("n_points"))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def stream_holt(
+    stream: DataFrame, sf: float = 0.5, tf: float = 0.25
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-series
+    Holt linear smoothing over an EVENTS stream — the streaming twin
+    of operators/smooth.holt_linear, carrying exactly TWO floats of
+    state (level, trend) per (user_id, event_type).
+
+    Assumes in-order arrival per series across micro-batches (ingest
+    contract; late rows belong to the refresh path).  A group's
+    micro-batch rows are concatenated across Arrow chunks and sorted
+    ONCE, then stepped with the SAME scalar-float recurrence as the
+    batch operator — same expressions, same order — so stream output
+    equals the batch query BIT-FOR-BIT (pytest parity gate)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("holt_level", T.DoubleType(), True),
+        T.StructField("holt_trend", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("trend", T.DoubleType(), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        s_prev, b_prev = (state.get if state.exists else (None, None))
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        levels, trends = [], []
+        for vi in pdf["value"].astype(float).tolist():
+            if s_prev is None:
+                s, b = float(vi), 0.0
+            else:
+                s = sf * vi + (1.0 - sf) * (s_prev + b_prev)
+                b = tf * (s - s_prev) + (1.0 - tf) * b_prev
+            levels.append(s)
+            trends.append(b)
+            s_prev, b_prev = s, b
+        out = pd.DataFrame({
+            "user_id": pdf["user_id"].astype("int64").to_numpy(),
+            "event_type": event_type,
+            "ts": pdf["ts"].to_numpy(),
+            "event_id": pdf["event_id"].astype("int64").to_numpy(),
+            "value": pdf["value"].astype(float).to_numpy(),
+            "holt_level": levels,
+            "holt_trend": trends,
+        })
+        yield out
+        state.update((float(s_prev), float(b_prev)))
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -616,3 +616,49 @@ def test_stream_quantile_sketch_matches_batch(spark, tx_dir):
         direct, ["role"], qs=(0.5, 0.95)
     )
     assert _rows(merged_ro) == _rows(direct_ro)
+
+
+def test_stream_holt_matches_batch_bitwise(spark, tmp_path):
+    """Stateful streaming Holt smoothing == batch holt_smoothing
+    bit-for-bit: the (level, trend) state carries across micro-batch
+    boundaries (input split mid-series by time)."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "holt_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_holt(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("holtstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_id: (r.holt_level, r.holt_trend)
+        for r in spark.sql("select * from holtstream").collect()
+    }
+    want = {
+        r.event_id: (r.holt_level, r.holt_trend)
+        for r in Q.holt_smoothing(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        assert got[eid] == want[eid], (eid, got[eid], want[eid])
