@@ -2376,3 +2376,39 @@ SELECT user_id, event_type, n_naive, mae_naive, n_snaive, mae_snaive,
             ELSE 'seasonal_naive' END AS winner
 FROM m
 """
+
+ORACLES["series_align_spread"] = f"""
+WITH tier AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+  FROM events
+  WHERE user_id < 15 AND event_type IN ('view', 'click')
+  GROUP BY 1, 2, 3),
+extents AS (
+  SELECT user_id, event_type, min(bucket_start) b_min, max(bucket_start) b_max
+  FROM tier GROUP BY 1, 2),
+grid AS (
+  SELECT user_id, event_type,
+         unnest(generate_series(b_min, b_max, INTERVAL 1 HOUR)) AS bucket_start
+  FROM extents),
+dense AS (
+  SELECT g.user_id, g.event_type, g.bucket_start, t.value_sum
+  FROM grid g LEFT JOIN tier t
+    USING (user_id, event_type, bucket_start)),
+filled AS (
+  SELECT user_id, event_type, bucket_start,
+         last_value(value_sum IGNORE NULLS) OVER (
+           PARTITION BY user_id, event_type ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_fill
+  FROM dense),
+v AS (SELECT user_id, bucket_start, value_fill AS v_view
+      FROM filled WHERE event_type = 'view'),
+c AS (SELECT user_id, bucket_start, value_fill AS v_click
+      FROM filled WHERE event_type = 'click')
+SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+       COALESCE(v.bucket_start, c.bucket_start) AS bucket_start,
+       v_view, v_click,
+       v_view - v_click AS spread
+FROM v FULL JOIN c
+  ON v.user_id = c.user_id AND v.bucket_start = c.bucket_start
+"""

@@ -4360,3 +4360,49 @@ def backtest_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae4.alias("mae_snaive"),
         winner.alias("winner"),
     )
+
+
+def series_align_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-series alignment ("align" in monitoring engines): the
+    'view' and 'click' hourly series of each demo user are densified
+    onto a common 1h grid, LOCF-carried, full-outer aligned, and
+    differenced — the join-two-metrics-then-subtract operation behind
+    error-rate/spread panels, composed entirely from the engine's own
+    gapfill + rollup operators.
+
+    Cross-engine exactness: each side's hourly value is one exact
+    DECIMAL(20,6) sum cast to double; LOCF copies it verbatim; the
+    spread is one IEEE subtraction of bit-identical doubles (NULL
+    before a side's first observation).  Scale shape: grids are per
+    (user, type) bounded by observed extents; one equi-join on
+    (user, bucket) — hash-partitioned, broadcast-eligible, never a
+    cross join."""
+    tier = _rollup(
+        _events(spark, sf_dir).where(
+            (F.col("user_id") < 15)
+            & F.col("event_type").isin("view", "click")
+        ),
+        3600,
+    ).select(*EKEYS, "bucket_start", "n_events", "value_sum")
+    dense = (
+        gapfill.dense_grid(
+            tier.withColumnRenamed("n_events", "turn_count"), "1h",
+            keys=EKEYS,
+        )
+        .withColumnRenamed("turn_count", "n_events")
+    )
+    filled = gapfill.fill_locf(dense, ["value_sum"], keys=EKEYS)
+    v = filled.filter(F.col("event_type") == "view").select(
+        "user_id", "bucket_start", F.col("value_sum").alias("v_view")
+    )
+    c = filled.filter(F.col("event_type") == "click").select(
+        "user_id", "bucket_start", F.col("value_sum").alias("v_click")
+    )
+    j = v.join(c, ["user_id", "bucket_start"], "full")
+    return j.select(
+        "user_id",
+        "bucket_start",
+        F.col("v_view").cast("double").alias("v_view"),
+        F.col("v_click").cast("double").alias("v_click"),
+        (F.col("v_view") - F.col("v_click")).cast("double").alias("spread"),
+    )

@@ -892,3 +892,13 @@ def test_backtest_models_one_sort_one_agg(spark):
     assert count_nodes(plan, "Window") == 1
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_series_align_spread_equijoin_pushed_filters(spark):
+    """Two-series alignment: the type/user filters reach the scan, the
+    final alignment is an EQUI-join on (user, bucket), and no stage is
+    a cartesian product."""
+    plan = plan_of(Q.series_align_spread(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
