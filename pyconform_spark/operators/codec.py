@@ -562,3 +562,136 @@ def compress_tier_packed(
             yield _encode_frame(pending)
 
     return src.mapInPandas(_enc_part, schema=schema)
+
+
+def deadband_keep(
+    df,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    eps_centi: int = 500,
+):
+    """Dead-band (report-by-exception) compression — the SCADA /
+    historian primitive: the first sample of each series is archived;
+    a later sample is archived only when it moves more than
+    ``eps_centi`` centi-units from the LAST ARCHIVED value.  Lossy by
+    at most eps per point, exact at the archived points.
+
+    Sequential state = one integer (last archived centi-value), so
+    like the smoothers this hosts as a per-series applyInPandas
+    recurrence on centi-quantized int64 — PURE INTEGER comparisons,
+    no float anywhere — with a recursive-CTE DuckDB twin stepping the
+    same rule.  Returns the input rows plus ``kept`` (bool) and
+    ``kept_seq`` (archive ordinal; NULL on dropped rows).  Scale:
+    one shuffle on the series keys, O(1) state per series."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("kept", T.BooleanType(), False),
+            T.StructField("kept_seq", T.LongType(), True),
+        ]
+    )
+
+    def _mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        vq = [
+            int(math.floor(x * 100.0))
+            for x in pdf[value].astype(float).tolist()
+        ]
+        kept, seqs = [], []
+        anchor = None
+        seq = 0
+        for q in vq:
+            if anchor is None or abs(q - anchor) > eps_centi:
+                seq += 1
+                anchor = q
+                kept.append(True)
+                seqs.append(seq)
+            else:
+                kept.append(False)
+                seqs.append(None)
+        pdf["kept"] = kept
+        pdf["kept_seq"] = pd.array(seqs, dtype="Int64")
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_mark, schema=out_schema)
+
+
+def swinging_door_keep(
+    df,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    ts_col: str = "ts",
+    eps: float = 5.0,
+):
+    """Swinging-door trending (SDT) — the OSIsoft-PI-style historian
+    compressor: a sample is archived only when the incoming point
+    swings the two 'doors' (slope bounds from the current anchor
+    through value ± eps) shut, i.e. no single line segment from the
+    anchor can approximate every point since within ±eps.  On a
+    breach the PREVIOUS point is archived and becomes the new anchor;
+    first and last points are always archived.
+
+    Precondition: strictly increasing ``ts_col`` within a series (the
+    event-stream contract; equal timestamps would make the door slope
+    undefined).
+
+    Cross-engine exactness: timestamps enter as exact int64
+    microseconds (exactly representable as doubles), values are the
+    original doubles, and every slope/compare is the SAME pinned IEEE
+    expression tree the recursive-CTE DuckDB twin steps — greatest/
+    least/compare on bit-identical doubles.  Scale: one shuffle on
+    the series keys, O(1) state (anchor, previous point, two door
+    slopes) per series."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField("kept", T.BooleanType(), False)]
+    )
+
+    def _mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        t = [
+            float(x)
+            for x in (
+                pdf[ts_col].astype("datetime64[us]").astype("int64")
+            ).tolist()
+        ]
+        v = pdf[value].astype(float).tolist()
+        n = len(v)
+        kept = [False] * n
+        if n:
+            kept[0] = True
+        ta, va = (t[0], v[0]) if n else (None, None)
+        tp, vp = ta, va
+        uu, ll = -math.inf, math.inf
+        for i in range(1, n):
+            dt = t[i] - ta
+            su = ((v[i] - eps) - va) / dt
+            sl = ((v[i] + eps) - va) / dt
+            u2 = max(uu, su)
+            l2 = min(ll, sl)
+            if u2 > l2:
+                kept[i - 1] = True
+                ta, va = tp, vp
+                dt2 = t[i] - ta
+                uu = ((v[i] - eps) - va) / dt2
+                ll = ((v[i] + eps) - va) / dt2
+            else:
+                uu, ll = u2, l2
+            tp, vp = t[i], v[i]
+        if n:
+            kept[n - 1] = True
+        pdf["kept"] = kept
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_mark, schema=out_schema)

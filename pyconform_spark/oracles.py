@@ -2412,3 +2412,75 @@ SELECT COALESCE(v.user_id, c.user_id) AS user_id,
 FROM v FULL JOIN c
   ON v.user_id = c.user_id AND v.bucket_start = c.bucket_start
 """
+
+ORACLES["deadband_compress"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         floor(value * 100)::BIGINT AS q,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+db AS (
+  SELECT user_id, event_type, ts, event_id, value, rn,
+         TRUE AS kept, 1::BIGINT AS seq, q AS anchor
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id, n.value, n.rn,
+         abs(n.q - d.anchor) > 500 AS kept,
+         CASE WHEN abs(n.q - d.anchor) > 500
+              THEN d.seq + 1 ELSE d.seq END AS seq,
+         CASE WHEN abs(n.q - d.anchor) > 500
+              THEN n.q ELSE d.anchor END AS anchor
+  FROM db d JOIN base n
+    ON n.user_id = d.user_id AND n.event_type = d.event_type
+   AND n.rn = d.rn + 1)
+SELECT user_id, event_type, ts, event_id, value, kept,
+       CASE WHEN kept THEN seq END AS kept_seq
+FROM db
+"""
+
+_SDT_BREACH = """greatest(d.uu,
+            ((n.value - CAST(5 AS DOUBLE)) - d.va) / (n.t - d.ta))
+          > least(d.ll,
+            ((n.value + CAST(5 AS DOUBLE)) - d.va) / (n.t - d.ta))"""
+
+ORACLES["sdt_compress"] = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         epoch_us(ts)::DOUBLE AS t,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+sdt AS (
+  SELECT user_id, event_type, ts, event_id, value, rn,
+         FALSE AS prev_kept,
+         t AS ta, value AS va, t AS tp, value AS vp,
+         CAST('-infinity' AS DOUBLE) AS uu,
+         CAST('infinity' AS DOUBLE) AS ll
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id, n.value, n.rn,
+         ({_SDT_BREACH}) AS prev_kept,
+         CASE WHEN {_SDT_BREACH} THEN d.tp ELSE d.ta END AS ta,
+         CASE WHEN {_SDT_BREACH} THEN d.vp ELSE d.va END AS va,
+         n.t AS tp, n.value AS vp,
+         CASE WHEN {_SDT_BREACH}
+              THEN ((n.value - CAST(5 AS DOUBLE)) - d.vp) / (n.t - d.tp)
+              ELSE greatest(d.uu,
+                ((n.value - CAST(5 AS DOUBLE)) - d.va) / (n.t - d.ta)) END
+           AS uu,
+         CASE WHEN {_SDT_BREACH}
+              THEN ((n.value + CAST(5 AS DOUBLE)) - d.vp) / (n.t - d.tp)
+              ELSE least(d.ll,
+                ((n.value + CAST(5 AS DOUBLE)) - d.va) / (n.t - d.ta)) END
+           AS ll
+  FROM sdt d JOIN base n
+    ON n.user_id = d.user_id AND n.event_type = d.event_type
+   AND n.rn = d.rn + 1)
+SELECT user_id, event_type, ts, event_id, value,
+       CASE WHEN rn = 1 THEN TRUE
+            ELSE coalesce(
+              lead(prev_kept) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY rn), TRUE) END AS kept
+FROM sdt
+"""

@@ -4406,3 +4406,50 @@ def series_align_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_click").cast("double").alias("v_click"),
         (F.col("v_view") - F.col("v_click")).cast("double").alias("spread"),
     )
+
+
+def deadband_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-band (report-by-exception) archiving per series — flag the
+    samples a SCADA-style historian would keep when a point is stored
+    only after moving > 5.00 units from the last stored point
+    (operators/codec.deadband_keep).  Sequential integer state, so the
+    host is a per-series applyInPandas recurrence and the ORACLE is a
+    recursive CTE stepping the same centi-quantized rule — pure
+    integer comparisons, bit-exact by construction.  Scale shape: one
+    shuffle on the series keys, one int of state per series."""
+    out = codec.deadband_keep(
+        _events(spark, sf_dir).select(
+            *EKEYS,
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "value",
+        ),
+        keys=list(EKEYS),
+        order=["ts", "event_id"],
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id", "value", "kept", "kept_seq"
+    )
+
+
+def sdt_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swinging-door trending archival per series (the OSIsoft-PI
+    historian compressor; operators/codec.swinging_door_keep):
+    archive a point only when the slope doors from the current anchor
+    swing shut.  Sequential float state, so the host is a per-series
+    applyInPandas recurrence and the ORACLE is a recursive CTE
+    stepping the SAME pinned IEEE slope expressions; the retro-mark
+    of the previous point is reconstructed with a lead() window in
+    both engines' final projection.  Scale shape: one shuffle on the
+    series keys, O(1) state per series."""
+    out = codec.swinging_door_keep(
+        _events(spark, sf_dir).select(
+            *EKEYS,
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "value",
+        ),
+        keys=list(EKEYS),
+        order=["ts", "event_id"],
+    )
+    return out.select(*EKEYS, "ts", "event_id", "value", "kept")

@@ -207,3 +207,76 @@ def test_dod_roundtrip_property(ts):
     blob = codec.dod_encode(ts)
     back = codec.dod_decode(blob)
     assert np.array_equal(back, np.asarray(ts, dtype=np.int64))
+
+
+def test_deadband_drops_are_within_eps_of_last_kept(spark):
+    """Dead-band guarantee: every dropped sample is within eps of the
+    most recent archived sample; a constant series keeps only its
+    first point; a step > eps forces a new archive."""
+    from pyconform_spark.operators import codec
+    import pyspark.sql.functions as F
+
+    vals = [10.0] * 5 + [10.04] * 3 + [30.0] * 4 + [30.02, 24.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "k int, s long, value double",
+    ).select("k", F.timestamp_seconds(F.col("s")).alias("ts"),
+             F.col("s").alias("event_id"), "value")
+    rows = (
+        codec.deadband_keep(df, keys=["k"], order=["ts", "event_id"])
+        .orderBy("event_id")
+        .collect()
+    )
+    assert rows[0]["kept"]
+    anchor = None
+    for r in rows:
+        if r["kept"]:
+            anchor = r["value"]
+        else:
+            assert abs(r["value"] - anchor) <= 5.01
+    # constant run after the first point stays dropped; the 10->30
+    # step and the 30->24 swing both archive
+    kept_ids = [r["event_id"] for r in rows if r["kept"]]
+    assert kept_ids == [0, 8, 13]
+
+
+def test_swinging_door_reconstruction_within_eps(spark):
+    """SDT guarantee: linear interpolation between consecutive
+    archived points reproduces every sample within eps; a straight
+    line with sub-eps noise keeps only its endpoints."""
+    from pyconform_spark.operators import codec
+    import pyspark.sql.functions as F
+
+    noise = [0.0, 1.2, -1.4, 0.8, -0.3, 1.0, -0.9, 0.4]
+    line = [(1, i, 100.0 + 2.0 * i + noise[i % 8]) for i in range(32)]
+    step = [(2, i, 10.0 if i < 16 else 60.0) for i in range(32)]
+    df = spark.createDataFrame(
+        line + step, "k int, s long, value double"
+    ).select("k", F.timestamp_seconds(F.col("s")).alias("ts"),
+             F.col("s").alias("event_id"), "value")
+    out = (
+        codec.swinging_door_keep(df, keys=["k"], order=["ts", "event_id"])
+        .orderBy("k", "event_id")
+        .collect()
+    )
+    for k in (1, 2):
+        rows = [r for r in out if r["k"] == k]
+        assert rows[0]["kept"] and rows[-1]["kept"]
+        kept = [(r["event_id"], r["value"]) for r in rows if r["kept"]]
+        # piecewise-linear reconstruction error <= eps
+        import bisect
+
+        xs = [p[0] for p in kept]
+        for r in rows:
+            i = bisect.bisect_right(xs, r["event_id"]) - 1
+            if i + 1 >= len(kept):
+                i = len(kept) - 2
+            (x0, y0), (x1, y1) = kept[i], kept[i + 1]
+            yhat = y0 + (y1 - y0) * (r["event_id"] - x0) / (x1 - x0)
+            assert abs(yhat - r["value"]) <= 5.0 + 1e-9, (k, r, yhat)
+    # the noisy line compresses to its two endpoints
+    line_kept = [r for r in out if r["k"] == 1 and r["kept"]]
+    assert len(line_kept) <= 4
+    # the step function must archive around the jump
+    step_kept = [r["event_id"] for r in out if r["k"] == 2 and r["kept"]]
+    assert any(14 <= e <= 17 for e in step_kept)

@@ -902,3 +902,14 @@ def test_series_align_spread_equijoin_pushed_filters(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters" in plan
+
+
+def test_historian_compressors_single_grouped_arrow_pass(spark):
+    """Dead-band and swinging-door archival are each ONE grouped-Arrow
+    recurrence after the keys shuffle — one FlatMapGroupsInPandas, one
+    Exchange, no join."""
+    for q in (Q.deadband_compress, Q.sdt_compress):
+        plan = plan_of(q(spark, SF))
+        assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+        assert count_nodes(plan, "Exchange") == 1
+        assert "Join" not in plan
