@@ -2484,3 +2484,26 @@ SELECT user_id, event_type, ts, event_id, value,
                                     ORDER BY rn), TRUE) END AS kept
 FROM sdt
 """
+
+ORACLES["hysteresis_alerts"] = """
+WITH staged AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         CASE WHEN value > CAST(400 AS DOUBLE) THEN 1
+              WHEN value < CAST(100 AS DOUBLE) THEN 0 END AS flag
+  FROM events),
+latched AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         coalesce(last_value(flag IGNORE NULLS) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS alert_on
+  FROM staged)
+SELECT user_id, event_type, ts, event_id, value,
+       alert_on::INT AS alert_on,
+       CASE WHEN alert_on = 1 AND coalesce(lag(alert_on) OVER w, 0) = 0
+              THEN 'fire'
+            WHEN alert_on = 0 AND coalesce(lag(alert_on) OVER w, 0) = 1
+              THEN 'resolve' END AS edge
+FROM latched
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""

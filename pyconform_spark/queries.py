@@ -4453,3 +4453,53 @@ def sdt_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=["ts", "event_id"],
     )
     return out.select(*EKEYS, "ts", "event_id", "value", "kept")
+
+
+def hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (Schmitt-trigger) alerting per series: the alert
+    LATCHES on when value > 400 and releases only when value < 100 —
+    the hysteresis band alerting engines use so a series hovering at
+    one threshold doesn't flap.  The latch is NOT a recurrence: it is
+    LOCF over the crossing events (1 above the high bar, 0 below the
+    low bar, NULL in the band), so the whole operator is one
+    last_value(IGNORE NULLS) + one lag on a single (series, ts)
+    window sort — exact in both engines (integer state, literal
+    double compares on identical values).  Emits the latched state
+    and the fire/resolve edges."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    flag = (
+        F.when(F.col("value") > F.lit(400.0), F.lit(1))
+        .when(F.col("value") < F.lit(100.0), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    staged = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        flag.alias("flag"),
+    )
+    state = F.coalesce(
+        F.last("flag", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.lit(0),
+    )
+    staged = staged.select(
+        *EKEYS, "ts", "event_id", "value", state.alias("alert_on")
+    )
+    prev = F.coalesce(F.lag("alert_on").over(w), F.lit(0))
+    event = (
+        F.when((F.col("alert_on") == 1) & (prev == 0), F.lit("fire"))
+        .when((F.col("alert_on") == 0) & (prev == 1), F.lit("resolve"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return staged.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        F.col("alert_on").cast("int").alias("alert_on"),
+        event.alias("edge"),
+    )

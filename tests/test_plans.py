@@ -913,3 +913,14 @@ def test_historian_compressors_single_grouped_arrow_pass(spark):
         assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
         assert count_nodes(plan, "Exchange") == 1
         assert "Join" not in plan
+
+
+def test_hysteresis_alerts_one_sort_no_python(spark):
+    """The hysteresis latch is LOCF over crossing flags — one
+    (series, ts) window sort for both the latch and the edge lag, no
+    Python stage, no join."""
+    plan = plan_of(Q.hysteresis_alerts(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Join" not in plan
