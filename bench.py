@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "tpch_q12",
     "tpch_q16",
     "tpch_q19",
+    # round-4 final session: statistical diagnostics, historian
+    # compression recurrences, hysteresis alerting, and the aligned
+    # two-series join
+    "acf_lags",
+    "seasonal_decompose",
+    "backtest_models",
+    "hw_seasonal",
+    "sdt_compress",
+    "hysteresis_alerts",
+    "series_align_spread",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
