@@ -2507,3 +2507,112 @@ SELECT user_id, event_type, ts, event_id, value,
 FROM latched
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
+
+
+ORACLES["concurrency_timeline"] = """
+WITH edges AS (
+  SELECT epoch_us(ts) AS t_us, 1::BIGINT AS delta,
+         event_id::BIGINT AS event_id
+  FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 300000000, -1::BIGINT, event_id::BIGINT
+  FROM events)
+SELECT make_timestamp(t_us) AS edge_ts,
+       delta,
+       event_id,
+       sum(delta) OVER (ORDER BY t_us, delta, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)::BIGINT AS concurrency
+FROM edges
+"""
+
+ORACLES["theil_sen_slope"] = """
+WITH recent AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+k AS (SELECT * FROM recent WHERE rn <= 24),
+pairs AS (
+  SELECT a.user_id, a.event_type,
+         a.vq - b.vq AS dv,
+         a.t_us - b.t_us AS dt_us
+  FROM k a JOIN k b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+  WHERE a.rn < b.rn AND a.t_us <> b.t_us),
+sl AS (
+  SELECT user_id, event_type, dv, dt_us,
+         CAST(dv AS DOUBLE) / CAST(dt_us AS DOUBLE) AS slope
+  FROM pairs),
+ranked AS (
+  SELECT user_id, event_type, dv, dt_us, slope,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY slope, dv, dt_us) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_pairs
+  FROM sl)
+SELECT user_id, event_type, n_pairs::BIGINT AS n_pairs,
+       dv AS dv_med, dt_us AS dt_us_med, slope,
+       slope * CAST('864000000' AS DOUBLE) AS slope_per_day
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+ORACLES["burst_detect"] = """
+WITH base AS (
+  SELECT event_type, (epoch_ms(ts)//1000)::BIGINT AS t_s,
+         event_id::BIGINT AS event_id
+  FROM events),
+counted AS (
+  SELECT event_type, t_s, event_id,
+         count(*) OVER (PARTITION BY event_type ORDER BY t_s
+                        RANGE BETWEEN 3599 PRECEDING
+                                  AND CURRENT ROW) AS rate_1h
+  FROM base),
+flagged AS (
+  SELECT event_type, t_s, event_id, rate_1h,
+         CASE WHEN rate_1h >= 7 THEN 1 ELSE 0 END AS flag
+  FROM counted),
+edges AS (
+  SELECT *,
+         CASE WHEN flag = 1
+               AND coalesce(lag(flag) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS starts
+  FROM flagged
+  WINDOW w AS (PARTITION BY event_type ORDER BY t_s, event_id)),
+islands AS (
+  SELECT *,
+         sum(starts) OVER (PARTITION BY event_type
+                           ORDER BY t_s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+  FROM edges)
+SELECT event_type, island::BIGINT AS episode,
+       make_timestamp(min(t_s) * 1000000) AS burst_start,
+       make_timestamp(max(t_s) * 1000000) AS burst_end,
+       (max(t_s) - min(t_s))::BIGINT AS duration_s,
+       max(rate_1h)::BIGINT AS peak_rate,
+       count(*)::BIGINT AS n_hits
+FROM islands WHERE flag = 1
+GROUP BY 1, 2
+"""
+
+ORACLES["promql_topk_bottomk"] = f"""
+WITH agg AS (
+  SELECT {_bucket(3600)} AS bucket_start, user_id, event_type,
+         count(*)::BIGINT AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+           / count(*) AS value_avg
+  FROM events GROUP BY 1,2,3),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket_start
+                            ORDER BY value_avg DESC,
+                                     user_id, event_type) AS rank_top,
+         count(*) OVER (PARTITION BY bucket_start) AS n_series
+  FROM agg)
+SELECT bucket_start, user_id, event_type, n_events, value_avg,
+       rank_top::BIGINT AS rank_top,
+       (n_series - rank_top + 1)::BIGINT AS rank_bottom
+FROM ranked
+WHERE rank_top <= 3 OR n_series - rank_top + 1 <= 3
+"""

@@ -4503,3 +4503,275 @@ def hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alert_on").cast("int").alias("alert_on"),
         event.alias("edge"),
     )
+
+
+# ------------------------------------------------- sweep-line concurrency
+def concurrency_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global concurrent-activity curve by sweep-line: every event
+    opens a 5-minute activity interval [ts, ts+300s); the output is
+    the number of simultaneously-open intervals after each open/close
+    edge — the "how many conversations are active right now" series a
+    transcripts operator dashboard plots (interval_merge consolidates
+    per-user coverage; this counts global overlap).
+
+    A naive cumulative sum over ALL edges is one global sort — the
+    classic scale-killer.  This runs the textbook DISTRIBUTED PREFIX
+    SUM instead: edges partition by UTC day; stage 1 reduces each day
+    to one delta total (map-side combined) and prefix-sums the tiny
+    |days| frame (documented small-frame window, ~30 rows); stage 2
+    cumulative-sums WITHIN each day partition and adds the broadcast
+    day offset.  Result is bit-identical to the global scan because
+    day boundaries are order-prefixes of (t_us, delta, event_id).
+    Ties: close edges (-1) sort before opens (+1) at the same instant
+    (half-open interval semantics), then event_id for determinism.
+
+    EXACT cross-engine: edge times are epoch-microsecond BIGINTs,
+    concurrency is an integer running sum.  Scale shape: one hash agg
+    to |days| rows + one day-partitioned window sort; no global sort,
+    no join wider than the broadcast offsets."""
+    span_us = 300 * 1_000_000
+    day_us = 86_400 * 1_000_000
+    df = _events(spark, sf_dir)
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    eid = F.col("event_id").cast("long")
+    opens = df.select(
+        s_us.alias("t_us"), F.lit(1).cast("long").alias("delta"), eid.alias("event_id")
+    )
+    closes = df.select(
+        (s_us + F.lit(span_us)).alias("t_us"),
+        F.lit(-1).cast("long").alias("delta"),
+        eid.alias("event_id"),
+    )
+    edges = opens.unionByName(closes).withColumn(
+        "day_us", F.col("t_us") - (F.col("t_us") % F.lit(day_us))
+    )
+    # stage 1: one row per day, prefix-summed over the tiny |days| frame
+    wd = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        edges.groupBy("day_us")
+        .agg(F.sum("delta").alias("day_delta"))
+        .select(
+            "day_us",
+            F.coalesce(F.sum("day_delta").over(wd), F.lit(0)).alias("day_offset"),
+        )
+    )
+    # stage 2: within-day running sum + broadcast offset
+    wl = (
+        Window.partitionBy("day_us")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        edges.join(F.broadcast(offsets), "day_us")
+        .select(
+            F.timestamp_micros(F.col("t_us")).cast("timestamp_ntz").alias("edge_ts"),
+            F.col("delta").cast("long").alias("delta"),
+            "event_id",
+            (F.col("day_offset") + F.sum("delta").over(wl))
+            .cast("long")
+            .alias("concurrency"),
+        )
+    )
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the median of all pairwise
+    slopes over the K=24 most recent samples — the estimator that
+    shrugs off the outliers that wreck least-squares
+    (promql_predict_linear / slope are the L2 twins; this is the
+    robust one a capacity planner trusts on spiky series).
+
+    EXACT cross-engine: slopes are ONE double division of
+    centi-quantized value deltas by epoch-microsecond time deltas
+    (IEEE division of identical integers is bit-deterministic in both
+    engines); the median is the LOWER median picked by row_number over
+    (slope, dv, dt_us) — no averaging, no cross-engine float drift.
+    Same-timestamp pairs (dt=0) are excluded in both engines.
+
+    Scale shape: the O(K^2) pair blow-up happens AFTER the top-K
+    restriction, so it is K(K-1)/2 = 276 rows per series regardless of
+    series length — a bounded self-join on the series key, never
+    quadratic in the data.  One window sort for recency, one
+    co-partitioned join, one window sort for the median."""
+    k = 24
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy(F.desc("t_us"), F.desc("event_id"))
+    recent = (
+        df.select(
+            *EKEYS,
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.floor(F.col("value").cast("double") * 100).cast("long").alias("vq"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    a = recent.select(
+        *EKEYS,
+        F.col("t_us").alias("t1"),
+        F.col("vq").alias("v1"),
+        F.col("rn").alias("r1"),
+    )
+    b = recent.select(
+        *EKEYS,
+        F.col("t_us").alias("t2"),
+        F.col("vq").alias("v2"),
+        F.col("rn").alias("r2"),
+    )
+    pairs = (
+        a.join(b, EKEYS)
+        .filter((F.col("r1") < F.col("r2")) & (F.col("t1") != F.col("t2")))
+        .select(
+            *EKEYS,
+            (F.col("v1") - F.col("v2")).alias("dv"),
+            (F.col("t1") - F.col("t2")).alias("dt_us"),
+        )
+    )
+    slope = (F.col("dv").cast("double") / F.col("dt_us").cast("double")).alias(
+        "slope"
+    )
+    sl = pairs.select(*EKEYS, "dv", "dt_us", slope)
+    wm = Window.partitionBy(*EKEYS).orderBy("slope", "dv", "dt_us")
+    wn = Window.partitionBy(*EKEYS)
+    ranked = sl.select(
+        *EKEYS,
+        "dv",
+        "dt_us",
+        "slope",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    # lower median: position (n+1) DIV 2
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n_pairs") + F.lit(1)) / F.lit(2)).cast("int")
+    )
+    return med.select(
+        *EKEYS,
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("dv").alias("dv_med"),
+        F.col("dt_us").alias("dt_us_med"),
+        "slope",
+        (F.col("slope") * F.lit(864000000.0)).alias("slope_per_day"),
+    )
+
+
+def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst episodes per event_type: a sliding 1-hour event count
+    (RANGE frame over epoch seconds, no resampling) flags instants
+    where the rate exceeds 7 events/hour (p99 of the corpus); adjacent
+    flagged instants merge into episodes via gaps-and-islands — the
+    rate-spike detector that pages before a hot conversation melts a
+    partition (hysteresis_alerts latches value thresholds; this
+    detects RATE anomalies on the raw irregular stream).
+
+    EXACT cross-engine: the sliding count is an integer RANGE-frame
+    aggregate; episode bounds are min/max over integer islands.  Scale
+    shape: two frame aggregates on ONE (event_type, t_s) window sort,
+    then a hash aggregate — key-local, no join, no global sort."""
+    window_s, threshold = 3600, 7
+    df = _events(spark, sf_dir)
+    t_s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    base = df.select(
+        "event_type",
+        t_s.alias("t_s"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("t_s")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    counted = base.select(
+        "event_type",
+        "t_s",
+        "event_id",
+        F.count(F.lit(1)).over(wr).alias("rate_1h"),
+    ).withColumn(
+        "flag", F.when(F.col("rate_1h") >= threshold, F.lit(1)).otherwise(F.lit(0))
+    )
+    wo = Window.partitionBy("event_type").orderBy("t_s", "event_id")
+    prev = F.coalesce(F.lag("flag").over(wo), F.lit(0))
+    flagged = counted.select(
+        "event_type",
+        "t_s",
+        "event_id",
+        "rate_1h",
+        "flag",
+        F.when((F.col("flag") == 1) & (prev == 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("starts"),
+    )
+    island = F.sum("starts").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("island", island)
+        .filter(F.col("flag") == 1)
+        .groupBy("event_type", "island")
+        .agg(
+            F.min("t_s").alias("_s"),
+            F.max("t_s").alias("_e"),
+            F.max("rate_1h").alias("peak_rate"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            "event_type",
+            F.col("island").cast("long").alias("episode"),
+            F.timestamp_seconds(F.col("_s")).cast("timestamp_ntz").alias("burst_start"),
+            F.timestamp_seconds(F.col("_e")).cast("timestamp_ntz").alias("burst_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("duration_s"),
+            F.col("peak_rate").cast("long").alias("peak_rate"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        )
+    )
+
+
+def promql_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk/bottomk: per 1-hour bucket, the 3 series with the
+    highest and the 3 with the lowest average value — the instant-
+    vector ranking aggregation (`topk(3, avg_over_time(m[1h]))`)
+    every dashboard's "worst offenders" panel runs.
+
+    ONE window sort serves both directions: row_number ascending plus
+    the per-bucket series count derive the descending rank
+    (rank_from_top = n - rn + 1), so top-3 and bottom-3 come out of a
+    single pass with no second sort and no self-union that would
+    recompute the aggregate.  EXACT cross-engine: ranking orders by
+    (avg desc, keys) where avg is one double division of a DECIMAL sum
+    by a count; ties broken by the series key.  Scale shape: hash agg
+    to |bucket × series| rows, one bucket-partitioned window sort."""
+    kk = 3
+    df = _events(spark, sf_dir)
+    agg = (
+        df.groupBy(bucket_ts(F.col("ts"), 3600).alias("bucket_start"), *EKEYS)
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("_vs"))
+        .select(
+            "bucket_start",
+            *EKEYS,
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("_vs").cast("double") / F.col("n")).alias("value_avg"),
+        )
+    )
+    wa = Window.partitionBy("bucket_start").orderBy(
+        F.desc("value_avg"), "user_id", "event_type"
+    )
+    wb = Window.partitionBy("bucket_start")
+    ranked = agg.select(
+        "bucket_start",
+        *EKEYS,
+        "n_events",
+        "value_avg",
+        F.row_number().over(wa).alias("rank_top"),
+        F.count(F.lit(1)).over(wb).alias("n_series"),
+    ).withColumn(
+        "rank_bottom", (F.col("n_series") - F.col("rank_top") + F.lit(1))
+    )
+    return (
+        ranked.filter((F.col("rank_top") <= kk) | (F.col("rank_bottom") <= kk))
+        .select(
+            "bucket_start",
+            *EKEYS,
+            "n_events",
+            "value_avg",
+            F.col("rank_top").cast("long").alias("rank_top"),
+            F.col("rank_bottom").cast("long").alias("rank_bottom"),
+        )
+    )

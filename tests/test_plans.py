@@ -924,3 +924,49 @@ def test_hysteresis_alerts_one_sort_no_python(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert "FlatMapGroupsInPandas" not in plan
     assert "Join" not in plan
+
+
+def test_concurrency_timeline_distributed_prefix_sum(spark):
+    """Sweep-line concurrency: the big window is partitioned by day
+    (the distributed prefix sum), the day offsets join back by
+    BROADCAST, and nothing sorts the full edge stream globally — the
+    only unpartitioned window runs over the tiny |days| frame."""
+    plan = plan_of(Q.concurrency_timeline(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the day-partitioned window sort exists; partitionBy day_us shows
+    # up in the window spec
+    assert "day_us" in plan
+
+
+def test_theil_sen_pairs_bounded_by_topk(spark):
+    """Theil-Sen: the O(K^2) self-join happens AFTER the top-K row
+    filter (rank <= 24 on both join inputs), joins on the series key
+    only (equi-join, never cartesian), and the median pick is one more
+    key-local window sort."""
+    plan = plan_of(Q.theil_sen_slope(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the recency restriction runs before the join on both sides
+    assert plan.count("row_number") >= 2
+
+
+def test_burst_detect_keylocal_windows_no_join(spark):
+    """Burst detection: the sliding RANGE count and the episode
+    gaps-and-islands are key-local window passes over ONE exchange by
+    event_type; the episode reduction is a hash aggregate; no join."""
+    plan = plan_of(Q.burst_detect(spark, SF))
+    assert "Join" not in plan
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_promql_topk_bottomk_single_ranking_sort(spark):
+    """topk/bottomk: ONE bucket-partitioned ranking sort serves both
+    directions (rank_from_bottom is derived from the per-bucket count,
+    not a second descending sort), after a map-side-combined hash
+    aggregate."""
+    plan = plan_of(Q.promql_topk_bottomk(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
