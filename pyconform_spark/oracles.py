@@ -2616,3 +2616,28 @@ SELECT bucket_start, user_id, event_type, n_events, value_avg,
 FROM ranked
 WHERE rank_top <= 3 OR n_series - rank_top + 1 <= 3
 """
+
+
+def _routed_block(rid: str, tier: str, step: int, s: str, e: str) -> str:
+    return f"""
+SELECT '{rid}' AS req_id, '{tier}' AS tier, event_type,
+       {_bucket(step)} AS bucket_start,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+         / count(*) AS value_avg
+FROM events
+WHERE ts >= TIMESTAMP '{s}' AND ts < TIMESTAMP '{e}'
+GROUP BY 1,2,3,4
+"""
+
+
+# the oracle PINS the routed tier for each request — if choose_tier's
+# arithmetic regresses, the Spark side unions different granularities
+# and the value hash breaks
+ORACLES["tier_router_read"] = " UNION ALL ".join(
+    [
+        _routed_block("r1", "1m", 60, "2024-01-05 00:00:00", "2024-01-05 02:00:00"),
+        _routed_block("r2", "1h", 3600, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        _routed_block("r3", "1d", 86400, "2024-01-01 00:00:00", "2024-01-31 00:00:00"),
+    ]
+)

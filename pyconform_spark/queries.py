@@ -4775,3 +4775,64 @@ def promql_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_bottom").cast("long").alias("rank_bottom"),
         )
     )
+
+
+def tier_router_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-routed range reads: three Grafana-style requests
+    ("this range at <= N points") resolve through
+    ``router.choose_tier`` to the FINEST tier that fits — 2h@200pts →
+    the 1m tier, 7d@500pts → 1h, 30d@50pts → 1d — and each reads ONLY
+    its routed granularity with the range filter pushed to the scan.
+    This is the query-path half of the continuous-aggregate economics:
+    the cascade writes coarse tiers so range dashboards never touch
+    fine data they cannot plot.
+
+    Routing is plan-time integer arithmetic (no action, no scan); the
+    routing function itself is boundary-tested in tests/test_router.py
+    and the oracle pins the expected choices, so a routing regression
+    breaks this query's schema/values.  EXACT cross-engine: integer
+    epoch range filters, DECIMAL sums, one double division.  Scale
+    shape per request: one pruned scan + one hash aggregate at the
+    routed tier (against a tier store this is |range/step| rows, not
+    raw)."""
+    from pyconform_spark.router import choose_tier
+
+    df = _events(spark, sf_dir)
+    reqs = [
+        ("r1", "2024-01-05 00:00:00", "2024-01-05 02:00:00", 200),
+        ("r2", "2024-01-08 00:00:00", "2024-01-15 00:00:00", 500),
+        ("r3", "2024-01-01 00:00:00", "2024-01-31 00:00:00", 50),
+    ]
+    from datetime import datetime, timezone
+
+    out = None
+    for rid, s, e, max_points in reqs:
+        s_sec = int(
+            datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp()
+        )
+        e_sec = int(
+            datetime.fromisoformat(e).replace(tzinfo=timezone.utc).timestamp()
+        )
+        tier, step = choose_tier(e_sec - s_sec, max_points)
+        # compare ts against timestamp literals directly (a cast on the
+        # COLUMN would block parquet predicate pushdown)
+        part = (
+            df.where(
+                (F.col("ts") >= F.lit(s).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(e).cast("timestamp_ntz"))
+            )
+            .groupBy(
+                "event_type", bucket_ts(F.col("ts"), step).alias("bucket_start")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("_vs"))
+            .select(
+                F.lit(rid).alias("req_id"),
+                F.lit(tier).alias("tier"),
+                "event_type",
+                "bucket_start",
+                F.col("n").cast("long").alias("n_events"),
+                (F.col("_vs").cast("double") / F.col("n")).alias("value_avg"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -970,3 +970,15 @@ def test_promql_topk_bottomk_single_ranking_sort(spark):
     assert count_nodes(plan, "Sort") == 1
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_tier_router_pushes_range_filters(spark):
+    """Routed range reads: every request's epoch-range filter reaches
+    its scan (PushedFilters on ts), each branch is one hash aggregate
+    at the routed granularity, and no join or cartesian appears —
+    against a tier store each branch reads |range/step| rows."""
+    plan = plan_of(Q.tier_router_read(spark, SF))
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert count_nodes(plan, "Union") >= 1
