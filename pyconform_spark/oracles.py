@@ -2641,3 +2641,11 @@ ORACLES["tier_router_read"] = " UNION ALL ".join(
         _routed_block("r3", "1d", 86400, "2024-01-01 00:00:00", "2024-01-31 00:00:00"),
     ]
 )
+
+
+ORACLES["heavy_hitters_sketch"] = """
+SELECT user_id, count(*)::BIGINT AS n_rows
+FROM events
+GROUP BY 1
+HAVING count(*) >= 80
+"""

@@ -4836,3 +4836,27 @@ def tier_router_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via the Misra-Gries candidate + verify
+    composition (operators/heavyhitters.py): partitions reduce to
+    k=500-entry MG summaries (moving k rows per partition, never
+    |keys|), summed summaries prune to a guaranteed candidate
+    SUPERSET, and one broadcast semi-join + exact count finishes the
+    job — the frequent-keys sibling of CMS/HLL/quantile sketches, and
+    the scalable form of heavy_series (which aggregates ALL keys).
+
+    Output is exact (users with >= 80 events), so the oracle is a
+    plain HAVING — the sketch's superset guarantee is what the match
+    proves, for ANY partitioning; the MG error bound itself is
+    pytest-gated in tests/test_heavyhitters.py."""
+    from pyconform_spark.operators import heavyhitters
+
+    df = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    out = heavyhitters.heavy_hitters_exact(df, "user_id", threshold=80, k=500)
+    return out.select(
+        "user_id", F.col("n_rows").cast("long").alias("n_rows")
+    )

@@ -982,3 +982,15 @@ def test_tier_router_pushes_range_filters(spark):
     assert "Join" not in plan
     assert "partial_count" in plan
     assert count_nodes(plan, "Union") >= 1
+
+
+def test_heavy_hitters_sketch_pass_no_shuffle_broadcast_verify(spark):
+    """MG heavy hitters: the sketch pass is ONE MapInPandas over the
+    scan partitions (no shuffle in front of it), candidates come back
+    by BROADCAST for the verify join, and the verify count is
+    map-side combined."""
+    plan = plan_of(Q.heavy_hitters_sketch(spark, SF))
+    assert count_nodes(plan, "MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
