@@ -2649,3 +2649,20 @@ FROM events
 GROUP BY 1
 HAVING count(*) >= 80
 """
+
+
+ORACLES["sliding_distinct_users"] = """
+WITH uh AS (
+  SELECT DISTINCT user_id,
+         ((epoch_ms(ts)//1000) - (epoch_ms(ts)//1000) % 3600) AS h_s
+  FROM events),
+uw AS (
+  SELECT DISTINCT user_id, w_s
+  FROM (SELECT user_id,
+               unnest(generate_series(h_s - 18000, h_s, 3600)) AS w_s
+        FROM uh))
+SELECT make_timestamp(w_s * 1000000) AS window_start,
+       make_timestamp((w_s + 21600) * 1000000) AS window_end,
+       count(*)::BIGINT AS distinct_users
+FROM uw GROUP BY 1,2
+"""

@@ -4860,3 +4860,49 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("n_rows").cast("long").alias("n_rows")
     )
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per SLIDING 6-hour window (1-hour step) — the
+    aggregation window frames cannot express (COUNT(DISTINCT) over a
+    moving frame), done the scalable way: dedup (user, hour) FIRST so
+    the 6x window explosion multiplies the reduced frame, never the
+    raw stream; dedup (user, window) second; count third.  The same
+    shape Structured Streaming's sliding F.window + approx/exact
+    distinct takes, here exact and oracle-checked.
+
+    EXACT cross-engine: all integer epoch arithmetic.  Scale shape:
+    two hash dedups with map-side partials + one count; the explode
+    factor is window/step = 6 applied to |user x hour| rows, and every
+    stage is key-partitioned — no window functions, no global sort."""
+    window_s, step_s = 21600, 3600
+    df = _events(spark, sf_dir)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    h_s = (t_s - (t_s % F.lit(step_s))).alias("h_s")
+    uh = df.select("user_id", h_s).distinct()
+    uw = (
+        uh.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("h_s") - F.lit(window_s - step_s),
+                    F.col("h_s"),
+                    F.lit(step_s),
+                )
+            ).alias("w_s"),
+        )
+        .distinct()
+    )
+    return (
+        uw.groupBy("w_s")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select(
+            F.timestamp_seconds(F.col("w_s"))
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            F.timestamp_seconds(F.col("w_s") + F.lit(window_s))
+            .cast("timestamp_ntz")
+            .alias("window_end"),
+            F.col("distinct_users").cast("long").alias("distinct_users"),
+        )
+    )

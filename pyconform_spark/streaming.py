@@ -712,3 +712,40 @@ def stream_holt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sliding_distinct(
+    stream: DataFrame,
+    window_s: int = 21600,
+    step_s: int = 3600,
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Distinct conversations per sliding window, continuously — the
+    streaming twin of ``queries.sliding_distinct_users`` as a CHAINED
+    windowed aggregation (Spark 3.4+ multiple stateful operators):
+
+    1. ``groupBy(window(ts, 6h, 1h), conv_id)`` — one state row per
+       (window, conversation), the streaming form of the batch
+       query's dedup-then-explode (Spark expands each event into its
+       window/step windows and the aggregate dedups); watermark-evicted.
+    2. ``groupBy(window)`` count — finalized in append mode the moment
+       the watermark passes each window's end.
+
+    State is bounded by (active conversations x windows inside the
+    horizon), the same bound the batch shape has per partition.  Works
+    identically on a batch frame for parity testing."""
+    live = stream.isStreaming
+    src = stream
+    if live:
+        src = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    win = F.window(F.col("ts"), f"{window_s} seconds", f"{step_s} seconds")
+    pairs = src.groupBy(win.alias("w"), "conv_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    agg = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("distinct_convs"))
+    return agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        F.col("distinct_convs").cast("long").alias("distinct_convs"),
+    )

@@ -994,3 +994,22 @@ def test_heavy_hitters_sketch_pass_no_shuffle_broadcast_verify(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_distinct_dedupes_before_exploding(spark):
+    """Sliding distinct counts: the (user, hour) dedup runs BEFORE the
+    6x window explosion (Expand/Generate sits above the first
+    aggregate, not above the scan), and every stage is a hash
+    aggregate with map-side partials — no window function, no join."""
+    plan = plan_of(Q.sliding_distinct_users(spark, SF))
+    assert "Join" not in plan and count_nodes(plan, "Window") == 0
+    assert "partial_count" in plan
+    gen = plan.index("Generate") if "Generate" in plan else -1
+    agg = plan.index("HashAggregate")
+    assert gen != -1
+    # formatted plans list nodes leaves-first: the first HashAggregate
+    # header precedes Generate iff the dedup feeds the explode
+    first_agg = min(
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    )
+    assert first_agg < gen or "Exchange" in plan[:gen]

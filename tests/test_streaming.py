@@ -662,3 +662,30 @@ def test_stream_holt_matches_batch_bitwise(spark, tmp_path):
     assert set(got) == set(want)
     for eid in want:
         assert got[eid] == want[eid], (eid, got[eid], want[eid])
+
+
+def test_stream_sliding_distinct_matches_batch(spark, tx_dir):
+    """Sliding distinct-conversation counts from the streaming chained
+    windowed aggregation must equal the batch run on every FINALIZED
+    window (append mode only emits windows whose end the final
+    watermark passed; the open tail stays in state — asserted to be
+    exactly the missing set, nothing else)."""
+    from datetime import timedelta
+
+    batch = spark.read.parquet(tx_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(tx_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming.stream_sliding_distinct(stream)
+    assert out.isStreaming
+    streaming.run_stream_to_memory(out, "sliding_distinct", output_mode="append")
+    got = _rows(spark.table("sliding_distinct"))
+    want_all = _rows(streaming.stream_sliding_distinct(batch))
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    horizon = max_ts - timedelta(hours=8)
+    finalized = [r for r in want_all if r[1] <= horizon]
+    open_tail = [r for r in want_all if r[1] > horizon]
+    assert len(finalized) > 10 and len(open_tail) > 0
+    assert got == finalized
