@@ -2666,3 +2666,28 @@ SELECT make_timestamp(w_s * 1000000) AS window_start,
        count(*)::BIGINT AS distinct_users
 FROM uw GROUP BY 1,2
 """
+
+
+ORACLES["asof_nearest_join"] = """
+WITH l AS (
+  SELECT user_id, ts, event_id::BIGINT AS event_id
+  FROM events WHERE event_type = 'view'),
+r AS (
+  SELECT user_id, ts, max(floor(value * 100)::BIGINT) AS vq
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+b AS (
+  SELECT l.user_id, l.ts, l.event_id, r.vq AS b_vq, r.ts AS b_ts
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (
+  SELECT l.user_id, l.ts, l.event_id, r.vq AS f_vq, r.ts AS f_ts
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts <= r.ts)
+SELECT b.user_id, b.ts, b.event_id,
+       CASE WHEN f.f_ts IS NULL
+              OR (b.b_ts IS NOT NULL AND
+                  (epoch_us(b.ts) - epoch_us(b.b_ts))
+                    <= (epoch_us(f.f_ts) - epoch_us(b.ts)))
+            THEN b.b_vq ELSE f.f_vq END AS asof_vq
+FROM b JOIN f USING (user_id, ts, event_id)
+"""

@@ -4906,3 +4906,33 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_users").cast("long").alias("distinct_users"),
         )
     )
+
+
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of join, NEAREST semantics (kdb/pandas
+    ``direction='nearest'``): each view event picks the purchase
+    event by the same user closest in time, backward winning exact
+    distance ties — computed by the union-sort formulation running
+    the backward and forward frame passes over ONE union (one
+    shuffle, two key-local sorts, no range cross-join).  The DuckDB
+    twin is two native ASOF JOINs + the tie rule, so the oracle is a
+    genuinely independent formulation.  EXACT cross-engine: distances
+    compare epoch-microsecond integers; values are centi-quantized;
+    right (user, ts) pairs are pre-aggregated for determinism."""
+    from pyconform_spark.operators.asof import asof_join_directional
+
+    df = _events(spark, sf_dir)
+    left = df.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").cast("long").alias("event_id")
+    )
+    right = (
+        df.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("vq")
+        )
+    )
+    out = asof_join_directional(
+        left, right, ["user_id"], "ts", "ts", ["vq"], direction="nearest"
+    )
+    return out.select("user_id", "ts", "event_id", "asof_vq")

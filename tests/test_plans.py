@@ -1013,3 +1013,15 @@ def test_sliding_distinct_dedupes_before_exploding(spark):
         i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
     )
     assert first_agg < gen or "Exchange" in plan[:gen]
+
+
+def test_asof_nearest_one_shuffle_two_sorts_no_join(spark):
+    """Nearest as-of: the union-sort formulation shuffles once on the
+    key and runs both direction frames as key-local sorts — Spark
+    plans no join at all (the DuckDB oracle uses two native ASOF
+    JOINs; agreement proves the formulations equivalent)."""
+    plan = plan_of(Q.asof_nearest_join(spark, SF))
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Sort") <= 2
+    assert count_nodes(plan, "Window") == 2
