@@ -2691,3 +2691,30 @@ SELECT b.user_id, b.ts, b.event_id,
             THEN b.b_vq ELSE f.f_vq END AS asof_vq
 FROM b JOIN f USING (user_id, ts, event_id)
 """
+
+
+ORACLES["token_bucket_throttle"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_id::BIGINT AS event_id, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+tb AS (
+  SELECT user_id, ts, event_id, t_us, rn,
+         1 AS allowed,
+         5000000 - 1000000 AS lvl
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.ts, n.event_id, n.t_us, n.rn,
+         CASE WHEN least(5000000, t.lvl + (n.t_us - t.t_us) // 50000)
+                   >= 1000000 THEN 1 ELSE 0 END,
+         least(5000000, t.lvl + (n.t_us - t.t_us) // 50000)
+           - CASE WHEN least(5000000,
+                             t.lvl + (n.t_us - t.t_us) // 50000)
+                       >= 1000000 THEN 1000000 ELSE 0 END
+  FROM tb t JOIN base n
+    ON n.user_id = t.user_id AND n.rn = t.rn + 1)
+SELECT user_id, ts, event_id,
+       allowed::INT AS allowed, lvl::BIGINT AS tokens_after
+FROM tb
+"""

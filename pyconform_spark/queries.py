@@ -4936,3 +4936,41 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, ["user_id"], "ts", "ts", ["vq"], direction="nearest"
     )
     return out.select("user_id", "ts", "event_id", "asof_vq")
+
+
+def token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket quota replay per user (operators/ratelimit.py):
+    capacity 5 tokens, cost 1/event, refill 1 token per 50,000 s —
+    the "which tool calls would the quota have throttled?" audit an
+    agent-transcripts operator runs before changing a limit (~21% of
+    this corpus gets denied, so both branches are exercised).
+
+    The clamp couples every step to the last (no window form); the
+    host is a per-user applyInPandas recurrence and the oracle a
+    recursive CTE stepping the same PURE-INTEGER state (micro-tokens,
+    floor-division refill) — exact with no float anywhere.  Scale
+    shape: one shuffle on the key, two integers of state per user."""
+    from pyconform_spark.operators import ratelimit
+
+    df = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    out = ratelimit.token_bucket(
+        df,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        ts_us="t_us",
+        capacity=5_000_000,
+        cost=1_000_000,
+        refill_divisor=50_000,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("allowed").cast("int").alias("allowed"),
+        F.col("tokens_after").cast("long").alias("tokens_after"),
+    )

@@ -1025,3 +1025,13 @@ def test_asof_nearest_one_shuffle_two_sorts_no_join(spark):
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "Sort") <= 2
     assert count_nodes(plan, "Window") == 2
+
+
+def test_token_bucket_single_grouped_arrow_pass(spark):
+    """Quota replay: ONE FlatMapGroupsInPandas after one keys shuffle
+    — integer state, no join, no extra sort stage beyond the group
+    host's own."""
+    plan = plan_of(Q.token_bucket_throttle(spark, SF))
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
