@@ -749,3 +749,79 @@ def stream_sliding_distinct(
         F.col("w.end").cast("timestamp_ntz").alias("window_end"),
         F.col("distinct_convs").cast("long").alias("distinct_convs"),
     )
+
+
+def stream_token_bucket(
+    stream: DataFrame,
+    capacity: int = 5_000_000,
+    cost: int = 1_000_000,
+    refill_divisor: int = 50_000,
+) -> DataFrame:
+    """Continuous quota enforcement (applyInPandasWithState): the
+    streaming twin of operators/ratelimit.token_bucket — per user, TWO
+    integers of state (bucket level, last event time) carried across
+    micro-batches, so an admission decision made online equals the
+    batch replay BIT-FOR-BIT (pure integer arithmetic; pytest parity
+    gate with the input split mid-stream).
+
+    Assumes in-order arrival per user across micro-batches (ingest
+    contract, like stream_holt); rows inside a micro-batch are
+    concatenated across Arrow chunks and sorted once."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("allowed", T.IntegerType(), False),
+        T.StructField("tokens_after", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("level", T.LongType(), True),
+        T.StructField("prev_t_us", T.LongType(), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        lvl, prev = (state.get if state.exists else (None, None))
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        t_us = (
+            pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        )
+        allowed, after = [], []
+        for t in t_us:
+            if prev is None:
+                lvl = capacity
+            else:
+                lvl = min(capacity, lvl + (t - prev) // refill_divisor)
+            if lvl >= cost:
+                lvl -= cost
+                allowed.append(1)
+            else:
+                allowed.append(0)
+            after.append(lvl)
+            prev = t
+        yield pd.DataFrame({
+            "user_id": pdf["user_id"].astype("int64").to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            "event_id": pdf["event_id"].astype("int64").to_numpy(),
+            "allowed": pd.array(allowed, dtype="int32"),
+            "tokens_after": pd.array(after, dtype="int64"),
+        })
+        state.update((int(lvl), int(prev)))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

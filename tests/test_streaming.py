@@ -689,3 +689,50 @@ def test_stream_sliding_distinct_matches_batch(spark, tx_dir):
     open_tail = [r for r in want_all if r[1] > horizon]
     assert len(finalized) > 10 and len(open_tail) > 0
     assert got == finalized
+
+
+def test_stream_token_bucket_matches_batch_exactly(spark, tmp_path):
+    """Online quota decisions == the batch token-bucket replay, with
+    the (level, last-ts) state carried across a mid-stream micro-batch
+    split — integer state, so equality is exact, not approximate."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "tb_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    cols = ["user_id", "ts", "event_id"]
+    events.select(*cols).where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    schema = events.select(*cols).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_token_bucket(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tbstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.select(*cols).where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_id: (r.allowed, r.tokens_after)
+        for r in spark.sql("select * from tbstream").collect()
+    }
+    want = {
+        r.event_id: (r.allowed, r.tokens_after)
+        for r in Q.token_bucket_throttle(spark, sf).collect()
+    }
+    assert len(got) == len(want) > 500
+    assert got == want
