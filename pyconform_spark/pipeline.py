@@ -945,3 +945,169 @@ def verify_store(spark: SparkSession, root: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- compaction
+def _compact_dirs(root: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(root, "compact_intents"),
+        os.path.join(root, "compact_staging"),
+        os.path.join(root, "compact_trash"),
+    )
+
+
+def _epoch_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def compact_small_files(
+    spark: SparkSession,
+    root: str,
+    tier: str = "1m",
+    min_files: int = 2,
+    marker: str = "compact",
+) -> dict:
+    """Bin-pack each committed epoch partition's small files into one
+    — the Iceberg ``rewrite_data_files`` maintenance action for the
+    epoch-dir store.  Ingest parallelism decides how many files an
+    epoch lands as; query latency wants few, large, footer-prunable
+    files; this closes the gap WITHOUT changing a row, so lineage
+    point counts and ``verify_store`` stay green.
+
+    Write-audit-publish like ``refresh_late``: every epoch's compacted
+    copy is fully staged and row-counted first, an intent file commits
+    the plan, then partitions swap in one by one (``_swap_in`` keeps a
+    re-publishable staged copy at every step).  Because content is
+    IDENTICAL, recovery (:func:`recover_compactions`) only needs to
+    classify live-missing vs live-present — both states hold correct
+    data.  Idempotent: epochs already at one file are skipped.
+
+    Returns ``{epoch: (files_before, files_after, n_rows)}``."""
+    idir, sdir, tdir = _compact_dirs(root)
+    safe = _safe_marker(marker)
+    plan: list[dict] = []
+    out: dict[int, tuple[int, int, int]] = {}
+    for epoch in _tier_epochs_dir(root, tier):
+        live = _tier_path(root, tier, epoch)
+        files = _epoch_files(live)
+        if len(files) < min_files:
+            continue
+        df = spark.read.parquet(live)
+        n = df.count()
+        staged = os.path.join(sdir, safe, tier, f"epoch={epoch}")
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        df.coalesce(1).write.parquet(staged)
+        n_staged = spark.read.parquet(staged).count()
+        if n_staged != n:
+            raise RuntimeError(
+                f"compaction staging lost rows: {n_staged} != {n}"
+            )
+        plan.append({"tier": tier, "epoch": epoch, "n_rows": n,
+                     "files_before": len(files)})
+    if not plan:
+        return out
+    os.makedirs(idir, exist_ok=True)
+    intent_path = os.path.join(idir, safe + ".json")
+    with open(intent_path, "w") as fh:
+        json.dump({"marker": marker, "rows": plan}, fh)
+    for r in plan:
+        live = _tier_path(root, tier, r["epoch"])
+        staged = os.path.join(sdir, safe, tier, f"epoch={r['epoch']}")
+        _swap_in(staged, live, os.path.join(tdir, safe))
+        out[r["epoch"]] = (
+            r["files_before"], len(_epoch_files(live)), r["n_rows"]
+        )
+    _log_compaction(spark, root, marker, plan)
+    for p in (intent_path, os.path.join(sdir, safe), os.path.join(tdir, safe)):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.isfile(p):
+            os.remove(p)
+    return out
+
+
+def _tier_epochs_dir(root: str, tier: str) -> list[int]:
+    d = os.path.join(root, "tiers", tier)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(d)
+        if n.startswith("epoch=")
+    )
+
+
+def _logged_compactions(spark: SparkSession, root: str) -> set[str]:
+    path = os.path.join(root, "compaction_log")
+    if not os.path.isdir(path):
+        return set()
+    return {
+        r["marker"] for r in
+        spark.read.parquet(path).select("marker").distinct().collect()
+    }
+
+
+def _log_compaction(
+    spark: SparkSession, root: str, marker: str, plan: list[dict]
+) -> None:
+    if marker in _logged_compactions(spark, root):
+        return
+    rows = [
+        (marker, r["tier"], int(r["epoch"]), int(r["files_before"]),
+         int(r["n_rows"]))
+        for r in plan
+    ]
+    schema = ("marker string, tier string, epoch long, "
+              "files_before long, n_rows long")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(root, "compaction_log"))
+
+
+def recover_compactions(spark: SparkSession, root: str) -> list[str]:
+    """Roll forward compactions that crashed mid-publish.  Content is
+    identical pre/post, so classification is simple: a live partition
+    missing its data is re-published from the retained staged copy;
+    a present one (old or new layout) is already correct.  The log
+    append is replayed if absent; staging/trash debris without an
+    intent is deleted (live store untouched there)."""
+    idir, sdir, tdir = _compact_dirs(root)
+    recovered: list[str] = []
+    intents = (
+        sorted(f for f in os.listdir(idir) if f.endswith(".json"))
+        if os.path.isdir(idir)
+        else []
+    )
+    for fn in intents:
+        with open(os.path.join(idir, fn)) as fh:
+            intent = json.load(fh)
+        marker = intent["marker"]
+        safe = _safe_marker(marker)
+        for r in intent["rows"]:
+            live = _tier_path(root, r["tier"], r["epoch"])
+            if _epoch_files(live):
+                continue
+            staged = os.path.join(sdir, safe, r["tier"], f"epoch={r['epoch']}")
+            _swap_in(staged, live, os.path.join(tdir, safe))
+        _log_compaction(spark, root, marker, intent["rows"])
+        for p in (
+            os.path.join(idir, fn),
+            os.path.join(sdir, safe),
+            os.path.join(tdir, safe),
+        ):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.isfile(p):
+                os.remove(p)
+        recovered.append(marker)
+    with_intent = {_safe_marker(f[: -len(".json")]) for f in intents}
+    for base in (sdir, tdir):
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d not in with_intent:
+                shutil.rmtree(os.path.join(base, d))
+    return recovered
