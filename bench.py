@@ -122,6 +122,19 @@ BENCH_QUERIES = [
     "sdt_compress",
     "hysteresis_alerts",
     "series_align_spread",
+    # round-4 closing session: sweep-line concurrency (distributed
+    # prefix sum), robust trend, burst episodes, ranked instant
+    # vectors, routed range reads, MG heavy hitters, sliding distinct,
+    # nearest as-of, quota replay
+    "concurrency_timeline",
+    "theil_sen_slope",
+    "burst_detect",
+    "promql_topk_bottomk",
+    "tier_router_read",
+    "heavy_hitters_sketch",
+    "sliding_distinct_users",
+    "asof_nearest_join",
+    "token_bucket_throttle",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
@@ -416,6 +429,44 @@ def main() -> None:
         max(len(nd_counts), 1) * (2 * n_corpus - 1)
     )
 
+    # -- layout clustering win, quantified: the SAME point query over
+    # a hash-shuffled vs a cluster_by(conv_id) copy of the transcripts
+    # table.  The pruning fraction comes from parquet footers
+    # (deterministic); the scan pair is interleaved keep-best.
+    from pyconform_spark import layout as layoutmod
+
+    lay_base = tempfile.mkdtemp(prefix="bench_layout_")
+    lay_plain = os.path.join(lay_base, "plain")
+    lay_clust = os.path.join(lay_base, "clustered")
+    tx.repartition(cpus).write.parquet(lay_plain)
+    layoutmod.cluster_by(tx, ["conv_id"], n_files=cpus).write.parquet(
+        lay_clust
+    )
+    probe_conv = tx.select("conv_id").first()["conv_id"]
+    prune_plain = layoutmod.pruning_fraction(lay_plain, "conv_id", probe_conv)
+    prune_clust = layoutmod.pruning_fraction(lay_clust, "conv_id", probe_conv)
+
+    def point_scan(path):
+        run_noop(
+            spark.read.parquet(path)
+            .where(F.col("conv_id") == probe_conv)
+            .groupBy("role")
+            .count()
+        )
+
+    point_scan(lay_plain)  # warm
+    point_scan(lay_clust)
+    t_lplain, t_lclust = float("inf"), float("inf")
+    for _visit in range(2):
+        t0 = time.monotonic()
+        point_scan(lay_plain)
+        t_lplain = min(t_lplain, time.monotonic() - t0)
+        t0 = time.monotonic()
+        point_scan(lay_clust)
+        t_lclust = min(t_lclust, time.monotonic() - t0)
+    times["layout_scan_plain"] = round(t_lplain, 3)
+    times["layout_scan_clustered"] = round(t_lclust, 3)
+
     # -- codec decode microbench (no Spark): worst-case random payloads
     # vs the constant-cadence fast path, in M pts/s.
     import numpy as np
@@ -456,6 +507,9 @@ def main() -> None:
                     t_plain_rollup / t_bucketed, 2
                 ),
                 "window_skew_speedup": round(t_wplain / t_wchunk, 2),
+                "layout_scan_speedup": round(t_lplain / t_lclust, 2),
+                "layout_prune_fraction_plain": round(prune_plain, 3),
+                "layout_prune_fraction_clustered": round(prune_clust, 3),
                 "ann_recall_single_bucket": round(rec_single, 3),
                 "ann_recall_multiprobe": round(rec_probe, 3),
                 "ann_recall_multitable": round(rec_table, 3),

@@ -2718,3 +2718,41 @@ SELECT user_id, ts, event_id,
        allowed::INT AS allowed, lvl::BIGINT AS tokens_after
 FROM tb
 """
+
+
+ORACLES["repeat_run_detect"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT *,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS run_id
+  FROM base)
+SELECT user_id, run_id::BIGINT AS run_id, event_type,
+       count(*)::BIGINT AS run_len,
+       min(ts) AS run_start, max(ts) AS run_end
+FROM runs
+GROUP BY 1, 2, 3
+HAVING count(*) >= 4
+"""
+
+ORACLES["stale_series"] = """
+WITH per AS (
+  SELECT user_id, event_type,
+         max(epoch_ms(ts)//1000) AS last_s,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+g AS (SELECT max(last_s) AS now_s FROM per)
+SELECT user_id, event_type,
+       make_timestamp(last_s * 1000000) AS last_seen,
+       (now_s - last_s)::BIGINT AS silent_for_s,
+       n_events,
+       (CASE WHEN now_s - last_s > 172800 THEN 1 ELSE 0 END)::INT AS is_stale
+FROM per, g
+"""

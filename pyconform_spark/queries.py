@@ -4974,3 +4974,82 @@ def token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("allowed").cast("int").alias("allowed"),
         F.col("tokens_after").cast("long").alias("tokens_after"),
     )
+
+
+def repeat_run_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-repeat runs per user: maximal stretches of >= 4
+    identical consecutive event types — the stuck-agent detector (a
+    tool called in an unbroken loop) that a transcripts operator runs
+    before rate limits or prompt changes.  Gaps-and-islands on the
+    change flag: run id = running count of type CHANGES, so each
+    island is one (user, run) group.
+
+    EXACT cross-engine: integer flags and counts; run bounds are
+    min/max timestamps.  Scale shape: two frame passes on ONE
+    (user, ts) window sort + a hash aggregate — key-local, no join."""
+    min_len = 4
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    base = df.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(prev.isNull() | (prev != F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    run_id = F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        base.withColumn("run_id", run_id)
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .where(F.col("run_len") >= min_len)
+        .select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "event_type",
+            F.col("run_len").cast("long").alias("run_len"),
+            "run_start",
+            "run_end",
+        )
+    )
+
+
+def stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness / absent-series detection: per series, when it last
+    reported and for how long it has been silent against the corpus's
+    logical "now" (the global max timestamp) — PromQL's staleness
+    marker / `absent()` as a batch audit.  Flags series silent for
+    > 2 days.
+
+    Scale shape: one hash aggregate to |series| rows; the global max
+    is an unpartitioned window over that ALREADY-REDUCED frame (|series|
+    rows, documented small-frame pattern) — the raw table is scanned
+    once, no self-join, no second aggregate."""
+    df = _events(spark, sf_dir)
+    per = df.groupBy(*EKEYS).agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("_last_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    now_s = F.max("_last_s").over(w_all)
+    return per.select(
+        *EKEYS,
+        F.timestamp_seconds(F.col("_last_s"))
+        .cast("timestamp_ntz")
+        .alias("last_seen"),
+        (now_s - F.col("_last_s")).cast("long").alias("silent_for_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(now_s - F.col("_last_s") > 2 * 86400, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_stale"),
+    )

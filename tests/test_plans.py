@@ -1035,3 +1035,23 @@ def test_token_bucket_single_grouped_arrow_pass(spark):
     assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
     assert count_nodes(plan, "Exchange") == 1
     assert "Join" not in plan
+
+
+def test_repeat_run_one_keylocal_sort(spark):
+    """Stuck-loop detection: change flag + run id ride ONE (user, ts)
+    window sort; the run reduction is a map-side-combined hash
+    aggregate; no join."""
+    plan = plan_of(Q.repeat_run_detect(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_stale_series_scans_raw_once(spark):
+    """Staleness audit: the global max rides an unpartitioned window
+    over the ALREADY-REDUCED |series| frame — one scan, one aggregate,
+    no self-join back to raw."""
+    plan = plan_of(Q.stale_series(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan
+    assert count_nodes(plan, "HashAggregate") >= 2  # partial+final
