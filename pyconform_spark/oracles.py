@@ -2756,3 +2756,41 @@ SELECT user_id, event_type,
        (CASE WHEN now_s - last_s > 172800 THEN 1 ELSE 0 END)::INT AS is_stale
 FROM per, g
 """
+
+
+ORACLES["out_of_order_stats"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         (epoch_ms(ts)//1000)::BIGINT AS t_s,
+         max((epoch_ms(ts)//1000)::BIGINT)
+           OVER (PARTITION BY user_id, event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS seen
+  FROM events),
+flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN seen IS NOT NULL AND t_s < seen THEN 1 ELSE 0 END AS late,
+         CASE WHEN seen IS NOT NULL AND t_s < seen
+              THEN seen - t_s ELSE 0 END AS lt
+  FROM base)
+SELECT user_id, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(late)::BIGINT AS n_late,
+       max(lt)::BIGINT AS max_lateness_s,
+       sum(lt)::BIGINT AS total_lateness_s
+FROM flagged GROUP BY 1, 2
+"""
+
+ORACLES["type_gini_diversity"] = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT user_id,
+       sum(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_types,
+       CAST('1' AS DOUBLE)
+         - CAST(sum(n * n) AS DOUBLE)
+           / CAST(sum(n) * sum(n) AS DOUBLE) AS gini_impurity,
+       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS majority_share
+FROM per_type GROUP BY 1
+"""

@@ -5053,3 +5053,90 @@ def stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_stale"),
     )
+
+
+def out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit per series: how many events arrived
+    LATE (event time behind the running max of everything that arrived
+    before them, in arrival order = event_id) and by how much — the
+    measurement that picks a streaming watermark horizon (too short
+    drops these rows; this query says how many and how far).
+
+    EXACT cross-engine: integer epoch seconds, integer lateness.
+    Scale shape: one (series, event_id) window sort for the running
+    max + one map-side-combined hash aggregate."""
+    df = _events(spark, sf_dir)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        *EKEYS, t_s.alias("t_s"), F.col("event_id").cast("long").alias("event_id")
+    ).select(
+        *EKEYS,
+        "t_s",
+        F.max("t_s").over(w).alias("_seen"),
+    )
+    late = F.when(
+        F.col("_seen").isNotNull() & (F.col("t_s") < F.col("_seen")), F.lit(1)
+    ).otherwise(F.lit(0))
+    lateness = F.when(late == 1, F.col("_seen") - F.col("t_s")).otherwise(
+        F.lit(0)
+    )
+    return (
+        base.select(*EKEYS, late.alias("_late"), lateness.alias("_lt"))
+        .groupBy(*EKEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_late").alias("n_late"),
+            F.max("_lt").alias("max_lateness_s"),
+            F.sum("_lt").alias("total_lateness_s"),
+        )
+        .select(
+            *EKEYS,
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.col("max_lateness_s").cast("long").alias("max_lateness_s"),
+            F.col("total_lateness_s").cast("long").alias("total_lateness_s"),
+        )
+    )
+
+
+def type_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Gini impurity of the event-type
+    distribution (1 - sum p_i^2) plus the majority share — the
+    fingerprint that separates single-tool bots from mixed-use
+    sessions.  Gini instead of entropy BY DESIGN: ln()/log2() are not
+    cross-engine bit-stable, while Gini is pure rational arithmetic —
+    integer count squares and one double division per column.
+
+    Scale shape: two hash aggregates (user x type, then user), both
+    map-side combined; no window, no join."""
+    df = _events(spark, sf_dir)
+    per_type = df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("_N"),
+            F.sum(F.col("n") * F.col("n")).alias("_ss"),
+            F.max("n").alias("_mx"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("_N").cast("long").alias("n_events"),
+            F.col("n_types").cast("long").alias("n_types"),
+            (
+                F.lit(1.0)
+                - F.col("_ss").cast("double")
+                / (F.col("_N") * F.col("_N")).cast("double")
+            ).alias("gini_impurity"),
+            (F.col("_mx").cast("double") / F.col("_N").cast("double")).alias(
+                "majority_share"
+            ),
+        )
+    )

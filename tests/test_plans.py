@@ -1055,3 +1055,21 @@ def test_stale_series_scans_raw_once(spark):
     assert count_nodes(plan, "Scan parquet") == 1
     assert "Join" not in plan
     assert count_nodes(plan, "HashAggregate") >= 2  # partial+final
+
+
+def test_out_of_order_one_sort_partial_agg(spark):
+    """Lateness audit: running-max + flags ride one (series, event_id)
+    sort; the reduction is map-side combined; no join."""
+    plan = plan_of(Q.out_of_order_stats(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_gini_two_hash_aggs_no_window(spark):
+    """Diversity fingerprint: two hash aggregates, both partial+final,
+    zero windows, zero joins — embarrassingly parallel."""
+    plan = plan_of(Q.type_gini_diversity(spark, SF))
+    assert count_nodes(plan, "Window") == 0
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 2
