@@ -2794,3 +2794,54 @@ SELECT user_id,
        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS majority_share
 FROM per_type GROUP BY 1
 """
+
+
+ORACLES["anomaly_ensemble"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id, value,
+         floor(value * 100)::BIGINT AS vq,
+         count(*) OVER wz AS n,
+         sum(floor(value * 100)::BIGINT) OVER wz AS s,
+         sum(floor(value * 100)::BIGINT
+             * floor(value * 100)::BIGINT) OVER wz AS q,
+         list(floor(value * 100)::BIGINT) OVER wz AS arr,
+         list(floor(value * 100)::BIGINT) OVER we AS arr_e
+  FROM events
+  WINDOW
+    wz AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+    we AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
+derived AS (
+  SELECT *,
+         (n * vq - s)::BIGINT AS num,
+         (n * (n * q - s * s))::BIGINT AS varnum,
+         (n - 1)::BIGINT AS nm1,
+         list_extract(list_sort(arr), (len(arr) + 1) // 2) AS med,
+         list_extract(
+           list_sort(list_transform(arr,
+             x -> abs(x - list_extract(list_sort(arr),
+                                       (len(arr) + 1) // 2)))),
+           (len(arr) + 1) // 2) AS mad,
+         coalesce(list_sum(list_transform(arr_e,
+             (x, i) -> x * (1::BIGINT << (i - 1))))::BIGINT, 0) AS ws,
+         ((1::BIGINT << len(arr_e)) - 1)::BIGINT AS norm
+  FROM base),
+flags AS (
+  SELECT user_id, event_type, ts, event_id, value, vq,
+         (CASE WHEN nm1 > 0 AND varnum > 0
+                AND num * num * nm1 > 9 * varnum
+               THEN 1 ELSE 0 END)::INT AS flag_z,
+         (CASE WHEN mad > 0 AND abs(vq - med) > 3 * mad
+               THEN 1 ELSE 0 END)::INT AS flag_mad,
+         (CASE WHEN norm > 0 AND mad > 0
+                AND abs(vq * norm - ws) > 3 * mad * norm
+               THEN 1 ELSE 0 END)::INT AS flag_ewma
+  FROM derived)
+SELECT user_id, event_type, ts, event_id, value,
+       flag_z, flag_mad, flag_ewma,
+       (flag_z + flag_mad + flag_ewma)::INT AS votes,
+       (CASE WHEN flag_z + flag_mad + flag_ewma >= 2
+             THEN 1 ELSE 0 END)::INT AS is_anomaly
+FROM flags
+"""

@@ -5140,3 +5140,126 @@ def type_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly detection — three independent detectors vote
+    and >= 2 of 3 flags the sample: rolling z-score (mean/std), robust
+    MAD z (median-based), and EWMA-residual (deviation from the
+    exponential smoother's one-step prediction beyond 3 MAD).  The
+    production pattern: no single rule survives both level shifts and
+    fat tails; the vote does.
+
+    ALL THREE detectors are integer-exact and ride ONE (series, ts)
+    window sort (the z/MAD frames and the EWMA's 16-preceding frame
+    share partition+order, so Catalyst plans one Exchange+Sort —
+    plan-gated).  The z comparison is done in squared-integer space
+    (num^2*(n-1) > 9*varnum), avoiding sqrt entirely; the EWMA is the
+    dyadic-weight sum (weights 2^i, norm 2^m - 1) compared at common
+    denominator.  The oracle replicates every flag with DuckDB list
+    windows and indexed lambdas."""
+    win = 20
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    wz = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(win - 1), 0)
+    )
+    we = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-16, -1)
+    )
+    n = F.count(F.lit(1)).over(wz)
+    s = F.sum("vq").over(wz)
+    q = F.sum(F.col("vq") * F.col("vq")).over(wz)
+    arr = F.collect_list("vq").over(wz)
+    arr_e = F.collect_list("vq").over(we)
+    staged = df.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        "vq",
+        (n * F.col("vq") - s).alias("_num"),
+        (n * (n * q - s * s)).alias("_varnum"),
+        (n - 1).alias("_nm1"),
+        arr.alias("_arr"),
+        arr_e.alias("_arr_e"),
+    )
+    rank = ((F.size("_arr") + F.lit(1)) / F.lit(2)).cast("int")
+    med = F.element_at(F.array_sort("_arr"), rank)
+    devs = F.array_sort(F.transform("_arr", lambda x: F.abs(x - med)))
+    mad = F.element_at(devs, rank)
+    acc = F.aggregate(
+        F.col("_arr_e"),
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("p")
+        ),
+        lambda a, x: F.struct(
+            (a["s"] + x * a["p"]).alias("s"), (a["p"] * F.lit(2)).alias("p")
+        ),
+    )
+    staged2 = staged.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        "vq",
+        "_num",
+        "_varnum",
+        "_nm1",
+        med.alias("_med"),
+        mad.alias("_mad"),
+        acc["s"].alias("_ws"),
+        (acc["p"] - 1).alias("_norm"),
+    )
+    flag_z = (
+        (F.col("_nm1") > 0)
+        & (F.col("_varnum") > 0)
+        & (
+            F.col("_num") * F.col("_num") * F.col("_nm1")
+            > F.lit(9) * F.col("_varnum")
+        )
+    ).cast("int")
+    flag_mad = (
+        (F.col("_mad") > 0)
+        & (F.abs(F.col("vq") - F.col("_med")) > F.lit(3) * F.col("_mad"))
+    ).cast("int")
+    flag_ewma = (
+        (F.col("_norm") > 0)
+        & (F.col("_mad") > 0)
+        & (
+            F.abs(F.col("vq") * F.col("_norm") - F.col("_ws"))
+            > F.lit(3) * F.col("_mad") * F.col("_norm")
+        )
+    ).cast("int")
+    out = staged2.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        flag_z.alias("flag_z"),
+        flag_mad.alias("flag_mad"),
+        flag_ewma.alias("flag_ewma"),
+    )
+    votes = (F.col("flag_z") + F.col("flag_mad") + F.col("flag_ewma")).cast(
+        "int"
+    )
+    return out.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "value",
+        "flag_z",
+        "flag_mad",
+        "flag_ewma",
+        votes.alias("votes"),
+        (votes >= 2).cast("int").alias("is_anomaly"),
+    )

@@ -1073,3 +1073,16 @@ def test_gini_two_hash_aggs_no_window(spark):
     assert count_nodes(plan, "Window") == 0
     assert "Join" not in plan
     assert plan.count("partial_") >= 2
+
+
+def test_anomaly_ensemble_three_detectors_one_sort(spark):
+    """Ensemble vote: the z/MAD frame, the EWMA 16-preceding frame,
+    and every flag expression share ONE (series, ts) Exchange+Sort —
+    three detectors for the price of one shuffle; no join, no Python
+    stage, no sqrt (squared-integer comparison)."""
+    plan = plan_of(Q.anomaly_ensemble(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "SQRT" not in plan.upper().replace("SQRTE", "")
