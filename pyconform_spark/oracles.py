@@ -2845,3 +2845,8 @@ SELECT user_id, event_type, ts, event_id, value,
              THEN 1 ELSE 0 END)::INT AS is_anomaly
 FROM flags
 """
+
+
+from pyconform_spark.textops import containment_pairs_sql as _containment_sql
+
+ORACLES["containment_dedup_pairs"] = _containment_sql()

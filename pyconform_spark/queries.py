@@ -5263,3 +5263,15 @@ def anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.alias("votes"),
         (votes >= 2).cast("int").alias("is_anomaly"),
     )
+
+
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs over the documents table
+    (textops.containment_pairs): docs whose shingle set is >= 80%
+    inside another doc — the quote/subsumption case symmetric Jaccard
+    misses.  Inverted-index join with a df-cap on boilerplate
+    shingles; integer-space threshold; oracle is the same formulation
+    in SQL."""
+    from pyconform_spark import textops
+
+    return textops.containment_pairs(_documents(spark, sf_dir))

@@ -1762,3 +1762,82 @@ WHERE {h} * t.n_sources * t.chars_s < t.total_chars * {M}
 
 
 TEXT_ORACLES["domain_rebalance"] = domain_rebalance_sql()
+
+
+# ------------------------------------------------------- containment dedup
+def containment_pairs(
+    docs: DataFrame, threshold_pct: int = 80, stop_df: int = 50
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: document A is (nearly) CONTAINED
+    in document B when >= threshold_pct% of A's shingles also appear
+    in B — the quote/subsumption case symmetric Jaccard misses (a
+    short doc pasted into a long one scores low Jaccard but 1.0
+    containment).  The subsumed side is what a curation pass drops.
+
+    Scale shape: the classic INVERTED-INDEX join — explode to
+    (doc, shingle-hash), drop shingles in more than ``stop_df`` docs
+    (boilerplate cut: bounds the per-shingle join fan-out, the
+    standard df-cap), equi-join on the hash, count shared per pair.
+    Never all-pairs; the df-cap makes the worst shingle cost
+    stop_df^2, independent of corpus size.  Containment compares in
+    integer space (shared * 100 >= pct * |A|); the reported ratio is
+    one double division."""
+    ex = _exploded_shingle_hashes(docs).distinct()
+    keep = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= stop_df)
+        .select("h")
+    )
+    filt = ex.join(keep, "h")
+    sizes = filt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = filt.select(F.col("doc_id").alias("contained_id"), "h")
+    b = filt.select(F.col("doc_id").alias("container_id"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("contained_id"), F.col("sz")
+            ),
+            "contained_id",
+        )
+        .where(
+            F.col("n_shared") * 100 >= F.lit(threshold_pct) * F.col("sz")
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("sz").cast("long").alias("n_shingles"),
+            (
+                F.col("n_shared").cast("double") / F.col("sz").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+def containment_pairs_sql(threshold_pct: int = 80, stop_df: int = 50) -> str:
+    return f"""
+WITH ex AS (
+  SELECT DISTINCT doc_id, {hash31_sql('sh')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql()}) AS sh FROM documents)),
+keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= {stop_df}),
+filt AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM filt GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         count(*)::BIGINT AS n_shared
+  FROM filt a JOIN filt b USING (h)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT i.contained_id, i.container_id, i.n_shared,
+       s.sz AS n_shingles,
+       CAST(i.n_shared AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.contained_id
+WHERE i.n_shared * 100 >= {threshold_pct} * s.sz
+"""

@@ -1086,3 +1086,18 @@ def test_anomaly_ensemble_three_detectors_one_sort(spark):
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "SQRT" not in plan.upper().replace("SQRTE", "")
+
+
+def test_containment_inverted_index_no_broadcast_of_corpus(spark):
+    """Containment pairs: inverted-index equi-joins only — never a
+    cartesian or nested-loop stage; the df-cap aggregate precedes the
+    pair join (partial+final)."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = plan_of(textops.containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") >= 2
+    assert "partial_count" in plan
