@@ -2850,3 +2850,18 @@ FROM flags
 from pyconform_spark.textops import containment_pairs_sql as _containment_sql
 
 ORACLES["containment_dedup_pairs"] = _containment_sql()
+
+
+ORACLES["period_over_period"] = f"""
+WITH hourly AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT c.user_id, c.event_type, c.bucket_start,
+       c.n AS n_events,
+       p.n AS n_prev_day,
+       CAST(c.n - p.n AS DOUBLE) / CAST(p.n AS DOUBLE) AS pct_change
+FROM hourly c LEFT JOIN hourly p
+  ON p.user_id = c.user_id AND p.event_type = c.event_type
+ AND p.bucket_start + INTERVAL 1 DAY = c.bucket_start
+"""

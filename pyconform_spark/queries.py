@@ -5275,3 +5275,54 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconform_spark import textops
 
     return textops.containment_pairs(_documents(spark, sf_dir))
+
+
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: each series' hourly bucket
+    against the SAME hour one day earlier (lag 24 on the dense hourly
+    grid is wrong when hours are missing — the lag must be BY VALUE,
+    so the previous-day bucket comes from a self-equi-join on
+    bucket_start - 24h, matching only when that bucket exists).  The
+    dashboard "vs yesterday" column, NULL where yesterday is absent.
+
+    EXACT cross-engine: bucket arithmetic is integer epochs; counts
+    are integers; the pct change is one double division of two
+    exactly-agreed integers.  Scale shape: one hash aggregate to the
+    hourly tier, then a co-partitioned self-equi-join on
+    (series, bucket) — at a tier store this reads |tier| rows, never
+    raw twice (here both sides derive from ONE aggregate subtree)."""
+    df = _events(spark, sf_dir)
+    hourly = df.groupBy(
+        *EKEYS, bucket_ts(F.col("ts"), 3600).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prev = hourly.select(
+        *EKEYS,
+        (
+            F.col("bucket_start").cast("timestamp").cast("long") + 86400
+        ).alias("_next_s"),
+        F.col("n").alias("n_prev"),
+    )
+    cur = hourly.select(
+        *EKEYS,
+        "bucket_start",
+        F.col("bucket_start").cast("timestamp").cast("long").alias("_s"),
+        "n",
+    )
+    cond = (
+        (cur["user_id"] == prev["user_id"])
+        & (cur["event_type"] == prev["event_type"])
+        & (cur["_s"] == prev["_next_s"])
+    )
+    return (
+        cur.join(prev, cond, "left")
+        .select(
+            *[cur[k] for k in EKEYS],
+            "bucket_start",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_prev").cast("long").alias("n_prev_day"),
+            (
+                (F.col("n") - F.col("n_prev")).cast("double")
+                / F.col("n_prev").cast("double")
+            ).alias("pct_change"),
+        )
+    )

@@ -1101,3 +1101,14 @@ def test_containment_inverted_index_no_broadcast_of_corpus(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "SortMergeJoin") >= 2
     assert "partial_count" in plan
+
+
+def test_period_over_period_one_agg_reused(spark):
+    """vs-yesterday: both join sides derive from ONE hourly aggregate
+    subtree — the raw table is scanned once per side at most, never a
+    window over the dense grid; the join is an equi-join."""
+    plan = plan_of(Q.period_over_period(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") == 0
+    assert "partial_count" in plan
