@@ -2865,3 +2865,34 @@ FROM hourly c LEFT JOIN hourly p
   ON p.user_id = c.user_id AND p.event_type = c.event_type
  AND p.bucket_start + INTERVAL 1 DAY = c.bucket_start
 """
+
+
+ORACLES["daily_utilization"] = """
+WITH flagged AS (
+  SELECT user_id, ts, (epoch_ms(ts)//1000)::BIGINT AS t_s, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_ms(ts)//1000) - (epoch_ms(lag(ts) OVER w)//1000)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_id,
+         min(t_s) AS start_s, max(t_s) AS end_s,
+         count(*)::BIGINT AS n_events
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       make_timestamp((start_s - start_s % 86400) * 1000000) AS day,
+       count(*)::BIGINT AS n_sessions,
+       sum(end_s - start_s)::BIGINT AS busy_s,
+       sum(n_events)::BIGINT AS n_events,
+       CAST(sum(end_s - start_s) AS DOUBLE)
+         / CAST('86400' AS DOUBLE) AS busy_frac
+FROM sessions GROUP BY 1, 2
+"""

@@ -5326,3 +5326,56 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_change"),
         )
     )
+
+
+def daily_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily utilization accounting per user: sessionize activity
+    (>30min silence closes a session, same rule as ``sessionize``),
+    attribute each session to the UTC day it started, and report
+    per (user, day): session count, busy seconds (sum of session
+    spans), events, and busy fraction of the day — the utilization
+    report an agent-fleet operator bills from.
+
+    EXACT cross-engine: session spans are integer epoch-second
+    differences; busy_frac is one double division.  Scale shape: the
+    session flags ride ONE (user, ts) window sort, then two hash
+    aggregates (sessions, then days) — key-local throughout."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        t_s - prev.cast("timestamp").cast("long") > 1800
+    ) | prev.isNull()
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = F.sum(new_sess.cast("long")).over(cum)
+    sessions = (
+        df.select("user_id", t_s.alias("t_s"), F.col("event_id"), sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t_s").alias("_start_s"),
+            F.max("t_s").alias("_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    day_s = F.col("_start_s") - (F.col("_start_s") % F.lit(86400))
+    return (
+        sessions.groupBy("user_id", day_s.alias("_day_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("_end_s") - F.col("_start_s")).alias("busy_s"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("_day_s"))
+            .cast("timestamp_ntz")
+            .alias("day"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("busy_s").cast("long").alias("busy_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("busy_s").cast("double") / F.lit(86400.0)).alias(
+                "busy_frac"
+            ),
+        )
+    )

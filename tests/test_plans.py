@@ -1112,3 +1112,12 @@ def test_period_over_period_one_agg_reused(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "Window") == 0
     assert "partial_count" in plan
+
+
+def test_daily_utilization_one_sort_two_aggs(spark):
+    """Utilization report: session flags ride one (user, ts) sort,
+    then two key-local hash aggregates — no join, no global stage."""
+    plan = plan_of(Q.daily_utilization(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert "Join" not in plan
+    assert count_nodes(plan, "HashAggregate") >= 3
