@@ -62,3 +62,66 @@ def pruning_fraction(path: str, col: str, value) -> float:
         return 0.0
     pruned = sum(1 for lo, hi in ranges if value < lo or value > hi)
     return pruned / len(ranges)
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Multi-column Z-order clustering: interleave the bits of each
+    column's quantized rank so files stay selective on EVERY listed
+    column at once — 1-D ``cluster_by`` makes one predicate prunable
+    and leaves the others shuffled; Z-order splits the budget (Delta
+    OPTIMIZE ZORDER semantics, built from Catalyst bit arithmetic —
+    no UDF).
+
+    Columns must be numeric or timestamp.  Quantization uses a single
+    min/max stats pass (one small driver action, the standard layout-
+    write cost).  ``bits`` per column; total key width
+    ``bits * len(cols)`` must fit int64."""
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed int64")
+    from pyspark.sql import functions as F
+
+    def _num(c: str):
+        return F.col(c).cast("timestamp").cast("long") if dict(df.dtypes)[c].startswith("timestamp") else F.col(c).cast("double")
+
+    stats = df.agg(
+        *[F.min(_num(c)).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(_num(c)).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    scale = (1 << bits) - 1
+    qs = []
+    for i, c in enumerate(cols):
+        mn, mx = float(stats[f"mn_{i}"]), float(stats[f"mx_{i}"])
+        span = (mx - mn) or 1.0
+        q = F.floor(
+            (_num(c).cast("double") - F.lit(mn)) * F.lit(scale / span)
+        ).cast("long")
+        qs.append(F.least(F.greatest(q, F.lit(0)), F.lit(scale)))
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, k).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, k * len(cols) + i)
+    tagged = df.withColumn("_zorder", z)
+    parted = (
+        tagged.repartitionByRange(n_files, "_zorder")
+        if n_files
+        else tagged.repartitionByRange("_zorder")
+    )
+    return parted.sortWithinPartitions("_zorder").drop("_zorder")
+
+
+def pruning_fraction_range(path: str, col: str, lo, hi) -> float:
+    """Fraction of row groups a ``col BETWEEN lo AND hi`` predicate
+    can skip from footer statistics alone."""
+    ranges = rowgroup_ranges(path, col)
+    if not ranges:
+        return 0.0
+    pruned = sum(1 for gmin, gmax in ranges if hi < gmin or lo > gmax)
+    return pruned / len(ranges)

@@ -52,3 +52,50 @@ def test_rowgroup_ranges_are_narrow_after_clustering(spark, tmp_path):
     avg_span = sum(hi - lo for lo, hi in ranges) / len(ranges)
     # each group covers a small slice of the key domain
     assert avg_span <= total_span / 4
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-order on (user_id, ts): BOTH a user point query and a time
+    range prune substantially — 1-D clustering on user_id alone leaves
+    the time predicate unprunable."""
+    from datetime import datetime
+
+    df = _events(spark)
+    oneD = str(tmp_path / "oneD")
+    zord = str(tmp_path / "zord")
+    layout.cluster_by(df, ["user_id"], n_files=16).write.parquet(oneD)
+    layout.zorder_by(df, ["user_id", "ts"], bits=8, n_files=16).write.parquet(
+        zord
+    )
+
+    # user point predicate: 1-D is best-in-class, z-order still strong
+    u1 = layout.pruning_fraction(oneD, "user_id", 42)
+    uz = layout.pruning_fraction(zord, "user_id", 42)
+    assert u1 >= 0.8
+    assert uz >= 0.4
+
+    # one-day time range: 1-D layout can't prune it, z-order can
+    lo = datetime(2024, 1, 10)
+    hi = datetime(2024, 1, 11)
+    t1 = layout.pruning_fraction_range(oneD, "ts", lo, hi)
+    tz = layout.pruning_fraction_range(zord, "ts", lo, hi)
+    assert t1 <= 0.2
+    assert tz >= 0.4
+    assert tz > t1 and uz > t1
+
+
+def test_zorder_preserves_rows_and_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    df = _events(spark)
+    path = str(tmp_path / "z")
+    layout.zorder_by(df, ["user_id", "value"], bits=6).write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    a = df.agg(F.sum(F.hash("user_id", "event_type", "ts"))).first()[0]
+    b = back.agg(F.sum(F.hash("user_id", "event_type", "ts"))).first()[0]
+    assert a == b
+    with _pytest.raises(ValueError):
+        layout.zorder_by(df, [], bits=8)
+    with _pytest.raises(ValueError):
+        layout.zorder_by(df, ["user_id", "value"], bits=32)
