@@ -825,3 +825,73 @@ def stream_token_bucket(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_staleness(
+    stream: DataFrame,
+    horizon_s: int = 7200,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Online staleness alerts: emit ONE row per conversation the
+    moment the watermark proves it has been silent longer than
+    ``horizon_s`` — the continuous twin of queries.stale_series, and
+    the one stateful pattern the other twins don't exercise:
+    EVENT-TIME TIMEOUTS (the alert fires from the absence of data, so
+    no arriving row can trigger it; the state machine must wake
+    itself).
+
+    State per conversation: the last-seen event time.  Every batch
+    refreshes the timeout deadline to last_seen + horizon; when the
+    watermark passes a deadline with no new data, the group times out,
+    emits its staleness record, and clears its state — bounded by the
+    number of live conversations, self-cleaning thereafter."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("last_seen", T.TimestampType(), True),
+        T.StructField("stale_after_s", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_s", T.LongType(), True),
+    ])
+
+    src = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark)
+
+    def _update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            (last_s,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "last_seen": [pd.Timestamp(last_s, unit="s")],
+                    "stale_after_s": pd.array([horizon_s], dtype="int64"),
+                }
+            )
+            return
+        last_s = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = int(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").max()
+                    // 1_000_000
+                )
+                last_s = batch_max if last_s is None else max(last_s, batch_max)
+        if last_s is not None:
+            state.update((int(last_s),))
+            state.setTimeoutTimestamp((int(last_s) + horizon_s) * 1000)
+        return
+        yield  # pragma: no cover - makes this a generator
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -736,3 +736,52 @@ def test_stream_token_bucket_matches_batch_exactly(spark, tmp_path):
     }
     assert len(got) == len(want) > 500
     assert got == want
+
+
+def test_stream_staleness_fires_on_silence_only(spark, tmp_path):
+    """Event-time-timeout staleness: a conversation that stops
+    reporting gets exactly one alert once the watermark proves the
+    silence exceeds the horizon; conversations that keep reporting
+    never alert."""
+    from datetime import datetime
+    import pandas as pd
+
+    src = str(tmp_path / "stale_in")
+    schema = "conv_id string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def _write(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+
+    # batch 1: A and B alive at t0
+    _write([("A", t0), ("B", t0)], "overwrite")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming.stream_staleness(stream, horizon_s=7200,
+                                     watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stalestream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("stalestream").count() == 0
+        # batch 2: only B, four hours later -> watermark = t0+3h passes
+        # A's deadline (t0+2h): A times out; B's deadline moves on
+        _write([("B", datetime(2024, 1, 1, 4, 0, 0))], "append")
+        q.processAllAvailable()
+        # one more batch so the new watermark is applied to timeouts
+        _write([("B", datetime(2024, 1, 1, 4, 30, 0))], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("stalestream").collect()
+    assert [
+        (r["conv_id"], r["last_seen"], r["stale_after_s"]) for r in rows
+    ] == [("A", t0, 7200)]
