@@ -1111,3 +1111,81 @@ def recover_compactions(spark: SparkSession, root: str) -> list[str]:
             if d not in with_intent:
                 shutil.rmtree(os.path.join(base, d))
     return recovered
+
+
+def tier_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact diff of two tier frames: every (series, bucket) point
+    ADDED, REMOVED, or CHANGED going from ``a`` to ``b``.  One
+    full-outer join on (series, bucket); change detection compares the
+    integer statistics (turn_count, text_len_sum), so the diff is
+    exact; rows equal in both snapshots are dropped."""
+    keys = [*SERIES_KEYS, "bucket_start"]
+    a = a.select(
+        *[F.col(k).alias(f"a_{k}") for k in keys],
+        F.col("turn_count").alias("turn_count_a"),
+        F.col("text_len_sum").alias("text_len_sum_a"),
+    )
+    b = b.select(
+        *[F.col(k).alias(f"b_{k}") for k in keys],
+        F.col("turn_count").alias("turn_count_b"),
+        F.col("text_len_sum").alias("text_len_sum_b"),
+    )
+    # NULL-SAFE key equality: ``tool`` is nullable, and a plain join
+    # would misclassify every null-tool point as added+removed
+    cond = None
+    for k in keys:
+        c = F.col(f"a_{k}").eqNullSafe(F.col(f"b_{k}"))
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
+            for k in keys
+        ],
+        "turn_count_a",
+        "turn_count_b",
+        "text_len_sum_a",
+        "text_len_sum_b",
+    )
+    status = (
+        F.when(F.col("turn_count_a").isNull(), F.lit("added"))
+        .when(F.col("turn_count_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("turn_count_a") != F.col("turn_count_b"))
+            | (F.col("text_len_sum_a") != F.col("text_len_sum_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            *keys,
+            "status",
+            "turn_count_a",
+            "turn_count_b",
+            "text_len_sum_a",
+            "text_len_sum_b",
+        )
+    )
+
+
+def store_diff(
+    spark: SparkSession,
+    root: str,
+    tier: str,
+    epoch_a: int,
+    epoch_b: int,
+) -> DataFrame:
+    """Time-travel diff between two as-of views of a tier — the "what
+    did that backfill add?" audit (Iceberg ``snapshot_diff`` analog
+    over the epoch ledger).  NOTE the as-of scope: epoch-id time
+    travel selects WHICH epochs are visible, not their historical
+    content — a late-data refresh rewrites its partition in place (the
+    ledger records it via commit_seq), so diffs across a refresh show
+    the refreshed content on both sides.  Use :func:`tier_diff`
+    directly to compare a store against an independent recompute."""
+    return tier_diff(
+        read_tier_as_of(spark, root, tier, epoch_a),
+        read_tier_as_of(spark, root, tier, epoch_b),
+    )

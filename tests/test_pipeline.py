@@ -526,3 +526,44 @@ def test_verify_store_tolerates_pre_commit_seq_ledger(spark, tx, tmp_path):
     lin.coalesce(1).write.mode("overwrite").parquet(pipeline._lineage_path(root))
     audit = pipeline.verify_store(spark, root).collect()
     assert audit and all(r.status == "ok" for r in audit)
+
+
+def test_store_diff_classifies_backfill_changes(spark, tx, tmp_path):
+    """Time-travel diff: a later epoch shows only 'added' points;
+    identical snapshots diff to empty; tier_diff against a perturbed
+    recompute classifies 'changed' and 'removed' exactly."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "diffstore")
+    pipeline.run(spark, tx, root)
+    epochs = sorted(pipeline.committed_epochs(spark, root))
+    assert len(epochs) >= 2
+    e_first, e_last = epochs[0], epochs[-1]
+
+    # identical snapshots -> empty diff
+    assert pipeline.store_diff(spark, root, "1m", e_last, e_last).count() == 0
+
+    # first epoch vs full history -> only additions, count-exact
+    d = pipeline.store_diff(spark, root, "1m", e_first, e_last)
+    kinds = {r["status"] for r in d.select("status").distinct().collect()}
+    assert kinds == {"added"}
+    n_first = pipeline.read_tier_as_of(spark, root, "1m", e_first).count()
+    n_all = pipeline.read_tier(spark, root, "1m").count()
+    assert d.count() == n_all - n_first
+
+    # frame-level diff vs a perturbed recompute: bump one bucket's
+    # count ('changed') and drop one series ('removed')
+    cur = pipeline.read_tier(spark, root, "1m")
+    victim = cur.select("conv_id").first()["conv_id"]
+    perturbed = cur.where(F.col("conv_id") != victim).withColumn(
+        "turn_count",
+        F.when(
+            F.col("bucket_start")
+            == cur.agg(F.min("bucket_start")).first()[0],
+            F.col("turn_count") + 1,
+        ).otherwise(F.col("turn_count")),
+    )
+    d2 = pipeline.tier_diff(cur, perturbed)
+    kinds2 = {r["status"] for r in d2.select("status").distinct().collect()}
+    assert "removed" in kinds2 and "changed" in kinds2
+    assert "added" not in kinds2
