@@ -2896,3 +2896,60 @@ SELECT user_id,
          / CAST('86400' AS DOUBLE) AS busy_frac
 FROM sessions GROUP BY 1, 2
 """
+
+ORACLES["changepoint_binseg"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events),
+staged AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS i,
+         sum(vq) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS s_i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(vq) OVER (PARTITION BY event_type) AS s_n
+  FROM base),
+cand1 AS (
+  SELECT event_type, ts, i, s_i, n, s_n,
+         abs(n * s_i - i * s_n) AS d
+  FROM staged WHERE i < n),
+cp1 AS (
+  SELECT event_type, i AS cp, ts AS cp_ts, s_i AS s_cp, n, s_n, d
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d DESC, i) AS r
+        FROM cand1)
+  WHERE r = 1),
+lvl1 AS (
+  SELECT event_type, 1::BIGINT AS level, 0::BIGINT AS seg,
+         cp::BIGINT AS cp_i, cp_ts, d::BIGINT AS d_stat,
+         cp::BIGINT AS n_left, (n - cp)::BIGINT AS n_right,
+         s_cp::DOUBLE / (cp * 100) AS mean_left,
+         (s_n - s_cp)::DOUBLE / ((n - cp) * 100) AS mean_right
+  FROM cp1),
+seg2 AS (
+  SELECT s.event_type, s.ts, s.i AS gi,
+         CASE WHEN s.i <= c.cp THEN 0 ELSE 1 END AS seg,
+         CASE WHEN s.i <= c.cp THEN s.i ELSE s.i - c.cp END AS i_loc,
+         CASE WHEN s.i <= c.cp THEN s.s_i ELSE s.s_i - c.s_cp END AS s_loc,
+         CASE WHEN s.i <= c.cp THEN c.cp ELSE s.n - c.cp END AS n_seg,
+         CASE WHEN s.i <= c.cp THEN c.s_cp ELSE s.s_n - c.s_cp END AS s_seg
+  FROM staged s JOIN cp1 c USING (event_type)),
+cand2 AS (
+  SELECT event_type, ts, gi, seg, i_loc, s_loc, n_seg, s_seg,
+         abs(n_seg * s_loc - i_loc * s_seg) AS d
+  FROM seg2 WHERE i_loc < n_seg),
+lvl2 AS (
+  SELECT event_type, 2::BIGINT AS level, seg::BIGINT AS seg,
+         gi::BIGINT AS cp_i, ts AS cp_ts, d::BIGINT AS d_stat,
+         i_loc::BIGINT AS n_left, (n_seg - i_loc)::BIGINT AS n_right,
+         s_loc::DOUBLE / (i_loc * 100) AS mean_left,
+         (s_seg - s_loc)::DOUBLE / ((n_seg - i_loc) * 100) AS mean_right
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, seg
+                                     ORDER BY d DESC, gi) AS r
+        FROM cand2)
+  WHERE r = 1)
+SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+"""

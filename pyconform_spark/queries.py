@@ -5379,3 +5379,120 @@ def daily_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection per event_type series
+    (up to 3 changepoints: the best global split, then the best split
+    inside each resulting half) using the integer CUSUM statistic
+    D_i = |n·S_i − i·S_n| — the level-shift detector a tier pipeline
+    runs before re-baselining alert thresholds (reference analog: the
+    reference validates monotonic/shift behavior per variable at
+    conversion time; here the shift POINT itself is located).
+
+    EXACT cross-engine: values centi-quantize to int64 (same
+    floor(value·100) both engines), S_i is an integer running sum, and
+    D is pure int64 (n·S ≤ 1.3e15 at sf1 — headroom to n≈1e7 rows per
+    series); argmax ties break on the smaller index via a
+    deterministic (D desc, i asc) ranking.  Level-2 segment sums are
+    DERIVED from level-1's cumulative sums (S_loc = S_i − S_cp), so no
+    second cumulative pass exists.  Means are ONE double division of
+    exact integers.  Scale shape: windows partition by event_type
+    (key-local, no global sort); level-1's 1-row-per-series argmax
+    broadcast-joins back; the only non-broadcast exchange is the
+    series repartition.  Two scans of raw by construction (level 2
+    needs level 1's argmax); in production the input is the small
+    persisted tier table."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        "event_type",
+        "ts",
+        F.row_number().over(wo).alias("i"),
+        F.sum(vq).over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s_i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum(vq).over(wp).alias("s_n"),
+    )
+    d1 = F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n"))
+    cand1 = staged.where(F.col("i") < F.col("n")).select(
+        "event_type", "ts", "i", "s_i", "n", "s_n", d1.alias("d")
+    )
+    w_arg1 = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("i"))
+    cp1 = (
+        cand1.withColumn("r", F.row_number().over(w_arg1))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("i").alias("cp"),
+            F.col("ts").alias("cp_ts"),
+            F.col("s_i").alias("s_cp"),
+            "n",
+            "s_n",
+            "d",
+        )
+    )
+    lvl1 = cp1.select(
+        "event_type",
+        F.lit(1).cast("long").alias("level"),
+        F.lit(0).cast("long").alias("seg"),
+        F.col("cp").cast("long").alias("cp_i"),
+        "cp_ts",
+        F.col("d").cast("long").alias("d_stat"),
+        F.col("cp").cast("long").alias("n_left"),
+        (F.col("n") - F.col("cp")).cast("long").alias("n_right"),
+        (F.col("s_cp").cast("double") / (F.col("cp") * F.lit(100))).alias("mean_left"),
+        (
+            (F.col("s_n") - F.col("s_cp")).cast("double")
+            / ((F.col("n") - F.col("cp")) * F.lit(100))
+        ).alias("mean_right"),
+    )
+    joined = staged.join(
+        F.broadcast(cp1.select("event_type", "cp", "s_cp")), "event_type"
+    )
+    left = F.col("i") <= F.col("cp")
+    seg2 = joined.select(
+        "event_type",
+        "ts",
+        F.col("i").alias("gi"),
+        F.when(left, F.lit(0)).otherwise(F.lit(1)).alias("seg"),
+        F.when(left, F.col("i")).otherwise(F.col("i") - F.col("cp")).alias("i_loc"),
+        F.when(left, F.col("s_i")).otherwise(F.col("s_i") - F.col("s_cp")).alias(
+            "s_loc"
+        ),
+        F.when(left, F.col("cp")).otherwise(F.col("n") - F.col("cp")).alias("n_seg"),
+        F.when(left, F.col("s_cp")).otherwise(F.col("s_n") - F.col("s_cp")).alias(
+            "s_seg"
+        ),
+    )
+    d2 = F.abs(F.col("n_seg") * F.col("s_loc") - F.col("i_loc") * F.col("s_seg"))
+    cand2 = seg2.where(F.col("i_loc") < F.col("n_seg")).select(
+        "event_type", "ts", "gi", "seg", "i_loc", "s_loc", "n_seg", "s_seg",
+        d2.alias("d"),
+    )
+    w_arg2 = Window.partitionBy("event_type", "seg").orderBy(
+        F.desc("d"), F.asc("gi")
+    )
+    lvl2 = (
+        cand2.withColumn("r", F.row_number().over(w_arg2))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.lit(2).cast("long").alias("level"),
+            F.col("seg").cast("long").alias("seg"),
+            F.col("gi").cast("long").alias("cp_i"),
+            F.col("ts").alias("cp_ts"),
+            F.col("d").cast("long").alias("d_stat"),
+            F.col("i_loc").cast("long").alias("n_left"),
+            (F.col("n_seg") - F.col("i_loc")).cast("long").alias("n_right"),
+            (F.col("s_loc").cast("double") / (F.col("i_loc") * F.lit(100))).alias(
+                "mean_left"
+            ),
+            (
+                (F.col("s_seg") - F.col("s_loc")).cast("double")
+                / ((F.col("n_seg") - F.col("i_loc")) * F.lit(100))
+            ).alias("mean_right"),
+        )
+    )
+    return lvl1.unionByName(lvl2)

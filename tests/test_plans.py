@@ -1121,3 +1121,15 @@ def test_daily_utilization_one_sort_two_aggs(spark):
     assert count_nodes(plan, "Sort") == 1
     assert "Join" not in plan
     assert count_nodes(plan, "HashAggregate") >= 3
+
+
+def test_changepoint_binseg_keylocal_broadcast_only(spark):
+    """Binary-seg changepoints: every window partitions by event_type
+    (key-local — no global sort), level-1's 5-row argmax comes back as
+    a broadcast join only, and no sort-merge join or cartesian product
+    appears anywhere."""
+    plan = plan_of(Q.changepoint_binseg(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "hashpartitioning(event_type" in plan
