@@ -2953,3 +2953,50 @@ lvl2 AS (
   WHERE r = 1)
 SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
 """
+
+ORACLES["motif_sax_pairs"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events),
+staged AS (
+  SELECT event_type, ts, vq AS v0,
+         row_number() OVER w AS rn,
+         lead(vq, 1) OVER w AS v1,
+         lead(vq, 2) OVER w AS v2,
+         lead(vq, 3) OVER w AS v3,
+         lead(vq, 4) OVER w AS v4,
+         lead(vq, 5) OVER w AS v5,
+         lead(vq, 6) OVER w AS v6,
+         lead(vq, 7) OVER w AS v7
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+summed AS (
+  SELECT *, v0 + v1 + v2 + v3 + v4 + v5 + v6 + v7 AS sw
+  FROM staged WHERE v7 IS NOT NULL),
+wins AS (
+  SELECT event_type, rn, ts,
+         (CASE WHEN v0 * 8 > sw THEN 1 ELSE 0 END) + (CASE WHEN v1 * 8 > sw THEN 2 ELSE 0 END) + (CASE WHEN v2 * 8 > sw THEN 4 ELSE 0 END) + (CASE WHEN v3 * 8 > sw THEN 8 ELSE 0 END) + (CASE WHEN v4 * 8 > sw THEN 16 ELSE 0 END) + (CASE WHEN v5 * 8 > sw THEN 32 ELSE 0 END) + (CASE WHEN v6 * 8 > sw THEN 64 ELSE 0 END) + (CASE WHEN v7 * 8 > sw THEN 128 ELSE 0 END) AS word,
+         v0 * 8 - sw AS c0,
+         v1 * 8 - sw AS c1,
+         v2 * 8 - sw AS c2,
+         v3 * 8 - sw AS c3,
+         v4 * 8 - sw AS c4,
+         v5 * 8 - sw AS c5,
+         v6 * 8 - sw AS c6,
+         v7 * 8 - sw AS c7
+  FROM summed),
+pairs AS (
+  SELECT a.event_type, a.rn AS r1, b.rn AS r2, a.ts AS ts1, b.ts AS ts2,
+         a.word AS word,
+         (a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1) + (a.c2 - b.c2) * (a.c2 - b.c2) + (a.c3 - b.c3) * (a.c3 - b.c3) + (a.c4 - b.c4) * (a.c4 - b.c4) + (a.c5 - b.c5) * (a.c5 - b.c5) + (a.c6 - b.c6) * (a.c6 - b.c6) + (a.c7 - b.c7) * (a.c7 - b.c7) AS dist
+  FROM wins a JOIN wins b
+    ON a.event_type = b.event_type AND a.word = b.word
+   AND b.rn >= a.rn + 8)
+SELECT event_type, rank::BIGINT AS rank, r1::BIGINT AS r1, r2::BIGINT AS r2,
+       ts1, ts2, word::BIGINT AS word, dist::BIGINT AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dist, r1, r2) AS rank
+      FROM pairs)
+WHERE rank <= 3
+"""

@@ -5496,3 +5496,93 @@ def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lvl1.unionByName(lvl2)
+
+
+def motif_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-lite motif discovery per event_type: every
+    length-8 sliding window is discretized to an 8-bit SAX-style word
+    (bit j = is element j above the window mean), windows sharing a
+    word become candidate pairs (bucket equi-join — NEVER all-pairs),
+    candidates are verified with an exact integer distance, and the 3
+    closest non-overlapping pairs per series are reported — the
+    repeated-pattern finder that spots recurring load shapes /
+    scripted interaction loops in a transcript stream.
+
+    EXACT cross-engine: the window vector rides 7 lead() columns on
+    ONE (series, ts) sort; with Sw = Σwindow vq (centi-quantized), the
+    mean-centered element is c_j = 8·vq_j − Sw (pure int64, |c| ≤
+    2.6e5 at corpus max) and the pair distance Σ(c1_j − c2_j)² ≤
+    2.2e12 stays integer; ranking ties break on (dist, r1, r2).
+    Mean-centering gives shift-invariance; variance scaling is
+    deliberately omitted (it would need a double sqrt and break
+    bit-equality).  Trivial matches are excluded (r2 ≥ r1 + 8,
+    standard matrix-profile exclusion zone).  Scale shape: one
+    key-local window sort, then a (series, word) hash self-join that
+    only ever compares same-bucket windows; at 100 TB a df-cap on
+    hyper-common words (cf. containment_dedup_pairs) bounds bucket
+    skew — at test scale every bucket is small."""
+    m = 8
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        "event_type",
+        "ts",
+        vq.alias("v0"),
+        F.row_number().over(wo).alias("rn"),
+        *[F.lead(vq, j).over(wo).alias(f"v{j}") for j in range(1, m)],
+    )
+    sw = sum(F.col(f"v{j}") for j in range(m))
+    word = sum(
+        F.when(F.col(f"v{j}") * m > F.col("_sw"), F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(m)
+    )
+    wins = (
+        staged.where(F.col(f"v{m-1}").isNotNull())
+        .withColumn("_sw", sw)
+        .select(
+            "event_type",
+            "rn",
+            "ts",
+            word.alias("word"),
+            *[
+                (F.col(f"v{j}") * m - F.col("_sw")).alias(f"c{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    dist = sum(
+        (F.col(f"a.c{j}") - F.col(f"b.c{j}"))
+        * (F.col(f"a.c{j}") - F.col(f"b.c{j}"))
+        for j in range(m)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.word") == F.col("b.word"))
+        & (F.col("b.rn") >= F.col("a.rn") + m),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.rn").alias("r1"),
+        F.col("b.rn").alias("r2"),
+        F.col("a.ts").alias("ts1"),
+        F.col("b.ts").alias("ts2"),
+        F.col("a.word").alias("word"),
+        dist.alias("dist"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("dist", "r1", "r2")
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("r1").cast("long").alias("r1"),
+            F.col("r2").cast("long").alias("r2"),
+            "ts1",
+            "ts2",
+            F.col("word").cast("long").alias("word"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

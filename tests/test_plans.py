@@ -1133,3 +1133,14 @@ def test_changepoint_binseg_keylocal_broadcast_only(spark):
     assert "Cartesian" not in plan
     assert count_nodes(plan, "BroadcastHashJoin") == 1
     assert "hashpartitioning(event_type" in plan
+
+
+def test_motif_sax_pairs_bucket_join_never_allpairs(spark):
+    """Motif discovery: candidate pairs come from a HASH equi-join on
+    (event_type, word) — the exclusion-zone inequality is a residual
+    condition, never the join itself — so no nested-loop/cartesian
+    all-pairs stage exists, and the window staging is key-local."""
+    plan = plan_of(Q.motif_sax_pairs(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(event_type" in plan
