@@ -4655,20 +4655,22 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def burst_detect(
+    spark: SparkSession, sf_dir: str, window_s: int = 3600, threshold: int = 7
+) -> DataFrame:
     """Burst episodes per event_type: a sliding 1-hour event count
     (RANGE frame over epoch seconds, no resampling) flags instants
     where the rate exceeds 7 events/hour (p99 of the corpus); adjacent
     flagged instants merge into episodes via gaps-and-islands — the
     rate-spike detector that pages before a hot conversation melts a
     partition (hysteresis_alerts latches value thresholds; this
-    detects RATE anomalies on the raw irregular stream).
+    detects RATE anomalies on the raw irregular stream).  Streaming
+    twin: streaming.stream_burst_detect (parity on closed episodes).
 
     EXACT cross-engine: the sliding count is an integer RANGE-frame
     aggregate; episode bounds are min/max over integer islands.  Scale
     shape: two frame aggregates on ONE (event_type, t_s) window sort,
     then a hash aggregate — key-local, no join, no global sort."""
-    window_s, threshold = 3600, 7
     df = _events(spark, sf_dir)
     t_s = F.unix_seconds(F.col("ts").cast("timestamp"))
     base = df.select(

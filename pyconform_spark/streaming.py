@@ -895,3 +895,128 @@ def stream_staleness(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_burst_detect(
+    stream: DataFrame, window_s: int = 3600, threshold: int = 7
+) -> DataFrame:
+    """Online burst-episode detection: the streaming twin of
+    queries.burst_detect — per event_type, a trailing ``window_s``
+    event-count window flags rate exceedances and contiguous flagged
+    instants merge into episodes; each episode is emitted the moment
+    it CLOSES (the first unflagged instant after a flagged run), so
+    the pager fires while the incident is still fresh.
+
+    EXACT parity with the batch run on every closed episode (pytest
+    gate splits the input mid-stream): the batch RANGE frame gives all
+    rows sharing a second the same rate, so the state machine
+    processes per-SECOND groups — and because a second's peers may
+    straddle micro-batches, the newest second is HELD PENDING until a
+    strictly newer second arrives (only then is its count final).
+    State per event_type: the trailing window's (second, count) pairs
+    — bounded by window_s × peak rate — plus the open episode and the
+    pending second.  Assumes in-order arrival per key across
+    micro-batches (ingest contract, like stream_token_bucket)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("episode", T.LongType(), False),
+        T.StructField("burst_start", T.TimestampType(), True),
+        T.StructField("burst_end", T.TimestampType(), True),
+        T.StructField("duration_s", T.LongType(), False),
+        T.StructField("peak_rate", T.LongType(), False),
+        T.StructField("n_hits", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("secs", T.ArrayType(T.LongType()), True),
+        T.StructField("cnts", T.ArrayType(T.LongType()), True),
+        T.StructField("island", T.LongType(), True),
+        T.StructField("prev_flag", T.LongType(), True),
+        T.StructField("o_start", T.LongType(), True),
+        T.StructField("o_end", T.LongType(), True),
+        T.StructField("o_peak", T.LongType(), True),
+        T.StructField("o_hits", T.LongType(), True),
+        T.StructField("p_s", T.LongType(), True),
+        T.StructField("p_cnt", T.LongType(), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            secs, cnts, island, prev_flag, o_start, o_end, o_peak, o_hits, p_s, p_cnt = state.get
+            secs, cnts = list(secs), list(cnts)
+        else:
+            secs, cnts, island, prev_flag = [], [], 0, 0
+            o_start = o_end = o_peak = o_hits = None
+            p_s = p_cnt = None
+        parts = [p for p in pdfs if len(p)]
+        out = []
+
+        def process(s, c):
+            nonlocal secs, cnts, island, prev_flag
+            nonlocal o_start, o_end, o_peak, o_hits
+            lo = s - (window_s - 1)
+            while secs and secs[0] < lo:
+                secs.pop(0)
+                cnts.pop(0)
+            secs.append(s)
+            cnts.append(c)
+            rate = sum(cnts)
+            flag = 1 if rate >= threshold else 0
+            if flag:
+                if not prev_flag:
+                    island += 1
+                    o_start, o_end, o_peak, o_hits = s, s, rate, c
+                else:
+                    o_end = s
+                    o_peak = max(o_peak, rate)
+                    o_hits += c
+            elif prev_flag:
+                out.append((island, o_start, o_end, o_peak, o_hits))
+                o_start = o_end = o_peak = o_hits = None
+            prev_flag = flag
+
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(
+                parts, ignore_index=True
+            )
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            t_s = (
+                pdf["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+            )
+            for s, c in t_s.groupby(t_s, sort=True).count().items():
+                s, c = int(s), int(c)
+                if p_s is None:
+                    p_s, p_cnt = s, c
+                elif s == p_s:
+                    p_cnt += c
+                else:
+                    process(p_s, p_cnt)
+                    p_s, p_cnt = s, c
+        if out:
+            yield pd.DataFrame({
+                "event_type": [event_type] * len(out),
+                "episode": pd.array([o[0] for o in out], dtype="int64"),
+                "burst_start": [pd.Timestamp(o[1], unit="s") for o in out],
+                "burst_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                "duration_s": pd.array(
+                    [o[2] - o[1] for o in out], dtype="int64"
+                ),
+                "peak_rate": pd.array([o[3] for o in out], dtype="int64"),
+                "n_hits": pd.array([o[4] for o in out], dtype="int64"),
+            })
+        state.update((
+            secs, cnts, int(island), int(prev_flag),
+            o_start, o_end, o_peak, o_hits, p_s, p_cnt,
+        ))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -785,3 +785,72 @@ def test_stream_staleness_fires_on_silence_only(spark, tmp_path):
     assert [
         (r["conv_id"], r["last_seen"], r["stale_after_s"]) for r in rows
     ] == [("A", t0, 7200)]
+
+
+def test_stream_burst_detect_matches_batch_episodes(spark, tmp_path):
+    """Online burst episodes == the batch gaps-and-islands run,
+    exactly, with the input split mid-stream: the pending-second
+    holdback makes same-second peers straddling micro-batches safe,
+    and two far-future unflagged sentinels close (and flush) every
+    open episode so the comparison set is total."""
+    from datetime import timedelta
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    cols = ["event_type", "ts", "event_id"]
+    src = str(tmp_path / "burst_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.select(*cols).where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    schema = events.select(*cols).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_burst_detect(stream, threshold=3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("burststream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.select(*cols).where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        max_ts = events.agg(F.max("ts")).first()[0]
+        types = [r.event_type for r in events.select("event_type").distinct().collect()]
+        sent = []
+        for i, t in enumerate(sorted(types)):
+            sent.append((t, max_ts + timedelta(days=2), 10_000_000 + i))
+            sent.append((t, max_ts + timedelta(days=2, hours=1), 20_000_000 + i))
+        spark.createDataFrame(sent, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def norm(rows):
+        return sorted(
+            (
+                r.event_type,
+                r.episode,
+                int(r.burst_start.timestamp() if r.burst_start.tzinfo
+                    else r.burst_start.replace(tzinfo=None).timestamp()),
+                r.duration_s,
+                r.peak_rate,
+                r.n_hits,
+            )
+            for r in rows
+        )
+
+    got = norm(spark.sql("select * from burststream").collect())
+    want = norm(Q.burst_detect(spark, sf, threshold=3).collect())
+    assert len(want) > 20
+    assert got == want
