@@ -3000,3 +3000,45 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_type
       FROM pairs)
 WHERE rank <= 3
 """
+
+ORACLES["cooccurrence_lift"] = """
+WITH flags AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR (epoch_ms(ts)//1000) - (epoch_ms(lag(ts) OVER w)//1000)
+                  > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+st AS (
+  SELECT DISTINCT user_id, session_id, event_type
+  FROM (SELECT user_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS session_id
+        FROM flags)),
+n_total AS (
+  SELECT count(*)::BIGINT AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM st)),
+singles AS (
+  SELECT event_type, count(*)::BIGINT AS n_single
+  FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_sessions,
+       sa.n_single AS n_a, sb.n_single AS n_b, n_ab,
+       n_ab::DOUBLE / n_sessions AS support,
+       n_ab::DOUBLE / sa.n_single AS conf_a_to_b,
+       n_ab::DOUBLE / sb.n_single AS conf_b_to_a,
+       (n_ab * n_sessions)::DOUBLE / (sa.n_single * sb.n_single) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n_total
+"""

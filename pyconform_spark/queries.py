@@ -5588,3 +5588,85 @@ def motif_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over sessions: which event-type pairs
+    co-occur in the same user session more often than independence
+    predicts — support, directional confidence, and lift per pair
+    (the tool-co-usage / market-basket miner; transition_matrix ranks
+    ADJACENT steps, this ranks set-level co-membership).
+
+    Sessions use the standard >30 min-silence rule (same as
+    sessionize / daily_utilization).  EXACT cross-engine: all counts
+    are integers; support/confidence/lift are single double divisions
+    of int64 products (n_ab·N ≤ 1e10 at sf1 — vast headroom).  Scale
+    shape: ONE (user, ts) window sort to sessionize, a hash-distinct
+    to |session × type| ≤ 5·|sessions| rows, a session-local self-join
+    for pairs (each side ≤ |types| rows per session — bounded fanout,
+    never corpus×corpus), two tiny aggregates, and broadcast joins of
+    the |types|-row dimension back onto ≤ C(|types|,2) pair rows."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        t_s - prev.cast("timestamp").cast("long") > 1800
+    ) | prev.isNull()
+    sess_id = F.sum(new_sess.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = (
+        df.select(
+            "user_id",
+            sess_id.alias("session_id"),
+            "event_type",
+        )
+        .distinct()
+    )
+    n_total = st.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_total))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        (F.col("n_ab").cast("double") / F.col("n_sessions")).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("conf_a_to_b"),
+        (F.col("n_ab").cast("double") / F.col("n_b")).alias("conf_b_to_a"),
+        (
+            (F.col("n_ab") * F.col("n_sessions")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift"),
+    )

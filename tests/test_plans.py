@@ -1144,3 +1144,15 @@ def test_motif_sax_pairs_bucket_join_never_allpairs(spark):
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_cooccurrence_lift_session_local_pair_join(spark):
+    """Association mining: the pair stage is a session-local hash
+    equi-join (keys user_id+session_id; the type inequality is
+    residual), the dimension joins come back as broadcasts, and no
+    cartesian product exists."""
+    plan = plan_of(Q.cooccurrence_lift(spark, SF))
+    assert "Cartesian" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row scalar
+    assert "hashpartitioning(user_id" in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
