@@ -1668,6 +1668,8 @@ def register_text_queries() -> dict[str, callable]:
             _docs(s, d).where(F.col("doc_id") % 10 != 7),
             _docs(s, d).where(F.col("doc_id") % 10 == 7),
         ),
+        "boilerplate_segments": lambda s, d: boilerplate_segments(_docs(s, d)),
+        "bm25_term_scores": lambda s, d: bm25_term_scores(_docs(s, d)),
     }
 
 
@@ -1841,3 +1843,214 @@ SELECT i.contained_id, i.container_id, i.n_shared,
 FROM inter i JOIN sizes s ON s.doc_id = i.contained_id
 WHERE i.n_shared * 100 >= {threshold_pct} * s.sz
 """
+
+
+# -------------------------------------------------- boilerplate removal
+def boilerplate_segments(
+    docs: DataFrame, size: int = 4, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document boilerplate filtering (the CCNet / RefinedWeb
+    line-dedup stage, adapted to segment granularity): a fixed
+    ``size``-token segment that appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, navigation chrome,
+    license banners) and is dropped from every document that carries
+    it — unlike ``chunk_dedup_stats`` (first occurrence survives),
+    boilerplate removal keeps NO copy.
+
+    Per doc: segment counts, token counts before/after, and the kept
+    fraction (single integer division — cross-engine exact).
+
+    Scale shape: explode -> hash-agg on the 64-bit segment hash to
+    per-segment distinct-doc counts (no window, no global sort) ->
+    broadcast-size boilerplate set?  No: the boilerplate set is data-
+    dependent, so it flows back by a shuffle equi-join on the hash,
+    then one hash re-agg by doc_id.  Three shuffles total, all on
+    high-cardinality keys; nothing quadratic, nothing collected.
+    """
+    w = tokens(F.col("text"))
+    n_seg = F.floor((F.size(w) + (size - 1)) / size).cast("int")
+    segs = F.transform(
+        index_seq(n_seg),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * size + 1, size)),
+    )
+    ex = (
+        docs.select(
+            "doc_id",
+            F.size(w).alias("total_tokens"),
+            F.posexplode(segs).alias("seg_idx", "seg"),
+        )
+        .select(
+            "doc_id",
+            "total_tokens",
+            "seg_idx",
+            md5_lower64(F.col("seg")).alias("sk"),
+            F.size(tokens(F.col("seg"))).alias("seg_tokens"),
+        )
+    )
+    per_seg = ex.groupBy("sk").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    j = ex.join(per_seg, "sk").withColumn(
+        "is_boiler", (F.col("n_docs") >= min_docs).cast("int")
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.max("total_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("is_boiler").cast("long").alias("n_boiler_segments"),
+        F.sum(
+            F.when(F.col("is_boiler") == 0, F.col("seg_tokens")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "total_tokens",
+        "n_segments",
+        "n_boiler_segments",
+        "kept_tokens",
+        (F.col("kept_tokens") / F.col("total_tokens")).alias("kept_frac"),
+    )
+
+
+def boilerplate_segments_sql(size: int = 4, min_docs: int = 3) -> str:
+    ch = (
+        f"list_transform(generate_series(1, greatest((len({TOKENS_SQL}) + {size - 1})"
+        f" // {size}, 0)), i -> array_to_string(list_slice({TOKENS_SQL},"
+        f" (i - 1) * {size} + 1, i * {size}), ' '))"
+    )
+    seg_tok = (
+        "CASE WHEN trim(seg) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(seg), '\\s+')) END"
+    )
+    return f"""
+WITH ch AS (SELECT doc_id, len({TOKENS_SQL}) AS total_tokens, {ch} AS chunks
+            FROM documents),
+ex AS (
+  SELECT doc_id, total_tokens, chunks[i] AS seg,
+         {md5_lower64_sql('chunks[i]')} AS sk
+  FROM ch CROSS JOIN UNNEST(generate_series(1, len(chunks))) AS t(i)),
+per_seg AS (SELECT sk, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM ex GROUP BY sk),
+j AS (
+  SELECT ex.doc_id, ex.total_tokens,
+         CASE WHEN p.n_docs >= {min_docs} THEN 1 ELSE 0 END AS is_boiler,
+         {seg_tok} AS seg_tokens
+  FROM ex JOIN per_seg p USING (sk))
+SELECT doc_id,
+       max(total_tokens)::BIGINT AS total_tokens,
+       count(*)::BIGINT AS n_segments,
+       sum(is_boiler)::BIGINT AS n_boiler_segments,
+       sum(CASE WHEN is_boiler = 0 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       sum(CASE WHEN is_boiler = 0 THEN seg_tokens ELSE 0 END)::BIGINT
+         / max(total_tokens)::BIGINT AS kept_frac
+FROM j GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------- BM25 retrieval
+BM25_TERMS = ("spark", "merge", "window")
+
+
+def bm25_term_scores(
+    docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS, k: int = 10
+) -> DataFrame:
+    """BM25 ranked retrieval, per query term: top-``k`` documents by
+    the Okapi BM25 term weight with k1 = 6/5, b = 3/4 and the
+    rational idf surrogate R = (2N - 2df + 1) / (2df + 1) (strictly
+    monotone in the Robertson idf ln((N - df + .5)/(df + .5)), so the
+    RANKING is identical while staying transcendental-free).
+
+    Clearing every fraction (k1, b, the .5's, and avgdl = L/N) gives
+
+        score = (2N - 2df + 1) * 44 * tf * L
+                / ((2df + 1) * (20*L*tf + 6*L + 18*dl*N))
+
+    — two BIGINT products and ONE division, which IEEE-754 rounds
+    identically in every engine, so scores (not just ranks) are
+    bit-exact vs the oracle.  At 10^12-doc scale the products ride
+    DECIMAL(38,0); at test scale BIGINT headroom is ample (num <=
+    ~6e14 at sf0.1).
+
+    Scale shape: one corpus scan for (tf, dl) of matching docs
+    (explode -> filter ON the exploded term, so non-query terms never
+    reach the aggregate), a |terms|-row df aggregate broadcast back,
+    the 2-value corpus scalar (N, L) broadcast, and a per-term top-k
+    window partitioned by term — never a global sort.
+    """
+    w = tokens(F.col("text"))
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    base = docs.select("doc_id", F.size(w).alias("dl"), w.alias("toks"))
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    ex = base.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).where(F.array_contains(term_lits, F.col("term")))
+    tf = ex.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "num",
+            (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+            * 44
+            * F.col("tf")
+            * F.col("total_len"),
+        )
+        .withColumn(
+            "den",
+            (2 * F.col("df") + 1)
+            * (
+                20 * F.col("total_len") * F.col("tf")
+                + 6 * F.col("total_len")
+                + 18 * F.col("dl") * F.col("n_docs")
+            ),
+        )
+        .withColumn("score", F.col("num") / F.col("den"))
+    )
+    win = Window.partitionBy("term").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("term", "doc_id", "tf", "df", "dl", "score")
+    )
+
+
+def bm25_term_scores_sql(
+    terms: tuple[str, ...] = BM25_TERMS, k: int = 10
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (SELECT doc_id, len({TOKENS_SQL}) AS dl, {TOKENS_SQL} AS toks
+              FROM documents),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+           FROM base),
+ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+       FROM ex WHERE term IN ({tlist}) GROUP BY term, doc_id),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+j AS (
+  SELECT t.term, t.doc_id, t.tf, d.df, t.dl,
+         ((2 * c.n_docs - 2 * d.df + 1) * 44 * t.tf * c.total_len)
+           / ((2 * d.df + 1)
+              * (20 * c.total_len * t.tf + 6 * c.total_len
+                 + 18 * t.dl * c.n_docs)) AS score
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN corpus c)
+SELECT term, doc_id, tf, df, dl, score
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rk
+      FROM j)
+WHERE rk <= {k}
+"""
+
+
+TEXT_ORACLES["boilerplate_segments"] = boilerplate_segments_sql()
+TEXT_ORACLES["bm25_term_scores"] = bm25_term_scores_sql()

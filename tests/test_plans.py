@@ -1156,3 +1156,37 @@ def test_cooccurrence_lift_session_local_pair_join(spark):
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row scalar
     assert "hashpartitioning(user_id" in plan
     assert count_nodes(plan, "BroadcastHashJoin") >= 2
+
+
+def test_boilerplate_segments_shuffle_join_on_hash(spark):
+    """Boilerplate removal: the per-segment doc-count table is
+    unbounded at corpus scale, so it must flow back by a shuffle
+    equi-join on the 64-bit segment hash — never a broadcast, never a
+    nested loop — and both aggregates are partial (map-side combine)."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = plan_of(textops.boilerplate_segments(docs))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert "hashpartitioning(sk" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bm25_term_scores_broadcasts_only_bounded_sides(spark):
+    """BM25: the |terms|-row df table and the 1-row corpus scalar are
+    the ONLY broadcast sides; the per-term top-k is a window
+    partitioned by term (no global TakeOrdered over the corpus)."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.bm25_term_scores(docs))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1  # df join
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row scalar
+    assert "Cartesian" not in plan
+    assert count_nodes(plan, "Window") >= 1
+    assert count_nodes(plan, "TakeOrderedAndProject") == 0
+    assert "hashpartitioning(term" in plan
