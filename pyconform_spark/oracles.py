@@ -3042,3 +3042,42 @@ JOIN singles sa ON sa.event_type = type_a
 JOIN singles sb ON sb.event_type = type_b
 CROSS JOIN n_total
 """
+
+ORACLES["spearman_rank_corr"] = f"""
+WITH hourly AS (
+  SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS vq
+  FROM events GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+         a.vq AS xa, b.vq AS xb
+  FROM hourly a
+  JOIN hourly b ON a.user_id = b.user_id
+               AND a.bucket_start = b.bucket_start
+               AND a.event_type < b.event_type),
+ranked AS (
+  SELECT user_id, type_a, type_b,
+         (2 * rank() OVER (PARTITION BY user_id, type_a, type_b
+                           ORDER BY xa)
+          + count(*) OVER (PARTITION BY user_id, type_a, type_b, xa)
+          - 1)::BIGINT AS rx,
+         (2 * rank() OVER (PARTITION BY user_id, type_a, type_b
+                           ORDER BY xb)
+          + count(*) OVER (PARTITION BY user_id, type_a, type_b, xb)
+          - 1)::BIGINT AS ry
+  FROM j),
+agg AS (
+  SELECT user_id, type_a, type_b,
+         count(*)::BIGINT AS n,
+         sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+         sum(rx * ry)::BIGINT AS sxy,
+         sum(rx * rx)::BIGINT AS sxx,
+         sum(ry * ry)::BIGINT AS syy
+  FROM ranked GROUP BY 1, 2, 3)
+SELECT user_id, type_a, type_b, n AS n_buckets,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       END AS spearman_rho
+FROM agg
+"""

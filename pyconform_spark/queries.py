@@ -5670,3 +5670,81 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
     )
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between event-type series
+    per user on hourly-bucket sums — the outlier-robust twin of
+    ``series_correlation`` (Pearson): monotone-but-nonlinear coupling
+    scores 1.0 here while Pearson underreports it, and a single spiky
+    bucket cannot dominate the statistic.
+
+    Tie handling is exact: the average fractional rank of a tie group
+    is staged as the INTEGER doubled rank  2*rank() + n_ties - 1
+    (Spearman is invariant under the 2x linear map), so every sum in
+    the Pearson-on-ranks formula is a BIGINT and the final
+    num / (sqrt(vx) * sqrt(vy)) is the same three correctly-rounded
+    IEEE ops from the same integers on both engines — bit-exact.
+
+    Scale shape: identical to series_correlation (one raw shuffle to
+    hourly buckets, a (user, bucket) self equi-join with type_a <
+    type_b residual, one hash-agg per pair) plus two rank windows
+    partitioned per (user, pair) — key-local sorts over the joined
+    frame, never a global sort."""
+    df = _events(spark, sf_dir)
+    hourly = df.groupBy(
+        "user_id",
+        "event_type",
+        bucket_ts(F.col("ts"), 3600).alias("bucket_start"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq"))
+    a = hourly.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        "bucket_start",
+        F.col("vq").alias("xa"),
+    )
+    b = hourly.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        "bucket_start",
+        F.col("vq").alias("xb"),
+    )
+    j = a.join(b, ["user_id", "bucket_start"]).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    pair = ["user_id", "type_a", "type_b"]
+    wa = Window.partitionBy(*pair).orderBy("xa")
+    wb = Window.partitionBy(*pair).orderBy("xb")
+    ta = Window.partitionBy(*pair, "xa")
+    tb = Window.partitionBy(*pair, "xb")
+    ranked = j.select(
+        *pair,
+        (2 * F.rank().over(wa) + F.count(F.lit(1)).over(ta) - 1)
+        .cast("long")
+        .alias("rx"),
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(tb) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    agg = ranked.groupBy(*pair).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    vx = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = agg["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        (agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select(
+        "user_id",
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_buckets"),
+        rho.alias("spearman_rho"),
+    )

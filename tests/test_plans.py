@@ -1190,3 +1190,17 @@ def test_bm25_term_scores_broadcasts_only_bounded_sides(spark):
     assert count_nodes(plan, "Window") >= 1
     assert count_nodes(plan, "TakeOrderedAndProject") == 0
     assert "hashpartitioning(term" in plan
+
+
+def test_spearman_windows_are_pair_local(spark):
+    """Spearman: the two rank windows must be partitioned per
+    (user, pair) — key-local sorts, never a global sort — and the
+    hourly self-join is a shuffle equi-join at scale."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.spearman_rank_corr(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert count_nodes(plan, "Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+    assert count_nodes(plan, "TakeOrderedAndProject") == 0

@@ -351,3 +351,43 @@ def test_hw_seasonal_learns_periodic_offsets(spark):
     err_first = sum(abs(r["hw_fitted"] - r["value"]) for r in out[4:8])
     err_last = sum(abs(r["hw_fitted"] - r["value"]) for r in out[-4:])
     assert err_last < err_first / 10
+
+
+def test_spearman_scores_monotone_coupling_as_one(spark):
+    """y = x^3 is monotone but nonlinear: Spearman must be exactly 1.0
+    while Pearson on the same buckets is strictly below 1 — and a tie
+    group (two equal y values from the floor quantization) must flow
+    through the doubled-average-rank path without breaking exactness."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    for i, x in enumerate(xs):
+        ts = base + dt.timedelta(hours=i)
+        rows.append((i, ts, 1, "a", x, None))
+        rows.append((100 + i, ts, 1, "b", x**3, None))
+    # a tied pair in a third series: same value twice
+    for i in (0, 1):
+        rows.append((200 + i, base + dt.timedelta(hours=i), 1, "c", 7.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r.type_a, r.type_b): r.spearman_rho
+        for r in Q.spearman_rank_corr(spark, d).collect()
+    }
+    # algebraically 1; the sqrt*sqrt denominator rounds within 1 ulp
+    assert abs(out[("a", "b")] - 1.0) < 1e-12
+    pearson = {
+        (r.type_a, r.type_b): r.pearson_r
+        for r in Q.series_correlation(spark, d).collect()
+    }
+    assert pearson[("a", "b")] < 0.95 < out[("a", "b")]
+    # c has only 2 buckets overlapping a, both c values tied -> vy = 0 -> NULL
+    assert out[("a", "c")] is None
