@@ -3081,3 +3081,7 @@ SELECT user_id, type_a, type_b, n AS n_buckets,
        END AS spearman_rho
 FROM agg
 """
+
+from pyconform_spark.operators.graph import pagerank_handoff_sql as _pr_sql
+
+ORACLES["pagerank_handoff"] = _pr_sql()

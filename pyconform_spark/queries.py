@@ -5748,3 +5748,17 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_buckets"),
         rho.alias("spearman_rho"),
     )
+
+
+def pagerank_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the same-day event handoff graph —
+    see ``operators.graph`` for the arithmetic and the scale shape
+    (one shuffle join + one hash-agg per iteration, K = 5 fixed)."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    nodes = ev.select("user_id").distinct()
+    edges = graph.handoff_edges(ev)
+    return graph.pagerank_integer(nodes, edges).select(
+        "user_id", F.col("rank").alias("rank_scaled")
+    )

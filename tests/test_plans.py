@@ -1204,3 +1204,17 @@ def test_spearman_windows_are_pair_local(spark):
     assert count_nodes(plan, "Window") >= 1
     assert "hashpartitioning(user_id" in plan
     assert count_nodes(plan, "TakeOrderedAndProject") == 0
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """PageRank: graph construction is ONE day-partitioned window
+    (never a global sort), and all 5 iterations are shuffle equi-joins
+    + hash-aggs — no cartesian, no nested loop anywhere in the chain."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.pagerank_handoff(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") == 1  # edges persisted, built once
+    assert count_nodes(plan, "InMemoryTableScan") >= 10  # reused per iter
+    assert count_nodes(plan, "SortMergeJoin") >= 10  # 2 per iteration
+    assert "partial_sum" in plan

@@ -391,3 +391,33 @@ def test_spearman_scores_monotone_coupling_as_one(spark):
     assert pearson[("a", "b")] < 0.95 < out[("a", "b")]
     # c has only 2 buckets overlapping a, both c values tied -> vy = 0 -> NULL
     assert out[("a", "c")] is None
+
+
+def test_pagerank_integer_matches_pure_python_power_iteration(spark):
+    """Golden: the integer floor-div iteration on a hand-built graph
+    must equal an independent pure-Python replay, and a hub node that
+    every edge points at must out-rank the spokes."""
+    from pyconform_spark.operators import graph
+
+    # star graph: 1..4 -> 0, plus 0 -> 1 so node 0 has out-degree
+    edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 5)] + [(0, 1, 2)],
+        "src long, dst long, w long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "user_id long")
+    got = {
+        r.user_id: r.rank
+        for r in graph.pagerank_integer(nodes, edges, iters=5).collect()
+    }
+    # pure-Python replay of the exact integer recurrence
+    S, T = graph.SCALE, graph.TELEPORT
+    ranks = {i: S for i in range(5)}
+    out = {1: 1, 2: 1, 3: 1, 4: 1, 0: 2}
+    for _ in range(5):
+        nxt = {i: T for i in range(5)}
+        for i in range(1, 5):
+            nxt[0] += ranks[i] * 85 * 1 // (100 * out[i])
+        nxt[1] += ranks[0] * 85 * 2 // (100 * out[0])
+        ranks = nxt
+    assert got == ranks
+    assert got[0] > got[1] > got[2] == got[3] == got[4]
