@@ -122,3 +122,89 @@ r0 AS (SELECT user_id, {SCALE}::BIGINT AS pr FROM nodes),
 {chain}
 SELECT user_id, pr AS rank_scaled FROM r{iters}
 """
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected (u < v) edges from the weighted digraph."""
+    u = F.least("src", "dst").alias("u")
+    v = F.greatest("src", "dst").alias("v")
+    return (
+        edges.where(F.col("src") != F.col("dst")).select(u, v).distinct()
+    )
+
+
+def triangle_count(edges_uv: DataFrame) -> DataFrame:
+    """Exact triangle counting by DEGREE-ORDERED wedge join — the
+    standard shuffle-bounded formulation: orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges only at each vertex's oriented out-neighbors (so a vertex
+    of degree d contributes at most C(d_out, 2) wedges with d_out
+    bounded by orientation — the hub that breaks the naive algorithm
+    generates almost none), and close each wedge with one hash
+    semi-join against the oriented edge set.
+
+    Returns one row: (n_triangles, n_vertices, n_edges) — all BIGINT,
+    trivially bit-exact.  Scale shape: two hash-aggs (degrees), one
+    self equi-join keyed on the wedge apex, one closure equi-join on
+    the (lo, hi) edge key; no cartesian stage anywhere."""
+    both = edges_uv.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).union(edges_uv.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges_uv.join(d1, "u").join(d2, "v")
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+        )
+        .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+        .alias("e")
+    ).select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    w1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges_uv.select(
+            F.col("u").alias("x2"), F.col("v").alias("y2")
+        ),
+        (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2")),
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nv = both.select("a").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    ne = edges_uv.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(ne))
+
+
+def triangle_count_sql() -> str:
+    return """
+WITH ordered AS (
+  SELECT event_id, ts, user_id, date_trunc('day', ts) AS d FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+euv AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src IS NOT NULL AND src <> dst),
+both_dir AS (SELECT u AS a, v AS b FROM euv
+             UNION ALL SELECT v AS a, u AS b FROM euv),
+deg AS (SELECT a, count(*)::BIGINT AS deg FROM both_dir GROUP BY a),
+oriented AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS lo,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS hi
+  FROM euv e JOIN deg d1 ON d1.a = e.u JOIN deg d2 ON d2.a = e.v),
+wedges AS (
+  SELECT w1.hi AS x, w2.hi AS y
+  FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo AND w1.hi < w2.hi),
+closed AS (
+  SELECT 1 FROM wedges JOIN euv ON euv.u = wedges.x AND euv.v = wedges.y)
+SELECT (SELECT count(*)::BIGINT FROM closed) AS n_triangles,
+       (SELECT count(DISTINCT a)::BIGINT FROM both_dir) AS n_vertices,
+       (SELECT count(*)::BIGINT FROM euv) AS n_edges
+"""

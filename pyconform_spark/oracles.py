@@ -3085,3 +3085,7 @@ FROM agg
 from pyconform_spark.operators.graph import pagerank_handoff_sql as _pr_sql
 
 ORACLES["pagerank_handoff"] = _pr_sql()
+
+from pyconform_spark.operators.graph import triangle_count_sql as _tri_sql
+
+ORACLES["triangle_count_handoff"] = _tri_sql()

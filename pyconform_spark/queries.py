@@ -5762,3 +5762,15 @@ def pagerank_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_integer(nodes, edges).select(
         "user_id", F.col("rank").alias("rank_scaled")
     )
+
+
+def triangle_count_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the undirected handoff graph via the
+    degree-ordered wedge join (``operators.graph.triangle_count``) —
+    the clustering-coefficient numerator a social/interaction analysis
+    computes at billion-edge scale."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    euv = graph.undirected_edges(graph.handoff_edges(ev))
+    return graph.triangle_count(euv)

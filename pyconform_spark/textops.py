@@ -1670,6 +1670,7 @@ def register_text_queries() -> dict[str, callable]:
         ),
         "boilerplate_segments": lambda s, d: boilerplate_segments(_docs(s, d)),
         "bm25_term_scores": lambda s, d: bm25_term_scores(_docs(s, d)),
+        "phrase_search": lambda s, d: phrase_search(_docs(s, d)),
     }
 
 
@@ -2054,3 +2055,74 @@ WHERE rk <= {k}
 
 TEXT_ORACLES["boilerplate_segments"] = boilerplate_segments_sql()
 TEXT_ORACLES["bm25_term_scores"] = bm25_term_scores_sql()
+
+
+# ---------------------------------------------------- phrase retrieval
+PHRASE = ("table", "hash", "scan")
+
+
+def phrase_search(
+    docs: DataFrame, phrase: tuple[str, ...] = PHRASE
+) -> DataFrame:
+    """Exact phrase retrieval via a POSITIONAL inverted index: the
+    classic search-engine primitive BM25 can't express (term adjacency
+    matters, bags of words don't).
+
+    The index is (doc_id, term, pos) postings for ONLY the phrase's
+    terms (the filter sits on the exploded term, so the index join
+    never sees the rest of the vocabulary).  A phrase of k terms is a
+    chain of k-1 self equi-joins on (doc_id, pos + i) — position
+    arithmetic in the join key keeps it a hash join, the adjacency is
+    never a residual scan.  Matches may overlap (positions 3 and 4 of
+    "a a a" both start "a a"); each start position counts once.
+
+    Scale shape: one corpus scan -> explode -> term filter (pushed to
+    the scan for the dictionary-encoded column) -> k-1 shuffle
+    equi-joins keyed (doc_id, pos) -> per-doc hash-agg.  Postings are
+    Zipf-skewed per term but the join key includes doc_id, so no hot
+    single key exists."""
+    w = tokens(F.col("text"))
+    ex = docs.select(
+        "doc_id", F.posexplode(w).alias("pos", "term")
+    ).where(F.col("term").isin(*phrase))
+    parts = [
+        ex.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        for i, t in enumerate(phrase)
+    ]
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.join(p, ["doc_id", "start"])
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    # DuckDB generate_subscripts is 1-based; Spark posexplode 0-based
+    ex = (
+        f"SELECT doc_id, unnest({TOKENS_SQL}) AS term, "
+        f"generate_subscripts({TOKENS_SQL}, 1) - 1 AS pos FROM documents"
+    )
+    joins = []
+    for i, t in enumerate(phrase):
+        joins.append(
+            f"p{i} AS (SELECT doc_id, pos - {i} AS start FROM ex "
+            f"WHERE term = '{t}')"
+        )
+    chain = " ".join(
+        f"JOIN p{i} USING (doc_id, start)" for i in range(1, len(phrase))
+    )
+    return f"""
+WITH ex AS ({ex}),
+{", ".join(joins)}
+SELECT doc_id, count(*)::BIGINT AS n_matches,
+       min(start)::BIGINT AS first_pos
+FROM p0 {chain}
+GROUP BY doc_id
+"""
+
+
+TEXT_ORACLES["phrase_search"] = phrase_search_sql()

@@ -1218,3 +1218,29 @@ def test_pagerank_iterations_are_equi_joins(spark):
     assert count_nodes(plan, "InMemoryTableScan") >= 10  # reused per iter
     assert count_nodes(plan, "SortMergeJoin") >= 10  # 2 per iteration
     assert "partial_sum" in plan
+
+
+def test_phrase_search_adjacency_is_equi_join(spark):
+    """Phrase search: adjacency must ride the JOIN KEY
+    (doc_id, pos - i), never a residual position scan — every join a
+    hash/sort-merge equi-join, no nested loop."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = plan_of(textops.phrase_search(docs))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") == 2  # 3-term phrase
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_triangle_count_no_unbounded_cartesian(spark):
+    """Triangle counting: wedges come from an equi-join on the apex,
+    closure from an equi-join on the (x, y) edge key; the only
+    nested-loop joins are the two 1-row scalar attaches."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.triangle_count_handoff(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row scalars
+    assert "hashpartitioning(apex" in plan

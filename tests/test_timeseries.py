@@ -421,3 +421,31 @@ def test_pagerank_integer_matches_pure_python_power_iteration(spark):
         ranks = nxt
     assert got == ranks
     assert got[0] > got[1] > got[2] == got[3] == got[4]
+
+
+def test_triangle_count_on_k4_plus_tail(spark):
+    """K4 has exactly 4 triangles; a pendant vertex adds none."""
+    from pyconform_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in k4] + [(3, 9)], "u long, v long"
+    )
+    r = graph.triangle_count(edges).collect()[0]
+    assert (r.n_triangles, r.n_vertices, r.n_edges) == (4, 5, 7)
+
+
+def test_phrase_search_counts_overlapping_starts(spark, tmp_path):
+    """'x x x' contains the phrase (x, x) at starts 0 and 1 — both
+    count; a doc without adjacency (x y x) contributes nothing."""
+    from pyconform_spark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y x"), (3, "y x x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in textops.phrase_search(docs, phrase=("x", "x")).collect()
+    }
+    assert out == {1: (2, 0), 3: (1, 1)}
