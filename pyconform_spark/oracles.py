@@ -3089,3 +3089,24 @@ ORACLES["pagerank_handoff"] = _pr_sql()
 from pyconform_spark.operators.graph import triangle_count_sql as _tri_sql
 
 ORACLES["triangle_count_handoff"] = _tri_sql()
+
+ORACLES["decayed_leaderboard"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS d,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS vq
+  FROM events GROUP BY 1, 2),
+ref AS (SELECT max(d) AS ref_d FROM daily),
+j AS (
+  SELECT user_id, vq, date_diff('day', d, ref_d) AS age
+  FROM daily CROSS JOIN ref
+  WHERE date_diff('day', d, ref_d) <= 30),
+agg AS (
+  SELECT user_id,
+         sum(vq * (1::BIGINT << (30 - age)))::BIGINT AS decayed_num
+  FROM j GROUP BY user_id)
+SELECT user_id, decayed_num,
+       decayed_num / ((1::BIGINT << 30) * 100)::BIGINT AS decayed_score
+FROM agg
+ORDER BY decayed_num DESC, user_id
+LIMIT 20
+"""

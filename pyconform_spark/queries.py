@@ -5774,3 +5774,48 @@ def triangle_count_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     euv = graph.undirected_edges(graph.handoff_edges(ev))
     return graph.triangle_count(euv)
+
+
+def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed leaderboard: each user's score is
+    sum over days of (daily centi-sum) * 2^-(age_days), halflife one
+    day — recent activity dominates, old activity fades, the standard
+    trending/leaderboard scoring.
+
+    Exactness: ages are clamped to a 31-day horizon, so the decayed
+    sum is staged as the INTEGER numerator
+
+        num = sum( vq_day << (30 - age_days) )        (BIGINT)
+
+    over the common denominator 2^30; score = num / (2^30 * 100) is
+    ONE division of exact integers — bit-reproducible everywhere.
+    (The dyadic trick of ``ewma_smooth``, applied calendar-wise; a
+    streaming twin would carry the bounded day->vq map as state.)
+
+    Scale shape: one hash-agg to (user, day) partials, the 1-row
+    reference-day scalar broadcast back, a second hash-agg per user,
+    and a TakeOrderedAndProject top-20 (per-partition heaps + driver
+    merge — never a global sort)."""
+    df = _events(spark, sf_dir)
+    daily = df.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq")
+    )
+    ref = daily.agg(F.max("d").alias("ref_d"))
+    j = (
+        daily.crossJoin(F.broadcast(ref))
+        .withColumn("age", F.datediff(F.col("ref_d"), F.col("d")))
+        .where(F.col("age") <= 30)
+    )
+    agg = j.groupBy("user_id").agg(
+        F.sum(F.expr("vq * shiftleft(1L, 30 - age)"))
+        .cast("long")
+        .alias("decayed_num")
+    )
+    out = agg.select(
+        "user_id",
+        "decayed_num",
+        (F.col("decayed_num") / F.lit((1 << 30) * 100).cast("long")).alias(
+            "decayed_score"
+        ),
+    )
+    return out.orderBy(F.desc("decayed_num"), F.asc("user_id")).limit(20)

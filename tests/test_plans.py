@@ -1244,3 +1244,15 @@ def test_triangle_count_no_unbounded_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row scalars
     assert "hashpartitioning(apex" in plan
+
+
+def test_decayed_leaderboard_takes_ordered_top_k(spark):
+    """Decayed leaderboard: the global top-20 must plan
+    TakeOrderedAndProject (per-partition heaps), never a
+    single-partition global sort; the reference day attaches as a
+    1-row broadcast."""
+    plan = plan_of(Q.decayed_leaderboard(spark, SF))
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert count_nodes(plan, "Sort") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row scalar
+    assert "partial_sum" in plan

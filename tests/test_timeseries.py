@@ -449,3 +449,24 @@ def test_phrase_search_counts_overlapping_starts(spark, tmp_path):
         for r in textops.phrase_search(docs, phrase=("x", "x")).collect()
     }
     assert out == {1: (2, 0), 3: (1, 1)}
+
+
+def test_decayed_leaderboard_dyadic_hand_computed(spark, tmp_path):
+    """Two users: A scored 100 centi-units today, B scored 100
+    yesterday and 25 today — B's decayed total is 25 + 100/2 = 75,
+    so A (100, undecayed) must rank first despite B's larger raw
+    total of 125."""
+    t0 = dt.datetime(2024, 1, 2)
+    rows = [
+        (0, t0, 1, "c", 1.0, "{}"),                          # A today
+        (1, t0 - dt.timedelta(days=1), 2, "c", 1.0, "{}"),   # B yesterday
+        (2, t0, 2, "c", 0.25, "{}"),                         # B today
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = Q.decayed_leaderboard(spark, str(tmp_path)).collect()
+    assert [r.user_id for r in out] == [1, 2]
+    a, b = out[0], out[1]
+    assert a.decayed_num == 100 * (1 << 30)
+    assert b.decayed_num == 25 * (1 << 30) + 100 * (1 << 29)
+    assert a.decayed_score == 1.0
+    assert b.decayed_score == (25 + 50) / 100
