@@ -135,6 +135,17 @@ BENCH_QUERIES = [
     "sliding_distinct_users",
     "asof_nearest_join",
     "token_bucket_throttle",
+    # round-4 final additions: retrieval (positional + BM25), graph
+    # analytics (iterative PageRank, degree-ordered triangles),
+    # boilerplate filtering, rank correlation, decayed leaderboard
+    "boilerplate_segments",
+    "bm25_term_scores",
+    "phrase_search",
+    "pagerank_handoff",
+    "triangle_count_handoff",
+    "spearman_rank_corr",
+    "decayed_leaderboard",
+    "rrf_fusion",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

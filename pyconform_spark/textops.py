@@ -1671,6 +1671,7 @@ def register_text_queries() -> dict[str, callable]:
         "boilerplate_segments": lambda s, d: boilerplate_segments(_docs(s, d)),
         "bm25_term_scores": lambda s, d: bm25_term_scores(_docs(s, d)),
         "phrase_search": lambda s, d: phrase_search(_docs(s, d)),
+        "rrf_fusion": lambda s, d: rrf_fusion(_docs(s, d)),
     }
 
 
@@ -2126,3 +2127,132 @@ GROUP BY doc_id
 
 
 TEXT_ORACLES["phrase_search"] = phrase_search_sql()
+
+
+def rrf_fusion(
+    docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS, k: int = 20
+) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, K = 60) of the per-term BM25
+    rankings — the hybrid-search combiner: a document's fused score is
+    sum over ranking lanes of 1 / (60 + rank_lane(doc)), which rewards
+    documents that rank well EVERYWHERE without comparing raw scores
+    across lanes (scales differ; ranks don't).
+
+    Determinism: the fused score is a FIXED three-branch expression
+    coalesce(1/(60+r1),0) + coalesce(1/(60+r2),0) + coalesce(1/(60+r3),0)
+    — same division, same left-to-right additions on both engines, so
+    doubles are bit-equal (no data-order-dependent float aggregation
+    anywhere).
+
+    Scale shape: the BM25 (tf, df) pipeline unchanged, per-term rank
+    windows partitioned by term, a per-doc hash-agg pivoting the <=
+    |terms| ranks into columns, and a TakeOrderedAndProject top-k."""
+    w = tokens(F.col("text"))
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    base = docs.select("doc_id", F.size(w).alias("dl"), w.alias("toks"))
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    ex = base.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).where(F.array_contains(term_lits, F.col("term")))
+    tf = ex.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score",
+            (
+                (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                * 44
+                * F.col("tf")
+                * F.col("total_len")
+            )
+            / (
+                (2 * F.col("df") + 1)
+                * (
+                    20 * F.col("total_len") * F.col("tf")
+                    + 6 * F.col("total_len")
+                    + 18 * F.col("dl") * F.col("n_docs")
+                )
+            ),
+        )
+    )
+    win = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(win).cast("long"))
+    pivoted = ranked.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("term") == t, F.col("rk"))).alias(f"r_{t}")
+            for t in terms
+        ]
+    )
+    fused = sum(
+        (
+            F.coalesce(1.0 / (60 + F.col(f"r_{t}")), F.lit(0.0))
+            for t in terms[1:]
+        ),
+        F.coalesce(1.0 / (60 + F.col(f"r_{terms[0]}")), F.lit(0.0)),
+    )
+    out = pivoted.select(
+        "doc_id",
+        # 0 = "absent from this lane" (ranks are 1-based): keeps the
+        # column NULL-free so int dtypes survive every pandas bridge
+        *[
+            F.coalesce(F.col(f"r_{t}"), F.lit(0)).cast("long").alias(f"r_{t}")
+            for t in terms
+        ],
+        fused.alias("rrf_score"),
+    )
+    return out.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fusion_sql(terms: tuple[str, ...] = BM25_TERMS, k: int = 20) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    rcols = ",\n         ".join(
+        f"coalesce(min(CASE WHEN term = '{t}' THEN rk END), 0)::BIGINT"
+        f" AS r_{t}"
+        for t in terms
+    )
+    fuse = " + ".join(
+        f"CASE WHEN r_{t} > 0 THEN 1.0::DOUBLE / (60 + r_{t})"
+        f" ELSE 0.0::DOUBLE END"
+        for t in terms
+    )
+    return f"""
+WITH base AS (SELECT doc_id, len({TOKENS_SQL}) AS dl, {TOKENS_SQL} AS toks
+              FROM documents),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+           FROM base),
+ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+       FROM ex WHERE term IN ({tlist}) GROUP BY term, doc_id),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.term, t.doc_id,
+         ((2 * c.n_docs - 2 * d.df + 1) * 44 * t.tf * c.total_len)
+           / ((2 * d.df + 1)
+              * (20 * c.total_len * t.tf + 6 * c.total_len
+                 + 18 * t.dl * c.n_docs)) AS score
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN corpus c),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id)::BIGINT AS rk
+  FROM scored),
+pivoted AS (
+  SELECT doc_id,
+         {rcols}
+  FROM ranked GROUP BY doc_id)
+SELECT doc_id, {", ".join(f"r_{t}" for t in terms)},
+       {fuse} AS rrf_score
+FROM pivoted
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""
+
+
+TEXT_ORACLES["rrf_fusion"] = rrf_fusion_sql()

@@ -1256,3 +1256,17 @@ def test_decayed_leaderboard_takes_ordered_top_k(spark):
     assert count_nodes(plan, "Sort") == 0
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row scalar
     assert "partial_sum" in plan
+
+
+def test_rrf_fusion_pivots_then_takes_ordered(spark):
+    """RRF: per-term rank windows partitioned by term, the pivot is a
+    hash-agg by doc_id, and the fused top-k is TakeOrderedAndProject —
+    no global sort, no unbounded broadcast."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.rrf_fusion(docs))
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(term" in plan
+    assert "hashpartitioning(doc_id" in plan

@@ -602,3 +602,24 @@ def test_ann_tuned_neardup_regime_measured(spark):
     }
     frac = sum(counts.values()) / (max(len(counts), 1) * (2 * n - 1))
     assert frac < 0.10, frac
+
+
+def test_rrf_rewards_multi_lane_docs(spark):
+    """A doc ranked top in ALL lanes must out-score a doc that wins a
+    single lane: RRF(1,1,1) = 3/61 > RRF(1, miss, miss) < 2/61."""
+    from pyconform_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 carries all three terms often; doc 2 only spams one
+            (1, "spark merge window spark merge window"),
+            (2, "spark spark spark spark spark spark"),
+            (3, "merge window merge"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.rrf_fusion(docs).collect()}
+    assert out[1].rrf_score > out[2].rrf_score
+    assert out[1].rrf_score > out[3].rrf_score
+    # lane ranks are 1-based; 0 marks "absent from this lane"
+    assert out[2].r_merge == 0 and out[2].r_window == 0
