@@ -1020,3 +1020,82 @@ def stream_burst_detect(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_decayed_state(stream: DataFrame) -> DataFrame:
+    """Continuous decayed-leaderboard maintenance
+    (applyInPandasWithState): per user, carry the BOUNDED map
+    day -> daily centi-sum (at most 31 live days — older days are
+    pruned relative to the user's own max day, which provably never
+    drops a day the batch query would count, since the global
+    reference day is >= every user's max).  After each micro-batch the
+    operator emits the user's full updated map; the leaderboard is
+    then one tiny stateless fold over the latest emission per user
+    (sum of vq << (30 - age)), evaluated against whatever reference
+    day "now" is — the decay re-anchors at READ time, so the state
+    never has to be rewritten as days pass (the reason the state holds
+    raw daily sums, not a pre-decayed scalar: an integer pre-decayed
+    accumulator would need a lossy right-shift per day rollover and
+    break bit-parity with the batch query).
+
+    Parity gate (pytest): folding the final emissions with the batch
+    query's global max day reproduces ``queries.decayed_leaderboard``
+    bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("as_of_day", T.IntegerType(), False),
+        T.StructField("days", T.ArrayType(T.IntegerType()), False),
+        T.StructField("vqs", T.ArrayType(T.LongType()), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("days", T.ArrayType(T.IntegerType()), True),
+        T.StructField("vqs", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur: dict[int, int] = {}
+        if state.exists:
+            days0, vqs0 = state.get
+            cur = dict(zip(days0, vqs0))
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        # day ordinal = days since epoch (naive UTC), vq = floor(v*100)
+        day = (
+            pdf["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        import numpy as np
+
+        vq = np.floor(pdf["value"].to_numpy(dtype="float64") * 100).astype(
+            "int64"
+        )
+        for d, v in zip(day.tolist(), vq.tolist()):
+            cur[d] = cur.get(d, 0) + v
+        mx = max(cur)
+        cur = {d: v for d, v in cur.items() if mx - d <= 30}
+        days = sorted(cur)
+        state.update(([int(d) for d in days], [int(cur[d]) for d in days]))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "as_of_day": [int(mx)],
+                "days": [[int(d) for d in days]],
+                "vqs": [[int(cur[d]) for d in days]],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -854,3 +854,61 @@ def test_stream_burst_detect_matches_batch_episodes(spark, tmp_path):
     want = norm(Q.burst_detect(spark, sf, threshold=3).collect())
     assert len(want) > 20
     assert got == want
+
+
+def test_stream_decayed_state_folds_to_batch_leaderboard(spark, tmp_path):
+    """The streaming day-map state, folded at the batch query's global
+    reference day, must reproduce decayed_leaderboard bit-for-bit —
+    across a micro-batch split that lands mid-corpus (state carries
+    partial daily sums over the boundary)."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "decay_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_decayed_state(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decaystream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest emission per user (largest as_of_day, then widest map)
+    latest = {}
+    for r in spark.sql("select * from decaystream").collect():
+        k = latest.get(r.user_id)
+        if k is None or (r.as_of_day, len(r.days)) >= (k.as_of_day, len(k.days)):
+            latest[r.user_id] = r
+    ref = max(r.as_of_day for r in latest.values())
+    nums = {}
+    for u, r in latest.items():
+        n = 0
+        for d, v in zip(r.days, r.vqs):
+            age = ref - d
+            if age <= 30:
+                n += v << (30 - age)
+        nums[u] = n
+    top = sorted(nums.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [
+        (r.user_id, r.decayed_num, r.decayed_score)
+        for r in Q.decayed_leaderboard(spark, sf).collect()
+    ]
+    got = [(u, n, n / ((1 << 30) * 100)) for u, n in top]
+    assert got == want
