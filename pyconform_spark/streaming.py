@@ -1099,3 +1099,68 @@ def stream_decayed_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_conversion_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase matched to every click
+    by the same user in the preceding ``horizon_s`` seconds — the
+    online conversion-attribution join, and the one Structured
+    Streaming operator class (two watermarked stateful inputs joined
+    on key + event-time range) nothing else in this module exercises.
+
+    Both sides carry watermarks so Spark can bound join state: a click
+    is held only until the purchase-side watermark passes
+    click.ts + horizon (the range condition makes state eviction
+    provable — an equality-only stream-stream join would hold state
+    forever).  Inner-join emissions are append-only and EXACTLY the
+    batch join's rows once the stream drains, which is the pytest
+    parity gate.  Works identically on batch frames (the watermark
+    step is skipped) for that gate.
+
+    Scale shape: both inputs shuffle once on user_id; state per key is
+    (clicks in horizon) x (purchases in horizon) — bounded by the
+    watermark, skew-safe under AQE like any keyed join."""
+    live = clicks.isStreaming
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if live:
+        c = c.withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+        p = p.withColumn(
+            "purchase_ts", F.col("purchase_ts").cast("timestamp")
+        )
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+        ),
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.expr("timestampdiff(SECOND, click_ts, purchase_ts)")
+        .cast("long")
+        .alias("delay_s"),
+        "purchase_value",
+    )

@@ -912,3 +912,52 @@ def test_stream_decayed_state_folds_to_batch_leaderboard(spark, tmp_path):
     ]
     got = [(u, n, n / ((1 << 30) * 100)) for u, n in top]
     assert got == want
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join parity: with both sides fed in two
+    micro-batches each (so matches CROSS batch boundaries: an early
+    click pairs with a purchase arriving two triggers later), the
+    drained emissions equal the batch join exactly."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    kinds = [r.event_type for r in events.select("event_type").distinct().collect()]
+    a_kind, b_kind = sorted(kinds)[:2]
+    clicks_b = events.where(F.col("event_type") == a_kind)
+    purch_b = events.where(F.col("event_type") == b_kind)
+
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    clicks_b.where(F.col("ts") < cut).coalesce(1).write.parquet(cdir)
+    purch_b.where(F.col("ts") < cut).coalesce(1).write.parquet(pdir)
+
+    cs = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(cdir)
+    ps = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(pdir)
+    out = streaming.stream_conversion_join(cs, ps)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("convjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        clicks_b.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdir)
+        purch_b.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(pdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _rows(spark.table("convjoin"))
+    want = _rows(streaming.stream_conversion_join(clicks_b, purch_b))
+    assert got == want
+    assert len(got) > 0
