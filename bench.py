@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "spearman_rank_corr",
     "decayed_leaderboard",
     "rrf_fusion",
+    "khop_reach",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

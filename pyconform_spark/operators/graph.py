@@ -208,3 +208,77 @@ SELECT (SELECT count(*)::BIGINT FROM closed) AS n_triangles,
        (SELECT count(DISTINCT a)::BIGINT FROM both_dir) AS n_vertices,
        (SELECT count(*)::BIGINT FROM euv) AS n_edges
 """
+
+
+def khop_distances(
+    nodes: DataFrame, edges_uv: DataFrame, k: int = 3, seed_mod: int = 50
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (0..k) from the seed set
+    {user_id % seed_mod == 0} over the undirected graph; users beyond
+    k hops are absent.  The blast-radius / influence-reach primitive.
+
+    Pure frontier expansion: round i joins ONLY the dist == i-1
+    frontier against the adjacency list (never the full visited set),
+    then folds with min — each round is one shuffle equi-join + one
+    hash-agg, and rounds are FIXED at k, so the whole query is k
+    equi-joins deep with the adjacency frame persisted once.  All
+    values BIGINT; bit-exact by construction."""
+    # the union references edges_uv twice; persist it first so the
+    # window-based construction subtree materializes exactly once
+    edges_uv = edges_uv.persist()
+    adj = (
+        edges_uv.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(edges_uv.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .persist()
+    )
+    dist = nodes.where((F.col("user_id") % seed_mod) == 0).select(
+        "user_id", F.lit(0).cast("long").alias("dist")
+    )
+    for i in range(1, k + 1):
+        frontier = dist.where(F.col("dist") == i - 1)
+        step = frontier.join(
+            adj, frontier["user_id"] == adj["a"]
+        ).select(F.col("b").alias("user_id"), F.lit(i).cast("long").alias("dist"))
+        dist = (
+            dist.unionByName(step)
+            .groupBy("user_id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            # persist per round: without it round i re-derives rounds
+            # 1..i-1 inside its own plan (quadratic join blow-up); at
+            # real scale swap for localCheckpoint every few rounds to
+            # also truncate lineage
+            .persist()
+        )
+    return dist
+
+
+def khop_distances_sql(k: int = 3, seed_mod: int = 50) -> str:
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""d{i} AS (
+  SELECT user_id, min(dist)::BIGINT AS dist FROM (
+    SELECT user_id, dist FROM d{i - 1}
+    UNION ALL
+    SELECT adj.b AS user_id, r.dist + 1 AS dist
+    FROM d{i - 1} r JOIN adj ON adj.a = r.user_id
+    WHERE r.dist = {i - 1}
+  ) GROUP BY user_id)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH ordered AS (
+  SELECT event_id, ts, user_id, date_trunc('day', ts) AS d FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+euv AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src IS NOT NULL AND src <> dst),
+adj AS (SELECT u AS a, v AS b FROM euv UNION ALL SELECT v AS a, u AS b FROM euv),
+nodes AS (SELECT DISTINCT user_id FROM events),
+d0 AS (SELECT user_id, 0::BIGINT AS dist FROM nodes
+       WHERE user_id % {seed_mod} = 0),
+{chain}
+SELECT user_id, dist FROM d{k}
+"""

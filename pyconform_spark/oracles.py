@@ -3110,3 +3110,7 @@ FROM agg
 ORDER BY decayed_num DESC, user_id
 LIMIT 20
 """
+
+from pyconform_spark.operators.graph import khop_distances_sql as _khop_sql
+
+ORACLES["khop_reach"] = _khop_sql()

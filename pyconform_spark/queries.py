@@ -5819,3 +5819,14 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy(F.desc("decayed_num"), F.asc("user_id")).limit(20)
+
+
+def khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min hop distance from the deterministic seed users over the
+    undirected handoff graph (``operators.graph.khop_distances``)."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    nodes = ev.select("user_id").distinct()
+    euv = graph.undirected_edges(graph.handoff_edges(ev))
+    return graph.khop_distances(nodes, euv)

@@ -1270,3 +1270,15 @@ def test_rrf_fusion_pivots_then_takes_ordered(spark):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(term" in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_khop_frontier_joins_are_equi(spark):
+    """BFS: each round joins the FRONTIER (dist filter) against the
+    persisted adjacency — equi-joins only, adjacency built once."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(Q.khop_reach(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") <= 1  # edge subtree built once
+    assert count_nodes(plan, "InMemoryTableScan") >= 3
+    assert count_nodes(plan, "SortMergeJoin") == 3  # one per hop

@@ -470,3 +470,19 @@ def test_decayed_leaderboard_dyadic_hand_computed(spark, tmp_path):
     assert b.decayed_num == 25 * (1 << 30) + 100 * (1 << 29)
     assert a.decayed_score == 1.0
     assert b.decayed_score == (25 + 50) / 100
+
+
+def test_khop_distances_on_path_graph(spark):
+    """Path 0-1-2-3-4-5 with seed {0} (mod 50): distances are hop
+    counts, truncated at k=3 (users 4, 5 absent)."""
+    from pyconform_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "user_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long"
+    )
+    got = {
+        r.user_id: r.dist
+        for r in graph.khop_distances(nodes, edges, k=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
