@@ -506,7 +506,9 @@ def decode_media_props(media: DataFrame) -> DataFrame:
                         float(d["samples"].astype(np.int64).sum()) / n
                     )
                 elif kind == "image":
-                    d = decode_ppm(b)
+                    # container sniff: the image kind carries either
+                    # P6 PPM or PNG payloads — dispatch on magic bytes
+                    d = decode_png(b) if b[:4] == b"\x89PNG" else decode_ppm(b)
                     n = len(d["pixels"])
                     out["n_units"].append(n)
                     out["duration_ms"].append(None)
@@ -681,3 +683,150 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
         "media_id", "kind", "payload"
     )
     return pruned.mapInPandas(_fs, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------------------------ PNG
+def encode_png(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Standards-compliant PNG writer (8-bit RGB, zlib stdlib): real
+    chunk CRCs, and NON-ZERO row filters — row 0 uses Sub(1), later
+    rows Up(2) — so the reader's unfiltering is genuinely exercised
+    (an all-filter-0 writer would let a broken unfilter pass)."""
+    import struct
+    import zlib
+
+    raster = (
+        np.asarray(pixels, dtype=np.uint8)
+        .reshape(height, width * 3)
+        .astype(np.int64)
+    )
+    lines = []
+    for y in range(height):
+        if y == 0:  # Sub: delta against the pixel 3 bytes left
+            row = raster[0].copy()
+            row[3:] = (row[3:] - raster[0][:-3]) % 256
+            lines.append(b"\x01" + row.astype(np.uint8).tobytes())
+        else:  # Up: delta against the row above
+            row = (raster[y] - raster[y - 1]) % 256
+            lines.append(b"\x02" + row.astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG reader (pure Python + stdlib zlib): chunk walk with CRC
+    verification, IHDR validation (8-bit RGB, no interlace), inflate,
+    and FULL filter reconstruction — None/Sub/Up/Average/Paeth — per
+    the spec's byte-recurrences.  Returns width/height/pixels/mean."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("raster length mismatch")
+    out = np.zeros((height, stride), dtype=np.int64)
+    bpp = 3
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = out[y]
+        if ftype == 0:
+            cur[:] = line
+        elif ftype == 2:  # Up (vectorizable: no intra-row recurrence)
+            cur[:] = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-recurrent
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                    )
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter {ftype}")
+    pixels = out.reshape(-1)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": pixels.astype(np.uint8),
+        "mean": float(pixels.sum()) / len(pixels),
+    }
+
+
+def synth_real_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL PNG synthesis (mapInPandas): id ``mid`` gets a
+    (mid%12+1) x (mid%6+1) 8-bit RGB PNG whose raster byte k is
+    (3*k + mid) % 256 — a closed form a SQL oracle can sum without
+    parsing bytes, while the payload itself is a fully filtered,
+    CRC-carrying PNG stream."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 12 + 1, mid % 6 + 1
+                k = np.arange(w * h * 3, dtype=np.int64)
+                payloads.append(encode_png((3 * k + mid) % 256, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(_gen, schema=schema)

@@ -3114,3 +3114,20 @@ LIMIT 20
 from pyconform_spark.operators.graph import khop_distances_sql as _khop_sql
 
 ORACLES["khop_reach"] = _khop_sql()
+
+ORACLES["media_png_props"] = """
+WITH ids AS (SELECT event_id FROM events WHERE event_id < 400),
+dims AS (
+  SELECT event_id, event_id % 12 + 1 AS w, event_id % 6 + 1 AS h
+  FROM ids),
+g AS (SELECT unnest(generate_series(0, 215)) AS k),
+psum AS (
+  SELECT d.event_id, d.w, d.h, d.w * d.h * 3 AS n,
+         sum((3 * g.k + d.event_id) % 256)::BIGINT AS s
+  FROM dims d JOIN g ON g.k < d.w * d.h * 3
+  GROUP BY d.event_id, d.w, d.h)
+SELECT event_id::BIGINT AS event_id, n::BIGINT AS n_pixels3,
+       w::INT AS width, h::INT AS height,
+       CAST(s AS DOUBLE) / n AS mean_value
+FROM psum
+"""

@@ -5830,3 +5830,29 @@ def khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = ev.select("user_id").distinct()
     euv = graph.undirected_edges(graph.handoff_edges(ev))
     return graph.khop_distances(nodes, euv)
+
+
+def media_png_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode through Spark: stage 1 synthesizes genuine
+    zlib-compressed, CRC-carrying, row-FILTERED PNG streams from event
+    ids (mapInPandas), stage 2 chunk-walks, inflates and unfilters
+    them back into typed properties.  The oracle predicts width,
+    height, raster size and mean from the pixel closed form WITHOUT
+    parsing bytes — agreement proves the full decode path (CRC,
+    inflate, Sub/Up reconstruction) restores exactly the encoded
+    raster.  Scale shape: two mapInPandas stages streaming Arrow
+    batches; nothing leaves the executors."""
+    from pyconform_spark import multimodal
+
+    ids = _events(spark, sf_dir).where(F.col("event_id") < 400).select(
+        "event_id"
+    )
+    media = multimodal.synth_real_png(ids, id_col="event_id")
+    props = multimodal.decode_media_props(media)
+    return props.select(
+        F.col("media_id").cast("long").alias("event_id"),
+        F.col("n_units").cast("long").alias("n_pixels3"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_value").cast("double").alias("mean_value"),
+    )

@@ -334,3 +334,67 @@ def test_sample_video_frames_stride_and_sums(spark):
                 frame.reshape(-1).astype(np.int64).sum()
             )
     assert len(rows) == n_expected
+
+
+def test_png_roundtrip_and_filter_reconstruction():
+    """encode_png writes Sub+Up filtered rows with real CRCs;
+    decode_png must restore the exact raster — plus hand-built
+    Average/Paeth/None payloads to cover the full filter set."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyconform_spark import multimodal as M
+
+    for mid in (0, 9, 100, 251):
+        w, h = mid % 12 + 1, mid % 6 + 1
+        k = np.arange(w * h * 3, dtype=np.int64)
+        px = (3 * k + mid) % 256
+        d = M.decode_png(M.encode_png(px, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["pixels"].astype(np.int64) == px).all()
+
+    # full-filter payload: rows use Average(3), Paeth(4), None(0)
+    w, h = 4, 3
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=h * w * 3).astype(np.int64)
+    raster = px.reshape(h, w * 3)
+    lines = []
+    enc0 = np.zeros(w * 3, dtype=np.int64)
+    for x in range(w * 3):
+        left = raster[0][x - 3] if x >= 3 else 0
+        enc0[x] = (raster[0][x] - left // 2) % 256
+    lines.append(b"\x03" + enc0.astype(np.uint8).tobytes())
+    enc1 = np.zeros(w * 3, dtype=np.int64)
+    for x in range(w * 3):
+        left = raster[1][x - 3] if x >= 3 else 0
+        up = raster[0][x]
+        ul = raster[0][x - 3] if x >= 3 else 0
+        p = left + up - ul
+        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+        pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+        enc1[x] = (raster[1][x] - pred) % 256
+    lines.append(b"\x04" + enc1.astype(np.uint8).tobytes())
+    lines.append(b"\x00" + raster[2].astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    d = M.decode_png(payload)
+    assert (d["pixels"].astype(np.int64) == px).all()
+
+    # corrupted CRC must be rejected, not silently decoded
+    bad = bytearray(payload)
+    bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(bad))
