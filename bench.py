@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "decayed_leaderboard",
     "rrf_fusion",
     "khop_reach",
+    "sequence_packing",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

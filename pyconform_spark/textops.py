@@ -1672,6 +1672,7 @@ def register_text_queries() -> dict[str, callable]:
         "bm25_term_scores": lambda s, d: bm25_term_scores(_docs(s, d)),
         "phrase_search": lambda s, d: phrase_search(_docs(s, d)),
         "rrf_fusion": lambda s, d: rrf_fusion(_docs(s, d)),
+        "sequence_packing": lambda s, d: sequence_packing(_docs(s, d)),
     }
 
 
@@ -2256,3 +2257,90 @@ LIMIT {k}
 
 
 TEXT_ORACLES["rrf_fusion"] = rrf_fusion_sql()
+
+
+# ---------------------------------------------------- sequence packing
+PACK_CAP = 256
+
+
+def sequence_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
+    """Training-sequence packing: greedily pack documents into
+    fixed-capacity token bins per source, in deterministic doc_id
+    order — the pre-training batching step that turns a variable-
+    length corpus into fixed-length training sequences with minimal
+    padding.  A document longer than ``cap`` occupies a bin alone
+    (never split, matching packers that over-length-truncate later).
+
+    The greedy fill is a reset-on-overflow recurrence (like the token
+    bucket, no window-frame form exists), hosted per source group in
+    one ``applyInPandas`` — PURE INTEGER state (bin id, tokens used),
+    so the recursive-CTE oracle is exact.  Scale shape: one shuffle
+    on source; each group streams through Arrow once.  At 10^12 docs
+    the order key becomes (shard, doc_id) so groups stay bounded."""
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("bin_id", T.LongType(), False),
+            T.StructField("used_after", T.LongType(), False),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        lens = pdf["n_tokens"].astype("int64").tolist()
+        bins, used_out = [], []
+        bin_id, used = 1, 0
+        for ln in lens:
+            if used > 0 and used + ln > cap:
+                bin_id += 1
+                used = 0
+            used += ln
+            bins.append(bin_id)
+            used_out.append(used)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": pdf["source"],
+                "n_tokens": lens,
+                "bin_id": bins,
+                "used_after": used_out,
+            }
+        )
+
+    w = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "source", F.size(w).cast("long").alias("n_tokens")
+    )
+    return base.groupBy("source").applyInPandas(_pack, schema=out_schema)
+
+
+def sequence_packing_sql(cap: int = PACK_CAP) -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         len({TOKENS_SQL})::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pk AS (
+  SELECT doc_id, source, n_tokens, rn,
+         1::BIGINT AS bin_id, n_tokens AS used_after
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT n.doc_id, n.source, n.n_tokens, n.rn,
+         CASE WHEN p.used_after > 0 AND p.used_after + n.n_tokens > {cap}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.used_after > 0 AND p.used_after + n.n_tokens > {cap}
+              THEN n.n_tokens ELSE p.used_after + n.n_tokens END
+  FROM pk p JOIN base n ON n.source = p.source AND n.rn = p.rn + 1)
+SELECT doc_id, source, n_tokens, bin_id, used_after FROM pk
+"""
+
+
+TEXT_ORACLES["sequence_packing"] = sequence_packing_sql()

@@ -623,3 +623,29 @@ def test_rrf_rewards_multi_lane_docs(spark):
     assert out[1].rrf_score > out[3].rrf_score
     # lane ranks are 1-based; 0 marks "absent from this lane"
     assert out[2].r_merge == 0 and out[2].r_window == 0
+
+
+def test_sequence_packing_greedy_semantics(spark):
+    """Hand-checked greedy fill at cap=10: lengths 4,4,4 -> bins
+    1,1,2; an oversized doc (12) occupies its own bin and the next
+    doc starts fresh."""
+    from pyconform_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),          # 4 -> bin 1 (used 4)
+            (2, "a b c d", "s"),          # 4 -> bin 1 (used 8)
+            (3, "a b c d", "s"),          # 4 -> bin 2 (8+4 > 10)
+            (4, "a b c d e f g h i j k l", "s"),  # 12 > cap -> bin 3 alone
+            (5, "a b", "s"),              # bin 4 (12 > 10 closes bin 3)
+            (6, "a b", "t"),              # independent source: bin 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.bin_id, r.used_after)
+        for r in textops.sequence_packing(docs, cap=10).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 8), 3: (2, 4), 4: (3, 12), 5: (4, 2), 6: (1, 2)
+    }
