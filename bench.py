@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "khop_reach",
     "sequence_packing",
+    "knn_int8",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

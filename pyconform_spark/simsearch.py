@@ -1045,6 +1045,7 @@ def register_sim_queries() -> dict[str, callable]:
 
     return {
         "knn_bruteforce": lambda s, d: knn_bruteforce(_emb(s, d)),
+        "knn_int8": lambda s, d: knn_int8(_emb(s, d)),
         "cosine_dup_pairs": lambda s, d: cosine_dup_pairs(_emb(s, d), 0.3, 3000),
         "lsh_dup_pairs": lambda s, d: lsh_dup_pairs(_emb(s, d), 0.3),
         "ann_lsh_topk": lambda s, d: ann_lsh_topk(_emb(s, d)),
@@ -1157,3 +1158,96 @@ def with_near_dups(
         "label",
     )
     return emb.unionByName(dup)
+
+
+# ------------------------------------------------ int8-quantized kNN
+def int8_codes(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization, per vector: code_i =
+    floor(q_i * 127 / max|q|) in [-127, 127] — the 4x memory
+    compression a 10^12-vector index actually ships (float32 ->
+    int8), with the scale riding alongside.  All arithmetic from the
+    micro-quantized integers, so codes are bit-stable cross-engine
+    (one exact product, one correctly-rounded division, one floor)."""
+    q = quantized(F.col("embedding"))
+    m = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    base = emb.select("vec_id", "label", q.alias("q"), m.alias("m"))
+    code = F.transform(
+        F.col("q"),
+        lambda x: F.floor((x * 127).cast("double") / F.col("m")).cast("long"),
+    )
+    return base.where(F.col("m") > 0).select(
+        "vec_id", "label", code.alias("c"), "m"
+    ).withColumn("nc", sqnorm(F.col("c")))
+
+
+def knn_int8(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Top-k by INT8 cosine: the brute-force scan every quantized
+    vector store runs as its cheap first pass (int8 dot products are
+    the SIMD fast path; 4x less memory traffic than float32).  Same
+    shape as ``knn_bruteforce`` — queries broadcast, corpus scanned
+    once, per-query window top-k — but scoring uses the int8 codes;
+    a pytest gates recall@10 >= 0.9 against the exact ranking."""
+    base = int8_codes(emb)
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c").alias("cq"),
+        F.col("nc").alias("ncq"),
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        _cosine(dot(F.col("c"), F.col("cq")), F.col("nc"), F.col("ncq")).alias(
+            "cosine_q8"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q8"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cosine_q8").cast("double").alias("cosine_q8"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def knn_int8_sql(n_queries: int = 5, k: int = 10) -> str:
+    q = QUANT_SQL.format(c="embedding")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label, {q} AS q FROM embeddings),
+mv AS (
+  SELECT vec_id, label, q,
+         list_aggregate(list_transform(q, x -> abs(x)), 'max') AS m
+  FROM qv),
+codes AS (
+  SELECT vec_id, label,
+         list_transform(q, x -> floor((x * 127)::DOUBLE / m)::BIGINT) AS c
+  FROM mv WHERE m > 0),
+base AS (
+  SELECT vec_id, label, c, {DOT_SQL.format(a='c', b='c')} AS nc FROM codes),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+         {COSINE_SQL.format(dot=DOT_SQL.format(a='a.c', b='b.c'),
+                            na='a.nc', nb='b.nc')} AS cosine_q8
+  FROM base a, base b
+  WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine_q8,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_q8 DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine_q8::DOUBLE AS cosine_q8, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SIM_ORACLES["knn_int8"] = knn_int8_sql()

@@ -1282,3 +1282,12 @@ def test_khop_frontier_joins_are_equi(spark):
     assert count_nodes(plan, "Window") <= 1  # edge subtree built once
     assert count_nodes(plan, "InMemoryTableScan") >= 3
     assert count_nodes(plan, "SortMergeJoin") == 3  # one per hop
+
+
+def test_knn_int8_keeps_bruteforce_shape(spark):
+    from pyconform_spark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(simsearch.knn_int8(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles

@@ -649,3 +649,21 @@ def test_sequence_packing_greedy_semantics(spark):
     assert out == {
         1: (1, 4), 2: (1, 8), 3: (2, 4), 4: (3, 12), 5: (4, 2), 6: (1, 2)
     }
+
+
+def test_knn_int8_recall_against_exact(spark):
+    """int8 scalar quantization must keep recall@10 >= 0.9 vs the
+    exact micro-int cosine ranking on the sf0.01 embeddings, and its
+    plan must keep the bruteforce shape (queries broadcast, corpus
+    never shuffled)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {}
+    for r in simsearch.knn_bruteforce(emb).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    q8 = {}
+    for r in simsearch.knn_int8(emb).collect():
+        q8.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[q] & q8.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
