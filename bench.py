@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "khop_reach",
     "sequence_packing",
     "knn_int8",
+    "split_leakage_audit",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -1673,6 +1673,7 @@ def register_text_queries() -> dict[str, callable]:
         "phrase_search": lambda s, d: phrase_search(_docs(s, d)),
         "rrf_fusion": lambda s, d: rrf_fusion(_docs(s, d)),
         "sequence_packing": lambda s, d: sequence_packing(_docs(s, d)),
+        "split_leakage_audit": lambda s, d: split_leakage_audit(_docs(s, d)),
     }
 
 
@@ -2344,3 +2345,62 @@ SELECT doc_id, source, n_tokens, bin_id, used_after FROM pk
 
 
 TEXT_ORACLES["sequence_packing"] = sequence_packing_sql()
+
+
+# ----------------------------------------------- split leakage audit
+def split_leakage_audit(docs: DataFrame) -> DataFrame:
+    """Train/val/test split with a LEAKAGE audit: documents are
+    assigned to splits by content-free hash (doc_id md5 mod 10 ->
+    8/1/1), then every MinHash-LSH near-dup candidate pair that
+    STRADDLES two different splits is reported — the eval-integrity
+    check an LLM data pipeline must run, because a random split sends
+    one copy of a near-duplicate to train and its twin to test and
+    silently inflates eval scores.
+
+    Output: one row per straddling pair with both splits named, plus
+    per-pair band evidence count.  Scale shape: the banded LSH
+    self-join unchanged (linear in bucket sizes), two broadcast-free
+    equi-joins to attach split labels (the label frame is the corpus
+    itself — never broadcast), one hash-agg."""
+    split = F.element_at(
+        F.array(F.lit("train"), F.lit("val"), F.lit("test")),
+        F.when(md5_lower64(F.col("doc_id").cast("string")) % 10 < 8, 1)
+        .when(md5_lower64(F.col("doc_id").cast("string")) % 10 == 8, 2)
+        .otherwise(3),
+    )
+    labels = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(docs)
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+def split_leakage_audit_sql() -> str:
+    lsh = minhash_lsh_pairs_sql()
+    h = md5_lower64_sql("doc_id::VARCHAR")
+    return f"""
+WITH pairs AS ({lsh}),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN {h} % 10 < 8 THEN 'train'
+              WHEN {h} % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT p.doc_a, p.doc_b, la.split AS split_a, lb.split AS split_b
+FROM pairs p
+JOIN labels la ON la.doc_id = p.doc_a
+JOIN labels lb ON lb.doc_id = p.doc_b
+WHERE la.split <> lb.split
+"""
+
+
+TEXT_ORACLES["split_leakage_audit"] = split_leakage_audit_sql()
