@@ -1,0 +1,197 @@
+"""Iterative clustering over the embeddings table: integer-exact
+Lloyd's k-means.
+
+Why integer: like ``operators.graph.pagerank_integer``, the iteration
+runs entirely in BIGINT so the result is bit-reproducible across
+engines, partitionings and re-runs — float centroid means depend on
+IEEE summation order, which no distributed engine pins.  Embedding
+components are quantized to ``floor(x * 1e6)`` (the same lattice
+``simsearch`` uses), distances are exact squared-L2 sums, and centroid
+updates are TRUNCATED integer means ``sum div count`` (Spark ``div``
+and DuckDB ``//`` share truncate-toward-zero semantics — verified).
+
+Algorithm per iteration (fixed ``iters``, no convergence action):
+
+1. **Assign** — zero-shuffle: the k centroids collapse to ONE row
+   holding ``array<struct<cid,c>>`` (k is tiny), broadcast-crossed
+   into the corpus scan; each vector picks
+   ``array_min(transform(cents, s -> struct(l2sq(q, s.c), s.cid)))``
+   — lexicographic struct min = nearest centroid, ties to the lowest
+   cid, order-independent.  The corpus is scanned once per iteration
+   with NO shuffle and no per-row Python.
+2. **Update** — one map-side-combinable shuffle: ``posexplode`` the
+   assigned vectors to (cid, pos, v) and hash-aggregate sum/count by
+   (cid, pos) — at most ``k * dim`` groups leave the combiners, so
+   the shuffle payload is O(partitions * k * dim) regardless of
+   corpus size.  Clusters that lose every member keep their previous
+   centroid (left-join + coalesce), so the centroid frame stays
+   exactly k rows.
+
+Seeds are stride-spread (``vec_id % stride == 0``, first k) — spread
+through the id space without a plan-time ``count()`` action, the same
+trick ``simsearch.ivf_topk`` uses for its cell seeds.
+
+Scale shape at 10^12 rows: per iteration = one broadcast (k rows) +
+one corpus scan + one combiner-bounded agg; centroid frames are k
+rows and never grow.  Persist the quantized corpus once; k-means++
+style seeding would add one pass, not change the loop.
+
+Reference parity note: the reference has no clustering operator —
+this extends the engine for LLM-corpus curation (cluster-balanced
+sampling, embedding-space diagnostics), same motivation as
+``textops``/``simsearch`` (cf. reference's per-variable pipeline
+scope, ``source/pyconform/dataflow.py:42-98``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# same quantization lattice as simsearch (kept local: simsearch
+# registers this module's oracle, so importing it back would cycle)
+QUANT = 1_000_000
+QUANT_SQL = "list_transform({c}, x -> floor(x::DOUBLE * 1000000)::BIGINT)"
+
+STRIDE = 61  # seed spread; k*STRIDE must stay under the corpus size
+
+
+def quantized(c: Column) -> Column:
+    """array<float> -> array<long>: floor(x*1e6) per component."""
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(codes: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, zero shuffle on the corpus side."""
+    cents_row = cents.agg(
+        F.collect_list(F.struct("cid", "c")).alias("cents")
+    )
+    m = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                _l2sq(F.col("q"), s["c"]).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return codes.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        "q",
+        m["cid"].alias("cid"),
+        m["dist"].alias("dist"),
+    )
+
+
+def kmeans_integer(
+    emb: DataFrame, k: int = 8, iters: int = 3, stride: int = STRIDE
+) -> DataFrame:
+    """Fixed-``iters`` integer Lloyd's k-means over the ``embedding``
+    column; returns (vec_id, cluster, dist_sq) for every vector."""
+    codes = emb.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    )
+    cents = codes.where(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < k * stride)
+    ).select(
+        (F.col("vec_id") / stride).cast("int").alias("cid"),
+        F.col("q").alias("c"),
+    )
+    for _ in range(iters):
+        assigned = _assign(codes, cents)
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("q").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+        )
+        newc = (
+            sums.select(
+                "cid", "pos", F.expr("s div cnt").alias("v")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c_new")
+            )
+        )
+        # the k-row centroid frame is referenced twice next round (as
+        # the assignment broadcast and as the empty-cluster fallback);
+        # a lazy persist stops the lineage subtree doubling per round
+        # — exactly graph.pagerank_integer's edge-frame discipline
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("c_new", "c").alias("c"),
+            )
+            .persist()
+        )
+    final = _assign(codes, cents)
+    return final.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("dist_sq"),
+    )
+
+
+def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin: the same integer iteration as chained CTEs."""
+    q = QUANT_SQL.format(c="embedding")
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(a.q)), "
+        "j -> (a.q[j] - c.c[j]) * (a.q[j] - c.c[j])))"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""a{i} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT a.vec_id, a.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM codes a, c{i} c) WHERE rn = 1),
+s{i} AS (
+  SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+  FROM a{i}),
+m{i} AS (
+  SELECT cid, list(s // cnt ORDER BY pos) AS c_new FROM (
+    SELECT cid, pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt
+    FROM s{i} GROUP BY 1, 2) GROUP BY cid),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.c_new, p.c) AS c
+  FROM c{i} p LEFT JOIN m{i} n USING (cid))"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH codes AS (SELECT vec_id, {q} AS q FROM embeddings),
+c0 AS (
+  SELECT (vec_id // {STRIDE})::INT AS cid, q AS c FROM codes
+  WHERE vec_id % {STRIDE} = 0 AND vec_id < {k * STRIDE}),
+{chain},
+afin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT a.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM codes a, c{iters} c) WHERE rn = 1)
+SELECT vec_id::BIGINT AS vec_id, cid::INT AS cluster,
+       dist::BIGINT AS dist_sq
+FROM afin
+"""

@@ -1063,7 +1063,14 @@ def register_sim_queries() -> dict[str, callable]:
         "semantic_dedup_docs": lambda s, d: semantic_dedup_docs(
             s.read.parquet(f"{d}/documents.parquet"), _emb(s, d)
         ),
+        "kmeans_embeddings": lambda s, d: _kmeans(_emb(s, d)),
     }
+
+
+def _kmeans(emb: DataFrame) -> DataFrame:
+    from pyconform_spark.operators.cluster import kmeans_integer
+
+    return kmeans_integer(emb)
 
 
 SIM_ORACLES: dict[str, str] = {
@@ -1251,3 +1258,7 @@ FROM ranked WHERE rank <= {k}
 
 
 SIM_ORACLES["knn_int8"] = knn_int8_sql()
+
+from pyconform_spark.operators.cluster import kmeans_embeddings_sql  # noqa: E402
+
+SIM_ORACLES["kmeans_embeddings"] = kmeans_embeddings_sql()

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyconform_spark.operators.cluster import kmeans_integer
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    # two blobs 1.0 apart with 0.01-scale jitter; seeds = first two
+    # vectors (stride=1), one from each blob by construction
+    blob_a = [[0.0 + 0.01 * ((i * 7) % 5), 0.0] for i in range(10)]
+    blob_b = [[1.0 + 0.01 * ((i * 3) % 5), 1.0] for i in range(10)]
+    vecs = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+    out = kmeans_integer(
+        _emb_df(spark, vecs), k=2, iters=3, stride=1
+    ).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    a_ids = [0] + list(range(2, 11))
+    b_ids = [1] + list(range(11, 20))
+    assert {by_id[i] for i in a_ids} == {0}
+    assert {by_id[i] for i in b_ids} == {1}
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # seed 2 duplicates seed 0: in the first assignment every tie
+    # resolves to the lower cid, so cluster 2 receives NO members and
+    # its update row vanishes — the left-join/coalesce fallback must
+    # keep its previous centroid.  Proof it was kept: centroid 0's
+    # mean then moves off the origin while centroid 2 stays exactly
+    # on it, so the final assignment hands every exact-origin vector
+    # back to cluster 2 (dist 0 beats the moved centroid).
+    vecs = [[0.0, 0.0], [5.0, 5.0], [0.0, 0.0]] + [
+        [0.1 * (i % 3), 0.0] for i in range(8)
+    ]
+    out = kmeans_integer(
+        _emb_df(spark, vecs), k=3, iters=1, stride=1
+    ).collect()
+    assert len(out) == len(vecs)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    origin_ids = {0, 2, 3, 6, 9}  # every vector that is exactly [0, 0]
+    assert by_cluster[2] == origin_ids
+    assert by_cluster[1] == {1}
+
+
+def test_kmeans_assignment_is_exact_integer_l2(spark):
+    # hand-check one vector's distance: quantization floor(x*1e6),
+    # squared-L2 in int64 — dist_sq of a seed to itself after 0
+    # iterations is 0
+    vecs = [[0.25, -0.5], [1.0, 1.0]]
+    out = {
+        r["vec_id"]: r["dist_sq"]
+        for r in kmeans_integer(
+            _emb_df(spark, vecs), k=2, iters=0, stride=1
+        ).collect()
+    }
+    assert out[0] == 0 and out[1] == 0

@@ -1291,3 +1291,15 @@ def test_knn_int8_keeps_bruteforce_shape(spark):
     plan = plan_of(simsearch.knn_int8(emb))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # corpus never shuffles
+
+
+def test_kmeans_corpus_never_shuffle_joins(spark):
+    from pyconform_spark.operators.cluster import kmeans_integer
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(kmeans_integer(emb, stride=7))
+    # every assignment is a broadcast of the ONE collapsed centroid
+    # row into the corpus scan; the corpus itself never shuffle-joins
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
