@@ -3131,3 +3131,7 @@ SELECT event_id::BIGINT AS event_id, n::BIGINT AS n_pixels3,
        CAST(s AS DOUBLE) / n AS mean_value
 FROM psum
 """
+
+from pyconform_spark.operators.dtw import dtw_pairs_sql as _dtw_sql
+
+ORACLES["dtw_profile_pairs"] = _dtw_sql()

@@ -5856,3 +5856,15 @@ def media_png_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("mean_value").cast("double").alias("mean_value"),
     )
+
+
+def dtw_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Dynamic Time Warping distance between every pair of
+    event-type hour-of-day profiles (``operators.dtw``): the DP
+    recurrence no window/join expresses, run as a grouped Arrow UDF
+    per pair, integer-exact against the chained-CTE oracle."""
+    from pyconform_spark.operators import dtw
+
+    prof = dtw.hourly_profiles(_events(spark, sf_dir))
+    out = dtw.dtw_pairs(prof)
+    return out.orderBy("series_a", "series_b")

@@ -1303,3 +1303,14 @@ def test_kmeans_corpus_never_shuffle_joins(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_dtw_single_scan_and_grouped_arrow_udf(spark):
+    plan = plan_of(Q.dtw_profile_pairs(spark, SF))
+    # the persisted profile frame feeds both join sides (raw scan +
+    # profile agg run once); the pair join broadcasts the tiny frame;
+    # the DP runs as ONE grouped Arrow stage
+    assert count_nodes(plan, "InMemoryTableScan") >= 2
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert "Broadcast" in plan
