@@ -1314,3 +1314,17 @@ def test_dtw_single_scan_and_grouped_arrow_udf(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
     assert "Broadcast" in plan
+
+
+def test_prefix_join_windows_doc_local_no_broadcast_of_corpus(spark):
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.jaccard_prefix_pairs(docs, 0.2))
+    # rarity order is per-doc (no unpartitioned window = no single-
+    # partition sort of the corpus), candidates come from shuffle
+    # equi-joins; nothing corpus-sized is broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") >= 1
+    assert "windowspecdefinition(doc_id" in plan

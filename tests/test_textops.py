@@ -667,3 +667,68 @@ def test_knn_int8_recall_against_exact(spark):
         len(exact[q] & q8.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+@pytest.mark.parametrize("t", [0.2, 0.5])
+def test_prefix_filter_join_is_exact_complete(spark, t):
+    """The prefix-filtered candidate set must lose NOTHING: its
+    verified output equals the exhaustive all-pairs join exactly, at
+    more than one threshold."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in textops.jaccard_prefix_pairs(docs, t).collect()
+    }
+    exp = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in textops.ngram_jaccard_pairs(docs, t).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_prefix_filter_actually_prunes_candidates(spark):
+    """The point of the prefix: strictly fewer candidate pairs than
+    the co-shingled self-join feeds to verification."""
+    from pyspark.sql import Window, functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = 0.5
+    sh = docs.select(
+        "doc_id", F.explode(textops.shingles(F.col("text"))).alias("sh")
+    )
+    all_cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(sizes, "doc_id")
+        .where(F.col("pos") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1)
+    )
+    pref_cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert 0 < pref_cand < all_cand
