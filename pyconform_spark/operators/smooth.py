@@ -133,3 +133,89 @@ def holt_winters_seasonal(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_smooth, schema=out_schema)
+
+
+def isotonic_fit(daily: DataFrame) -> DataFrame:
+    """Per-series isotonic (monotone non-decreasing) L2 regression by
+    the Pool-Adjacent-Violators Algorithm — the O(n) stack algorithm,
+    run per series as a grouped Arrow UDF with EXACT integer
+    num/den pool arithmetic (no float accumulates inside the pools).
+
+    Input: (series, d, y) with integer y; output adds ``fit`` — the
+    fitted monotone value as one correctly-rounded double division of
+    the pool's exact (sum, count).
+
+    Correctness is gated by an INDEPENDENT formulation: the oracle
+    evaluates the classic minimax identity
+
+        fit(i) = max_{a<=i} min_{b>=i} mean(y[a..b])
+
+    in SQL (O(n^3) per series — fine for the bounded 30-day frame the
+    registered query feeds it; the ENGINE path stays O(n) per series).
+    Because IEEE division is correctly rounded and max/min are
+    monotone under rounding, the two formulations agree bit-for-bit
+    on the emitted doubles.
+
+    Scale shape: one combiner-friendly agg builds the daily frame;
+    each series is one Arrow group — 10^6 series parallelize
+    embarrassingly; state per group is the O(n) pool stack."""
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        # pool stack of [sum, count] over exact Python ints
+        pools: list[list[int]] = []
+        for y in pdf["y"].astype("int64").tolist():
+            pools.append([int(y), 1])
+            # merge while the tail violates monotonicity:
+            # mean(prev) > mean(last)  <=>  s_p * c_l > s_l * c_p
+            while (
+                len(pools) > 1
+                and pools[-2][0] * pools[-1][1]
+                > pools[-1][0] * pools[-2][1]
+            ):
+                s, c = pools.pop()
+                pools[-1][0] += s
+                pools[-1][1] += c
+        fit: list[float] = []
+        for s, c in pools:
+            fit.extend([s / c] * c)
+        out = pdf.copy()
+        out["fit"] = pd.Series(fit, dtype="float64")
+        return out
+
+    schema = (
+        "series string, d timestamp_ntz, y long, fit double"
+    )
+    return daily.groupBy("series").applyInPandas(_pava, schema)
+
+
+def isotonic_minimax_sql(inner: str) -> str:
+    """DuckDB twin via the minimax identity; ``inner`` must yield
+    (series, d, y)."""
+    return f"""
+WITH daily AS MATERIALIZED ({inner}),
+idx AS MATERIALIZED (
+  SELECT series, d, y,
+         row_number() OVER (PARTITION BY series ORDER BY d) AS i
+  FROM daily),
+pre AS MATERIALIZED (
+  SELECT series, i, d, y,
+         sum(y) OVER (PARTITION BY series ORDER BY i) AS s
+  FROM idx),
+-- mean(a..b) = (S[b] - S[a-1]) / (b - a + 1); S[0] = 0
+seg AS MATERIALIZED (
+  SELECT a.series, a.i AS a, b.i AS b,
+         (b.s - a.s + a.y)::DOUBLE / (b.i - a.i + 1) AS m
+  FROM pre a JOIN pre b ON b.series = a.series AND b.i >= a.i),
+mn AS MATERIALIZED (
+  -- min over b >= i of segment means starting at a
+  SELECT s.series, s.a, p.i, min(s.m) AS mn
+  FROM seg s JOIN idx p ON p.series = s.series
+   AND p.i >= s.a AND s.b >= p.i
+  GROUP BY 1, 2, 3)
+SELECT x.series, x.d, x.y::BIGINT AS y,
+       max(mn.mn) AS fit
+FROM idx x JOIN mn ON mn.series = x.series AND mn.i = x.i
+  AND mn.a <= x.i
+GROUP BY x.series, x.d, x.y
+"""

@@ -3135,3 +3135,10 @@ FROM psum
 from pyconform_spark.operators.dtw import dtw_pairs_sql as _dtw_sql
 
 ORACLES["dtw_profile_pairs"] = _dtw_sql()
+
+from pyconform_spark.operators.smooth import isotonic_minimax_sql as _iso_sql
+
+ORACLES["isotonic_trend"] = _iso_sql(
+    "SELECT event_type AS series, date_trunc('day', ts) AS d, "
+    "sum(floor(value * 100)::BIGINT)::BIGINT AS y FROM events GROUP BY 1, 2"
+)

@@ -5868,3 +5868,25 @@ def dtw_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = dtw.hourly_profiles(_events(spark, sf_dir))
     out = dtw.dtw_pairs(prof)
     return out.orderBy("series_a", "series_b")
+
+
+def isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone (isotonic) trend fit of the daily centi-quantized
+    value sum per event type: O(n) PAVA per series in a grouped Arrow
+    UDF, oracle-checked against the INDEPENDENT minimax identity
+    (``operators.smooth.isotonic_fit``)."""
+    from pyconform_spark.operators.smooth import isotonic_fit
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            F.date_trunc("day", F.col("ts")).alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return isotonic_fit(daily).orderBy("series", "d")

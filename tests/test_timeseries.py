@@ -486,3 +486,53 @@ def test_khop_distances_on_path_graph(spark):
         for r in graph.khop_distances(nodes, edges, k=3).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_isotonic_pava_golden_pools(spark):
+    """Hand-checkable PAVA: [4,2,6,3] pools to [(4+2)/2, (4+2)/2,
+    (6+3)/2, (6+3)/2] = [3,3,4.5,4.5]."""
+    import datetime as dt
+
+    from pyconform_spark.operators.smooth import isotonic_fit
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 1 + i), y)
+        for i, y in enumerate([4, 2, 6, 3])
+    ]
+    daily = spark.createDataFrame(
+        rows, "series string, d timestamp_ntz, y long"
+    )
+    out = [
+        r["fit"]
+        for r in isotonic_fit(daily).orderBy("d").collect()
+    ]
+    assert out == [3.0, 3.0, 4.5, 4.5]
+
+
+def test_isotonic_matches_minimax_bruteforce(spark):
+    """PAVA (stack algorithm) == max-min segment-mean identity,
+    checked on an adversarial zig-zag series."""
+    import datetime as dt
+
+    from pyconform_spark.operators.smooth import isotonic_fit
+
+    ys = [5, 1, 4, 4, 2, 9, 0, 7, 7, 3, 8, 2]
+    rows = [
+        ("z", dt.datetime(2024, 2, 1 + i), y) for i, y in enumerate(ys)
+    ]
+    daily = spark.createDataFrame(
+        rows, "series string, d timestamp_ntz, y long"
+    )
+    got = [r["fit"] for r in isotonic_fit(daily).orderBy("d").collect()]
+    n = len(ys)
+    exp = []
+    for i in range(n):
+        best = -float("inf")
+        for a in range(i + 1):
+            mn = min(
+                sum(ys[a : b + 1]) / (b - a + 1) for b in range(i, n)
+            )
+            best = max(best, mn)
+        exp.append(best)
+    assert got == exp
+    assert all(x <= y for x, y in zip(got, got[1:]))
