@@ -1676,6 +1676,7 @@ def register_text_queries() -> dict[str, callable]:
         "rrf_fusion": lambda s, d: rrf_fusion(_docs(s, d)),
         "sequence_packing": lambda s, d: sequence_packing(_docs(s, d)),
         "split_leakage_audit": lambda s, d: split_leakage_audit(_docs(s, d)),
+        "edit_distance_pairs": lambda s, d: edit_distance_consecutive(_docs(s, d)),
     }
 
 
@@ -2473,3 +2474,55 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     return ngram_jaccard_verify(cand, docs, threshold)
+
+
+# ---------------------------------------------------------- edit distance
+def edit_distance_consecutive(docs: DataFrame) -> DataFrame:
+    """Levenshtein distance between consecutive documents of each
+    source (doc_id order) — the revision-delta / near-rewrite signal
+    a crawl-curation pipeline inspects between neighboring snapshots.
+
+    Entirely JVM-side: ``F.levenshtein`` is a built-in codegen
+    expression, the only shuffle is the source-partitioned window
+    sort.  Exactness caveat, pinned by test: Spark computes edit
+    distance over CODEPOINTS while DuckDB's ``levenshtein`` is
+    byte-oriented — identical on this ASCII corpus (asserted in the
+    suite); normalize/transliterate first if the corpus ever grows
+    non-ASCII text.
+
+    Scale: one window sort per source partition; the quadratic
+    per-pair DP cost is bounded by document length, not corpus size,
+    and rows never leave their executor after the shuffle."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prev_text = F.lag("text").over(w)
+    prev_id = F.lag("doc_id").over(w)
+    return (
+        docs.select(
+            "source",
+            prev_id.alias("prev_id"),
+            F.col("doc_id"),
+            F.levenshtein(prev_text, F.col("text")).alias("edit_dist"),
+        )
+        .where(F.col("prev_id").isNotNull())
+        .select(
+            "source",
+            F.col("prev_id").cast("long").alias("prev_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+EDIT_DIST_SQL = """
+WITH lagged AS (
+  SELECT source,
+         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_id,
+         lag(text) OVER (PARTITION BY source ORDER BY doc_id) AS prev_text,
+         doc_id, text
+  FROM documents)
+SELECT source, prev_id::BIGINT AS prev_id, doc_id::BIGINT AS doc_id,
+       levenshtein(prev_text, text)::INT AS edit_dist
+FROM lagged WHERE prev_id IS NOT NULL
+"""
+
+TEXT_ORACLES["edit_distance_pairs"] = EDIT_DIST_SQL

@@ -732,3 +732,23 @@ def test_prefix_filter_actually_prunes_candidates(spark):
         .count()
     )
     assert 0 < pref_cand < all_cand
+
+
+def test_edit_distance_engines_agree_and_ascii_assumption_holds(spark):
+    """Spark's levenshtein is codepoint-based, DuckDB's byte-based —
+    the oracle pairing is only valid while the corpus is ASCII.  Pin
+    both facts: the corpus has no non-ASCII text, and on a known
+    non-ASCII example the two engines genuinely differ (so the guard
+    is not vacuous)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_bad = docs.where(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert n_bad == 0
+    spark_d = (
+        spark.range(1)
+        .select(F.levenshtein(F.lit("açé"), F.lit("ace")).alias("d"))
+        .first()["d"]
+    )
+    duck_d = duckdb.sql("SELECT levenshtein('açé', 'ace')").fetchone()[0]
+    assert spark_d == 2 and duck_d == 4  # codepoints vs bytes
