@@ -125,3 +125,20 @@ def pruning_fraction_range(path: str, col: str, lo, hi) -> float:
         return 0.0
     pruned = sum(1 for gmin, gmax in ranges if hi < gmin or lo > gmax)
     return pruned / len(ranges)
+
+
+def write_partitioned(df: DataFrame, path: str, col: str) -> None:
+    """Hive-style directory partitioning on ``col`` — the layout that
+    lets Catalyst prune whole partitions at PLAN time (static filters)
+    and at RUN time (dynamic partition pruning: a selective dim-side
+    filter on a join against the partition column is turned into a
+    ``dynamicpruningexpression`` partition filter on the fact scan, so
+    only the joined days' directories are ever listed or read).
+
+    This is the tier store's directory discipline generalized: at
+    100 TB, day-partitioned facts + DPP mean a 3-day dim filter reads
+    3/365ths of the table with no manual predicate copying.  The
+    pruning requires the dim side to be a real source with a filter
+    (not a local relation) — pinned by the plan gate in
+    tests/test_layout.py."""
+    df.write.partitionBy(col).parquet(path)

@@ -99,3 +99,44 @@ def test_zorder_preserves_rows_and_validates(spark, tmp_path):
         layout.zorder_by(df, [], bits=8)
     with _pytest.raises(ValueError):
         layout.zorder_by(df, ["user_id", "value"], bits=32)
+
+
+def test_dynamic_partition_pruning_fires_on_day_join(spark, tmp_path):
+    """A selective dim filter joined on the partition column must
+    become a dynamicpruningexpression PartitionFilter on the fact
+    scan — run-time pruning, no manual predicate copying."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import layout
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).withColumn("d", F.to_date("ts"))
+    fact_path = str(tmp_path / "fact")
+    layout.write_partitioned(ev, fact_path, "d")
+    dim_path = str(tmp_path / "dim")
+    rows = [
+        (f"2024-01-{i:02d}", "keep" if i in (3, 5, 9) else "drop")
+        for i in range(1, 31)
+    ]
+    spark.createDataFrame(rows, "ds string, tag string").select(
+        F.to_date("ds").alias("d"), "tag"
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    j = fact.join(dim, "d").groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "dynamicpruningexpression" in m.group(0)
+    # and the result is the plain-join answer (pruning lost nothing)
+    got = {r["tag"]: r["n"] for r in j.collect()}
+    exp = (
+        ev.where(F.to_date("ts").isin("2024-01-03", "2024-01-05", "2024-01-09"))
+        .count()
+    )
+    assert got == {"keep": exp}
