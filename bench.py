@@ -150,6 +150,14 @@ BENCH_QUERIES = [
     "sequence_packing",
     "knn_int8",
     "split_leakage_audit",
+    # round-4 extra session: iterative clustering, DP alignment,
+    # exact-complete prefix-filtered ssjoin, isotonic fit, and the
+    # codegen edit-distance window
+    "kmeans_embeddings",
+    "dtw_profile_pairs",
+    "dedup_jaccard_prefix",
+    "isotonic_trend",
+    "edit_distance_pairs",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
