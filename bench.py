@@ -490,6 +490,62 @@ def main() -> None:
     times["layout_scan_plain"] = round(t_lplain, 3)
     times["layout_scan_clustered"] = round(t_lclust, 3)
 
+    # -- exact-complete ssjoin pruning, quantified DETERMINISTICALLY
+    # (like the layout pruning fractions — candidate COUNTS, not
+    # timing: at bench scale both joins are stage-overhead-bound, and
+    # this corpus's tiny shared vocabulary is the worst case for
+    # prefix selectivity; the count ratio is the number that scales).
+    # Same verified output rows either way (pytest-gated equality).
+    from pyconform_spark import textops as topsmod
+
+    docs_b = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs_b.count()
+    t_ss = 0.5
+    sh_b = docs_b.select(
+        "doc_id", F.explode(topsmod.shingles(F.col("text"))).alias("sh")
+    )
+    n_all_cand = (
+        sh_b.alias("a")
+        .join(
+            sh_b.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    from pyspark.sql import Window as _W
+
+    dfreq_b = sh_b.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pref_b = (
+        sh_b.join(dfreq_b, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(sizes_b, "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(t_ss * F.col("n_sh")) + 1
+        )
+    )
+    n_pfx_cand = (
+        pref_b.alias("a")
+        .join(
+            pref_b.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    docs_b.unpersist()
+
     # -- codec decode microbench (no Spark): worst-case random payloads
     # vs the constant-cadence fast path, in M pts/s.
     import numpy as np
@@ -531,6 +587,11 @@ def main() -> None:
                 ),
                 "window_skew_speedup": round(t_wplain / t_wchunk, 2),
                 "layout_scan_speedup": round(t_lplain / t_lclust, 2),
+                "ssjoin_allpairs_candidates": n_all_cand,
+                "ssjoin_prefix_candidates": n_pfx_cand,
+                "ssjoin_candidate_fraction": round(
+                    n_pfx_cand / max(n_all_cand, 1), 4
+                ),
                 "layout_prune_fraction_plain": round(prune_plain, 3),
                 "layout_prune_fraction_clustered": round(prune_clust, 3),
                 "ann_recall_single_bucket": round(rec_single, 3),
