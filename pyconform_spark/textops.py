@@ -1642,7 +1642,7 @@ def register_text_queries() -> dict[str, callable]:
         # the exhaustive audit twin (quadratic candidate stage)
         "dedup_jaccard_all_pairs": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         # exact-COMPLETE scale path: prefix-filtered candidates
-        "dedup_jaccard_prefix": lambda s, d: jaccard_prefix_pairs(_docs(s, d)),
+        "dedup_jaccard_prefix": lambda s, d: jaccard_prefix_pairs(_docs(s, d), 0.5),
         "dedup_simhash": lambda s, d: simhash32(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: simhash_near_pairs(_docs(s, d)),
         "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
@@ -1686,8 +1686,10 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
     "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),
     # the prefix-filtered join is exact-complete, so its oracle IS the
-    # exhaustive all-pairs SQL — agreement proves zero candidate loss
-    "dedup_jaccard_prefix": ngram_jaccard_pairs_sql(),
+    # exhaustive all-pairs SQL — agreement proves zero candidate loss.
+    # Registered at t=0.5, the near-dup operating point where the
+    # prefix actually prunes (t=0.2 keeps ~80% of every prefix).
+    "dedup_jaccard_prefix": ngram_jaccard_pairs_sql(0.5),
     "dedup_simhash": simhash32_sql(),
     "dedup_simhash_pairs": simhash_near_pairs_sql(),
     "text_token_stats": token_stats_sql(),
