@@ -2440,9 +2440,12 @@ def jaccard_prefix_pairs(
     The completeness invariant (result == the exhaustive all-pairs
     join, bit-for-bit) is pytest-gated, and the registered driver
     query's oracle IS the exhaustive all-pairs SQL."""
+    # the exploded shingle frame feeds df counts, per-doc sizes AND
+    # the ranked prefix — one lazy persist, one raw scan (at 10^12
+    # docs use DISK_ONLY; the frame is corpus x ~shingles wide)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    )
+    ).persist()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "sh").withColumn(
         "pos",
