@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     "isotonic_trend",
     "edit_distance_pairs",
+    "dyadic_rank_sketch",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -3142,3 +3142,59 @@ ORACLES["isotonic_trend"] = _iso_sql(
     "SELECT event_type AS series, date_trunc('day', ts) AS d, "
     "sum(floor(value * 100)::BIGINT)::BIGINT AS y FROM events GROUP BY 1, 2"
 )
+
+
+# ------------------------------------- dyadic Count-Min rank sketch
+def _dyadic_rank_sql() -> str:
+    from pyconform_spark.queries import (
+        _DY_D,
+        _DY_L,
+        _DY_PROBES,
+        _DY_W,
+        _dy_bucket,
+        _dyadic_cells,
+    )
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {l} AS l, "
+        f"(md5_number_lower('dy{r}|{l}|' || (vq >> {l})::VARCHAR) "
+        f"% {_DY_W})::BIGINT AS b FROM ev"
+        for r in range(_DY_D)
+        for l in range(_DY_L)
+    )
+    pc_rows = ",\n    ".join(
+        f"({p}, {r}, {l}, {prefix}, {_dy_bucket(r, l, prefix)})"
+        for p in _DY_PROBES
+        for (l, prefix) in _dyadic_cells(p)
+        for r in range(_DY_D)
+    )
+    probes = ", ".join(f"({p})" for p in _DY_PROBES)
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT floor(value * 100)::BIGINT AS vq FROM events),
+cells AS ({branches}),
+sketch AS (
+  SELECT r, l, b, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2, 3),
+pc AS (SELECT * FROM (VALUES
+    {pc_rows}
+  ) t(probe_vq, r, l, prefix, b)),
+cell_est AS (
+  SELECT probe_vq, l, prefix,
+         min(coalesce(s.cnt, 0)) AS cell_est
+  FROM pc LEFT JOIN sketch s USING (r, l, b)
+  GROUP BY 1, 2, 3),
+est AS (
+  SELECT probe_vq, sum(cell_est)::BIGINT AS est_rank
+  FROM cell_est GROUP BY 1),
+probes AS (SELECT * FROM (VALUES {probes}) t(probe_vq)),
+exact AS (
+  SELECT p.probe_vq,
+         sum(CASE WHEN ev.vq < p.probe_vq THEN 1 ELSE 0 END)::BIGINT
+           AS exact_rank
+  FROM ev, probes p GROUP BY 1)
+SELECT est.probe_vq::BIGINT AS probe_vq, est_rank, exact_rank
+FROM est JOIN exact USING (probe_vq)
+"""
+
+
+ORACLES["dyadic_rank_sketch"] = _dyadic_rank_sql()

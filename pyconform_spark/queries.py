@@ -5890,3 +5890,139 @@ def isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return isotonic_fit(daily).orderBy("series", "d")
+
+
+# ---------------------------------------- dyadic Count-Min rank sketch
+_DY_L = 16    # dyadic levels: value domain [0, 2^16) centi-units
+_DY_D = 2     # hash rows per level
+_DY_W = 1024  # buckets per row
+_DY_PROBES = [100, 1000, 5000, 10000, 20000, 40000]
+
+
+def _dy_bucket(r: int, level: int, prefix: int) -> int:
+    """Python twin of the build-side md5 bucket (DuckDB
+    md5_number_lower == little-endian lower 8 digest bytes —
+    verified), used to pre-compute the probe cells' buckets."""
+    import hashlib
+
+    digest = hashlib.md5(f"dy{r}|{level}|{prefix}".encode()).digest()
+    return int.from_bytes(digest[8:16], "little") % _DY_W
+
+
+def _dyadic_cells(v: int) -> list[tuple[int, int]]:
+    """Decompose [0, v) into <= L complete dyadic cells as
+    (level, prefix) pairs — shared by the Spark plan and the SQL twin
+    so both engines read the SAME sketch cells."""
+    out, cur = [], 0
+    for level in range(_DY_L - 1, -1, -1):
+        if (v >> level) & 1:
+            out.append((level, cur >> level))
+            cur += 1 << level
+    return out
+
+
+def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (count of values below a probe) answered from a DYADIC
+    Count-Min sketch — the hierarchical sketch family (Cormode &
+    Muthukrishnan 2005, public) that serves arbitrary range counts and
+    quantiles WITHOUT pre-chosen buckets: one CMS per power-of-two
+    level, rank(v) = sum of the <= L dyadic cells covering [0, v),
+    each estimated as min over d salted md5 rows.
+
+    Everything is deterministic integer arithmetic (same md5 lattice
+    as ``cms_user_counts``), so the DuckDB twin is value-hash exact;
+    the exact rank rides along to expose the one-sided overestimate.
+    Cells are ADDITIVE — per-day sketches sum-merge into exactly the
+    global sketch (pytest-gated), which is what makes this a tier
+    sketch: days merge to months with no re-scan.
+
+    Scale shape: the build is one projection exploding L*d cell
+    structs per row into a combiner-bounded hash agg (at most
+    L*d*W = 32k groups leave the map side, regardless of corpus
+    size); probes are literal frames; no per-row Python anywhere."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+
+    def h(r: int, level: Column, prefix: Column) -> Column:
+        from pyconform_spark.textops import md5_lower64
+
+        return (
+            md5_lower64(
+                F.concat(
+                    F.lit(f"dy{r}|"),
+                    level.cast("string"),
+                    F.lit("|"),
+                    prefix.cast("string"),
+                )
+            )
+            % _DY_W
+        ).cast("long")
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    F.lit(level).cast("int").alias("l"),
+                    h(
+                        r,
+                        F.lit(level),
+                        F.shiftright(vq, level),
+                    ).alias("b"),
+                )
+                for r in range(_DY_D)
+                for level in range(_DY_L)
+            ]
+        )
+    )
+    sketch = (
+        df.select(cells.alias("c"))
+        .select("c.r", "c.l", "c.b")
+        .groupBy("r", "l", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # probe decompositions are tiny literal frames; the bucket index
+    # is PRE-COMPUTED in Python with the same md5 the build uses, so
+    # the join is a plain equi-join on (r, l, b)
+    probe_rows = [
+        (p, r, level, prefix, _dy_bucket(r, level, prefix))
+        for p in _DY_PROBES
+        for (level, prefix) in _dyadic_cells(p)
+        for r in range(_DY_D)
+    ]
+    pc = spark.createDataFrame(
+        probe_rows, "probe_vq long, r int, l int, prefix long, b long"
+    )
+    est = (
+        pc.join(F.broadcast(sketch), ["r", "l", "b"], "left")
+        .select(
+            "probe_vq",
+            "l",
+            "prefix",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        # min over the d hash rows PER CELL (probe, level, prefix)...
+        .groupBy("probe_vq", "l", "prefix")
+        .agg(F.min("cnt").alias("cell_est"))
+        # ...then sum the <= L covering cells
+        .groupBy("probe_vq")
+        .agg(F.sum("cell_est").cast("long").alias("est_rank"))
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _DY_PROBES], "probe_vq long"
+    )
+    exact = (
+        df.select(vq.alias("vq"))
+        .crossJoin(F.broadcast(probes))
+        .groupBy("probe_vq")
+        .agg(
+            F.sum(F.when(F.col("vq") < F.col("probe_vq"), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_rank")
+        )
+    )
+    return (
+        est.join(exact, "probe_vq")
+        .select("probe_vq", "est_rank", "exact_rank")
+        .orderBy("probe_vq")
+    )

@@ -536,3 +536,71 @@ def test_isotonic_matches_minimax_bruteforce(spark):
         exp.append(best)
     assert got == exp
     assert all(x <= y for x, y in zip(got, got[1:]))
+
+
+def test_dyadic_sketch_is_one_sided_and_tight(spark):
+    from pyconform_spark import queries as Q
+
+    rows = Q.dyadic_rank_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(Q._DY_PROBES)
+    for r in rows:
+        assert r["est_rank"] >= r["exact_rank"]  # CMS never undercounts
+        # d=2 x w=1024 on 1k rows: collisions should stay tiny
+        assert r["est_rank"] - r["exact_rank"] <= 0.05 * 1000 + 16
+
+
+def test_dyadic_sketch_cells_merge_exactly_across_days(spark):
+    """The tier-merge property: per-day sketches summed cell-wise ARE
+    the global sketch — bit-for-bit, because cells are plain counts."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark.queries import _DY_D, _DY_L, _DY_W
+    from pyconform_spark.textops import md5_lower64
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    vq = F.floor(F.col("value") * 100).cast("long")
+
+    def h(r, level):
+        return (
+            md5_lower64(
+                F.concat(
+                    F.lit(f"dy{r}|"),
+                    F.lit(level).cast("string"),
+                    F.lit("|"),
+                    F.shiftright(vq, level).cast("string"),
+                )
+            )
+            % _DY_W
+        ).cast("long")
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(level).alias("l"),
+                    h(r, level).alias("b"),
+                )
+                for r in range(_DY_D)
+                for level in range(_DY_L)
+            ]
+        )
+    )
+    base = df.select(F.to_date("ts").alias("day"), cells.alias("c")).select(
+        "day", "c.r", "c.l", "c.b"
+    )
+    direct = {
+        (r["r"], r["l"], r["b"]): r["cnt"]
+        for r in base.groupBy("r", "l", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    merged = {
+        (r["r"], r["l"], r["b"]): r["cnt"]
+        for r in base.groupBy("day", "r", "l", "b")
+        .agg(F.count(F.lit(1)).alias("day_cnt"))
+        .groupBy("r", "l", "b")
+        .agg(F.sum("day_cnt").alias("cnt"))
+        .collect()
+    }
+    assert direct == merged and len(direct) > 0
