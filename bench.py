@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "isotonic_trend",
     "edit_distance_pairs",
     "dyadic_rank_sketch",
+    "attribution_credit",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

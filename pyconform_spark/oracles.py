@@ -3198,3 +3198,30 @@ FROM est JOIN exact USING (probe_vq)
 
 
 ORACLES["dyadic_rank_sketch"] = _dyadic_rank_sql()
+
+ORACLES["attribution_credit"] = """
+WITH touches AS (
+  SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+convs AS (
+  SELECT user_id, ts AS conv_ts, event_id AS conv_id
+  FROM events WHERE event_type = 'purchase'),
+paired AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM convs c JOIN touches t USING (user_id)
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+ranked AS (
+  SELECT conv_id, channel,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts DESC, touch_id DESC) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_touch
+  FROM paired)
+SELECT channel,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS conv_last_touch,
+       sum(1000000000000 // n_touch)::BIGINT AS linear_credit_1e12,
+       (sum(1000000000000 // n_touch)::BIGINT)::DOUBLE / 1000000000000
+         AS linear_credit
+FROM ranked GROUP BY channel
+"""

@@ -6026,3 +6026,73 @@ def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_vq", "est_rank", "exact_rank")
         .orderBy("probe_vq")
     )
+
+
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution over the event stream: every 'purchase'
+    is attributed to the click/view/signup touches of the SAME user in
+    the preceding 7 days — last-touch (the as-of pick) and linear
+    multi-touch (each touch gets 1/n of the conversion).
+
+    Exactness discipline: the 1/n credits are staged as
+    ``floor(1e12 / n)`` BIGINTs so the per-channel totals are integer
+    sums (order-independent — a float credit sum would depend on
+    reduction order); the one double division happens after the
+    aggregate.  Ties inside a window break on (ts, event_id), both
+    engines alike.
+
+    Scale shape: the touch-window pair join is per-user and
+    time-banded (touches per user per 7 days is bounded by activity,
+    not corpus size); everything after is hash aggs.  At 10^12 events
+    pre-bucket both sides by user_id (operators.bucketing) and the
+    join is shuffle-free."""
+    df = _events(spark, sf_dir)
+    touches = df.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = df.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    paired = convs.join(touches, "user_id").where(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    ranked = paired.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n_touch"),
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("conv_last_touch"),
+            F.sum(F.expr("1000000000000 div n_touch"))
+            .cast("long")
+            .alias("linear_credit_1e12"),
+        )
+        .select(
+            "channel",
+            "conv_last_touch",
+            "linear_credit_1e12",
+            (F.col("linear_credit_1e12") / F.lit(1_000_000_000_000)).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -604,3 +604,32 @@ def test_dyadic_sketch_cells_merge_exactly_across_days(spark):
         .collect()
     }
     assert direct == merged and len(direct) > 0
+
+
+def test_attribution_hand_case(spark, tmp_path):
+    """Two touches before one purchase: last-touch goes to the later
+    channel, linear splits 50/50 (exactly 0.5 each via the 1e12
+    integer staging); a touch AFTER the purchase earns nothing."""
+    import datetime as dt
+
+    from pyconform_spark import queries as Q
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 10, "view", 0.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 10, "purchase", 9.9, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 10, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    out = {
+        r["channel"]: (r["conv_last_touch"], r["linear_credit"])
+        for r in Q.attribution_credit(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": (0, 0.5), "view": (1, 0.5)}
