@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "dyadic_rank_sketch",
     "attribution_credit",
+    "novelty_curve",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -1677,6 +1677,7 @@ def register_text_queries() -> dict[str, callable]:
         "sequence_packing": lambda s, d: sequence_packing(_docs(s, d)),
         "split_leakage_audit": lambda s, d: split_leakage_audit(_docs(s, d)),
         "edit_distance_pairs": lambda s, d: edit_distance_consecutive(_docs(s, d)),
+        "novelty_curve": lambda s, d: novelty_curve(_docs(s, d)),
     }
 
 
@@ -2531,3 +2532,53 @@ FROM lagged WHERE prev_id IS NOT NULL
 """
 
 TEXT_ORACLES["edit_distance_pairs"] = EDIT_DIST_SQL
+
+
+# ------------------------------------------------------------- novelty
+def novelty_curve(docs: DataFrame) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    whose FIRST occurrence (min doc_id over the corpus) is this doc —
+    the diminishing-returns curve a crawl dedup pipeline watches to
+    decide when more of a source stops adding information.
+
+    Exact: counts are integers, novelty is one double division.
+    Scale: one exploded-shingle agg for first-owners (combiner-bound
+    on shingle), one per-doc agg, one equi-join — no windows, nothing
+    broadcast that grows with the corpus."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+    )
+
+
+TEXT_ORACLES["novelty_curve"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({{sh}}) AS sh FROM documents),
+first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       (sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT)
+         ::DOUBLE / count(*) AS novelty
+FROM sh s JOIN first f USING (sh)
+GROUP BY s.doc_id
+""".format(sh=shingles_sql())

@@ -752,3 +752,21 @@ def test_edit_distance_engines_agree_and_ascii_assumption_holds(spark):
     )
     duck_d = duckdb.sql("SELECT levenshtein('açé', 'ace')").fetchone()[0]
     assert spark_d == 2 and duck_d == 4  # codepoints vs bytes
+
+
+def test_novelty_first_doc_owns_everything(spark):
+    """doc 0 sees every shingle first -> novelty 1.0; an exact copy
+    later -> novelty 0.0; a half-new doc sits strictly between."""
+    rows = [
+        (0, "a b c d e f", "en", "s", 11),
+        (1, "a b c d e f", "en", "s", 11),
+        (2, "a b c x y z", "en", "s", 11),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in textops.novelty_curve(docs).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert 0.0 < out[2]["novelty"] < 1.0
+    assert out[2]["n_novel"] == out[2]["n_shingles"] - 1  # only 'a b c' seen
