@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "dyadic_rank_sketch",
     "attribution_credit",
     "novelty_curve",
+    "record_breaks",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -3225,3 +3225,17 @@ SELECT channel,
          AS linear_credit
 FROM ranked GROUP BY channel
 """
+
+ORACLES["record_breaks"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         floor(value * 100)::BIGINT AS vq,
+         max(floor(value * 100)::BIGINT) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events)
+SELECT event_type, ts, event_id::BIGINT AS event_id,
+       vq AS record_vq, prev_max AS prev_record_vq,
+       (vq - coalesce(prev_max, 0))::BIGINT AS gap_vq
+FROM base WHERE prev_max IS NULL OR vq > prev_max
+"""

@@ -6096,3 +6096,44 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time-high detection per event type — the 'new record' alert
+    every monitoring stack ships: an event is a record iff its
+    centi-quantized value strictly exceeds every earlier value of the
+    series (earlier = (ts, event_id) lexicographic, so ties in ts are
+    deterministic).  One type-partitioned window sort; the running max
+    is a rank-free frame aggregate, so no second pass.
+
+    Returns each record event with the previous record it beat and
+    the gap — integer-exact."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        "event_type",
+        "ts",
+        "event_id",
+        vq.alias("vq"),
+        F.max(vq).over(w).alias("prev_max"),
+    )
+    return (
+        base.where(
+            F.col("prev_max").isNull() | (F.col("vq") > F.col("prev_max"))
+        )
+        .select(
+            "event_type",
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("vq").alias("record_vq"),
+            F.col("prev_max").alias("prev_record_vq"),
+            (F.col("vq") - F.coalesce("prev_max", F.lit(0)))
+            .cast("long")
+            .alias("gap_vq"),
+        )
+    )
