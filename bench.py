@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "attribution_credit",
     "novelty_curve",
     "record_breaks",
+    "sequential_pattern_support",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

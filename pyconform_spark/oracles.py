@@ -3239,3 +3239,36 @@ SELECT event_type, ts, event_id::BIGINT AS event_id,
        (vq - coalesce(prev_max, 0))::BIGINT AS gap_vq
 FROM base WHERE prev_max IS NULL OR vq > prev_max
 """
+
+ORACLES["sequential_pattern_support"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR (epoch_ms(ts)//1000) - (epoch_ms(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))//1000)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, event_type, pos,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY pos)
+           AS session_id
+  FROM base),
+spans AS (
+  SELECT user_id, session_id, event_type,
+         min(pos) AS min_pos, max(pos) AS max_pos
+  FROM sess GROUP BY 1, 2, 3)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_cooccur,
+       sum(CASE WHEN a.min_pos < b.max_pos THEN 1 ELSE 0 END)::BIGINT
+         AS n_seq,
+       (sum(CASE WHEN a.min_pos < b.max_pos THEN 1 ELSE 0 END)::BIGINT)
+         ::DOUBLE / count(*) AS seq_ratio
+FROM spans a JOIN spans b
+  ON a.user_id = b.user_id AND a.session_id = b.session_id
+ AND a.event_type <> b.event_type
+GROUP BY 1, 2
+"""

@@ -6137,3 +6137,63 @@ def record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_vq"),
         )
     )
+
+
+def sequential_pattern_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential pattern mining (length-2, gap-tolerant): in how many
+    sessions does type A occur anywhere BEFORE type B?  This is the
+    ordering-sensitive sibling of ``cooccurrence_lift`` (set-level)
+    and the gap-tolerant sibling of ``transition_matrix`` (adjacent
+    only): 'exists a before b' ⟺ min_pos(A) < max_pos(B) inside the
+    session, where pos is the user-level row number — so the whole
+    mine needs ONE (user, ts) window sort (session ids and positions
+    share the same window spec), one hash agg to (session, type,
+    min_pos, max_pos), and a session-local pair join with bounded
+    |types| fanout.  All counts integer; the ratio is one division."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        t_s - prev.cast("timestamp").cast("long") > 1800
+    ) | prev.isNull()
+    sess_id = F.sum(new_sess.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = df.select(
+        "user_id",
+        sess_id.alias("session_id"),
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+    )
+    spans = st.groupBy("user_id", "session_id", "event_type").agg(
+        F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos")
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.session_id") == F.col("b.session_id"))
+        & (F.col("a.event_type") != F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        (F.col("a.min_pos") < F.col("b.max_pos")).cast("long").alias("seq"),
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cooccur"),
+            F.sum("seq").cast("long").alias("n_seq"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_cooccur",
+            "n_seq",
+            (F.col("n_seq") / F.col("n_cooccur")).alias("seq_ratio"),
+        )
+        .orderBy("type_a", "type_b")
+    )

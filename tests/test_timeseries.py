@@ -633,3 +633,31 @@ def test_attribution_hand_case(spark, tmp_path):
         for r in Q.attribution_credit(spark, str(tmp_path)).collect()
     }
     assert out == {"click": (0, 0.5), "view": (1, 0.5)}
+
+
+def test_sequential_pattern_orders_not_just_cooccurs(spark, tmp_path):
+    """One session with strict order a->b: (a,b) counts as sequential,
+    (b,a) co-occurs but is NOT sequential; a b-only session joins
+    neither pair."""
+    import datetime as dt
+
+    from pyconform_spark import queries as Q
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "b", 0.0, "{}"),
+        # > 30 min silence: new session, b only
+        (3, t0 + dt.timedelta(hours=2), 7, "b", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["type_a"], r["type_b"]): (r["n_cooccur"], r["n_seq"])
+        for r in Q.sequential_pattern_support(spark, str(tmp_path)).collect()
+    }
+    assert out == {("a", "b"): (1, 1), ("b", "a"): (1, 0)}
