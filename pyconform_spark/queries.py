@@ -5943,41 +5943,43 @@ def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
     vq = F.floor(F.col("value") * 100).cast("long")
 
-    def h(r: int, level: Column, prefix: Column) -> Column:
-        from pyconform_spark.textops import md5_lower64
+    # two nested explodes instead of one 32-struct array: the md5
+    # bucket expression then appears ONCE in the plan — the inlined
+    # variant generated >64 KB of janino code and fell back to
+    # interpreted evaluation (the sweep log caught it)
+    from pyconform_spark.textops import md5_lower64
 
-        return (
-            md5_lower64(
-                F.concat(
-                    F.lit(f"dy{r}|"),
-                    level.cast("string"),
-                    F.lit("|"),
-                    prefix.cast("string"),
-                )
-            )
-            % _DY_W
-        ).cast("long")
-
-    cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).cast("int").alias("r"),
-                    F.lit(level).cast("int").alias("l"),
-                    h(
-                        r,
-                        F.lit(level),
-                        F.shiftright(vq, level),
-                    ).alias("b"),
-                )
-                for r in range(_DY_D)
-                for level in range(_DY_L)
-            ]
+    lv = (
+        df.select(vq.alias("vq"))
+        .select(
+            "vq",
+            F.explode(
+                F.array(*[F.lit(x).cast("int") for x in range(_DY_L)])
+            ).alias("l"),
+        )
+        .select(
+            "l",
+            F.expr("shiftright(vq, l)").cast("long").alias("prefix"),
+            F.explode(
+                F.array(*[F.lit(x).cast("int") for x in range(_DY_D)])
+            ).alias("r"),
         )
     )
+    bucket = (
+        md5_lower64(
+            F.concat(
+                F.lit("dy"),
+                F.col("r").cast("string"),
+                F.lit("|"),
+                F.col("l").cast("string"),
+                F.lit("|"),
+                F.col("prefix").cast("string"),
+            )
+        )
+        % _DY_W
+    ).cast("long")
     sketch = (
-        df.select(cells.alias("c"))
-        .select("c.r", "c.l", "c.b")
+        lv.select("r", "l", bucket.alias("b"))
         .groupBy("r", "l", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
