@@ -3272,3 +3272,50 @@ FROM spans a JOIN spans b
  AND a.event_type <> b.event_type
 GROUP BY 1, 2
 """
+
+
+ORACLES["scd2_dim_join"] = """
+WITH ch AS (
+  SELECT user_id, ts, max(floor(value * 100)::BIGINT) AS plan_q
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+dim AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts)::INT
+           AS scd_version,
+         plan_q
+  FROM ch),
+f AS (
+  SELECT user_id, ts, event_id::BIGINT AS event_id
+  FROM events WHERE event_type = 'purchase')
+SELECT f.user_id, f.ts, f.event_id,
+       d.plan_q AS plan_q, d.scd_version AS scd_version
+FROM f LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+ORACLES["cdc_apply_latest"] = """
+WITH cdc AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts AS last_ts,
+       event_id AS last_event_id, vq AS last_vq
+FROM cdc WHERE rn = 1 AND op = 'U'
+"""
+
+
+ORACLES["ivm_join_view"] = """
+SELECT c.c_mktsegment,
+       date_trunc('month', o.o_orderdate) AS order_month,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""

@@ -6199,3 +6199,138 @@ def sequential_pattern_support(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) join (operators/scd.py):
+    signup events are the per-user plan CHANGE LOG (plan_q =
+    centi-quantized signup value, duplicates pre-aggregated),
+    expanded to validity intervals; every purchase joins the plan (and
+    change ordinal) in effect at its event time — the warehouse
+    pattern for dimensions that change under the facts (a user's
+    plan, a tool's version, a conversation's routing config).
+
+    The Spark path collapses the interval join to a backward as-of
+    join (union-sort: one shuffle, one key-local sort, linear — never
+    a range cross-join); the DuckDB twin is the EXPLICIT
+    ``valid_from <= ts < valid_to`` interval join, so the green row
+    proves the collapse equals interval semantics, including the
+    closed-open tie rule (a purchase AT the change instant sees the
+    NEW plan) and left semantics (purchases before the first signup
+    keep NULL plan).  EXACT cross-engine: integer plan_q, integer
+    version ordinals, timestamps compared at parquet precision."""
+    from pyconform_spark.operators import scd
+
+    df = _events(spark, sf_dir)
+    changes = (
+        df.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.floor(F.col("value") * 100).cast("long")).alias("plan_q"))
+    )
+    facts = df.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").cast("long").alias("event_id")
+    )
+    out = scd.scd2_join(facts, changes, ["user_id"], "ts", "ts", ["plan_q"])
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("asof_plan_q").cast("long").alias("plan_q"),
+        F.col("asof_scd_version").cast("int").alias("scd_version"),
+    )
+
+
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / latest-wins upsert (SCD type 1, the MERGE INTO a
+    lakehouse runs to materialize a change stream): events are a CDC
+    feed keyed by (user_id, event_type), version-ordered by
+    (ts, event_id), with op = DELETE on every 10th event_id else
+    UPSERT.  Final table state = the latest version per key, dropped
+    if that version is a delete.
+
+    Scale shape — the reason this is NOT a window query: latest-wins
+    is ``max(struct(version, payload))``, an aggregate with MAP-SIDE
+    PARTIALS (each task reduces its slice to |local keys| rows before
+    the shuffle — Spark plans SortAggregate for struct buffers, so the
+    sorts are partition-local over already-reduced rows), where the
+    row_number() formulation the oracle uses would SHUFFLE the full
+    feed.  At 100 TB of CDC history the partial-agg form moves |keys|
+    rows across the wire, not |events| — plan-gated in
+    tests/test_ivm_scd.py.  EXACT: version compares integer micros
+    then unique event_id; the payload rides the struct."""
+    df = _events(spark, sf_dir)
+    cdc = df.select(
+        "user_id",
+        "event_type",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.floor(F.col("value") * 100).cast("long").alias("vq"),
+            F.col("ts").alias("ts"),
+        ).alias("ver"),
+    )
+    latest = cdc.groupBy("user_id", "event_type").agg(
+        F.max("ver").alias("last")
+    )
+    return latest.where(F.col("last.op") == "U").select(
+        "user_id",
+        "event_type",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.vq").alias("last_vq"),
+    )
+
+
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained join view (operators/ivm.py): revenue
+    per (market segment, order month) — orders broadcast-joined to
+    customer — materialized from the pre-1997 facts, then brought
+    current by APPLYING grouped deltas, never rescanning the base:
+    (1) insert the 1997+ orders, (2) retract one segment-month slice,
+    (3) re-insert the same slice.  The retract/re-insert roundtrip
+    forces the negative-delta path through the same algebra, so the
+    oracle — a plain GROUP BY over ALL orders — proves insert AND
+    retraction maintenance exactly (counts ride along so a
+    fully-retracted group would delete, not linger at zero).
+
+    Scale shape: maintenance cost is O(delta + |view|), independent
+    of history size; measures stay DECIMAL through every merge
+    (float addition is not associative) and cast to double once at
+    the edge.  This is pipeline.run's tier-cascade algebra made an
+    oracle-checked operator."""
+    from pyconform_spark.operators import ivm
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.col("o_totalprice").cast("decimal(20,6)").alias("price"),
+    )
+    split = "1997-01-01"
+    keys = ["c_mktsegment", "order_month"]
+    measures = {"revenue": "price"}
+    base = ivm.agg_delta(
+        enriched.where(F.col("order_month") < F.lit(split)), keys, measures
+    )
+    delta = enriched.where(F.col("order_month") >= F.lit(split))
+    view = ivm.apply(base, ivm.agg_delta(delta, keys, measures), keys, ["revenue"])
+    slice_pred = (F.col("c_mktsegment") == "BUILDING") & (
+        F.col("order_month") >= F.lit(split)
+    )
+    sl = enriched.where(slice_pred)
+    view = ivm.apply(view, ivm.agg_delta(sl, keys, measures, sign=-1), keys, ["revenue"])
+    view = ivm.apply(view, ivm.agg_delta(sl, keys, measures), keys, ["revenue"])
+    return view.select(
+        "c_mktsegment",
+        "order_month",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("ivm_count").cast("long").alias("n_orders"),
+    )
