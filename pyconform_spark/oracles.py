@@ -3319,3 +3319,19 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+ORACLES["variant_props_rollup"] = """
+WITH x AS (
+  SELECT event_type,
+         json_extract(props, '$.k')::INT AS k,
+         json_extract(props, '$.missing')::INT AS m
+  FROM events)
+SELECT event_type,
+       count(*)::BIGINT AS n_rows,
+       sum(k)::BIGINT AS k_sum,
+       max(k)::INT AS k_max,
+       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+       count(m)::BIGINT AS n_missing_path
+FROM x GROUP BY 1
+"""

@@ -6334,3 +6334,37 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.col("ivm_count").cast("long").alias("n_orders"),
     )
+
+
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through Spark 4's VARIANT type: the
+    events ``props`` JSON is parsed ONCE per row into the binary
+    variant encoding (``parse_json``) and every downstream extraction
+    is a typed ``variant_get`` — the scale path for JSON-heavy
+    transcript payloads, where N ``get_json_object`` calls re-parse
+    the string N times but N variant_gets walk an already-decoded
+    tree (json_extract_props is the string-path sibling).
+
+    Missing paths surface as NULLs (``try_variant_get`` semantics
+    exercised by the ``$.missing`` extraction, which must count 0
+    everywhere), proving absent-key behavior matches SQL JSON
+    semantics.  Per event_type: row count, sum/max of the extracted
+    integer, rows where k > 50, and non-null count of the missing
+    path.  EXACT cross-engine: all integers."""
+    df = _events(spark, sf_dir)
+    v = df.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "int")
+    return (
+        v.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("int").alias("k_max"),
+            F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_big"),
+            F.count("m").cast("long").alias("n_missing_path"),
+        )
+    )

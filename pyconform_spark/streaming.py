@@ -1164,3 +1164,88 @@ def stream_conversion_join(
         .alias("delay_s"),
         "purchase_value",
     )
+
+
+def stream_cdc_view(
+    stream: DataFrame,
+    root: str,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+    checkpoint: str | None = None,
+):
+    """Streaming CDC consumer that maintains an aggregate view under
+    inserts AND deletes — the maintenance mode watermarked window
+    rollups cannot express (a delete must RETRACT from its group,
+    while append-mode aggregation only ever adds).
+
+    Each micro-batch reduces to a SIGNED grouped delta
+    (operators/ivm.py algebra: +value/+1 per insert row, -value/-1
+    per delete row — one map-side-combined aggregate over the batch
+    only), applies it to the latest persisted view, and lands the new
+    view under ``cdc_view/batch=<id>`` — the full view is |keys| rows,
+    so rewriting it per batch is O(view), never O(history).
+
+    Exactly-once under foreachBatch's at-least-once replay: batch N
+    always merges onto the newest view with id < N and OVERWRITES its
+    own directory, so a replayed batch recomputes the identical
+    result instead of double-applying; readers take the max batch id
+    (:func:`read_cdc_view`).  Fully-retracted groups disappear (counts
+    decide existence, not sums).  Measures must be exact types —
+    the view is bit-equal to a batch recompute over the net rows,
+    parity-gated in tests/test_streaming.py."""
+    import os
+
+    from pyconform_spark.operators import ivm
+
+    base = os.path.join(root, "cdc_view")
+
+    def _prev_view(spark, before: int):
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) < before
+        ]
+        if not ids:
+            return None
+        return spark.read.parquet(os.path.join(base, f"batch={max(ids)}"))
+
+    def _apply_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+        signed = df.select(
+            *keys,
+            (F.col(value_col) * sign).alias("_sv"),
+            sign.alias("_s"),
+        )
+        delta = signed.groupBy(*keys).agg(
+            F.sum("_sv").cast("decimal(38,6)").alias("total"),
+            F.sum("_s").cast("long").alias("ivm_count"),
+        )
+        prev = _prev_view(spark, batch_id)
+        view = (
+            ivm.apply(prev, delta, keys, ["total"])
+            if prev is not None
+            else delta.where(F.col("ivm_count") > 0)
+        )
+        view.write.mode("overwrite").parquet(
+            os.path.join(base, f"batch={batch_id}")
+        )
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(_apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_cdc_view(spark, root: str) -> DataFrame:
+    """Latest committed CDC view (max batch id under ``cdc_view/``)."""
+    import os
+
+    base = os.path.join(root, "cdc_view")
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("batch=")
+    ]
+    return spark.read.parquet(os.path.join(base, f"batch={max(ids)}"))

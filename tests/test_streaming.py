@@ -961,3 +961,55 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
     want = _rows(streaming.stream_conversion_join(clicks_b, purch_b))
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_cdc_view_retracts_exactly(spark, tmp_path):
+    """The CDC view after an insert batch + a mixed insert/delete batch
+    equals a batch recompute over the NET rows: deleted keys shrink,
+    a fully-retracted key disappears, measures stay decimal-exact."""
+    from decimal import Decimal
+
+    src = str(tmp_path / "cdc_in")
+    root = str(tmp_path / "cdc_store")
+    ckpt = str(tmp_path / "cdc_ck")
+    schema = "k string, v decimal(20,6), op string"
+    b1 = spark.createDataFrame(
+        [("a", Decimal(3), "I"), ("a", Decimal(4), "I"),
+         ("b", Decimal(5), "I"), ("c", Decimal(9), "I")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming.stream_cdc_view(
+        stream, root, ["k"], "v", checkpoint=ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        after1 = {
+            r.k: (r.total, r.ivm_count)
+            for r in streaming.read_cdc_view(spark, root).collect()
+        }
+        # batch 2: delete one of a's rows, ALL of c, insert d
+        b2 = spark.createDataFrame(
+            [("a", Decimal(3), "D"), ("c", Decimal(9), "D"),
+             ("d", Decimal(7), "I")],
+            schema,
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert after1["a"] == (Decimal("7.000000"), 2)
+    got = {
+        r.k: (r.total, r.ivm_count)
+        for r in streaming.read_cdc_view(spark, root).collect()
+    }
+    assert got == {
+        "a": (Decimal("4.000000"), 1),
+        "b": (Decimal("5.000000"), 1),
+        "d": (Decimal("7.000000"), 1),
+    }  # c fully retracted -> gone
