@@ -3335,3 +3335,51 @@ SELECT event_type,
        count(m)::BIGINT AS n_missing_path
 FROM x GROUP BY 1
 """
+
+
+ORACLES["matrix_profile_series"] = """
+WITH b AS (
+  SELECT min(epoch_ms(ts)//1000 - (epoch_ms(ts)//1000) % 3600) AS mn,
+         max(epoch_ms(ts)//1000 - (epoch_ms(ts)//1000) % 3600) AS mx
+  FROM events),
+sl AS (SELECT DISTINCT event_type AS series FROM events),
+g0 AS (
+  SELECT sl.series, unnest(generate_series(b.mn, b.mx, 3600)) AS h_s
+  FROM sl, b),
+g AS (
+  SELECT series, h_s,
+         ((h_s - (SELECT mn FROM b)) // 3600)::INT AS pos
+  FROM g0),
+vv AS (
+  SELECT event_type AS series,
+         epoch_ms(ts)//1000 - (epoch_ms(ts)//1000) % 3600 AS h_s,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS vq
+  FROM events GROUP BY 1, 2),
+sv AS (
+  SELECT g.series, g.pos, g.h_s, coalesce(vv.vq, 0)::BIGINT AS v
+  FROM g LEFT JOIN vv USING (series, h_s)),
+n AS (SELECT max(pos) + 1 AS n FROM sv),
+wk AS (
+  SELECT sv.series, sv.pos - t.k AS w, t.k, sv.v
+  FROM sv, generate_series(0, 23) AS t(k)
+  WHERE sv.pos - t.k BETWEEN 0 AND (SELECT n FROM n) - 24),
+d AS (
+  SELECT a.series, a.w AS i, bb.w AS j,
+         sum((a.v - bb.v) * (a.v - bb.v))::BIGINT AS dist
+  FROM wk a JOIN wk bb
+    ON bb.series = a.series AND bb.k = a.k AND bb.w >= a.w + 24
+  GROUP BY 1, 2, 3),
+p AS (
+  SELECT series, i AS w, j AS nb, dist FROM d
+  UNION ALL
+  SELECT series, j AS w, i AS nb, dist FROM d),
+r AS (
+  SELECT series, w, nb, dist,
+         row_number() OVER (PARTITION BY series, w
+                            ORDER BY dist, nb) AS rn
+  FROM p)
+SELECT r.series, make_timestamp(sv.h_s * 1000000) AS window_start,
+       r.w::INT AS pos, r.dist AS mp_dist, r.nb::INT AS nn_pos
+FROM r JOIN sv ON sv.series = r.series AND sv.pos = r.w
+WHERE r.rn = 1
+"""

@@ -5789,6 +5789,12 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     over the common denominator 2^30; score = num / (2^30 * 100) is
     ONE division of exact integers — bit-reproducible everywhere.
+    Domain bound (the ewma_smooth lesson): the shift is safe while
+    every per-user-day centi-sum stays under 2^33 (~86 billion
+    centi-units/day/user ≈ 10k events/sec at value 100 for a single
+    user, all day); past that the session's ANSI mode raises
+    ARITHMETIC_OVERFLOW rather than silently wrapping — widen vq
+    through DECIMAL(38,0) if a corpus ever legitimately crosses it.
     (The dyadic trick of ``ewma_smooth``, applied calendar-wise; a
     streaming twin would carry the bounded day->vq map as state.)
 
@@ -6367,4 +6373,60 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_big"),
             F.count("m").cast("long").alias("n_missing_path"),
         )
+    )
+
+
+def matrix_profile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile per event-type hourly series
+    (operators/matrixprofile.py): for every 24-hour window of each
+    type's centi-quantized hourly value series, the squared distance
+    to (and position of) its nearest non-trivial neighbor — minima
+    are recurring daily motifs, maxima are the most anomalous days,
+    one output serves both (the modern time-series primitive
+    motif_sax_pairs' bucketed pair search cannot answer).
+
+    The dense hourly grid (absent hours = 0) is built declaratively —
+    global bounds as a broadcast 1-row frame, sequence+explode per
+    series, NO driver action — and each series runs the O(n^2)
+    integer STOMP recurrence in one Arrow group.  EXACT cross-engine:
+    int64 squared distances, exclusion zone |i-j| >= 24, ties to the
+    smallest neighbor; the DuckDB twin unrolls windows to (w, k) rows
+    and takes min-by over one equi-join on k."""
+    from pyconform_spark.operators import matrixprofile
+
+    m = 24
+    df = _events(spark, sf_dir)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    h_s = (t_s - (t_s % F.lit(3600))).alias("h_s")
+    sums = df.select(F.col("event_type").alias("series"), h_s, "value").groupBy(
+        "series", "h_s"
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq"))
+    bounds = df.agg(
+        F.min(t_s - (t_s % F.lit(3600))).alias("mn"),
+        F.max(t_s - (t_s % F.lit(3600))).alias("mx"),
+    )
+    grid = (
+        sums.select("series")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "series",
+            F.posexplode(F.sequence("mn", "mx", F.lit(3600))).alias(
+                "pos", "h_s"
+            ),
+        )
+        .select("series", F.col("pos").cast("int").alias("pos"), "h_s")
+    )
+    points = grid.join(sums, ["series", "h_s"], "left_outer").select(
+        "series", "pos", "h_s", F.coalesce(F.col("vq"), F.lit(0)).alias("v")
+    )
+    out = matrixprofile.matrix_profile(points, m)
+    return out.select(
+        "series",
+        F.timestamp_seconds(F.col("ws_s")).cast("timestamp_ntz").alias(
+            "window_start"
+        ),
+        "pos",
+        "mp_dist",
+        "nn_pos",
     )
