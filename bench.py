@@ -163,6 +163,14 @@ BENCH_QUERIES = [
     "novelty_curve",
     "record_breaks",
     "sequential_pattern_support",
+    # round-4 continuation: lakehouse maintenance (SCD2, CDC apply,
+    # incremental view maintenance), VARIANT-typed JSON, and the
+    # integer STOMP matrix profile
+    "scd2_dim_join",
+    "cdc_apply_latest",
+    "ivm_join_view",
+    "variant_props_rollup",
+    "matrix_profile_series",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

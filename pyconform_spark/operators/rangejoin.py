@@ -83,3 +83,70 @@ def range_join(
         # semi semantics: points with >=1 matching interval, each once
         return joined.select(*points.columns).dropDuplicates(points.columns)
     return joined.drop("_bucket")
+
+
+def window_join_stats(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    before_s: int,
+    after_s: int,
+) -> DataFrame:
+    """kdb-style window join (``wj``): for each left row, aggregate
+    the right rows of the same key whose timestamps fall in
+    ``[left_ts - before_s, left_ts + after_s]`` (inclusive) — the
+    "context around each event" primitive (quotes around each trade,
+    tool calls around each error) that is neither an as-of join (one
+    nearest row) nor an interval join (static intervals).
+
+    Scalable form: tag and UNION both sides, then ONE value-range
+    window frame (``rangeBetween`` over integer microseconds)
+    per key — left rows carry NULL values so they never pollute the
+    aggregates, and each left row reads count/sum/min/max of the
+    right rows in its range.  One shuffle on the key, one key-local
+    sort — never the |L| x |R| BETWEEN join the DuckDB twin runs
+    (which is the independent-formulation oracle).  Empty windows
+    yield count 0 and NULL sum/min/max, matching SQL aggregate
+    semantics over zero rows."""
+    from pyspark.sql import Window
+
+    lcols = list(left.columns)
+    vtype = right.schema[value_col].dataType
+    tag_l = left.select(
+        *keys,
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(vtype).alias("_v"),
+        F.struct(*lcols).alias("_row"),
+    )
+    tag_r = right.select(
+        *keys,
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(value_col).alias("_v"),
+        F.lit(None).cast(tag_l.schema["_row"].dataType).alias("_row"),
+    )
+    u = tag_l.unionByName(tag_r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t")
+        .rangeBetween(-before_s * 1_000_000, after_s * 1_000_000)
+    )
+    filled = u.select(
+        "_is_left",
+        "_row",
+        F.count("_v").over(w).alias("wj_count"),
+        F.sum("_v").over(w).alias("wj_sum"),
+        F.min("_v").over(w).alias("wj_min"),
+        F.max("_v").over(w).alias("wj_max"),
+    ).where(F.col("_is_left") == 1)
+    return filled.select(
+        *[F.col("_row")[c].alias(c) for c in lcols],
+        "wj_count",
+        "wj_sum",
+        "wj_min",
+        "wj_max",
+    )

@@ -3383,3 +3383,22 @@ SELECT r.series, make_timestamp(sv.h_s * 1000000) AS window_start,
 FROM r JOIN sv ON sv.series = r.series AND sv.pos = r.w
 WHERE r.rn = 1
 """
+
+
+ORACLES["window_join_context"] = """
+WITH l AS (
+  SELECT user_id, ts, event_id::BIGINT AS event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error'),
+r AS (
+  SELECT user_id, epoch_us(ts) AS t, floor(value * 100)::BIGINT AS vq
+  FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, l.ts, l.event_id,
+       count(r.vq)::BIGINT AS n_nearby,
+       sum(r.vq)::BIGINT AS vq_sum,
+       min(r.vq)::BIGINT AS vq_min,
+       max(r.vq)::BIGINT AS vq_max
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id
+ AND r.t BETWEEN l.t - 7200000000 AND l.t + 7200000000
+GROUP BY 1, 2, 3
+"""

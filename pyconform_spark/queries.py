@@ -6430,3 +6430,42 @@ def matrix_profile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mp_dist",
         "nn_pos",
     )
+
+
+def window_join_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kdb-style window join (operators/rangejoin.py
+    ``window_join_stats``): for every error event, the count / sum /
+    min / max of the same user's centi-quantized purchase values
+    within +-2 hours — the "what was happening around each incident?"
+    primitive (quotes around each trade in kdb's ``wj``), distinct
+    from as-of (one nearest row) and interval join (static windows).
+
+    The Spark path is ONE value-range window frame over the tagged
+    union (one shuffle, one key-local sort — |L|+|R| rows); the
+    DuckDB twin is the naive BETWEEN join + GROUP BY, so the green
+    row proves the frame formulation equals join semantics, including
+    inclusive bounds and empty windows (count 0, NULL stats).  EXACT
+    cross-engine: integer microsecond bounds, integer values."""
+    from pyconform_spark.operators.rangejoin import window_join_stats
+
+    df = _events(spark, sf_dir)
+    left = df.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").cast("long").alias("event_id")
+    )
+    right = df.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    out = window_join_stats(
+        left, right, ["user_id"], "ts", "ts", "vq", 7200, 7200
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("wj_count").cast("long").alias("n_nearby"),
+        F.col("wj_sum").cast("long").alias("vq_sum"),
+        F.col("wj_min").cast("long").alias("vq_min"),
+        F.col("wj_max").cast("long").alias("vq_max"),
+    )

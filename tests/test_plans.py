@@ -1328,3 +1328,16 @@ def test_prefix_join_windows_doc_local_no_broadcast_of_corpus(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "Window") >= 1
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_window_join_is_one_frame_pass_no_join(spark):
+    """kdb-style window join: the +-w context aggregate must be ONE
+    value-range window frame over the tagged union — one exchange,
+    key-local sort, and NO join node (the BETWEEN join the oracle
+    runs would be |L| x |R|)."""
+    plan = plan_of(Q.window_join_context(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Exchange") == 1
