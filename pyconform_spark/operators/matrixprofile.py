@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 _SENTINEL = np.int64(1) << 62
 
@@ -111,3 +111,161 @@ def matrix_profile(points: DataFrame, m: int) -> DataFrame:
         )
 
     return points.groupBy("series").applyInPandas(prof, schema)
+
+
+def _tile_candidates(
+    va: np.ndarray, pa0: int, vb: np.ndarray, pb0: int, m: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Best (dist, neighbor) per window for all pairs (i-window in
+    ``va``, j-window in ``vb``) with global exclusion ``j - i >= m``.
+    Arrays carry GLOBAL start offsets; returns (pos, dist, nb) for
+    every window of either side that saw at least one pair."""
+    nwa = len(va) - m + 1
+    nwb = len(vb) - m + 1
+    best_a = np.full(max(nwa, 0), _SENTINEL, dtype=np.int64)
+    bj_a = np.full(max(nwa, 0), -1, dtype=np.int64)
+    best_b = np.full(max(nwb, 0), _SENTINEL, dtype=np.int64)
+    bj_b = np.full(max(nwb, 0), -1, dtype=np.int64)
+    if nwa <= 0 or nwb <= 0:
+        return (np.empty(0, np.int64),) * 3
+    d_lo = max(m, pb0 - (pa0 + nwa - 1))
+    d_hi = (pb0 + nwb - 1) - pa0
+    for d in range(d_lo, d_hi + 1):
+        # i-window global starts in [max(pa0, pb0-d+?)..]: i local in va,
+        # j = i + d local in vb; both slices need m-1 extra points
+        i0 = max(pa0, pb0 - d)
+        i1 = min(pa0 + nwa - 1, pb0 + nwb - 1 - d)
+        if i1 < i0:
+            continue
+        ln = i1 - i0 + 1
+        sa = i0 - pa0
+        sb = i0 + d - pb0
+        diff = va[sa : sa + ln + m - 1] - vb[sb : sb + ln + m - 1]
+        sq = diff * diff
+        c = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(sq)))
+        wins = c[m:] - c[:-m]
+        gi = np.arange(i0, i0 + ln, dtype=np.int64)
+        gj = gi + d
+        la = gi - pa0
+        lb = gj - pb0
+        # i side (neighbor j): ascending d => strict < keeps smallest j
+        upd = (wins < best_a[la]) | ((wins == best_a[la]) & (gj < bj_a[la]))
+        best_a[la] = np.where(upd, wins, best_a[la])
+        bj_a[la] = np.where(upd, gj, bj_a[la])
+        # j side (neighbor i): equal dist with smaller i must win
+        upd2 = (wins < best_b[lb]) | ((wins == best_b[lb]) & (gi < bj_b[lb]))
+        best_b[lb] = np.where(upd2, wins, best_b[lb])
+        bj_b[lb] = np.where(upd2, gi, bj_b[lb])
+    pos = np.concatenate(
+        (np.arange(pa0, pa0 + nwa, dtype=np.int64)[bj_a >= 0],
+         np.arange(pb0, pb0 + nwb, dtype=np.int64)[bj_b >= 0])
+    )
+    dist = np.concatenate((best_a[bj_a >= 0], best_b[bj_b >= 0]))
+    nb = np.concatenate((bj_a[bj_a >= 0], bj_b[bj_b >= 0]))
+    return pos, dist, nb
+
+
+def matrix_profile_tiled(
+    points: DataFrame, m: int, chunk: int
+) -> DataFrame:
+    """Distributed matrix profile for series too LONG for one task —
+    the SCAMP tiling (Zimmerman et al., SoCC'19, public literature):
+    the (window x window) distance matrix is cut into chunk x chunk
+    tiles, every tile (a, b) is an INDEPENDENT Arrow group seeing only
+    the two extended chunks it needs (each chunk ships with its m-1
+    tail points), and per-window candidates merge with one
+    ``min(struct(dist, neighbor))`` hash aggregate — associative, so
+    the merge preserves the exact tie rule (smallest neighbor).
+
+    Row-identical to :func:`matrix_profile` (pytest-gated).  Scale
+    shape: an n-point series becomes (n/chunk)^2 / 2 tasks of
+    O(chunk^2) work each — a 10^9-point series no single executor
+    could hold runs as bounded tiles; data duplication is one copy of
+    each chunk per tile row (the standard SCAMP trade).  Overlapping
+    tile coverage near chunk boundaries emits duplicate candidates;
+    the min-merge makes them harmless by construction.
+
+    ``chunk`` must be >= m so a window's tail never spans two chunks.
+    Same (series, pos, h_s, v) input and (series, pos, ws_s, mp_dist,
+    nn_pos) output as the single-group form."""
+    if chunk < m:
+        raise ValueError(f"chunk ({chunk}) must be >= m ({m})")
+
+    tagged = points.withColumn(
+        "_c", (F.col("pos") / chunk).cast("int")
+    ).withColumn(
+        "_e",
+        F.explode(
+            F.when(
+                (F.col("pos") % chunk <= m - 2) & (F.col("_c") >= 1),
+                F.array(F.col("_c"), F.col("_c") - 1),
+            ).otherwise(F.array(F.col("_c")))
+        ),
+    )
+    chunks = tagged.select("series", F.col("_c").alias("e")).distinct()
+    a = chunks.select("series", F.col("e").alias("ta"))
+    b = chunks.select("series", F.col("e").alias("tb"))
+    tiles = a.join(b, "series").where(F.col("tb") >= F.col("ta"))
+    rows_a = tiles.join(
+        tagged.select("series", F.col("_e").alias("ta"), "pos", "h_s", "v"),
+        ["series", "ta"],
+    ).select("series", "ta", "tb", "pos", "h_s", "v", F.lit("a").alias("side"))
+    rows_b = (
+        tiles.where(F.col("tb") > F.col("ta"))
+        .join(
+            tagged.select("series", F.col("_e").alias("tb"), "pos", "h_s", "v"),
+            ["series", "tb"],
+        )
+        .select("series", "ta", "tb", "pos", "h_s", "v", F.lit("b").alias("side"))
+    )
+    tile_rows = rows_a.unionByName(rows_b)
+
+    schema = "series string, pos long, mp_dist long, nn_pos long"
+
+    def tile_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = (pdf["ta"].iloc[0] == pdf["tb"].iloc[0])
+        sa = pdf[pdf["side"] == "a"].sort_values("pos")
+        va = sa["v"].to_numpy(np.int64)
+        pa0 = int(sa["pos"].iloc[0]) if len(sa) else 0
+        if same:
+            if len(va) < 2 * m:
+                return pd.DataFrame(
+                    {c: [] for c in ["series", "pos", "mp_dist", "nn_pos"]}
+                )
+            best, bj = _profile_one(va, m)
+            mask = bj >= 0
+            pos = np.arange(pa0, pa0 + len(best), dtype=np.int64)[mask]
+            dist, nb = best[mask], bj[mask] + pa0
+        else:
+            sb = pdf[pdf["side"] == "b"].sort_values("pos")
+            vb = sb["v"].to_numpy(np.int64)
+            pb0 = int(sb["pos"].iloc[0]) if len(sb) else 0
+            pos, dist, nb = _tile_candidates(va, pa0, vb, pb0, m)
+        return pd.DataFrame(
+            {
+                "series": pdf["series"].iloc[0],
+                "pos": pos,
+                "mp_dist": dist,
+                "nn_pos": nb,
+            }
+        )
+
+    cands = tile_rows.groupBy("series", "ta", "tb").applyInPandas(
+        tile_fn, schema
+    )
+    merged = cands.groupBy("series", "pos").agg(
+        F.min(F.struct("mp_dist", "nn_pos")).alias("best")
+    )
+    starts = points.select(
+        "series", F.col("pos").cast("long").alias("pos"), "h_s"
+    )
+    return (
+        merged.join(starts, ["series", "pos"])
+        .select(
+            "series",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("h_s").alias("ws_s"),
+            F.col("best.mp_dist").alias("mp_dist"),
+            F.col("best.nn_pos").cast("int").alias("nn_pos"),
+        )
+    )

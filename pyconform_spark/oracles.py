@@ -3402,3 +3402,8 @@ FROM l LEFT JOIN r
  AND r.t BETWEEN l.t - 7200000000 AND l.t + 7200000000
 GROUP BY 1, 2, 3
 """
+
+
+# The tiled (SCAMP) matrix profile must equal the single-group form,
+# so it shares the identical oracle — a green row proves the tiling.
+ORACLES["matrix_profile_tiled_series"] = ORACLES["matrix_profile_series"]

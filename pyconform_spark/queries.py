@@ -6469,3 +6469,54 @@ def window_join_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wj_min").cast("long").alias("vq_min"),
         F.col("wj_max").cast("long").alias("vq_max"),
     )
+
+
+def matrix_profile_tiled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED form of matrix_profile_series
+    (operators/matrixprofile.py ``matrix_profile_tiled``): the same
+    per-type hourly profile computed through the SCAMP tiling — the
+    distance matrix cut into 256-window tiles, each an independent
+    Arrow group over two tail-extended chunks, candidates merged with
+    one ``min(struct(dist, neighbor))`` hash aggregate.  Identical
+    output and the IDENTICAL DuckDB oracle as the single-group form,
+    so the driver row proves the tiling exact — this is the plan a
+    10^9-point single series would run, where no one task can hold
+    the series (chunk-size equality is also pytest-gated)."""
+    from pyconform_spark.operators import matrixprofile
+
+    m = 24
+    df = _events(spark, sf_dir)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    h_s = (t_s - (t_s % F.lit(3600))).alias("h_s")
+    sums = df.select(F.col("event_type").alias("series"), h_s, "value").groupBy(
+        "series", "h_s"
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq"))
+    bounds = df.agg(
+        F.min(t_s - (t_s % F.lit(3600))).alias("mn"),
+        F.max(t_s - (t_s % F.lit(3600))).alias("mx"),
+    )
+    grid = (
+        sums.select("series")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "series",
+            F.posexplode(F.sequence("mn", "mx", F.lit(3600))).alias(
+                "pos", "h_s"
+            ),
+        )
+        .select("series", F.col("pos").cast("int").alias("pos"), "h_s")
+    )
+    points = grid.join(sums, ["series", "h_s"], "left_outer").select(
+        "series", "pos", "h_s", F.coalesce(F.col("vq"), F.lit(0)).alias("v")
+    )
+    out = matrixprofile.matrix_profile_tiled(points, m, chunk=256)
+    return out.select(
+        "series",
+        F.timestamp_seconds(F.col("ws_s")).cast("timestamp_ntz").alias(
+            "window_start"
+        ),
+        "pos",
+        "mp_dist",
+        "nn_pos",
+    )

@@ -81,3 +81,58 @@ def test_short_series_emits_nothing(spark):
     )
     # n=10, m=6 -> nw=5 < m+1: no pair clears the exclusion zone
     assert matrixprofile.matrix_profile(pts, 6).count() == 0
+
+
+def _points_df(spark, v):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series": ["s"] * len(v),
+                "pos": list(range(len(v))),
+                "h_s": [3600 * i for i in range(len(v))],
+                "v": [int(x) for x in v],
+            }
+        )
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.series, r.pos, r.ws_s, r.mp_dist, r.nn_pos) for r in df.collect()
+    )
+
+
+def test_tiled_profile_row_identical_to_single_group(spark):
+    """The SCAMP tiling must reproduce the single-group profile
+    bit-for-bit — distances AND tie-broken neighbors — at chunk sizes
+    that do and don't divide the series, including chunk == m."""
+    rng = np.random.RandomState(11)
+    v = rng.randint(-30, 30, size=90).astype(np.int64)
+    pts = _points_df(spark, v)
+    m = 6
+    want = _rows(matrixprofile.matrix_profile(pts, m))
+    assert len(want) > 0
+    for chunk in (m, 17, 40, 90, 200):
+        got = _rows(matrixprofile.matrix_profile_tiled(pts, m, chunk))
+        assert got == want, f"chunk={chunk}"
+
+
+def test_tiled_profile_tie_rule_survives_merge(spark):
+    """Identical windows in three different chunks: the min-struct
+    merge must still pick the smallest neighbor globally."""
+    m = 3
+    v = [9, 9, 9, 0, 1, 0, 9, 9, 9, 0, 2, 0, 9, 9, 9]
+    pts = _points_df(spark, np.array(v, dtype=np.int64))
+    got = {r.pos: (r.mp_dist, r.nn_pos)
+           for r in matrixprofile.matrix_profile_tiled(pts, m, 5).collect()}
+    assert got[0] == (0, 6)
+    assert got[6] == (0, 0)
+    assert got[12] == (0, 0)
+
+
+def test_tiled_chunk_smaller_than_m_rejected(spark):
+    pts = _points_df(spark, np.arange(30, dtype=np.int64))
+    with pytest.raises(ValueError, match="chunk"):
+        matrixprofile.matrix_profile_tiled(pts, 8, 7)
