@@ -583,6 +583,37 @@ def main() -> None:
     cts = np.arange(0, 86400 * 30, 60, dtype=np.int64)
     const_mpts = best_mpts(codec.dod_decode, codec.dod_encode(cts), len(cts))
 
+    # -- tiled matrix profile on ONE long series: the single-group form
+    # runs the whole O(n^2) recurrence in one task; the SCAMP tiling
+    # spreads (n/chunk)^2 / 2 tiles across all cores — same rows
+    # (pytest-gated), wall-clock is the scale story for long series.
+    from pyconform_spark.operators import matrixprofile as _mp
+
+    mp_n = 48_000
+    mp_rng = np.random.RandomState(3)
+    import pandas as _pd
+
+    mp_pts = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "series": ["long"] * mp_n,
+                "pos": np.arange(mp_n, dtype=np.int32),
+                "h_s": np.arange(mp_n, dtype=np.int64) * 3600,
+                "v": mp_rng.randint(-1000, 1000, mp_n).astype(np.int64),
+            }
+        )
+    ).persist()
+    mp_pts.count()
+    t0 = time.monotonic()
+    _mp.matrix_profile(mp_pts, 24).agg(F.sum("mp_dist")).first()
+    t_mp_single = time.monotonic() - t0
+    t0 = time.monotonic()
+    _mp.matrix_profile_tiled(mp_pts, 24, chunk=3000).agg(
+        F.sum("mp_dist")
+    ).first()
+    t_mp_tiled = time.monotonic() - t0
+    mp_pts.unpersist()
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -623,6 +654,9 @@ def main() -> None:
                 else None,
                 "codec_decode_worst_mpts": round(worst_mpts, 2),
                 "codec_decode_const_mpts": round(const_mpts, 1),
+                "mp_single_group_sec": round(t_mp_single, 2),
+                "mp_tiled_sec": round(t_mp_tiled, 2),
+                "mp_tiled_speedup": round(t_mp_single / t_mp_tiled, 2),
                 "cpus": cpus,
             }
         )

@@ -114,54 +114,80 @@ def matrix_profile(points: DataFrame, m: int) -> DataFrame:
 
 
 def _tile_candidates(
-    va: np.ndarray, pa0: int, vb: np.ndarray, pb0: int, m: int
+    va: np.ndarray, pa0: int, vb: np.ndarray, pb0: int, m: int,
+    same: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Best (dist, neighbor) per window for all pairs (i-window in
-    ``va``, j-window in ``vb``) with global exclusion ``j - i >= m``.
+    ``va``, j-window in ``vb``) with global exclusion |i - j| >= m.
     Arrays carry GLOBAL start offsets; returns (pos, dist, nb) for
-    every window of either side that saw at least one pair."""
+    every window of either side that saw at least one pair.
+
+    Kernel: the per-diagonal cumsum recurrence (the STOMP trick) —
+    each diagonal's sliding dist^2 costs O(len) regardless of m, so a
+    tile is O(chunk^2) total vs O(chunk^2 * m) for the naive
+    windows-matmul form.  Ties break to the SMALLEST neighbor index
+    via an explicit (dist, nb) lexicographic update, so update order
+    never matters.  Overflow guard: a diagonal's cumsum accumulates at
+    most (len+m) squares of 2*peak."""
     nwa = len(va) - m + 1
     nwb = len(vb) - m + 1
-    best_a = np.full(max(nwa, 0), _SENTINEL, dtype=np.int64)
-    bj_a = np.full(max(nwa, 0), -1, dtype=np.int64)
-    best_b = np.full(max(nwb, 0), _SENTINEL, dtype=np.int64)
-    bj_b = np.full(max(nwb, 0), -1, dtype=np.int64)
     if nwa <= 0 or nwb <= 0:
         return (np.empty(0, np.int64),) * 3
-    d_lo = max(m, pb0 - (pa0 + nwa - 1))
-    d_hi = (pb0 + nwb - 1) - pa0
+    peak = max(int(np.abs(va).max(initial=0)), int(np.abs(vb).max(initial=0)))
+    if (max(len(va), len(vb)) + m) * (2 * peak) ** 2 >= 2**62:
+        raise ValueError(
+            f"matrix_profile tile int64 overflow risk: m={m}, "
+            f"max|v|={peak}; rescale the series"
+        )
+    far = np.iinfo(np.int64).max
+    best_a = np.full(nwa, _SENTINEL, dtype=np.int64)
+    nb_a = np.full(nwa, far, dtype=np.int64)
+    if same:
+        best_b, nb_b = best_a, nb_a  # one profile: updates share it
+    else:
+        best_b = np.full(nwb, _SENTINEL, dtype=np.int64)
+        nb_b = np.full(nwb, far, dtype=np.int64)
+    off = pb0 - pa0  # global diag d = gj - gi; local lj = li + (d - off)
+    d_lo = off - (nwa - 1)
+    d_hi = off + nwb - 1
+    if same:
+        d_lo = max(d_lo, m)  # symmetric: (i, i+d) updates both ends
     for d in range(d_lo, d_hi + 1):
-        # i-window global starts in [max(pa0, pb0-d+?)..]: i local in va,
-        # j = i + d local in vb; both slices need m-1 extra points
-        i0 = max(pa0, pb0 - d)
-        i1 = min(pa0 + nwa - 1, pb0 + nwb - 1 - d)
+        if abs(d) < m:
+            continue
+        dl = d - off
+        i0 = max(0, -dl)
+        i1 = min(nwa - 1, nwb - 1 - dl)
         if i1 < i0:
             continue
         ln = i1 - i0 + 1
-        sa = i0 - pa0
-        sb = i0 + d - pb0
-        diff = va[sa : sa + ln + m - 1] - vb[sb : sb + ln + m - 1]
+        j0 = i0 + dl
+        diff = va[i0 : i0 + ln + m - 1] - vb[j0 : j0 + ln + m - 1]
         sq = diff * diff
-        c = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(sq)))
-        wins = c[m:] - c[:-m]
-        gi = np.arange(i0, i0 + ln, dtype=np.int64)
+        c = np.cumsum(sq)
+        wins = np.empty(ln, dtype=np.int64)
+        wins[0] = c[m - 1]
+        if ln > 1:
+            wins[1:] = c[m : m + ln - 1] - c[: ln - 1]
+        gi = pa0 + np.arange(i0, i0 + ln, dtype=np.int64)
         gj = gi + d
-        la = gi - pa0
-        lb = gj - pb0
-        # i side (neighbor j): ascending d => strict < keeps smallest j
-        upd = (wins < best_a[la]) | ((wins == best_a[la]) & (gj < bj_a[la]))
-        best_a[la] = np.where(upd, wins, best_a[la])
-        bj_a[la] = np.where(upd, gj, bj_a[la])
-        # j side (neighbor i): equal dist with smaller i must win
-        upd2 = (wins < best_b[lb]) | ((wins == best_b[lb]) & (gi < bj_b[lb]))
-        best_b[lb] = np.where(upd2, wins, best_b[lb])
-        bj_b[lb] = np.where(upd2, gi, bj_b[lb])
-    pos = np.concatenate(
-        (np.arange(pa0, pa0 + nwa, dtype=np.int64)[bj_a >= 0],
-         np.arange(pb0, pb0 + nwb, dtype=np.int64)[bj_b >= 0])
-    )
-    dist = np.concatenate((best_a[bj_a >= 0], best_b[bj_b >= 0]))
-    nb = np.concatenate((bj_a[bj_a >= 0], bj_b[bj_b >= 0]))
+        sa = slice(i0, i0 + ln)
+        upd = (wins < best_a[sa]) | ((wins == best_a[sa]) & (gj < nb_a[sa]))
+        best_a[sa] = np.where(upd, wins, best_a[sa])
+        nb_a[sa] = np.where(upd, gj, nb_a[sa])
+        sb = slice(j0, j0 + ln)
+        upd2 = (wins < best_b[sb]) | ((wins == best_b[sb]) & (gi < nb_b[sb]))
+        best_b[sb] = np.where(upd2, wins, best_b[sb])
+        nb_b[sb] = np.where(upd2, gi, nb_b[sb])
+    gia = pa0 + np.arange(nwa, dtype=np.int64)
+    ok_a = best_a < _SENTINEL
+    if same:
+        return gia[ok_a], best_a[ok_a], nb_a[ok_a]
+    gjb = pb0 + np.arange(nwb, dtype=np.int64)
+    ok_b = best_b < _SENTINEL
+    pos = np.concatenate((gia[ok_a], gjb[ok_b]))
+    dist = np.concatenate((best_a[ok_a], best_b[ok_b]))
+    nb = np.concatenate((nb_a[ok_a], nb_b[ok_b]))
     return pos, dist, nb
 
 
@@ -228,14 +254,7 @@ def matrix_profile_tiled(
         va = sa["v"].to_numpy(np.int64)
         pa0 = int(sa["pos"].iloc[0]) if len(sa) else 0
         if same:
-            if len(va) < 2 * m:
-                return pd.DataFrame(
-                    {c: [] for c in ["series", "pos", "mp_dist", "nn_pos"]}
-                )
-            best, bj = _profile_one(va, m)
-            mask = bj >= 0
-            pos = np.arange(pa0, pa0 + len(best), dtype=np.int64)[mask]
-            dist, nb = best[mask], bj[mask] + pa0
+            pos, dist, nb = _tile_candidates(va, pa0, va, pa0, m, same=True)
         else:
             sb = pdf[pdf["side"] == "b"].sort_values("pos")
             vb = sb["v"].to_numpy(np.int64)
@@ -250,8 +269,17 @@ def matrix_profile_tiled(
             }
         )
 
-    cands = tile_rows.groupBy("series", "ta", "tb").applyInPandas(
-        tile_fn, schema
+    # Tile rows are KILOBYTES but tiles are compute-heavy: AQE's
+    # partition coalescing sees a tiny shuffle and would squeeze the
+    # Arrow stage into 1-2 tasks, serializing the O(chunk^2) kernels.
+    # A user repartition on the group keys pins the parallelism (AQE
+    # honors explicit numPartitions) and already satisfies the
+    # groupBy's ClusteredDistribution, so no second shuffle appears.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        tile_rows.repartition(par, "series", "ta", "tb")
+        .groupBy("series", "ta", "tb")
+        .applyInPandas(tile_fn, schema)
     )
     merged = cands.groupBy("series", "pos").agg(
         F.min(F.struct("mp_dist", "nn_pos")).alias("best")
