@@ -3407,3 +3407,155 @@ GROUP BY 1, 2, 3
 # The tiled (SCAMP) matrix profile must equal the single-group form,
 # so it shares the identical oracle — a green row proves the tiling.
 ORACLES["matrix_profile_tiled_series"] = ORACLES["matrix_profile_series"]
+
+ORACLES["mann_kendall_trend"] = """
+WITH recent AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+k AS (SELECT * FROM recent WHERE rn <= 24),
+ordered AS (
+  SELECT user_id, event_type, vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS r
+  FROM k),
+s AS (
+  SELECT a.user_id, a.event_type,
+         sum(CASE WHEN b.vq > a.vq THEN 1
+                  WHEN b.vq < a.vq THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM ordered a JOIN ordered b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND a.r < b.r
+  GROUP BY 1, 2),
+tg AS (
+  SELECT user_id, event_type, vq, count(*)::BIGINT AS t
+  FROM ordered GROUP BY 1, 2, 3),
+ties AS (
+  SELECT user_id, event_type, sum(t)::BIGINT AS n,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+  FROM tg GROUP BY 1, 2),
+j AS (
+  SELECT s.user_id, s.event_type, s.s_stat, ties.n,
+         (ties.n * (ties.n - 1) * (2 * ties.n + 5)
+          - ties.tie18)::BIGINT AS var18
+  FROM s JOIN ties USING (user_id, event_type)),
+zc AS (
+  SELECT *,
+         CASE WHEN s_stat = 0 THEN 0.0
+              ELSE (s_stat - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)::DOUBLE
+                   / sqrt(var18::DOUBLE / 18.0) END AS z
+  FROM j)
+SELECT user_id, event_type, n, s_stat, var18, z,
+       CASE WHEN z > 1.959963984540054 THEN 'increasing'
+            WHEN z < -1.959963984540054 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zc
+"""
+
+# Motif/discord read-off shares the profile construction: nest the
+# matrix-profile oracle as a CTE and rank it both ways.
+ORACLES["mp_motifs_discords"] = f"""
+WITH mp AS (
+{ORACLES["matrix_profile_series"]}
+),
+mo AS (
+  SELECT series, 'motif' AS kind,
+         row_number() OVER (PARTITION BY series
+                            ORDER BY mp_dist, pos)::BIGINT AS rnk,
+         pos, window_start, nn_pos, mp_dist
+  FROM mp),
+di AS (
+  SELECT series, 'discord' AS kind,
+         row_number() OVER (PARTITION BY series
+                            ORDER BY mp_dist DESC, pos)::BIGINT AS rnk,
+         pos, window_start, nn_pos, mp_dist
+  FROM mp)
+SELECT * FROM mo WHERE rnk = 1
+UNION ALL
+SELECT * FROM di WHERE rnk <= 3
+"""
+
+
+ORACLES["ordinal_patterns"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS v1
+  FROM events),
+tri AS (
+  SELECT user_id, event_type, v1,
+         lead(v1, 1) OVER w AS v2,
+         lead(v1, 2) OVER w AS v3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+coded AS (
+  SELECT user_id, event_type,
+         concat(
+           CASE WHEN v2 > v1 THEN '+' WHEN v2 < v1 THEN '-' ELSE '0' END,
+           CASE WHEN v3 > v2 THEN '+' WHEN v3 < v2 THEN '-' ELSE '0' END,
+           CASE WHEN v3 > v1 THEN '+' WHEN v3 < v1 THEN '-' ELSE '0' END
+         ) AS pattern
+  FROM tri WHERE v3 IS NOT NULL),
+counted AS (
+  SELECT user_id, event_type, pattern, count(*)::BIGINT AS cnt
+  FROM coded GROUP BY 1, 2, 3)
+SELECT user_id, event_type, pattern, cnt,
+       (sum(cnt) OVER (PARTITION BY user_id, event_type))::BIGINT AS n_triples,
+       cnt::DOUBLE
+         / (sum(cnt) OVER (PARTITION BY user_id, event_type))::DOUBLE AS frac
+FROM counted
+"""
+
+ORACLES["kmv_user_jaccard"] = f"""
+WITH dus AS (
+  SELECT DISTINCT event_type AS etype, user_id FROM events),
+hashed AS (
+  SELECT DISTINCT etype,
+         (md5_number_lower(user_id::VARCHAR) % 2147483647)::BIGINT AS h
+  FROM dus),
+sk AS (
+  SELECT etype, h FROM (
+    SELECT etype, h,
+           row_number() OVER (PARTITION BY etype ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= 64),
+pairs AS (
+  SELECT a.etype AS type_a, b.etype AS type_b
+  FROM (SELECT DISTINCT etype FROM dus) a,
+       (SELECT DISTINCT etype FROM dus) b
+  WHERE a.etype < b.etype),
+merged AS (
+  SELECT p.type_a, p.type_b, s.h,
+         max(CASE WHEN s.etype = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.etype = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.etype IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3),
+kmv AS (
+  SELECT type_a, type_b,
+         sum(in_a * in_b)::BIGINT AS kmv_inter,
+         count(*)::BIGINT AS kmv_k
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM merged) WHERE rn <= 64
+  GROUP BY 1, 2),
+counts AS (
+  SELECT etype, count(*)::BIGINT AS n_users FROM dus GROUP BY 1),
+inter AS (
+  SELECT a.etype AS type_a, b.etype AS type_b,
+         count(*)::BIGINT AS inter_exact
+  FROM dus a JOIN dus b
+    ON a.user_id = b.user_id AND a.etype < b.etype
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b, ca.n_users AS n_a, cb.n_users AS n_b,
+       i.inter_exact,
+       (ca.n_users + cb.n_users - i.inter_exact)::BIGINT AS union_exact,
+       i.inter_exact::DOUBLE
+         / (ca.n_users + cb.n_users - i.inter_exact)::DOUBLE AS jacc_exact,
+       k.kmv_inter, k.kmv_k,
+       k.kmv_inter::DOUBLE / k.kmv_k::DOUBLE AS jacc_kmv
+FROM inter i
+JOIN counts ca ON ca.etype = i.type_a
+JOIN counts cb ON cb.etype = i.type_b
+JOIN kmv k ON k.type_a = i.type_a AND k.type_b = i.type_b
+"""

@@ -6376,25 +6376,10 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def matrix_profile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matrix profile per event-type hourly series
-    (operators/matrixprofile.py): for every 24-hour window of each
-    type's centi-quantized hourly value series, the squared distance
-    to (and position of) its nearest non-trivial neighbor — minima
-    are recurring daily motifs, maxima are the most anomalous days,
-    one output serves both (the modern time-series primitive
-    motif_sax_pairs' bucketed pair search cannot answer).
-
-    The dense hourly grid (absent hours = 0) is built declaratively —
-    global bounds as a broadcast 1-row frame, sequence+explode per
-    series, NO driver action — and each series runs the O(n^2)
-    integer STOMP recurrence in one Arrow group.  EXACT cross-engine:
-    int64 squared distances, exclusion zone |i-j| >= 24, ties to the
-    smallest neighbor; the DuckDB twin unrolls windows to (w, k) rows
-    and takes min-by over one equi-join on k."""
-    from pyconform_spark.operators import matrixprofile
-
-    m = 24
+def _mp_hourly_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-event-type hourly grid (absent hours = 0) feeding the
+    matrix-profile queries: global bounds as a broadcast 1-row frame,
+    sequence+explode per series, NO driver action."""
     df = _events(spark, sf_dir)
     t_s = F.col("ts").cast("timestamp").cast("long")
     h_s = (t_s - (t_s % F.lit(3600))).alias("h_s")
@@ -6417,9 +6402,30 @@ def matrix_profile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("series", F.col("pos").cast("int").alias("pos"), "h_s")
     )
-    points = grid.join(sums, ["series", "h_s"], "left_outer").select(
+    return grid.join(sums, ["series", "h_s"], "left_outer").select(
         "series", "pos", "h_s", F.coalesce(F.col("vq"), F.lit(0)).alias("v")
     )
+
+
+def matrix_profile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile per event-type hourly series
+    (operators/matrixprofile.py): for every 24-hour window of each
+    type's centi-quantized hourly value series, the squared distance
+    to (and position of) its nearest non-trivial neighbor — minima
+    are recurring daily motifs, maxima are the most anomalous days,
+    one output serves both (the modern time-series primitive
+    motif_sax_pairs' bucketed pair search cannot answer).
+
+    The dense hourly grid (absent hours = 0) is built declaratively
+    (``_mp_hourly_points``) and each series runs the O(n^2) integer
+    STOMP recurrence in one Arrow group.  EXACT cross-engine: int64
+    squared distances, exclusion zone |i-j| >= 24, ties to the
+    smallest neighbor; the DuckDB twin unrolls windows to (w, k) rows
+    and takes min-by over one equi-join on k."""
+    from pyconform_spark.operators import matrixprofile
+
+    m = 24
+    points = _mp_hourly_points(spark, sf_dir)
     out = matrixprofile.matrix_profile(points, m)
     return out.select(
         "series",
@@ -6485,31 +6491,7 @@ def matrix_profile_tiled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconform_spark.operators import matrixprofile
 
     m = 24
-    df = _events(spark, sf_dir)
-    t_s = F.col("ts").cast("timestamp").cast("long")
-    h_s = (t_s - (t_s % F.lit(3600))).alias("h_s")
-    sums = df.select(F.col("event_type").alias("series"), h_s, "value").groupBy(
-        "series", "h_s"
-    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("vq"))
-    bounds = df.agg(
-        F.min(t_s - (t_s % F.lit(3600))).alias("mn"),
-        F.max(t_s - (t_s % F.lit(3600))).alias("mx"),
-    )
-    grid = (
-        sums.select("series")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "series",
-            F.posexplode(F.sequence("mn", "mx", F.lit(3600))).alias(
-                "pos", "h_s"
-            ),
-        )
-        .select("series", F.col("pos").cast("int").alias("pos"), "h_s")
-    )
-    points = grid.join(sums, ["series", "h_s"], "left_outer").select(
-        "series", "pos", "h_s", F.coalesce(F.col("vq"), F.lit(0)).alias("v")
-    )
+    points = _mp_hourly_points(spark, sf_dir)
     out = matrixprofile.matrix_profile_tiled(points, m, chunk=256)
     return out.select(
         "series",
@@ -6519,4 +6501,318 @@ def matrix_profile_tiled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         "mp_dist",
         "nn_pos",
+    )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per series over the K=24 most
+    recent samples (the same recency frame as theil_sen_slope — this
+    is its hypothesis-test companion): S = sum of sign(v_j - v_i) over
+    time-ordered pairs i < j, variance with the standard tie
+    correction, and the normal-approximation z statistic.  The
+    nonparametric trend detector (Mann 1945, Kendall 1975 — public
+    literature) a capacity planner runs BEFORE trusting a slope: it
+    answers "is there a trend at all?" without assuming linearity or
+    any noise distribution.
+
+    EXACT cross-engine: S and the tie-corrected variance numerator
+    var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) are pure BIGINT sums;
+    z = (S -+ 1) / sqrt(var18 / 18.0) is one integer->double divide,
+    one correctly-rounded sqrt, one divide — bit-deterministic IEEE in
+    both engines.  Pair order is the deterministic (ts, event_id)
+    ascending rank, so same-timestamp samples contribute a
+    well-defined sign in both engines.
+
+    Scale shape: identical to theil_sen_slope — the O(K^2) pair join
+    happens AFTER the top-K restriction (276 pairs per series, never
+    quadratic in the data); the tie term is one bounded hash agg on
+    the same K-row frame; everything joins on the series key."""
+    k = 24
+    df = _events(spark, sf_dir)
+    wrec = Window.partitionBy(*EKEYS).orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        df.select(
+            *EKEYS,
+            "ts",
+            F.floor(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .withColumn("rn", F.row_number().over(wrec))
+        .filter(F.col("rn") <= k)
+    )
+    wasc = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    ordered = recent.select(
+        *EKEYS, "vq", F.row_number().over(wasc).alias("r")
+    )
+    a = ordered.select(*EKEYS, F.col("vq").alias("v1"), F.col("r").alias("r1"))
+    b = ordered.select(*EKEYS, F.col("vq").alias("v2"), F.col("r").alias("r2"))
+    s_stat = (
+        a.join(b, EKEYS)
+        .filter(F.col("r1") < F.col("r2"))
+        .groupBy(*EKEYS)
+        .agg(
+            F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    ties = (
+        ordered.groupBy(*EKEYS, "vq")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*EKEYS)
+        .agg(
+            F.count(F.lit(1)).alias("_groups"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18"),
+        )
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).alias("var18")
+    joined = s_stat.join(ties, EKEYS).select(
+        *EKEYS, "s_stat", n.cast("long").alias("n"), var18
+    )
+    z = (
+        F.when(F.col("s_stat") == 0, F.lit(0.0))
+        .otherwise(
+            (
+                F.col("s_stat")
+                - F.signum(F.col("s_stat")).cast("long")
+            ).cast("double")
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+        )
+        .alias("z")
+    )
+    out = joined.select(*EKEYS, "n", "s_stat", F.col("var18").cast("long").alias("var18"), z)
+    return out.select(
+        *EKEYS,
+        "n",
+        "s_stat",
+        "var18",
+        "z",
+        F.when(F.col("z") > 1.959963984540054, F.lit("increasing"))
+        .when(F.col("z") < -1.959963984540054, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def mp_motifs_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif/discord extraction from the matrix profile: per series,
+    the top recurring daily pattern (the window with the SMALLEST
+    profile distance — its nearest neighbor is its repeat) and the
+    top-3 discords (LARGEST profile distance — the days least like
+    any other day).  This is the read-off that makes the matrix
+    profile operational: "what repeats?" and "what never repeats?"
+    answered from one structure (Yeh et al., ICDM 2016).
+
+    EXACT cross-engine: the profile is already bit-exact (same
+    construction as matrix_profile_series); rank is row_number over
+    (mp_dist, pos) / (mp_dist DESC, pos), fully deterministic.
+
+    Scale shape: the ranks are per-series windows over the PROFILE
+    (|windows| rows, already reduced), not the raw table; at 10^12
+    turns the heavy lifting stays in the tiled profile computation —
+    this summary adds one window sort per series."""
+    from pyconform_spark.operators import matrixprofile
+
+    m = 24
+    points = _mp_hourly_points(spark, sf_dir)
+    out = matrixprofile.matrix_profile(points, m)
+    base = out.select(
+        "series",
+        "pos",
+        F.timestamp_seconds(F.col("ws_s")).cast("timestamp_ntz").alias(
+            "window_start"
+        ),
+        "mp_dist",
+        "nn_pos",
+    )
+    wmo = Window.partitionBy("series").orderBy("mp_dist", "pos")
+    wdi = Window.partitionBy("series").orderBy(F.desc("mp_dist"), "pos")
+    cols = ["series", "kind", "rnk", "pos", "window_start", "nn_pos", "mp_dist"]
+    mo = (
+        base.withColumn("rnk", F.row_number().over(wmo).cast("long"))
+        .where(F.col("rnk") == 1)
+        .withColumn("kind", F.lit("motif"))
+        .select(*cols)
+    )
+    di = (
+        base.withColumn("rnk", F.row_number().over(wdi).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .withColumn("kind", F.lit("discord"))
+        .select(*cols)
+    )
+    return mo.unionByName(di)
+
+
+def ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern (permutation) distribution per series: every
+    consecutive value triple is classified by the SIGN PATTERN of its
+    three pairwise comparisons (v2-v1, v3-v2, v3-v1 mapped to
+    +/-/0) and counted — the Bandt-Pompe (2002, public literature)
+    complexity fingerprint, tie-aware.  A series stuck on one pattern
+    is trending or flatlined; a uniform spread is noise; the pattern
+    histogram separates them without any distributional assumption.
+
+    EXACT cross-engine: patterns are integer sign comparisons on
+    centi-quantized values over the deterministic (ts, event_id)
+    order; the fraction is ONE integer->double division.
+
+    Scale shape: one window sort per series (two leads ride it), one
+    hash agg; no join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("v1"),
+    )
+    tri = base.select(
+        *EKEYS,
+        "v1",
+        F.lead("v1", 1).over(wo).alias("v2"),
+        F.lead("v1", 2).over(wo).alias("v3"),
+    ).where(F.col("v3").isNotNull())
+
+    def sgn(c: Column) -> Column:
+        return (
+            F.when(c > 0, F.lit("+")).when(c < 0, F.lit("-")).otherwise(
+                F.lit("0")
+            )
+        )
+
+    coded = tri.select(
+        *EKEYS,
+        F.concat(
+            sgn(F.col("v2") - F.col("v1")),
+            sgn(F.col("v3") - F.col("v2")),
+            sgn(F.col("v3") - F.col("v1")),
+        ).alias("pattern"),
+    )
+    wt = Window.partitionBy(*EKEYS)
+    counted = (
+        coded.groupBy(*EKEYS, "pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n_triples", F.sum("cnt").over(wt))
+    )
+    return counted.select(
+        *EKEYS,
+        "pattern",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_triples").cast("long").alias("n_triples"),
+        (F.col("cnt").cast("double") / F.col("n_triples").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+def kmv_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch Jaccard between event types' user sets
+    (Beyer et al., SIGMOD 2007 — public literature): each type keeps
+    only its k=64 SMALLEST md5-derived user hashes; the Jaccard of two
+    types is estimated as the fraction of the union's k smallest
+    hashes present in both sketches.  The exact Jaccard is computed
+    alongside, so the row itself documents the sketch's error — the
+    audit a platform runs before trusting sketches at 10^12 rows,
+    where the exact pairwise set intersection is unaffordable but the
+    64-row-per-type sketches merge for free.
+
+    EXACT cross-engine: hashes are the md5-low-64 mod (2^31-1)
+    convention shared with the text sketches (textops.hash31); ranks,
+    intersections and unions are integers; each Jaccard is ONE
+    integer->double division.
+
+    Scale shape: the only full-data pass is the distinct (type, user)
+    reduce (map-side combinable); sketches are 64 rows/type and every
+    pair join after that is on broadcast-size frames.  The exact lane
+    is a |types|^2 user-set join at sf scale for the audit — at
+    production scale one would drop it and keep the sketch lane."""
+    from pyconform_spark.textops import hash31
+
+    k = 64
+    df = _events(spark, sf_dir)
+    dus = df.select(
+        F.col("event_type").alias("etype"), "user_id"
+    ).distinct()
+    hashed = dus.select(
+        "etype", "user_id", hash31(F.col("user_id").cast("string")).alias("h")
+    )
+    dh = hashed.select("etype", "h").distinct()
+    wk = Window.partitionBy("etype").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("etype", "h")
+    )
+    types = dus.select("etype").distinct()
+    pairs = (
+        types.select(F.col("etype").alias("type_a"))
+        .crossJoin(F.broadcast(types.select(F.col("etype").alias("type_b"))))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    ma = pairs.join(
+        sk.select(F.col("etype").alias("type_a"), "h"), ["type_a"]
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    mb = pairs.join(
+        sk.select(F.col("etype").alias("type_b"), "h"), ["type_b"]
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kmv = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("kmv_inter"),
+            F.count(F.lit(1)).cast("long").alias("kmv_k"),
+        )
+    )
+    counts = dus.groupBy("etype").agg(F.count(F.lit(1)).alias("n_users"))
+    ua = dus.select(F.col("etype").alias("type_a"), "user_id")
+    ub = dus.select(F.col("etype").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    out = (
+        inter.join(
+            counts.select(F.col("etype").alias("type_a"), F.col("n_users").alias("n_a")),
+            ["type_a"],
+        )
+        .join(
+            counts.select(F.col("etype").alias("type_b"), F.col("n_users").alias("n_b")),
+            ["type_b"],
+        )
+        .join(kmv, ["type_a", "type_b"])
+    )
+    union_exact = (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).alias(
+        "union_exact"
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "inter_exact",
+        union_exact,
+        (
+            F.col("inter_exact").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).cast("double")
+        ).alias("jacc_exact"),
+        "kmv_inter",
+        "kmv_k",
+        (F.col("kmv_inter").cast("double") / F.col("kmv_k").cast("double")).alias(
+            "jacc_kmv"
+        ),
     )

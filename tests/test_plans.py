@@ -1341,3 +1341,38 @@ def test_window_join_is_one_frame_pass_no_join(spark):
         assert node not in plan
     assert count_nodes(plan, "Window") == 1
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_mann_kendall_pairs_join_after_topk_and_broadcasts(spark):
+    """Mann-Kendall: the O(K^2) pair join must happen AFTER the top-K
+    recency restriction (bounded rows), and nothing in the plan may
+    be a cartesian product; the raw scan reads only the used columns."""
+    plan = plan_of(Q.mann_kendall_trend(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "ts" in read_schema
+
+
+def test_ordinal_patterns_single_sort_no_join(spark):
+    """Ordinal patterns: both leads must ride ONE window sort; a hash
+    agg and a count window follow — no join."""
+    plan = plan_of(Q.ordinal_patterns(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    # one sort for the two leads; one more inside the n_triples window
+    assert count_nodes(plan, "Window") == 2
+
+
+def test_kmv_sketch_lane_joins_are_equi_and_bounded(spark):
+    """KMV Jaccard: the sketch lane joins 64-row-per-type frames; the
+    type-pair cross product is an explicit broadcast of the |types|
+    frame, and no unbounded cartesian appears."""
+    plan = plan_of(Q.kmv_user_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the deliberate |types| x |types| cross is broadcast-nested-loop
+    # over a tiny distinct frame; it feeds both sketch lanes (two
+    # occurrences) and everything else must be equi joins
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 2
