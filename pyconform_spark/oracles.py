@@ -3559,3 +3559,41 @@ JOIN counts ca ON ca.etype = i.type_a
 JOIN counts cb ON cb.etype = i.type_b
 JOIN kmv k ON k.type_a = i.type_a AND k.type_b = i.type_b
 """
+
+ORACLES["peak_detect"] = """
+WITH sums AS (
+  SELECT event_type AS series,
+         ((epoch_ms(ts)//1000 - (epoch_ms(ts)//1000) % 3600) // 3600)::BIGINT AS h,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS v
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT series, h, v,
+         max({'v': v, 'nh': -h}) OVER (PARTITION BY series ORDER BY h
+             RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS mx,
+         count(*) OVER (PARTITION BY series ORDER BY h
+             RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)::BIGINT AS n_window
+  FROM sums)
+SELECT series, make_timestamp(h * 3600 * 1000000) AS ts, v, n_window
+FROM staged
+WHERE v = mx.v AND -h = mx.nh
+"""
+
+ORACLES["ams_f2_sketch"] = """
+WITH signed AS (
+  SELECT t.lane,
+         (md5_number_lower(user_id::VARCHAR || '|' || t.lane::VARCHAR)
+           % 2147483647)::BIGINT % 2 * 2 - 1 AS sign
+  FROM events, generate_series(0, 15) AS t(lane)),
+xs AS (
+  SELECT lane, sum(sign)::BIGINT AS x FROM signed GROUP BY 1),
+est AS (
+  SELECT count(*)::BIGINT AS n_lanes, sum(x * x)::BIGINT AS sum_x2 FROM xs),
+exact AS (
+  SELECT sum(c * c)::BIGINT AS f2_exact
+  FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id))
+SELECT n_lanes, sum_x2,
+       sum_x2::DOUBLE / n_lanes::DOUBLE AS f2_est,
+       f2_exact,
+       (sum_x2::DOUBLE / n_lanes::DOUBLE) / f2_exact::DOUBLE AS est_over_exact
+FROM est, exact
+"""

@@ -6816,3 +6816,125 @@ def kmv_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jacc_kmv"
         ),
     )
+
+
+def peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak detection with minimum separation: an hour is a peak
+    of its event-type series iff its value is the UNIQUE maximum of
+    the +-12-hour neighborhood (ties resolve to the earliest hour) —
+    the alert-worthy local crest, as distinct from record_breaks'
+    all-time highs and burst_detect's threshold episodes.  The +-w
+    frame IS the minimum peak separation: two peaks can never be
+    closer than w+1 hours.
+
+    EXACT cross-engine: ONE range-frame aggregate per row —
+    max(struct(v, -hour)) over RANGE +-12 on the integer hour axis —
+    and a row is a peak iff it equals its own frame max; the struct
+    ordering encodes the tie rule (largest v, then earliest hour).
+
+    Scale shape: one hash agg to hourly sums, one key-local window
+    sort per series, zero joins.  The frame is RANGE on the integer
+    hour, so sparse series (missing hours) still compare against true
+    time neighbors, not row neighbors."""
+    w_h = 12
+    df = _events(spark, sf_dir)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    sums = (
+        df.select(
+            F.col("event_type").alias("series"),
+            ((t_s - (t_s % F.lit(3600))) / 3600).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("series", "h")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    wf = (
+        Window.partitionBy("series")
+        .orderBy("h")
+        .rangeBetween(-w_h, w_h)
+    )
+    staged = sums.select(
+        "series",
+        "h",
+        "v",
+        F.max(F.struct(F.col("v").alias("v"), (-F.col("h")).alias("nh"))).over(
+            wf
+        ).alias("mx"),
+        F.count(F.lit(1)).over(wf).alias("n_window"),
+    )
+    peaks = staged.where(
+        (F.col("v") == F.col("mx.v")) & (-F.col("h") == F.col("mx.nh"))
+    )
+    return peaks.select(
+        "series",
+        F.timestamp_seconds(F.col("h") * 3600).cast("timestamp_ntz").alias(
+            "ts"
+        ),
+        "v",
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy, STOC
+    1996 — public literature) of the per-user event counts, with the
+    exact F2 alongside: each of 16 lanes folds every event's
+    md5-derived +-1 user sign into one running sum X_j, and
+    F2_est = avg(X_j^2).  F2 = sum_u count(u)^2 is exactly the row
+    count of the user-keyed self-join — THE number a planner wants
+    before attempting a join on a possibly-skewed key, and at 10^12
+    rows the sketch costs one pass of 16 counters per partition
+    (map-side combinable) while the exact lane needs a full groupBy.
+
+    EXACT cross-engine: signs are parity bits of the shared md5-low-64
+    convention (textops.hash31 applied to user||lane), X_j is an
+    integer sum, and the estimate is ONE integer->double division.
+
+    Scale shape: the sketch lane is one hash agg over 16 lanes
+    (constant state per partition); the exact lane is the per-user
+    count agg it audits."""
+    from pyconform_spark.textops import hash31
+
+    lanes = 16
+    df = _events(spark, sf_dir).select("user_id")
+    lane = F.explode(
+        F.sequence(F.lit(0), F.lit(lanes - 1))
+    ).alias("lane")
+    signed = df.select("user_id", lane).select(
+        "lane",
+        (
+            hash31(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("lane").cast("string"),
+                )
+            )
+            % 2
+            * 2
+            - 1
+        ).alias("sign"),
+    )
+    xs = signed.groupBy("lane").agg(F.sum("sign").cast("long").alias("x"))
+    est = xs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lanes"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+    exact = (
+        df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    out = est.crossJoin(F.broadcast(exact))
+    return out.select(
+        "n_lanes",
+        "sum_x2",
+        (F.col("sum_x2").cast("double") / F.col("n_lanes").cast("double")).alias(
+            "f2_est"
+        ),
+        "f2_exact",
+        (
+            (F.col("sum_x2").cast("double") / F.col("n_lanes").cast("double"))
+            / F.col("f2_exact").cast("double")
+        ).alias("est_over_exact"),
+    )

@@ -1376,3 +1376,23 @@ def test_kmv_sketch_lane_joins_are_equi_and_bounded(spark):
     # over a tiny distinct frame; it feeds both sketch lanes (two
     # occurrences) and everything else must be equi joins
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_peak_detect_single_frame_pass_no_join(spark):
+    """Peak detection: one hash agg to hourly sums, one key-local
+    range-frame window pass — no join anywhere."""
+    plan = plan_of(Q.peak_detect(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_ams_sketch_lane_is_partial_agged(spark):
+    """AMS F2: the 16-lane sign fold must map-side combine (partial
+    sum before the exchange), and the exact-audit lane joins back as
+    a broadcast of its 1-row result."""
+    plan = plan_of(Q.ams_f2_sketch(spark, SF))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1
