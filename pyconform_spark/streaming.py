@@ -1249,3 +1249,122 @@ def read_cdc_view(spark, root: str) -> DataFrame:
         if d.startswith("batch=")
     ]
     return spark.read.parquet(os.path.join(base, f"batch={max(ids)}"))
+
+
+def stream_mann_kendall(stream: DataFrame, k: int = 24) -> DataFrame:
+    """Continuous Mann-Kendall trend monitoring
+    (applyInPandasWithState): per (user_id, event_type) the state is
+    the k=24 MOST RECENT samples as (t_us, event_id, vq) arrays —
+    bounded, and merged by (ts, event_id) recency on every
+    micro-batch, so the carried top-k is ORDER-ROBUST: any arrival
+    order of the same rows converges to the same state (late data
+    needs no special path — a late sample either displaces the
+    window's oldest entry or is too old to matter, exactly as in the
+    batch query's recency frame).  Each update emits the refreshed
+    (n, S, var18, z, trend) row computed with the identical integer
+    tie-corrected formulas as ``queries.mann_kendall_trend``.
+
+    Parity gate (pytest): after all micro-batches the latest emission
+    per series equals the batch query bit-for-bit.
+
+    Scale shape: 24 triples per live series of state, one emission
+    per touched series per micro-batch — the alerting loop runs the
+    O(k^2) sign count on 276 pairs per update, never on history."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s_stat", T.LongType(), False),
+        T.StructField("var18", T.LongType(), False),
+        T.StructField("z", T.DoubleType(), False),
+        T.StructField("trend", T.StringType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("t_us", T.ArrayType(T.LongType()), True),
+        T.StructField("eid", T.ArrayType(T.LongType()), True),
+        T.StructField("vq", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        rows: list[tuple[int, int, int]] = []
+        if state.exists:
+            t0, e0, v0 = state.get
+            rows = list(zip(t0, e0, v0))
+        parts = list(pdfs)
+        if parts:
+            pdf = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+            )
+            t_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            vq = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100
+            ).astype("int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            rows += list(zip(t_us.tolist(), eid.tolist(), vq.tolist()))
+        if not rows:
+            return
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:k]
+        state.update((
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+        ))
+        vals = [r[2] for r in rows][::-1]  # time-ascending
+        n = len(vals)
+        if n < 2:
+            return
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie: dict[int, int] = {}
+        for v in vals:
+            tie[v] = tie.get(v, 0) + 1
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in tie.values()
+        )
+        z = (
+            0.0
+            if s == 0
+            else (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+        )
+        trend = (
+            "increasing"
+            if z > 1.959963984540054
+            else "decreasing"
+            if z < -1.959963984540054
+            else "no_trend"
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "event_type": [event_type],
+                "n": [int(n)],
+                "s_stat": [int(s)],
+                "var18": [int(var18)],
+                "z": [float(z)],
+                "trend": [trend],
+            }
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

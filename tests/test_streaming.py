@@ -1013,3 +1013,50 @@ def test_stream_cdc_view_retracts_exactly(spark, tmp_path):
         "b": (Decimal("5.000000"), 1),
         "d": (Decimal("7.000000"), 1),
     }  # c fully retracted -> gone
+
+
+def test_stream_mann_kendall_matches_batch(spark, tmp_path):
+    """The bounded top-24-recency state must converge to the batch
+    Mann-Kendall rows bit-for-bit across a mid-corpus micro-batch
+    split — including z and the trend label."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "mk_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_mann_kendall(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mkstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest emission per series: n only grows and S stabilizes at the
+    # final state; memory sink appends, so take the LAST row per key
+    latest = {}
+    for r in spark.sql("select * from mkstream").collect():
+        latest[(r.user_id, r.event_type)] = (
+            r.n, r.s_stat, r.var18, r.z, r.trend
+        )
+    want = {
+        (r.user_id, r.event_type): (r.n, r.s_stat, r.var18, r.z, r.trend)
+        for r in Q.mann_kendall_trend(spark, sf).collect()
+    }
+    assert latest == want
