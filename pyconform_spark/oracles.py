@@ -3597,3 +3597,140 @@ SELECT n_lanes, sum_x2,
        (sum_x2::DOUBLE / n_lanes::DOUBLE) / f2_exact::DOUBLE AS est_over_exact
 FROM est, exact
 """
+
+ORACLES["allan_variance"] = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS r
+  FROM events),
+fanned AS (
+  SELECT o.user_id, o.event_type, o.vq, taus.tau,
+         (o.r - 1) // taus.tau AS blk
+  FROM ordered o CROSS JOIN (VALUES (1), (2), (4)) taus(tau)),
+blocks AS (
+  SELECT user_id, event_type, tau, blk,
+         sum(vq)::BIGINT AS s, count(*)::BIGINT AS cnt
+  FROM fanned GROUP BY 1, 2, 3, 4),
+full_blocks AS (SELECT * FROM blocks WHERE cnt = tau),
+diffed AS (
+  SELECT user_id, event_type, tau,
+         s - lag(s) OVER (PARTITION BY user_id, event_type, tau
+                          ORDER BY blk) AS d
+  FROM full_blocks),
+agg AS (
+  SELECT user_id, event_type, tau,
+         count(*)::BIGINT AS m_blocks,
+         sum(d * d)::BIGINT AS sum_d2
+  FROM diffed GROUP BY 1, 2, 3
+  HAVING count(*) >= 2)
+SELECT user_id, event_type, tau::INTEGER AS tau, m_blocks, sum_d2,
+       sum_d2::DOUBLE
+       / (2 * (m_blocks - 1) * tau * tau * 10000)::DOUBLE AS allan_var
+FROM agg
+"""
+
+ORACLES["tvd_drift"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts)//1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+tagged AS (
+  SELECT b.event_type,
+         CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END AS in_a,
+         b.vq // 5000 AS bin
+  FROM base b JOIN spans s USING (event_type)),
+bins AS (
+  SELECT event_type, bin,
+         sum(in_a)::BIGINT AS c_a,
+         sum(1 - in_a)::BIGINT AS c_b
+  FROM tagged GROUP BY 1, 2),
+per_bin AS (
+  SELECT event_type, bin, c_a, c_b,
+         sum(c_a) OVER (PARTITION BY event_type)::BIGINT AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type)::BIGINT AS n_b
+  FROM bins)
+SELECT event_type,
+       max(n_a)::BIGINT AS n_a,
+       max(n_b)::BIGINT AS n_b,
+       count(*)::BIGINT AS n_bins,
+       sum(abs(c_a * n_b - c_b * n_a))::BIGINT AS tvd_num,
+       CASE WHEN max(n_a) > 0 AND max(n_b) > 0
+            THEN sum(abs(c_a * n_b - c_b * n_a))::DOUBLE
+                 / (2 * max(n_a) * max(n_b))::DOUBLE
+       END AS tvd
+FROM per_bin GROUP BY 1
+"""
+
+ORACLES["availability_sla"] = f"""
+WITH base AS (
+  SELECT event_type,
+         {_bucket(86400)} AS day,
+         ((epoch_ms(ts)//1000) - (epoch_ms(ts)//1000) % 60)::BIGINT
+           AS minute_slot
+  FROM events)
+SELECT event_type, day,
+       count(DISTINCT minute_slot)::BIGINT AS minutes_up,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT minute_slot)::DOUBLE / 1440.0 AS availability,
+       count(DISTINCT minute_slot) * 1000 >= 43200 AS sla_met
+FROM base GROUP BY 1, 2
+"""
+
+ORACLES["ordinal_complexity"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS v1
+  FROM events),
+tri AS (
+  SELECT user_id, event_type, v1,
+         lead(v1, 1) OVER w AS v2,
+         lead(v1, 2) OVER w AS v3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+coded AS (
+  SELECT user_id, event_type,
+         concat(
+           CASE WHEN v2 - v1 > 0 THEN '+' WHEN v2 - v1 < 0 THEN '-' ELSE '0' END,
+           CASE WHEN v3 - v2 > 0 THEN '+' WHEN v3 - v2 < 0 THEN '-' ELSE '0' END,
+           CASE WHEN v3 - v1 > 0 THEN '+' WHEN v3 - v1 < 0 THEN '-' ELSE '0' END
+         ) AS pattern
+  FROM tri WHERE v3 IS NOT NULL),
+counted AS (
+  SELECT user_id, event_type, pattern, count(*)::BIGINT AS cnt
+  FROM coded GROUP BY 1, 2, 3),
+agg AS (
+  SELECT user_id, event_type,
+         sum(cnt)::BIGINT AS n_triples,
+         count(*)::BIGINT AS n_patterns,
+         max(cnt)::BIGINT AS max_cnt,
+         sum(cnt * (cnt - 1))::BIGINT AS pair_num
+  FROM counted GROUP BY 1, 2
+  HAVING sum(cnt) >= 2)
+SELECT user_id, event_type, n_triples, n_patterns,
+       max_cnt::DOUBLE / n_triples::DOUBLE AS dominant_frac,
+       1.0 - pair_num::DOUBLE
+             / (n_triples * (n_triples - 1))::DOUBLE AS simpson_diversity
+FROM agg
+"""
+
+ORACLES["max_drawdown"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS vq,
+         max(floor(value * 100)::BIGINT) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM events)
+SELECT user_id, event_type,
+       count(*)::BIGINT AS n,
+       max(vq)::BIGINT AS peak_cq,
+       max(runmax - vq)::BIGINT AS max_dd_cq,
+       max((runmax - vq)::DOUBLE / runmax::DOUBLE) AS max_dd_rel
+FROM base GROUP BY 1, 2
+"""

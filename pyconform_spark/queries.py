@@ -6938,3 +6938,320 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("f2_exact").cast("double")
         ).alias("est_over_exact"),
     )
+
+
+def allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance per series at averaging factors tau in {1,2,4}
+    (Allan 1966, public literature — the frequency-stability measure a
+    telemetry platform uses to separate white noise, which averages
+    down with tau, from drift, which does not): samples are grouped
+    into consecutive non-overlapping blocks of tau readings, and the
+    statistic is half the mean squared difference of successive block
+    means.
+
+    EXACT cross-engine: block SUMS stay BIGINT on centi-quantized
+    values (mean = sum/tau is deferred into the final constant), so
+    sum_d2 = sum (s_{k+1}-s_k)^2 is a pure integer; the variance is
+    ONE integer->double division by the exact BIGINT constant
+    2*(m-1)*tau^2*100^2.  Only full blocks count, and because blocks
+    are consecutive by construction the kept set is a prefix — the
+    lag pairs are genuinely adjacent in both engines.
+
+    Scale shape: one window sort per series assigns sample ranks; the
+    tau fan-out (x3) happens AFTER quantization via explode; block
+    sums are a hash aggregate; the successive-difference lag rides a
+    per-(series,tau) window over the already-reduced block frame.  No
+    join touches raw data."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    ordered = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    ).withColumn("r", F.row_number().over(wo))
+    fanned = ordered.select(
+        *EKEYS,
+        "vq",
+        "r",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("tau"),
+    ).withColumn(
+        "blk", F.floor((F.col("r") - 1) / F.col("tau")).cast("long")
+    )
+    blocks = (
+        fanned.groupBy(*EKEYS, "tau", "blk")
+        .agg(
+            F.sum("vq").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("tau"))
+    )
+    wb = Window.partitionBy(*EKEYS, "tau").orderBy("blk")
+    diffed = blocks.withColumn("d", F.col("s") - F.lag("s").over(wb))
+    out = (
+        diffed.groupBy(*EKEYS, "tau")
+        .agg(
+            F.count(F.lit(1)).alias("m_blocks"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        )
+        .filter(F.col("m_blocks") >= 2)
+    )
+    denom = (
+        F.lit(2)
+        * (F.col("m_blocks") - 1)
+        * F.col("tau")
+        * F.col("tau")
+        * F.lit(10000)
+    ).cast("long")
+    return out.select(
+        *EKEYS,
+        F.col("tau").cast("int").alias("tau"),
+        F.col("m_blocks").cast("long").alias("m_blocks"),
+        "sum_d2",
+        (F.col("sum_d2").cast("double") / denom.cast("double")).alias(
+            "allan_var"
+        ),
+    )
+
+
+def tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per event type: total-variation distance
+    between the value histogram of the series' FIRST half and its
+    SECOND half (split at the midpoint of each type's own time range)
+    — the drift monitor a data platform runs to catch silent upstream
+    changes before retraining on shifted data.  TVD instead of
+    KL/PSI BY DESIGN: ln() is not cross-engine bit-stable, while
+    TVD = 1/2 * sum_bins |p_a - p_b| is pure rational arithmetic.
+
+    EXACT cross-engine: the half split uses integer epoch seconds and
+    an integer midpoint; bins are integer floors of centi-quantized
+    values; the numerator sum |c_a*n_b - c_b*n_a| stays BIGINT, and
+    TVD is ONE integer->double division by the exact BIGINT constant
+    2*n_a*n_b.  (At 10^12 rows the cross products need DECIMAL(38,0)
+    staging; at driver scale BIGINT is exact.)
+
+    Scale shape: the per-type min/max ride one hash aggregate joined
+    back broadcast; counting is two hash aggregates (type x half x
+    bin, then type); no window touches raw data, no shuffle beyond
+    the aggregation keys."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        es.alias("es"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.min("es").alias("mn"), F.max("es").alias("mx")
+    )
+    mid = F.floor((F.col("mn") + F.col("mx")) / 2).cast("long")
+    tagged = base.join(
+        F.broadcast(spans.select("event_type", mid.alias("mid"))),
+        "event_type",
+    ).select(
+        "event_type",
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+        F.floor(F.col("vq") / 5000).cast("long").alias("bin"),
+    )
+    bins = tagged.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("c_b"),
+    )
+    wt = Window.partitionBy("event_type")
+    per_bin = bins.select(
+        "event_type",
+        "bin",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(wt).alias("n_a"),
+        F.sum("c_b").over(wt).alias("n_b"),
+    )
+    return (
+        per_bin.groupBy("event_type")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            )
+            .cast("long")
+            .alias("tvd_num"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "n_bins",
+            "tvd_num",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("tvd_num").cast("double")
+                / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"),
+            ).alias("tvd"),
+        )
+    )
+
+
+def availability_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event type, UTC day) feed availability: the fraction of
+    the day's 1440 minute slots that carried at least one event, plus
+    an SLA flag — the uptime accounting an ingestion platform reports
+    per feed per day (a minute with data is 'up'; silence is 'down').
+
+    EXACT cross-engine: minute and day slots are integer epoch
+    floors; minutes_up is a COUNT(DISTINCT) of integers; availability
+    is ONE integer->double division by the constant 1440; the SLA
+    flag compares the exact integer minute count (>= 3% of 1440 =
+    43.2, i.e. minutes_up * 1000 >= 43200) so no float threshold is
+    involved.
+
+    Scale shape: distinct minutes per (type, day) is one two-phase
+    hash aggregate (partial distinct map-side); no window, no join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        bucket_ts(F.col("ts"), 86400).alias("day"),
+        (es - es % 60).alias("minute_slot"),
+    )
+    return (
+        base.groupBy("event_type", "day")
+        .agg(
+            F.countDistinct("minute_slot").cast("long").alias("minutes_up"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "minutes_up",
+            "n_events",
+            (F.col("minutes_up").cast("double") / F.lit(1440.0)).alias(
+                "availability"
+            ),
+            (F.col("minutes_up") * 1000 >= 43200).alias("sla_met"),
+        )
+    )
+
+
+def ordinal_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series complexity via ordinal-pattern diversity: the unbiased
+    Simpson diversity 1 - sum c_i*(c_i-1) / (n*(n-1)) of the
+    Bandt-Pompe triple-pattern histogram (the same tie-aware sign
+    coding as ``ordinal_patterns``), plus the dominant pattern's
+    share — a single-number complexity score per series.  Diversity
+    near 0 means one pattern dominates (trend/flatline); near the
+    uniform ceiling means noise.  Simpson instead of permutation
+    ENTROPY by design: ln() is not cross-engine bit-stable, Simpson
+    is pure rational arithmetic.
+
+    EXACT cross-engine: pattern counts are integers over the
+    deterministic (ts, event_id) order; diversity and dominant_frac
+    are each ONE integer->double division (and one exact subtraction).
+
+    Scale shape: one window sort per series (two leads), two hash
+    aggregates; no join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("v1"),
+    )
+    tri = base.select(
+        *EKEYS,
+        "v1",
+        F.lead("v1", 1).over(wo).alias("v2"),
+        F.lead("v1", 2).over(wo).alias("v3"),
+    ).where(F.col("v3").isNotNull())
+
+    def sgn(c: Column) -> Column:
+        return (
+            F.when(c > 0, F.lit("+")).when(c < 0, F.lit("-")).otherwise(
+                F.lit("0")
+            )
+        )
+
+    coded = tri.select(
+        *EKEYS,
+        F.concat(
+            sgn(F.col("v2") - F.col("v1")),
+            sgn(F.col("v3") - F.col("v2")),
+            sgn(F.col("v3") - F.col("v1")),
+        ).alias("pattern"),
+    )
+    counted = coded.groupBy(*EKEYS, "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    out = (
+        counted.groupBy(*EKEYS)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_triples"),
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1))
+            .cast("long")
+            .alias("pair_num"),
+        )
+        .filter(F.col("n_triples") >= 2)
+    )
+    return out.select(
+        *EKEYS,
+        "n_triples",
+        "n_patterns",
+        (F.col("max_cnt").cast("double") / F.col("n_triples").cast("double")).alias(
+            "dominant_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("pair_num").cast("double")
+            / (F.col("n_triples") * (F.col("n_triples") - 1)).cast("double")
+        ).alias("simpson_diversity"),
+    )
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: the largest peak-to-trough drop of
+    the running maximum over the deterministic (ts, event_id) order —
+    absolute (centi-units) and relative (fraction of the peak at the
+    time of the drop).  The burn-down statistic a capacity/SLO
+    reviewer reads off any cumulative-quality series.
+
+    EXACT cross-engine: the running max is an integer prefix max of
+    centi-quantized values; each drawdown is an integer subtraction;
+    each relative drawdown is ONE integer->double division (peak > 0
+    always holds: values are positive), and MAX over exact doubles is
+    a pure comparison.
+
+    Scale shape: one window sort per series carries the running max;
+    one hash aggregate reduces it.  No join, no second sort."""
+    df = _events(spark, sf_dir)
+    wo = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    ).withColumn("runmax", F.max("vq").over(wo))
+    dd = base.select(
+        *EKEYS,
+        (F.col("runmax") - F.col("vq")).alias("dd"),
+        (
+            (F.col("runmax") - F.col("vq")).cast("double")
+            / F.col("runmax").cast("double")
+        ).alias("rel_dd"),
+        "vq",
+    )
+    return dd.groupBy(*EKEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("vq").cast("long").alias("peak_cq"),
+        F.max("dd").cast("long").alias("max_dd_cq"),
+        F.max("rel_dd").alias("max_dd_rel"),
+    )
