@@ -1396,3 +1396,38 @@ def test_ams_sketch_lane_is_partial_agged(spark):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_max_drawdown_single_sort_no_join(spark):
+    """Max drawdown: the running max, the drawdown subtraction and the
+    final reduce all ride ONE per-series window sort — no join."""
+    plan = plan_of(Q.max_drawdown(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_tvd_drift_midpoint_joins_broadcast(spark):
+    """TVD drift: the per-type midpoint (a |types|-row frame) joins
+    back BROADCAST; the raw scan is never sort-merge shuffled, and
+    counting is hash aggregation (map-side partial present)."""
+    plan = plan_of(Q.tvd_drift(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "partial_sum" in plan
+
+
+def test_allan_variance_lag_rides_reduced_block_frame(spark):
+    """Allan variance: exactly two window passes — the per-series rank
+    on raw and the successive-difference lag on the already-reduced
+    block frame; block sums hash-aggregate with map-side combine; no
+    join anywhere (the tau fan-out is a generator, not a join)."""
+    plan = plan_of(Q.allan_variance(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 2
+    assert "Generate" in plan
+    assert "partial_sum" in plan
