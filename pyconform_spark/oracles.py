@@ -3734,3 +3734,103 @@ SELECT user_id, event_type,
        max((runmax - vq)::DOUBLE / runmax::DOUBLE) AS max_dd_rel
 FROM base GROUP BY 1, 2
 """
+
+_DAILY_TYPE_SUMS = """
+  SELECT event_type,
+         ((epoch_ms(ts)//1000) - (epoch_ms(ts)//1000) % 86400)::BIGINT AS day,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sv
+  FROM events GROUP BY 1, 2
+"""
+
+ORACLES["spearman_daily_pairs"] = f"""
+WITH daily AS ({_DAILY_TYPE_SUMS}),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+         a.sv AS sv_a, b.sv AS sv_b
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.event_type < b.event_type),
+ranked AS (
+  SELECT type_a, type_b, day,
+         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY sv_a)
+           + count(*) OVER (PARTITION BY type_a, type_b, sv_a) - 2 AS ra2,
+         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY sv_b)
+           + count(*) OVER (PARTITION BY type_a, type_b, sv_b) - 2 AS rb2
+  FROM pairs),
+mom AS (
+  SELECT type_a, type_b,
+         count(*)::BIGINT AS n_days,
+         sum(ra2)::BIGINT AS sx, sum(rb2)::BIGINT AS sy,
+         sum(ra2 * ra2)::BIGINT AS sxx, sum(rb2 * rb2)::BIGINT AS syy,
+         sum(ra2 * rb2)::BIGINT AS sxy
+  FROM ranked GROUP BY 1, 2
+  HAVING count(*) >= 3)
+SELECT type_a, type_b, n_days,
+       CASE WHEN (n_days * sxx - sx * sx) > 0
+             AND (n_days * syy - sy * sy) > 0
+            THEN (n_days * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n_days * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n_days * syy - sy * sy)::DOUBLE))
+       END AS spearman_rho
+FROM mom
+"""
+
+ORACLES["kendall_tau_pairs"] = f"""
+WITH daily AS ({_DAILY_TYPE_SUMS}),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+         a.sv AS sv_a, b.sv AS sv_b
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.event_type < b.event_type),
+dp AS (
+  SELECT i.type_a, i.type_b,
+         i.sv_a AS xa1, i.sv_b AS xb1, j.sv_a AS xa2, j.sv_b AS xb2
+  FROM pairs i JOIN pairs j
+    ON i.type_a = j.type_a AND i.type_b = j.type_b AND i.day < j.day),
+cd AS (
+  SELECT type_a, type_b,
+         sum((sign(xa2 - xa1) * sign(xb2 - xb1))::BIGINT)::BIGINT
+           AS c_minus_d,
+         count(*)::BIGINT AS n0,
+         sum(CASE WHEN xa1 = xa2 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN xb1 = xb2 THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM dp GROUP BY 1, 2)
+SELECT type_a, type_b, n0, c_minus_d,
+       CASE WHEN n0 > n1 AND n0 > n2
+            THEN c_minus_d::DOUBLE
+                 / sqrt(((n0 - n1) * (n0 - n2))::DOUBLE)
+       END AS kendall_tau_b
+FROM cd
+"""
+
+ORACLES["benford_digit_profile"] = """
+WITH digits AS (
+  SELECT event_type,
+         substring(floor(value * 100)::BIGINT::VARCHAR, 1, 1)::INTEGER
+           AS digit
+  FROM events),
+counted AS (
+  SELECT event_type, digit, count(*)::BIGINT AS observed
+  FROM digits GROUP BY 1, 2),
+with_n AS (
+  SELECT event_type, digit, observed,
+         sum(observed) OVER (PARTITION BY event_type)::BIGINT AS n,
+         CASE digit
+           WHEN 1 THEN 0.3010299956639812
+           WHEN 2 THEN 0.17609125905568124
+           WHEN 3 THEN 0.12493873660829992
+           WHEN 4 THEN 0.09691001300805642
+           WHEN 5 THEN 0.07918124604762482
+           WHEN 6 THEN 0.06694678963061322
+           WHEN 7 THEN 0.05799194697768673
+           WHEN 8 THEN 0.05115252244738129
+           WHEN 9 THEN 0.04575749056067514
+         END AS benford_p
+  FROM counted)
+SELECT event_type, digit, observed, n,
+       observed::DOUBLE / n::DOUBLE AS obs_frac,
+       benford_p,
+       (observed::DOUBLE - n::DOUBLE * benford_p)
+       * (observed::DOUBLE - n::DOUBLE * benford_p)
+       / (n::DOUBLE * benford_p) AS chi2_component
+FROM with_n
+"""

@@ -7255,3 +7255,242 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dd").cast("long").alias("max_dd_cq"),
         F.max("rel_dd").alias("max_dd_rel"),
     )
+
+
+def _daily_type_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared reduction for the pairwise co-movement statistics: one
+    hash aggregate from raw to the (event_type, day, daily centi-sum)
+    frame — 5 types x ~30 days at any scale factor, tiny forever."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    return (
+        df.select(
+            "event_type",
+            (es - es % 86400).alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").cast("long").alias("sv"))
+    )
+
+
+def spearman_daily_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    DAILY total-value series (aligned on shared days) — the co-movement
+    matrix a platform reads to find feeds that rise and fall together
+    without assuming linearity.  Spearman instead of Pearson on raw
+    values BY DESIGN: it is Pearson on RANKS, and ranks are integers,
+    so the statistic is exact rational arithmetic plus two
+    correctly-rounded sqrts.
+
+    Tie handling is the standard average-rank convention staged as
+    DOUBLED ranks (2*min_rank + ties - 1) to stay integer.
+
+    EXACT cross-engine: daily sums are BIGINT; doubled average ranks
+    are BIGINT; the Pearson moments n*Sxy - Sx*Sy etc. are BIGINT;
+    rho = num / (sqrt(den_a) * sqrt(den_b)) is two exact int->double
+    converts, two correctly-rounded sqrts, one multiply, one divide.
+
+    Scale shape: ONE hash aggregate touches raw; the pair join, rank
+    windows and moment aggregate all ride the |types| x |days| frame
+    (hundreds of rows at ANY data scale)."""
+    daily = _daily_type_sums(spark, sf_dir)
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("sv").alias("sv_a"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("sv").alias("sv_b"),
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    pk = ["type_a", "type_b"]
+    wra = Window.partitionBy(*pk).orderBy("sv_a")
+    wta = Window.partitionBy(*pk, "sv_a")
+    wrb = Window.partitionBy(*pk).orderBy("sv_b")
+    wtb = Window.partitionBy(*pk, "sv_b")
+    ranked = pairs.select(
+        *pk,
+        "day",
+        (
+            F.lit(2) * F.rank().over(wra) + F.count(F.lit(1)).over(wta) - 2
+        ).alias("ra2"),
+        (
+            F.lit(2) * F.rank().over(wrb) + F.count(F.lit(1)).over(wtb) - 2
+        ).alias("rb2"),
+    )
+    mom = ranked.groupBy(*pk).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("ra2").cast("long").alias("sx"),
+        F.sum("rb2").cast("long").alias("sy"),
+        F.sum(F.col("ra2") * F.col("ra2")).cast("long").alias("sxx"),
+        F.sum(F.col("rb2") * F.col("rb2")).cast("long").alias("syy"),
+        F.sum(F.col("ra2") * F.col("rb2")).cast("long").alias("sxy"),
+    ).filter(F.col("n_days") >= 3)
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "long"
+    )
+    den_a = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    den_b = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    return mom.select(
+        *pk,
+        "n_days",
+        F.when(
+            (den_a > 0) & (den_b > 0),
+            num.cast("double")
+            / (
+                F.sqrt(den_a.cast("double")) * F.sqrt(den_b.cast("double"))
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
+def kendall_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between every pair of event types' daily
+    total-value series — the concordance companion to
+    ``spearman_daily_pairs`` (Kendall 1938, public literature), with
+    the standard tie correction.  C - D counts concordant minus
+    discordant day-pairs; tau_b divides by the geometric mean of the
+    tie-adjusted pair counts.
+
+    EXACT cross-engine: C - D is a BIGINT sum of sign products over
+    the deterministic day-pair set; n0/n1/n2 are BIGINT; tau_b =
+    (C-D) / sqrt((n0-n1) * (n0-n2)) is one exact int->double convert,
+    one correctly-rounded sqrt, one divide.
+
+    Scale shape: the O(days^2) pair-of-days join happens on the
+    already-reduced |types| x |days| frame (~400 day-pairs per type
+    pair at ANY data scale); raw is touched by ONE hash aggregate."""
+    daily = _daily_type_sums(spark, sf_dir)
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("sv").alias("sv_a")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("sv").alias("sv_b")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    pk = ["type_a", "type_b"]
+    i = pairs.select(
+        *pk,
+        F.col("day").alias("d1"),
+        F.col("sv_a").alias("xa1"),
+        F.col("sv_b").alias("xb1"),
+    )
+    j = pairs.select(
+        *pk,
+        F.col("day").alias("d2"),
+        F.col("sv_a").alias("xa2"),
+        F.col("sv_b").alias("xb2"),
+    )
+    dp = i.join(j, pk).filter(F.col("d1") < F.col("d2"))
+    cd = dp.groupBy(*pk).agg(
+        F.sum(
+            (
+                F.signum(F.col("xa2") - F.col("xa1"))
+                * F.signum(F.col("xb2") - F.col("xb1"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("c_minus_d"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(
+            F.when(F.col("xa1") == F.col("xa2"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("xb1") == F.col("xb2"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n2"),
+    )
+    return cd.select(
+        *pk,
+        "n0",
+        "c_minus_d",
+        F.when(
+            (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+            F.col("c_minus_d").cast("double")
+            / F.sqrt(
+                ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2")))
+                .cast("double")
+            ),
+        ).alias("kendall_tau_b"),
+    )
+
+
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance per event type: the observed
+    leading-digit distribution of the centi-quantized values next to
+    the Benford expectation log10(1 + 1/d), with the per-digit
+    chi-square component — the fabricated-data / instrumentation-bug
+    screen an auditor runs on any value feed (Newcomb 1881, Benford
+    1938 — public literature).
+
+    EXACT cross-engine: digit extraction is the first character of
+    the BIGINT's decimal string (values are >= 0.01 so vq >= 1 — no
+    sign, no leading zero); counts are BIGINT; the Benford
+    probabilities are IDENTICAL 17-significant-digit double literals
+    in both engines (ln/log10 are never evaluated at query time —
+    they are not cross-engine bit-stable); each output row carries
+    its OWN chi-square component (obs - n*p)^2 / (n*p) — a per-row
+    chain of exact IEEE ops — rather than a cross-row double sum,
+    which would be order-dependent.
+
+    Scale shape: one projection + two hash aggregates (type x digit,
+    then the type-total window on the 9-row-per-type frame); no
+    join."""
+    df = _events(spark, sf_dir)
+    benford = {
+        1: 0.3010299956639812,
+        2: 0.17609125905568124,
+        3: 0.12493873660829992,
+        4: 0.09691001300805642,
+        5: 0.07918124604762482,
+        6: 0.06694678963061322,
+        7: 0.05799194697768673,
+        8: 0.05115252244738129,
+        9: 0.04575749056067514,
+    }
+    p = F.col("digit")
+    pexpr = F.lit(None).cast("double")
+    for d, prob in reversed(sorted(benford.items())):
+        pexpr = F.when(p == d, F.lit(prob)).otherwise(pexpr)
+    digits = df.select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    counted = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    wt = Window.partitionBy("event_type")
+    out = counted.select(
+        "event_type",
+        "digit",
+        "observed",
+        F.sum("observed").over(wt).cast("long").alias("n"),
+        pexpr.alias("benford_p"),
+    )
+    expected = F.col("n").cast("double") * F.col("benford_p")
+    dev = F.col("observed").cast("double") - expected
+    return out.select(
+        "event_type",
+        "digit",
+        "observed",
+        "n",
+        (F.col("observed").cast("double") / F.col("n").cast("double")).alias(
+            "obs_frac"
+        ),
+        "benford_p",
+        (dev * dev / expected).alias("chi2_component"),
+    )

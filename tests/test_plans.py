@@ -1431,3 +1431,24 @@ def test_allan_variance_lag_rides_reduced_block_frame(spark):
     assert count_nodes(plan, "Window") == 2
     assert "Generate" in plan
     assert "partial_sum" in plan
+
+
+def test_spearman_pairs_join_rides_reduced_daily_frame(spark):
+    """Spearman: raw is touched by ONE partial-agged hash aggregate;
+    the pair self-join and the four rank/tie windows (rank + tie
+    count per side) ride the |types| x |days| frame — bounded at any
+    data scale.  No cartesian product, no raw-side window."""
+    plan = plan_of(Q.spearman_daily_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert count_nodes(plan, "Window") == 4
+
+
+def test_benford_single_scan_no_join(spark):
+    """Benford: one projection, two hash aggregates, the per-type
+    total window over the 9-row-per-type frame — no join anywhere."""
+    plan = plan_of(Q.benford_digit_profile(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
