@@ -1368,3 +1368,112 @@ def stream_mann_kendall(stream: DataFrame, k: int = 24) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_tvd_drift(
+    stream: DataFrame,
+    split_s: dict[str, int],
+    bin_width: int = 5000,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Continuous distribution-drift monitoring
+    (applyInPandasWithState): per event_type the state is TWO bounded
+    histogram arrays — the REFERENCE window (events at or before the
+    type's split epoch-second, e.g. "what the model was trained on")
+    and the CURRENT window (everything after) — and every micro-batch
+    emits the refreshed total-variation distance between them with the
+    identical exact-integer formula as ``queries.tvd_drift``
+    (sum |c_a*n_b - c_b*n_a| BIGINT, ONE divide by 2*n_a*n_b).
+
+    The state is ORDER-ROBUST by construction: histogram counts are
+    commutative sums, so any arrival order (and any micro-batch
+    split) of the same rows converges to the same state — late data
+    lands in whichever side of the fixed split it belongs to, no
+    special path.  ``split_s`` maps event_type -> split epoch-second
+    (a CONFIG in production — the reference-corpus boundary — not
+    data-derived; the parity test derives it from the batch query's
+    own midpoint so stream == batch bit-for-bit).
+
+    Scale shape: 2 x n_bins longs per live type of state; one
+    emission per touched type per micro-batch; nothing ever rescans
+    history."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_a", T.LongType(), False),
+        T.StructField("n_b", T.LongType(), False),
+        T.StructField("n_bins", T.LongType(), False),
+        T.StructField("tvd_num", T.LongType(), False),
+        T.StructField("tvd", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("c_a", T.ArrayType(T.LongType()), True),
+        T.StructField("c_b", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            a0, b0 = state.get
+            c_a = np.asarray(a0, dtype="int64")
+            c_b = np.asarray(b0, dtype="int64")
+        else:
+            c_a = np.zeros(n_bins, dtype="int64")
+            c_b = np.zeros(n_bins, dtype="int64")
+        split = int(split_s.get(event_type, 0))
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            es = (
+                pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            )
+            vq = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100
+            ).astype("int64")
+            b = vq // bin_width
+            if (b < 0).any() or (b >= n_bins).any():
+                raise ValueError(
+                    "tvd_drift bin out of range — raise n_bins"
+                )
+            in_a = es <= split
+            c_a += np.bincount(b[in_a], minlength=n_bins)
+            c_b += np.bincount(b[~in_a], minlength=n_bins)
+        if not touched:
+            return
+        state.update((c_a.tolist(), c_b.tolist()))
+        n_a = int(c_a.sum())
+        n_b = int(c_b.sum())
+        tvd_num = int(np.abs(c_a * n_b - c_b * n_a).sum())
+        tvd = (
+            float(tvd_num) / float(2 * n_a * n_b)
+            if n_a > 0 and n_b > 0
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_a": [n_a],
+                "n_b": [n_b],
+                "n_bins": [int(((c_a + c_b) > 0).sum())],
+                "tvd_num": [tvd_num],
+                "tvd": [tvd],
+            }
+        )
+
+    return (
+        stream.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1060,3 +1060,58 @@ def test_stream_mann_kendall_matches_batch(spark, tmp_path):
         for r in Q.mann_kendall_trend(spark, sf).collect()
     }
     assert latest == want
+
+
+def test_stream_tvd_drift_matches_batch(spark, tmp_path):
+    """The commutative two-histogram state must converge to the batch
+    tvd_drift rows bit-for-bit across a mid-corpus micro-batch split,
+    with the split boundary fed as config (derived here from the batch
+    query's own per-type midpoint)."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    split_s = {
+        r.event_type: r.mid
+        for r in events.groupBy("event_type")
+        .agg(
+            F.floor((F.min(es) + F.max(es)) / 2).cast("long").alias("mid")
+        )
+        .collect()
+    }
+    src = str(tmp_path / "tvd_in")
+    cut = F.lit("2024-01-10").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_tvd_drift(stream, split_s)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tvdstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in spark.sql(
+        "select * from tvdstream"
+    ).collect():
+        latest[r.event_type] = (r.n_a, r.n_b, r.n_bins, r.tvd_num, r.tvd)
+    want = {
+        r.event_type: (r.n_a, r.n_b, r.n_bins, r.tvd_num, r.tvd)
+        for r in Q.tvd_drift(spark, sf).collect()
+    }
+    assert latest == want
