@@ -3834,3 +3834,87 @@ SELECT event_type, digit, observed, n,
        / (n::DOUBLE * benford_p) AS chi2_component
 FROM with_n
 """
+
+_PER_USER_TOTALS = """
+  SELECT event_type, user_id,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+"""
+
+ORACLES["pareto_concentration"] = f"""
+WITH per_user AS ({_PER_USER_TOTALS}),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x DESC, user_id) AS rnk,
+         sum(x) OVER (PARTITION BY event_type
+                      ORDER BY x DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(x) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_users
+  FROM per_user),
+hit AS (
+  SELECT event_type,
+         min(rnk)::BIGINT AS users_for_80pct,
+         max(n_users)::BIGINT AS n_users,
+         max(total)::BIGINT AS total_cq
+  FROM ranked WHERE 5 * cum >= 4 * total
+  GROUP BY 1),
+top1 AS (
+  SELECT event_type, max(x)::BIGINT AS top1_cq FROM per_user GROUP BY 1)
+SELECT h.event_type, h.n_users, h.users_for_80pct,
+       h.users_for_80pct::DOUBLE / h.n_users::DOUBLE
+         AS user_frac_for_80pct,
+       t.top1_cq::DOUBLE / h.total_cq::DOUBLE AS top1_share
+FROM hit h JOIN top1 t USING (event_type)
+"""
+
+ORACLES["gini_user_concentration"] = f"""
+WITH per_user AS ({_PER_USER_TOTALS}),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id)::BIGINT AS i
+  FROM per_user),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_users,
+         sum(x)::BIGINT AS total_cq,
+         sum(i * x)::BIGINT AS iwx
+  FROM ranked GROUP BY 1)
+SELECT event_type, n_users, total_cq,
+       CASE WHEN total_cq > 0
+            THEN (2 * iwx - (n_users + 1) * total_cq)::DOUBLE
+                 / (n_users * total_cq)::DOUBLE
+       END AS gini
+FROM agg
+"""
+
+ORACLES["longest_streaks"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+stepped AS (
+  SELECT user_id, event_type, ts, event_id,
+         sign(vq - lag(vq) OVER w)::INTEGER AS s,
+         row_number() OVER w AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_type, s,
+         rn - row_number() OVER (PARTITION BY user_id, event_type, s
+                                 ORDER BY ts, event_id) AS isl
+  FROM stepped WHERE s IS NOT NULL),
+runs AS (
+  SELECT user_id, event_type, s, isl, count(*)::BIGINT AS len
+  FROM islands GROUP BY 1, 2, 3, 4)
+SELECT user_id, event_type,
+       coalesce(max(CASE WHEN s = 1 THEN len END), 0)::BIGINT
+         AS longest_up_steps,
+       coalesce(max(CASE WHEN s = -1 THEN len END), 0)::BIGINT
+         AS longest_down_steps,
+       sum(len)::BIGINT AS n_steps
+FROM runs GROUP BY 1, 2
+"""

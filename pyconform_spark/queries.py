@@ -7494,3 +7494,185 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benford_p",
         (dev * dev / expected).alias("chi2_component"),
     )
+
+
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration per event type: how many of the
+    heaviest users carry 80% of the type's total value, what fraction
+    of the user base that is, and the single heaviest user's share —
+    the concentration report a capacity planner reads before deciding
+    whether per-user isolation or shared pooling wins.
+
+    EXACT cross-engine: per-user totals are BIGINT; the 80% rule is
+    the pure-integer predicate 5*cumsum >= 4*total (no float
+    threshold); the two shares are each ONE integer->double division.
+    The cumulative order is the deterministic (total DESC, user_id)
+    tiebreak in both engines.
+
+    Scale shape: one hash aggregate reduces raw to |users|x|types|;
+    the cumulative window and the reduce ride that reduced frame."""
+    df = _events(spark, sf_dir)
+    per_user = (
+        df.select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("vq").cast("long").alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("x"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_user.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.desc("x"), "user_id"))
+        .alias("rnk"),
+        F.sum("x").over(wcum).alias("cum"),
+        F.sum("x").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n_users"),
+    )
+    hit = (
+        ranked.filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.min("rnk").cast("long").alias("users_for_80pct"),
+            F.max("n_users").cast("long").alias("n_users"),
+            F.max("total").cast("long").alias("total_cq"),
+        )
+    )
+    top1 = per_user.groupBy("event_type").agg(
+        F.max("x").cast("long").alias("top1_cq")
+    )
+    return (
+        hit.join(F.broadcast(top1), "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "users_for_80pct",
+            (
+                F.col("users_for_80pct").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("user_frac_for_80pct"),
+            (
+                F.col("top1_cq").cast("double")
+                / F.col("total_cq").cast("double")
+            ).alias("top1_share"),
+        )
+    )
+
+
+def gini_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value contribution within each
+    event type — the single-number inequality companion to
+    ``pareto_concentration`` (0 = everyone equal, ->1 = one user is
+    the whole feed), using the standard rank formula on the
+    ascending-sorted totals: G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)).
+
+    EXACT cross-engine: totals and the rank-weighted sum are BIGINT;
+    G is ONE integer->double division.  Rank ties (equal totals) are
+    broken by user_id, and the formula is TIE-INVARIANT: permuting
+    equal x values across a block of ranks leaves sum(i*x_i)
+    unchanged, so the tiebreak never shows in the result.
+
+    Scale shape: one hash aggregate reduces raw; the rank window and
+    final reduce ride the |users|x|types| frame."""
+    df = _events(spark, sf_dir)
+    per_user = (
+        df.select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("vq").cast("long").alias("x"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type", "x", F.row_number().over(wr).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_cq"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("iwx"),
+    )
+    num = (
+        F.lit(2) * F.col("iwx")
+        - (F.col("n_users") + 1) * F.col("total_cq")
+    ).cast("long")
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_cq",
+        F.when(
+            F.col("total_cq") > 0,
+            num.cast("double")
+            / (F.col("n_users") * F.col("total_cq")).cast("double"),
+        ).alias("gini"),
+    )
+
+
+def longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing and strictly-decreasing consecutive
+    run per series (in STEPS, i.e. a run of k rising samples scores
+    k-1) — the momentum diagnostic that separates a drifting series
+    from one that mean-reverts every few samples.  Gaps-and-islands
+    on the step SIGN: island id = row_number minus per-sign
+    row_number, both over the same deterministic (ts, event_id)
+    order.
+
+    EXACT cross-engine: step signs are integer comparisons on
+    centi-quantized values; island lengths are counts; the output is
+    two integer MAXes (0 when a direction never occurs, via the
+    conditional aggregate).
+
+    Scale shape: the step flags and both island numberings ride ONE
+    per-series window sort; two hash aggregates reduce islands to the
+    answer.  No join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    stepped = base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        F.signum(
+            (F.col("vq") - F.lag("vq").over(wo)).cast("double")
+        )
+        .cast("int")
+        .alias("s"),
+        F.row_number().over(wo).alias("rn"),
+    ).where(F.col("s").isNotNull())
+    ws = Window.partitionBy(*EKEYS, "s").orderBy("ts", "event_id")
+    islands = stepped.select(
+        *EKEYS,
+        "s",
+        (F.col("rn") - F.row_number().over(ws)).alias("isl"),
+    )
+    runs = islands.groupBy(*EKEYS, "s", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return runs.groupBy(*EKEYS).agg(
+        F.coalesce(
+            F.max(F.when(F.col("s") == 1, F.col("len"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_up_steps"),
+        F.coalesce(
+            F.max(F.when(F.col("s") == -1, F.col("len"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_down_steps"),
+        F.sum("len").cast("long").alias("n_steps"),
+    )

@@ -1452,3 +1452,25 @@ def test_benford_single_scan_no_join(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Window") == 1
+
+
+def test_gini_rank_window_rides_reduced_user_frame(spark):
+    """Gini: ONE partial-agged hash aggregate touches raw; the rank
+    window and final reduce ride the |users| x |types| frame."""
+    plan = plan_of(Q.gini_user_concentration(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "partial_sum" in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_longest_streaks_one_raw_sort_no_join(spark):
+    """Streaks: the step flags ride one per-series window sort, the
+    per-sign island numbering adds a second key-local sort on the
+    same data — no join anywhere."""
+    plan = plan_of(Q.longest_streaks(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 2
