@@ -171,6 +171,22 @@ BENCH_QUERIES = [
     "ivm_join_view",
     "variant_props_rollup",
     "matrix_profile_series",
+    # round-4 closing: stability/drift/concentration diagnostics —
+    # Allan variance (3-tau fan-out), TVD drift (histogram compare),
+    # Gini + Pareto (user concentration), Benford (digit audit),
+    # Kendall tau-b (O(days^2) on the reduced frame), drawdown and
+    # streaks (single-sort window ops), daily SLA (distinct-minute agg)
+    "allan_variance",
+    "tvd_drift",
+    "availability_sla",
+    "ordinal_complexity",
+    "max_drawdown",
+    "spearman_daily_pairs",
+    "kendall_tau_pairs",
+    "benford_digit_profile",
+    "pareto_concentration",
+    "gini_user_concentration",
+    "longest_streaks",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -7278,9 +7278,13 @@ def spearman_daily_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between every pair of event types'
     DAILY total-value series (aligned on shared days) — the co-movement
     matrix a platform reads to find feeds that rise and fall together
-    without assuming linearity.  Spearman instead of Pearson on raw
-    values BY DESIGN: it is Pearson on RANKS, and ranks are integers,
-    so the statistic is exact rational arithmetic plus two
+    without assuming linearity.  FLEET-level companion to
+    ``spearman_rank_corr`` (which correlates hourly series WITHIN each
+    user): this one answers "do the feeds co-move in aggregate?", that
+    one "do they co-move per conversation?" — different join keys,
+    different frame, different question.  Spearman instead of Pearson
+    on raw values BY DESIGN: it is Pearson on RANKS, and ranks are
+    integers, so the statistic is exact rational arithmetic plus two
     correctly-rounded sqrts.
 
     Tie handling is the standard average-rank convention staged as
