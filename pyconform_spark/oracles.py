@@ -3918,3 +3918,49 @@ SELECT user_id, event_type,
        sum(len)::BIGINT AS n_steps
 FROM runs GROUP BY 1, 2
 """
+
+ORACLES["savgol_smooth"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+k AS (
+  SELECT user_id, event_type, ts, event_id, vq,
+         lag(vq, 2) OVER w AS m2, lag(vq, 1) OVER w AS m1,
+         lead(vq, 1) OVER w AS p1, lead(vq, 2) OVER w AS p2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type, ts, event_id, vq,
+       (m2 IS NOT NULL AND m1 IS NOT NULL
+        AND p1 IS NOT NULL AND p2 IS NOT NULL) AS smoothed,
+       (CASE WHEN m2 IS NOT NULL AND m1 IS NOT NULL
+              AND p1 IS NOT NULL AND p2 IS NOT NULL
+             THEN -3 * m2 + 12 * m1 + 17 * vq + 12 * p1 - 3 * p2
+             ELSE vq * 35 END)::BIGINT AS sg_num,
+       (CASE WHEN m2 IS NOT NULL AND m1 IS NOT NULL
+              AND p1 IS NOT NULL AND p2 IS NOT NULL
+             THEN -3 * m2 + 12 * m1 + 17 * vq + 12 * p1 - 3 * p2
+             ELSE vq * 35 END)::DOUBLE / 3500.0 AS sg_value
+FROM k
+"""
+
+ORACLES["median_filter"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+k AS (
+  SELECT user_id, event_type, ts, event_id, vq,
+         list_sort(list(vq) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING
+                                           AND 2 FOLLOWING)) AS win
+  FROM base)
+SELECT user_id, event_type, ts, event_id, vq,
+       len(win) = 5 AS filtered,
+       (CASE WHEN len(win) = 5 THEN win[3] ELSE vq END)::BIGINT
+         AS median_cq,
+       (CASE WHEN len(win) = 5 THEN win[3] ELSE vq END)::DOUBLE / 100.0
+         AS median_value
+FROM k
+"""

@@ -7680,3 +7680,116 @@ def longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("longest_down_steps"),
         F.sum("len").cast("long").alias("n_steps"),
     )
+
+
+def savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay smoothing per series (window 5, quadratic —
+    Savitzky & Golay 1964, public literature): the least-squares
+    polynomial smoother that preserves peak heights and widths where
+    a moving average flattens them — the instrument-pipeline smoother
+    for series whose FEATURES (peaks, steps) matter downstream.  The
+    window-5 quadratic kernel is the fixed integer convolution
+    (-3, 12, 17, 12, -3) / 35.
+
+    EXACT cross-engine: the convolution runs on centi-quantized
+    BIGINTs (sg_num), and the smoothed value is ONE integer->double
+    division by 3500 (35 kernel x 100 centi).  Rows without the full
+    5-sample window pass through unsmoothed with a flag, so the
+    output covers every sample.
+
+    Scale shape: two lags + two leads ride ONE per-series window
+    sort; no join, no second pass."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    k = base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        F.lag("vq", 2).over(wo).alias("m2"),
+        F.lag("vq", 1).over(wo).alias("m1"),
+        F.lead("vq", 1).over(wo).alias("p1"),
+        F.lead("vq", 2).over(wo).alias("p2"),
+    )
+    full = (
+        F.col("m2").isNotNull()
+        & F.col("m1").isNotNull()
+        & F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+    )
+    num = (
+        F.lit(-3) * F.col("m2")
+        + F.lit(12) * F.col("m1")
+        + F.lit(17) * F.col("vq")
+        + F.lit(12) * F.col("p1")
+        + F.lit(-3) * F.col("p2")
+    ).cast("long")
+    return k.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        full.alias("smoothed"),
+        F.when(full, num).otherwise(F.col("vq") * 35).cast("long").alias(
+            "sg_num"
+        ),
+        (
+            F.when(full, num).otherwise(F.col("vq") * 35).cast("double")
+            / F.lit(3500.0)
+        ).alias("sg_value"),
+    )
+
+
+def median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median-of-5 filter per series — the impulse-noise
+    killer (one bad telemetry sample CANNOT move the output, unlike
+    any linear smoother including Savitzky-Golay) — computed as the
+    exact order statistic of the centered 5-sample window.
+
+    EXACT cross-engine: the window is materialized as a sorted
+    integer array (sort_array / list_sort on centi-quantized BIGINTs)
+    and the median is element 3 — pure integer selection, no floats
+    at all until the optional /100 display column (one exact
+    division).  Edge rows (window < 5) pass through with a flag.
+
+    Scale shape: one collect-window + one projection ride ONE
+    per-series window sort; the 5-element arrays are bounded, so the
+    row width is constant.  No join."""
+    df = _events(spark, sf_dir)
+    w5 = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    k = base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        F.sort_array(F.collect_list("vq").over(w5)).alias("win"),
+    )
+    full = F.size("win") == 5
+    med = F.when(full, F.element_at("win", 3)).otherwise(F.col("vq")).cast(
+        "long"
+    )
+    return k.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        full.alias("filtered"),
+        med.alias("median_cq"),
+        (med.cast("double") / F.lit(100.0)).alias("median_value"),
+    )

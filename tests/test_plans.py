@@ -1474,3 +1474,23 @@ def test_longest_streaks_one_raw_sort_no_join(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Window") == 2
+
+
+def test_savgol_single_sort_no_join(spark):
+    """Savitzky-Golay: two lags + two leads ride ONE per-series
+    window sort; no join."""
+    plan = plan_of(Q.savgol_smooth(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_median_filter_single_sort_no_join(spark):
+    """Median filter: the bounded collect-window rides ONE per-series
+    window sort; no join."""
+    plan = plan_of(Q.median_filter(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
