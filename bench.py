@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "pareto_concentration",
     "gini_user_concentration",
     "longest_streaks",
+    "savgol_smooth",
+    "median_filter",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
