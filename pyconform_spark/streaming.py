@@ -1477,3 +1477,91 @@ def stream_tvd_drift(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_rolling_p90(stream: DataFrame, k: int = 20) -> DataFrame:
+    """Continuous trailing-p90 monitoring (applyInPandasWithState):
+    per (user_id, event_type) the state is the k=20 MOST RECENT
+    samples as (t_us, event_id, vq) arrays — the same order-robust
+    bounded top-k-recency state as ``stream_mann_kendall`` (any
+    arrival order of the same rows converges to the same state) —
+    and every micro-batch emits the refreshed exact order statistic
+    p90 = element ceil(0.9*n) of the ascending-sorted window, the
+    IDENTICAL integer convention as ``queries.rolling_p90``'s last
+    row per series.
+
+    Parity gate (pytest): after all micro-batches the latest emission
+    per series equals the batch query's final row bit-for-bit.
+
+    Scale shape: 20 triples per live series of state, one emission
+    per touched series per micro-batch; nothing rescans history."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_win", T.LongType(), False),
+        T.StructField("p90_cq", T.LongType(), False),
+        T.StructField("p90_value", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("t_us", T.ArrayType(T.LongType()), True),
+        T.StructField("eid", T.ArrayType(T.LongType()), True),
+        T.StructField("vq", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        rows: list[tuple[int, int, int]] = []
+        if state.exists:
+            t0, e0, v0 = state.get
+            rows = list(zip(t0, e0, v0))
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            t_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            vq = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100
+            ).astype("int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            rows += list(zip(t_us.tolist(), eid.tolist(), vq.tolist()))
+        if not rows or not touched:
+            return
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:k]
+        state.update((
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+        ))
+        win = sorted(r[2] for r in rows)
+        n = len(win)
+        p90 = win[(9 * n + 9) // 10 - 1]
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n_win": [n],
+                "p90_cq": [p90],
+                "p90_value": [p90 / 100.0],
+            }
+        )
+
+    return (
+        stream.select("user_id", "event_type", "ts", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

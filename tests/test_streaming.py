@@ -1115,3 +1115,59 @@ def test_stream_tvd_drift_matches_batch(spark, tmp_path):
         for r in Q.tvd_drift(spark, sf).collect()
     }
     assert latest == want
+
+
+def test_stream_rolling_p90_matches_batch_final(spark, tmp_path):
+    """The bounded top-20-recency state must converge to the batch
+    rolling_p90's FINAL row per series bit-for-bit across a
+    mid-corpus micro-batch split."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "p90_in")
+    cut = F.lit("2024-01-12").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_rolling_p90(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("p90stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in spark.sql("select * from p90stream").collect():
+        latest[(r.user_id, r.event_type)] = (r.n_win, r.p90_cq, r.p90_value)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    final = (
+        Q.rolling_p90(spark, sf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    want = {
+        (r.user_id, r.event_type): (r.n_win, r.p90_cq, r.p90_value)
+        for r in final.collect()
+    }
+    # the batch trailing frame is ROWS 19 PRECEDING (max 20 rows), the
+    # stream state is the 20 most recent rows: identical final window
+    assert latest == want

@@ -661,3 +661,49 @@ def test_sequential_pattern_orders_not_just_cooccurs(spark, tmp_path):
         for r in Q.sequential_pattern_support(spark, str(tmp_path)).collect()
     }
     assert out == {("a", "b"): (1, 1), ("b", "a"): (1, 0)}
+
+
+def test_hampel_replaces_spike_keeps_step(spark, tmp_path):
+    """A lone spike in a flat series is flagged and replaced by the
+    window median; a genuine level STEP (all later samples high) is
+    NOT flagged — the property that separates Hampel from a plain
+    z-score despiker."""
+    import datetime as dt
+
+    from pyconform_spark import queries as Q
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # series A: flat 10.00 with one 99.99 spike at index 3
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click",
+         99.99 if i == 3 else 10.0, "{}")
+        for i in range(7)
+    ]
+    # series B: step 10.00 -> 50.00 at index 3 (stays high)
+    rows += [
+        (100 + i, t0 + dt.timedelta(minutes=i), 2, "click",
+         50.0 if i >= 3 else 10.0, "{}")
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["user_id"], r["event_id"]): (r["is_outlier"], r["cleaned_cq"])
+        for r in Q.hampel_filter(spark, str(tmp_path)).collect()
+    }
+    # spike: flagged, replaced by the window median 1000 (=10.00)
+    assert got[(1, 3)] == (True, 1000)
+    # every other sample of series A untouched
+    assert all(
+        got[(1, i)] == (False, 1000 if i != 3 else 1000)
+        for i in range(7) if i != 3
+    )
+    # the step is NOT an outlier at any position (window medians track
+    # the step because >= 3 of 5 samples share each level)
+    assert all(got[(2, 100 + i)][0] is False for i in range(7))
+    # and step values pass through unchanged
+    assert got[(2, 105)] == (False, 5000)
