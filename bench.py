@@ -189,6 +189,15 @@ BENCH_QUERIES = [
     "longest_streaks",
     "savgol_smooth",
     "median_filter",
+    "hampel_filter",
+    "variance_ratio_test",
+    "ks_drift",
+    "rolling_p90",
+    "topk_churn",
+    "label_centroid_separation",
+    "wavelet_energy",
+    "tier_reconstruction_error",
+    "turning_points_test",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -4218,3 +4218,52 @@ SELECT user_id, event_type, e1, e2, e3,
        END AS share_l3
 FROM e
 """
+
+ORACLES["tier_reconstruction_error"] = f"""
+WITH pts AS (
+  SELECT user_id, event_type,
+         {_bucket(3600)} AS bucket_start,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+hourly AS (
+  SELECT user_id, event_type, bucket_start,
+         sum(vq)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM pts GROUP BY 1, 2, 3)
+SELECT p.user_id, p.event_type, p.bucket_start,
+       max(h.n)::BIGINT AS n,
+       max(h.s)::BIGINT AS sum_cq,
+       sum(abs(h.n * p.vq - h.s))::BIGINT AS err_num,
+       sum(abs(h.n * p.vq - h.s))::DOUBLE
+         / (max(h.n) * max(h.n) * 100)::DOUBLE AS mae_value
+FROM pts p JOIN hourly h
+  USING (user_id, event_type, bucket_start)
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["turning_points_test"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS v1
+  FROM events),
+tri AS (
+  SELECT user_id, event_type, v1,
+         lead(v1, 1) OVER w AS v2,
+         lead(v1, 2) OVER w AS v3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT user_id, event_type,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN v3 IS NOT NULL AND
+                       ((v2 > v1 AND v2 > v3) OR (v2 < v1 AND v2 < v3))
+                  THEN 1 ELSE 0 END)::BIGINT AS t_count
+  FROM tri GROUP BY 1, 2
+  HAVING count(*) >= 3)
+SELECT user_id, event_type, n_rows, t_count,
+       (3 * t_count - 2 * (n_rows - 2))::DOUBLE
+         / (3.0 * sqrt((16 * n_rows - 29)::DOUBLE / 90.0)) AS z,
+       abs((3 * t_count - 2 * (n_rows - 2))::DOUBLE
+           / (3.0 * sqrt((16 * n_rows - 29)::DOUBLE / 90.0)))
+         > 1.959963984540054 AS nonrandom_5pct
+FROM agg
+"""

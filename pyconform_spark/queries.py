@@ -8290,3 +8290,117 @@ def wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("e2", 4).alias("share_l2"),
         share("e3", 2).alias("share_l3"),
     )
+
+
+def tier_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-tier quality audit: for every (series, hour), the
+    reconstruction error a consumer incurs when the raw points have
+    been aged out and only the HOURLY tier remains (each raw point is
+    approximated by its hour's average) — the number that justifies,
+    or vetoes, a retention policy per series.  This ties the tier
+    cascade and the rollup together: the same hourly (sum, n) that
+    ``rollup_1h_cascade`` maintains is all this audit needs.
+
+    EXACT cross-engine: the per-point error |v - sum/n| is staged as
+    the BIGINT |n*vq - sum|, summed per hour (err_num); the hourly
+    mean-absolute-error in ORIGINAL units is ONE integer->double
+    division err_num / (n^2 * 100).  Per-HOUR rows by design: hours
+    have different n, so a cross-hour error sum would need a
+    float accumulation (order-dependent); the reduced frame is the
+    |series| x |hours| tier cardinality anyway.
+
+    Scale shape: one hash aggregate to hourly (sum, n), broadcast of
+    NOTHING — the hourly frame joins back to raw on the (series,
+    bucket) equi-key and AQE picks the side; one more hash aggregate
+    reduces to tier cardinality.  Raw is scanned twice in this proof
+    form (tier + join-back); in production the tier side is the
+    already-materialized rollup table."""
+    df = _events(spark, sf_dir)
+    pts = df.select(
+        *EKEYS,
+        bucket_ts(F.col("ts"), 3600).alias("bucket_start"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    hourly = pts.groupBy(*EKEYS, "bucket_start").agg(
+        F.sum("vq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    joined = pts.join(hourly, [*EKEYS, "bucket_start"])
+    per_hour = joined.groupBy(*EKEYS, "bucket_start").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("sum_cq"),
+        F.sum(F.abs(F.col("n") * F.col("vq") - F.col("s")))
+        .cast("long")
+        .alias("err_num"),
+    )
+    return per_hour.select(
+        *EKEYS,
+        "bucket_start",
+        "n",
+        "sum_cq",
+        "err_num",
+        (
+            F.col("err_num").cast("double")
+            / (F.col("n") * F.col("n") * F.lit(100)).cast("double")
+        ).alias("mae_value"),
+    )
+
+
+def turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test per series: count the strict
+    local maxima and minima among consecutive triples and compare to
+    the i.i.d. expectation 2(n-2)/3 with variance (16n-29)/90 — the
+    classical nonparametric "is this series just noise?" screen
+    (Kendall & Stuart, public literature), the hypothesis-test
+    companion to ``variance_ratio_test`` (which asks trending vs
+    mean-reverting; this asks random vs ANY structure).
+
+    EXACT cross-engine: turning points are strict integer
+    comparisons on centi-quantized triples over the deterministic
+    order; the z statistic is staged as the pure integer
+    A = 3T - 2(n-2) divided by 3*sqrt((16n-29)/90) — one exact
+    divide, one correctly-rounded sqrt, one multiply, one divide.
+    Ties (equal neighbors) break strictness and count as
+    non-turning, identically in both engines.
+
+    Scale shape: two leads on ONE per-series window sort, one hash
+    aggregate; no join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    base = df.select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("v1"),
+    )
+    tri = base.select(
+        *EKEYS,
+        "v1",
+        F.lead("v1", 1).over(wo).alias("v2"),
+        F.lead("v1", 2).over(wo).alias("v3"),
+    )
+    is_turn = (
+        ((F.col("v2") > F.col("v1")) & (F.col("v2") > F.col("v3")))
+        | ((F.col("v2") < F.col("v1")) & (F.col("v2") < F.col("v3")))
+    )
+    agg = tri.groupBy(*EKEYS).agg(
+        (F.count(F.lit(1)) + 2 - 2).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("v3").isNotNull() & is_turn, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_count"),
+    )
+    n = F.col("n_rows")
+    a = (F.lit(3) * F.col("t_count") - F.lit(2) * (n - 2)).cast("long")
+    z = a.cast("double") / (
+        F.lit(3.0)
+        * F.sqrt((F.lit(16) * n - 29).cast("double") / F.lit(90.0))
+    )
+    return agg.filter(n >= 3).select(
+        *EKEYS,
+        "n_rows",
+        "t_count",
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("nonrandom_5pct"),
+    )

@@ -1576,3 +1576,24 @@ def test_wavelet_energy_cascade_no_join_on_raw(spark):
     assert n_win == 1
     assert count_nodes(plan, "HashAggregate") == 2  # partial + final
     assert "partial_sum" in plan
+
+
+def test_turning_points_single_sort_no_join(spark):
+    """Turning points: two leads on ONE per-series sort, one hash
+    aggregate; no join."""
+    plan = plan_of(Q.turning_points_test(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_tier_reconstruction_joins_on_equi_key_only(spark):
+    """Tier reconstruction audit: the hourly tier joins back to raw
+    on the (series, bucket) EQUI key — no cartesian, no window, and
+    both aggregates map-side combine."""
+    plan = plan_of(Q.tier_reconstruction_error(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") == 0
+    assert "partial_sum" in plan
