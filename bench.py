@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "wavelet_energy",
     "tier_reconstruction_error",
     "turning_points_test",
+    "croston_forecast",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

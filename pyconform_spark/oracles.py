@@ -4267,3 +4267,36 @@ SELECT user_id, event_type, n_rows, t_count,
          > 1.959963984540054 AS nonrandom_5pct
 FROM agg
 """
+
+ORACLES["croston_forecast"] = """
+WITH hourly AS (
+  SELECT user_id, event_type,
+         ((epoch_ms(ts)//1000) - (epoch_ms(ts)//1000) % 3600)::BIGINT
+           AS bucket,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS d
+  FROM events GROUP BY 1, 2, 3),
+paired AS (
+  SELECT user_id, event_type, bucket, d,
+         ((bucket - lag(bucket) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY bucket)) // 3600)::BIGINT
+           AS interval_h
+  FROM hourly),
+recent AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY bucket DESC) AS rn
+  FROM paired WHERE interval_h IS NOT NULL),
+k AS (SELECT * FROM recent WHERE rn <= 16),
+agg AS (
+  SELECT user_id, event_type,
+         count(*)::BIGINT AS n_used,
+         sum(1::BIGINT << (16 - rn))::BIGINT AS den,
+         sum((1::BIGINT << (16 - rn)) * d)::BIGINT AS num_z,
+         sum((1::BIGINT << (16 - rn)) * interval_h)::BIGINT AS num_p
+  FROM k GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT user_id, event_type, n_used, num_z, num_p,
+       num_z::DOUBLE / den::DOUBLE AS z_cq,
+       num_p::DOUBLE / den::DOUBLE AS p_hours,
+       num_z::DOUBLE / num_p::DOUBLE AS croston_cq_per_hour
+FROM agg
+"""

@@ -8404,3 +8404,76 @@ def turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.959963984540054)).alias("nonrandom_5pct"),
     )
+
+
+def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per series (Croston 1972,
+    public literature): the forecaster for series that are mostly
+    SILENT — separate exponentially-weighted estimates of the demand
+    SIZE (z) and the inter-demand INTERVAL in hours (p), forecast
+    rate = z / p per hour.  Holt/HW (also in the catalog) assume a
+    demand every period and systematically over-forecast sparse
+    series; Croston is what a capacity planner runs on rarely-firing
+    tools.  Demands here are the NONZERO hourly buckets of the
+    series; intervals are the hour gaps between consecutive buckets.
+
+    Exponential weighting is the catalog's exact truncated form (same
+    device as ``ewma_smooth``/``defs ewma``): the K=16 most recent
+    (demand, interval) pairs get integer weights 2^(K-rank), so
+    num_z = sum(w*d), num_p = sum(w*interval) and den = sum(w) are
+    BIGINTs; z, p and the forecast z/p = num_z/num_p are each ONE
+    integer->double division (the shared den cancels in the ratio).
+
+    Scale shape: one hash aggregate to hourly buckets, the interval
+    lag + recency rank on ONE per-series window sort over the bucket
+    frame, one final hash aggregate.  No join."""
+    k = 16
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            *EKEYS,
+            (es - es % 3600).alias("bucket"),
+            F.floor(F.col("value") * 100).cast("long").alias("vq"),
+        )
+        .groupBy(*EKEYS, "bucket")
+        .agg(F.sum("vq").cast("long").alias("d"))
+    )
+    wo = Window.partitionBy(*EKEYS).orderBy("bucket")
+    wrec = Window.partitionBy(*EKEYS).orderBy(F.desc("bucket"))
+    paired = (
+        hourly.withColumn(
+            "interval_h",
+            ((F.col("bucket") - F.lag("bucket").over(wo)) / 3600).cast(
+                "long"
+            ),
+        )
+        .where(F.col("interval_h").isNotNull())
+        .withColumn("rn", F.row_number().over(wrec))
+        .where(F.col("rn") <= k)
+    )
+    weighted = paired.withColumn(
+        "w",
+        F.expr(f"shiftleft(cast(1 as bigint), cast({k} - rn as int))"),
+    )
+    agg = weighted.groupBy(*EKEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("w").cast("long").alias("den"),
+        F.sum(F.col("w") * F.col("d")).cast("long").alias("num_z"),
+        F.sum(F.col("w") * F.col("interval_h")).cast("long").alias("num_p"),
+    )
+    return agg.filter(F.col("n_used") >= 2).select(
+        *EKEYS,
+        "n_used",
+        "num_z",
+        "num_p",
+        (F.col("num_z").cast("double") / F.col("den").cast("double")).alias(
+            "z_cq"
+        ),
+        (F.col("num_p").cast("double") / F.col("den").cast("double")).alias(
+            "p_hours"
+        ),
+        (F.col("num_z").cast("double") / F.col("num_p").cast("double")).alias(
+            "croston_cq_per_hour"
+        ),
+    )

@@ -1597,3 +1597,14 @@ def test_tier_reconstruction_joins_on_equi_key_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "Window") == 0
     assert "partial_sum" in plan
+
+
+def test_croston_lag_and_rank_ride_bucket_frame(spark):
+    """Croston: one hash aggregate to hourly buckets, then the
+    interval lag + recency rank on per-series window sorts over the
+    REDUCED bucket frame; no join."""
+    plan = plan_of(Q.croston_forecast(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "partial_sum" in plan
