@@ -4300,3 +4300,184 @@ SELECT user_id, event_type, n_used, num_z, num_p,
        num_z::DOUBLE / num_p::DOUBLE AS croston_cq_per_hour
 FROM agg
 """
+
+ORACLES["chi2_independence"] = """
+WITH cells AS (
+  SELECT event_type,
+         ((epoch_ms(ts) // 1000 // 86400 + 4) % 7)::BIGINT AS dow,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type)::BIGINT AS r,
+         sum(o) OVER (PARTITION BY dow)::BIGINT AS c,
+         sum(o) OVER ()::BIGINT AS n
+  FROM cells)
+SELECT event_type, dow, o, r, c, n,
+       (n * o - r * c)::BIGINT AS dev,
+       ((n * o - r * c)::DOUBLE * (n * o - r * c)::DOUBLE)
+         / (r * c * n)::DOUBLE AS chi2_contrib,
+       CASE WHEN n * o - r * c > 0 THEN 'over'
+            WHEN n * o - r * c < 0 THEN 'under'
+            ELSE 'exact' END AS cell_bias
+FROM tot
+"""
+
+ORACLES["mannwhitney_u"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+groups AS (
+  SELECT b.event_type, b.vq,
+         count(*)::BIGINT AS c,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, c, c1,
+         (2 * coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY vq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS rank2
+  FROM groups),
+agg AS (
+  SELECT event_type,
+         sum(c1)::BIGINT AS n1,
+         (sum(c) - sum(c1))::BIGINT AS n2,
+         sum(c1 * rank2)::BIGINT AS r1x2
+  FROM ranked GROUP BY 1)
+SELECT event_type, n1, n2,
+       (r1x2 - n1 * (n1 + 1))::BIGINT AS u2,
+       (n1 * n2)::BIGINT AS e_u2,
+       (r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0 AS u,
+       CASE WHEN r1x2 - n1 * (n1 + 1) > n1 * n2 THEN 'early_higher'
+            WHEN r1x2 - n1 * (n1 + 1) < n1 * n2 THEN 'late_higher'
+            ELSE 'no_shift' END AS shift
+FROM agg WHERE n1 >= 1 AND n2 >= 1
+"""
+
+ORACLES["welch_t2_segments"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 10)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+agg AS (
+  SELECT b.event_type,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN b.es <= s.mid THEN b.vq ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN b.es <= s.mid THEN b.vq * b.vq ELSE 0 END)::BIGINT AS q1,
+         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN b.es > s.mid THEN b.vq ELSE 0 END)::BIGINT AS s2,
+         sum(CASE WHEN b.es > s.mid THEN b.vq * b.vq ELSE 0 END)::BIGINT AS q2
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1),
+alg AS (
+  SELECT event_type, n1, n2,
+         (n1::HUGEINT * q1 - s1::HUGEINT * s1) AS a,
+         (n2::HUGEINT * q2 - s2::HUGEINT * s2) AS b,
+         (s1::HUGEINT * n2 - s2::HUGEINT * n1) AS d
+  FROM agg),
+fin AS (
+  SELECT event_type, n1, n2, d,
+         (d * d * (n1 - 1) * (n2 - 1)) AS num,
+         (a * n2 * n2 * (n2 - 1) + b * n1 * n1 * (n1 - 1)) AS den
+  FROM alg)
+SELECT event_type, n1, n2,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND den > 0
+            THEN num::DOUBLE END AS t2_num,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND den > 0
+            THEN den::DOUBLE END AS t2_den,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND den > 0
+            THEN num::DOUBLE / den::DOUBLE END AS t2,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND den > 0
+            THEN CASE WHEN d > 0 THEN 'early_higher'
+                      WHEN d < 0 THEN 'late_higher'
+                      ELSE 'no_shift' END END AS shift
+FROM fin
+"""
+
+ORACLES["pacf_lag2"] = """
+WITH staged AS (
+  SELECT event_type,
+         floor(value * 10)::BIGINT AS x,
+         lead(floor(value * 10)::BIGINT, 1) OVER w AS x1,
+         lead(floor(value * 10)::BIGINT, 2) OVER w AS x2,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS q,
+         sum(x * x1)::BIGINT AS l1,
+         sum(x * x2)::BIGINT AS l2,
+         sum(CASE WHEN rn <= 1 THEN x ELSE 0 END)::BIGINT AS head1,
+         sum(CASE WHEN rn <= 2 THEN x ELSE 0 END)::BIGINT AS head2,
+         max(CASE WHEN x1 IS NULL THEN x END)::BIGINT AS tail_last,
+         sum(CASE WHEN x2 IS NULL AND x1 IS NOT NULL THEN x ELSE 0 END)::BIGINT AS tail_penult
+  FROM staged GROUP BY 1),
+cov AS (
+  SELECT event_type, n,
+         (n::HUGEINT * n * q - n::HUGEINT * s * s) AS c0,
+         (n::HUGEINT * n * l1
+          - n::HUGEINT * s * ((s - tail_last) + (s - head1))
+          + (n - 1)::HUGEINT * s * s) AS c1,
+         (n::HUGEINT * n * l2
+          - n::HUGEINT * s * ((s - tail_last - tail_penult) + (s - head2))
+          + (n - 2)::HUGEINT * s * s) AS c2
+  FROM agg),
+d AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 5 AND c0 > 0 THEN c0::DOUBLE END AS c0,
+         CASE WHEN n >= 5 AND c0 > 0 THEN c1::DOUBLE END AS c1,
+         CASE WHEN n >= 5 AND c0 > 0 THEN c2::DOUBLE END AS c2
+  FROM cov)
+SELECT event_type, n, c0, c1, c2,
+       c1 / c0 AS r1,
+       c2 / c0 AS r2,
+       ((c2 / c0) - (c1 / c0) * (c1 / c0))
+         / (1.0 - (c1 / c0) * (c1 / c0)) AS phi22
+FROM d
+"""
+
+ORACLES["sample_entropy_counts"] = """
+WITH t AS (
+  SELECT user_id, event_type,
+         row_number() OVER w AS rn,
+         floor(value * 100)::BIGINT AS x0,
+         lead(floor(value * 100)::BIGINT, 1) OVER w AS x1,
+         lead(floor(value * 100)::BIGINT, 2) OVER w AS x2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+tt AS (SELECT * FROM t WHERE x1 IS NOT NULL),
+pairs AS (
+  SELECT a.user_id, a.event_type,
+         CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1)) <= 500
+              THEN 1 ELSE 0 END AS bm,
+         CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1)) <= 500
+                   AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+                   AND abs(a.x2 - b.x2) <= 500
+              THEN 1 ELSE 0 END AS am
+  FROM tt a JOIN tt b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND a.rn < b.rn),
+agg AS (
+  SELECT user_id, event_type,
+         sum(bm)::BIGINT AS b_count,
+         sum(am)::BIGINT AS a_count
+  FROM pairs GROUP BY 1, 2)
+SELECT user_id, event_type, b_count, a_count,
+       a_count::DOUBLE / b_count::DOUBLE AS match_ratio,
+       CASE WHEN a_count * 2 >= b_count THEN 'regular'
+            ELSE 'irregular' END AS regularity
+FROM agg WHERE b_count > 0
+"""

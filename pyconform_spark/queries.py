@@ -8477,3 +8477,374 @@ def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "croston_cq_per_hour"
         ),
     )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between event_type and day-of-week:
+    the per-cell contingency residuals that answer "does this tool fire
+    uniformly across the week, or is its traffic structurally tied to
+    weekdays?" (Pearson 1900, public literature).  On a transcripts
+    store the same audit runs role x tool or tool x hour.
+
+    EXACT cross-engine: every cell emits integers only — observed o,
+    row total r, column total c, grand total n, and the scaled
+    deviation dev = n*o - r*c (BIGINT; the sign of the standardized
+    residual).  The chi2 contribution dev^2/(r*c*n) is ONE deterministic
+    double expression of integers that are each < 2^53, so both engines
+    round identically; no float accumulates across rows.
+
+    Day-of-week is computed arithmetically ((epoch_days + 4) % 7,
+    Sunday = 0) so the two engines cannot disagree on calendar
+    conventions.
+
+    Scale shape: one hash aggregate to |types| x 7 cells, then two
+    broadcast-size window totals over the tiny cell frame.  The raw
+    table is scanned once; no join, no global sort."""
+    df = _events(spark, sf_dir)
+    days = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+    cells = (
+        df.select(
+            F.col("event_type"),
+            ((days + 4) % 7).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).cast("long").alias("r"),
+        F.sum("o").over(wc).cast("long").alias("c"),
+        F.sum("o").over(wall).cast("long").alias("n"),
+    )
+    dev = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("long")
+    contrib = (
+        dev.cast("double") * dev.cast("double")
+    ) / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    return staged.select(
+        "event_type",
+        "dow",
+        "o",
+        "r",
+        "c",
+        "n",
+        dev.alias("dev"),
+        contrib.alias("chi2_contrib"),
+        F.when(dev > 0, F.lit("over"))
+        .when(dev < 0, F.lit("under"))
+        .otherwise(F.lit("exact"))
+        .alias("cell_bias"),
+    )
+
+
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event_type between the
+    EARLY and LATE halves of the series (split at the per-type midpoint
+    timestamp, the ks_drift convention): the nonparametric level-shift
+    test a drift monitor runs when distributions are non-normal.
+
+    EXACT cross-engine: tie-averaged ranks are half-integers, so the
+    catalog stages DOUBLED ranks — for a value group with c total rows
+    of which cum_lt rank strictly below, every member's doubled average
+    rank is 2*cum_lt + c + 1 (an integer).  U2 = 2*U = sum over the
+    early sample of doubled ranks minus n1*(n1+1) is BIGINT-exact; the
+    expectation comparison U2 vs n1*n2 (E[2U] = n1*n2) labels the shift
+    direction with a pure integer comparison.  (At 10^12-row series the
+    rank products need DECIMAL(38,0); BIGINT is exact at any n below
+    ~3e9.)
+
+    Scale shape: one hash aggregate to (type, value) groups, one
+    per-type window over the group frame (|distinct values| rows), one
+    final hash aggregate.  Raw scanned twice only to learn the
+    midpoint (min/max aggregate); no join on the big frame."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    tagged = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "vq",
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_early"),
+    )
+    groups = tagged.groupBy("event_type", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("is_early").cast("long").alias("c1"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = groups.select(
+        "event_type",
+        "c",
+        "c1",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(wv), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).cast("long").alias("rank2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c") - F.sum("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r1x2"),
+    )
+    u2 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    eu2 = (F.col("n1") * F.col("n2")).cast("long")
+    return agg.filter((F.col("n1") >= 1) & (F.col("n2") >= 1)).select(
+        "event_type",
+        "n1",
+        "n2",
+        u2.alias("u2"),
+        eu2.alias("e_u2"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        F.when(u2 > eu2, F.lit("early_higher"))
+        .when(u2 < eu2, F.lit("late_higher"))
+        .otherwise(F.lit("no_shift"))
+        .alias("shift"),
+    )
+
+
+def welch_t2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic (squared) per event_type between the early
+    and late halves of the series — the unequal-variance mean-shift
+    test (Welch 1947, public literature) next to mannwhitney_u's rank
+    form.
+
+    EXACT cross-engine: with integer moments S_i = sum(x), Q_i =
+    sum(x^2) on deci-quantized values, t^2 has the closed rational form
+
+        t2 = (S1*n2 - S2*n1)^2 * (n1-1)*(n2-1)
+             / (A*n2^2*(n2-1) + B*n1^2*(n1-1)),   A = n1*Q1 - S1^2,
+                                                  B = n2*Q2 - S2^2
+
+    — numerator and denominator are exact integers staged through
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and emitted as doubles
+    (both engines round the same exact integer to the same double);
+    t2 itself is ONE double division.
+
+    Scale shape: midpoint aggregate + one conditional hash aggregate
+    over the raw scan; the t2 algebra runs on the |types|-row frame."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 10).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    early = F.col("es") <= F.col("mid")
+    agg = (
+        base.join(F.broadcast(spans), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(early, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(early, F.col("vq")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.when(early, F.col("vq") * F.col("vq")).otherwise(0))
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(~early, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(~early, F.col("vq")).otherwise(0))
+            .cast("long")
+            .alias("s2"),
+            F.sum(F.when(~early, F.col("vq") * F.col("vq")).otherwise(0))
+            .cast("long")
+            .alias("q2"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    n1, n2 = F.col("n1").cast(d38), F.col("n2").cast(d38)
+    s1, s2 = F.col("s1").cast(d38), F.col("s2").cast(d38)
+    q1, q2 = F.col("q1").cast(d38), F.col("q2").cast(d38)
+    a = (n1 * q1 - s1 * s1).cast(d38)
+    b = (n2 * q2 - s2 * s2).cast(d38)
+    d = (s1 * n2 - s2 * n1).cast(d38)
+    num = (d * d * (n1 - 1) * (n2 - 1)).cast(d38)
+    den = (
+        a * n2 * n2 * (n2 - 1) + b * n1 * n1 * (n1 - 1)
+    ).cast(d38)
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2) & (den > 0)
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.when(ok, num.cast("double")).alias("t2_num"),
+        F.when(ok, den.cast("double")).alias("t2_den"),
+        F.when(ok, num.cast("double") / den.cast("double")).alias("t2"),
+        F.when(
+            ok,
+            F.when(d > 0, F.lit("early_higher"))
+            .when(d < 0, F.lit("late_higher"))
+            .otherwise(F.lit("no_shift")),
+        ).alias("shift"),
+    )
+
+
+def pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lag 2 per event_type series — the
+    AR-order diagnostic (Box-Jenkins, public literature): phi22 near 0
+    with r1 large says AR(1) noise (one smoothing state is enough);
+    phi22 materially nonzero says second-order memory (an AR(2)
+    forecaster or a longer EWMA span is warranted).
+
+    EXACT cross-engine: the mean-centered autocovariance numerators
+    scale to integers as  Ck = n^2*Lk - n*S*(Pk + Tk) + (n-k)*S^2
+    where Lk = sum(x_t * x_{t+k}), Pk/Tk drop the last/first k values
+    from S (all BIGINT moments on deci-quantized values), staged
+    through DECIMAL(38,0) / HUGEINT and emitted as doubles.  r1 =
+    C1/C0, r2 = C2/C0 and the Durbin-Levinson closed form
+    phi22 = (r2 - r1^2)/(1 - r1^2) are then the SAME short IEEE
+    expression in both engines — deterministic, no accumulation.
+
+    Scale shape: ONE per-series window sort serves both leads, the
+    edge sums (row_number from the same sort) and the series length;
+    one hash aggregate reduces to |types| rows.  No join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    vq = F.floor(F.col("value") * 10).cast("long")
+    staged = df.select(
+        "event_type",
+        vq.alias("x"),
+        F.lead(vq, 1).over(wo).alias("x1"),
+        F.lead(vq, 2).over(wo).alias("x2"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    agg = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.sum(F.col("x") * F.col("x1")).cast("long").alias("l1"),
+        F.sum(F.col("x") * F.col("x2")).cast("long").alias("l2"),
+        F.sum(F.when(F.col("rn") <= 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("head1"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("head2"),
+        F.max(F.when(F.col("x1").isNull(), F.col("x")))
+        .cast("long")
+        .alias("tail_last"),
+        F.sum(F.when(F.col("x2").isNull() & F.col("x1").isNotNull(), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("tail_penult"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    s = F.col("s").cast(d38)
+    c0 = (n * n * F.col("q").cast(d38) - n * s * s).cast(d38)
+    p1 = s - F.col("tail_last").cast(d38)
+    t1 = s - F.col("head1").cast(d38)
+    c1 = (
+        n * n * F.col("l1").cast(d38) - n * s * (p1 + t1) + (n - 1) * s * s
+    ).cast(d38)
+    p2 = s - F.col("tail_last").cast(d38) - F.col("tail_penult").cast(d38)
+    t2_ = s - F.col("head2").cast(d38)
+    c2 = (
+        n * n * F.col("l2").cast(d38) - n * s * (p2 + t2_) + (n - 2) * s * s
+    ).cast(d38)
+    c0d, c1d, c2d = c0.cast("double"), c1.cast("double"), c2.cast("double")
+    r1 = c1d / c0d
+    r2 = c2d / c0d
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    ok = (F.col("n") >= 5) & (c0 > 0)
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(ok, c0d).alias("c0"),
+        F.when(ok, c1d).alias("c1"),
+        F.when(ok, c2d).alias("c2"),
+        F.when(ok, r1).alias("r1"),
+        F.when(ok, r2).alias("r2"),
+        F.when(ok, phi22).alias("phi22"),
+    )
+
+
+def sample_entropy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-entropy template counts per (user_id, event_type) series
+    (Richman & Moorman 2000, public literature): B counts length-2
+    template pairs within Chebyshev tolerance r, A counts those whose
+    length-3 extensions also match; SampEn = -ln(A/B).  Low A/B means
+    matching history stops predicting the next point — the regularity
+    screen that separates machine-periodic series from bursty organic
+    ones.
+
+    EXACT cross-engine: templates are integer tuples (centi-quantized),
+    the Chebyshev test is an integer comparison (r = 500 = 5.0 in
+    value units), and A and B are BIGINT pair counts; the ratio is one
+    double division (ln is left to the reader — engines' libm are not
+    bit-contracted).
+
+    Scale shape: the pair enumeration is a per-series equi-join on the
+    series key with an rn_i < rn_j predicate — quadratic ONLY within a
+    series (the reference-shaped per-(conv,tool) series are short; the
+    catalog's matrix-profile entries cover the long-series regime with
+    chunked kernels).  One window sort stages templates; the join
+    shuffles both sides on the same key."""
+    r = 500
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    t = df.select(
+        *EKEYS,
+        F.row_number().over(wo).alias("rn"),
+        vq.alias("x0"),
+        F.lead(vq, 1).over(wo).alias("x1"),
+        F.lead(vq, 2).over(wo).alias("x2"),
+    ).where(F.col("x1").isNotNull())
+    a_side = t.select(
+        *EKEYS,
+        F.col("rn").alias("i"),
+        F.col("x0").alias("i0"),
+        F.col("x1").alias("i1"),
+        F.col("x2").alias("i2"),
+    )
+    b_side = t.select(
+        *EKEYS,
+        F.col("rn").alias("j"),
+        F.col("x0").alias("j0"),
+        F.col("x1").alias("j1"),
+        F.col("x2").alias("j2"),
+    )
+    pairs = a_side.join(b_side, EKEYS).where(F.col("i") < F.col("j"))
+    b_match = (
+        F.greatest(
+            F.abs(F.col("i0") - F.col("j0")),
+            F.abs(F.col("i1") - F.col("j1")),
+        )
+        <= r
+    )
+    a_match = (
+        b_match
+        & F.col("i2").isNotNull()
+        & F.col("j2").isNotNull()
+        & (F.abs(F.col("i2") - F.col("j2")) <= r)
+    )
+    agg = pairs.groupBy(*EKEYS).agg(
+        F.sum(F.when(b_match, 1).otherwise(0)).cast("long").alias("b_count"),
+        F.sum(F.when(a_match, 1).otherwise(0)).cast("long").alias("a_count"),
+    )
+    return agg.filter(F.col("b_count") > 0).select(
+        *EKEYS,
+        "b_count",
+        "a_count",
+        (F.col("a_count").cast("double") / F.col("b_count").cast("double")).alias(
+            "match_ratio"
+        ),
+        F.when(
+            F.col("a_count") * 2 >= F.col("b_count"), F.lit("regular")
+        )
+        .otherwise(F.lit("irregular"))
+        .alias("regularity"),
+    )

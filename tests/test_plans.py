@@ -1608,3 +1608,55 @@ def test_croston_lag_and_rank_ride_bucket_frame(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert "partial_sum" in plan
+
+
+def test_chi2_cells_single_scan_tiny_windows(spark):
+    """Chi-square independence: the raw table is scanned ONCE into the
+    |types| x 7 cell aggregate (map-side combine); the row/column/grand
+    totals are windows over the tiny cell frame, never the raw scan."""
+    plan = plan_of(Q.chi2_independence(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "partial_count" in plan
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_mannwhitney_broadcasts_midpoints(spark):
+    """Mann-Whitney U: the per-type midpoint frame (|types| rows) must
+    broadcast onto the raw scan — a shuffled join here would move the
+    whole corpus to learn 5 numbers."""
+    plan = plan_of(Q.mannwhitney_u(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_welch_t2_broadcasts_midpoints_one_agg_pass(spark):
+    """Welch t^2: midpoints broadcast; all six conditional moments ride
+    ONE hash aggregate over the joined scan."""
+    plan = plan_of(Q.welch_t2_segments(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_pacf_single_window_sort_no_join(spark):
+    """PACF(2): both leads, the row_number edge sums and the series
+    length ride ONE per-series window sort; no join anywhere."""
+    plan = plan_of(Q.pacf_lag2(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Sort") == 1
+
+
+def test_sample_entropy_pairs_join_on_series_key(spark):
+    """Sample entropy: the template pair enumeration must be an EQUI
+    join on the series key (quadratic only within a series) — never a
+    cartesian or nested-loop product across series."""
+    plan = plan_of(Q.sample_entropy_counts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)

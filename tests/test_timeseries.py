@@ -707,3 +707,153 @@ def test_hampel_replaces_spike_keeps_step(spark, tmp_path):
     assert all(got[(2, 100 + i)][0] is False for i in range(7))
     # and step values pass through unchanged
     assert got[(2, 105)] == (False, 5000)
+
+
+def _mw_u2_bruteforce(early, late):
+    """Doubled Mann-Whitney U for sample `early` with tie-averaged
+    ranks, recomputed from the definition (no shared code)."""
+    both = sorted(early + late)
+    r1x2 = 0
+    for v in early:
+        lt = sum(1 for x in both if x < v)
+        eq = sum(1 for x in both if x == v)
+        r1x2 += 2 * lt + eq + 1  # doubled average rank
+    return r1x2 - len(early) * (len(early) + 1)
+
+
+def test_mannwhitney_tie_averaged_ranks_hand_case(spark, tmp_path):
+    """Ties across BOTH samples must get the averaged rank: early
+    [1,2,2,3] vs late [2,4,5,6] has a three-way tie at 2 spanning the
+    split; the doubled-rank staging keeps everything integer."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early, late = [1.0, 2.0, 2.0, 3.0], [2.0, 4.0, 5.0, 6.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(early)
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=100 + i), 1, "m", v, "{}")
+        for i, v in enumerate(late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.mannwhitney_u(spark, str(tmp_path)).collect()
+    want_u2 = _mw_u2_bruteforce([int(v * 100) for v in early],
+                                [int(v * 100) for v in late])
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["u2"] == want_u2 == 4
+    assert r["e_u2"] == 16
+    assert r["shift"] == "late_higher"
+    assert r["u"] == 2.0
+
+
+def test_welch_t2_matches_float_definition(spark, tmp_path):
+    """The integer-staged rational t^2 equals the textbook float
+    formula on a hand case with unequal variances and sizes."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early, late = [10.0, 12.0, 14.0], [20.0, 26.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(early)
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=100 + i), 1, "m", v, "{}")
+        for i, v in enumerate(late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.welch_t2_segments(spark, str(tmp_path)).collect()
+    # textbook: deci units -> x10
+    e = [v * 10 for v in early]
+    l = [v * 10 for v in late]
+    m1, m2 = sum(e) / 3, sum(l) / 2
+    v1 = sum((x - m1) ** 2 for x in e) / 2
+    v2 = sum((x - m2) ** 2 for x in l) / 1
+    want = (m1 - m2) ** 2 / (v1 / 3 + v2 / 2)
+    assert abs(r["t2"] - want) < 1e-9
+    assert r["shift"] == "late_higher"
+
+
+def test_pacf_matches_definition_recompute(spark, tmp_path):
+    """phi22 from the integer-staged moments equals a direct float
+    recompute of r_k = sum((x_t-xbar)(x_{t+k}-xbar))/sum((x_t-xbar)^2)
+    and the Durbin-Levinson closed form, on an oscillating series
+    where AR(2) structure is strong (negative r2)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    xs = [3.0, 7.0, 2.0, 8.0, 1.0, 9.0, 2.0, 7.0, 3.0, 6.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(xs)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.pacf_lag2(spark, str(tmp_path)).collect()
+    q = [int(v * 10) for v in xs]
+    n = len(q)
+    xb = sum(q) / n
+    c0 = sum((x - xb) ** 2 for x in q)
+    c1 = sum((q[t] - xb) * (q[t + 1] - xb) for t in range(n - 1))
+    c2 = sum((q[t] - xb) * (q[t + 2] - xb) for t in range(n - 2))
+    r1, r2 = c1 / c0, c2 / c0
+    want = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(r["r1"] - r1) < 1e-12
+    assert abs(r["r2"] - r2) < 1e-12
+    assert abs(r["phi22"] - want) < 1e-12
+    assert r["r1"] < 0  # oscillation: adjacent values anti-correlated
+
+
+def test_sample_entropy_bruteforce_and_periodic_regularity(spark, tmp_path):
+    """A and B match a brute-force template count, and a perfectly
+    periodic series is 'regular' (every matching length-2 template
+    extends to a matching length-3 one) while a scrambled series with
+    the same values is not."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    periodic = [1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+    bursty = [1.0, 9.0, 9.0, 1.0, 1.0, 1.0, 9.0, 1.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(periodic)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=i), 2, "m", v, "{}")
+        for i, v in enumerate(bursty)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: r
+        for r in Q.sample_entropy_counts(spark, str(tmp_path)).collect()
+    }
+
+    def brute(xs, r=500):
+        q = [int(v * 100) for v in xs]
+        n = len(q)
+        a = b = 0
+        for i in range(n - 1):
+            for j in range(i + 1, n - 1):
+                if max(abs(q[i] - q[j]), abs(q[i + 1] - q[j + 1])) <= r:
+                    b += 1
+                    if (i + 2 < n and j + 2 < n
+                            and abs(q[i + 2] - q[j + 2]) <= r):
+                        a += 1
+        return a, b
+
+    for uid, xs in ((1, periodic), (2, bursty)):
+        a, b = brute(xs)
+        assert (got[uid]["a_count"], got[uid]["b_count"]) == (a, b)
+    assert got[1]["regularity"] == "regular"
+    assert got[2]["regularity"] == "irregular"
+
+
+def test_chi2_uniform_table_has_zero_deviation(spark, tmp_path):
+    """A perfectly balanced type x day table: every cell's dev is 0,
+    every contribution 0.0, label 'exact'."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)  # a Monday
+    rows = []
+    eid = 0
+    for day in range(3):
+        for et in ("a", "b"):
+            for k in range(4):  # 4 events per (type, day)
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, minutes=k), 1, et,
+                     1.0, "{}")
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = Q.chi2_independence(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    assert all(r["dev"] == 0 and r["chi2_contrib"] == 0.0
+               and r["cell_bias"] == "exact" for r in out)
