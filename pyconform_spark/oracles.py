@@ -4481,3 +4481,141 @@ SELECT user_id, event_type, b_count, a_count,
             ELSE 'irregular' END AS regularity
 FROM agg WHERE b_count > 0
 """
+
+ORACLES["dispersion_index"] = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000 - (epoch_ms(ts) // 1000) % 3600)::BIGINT AS bucket,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(c)::BIGINT AS n_events,
+         sum(c * c)::BIGINT AS sum_c2,
+         ((max(bucket) - min(bucket)) // 3600 + 1)::BIGINT AS h_hours,
+         count(*)::BIGINT AS present_hours
+  FROM hourly GROUP BY 1)
+SELECT event_type, n_events, h_hours, present_hours,
+       (h_hours * sum_c2 - n_events * n_events)::BIGINT AS fano_num,
+       (h_hours * n_events)::BIGINT AS fano_den,
+       (h_hours * sum_c2 - n_events * n_events)::DOUBLE
+         / (h_hours * n_events)::DOUBLE AS fano,
+       CASE WHEN h_hours * sum_c2 - n_events * n_events > h_hours * n_events
+            THEN 'over_dispersed'
+            WHEN h_hours * sum_c2 - n_events * n_events < h_hours * n_events
+            THEN 'under_dispersed'
+            ELSE 'poisson_like' END AS dispersion
+FROM agg WHERE n_events >= 2
+"""
+
+ORACLES["seasonal_mann_kendall"] = """
+WITH keyed AS (
+  SELECT event_type,
+         ((epoch_ms(ts) // 1000) % 86400 // 3600)::BIGINT AS season,
+         ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+recent AS (
+  SELECT * FROM (
+    SELECT event_type, season, ts, event_id, vq,
+           row_number() OVER (PARTITION BY event_type, season
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM keyed) WHERE rn <= 24),
+ordered AS (
+  SELECT event_type, season, vq,
+         row_number() OVER (PARTITION BY event_type, season
+                            ORDER BY ts, event_id) AS r
+  FROM recent),
+s_season AS (
+  SELECT a.event_type, a.season,
+         sum(CASE WHEN b.vq > a.vq THEN 1
+                  WHEN b.vq < a.vq THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM ordered a JOIN ordered b
+    ON a.event_type = b.event_type AND a.season = b.season AND a.r < b.r
+  GROUP BY 1, 2),
+ties AS (
+  SELECT event_type, season,
+         sum(t)::BIGINT AS n,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+  FROM (SELECT event_type, season, vq, count(*)::BIGINT AS t
+        FROM ordered GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+per_season AS (
+  SELECT s.event_type, s.season, s.s,
+         (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18)::BIGINT AS v18
+  FROM s_season s JOIN ties t
+    ON s.event_type = t.event_type AND s.season = t.season),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_seasons,
+         sum(s)::BIGINT AS s_total,
+         sum(v18)::BIGINT AS var18
+  FROM per_season GROUP BY 1)
+SELECT event_type, n_seasons, s_total, var18,
+       CASE WHEN s_total = 0 THEN 0.0
+            ELSE (s_total::DOUBLE - sign(s_total)::DOUBLE)
+                 / sqrt(var18::DOUBLE / 18.0) END AS z,
+       CASE WHEN abs(CASE WHEN s_total = 0 THEN 0.0
+                 ELSE (s_total::DOUBLE - sign(s_total)::DOUBLE)
+                      / sqrt(var18::DOUBLE / 18.0) END) <= 1.959963984540054
+            THEN 'no_trend'
+            WHEN s_total > 0 THEN 'increasing'
+            ELSE 'decreasing' END AS trend
+FROM agg WHERE var18 > 0
+"""
+
+ORACLES["granger_lag1"] = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000 - (epoch_ms(ts) // 1000) % 3600)::BIGINT AS bucket,
+         sum(floor(value * 10)::BIGINT)::BIGINT AS hv
+  FROM events GROUP BY 1, 2),
+ylane AS (
+  SELECT event_type AS y_type, bucket, hv AS y,
+         lag(hv) OVER w AS a,
+         lag(bucket) OVER w AS bprev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+yok AS (
+  SELECT y_type, bucket, y, a FROM ylane WHERE bprev = bucket - 3600),
+xlane AS (
+  SELECT event_type AS x_type, (bucket + 3600)::BIGINT AS bucket, hv AS b
+  FROM hourly),
+trip AS (
+  SELECT x.x_type, y.y_type, y.y, y.a, x.b
+  FROM yok y JOIN xlane x USING (bucket)
+  WHERE x.x_type <> y.y_type),
+agg AS (
+  SELECT x_type, y_type,
+         count(*)::BIGINT AS n,
+         sum(y)::BIGINT AS sy, sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+         sum(y * y)::BIGINT AS syy, sum(a * a)::BIGINT AS saa,
+         sum(b * b)::BIGINT AS sbb, sum(a * y)::BIGINT AS say,
+         sum(b * y)::BIGINT AS sby, sum(a * b)::BIGINT AS sab
+  FROM trip GROUP BY 1, 2),
+c AS (
+  SELECT x_type, y_type, n,
+         (n * saa - sa * sa)::DOUBLE AS caa,
+         (n * sbb - sb * sb)::DOUBLE AS cbb,
+         (n * sab - sa * sb)::DOUBLE AS cab,
+         (n * say - sa * sy)::DOUBLE AS cay,
+         (n * sby - sb * sy)::DOUBLE AS cby,
+         (n * syy - sy * sy)::DOUBLE AS cyy
+  FROM agg),
+alg AS (
+  SELECT x_type, y_type, n, caa,
+         (caa * cbb - cab * cab) AS det,
+         (cyy - cay * cay / caa) AS rss0,
+         (cyy - (cay * cay * cbb - 2.0 * cay * cby * cab + cby * cby * caa)
+                / (caa * cbb - cab * cab)) AS rss1
+  FROM c)
+SELECT x_type, y_type, n,
+       CASE WHEN n >= 8 AND caa > 0 AND det > 0 AND rss1 > 0
+            THEN (rss0 - rss1) * (n::DOUBLE - 3.0) / rss1 END AS f_stat,
+       CASE WHEN n >= 8 AND caa > 0 AND det > 0 AND rss0 > 0
+            THEN (rss0 - rss1) / rss0 END AS rss_gain,
+       CASE WHEN n >= 8 AND caa > 0 AND det > 0 AND rss1 > 0
+            THEN CASE WHEN (rss0 - rss1) * (n::DOUBLE - 3.0) / rss1 > 3.841
+                      THEN 'predictive' ELSE 'not_predictive' END END AS granger
+FROM alg
+"""

@@ -8848,3 +8848,248 @@ def sample_entropy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("irregular"))
         .alias("regularity"),
     )
+
+
+def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of the HOURLY EVENT COUNTS per
+    event_type — the burstiness classifier: a Poisson-arrival tool has
+    Fano ~= 1, machine-periodic heartbeats are under-dispersed (< 1),
+    bursty organic traffic is over-dispersed (> 1).  Empty hours
+    inside the observed span COUNT as zeros (dropping them would hide
+    exactly the burstiness being measured).
+
+    EXACT cross-engine: with N events over H spanned hours and
+    per-hour counts c, the population-variance/mean ratio reduces to
+    Fano = (H*sum(c^2) - N^2) / (H*N) — numerator and denominator are
+    BIGINT-exact (zero hours contribute nothing to sum(c^2), so only
+    PRESENT hours are ever materialized), the ratio is one double
+    division, and the over/under label compares the two integers
+    directly.
+
+    Scale shape: one hash aggregate to present (type, hour) cells, one
+    to |types| rows.  No window, no join, empty hours never exist as
+    rows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select("event_type", (es - es % 3600).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        (
+            (F.max("bucket") - F.min("bucket")) / 3600 + 1
+        ).cast("long").alias("h_hours"),
+        F.count(F.lit(1)).cast("long").alias("present_hours"),
+    )
+    num = (
+        F.col("h_hours") * F.col("sum_c2")
+        - F.col("n_events") * F.col("n_events")
+    ).cast("long")
+    den = (F.col("h_hours") * F.col("n_events")).cast("long")
+    return agg.filter(F.col("n_events") >= 2).select(
+        "event_type",
+        "n_events",
+        "h_hours",
+        "present_hours",
+        num.alias("fano_num"),
+        den.alias("fano_den"),
+        (num.cast("double") / den.cast("double")).alias("fano"),
+        F.when(num > den, F.lit("over_dispersed"))
+        .when(num < den, F.lit("under_dispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("dispersion"),
+    )
+
+
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per event_type (Hirsch & Slack
+    1984, public literature): the K=24 most recent samples of EACH
+    hour-of-day season are pair-tested independently and the S
+    statistics and tie-corrected variance numerators SUM across
+    seasons — the trend detector that is immune to daily seasonality
+    (plain MK reads a diurnal cycle as alternating trends; comparing
+    3am only with other 3ams cancels it).
+
+    EXACT cross-engine: per-season S and var18 = n(n-1)(2n+5) -
+    sum t(t-1)(2t+5) are BIGINT (the mann_kendall_trend staging, one
+    level deeper in the key); the cross-season sums stay BIGINT, and
+    z = (S -+ 1)/sqrt(var18/18.0) is the same three-op IEEE tail both
+    engines evaluate.
+
+    Scale shape: the O(K^2) pair join runs AFTER the per-season top-K
+    restriction (276 pairs per season at most), joined on the full
+    (type, season) key; two bounded hash aggregates reduce seasons to
+    types.  Never quadratic in the data."""
+    k = 24
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    keyed = df.select(
+        "event_type",
+        ((es % 86400) / 3600).cast("long").alias("season"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    wrec = Window.partitionBy("event_type", "season").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    recent = keyed.withColumn("rn", F.row_number().over(wrec)).filter(
+        F.col("rn") <= k
+    )
+    wasc = Window.partitionBy("event_type", "season").orderBy(
+        "ts", "event_id"
+    )
+    ordered = recent.select(
+        "event_type", "season", "vq", F.row_number().over(wasc).alias("r")
+    )
+    keys = ["event_type", "season"]
+    a = ordered.select(*keys, F.col("vq").alias("v1"), F.col("r").alias("r1"))
+    b = ordered.select(*keys, F.col("vq").alias("v2"), F.col("r").alias("r2"))
+    s_season = (
+        a.join(b, keys)
+        .filter(F.col("r1") < F.col("r2"))
+        .groupBy(*keys)
+        .agg(F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long")).alias("s"))
+    )
+    ties = (
+        ordered.groupBy(*keys, "vq")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18"),
+        )
+    )
+    n = F.col("n")
+    per_season = s_season.join(ties, keys).select(
+        *keys,
+        "s",
+        (n * (n - 1) * (2 * n + 5) - F.col("tie18")).cast("long").alias("v18"),
+    )
+    agg = per_season.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("v18").cast("long").alias("var18"),
+    )
+    s = F.col("s_total")
+    z = F.when(s == 0, F.lit(0.0)).otherwise(
+        (
+            s.cast("double")
+            - F.signum(s).cast("double")
+        )
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    )
+    return agg.filter(F.col("var18") > 0).select(
+        "event_type",
+        "n_seasons",
+        "s_total",
+        "var18",
+        z.alias("z"),
+        F.when(F.abs(z) <= 1.959963984540054, F.lit("no_trend"))
+        .when(s > 0, F.lit("increasing"))
+        .otherwise(F.lit("decreasing"))
+        .alias("trend"),
+    )
+
+
+def granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger predictiveness between event_type pairs (Granger
+    1969, public literature): does tool X's hourly level help predict
+    tool Y's next hourly level beyond Y's own history?  Fits
+    y_t ~ y_{t-1} vs y_t ~ y_{t-1} + x_{t-1} by OLS over aligned
+    CONSECUTIVE hourly buckets and reports the F statistic of the
+    added regressor and the RSS reduction fraction.
+
+    EXACT cross-engine: the six centered second-moment sums
+    C.. = n*sum(uv) - sum(u)*sum(v) are BIGINT-exact on deci-quantized
+    hourly sums; every C is < 2^53 at any realistic per-type bucket
+    count, so casting to double is lossless and the determinant /
+    RSS / F algebra is the SAME fixed IEEE expression in both engines
+    — deterministic, no accumulation.  The 'predictive' label uses the
+    F(1, inf) 5% critical value 3.841 (documented constant).
+
+    Scale shape: the raw table reduces to (type, hour) cells through a
+    map-side-combined hash aggregate; ONE window sort gives each
+    series its own lag with a consecutiveness guard; the cross-pair
+    equi-join runs on the REDUCED hourly frame keyed by bucket
+    (|types| x |buckets| rows, never raw); one final hash aggregate
+    per pair.  Catalyst scans raw twice (once per lane — exchange
+    reuse declines because the x-lane's pushed filter changes the
+    canonical subtree); both scans feed the same cheap 3-column
+    aggregate, and at production scale the hourly frame is a persisted
+    tier read once (plan-gated in tests/test_plans.py)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            (es - es % 3600).alias("bucket"),
+            F.floor(F.col("value") * 10).cast("long").alias("vq"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("vq").cast("long").alias("hv"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    ylane = (
+        hourly.select(
+            F.col("event_type").alias("y_type"),
+            "bucket",
+            F.col("hv").alias("y"),
+            F.lag("hv").over(wb).alias("a"),
+            F.lag("bucket").over(wb).alias("bprev"),
+        )
+        .where(F.col("bprev") == F.col("bucket") - 3600)
+        .drop("bprev")
+    )
+    xlane = hourly.select(
+        F.col("event_type").alias("x_type"),
+        (F.col("bucket") + 3600).alias("bucket"),
+        F.col("hv").alias("b"),
+    )
+    trip = ylane.join(xlane, "bucket").where(F.col("x_type") != F.col("y_type"))
+    agg = trip.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("say"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("sby"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+    )
+    n = F.col("n")
+    caa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    cbb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    cab = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    cay = (n * F.col("say") - F.col("sa") * F.col("sy")).cast("double")
+    cby = (n * F.col("sby") - F.col("sb") * F.col("sy")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    det = caa * cbb - cab * cab
+    rss0 = cyy - cay * cay / caa
+    ess1 = (
+        cay * cay * cbb - F.lit(2.0) * cay * cby * cab + cby * cby * caa
+    ) / det
+    rss1 = cyy - ess1
+    fstat = (rss0 - rss1) * (n.cast("double") - F.lit(3.0)) / rss1
+    ok = (n >= 8) & (caa > 0) & (det > 0)
+    out = agg.select(
+        "x_type",
+        "y_type",
+        "n",
+        F.when(ok & (rss1 > 0), fstat).alias("f_stat"),
+        F.when(ok & (rss0 > 0), (rss0 - rss1) / rss0).alias("rss_gain"),
+        F.when(
+            ok & (rss1 > 0),
+            F.when(fstat > 3.841, F.lit("predictive")).otherwise(
+                F.lit("not_predictive")
+            ),
+        ).alias("granger"),
+    )
+    return out

@@ -1660,3 +1660,42 @@ def test_sample_entropy_pairs_join_on_series_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_dispersion_two_aggregates_no_join_no_window(spark):
+    """Fano factor: raw -> present (type, hour) cells -> |types| rows,
+    both aggregates map-side combined; empty hours never become rows,
+    so there is no window, no join, no gap-fill stage."""
+    plan = plan_of(Q.dispersion_index(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin", "Window"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_seasonal_mk_pairs_join_after_topk(spark):
+    """Seasonal MK: the O(K^2) pair join must run on the per-season
+    top-K frame, joined on the full (type, season) equi key — never a
+    cartesian or nested-loop, and never quadratic in the raw data."""
+    plan = plan_of(Q.seasonal_mann_kendall(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_granger_one_window_sort_join_on_reduced_frame(spark):
+    """Granger: ONE window sort serves the y-lane lag + consecutiveness
+    guard; the cross-pair join is an equi join on the REDUCED hourly
+    frame (the raw table is scanned once into the bucket aggregate)."""
+    plan = plan_of(Q.granger_lag1(spark, SF))
+    # two scans, BOTH reduced by a map-side-combined hourly aggregate
+    # before anything joins (Catalyst declines exchange reuse because
+    # the x-lane's pushed filter changes the canonical subtree; at
+    # production scale the hourly frame is a persisted tier) — the
+    # documented two-scan shape, never a raw-side join.
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1

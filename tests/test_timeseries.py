@@ -857,3 +857,128 @@ def test_chi2_uniform_table_has_zero_deviation(spark, tmp_path):
     assert len(out) == 6
     assert all(r["dev"] == 0 and r["chi2_contrib"] == 0.0
                and r["cell_bias"] == "exact" for r in out)
+
+
+def test_dispersion_counts_empty_hours_as_zeros(spark, tmp_path):
+    """Three regimes: constant 1/hour is under-dispersed (variance 0),
+    a [2, 0] hour pair is exactly Poisson-like (Fano = 1), and a burst
+    with a long empty span is over-dispersed — the zeros INSIDE the
+    span must enter the variance even though they never exist as rows."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # type 'flat': 1 event in each of 6 consecutive hours
+    for h in range(6):
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "flat", 1.0, "{}"))
+        eid += 1
+    # type 'pois': 2 events in hour 0, 0 events in hour 1, span pinned
+    # to 2 hours by... a 2-hour span needs an event in the last hour --
+    # instead craft [2,0] as 2 events at hour 0 and a span of 2 via an
+    # event at hour 1?  That would change counts; use [2,0,2,0]: 2 at
+    # hour 0, 2 at hour 2 (span 3 incl. empty hour 1 -> counts 2,0,2).
+    for h, c in ((0, 2), (2, 2)):
+        for k in range(c):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=k), 1, "pois",
+                 1.0, "{}"))
+            eid += 1
+    # type 'burst': 9 events in hour 9, 1 event in hour 0 (span 10)
+    rows.append((eid, t0, 1, "burst", 1.0, "{}")); eid += 1
+    for k in range(9):
+        rows.append(
+            (eid, t0 + dt.timedelta(hours=9, minutes=k), 1, "burst",
+             1.0, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in Q.dispersion_index(spark, str(tmp_path)).collect()}
+    assert got["flat"]["dispersion"] == "under_dispersed"
+    assert got["flat"]["fano_num"] == 0
+    # pois: N=4, H=3, counts [2,0,2]: sum_c2=8, num=3*8-16=8, den=12
+    # -> Fano 2/3?  population var of [2,0,2] = 8/9, mean 4/3 -> 2/3.
+    assert (got["pois"]["fano_num"], got["pois"]["fano_den"]) == (8, 12)
+    # burst: N=10, H=10, sum_c2=82 -> num=720, den=100, Fano 7.2
+    assert got["burst"]["fano"] == 7.2
+    assert got["burst"]["dispersion"] == "over_dispersed"
+
+
+def test_seasonal_mk_sees_trend_through_diurnal_cycle(spark, tmp_path):
+    """A rising day-over-day level under a large diurnal swing: plain
+    MK on the interleaved series reads mixed signs, the seasonal form
+    compares 0h only with 0h (etc.) and detects the trend with maximal
+    S = C(5,2) per season."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(5):
+        for hour in range(24):
+            # V-shaped diurnal cycle, amplitude 10x the daily increment;
+            # plain MK's K=24 recency window sees exactly ONE cycle (no
+            # day-over-day information at all), the seasonal form
+            # compares each hour only with itself across days.
+            v = abs(hour - 12) * 10.0 + 1.0 * day
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, hours=hour), 1, "m",
+                 v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.seasonal_mann_kendall(spark, str(tmp_path)).collect()
+    assert r["n_seasons"] == 24
+    assert r["s_total"] == 24 * 10  # C(5,2) = 10 per season, no ties
+    assert r["var18"] == 24 * (5 * 4 * 15)
+    assert r["trend"] == "increasing"
+    # plain MK's window is the last day only: a pure cycle, no trend
+    [p] = Q.mann_kendall_trend(spark, str(tmp_path)).collect()
+    assert p["trend"] == "no_trend"
+
+
+def test_granger_matches_ols_recompute_and_finds_direction(spark, tmp_path):
+    """x leads y by one hour (y_t = x_{t-1} + small drift): the x->y
+    direction must be 'predictive' with rss_gain near 1, the y->x
+    direction must not; F matches a numpy least-squares recompute."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0,
+          9.0, 7.0, 9.0, 3.0]
+    rows = []
+    eid = 0
+    ys = [0.0]
+    for t in range(1, len(xs)):
+        ys.append(xs[t - 1] + 0.1 * (t % 3))
+    for t, (xv, yv) in enumerate(zip(xs, ys)):
+        rows.append((eid, t0 + dt.timedelta(hours=t), 1, "x", xv, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=t), 1, "y", yv, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {(r["x_type"], r["y_type"]): r
+           for r in Q.granger_lag1(spark, str(tmp_path)).collect()}
+
+    def f_recompute(xq, yq):
+        # triples over consecutive hours, deci-quantized like the query
+        # (every bucket t >= 1 yields one: y_t, a=y_{t-1}, b=x_{t-1})
+        y = np.array(yq[1:], dtype=float)
+        a = np.array(yq[:-1], dtype=float)
+        b = np.array(xq[:-1], dtype=float)
+        n = len(y)
+        X0 = np.column_stack([np.ones(n), a])
+        X1 = np.column_stack([np.ones(n), a, b])
+        r0 = y - X0 @ np.linalg.lstsq(X0, y, rcond=None)[0]
+        r1 = y - X1 @ np.linalg.lstsq(X1, y, rcond=None)[0]
+        rss0, rss1 = float(r0 @ r0), float(r1 @ r1)
+        return (rss0 - rss1) * (n - 3) / rss1, (rss0 - rss1) / rss0
+
+    # mirror the engines' quantization exactly: floor of the DOUBLE
+    # product (floor(3.1 * 10) == 30 in IEEE — no epsilon fudge)
+    xq = [int(np.floor(np.float64(v) * 10)) for v in xs]
+    yq = [int(np.floor(np.float64(v) * 10)) for v in ys]
+    f_xy, gain_xy = f_recompute(xq, yq)
+    r = got[("x", "y")]
+    assert abs(r["f_stat"] - f_xy) < 1e-6 * max(1.0, abs(f_xy))
+    assert abs(r["rss_gain"] - gain_xy) < 1e-9
+    assert r["granger"] == "predictive" and r["rss_gain"] > 0.9
+    f_yx, _ = f_recompute(yq, xq)
+    ryx = got[("y", "x")]
+    assert abs(ryx["f_stat"] - f_yx) < 1e-6 * max(1.0, abs(f_yx))
+    assert ryx["granger"] == "not_predictive"
