@@ -1189,3 +1189,105 @@ def store_diff(
         read_tier_as_of(spark, root, tier, epoch_a),
         read_tier_as_of(spark, root, tier, epoch_b),
     )
+
+
+# ------------------------------------------------------ schema evolution
+#
+# Iceberg-analog ADD COLUMN / type-widening semantics over the epoch-dir
+# store: each epoch directory carries the schema its writer shipped with
+# (the parquet footers are the schema metadata), and readers resolve
+# columns BY NAME across epochs — a column added in release N+1 surfaces
+# as NULL for epochs written by release N, and an integral column widened
+# from int to long reads as long everywhere.  Positional resolution (what
+# a naive multi-path parquet read does) would silently misbind reordered
+# columns; a plain ``mergeSchema`` read handles add-column but refuses
+# type widening.
+
+_WIDENING: dict[str, int] = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 10, "double": 11,
+}
+
+
+def _widen_type(a, b):
+    """The narrower-to-wider merge of two primitive Spark types; raises
+    on an incompatible pair (the Iceberg rule: widen, never narrow or
+    cross families)."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _WIDENING and bn in _WIDENING:
+        fam_a, fam_b = _WIDENING[an] // 10, _WIDENING[bn] // 10
+        if fam_a == fam_b:
+            return a if _WIDENING[an] >= _WIDENING[bn] else b
+    raise ValueError(f"incompatible evolution {a.simpleString()} -> {b.simpleString()}")
+
+
+def tier_schemas(spark: SparkSession, root: str, tier: str):
+    """Per committed epoch, the schema its writer recorded in the
+    parquet footers — the store's schema history, oldest first.
+    Control-plane: one footer read per epoch, never a data scan."""
+    done = sorted(committed_epochs(spark, root))
+    out = []
+    for e in done:
+        p = _tier_path(root, tier, e)
+        if os.path.isdir(p):
+            out.append((e, spark.read.parquet(p).schema))
+    return out
+
+
+def evolved_schema(schemas):
+    """Union-by-name of a schema history with type widening: field
+    order is first-seen, types widen monotonically, every field is
+    nullable (an added column is absent from older epochs)."""
+    from pyspark.sql.types import StructField, StructType
+
+    order: list[str] = []
+    types: dict[str, object] = {}
+    for _, sch in schemas:
+        for f in sch.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.dataType
+            else:
+                types[f.name] = _widen_type(types[f.name], f.dataType)
+    return StructType([StructField(n, types[n], True) for n in order])
+
+
+def read_tier_evolved(spark: SparkSession, root: str, tier: str) -> DataFrame:
+    """All committed epochs of a tier under the EVOLVED schema:
+    by-name column resolution, added columns NULL for pre-addition
+    epochs, integral/floating types widened.  Epoch runs that share a
+    schema read as ONE multi-path parquet scan (partition-count and
+    pushdown behavior identical to :func:`read_tier`); a schema change
+    starts a new scan group, so the number of unioned scans equals the
+    number of schema GENERATIONS, not epochs."""
+    history = tier_schemas(spark, root, tier)
+    if not history:
+        raise FileNotFoundError(f"no committed epochs for tier {tier} under {root}")
+    target = evolved_schema(history)
+
+    groups: list[tuple[object, list[int]]] = []
+    for e, sch in history:
+        if groups and groups[-1][0] == sch:
+            groups[-1][1].append(e)
+        else:
+            groups.append((sch, [e]))
+
+    out = None
+    for sch, epochs in groups:
+        df = spark.read.parquet(
+            *[_tier_path(root, tier, e) for e in epochs]
+        )
+        have = {f.name: f.dataType for f in sch.fields}
+        cols = []
+        for f in target.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif have[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        df = df.select(*cols)
+        out = df if out is None else out.unionByName(df)
+    return out
