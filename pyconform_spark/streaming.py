@@ -1565,3 +1565,85 @@ def stream_rolling_p90(stream: DataFrame, k: int = 20) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    target_cu: int = 10_000,
+    slack_cu: int = 500,
+    h_cu: int = 80_000,
+) -> DataFrame:
+    """Streaming one-sided CUSUM (Page's test) per series — the
+    continuous twin of queries.cusum_changepoints, which documents the
+    closed form S_i = C_i - least(0, min(C_1..C_i)).  The carried
+    state is exactly TWO BIGINTs per series: the last cumulative sum C
+    and the running minimum of C — O(1) state, not O(history), and
+    both compose associatively so state never needs the raw tail.
+
+    Assumes in-order arrival per series across micro-batches (the
+    ingest contract shared by the other recursion twins; late rows
+    belong to the refresh path).  A group's rows inside one
+    micro-batch are concatenated and sorted ONCE before scoring, so
+    Arrow chunk splits cannot corrupt the carry.  All arithmetic is
+    int64 on centi-quantized values — stream output equals the batch
+    query BIT-FOR-BIT (pytest parity gate)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("cusum_cu", T.LongType(), True),
+        T.StructField("is_alarm", T.BooleanType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("c_last", T.LongType(), True),
+        T.StructField("c_min", T.LongType(), True),
+    ])
+    shift = target_cu + slack_cu
+
+    def _update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            c0, m0 = state.get
+        else:
+            c0, m0 = 0, None
+        xc = (
+            np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100
+                     ).astype(np.int64)
+            - shift
+        )
+        c = c0 + np.cumsum(xc)
+        runmin = np.minimum.accumulate(c)
+        if m0 is not None:
+            runmin = np.minimum(runmin, m0)
+        s = c - np.minimum(0, runmin)
+        out = pd.DataFrame({
+            "user_id": np.full(len(xc), user_id, dtype=np.int64),
+            "event_type": event_type,
+            "ts": pdf["ts"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+            "value": pdf["value"].to_numpy(dtype=np.float64),
+            "cusum_cu": s,
+            "is_alarm": s > h_cu,
+        })
+        yield out
+        state.update((int(c[-1]), int(runmin[-1])))
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1171,3 +1171,54 @@ def test_stream_rolling_p90_matches_batch_final(spark, tmp_path):
     # the batch trailing frame is ROWS 19 PRECEDING (max 20 rows), the
     # stream state is the 20 most recent rows: identical final window
     assert latest == want
+
+
+def test_stream_cusum_matches_batch_bitwise(spark, tmp_path):
+    """Streaming CUSUM == batch cusum_changepoints bit-for-bit with the
+    series split MID-RECURSION across micro-batches: the two-BIGINT
+    carry (last C, running min of C) must reproduce the closed form
+    exactly, including alarms that latch only because of pre-split
+    history."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "cusum_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_cusum(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusumstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_id: (r.cusum_cu, r.is_alarm)
+        for r in spark.sql("select * from cusumstream").collect()
+    }
+    want = {
+        r.event_id: (r.cusum_cu, r.is_alarm)
+        for r in Q.cusum_changepoints(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # the cut must actually split series mid-recursion, or the carry
+    # was never exercised
+    n_pre = events.where(F.col("ts") < cut).count()
+    assert 0 < n_pre < events.count()
