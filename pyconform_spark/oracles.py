@@ -4619,3 +4619,93 @@ SELECT x_type, y_type, n,
                       THEN 'predictive' ELSE 'not_predictive' END END AS granger
 FROM alg
 """
+
+ORACLES["cvm_drift"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+cells AS (
+  SELECT b.event_type, b.vq,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, (c1 + c2)::BIGINT AS c,
+         sum(c1) OVER w::BIGINT AS cum1,
+         sum(c2) OVER w::BIGINT AS cum2
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT event_type, c, cum1, cum2,
+         max(cum1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+         max(cum2) OVER (PARTITION BY event_type)::BIGINT AS n2
+  FROM cum),
+agg AS (
+  SELECT event_type, n1, n2,
+         sum(c::HUGEINT * (n2 * cum1 - n1 * cum2)
+                        * (n2 * cum1 - n1 * cum2)) AS cvm_num
+  FROM tot GROUP BY 1, 2, 3)
+SELECT event_type, n1, n2,
+       cvm_num::DOUBLE AS cvm_num,
+       n1::DOUBLE * n1::DOUBLE * n2::DOUBLE * n2::DOUBLE
+         * (n1 + n2)::DOUBLE AS cvm_den,
+       cvm_num::DOUBLE
+         / (n1::DOUBLE * n1::DOUBLE * n2::DOUBLE * n2::DOUBLE
+            * (n1 + n2)::DOUBLE) AS cvm_t
+FROM agg WHERE n1 >= 1 AND n2 >= 1
+"""
+
+ORACLES["runs_test"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+ranked AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vq, ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_all
+  FROM base),
+med AS (
+  SELECT event_type, vq AS med FROM ranked
+  WHERE rn = (n_all + 1) // 2),
+signed AS (
+  SELECT b.event_type, b.ts, b.event_id,
+         CASE WHEN b.vq > m.med THEN 1 ELSE -1 END AS sgn
+  FROM base b JOIN med m USING (event_type)
+  WHERE b.vq <> m.med),
+flips AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER w IS NOT NULL
+                   AND lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS flip
+  FROM signed
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type,
+         sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_plus,
+         sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_minus,
+         (1 + sum(flip))::BIGINT AS runs
+  FROM flips GROUP BY 1),
+alg AS (
+  SELECT event_type, n_plus, n_minus, runs,
+         n_plus::DOUBLE AS a, n_minus::DOUBLE AS b,
+         (n_plus::DOUBLE + n_minus::DOUBLE) AS n
+  FROM agg WHERE n_plus >= 2 AND n_minus >= 2)
+SELECT event_type, n_plus, n_minus, runs,
+       1.0 + 2.0 * a * b / n AS expected_runs,
+       (runs::DOUBLE - (1.0 + 2.0 * a * b / n))
+         / sqrt(2.0 * a * b * (2.0 * a * b - n) / (n * n * (n - 1.0))) AS z,
+       CASE WHEN abs((runs::DOUBLE - (1.0 + 2.0 * a * b / n))
+              / sqrt(2.0 * a * b * (2.0 * a * b - n) / (n * n * (n - 1.0))))
+              <= 1.959963984540054 THEN 'random'
+            WHEN runs::DOUBLE < 1.0 + 2.0 * a * b / n THEN 'clustered'
+            ELSE 'oscillating' END AS pattern
+FROM alg
+"""

@@ -9093,3 +9093,178 @@ def granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("granger"),
     )
     return out
+
+
+def cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample drift statistic per event_type
+    between the early and late halves (the midpoint-split convention
+    shared by ks_drift / mannwhitney_u / welch_t2_segments): the
+    INTEGRAL of the squared ECDF gap, T = sum over pooled observations
+    of (F1 - F2)^2 / N — where KS reads only the single worst gap, CvM
+    reads the whole-distribution displacement, so a broad small shift
+    that never produces one big gap still registers.
+
+    EXACT cross-engine: on the distinct-value grid the statistic is
+    cvm_num = sum over distinct values of c * (n2*cum1 - n1*cum2)^2
+    (c = pooled multiplicity, cum = cumulative sample counts) and
+    T = cvm_num / (n1^2 * n2^2 * N).  Every deviation is BIGINT; the
+    squared terms accumulate through DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — order-independent exact sums — and T is ONE division of
+    two identically-rounded doubles.
+
+    Scale shape: midpoint aggregate + one hash aggregate to distinct
+    (type, value) cells, ONE per-type window over the cell frame, one
+    final aggregate.  The KS twin rides the same shape; no raw join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    cells = (
+        base.join(F.broadcast(spans), "event_type")
+        .groupBy("event_type", "vq")
+        .agg(
+            F.sum(F.when(F.col("es") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("es") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "event_type",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        "c1",
+        "c2",
+        F.sum("c1").over(wv).cast("long").alias("cum1"),
+        F.sum("c2").over(wv).cast("long").alias("cum2"),
+    )
+    wall = Window.partitionBy("event_type")
+    n1 = F.max("cum1").over(wall)
+    n2 = F.max("cum2").over(wall)
+    dev = (n2 * F.col("cum1") - n1 * F.col("cum2")).cast("long")
+    term = (F.col("c").cast("decimal(38,0)")
+            * dev.cast("decimal(38,0)") * dev.cast("decimal(38,0)"))
+    agg = (
+        cum.select(
+            "event_type",
+            n1.alias("n1"),
+            n2.alias("n2"),
+            term.alias("term"),
+        )
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.sum("term").cast("decimal(38,0)").alias("cvm_num"))
+    )
+    d = "double"
+    den = (
+        F.col("n1").cast(d) * F.col("n1").cast(d)
+        * F.col("n2").cast(d) * F.col("n2").cast(d)
+        * (F.col("n1") + F.col("n2")).cast(d)
+    )
+    return agg.filter((F.col("n1") >= 1) & (F.col("n2") >= 1)).select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("cvm_num").cast("double").alias("cvm_num"),
+        den.alias("cvm_den"),
+        (F.col("cvm_num").cast("double") / den).alias("cvm_t"),
+    )
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event_type: are above-median and
+    below-median samples RANDOMLY interleaved in time, or do they
+    cluster (fewer runs than chance: regime-y series) / oscillate
+    (more runs: alternating load)?  The randomness screen that, unlike
+    turning_points_test, is insensitive to monotone within-run drift.
+
+    EXACT cross-engine: the reference level is the LOWER MEDIAN of the
+    quantized values (the order statistic at ceil(n/2) — an integer,
+    never an interpolated float); samples equal to it are excluded
+    (the standard treatment).  The run count R = 1 + #(sign flips),
+    n_plus and n_minus are BIGINTs; E[R] = 1 + 2ab/n and
+    Var[R] = 2ab(2ab - n)/(n^2 (n-1)) enter z through one fixed IEEE
+    expression of exact-integer doubles.
+
+    Scale shape: one window sort by VALUE (for the order statistic),
+    a broadcast of the |types|-row median frame, one window sort by
+    TIME for the flip count, one final aggregate.  No raw self-join."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type", "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        vq.alias("vq"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("vq", "ts", "event_id")
+    ranked = base.select(
+        "event_type", "vq", F.row_number().over(wv).alias("rn")
+    )
+    med = (
+        ranked.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+        .join(ranked, "event_type")
+        .where(F.col("rn") == F.floor((F.col("n_all") + 1) / 2))
+        .select("event_type", F.col("vq").alias("med"))
+    )
+    signed = (
+        base.join(F.broadcast(med), "event_type")
+        .where(F.col("vq") != F.col("med"))
+        .select(
+            "event_type", "ts", "event_id",
+            F.when(F.col("vq") > F.col("med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flips = signed.select(
+        "event_type",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(wt).isNotNull()
+            & (F.lag("sgn").over(wt) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_minus"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    a = F.col("n_plus").cast("double")
+    b = F.col("n_minus").cast("double")
+    n = a + b
+    er = F.lit(1.0) + F.lit(2.0) * a * b / n
+    varr = (
+        F.lit(2.0) * a * b * (F.lit(2.0) * a * b - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = (F.col("runs").cast("double") - er) / F.sqrt(varr)
+    ok = (F.col("n_plus") >= 2) & (F.col("n_minus") >= 2)
+    return agg.filter(ok).select(
+        "event_type",
+        "n_plus",
+        "n_minus",
+        "runs",
+        er.alias("expected_runs"),
+        z.alias("z"),
+        F.when(F.abs(z) <= 1.959963984540054, F.lit("random"))
+        .when(F.col("runs").cast("double") < er, F.lit("clustered"))
+        .otherwise(F.lit("oscillating"))
+        .alias("pattern"),
+    )

@@ -1699,3 +1699,24 @@ def test_granger_one_window_sort_join_on_reduced_frame(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
     assert count_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_cvm_rides_the_ks_shape(spark):
+    """CvM drift: midpoint broadcast, one hash aggregate to distinct
+    (type, value) cells, windows over the cell frame only — the same
+    scan/agg/window shape as ks_drift, no raw self-join."""
+    plan = plan_of(Q.cvm_drift(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_runs_test_medians_broadcast_no_self_join(spark):
+    """Runs test: the |types|-row median frame broadcasts onto the
+    base; the flip count is a window, not a join — the raw table is
+    never self-joined."""
+    plan = plan_of(Q.runs_test(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1

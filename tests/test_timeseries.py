@@ -982,3 +982,78 @@ def test_granger_matches_ols_recompute_and_finds_direction(spark, tmp_path):
     ryx = got[("y", "x")]
     assert abs(ryx["f_stat"] - f_yx) < 1e-6 * max(1.0, abs(f_yx))
     assert ryx["granger"] == "not_predictive"
+
+
+def test_cvm_zero_on_identical_halves_and_matches_bruteforce(spark, tmp_path):
+    """Early and late halves with identical value multisets give
+    cvm_t = 0 exactly; a shifted pair matches a brute-force ECDF
+    recompute of T = sum (F1-F2)^2 / N over pooled observations."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    same = [1.0, 3.0, 3.0, 7.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "same", v, "{}")
+        for i, v in enumerate(same)
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=100 + i), 1, "same", v, "{}")
+        for i, v in enumerate(same)
+    ]
+    early, late = [1.0, 2.0, 3.0, 4.0], [2.0, 3.0, 4.0, 5.0]
+    rows += [
+        (20 + i, t0 + dt.timedelta(minutes=i), 1, "shift", v, "{}")
+        for i, v in enumerate(early)
+    ] + [
+        (30 + i, t0 + dt.timedelta(minutes=100 + i), 1, "shift", v, "{}")
+        for i, v in enumerate(late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in Q.cvm_drift(spark, str(tmp_path)).collect()}
+    assert got["same"]["cvm_num"] == 0.0 and got["same"]["cvm_t"] == 0.0
+
+    def brute(e, l):
+        n1, n2 = len(e), len(l)
+        pooled = sorted(e + l)
+        t = 0.0
+        for x in pooled:
+            f1 = sum(1 for v in e if v <= x) / n1
+            f2 = sum(1 for v in l if v <= x) / n2
+            t += (f1 - f2) ** 2
+        return t / (n1 + n2)
+
+    want = brute([v * 100 for v in early], [v * 100 for v in late])
+    assert abs(got["shift"]["cvm_t"] - want) < 1e-12
+    assert got["shift"]["cvm_t"] > 0
+
+
+def test_runs_test_separates_blocked_from_alternating(spark, tmp_path):
+    """++++---- (one flip, 2 runs) is 'clustered'; +-+-+-+- (max flips)
+    is 'oscillating'; the z matches the textbook E[R]/Var[R] formula.
+    Median-equal samples are excluded (odd counts exercise that)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # a 5.0 sample sits at the lower median (17 samples each) and is
+    # EXCLUDED as median-equal, leaving exactly 8 "+" and 8 "-"
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "blk",
+         v, "{}")
+        for i, v in enumerate([9.0] * 8 + [5.0] + [1.0] * 8)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "alt",
+         v, "{}")
+        for i, v in enumerate([9.0, 1.0] * 8 + [5.0])
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in Q.runs_test(spark, str(tmp_path)).collect()}
+    import math
+
+    for key, r_want, n_runs in (("blk", "clustered", 2), ("alt",
+                                                          "oscillating", 16)):
+        r = got[key]
+        assert (r["n_plus"], r["n_minus"]) == (8, 8)
+        assert r["runs"] == n_runs
+        a = b = 8.0
+        n = 16.0
+        er = 1.0 + 2 * a * b / n
+        varr = 2 * a * b * (2 * a * b - n) / (n * n * (n - 1))
+        assert abs(r["z"] - (n_runs - er) / math.sqrt(varr)) < 1e-12
+        assert r["pattern"] == r_want
