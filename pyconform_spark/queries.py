@@ -9268,3 +9268,102 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("oscillating"))
         .alias("pattern"),
     )
+
+
+def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over SESSION DURATIONS (Kaplan &
+    Meier 1958, public literature) — "what fraction of sessions are
+    still alive after t minutes?" with the estimator's defining
+    feature: sessions still in flight at the observation horizon are
+    RIGHT-CENSORED (they lower the at-risk count when they leave, but
+    never count as deaths), where a naive duration histogram would
+    silently treat them as short sessions and bias the curve down.
+
+    Sessions are the catalog's 30-minute-gap windows (sessionize);
+    duration is floor minutes from first to last event; a session
+    whose last event is within 30 minutes of the global max timestamp
+    is censored.  At each event time t: d = sessions ending (uncensored)
+    at exactly t, n = sessions with duration >= t, and
+    S(t) = prod_{t_i <= t} (n_i - d_i) / n_i.
+
+    EXACT cross-engine: d, c, n ride integer counts on the duration
+    grid; each factor is ONE double division, and the running product
+    multiplies STRICTLY LEFT-TO-RIGHT in duration order in both
+    engines (Spark: F.aggregate over a cumulative collect_list;
+    DuckDB: a recursive CTE recurrence) — a windowed product()
+    aggregate could legally re-associate under a segment tree, so
+    neither engine gets one.
+
+    Scale shape: the per-user session windows parallelize across
+    users; sessions reduce to a DURATION GRID (|distinct durations|
+    rows — bounded by the session-length range in minutes, never by
+    the corpus), and the unpartitioned cumulative windows run on that
+    tiny grid only (the domain_rebalance precedent).  The global
+    horizon is a 1-row broadcast."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("user_id", "event_id", "ts", es.alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        (F.col("es") - F.lag("es").over(w) > 1800)
+        | F.lag("es").over(w).isNull()
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        base.select(
+            "user_id",
+            "es",
+            F.sum(new_sess.cast("long")).over(cum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("es").alias("s_start"),
+            F.max("es").alias("s_end"),
+        )
+    )
+    horizon = sessions.agg(F.max("s_end").alias("t_max"))
+    tagged = sessions.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("s_end") - F.col("s_start")) / 60)
+        .cast("long")
+        .alias("dur"),
+        (F.col("t_max") - F.col("s_end") < 1800).alias("censored"),
+    )
+    grid = tagged.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_censored"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    staged = grid.select(
+        "dur",
+        "d_events",
+        "c_censored",
+        (
+            F.sum("cnt_all").over(wall)
+            - F.sum("cnt_all").over(wcum)
+            + F.col("cnt_all")
+        ).cast("long").alias("n_risk"),
+    ).where(F.col("d_events") >= 1)
+    factor = (
+        (F.col("n_risk") - F.col("d_events")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    wprod = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        F.col("dur").alias("duration_min"),
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.aggregate(
+            F.collect_list(factor).over(wprod),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("km_survival"),
+    )

@@ -1720,3 +1720,17 @@ def test_runs_test_medians_broadcast_no_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_kaplan_meier_windows_ride_the_duration_grid(spark):
+    """KM survival: per-user session windows parallelize; the
+    unpartitioned cumulative windows and the running product run on
+    the reduced DURATION GRID only (after two hash aggregates); the
+    horizon is a broadcast of a 1-row aggregate, never a shuffled
+    join."""
+    plan = plan_of(Q.kaplan_meier_sessions(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)  # the 1-row horizon
+    assert "partial_count" in plan or "partial_sum" in plan

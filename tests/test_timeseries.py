@@ -1057,3 +1057,41 @@ def test_runs_test_separates_blocked_from_alternating(spark, tmp_path):
         varr = 2 * a * b * (2 * a * b - n) / (n * n * (n - 1))
         assert abs(r["z"] - (n_runs - er) / math.sqrt(varr)) < 1e-12
         assert r["pattern"] == r_want
+
+
+def test_kaplan_meier_censoring_hand_case(spark, tmp_path):
+    """Three finished sessions (durations 10, 10, 30 min) and one
+    censored session (20 min, still active at the horizon): the
+    censored session must raise n_risk at t=10 without ever counting
+    as a death, and must NOT appear as a d-event row at t=20 — the
+    bias a naive duration histogram would introduce."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def sess(uid, start_min, dur_min):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=start_min), uid,
+                     "e", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=start_min + dur_min),
+                     uid, "e", 1.0, "{}")); eid += 1
+
+    # users separate so sessions never merge; gaps > 30 min between
+    sess(1, 0, 10)      # finished (horizon far away)
+    sess(2, 0, 10)      # finished
+    sess(3, 0, 30)      # finished
+    sess(4, 400, 20)    # last event at minute 420 == horizon -> censored
+    _write_events(spark, tmp_path, rows)
+    out = {r["duration_min"]: r
+           for r in Q.kaplan_meier_sessions(spark, str(tmp_path)).collect()}
+    # event times are 10 and 30 only; the censored 20 never produces a row
+    assert set(out) == {10, 30}
+    r10 = out[10]
+    assert (r10["n_risk"], r10["d_events"], r10["c_censored"]) == (4, 2, 0)
+    assert r10["km_survival"] == (4 - 2) / 4
+    r30 = out[30]
+    # at t=30: the two 10-min deaths left, the censored 20-min left too
+    assert (r30["n_risk"], r30["d_events"]) == (1, 1)
+    assert r30["km_survival"] == ((4 - 2) / 4) * ((1 - 1) / 1)
+    # KM lands at 0.0 only because the LAST at-risk session died; the
+    # censored one reduced n_risk from 2 to 1 between the steps
