@@ -199,6 +199,20 @@ BENCH_QUERIES = [
     "tier_reconstruction_error",
     "turning_points_test",
     "croston_forecast",
+    # round-4 wrap session: the exact statistical-test wave (rank,
+    # contingency, ECDF-integral, OLS-F, survival) + burstiness +
+    # template entropy (per-series quadratic, series are short)
+    "chi2_independence",
+    "mannwhitney_u",
+    "welch_t2_segments",
+    "pacf_lag2",
+    "sample_entropy_counts",
+    "dispersion_index",
+    "seasonal_mann_kendall",
+    "granger_lag1",
+    "cvm_drift",
+    "runs_test",
+    "kaplan_meier_sessions",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -4765,3 +4765,71 @@ SELECT dur AS duration_min, n_risk, d_events, c_censored,
        km AS km_survival
 FROM rec
 """
+
+ORACLES["qq_shift_profile"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+halves AS (
+  SELECT b.event_type,
+         CASE WHEN b.es <= s.mid THEN 'early' ELSE 'late' END AS half,
+         b.vq
+  FROM base b JOIN spans s USING (event_type)),
+cells AS (
+  SELECT event_type, half, vq, count(*)::BIGINT AS cnt
+  FROM halves GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT event_type, half, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, half ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, half)::BIGINT AS n
+  FROM cells),
+deciles AS (
+  SELECT r.event_type, r.half, d.decile, min(r.vq)::BIGINT AS v
+  FROM ranked r
+  JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks ON true
+  JOIN LATERAL (SELECT ks.k * 10 AS decile,
+                       (floor((r.n - 1) * ks.k / 10) + 1)::BIGINT AS mark) d
+    ON r.cum - r.cnt < d.mark AND d.mark <= r.cum
+  GROUP BY 1, 2, 3)
+SELECT event_type, decile::BIGINT AS decile,
+       max(CASE WHEN half = 'early' THEN v END)::BIGINT AS early_cq,
+       max(CASE WHEN half = 'late' THEN v END)::BIGINT AS late_cq,
+       (max(CASE WHEN half = 'late' THEN v END)
+        - max(CASE WHEN half = 'early' THEN v END))::BIGINT AS shift_cq
+FROM deciles GROUP BY 1, 2
+"""
+
+ORACLES["transition_latency_quantiles"] = """
+WITH hops AS (
+  SELECT lag(event_type) OVER w AS from_type,
+         event_type AS to_type,
+         ((epoch_ms(ts) // 1000)
+          - lag(epoch_ms(ts) // 1000) OVER w)::BIGINT AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cells AS (
+  SELECT from_type, to_type, gap_s, count(*)::BIGINT AS cnt
+  FROM hops WHERE from_type IS NOT NULL
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT from_type, to_type, gap_s, cnt,
+         sum(cnt) OVER (PARTITION BY from_type, to_type ORDER BY gap_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY from_type, to_type)::BIGINT AS n
+  FROM cells)
+SELECT from_type, to_type,
+       max(n)::BIGINT AS n_hops,
+       min(CASE WHEN cum - cnt < (floor((n - 1) * 0.5) + 1)::BIGINT
+                 AND (floor((n - 1) * 0.5) + 1)::BIGINT <= cum
+            THEN gap_s END)::BIGINT AS p50_gap_s,
+       min(CASE WHEN cum - cnt < (floor((n - 1) * 0.9) + 1)::BIGINT
+                 AND (floor((n - 1) * 0.9) + 1)::BIGINT <= cum
+            THEN gap_s END)::BIGINT AS p90_gap_s
+FROM ranked GROUP BY 1, 2
+"""

@@ -9367,3 +9367,160 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x,
         ).alias("km_survival"),
     )
+
+
+def qq_shift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift profile per event_type: the EXACT
+    deciles (q10..q90) of the early and late halves side by side, with
+    the per-decile displacement — mannwhitney_u / welch_t2_segments /
+    cvm_drift say WHETHER the distribution moved; this says WHERE
+    (tail-only drift, median shift, or a uniform translation).
+
+    EXACT cross-engine: both halves reduce to (type, value, cnt) cells
+    and each decile is the ORDER STATISTIC at mark = floor((n-1)*q)+1
+    recovered from cumulative counts (the percentiles_by_type device,
+    so the per-group sort runs over DISTINCT values, never rows);
+    values are centi-quantized BIGINTs, deltas are integer
+    subtractions.
+
+    Scale shape: midpoint broadcast, one hash aggregate to cells, one
+    window sort per (type, half) over the cell frame; the nine decile
+    picks ride ONE pivot aggregate, no per-decile join fan-out."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    halves = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        F.when(F.col("es") <= F.col("mid"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("half"),
+        "vq",
+    )
+    cells = halves.groupBy("event_type", "half", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type", "half")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type", "half")
+    ranked = cells.select(
+        "event_type",
+        "half",
+        "vq",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    deciles = None
+    for k in range(1, 10):
+        mark = (
+            F.floor((F.col("n") - 1) * F.lit(k) / 10) + 1
+        ).cast("long")
+        pick = (
+            ranked.where(
+                (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+            )
+            .groupBy("event_type", "half")
+            .agg(F.min("vq").alias("v"))
+            .select(
+                "event_type", "half", F.lit(k * 10).alias("decile"), "v"
+            )
+        )
+        deciles = pick if deciles is None else deciles.unionByName(pick)
+    wide = (
+        deciles.groupBy("event_type", "decile")
+        .pivot("half", ["early", "late"])
+        .agg(F.min("v"))
+    )
+    return wide.select(
+        "event_type",
+        F.col("decile").cast("long").alias("decile"),
+        F.col("early").cast("long").alias("early_cq"),
+        F.col("late").cast("long").alias("late_cq"),
+        (F.col("late") - F.col("early")).cast("long").alias("shift_cq"),
+    )
+
+
+def transition_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (from_type, to_type) TRANSITION response-latency quantiles:
+    exact p50/p90 of the gap seconds between consecutive events in
+    each user's timeline, grouped by the ordered type pair —
+    transition_matrix counts WHICH hand-offs happen; this measures HOW
+    LONG each hand-off takes (the role/tool response-latency readout
+    on a transcripts table).
+
+    EXACT cross-engine: gaps are integer seconds off ONE per-user
+    window sort; per pair the quantiles are order statistics at
+    mark = floor((n-1)*q)+1 recovered from cumulative counts over the
+    (pair, gap, cnt) cell frame — distinct gaps only ever sort.
+
+    Scale shape: one per-user window sort on the raw scan, a hash
+    aggregate to pair/gap cells, per-pair windows on the cell frame,
+    both quantile picks on ONE ranked frame (no join fan-out)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (
+        df.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            es.alias("es"),
+            F.lag("event_type").over(w).alias("from_type"),
+            F.lag(es).over(w).alias("prev_es"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .select(
+            "from_type",
+            F.col("event_type").alias("to_type"),
+            (F.col("es") - F.col("prev_es")).cast("long").alias("gap_s"),
+        )
+    )
+    cells = hops.groupBy("from_type", "to_type", "gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("from_type", "to_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("from_type", "to_type")
+    ranked = cells.select(
+        "from_type",
+        "to_type",
+        "gap_s",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    m50 = (F.floor((F.col("n") - 1) * F.lit(0.5)) + 1).cast("long")
+    m90 = (F.floor((F.col("n") - 1) * F.lit(0.9)) + 1).cast("long")
+    agg = ranked.groupBy("from_type", "to_type").agg(
+        F.max("n").alias("n_hops"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("cnt") < m50) & (m50 <= F.col("cum")),
+                F.col("gap_s"),
+            )
+        ).alias("p50_gap_s"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("cnt") < m90) & (m90 <= F.col("cum")),
+                F.col("gap_s"),
+            )
+        ).alias("p90_gap_s"),
+    )
+    return agg.select(
+        "from_type",
+        "to_type",
+        F.col("n_hops").cast("long").alias("n_hops"),
+        F.col("p50_gap_s").cast("long").alias("p50_gap_s"),
+        F.col("p90_gap_s").cast("long").alias("p90_gap_s"),
+    )

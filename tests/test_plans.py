@@ -1734,3 +1734,25 @@ def test_kaplan_meier_windows_ride_the_duration_grid(spark):
     assert ("BroadcastNestedLoopJoin" in plan
             or "BroadcastHashJoin" in plan)  # the 1-row horizon
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_qq_shift_sorts_cells_not_rows(spark):
+    """QQ drift profile: the raw table reduces to (type, half, value)
+    cells before any window sort; the nine decile picks must not
+    fan out into per-decile joins of the raw scan."""
+    plan = plan_of(Q.qq_shift_profile(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1  # midpoint frame
+    assert "partial_count" in plan
+
+
+def test_transition_latency_one_user_sort_one_cell_frame(spark):
+    """Transition latencies: ONE per-user window sort on the raw scan;
+    both quantile picks ride one ranked cell frame (no join at all)."""
+    plan = plan_of(Q.transition_latency_quantiles(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "partial_count" in plan

