@@ -213,6 +213,11 @@ BENCH_QUERIES = [
     "cvm_drift",
     "runs_test",
     "kaplan_meier_sessions",
+    "qq_shift_profile",
+    "transition_latency_quantiles",
+    "ljung_box_q",
+    "extremal_index",
+    "kpss_level_stat",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

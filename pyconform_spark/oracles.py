@@ -4833,3 +4833,138 @@ SELECT from_type, to_type,
             THEN gap_s END)::BIGINT AS p90_gap_s
 FROM ranked GROUP BY 1, 2
 """
+
+ORACLES["ljung_box_q"] = """
+WITH staged AS (
+  SELECT event_type,
+         floor(value * 10)::BIGINT AS x,
+         lead(floor(value * 10)::BIGINT, 1) OVER w AS x1,
+         lead(floor(value * 10)::BIGINT, 2) OVER w AS x2,
+         lead(floor(value * 10)::BIGINT, 3) OVER w AS x3,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS nn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS q,
+         sum(x * x1)::BIGINT AS l1, sum(x * x2)::BIGINT AS l2,
+         sum(x * x3)::BIGINT AS l3,
+         sum(CASE WHEN rn <= 1 THEN x ELSE 0 END)::BIGINT AS head1,
+         sum(CASE WHEN rn <= 2 THEN x ELSE 0 END)::BIGINT AS head2,
+         sum(CASE WHEN rn <= 3 THEN x ELSE 0 END)::BIGINT AS head3,
+         sum(CASE WHEN rn > nn - 1 THEN x ELSE 0 END)::BIGINT AS tail1,
+         sum(CASE WHEN rn > nn - 2 THEN x ELSE 0 END)::BIGINT AS tail2,
+         sum(CASE WHEN rn > nn - 3 THEN x ELSE 0 END)::BIGINT AS tail3
+  FROM staged GROUP BY 1),
+cov AS (
+  SELECT event_type, n,
+         (n::HUGEINT * n * q - n::HUGEINT * s * s) AS c0,
+         (n::HUGEINT * n * l1 - n::HUGEINT * s * ((s - tail1) + (s - head1))
+          + (n - 1)::HUGEINT * s * s) AS c1,
+         (n::HUGEINT * n * l2 - n::HUGEINT * s * ((s - tail2) + (s - head2))
+          + (n - 2)::HUGEINT * s * s) AS c2,
+         (n::HUGEINT * n * l3 - n::HUGEINT * s * ((s - tail3) + (s - head3))
+          + (n - 3)::HUGEINT * s * s) AS c3
+  FROM agg),
+r AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 8 AND c0 > 0 THEN c1::DOUBLE / c0::DOUBLE END AS r1,
+         CASE WHEN n >= 8 AND c0 > 0 THEN c2::DOUBLE / c0::DOUBLE END AS r2,
+         CASE WHEN n >= 8 AND c0 > 0 THEN c3::DOUBLE / c0::DOUBLE END AS r3
+  FROM cov)
+SELECT event_type, n, r1, r2, r3,
+       n::DOUBLE * (n::DOUBLE + 2.0)
+         * (r1 * r1 / (n::DOUBLE - 1.0)
+            + r2 * r2 / (n::DOUBLE - 2.0)
+            + r3 * r3 / (n::DOUBLE - 3.0)) AS lb_q,
+       CASE WHEN n::DOUBLE * (n::DOUBLE + 2.0)
+                 * (r1 * r1 / (n::DOUBLE - 1.0)
+                    + r2 * r2 / (n::DOUBLE - 2.0)
+                    + r3 * r3 / (n::DOUBLE - 3.0)) > 7.814727903251179
+            THEN 'autocorrelated'
+            WHEN r1 IS NOT NULL THEN 'white' END AS whiteness
+FROM r
+"""
+
+ORACLES["extremal_index"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id::BIGINT AS event_id,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+cells AS (
+  SELECT event_type, vq, count(*)::BIGINT AS cnt
+  FROM base GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM cells),
+thresh AS (
+  SELECT event_type, min(vq)::BIGINT AS u
+  FROM ranked
+  WHERE cum - cnt < (floor((n - 1) * 0.9) + 1)::BIGINT
+    AND (floor((n - 1) * 0.9) + 1)::BIGINT <= cum
+  GROUP BY 1),
+exc AS (
+  SELECT b.event_type, b.ts, b.event_id, b.es, t.u
+  FROM base b JOIN thresh t USING (event_type)
+  WHERE b.vq > t.u),
+flagged AS (
+  SELECT event_type, u,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_cluster
+  FROM exc
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type,
+         max(u)::BIGINT AS threshold_cq,
+         count(*)::BIGINT AS n_exceedances,
+         sum(new_cluster)::BIGINT AS n_clusters
+  FROM flagged GROUP BY 1)
+SELECT event_type, threshold_cq, n_exceedances, n_clusters,
+       n_clusters::DOUBLE / n_exceedances::DOUBLE AS theta,
+       n_exceedances::DOUBLE / n_clusters::DOUBLE AS mean_cluster_size,
+       CASE WHEN n_clusters * 2 < n_exceedances THEN 'clustered_extremes'
+            ELSE 'isolated_extremes' END AS regime
+FROM agg WHERE n_exceedances >= 2
+"""
+
+ORACLES["kpss_level_stat"] = """
+WITH staged AS (
+  SELECT event_type,
+         floor(value * 10)::BIGINT AS x,
+         sum(floor(value * 10)::BIGINT) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id)::BIGINT AS t,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+         sum(floor(value * 10)::BIGINT)
+           OVER (PARTITION BY event_type)::BIGINT AS s
+  FROM events),
+agg AS (
+  SELECT event_type,
+         max(n)::BIGINT AS n, max(s)::BIGINT AS s,
+         sum(x * x)::BIGINT AS q,
+         sum((n::HUGEINT * p - t::HUGEINT * s)
+             * (n::HUGEINT * p - t::HUGEINT * s)) AS num
+  FROM staged GROUP BY 1),
+alg AS (
+  SELECT event_type, n, num,
+         (n::HUGEINT * n * (n::HUGEINT * q - s::HUGEINT * s)) AS den
+  FROM agg)
+SELECT event_type, n,
+       CASE WHEN n >= 5 AND den > 0 THEN num::DOUBLE END AS kpss_num,
+       CASE WHEN n >= 5 AND den > 0 THEN den::DOUBLE END AS kpss_den,
+       CASE WHEN n >= 5 AND den > 0
+            THEN num::DOUBLE / den::DOUBLE END AS kpss_eta,
+       CASE WHEN n >= 5 AND den > 0
+            THEN CASE WHEN num::DOUBLE / den::DOUBLE > 0.463
+                      THEN 'nonstationary' ELSE 'level_stationary' END
+       END AS stationarity
+FROM alg
+"""

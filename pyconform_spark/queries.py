@@ -9524,3 +9524,248 @@ def transition_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50_gap_s").cast("long").alias("p50_gap_s"),
         F.col("p90_gap_s").cast("long").alias("p90_gap_s"),
     )
+
+
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per event_type at h=3 lags
+    (Ljung & Box 1978, public literature): is there ANY linear
+    autocorrelation left, jointly over lags 1..3?  The residual-
+    whiteness gate a forecaster runs after fitting — pacf_lag2 reads
+    individual lags; this is their joint test.
+
+    EXACT cross-engine: the mean-centered autocovariance numerators
+    Ck = n^2*Lk - n*S*(Pk + Tk) + (n-k)*S^2 are the pacf_lag2 integer
+    staging extended to k=1..3, carried in DECIMAL(38,0)/HUGEINT and
+    emitted as identically-rounded doubles; Q = n(n+2) * sum_k
+    rk^2/(n-k) is a FIXED three-term IEEE expression (never a float
+    aggregation), and the 'white'/'autocorrelated' label uses the
+    chi-square(3) 5% critical value 7.814727903251179 (documented
+    constant).
+
+    Scale shape: ONE per-series window sort serves all three leads,
+    the edge sums, and the positions; one hash aggregate to |types|
+    rows.  No join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    vq = F.floor(F.col("value") * 10).cast("long")
+    staged = df.select(
+        "event_type",
+        vq.alias("x"),
+        F.lead(vq, 1).over(wo).alias("x1"),
+        F.lead(vq, 2).over(wo).alias("x2"),
+        F.lead(vq, 3).over(wo).alias("x3"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("nn"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    ]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(F.col("x") * F.col(f"x{k}")).cast("long").alias(f"l{k}"),
+            F.sum(F.when(F.col("rn") <= k, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias(f"head{k}"),
+            F.sum(
+                F.when(F.col("rn") > F.col("nn") - k, F.col("x")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tail{k}"),
+        ]
+    agg = staged.groupBy("event_type").agg(*aggs)
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    s = F.col("s").cast(d38)
+    c0 = (n * n * F.col("q").cast(d38) - n * s * s).cast(d38)
+    rks = []
+    for k in (1, 2, 3):
+        pk = s - F.col(f"tail{k}").cast(d38)
+        tk = s - F.col(f"head{k}").cast(d38)
+        ck = (
+            n * n * F.col(f"l{k}").cast(d38)
+            - n * s * (pk + tk)
+            + (n - k) * s * s
+        ).cast(d38)
+        rks.append(ck.cast("double") / c0.cast("double"))
+    nd = F.col("n").cast("double")
+    qstat = (
+        nd
+        * (nd + F.lit(2.0))
+        * (
+            rks[0] * rks[0] / (nd - F.lit(1.0))
+            + rks[1] * rks[1] / (nd - F.lit(2.0))
+            + rks[2] * rks[2] / (nd - F.lit(3.0))
+        )
+    )
+    ok = (F.col("n") >= 8) & (c0 > 0)
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(ok, rks[0]).alias("r1"),
+        F.when(ok, rks[1]).alias("r2"),
+        F.when(ok, rks[2]).alias("r3"),
+        F.when(ok, qstat).alias("lb_q"),
+        F.when(
+            ok,
+            F.when(qstat > 7.814727903251179, F.lit("autocorrelated"))
+            .otherwise(F.lit("white")),
+        ).alias("whiteness"),
+    )
+
+
+def extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extremal index per event_type by the runs declustering method
+    (Leadbetter 1983 / Ferro-Segers lineage, public literature): do
+    extreme values arrive independently (theta ~= 1) or in CLUSTERS
+    (theta << 1: one storm, many exceedances — the difference between
+    'p99 breaches are isolated blips' and 'p99 breaches come in
+    bursts', which changes alerting policy entirely).
+
+    Threshold = the exact p90 order statistic of the quantized values
+    (the catalog's cumulative-count device — never an approximate
+    sketch); exceedances strictly above it; two exceedances belong to
+    one cluster when separated by <= 3600 s.  n_exceedances,
+    n_clusters and the max cluster run are BIGINTs; theta and the mean
+    cluster size are one division each.
+
+    Scale shape: one hash aggregate to value cells + per-type window
+    for the threshold; the |types|-row threshold frame broadcasts
+    back; ONE time-order window over the exceedance subset (filter
+    pushed under the window).  No raw self-join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type", "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        es.alias("es"), vq.alias("vq"),
+    )
+    cells = base.groupBy("event_type", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type", "vq", "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    mark = (F.floor((F.col("n") - 1) * F.lit(0.9)) + 1).cast("long")
+    thresh = (
+        ranked.where(
+            (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("vq").alias("u"))
+    )
+    exc = base.join(F.broadcast(thresh), "event_type").where(
+        F.col("vq") > F.col("u")
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = exc.select(
+        "event_type",
+        "u",
+        F.when(
+            F.lag("es").over(wt).isNull()
+            | (F.col("es") - F.lag("es").over(wt) > 3600),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_cluster"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.max("u").alias("threshold_cq"),
+        F.count(F.lit(1)).cast("long").alias("n_exceedances"),
+        F.sum("new_cluster").cast("long").alias("n_clusters"),
+    )
+    theta = (
+        F.col("n_clusters").cast("double")
+        / F.col("n_exceedances").cast("double")
+    )
+    return agg.filter(F.col("n_exceedances") >= 2).select(
+        "event_type",
+        "threshold_cq",
+        "n_exceedances",
+        "n_clusters",
+        theta.alias("theta"),
+        (
+            F.col("n_exceedances").cast("double")
+            / F.col("n_clusters").cast("double")
+        ).alias("mean_cluster_size"),
+        F.when(F.col("n_clusters") * 2 < F.col("n_exceedances"),
+               F.lit("clustered_extremes"))
+        .otherwise(F.lit("isolated_extremes"))
+        .alias("regime"),
+    )
+
+
+def kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic per event_type (Kwiatkowski,
+    Phillips, Schmidt & Shin 1992, public literature; short-run s^2(0)
+    variant): eta = n^-2 sum_t S_t^2 / s^2 where S_t are partial sums
+    of mean-centered values — LARGE eta rejects stationarity.  The
+    complement of the catalog's trend tests: MK/variance-ratio look
+    for trend; KPSS's null IS stationarity, so 'no trend found' and
+    'stationarity rejected' can disagree and the pair localizes why.
+
+    EXACT cross-engine: the scaled partial sums n*S_t = n*P_t - t*S
+    are BIGINTs off one prefix-sum window; sum_t (n*S_t)^2 accumulates
+    through DECIMAL(38,0)/HUGEINT, the denominator n^2*(n*Q - S^2) is
+    the same staging, and eta = num/den is ONE division of two
+    identically-rounded doubles.  The 'level_stationary' label uses
+    the published 5% critical value 0.463.
+
+    Scale shape: ONE per-series window sort (prefix sum + position);
+    totals ride an unordered partition window on the same frame; one
+    hash aggregate to |types| rows.  No join."""
+    df = _events(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    vq = F.floor(F.col("value") * 10).cast("long")
+    staged = df.select(
+        "event_type",
+        vq.alias("x"),
+        F.sum(vq).over(
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("p"),
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum(vq).over(wp).cast("long").alias("s"),
+    )
+    nst = (F.col("n") * F.col("p") - F.col("t") * F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    agg = staged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.sum(nst * nst).cast("decimal(38,0)").alias("num"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    den = (
+        n * n * (n * F.col("q").cast(d38) - F.col("s").cast(d38) * F.col("s").cast(d38))
+    ).cast(d38)
+    eta = F.col("num").cast("double") / den.cast("double")
+    ok = (F.col("n") >= 5) & (den > 0)
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(ok, F.col("num").cast("double")).alias("kpss_num"),
+        F.when(ok, den.cast("double")).alias("kpss_den"),
+        F.when(ok, eta).alias("kpss_eta"),
+        F.when(
+            ok,
+            F.when(eta > 0.463, F.lit("nonstationary"))
+            .otherwise(F.lit("level_stationary")),
+        ).alias("stationarity"),
+    )

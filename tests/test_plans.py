@@ -1756,3 +1756,34 @@ def test_transition_latency_one_user_sort_one_cell_frame(spark):
         assert node not in plan
     assert count_nodes(plan, "Scan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_ljung_box_single_window_sort(spark):
+    """Ljung-Box: all three leads + edge sums + positions on ONE
+    per-series window sort (the count/total windows are unordered and
+    must not add a second sort); no join."""
+    plan = plan_of(Q.ljung_box_q(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Sort") == 1
+
+
+def test_extremal_index_threshold_broadcasts(spark):
+    """Extremal index: the exact-p90 threshold frame (|types| rows)
+    broadcasts back onto the scan; the cluster window runs on the
+    exceedance SUBSET (filter under the window), never the full scan."""
+    plan = plan_of(Q.extremal_index(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kpss_single_window_sort_no_join(spark):
+    """KPSS: prefix sum + position on ONE per-series sort; totals on
+    unordered partition windows of the same frame; no join."""
+    plan = plan_of(Q.kpss_level_stat(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Sort") == 1

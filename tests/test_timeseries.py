@@ -1165,3 +1165,90 @@ def test_transition_latency_exact_order_statistics(spark, tmp_path):
     ba = got[("b", "a")]
     assert ba["n_hops"] == 4
     assert (ba["p50_gap_s"], ba["p90_gap_s"]) == (5, 5)
+
+
+def test_ljung_box_matches_numpy_and_flags_alternation(spark, tmp_path):
+    """An alternating series is maximally lag-1 autocorrelated
+    (negative r1) and must reject whiteness; lb_q matches a numpy
+    recompute of the same centered-ACF definition."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    xs = [5.0, 1.0] * 10
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(xs)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.ljung_box_q(spark, str(tmp_path)).collect()
+    q = np.array([int(v * 10) for v in xs], dtype=float)
+    n = len(q)
+    xb = q.mean()
+    c0 = ((q - xb) ** 2).sum()
+    rk = [((q[:-k] - xb) * (q[k:] - xb)).sum() / c0 for k in (1, 2, 3)]
+    want = n * (n + 2) * sum(rk[k - 1] ** 2 / (n - k) for k in (1, 2, 3))
+    assert abs(r["lb_q"] - want) < 1e-9 * want
+    assert r["r1"] < -0.9
+    assert r["whiteness"] == "autocorrelated"
+
+
+def test_extremal_index_counts_clusters_not_exceedances(spark, tmp_path):
+    """Six exceedances arriving as two tight bursts (gaps <= 1h inside,
+    > 1h between) give n_clusters=2, theta=1/3, mean size 3 — the
+    'storms, not blips' regime."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # 54 quiet samples at value 10 spread hourly (p90 threshold -> 10)
+    for i in range(54):
+        rows.append((eid, t0 + dt.timedelta(hours=i, minutes=30), 1, "m",
+                     10.0, "{}")); eid += 1
+    # burst 1: 3 exceedances within 10 minutes (day 3)
+    for k in range(3):
+        rows.append((eid, t0 + dt.timedelta(days=3, minutes=5 * k), 1, "m",
+                     99.0, "{}")); eid += 1
+    # burst 2: 3 exceedances within 10 minutes (day 10)
+    for k in range(3):
+        rows.append((eid, t0 + dt.timedelta(days=10, minutes=5 * k), 1, "m",
+                     99.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.extremal_index(spark, str(tmp_path)).collect()
+    assert r["threshold_cq"] == 1000  # p90 of 54x10.0 + 6x99.0
+    assert (r["n_exceedances"], r["n_clusters"]) == (6, 2)
+    assert r["theta"] == 2 / 6
+    assert r["mean_cluster_size"] == 3.0
+    assert r["regime"] == "clustered_extremes"
+
+
+def test_kpss_separates_level_from_trend(spark, tmp_path):
+    """A bounded oscillation around a level is stationary; a strong
+    linear trend rejects; eta matches a numpy recompute of
+    n^-2 sum S_t^2 / s^2 with s^2 = sum(x - xbar)^2 / n, i.e.
+    sum S_t^2 / (n * sum (x - xbar)^2)."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    level = [10.0 + (i % 4) for i in range(40)]
+    trend = [float(i) for i in range(40)]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "lvl", v, "{}")
+        for i, v in enumerate(level)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "trd", v, "{}")
+        for i, v in enumerate(trend)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in Q.kpss_level_stat(spark, str(tmp_path)).collect()}
+
+    def eta(xs):
+        q = np.array([int(v * 10) for v in xs], dtype=float)
+        n = len(q)
+        s_t = np.cumsum(q - q.mean())
+        return (s_t ** 2).sum() / (n * ((q - q.mean()) ** 2).sum())
+
+    for key, xs in (("lvl", level), ("trd", trend)):
+        want = eta(xs)
+        assert abs(got[key]["kpss_eta"] - want) < 1e-12, key
+    assert got["lvl"]["stationarity"] == "level_stationary"
+    assert got["trd"]["stationarity"] == "nonstationary"
