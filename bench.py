@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "ljung_box_q",
     "extremal_index",
     "kpss_level_stat",
+    "dominant_period_folding",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

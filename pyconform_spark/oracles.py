@@ -4968,3 +4968,70 @@ SELECT event_type, n,
        END AS stationarity
 FROM alg
 """
+
+ORACLES["dominant_period_folding"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 10)::BIGINT AS x
+  FROM events),
+folded AS (
+  SELECT event_type, p.period_s, x,
+         ((es % p.period_s) * 8 // p.period_s)::BIGINT AS bin
+  FROM base
+  CROSS JOIN (SELECT unnest([21600, 43200, 86400, 604800]) AS period_s) p),
+cells AS (
+  SELECT event_type, period_s, bin,
+         count(*)::BIGINT AS c, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS q
+  FROM folded GROUP BY 1, 2, 3),
+tot AS (
+  SELECT event_type, period_s, bin, c, s,
+         sum(c) OVER w::BIGINT AS n,
+         sum(s) OVER w::BIGINT AS st,
+         sum(q) OVER w::BIGINT AS qt
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type, period_s)),
+terms AS (
+  SELECT event_type, period_s, max(n)::BIGINT AS n,
+         max(st)::BIGINT AS st, max(qt)::BIGINT AS qt,
+         coalesce(max(CASE WHEN bin = 0 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b0,
+         coalesce(max(CASE WHEN bin = 1 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b1,
+         coalesce(max(CASE WHEN bin = 2 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b2,
+         coalesce(max(CASE WHEN bin = 3 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b3,
+         coalesce(max(CASE WHEN bin = 4 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b4,
+         coalesce(max(CASE WHEN bin = 5 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b5,
+         coalesce(max(CASE WHEN bin = 6 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b6,
+         coalesce(max(CASE WHEN bin = 7 THEN
+           (n * s - st * c)::DOUBLE * (n * s - st * c)::DOUBLE / c::DOUBLE
+         END), 0.0) AS b7
+  FROM tot GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, period_s, n,
+         (b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7)
+           / (n::DOUBLE * (n::DOUBLE * qt::DOUBLE - st::DOUBLE * st::DOUBLE))
+           AS fold_r
+  FROM terms
+  WHERE n >= 16 AND n * qt - st * st > 0),
+ranked AS (
+  SELECT event_type, period_s, n, fold_r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY fold_r DESC, period_s ASC) AS rk
+  FROM scored)
+SELECT event_type, period_s::BIGINT AS dominant_period_s, n, fold_r
+FROM ranked WHERE rk = 1
+"""

@@ -1787,3 +1787,16 @@ def test_kpss_single_window_sort_no_join(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Sort") == 1
+
+
+def test_folding_explodes_literals_no_join(spark):
+    """Epoch folding: the 4 candidate periods come from an exploded
+    literal array (a Generate node), never a join; raw scanned once;
+    the argmax window runs on the |types| x 4 scored frame."""
+    plan = plan_of(Q.dominant_period_folding(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Generate") == 1
+    assert "partial_count" in plan

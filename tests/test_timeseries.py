@@ -1252,3 +1252,23 @@ def test_kpss_separates_level_from_trend(spark, tmp_path):
         assert abs(got[key]["kpss_eta"] - want) < 1e-12, key
     assert got["lvl"]["stationarity"] == "level_stationary"
     assert got["trd"]["stationarity"] == "nonstationary"
+
+
+def test_folding_finds_planted_daily_period(spark, tmp_path):
+    """A signal that is high for 3 hours every 24 hours: folding at
+    86400 s concentrates the mass in one phase bin (R near 1), folds
+    at 6h/12h/7d smear it — the detector must return 86400."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(14):
+        for hour in range(24):
+            v = 90.0 if hour < 3 else 10.0
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, hours=hour), 1, "m",
+                 v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.dominant_period_folding(spark, str(tmp_path)).collect()
+    assert r["dominant_period_s"] == 86400
+    assert r["fold_r"] > 0.9
