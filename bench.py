@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "extremal_index",
     "kpss_level_stat",
     "dominant_period_folding",
+    "conformal_interval",
+    "trimmed_mean",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

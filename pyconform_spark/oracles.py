@@ -5035,3 +5035,87 @@ ranked AS (
 SELECT event_type, period_s::BIGINT AS dominant_period_s, n, fold_r
 FROM ranked WHERE rk = 1
 """
+
+ORACLES["conformal_interval"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         ((epoch_ms(ts) // 1000) % 86400 // 3600)::BIGINT AS hod,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+tagged AS (
+  SELECT b.event_type, b.hod, b.vq, (b.es <= s.mid) AS is_cal
+  FROM base b JOIN spans s USING (event_type)),
+cal_cells AS (
+  SELECT event_type, hod, vq, count(*)::BIGINT AS cnt
+  FROM tagged WHERE is_cal GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT event_type, hod, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, hod)::BIGINT AS n
+  FROM cal_cells),
+med AS (
+  SELECT event_type, hod, min(vq)::BIGINT AS med
+  FROM ranked
+  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+  GROUP BY 1, 2),
+resid AS (
+  SELECT t.event_type, t.is_cal, abs(t.vq - m.med)::BIGINT AS r
+  FROM tagged t JOIN med m ON t.event_type = m.event_type
+                          AND t.hod = m.hod),
+rcells AS (
+  SELECT event_type, r, count(*)::BIGINT AS cnt
+  FROM resid WHERE is_cal GROUP BY 1, 2),
+rranked AS (
+  SELECT event_type, r, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY r
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n_cal
+  FROM rcells),
+qhat AS (
+  SELECT event_type, min(r)::BIGINT AS qhat_cq, max(n_cal)::BIGINT AS n_cal
+  FROM rranked
+  WHERE cum - cnt < least(n_cal, (9 * (n_cal + 1) + 9) // 10)
+    AND least(n_cal, (9 * (n_cal + 1) + 9) // 10) <= cum
+  GROUP BY 1),
+test AS (
+  SELECT re.event_type, q.n_cal, q.qhat_cq, re.r
+  FROM resid re JOIN qhat q USING (event_type)
+  WHERE NOT re.is_cal)
+SELECT event_type,
+       max(n_cal)::BIGINT AS n_cal,
+       max(qhat_cq)::BIGINT AS qhat_cq,
+       count(*)::BIGINT AS n_test,
+       sum(CASE WHEN r <= qhat_cq THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       sum(CASE WHEN r <= qhat_cq THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS coverage
+FROM test GROUP BY 1 HAVING count(*) >= 1
+"""
+
+ORACLES["trimmed_mean"] = """
+WITH cells AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM cells),
+kept AS (
+  SELECT event_type, n, vq,
+         greatest(0, least(cum, n - n // 10)
+                     - greatest(cum - cnt, n // 10))::BIGINT AS k
+  FROM ranked)
+SELECT event_type,
+       max(n)::BIGINT AS n,
+       sum(k)::BIGINT AS n_kept,
+       sum(k * vq)::BIGINT AS kept_sum_cq,
+       sum(k * vq)::DOUBLE / sum(k)::DOUBLE / 100.0 AS trimmed_mean
+FROM kept GROUP BY 1 HAVING sum(k) >= 1
+"""

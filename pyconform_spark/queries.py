@@ -9868,3 +9868,179 @@ def dominant_period_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold_r",
         )
     )
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval per event_type (Vovk et al.;
+    the distribution-free calibration device, public literature): fit
+    a point forecaster on the EARLY half (here the exact per
+    hour-of-day LOWER MEDIAN — an order statistic, so the whole
+    construction stays integer), take q_hat = the ceil(0.9*(n+1))-th
+    smallest calibration residual, and AUDIT the promised 90% coverage
+    on the LATE half.  The guarantee is distribution-free; the audit
+    row is what a monitoring pipeline actually alerts on.
+
+    EXACT cross-engine: medians and q_hat are order statistics
+    recovered from cumulative counts (never interpolated); residuals
+    are integer |vq - med|; the conformal mark ceil(9(n+1)/10) is the
+    pure-integer (9*(n+1)+9) div 10; coverage is ONE division of two
+    BIGINTs.  Late-half hours never seen in calibration are dropped
+    (no forecast exists — documented).
+
+    Scale shape: two hash aggregates to cell frames, per-(type,hour)
+    and per-type windows on cells only, the |types| x 24 median frame
+    broadcasts back.  Raw scanned twice (median fit + residual scoring
+    — the documented two-scan shape; production persists the tiny
+    median frame)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        es.alias("es"),
+        ((es % 86400) / 3600).cast("long").alias("hod"),
+        vq.alias("vq"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    tagged = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "hod",
+        "vq",
+        (F.col("es") <= F.col("mid")).alias("is_cal"),
+    )
+    cal_cells = (
+        tagged.where(F.col("is_cal"))
+        .groupBy("event_type", "hod", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type", "hod")
+    ranked = cal_cells.select(
+        "event_type", "hod", "vq", "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    medmark = F.floor((F.col("n") + 1) / 2).cast("long")
+    med = (
+        ranked.where(
+            (F.col("cum") - F.col("cnt") < medmark)
+            & (medmark <= F.col("cum"))
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.min("vq").alias("med"))
+    )
+    resid = tagged.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_type",
+        "is_cal",
+        F.abs(F.col("vq") - F.col("med")).cast("long").alias("r"),
+    )
+    rcells = (
+        resid.where(F.col("is_cal"))
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wrc = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wrt = Window.partitionBy("event_type")
+    rranked = rcells.select(
+        "event_type", "r", "cnt",
+        F.sum("cnt").over(wrc).cast("long").alias("cum"),
+        F.sum("cnt").over(wrt).cast("long").alias("n_cal"),
+    )
+    cmark = F.least(
+        F.col("n_cal"),
+        F.floor((9 * (F.col("n_cal") + 1) + 9) / 10).cast("long"),
+    )
+    qhat = (
+        rranked.where(
+            (F.col("cum") - F.col("cnt") < cmark) & (cmark <= F.col("cum"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("r").alias("qhat_cq"), F.max("n_cal").alias("n_cal"))
+    )
+    test = resid.where(~F.col("is_cal")).join(
+        F.broadcast(qhat), "event_type"
+    )
+    agg = test.groupBy("event_type").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max("qhat_cq").cast("long").alias("qhat_cq"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.col("qhat_cq"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    )
+    return agg.filter(F.col("n_test") >= 1).select(
+        "event_type",
+        "n_cal",
+        "qhat_cq",
+        "n_test",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean per event_type: drop the bottom and top
+    floor(n/10) ranks and average the middle — the robust location
+    estimate between the median (too coarse for SLO math) and the mean
+    (one hot conversation drags it).
+
+    EXACT cross-engine: on the (type, value, cnt) cell frame with
+    cumulative counts, each value's kept multiplicity is the interval
+    overlap  max(0, min(cum, hi) - max(cum - cnt, lo))  — pure BIGINT
+    arithmetic identical to ranking every row; the trimmed sum and
+    kept count are BIGINTs and the mean is one division.
+
+    Scale shape: one hash aggregate to distinct-value cells, one
+    per-type window over cells, one final aggregate.  The full sort
+    only ever touches distinct values (the percentiles_by_type
+    device)."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    cells = df.select("event_type", vq.alias("vq")).groupBy(
+        "event_type", "vq"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type", "vq", "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10).cast("long")
+    hi = (F.col("n") - lo).cast("long")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("cnt"), lo),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept * F.col("vq")).cast("long").alias("kept_sum_cq"),
+    )
+    return agg.filter(F.col("n_kept") >= 1).select(
+        "event_type",
+        "n",
+        "n_kept",
+        "kept_sum_cq",
+        (
+            F.col("kept_sum_cq").cast("double")
+            / F.col("n_kept").cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )

@@ -1800,3 +1800,24 @@ def test_folding_explodes_literals_no_join(spark):
         assert node not in plan
     assert count_nodes(plan, "Generate") == 1
     assert "partial_count" in plan
+
+
+def test_conformal_windows_on_cells_medians_broadcast(spark):
+    """Split conformal: every window runs on a cell frame; the
+    |types|x24 median frame, the |types|-row q_hat frame and the
+    midpoint frame all broadcast — no shuffled join anywhere."""
+    plan = plan_of(Q.conformal_interval(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 3
+    assert "partial_count" in plan
+
+
+def test_trimmed_mean_sorts_distinct_values_only(spark):
+    """Trimmed mean: one hash aggregate to distinct-value cells, one
+    per-type window, no join — the percentiles_by_type shape."""
+    plan = plan_of(Q.trimmed_mean(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1

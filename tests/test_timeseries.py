@@ -1272,3 +1272,54 @@ def test_folding_finds_planted_daily_period(spark, tmp_path):
     [r] = Q.dominant_period_folding(spark, str(tmp_path)).collect()
     assert r["dominant_period_s"] == 86400
     assert r["fold_r"] > 0.9
+
+
+def test_trimmed_mean_drops_exact_rank_bands(spark, tmp_path):
+    """20 samples: ranks 1-2 and 19-20 drop (floor(20/10)=2 each side);
+    a huge outlier in the top band must not move the estimate, and the
+    kept multiplicity arithmetic must split a value group that
+    STRADDLES the trim boundary."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # three 1.0s straddle the lower cut (ranks 1-3: keep only rank 3);
+    # 15 samples of 10.0; outliers 500 and 900 at the top
+    vals = [1.0, 1.0, 1.0] + [10.0] * 15 + [500.0, 900.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.trimmed_mean(spark, str(tmp_path)).collect()
+    assert (r["n"], r["n_kept"]) == (20, 16)
+    # kept: one 1.0 (rank 3) + fifteen 10.0 (ranks 4-18) = 100+15000 cq
+    assert r["kept_sum_cq"] == 100 + 15 * 1000
+    assert r["trimmed_mean"] == (100 + 15000) / 16 / 100.0
+    # the outliers moved the plain mean by ~65; the trimmed mean sits
+    # within the bulk's range
+    assert 9.0 < r["trimmed_mean"] < 10.0
+
+
+def test_conformal_q_covers_calibration_promise(spark, tmp_path):
+    """Hand case: hour-0 values oscillate +-2 around a level in BOTH
+    halves -> residuals vs the hour median are <= 200 cq; q_hat at 90%
+    must cover all test points (coverage 1.0).  A late-half hour never
+    seen in calibration is dropped, not scored against a bogus
+    forecast."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # calibration days 0-4 and test days 10-14, hour 0 only
+    for day in list(range(5)) + list(range(10, 15)):
+        v = 10.0 + (2.0 if day % 2 else -2.0)
+        rows.append((eid, t0 + dt.timedelta(days=day), 1, "m", v, "{}"))
+        eid += 1
+    # hour 23 appears ONLY in the late half: must be dropped
+    rows.append((eid, t0 + dt.timedelta(days=12, hours=23), 1, "m",
+                 999.0, "{}"))
+    eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.conformal_interval(spark, str(tmp_path)).collect()
+    assert r["n_cal"] == 5
+    # residuals vs the hour-0 calibration median: 0 or 400 cq
+    assert r["qhat_cq"] == 400
+    assert r["n_test"] == 5  # the hour-23 point was dropped
+    assert r["coverage"] == 1.0
