@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "dominant_period_folding",
     "conformal_interval",
     "trimmed_mean",
+    # latest-session additions: shape diagnostics + resampling inference
+    "jarque_bera_normality",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -5119,3 +5119,40 @@ SELECT event_type,
        sum(k * vq)::DOUBLE / sum(k)::DOUBLE / 100.0 AS trimmed_mean
 FROM kept GROUP BY 1 HAVING sum(k) >= 1
 """
+
+ORACLES["jarque_bera_normality"] = """
+WITH base AS (
+  SELECT event_type, floor(value * 10)::BIGINT AS vq
+  FROM events),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(vq)::BIGINT AS s1,
+         sum(vq * vq)::BIGINT AS s2,
+         sum((vq * vq * vq)::HUGEINT)::HUGEINT AS s3,
+         sum((vq * vq * vq * vq)::HUGEINT)::HUGEINT AS s4
+  FROM base GROUP BY 1),
+staged AS (
+  SELECT event_type, n,
+         (n::HUGEINT * s2 - s1::HUGEINT * s1) AS m2,
+         (n::HUGEINT * n * s3 - 3 * n::HUGEINT * s1 * s2
+            + 2 * s1::HUGEINT * s1 * s1) AS m3,
+         (n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
+            + 6 * n::HUGEINT * s1 * s1 * s2
+            - 3 * s1::HUGEINT * s1 * s1 * s1) AS m4
+  FROM agg
+  WHERE n >= 8 AND (n::HUGEINT * s2 - s1::HUGEINT * s1) > 0)
+SELECT event_type, n,
+       m3::DOUBLE * m3::DOUBLE / (m2::DOUBLE * m2::DOUBLE * m2::DOUBLE)
+         AS skew_g1sq,
+       m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) AS kurtosis_g2,
+       n::DOUBLE * (
+         m3::DOUBLE * m3::DOUBLE / (m2::DOUBLE * m2::DOUBLE * m2::DOUBLE) / 6.0
+         + (m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0)
+           * (m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0) / 24.0
+       ) AS jb_stat,
+       CASE WHEN m3 > 0 THEN 'right_skew'
+            WHEN m3 < 0 THEN 'left_skew'
+            ELSE 'symmetric' END AS skew_dir
+FROM staged
+"""

@@ -10044,3 +10044,78 @@ def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("trimmed_mean"),
     )
+
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality diagnostic per event_type (Jarque & Bera
+    1980, public literature): skewness^2 and excess kurtosis from the
+    first four raw power sums, combined as
+    JB = n*(g1^2/6 + (g2-3)^2/24).  The catalog's drift tests (KS,
+    CvM, TVD) compare two windows; this one scores a single series'
+    SHAPE against the Gaussian baseline an alert threshold assumes.
+
+    EXACT cross-engine: deci-quantized values keep per-row x^4 under
+    2^63; the four power sums and the central-moment identities
+      M2 = n*s2 - s1^2
+      M3 = n^2*s3 - 3n*s1*s2 + 2*s1^3
+      M4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4
+    are staged through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+    welch_t2 device; M4's n^3*s4 stays under 1e37 to ~2e5 rows/series
+    (documented bound).  g1^2 = M3^2/M2^3 and g2 = M4/M2^2 are
+    FIXED-SHAPE double expressions of the exactly-agreed integers, so
+    both engines round identically.
+
+    Scale shape: ONE scan, ONE hash aggregate with map-side partials;
+    the moment algebra runs on the |types|-row frame.  No window, no
+    join, no shuffle beyond the aggregate."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 10).cast("long")
+    v = F.col("vq")
+    d38 = "decimal(38,0)"
+    agg = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("s1"),
+            F.sum(v * v).cast("long").alias("s2"),
+            F.sum((v * v * v).cast(d38)).cast(d38).alias("s3"),
+            F.sum((v * v * v * v).cast(d38)).cast(d38).alias("s4"),
+        )
+    )
+    n = F.col("n").cast(d38)
+    s1 = F.col("s1").cast(d38)
+    s2 = F.col("s2").cast(d38)
+    s3, s4 = F.col("s3"), F.col("s4")
+    m2 = (n * s2 - s1 * s1).cast(d38)
+    m3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).cast(d38)
+    m4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ).cast(d38)
+    staged = agg.select(
+        "event_type",
+        "n",
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    ).where((F.col("n") >= 8) & (m2 > 0))
+    m2d = F.col("m2").cast("double")
+    m3d = F.col("m3").cast("double")
+    m4d = F.col("m4").cast("double")
+    nd = F.col("n").cast("double")
+    g1sq = m3d * m3d / (m2d * m2d * m2d)
+    g2 = m4d / (m2d * m2d)
+    jb = nd * (g1sq / F.lit(6.0) + (g2 - F.lit(3.0)) * (g2 - F.lit(3.0)) / F.lit(24.0))
+    return staged.select(
+        "event_type",
+        "n",
+        g1sq.alias("skew_g1sq"),
+        g2.alias("kurtosis_g2"),
+        jb.alias("jb_stat"),
+        F.when(F.col("m3") > 0, F.lit("right_skew"))
+        .when(F.col("m3") < 0, F.lit("left_skew"))
+        .otherwise(F.lit("symmetric"))
+        .alias("skew_dir"),
+    )

@@ -1821,3 +1821,16 @@ def test_trimmed_mean_sorts_distinct_values_only(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_jarque_bera_one_scan_one_aggregate(spark):
+    """Jarque-Bera: one raw scan into one hash aggregate with map-side
+    partials; the moment algebra is a projection on the |types|-row
+    frame — no window, no join, no extra shuffle."""
+    plan = plan_of(Q.jarque_bera_normality(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin", "Window"):
+        assert node not in plan
+    assert "partial_sum" in plan
+    assert count_nodes(plan, "Exchange") == 1

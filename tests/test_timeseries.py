@@ -1323,3 +1323,53 @@ def test_conformal_q_covers_calibration_promise(spark, tmp_path):
     assert r["qhat_cq"] == 400
     assert r["n_test"] == 5  # the hour-23 point was dropped
     assert r["coverage"] == 1.0
+
+
+def test_jarque_bera_matches_independent_recompute(spark, tmp_path):
+    """Two planted shapes: a symmetric two-point series (M3 = 0,
+    g2 = 1 exactly) and a right-skewed one; both pinned against an
+    independent exact-integer recompute of the moment identities."""
+    from fractions import Fraction
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sym = [10.0, 20.0] * 8                      # two-point symmetric
+    skw = [10.0] * 12 + [100.0] * 4             # right-skewed
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "sym", v, "{}")
+        for i, v in enumerate(sym)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "skw", v, "{}")
+        for i, v in enumerate(skw)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           Q.jarque_bera_normality(spark, str(tmp_path)).collect()}
+
+    def expect(vals):
+        x = [int(v * 10) for v in vals]
+        n, s1 = len(x), sum(x)
+        s2 = sum(v * v for v in x)
+        s3 = sum(v ** 3 for v in x)
+        s4 = sum(v ** 4 for v in x)
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        g1sq = float(m3) * float(m3) / (float(m2) * float(m2) * float(m2))
+        g2 = float(m4) / (float(m2) * float(m2))
+        jb = float(n) * (g1sq / 6.0 + (g2 - 3.0) * (g2 - 3.0) / 24.0)
+        return g1sq, g2, jb, m3, Fraction(m4, m2 * m2)
+
+    g1sq, g2, jb, m3, g2_exact = expect(sym)
+    r = out["sym"]
+    assert m3 == 0 and r["skew_g1sq"] == 0.0 and r["skew_dir"] == "symmetric"
+    assert g2_exact == 1  # two-point distribution: kurtosis exactly 1
+    assert r["kurtosis_g2"] == g2 == 1.0
+    assert r["jb_stat"] == jb
+
+    g1sq, g2, jb, m3, _ = expect(skw)
+    r = out["skw"]
+    assert m3 > 0 and r["skew_dir"] == "right_skew"
+    assert r["skew_g1sq"] == g1sq
+    assert r["kurtosis_g2"] == g2
+    assert r["jb_stat"] == jb
