@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "trimmed_mean",
     # latest-session additions: shape diagnostics + resampling inference
     "jarque_bera_normality",
+    "bootstrap_ci_mean",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

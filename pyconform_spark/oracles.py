@@ -5156,3 +5156,55 @@ SELECT event_type, n,
             ELSE 'symmetric' END AS skew_dir
 FROM staged
 """
+
+ORACLES["bootstrap_ci_mean"] = """
+WITH base AS (
+  SELECT event_type, event_id::BIGINT AS eid,
+         floor(value * 10)::BIGINT AS vq
+  FROM events),
+rep AS (
+  SELECT event_type, eid, vq, b.b
+  FROM base
+  CROSS JOIN (SELECT unnest(range(64)) AS b) b),
+weighted AS (
+  SELECT event_type, b, vq,
+         CASE
+           WHEN r < 367879 THEN 0
+           WHEN r < 735759 THEN 1
+           WHEN r < 919699 THEN 2
+           WHEN r < 981012 THEN 3
+           WHEN r < 996340 THEN 4
+           WHEN r < 999406 THEN 5
+           ELSE 6
+         END::BIGINT AS m
+  FROM (SELECT *,
+          (md5_number_lower('boot:' || eid::VARCHAR || ':' || b::VARCHAR)
+             % 1000000)::BIGINT AS r
+        FROM rep)),
+cells AS (
+  SELECT event_type, b,
+         sum(m)::BIGINT AS rn,
+         sum(m * vq)::BIGINT AS rs,
+         count(*)::BIGINT AS n,
+         sum(vq)::BIGINT AS s
+  FROM weighted GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, b, n, s,
+         rs::DOUBLE / rn::DOUBLE AS mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY rs::DOUBLE / rn::DOUBLE, b) AS rk
+  FROM cells WHERE rn > 0),
+agg AS (
+  SELECT event_type,
+         max(n)::BIGINT AS n, max(s)::BIGINT AS s,
+         max(CASE WHEN rk = 2 THEN mean_b END) AS lo_dq,
+         max(CASE WHEN rk = 63 THEN mean_b END) AS hi_dq,
+         count(*)::BIGINT AS b_used
+  FROM ranked GROUP BY 1)
+SELECT event_type, n,
+       s::DOUBLE / n::DOUBLE / 10.0 AS mean_value,
+       lo_dq / 10.0 AS ci95_lo,
+       hi_dq / 10.0 AS ci95_hi,
+       b_used
+FROM agg WHERE n >= 30
+"""

@@ -10119,3 +10119,96 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("symmetric"))
         .alias("skew_dir"),
     )
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-type MEAN
+    via the DETERMINISTIC Poisson bootstrap (Chamandy et al. 2012 /
+    Kleiner et al., public literature — the resampling scheme built
+    for distributed engines: each row's multiplicity in resample b is
+    an independent Poisson(1) draw, so no global sampling pass exists).
+    Randomness is the catalog's md5 device: row multiplicity in
+    resample b is a CASE over md5_number_lower('boot:'||id||':'||b) %
+    1e6 against the exact cumulative-Poisson thresholds (367879,
+    735759, 919699, 981012, 996340, 999406, else 6) — bit-identical in
+    both engines, reproducible across runs and cluster sizes.
+
+    EXACT cross-engine: resample sums/counts are BIGINTs; each
+    resample mean is ONE double division; the 95% CI is the
+    (2, 63) ORDER STATISTICS of the B=64 resample means (percentile
+    bootstrap, ceil(0.025*64)/ceil(0.975*64)), ranked by
+    (mean, b) — a deterministic total order.  The full-sample n and
+    sum fall out of the same aggregate (every row appears in all 64
+    replicate lanes exactly once).
+
+    Scale shape: the 64-way replicate fan-out is an exploded LITERAL
+    array (a Generate node — no join) and collapses map-side into
+    (type, b) partial aggregates, so the shuffle carries |types| x 64
+    cells regardless of corpus size; the CI rank window runs on that
+    cell frame.  One scan, zero Python."""
+    B = 64
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 10).cast("long")
+    rep = df.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("eid"),
+        vq.alias("vq"),
+    ).select(
+        "event_type",
+        "eid",
+        "vq",
+        F.explode(F.array(*[F.lit(b) for b in range(B)])).alias("b"),
+    )
+    from pyconform_spark.textops import md5_lower64
+
+    r = (
+        md5_lower64(
+            F.concat(
+                F.lit("boot:"),
+                F.col("eid").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % F.lit(1000000)
+    ).cast("long")
+    m = (
+        F.when(r < 367879, 0)
+        .when(r < 735759, 1)
+        .when(r < 919699, 2)
+        .when(r < 981012, 3)
+        .when(r < 996340, 4)
+        .when(r < 999406, 5)
+        .otherwise(6)
+        .cast("long")
+    )
+    cells = rep.groupBy("event_type", "b").agg(
+        F.sum(m).cast("long").alias("rn"),
+        F.sum(m * F.col("vq")).cast("long").alias("rs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("s"),
+    )
+    mean_b = F.col("rs").cast("double") / F.col("rn").cast("double")
+    ranked = cells.where(F.col("rn") > 0).select(
+        "event_type", "b", "n", "s", mean_b.alias("mean_b")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("mean_b", "b")
+        ),
+    )
+    out = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("s"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("lo_dq"),
+        F.max(F.when(F.col("rk") == 63, F.col("mean_b"))).alias("hi_dq"),
+        F.count(F.lit(1)).cast("long").alias("b_used"),
+    )
+    return out.where(F.col("n") >= 30).select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double") / F.lit(10.0)
+         ).alias("mean_value"),
+        (F.col("lo_dq") / F.lit(10.0)).alias("ci95_lo"),
+        (F.col("hi_dq") / F.lit(10.0)).alias("ci95_hi"),
+        "b_used",
+    )

@@ -1373,3 +1373,42 @@ def test_jarque_bera_matches_independent_recompute(spark, tmp_path):
     assert r["skew_g1sq"] == g1sq
     assert r["kurtosis_g2"] == g2
     assert r["jb_stat"] == jb
+
+
+def test_bootstrap_ci_matches_independent_python_resampler(spark, tmp_path):
+    """The deterministic Poisson bootstrap replayed independently in
+    pure Python (hashlib md5, little-endian lower-64, same thresholds)
+    must produce the identical CI; the interval must bracket the
+    sample mean."""
+    import hashlib
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [float(10 + (i * 7) % 50) for i in range(200)]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "boot", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.bootstrap_ci_mean(spark, str(tmp_path)).collect()
+
+    def mult(eid, b):
+        h = hashlib.md5(f"boot:{eid}:{b}".encode()).digest()
+        u = int.from_bytes(h[8:16], "little") % 1000000
+        for k, t in enumerate((367879, 735759, 919699, 981012, 996340, 999406)):
+            if u < t:
+                return k
+        return 6
+
+    x = [int(v * 10) for v in vals]
+    means = []
+    for b in range(64):
+        ws = [mult(i, b) for i in range(len(x))]
+        rn, rs = sum(ws), sum(w * v for w, v in zip(ws, x))
+        if rn > 0:
+            means.append((rs / rn, b))
+    means.sort()
+    lo, hi = means[1][0] / 10.0, means[62][0] / 10.0
+    assert r["b_used"] == 64
+    assert r["ci95_lo"] == lo and r["ci95_hi"] == hi
+    assert r["mean_value"] == sum(x) / len(x) / 10.0
+    assert r["ci95_lo"] <= r["mean_value"] <= r["ci95_hi"]
