@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     # latest-session additions: shape diagnostics + resampling inference
     "jarque_bera_normality",
     "bootstrap_ci_mean",
+    "newey_west_lrv",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -5208,3 +5208,43 @@ SELECT event_type, n,
        b_used
 FROM agg WHERE n >= 30
 """
+
+ORACLES["newey_west_lrv"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::HUGEINT AS vq,
+         lag(floor(value * 100)::HUGEINT, 1) OVER w AS l1,
+         lag(floor(value * 100)::HUGEINT, 2) OVER w AS l2,
+         lag(floor(value * 100)::HUGEINT, 3) OVER w AS l3,
+         lag(floor(value * 100)::HUGEINT, 4) OVER w AS l4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, event_type,
+         count(*)::HUGEINT AS n,
+         sum(vq) AS s, sum(vq * vq) AS q,
+         sum(vq * l1) AS sxy1,
+         sum(CASE WHEN l1 IS NOT NULL THEN vq END) AS sx1, sum(l1) AS sy1,
+         sum(vq * l2) AS sxy2,
+         sum(CASE WHEN l2 IS NOT NULL THEN vq END) AS sx2, sum(l2) AS sy2,
+         sum(vq * l3) AS sxy3,
+         sum(CASE WHEN l3 IS NOT NULL THEN vq END) AS sx3, sum(l3) AS sy3,
+         sum(vq * l4) AS sxy4,
+         sum(CASE WHEN l4 IS NOT NULL THEN vq END) AS sx4, sum(l4) AS sy4
+  FROM base GROUP BY 1, 2),
+staged AS (
+  SELECT user_id, event_type, n,
+         (n*n*q - n*s*s) AS g0,
+         (n*n*sxy1 - n*s*(sx1+sy1) + (n-1)*s*s) AS g1,
+         (n*n*sxy2 - n*s*(sx2+sy2) + (n-2)*s*s) AS g2,
+         (n*n*sxy3 - n*s*(sx3+sy3) + (n-3)*s*s) AS g3,
+         (n*n*sxy4 - n*s*(sx4+sy4) + (n-4)*s*s) AS g4
+  FROM g)
+SELECT user_id, event_type, n::BIGINT AS n_obs,
+       (5*g0 + 8*g1 + 6*g2 + 4*g3 + 2*g4)::DOUBLE
+         / (5*n*n*n)::DOUBLE AS lrv_cq2,
+       (5*g0 + 8*g1 + 6*g2 + 4*g3 + 2*g4)::DOUBLE
+         / (5*g0)::DOUBLE AS hac_inflation
+FROM staged
+WHERE n >= 12 AND g0 > 0
+"""

@@ -10212,3 +10212,74 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi_dq") / F.lit(10.0)).alias("ci95_hi"),
         "b_used",
     )
+
+def newey_west_lrv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West long-run variance per (user, type) series (Newey &
+    West 1987, public literature): the HAC estimator
+    LRV = g0 + 2*sum_k (1 - k/(L+1)) * g_k with Bartlett weights and
+    L = 4 — the variance of the MEAN when samples autocorrelate, i.e.
+    the correction the iid devices (bootstrap_ci_mean, welch_t2)
+    silently assume away on a time series.  hac_inflation = LRV/g0 is
+    the alert-threshold multiplier a monitoring pipeline applies.
+
+    EXACT cross-engine: each autocovariance's integer core
+    G_k = n^2*sxy_k - n*S*(sx_k+sy_k) + (n-k)*S^2 (the acf_lags
+    staging) combines with the L=4 Bartlett weights (4/5, 3/5, 2/5,
+    1/5) as the INTEGER sum 5*G0 + 8*G1 + 6*G2 + 4*G3 + 2*G4; LRV is
+    that over 5*n^3, hac_inflation over 5*G0 — ONE double division
+    each, staged DECIMAL(38,0) (Spark) / HUGEINT (DuckDB).
+
+    Scale shape: ONE (series, ts) window sort produces all four lag
+    columns, then one map-side-combinable hash aggregate; the weight
+    algebra runs on the |series|-row frame.  Output never exceeds
+    |series| rows."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    lags = (1, 2, 3, 4)
+    staged = df.select(
+        *EKEYS,
+        vq.alias("vq"),
+        *[F.lag(vq, k).over(w).alias(f"l{k}") for k in lags],
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(dec("vq")).alias("s"),
+        F.sum(dec("vq") * dec("vq")).alias("q"),
+    ]
+    for k in lags:
+        aggs += [
+            F.sum(dec("vq") * dec(f"l{k}")).alias(f"sxy{k}"),
+            F.sum(
+                F.when(F.col(f"l{k}").isNotNull(), dec("vq"))
+            ).alias(f"sx{k}"),
+            F.sum(dec(f"l{k}")).alias(f"sy{k}"),
+        ]
+    g = staged.groupBy(*EKEYS).agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    g0 = n * n * q - n * s * s
+    gk = {
+        k: (
+            n * n * F.col(f"sxy{k}")
+            - n * s * (F.col(f"sx{k}") + F.col(f"sy{k}"))
+            + (n - F.lit(k).cast("decimal(20,0)")) * s * s
+        )
+        for k in lags
+    }
+    core = (
+        5 * g0 + 8 * gk[1] + 6 * gk[2] + 4 * gk[3] + 2 * gk[4]
+    ).cast("decimal(38,0)")
+    lrv = core.cast("double") / (
+        (5 * n * n * n).cast("decimal(38,0)").cast("double")
+    )
+    infl = core.cast("double") / (5 * g0).cast("decimal(38,0)").cast("double")
+    return (
+        g.where((n >= 12) & (g0 > 0))
+        .select(
+            *EKEYS,
+            n.cast("long").alias("n_obs"),
+            lrv.alias("lrv_cq2"),
+            infl.alias("hac_inflation"),
+        )
+    )

@@ -1848,3 +1848,17 @@ def test_bootstrap_fanout_is_literal_generate_no_join(spark):
         assert node not in plan
     assert count_nodes(plan, "Generate") == 1
     assert "partial_sum" in plan
+
+
+def test_newey_west_single_window_sort_one_aggregate(spark):
+    """Newey-West: all four lag columns ride ONE (series, ts) window
+    sort; one hash aggregate with map-side partials; no join; the
+    Bartlett algebra is a projection on the |series|-row frame."""
+    plan = plan_of(Q.newey_west_lrv(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "partial_count" in plan

@@ -1412,3 +1412,48 @@ def test_bootstrap_ci_matches_independent_python_resampler(spark, tmp_path):
     assert r["ci95_lo"] == lo and r["ci95_hi"] == hi
     assert r["mean_value"] == sum(x) / len(x) / 10.0
     assert r["ci95_lo"] <= r["mean_value"] <= r["ci95_hi"]
+
+
+def test_newey_west_inflates_for_positive_autocorrelation(spark, tmp_path):
+    """An AR(+)-like alternating-block series inflates LRV above g0/n^3
+    scaling; an alternating series deflates it.  Both pinned against
+    an independent exact-integer recompute of the Bartlett combination."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # strong positive autocorrelation: 8-long blocks
+    pos = ([10.0] * 8 + [30.0] * 8) * 4
+    # strong negative autocorrelation: alternating
+    neg = [10.0, 30.0] * 32
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "pos", v, "{}")
+        for i, v in enumerate(pos)
+    ] + [
+        (1000 + i, t0 + dt.timedelta(minutes=i), 2, "neg", v, "{}")
+        for i, v in enumerate(neg)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           Q.newey_west_lrv(spark, str(tmp_path)).collect()}
+
+    def expect(vals):
+        x = [int(v * 100) for v in vals]
+        n, s = len(x), sum(x)
+        q = sum(v * v for v in x)
+        g = {0: n * n * q - n * s * s}
+        for k in (1, 2, 3, 4):
+            sxy = sum(x[i] * x[i - k] for i in range(k, n))
+            sx = sum(x[k:])
+            sy = sum(x[: n - k])
+            g[k] = n * n * sxy - n * s * (sx + sy) + (n - k) * s * s
+        core = 5 * g[0] + 8 * g[1] + 6 * g[2] + 4 * g[3] + 2 * g[4]
+        return (float(core) / float(5 * n ** 3),
+                float(core) / float(5 * g[0]))
+
+    lrv, infl = expect(pos)
+    assert out["pos"]["lrv_cq2"] == lrv
+    assert out["pos"]["hac_inflation"] == infl
+    assert infl > 2.0  # positive autocorrelation inflates the LRV
+
+    lrv, infl = expect(neg)
+    assert out["neg"]["lrv_cq2"] == lrv
+    assert out["neg"]["hac_inflation"] == infl
+    assert infl < 0.5  # alternation deflates it
