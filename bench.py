@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "jarque_bera_normality",
     "bootstrap_ci_mean",
     "newey_west_lrv",
+    "cusumsq_variance_change",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -5248,3 +5248,31 @@ SELECT user_id, event_type, n::BIGINT AS n_obs,
 FROM staged
 WHERE n >= 12 AND g0 > 0
 """
+
+ORACLES["cusumsq_variance_change"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         floor(value * 10)::BIGINT * floor(value * 10)::BIGINT AS sq
+  FROM events),
+staged AS (
+  SELECT event_type, ts,
+         row_number() OVER wo AS k,
+         sum(sq) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS ck,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+         sum(sq) OVER (PARTITION BY event_type)::BIGINT AS cn
+  FROM base
+  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id)),
+scored AS (
+  SELECT event_type, ts, k, n, cn,
+         abs(n * ck - k * cn)::BIGINT AS d
+  FROM staged WHERE n >= 16 AND cn > 0),
+ranked AS (
+  SELECT event_type, ts, k, n, cn, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d DESC, k ASC) AS rk
+  FROM scored)
+SELECT event_type, n, k AS split_k, ts AS split_ts,
+       d::DOUBLE / (n::DOUBLE * cn::DOUBLE) AS cusumsq_stat
+FROM ranked WHERE rk = 1
+"""

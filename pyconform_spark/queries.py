@@ -10283,3 +10283,58 @@ def newey_west_lrv(spark: SparkSession, sf_dir: str) -> DataFrame:
             infl.alias("hac_inflation"),
         )
     )
+
+def cusumsq_variance_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-SQUARES variance-changepoint locator per event_type
+    (Brown, Durbin & Evans 1975, public literature): the catalog's
+    cusum_changepoints finds MEAN shifts; this one finds the point
+    where the VARIANCE regime changes — the statistic
+    D_k = |n*C_k - k*C_n| / (n*C_n) with C the running sum of squared
+    deci-quantized values peaks where the cumulative energy share
+    departs the k/n diagonal.
+
+    EXACT cross-engine: C is an integer running sum of vq^2
+    (deci-quantization keeps n*C_k under 2^63 to ~2e5 rows/series —
+    documented bound); the argmax ranks the pure-integer D by
+    (D desc, k asc); the normalized statistic is ONE double division.
+
+    Scale shape: one per-type window sort carries the running sum AND
+    the position; totals ride unordered partition windows of the same
+    frame; the argmax is a WindowGroupLimit (rank-1 per type) — no
+    join, no global sort, raw scanned once."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 10).cast("long")
+    base = df.select(
+        "event_type", "ts", "event_id", (vq * vq).alias("sq")
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    staged = base.select(
+        "event_type",
+        "ts",
+        F.row_number().over(wo).alias("k"),
+        F.sum("sq").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ck"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("sq").over(wp).cast("long").alias("cn"),
+    )
+    d = F.abs(F.col("n") * F.col("ck") - F.col("k") * F.col("cn")).cast("long")
+    scored = staged.where((F.col("n") >= 16) & (F.col("cn") > 0)).select(
+        "event_type", "ts", "k", "n", "cn", d.alias("d")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("k"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("split_k"),
+            F.col("ts").alias("split_ts"),
+            (
+                F.col("d").cast("double")
+                / (F.col("n").cast("double") * F.col("cn").cast("double"))
+            ).alias("cusumsq_stat"),
+        )
+    )

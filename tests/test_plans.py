@@ -1862,3 +1862,15 @@ def test_newey_west_single_window_sort_one_aggregate(spark):
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Window") == 1
     assert "partial_count" in plan
+
+
+def test_cusumsq_one_sort_grouplimit_argmax(spark):
+    """CUSUM-of-squares: running sum + position share one per-type
+    sort; totals are unordered partition windows of the same frame;
+    the argmax is a WindowGroupLimit — no join, one scan."""
+    plan = plan_of(Q.cusumsq_variance_change(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "WindowGroupLimit") >= 1

@@ -1457,3 +1457,32 @@ def test_newey_west_inflates_for_positive_autocorrelation(spark, tmp_path):
     assert out["neg"]["lrv_cq2"] == lrv
     assert out["neg"]["hac_inflation"] == infl
     assert infl < 0.5  # alternation deflates it
+
+
+def test_cusumsq_locates_planted_variance_shift(spark, tmp_path):
+    """Constant mean, variance jumps 4x at the midpoint: the
+    cusum-of-squares argmax must land on the regime boundary even
+    though the MEAN never shifts (cusum_changepoints' blind spot)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # mean 50 throughout; amplitude 1 then amplitude 40
+    quiet = [50.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(24)]
+    loud = [50.0 + (40.0 if i % 2 == 0 else -40.0) for i in range(24)]
+    vals = quiet + loud
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "var", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.cusumsq_variance_change(spark, str(tmp_path)).collect()
+
+    # independent integer recompute
+    sq = [int(v * 10) ** 2 for v in vals]
+    n, cn = len(sq), sum(sq)
+    ck, best = 0, None
+    for k, s in enumerate(sq, start=1):
+        ck += s
+        d = abs(n * ck - k * cn)
+        if best is None or d > best[0]:
+            best = (d, k)
+    assert r["split_k"] == best[1] == 24  # the last quiet sample
+    assert r["cusumsq_stat"] == best[0] / (n * cn)
