@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "bootstrap_ci_mean",
     "newey_west_lrv",
     "cusumsq_variance_change",
+    "kruskal_wallis_contrib",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -5276,3 +5276,42 @@ SELECT event_type, n, k AS split_k, ts AS split_ts,
        d::DOUBLE / (n::DOUBLE * cn::DOUBLE) AS cusumsq_stat
 FROM ranked WHERE rk = 1
 """
+
+ORACLES["kruskal_wallis_contrib"] = """
+WITH base AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq
+  FROM events),
+cells AS (
+  SELECT vq, event_type, count(*)::BIGINT AS cnt
+  FROM base GROUP BY 1, 2),
+enriched AS (
+  SELECT vq, event_type, cnt,
+         sum(cnt) OVER (PARTITION BY vq)::BIGINT AS cnt_v,
+         coalesce(sum(cnt) OVER (ORDER BY vq
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS cum_below
+  FROM cells),
+per_type AS (
+  SELECT event_type,
+         sum(cnt)::BIGINT AS n_i,
+         sum(cnt * (2 * cum_below + cnt_v + 1))::BIGINT AS dr_i
+  FROM enriched GROUP BY 1),
+ties AS (
+  SELECT sum(c * c * c - c)::BIGINT AS ties_t,
+         sum(c)::BIGINT AS n_total
+  FROM (SELECT vq, max(cnt_v)::BIGINT AS c FROM enriched GROUP BY 1)),
+joined AS (
+  SELECT p.*, t.ties_t, t.n_total FROM per_type p CROSS JOIN ties t),
+alg AS (
+  SELECT event_type, n_i, dr_i, n_total, ties_t,
+         (3::HUGEINT * dr_i * dr_i) AS num,
+         (n_i::HUGEINT * n_total * (n_total + 1)) AS den,
+         (n_total::HUGEINT * n_total * n_total - n_total) AS ncube
+  FROM joined)
+SELECT event_type, n_i, dr_i, n_total, ties_t,
+       dr_i::DOUBLE / n_i::DOUBLE AS mean_rank2,
+       num::DOUBLE / den::DOUBLE AS h_contrib,
+       (num * ncube)::DOUBLE / (den * (ncube - ties_t))::DOUBLE AS h_corr
+FROM alg
+WHERE n_total >= 8 AND den * (ncube - ties_t) > 0
+"""

@@ -10338,3 +10338,85 @@ def cusumsq_variance_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusumsq_stat"),
         )
     )
+
+def kruskal_wallis_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-sample rank test across ALL event types at
+    once (Kruskal & Wallis 1952, public literature) — mannwhitney_u
+    compares two windows of one series; this asks "do the k types
+    draw from the same distribution at all?".  Emitted per type so
+    every number stays a single exact division:
+
+        h_contrib  = 3*DR_i^2 / (n_i*N*(N+1))
+        h_corr     = h_contrib * (N^3-N) / (N^3-N-T)   (tie-corrected)
+
+    with DR_i the type's sum of DOUBLED tie-averaged global ranks
+    (the mannwhitney device: dr(v) = 2*cum_below + cnt_v + 1, all
+    integers) and T = sum(t^3 - t) over tie groups.  The consumer
+    folds the k rows: H = sum_i h_contrib - 3*(N+1), and the
+    tie-corrected H' = sum_i h_corr - 3*(N+1)*(N^3-N)/(N^3-N-T) —
+    the query itself never aggregates floats.
+
+    EXACT cross-engine: ranks, DR_i, N, T are integers (DR^2 staged
+    DECIMAL(38,0)/HUGEINT); each output is one double division of
+    exactly-agreed integers.
+
+    Scale shape: one hash aggregate to (value, type) cells; the
+    global cumulative-below window is unpartitioned but runs on the
+    DISTINCT-VALUE cell frame only (the percentiles_by_type device);
+    two 1-row global frames broadcast back.  Raw scanned once."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    cells = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("vq", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wv = Window.partitionBy("vq")
+    wcum = Window.orderBy("vq").rangeBetween(Window.unboundedPreceding, -1)
+    enriched = cells.select(
+        "vq",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(wv).cast("long").alias("cnt_v"),
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("cum_below"),
+    )
+    dr_v = 2 * F.col("cum_below") + F.col("cnt_v") + 1
+    per_type = enriched.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_i"),
+        F.sum(F.col("cnt") * dr_v).cast("long").alias("dr_i"),
+    )
+    ties = (
+        enriched.groupBy("vq")
+        .agg(F.max("cnt_v").cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("long")
+            .alias("ties_t"),
+            F.sum("c").cast("long").alias("n_total"),
+        )
+    )
+    joined = per_type.crossJoin(F.broadcast(ties))
+    d38 = "decimal(38,0)"
+    dr = F.col("dr_i").cast(d38)
+    ni = F.col("n_i").cast(d38)
+    nn = F.col("n_total").cast(d38)
+    t = F.col("ties_t").cast(d38)
+    num = (3 * dr * dr).cast(d38)
+    den = (ni * nn * (nn + 1)).cast(d38)
+    ncube = (nn * nn * nn - nn).cast(d38)
+    num_c = (3 * dr * dr * ncube).cast(d38)
+    den_c = (ni * nn * (nn + 1) * (ncube - t)).cast(d38)
+    return joined.where((F.col("n_total") >= 8) & (den_c > 0)).select(
+        "event_type",
+        "n_i",
+        "dr_i",
+        "n_total",
+        "ties_t",
+        (F.col("dr_i").cast("double") / F.col("n_i").cast("double")).alias(
+            "mean_rank2"
+        ),
+        (num.cast("double") / den.cast("double")).alias("h_contrib"),
+        (num_c.cast("double") / den_c.cast("double")).alias("h_corr"),
+    )

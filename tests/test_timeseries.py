@@ -1486,3 +1486,59 @@ def test_cusumsq_locates_planted_variance_shift(spark, tmp_path):
             best = (d, k)
     assert r["split_k"] == best[1] == 24  # the last quiet sample
     assert r["cusumsq_stat"] == best[0] / (n * cn)
+
+
+def test_kruskal_wallis_folds_to_textbook_h(spark, tmp_path):
+    """Three planted groups with ties; folding the per-type rows must
+    reproduce the textbook tie-corrected H computed independently in
+    pure Python (rank averages via sorting, no shared staging)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    groups = {
+        "a": [1.0, 2.0, 2.0, 3.0, 7.0],
+        "b": [2.0, 4.0, 5.0, 5.0, 9.0],
+        "c": [6.0, 7.0, 8.0, 9.0, 9.0],
+    }
+    rows, i = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1, g, v, "{}"))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           Q.kruskal_wallis_contrib(spark, str(tmp_path)).collect()}
+
+    # independent recompute: classic average ranks over the pooled sample
+    pooled = sorted(
+        (v, g) for g, vals in groups.items() for v in vals
+    )
+    n_total = len(pooled)
+    ranks = {}
+    j = 0
+    while j < n_total:
+        k = j
+        while k < n_total and pooled[k][0] == pooled[j][0]:
+            k += 1
+        avg = (j + 1 + k) / 2.0  # average of ranks j+1..k
+        for idx in range(j, k):
+            ranks.setdefault(pooled[idx][1], []).append(avg)
+        j = k
+    h = 0.0
+    for g, rs in ranks.items():
+        h += (sum(rs) ** 2) / len(rs)
+    h = 12.0 / (n_total * (n_total + 1)) * h - 3 * (n_total + 1)
+    # tie correction
+    from collections import Counter
+    tie_t = sum(t ** 3 - t for t in Counter(v for v, _ in pooled).values())
+    h_corr = h / (1 - tie_t / (n_total ** 3 - n_total))
+
+    # fold the query's rows
+    fold_h = sum(r["h_contrib"] for r in out.values()) - 3 * (n_total + 1)
+    ncube = n_total ** 3 - n_total
+    fold_hc = (sum(r["h_corr"] for r in out.values())
+               - 3 * (n_total + 1) * ncube / (ncube - tie_t))
+    assert abs(fold_h - h) < 1e-9
+    assert abs(fold_hc - h_corr) < 1e-9
+    # per-type mean doubled rank == 2 * classic mean rank
+    for g, rs in ranks.items():
+        assert out[g]["mean_rank2"] == 2 * sum(rs) / len(rs)
+        assert out[g]["ties_t"] == tie_t
