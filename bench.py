@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "newey_west_lrv",
     "cusumsq_variance_change",
     "kruskal_wallis_contrib",
+    "tile_stability_lumpiness",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -5315,3 +5315,37 @@ SELECT event_type, n_i, dr_i, n_total, ties_t,
 FROM alg
 WHERE n_total >= 8 AND den * (ncube - ties_t) > 0
 """
+
+ORACLES["tile_stability_lumpiness"] = """
+WITH base AS (
+  SELECT event_type,
+         floor(value * 10)::BIGINT AS vq,
+         ((row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) - 1) // 24)::BIGINT
+           AS tile
+  FROM events),
+tiles AS (
+  SELECT event_type, tile,
+         count(*)::BIGINT AS cnt,
+         sum(vq)::BIGINT AS s,
+         sum(vq * vq)::BIGINT AS q
+  FROM base GROUP BY 1, 2
+  HAVING count(*) = 24),
+agg AS (
+  SELECT event_type,
+         count(*)::HUGEINT AS k,
+         sum(s)::HUGEINT AS ss,
+         sum(s::HUGEINT * s)::HUGEINT AS ss2,
+         sum(24 * q - s * s)::HUGEINT AS su,
+         sum((24 * q - s * s)::HUGEINT * (24 * q - s * s))::HUGEINT AS su2
+  FROM tiles GROUP BY 1)
+SELECT event_type, k::BIGINT AS k,
+       -- ::VARCHAR::DOUBLE: DuckDB's direct int128->double conversion
+       -- double-rounds past 2^53 (1-ulp off); the string path is
+       -- correctly rounded and matches Spark's BigDecimal.doubleValue
+       (k * ss2 - ss * ss)::VARCHAR::DOUBLE
+         / (k * k * 576)::VARCHAR::DOUBLE AS stability_dq2,
+       (k * su2 - su * su)::VARCHAR::DOUBLE
+         / (k * k * 576 * 576)::VARCHAR::DOUBLE AS lumpiness_dq4
+FROM agg WHERE k >= 4
+"""

@@ -10420,3 +10420,69 @@ def kruskal_wallis_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den.cast("double")).alias("h_contrib"),
         (num_c.cast("double") / den_c.cast("double")).alias("h_corr"),
     )
+
+def tile_stability_lumpiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tsfeatures stability/lumpiness pair per event_type (Hyndman
+    et al.'s ts feature set, public literature): cut each series into
+    fixed-count tiles of 24 consecutive samples, then
+    stability = Var(tile means) and lumpiness = Var(tile variances) —
+    the two features a forecasting router uses to pick between a
+    stable-level model and a regime-switching one.
+
+    EXACT cross-engine: with a FIXED tile size m = 24 every tile mean
+    is S_t/24 and every tile variance is (24*Q_t - S_t^2)/576, so the
+    cross-tile population variances clear denominators exactly:
+
+      stability*K^2*576  = K*sum(S_t^2)  - (sum S_t)^2
+      lumpiness*K^2*576^2 = K*sum(u_t^2) - (sum u_t)^2,
+                            u_t = 24*Q_t - S_t^2
+
+    — integers staged DECIMAL(38,0)/HUGEINT; each feature is ONE
+    double division.  The ragged tail tile (< 24 samples) is dropped
+    (documented, matching the fixed-denominator contract).
+
+    Scale shape: one per-type window sort assigns tile ids
+    (row_number div 24), one hash aggregate to the tile frame, one
+    aggregate to |types| rows.  No join; raw scanned once."""
+    m = 24
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 10).cast("long")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = df.select(
+        "event_type",
+        vq.alias("vq"),
+        ((F.row_number().over(wo) - 1) / m).cast("long").alias("tile"),
+    )
+    tiles = (
+        staged.groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("vq").cast("long").alias("s"),
+            F.sum(F.col("vq") * F.col("vq")).cast("long").alias("q"),
+        )
+        .where(F.col("cnt") == m)
+    )
+    u = (m * F.col("q") - F.col("s") * F.col("s")).cast("long")
+    d38 = "decimal(38,0)"
+    agg = tiles.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast(d38).alias("ss"),
+        F.sum(F.col("s").cast(d38) * F.col("s").cast(d38)).cast(d38).alias("ss2"),
+        F.sum(u).cast(d38).alias("su"),
+        F.sum(u.cast(d38) * u.cast(d38)).cast(d38).alias("su2"),
+    )
+    k = F.col("k").cast(d38)
+    stab_num = (k * F.col("ss2") - F.col("ss") * F.col("ss")).cast(d38)
+    lump_num = (k * F.col("su2") - F.col("su") * F.col("su")).cast(d38)
+    stab_den = (k * k * F.lit(m * m).cast(d38)).cast(d38)
+    lump_den = (k * k * F.lit(m * m).cast(d38) * F.lit(m * m).cast(d38)).cast(d38)
+    return agg.where(F.col("k") >= 4).select(
+        "event_type",
+        "k",
+        (stab_num.cast("double") / stab_den.cast("double")).alias(
+            "stability_dq2"
+        ),
+        (lump_num.cast("double") / lump_den.cast("double")).alias(
+            "lumpiness_dq4"
+        ),
+    )

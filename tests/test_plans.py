@@ -1891,3 +1891,15 @@ def test_kruskal_wallis_cum_window_on_cells_only(spark):
     win_pos = plan.find("Window")
     assert 0 <= agg_pos  # exists
     assert win_pos > 0
+
+
+def test_tile_features_one_sort_two_aggregates(spark):
+    """Tile stability/lumpiness: one per-type sort assigns tile ids,
+    then two hash aggregates (tiles, types) — no join, one scan."""
+    plan = plan_of(Q.tile_stability_lumpiness(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 1

@@ -1542,3 +1542,50 @@ def test_kruskal_wallis_folds_to_textbook_h(spark, tmp_path):
     for g, rs in ranks.items():
         assert out[g]["mean_rank2"] == 2 * sum(rs) / len(rs)
         assert out[g]["ties_t"] == tie_t
+
+
+def test_tile_features_separate_stable_from_lumpy(spark, tmp_path):
+    """Two planted regimes over 96 samples (4 full tiles of 24):
+    'stable' has identical tiles (stability 0, lumpiness 0); 'lumpy'
+    alternates quiet/loud tiles with equal tile means (stability 0,
+    lumpiness > 0).  Pinned against an independent exact recompute."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    stable = [50.0, 52.0, 48.0, 50.0] * 24          # same 24-pattern per tile
+    quiet = [50.0 + (0.5 if i % 2 == 0 else -0.5) for i in range(24)]
+    loud = [50.0 + (20.0 if i % 2 == 0 else -20.0) for i in range(24)]
+    lumpy = quiet + loud + quiet + loud
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "stable", v, "{}")
+        for i, v in enumerate(stable)
+    ] + [
+        (500 + i, t0 + dt.timedelta(minutes=i), 1, "lumpy", v, "{}")
+        for i, v in enumerate(lumpy)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           Q.tile_stability_lumpiness(spark, str(tmp_path)).collect()}
+
+    def expect(vals):
+        x = [int(v * 10) for v in vals]
+        tiles = [x[i:i + 24] for i in range(0, len(x), 24)]
+        tiles = [t for t in tiles if len(t) == 24]
+        kk = len(tiles)
+        ss = [sum(t) for t in tiles]
+        us = [24 * sum(v * v for v in t) - sum(t) ** 2 for t in tiles]
+        stab = float(kk * sum(s * s for s in ss) - sum(ss) ** 2) / float(
+            kk * kk * 576)
+        lump = float(kk * sum(u * u for u in us) - sum(us) ** 2) / float(
+            kk * kk * 576 * 576)
+        return kk, stab, lump
+
+    kk, stab, lump = expect(stable)
+    r = out["stable"]
+    assert r["k"] == kk == 4
+    assert r["stability_dq2"] == stab == 0.0
+    assert r["lumpiness_dq4"] == lump == 0.0
+
+    kk, stab, lump = expect(lumpy)
+    r = out["lumpy"]
+    assert r["k"] == kk == 4
+    assert r["stability_dq2"] == stab == 0.0   # tile means all equal
+    assert r["lumpiness_dq4"] == lump > 0.0    # tile variances alternate
