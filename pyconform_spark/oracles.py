@@ -5349,3 +5349,54 @@ SELECT event_type, k::BIGINT AS k,
          / (k * k * 576 * 576)::VARCHAR::DOUBLE AS lumpiness_dq4
 FROM agg WHERE k >= 4
 """
+
+ORACLES["siegel_tukey_scale"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+ranked AS (
+  SELECT b.event_type,
+         (b.es <= s.mid) AS early,
+         row_number() OVER (PARTITION BY b.event_type
+                            ORDER BY b.vq, b.es, b.event_id)::BIGINT AS r,
+         count(*) OVER (PARTITION BY b.event_type)::BIGINT AS n
+  FROM base b JOIN spans s USING (event_type)),
+scored AS (
+  SELECT event_type, early, n,
+         CASE WHEN r <= n + 1 - r
+              THEN CASE WHEN r % 2 = 1 THEN 2 * r - 1 ELSE 2 * r END
+              ELSE CASE WHEN (n + 1 - r) % 2 = 1 THEN 2 * (n + 1 - r)
+                        ELSE 2 * (n + 1 - r) - 1 END
+         END::BIGINT AS score
+  FROM ranked),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         sum(CASE WHEN early THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN early THEN score ELSE 0 END)::BIGINT AS m_score
+  FROM scored GROUP BY 1),
+alg AS (
+  SELECT event_type, n, n1, (n - n1)::BIGINT AS n2, m_score,
+         (n::HUGEINT * (n + 1) // 2) AS t1,
+         (n::HUGEINT * (n + 1) * (2 * n + 1) // 6) AS t2
+  FROM agg),
+fin AS (
+  SELECT event_type, n, n1, n2, m_score,
+         (n::HUGEINT * m_score - n1::HUGEINT * t1) AS dev,
+         (n::HUGEINT * t2 - t1 * t1) AS spread
+  FROM alg)
+SELECT event_type, n, n1, m_score,
+       (dev * dev * (n - 1))::VARCHAR::DOUBLE
+         / (n1::HUGEINT * n2 * spread)::VARCHAR::DOUBLE AS st_z2,
+       CASE WHEN dev < 0 THEN 'early_more_spread'
+            WHEN dev > 0 THEN 'late_more_spread'
+            ELSE 'no_scale_shift' END AS spread_shift
+FROM fin
+WHERE n >= 8 AND n1 >= 2 AND n2 >= 2
+  AND (n1::HUGEINT * n2 * spread) > 0
+"""

@@ -10486,3 +10486,83 @@ def tile_stability_lumpiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lumpiness_dq4"
         ),
     )
+
+def siegel_tukey_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey rank test for SCALE drift per event_type between
+    the early and late halves (Siegel & Tukey 1960, public
+    literature): mannwhitney_u catches a location shift, welch_t2 a
+    mean shift — this one alarms when the late half gets WIDER or
+    TIGHTER around the same level.  Observations are ranked by value
+    and scored by the zigzag 1,4,5,8,... from the minimum interleaved
+    with 2,3,6,7,... from the maximum; extreme values get LOW scores,
+    so a small early-half score sum means the early half holds the
+    tails (more spread).
+
+    EXACT cross-engine: ranks are made DISTINCT by the documented
+    deterministic tie-break (vq, es, event_id) so every score is an
+    integer from the permutation 1..N; with T1 = N(N+1)/2 and
+    T2 = N(N+1)(2N+1)/6 closed-form, the squared standardized
+    statistic has the pure-integer form
+
+      z2 = (N*M - n1*T1)^2 * (N-1) / (n1*n2*(N*T2 - T1^2))
+
+    staged DECIMAL(38,0)/HUGEINT (safe to ~1e6 rows/series) and
+    emitted via ONE double division (VARCHAR-mediated in the oracle —
+    the int128 rounding device).
+
+    Scale shape: ONE per-type window sort serves the rank, the
+    midpoint split rides a broadcast of the |types|-row span frame,
+    and the score algebra runs on the |types|-row aggregate.  Raw
+    scanned twice (span frame + ranked scan — the welch shape)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type", es.alias("es"), "event_id", vq.alias("vq")
+    )
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    wo = Window.partitionBy("event_type").orderBy("vq", "es", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        (F.col("es") <= F.col("mid")).alias("early"),
+        F.row_number().over(wo).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    s = F.col("n") + 1 - F.col("r")
+    left = F.col("r") <= F.col("n") + 1 - F.col("r")
+    score = F.when(
+        left,
+        F.when(F.col("r") % 2 == 1, 2 * F.col("r") - 1).otherwise(2 * F.col("r")),
+    ).otherwise(F.when(s % 2 == 1, 2 * s).otherwise(2 * s - 1))
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("early"), score).otherwise(0))
+        .cast("long")
+        .alias("m_score"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    n1 = F.col("n1").cast(d38)
+    n2 = (F.col("n") - F.col("n1")).cast(d38)
+    m = F.col("m_score").cast(d38)
+    t1 = (n * (n + 1) / 2).cast(d38)
+    t2 = (n * (n + 1) * (2 * n + 1) / 6).cast(d38)
+    dev = (n * m - n1 * t1).cast(d38)
+    num = (dev * dev * (n - 1)).cast(d38)
+    den = (n1 * n2 * (n * t2 - t1 * t1)).cast(d38)
+    ok = (F.col("n") >= 8) & (n1 >= 2) & (n2 >= 2) & (den > 0)
+    return agg.where(ok).select(
+        "event_type",
+        "n",
+        "n1",
+        "m_score",
+        (num.cast("double") / den.cast("double")).alias("st_z2"),
+        F.when(dev < 0, F.lit("early_more_spread"))
+        .when(dev > 0, F.lit("late_more_spread"))
+        .otherwise(F.lit("no_scale_shift"))
+        .alias("spread_shift"),
+    )

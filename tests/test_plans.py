@@ -1903,3 +1903,18 @@ def test_tile_features_one_sort_two_aggregates(spark):
         assert node not in plan
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Window") == 1
+
+
+def test_siegel_tukey_one_rank_sort_broadcast_spans(spark):
+    """Siegel-Tukey: one per-type rank sort; the |types|-row span
+    frame broadcasts; score algebra on the |types|-row aggregate.
+    Two raw scans (span + ranked — the welch shape)."""
+    plan = plan_of(Q.siegel_tukey_scale(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 2
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    # rank window + unordered-count window share ONE sort
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 2

@@ -1589,3 +1589,40 @@ def test_tile_features_separate_stable_from_lumpy(spark, tmp_path):
     assert r["k"] == kk == 4
     assert r["stability_dq2"] == stab == 0.0   # tile means all equal
     assert r["lumpiness_dq4"] == lump > 0.0    # tile variances alternate
+
+
+def test_siegel_tukey_flags_planted_scale_widening(spark, tmp_path):
+    """Same median, late half 20x wider: the test must flag
+    late_more_spread with a large z^2, and the statistic must equal an
+    independent pure-Python recompute of the zigzag-score algebra."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [50.0 + (0.5 if i % 2 == 0 else -0.5) for i in range(24)]
+    late = [50.0 + (10.0 if i % 2 == 0 else -10.0) for i in range(24)]
+    vals = early + late
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "scale", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.siegel_tukey_scale(spark, str(tmp_path)).collect()
+
+    # independent recompute (deterministic tie-break = (vq, es, event_id))
+    n = len(vals)
+    order = sorted(range(n), key=lambda i: (int(vals[i] * 100), i))
+
+    def zig(rk, nn):  # rk 1-based
+        s = nn + 1 - rk
+        if rk <= s:
+            return 2 * rk - 1 if rk % 2 == 1 else 2 * rk
+        return 2 * s if s % 2 == 1 else 2 * s - 1
+
+    m = sum(zig(pos + 1, n) for pos, i in enumerate(order) if i < 24)
+    n1 = n2 = 24
+    t1 = n * (n + 1) // 2
+    t2 = n * (n + 1) * (2 * n + 1) // 6
+    dev = n * m - n1 * t1
+    z2 = float(dev * dev * (n - 1)) / float(n1 * n2 * (n * t2 - t1 * t1))
+    assert r["m_score"] == m
+    assert r["st_z2"] == z2
+    assert r["spread_shift"] == "late_more_spread"
+    assert r["st_z2"] > 9.0  # far beyond the 3-sigma-squared line
