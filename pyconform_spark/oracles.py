@@ -5400,3 +5400,50 @@ FROM fin
 WHERE n >= 8 AND n1 >= 2 AND n2 >= 2
   AND (n1::HUGEINT * n2 * spread) > 0
 """
+
+ORACLES["cliffs_delta_effect"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+groups AS (
+  SELECT b.event_type, b.vq,
+         count(*)::BIGINT AS c,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c1, (c - c1)::BIGINT AS c2,
+         coalesce(sum(c - c1) OVER (PARTITION BY event_type ORDER BY vq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lt2,
+         coalesce(sum(c - c1) OVER (PARTITION BY event_type ORDER BY vq
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)::BIGINT AS gt2
+  FROM groups),
+agg AS (
+  SELECT event_type,
+         sum(c1)::BIGINT AS n1,
+         sum(c2)::BIGINT AS n2,
+         sum(c1 * lt2)::BIGINT AS gt_pairs,
+         sum(c1 * gt2)::BIGINT AS lt_pairs,
+         sum(c1 * c2)::BIGINT AS tie_pairs
+  FROM cum GROUP BY 1),
+alg AS (
+  SELECT event_type, n1, n2, gt_pairs, lt_pairs, tie_pairs,
+         (n1::HUGEINT * n2) AS nn,
+         (gt_pairs::HUGEINT - lt_pairs) AS dev,
+         abs(gt_pairs::HUGEINT - lt_pairs) AS adev
+  FROM agg)
+SELECT event_type, n1, n2, gt_pairs, lt_pairs, tie_pairs,
+       dev::VARCHAR::DOUBLE / nn::VARCHAR::DOUBLE AS cliffs_delta,
+       (2::HUGEINT * gt_pairs + tie_pairs)::VARCHAR::DOUBLE
+         / (2 * nn)::VARCHAR::DOUBLE AS ps_a,
+       CASE WHEN adev * 1000 < 147 * nn THEN 'negligible'
+            WHEN adev * 1000 < 330 * nn THEN 'small'
+            WHEN adev * 1000 < 474 * nn THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM alg WHERE n1 >= 1 AND n2 >= 1
+"""

@@ -10566,3 +10566,96 @@ def siegel_tukey_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_scale_shift"))
         .alias("spread_shift"),
     )
+
+
+def cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE per event_type between the
+    early and late halves (Cliff 1993, public literature) — the
+    companion `mannwhitney_u` lacks: U says whether a shift is
+    statistically visible, delta says how BIG it is on the
+    probability scale, robust to any monotone transform.
+
+    delta = (#[early > late] - #[early < late]) / (n1*n2), and the
+    tie-aware probability of superiority A = (#gt + ties/2)/(n1*n2)
+    (Vargha-Delaney 2000).
+
+    EXACT cross-engine: pair counts come from the (type, value)
+    grouped frame — for each distinct value, #late strictly below
+    (window frame ... 1 PRECEDING) and strictly above (1 FOLLOWING
+    ...) multiply the early count at that value; both frames share
+    ONE per-type sort.  gt/lt/tie are BIGINT-exact; the magnitude
+    label (Romano 2006 thresholds .147/.33/.474) is decided by PURE
+    INTEGER comparisons (|gt-lt|*1000 vs threshold*n1*n2 staged
+    DECIMAL(38,0)), and delta / A each emit via one double division.
+
+    Scale shape: one hash aggregate to (type, value) groups, one
+    per-type window over the |distinct values| frame, one final hash
+    aggregate; raw scanned twice only for the midpoint span frame
+    (the mannwhitney shape)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    tagged = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "vq",
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_early"),
+    )
+    groups = tagged.groupBy("event_type", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("is_early").cast("long").alias("c1"),
+    )
+    wlt = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wgt = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    c2 = F.col("c") - F.col("c1")
+    cum = groups.select(
+        "event_type",
+        "c1",
+        c2.alias("c2"),
+        F.coalesce(F.sum(c2).over(wlt), F.lit(0)).cast("long").alias("lt2"),
+        F.coalesce(F.sum(c2).over(wgt), F.lit(0)).cast("long").alias("gt2"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("lt2")).cast("long").alias("gt_pairs"),
+        F.sum(F.col("c1") * F.col("gt2")).cast("long").alias("lt_pairs"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("tie_pairs"),
+    )
+    d38 = "decimal(38,0)"
+    nn = (F.col("n1").cast(d38) * F.col("n2").cast(d38)).cast(d38)
+    dev = (F.col("gt_pairs") - F.col("lt_pairs")).cast(d38)
+    adev = F.abs(dev).cast(d38)
+    k = lambda t: (F.lit(t) * nn).cast(d38)  # noqa: E731
+    magnitude = (
+        F.when(adev * 1000 < k(147), F.lit("negligible"))
+        .when(adev * 1000 < k(330), F.lit("small"))
+        .when(adev * 1000 < k(474), F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    a2 = (2 * F.col("gt_pairs") + F.col("tie_pairs")).cast(d38)
+    return agg.filter((F.col("n1") >= 1) & (F.col("n2") >= 1)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "gt_pairs",
+        "lt_pairs",
+        "tie_pairs",
+        (dev.cast("double") / nn.cast("double")).alias("cliffs_delta"),
+        (a2.cast("double") / (2 * nn).cast("double")).alias("ps_a"),
+        magnitude.alias("magnitude"),
+    )

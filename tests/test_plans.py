@@ -1918,3 +1918,17 @@ def test_siegel_tukey_one_rank_sort_broadcast_spans(spark):
     # rank window + unordered-count window share ONE sort
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Window") == 2
+
+
+def test_cliffs_delta_one_sort_serves_both_frames(spark):
+    """Cliff's delta: the strictly-below and strictly-above cumulative
+    frames share one per-type sort/Window; span frame broadcasts; no
+    big-frame join (the mannwhitney shape: 2 scans)."""
+    plan = plan_of(Q.cliffs_delta_effect(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 2
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 1

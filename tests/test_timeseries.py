@@ -1626,3 +1626,26 @@ def test_siegel_tukey_flags_planted_scale_widening(spark, tmp_path):
     assert r["st_z2"] == z2
     assert r["spread_shift"] == "late_more_spread"
     assert r["st_z2"] > 9.0  # far beyond the 3-sigma-squared line
+
+
+def test_cliffs_delta_counts_pairs_exactly(spark, tmp_path):
+    """Early {1,2,3,3}, late {3,4,5,6}: gt=0+0+0+0? no — count pairs by
+    hand: early>late only never (late min is 3, early max 3 ties), so
+    gt=0, ties = 2 (the two early 3s vs the one late 3), lt = 16-0-2,
+    delta = (0-14)/16 = -0.875 (large, late higher)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [1.0, 2.0, 3.0, 3.0]
+    late = [3.0, 4.0, 5.0, 6.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "fx", v, "{}")
+        for i, v in enumerate(early + late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.cliffs_delta_effect(spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["gt_pairs"] == 0
+    assert r["tie_pairs"] == 2
+    assert r["lt_pairs"] == 14
+    assert r["cliffs_delta"] == -14.0 / 16.0
+    assert r["ps_a"] == (2 * 0 + 2) / 32.0
+    assert r["magnitude"] == "large"
