@@ -5447,3 +5447,48 @@ SELECT event_type, n1, n2, gt_pairs, lt_pairs, tie_pairs,
             ELSE 'large' END AS magnitude
 FROM alg WHERE n1 >= 1 AND n2 >= 1
 """
+
+ORACLES["wilcoxon_signed_rank"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+pos AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY es, event_id)::BIGINT AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM base),
+tagged AS (
+  SELECT event_type,
+         CASE WHEN rn <= n // 2 THEN rn ELSE rn - n // 2 END::BIGINT AS pair_id,
+         (rn <= n // 2) AS is_first, vq
+  FROM pos WHERE rn <= 2 * (n // 2)),
+pairs AS (
+  SELECT event_type, pair_id,
+         (max(CASE WHEN NOT is_first THEN vq END)
+          - max(CASE WHEN is_first THEN vq END))::BIGINT AS d
+  FROM tagged GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(d), pair_id)::BIGINT AS r
+  FROM pairs WHERE d <> 0),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS m,
+         sum(CASE WHEN d > 0 THEN r ELSE 0 END)::BIGINT AS w_plus
+  FROM ranked GROUP BY 1),
+alg AS (
+  SELECT event_type, m, w_plus,
+         (4::HUGEINT * w_plus - m::HUGEINT * (m + 1)) AS dev
+  FROM agg)
+SELECT event_type, m, w_plus,
+       (3::HUGEINT * dev * dev)::VARCHAR::DOUBLE
+         / (2::HUGEINT * m * (m + 1) * (2 * m + 1))::VARCHAR::DOUBLE AS wsr_z2,
+       CASE WHEN dev > 0 THEN 'late_higher'
+            WHEN dev < 0 THEN 'late_lower'
+            ELSE 'no_median_change' END AS median_shift
+FROM alg WHERE m >= 6
+"""

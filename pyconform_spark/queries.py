@@ -10659,3 +10659,86 @@ def cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a2.cast("double") / (2 * nn).cast("double")).alias("ps_a"),
         magnitude.alias("magnitude"),
     )
+
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test per event_type for a MEDIAN change
+    between the early and late halves under PAIRING (Wilcoxon 1945,
+    public literature): observation i pairs with observation i + n/2
+    (position-aligned across the midpoint), so per-position level is
+    differenced out — the paired complement to `mannwhitney_u`'s
+    independent-samples U.
+
+    EXACT cross-engine: pairs come from ONE ordered window
+    (row_number by (ts, event_id)), zero differences drop per the
+    classical treatment, and |d| ranks are made DISTINCT integers by
+    the deterministic tie-break (|d|, pair_id), so W+ is a BIGINT sum
+    over the permutation 1..m.  With E[W] = m(m+1)/4 and
+    Var[W] = m(m+1)(2m+1)/24 closed-form, the squared standardized
+    statistic has the pure-integer form
+
+      z2 = 3 * (4*W - m*(m+1))^2 / (2 * m*(m+1)*(2*m+1))
+
+    staged DECIMAL(38,0) and emitted via ONE double division.
+
+    Scale shape: ONE raw scan (no span frame — n rides a
+    partition-count window on the same sort), one hash shuffle to
+    (type, pair_id), one rank sort over the |pairs| frame."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), "event_id", vq.alias("vq"))
+    wo = Window.partitionBy("event_type").orderBy("es", "event_id")
+    wp = Window.partitionBy("event_type")
+    pos = base.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    h = F.floor(F.col("n") / 2).cast("long")
+    tagged = pos.filter(F.col("rn") <= 2 * h).select(
+        "event_type",
+        F.when(F.col("rn") <= h, F.col("rn")).otherwise(F.col("rn") - h)
+        .cast("long")
+        .alias("pair_id"),
+        (F.col("rn") <= h).alias("is_first"),
+        "vq",
+    )
+    pairs = tagged.groupBy("event_type", "pair_id").agg(
+        (
+            F.max(F.when(~F.col("is_first"), F.col("vq")))
+            - F.max(F.when(F.col("is_first"), F.col("vq")))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0)
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("d")), "pair_id")
+    ranked = nz.select(
+        "event_type",
+        "d",
+        F.row_number().over(wr).cast("long").alias("r"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w_plus"),
+    )
+    d38 = "decimal(38,0)"
+    m = F.col("m").cast(d38)
+    w4 = (F.lit(4) * F.col("w_plus")).cast(d38)
+    dev = (w4 - m * (m + 1)).cast(d38)
+    num = (F.lit(3) * dev * dev).cast(d38)
+    den = (F.lit(2) * m * (m + 1) * (2 * m + 1)).cast(d38)
+    return agg.filter(F.col("m") >= 6).select(
+        "event_type",
+        "m",
+        "w_plus",
+        (num.cast("double") / den.cast("double")).alias("wsr_z2"),
+        F.when(dev > 0, F.lit("late_higher"))
+        .when(dev < 0, F.lit("late_lower"))
+        .otherwise(F.lit("no_median_change"))
+        .alias("median_shift"),
+    )

@@ -1932,3 +1932,17 @@ def test_cliffs_delta_one_sort_serves_both_frames(spark):
     assert count_nodes(plan, "BroadcastHashJoin") == 1
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Window") == 1
+
+
+def test_wilcoxon_one_scan_one_exchange_two_sorts(spark):
+    """Signed-rank: ONE raw scan (n rides a partition-count window on
+    the pairing sort), ONE exchange (pair groupBy reuses the per-type
+    partitioning), rank sort is the only second sort, no joins."""
+    plan = plan_of(Q.wilcoxon_signed_rank(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Sort") == 2
+    assert count_nodes(plan, "Window") == 3

@@ -1649,3 +1649,24 @@ def test_cliffs_delta_counts_pairs_exactly(spark, tmp_path):
     assert r["cliffs_delta"] == -14.0 / 16.0
     assert r["ps_a"] == (2 * 0 + 2) / 32.0
     assert r["magnitude"] == "large"
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark, tmp_path):
+    """16 obs, pairs (i, i+8), centi-unit shifts [1,2,3,4,-1,-2,5,0]:
+    zero-diff pair drops (m=7), distinct ranks by (|d|, pair_id) give
+    W+ = 1+3+5+6+7 = 22, dev = 4*22-56 = 32 > 0 (late_higher),
+    z2 = 3*32^2 / (2*7*8*15) = 3072/1680."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    shifts = [1, 2, 3, 4, -1, -2, 5, 0]
+    late = [v + s / 100.0 for v, s in zip(early, shifts)]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "pair", v, "{}")
+        for i, v in enumerate(early + late)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.wilcoxon_signed_rank(spark, str(tmp_path)).collect()
+    assert r["m"] == 7
+    assert r["w_plus"] == 22
+    assert r["wsr_z2"] == float(3 * 32 * 32) / float(2 * 7 * 8 * 15)
+    assert r["median_shift"] == "late_higher"
