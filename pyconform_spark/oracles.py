@@ -5492,3 +5492,43 @@ SELECT event_type, m, w_plus,
             ELSE 'no_median_change' END AS median_shift
 FROM alg WHERE m >= 6
 """
+
+ORACLES["wasserstein_drift"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+pos AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY es, event_id)::BIGINT AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM base),
+mark AS (
+  SELECT event_type, vq, (rn <= n // 2) AS is_early,
+         (n // 2)::BIGINT AS a, (n - n // 2)::BIGINT AS b
+  FROM pos),
+cnt AS (
+  SELECT event_type, vq, max(a) AS a, max(b) AS b,
+         sum(CASE WHEN is_early THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN is_early THEN 0 ELSE 1 END)::BIGINT AS cb
+  FROM mark GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, a, b,
+         sum(ca) OVER w::BIGINT AS cum_a,
+         sum(cb) OVER w::BIGINT AS cum_b,
+         (lead(vq) OVER w - vq)::BIGINT AS gap
+  FROM cnt
+  WINDOW w AS (PARTITION BY event_type ORDER BY vq)),
+agg AS (
+  SELECT event_type, max(a)::BIGINT AS n_early, max(b)::BIGINT AS n_late,
+         sum(abs(b::HUGEINT * cum_a - a::HUGEINT * cum_b)
+             * coalesce(gap, 0))::HUGEINT AS num
+  FROM cum GROUP BY 1)
+SELECT event_type, n_early, n_late,
+       num::VARCHAR::DOUBLE
+         / (n_early::HUGEINT * n_late * 100)::VARCHAR::DOUBLE AS w1
+FROM agg WHERE n_early >= 1 AND n_late >= 1
+"""

@@ -10742,3 +10742,91 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_median_change"))
         .alias("median_shift"),
     )
+
+
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the EARLY and LATE
+    halves of each event_type's value distribution (Villani 2009 /
+    Ramdas et al. 2017, public literature) — the integral drift
+    measure that, unlike `ks_drift`'s sup-norm, weighs HOW FAR mass
+    moved, not just the largest CDF gap.
+
+    EXACT cross-engine via the pooled-CDF integral on centi-quantized
+    values: with a = n//2 early and b = n - a late observations,
+
+      W1 = (1/(a*b)) * SUM over sorted distinct pooled values v_i of
+           |b*cumA(v_i) - a*cumB(v_i)| * (v_{i+1} - v_i)
+
+    where cumA/cumB are cumulative counts — every term is a BIGINT
+    product staged DECIMAL(38,0), and the single double division at
+    the end (/ (a*b*100)) restores value units.  For equal halves this
+    equals the mean |sorted-pairwise| matching cost.
+
+    Scale shape: ONE raw scan; ONE hash exchange on event_type — the
+    (type, vq) groupBy, the value-ordered cumulative windows, and the
+    final per-type aggregate all reuse that partitioning (plan-gated);
+    two sorts (time order for the split, value order for the CDF)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), "event_id", vq.alias("vq"))
+    wo = Window.partitionBy("event_type").orderBy("es", "event_id")
+    wp = Window.partitionBy("event_type")
+    pos = base.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    a = F.floor(F.col("n") / 2).cast("long")
+    mark = pos.select(
+        "event_type",
+        "vq",
+        (F.col("rn") <= a).alias("is_early"),
+        a.alias("a"),
+        (F.col("n") - a).cast("long").alias("b"),
+    )
+    cnt = mark.groupBy("event_type", "vq").agg(
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("is_early"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("event_type").orderBy("vq")
+    d38 = "decimal(38,0)"
+    cum = cnt.select(
+        "event_type",
+        "a",
+        "b",
+        F.sum("ca").over(wv).cast("long").alias("cum_a"),
+        F.sum("cb").over(wv).cast("long").alias("cum_b"),
+        (F.lead("vq").over(wl) - F.col("vq")).cast("long").alias("gap"),
+    )
+    term = (
+        F.abs(
+            F.col("b").cast(d38) * F.col("cum_a").cast(d38)
+            - F.col("a").cast(d38) * F.col("cum_b").cast(d38)
+        )
+        * F.coalesce(F.col("gap"), F.lit(0)).cast(d38)
+    ).cast(d38)
+    agg = cum.groupBy("event_type").agg(
+        F.max("a").alias("n_early"),
+        F.max("b").alias("n_late"),
+        F.sum(term).cast(d38).alias("num"),
+    )
+    den = (
+        F.col("n_early").cast(d38)
+        * F.col("n_late").cast(d38)
+        * F.lit(100).cast(d38)
+    ).cast(d38)
+    return agg.filter((F.col("n_early") >= 1) & (F.col("n_late") >= 1)).select(
+        "event_type",
+        "n_early",
+        "n_late",
+        (F.col("num").cast("double") / den.cast("double")).alias("w1"),
+    )

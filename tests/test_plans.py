@@ -1946,3 +1946,17 @@ def test_wilcoxon_one_scan_one_exchange_two_sorts(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Sort") == 2
     assert count_nodes(plan, "Window") == 3
+
+
+def test_wasserstein_one_exchange_cdf_reuses_type_partitioning(spark):
+    """EMD drift: ONE raw scan, ONE exchange — the (type, vq) groupBy,
+    the value-ordered CDF windows, and the final per-type aggregate
+    all reuse hash(event_type); time sort + value sort only."""
+    plan = plan_of(Q.wasserstein_drift(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Sort") == 2
+    assert count_nodes(plan, "Window") == 3

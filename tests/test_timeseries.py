@@ -1670,3 +1670,19 @@ def test_wilcoxon_signed_rank_hand_computed(spark, tmp_path):
     assert r["w_plus"] == 22
     assert r["wsr_z2"] == float(3 * 32 * 32) / float(2 * 7 * 8 * 15)
     assert r["median_shift"] == "late_higher"
+
+
+def test_wasserstein_equals_sorted_matching_cost(spark, tmp_path):
+    """Equal halves: W1 is the mean |sorted-pairwise| matching cost.
+    Early [10,20,30,40] vs late [20,30,40,60]:
+    (|10-20|+|20-30|+|30-40|+|40-60|)/4 = 12.5."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [10.0, 20.0, 30.0, 40.0, 20.0, 30.0, 40.0, 60.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "emd", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.wasserstein_drift(spark, str(tmp_path)).collect()
+    assert r["n_early"] == 4 and r["n_late"] == 4
+    assert r["w1"] == 12.5
