@@ -5532,3 +5532,51 @@ SELECT event_type, n_early, n_late,
          / (n_early::HUGEINT * n_late * 100)::VARCHAR::DOUBLE AS w1
 FROM agg WHERE n_early >= 1 AND n_late >= 1
 """
+
+ORACLES["energy_distance_halves"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+pos AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY es, event_id)::BIGINT AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM base),
+mark AS (
+  SELECT event_type, vq, n, (rn <= n // 2) AS is_early,
+         (n // 2)::BIGINT AS a, (n - n // 2)::BIGINT AS b
+  FROM pos),
+ranked AS (
+  SELECT event_type, vq, n, is_early, a, b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vq)::BIGINT AS rp,
+         row_number() OVER (PARTITION BY event_type, is_early
+                            ORDER BY vq)::BIGINT AS rh
+  FROM mark),
+agg AS (
+  SELECT event_type, max(a)::BIGINT AS n_early, max(b)::BIGINT AS n_late,
+         sum((2 * rp - n - 1)::HUGEINT * vq)::HUGEINT AS p,
+         sum(CASE WHEN is_early
+                  THEN (2 * rh - a - 1)::HUGEINT * vq ELSE 0 END)::HUGEINT AS x,
+         sum(CASE WHEN NOT is_early
+                  THEN (2 * rh - b - 1)::HUGEINT * vq ELSE 0 END)::HUGEINT AS y
+  FROM ranked GROUP BY 1),
+alg AS (
+  SELECT event_type, n_early, n_late,
+         (2::HUGEINT * n_early * n_late * (p - x - y)
+          - 2::HUGEINT * n_late * n_late * x
+          - 2::HUGEINT * n_early * n_early * y) AS num
+  FROM agg)
+SELECT event_type, n_early, n_late,
+       num::VARCHAR::DOUBLE
+         / (n_early::HUGEINT * n_early * n_late * n_late
+            * 100)::VARCHAR::DOUBLE AS e_dist,
+       num::VARCHAR::DOUBLE
+         / (n_early::HUGEINT * n_late * (n_early + n_late)
+            * 100)::VARCHAR::DOUBLE AS t_stat
+FROM alg WHERE n_early >= 1 AND n_late >= 1
+"""

@@ -10830,3 +10830,93 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late",
         (F.col("num").cast("double") / den.cast("double")).alias("w1"),
     )
+
+
+def energy_distance_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the EARLY and LATE halves of each
+    event_type's value distribution (Szekely & Rizzo 2004, public
+    literature): E = 2*Sxy/(a*b) - Sxx/a^2 - Syy/b^2 over all pairwise
+    |x - y| sums — zero iff the distributions match, and it weighs the
+    FULL shape (all moments), unlike `ks_drift`'s sup-norm or
+    `wasserstein_drift`'s first-moment transport.
+
+    EXACT cross-engine WITHOUT any quadratic pair stage: for a sorted
+    multiset the ordered-pair sum obeys the weighted-rank identity
+
+      SUM_{i<j} (z_(j) - z_(i)) = SUM_j (2*j - m - 1) * z_(j)
+
+    (invariant to tie ordering — consecutive ranks within a tie group
+    multiply equal values), so Sxy = P - X - Y from ONE pooled rank
+    and ONE within-half rank, every term a BIGINT product staged
+    DECIMAL(38,0).  The numerator 2ab(P-X-Y) - 2b^2*X - 2a^2*Y divides
+    once by a^2*b^2*100 (e_dist, value units) and once by
+    a*b*(a+b)*100 (t_stat = ab/(a+b)*E, the permutation-test scale).
+
+    Scale shape: ONE raw scan, ONE hash exchange on event_type — the
+    (type, is_early) rank window and the final aggregate both reuse
+    it; three sorts (time split, pooled value rank, half value rank)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), "event_id", vq.alias("vq"))
+    wo = Window.partitionBy("event_type").orderBy("es", "event_id")
+    wp = Window.partitionBy("event_type")
+    pos = base.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    a = F.floor(F.col("n") / 2).cast("long")
+    mark = pos.select(
+        "event_type",
+        "vq",
+        "n",
+        (F.col("rn") <= a).alias("is_early"),
+        a.alias("a"),
+        (F.col("n") - a).cast("long").alias("b"),
+    )
+    wpool = Window.partitionBy("event_type").orderBy("vq")
+    whalf = Window.partitionBy("event_type", "is_early").orderBy("vq")
+    ranked = mark.select(
+        "event_type",
+        "vq",
+        "n",
+        "is_early",
+        "a",
+        "b",
+        F.row_number().over(wpool).cast("long").alias("rp"),
+        F.row_number().over(whalf).cast("long").alias("rh"),
+    )
+    d38 = "decimal(38,0)"
+    m_half = F.when(F.col("is_early"), F.col("a")).otherwise(F.col("b"))
+    pool_term = ((2 * F.col("rp") - F.col("n") - 1) * F.col("vq")).cast(d38)
+    half_term = ((2 * F.col("rh") - m_half - 1) * F.col("vq")).cast(d38)
+    agg = ranked.groupBy("event_type").agg(
+        F.max("a").alias("n_early"),
+        F.max("b").alias("n_late"),
+        F.sum(pool_term).cast(d38).alias("p"),
+        F.sum(F.when(F.col("is_early"), half_term).otherwise(F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias("x"),
+        F.sum(F.when(~F.col("is_early"), half_term).otherwise(F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias("y"),
+    )
+    ad = F.col("n_early").cast(d38)
+    bd = F.col("n_late").cast(d38)
+    sxy = (F.col("p") - F.col("x") - F.col("y")).cast(d38)
+    num = (
+        2 * ad * bd * sxy
+        - 2 * bd * bd * F.col("x")
+        - 2 * ad * ad * F.col("y")
+    ).cast(d38)
+    den_e = (ad * ad * bd * bd * 100).cast(d38)
+    den_t = (ad * bd * (ad + bd) * 100).cast(d38)
+    return agg.filter((F.col("n_early") >= 1) & (F.col("n_late") >= 1)).select(
+        "event_type",
+        "n_early",
+        "n_late",
+        (num.cast("double") / den_e.cast("double")).alias("e_dist"),
+        (num.cast("double") / den_t.cast("double")).alias("t_stat"),
+    )

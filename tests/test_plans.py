@@ -1960,3 +1960,18 @@ def test_wasserstein_one_exchange_cdf_reuses_type_partitioning(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Sort") == 2
     assert count_nodes(plan, "Window") == 3
+
+
+def test_energy_distance_one_exchange_three_sorts(spark):
+    """Energy distance: ONE raw scan, ONE exchange — the pooled and
+    within-half rank windows and the final aggregate all reuse
+    hash(event_type); sorts are time split + pooled rank + half rank;
+    no quadratic pair stage (no joins at all)."""
+    plan = plan_of(Q.energy_distance_halves(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Sort") == 3
+    assert count_nodes(plan, "Window") == 4

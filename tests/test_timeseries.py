@@ -1686,3 +1686,20 @@ def test_wasserstein_equals_sorted_matching_cost(spark, tmp_path):
     [r] = Q.wasserstein_drift(spark, str(tmp_path)).collect()
     assert r["n_early"] == 4 and r["n_late"] == 4
     assert r["w1"] == 12.5
+
+
+def test_energy_distance_hand_computed(spark, tmp_path):
+    """Early [10,20], late [30,50]: Sxy = 20+40+10+30 = 100,
+    Sxx-pairs = 10, Syy-pairs = 20, so
+    E = 2*100/4 - 2*10/4 - 2*20/4 = 35 and T = ab/(a+b)*E = 35."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [10.0, 20.0, 30.0, 50.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "en", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.energy_distance_halves(spark, str(tmp_path)).collect()
+    assert r["n_early"] == 2 and r["n_late"] == 2
+    assert r["e_dist"] == 35.0
+    assert r["t_stat"] == 35.0
