@@ -5580,3 +5580,46 @@ SELECT event_type, n_early, n_late,
             * 100)::VARCHAR::DOUBLE AS t_stat
 FROM alg WHERE n_early >= 1 AND n_late >= 1
 """
+
+ORACLES["friedman_page_blocked"] = """
+WITH scores AS (
+  SELECT event_type, ts::DATE AS day,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS score
+  FROM events GROUP BY 1, 2),
+kd AS (
+  SELECT *, count(DISTINCT event_type) OVER ()::BIGINT AS k FROM scores),
+cb AS (
+  SELECT *, count(*) OVER (PARTITION BY day)::BIGINT AS tcnt FROM kd),
+rk AS (
+  SELECT event_type, k,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY score, event_type)::BIGINT AS r
+  FROM cb WHERE tcnt = k),
+ag AS (
+  SELECT event_type, max(k)::BIGINT AS k, count(*)::BIGINT AS n_blocks,
+         sum(r)::BIGINT AS rank_sum
+  FROM rk GROUP BY 1),
+fin AS (
+  SELECT event_type, k, n_blocks, rank_sum,
+         row_number() OVER (ORDER BY event_type)::BIGINT AS ord,
+         sum((2::HUGEINT * rank_sum - n_blocks * (k + 1))
+             * (2::HUGEINT * rank_sum - n_blocks * (k + 1))) OVER () AS sum_dev2
+  FROM ag),
+fin2 AS (
+  SELECT *, sum(ord::HUGEINT * rank_sum) OVER () AS page_l FROM fin),
+alg AS (
+  SELECT *, (4::HUGEINT * page_l
+             - n_blocks::HUGEINT * k * (k + 1) * (k + 1)) AS dev_l
+  FROM fin2)
+SELECT event_type, k, n_blocks, rank_sum,
+       (3::HUGEINT * sum_dev2)::VARCHAR::DOUBLE
+         / (n_blocks::HUGEINT * k * (k + 1))::VARCHAR::DOUBLE AS friedman_q,
+       page_l::BIGINT AS page_l,
+       (9::HUGEINT * dev_l * dev_l)::VARCHAR::DOUBLE
+         / (n_blocks::HUGEINT * k * k * (k + 1)
+            * (k * k - 1))::VARCHAR::DOUBLE AS page_z2,
+       CASE WHEN dev_l > 0 THEN 'increasing_with_type_order'
+            WHEN dev_l < 0 THEN 'decreasing_with_type_order'
+            ELSE 'no_ordered_trend' END AS page_trend
+FROM alg WHERE k >= 2 AND n_blocks >= 2
+"""

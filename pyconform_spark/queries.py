@@ -10920,3 +10920,86 @@ def energy_distance_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den_e.cast("double")).alias("e_dist"),
         (num.cast("double") / den_t.cast("double")).alias("t_stat"),
     )
+
+
+def friedman_page_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank test (Friedman 1937) + Page's L ordered
+    trend test (Page 1963), public literature: blocks are calendar
+    days, treatments are event_types, and each complete block (all k
+    types present) ranks the per-(type, day) centi-value sums — the
+    k-related-samples complement to `kruskal_wallis_contrib`'s
+    independent groups, with per-day level differenced out by the
+    within-block ranking.
+
+    Deterministic distinct ranks via the (score, event_type)
+    tie-break, so with R_j = rank sums over n complete blocks the
+    statistics have pure-integer forms emitted via single double
+    divisions:
+
+      Q  = 3 * SUM_j (2*R_j - n*(k+1))^2 / (n*k*(k+1))
+      L  = SUM_j ord_j * R_j   (ord = lexicographic type order)
+      z2 = 9 * (4*L - n*k*(k+1)^2)^2 / (n*k^2*(k+1)*(k^2-1))
+
+    Scale shape: the ONLY full-data exchange is the (type, day)
+    partial-aggregate shuffle; everything after rides the reduced
+    |days x types| frame, which collapses to a single partition for
+    the k-census window and stays there (plan-gated: 2 exchanges, no
+    joins)."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    scores = df.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(vq).cast("long").alias("score")
+    )
+    w_all = Window.partitionBy()
+    kd = scores.withColumn(
+        "k", F.size(F.collect_set("event_type").over(w_all)).cast("long")
+    )
+    wd = Window.partitionBy("day")
+    cb = kd.withColumn("tcnt", F.count(F.lit(1)).over(wd).cast("long"))
+    wr = Window.partitionBy("day").orderBy("score", "event_type")
+    rk = cb.filter(F.col("tcnt") == F.col("k")).select(
+        "event_type", "k", F.row_number().over(wr).cast("long").alias("r")
+    )
+    ag = rk.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r").cast("long").alias("rank_sum"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n_blocks").cast(d38)
+    k = F.col("k").cast(d38)
+    r = F.col("rank_sum").cast(d38)
+    dev_q = (2 * r - n * (k + 1)).cast(d38)
+    wt = Window.orderBy("event_type")
+    fin = ag.select(
+        "event_type",
+        "k",
+        "n_blocks",
+        "rank_sum",
+        F.row_number().over(wt).cast("long").alias("ord"),
+        F.sum((dev_q * dev_q).cast(d38)).over(w_all).cast(d38).alias("sum_dev2"),
+    )
+    l_page = F.sum((F.col("ord").cast(d38) * r).cast(d38)).over(w_all).cast(d38)
+    fin2 = fin.withColumn("page_l", l_page)
+    dev_l = (4 * F.col("page_l") - n * k * (k + 1) * (k + 1)).cast(d38)
+    q_den = (n * k * (k + 1)).cast(d38)
+    l_den = (n * k * k * (k + 1) * (k * k - 1)).cast(d38)
+    return fin2.filter((F.col("k") >= 2) & (F.col("n_blocks") >= 2)).select(
+        "event_type",
+        "k",
+        "n_blocks",
+        "rank_sum",
+        (
+            (F.lit(3).cast(d38) * F.col("sum_dev2")).cast(d38).cast("double")
+            / q_den.cast("double")
+        ).alias("friedman_q"),
+        F.col("page_l").cast("long").alias("page_l"),
+        (
+            (F.lit(9).cast(d38) * dev_l * dev_l).cast(d38).cast("double")
+            / l_den.cast("double")
+        ).alias("page_z2"),
+        F.when(dev_l > 0, F.lit("increasing_with_type_order"))
+        .when(dev_l < 0, F.lit("decreasing_with_type_order"))
+        .otherwise(F.lit("no_ordered_trend"))
+        .alias("page_trend"),
+    )

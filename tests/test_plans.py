@@ -1975,3 +1975,17 @@ def test_energy_distance_one_exchange_three_sorts(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Sort") == 3
     assert count_nodes(plan, "Window") == 4
+
+
+def test_friedman_page_two_exchanges_reduced_frame(spark):
+    """Friedman/Page: the only full-data exchange is the (type, day)
+    partial-agg shuffle; the k-census, block ranking, and final trend
+    windows all ride the collapsed reduced frame (one more exchange to
+    a single partition, then reused). No joins."""
+    plan = plan_of(Q.friedman_page_blocked(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, "Sort") == 3

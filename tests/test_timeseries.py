@@ -1703,3 +1703,31 @@ def test_energy_distance_hand_computed(spark, tmp_path):
     assert r["n_early"] == 2 and r["n_late"] == 2
     assert r["e_dist"] == 35.0
     assert r["t_stat"] == 35.0
+
+
+def test_friedman_page_perfectly_consistent_blocks(spark, tmp_path):
+    """3 complete days with B > A > C every day (plus one incomplete
+    day that must drop): ranks C=1, A=2, B=3 in every block, so
+    R = (6, 9, 3), Q hits its n*(k-1) = 6 maximum, Page's
+    L = 1*6 + 2*9 + 3*3 = 33, dev = 132 - 144 < 0 (decreasing),
+    z2 = 9*144 / (3*9*4*8) = 1.5."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(3):
+        for typ, v in (("A", 20.0), ("B", 30.0), ("C", 10.0)):
+            rows.append((eid, t0 + dt.timedelta(days=d), 1, typ, v, "{}"))
+            eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=3), 1, "A", 99.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in Q.friedman_page_blocked(spark, str(tmp_path)).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert all(r["k"] == 3 and r["n_blocks"] == 3 for r in out.values())
+    assert (out["A"]["rank_sum"], out["B"]["rank_sum"],
+            out["C"]["rank_sum"]) == (6, 9, 3)
+    r = out["A"]
+    assert r["friedman_q"] == 6.0
+    assert r["page_l"] == 33
+    assert r["page_z2"] == 1.5
+    assert r["page_trend"] == "decreasing_with_type_order"
