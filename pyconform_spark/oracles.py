@@ -5623,3 +5623,48 @@ SELECT event_type, k, n_blocks, rank_sum,
             ELSE 'no_ordered_trend' END AS page_trend
 FROM alg WHERE k >= 2 AND n_blocks >= 2
 """
+
+ORACLES["hjorth_parameters"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS es,
+         event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+lev AS (
+  SELECT event_type, es, event_id, vq,
+         (vq - lag(vq) OVER w)::BIGINT AS d1
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
+dd AS (
+  SELECT event_type, vq, d1,
+         (d1 - lag(d1) OVER w)::BIGINT AS d2
+  FROM lev
+  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
+agg AS (
+  SELECT event_type,
+         count(vq)::BIGINT AS m0_n, sum(vq)::BIGINT AS m0_s1,
+         sum(vq::HUGEINT * vq)::HUGEINT AS m0_s2,
+         count(d1)::BIGINT AS m1_n, sum(d1)::BIGINT AS m1_s1,
+         sum(d1::HUGEINT * d1)::HUGEINT AS m1_s2,
+         count(d2)::BIGINT AS m2_n, sum(d2)::BIGINT AS m2_s1,
+         sum(d2::HUGEINT * d2)::HUGEINT AS m2_s2
+  FROM dd GROUP BY 1),
+alg AS (
+  SELECT event_type, m0_n,
+         (m0_n::HUGEINT * m0_s2 - m0_s1::HUGEINT * m0_s1) AS ssd0,
+         (m1_n::HUGEINT * m1_s2 - m1_s1::HUGEINT * m1_s1) AS ssd1,
+         (m2_n::HUGEINT * m2_s2 - m2_s1::HUGEINT * m2_s1) AS ssd2,
+         m0_n::HUGEINT AS n0, m1_n::HUGEINT AS n1, m2_n::HUGEINT AS n2,
+         m2_n AS m2n
+  FROM agg)
+SELECT event_type, m0_n AS n,
+       ssd0::VARCHAR::DOUBLE / (n0 * n0 * 10000)::VARCHAR::DOUBLE AS activity,
+       (n0 * n0 * ssd1)::VARCHAR::DOUBLE
+         / (n1 * n1 * ssd0)::VARCHAR::DOUBLE AS mobility2,
+       ((n1 * n1 * ssd2)::VARCHAR::DOUBLE
+          / (n2 * n2 * ssd1)::VARCHAR::DOUBLE)
+         / ((n0 * n0 * ssd1)::VARCHAR::DOUBLE
+              / (n1 * n1 * ssd0)::VARCHAR::DOUBLE) AS complexity2
+FROM alg WHERE m2n >= 2 AND ssd0 > 0 AND ssd1 > 0
+"""

@@ -11003,3 +11003,72 @@ def friedman_page_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_ordered_trend"))
         .alias("page_trend"),
     )
+
+
+def hjorth_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hjorth descriptors per event_type (Hjorth 1970, public
+    literature): activity = var(y), mobility^2 = var(dy)/var(y),
+    complexity^2 = (var(d2y)/var(dy)) / (var(dy)/var(y)) — the
+    classical time-domain signal triplet (power, dominant-frequency
+    proxy, bandwidth proxy) over the (ts, event_id)-ordered
+    centi-quantized series.
+
+    EXACT cross-engine: the three population variances are rationals
+    of BIGINT sums, var_m = (n_m*S2_m - S1_m^2) / n_m^2 for the level
+    (m=0), first difference (m=1, lag-1 window), and second difference
+    (m=2, diff of diffs in the SAME window sort).  Emitted with exact
+    staging: activity and mobility^2 each as ONE double division of
+    DECIMAL(38,0) integers; complexity^2 as the IEEE quotient of the
+    two exact mobility^2 doubles (deterministic in both engines),
+    avoiding the n1^4 blow-past-38-digits a single fraction would
+    need.
+
+    Scale shape: ONE raw scan, ONE hash exchange on event_type, ONE
+    time sort — both lags and the final aggregate reuse the window
+    partitioning (plan-gated)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), "event_id", vq.alias("vq"))
+    wo = Window.partitionBy("event_type").orderBy("es", "event_id")
+    d1 = (F.col("vq") - F.lag("vq").over(wo)).cast("long")
+    lev = base.select("event_type", "es", "event_id", "vq", d1.alias("d1"))
+    d2 = (F.col("d1") - F.lag("d1").over(wo)).cast("long")
+    dd = lev.select("event_type", "vq", "d1", d2.alias("d2"))
+    d38 = "decimal(38,0)"
+
+    def moments(col: str, pref: str) -> list:
+        c = F.col(col)
+        return [
+            F.count(c).cast("long").alias(f"{pref}_n"),
+            F.sum(c).cast("long").alias(f"{pref}_s1"),
+            F.sum((c * c).cast(d38)).cast(d38).alias(f"{pref}_s2"),
+        ]
+
+    agg = dd.groupBy("event_type").agg(
+        *(moments("vq", "m0") + moments("d1", "m1") + moments("d2", "m2"))
+    )
+
+    def ssd(pref: str):
+        n = F.col(f"{pref}_n").cast(d38)
+        s1 = F.col(f"{pref}_s1").cast(d38)
+        return (n * F.col(f"{pref}_s2") - s1 * s1).cast(d38)
+
+    n0 = F.col("m0_n").cast(d38)
+    n1 = F.col("m1_n").cast(d38)
+    n2 = F.col("m2_n").cast(d38)
+    act_num = ssd("m0")
+    act_den = (n0 * n0 * F.lit(10000).cast(d38)).cast(d38)
+    mob_num = (n0 * n0 * ssd("m1")).cast(d38)
+    mob_den = (n1 * n1 * ssd("m0")).cast(d38)
+    mobd_num = (n1 * n1 * ssd("m2")).cast(d38)
+    mobd_den = (n2 * n2 * ssd("m1")).cast(d38)
+    mob2 = mob_num.cast("double") / mob_den.cast("double")
+    mob2_d = mobd_num.cast("double") / mobd_den.cast("double")
+    return agg.filter((F.col("m2_n") >= 2) & (ssd("m0") > 0) & (ssd("m1") > 0)).select(
+        "event_type",
+        F.col("m0_n").alias("n"),
+        (act_num.cast("double") / act_den.cast("double")).alias("activity"),
+        mob2.alias("mobility2"),
+        (mob2_d / mob2).alias("complexity2"),
+    )

@@ -1989,3 +1989,17 @@ def test_friedman_page_two_exchanges_reduced_frame(spark):
         assert node not in plan
     assert count_nodes(plan, "Exchange") == 2
     assert count_nodes(plan, "Sort") == 3
+
+
+def test_hjorth_one_exchange_one_sort(spark):
+    """Hjorth triplet: ONE raw scan, ONE exchange, ONE time sort —
+    both difference lags and the moment aggregate reuse the
+    per-type window partitioning; no joins."""
+    plan = plan_of(Q.hjorth_parameters(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Window") == 2

@@ -1731,3 +1731,22 @@ def test_friedman_page_perfectly_consistent_blocks(spark, tmp_path):
     assert r["page_l"] == 33
     assert r["page_z2"] == 1.5
     assert r["page_trend"] == "decreasing_with_type_order"
+
+
+def test_hjorth_parameters_square_wave(spark, tmp_path):
+    """Alternating 0/1 (vq 0,100,0,100,0): var0 = 2400 centi^2
+    (activity 0.24), d1 = ±100 gives var1 = 10000, d2 = ∓200 gives
+    var2 = 320000/9, so mobility2 = 25/6 and
+    complexity2 = (320000/9 * 2400) / 10000^2 = 0.85333..."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 1.0, 0.0, 1.0, 0.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "sq", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.hjorth_parameters(spark, str(tmp_path)).collect()
+    assert r["n"] == 5
+    assert r["activity"] == 0.24
+    assert r["mobility2"] == 25.0 / 6.0
+    assert r["complexity2"] == (16.0 * 320000.0 / 1440000.0) / (25.0 / 6.0)
