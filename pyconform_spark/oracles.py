@@ -5668,3 +5668,39 @@ SELECT event_type, m0_n AS n,
               / (n1 * n1 * ssd0)::VARCHAR::DOUBLE) AS complexity2
 FROM alg WHERE m2n >= 2 AND ssd0 > 0 AND ssd1 > 0
 """
+
+ORACLES["grubbs_max_deviate"] = """
+WITH base AS (
+  SELECT event_type, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+mom AS (
+  SELECT event_type, event_id, vq,
+         count(*) OVER w::BIGINT AS n,
+         sum(vq) OVER w::BIGINT AS s1,
+         sum(vq::HUGEINT * vq) OVER w AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY event_type)),
+scored AS (
+  SELECT *, (n * vq - s1)::BIGINT AS dev,
+         ((n * vq - s1)::HUGEINT * (n * vq - s1)) AS dev2
+  FROM mom),
+top AS (
+  SELECT *, max(dev2) OVER (PARTITION BY event_type) AS maxdev2 FROM scored),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n, max(s1)::BIGINT AS s1,
+         max(s2) AS s2, max(maxdev2) AS maxdev2,
+         max(CASE WHEN dev2 = maxdev2 THEN event_id END)::BIGINT
+           AS outlier_event_id,
+         max(CASE WHEN dev2 = maxdev2
+                  THEN CASE WHEN dev > 0 THEN 'high' ELSE 'low' END END)
+           AS outlier_side
+  FROM top GROUP BY 1),
+alg AS (
+  SELECT *, (n::HUGEINT * s2 - s1::HUGEINT * s1) AS ssd FROM agg)
+SELECT event_type, n,
+       ((n - 1)::HUGEINT * maxdev2)::VARCHAR::DOUBLE
+         / (n::HUGEINT * ssd)::VARCHAR::DOUBLE AS g2,
+       outlier_event_id, outlier_side
+FROM alg WHERE n >= 3 AND ssd > 0
+"""

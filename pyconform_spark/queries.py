@@ -11072,3 +11072,76 @@ def hjorth_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mob2.alias("mobility2"),
         (mob2_d / mob2).alias("complexity2"),
     )
+
+
+def grubbs_max_deviate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate statistic per event_type
+    (Grubbs 1950, public literature): G = max|x - mean| / s with the
+    sample standard deviation — the classical single-outlier screen,
+    here reported squared so it stays a ratio of integers:
+
+      G^2 = (n-1) * max(n*x - S1)^2 / (n * (n*S2 - S1^2))
+
+    on centi-quantized values (the /100 scale cancels), staged
+    DECIMAL(38,0) and emitted via ONE double division, together with
+    the arg-max row's event_id and which side of the mean it sits on
+    (independent max-of-CASE picks, deterministic under ties and
+    mirrored verbatim in the oracle).
+
+    Scale shape: ONE raw scan, ONE hash exchange on event_type, and
+    the per-type moment windows + final aggregate all reuse it — no
+    second scan, no join back of the moments (plan-gated)."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", "event_id", vq.alias("vq"))
+    wp = Window.partitionBy("event_type")
+    d38 = "decimal(38,0)"
+    mom = base.select(
+        "event_type",
+        "event_id",
+        "vq",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("vq").over(wp).cast("long").alias("s1"),
+        F.sum((F.col("vq").cast(d38) * F.col("vq")).cast(d38))
+        .over(wp)
+        .cast(d38)
+        .alias("s2"),
+    )
+    dev = (F.col("n") * F.col("vq") - F.col("s1")).cast("long")
+    scored = mom.select(
+        "event_type",
+        "event_id",
+        "n",
+        "s1",
+        "s2",
+        dev.alias("dev"),
+        (dev.cast(d38) * dev.cast(d38)).cast(d38).alias("dev2"),
+    )
+    top = scored.withColumn("maxdev2", F.max("dev2").over(wp).cast(d38))
+    agg = top.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s1").cast("long").alias("s1"),
+        F.max("s2").cast(d38).alias("s2"),
+        F.max("maxdev2").cast(d38).alias("maxdev2"),
+        F.max(F.when(F.col("dev2") == F.col("maxdev2"), F.col("event_id")))
+        .cast("long")
+        .alias("outlier_event_id"),
+        F.max(
+            F.when(
+                F.col("dev2") == F.col("maxdev2"),
+                F.when(F.col("dev") > 0, F.lit("high")).otherwise(F.lit("low")),
+            )
+        ).alias("outlier_side"),
+    )
+    n = F.col("n").cast(d38)
+    s1 = F.col("s1").cast(d38)
+    ssd = (n * F.col("s2") - s1 * s1).cast(d38)
+    num = ((n - 1) * F.col("maxdev2")).cast(d38)
+    den = (n * ssd).cast(d38)
+    return agg.filter((F.col("n") >= 3) & (ssd > 0)).select(
+        "event_type",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("g2"),
+        "outlier_event_id",
+        "outlier_side",
+    )

@@ -2003,3 +2003,19 @@ def test_hjorth_one_exchange_one_sort(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Window") == 2
+
+
+def test_grubbs_one_exchange_one_sort_stacked_windows(spark):
+    """Grubbs: ONE raw scan, ONE exchange, ONE true Sort node — the
+    moment window and the arg-max window stack on the same per-type
+    sort, and the final aggregate (a SortAggregate, because of the
+    string-typed side max) rides that existing order instead of
+    re-sorting; no join-back of the moments."""
+    plan = plan_of(Q.grubbs_max_deviate(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
+    assert count_nodes(plan, "Window") == 2

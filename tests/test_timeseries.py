@@ -1750,3 +1750,20 @@ def test_hjorth_parameters_square_wave(spark, tmp_path):
     assert r["activity"] == 0.24
     assert r["mobility2"] == 25.0 / 6.0
     assert r["complexity2"] == (16.0 * 320000.0 / 1440000.0) / (25.0 / 6.0)
+
+
+def test_grubbs_flags_the_single_outlier(spark, tmp_path):
+    """[10,10,10,10,20]: mean 12, s^2 = 20, G = 8/sqrt(20), so
+    G^2 = 64/20 = 3.2 with the high-side argmax at event_id 4."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [10.0, 10.0, 10.0, 10.0, 20.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "g", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.grubbs_max_deviate(spark, str(tmp_path)).collect()
+    assert r["n"] == 5
+    assert r["g2"] == 3.2
+    assert r["outlier_event_id"] == 4
+    assert r["outlier_side"] == "high"
