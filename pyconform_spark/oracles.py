@@ -5704,3 +5704,47 @@ SELECT event_type, n,
        outlier_event_id, outlier_side
 FROM alg WHERE n >= 3 AND ssd > 0
 """
+
+ORACLES["boxplot_profile"] = """
+WITH counted AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM counted),
+quart AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         min(vq)::BIGINT AS vmin, max(vq)::BIGINT AS vmax,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 0.25)::BIGINT + 1
+                   AND floor((n - 1) * 0.25)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS q1,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 0.50)::BIGINT + 1
+                   AND floor((n - 1) * 0.50)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS q2,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 0.75)::BIGINT + 1
+                   AND floor((n - 1) * 0.75)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS q3
+  FROM ranked GROUP BY 1),
+joined AS (
+  SELECT r.event_type, r.vq, r.cnt, q.n, q.vmin, q.vmax, q.q1, q.q2, q.q3,
+         (2 * r.vq < 5 * q.q1 - 3 * q.q3) AS lo_out,
+         (2 * r.vq > 5 * q.q3 - 3 * q.q1) AS hi_out
+  FROM ranked r JOIN quart q USING (event_type))
+SELECT event_type, max(n)::BIGINT AS n,
+       max(vmin)::DOUBLE / 100.0 AS vmin,
+       max(q1)::DOUBLE / 100.0 AS q1,
+       max(q2)::DOUBLE / 100.0 AS q2,
+       max(q3)::DOUBLE / 100.0 AS q3,
+       max(vmax)::DOUBLE / 100.0 AS vmax,
+       min(CASE WHEN NOT lo_out AND NOT hi_out THEN vq END)::DOUBLE / 100.0
+         AS whisker_lo,
+       max(CASE WHEN NOT lo_out AND NOT hi_out THEN vq END)::DOUBLE / 100.0
+         AS whisker_hi,
+       sum(CASE WHEN lo_out THEN cnt ELSE 0 END)::BIGINT AS n_low_outliers,
+       sum(CASE WHEN hi_out THEN cnt ELSE 0 END)::BIGINT AS n_high_outliers
+FROM joined GROUP BY 1 HAVING max(n) >= 4
+"""

@@ -2019,3 +2019,19 @@ def test_grubbs_one_exchange_one_sort_stacked_windows(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
     assert count_nodes(plan, "Window") == 2
+
+
+def test_boxplot_profile_single_scan_stacked_windows(spark):
+    """Tukey boxplot: ONE raw scan reduced first by the (type, vq)
+    hash aggregate, then ONE per-type exchange whose single sort
+    feeds all three stacked Window nodes (cumulative, total, and the
+    five conditional whole-partition marks) AND the final fence
+    aggregate — no join-back of the quartiles, no second scan."""
+    plan = plan_of(Q.boxplot_profile(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
+    assert count_nodes(plan, "Window") == 3

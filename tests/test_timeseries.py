@@ -1767,3 +1767,40 @@ def test_grubbs_flags_the_single_outlier(spark, tmp_path):
     assert r["g2"] == 3.2
     assert r["outlier_event_id"] == 4
     assert r["outlier_side"] == "high"
+
+
+def test_boxplot_profile_golden(spark, tmp_path):
+    """Type b [1,2,3,4,100]: q1/q2/q3 at ranks 2/3/4 = 2,3,4; fences
+    [-1, 7] so only 100 is a (high) outlier and the whiskers are the
+    extremes inside the fences, 1 and 4.  Type c [1,1,1,1]: all three
+    quartiles collapse to 1, the zero-IQR fences equal the value
+    itself, and 2*vq == the fence bound is NOT an outlier (strict
+    inequality), so whiskers are 1/1 with zero outliers."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "b", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=i), 1, "c", 1.0, "{}")
+        for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in Q.boxplot_profile(spark, str(tmp_path)).collect()}
+    b = out["b"]
+    assert (b["n"], b["vmin"], b["vmax"]) == (5, 1.0, 100.0)
+    assert (b["q1"], b["q2"], b["q3"]) == (2.0, 3.0, 4.0)
+    assert (b["whisker_lo"], b["whisker_hi"]) == (1.0, 4.0)
+    assert (b["n_low_outliers"], b["n_high_outliers"]) == (0, 1)
+    c = out["c"]
+    assert (c["n"], c["q1"], c["q2"], c["q3"]) == (4, 1.0, 1.0, 1.0)
+    assert (c["whisker_lo"], c["whisker_hi"]) == (1.0, 1.0)
+    assert (c["n_low_outliers"], c["n_high_outliers"]) == (0, 0)
+
+
+def test_boxplot_profile_excludes_small_groups(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "tiny", float(i), "{}")
+            for i in range(3)]
+    _write_events(spark, tmp_path, rows)
+    assert Q.boxplot_profile(spark, str(tmp_path)).count() == 0
