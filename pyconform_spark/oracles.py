@@ -5748,3 +5748,50 @@ SELECT event_type, max(n)::BIGINT AS n,
        sum(CASE WHEN hi_out THEN cnt ELSE 0 END)::BIGINT AS n_high_outliers
 FROM joined GROUP BY 1 HAVING max(n) >= 4
 """
+
+ORACLES["robust_moments"] = """
+WITH counted AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM counted),
+oct AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e1,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e2,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e3,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e4,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e5,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e6,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e7
+  FROM ranked GROUP BY 1)
+SELECT event_type, n,
+       e2::DOUBLE / 100.0 AS q1,
+       e4::DOUBLE / 100.0 AS q2,
+       e6::DOUBLE / 100.0 AS q3,
+       (e6 - 2 * e4 + e2)::DOUBLE / nullif(e6 - e2, 0)::DOUBLE
+         AS bowley_skew,
+       ((e7 - e5) + (e3 - e1))::DOUBLE / nullif(e6 - e2, 0)::DOUBLE
+         AS moors_kurtosis,
+       (e6 - e2)::DOUBLE / nullif(e6 + e2, 0)::DOUBLE AS qcd
+FROM oct WHERE n >= 8
+"""

@@ -11238,3 +11238,73 @@ def boxplot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_low_outliers",
         "n_high_outliers",
     )
+
+
+def robust_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based robust shape moments per event_type: Bowley
+    quartile skewness (q3 - 2*q2 + q1)/(q3 - q1), Moors octile
+    kurtosis ((e7 - e5) + (e3 - e1))/(e6 - e2), and the quartile
+    coefficient of dispersion (q3 - q1)/(q3 + q1) — the outlier-proof
+    counterparts of skew/kurtosis/CV (Bowley 1920, Moors 1988, public
+    literature).  Zero-spread denominators yield NULL via NULLIF.
+
+    EXACT cross-engine: all seven octiles are recovered at row-rank
+    positions floor((n-1)*k/8)+1 from cumulative counts over DISTINCT
+    centi-values (the same integer rank recovery as
+    `percentiles_by_type`/`boxplot_profile`), so every numerator and
+    denominator is a BIGINT and each output is ONE integer->double
+    division — bit-identical in any engine.
+
+    Scale shape: ONE raw scan reduced FIRST by the (type, vq) hash
+    aggregate, ONE per-type exchange for the cumulative window, and
+    the seven octile marks resolve in ONE conditional aggregate riding
+    that same partitioning (no join-back, no window stack — unlike the
+    boxplot there is no per-row fence test, so plain aggregation
+    suffices).  Plan-gated: 1 scan, 2 exchanges, 1 sort, 0 joins."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counted = df.groupBy("event_type", vq.alias("vq")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = counted.select(
+        "event_type",
+        "vq",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+
+    def pick(k: int):
+        mark = (F.floor((F.col("n") - 1) * F.lit(k) / 8) + 1).cast("long")
+        hit = (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+        return F.min(F.when(hit, F.col("vq"))).cast("long").alias(f"e{k}")
+
+    oct_ = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), *[pick(k) for k in range(1, 8)]
+    )
+    dv = lambda c: c.cast("double")  # noqa: E731
+    return oct_.filter(F.col("n") >= 8).select(
+        "event_type",
+        "n",
+        (F.col("e2").cast("double") / 100.0).alias("q1"),
+        (F.col("e4").cast("double") / 100.0).alias("q2"),
+        (F.col("e6").cast("double") / 100.0).alias("q3"),
+        (
+            dv(F.col("e6") - 2 * F.col("e4") + F.col("e2"))
+            / dv(F.nullif(F.col("e6") - F.col("e2"), F.lit(0)))
+        ).alias("bowley_skew"),
+        (
+            dv((F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1")))
+            / dv(F.nullif(F.col("e6") - F.col("e2"), F.lit(0)))
+        ).alias("moors_kurtosis"),
+        (
+            dv(F.col("e6") - F.col("e2"))
+            / dv(F.nullif(F.col("e6") + F.col("e2"), F.lit(0)))
+        ).alias("qcd"),
+    )

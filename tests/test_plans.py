@@ -2035,3 +2035,19 @@ def test_boxplot_profile_single_scan_stacked_windows(spark):
     assert count_nodes(plan, "Exchange") == 2
     assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
     assert count_nodes(plan, "Window") == 3
+
+
+def test_robust_moments_no_window_stack_single_sort(spark):
+    """Bowley/Moors octiles: ONE raw scan pre-reduced by the
+    (type, vq) aggregate, ONE per-type exchange, ONE sort feeding the
+    two windows (cumulative + total), and the seven octile marks
+    resolve in ONE conditional aggregate on the same partitioning —
+    no per-row fence test means no third Window node and no join."""
+    plan = plan_of(Q.robust_moments(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
+    assert count_nodes(plan, "Window") == 2

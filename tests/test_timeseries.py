@@ -1804,3 +1804,42 @@ def test_boxplot_profile_excludes_small_groups(spark, tmp_path):
             for i in range(3)]
     _write_events(spark, tmp_path, rows)
     assert Q.boxplot_profile(spark, str(tmp_path)).count() == 0
+
+
+def test_robust_moments_golden(spark, tmp_path):
+    """Type m = 0..8 (9 values): octile ranks floor(8k/8)+1 = k+1, so
+    e_k = k, giving a perfectly symmetric profile: Bowley 0, Moors
+    ((7-5)+(3-1))/(6-2) = 1, QCD (6-2)/(6+2) = 0.5.  Type s =
+    [0,0,0,0,1,2,10] (7 values): octiles 0,0,0,0,0,1,2 so Bowley
+    (1-0+0)/1 = 1 (fully right-skewed), Moors (2-0+0-0)/1 = 2,
+    QCD 1/1 = 1."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "m", float(i), "{}")
+        for i in range(9)
+    ] + [
+        (20 + i, t0 + dt.timedelta(minutes=i), 1, "s", v, "{}")
+        for i, v in enumerate([0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 2.0, 10.0])
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in Q.robust_moments(spark, str(tmp_path)).collect()}
+    m = out["m"]
+    assert (m["n"], m["q1"], m["q2"], m["q3"]) == (9, 2.0, 4.0, 6.0)
+    assert (m["bowley_skew"], m["moors_kurtosis"], m["qcd"]) == (0.0, 1.0, 0.5)
+    s = out["s"]
+    assert (s["n"], s["q1"], s["q2"], s["q3"]) == (8, 0.0, 0.0, 1.0)
+    assert (s["bowley_skew"], s["moors_kurtosis"], s["qcd"]) == (1.0, 2.0, 1.0)
+
+
+def test_robust_moments_zero_spread_is_null(spark, tmp_path):
+    """All-constant series: q3 - q1 = 0, so Bowley and Moors are NULL
+    (NULLIF), and QCD divides by q3 + q1 which is nonzero here."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "k", 5.0, "{}")
+            for i in range(8)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.robust_moments(spark, str(tmp_path)).collect()
+    assert r["n"] == 8
+    assert r["bowley_skew"] is None and r["moors_kurtosis"] is None
+    assert r["qcd"] == 0.0
