@@ -5795,3 +5795,41 @@ SELECT event_type, n,
        (e6 - e2)::DOUBLE / nullif(e6 + e2, 0)::DOUBLE AS qcd
 FROM oct WHERE n >= 8
 """
+
+ORACLES["anderson_darling_drift"] = """
+WITH base AS (
+  SELECT event_type, epoch(ts)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+cells AS (
+  SELECT b.event_type, b.vq,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, vq, (c1 + c2)::BIGINT AS l,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY vq
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY vq
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum2,
+         sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+         sum(c2) OVER (PARTITION BY event_type)::BIGINT AS n2
+  FROM cells),
+terms AS (
+  SELECT event_type, vq, n1, n2,
+         (l::DOUBLE * (n2 * cum1 - n1 * cum2)::DOUBLE
+            * (n2 * cum1 - n1 * cum2)::DOUBLE)
+           / ((cum1 + cum2) * (n1 + n2 - cum1 - cum2))::DOUBLE AS term
+  FROM cum WHERE cum1 + cum2 < n1 + n2),
+agg AS (
+  SELECT event_type, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+         list_reduce(list(term ORDER BY vq), (a, b) -> a + b) AS ad_sum
+  FROM terms GROUP BY 1)
+SELECT event_type, n1, n2, ad_sum,
+       ad_sum / (n1::DOUBLE * n2::DOUBLE) AS ad_stat
+FROM agg WHERE n1 >= 2 AND n2 >= 2
+"""

@@ -11308,3 +11308,105 @@ def robust_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / dv(F.nullif(F.col("e6") + F.col("e2"), F.lit(0)))
         ).alias("qcd"),
     )
+
+
+def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling two-sample drift per event_type between the
+    early and late halves (the midpoint-split convention shared by
+    ks_drift / cvm_drift / wasserstein_drift) — the TAIL-WEIGHTED
+    member of the drift battery: where KS reads one worst gap and CvM
+    the unweighted integral, AD divides each squared ECDF deviation by
+    B*(N-B), amplifying disagreement in the distribution tails
+    (Scholz & Stephens 1987 k-sample form, k=2, ties version; public
+    literature).  For k=2 both samples' terms collapse onto the same
+    deviation dev = n2*cum1 - n1*cum2 (N*cum1 - n1*B == dev because
+    B = cum1 + cum2), so A2 = sum_j l_j*dev_j^2/(B_j*(N-B_j)) / (n1*n2)
+    with the last pooled value (B = N) excluded.
+
+    EXACT cross-engine: dev, l, B are BIGINT on the distinct
+    centi-value grid; each term is the identical double expression
+    tree (l * dev * dev, left-associated, divided by the BIGINT
+    product B*(N-B)), and the terms are summed by an ORDER-PINNED
+    left fold — Spark sorts the per-type (vq, term) structs and folds
+    with `aggregate` from 0.0; DuckDB folds `list(term ORDER BY vq)`
+    with `list_reduce` — so the float sum is bit-identical, free of
+    Spark's nondeterministic parallel-sum ordering.
+
+    Scale shape: midpoint aggregate + one hash aggregate to distinct
+    (type, vq) cells, ONE per-type window, one collect-to-array per
+    type (array length = distinct centi-values, bounded by the value
+    domain, NOT by row count).  No raw self-join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    cells = (
+        base.join(F.broadcast(spans), "event_type")
+        .groupBy("event_type", "vq")
+        .agg(
+            F.sum(F.when(F.col("es") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("es") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "vq",
+        (F.col("c1") + F.col("c2")).cast("long").alias("l"),
+        F.sum("c1").over(wv).cast("long").alias("cum1"),
+        F.sum("c2").over(wv).cast("long").alias("cum2"),
+    ).select(
+        "event_type",
+        "vq",
+        "l",
+        "cum1",
+        "cum2",
+        F.max("cum1").over(wall).alias("n1"),
+        F.max("cum2").over(wall).alias("n2"),
+    )
+    b = (F.col("cum1") + F.col("cum2")).cast("long")
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    dev = (F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")).cast(
+        "long"
+    )
+    term = (
+        F.col("l").cast("double") * dev.cast("double") * dev.cast("double")
+    ) / (b * (n - b)).cast("double")
+    agg = (
+        cum.filter(b < n)
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.struct(F.col("vq"), term.alias("term")).alias("jt"),
+        )
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.array_sort(F.collect_list("jt")).alias("terms"))
+    )
+    ad_sum = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, x: acc + x["term"]
+    )
+    return (
+        agg.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            ad_sum.alias("ad_sum"),
+            (
+                ad_sum / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ad_stat"),
+        )
+    )

@@ -2051,3 +2051,15 @@ def test_robust_moments_no_window_stack_single_sort(spark):
     assert count_nodes(plan, "Exchange") == 2
     assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
     assert count_nodes(plan, "Window") == 2
+
+
+def test_anderson_darling_rides_the_ks_shape(spark):
+    """AD drift: the same midpoint-broadcast + distinct-cell shape as
+    ks/cvm — one broadcast join, no raw self-join, and the order-pinned
+    fold shows up as a collect_list over the CELL frame (distinct
+    centi-values), never over raw rows."""
+    plan = plan_of(Q.anderson_darling_drift(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan

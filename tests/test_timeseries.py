@@ -1843,3 +1843,35 @@ def test_robust_moments_zero_spread_is_null(spark, tmp_path):
     assert r["n"] == 8
     assert r["bowley_skew"] is None and r["moors_kurtosis"] is None
     assert r["qcd"] == 0.0
+
+
+def test_anderson_darling_drift_golden(spark, tmp_path):
+    """Halves x1 = [0,1], x2 = [0,2]: pooled grid 0/100/200 with
+    B = 2,3,4 and dev = 0,2,(excluded); only vq=100 contributes
+    l*dev^2/(B*(N-B)) = 4/3, so A2 = (4/3)/(n1*n2) = 1/3."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 1.0, 0.0, 2.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.anderson_darling_drift(spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert r["ad_sum"] == 4.0 / 3.0
+    assert r["ad_stat"] == (4.0 / 3.0) / 4.0
+
+
+def test_anderson_darling_identical_halves_zero(spark, tmp_path):
+    """Identical halves: every dev is 0, so the statistic is exactly
+    0.0 — AD detects nothing when nothing drifted."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "z", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.anderson_darling_drift(spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["ad_stat"] == 0.0
