@@ -5833,3 +5833,43 @@ SELECT event_type, n1, n2, ad_sum,
        ad_sum / (n1::DOUBLE * n2::DOUBLE) AS ad_stat
 FROM agg WHERE n1 >= 2 AND n2 >= 2
 """
+
+ORACLES["kuiper_drift"] = """
+WITH base AS (
+  SELECT event_type, epoch(ts)::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+grid AS (
+  SELECT b.event_type, b.vq,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS c_b
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1, 2),
+cdf AS (
+  SELECT event_type,
+         sum(c_a) OVER (PARTITION BY event_type)::BIGINT AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type)::BIGINT AS n_b,
+         (sum(c_a) OVER (PARTITION BY event_type ORDER BY vq
+                         ROWS UNBOUNDED PRECEDING)
+            * sum(c_b) OVER (PARTITION BY event_type)
+          - sum(c_b) OVER (PARTITION BY event_type ORDER BY vq
+                           ROWS UNBOUNDED PRECEDING)
+            * sum(c_a) OVER (PARTITION BY event_type))::BIGINT AS dev
+  FROM grid),
+agg AS (
+  SELECT event_type, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+         greatest(max(dev), 0)::BIGINT AS dplus_num,
+         greatest(max(-dev), 0)::BIGINT AS dminus_num
+  FROM cdf GROUP BY 1)
+SELECT event_type, n_a, n_b,
+       dplus_num::DOUBLE / (n_a * n_b)::DOUBLE AS d_plus,
+       dminus_num::DOUBLE / (n_a * n_b)::DOUBLE AS d_minus,
+       (dplus_num + dminus_num)::DOUBLE / (n_a * n_b)::DOUBLE AS kuiper_v,
+       CASE WHEN dplus_num > dminus_num THEN 'late_higher'
+            WHEN dplus_num < dminus_num THEN 'late_lower'
+            ELSE 'balanced' END AS dominant_direction
+FROM agg WHERE n_a >= 1 AND n_b >= 1
+"""

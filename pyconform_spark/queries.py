@@ -11410,3 +11410,84 @@ def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ad_stat"),
         )
     )
+
+
+def kuiper_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample drift per event_type between the first and
+    second halves (same midpoint split as ks_drift): V = D+ + D- where
+    D+ = max(F_a - F_b) and D- = max(F_b - F_a) (Kuiper 1960, public
+    literature).  Where KS reads only the single worst gap, Kuiper
+    adds the worst gap IN EACH DIRECTION, giving equal sensitivity at
+    the distribution's median and tails — the classic fix for shifts
+    that KS under-weights near the extremes.
+
+    EXACT cross-engine: on the distinct centi-value grid both
+    directional gaps are BIGINT maxima of +/-(cum_a*n_b - cum_b*n_a)
+    clamped at 0 (a one-sided gap can be absent entirely), V is ONE
+    integer->double division, and the direction label compares the two
+    integer maxima directly (dev > 0 <=> F_early > F_late <=> the LATE
+    half's mass sits at HIGHER values).
+
+    Scale shape: identical to ks_drift — midpoint broadcast, one hash
+    aggregate to the distinct (type, value) grid, cumulative window on
+    the reduced grid, one final reduce.  No raw self-join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        es.alias("es"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    tagged = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "vq",
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+    )
+    grid = tagged.groupBy("event_type", "vq").agg(
+        F.sum("in_a").cast("long").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("c_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    dev = (
+        F.sum("c_a").over(wcum) * F.sum("c_b").over(wt)
+        - F.sum("c_b").over(wcum) * F.sum("c_a").over(wt)
+    ).cast("long")
+    cdf = grid.select(
+        "event_type",
+        F.sum("c_a").over(wt).cast("long").alias("n_a"),
+        F.sum("c_b").over(wt).cast("long").alias("n_b"),
+        dev.alias("dev"),
+    )
+    agg = cdf.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.greatest(F.max("dev"), F.lit(0).cast("long")).alias("dplus_num"),
+        F.greatest(F.max(-F.col("dev")), F.lit(0).cast("long")).alias(
+            "dminus_num"
+        ),
+    )
+    nn = (F.col("n_a") * F.col("n_b")).cast("double")
+    return agg.filter((F.col("n_a") >= 1) & (F.col("n_b") >= 1)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("dplus_num").cast("double") / nn).alias("d_plus"),
+        (F.col("dminus_num").cast("double") / nn).alias("d_minus"),
+        ((F.col("dplus_num") + F.col("dminus_num")).cast("double") / nn).alias(
+            "kuiper_v"
+        ),
+        F.when(F.col("dplus_num") > F.col("dminus_num"), F.lit("late_higher"))
+        .when(F.col("dplus_num") < F.col("dminus_num"), F.lit("late_lower"))
+        .otherwise(F.lit("balanced"))
+        .alias("dominant_direction"),
+    )

@@ -1875,3 +1875,40 @@ def test_anderson_darling_identical_halves_zero(spark, tmp_path):
     [r] = Q.anderson_darling_drift(spark, str(tmp_path)).collect()
     assert (r["n1"], r["n2"]) == (3, 3)
     assert r["ad_stat"] == 0.0
+
+
+def test_kuiper_drift_reads_both_directions(spark, tmp_path):
+    """Halves a = [1,2,3,4], b = [0,0,5,5]: the CDF gap flips sign
+    (b leads below 1, a leads between 2 and 5), so D+ and D- are BOTH
+    positive — dev/(n_a*n_b) peaks at +8/16 (vq 200..400 region) and
+    dips to -8/16 (vq 0), giving V = 1.0 while plain KS would read
+    only 0.5."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 5.0, 5.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "k", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.kuiper_drift(spark, str(tmp_path)).collect()
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["d_plus"] == 0.5 and r["d_minus"] == 0.5
+    assert r["kuiper_v"] == 1.0
+    assert r["dominant_direction"] == "balanced"
+
+
+def test_kuiper_one_sided_shift(spark, tmp_path):
+    """Pure upward level shift a = [1,2], b = [3,4]: every gap is
+    one-sided (F_a >= F_b everywhere), so D- clamps to 0, V == D+ = 1,
+    and dev > 0 <=> F_early > F_late <=> the late half's mass sits at
+    higher values -> the label reads late_higher."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "u", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.kuiper_drift(spark, str(tmp_path)).collect()
+    assert (r["d_plus"], r["d_minus"], r["kuiper_v"]) == (1.0, 0.0, 1.0)
+    assert r["dominant_direction"] == "late_higher"
