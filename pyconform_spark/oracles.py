@@ -5798,7 +5798,7 @@ FROM oct WHERE n >= 8
 
 ORACLES["anderson_darling_drift"] = """
 WITH base AS (
-  SELECT event_type, epoch(ts)::BIGINT AS es,
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
          floor(value * 100)::BIGINT AS vq
   FROM events),
 spans AS (
@@ -5836,7 +5836,7 @@ FROM agg WHERE n1 >= 2 AND n2 >= 2
 
 ORACLES["kuiper_drift"] = """
 WITH base AS (
-  SELECT event_type, epoch(ts)::BIGINT AS es,
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
          floor(value * 100)::BIGINT AS vq
   FROM events),
 spans AS (
@@ -5872,4 +5872,74 @@ SELECT event_type, n_a, n_b,
             WHEN dplus_num < dminus_num THEN 'late_lower'
             ELSE 'balanced' END AS dominant_direction
 FROM agg WHERE n_a >= 1 AND n_b >= 1
+"""
+
+ORACLES["engle_granger_coint"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sv,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type AS type_y, b.event_type AS type_x, a.hr,
+         a.sv::DOUBLE / a.cnt::DOUBLE AS ym,
+         b.sv::DOUBLE / b.cnt::DOUBLE AS xm
+  FROM hourly a JOIN hourly b USING (hr)
+  WHERE a.event_type < b.event_type),
+arr0 AS (
+  SELECT type_y, type_x,
+         list(struct_pack(hr := hr, xm := xm, ym := ym) ORDER BY hr) AS arr,
+         count(*)::BIGINT AS n
+  FROM pairs GROUP BY 1, 2),
+st1 AS (
+  SELECT type_y, type_x, arr, n,
+         list_reduce(list_transform(arr, v -> v.xm), (p, q) -> p + q) AS sx,
+         list_reduce(list_transform(arr, v -> v.ym), (p, q) -> p + q) AS sy,
+         list_reduce(list_transform(arr, v -> v.xm * v.xm),
+                     (p, q) -> p + q) AS sxx,
+         list_reduce(list_transform(arr, v -> v.xm * v.ym),
+                     (p, q) -> p + q) AS sxy
+  FROM arr0 WHERE n >= 4),
+st2 AS (
+  SELECT type_y, type_x, arr, n, sx, sy,
+         (n::DOUBLE * sxy - sx * sy)
+           / nullif(n::DOUBLE * sxx - sx * sx, 0.0) AS beta
+  FROM st1),
+st3 AS (
+  SELECT type_y, type_x, arr, n, beta,
+         (sy - beta * sx) / n::DOUBLE AS alpha
+  FROM st2),
+st4 AS (
+  SELECT type_y, type_x, n, beta, alpha,
+         list_transform(arr, v -> (v.ym - alpha) - beta * v.xm) AS e
+  FROM st3),
+st5 AS (
+  SELECT type_y, type_x, n, beta, alpha,
+         list_slice(e, 1, n - 1) AS ep,
+         list_transform(list_zip(list_slice(e, 2, n),
+                                 list_slice(e, 1, n - 1)),
+                        s -> s[1] - s[2]) AS de
+  FROM st4),
+st6 AS (
+  SELECT type_y, type_x, n, beta, alpha, ep, de,
+         list_reduce(list_transform(list_zip(ep, de), s -> s[1] * s[2]),
+                     (p, q) -> p + q) AS spd,
+         list_reduce(list_transform(ep, p -> p * p), (p, q) -> p + q) AS spp
+  FROM st5),
+st7 AS (
+  SELECT type_y, type_x, n, beta, alpha, ep, de, spp,
+         spd / nullif(spp, 0.0) AS df_phi
+  FROM st6),
+st8 AS (
+  SELECT type_y, type_x, n, beta, alpha, spp, df_phi,
+         list_reduce(list_transform(list_zip(de, ep),
+                                    s -> (s[1] - df_phi * s[2])
+                                         * (s[1] - df_phi * s[2])),
+                     (p, q) -> p + q) AS ssr
+  FROM st7)
+SELECT type_y, type_x, n AS n_hours, beta, alpha, df_phi,
+       df_phi / sqrt((ssr / (n::DOUBLE - 2.0)) / spp) AS df_t,
+       (df_phi / sqrt((ssr / (n::DOUBLE - 2.0)) / spp)) < -3.34
+         AS cointegrated
+FROM st8
 """

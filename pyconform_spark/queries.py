@@ -11491,3 +11491,191 @@ def kuiper_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("balanced"))
         .alias("dominant_direction"),
     )
+
+
+def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between every PAIR of
+    event_type hourly-mean series (Engle & Granger 1987, public
+    literature): step 1 fits the cointegrating OLS y = alpha + beta*x
+    in closed form; step 2 runs the Dickey-Fuller regression
+    delta_e_t = phi * e_{t-1} on the residuals (no intercept) and
+    reports the DF t-statistic — two trending series are cointegrated
+    when their residual spread mean-reverts (df_t below the MacKinnon
+    5% critical value, -3.34 with a fitted constant).  Completes the
+    co-movement battery: series_correlation reads contemporaneous
+    association, granger_lag1 reads lagged predictiveness, this reads
+    shared stochastic trends.
+
+    EXACT cross-engine: hourly means are single long->double
+    divisions; every sum (Sx, Sxx, Sxy, the DF cross-products, the
+    SSR) is an ORDER-PINNED left fold over the hr-sorted pair array
+    (Spark `aggregate` from 0.0 == DuckDB `list_reduce`, identical
+    element expressions), beta/alpha/phi are identical double
+    expression trees, and the one sqrt is IEEE-correctly-rounded in
+    both engines.  Zero-variance x and zero DF denominator yield NULL
+    via NULLIF; a PERFECT fit (all residuals 0) propagates NULL
+    through phi — asserted in the golden test.
+
+    Scale shape: ONE raw scan reduces FIRST to the (type, hour)
+    frame; pairs are expanded WITHOUT a self-join (which would re-scan
+    the raw table) by crossing each hour's <= |types| entries inside a
+    nested higher-order expression, so the pair frame is
+    |types|^2 x hours, never raw rows.  Array length = aligned hours,
+    bounded by the time span, not by row count.  Plan-gated: 1 scan,
+    0 joins."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.sum("vq").cast("long").alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    mean = F.col("sv").cast("double") / F.col("cnt").cast("double")
+    perhour = hourly.groupBy("hr").agg(
+        F.collect_list(
+            F.struct(F.col("event_type").alias("t"), mean.alias("m"))
+        ).alias("lst")
+    )
+    # pair expansion WITHOUT a self-join (a join would re-scan the raw
+    # table for the second branch): each hour's <= |types| entries
+    # cross inside one nested higher-order expression
+    pairs = perhour.select(
+        "hr",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "lst",
+                    lambda a: F.transform(
+                        F.filter("lst", lambda b: b["t"] > a["t"]),
+                        lambda b: F.struct(
+                            a["t"].alias("type_y"),
+                            b["t"].alias("type_x"),
+                            a["m"].alias("ym"),
+                            b["m"].alias("xm"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("hr", "p.type_y", "p.type_x", "p.ym", "p.xm")
+    arr0 = pairs.groupBy("type_y", "type_x").agg(
+        F.array_sort(F.collect_list(F.struct("hr", "xm", "ym"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def fsum(col, fn):
+        return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + fn(v))
+
+    st1 = arr0.filter(F.col("n") >= 4).select(
+        "type_y",
+        "type_x",
+        "arr",
+        "n",
+        fsum("arr", lambda v: v["xm"]).alias("sx"),
+        fsum("arr", lambda v: v["ym"]).alias("sy"),
+        fsum("arr", lambda v: v["xm"] * v["xm"]).alias("sxx"),
+        fsum("arr", lambda v: v["xm"] * v["ym"]).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    st2 = st1.select(
+        "type_y",
+        "type_x",
+        "arr",
+        "n",
+        "sx",
+        "sy",
+        (
+            (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(nn * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+        ).alias("beta"),
+    )
+    st3 = st2.select(
+        "type_y",
+        "type_x",
+        "arr",
+        "n",
+        "beta",
+        ((F.col("sy") - F.col("beta") * F.col("sx")) / nn).alias("alpha"),
+    )
+    st4 = st3.select(
+        "type_y",
+        "type_x",
+        "n",
+        "beta",
+        "alpha",
+        F.transform(
+            "arr",
+            lambda v: (v["ym"] - F.col("alpha")) - F.col("beta") * v["xm"],
+        ).alias("e"),
+    )
+    ni = F.col("n").cast("int")
+    st5 = st4.select(
+        "type_y",
+        "type_x",
+        "n",
+        "beta",
+        "alpha",
+        F.slice("e", 1, ni - 1).alias("ep"),
+        F.zip_with(
+            F.slice("e", 2, ni - 1),
+            F.slice("e", 1, ni - 1),
+            lambda c, p: c - p,
+        ).alias("de"),
+    )
+    st6 = st5.select(
+        "type_y",
+        "type_x",
+        "n",
+        "beta",
+        "alpha",
+        "ep",
+        "de",
+        fsum(
+            F.zip_with("ep", "de", lambda p, d: p * d), lambda v: v
+        ).alias("spd"),
+        fsum("ep", lambda p: p * p).alias("spp"),
+    )
+    st7 = st6.select(
+        "type_y",
+        "type_x",
+        "n",
+        "beta",
+        "alpha",
+        "ep",
+        "de",
+        "spp",
+        (F.col("spd") / F.nullif(F.col("spp"), F.lit(0.0))).alias("df_phi"),
+    )
+    st8 = st7.select(
+        "type_y",
+        "type_x",
+        "n",
+        "beta",
+        "alpha",
+        "spp",
+        "df_phi",
+        fsum(
+            F.zip_with("de", "ep", lambda d, p: d - F.col("df_phi") * p),
+            lambda r: r * r,
+        ).alias("ssr"),
+    )
+    se = F.sqrt((F.col("ssr") / (nn - F.lit(2.0))) / F.col("spp"))
+    df_t = F.col("df_phi") / se
+    return st8.select(
+        "type_y",
+        "type_x",
+        F.col("n").alias("n_hours"),
+        "beta",
+        "alpha",
+        "df_phi",
+        df_t.alias("df_t"),
+        (df_t < F.lit(-3.34)).alias("cointegrated"),
+    )

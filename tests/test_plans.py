@@ -2063,3 +2063,17 @@ def test_anderson_darling_rides_the_ks_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "collect_list" in plan
+
+
+def test_engle_granger_joins_reduced_frames_only(spark):
+    """Engle-Granger: ONE raw scan reduced by the hourly hash
+    aggregate; pairs expand via a nested higher-order expression on
+    the per-hour lists instead of a self-join (which would re-scan
+    the raw table) — NO join node of any kind; all regression sums
+    are array folds."""
+    plan = plan_of(Q.engle_granger_coint(spark, SF))
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "collect_list" in plan

@@ -1912,3 +1912,61 @@ def test_kuiper_one_sided_shift(spark, tmp_path):
     [r] = Q.kuiper_drift(spark, str(tmp_path)).collect()
     assert (r["d_plus"], r["d_minus"], r["kuiper_v"]) == (1.0, 0.0, 1.0)
     assert r["dominant_direction"] == "late_higher"
+
+
+def test_engle_granger_perfect_and_stationary_pairs(spark, tmp_path):
+    """Pair (x, y) with y = 2x + 1 exactly (type_y is the lexically
+    SMALLER type, i.e. the regressand is the x-series regressed on the
+    y-series): beta = 0.5, alpha = -50 (centi-units), residuals
+    identically 0 -> the DF stage divides by zero variance and
+    propagates NULL (spp = 0 -> phi NULL).  Pair
+    (w, x) with w oscillating against a trending x: expected values
+    mirror the query's exact float op order (left folds from 0.0),
+    asserted bit-for-bit."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ys = [2 * v + 1 for v in xs]
+    ws = [1.0, 0.0, 1.0, 0.0]
+    rows = []
+    eid = 0
+    for h in range(4):
+        for typ, series in (("x", xs), ("y", ys), ("w", ws)):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), 1, typ, series[h], "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {(r["type_y"], r["type_x"]): r
+           for r in Q.engle_granger_coint(spark, str(tmp_path)).collect()}
+    assert set(out) == {("x", "y"), ("w", "x"), ("w", "y")}
+
+    perfect = out[("x", "y")]
+    assert perfect["n_hours"] == 4
+    assert perfect["beta"] == 0.5
+    assert perfect["alpha"] == -50.0
+    assert perfect["df_phi"] is None and perfect["df_t"] is None
+    assert perfect["cointegrated"] is None
+
+    # exact float mirror of the query's op order for (w, x)
+    xm = [100.0, 200.0, 300.0, 400.0]
+    ym = [100.0, 0.0, 100.0, 0.0]
+    fold = lambda vals: __import__("functools").reduce(  # noqa: E731
+        lambda a, b: a + b, vals, 0.0
+    )
+    sx, sy = fold(xm), fold(ym)
+    sxx = fold([v * v for v in xm])
+    sxy = fold([a * b for a, b in zip(xm, ym)])
+    beta = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    alpha = (sy - beta * sx) / 4.0
+    e = [(y - alpha) - beta * x for x, y in zip(xm, ym)]
+    ep, de = e[:-1], [c - p for c, p in zip(e[1:], e[:-1])]
+    spd = fold([p * d for p, d in zip(ep, de)])
+    spp = fold([p * p for p in ep])
+    phi = spd / spp
+    ssr = fold([(d - phi * p) * (d - phi * p) for d, p in zip(de, ep)])
+    se = ((ssr / 2.0) / spp) ** 0.5
+    wx = out[("w", "x")]
+    assert wx["beta"] == beta and wx["alpha"] == alpha
+    assert wx["df_phi"] == phi
+    assert wx["df_t"] == phi / se
+    assert wx["cointegrated"] == (phi / se < -3.34)
