@@ -5943,3 +5943,31 @@ SELECT type_y, type_x, n AS n_hours, beta, alpha, df_phi,
          AS cointegrated
 FROM st8
 """
+
+ORACLES["vocab_growth_heaps"] = """
+WITH spans AS (
+  SELECT source, floor((min(doc_id) + max(doc_id)) / 2)::BIGINT AS mid
+  FROM documents GROUP BY 1),
+exploded AS (
+  SELECT d.source,
+         CASE WHEN d.doc_id <= s.mid THEN 1 ELSE 0 END AS in_a,
+         unnest(CASE WHEN trim(d.text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(d.text), '\\s+')
+                END) AS tok
+  FROM documents d JOIN spans s USING (source)),
+agg AS (
+  SELECT source,
+         sum(in_a)::BIGINT AS n_tokens_half,
+         count(*)::BIGINT AS n_tokens_full,
+         count(DISTINCT CASE WHEN in_a = 1 THEN tok END)::BIGINT
+           AS vocab_half,
+         count(DISTINCT tok)::BIGINT AS vocab_full
+  FROM exploded GROUP BY 1)
+SELECT source, n_tokens_half, n_tokens_full, vocab_half, vocab_full,
+       n_tokens_full::DOUBLE / n_tokens_half::DOUBLE AS token_growth,
+       vocab_full::DOUBLE / vocab_half::DOUBLE AS vocab_growth,
+       vocab_half::DOUBLE / n_tokens_half::DOUBLE AS ttr_half,
+       vocab_full::DOUBLE / n_tokens_full::DOUBLE AS ttr_full
+FROM agg
+WHERE n_tokens_half >= 1 AND n_tokens_full > n_tokens_half
+"""

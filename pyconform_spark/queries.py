@@ -11679,3 +11679,67 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_t.alias("df_t"),
         (df_t < F.lit(-3.34)).alias("cointegrated"),
     )
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth profile per source: token count N
+    and distinct-vocabulary size V on the doc_id-prefix HALF of the
+    corpus vs the FULL corpus, with the growth ratios and type-token
+    ratios — the raw material of the Heaps exponent (V ~ K*N^beta,
+    Heaps 1978, public literature) reported as EXACT ratios: sublinear
+    vocabulary growth (vocab_growth << token_growth) is the natural-
+    text signature, while vocab_growth ~= token_growth flags synthetic
+    or ID-heavy content.  No ln() anywhere — the repo's convention is
+    that ln is not cross-engine bit-stable, so the exponent itself is
+    left to the analyst as ln(vocab_growth)/ln(token_growth).
+
+    EXACT cross-engine: the prefix is doc_id <= floor((min+max)/2) per
+    source (the catalog's integer midpoint-split convention applied to
+    the doc axis), tokenization is the shared whitespace rule
+    (textops.tokens == TOKENS_SQL), counts are BIGINT, and each ratio
+    is ONE integer->double division.
+
+    Scale shape: per-source spans broadcast back; ONE token explode
+    feeds a single aggregate whose two conditional count-distincts
+    share the shuffle.  No self-join; vocabulary never collects."""
+    from pyconform_spark.textops import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docs.groupBy("source").agg(
+        F.floor((F.min("doc_id") + F.max("doc_id")) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    exploded = (
+        docs.join(F.broadcast(spans), "source")
+        .select(
+            "source",
+            F.when(F.col("doc_id") <= F.col("mid"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_a"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    agg = exploded.groupBy("source").agg(
+        F.sum("in_a").cast("long").alias("n_tokens_half"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_full"),
+        F.countDistinct(F.when(F.col("in_a") == 1, F.col("tok")))
+        .cast("long")
+        .alias("vocab_half"),
+        F.countDistinct("tok").cast("long").alias("vocab_full"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.filter(
+        (F.col("n_tokens_half") >= 1)
+        & (F.col("n_tokens_full") > F.col("n_tokens_half"))
+    ).select(
+        "source",
+        "n_tokens_half",
+        "n_tokens_full",
+        "vocab_half",
+        "vocab_full",
+        (d("n_tokens_full") / d("n_tokens_half")).alias("token_growth"),
+        (d("vocab_full") / d("vocab_half")).alias("vocab_growth"),
+        (d("vocab_half") / d("n_tokens_half")).alias("ttr_half"),
+        (d("vocab_full") / d("n_tokens_full")).alias("ttr_full"),
+    )

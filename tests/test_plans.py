@@ -2077,3 +2077,14 @@ def test_engle_granger_joins_reduced_frames_only(spark):
         assert node not in plan
     assert count_nodes(plan, "Scan parquet") == 1
     assert "collect_list" in plan
+
+
+def test_vocab_growth_single_explode_shared_shuffle(spark):
+    """Heaps profile: per-source spans broadcast; ONE explode feeds
+    one aggregate whose two conditional count-distincts share the
+    shuffle (Expand node) — no self-join of the token frame."""
+    plan = plan_of(Q.vocab_growth_heaps(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Generate") == 1

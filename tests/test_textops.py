@@ -770,3 +770,27 @@ def test_novelty_first_doc_owns_everything(spark):
     assert out[1]["novelty"] == 0.0
     assert 0.0 < out[2]["novelty"] < 1.0
     assert out[2]["n_novel"] == out[2]["n_shingles"] - 1  # only 'a b c' seen
+
+
+def test_vocab_growth_heaps_golden(spark, tmp_path):
+    """Source s1, docs 1-4 with mid = floor((1+4)/2) = 2, so docs 1-2
+    are the prefix: half = 'a b' + 'a c' (4 tokens, vocab {a,b,c}),
+    full adds 'a b' + 'd e f' (9 tokens, vocab {a..f}) -> token
+    growth 2.25, vocab growth 2.0, TTRs 3/4 and 6/9."""
+    rows = [
+        (1, "a b", "en", "s1", 3),
+        (2, "a c", "en", "s1", 3),
+        (3, "a b", "en", "s1", 3),
+        (4, "d e f", "en", "s1", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    from pyconform_spark import queries as Q
+    [r] = Q.vocab_growth_heaps(spark, str(tmp_path)).collect()
+    assert (r["n_tokens_half"], r["n_tokens_full"]) == (4, 9)
+    assert (r["vocab_half"], r["vocab_full"]) == (3, 6)
+    assert r["token_growth"] == 2.25 and r["vocab_growth"] == 2.0
+    assert r["ttr_half"] == 0.75 and r["ttr_full"] == 6.0 / 9.0
