@@ -5971,3 +5971,25 @@ SELECT source, n_tokens_half, n_tokens_full, vocab_half, vocab_full,
 FROM agg
 WHERE n_tokens_half >= 1 AND n_tokens_full > n_tokens_half
 """
+
+ORACLES["zipf_decay_profile"] = """
+WITH terms AS (
+  SELECT source, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS tok
+  FROM documents),
+counted AS (
+  SELECT source, tok, count(*)::BIGINT AS freq
+  FROM terms GROUP BY 1, 2),
+ranked AS (
+  SELECT source, tok, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok ASC)::BIGINT AS rank,
+         max(freq) OVER (PARTITION BY source)::BIGINT AS f1
+  FROM counted)
+SELECT source, rank, tok AS term, freq,
+       (rank * freq)::BIGINT AS rank_x_freq,
+       freq::DOUBLE / f1::DOUBLE AS decay_from_top,
+       (rank * freq)::DOUBLE / f1::DOUBLE AS zipf_flatness
+FROM ranked WHERE rank IN (1, 2, 4, 8, 16, 32, 64)
+"""

@@ -11743,3 +11743,62 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d("vocab_half") / d("n_tokens_half")).alias("ttr_half"),
         (d("vocab_full") / d("n_tokens_full")).alias("ttr_full"),
     )
+
+
+def zipf_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency decay profile per source: the term
+    frequency at DYADIC ranks 1,2,4,...,64 with the products
+    rank*freq and the exact decay ratios — under Zipf's law with
+    exponent 1 (Zipf 1949, public literature) rank*freq is constant,
+    so `zipf_flatness` (rank*freq normalized by the top frequency)
+    hovering near 1.0 across dyadic ranks is the natural-text
+    signature, while fast decay flags templated/ID-heavy content and
+    slow decay flags near-uniform synthetic text.  No ln(): the
+    repo's convention is that ln is not cross-engine bit-stable, so
+    the profile is reported on the dyadic grid (log-spaced ranks)
+    with exact integer products instead of a fitted log-log slope.
+
+    EXACT cross-engine: term counts are BIGINT, rank is a
+    deterministic row_number (freq DESC, term ASC tie-break),
+    rank*freq is BIGINT, and both ratios are single integer->double
+    divisions against the per-source top frequency.
+
+    Scale shape: ONE token explode reduced by the (source, term) hash
+    aggregate; the rank window sorts the AGGREGATED term frame
+    (|vocab| rows, partition-local sort, never raw tokens); dyadic
+    filter keeps <= 7 rows per source."""
+    from pyconform_spark.textops import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("tok")
+    )
+    wtop = Window.partitionBy("source")
+    ranked = terms.select(
+        "source",
+        "tok",
+        "freq",
+        F.row_number().over(wrank).cast("long").alias("rank"),
+        F.max("freq").over(wtop).cast("long").alias("f1"),
+    )
+    return ranked.filter(
+        F.col("rank").isin(1, 2, 4, 8, 16, 32, 64)
+    ).select(
+        "source",
+        "rank",
+        F.col("tok").alias("term"),
+        "freq",
+        (F.col("rank") * F.col("freq")).cast("long").alias("rank_x_freq"),
+        (F.col("freq").cast("double") / F.col("f1").cast("double")).alias(
+            "decay_from_top"
+        ),
+        (
+            (F.col("rank") * F.col("freq")).cast("double")
+            / F.col("f1").cast("double")
+        ).alias("zipf_flatness"),
+    )

@@ -2088,3 +2088,15 @@ def test_vocab_growth_single_explode_shared_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "Generate") == 1
+
+
+def test_zipf_decay_window_on_aggregated_terms_only(spark):
+    """Zipf profile: the rank window sorts the AGGREGATED (source,
+    term) frame — the explode (Generate) happens before the hash
+    aggregate, and no join touches the token frame."""
+    plan = plan_of(Q.zipf_decay_profile(spark, SF))
+    assert count_nodes(plan, "Generate") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1

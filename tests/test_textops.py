@@ -794,3 +794,27 @@ def test_vocab_growth_heaps_golden(spark, tmp_path):
     assert (r["vocab_half"], r["vocab_full"]) == (3, 6)
     assert r["token_growth"] == 2.25 and r["vocab_growth"] == 2.0
     assert r["ttr_half"] == 0.75 and r["ttr_full"] == 6.0 / 9.0
+
+
+def test_zipf_decay_profile_golden(spark, tmp_path):
+    """Corpus 'a'x8 'b'x4 'c'x2 'd'x1: ranks 1,2,4 are dyadic
+    (rank 3 'c' is skipped), rank*freq = 8,8,4 and flatness
+    1.0, 1.0, 0.5 — a perfect s=1 Zipf head with a faster tail."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    rows = [(1, text, "en", "s1", len(text))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    from pyconform_spark import queries as Q
+    out = {r["rank"]: r
+           for r in Q.zipf_decay_profile(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["term"], out[1]["freq"], out[1]["rank_x_freq"]) == ("a", 8, 8)
+    assert (out[2]["term"], out[2]["rank_x_freq"]) == ("b", 8)
+    assert (out[4]["term"], out[4]["rank_x_freq"]) == ("d", 4)
+    assert out[1]["zipf_flatness"] == 1.0
+    assert out[2]["zipf_flatness"] == 1.0
+    assert out[4]["zipf_flatness"] == 0.5
+    assert out[4]["decay_from_top"] == 0.125
