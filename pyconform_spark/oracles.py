@@ -5993,3 +5993,64 @@ SELECT source, rank, tok AS term, freq,
        (rank * freq)::DOUBLE / f1::DOUBLE AS zipf_flatness
 FROM ranked WHERE rank IN (1, 2, 4, 8, 16, 32, 64)
 """
+
+ORACLES["sign_transfer_qmi"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+sig AS (
+  SELECT event_type, hr,
+         CASE WHEN lag(hr) OVER w = hr - 1
+              THEN sign(m - lag(m) OVER w)::INT END AS sc
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+sig2 AS (
+  SELECT event_type, hr, sc,
+         CASE WHEN lag(hr) OVER w = hr - 1
+              THEN lag(sc) OVER w END AS sp
+  FROM sig WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+pairs AS (
+  SELECT a.event_type AS type_y, b.event_type AS type_x,
+         b.sp AS i, a.sc AS j
+  FROM sig2 a JOIN sig2 b USING (hr)
+  WHERE a.event_type <> b.event_type
+    AND b.sp IS NOT NULL AND a.sc IS NOT NULL),
+cells AS (
+  SELECT type_y, type_x, i, j, count(*)::BIGINT AS o
+  FROM pairs GROUP BY 1, 2, 3, 4),
+rc AS (
+  SELECT type_y, type_x, i, j, o,
+         sum(o) OVER (PARTITION BY type_y, type_x, i)::BIGINT AS r,
+         sum(o) OVER (PARTITION BY type_y, type_x, j)::BIGINT AS c,
+         sum(o) OVER (PARTITION BY type_y, type_x)::BIGINT AS n
+  FROM cells),
+devs AS (
+  SELECT *,
+         (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT) AS dev,
+         row_number() OVER (
+           PARTITION BY type_y, type_x
+           ORDER BY (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT)
+                    * (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT)
+                    DESC, i DESC, j DESC) AS rn
+  FROM rc),
+agg AS (
+  SELECT type_y, type_x, max(n)::BIGINT AS n_pairs,
+         sum(o::HUGEINT * o::HUGEINT) AS so2,
+         sum(o::HUGEINT * r::HUGEINT * c::HUGEINT) AS sorc,
+         sum(o::HUGEINT * r::HUGEINT) AS sr2,
+         sum(o::HUGEINT * c::HUGEINT) AS sc2,
+         max(CASE WHEN rn = 1 THEN
+           (CASE WHEN i = -1 THEN 'down' WHEN i = 0 THEN 'flat'
+                 ELSE 'up' END) || '_then_' ||
+           (CASE WHEN j = -1 THEN 'down' WHEN j = 0 THEN 'flat'
+                 ELSE 'up' END) END) AS dominant_pattern
+  FROM devs GROUP BY 1, 2)
+SELECT type_y, type_x, n_pairs,
+       (n_pairs::HUGEINT * n_pairs::HUGEINT * so2
+        - 2::HUGEINT * n_pairs::HUGEINT * sorc
+        + sr2 * sc2)::DOUBLE
+         / (n_pairs::DOUBLE * n_pairs::DOUBLE
+            * n_pairs::DOUBLE * n_pairs::DOUBLE) AS qmi,
+       dominant_pattern
+FROM agg WHERE n_pairs >= 8
+"""

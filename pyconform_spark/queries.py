@@ -11802,3 +11802,142 @@ def zipf_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("f1").cast("double")
         ).alias("zipf_flatness"),
     )
+
+
+def sign_transfer_qmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sign-transfer dependence between every ORDERED pair
+    of event_type hourly series: the quadratic mutual information
+    (Vajda's chi^2-type dependence, public literature) between x's
+    move direction at hour t-1 and y's move direction at hour t —
+    sign in {-1,0,1} of the consecutive-hour mean delta.  QMI =
+    sum_ij (p_ij - p_i.p_.j)^2 is the distribution-free counterpart
+    of granger_lag1's variance-based predictiveness: it sees ANY
+    lagged association (e.g. x-up -> y-flat), not just linear ones,
+    and is chosen over transfer entropy BY DESIGN — ln() is not
+    cross-engine bit-stable, while QMI stays in integers.
+
+    EXACT cross-engine: with cell counts o_ij, row/col margins r_i,
+    c_j and n pairs, the numerator expands to
+    n^2*So2 - 2n*Sorc + Sr2*Sc2 where So2 = sum(o^2),
+    Sorc = sum(o*r*c), Sr2 = sum(o*r) (== sum_i r_i^2), Sc2 =
+    sum(o*c) — every term a sum over PRESENT cells only (absent
+    cells contribute through the margin products), staged in
+    DECIMAL(38,0)/HUGEINT, and QMI = num / n^4 is one division of
+    identically-rounded doubles.  The dominant pattern is the argmax
+    cell of (n*o - r*c)^2 with a deterministic (i, j) tie-break.
+
+    Scale shape: raw reduces to (type, hour) FIRST; signs are two
+    stacked lags on one per-type window; ordered pairs expand
+    joinlessly inside per-hour lists (the engle_granger trick); all
+    remaining work lives on the <= 9-cell-per-pair contingency
+    frame."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    s_cur = F.when(
+        F.lag("hr").over(wt) == F.col("hr") - 1,
+        F.signum(F.col("m") - F.lag("m").over(wt)).cast("int"),
+    )
+    sig = hourly.select("event_type", "hr", s_cur.alias("sc"))
+    sig2 = sig.select(
+        "event_type",
+        "hr",
+        "sc",
+        F.when(
+            F.lag("hr").over(wt) == F.col("hr") - 1, F.lag("sc").over(wt)
+        ).alias("sp"),
+    )
+    perhour = sig2.groupBy("hr").agg(
+        F.collect_list(
+            F.struct(F.col("event_type").alias("t"), "sc", "sp")
+        ).alias("lst")
+    )
+    pairs = (
+        perhour.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "lst",
+                        lambda a: F.transform(
+                            F.filter("lst", lambda b: b["t"] != a["t"]),
+                            lambda b: F.struct(
+                                a["t"].alias("type_y"),
+                                b["t"].alias("type_x"),
+                                b["sp"].alias("i"),
+                                a["sc"].alias("j"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.type_y", "p.type_x", "p.i", "p.j")
+        .filter(F.col("i").isNotNull() & F.col("j").isNotNull())
+    )
+    cells = pairs.groupBy("type_y", "type_x", "i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    wp = Window.partitionBy("type_y", "type_x")
+    wi = Window.partitionBy("type_y", "type_x", "i")
+    wj = Window.partitionBy("type_y", "type_x", "j")
+    rc = cells.select(
+        "type_y",
+        "type_x",
+        "i",
+        "j",
+        "o",
+        F.sum("o").over(wi).cast("long").alias("r"),
+        F.sum("o").over(wj).cast("long").alias("c"),
+        F.sum("o").over(wp).cast("long").alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    agg = rc.groupBy("type_y", "type_x").agg(
+        F.max("n").alias("n_pairs"),
+        F.sum(dec(F.col("o")) * dec(F.col("o"))).alias("so2"),
+        F.sum(dec(F.col("o")) * dec(F.col("r")) * dec(F.col("c"))).alias(
+            "sorc"
+        ),
+        F.sum(dec(F.col("o")) * dec(F.col("r"))).alias("sr2"),
+        F.sum(dec(F.col("o")) * dec(F.col("c"))).alias("sc2"),
+        F.max(
+            F.struct(
+                (dec(dev) * dec(dev)).alias("d2"),
+                F.col("i").alias("i"),
+                F.col("j").alias("j"),
+            )
+        ).alias("best"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = (
+        dec(F.col("n_pairs")) * dec(F.col("n_pairs")) * F.col("so2")
+        - F.lit(2).cast("decimal(38,0)") * dec(F.col("n_pairs")) * F.col("sorc")
+        + F.col("sr2") * F.col("sc2")
+    )
+    word = lambda c: (  # noqa: E731
+        F.when(c == -1, F.lit("down"))
+        .when(c == 0, F.lit("flat"))
+        .otherwise(F.lit("up"))
+    )
+    return agg.filter(F.col("n_pairs") >= 8).select(
+        "type_y",
+        "type_x",
+        "n_pairs",
+        (num.cast("double") / (nd * nd * nd * nd)).alias("qmi"),
+        F.concat(
+            word(F.col("best.i")), F.lit("_then_"), word(F.col("best.j"))
+        ).alias("dominant_pattern"),
+    )

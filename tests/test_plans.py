@@ -2100,3 +2100,16 @@ def test_zipf_decay_window_on_aggregated_terms_only(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_sign_transfer_qmi_joinless_pairs_single_scan(spark):
+    """Sign-transfer QMI: ONE raw scan reduced to (type, hour); the
+    ordered-pair expansion is the joinless per-hour list cross (no
+    join node anywhere); everything downstream lives on the <= 9-cell
+    contingency frame."""
+    plan = plan_of(Q.sign_transfer_qmi(spark, SF))
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Generate") == 1

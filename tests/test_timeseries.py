@@ -1970,3 +1970,32 @@ def test_engle_granger_perfect_and_stationary_pairs(spark, tmp_path):
     assert wx["df_phi"] == phi
     assert wx["df_t"] == phi / se
     assert wx["cointegrated"] == (phi / se < -3.34)
+
+
+def test_sign_transfer_qmi_perfect_follower(spark, tmp_path):
+    """y reproduces x's previous-hour move exactly (y_t = x_{t-1}),
+    x alternating: the (y <- x) contingency is 4x up_then_up +
+    4x down_then_down, n = 8, so QMI = 4*16^2 / 8^4 = 0.25 with
+    dominant pattern up_then_up (the i DESC tie-break).  Because x is
+    period-2, the REVERSE direction is equally predictive (aliasing),
+    so both ordered pairs return the same statistic — QMI is a
+    dependence measure, not a causal arrow."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    xs = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0]
+    ys = [9.0] + xs[:-1]
+    rows = []
+    eid = 0
+    for h in range(10):
+        for typ, series in (("x", xs), ("y", ys)):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), 1, typ, series[h], "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {(r["type_y"], r["type_x"]): r
+           for r in Q.sign_transfer_qmi(spark, str(tmp_path)).collect()}
+    assert set(out) == {("y", "x"), ("x", "y")}
+    for r in out.values():
+        assert r["n_pairs"] == 8
+        assert r["qmi"] == 0.25
+        assert r["dominant_pattern"] == "up_then_up"
