@@ -6054,3 +6054,35 @@ SELECT type_y, type_x, n_pairs,
        dominant_pattern
 FROM agg WHERE n_pairs >= 8
 """
+
+ORACLES["hellinger_decile_drift"] = """
+WITH base AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+spans AS (
+  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid,
+         min(vq)::BIGINT AS vmin, max(vq)::BIGINT AS vmax
+  FROM base GROUP BY 1),
+binned AS (
+  SELECT b.event_type,
+         floor(10 * (b.vq - s.vmin) / (s.vmax - s.vmin + 1))::BIGINT AS bin,
+         CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END AS in_a
+  FROM base b JOIN spans s USING (event_type)),
+cells AS (
+  SELECT event_type, bin,
+         sum(in_a)::BIGINT AS c1,
+         sum(1 - in_a)::BIGINT AS c2
+  FROM binned GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+         list_reduce(list(sqrt((c1 * c2)::DOUBLE) ORDER BY bin),
+                     (a, b) -> a + b) AS s_bc
+  FROM cells GROUP BY 1)
+SELECT event_type, n1, n2,
+       s_bc / sqrt((n1 * n2)::DOUBLE) AS bhattacharyya,
+       sqrt(greatest(1.0 - s_bc / sqrt((n1 * n2)::DOUBLE), 0.0))
+         AS hellinger
+FROM agg WHERE n1 >= 1 AND n2 >= 1
+"""

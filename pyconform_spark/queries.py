@@ -11941,3 +11941,73 @@ def sign_transfer_qmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             word(F.col("best.i")), F.lit("_then_"), word(F.col("best.j"))
         ).alias("dominant_pattern"),
     )
+
+
+def hellinger_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient per event_type
+    between the early and late halves on 10 equal-width integer bins
+    of the per-type value range — the bounded [0,1] drift measure ML
+    monitoring dashboards favor (public literature): BC =
+    sum_b sqrt(p1_b * p2_b), H = sqrt(1 - BC); H = 0 iff identical
+    binned densities, H = 1 iff disjoint support.  Completes the
+    drift battery's metric-space corner (TVD is L1, CvM/AD are CDF
+    integrals, this is the geodesic on the probability simplex).
+
+    EXACT cross-engine: bin = floor(10*(vq - vmin)/(vmax - vmin + 1))
+    is pure integer arithmetic; per-bin sqrt(c1*c2) is one
+    IEEE-correctly-rounded sqrt of an exact integer; the <= 10 bin
+    terms are summed by the ORDER-PINNED left fold (Spark array_sort +
+    aggregate == DuckDB list_reduce over list(... ORDER BY bin)); BC
+    is one division by sqrt(n1*n2); 1 - BC is clamped at 0 through
+    GREATEST in both engines before the final sqrt (BC can exceed 1
+    by one ulp when the halves are bin-identical).
+
+    Scale shape: per-type spans broadcast back; ONE hash aggregate to
+    the <= 10-bin frame; the fold array is <= 10 elements.  No raw
+    self-join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid"),
+        F.min("vq").alias("vmin"),
+        F.max("vq").alias("vmax"),
+    )
+    binned = base.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        F.floor(
+            F.lit(10)
+            * (F.col("vq") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("es") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("c2"),
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", (F.col("c1") * F.col("c2")).alias("cc")))
+        ).alias("terms"),
+    )
+    s_bc = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.sqrt(x["cc"].cast("double")),
+    )
+    bc = s_bc / F.sqrt((F.col("n1") * F.col("n2")).cast("double"))
+    return agg.filter((F.col("n1") >= 1) & (F.col("n2") >= 1)).select(
+        "event_type",
+        "n1",
+        "n2",
+        bc.alias("bhattacharyya"),
+        F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))).alias("hellinger"),
+    )

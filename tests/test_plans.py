@@ -2113,3 +2113,15 @@ def test_sign_transfer_qmi_joinless_pairs_single_scan(spark):
         assert node not in plan
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "Generate") == 1
+
+
+def test_hellinger_fold_on_ten_bin_frame(spark):
+    """Hellinger: spans broadcast once, one hash aggregate to the
+    <= 10-bin frame, fold array <= 10 elements — no raw self-join,
+    no window at all."""
+    plan = plan_of(Q.hellinger_decile_drift(spark, SF))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "collect_list" in plan

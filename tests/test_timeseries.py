@@ -1999,3 +1999,39 @@ def test_sign_transfer_qmi_perfect_follower(spark, tmp_path):
         assert r["n_pairs"] == 8
         assert r["qmi"] == 0.25
         assert r["dominant_pattern"] == "up_then_up"
+
+
+def test_hellinger_decile_drift_golden(spark, tmp_path):
+    """a = [0,0,5,5], b = [0,5,5,5]: range [0,500] puts vq 0 in bin 0
+    and vq 500 in bin 9; counts (2,1) and (2,3), so
+    BC = (sqrt(2) + sqrt(6))/4 (fold order bin 0 then 9) and
+    H = sqrt(1 - BC)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 0.0, 5.0, 5.0, 0.0, 5.0, 5.0, 5.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "h", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.hellinger_decile_drift(spark, str(tmp_path)).collect()
+    import math
+    bc = ((0.0 + math.sqrt(2.0)) + math.sqrt(6.0)) / math.sqrt(16.0)
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["bhattacharyya"] == bc
+    assert r["hellinger"] == math.sqrt(max(1.0 - bc, 0.0))
+
+
+def test_hellinger_identical_halves_exactly_zero(spark, tmp_path):
+    """Identical halves: every per-bin sqrt(c*c) is the exact integer
+    c (IEEE sqrt of a perfect square), so BC folds to exactly n,
+    BC = 1.0 bit-for-bit and H = 0.0 — no epsilon needed."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "z", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.hellinger_decile_drift(spark, str(tmp_path)).collect()
+    assert r["bhattacharyya"] == 1.0
+    assert r["hellinger"] == 0.0
