@@ -6086,3 +6086,78 @@ SELECT event_type, n1, n2,
          AS hellinger
 FROM agg WHERE n1 >= 1 AND n2 >= 1
 """
+
+ORACLES["equidepth_histogram"] = """
+WITH counted AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM counted),
+oct AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e1,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e2,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e3,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e4,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e5,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e6,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
+                  THEN vq END)::BIGINT AS e7,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c1,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c2,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c3,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c4,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c5,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c6,
+         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
+                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
+                  THEN cum END)::BIGINT AS c7
+  FROM ranked GROUP BY 1),
+rows_ AS (
+  SELECT event_type, n, t.k::BIGINT AS k,
+         CASE t.k WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+                  WHEN 4 THEN e4 WHEN 5 THEN e5 WHEN 6 THEN e6
+                  ELSE e7 END AS eb,
+         CASE t.k WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                  WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6
+                  ELSE c7 END AS cum_le
+  FROM oct CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)
+  WHERE n >= 8)
+SELECT event_type, n, k,
+       (floor((n - 1) * k / 8)::BIGINT + 1)::BIGINT AS target_rank,
+       eb::DOUBLE / 100.0 AS boundary,
+       cum_le,
+       (cum_le - (floor((n - 1) * k / 8)::BIGINT + 1))::BIGINT AS tie_excess,
+       cum_le::DOUBLE / n::DOUBLE AS depth_share
+FROM rows_
+"""

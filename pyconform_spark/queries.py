@@ -12011,3 +12011,86 @@ def hellinger_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.alias("bhattacharyya"),
         F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))).alias("hellinger"),
     )
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram synopsis per event_type —
+    the classic optimizer statistic (Piatetsky-Shapiro & Connell 1984,
+    public literature): 7 interior boundaries splitting the values
+    into 8 equal-count buckets, each row carrying the boundary value,
+    its target rank floor((n-1)*k/8)+1, the EXACT count of rows <=
+    boundary, and the tie excess (cum_le - target_rank) — the
+    diagnostic that tells an optimizer when heavy ties make the
+    bucket depths uneven and a height-balanced histogram lies.
+
+    EXACT cross-engine: boundaries come from the same distinct-value
+    cumulative-count rank recovery as percentiles_by_type /
+    robust_moments; cum_le is the cumulative count AT the picked
+    distinct value (both BIGINT); boundary and depth_share are single
+    integer->double divisions.  The 7-row unpivot is a constant
+    expansion (Spark inline == DuckDB CROSS JOIN VALUES).
+
+    Scale shape: ONE raw scan reduced by the (type, vq) aggregate,
+    ONE per-type exchange, the boundary marks resolve in ONE
+    conditional aggregate, and the unpivot multiplies only the
+    |types|-row frame by 7."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counted = df.groupBy("event_type", vq.alias("vq")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = counted.select(
+        "event_type",
+        "vq",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+
+    def hit(k: int):
+        mark = (F.floor((F.col("n") - 1) * F.lit(k) / 8) + 1).cast("long")
+        return (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+
+    oct_ = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(F.when(hit(k), F.col("vq"))).cast("long").alias(f"e{k}")
+            for k in range(1, 8)
+        ],
+        *[
+            F.min(F.when(hit(k), F.col("cum"))).cast("long").alias(f"c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"e{k}").alias("eb"),
+                F.col(f"c{k}").alias("cum_le"),
+            )
+            for k in range(1, 8)
+        ]
+    )
+    rows = oct_.filter(F.col("n") >= 8).select(
+        "event_type", "n", F.inline(arr)
+    )
+    target = (F.floor((F.col("n") - 1) * F.col("k") / 8) + 1).cast("long")
+    return rows.select(
+        "event_type",
+        "n",
+        "k",
+        target.alias("target_rank"),
+        (F.col("eb").cast("double") / 100.0).alias("boundary"),
+        "cum_le",
+        (F.col("cum_le") - target).cast("long").alias("tie_excess"),
+        (F.col("cum_le").cast("double") / F.col("n").cast("double")).alias(
+            "depth_share"
+        ),
+    )

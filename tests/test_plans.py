@@ -2125,3 +2125,17 @@ def test_hellinger_fold_on_ten_bin_frame(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "collect_list" in plan
+
+
+def test_equidepth_single_sort_constant_unpivot(spark):
+    """Equi-depth synopsis: same shape as robust_moments — 1 scan,
+    2 exchanges, 1 sort, 2 windows — and the 7-row unpivot (Generate
+    from inline) runs on the |types|-row aggregate only."""
+    plan = plan_of(Q.equidepth_histogram(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
+    assert count_nodes(plan, "Generate") == 1

@@ -2035,3 +2035,29 @@ def test_hellinger_identical_halves_exactly_zero(spark, tmp_path):
     [r] = Q.hellinger_decile_drift(spark, str(tmp_path)).collect()
     assert r["bhattacharyya"] == 1.0
     assert r["hellinger"] == 0.0
+
+
+def test_equidepth_histogram_ties_show_as_excess(spark, tmp_path):
+    """16 values = 0..7 each twice: boundaries land on 1..7 at target
+    ranks 2,4,6,8,10,12,14, and every cum_le overshoots by 0 or 1
+    exactly when the target rank is odd (ties come in pairs)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [float(i // 2) for i in range(16)]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "e", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["k"]: r
+           for r in Q.equidepth_histogram(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(1, 8))
+    for k, r in out.items():
+        # target rank floor(15k/8)+1; boundary value = the distinct
+        # centi-value holding that rank; each distinct value spans 2 rows
+        target = (15 * k) // 8 + 1
+        assert r["target_rank"] == target
+        assert r["boundary"] == float((target - 1) // 2)
+        assert r["cum_le"] == 2 * ((target - 1) // 2 + 1)
+        assert r["tie_excess"] == r["cum_le"] - target
+        assert 0 <= r["tie_excess"] <= 1
+    assert out[4]["boundary"] == 3.0 and out[4]["cum_le"] == 8
