@@ -6161,3 +6161,52 @@ SELECT event_type, n, k,
        cum_le::DOUBLE / n::DOUBLE AS depth_share
 FROM rows_
 """
+
+ORACLES["brown_forsythe_scale"] = """
+WITH counted AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM counted),
+dev AS (
+  SELECT event_type, cnt,
+         abs(vq - min(CASE WHEN cum - cnt < floor((n - 1) / 2)::BIGINT + 1
+                            AND floor((n - 1) / 2)::BIGINT + 1 <= cum
+                           THEN vq END)
+                 OVER (PARTITION BY event_type))::BIGINT AS z
+  FROM ranked),
+per_type AS (
+  SELECT event_type,
+         sum(cnt)::BIGINT AS n_i,
+         sum(cnt * z)::BIGINT AS s_i,
+         sum(cnt * z * z)::BIGINT AS q_i
+  FROM dev GROUP BY 1),
+gall AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(n_i)::BIGINT AS n_total,
+         sum(s_i)::BIGINT AS t_sum,
+         sum(q_i)::BIGINT AS q_sum,
+         list_reduce(list(s_i::DOUBLE * s_i::DOUBLE / n_i::DOUBLE
+                          ORDER BY event_type), (a, b) -> a + b) AS ssb_sum,
+         max(struct_pack(mz := s_i::DOUBLE / n_i::DOUBLE,
+                         t := event_type)) AS top
+  FROM per_type)
+SELECT k, n_total,
+       ssb_sum - (t_sum::DOUBLE * t_sum::DOUBLE) / n_total::DOUBLE
+         AS ss_between,
+       q_sum::DOUBLE - ssb_sum AS ss_within,
+       ((ssb_sum - (t_sum::DOUBLE * t_sum::DOUBLE) / n_total::DOUBLE)
+          / (k::DOUBLE - 1.0))
+         / nullif((q_sum::DOUBLE - ssb_sum)
+                  / (n_total::DOUBLE - k::DOUBLE), 0.0) AS bf_f,
+       k::DOUBLE - 1.0 AS df1,
+       n_total::DOUBLE - k::DOUBLE AS df2,
+       top.t AS most_dispersed_type,
+       top.mz AS max_mean_absdev_centi
+FROM gall WHERE k >= 2 AND n_total > k
+"""

@@ -12094,3 +12094,104 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "depth_share"
         ),
     )
+
+
+def brown_forsythe_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene, Brown & Forsythe
+    1974, public literature) for variance homogeneity ACROSS all
+    event_types at once: one-way ANOVA F on the absolute deviations
+    z = |value - median(type)| — the k-sample counterpart of
+    siegel_tukey_scale's two-sample rank test, robust to non-normal
+    values because it centers on the MEDIAN.
+
+    EXACT cross-engine: per-type lower medians come from the shared
+    distinct-value rank recovery as a conditional WINDOW aggregate (no
+    join-back), so z is BIGINT on the centi-grid; per-type sums S, Q
+    and counts are BIGINT; the k per-type terms S^2/n are divided once
+    each and summed by the ORDER-PINNED fold (sorted by event_type);
+    SSW = sum(Q) - ssb_sum and SSB = ssb_sum - T^2/N are fixed
+    expression trees; F is one division (NULL when SSW = 0).  The
+    most-dispersed type is the deterministic struct-max of mean |z|.
+
+    Scale shape: ONE raw scan reduced by the (type, vq) aggregate, ONE
+    per-type exchange whose window stack yields median AND deviations,
+    one k-row global fold.  No joins anywhere."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counted = df.groupBy("event_type", vq.alias("vq")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = counted.select(
+        "event_type",
+        "vq",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    mark = (F.floor((F.col("n") - 1) / 2) + 1).cast("long")
+    hit = (F.col("cum") - F.col("cnt") < mark) & (mark <= F.col("cum"))
+    med = F.min(F.when(hit, F.col("vq"))).over(wtot).cast("long")
+    z = F.abs(F.col("vq") - med)
+    per_type = (
+        ranked.select(
+            "event_type",
+            "cnt",
+            z.alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_i"),
+            F.sum(F.col("cnt") * F.col("z")).cast("long").alias("s_i"),
+            F.sum(F.col("cnt") * F.col("z") * F.col("z"))
+            .cast("long")
+            .alias("q_i"),
+        )
+    )
+    glob = per_type.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum("s_i").cast("long").alias("t_sum"),
+        F.sum("q_i").cast("long").alias("q_sum"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "n_i", "s_i"))
+        ).alias("groups"),
+        F.max(
+            F.struct(
+                (F.col("s_i").cast("double") / F.col("n_i").cast("double"))
+                .alias("mz"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("top"),
+    )
+    ssb_sum = F.aggregate(
+        F.col("groups"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + (g["s_i"].cast("double") * g["s_i"].cast("double"))
+        / g["n_i"].cast("double"),
+    )
+    nd = F.col("n_total").cast("double")
+    kd = F.col("k").cast("double")
+    td = F.col("t_sum").cast("double")
+    ssb = ssb_sum - (td * td) / nd
+    ssw = F.col("q_sum").cast("double") - ssb_sum
+    bf_f = (ssb / (kd - F.lit(1.0))) / F.nullif(
+        ssw / (nd - kd), F.lit(0.0)
+    )
+    return glob.filter((F.col("k") >= 2) & (F.col("n_total") > F.col("k"))).select(
+        "k",
+        "n_total",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        bf_f.alias("bf_f"),
+        (kd - F.lit(1.0)).alias("df1"),
+        (nd - kd).alias("df2"),
+        F.col("top.t").alias("most_dispersed_type"),
+        F.col("top.mz").alias("max_mean_absdev_centi"),
+    )

@@ -2139,3 +2139,16 @@ def test_equidepth_single_sort_constant_unpivot(spark):
     assert count_nodes(plan, "Exchange") == 2
     assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
     assert count_nodes(plan, "Generate") == 1
+
+
+def test_brown_forsythe_joinless_median_windows(spark):
+    """Brown-Forsythe: the per-type median is a conditional WINDOW
+    aggregate on the ranked distinct-value frame (no join-back), so
+    the whole test is 1 scan, stacked windows, two aggregates, zero
+    joins."""
+    plan = plan_of(Q.brown_forsythe_scale(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert count_nodes(plan, r"Sort(?!Aggregate)") == 1

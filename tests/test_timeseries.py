@@ -2061,3 +2061,43 @@ def test_equidepth_histogram_ties_show_as_excess(spark, tmp_path):
         assert r["tie_excess"] == r["cum_le"] - target
         assert 0 <= r["tie_excess"] <= 1
     assert out[4]["boundary"] == 3.0 and out[4]["cum_le"] == 8
+
+
+def test_brown_forsythe_golden(spark, tmp_path):
+    """Type a = [0,0,10,10] (lower median 0, |z| sums S=2000 centi,
+    Q=2e6) vs constant type b (S=Q=0): ssb_sum = 1e6,
+    SSB = 1e6 - 2000^2/8 = 5e5, SSW = 2e6 - 1e6 = 1e6,
+    F = (5e5/1)/(1e6/6) = 3.0 exactly; 'a' is the dispersed type."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "a", v, "{}")
+        for i, v in enumerate([0.0, 0.0, 10.0, 10.0])
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=i), 1, "b", 5.0, "{}")
+        for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.brown_forsythe_scale(spark, str(tmp_path)).collect()
+    assert (r["k"], r["n_total"]) == (2, 8)
+    assert r["ss_between"] == 5e5
+    assert r["ss_within"] == 1e6
+    assert r["bf_f"] == 3.0
+    assert (r["df1"], r["df2"]) == (1.0, 6.0)
+    assert r["most_dispersed_type"] == "a"
+    assert r["max_mean_absdev_centi"] == 500.0
+
+
+def test_brown_forsythe_equal_dispersion_zero(spark, tmp_path):
+    """Two types with identical deviation profiles: SSB is exactly 0
+    (the fold's S^2/n terms equal T^2/N), so F = 0."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for j, typ in enumerate(["p", "q"]):
+        for i, v in enumerate([1.0, 3.0]):
+            rows.append(
+                (10 * j + i, t0 + dt.timedelta(minutes=i), 1, typ, v, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.brown_forsythe_scale(spark, str(tmp_path)).collect()
+    assert r["ss_between"] == 0.0
+    assert r["bf_f"] == 0.0
