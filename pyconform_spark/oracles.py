@@ -6210,3 +6210,57 @@ SELECT k, n_total,
        top.mz AS max_mean_absdev_centi
 FROM gall WHERE k >= 2 AND n_total > k
 """
+
+ORACLES["durbin_watson_trend"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+arr0 AS (
+  SELECT event_type,
+         list(struct_pack(hr := hr, m := m) ORDER BY hr) AS arr,
+         count(*)::BIGINT AS n
+  FROM hourly GROUP BY 1),
+st0 AS (
+  SELECT event_type, n,
+         list_transform(arr, v -> struct_pack(
+           t := (v.hr - arr[1].hr)::DOUBLE, m := v.m)) AS tm
+  FROM arr0 WHERE n >= 4),
+st1 AS (
+  SELECT event_type, n, tm,
+         list_reduce(list_transform(tm, v -> v.t), (p, q) -> p + q) AS st,
+         list_reduce(list_transform(tm, v -> v.m), (p, q) -> p + q) AS sm,
+         list_reduce(list_transform(tm, v -> v.t * v.t),
+                     (p, q) -> p + q) AS stt,
+         list_reduce(list_transform(tm, v -> v.t * v.m),
+                     (p, q) -> p + q) AS stm
+  FROM st0),
+st2 AS (
+  SELECT event_type, n, tm, sm, st,
+         (n::DOUBLE * stm - st * sm)
+           / nullif(n::DOUBLE * stt - st * st, 0.0) AS beta
+  FROM st1),
+st3 AS (
+  SELECT event_type, n, tm, beta,
+         (sm - beta * st) / n::DOUBLE AS alpha
+  FROM st2),
+st4 AS (
+  SELECT event_type, n, beta, alpha,
+         list_transform(tm, v -> (v.m - alpha) - beta * v.t) AS e
+  FROM st3),
+st5 AS (
+  SELECT event_type, n, beta, alpha,
+         list_reduce(list_transform(e, r -> r * r), (p, q) -> p + q) AS see,
+         list_reduce(list_transform(
+             list_zip(list_slice(e, 2, n), list_slice(e, 1, n - 1)),
+             s -> (s[1] - s[2]) * (s[1] - s[2])), (p, q) -> p + q) AS sdd
+  FROM st4)
+SELECT event_type, n AS n_hours,
+       beta AS trend_slope_centi_per_hr,
+       sdd / nullif(see, 0.0) AS dw,
+       1.0 - (sdd / nullif(see, 0.0)) / 2.0 AS rho1,
+       CASE WHEN sdd / nullif(see, 0.0) < 1.5 THEN 'positive_autocorr'
+            WHEN sdd / nullif(see, 0.0) > 2.5 THEN 'negative_autocorr'
+            ELSE 'white' END AS residual_verdict
+FROM st5
+"""

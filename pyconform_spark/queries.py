@@ -12195,3 +12195,128 @@ def brown_forsythe_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.t").alias("most_dispersed_type"),
         F.col("top.mz").alias("max_mean_absdev_centi"),
     )
+
+
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic (Durbin & Watson
+    1950, public literature) on the residuals of each event_type's
+    hourly-mean linear trend: fit m = alpha + beta*t in closed form
+    (t = hours since the type's first hour), then
+    DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) over the hour-sorted
+    residuals — DW ~ 2 means white residuals, << 2 positive serial
+    correlation (the trend line is missing slow structure), >> 2
+    negative (overdifferenced/oscillating).  Complements
+    engle_granger_coint (which DF-tests PAIR residuals): this is the
+    single-series lack-of-fit reading.
+
+    EXACT cross-engine: t is integer (hr - first hr of the sorted
+    array); every regression sum and both DW sums are ORDER-PINNED
+    left folds over the hr-sorted array with identical element
+    expression trees; beta/alpha/DW are fixed double expressions;
+    zero x-variance and a perfect fit (sum e^2 = 0) yield NULL via
+    NULLIF.  rho1 = 1 - DW/2 and the label thresholds (1.5 / 2.5)
+    are identical literals.
+
+    Scale shape: ONE raw scan reduced to (type, hour); ONE per-type
+    array whose length is the hour span, not the row count; zero
+    joins, zero windows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    arr0 = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hr", "m"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tm = F.transform(
+        "arr",
+        lambda v: F.struct(
+            (v["hr"] - F.element_at(F.col("arr"), 1)["hr"])
+            .cast("double")
+            .alias("t"),
+            v["m"].alias("m"),
+        ),
+    )
+    st0 = arr0.filter(F.col("n") >= 4).select(
+        "event_type", "n", tm.alias("tm")
+    )
+
+    def fsum(col, fn):
+        return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + fn(v))
+
+    st1 = st0.select(
+        "event_type",
+        "n",
+        "tm",
+        fsum("tm", lambda v: v["t"]).alias("st"),
+        fsum("tm", lambda v: v["m"]).alias("sm"),
+        fsum("tm", lambda v: v["t"] * v["t"]).alias("stt"),
+        fsum("tm", lambda v: v["t"] * v["m"]).alias("stm"),
+    )
+    nn = F.col("n").cast("double")
+    st2 = st1.select(
+        "event_type",
+        "n",
+        "tm",
+        "sm",
+        "st",
+        (
+            (nn * F.col("stm") - F.col("st") * F.col("sm"))
+            / F.nullif(nn * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0))
+        ).alias("beta"),
+    )
+    st3 = st2.select(
+        "event_type",
+        "n",
+        "tm",
+        "beta",
+        ((F.col("sm") - F.col("beta") * F.col("st")) / nn).alias("alpha"),
+    )
+    st4 = st3.select(
+        "event_type",
+        "n",
+        "beta",
+        "alpha",
+        F.transform(
+            "tm", lambda v: (v["m"] - F.col("alpha")) - F.col("beta") * v["t"]
+        ).alias("e"),
+    )
+    ni = F.col("n").cast("int")
+    st5 = st4.select(
+        "event_type",
+        "n",
+        "beta",
+        "alpha",
+        fsum("e", lambda r: r * r).alias("see"),
+        fsum(
+            F.zip_with(
+                F.slice("e", 2, ni - 1),
+                F.slice("e", 1, ni - 1),
+                lambda c, p: (c - p) * (c - p),
+            ),
+            lambda d: d,
+        ).alias("sdd"),
+    )
+    dw = F.col("sdd") / F.nullif(F.col("see"), F.lit(0.0))
+    return st5.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("beta").alias("trend_slope_centi_per_hr"),
+        dw.alias("dw"),
+        (F.lit(1.0) - dw / F.lit(2.0)).alias("rho1"),
+        F.when(dw < F.lit(1.5), F.lit("positive_autocorr"))
+        .when(dw > F.lit(2.5), F.lit("negative_autocorr"))
+        .otherwise(F.lit("white"))
+        .alias("residual_verdict"),
+    )

@@ -2152,3 +2152,16 @@ def test_brown_forsythe_joinless_median_windows(spark):
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
     assert count_nodes(plan, r"Sort(?!Aggregate)") == 1
+
+
+def test_durbin_watson_no_window_no_join(spark):
+    """Durbin-Watson: raw reduces to (type, hour) in one aggregate;
+    the regression and both DW sums are array folds — zero joins,
+    zero Window nodes, one scan."""
+    plan = plan_of(Q.durbin_watson_trend(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "Window" not in plan
+    assert "collect_list" in plan

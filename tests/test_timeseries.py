@@ -2101,3 +2101,38 @@ def test_brown_forsythe_equal_dispersion_zero(spark, tmp_path):
     [r] = Q.brown_forsythe_scale(spark, str(tmp_path)).collect()
     assert r["ss_between"] == 0.0
     assert r["bf_f"] == 0.0
+
+
+def test_durbin_watson_oscillation_flags_negative(spark, tmp_path):
+    """Hourly means [0,2,0,2] around the fitted trend m = 40 + 40t
+    (centi): residuals [-40,120,-120,40], see = 32000,
+    sdd = 160^2 + 240^2 + 160^2 = 108800, DW = 3.4 > 2.5 ->
+    negative_autocorr with rho1 = -0.7."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 2.0, 0.0, 2.0]
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "o", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.durbin_watson_trend(spark, str(tmp_path)).collect()
+    assert r["n_hours"] == 4
+    assert r["trend_slope_centi_per_hr"] == 40.0
+    assert r["dw"] == 3.4
+    assert r["rho1"] == 1.0 - 3.4 / 2.0
+    assert r["residual_verdict"] == "negative_autocorr"
+
+
+def test_durbin_watson_perfect_line_null(spark, tmp_path):
+    """A perfect linear ramp leaves zero residuals: see = 0 propagates
+    NULL through DW/rho1 and the verdict falls to the CASE default."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "l", float(i), "{}")
+        for i in range(5)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.durbin_watson_trend(spark, str(tmp_path)).collect()
+    assert r["trend_slope_centi_per_hr"] == 100.0
+    assert r["dw"] is None and r["rho1"] is None
+    assert r["residual_verdict"] == "white"
