@@ -477,9 +477,9 @@ FROM documents
 """
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-vote language ID with deterministic tie-break (first
-    language in sorted order wins ties)."""
+def _pred_lang_cols() -> tuple[Column, Column]:
+    """The stopword-vote argmax as reusable (pred_lang, n_votes)
+    column expressions (first language in sorted order wins ties)."""
     w = tokens(F.col("text"))
 
     def _vote(lang: str) -> Column:
@@ -496,10 +496,96 @@ def lang_id(docs: DataFrame) -> DataFrame:
             cond = votes[lang] > best_n
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_n = F.when(cond, votes[lang]).otherwise(best_n)
+    return best, best_n
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (first
+    language in sorted order wins ties)."""
+    best, best_n = _pred_lang_cols()
     return docs.select(
         "doc_id",
         best.alias("pred_lang"),
         best_n.cast("long").alias("n_votes"),
+    )
+
+
+def lang_id_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa agreement (Cohen 1960, public literature) between
+    the corpus `lang` label and the stopword-vote detector — the
+    chance-corrected accuracy that tells a curation pipeline whether
+    its language router beats majority-class guessing: kappa =
+    (po - pe)/(1 - pe) with po the diagonal rate and pe the margin
+    product rate.
+
+    EXACT cross-engine: with contingency counts o (truth x pred),
+    n = sum(o), diag = sum of agreeing counts, and
+    pe_num = sum_i r_i*c_i computed as a NESTED integer fold over the
+    <= |langs|^2 cell array (for each cell a, its truth-row total
+    r crossed with the pred-column total of the same label — absent
+    diagonal cells need no special case because the identity runs
+    over truth labels), kappa = (n*diag - pe_num)/(n^2 - pe_num) is
+    ONE division of exact BIGINTs (NULL when pred and truth are both
+    single-label via NULLIF).  No floats until that division.
+
+    Scale shape: ONE scan to the <= |langs|^2 contingency, one global
+    array; zero joins, zero windows."""
+    best, _ = _pred_lang_cols()
+    cells = (
+        docs.select(F.col("lang").alias("l"), best.alias("p"))
+        .groupBy("l", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    glob = cells.groupBy().agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.when(F.col("l") == F.col("p"), F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+        F.collect_list(F.struct("l", "p", "o")).alias("arr"),
+    )
+    pe_num = F.aggregate(
+        F.col("arr"),
+        F.lit(0).cast("long"),
+        lambda acc, a: acc
+        + a["o"]
+        * F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("long"),
+            lambda acc2, b: acc2
+            + F.when(b["p"] == a["l"], b["o"]).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    nd = F.col("n").cast("double")
+    st = glob.select(
+        "n",
+        "diag",
+        pe_num.alias("pe_num"),
+    )
+    return st.filter(F.col("n") >= 1).select(
+        "n",
+        "diag",
+        (F.col("diag").cast("double") / nd).alias("po"),
+        (F.col("pe_num").cast("double") / (nd * nd)).alias("pe"),
+        (
+            (F.col("n") * F.col("diag") - F.col("pe_num")).cast("double")
+            / F.nullif(F.col("n") * F.col("n") - F.col("pe_num"), F.lit(0))
+            .cast("double")
+        ).alias("kappa"),
+        F.when(
+            F.col("n") * F.col("diag") - F.col("pe_num") <= 0, F.lit("chance")
+        )
+        .when(
+            5 * (F.col("n") * F.col("diag") - F.col("pe_num"))
+            >= 4 * (F.col("n") * F.col("n") - F.col("pe_num")),
+            F.lit("near_perfect"),
+        )
+        .when(
+            5 * (F.col("n") * F.col("diag") - F.col("pe_num"))
+            >= 3 * (F.col("n") * F.col("n") - F.col("pe_num")),
+            F.lit("substantial"),
+        )
+        .otherwise(F.lit("moderate_or_less"))
+        .alias("agreement"),
     )
 
 
@@ -520,6 +606,48 @@ def lang_id_sql() -> str:
     return f"""
 SELECT doc_id, {expr_lang} AS pred_lang, ({expr_n})::BIGINT AS n_votes
 FROM documents
+"""
+
+
+def lang_id_kappa_sql() -> str:
+    def vote(lang: str) -> str:
+        lits = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        return f"len(list_filter({TOKENS_SQL}, x -> list_contains([{lits}], x)))"
+
+    expr_lang = f"'{LANGS[0]}'"
+    expr_n = vote(LANGS[0])
+    for lang in LANGS[1:]:
+        v = vote(lang)
+        expr_lang = f"CASE WHEN {v} > ({expr_n}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_n = f"CASE WHEN {v} > ({expr_n}) THEN {v} ELSE {expr_n} END"
+    return f"""
+WITH cells AS (
+  SELECT lang AS l, {expr_lang} AS p, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2),
+gall AS (
+  SELECT sum(o)::BIGINT AS n,
+         sum(CASE WHEN l = p THEN o ELSE 0 END)::BIGINT AS diag,
+         list(struct_pack(l := l, p := p, o := o)) AS arr
+  FROM cells),
+st AS (
+  SELECT n, diag,
+         list_reduce(list_transform(arr, a -> a.o *
+           list_reduce(list_transform(arr, b ->
+             CASE WHEN b.p = a.l THEN b.o ELSE 0::BIGINT END),
+             (x, y) -> x + y)), (x, y) -> x + y) AS pe_num
+  FROM gall)
+SELECT n, diag,
+       diag::DOUBLE / n::DOUBLE AS po,
+       pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE) AS pe,
+       (n * diag - pe_num)::DOUBLE
+         / nullif(n * n - pe_num, 0)::DOUBLE AS kappa,
+       CASE WHEN n * diag - pe_num <= 0 THEN 'chance'
+            WHEN 5 * (n * diag - pe_num) >= 4 * (n * n - pe_num)
+              THEN 'near_perfect'
+            WHEN 5 * (n * diag - pe_num) >= 3 * (n * n - pe_num)
+              THEN 'substantial'
+            ELSE 'moderate_or_less' END AS agreement
+FROM st WHERE n >= 1
 """
 
 
@@ -1647,6 +1775,7 @@ def register_text_queries() -> dict[str, callable]:
         "dedup_simhash_pairs": lambda s, d: simhash_near_pairs(_docs(s, d)),
         "text_token_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
+        "lang_id_kappa": lambda s, d: lang_id_kappa(_docs(s, d)),
         "text_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         "text_quality_score": lambda s, d: quality_score(_docs(s, d)),
         "dedup_components": lambda s, d: lsh_components(_docs(s, d)),
@@ -1695,6 +1824,7 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": simhash_near_pairs_sql(),
     "text_token_stats": token_stats_sql(),
     "text_lang_id": lang_id_sql(),
+    "lang_id_kappa": lang_id_kappa_sql(),
     "text_fingerprint": doc_fingerprint_sql(),
     "text_quality_score": quality_score_sql(),
     "dedup_components": lsh_components_sql(),

@@ -818,3 +818,56 @@ def test_zipf_decay_profile_golden(spark, tmp_path):
     assert out[2]["zipf_flatness"] == 1.0
     assert out[4]["zipf_flatness"] == 0.5
     assert out[4]["decay_from_top"] == 0.125
+
+
+def test_lang_id_kappa_golden(spark, tmp_path):
+    """4 docs: truth en/en/de/de; detector votes en for three ('the'),
+    de for the fourth ('der die das'): contingency o = [[en,en]=2,
+    [de,en]=1, [de,de]=1], diag = 3, margins r = (2,2),
+    c = (3,1), pe_num = 2*3 + 2*1 = 8, so kappa =
+    (4*3 - 8)/(16 - 8) = 0.5 and po = 0.75."""
+    rows = [
+        (1, "the cat", "en", "s", 7),
+        (2, "the dog", "en", "s", 7),
+        (3, "the haus", "de", "s", 8),
+        (4, "der die das", "de", "s", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    from pyconform_spark.textops import lang_id_kappa
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    [r] = lang_id_kappa(docs).collect()
+    assert (r["n"], r["diag"]) == (4, 3)
+    assert r["po"] == 0.75 and r["pe"] == 0.5
+    assert r["kappa"] == 0.5
+    assert r["agreement"] == "moderate_or_less"
+
+
+def test_lang_id_kappa_perfect_and_degenerate(spark, tmp_path):
+    """All-agree two-label corpus -> kappa = 1.0 / near_perfect;
+    a single-label all-agree corpus makes the denominator 0 ->
+    kappa NULL and the integer guard labels it 'chance'."""
+    rows = [
+        (1, "the cat", "en", "s", 7),
+        (2, "der die das", "de", "s", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    from pyconform_spark.textops import lang_id_kappa
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    [r] = lang_id_kappa(docs).collect()
+    assert r["kappa"] == 1.0 and r["agreement"] == "near_perfect"
+    df2 = spark.createDataFrame(
+        [(1, "the cat", "en", "s", 7), (2, "the dog", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df2.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    docs2 = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    [r2] = lang_id_kappa(docs2).collect()
+    assert r2["kappa"] is None and r2["agreement"] == "chance"
