@@ -6264,3 +6264,43 @@ SELECT event_type, n AS n_hours,
             ELSE 'white' END AS residual_verdict
 FROM st5
 """
+
+ORACLES["shortest_half_interval"] = """
+WITH counted AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, vq, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM counted),
+unioned AS (
+  SELECT event_type, n, (floor(n / 2)::BIGINT + 1)::BIGINT AS h,
+         (cum - cnt + floor(n / 2)::BIGINT + 1)::BIGINT AS key,
+         1 AS kind, vq AS qvq, NULL::BIGINT AS vvq
+  FROM ranked WHERE cum - cnt + floor(n / 2)::BIGINT + 1 <= n
+  UNION ALL
+  SELECT event_type, n, (floor(n / 2)::BIGINT + 1)::BIGINT AS h,
+         (cum - cnt + 1)::BIGINT AS key,
+         0 AS kind, NULL::BIGINT AS qvq, vq AS vvq
+  FROM ranked),
+looked AS (
+  SELECT event_type, n, h, kind, qvq,
+         last_value(vvq IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY key, kind
+                 ROWS UNBOUNDED PRECEDING) AS rvq
+  FROM unioned),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n, max(h)::BIGINT AS h,
+         min(struct_pack(w := (rvq - qvq)::BIGINT,
+                         lo := qvq, hi := rvq)) AS best
+  FROM looked WHERE kind = 1 GROUP BY 1)
+SELECT event_type, n, h,
+       best.lo::DOUBLE / 100.0 AS shorth_lo,
+       best.hi::DOUBLE / 100.0 AS shorth_hi,
+       best.w::DOUBLE / 100.0 AS shorth_width,
+       (best.lo + best.hi)::DOUBLE / 200.0 AS shorth_mode
+FROM agg WHERE n >= 2
+"""

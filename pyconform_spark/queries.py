@@ -12320,3 +12320,108 @@ def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("white"))
         .alias("residual_verdict"),
     )
+
+
+def shortest_half_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shorth (Rousseeuw & Leroy 1987, public literature) per
+    event_type: the SHORTEST value interval containing at least
+    h = floor(n/2)+1 observations — its midpoint is a robust mode
+    estimate and its width a robust scale, both with 50% breakdown,
+    catching multimodality that mean/stddev and even the IQR smear
+    over.
+
+    EXACT cross-engine, and crucially JOIN-FREE: the naive form is an
+    inequality self-join (for each left edge, the smallest right edge
+    covering h mass).  Instead the rank lookup 'value at rank t' is
+    staged as a UNION of value rows (key = the rank interval START
+    each distinct value covers) and query rows (key = t_i = below_i +
+    h), ordered by (key, kind) with values first, so ONE
+    last_value(IGNORE NULLS) window resolves every lookup in a single
+    sort — the classic marker-union trick, linear in distinct values.
+    All keys/widths are BIGINT; the struct-min tie-break (width, then
+    left edge) is deterministic; only the midpoint divides.
+
+    Scale shape: ONE raw scan reduced by the (type, vq) aggregate,
+    the cumulative window, the union (2L rows, L = distinct values),
+    one lookup window, one final aggregate.  Zero joins."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counted = df.groupBy("event_type", vq.alias("vq")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = counted.select(
+        "event_type",
+        "vq",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("n"),
+    )
+    h = (F.floor(F.col("n") / 2) + 1).cast("long")
+    # both marker kinds inline-expand from ONE ranked frame (a union
+    # would re-scan the raw table for the second branch)
+    marks = ranked.select(
+        "event_type",
+        "n",
+        h.alias("h"),
+        F.inline(
+            F.array(
+                F.struct(
+                    (F.col("cum") - F.col("cnt") + 1).alias("key"),
+                    F.lit(0).alias("kind"),
+                    F.lit(None).cast("long").alias("qvq"),
+                    F.col("vq").alias("vvq"),
+                ),
+                F.struct(
+                    (F.col("cum") - F.col("cnt") + h).alias("key"),
+                    F.lit(1).alias("kind"),
+                    F.col("vq").alias("qvq"),
+                    F.lit(None).cast("long").alias("vvq"),
+                ),
+            )
+        ),
+    ).filter((F.col("kind") == 0) | (F.col("key") <= F.col("n")))
+    wlook = (
+        Window.partitionBy("event_type")
+        .orderBy("key", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    looked = marks.select(
+        "event_type",
+        "n",
+        "h",
+        "kind",
+        "qvq",
+        F.last("vvq", ignorenulls=True).over(wlook).alias("rvq"),
+    )
+    agg = (
+        looked.filter(F.col("kind") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("h").alias("h"),
+            F.min(
+                F.struct(
+                    (F.col("rvq") - F.col("qvq")).alias("w"),
+                    F.col("qvq").alias("lo"),
+                    F.col("rvq").alias("hi"),
+                )
+            ).alias("best"),
+        )
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        "h",
+        (F.col("best.lo").cast("double") / 100.0).alias("shorth_lo"),
+        (F.col("best.hi").cast("double") / 100.0).alias("shorth_hi"),
+        (F.col("best.w").cast("double") / 100.0).alias("shorth_width"),
+        ((F.col("best.lo") + F.col("best.hi")).cast("double") / 200.0).alias(
+            "shorth_mode"
+        ),
+    )

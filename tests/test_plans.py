@@ -2165,3 +2165,17 @@ def test_durbin_watson_no_window_no_join(spark):
         assert node not in plan
     assert "Window" not in plan
     assert "collect_list" in plan
+
+
+def test_shorth_union_window_no_inequality_join(spark):
+    """The shorth's rank lookup is the marker trick: both marker
+    kinds inline-expand (Generate) from ONE ranked frame and feed ONE
+    last_value window — no join node (the naive formulation is an
+    inequality self-join, quadratic per type), no union re-scan."""
+    plan = plan_of(Q.shortest_half_interval(spark, SF))
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "Union" not in plan
+    assert count_nodes(plan, "Generate") == 1
+    assert count_nodes(plan, "Scan parquet") == 1

@@ -2136,3 +2136,31 @@ def test_durbin_watson_perfect_line_null(spark, tmp_path):
     assert r["trend_slope_centi_per_hr"] == 100.0
     assert r["dw"] is None and r["rho1"] is None
     assert r["residual_verdict"] == "white"
+
+
+def test_shortest_half_interval_picks_dense_mode(spark, tmp_path):
+    """Bimodal [1,1,1,2, 9,9,10] with h = 4: the left-edge sweep gives
+    candidate [1,2] (width 1) vs [2,10] (width 8); edges starting in
+    the sparse mode can't cover h and drop out — the shorth is [1,2]
+    with mode 1.5, ignoring the far mode entirely (50% breakdown)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 1.0, 1.0, 2.0, 9.0, 9.0, 10.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "b", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.shortest_half_interval(spark, str(tmp_path)).collect()
+    assert (r["n"], r["h"]) == (7, 4)
+    assert (r["shorth_lo"], r["shorth_hi"]) == (1.0, 2.0)
+    assert r["shorth_width"] == 1.0
+    assert r["shorth_mode"] == 1.5
+
+
+def test_shortest_half_constant_series_zero_width(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "c", 5.0, "{}")
+            for i in range(2)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.shortest_half_interval(spark, str(tmp_path)).collect()
+    assert r["shorth_width"] == 0.0 and r["shorth_mode"] == 5.0
