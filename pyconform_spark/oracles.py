@@ -6304,3 +6304,69 @@ SELECT event_type, n, h,
        (best.lo + best.hi)::DOUBLE / 200.0 AS shorth_mode
 FROM agg WHERE n >= 2
 """
+
+ORACLES["logrank_survival_drift"] = """
+WITH base AS (
+  SELECT user_id, event_id,
+         (epoch_ms(ts) // 1000)::BIGINT AS es, ts
+  FROM events),
+flagged AS (
+  SELECT user_id, es, ts, event_id,
+         CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess_tag AS (
+  SELECT user_id, es,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_id,
+         min(es)::BIGINT AS s_start, max(es)::BIGINT AS s_end
+  FROM sess_tag GROUP BY 1, 2),
+horizon AS (
+  SELECT max(s_end)::BIGINT AS t_max,
+         floor((min(s_start) + max(s_start)) / 2)::BIGINT AS mid
+  FROM sessions),
+tagged AS (
+  SELECT ((s_end - s_start) // 60)::BIGINT AS dur,
+         (t_max - s_end < 1800) AS censored,
+         (s_start <= mid) AS in_a
+  FROM sessions, horizon),
+grid AS (
+  SELECT dur,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS a1,
+         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS a2,
+         sum(CASE WHEN in_a AND NOT censored THEN 1 ELSE 0 END)::BIGINT
+           AS d1,
+         sum(CASE WHEN NOT in_a AND NOT censored THEN 1 ELSE 0 END)::BIGINT
+           AS d2
+  FROM tagged GROUP BY 1),
+risk AS (
+  SELECT dur, d1, d2,
+         sum(a1) OVER (ORDER BY dur
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n1,
+         sum(a2) OVER (ORDER BY dur
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n2
+  FROM grid),
+terms AS (
+  SELECT dur, d1, (d1 + d2)::BIGINT AS d, n1, n2, (n1 + n2)::BIGINT AS n
+  FROM risk WHERE d1 + d2 >= 1 AND n1 + n2 >= 2),
+gall AS (
+  SELECT count(*)::BIGINT AS n_times,
+         list_reduce(list(
+             d1::DOUBLE - (d::DOUBLE * n1::DOUBLE) / n::DOUBLE
+             ORDER BY dur), (a, b) -> a + b) AS o_minus_e,
+         list_reduce(list(
+             CASE WHEN n >= 2 THEN
+               ((d * n1)::HUGEINT * n2::HUGEINT * (n - d)::HUGEINT)::DOUBLE
+                 / (n * n * (n - 1))::DOUBLE
+             ELSE 0.0 END ORDER BY dur), (a, b) -> a + b) AS variance
+  FROM terms)
+SELECT n_times, o_minus_e, variance,
+       (o_minus_e * o_minus_e) / nullif(variance, 0.0) AS logrank_chi2,
+       ((o_minus_e * o_minus_e) / nullif(variance, 0.0)) > 3.841
+         AS survival_drifted
+FROM gall WHERE n_times >= 1
+"""

@@ -12425,3 +12425,133 @@ def shortest_half_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shorth_mode"
         ),
     )
+
+
+def logrank_survival_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966, public literature) for SURVIVAL
+    drift: did session durations change between sessions STARTING in
+    the early vs late half of the observation window?  Where
+    kaplan_meier_sessions draws one curve, this tests two cohorts'
+    curves against each other the censoring-correct way: at each
+    death time t the observed group-1 deaths are compared with the
+    hypergeometric expectation d_t*n1_t/n_t given the shared risk
+    set, so late-half sessions still in flight bias nothing.
+
+    Sessions, durations (floor minutes) and the right-censoring rule
+    (last event within 30 min of the horizon) are IDENTICAL to
+    kaplan_meier_sessions; cohorts split at the integer midpoint of
+    session start times.
+
+    EXACT cross-engine: deaths and at-risk counts are reverse
+    cumulative BIGINT sums on the duration grid; each t's expectation
+    and variance term is a fixed double expression over exact
+    integers (the variance numerator d*n1*n2*(n-d) staged through
+    DECIMAL/HUGEINT); both sums fold ORDER-PINNED over the
+    dur-sorted grid; chi2 = (O-E)^2/V is one final expression, with
+    the 1-df 5% critical value 3.841 an identical literal.
+
+    Scale shape: session windows parallelize by user; the test runs
+    on the DURATION GRID (bounded by the session-length range in
+    minutes); the horizon and midpoint are 1-row broadcasts."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("user_id", "event_id", "ts", es.alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        (F.col("es") - F.lag("es").over(w) > 1800)
+        | F.lag("es").over(w).isNull()
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        base.select(
+            "user_id",
+            "es",
+            F.sum(new_sess.cast("long")).over(cum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("es").alias("s_start"), F.max("es").alias("s_end"))
+    )
+    horizon = sessions.agg(
+        F.max("s_end").alias("t_max"),
+        F.floor((F.min("s_start") + F.max("s_start")) / 2)
+        .cast("long")
+        .alias("mid"),
+    )
+    tagged = sessions.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("s_end") - F.col("s_start")) / 60)
+        .cast("long")
+        .alias("dur"),
+        (F.col("t_max") - F.col("s_end") < 1800).alias("censored"),
+        (F.col("s_start") <= F.col("mid")).alias("in_a"),
+    )
+    grid = tagged.groupBy("dur").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+        F.sum(F.when(F.col("in_a") & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(~F.col("in_a") & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    wrev = Window.orderBy("dur").rowsBetween(0, Window.unboundedFollowing)
+    risk = grid.select(
+        "dur",
+        "d1",
+        "d2",
+        F.sum("a1").over(wrev).cast("long").alias("n1"),
+        F.sum("a2").over(wrev).cast("long").alias("n2"),
+    )
+    terms = risk.filter(
+        (F.col("d1") + F.col("d2") >= 1) & (F.col("n1") + F.col("n2") >= 2)
+    ).select(
+        F.struct(
+            "dur",
+            "d1",
+            (F.col("d1") + F.col("d2")).alias("d"),
+            "n1",
+            "n2",
+            (F.col("n1") + F.col("n2")).alias("n"),
+        ).alias("t"),
+    )
+    glob = terms.groupBy().agg(
+        F.array_sort(F.collect_list("t")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    oe = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (
+            dbl(t["d1"])
+            - (dbl(t["d"]) * dbl(t["n1"])) / dbl(t["n"])
+        ),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    var = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.when(
+            t["n"] >= 2,
+            (
+                dec(t["d"] * t["n1"]) * dec(t["n2"]) * dec(t["n"] - t["d"])
+            ).cast("double")
+            / dbl(t["n"] * t["n"] * (t["n"] - 1)),
+        ).otherwise(F.lit(0.0)),
+    )
+    chi2 = (oe * oe) / F.nullif(var, F.lit(0.0))
+    return glob.filter(F.col("n_times") >= 1).select(
+        F.col("n_times"),
+        oe.alias("o_minus_e"),
+        var.alias("variance"),
+        chi2.alias("logrank_chi2"),
+        (chi2 > F.lit(3.841)).alias("survival_drifted"),
+    )

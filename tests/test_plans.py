@@ -2179,3 +2179,14 @@ def test_shorth_union_window_no_inequality_join(spark):
     assert "Union" not in plan
     assert count_nodes(plan, "Generate") == 1
     assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_logrank_runs_on_duration_grid(spark):
+    """Log-rank: sessions parallelize per user; the test statistic
+    lives on the duration grid with ONE broadcast of the 1-row
+    horizon/midpoint frame — no self-join of sessions, no cartesian
+    beyond that broadcast."""
+    plan = plan_of(Q.logrank_survival_drift(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "Scan parquet") == 2  # sessions + horizon agg
+    assert "collect_list" in plan

@@ -2164,3 +2164,33 @@ def test_shortest_half_constant_series_zero_width(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     [r] = Q.shortest_half_interval(spark, str(tmp_path)).collect()
     assert r["shorth_width"] == 0.0 and r["shorth_mode"] == 5.0
+
+
+def test_logrank_survival_drift_golden(spark, tmp_path):
+    """Early cohort durations {1,3}, late cohort {2,3}, plus one
+    sacrificial latest session absorbing the horizon censoring: death
+    times 1/2/3 give hypergeometric terms 0.5, -1/3, 0 (O-E = 1/6)
+    and variances 0.25, 2/9, 0 (V = 17/36), so chi2 = 1/17 —
+    asserted via an exact float mirror of the dur-ordered fold."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta
+    rows = []
+    eid = 0
+    for user, start, dur in [(1, 0, 1), (2, 10, 3),
+                             (3, 4000, 2), (4, 4010, 3)]:
+        rows.append((eid, t0 + m(minutes=start), user, "s", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + m(minutes=start + dur), user, "s", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, t0 + m(minutes=5000), 5, "s", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.logrank_survival_drift(spark, str(tmp_path)).collect()
+    oe = ((0.0 + (1.0 - (1.0 * 2.0) / 4.0))
+          + (0.0 - (1.0 * 1.0) / 3.0)) + (1.0 - (2.0 * 1.0) / 2.0)
+    var = ((0.0 + (1 * 2 * 2 * 3) / (4 * 4 * 3))
+           + (1 * 1 * 2 * 2) / (3 * 3 * 2)) + 0.0
+    assert r["n_times"] == 3
+    assert r["o_minus_e"] == oe
+    assert r["variance"] == var
+    assert r["logrank_chi2"] == (oe * oe) / var
+    assert bool(r["survival_drifted"]) is False
