@@ -6370,3 +6370,59 @@ SELECT n_times, o_minus_e, variance,
          AS survival_drifted
 FROM gall WHERE n_times >= 1
 """
+
+ORACLES["nelson_aalen_hazard"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id,
+         (epoch_ms(ts) // 1000)::BIGINT AS es, ts
+  FROM events),
+flagged AS (
+  SELECT user_id, es, ts, event_id,
+         CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess_tag AS (
+  SELECT user_id, es,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_id,
+         min(es)::BIGINT AS s_start, max(es)::BIGINT AS s_end
+  FROM sess_tag GROUP BY 1, 2),
+horizon AS (SELECT max(s_end)::BIGINT AS t_max FROM sessions),
+tagged AS (
+  SELECT ((s_end - s_start) // 60)::BIGINT AS dur,
+         (t_max - s_end < 1800) AS censored
+  FROM sessions, horizon),
+grid AS (
+  SELECT dur,
+         count(*)::BIGINT AS cnt_all,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d_events
+  FROM tagged GROUP BY 1),
+staged AS (
+  SELECT dur, d_events,
+         (sum(cnt_all) OVER ()
+          - sum(cnt_all) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + cnt_all)::BIGINT AS n_risk
+  FROM grid),
+ev AS (
+  SELECT dur, d_events, n_risk,
+         d_events::DOUBLE / n_risk::DOUBLE AS inc,
+         d_events::DOUBLE / (n_risk::DOUBLE * n_risk::DOUBLE) AS vinc,
+         row_number() OVER (ORDER BY dur) AS k
+  FROM staged WHERE d_events >= 1),
+rec AS (
+  SELECT k, dur, d_events, n_risk,
+         0.0 + inc AS na, 0.0 + vinc AS nav
+  FROM ev WHERE k = 1
+  UNION ALL
+  SELECT e.k, e.dur, e.d_events, e.n_risk,
+         r.na + e.inc, r.nav + e.vinc
+  FROM ev e JOIN rec r ON e.k = r.k + 1)
+SELECT dur AS duration_min, n_risk, d_events,
+       na AS na_hazard, nav AS na_variance
+FROM rec
+"""

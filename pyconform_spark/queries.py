@@ -12555,3 +12555,82 @@ def logrank_survival_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("logrank_chi2"),
         (chi2 > F.lit(3.841)).alias("survival_drifted"),
     )
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over session durations (Nelson
+    1972, Aalen 1978, public literature): H(t) = sum_{t_i <= t}
+    d_i/n_i with the same sessions, duration grid and right-censoring
+    as kaplan_meier_sessions — the additive twin of KM's product
+    (preferred for hazard-rate reading and for small risk sets where
+    the product underflows), plus Aalen's variance sum d_i/n_i^2.
+
+    EXACT cross-engine: d and n are BIGINT on the duration grid; each
+    increment is one double division; the running sums accumulate in
+    STRICT duration order in both engines — Spark's
+    unbounded-preceding window frame accumulates sequentially in sort
+    order, and the DuckDB twin uses the same recursive-CTE recurrence
+    as the KM oracle (a windowed sum could legally re-associate under
+    a segment tree, so the oracle doesn't get one).
+
+    Scale shape: identical to kaplan_meier_sessions — per-user session
+    windows, then the tiny duration grid; the unpartitioned cumulative
+    window runs on that grid only."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("user_id", "event_id", "ts", es.alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        (F.col("es") - F.lag("es").over(w) > 1800)
+        | F.lag("es").over(w).isNull()
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        base.select(
+            "user_id",
+            "es",
+            F.sum(new_sess.cast("long")).over(cum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("es").alias("s_start"), F.max("es").alias("s_end"))
+    )
+    horizon = sessions.agg(F.max("s_end").alias("t_max"))
+    tagged = sessions.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("s_end") - F.col("s_start")) / 60)
+        .cast("long")
+        .alias("dur"),
+        (F.col("t_max") - F.col("s_end") < 1800).alias("censored"),
+    )
+    grid = tagged.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    staged = grid.select(
+        "dur",
+        "d_events",
+        (
+            F.sum("cnt_all").over(wall)
+            - F.sum("cnt_all").over(wcum)
+            + F.col("cnt_all")
+        )
+        .cast("long")
+        .alias("n_risk"),
+    ).filter(F.col("d_events") >= 1)
+    whaz = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+    vinc = F.col("d_events").cast("double") / (
+        F.col("n_risk").cast("double") * F.col("n_risk").cast("double")
+    )
+    return staged.select(
+        F.col("dur").alias("duration_min"),
+        "n_risk",
+        "d_events",
+        F.sum(inc).over(whaz).alias("na_hazard"),
+        F.sum(vinc).over(whaz).alias("na_variance"),
+    )

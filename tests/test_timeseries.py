@@ -2194,3 +2194,28 @@ def test_logrank_survival_drift_golden(spark, tmp_path):
     assert r["variance"] == var
     assert r["logrank_chi2"] == (oe * oe) / var
     assert bool(r["survival_drifted"]) is False
+
+
+def test_nelson_aalen_golden(spark, tmp_path):
+    """Durations {1,1,2} + the censored latest session: increments
+    2/3 at t=1 (3 at risk) and 1/1 at t=2, so H = 2/3 then 5/3 and
+    Var = 2/9 then 2/9 + 1 — exact sequential accumulation."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta
+    rows = []
+    eid = 0
+    for user, start, dur in [(1, 0, 1), (2, 10, 1), (3, 20, 2)]:
+        rows.append((eid, t0 + m(minutes=start), user, "s", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + m(minutes=start + dur), user, "s", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, t0 + m(minutes=5000), 9, "s", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {r["duration_min"]: r
+           for r in Q.nelson_aalen_hazard(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_risk"], out[1]["d_events"]) == (3, 2)
+    assert out[1]["na_hazard"] == 2.0 / 3.0
+    assert out[1]["na_variance"] == 2.0 / 9.0
+    assert out[2]["na_hazard"] == 2.0 / 3.0 + 1.0
+    assert out[2]["na_variance"] == 2.0 / 9.0 + 1.0
