@@ -6426,3 +6426,53 @@ SELECT dur AS duration_min, n_risk, d_events,
        na AS na_hazard, nav AS na_variance
 FROM rec
 """
+
+ORACLES["range_partition_planner"] = """
+WITH sample_u AS (
+  SELECT user_id::BIGINT AS uid
+  FROM events WHERE user_id % 20 = 3 GROUP BY 1),
+ranked AS (
+  SELECT uid, row_number() OVER (ORDER BY uid)::BIGINT AS r,
+         count(*) OVER ()::BIGINT AS m
+  FROM sample_u),
+bounds AS (
+  SELECT max(m)::BIGINT AS m_sample,
+         min(CASE WHEN r = floor((m - 1) * 1 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b1,
+         min(CASE WHEN r = floor((m - 1) * 2 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b2,
+         min(CASE WHEN r = floor((m - 1) * 3 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b3,
+         min(CASE WHEN r = floor((m - 1) * 4 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b4,
+         min(CASE WHEN r = floor((m - 1) * 5 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b5,
+         min(CASE WHEN r = floor((m - 1) * 6 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b6,
+         min(CASE WHEN r = floor((m - 1) * 7 / 8)::BIGINT + 1
+                  THEN uid END)::BIGINT AS b7
+  FROM ranked),
+tagged AS (
+  SELECT ((CASE WHEN e.user_id > b.b1 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b2 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b3 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b4 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b5 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b6 THEN 1 ELSE 0 END)
+        + (CASE WHEN e.user_id > b.b7 THEN 1 ELSE 0 END))::BIGINT AS bucket,
+         e.user_id AS uid
+  FROM events e, bounds b),
+hist AS (
+  SELECT bucket, count(*)::BIGINT AS n_rows,
+         count(DISTINCT uid)::BIGINT AS n_users
+  FROM tagged GROUP BY 1),
+tot AS (
+  SELECT bucket, n_rows, n_users,
+         sum(n_rows) OVER ()::BIGINT AS total
+  FROM hist)
+SELECT bucket, n_rows, n_users,
+       n_rows::DOUBLE / total::DOUBLE AS row_share,
+       (8 * n_rows)::DOUBLE / total::DOUBLE AS skew_factor,
+       (8 * n_rows > 2 * total) AS straggler_risk
+FROM tot
+"""

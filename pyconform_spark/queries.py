@@ -12634,3 +12634,82 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(inc).over(whaz).alias("na_hazard"),
         F.sum(vinc).over(whaz).alias("na_variance"),
     )
+
+
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning planner audit — the exact, deterministic
+    version of what Spark's RangePartitioner does before every range
+    shuffle (sample the key, cut equi-depth boundaries, hope the
+    histogram balances): a deterministic modulo sample of user_ids
+    (uid % 20 == 3) is ranked, 7 boundaries cut at equi-depth ranks
+    for P = 8 partitions, then EVERY event is tagged with its bucket
+    by counting boundaries below its key, and the per-bucket row/user
+    histogram is reported with the skew factor (bucket rows / ideal
+    rows) — the number that predicts the straggler task before the
+    shuffle runs.
+
+    EXACT cross-engine: the sample, ranks, boundaries and bucket tags
+    are pure integers; share and skew are single divisions.  The
+    sample frame's global rank window is bounded by |sampled keys|
+    (documented small — mirrors the sampling a production range
+    partitioner performs precisely so the full key set never sorts on
+    one node); the full table is ONE pass tagged by 7 broadcast
+    comparisons.
+
+    Scale shape: one scan for the sample (filter pushed to the scan),
+    one scan for the histogram, a 1-row boundary broadcast — the
+    8-row result needs no further care."""
+    df = _events(spark, sf_dir)
+    uid = F.col("user_id").cast("long")
+    sample = (
+        df.select(uid.alias("uid"))
+        .filter(F.col("uid") % 20 == 3)
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wr = Window.orderBy("uid")
+    wall = Window.partitionBy()
+    ranked = sample.select(
+        "uid",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+
+    def pick(k: int):
+        mark = (F.floor((F.col("m") - 1) * F.lit(k) / 8) + 1).cast("long")
+        return F.min(F.when(F.col("r") == mark, F.col("uid"))).alias(f"b{k}")
+
+    bounds = ranked.groupBy().agg(
+        F.max("m").alias("m_sample"), *[pick(k) for k in range(1, 8)]
+    )
+    tagged = df.select(uid.alias("uid")).crossJoin(F.broadcast(bounds))
+    bucket = sum(
+        [
+            F.when(F.col("uid") > F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(1, 8)
+        ],
+        F.lit(0),
+    ).cast("long")
+    hist = tagged.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("uid").cast("long").alias("n_users"),
+    )
+    wtot = Window.partitionBy()
+    out = hist.select(
+        "bucket",
+        "n_rows",
+        "n_users",
+        F.sum("n_rows").over(wtot).cast("long").alias("total"),
+    )
+    return out.select(
+        "bucket",
+        "n_rows",
+        "n_users",
+        (F.col("n_rows").cast("double") / F.col("total").cast("double"))
+        .alias("row_share"),
+        (
+            (F.lit(8) * F.col("n_rows")).cast("double")
+            / F.col("total").cast("double")
+        ).alias("skew_factor"),
+        (8 * F.col("n_rows") > 2 * F.col("total")).alias("straggler_risk"),
+    )

@@ -2219,3 +2219,32 @@ def test_nelson_aalen_golden(spark, tmp_path):
     assert out[1]["na_variance"] == 2.0 / 9.0
     assert out[2]["na_hazard"] == 2.0 / 3.0 + 1.0
     assert out[2]["na_variance"] == 2.0 / 9.0 + 1.0
+
+
+def test_range_partition_planner_flags_hot_key(spark, tmp_path):
+    """Users 3,23,43,63 are the deterministic sample (uid%20==3);
+    boundaries cut at sample ranks floor(3k/8)+1 -> b =
+    (3,3,23,23,23,43,43).  A hot user 70 with 80 of 100 rows lands in
+    bucket 7 above every boundary (joined by user 63's 5 rows):
+    skew_factor = 8*85/100 = 6.8 and straggler_risk fires; the sparse
+    buckets stay under 1."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for uid in [3, 23, 43, 63] * 5:   # 20 rows across sample users
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), uid, "t", 1.0,
+                     "{}"))
+        eid += 1
+    for _ in range(80):                # hot user
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 70, "t", 1.0,
+                     "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["bucket"]: r
+           for r in Q.range_partition_planner(spark, str(tmp_path)).collect()}
+    hot = out[7]
+    assert hot["n_rows"] == 85 and hot["n_users"] == 2
+    assert hot["skew_factor"] == 6.8
+    assert bool(hot["straggler_risk"]) is True
+    assert all(not out[b]["straggler_risk"] for b in out if b != 7)
+    assert sum(r["n_rows"] for r in out.values()) == 100
