@@ -6476,3 +6476,28 @@ SELECT bucket, n_rows, n_users,
        (8 * n_rows > 2 * total) AS straggler_risk
 FROM tot
 """
+
+ORACLES["salt_factor_planner"] = """
+WITH counted AS (
+  SELECT user_id::BIGINT AS uid, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+exploded AS (
+  SELECT t.s::BIGINT AS s,
+         ((c + t.s - 1) // t.s)::BIGINT AS ceilc,
+         c
+  FROM counted CROSS JOIN (VALUES (1),(2),(4),(8),(16)) t(s)),
+per_s AS (
+  SELECT s, max(ceilc)::BIGINT AS max_task_rows,
+         sum(c)::BIGINT AS total_rows
+  FROM exploded GROUP BY 1),
+outp AS (
+  SELECT s, max_task_rows, total_rows,
+         first_value(max_task_rows) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           ::BIGINT AS unsalted
+  FROM per_s)
+SELECT s, max_task_rows, total_rows,
+       max_task_rows::DOUBLE / total_rows::DOUBLE AS max_task_share,
+       unsalted::DOUBLE / max_task_rows::DOUBLE AS straggler_speedup
+FROM outp
+"""

@@ -12713,3 +12713,68 @@ def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_factor"),
         (8 * F.col("n_rows") > 2 * F.col("total")).alias("straggler_risk"),
     )
+
+
+def salt_factor_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting planner — 'how much salt does this shuffle need?': for
+    each candidate salt factor S in {1,2,4,8,16}, the predicted
+    largest task after splitting every user key into S salted subkeys
+    (a uniform splitter hands each subkey ceil(c/S) or floor(c/S)
+    rows, so the worst task for a key is ceil(c/S)), reported with
+    the max-task share and the straggler speedup vs unsalted — the
+    exact arithmetic behind the catalog's measured
+    skew_salted_rollup / skew_split_speedup pair, run BEFORE the
+    shuffle instead of after.
+
+    EXACT cross-engine: per-key counts are BIGINT; ceil(c/S) is
+    integer (c + S - 1) // S; the 5 candidate rows inline-expand from
+    the key-count frame (no 5x re-scan); share and speedup are single
+    divisions.
+
+    Scale shape: ONE scan to the per-key count frame, a 5-way inline
+    expansion on that reduced frame, a 5-row result; the speedup
+    column reads the S=1 row through a window over those 5 rows."""
+    df = _events(spark, sf_dir)
+    counted = df.groupBy(F.col("user_id").cast("long").alias("uid")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                ((F.col("c") + F.lit(s - 1)) / F.lit(s))
+                .cast("long")
+                .alias("ceilc"),
+                F.col("c").alias("c"),
+            )
+            for s in (1, 2, 4, 8, 16)
+        ]
+    )
+    exploded = counted.select(F.inline(arr))
+    per_s = exploded.groupBy("s").agg(
+        F.max("ceilc").cast("long").alias("max_task_rows"),
+        F.sum("c").cast("long").alias("total_rows"),
+    )
+    out = per_s.select(
+        "s",
+        "max_task_rows",
+        "total_rows",
+        F.first("max_task_rows").over(
+            Window.partitionBy().orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_unsalted"),
+    )
+    return out.select(
+        "s",
+        "max_task_rows",
+        "total_rows",
+        (
+            F.col("max_task_rows").cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("max_task_share"),
+        (
+            F.col("_unsalted").cast("double")
+            / F.col("max_task_rows").cast("double")
+        ).alias("straggler_speedup"),
+    )

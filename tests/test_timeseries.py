@@ -2248,3 +2248,35 @@ def test_range_partition_planner_flags_hot_key(spark, tmp_path):
     assert bool(hot["straggler_risk"]) is True
     assert all(not out[b]["straggler_risk"] for b in out if b != 7)
     assert sum(r["n_rows"] for r in out.values()) == 100
+
+
+def test_salt_factor_planner_golden(spark, tmp_path):
+    """One hot user with 64 rows + 4 users with 4 rows each (80
+    total): unsalted max task 64 (share 0.8); S=4 -> ceil(64/4)=16
+    (speedup 4x); S=16 -> ceil(64/16)=4 but the cold keys' ceil(4/16)
+    = 1 keeps max at 4 -> speedup caps at 16x only because the hot
+    key still dominates; every prediction is exact integer
+    arithmetic."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for _ in range(64):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, "t", 1.0, "{}"))
+        eid += 1
+    for uid in (2, 3, 4, 5):
+        for _ in range(4):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=eid), uid, "t", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["s"]: r
+           for r in Q.salt_factor_planner(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 4, 8, 16}
+    assert out[1]["max_task_rows"] == 64 and out[1]["max_task_share"] == 0.8
+    assert out[1]["straggler_speedup"] == 1.0
+    assert out[4]["max_task_rows"] == 16
+    assert out[4]["straggler_speedup"] == 4.0
+    assert out[16]["max_task_rows"] == 4
+    assert out[16]["straggler_speedup"] == 16.0
+    assert all(r["total_rows"] == 80 for r in out.values())
