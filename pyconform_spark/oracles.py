@@ -6501,3 +6501,35 @@ SELECT s, max_task_rows, total_rows,
        unsalted::DOUBLE / max_task_rows::DOUBLE AS straggler_speedup
 FROM outp
 """
+
+ORACLES["aqe_coalesce_simulator"] = """
+WITH buckets AS (
+  SELECT (user_id % 64)::BIGINT AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+gall AS (
+  SELECT count(*)::BIGINT AS n_buckets,
+         sum(c)::BIGINT AS total_rows,
+         list(struct_pack(b := b, c := c) ORDER BY b, c) AS arr
+  FROM buckets),
+st AS (
+  SELECT n_buckets, total_rows, arr,
+         floor((total_rows + 15) / 16)::BIGINT AS target
+  FROM gall),
+st2 AS (
+  SELECT n_buckets, total_rows, target,
+         list_reduce(
+           list_transform(arr, e -> struct_pack(
+             cur := e.c, grp := 0::BIGINT, mx := 0::BIGINT)),
+           (a, e) -> CASE WHEN a.cur > 0 AND a.cur + e.cur > target
+             THEN struct_pack(cur := e.cur, grp := a.grp + 1,
+                              mx := greatest(a.mx, a.cur))
+             ELSE struct_pack(cur := a.cur + e.cur, grp := a.grp,
+                              mx := a.mx) END) AS f
+  FROM st)
+SELECT n_buckets, total_rows, target,
+       (f.grp + 1)::BIGINT AS n_coalesced,
+       greatest(f.mx, f.cur)::BIGINT AS max_group_rows,
+       total_rows::DOUBLE / (f.grp + 1)::DOUBLE AS avg_group_rows,
+       greatest(f.mx, f.cur)::DOUBLE / target::DOUBLE AS balance_vs_target
+FROM st2 WHERE n_buckets >= 1
+"""

@@ -12778,3 +12778,78 @@ def salt_factor_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("max_task_rows").cast("double")
         ).alias("straggler_speedup"),
     )
+
+
+def aqe_coalesce_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE shuffle-partition coalescing, simulated exactly — the
+    greedy pass Spark's AdaptiveSparkPlan runs over map-output sizes
+    (pack ADJACENT shuffle partitions until the target size, never
+    splitting one): 64 stand-in shuffle buckets (user_id % 64) with
+    exact row counts are packed against target = ceil(total/16), and
+    the result reports how many coalesced partitions come out, the
+    largest one, and the balance ratio — the arithmetic that explains
+    why AQE turns 200 tiny reducers into a handful, and when a
+    monster bucket defeats it (it can only leave an oversized bucket
+    alone, exactly like the real rule).
+
+    EXACT cross-engine: bucket counts are BIGINT; the greedy scan is
+    inherently sequential, staged as an ORDER-PINNED STRUCT-
+    ACCUMULATOR fold over the bucket-sorted array (Spark `aggregate`
+    from a zero struct == DuckDB `list_reduce` whose first element IS
+    the zero-step result); avg/balance are single divisions.
+
+    Scale shape: ONE scan to the <= 64-row bucket histogram; the fold
+    runs on that tiny array.  In production the same fold would run
+    on map-output statistics, never on data."""
+    df = _events(spark, sf_dir)
+    buckets = df.groupBy(
+        (F.col("user_id") % 64).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gall = buckets.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total_rows"),
+        F.array_sort(F.collect_list(F.struct("b", "c"))).alias("arr"),
+    )
+    target = (
+        F.floor((F.col("total_rows") + 15) / 16).cast("long").alias("target")
+    )
+    st = gall.select("n_buckets", "total_rows", "arr", target)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("grp"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+    fold = F.aggregate(
+        F.col("arr"),
+        zero,
+        lambda a, e: F.when(
+            (a["cur"] > 0) & (a["cur"] + e["c"] > F.col("target")),
+            F.struct(
+                e["c"].alias("cur"),
+                (a["grp"] + 1).alias("grp"),
+                F.greatest(a["mx"], a["cur"]).alias("mx"),
+            ),
+        ).otherwise(
+            F.struct(
+                (a["cur"] + e["c"]).alias("cur"),
+                a["grp"].alias("grp"),
+                a["mx"].alias("mx"),
+            )
+        ),
+    )
+    st2 = st.select("n_buckets", "total_rows", "target", fold.alias("f"))
+    n_out = (F.col("f.grp") + 1).cast("long")
+    mx = F.greatest(F.col("f.mx"), F.col("f.cur")).cast("long")
+    return st2.filter(F.col("n_buckets") >= 1).select(
+        "n_buckets",
+        "total_rows",
+        "target",
+        n_out.alias("n_coalesced"),
+        mx.alias("max_group_rows"),
+        (F.col("total_rows").cast("double") / n_out.cast("double")).alias(
+            "avg_group_rows"
+        ),
+        (mx.cast("double") / F.col("target").cast("double")).alias(
+            "balance_vs_target"
+        ),
+    )

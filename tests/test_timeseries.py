@@ -2280,3 +2280,26 @@ def test_salt_factor_planner_golden(spark, tmp_path):
     assert out[16]["max_task_rows"] == 4
     assert out[16]["straggler_speedup"] == 16.0
     assert all(r["total_rows"] == 80 for r in out.values())
+
+
+def test_aqe_coalesce_simulator_golden(spark, tmp_path):
+    """Buckets (by user_id%64) of 5,9,3,8,120 rows, total 145,
+    target ceil(145/16) = 10: the greedy pass closes 5|9|3|8 and
+    leaves the 120-row monster alone — 5 coalesced partitions,
+    max 120, balance 12x target (AQE cannot split one bucket)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for uid, cnt in [(1, 5), (2, 9), (3, 3), (4, 8), (5, 120)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=eid), uid, "t", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.aqe_coalesce_simulator(spark, str(tmp_path)).collect()
+    assert (r["n_buckets"], r["total_rows"], r["target"]) == (5, 145, 10)
+    assert r["n_coalesced"] == 5
+    assert r["max_group_rows"] == 120
+    assert r["avg_group_rows"] == 29.0
+    assert r["balance_vs_target"] == 12.0
