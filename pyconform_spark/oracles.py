@@ -6533,3 +6533,46 @@ SELECT n_buckets, total_rows, target,
        greatest(f.mx, f.cur)::DOUBLE / target::DOUBLE AS balance_vs_target
 FROM st2 WHERE n_buckets >= 1
 """
+
+ORACLES["arch_effect_lag1"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+st1 AS (
+  SELECT event_type, hr,
+         (CASE WHEN lag(hr) OVER w = hr - 1
+               THEN m - lag(m) OVER w END)
+         * (CASE WHEN lag(hr) OVER w = hr - 1
+                 THEN m - lag(m) OVER w END) AS a
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+st2 AS (
+  SELECT event_type, hr, a,
+         CASE WHEN lag(hr) OVER w = hr - 1 THEN lag(a) OVER w END AS ap
+  FROM st1 WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+pairs AS (
+  SELECT event_type, hr, ap, a FROM st2
+  WHERE a IS NOT NULL AND ap IS NOT NULL),
+arr0 AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         list_reduce(list(ap ORDER BY hr), (p, q) -> p + q) AS sx,
+         list_reduce(list(a ORDER BY hr), (p, q) -> p + q) AS sy,
+         list_reduce(list(ap * ap ORDER BY hr), (p, q) -> p + q) AS sxx,
+         list_reduce(list(a * a ORDER BY hr), (p, q) -> p + q) AS syy,
+         list_reduce(list(ap * a ORDER BY hr), (p, q) -> p + q) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT event_type, n AS n_pairs,
+       ((n::DOUBLE * sxy - sx * sy) * (n::DOUBLE * sxy - sx * sy))
+         / nullif((n::DOUBLE * sxx - sx * sx)
+                  * (n::DOUBLE * syy - sy * sy), 0.0) AS arch_r2,
+       n::DOUBLE * (((n::DOUBLE * sxy - sx * sy)
+                     * (n::DOUBLE * sxy - sx * sy))
+         / nullif((n::DOUBLE * sxx - sx * sx)
+                  * (n::DOUBLE * syy - sy * sy), 0.0)) AS arch_lm,
+       (n::DOUBLE * (((n::DOUBLE * sxy - sx * sy)
+                      * (n::DOUBLE * sxy - sx * sy))
+         / nullif((n::DOUBLE * sxx - sx * sx)
+                  * (n::DOUBLE * syy - sy * sy), 0.0))) > 3.841
+         AS volatility_clustered
+  FROM arr0 WHERE n >= 4
+"""

@@ -12853,3 +12853,86 @@ def aqe_coalesce_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_vs_target"
         ),
     )
+
+
+def arch_effect_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test at lag 1 (Engle 1982, public literature)
+    per event_type: do SQUARED hourly changes predict the next
+    squared change?  LM = n * R^2 of regressing a_t = r_t^2 on
+    a_{t-1}, r_t the consecutive-hour mean delta — the volatility-
+    clustering reading that variance_ratio_test (diffusion scaling)
+    and cusumsq_variance_change (a single break) don't give: ARCH
+    flags PERSISTENT calm/turbulent regimes, the precondition for any
+    GARCH-style alerting.
+
+    EXACT cross-engine: hourly means and deltas are fixed double
+    expressions over BIGINT sums; squared-delta pairs require three
+    CONSECUTIVE hours (both gap guards explicit); all five regression
+    sums fold ORDER-PINNED over the hr-sorted pair array; R^2 is one
+    fixed expression with NULLIF guards for constant series; the 1-df
+    5% critical value 3.841 is an identical literal.
+
+    Scale shape: raw reduces to (type, hour) FIRST; two stacked lags
+    on one per-type window; the folds run on per-type arrays bounded
+    by the hour span."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    gap1 = F.lag("hr").over(wt) == F.col("hr") - 1
+    r = F.when(gap1, F.col("m") - F.lag("m").over(wt))
+    st1 = hourly.select(
+        "event_type", "hr", (r * r).alias("a")
+    )
+    st2 = st1.select(
+        "event_type",
+        "hr",
+        "a",
+        F.when(
+            F.lag("hr").over(wt) == F.col("hr") - 1, F.lag("a").over(wt)
+        ).alias("ap"),
+    ).filter(F.col("a").isNotNull() & F.col("ap").isNotNull())
+    arr0 = st2.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hr", "ap", "a"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def fsum(fn):
+        return F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, v: acc + fn(v)
+        )
+
+    st3 = arr0.filter(F.col("n") >= 4).select(
+        "event_type",
+        "n",
+        fsum(lambda v: v["ap"]).alias("sx"),
+        fsum(lambda v: v["a"]).alias("sy"),
+        fsum(lambda v: v["ap"] * v["ap"]).alias("sxx"),
+        fsum(lambda v: v["a"] * v["a"]).alias("syy"),
+        fsum(lambda v: v["ap"] * v["a"]).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cnum = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    cdenx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    cdeny = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = (cnum * cnum) / F.nullif(cdenx * cdeny, F.lit(0.0))
+    lm = nn * r2
+    return st3.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        r2.alias("arch_r2"),
+        lm.alias("arch_lm"),
+        (lm > F.lit(3.841)).alias("volatility_clustered"),
+    )

@@ -2303,3 +2303,48 @@ def test_aqe_coalesce_simulator_golden(spark, tmp_path):
     assert r["max_group_rows"] == 120
     assert r["avg_group_rows"] == 29.0
     assert r["balance_vs_target"] == 12.0
+
+
+def test_arch_effect_lag1_golden(spark, tmp_path):
+    """Hourly means 0,1,0,3,0,9,0 (centi 0,100,...): squared deltas
+    grow in persistent steps, so the lag-1 pairs (in centi^2 units)
+    are (1,1),(1,9),(9,9),(9,81),(81,81)x10^4 and R^2 follows the
+    exact float mirror of the hr-ordered folds."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    means = [0.0, 1.0, 0.0, 3.0, 0.0, 9.0, 0.0]
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "v", v, "{}")
+        for i, v in enumerate(means)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.arch_effect_lag1(spark, str(tmp_path)).collect()
+    m = [v * 100.0 for v in means]
+    rr = [m[i] - m[i - 1] for i in range(1, len(m))]
+    a = [x * x for x in rr]
+    pairs = list(zip(a[:-1], a[1:]))
+    fold = lambda vals: __import__("functools").reduce(  # noqa: E731
+        lambda p, q: p + q, vals, 0.0)
+    n = float(len(pairs))
+    sx = fold([p for p, _ in pairs]); sy = fold([q for _, q in pairs])
+    sxx = fold([p * p for p, _ in pairs])
+    syy = fold([q * q for _, q in pairs])
+    sxy = fold([p * q for p, q in pairs])
+    cnum = n * sxy - sx * sy
+    r2 = (cnum * cnum) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert r["n_pairs"] == 5
+    assert r["arch_r2"] == r2
+    assert r["arch_lm"] == n * r2
+    assert bool(r["volatility_clustered"]) == (n * r2 > 3.841)
+
+
+def test_arch_effect_constant_volatility_null(spark, tmp_path):
+    """A perfectly alternating series has CONSTANT squared deltas:
+    zero variance on both regression sides -> NULLIF -> NULL R^2."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "c", float(i % 2 * 2), "{}")
+        for i in range(8)
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.arch_effect_lag1(spark, str(tmp_path)).collect()
+    assert r["arch_r2"] is None and r["arch_lm"] is None
