@@ -6576,3 +6576,59 @@ SELECT event_type, n AS n_pairs,
          AS volatility_clustered
   FROM arr0 WHERE n >= 4
 """
+
+ORACLES["rescaled_range_profile"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS rn
+  FROM hourly),
+expanded AS (
+  SELECT event_type, t.k::BIGINT AS k, m,
+         floor((rn - 1) / t.k)::BIGINT AS blk,
+         ((rn - 1) % t.k + 1)::BIGINT AS idx
+  FROM seq CROSS JOIN (VALUES (8),(16),(32),(64)) t(k)),
+blocks AS (
+  SELECT event_type, k, blk,
+         list(struct_pack(idx := idx, m := m) ORDER BY idx) AS arr,
+         count(*)::BIGINT AS cnt
+  FROM expanded GROUP BY 1, 2, 3),
+st1 AS (
+  SELECT event_type, k, blk, arr,
+         list_reduce(list_transform(arr, v -> v.m), (p, q) -> p + q)
+           / k::DOUBLE AS mu
+  FROM blocks WHERE cnt = k),
+st2 AS (
+  SELECT event_type, k, blk,
+         (list_max(list_transform(arr, e ->
+            list_reduce(list_transform(list_slice(arr, 1, e.idx),
+                                       v -> v.m), (p, q) -> p + q)
+            - e.idx::DOUBLE * mu))
+          - list_min(list_transform(arr, e ->
+            list_reduce(list_transform(list_slice(arr, 1, e.idx),
+                                       v -> v.m), (p, q) -> p + q)
+            - e.idx::DOUBLE * mu))) AS r,
+         sqrt(list_reduce(list_transform(arr,
+                v -> (v.m - mu) * (v.m - mu)), (p, q) -> p + q)
+              / k::DOUBLE) AS s
+  FROM st1),
+st3 AS (
+  SELECT event_type, k, blk, r / nullif(s, 0.0) AS rs
+  FROM st2 WHERE r / nullif(s, 0.0) IS NOT NULL),
+perk AS (
+  SELECT event_type, k, count(*)::BIGINT AS n_blocks,
+         list_reduce(list(rs ORDER BY blk), (p, q) -> p + q) AS s_rs
+  FROM st3 GROUP BY 1, 2),
+st4 AS (
+  SELECT event_type, k, n_blocks,
+         s_rs / n_blocks::DOUBLE AS mean_rs
+  FROM perk WHERE n_blocks >= 2)
+SELECT event_type, k, n_blocks, mean_rs,
+       mean_rs / lag(mean_rs) OVER (PARTITION BY event_type ORDER BY k)
+         AS rs_growth_vs_half
+FROM st4
+"""

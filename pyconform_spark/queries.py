@@ -12936,3 +12936,121 @@ def arch_effect_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm.alias("arch_lm"),
         (lm > F.lit(3.841)).alias("volatility_clustered"),
     )
+
+
+def rescaled_range_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) long-memory profile per event_type (Hurst
+    1951, Mandelbrot & Wallis 1969, public literature): the hourly
+    mean sequence is cut into complete blocks of k = 8/16/32/64
+    samples; each block's range of cumulative mean-deviations R is
+    divided by its population sigma S, and the per-k average R/S is
+    reported with the growth ratio mean_rs(k)/mean_rs(k/2) — for a
+    memoryless series R/S grows like k^0.5 (ratio ~ 2^0.5 = 1.41),
+    persistent long-memory series grow faster, anti-persistent slower.
+    The Hurst exponent itself is log2(ratio), left to the analyst —
+    ln/log2 are not cross-engine bit-stable (the repo convention), so
+    the profile reports EXACT ratios on the dyadic grid instead of a
+    fitted slope.
+
+    EXACT cross-engine: hourly means are single divisions of BIGINTs;
+    within each <= 64-sample block every prefix sum, the mean, and the
+    variance accumulate by ORDER-PINNED folds (prefix j is a fold over
+    list_slice(arr, 1, j), identical in Spark `aggregate` and DuckDB
+    `list_reduce`); R is max-min over the dev array (order-free); S is
+    one IEEE sqrt; per-k averages fold over the blk-sorted R/S list;
+    zero-variance blocks drop via NULLIF and are excluded from the
+    average in both engines.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the x4 block-size
+    expansion rides the hourly frame; block arrays are <= 64 elements
+    and block counts bounded by hours/8."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    seq = hourly.select(
+        "event_type", "m", F.row_number().over(wt).cast("long").alias("rn")
+    )
+    ks = F.array(*[F.lit(k).cast("long") for k in (8, 16, 32, 64)])
+    expanded = seq.select(
+        "event_type", "m", "rn", F.explode(ks).alias("k")
+    ).select(
+        "event_type",
+        "k",
+        "m",
+        (F.floor((F.col("rn") - 1) / F.col("k"))).cast("long").alias("blk"),
+        ((F.col("rn") - 1) % F.col("k") + 1).cast("long").alias("idx"),
+    )
+    blocks = (
+        expanded.groupBy("event_type", "k", "blk")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("k"))
+    )
+    kd = F.col("k").cast("double")
+    mu = (
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, v: a + v["m"]) / kd
+    )
+    st1 = blocks.select("event_type", "k", "blk", "arr", mu.alias("mu"))
+    devs = F.transform(
+        "arr",
+        lambda e: F.aggregate(
+            F.slice(F.col("arr"), 1, e["idx"].cast("int")),
+            F.lit(0.0),
+            lambda a, v: a + v["m"],
+        )
+        - e["idx"].cast("double") * F.col("mu"),
+    )
+    sdev2 = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda a, v: a + (v["m"] - F.col("mu")) * (v["m"] - F.col("mu")),
+    )
+    st2 = st1.select(
+        "event_type",
+        "k",
+        "blk",
+        (F.array_max(devs) - F.array_min(devs)).alias("r"),
+        F.sqrt(sdev2 / kd).alias("s"),
+    )
+    st3 = st2.select(
+        "event_type",
+        "k",
+        "blk",
+        (F.col("r") / F.nullif(F.col("s"), F.lit(0.0))).alias("rs"),
+    ).filter(F.col("rs").isNotNull())
+    perk = st3.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.array_sort(F.collect_list(F.struct("blk", "rs"))).alias("rss"),
+    )
+    mean_rs = (
+        F.aggregate(F.col("rss"), F.lit(0.0), lambda a, v: a + v["rs"])
+        / F.col("n_blocks").cast("double")
+    )
+    st4 = perk.filter(F.col("n_blocks") >= 2).select(
+        "event_type", "k", "n_blocks", mean_rs.alias("mean_rs")
+    )
+    wk = Window.partitionBy("event_type").orderBy("k")
+    return st4.select(
+        "event_type",
+        "k",
+        "n_blocks",
+        "mean_rs",
+        (F.col("mean_rs") / F.lag("mean_rs").over(wk)).alias(
+            "rs_growth_vs_half"
+        ),
+    )

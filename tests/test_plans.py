@@ -2190,3 +2190,16 @@ def test_logrank_runs_on_duration_grid(spark):
     assert "SortMergeJoin" not in plan
     assert count_nodes(plan, "Scan parquet") == 2  # sessions + horizon agg
     assert "collect_list" in plan
+
+
+def test_arch_and_rescaled_range_joinless_single_scan(spark):
+    """ARCH-LM and the R/S profile both reduce raw to (type, hour)
+    first and do all float work in array folds — one scan, no joins
+    (the R/S x4 block expansion is a Generate, not a join)."""
+    for q in (Q.arch_effect_lag1, Q.rescaled_range_profile):
+        plan = plan_of(q(spark, SF))
+        for node in ("SortMergeJoin", "CartesianProduct",
+                     "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                     "ShuffledHashJoin"):
+            assert node not in plan
+        assert count_nodes(plan, "Scan parquet") == 1

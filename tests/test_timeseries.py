@@ -2348,3 +2348,38 @@ def test_arch_effect_constant_volatility_null(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     [r] = Q.arch_effect_lag1(spark, str(tmp_path)).collect()
     assert r["arch_r2"] is None and r["arch_lm"] is None
+
+
+def test_rescaled_range_profile_golden(spark, tmp_path):
+    """16 hourly samples -> exactly two complete k=8 blocks (k=16 has
+    a single block and falls under the n_blocks >= 2 gate; k=32/64
+    have none).  mean R/S is asserted against an exact float mirror
+    of the per-block prefix-deviation folds."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 4.0, 1.0, 3.0, 2.0, 2.0, 3.0, 1.0,
+            5.0, 0.0, 5.0, 0.0, 5.0, 0.0, 5.0, 1.0]
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "h", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = Q.rescaled_range_profile(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r["k"], r["n_blocks"]) == (8, 2)
+    assert r["rs_growth_vs_half"] is None
+
+    import functools, math
+    fold = lambda vs: functools.reduce(lambda p, q: p + q, vs, 0.0)  # noqa
+
+    def rs_of(block):
+        k = float(len(block))
+        mu = fold(block) / k
+        devs = [fold(block[:j]) - j * mu for j in range(1, len(block) + 1)]
+        rng = max(devs) - min(devs)
+        s = math.sqrt(fold([(m - mu) * (m - mu) for m in block]) / k)
+        return rng / s
+
+    m = [v * 100.0 for v in vals]
+    expected = ((0.0 + rs_of(m[:8])) + rs_of(m[8:])) / 2.0
+    assert r["mean_rs"] == expected
