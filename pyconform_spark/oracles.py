@@ -6632,3 +6632,23 @@ SELECT event_type, k, n_blocks, mean_rs,
          AS rs_growth_vs_half
 FROM st4
 """
+
+ORACLES["poisson_rate_drift"] = """
+WITH base AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events),
+spans AS (
+  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
+  FROM base GROUP BY 1),
+agg AS (
+  SELECT b.event_type,
+         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM base b JOIN spans s USING (event_type)
+  GROUP BY 1)
+SELECT event_type, n1, n2,
+       n2::DOUBLE / nullif(n1, 0)::DOUBLE AS rate_ratio,
+       (2 * n1 - (n1 + n2))::DOUBLE / sqrt((n1 + n2)::DOUBLE) AS rate_z,
+       (10000 * (2 * n1 - (n1 + n2)) * (2 * n1 - (n1 + n2))
+          > 38416 * (n1 + n2)) AS rate_drifted
+FROM agg WHERE n1 + n2 >= 4
+"""

@@ -13054,3 +13054,56 @@ def rescaled_range_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rs_growth_vs_half"
         ),
     )
+
+
+def poisson_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-RATE drift per event_type — the conditional binomial test
+    for comparing two Poisson counts (Przyborowski & Wilenski 1940,
+    public literature): given n1 events in the early half-window and
+    n2 in the late half, under equal rates n1 | n is Binomial(n, 1/2)
+    (the halves have equal exposure by construction), so
+    z = (2*n1 - n)/sqrt(n) flags rate changes.  Every other drift
+    query reads the VALUE distribution; this one reads the arrival
+    intensity itself — a series can keep its value distribution and
+    still double its firing rate.
+
+    EXACT cross-engine: n1, n2 are BIGINT counts against the integer
+    midpoint split; z is one integer-staged numerator, one IEEE sqrt,
+    one division; the rate ratio is a single division with NULLIF;
+    the 5% two-sided gate |2*n1 - n| > 1.96*sqrt(n) is squared into
+    the pure-integer comparison 10000*(2*n1-n)^2 > 38416*n — no
+    float in the decision at all.
+
+    Scale shape: one scan, one aggregate per type, a broadcast of the
+    per-type midpoint.  Nothing else."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("event_type", es.alias("es"))
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    agg = (
+        base.join(F.broadcast(spans), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("es") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("es") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    dev = (2 * F.col("n1") - n).cast("long")
+    return agg.filter((F.col("n1") + F.col("n2")) >= 4).select(
+        "event_type",
+        "n1",
+        "n2",
+        (
+            F.col("n2").cast("double")
+            / F.nullif(F.col("n1"), F.lit(0)).cast("double")
+        ).alias("rate_ratio"),
+        (dev.cast("double") / F.sqrt(n.cast("double"))).alias("rate_z"),
+        (10000 * dev * dev > 38416 * n).alias("rate_drifted"),
+    )

@@ -2383,3 +2383,38 @@ def test_rescaled_range_profile_golden(spark, tmp_path):
     m = [v * 100.0 for v in vals]
     expected = ((0.0 + rs_of(m[:8])) + rs_of(m[8:])) / 2.0
     assert r["mean_rs"] == expected
+
+
+def test_poisson_rate_drift_golden(spark, tmp_path):
+    """25 events in the early half, 100 in the late (span pinned by
+    two endpoint events): n = 125, dev = 2*25 - 125 = -75, z =
+    -75/sqrt(125), ratio 4.0, and the integer gate
+    10000*75^2 > 38416*125 fires."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(25):
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 1, "p", 1.0, "{}"))
+        eid += 1
+    for i in range(100):
+        rows.append((eid, t0 + dt.timedelta(seconds=7000 + i), 1, "p", 1.0,
+                     "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.poisson_rate_drift(spark, str(tmp_path)).collect()
+    import math
+    assert (r["n1"], r["n2"]) == (25, 100)
+    assert r["rate_ratio"] == 4.0
+    assert r["rate_z"] == -75.0 / math.sqrt(125.0)
+    assert bool(r["rate_drifted"]) is True
+
+
+def test_poisson_rate_balanced_not_flagged(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i * 100), 1, "q", 1.0, "{}")
+            for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.poisson_rate_drift(spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"]) == (5, 5)
+    assert r["rate_z"] == 0.0
+    assert bool(r["rate_drifted"]) is False
