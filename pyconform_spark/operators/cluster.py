@@ -93,11 +93,11 @@ def _assign(codes: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_integer(
+def kmeans_centroids(
     emb: DataFrame, k: int = 8, iters: int = 3, stride: int = STRIDE
-) -> DataFrame:
-    """Fixed-``iters`` integer Lloyd's k-means over the ``embedding``
-    column; returns (vec_id, cluster, dist_sq) for every vector."""
+) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd iteration shared by kmeans_integer and
+    silhouette_kmeans: returns (codes, final centroid frame)."""
     codes = emb.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     )
@@ -143,12 +143,153 @@ def kmeans_integer(
             )
             .persist()
         )
+    return codes, cents
+
+
+def kmeans_integer(
+    emb: DataFrame, k: int = 8, iters: int = 3, stride: int = STRIDE
+) -> DataFrame:
+    """Fixed-``iters`` integer Lloyd's k-means over the ``embedding``
+    column; returns (vec_id, cluster, dist_sq) for every vector."""
+    codes, cents = kmeans_centroids(emb, k, iters, stride)
     final = _assign(codes, cents)
     return final.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cid").cast("int").alias("cluster"),
         F.col("dist").cast("long").alias("dist_sq"),
     )
+
+
+def silhouette_kmeans(
+    emb: DataFrame, k: int = 8, iters: int = 3, stride: int = STRIDE
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette (Rousseeuw 1987 silhouette
+    with centroid distances standing in for mean pairwise distances —
+    the standard large-n variant, public literature) over the same
+    deterministic integer k-means: a = distance to the OWN centroid,
+    b = distance to the nearest OTHER centroid,
+    s = (b - a)/max(a, b) in [-1, 1]; s near 1 = tight cluster, near
+    0 = boundary points, negative = misassigned.
+
+    EXACT cross-engine: centroid distances are exact BIGINT squared
+    L2 on the quantized grid; sqrt is IEEE-correctly-rounded; each
+    vector's score quantizes to the integer floor(10000*s) BEFORE
+    aggregation, so the per-cluster mean is an ORDER-FREE BIGINT sum
+    divided once — no pinned fold needed even at corpus scale.  Ties
+    in the nearest/second-nearest pick break on (dist, cid) in both
+    engines.
+
+    Scale shape: the k-row centroid frame broadcasts; each vector
+    computes its k distances in one projection; one hash aggregate to
+    k result rows.  The corpus never shuffles."""
+    codes, cents = kmeans_centroids(emb, k, iters, stride)
+    cents_row = cents.agg(
+        F.collect_list(F.struct("cid", "c")).alias("cents")
+    )
+    dists = F.transform(
+        "cents",
+        lambda s: F.struct(
+            _l2sq(F.col("q"), s["c"]).alias("dist"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    st1 = codes.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "q", dists.alias("dists")
+    )
+    st2 = st1.select(
+        "vec_id",
+        F.array_min("dists").alias("own"),
+        "dists",
+    )
+    b = F.array_min(
+        F.filter("dists", lambda s: s["cid"] != F.col("own.cid"))
+    )["dist"]
+    sa = F.sqrt(F.col("own.dist").cast("double"))
+    sb = F.sqrt(b.cast("double"))
+    s_q = F.when(F.greatest(sa, sb) == 0.0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(10000.0) * (sb - sa) / F.greatest(sa, sb)).cast("long")
+    )
+    st3 = st2.select(
+        F.col("own.cid").alias("cluster"),
+        s_q.alias("s_q"),
+    )
+    agg = st3.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("s_q").cast("long").alias("s_sum"),
+        F.min("s_q").cast("long").alias("s_min_q"),
+    )
+    return agg.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_vectors",
+        (
+            F.col("s_sum").cast("double")
+            / (F.lit(10000.0) * F.col("n_vectors").cast("double"))
+        ).alias("mean_silhouette"),
+        (F.col("s_min_q").cast("double") / 10000.0).alias("worst_silhouette"),
+    )
+
+
+def silhouette_kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of silhouette_kmeans: the same centroid chain, then
+    per-vector nearest/second-nearest by (dist, cid) and the quantized
+    score."""
+    q = QUANT_SQL.format(c="embedding")
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(a.q)), "
+        "j -> (a.q[j] - c.c[j]) * (a.q[j] - c.c[j])))"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""a{i} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT a.vec_id, a.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM codes a, c{i} c) WHERE rn = 1),
+s{i} AS (
+  SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+  FROM a{i}),
+m{i} AS (
+  SELECT cid, list(s // cnt ORDER BY pos) AS c_new FROM (
+    SELECT cid, pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt
+    FROM s{i} GROUP BY 1, 2) GROUP BY cid),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.c_new, p.c) AS c
+  FROM c{i} p LEFT JOIN m{i} n USING (cid))"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH codes AS (SELECT vec_id, {q} AS q FROM embeddings),
+c0 AS (
+  SELECT (vec_id // {STRIDE})::INT AS cid, q AS c FROM codes
+  WHERE vec_id % {STRIDE} = 0 AND vec_id < {k * STRIDE}),
+{chain},
+ranked AS (
+  SELECT a.vec_id, c.cid, {dist} AS dist,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM codes a, c{iters} c),
+ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         max(CASE WHEN rn = 1 THEN dist END)::BIGINT AS a,
+         max(CASE WHEN rn = 2 THEN dist END)::BIGINT AS b
+  FROM ranked WHERE rn <= 2 GROUP BY 1),
+scored AS (
+  SELECT cluster,
+         CASE WHEN greatest(sqrt(a::DOUBLE), sqrt(b::DOUBLE)) = 0.0
+              THEN 0::BIGINT
+              ELSE floor(10000.0 * (sqrt(b::DOUBLE) - sqrt(a::DOUBLE))
+                         / greatest(sqrt(a::DOUBLE), sqrt(b::DOUBLE)))
+                   ::BIGINT END AS s_q
+  FROM ab)
+SELECT cluster::INT AS cluster, count(*)::BIGINT AS n_vectors,
+       sum(s_q)::BIGINT::DOUBLE / (10000.0 * count(*)::DOUBLE)
+         AS mean_silhouette,
+       min(s_q)::DOUBLE / 10000.0 AS worst_silhouette
+FROM scored GROUP BY 1
+"""
 
 
 def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:

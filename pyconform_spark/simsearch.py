@@ -1064,7 +1064,14 @@ def register_sim_queries() -> dict[str, callable]:
             s.read.parquet(f"{d}/documents.parquet"), _emb(s, d)
         ),
         "kmeans_embeddings": lambda s, d: _kmeans(_emb(s, d)),
+        "silhouette_kmeans": lambda s, d: _silhouette(_emb(s, d)),
     }
+
+
+def _silhouette(emb: DataFrame) -> DataFrame:
+    from pyconform_spark.operators.cluster import silhouette_kmeans
+
+    return silhouette_kmeans(emb)
 
 
 def _kmeans(emb: DataFrame) -> DataFrame:
@@ -1259,6 +1266,10 @@ FROM ranked WHERE rank <= {k}
 
 SIM_ORACLES["knn_int8"] = knn_int8_sql()
 
-from pyconform_spark.operators.cluster import kmeans_embeddings_sql  # noqa: E402
+from pyconform_spark.operators.cluster import (  # noqa: E402
+    kmeans_embeddings_sql,
+    silhouette_kmeans_sql,
+)
 
 SIM_ORACLES["kmeans_embeddings"] = kmeans_embeddings_sql()
+SIM_ORACLES["silhouette_kmeans"] = silhouette_kmeans_sql()

@@ -63,3 +63,43 @@ def test_kmeans_assignment_is_exact_integer_l2(spark):
         ).collect()
     }
     assert out[0] == 0 and out[1] == 0
+
+
+def test_silhouette_tight_vs_boundary(spark):
+    """Two obvious 2-D clusters built so stride-seeded centroids
+    converge onto them: tight members score near 1, while the point
+    seeded midway scores far lower (the Lloyd update pulls its
+    centroid toward it, so it lands ~0.33 rather than 0) — and
+    every score is the quantized floor(10000*s)/10000."""
+    from pyconform_spark.operators.cluster import (
+        kmeans_integer,
+        silhouette_kmeans,
+    )
+    import pyspark.sql.functions as F
+
+    # stride-seed layout: vec_id 0 and 32 are the k=2 seeds
+    pts = []
+    for i, v in [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+                 (32, [10.0, 10.0]), (33, [10.1, 10.0]),
+                 (34, [5.05, 5.0])]:
+        pts.append((i, v))
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {r["cluster"]: r
+           for r in silhouette_kmeans(emb, k=2, iters=2, stride=32)
+           .collect()}
+    assert len(out) == 2
+    # both clusters should be strongly positive on average
+    assert all(r["mean_silhouette"] > 0.5 for r in out.values())
+    # the midway point is somebody's worst member, well below the pack
+    assert min(r["worst_silhouette"] for r in out.values()) < 0.4
+    # scores are floor-quantized to 1e-4
+    for r in out.values():
+        assert abs(r["worst_silhouette"] * 10000
+                   - round(r["worst_silhouette"] * 10000)) < 1e-9
+    # assignment parity with kmeans_integer on the same input
+    assign = kmeans_integer(emb, k=2, iters=2, stride=32)
+    n_by_cluster = {r["cluster"]: 0 for r in assign.collect()}
+    for r in assign.collect():
+        n_by_cluster[r["cluster"]] += 1
+    assert {r["n_vectors"] for r in out.values()} == set(
+        n_by_cluster.values())
