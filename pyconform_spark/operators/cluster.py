@@ -336,3 +336,149 @@ SELECT vec_id::BIGINT AS vec_id, cid::INT AS cluster,
        dist::BIGINT AS dist_sq
 FROM afin
 """
+
+
+def calinski_harabasz(
+    emb: DataFrame, k: int = 8, iters: int = 3, stride: int = STRIDE
+) -> DataFrame:
+    """Calinski-Harabasz variance-ratio index (Calinski & Harabasz
+    1974, public literature) over the same deterministic integer
+    k-means: CH = (B/(k_used-1)) / (W/(n-k_used)) with W the total
+    within-cluster squared distance and B = sum_i n_i * ||c_i -
+    c_bar||^2 — higher = tighter, better-separated clusters.  The
+    entirely-integer companion of silhouette_kmeans: no sqrt anywhere.
+
+    EXACT cross-engine: W sums the exact BIGINT squared distances the
+    assignment already computes; the grand centroid c_bar uses the
+    same element-wise integer division (s div n) as the Lloyd update;
+    B is BIGINT; CH is one fixed double expression with NULLIF guards
+    for the degenerate one-cluster / n==k cases.
+
+    Scale shape: one assignment pass (centroids broadcast), two hash
+    aggregates (per-cluster, global), a k-row frame for B."""
+    codes, cents = kmeans_centroids(emb, k, iters, stride)
+    assigned = _assign(codes, cents)
+    per_cluster = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("dist").cast("long").alias("w_i"),
+    )
+    gmean = (
+        codes.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select("pos", F.expr("s div cnt").alias("v"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda t: t["v"],
+            )
+            .cast("array<long>")
+            .alias("cbar"),
+        )
+    )
+    withb = (
+        per_cluster.join(cents, "cid")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            "cid",
+            "n_i",
+            "w_i",
+            (F.col("n_i") * _l2sq(F.col("c"), F.col("cbar")))
+            .cast("long")
+            .alias("b_i"),
+        )
+    )
+    gall = withb.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("w_i").cast("long").alias("w"),
+        F.sum("b_i").cast("long").alias("b"),
+    )
+    kd = F.col("k_used").cast("double")
+    nd = F.col("n").cast("double")
+    return gall.filter(F.col("k_used") >= 2).select(
+        "k_used",
+        "n",
+        "w",
+        "b",
+        (
+            (F.col("b").cast("double") / (kd - F.lit(1.0)))
+            / F.nullif(F.col("w").cast("double") / (nd - kd), F.lit(0.0))
+        ).alias("ch_index"),
+    )
+
+
+def calinski_harabasz_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of calinski_harabasz: same centroid chain, same
+    integer grand centroid (s // n matches Spark's `div` truncation),
+    same BIGINT W/B."""
+    q = QUANT_SQL.format(c="embedding")
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(a.q)), "
+        "j -> (a.q[j] - c.c[j]) * (a.q[j] - c.c[j])))"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""a{i} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT a.vec_id, a.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM codes a, c{i} c) WHERE rn = 1),
+s{i} AS (
+  SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+  FROM a{i}),
+m{i} AS (
+  SELECT cid, list(s // cnt ORDER BY pos) AS c_new FROM (
+    SELECT cid, pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt
+    FROM s{i} GROUP BY 1, 2) GROUP BY cid),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.c_new, p.c) AS c
+  FROM c{i} p LEFT JOIN m{i} n USING (cid))"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH codes AS (SELECT vec_id, {q} AS q FROM embeddings),
+c0 AS (
+  SELECT (vec_id // {STRIDE})::INT AS cid, q AS c FROM codes
+  WHERE vec_id % {STRIDE} = 0 AND vec_id < {k * STRIDE}),
+{chain},
+afin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT a.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM codes a, c{iters} c) WHERE rn = 1),
+per_cluster AS (
+  SELECT cid, count(*)::BIGINT AS n_i, sum(dist)::BIGINT AS w_i
+  FROM afin GROUP BY 1),
+gmean AS (
+  SELECT list(s // cnt ORDER BY pos) AS cbar FROM (
+    SELECT pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt FROM (
+      SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+      FROM codes)
+    GROUP BY 1)),
+withb AS (
+  SELECT p.cid, p.n_i, p.w_i,
+         (p.n_i * list_sum(list_transform(
+            generate_series(1, len(c.c)),
+            j -> (c.c[j] - g.cbar[j]) * (c.c[j] - g.cbar[j]))))::BIGINT
+           AS b_i
+  FROM per_cluster p
+  JOIN c{iters} c USING (cid)
+  CROSS JOIN gmean g),
+gall AS (
+  SELECT count(*)::BIGINT AS k_used, sum(n_i)::BIGINT AS n,
+         sum(w_i)::BIGINT AS w, sum(b_i)::BIGINT AS b
+  FROM withb)
+SELECT k_used, n, w, b,
+       (b::DOUBLE / (k_used::DOUBLE - 1.0))
+         / nullif(w::DOUBLE / (n::DOUBLE - k_used::DOUBLE), 0.0)
+         AS ch_index
+FROM gall WHERE k_used >= 2
+"""

@@ -1065,7 +1065,14 @@ def register_sim_queries() -> dict[str, callable]:
         ),
         "kmeans_embeddings": lambda s, d: _kmeans(_emb(s, d)),
         "silhouette_kmeans": lambda s, d: _silhouette(_emb(s, d)),
+        "calinski_harabasz_kmeans": lambda s, d: _calinski(_emb(s, d)),
     }
+
+
+def _calinski(emb: DataFrame) -> DataFrame:
+    from pyconform_spark.operators.cluster import calinski_harabasz
+
+    return calinski_harabasz(emb)
 
 
 def _silhouette(emb: DataFrame) -> DataFrame:
@@ -1267,9 +1274,11 @@ FROM ranked WHERE rank <= {k}
 SIM_ORACLES["knn_int8"] = knn_int8_sql()
 
 from pyconform_spark.operators.cluster import (  # noqa: E402
+    calinski_harabasz_sql,
     kmeans_embeddings_sql,
     silhouette_kmeans_sql,
 )
 
 SIM_ORACLES["kmeans_embeddings"] = kmeans_embeddings_sql()
 SIM_ORACLES["silhouette_kmeans"] = silhouette_kmeans_sql()
+SIM_ORACLES["calinski_harabasz_kmeans"] = calinski_harabasz_sql()

@@ -103,3 +103,50 @@ def test_silhouette_tight_vs_boundary(spark):
         n_by_cluster[r["cluster"]] += 1
     assert {r["n_vectors"] for r in out.values()} == set(
         n_by_cluster.values())
+
+
+def test_calinski_harabasz_exact_mirror(spark):
+    """Two tight, far-apart clusters: CH is asserted bit-for-bit
+    against a pure-Python mirror of the integer pipeline (quantize,
+    2 Lloyd rounds from stride seeds, truncating integer centroid
+    divisions, BIGINT W/B, one double expression)."""
+    from pyconform_spark.operators.cluster import (
+        calinski_harabasz,
+        QUANT,
+    )
+
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+           (32, [10.0, 10.0]), (33, [10.1, 10.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    [r] = calinski_harabasz(emb, k=2, iters=2, stride=32).collect()
+
+    import math
+    q = {i: [math.floor(x * QUANT) for x in v] for i, v in pts}
+    cents = {0: q[0], 1: q[32]}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def tdiv(a, b):  # truncating integer division (Spark div / duck //)
+        return int(a / b) if (a < 0) != (b < 0) else a // b
+
+    for _ in range(2):
+        assign = {i: min(cents, key=lambda c: (d2(q[i], cents[c]), c))
+                  for i in q}
+        for c in cents:
+            members = [q[i] for i in q if assign[i] == c]
+            if members:
+                cents[c] = [tdiv(sum(col), len(members))
+                            for col in zip(*members)]
+    assign = {i: min(cents, key=lambda c: (d2(q[i], cents[c]), c))
+              for i in q}
+    w = sum(d2(q[i], cents[assign[i]]) for i in q)
+    n = len(q)
+    cbar = [tdiv(sum(col), n) for col in zip(*q.values())]
+    sizes = {c: sum(1 for i in q if assign[i] == c) for c in cents}
+    b = sum(sizes[c] * d2(cents[c], cbar) for c in cents if sizes[c])
+    k_used = sum(1 for c in sizes if sizes[c])
+    ch = (b / (k_used - 1.0)) / (w / (n - float(k_used)))
+    assert (r["k_used"], r["n"]) == (k_used, n)
+    assert r["w"] == w and r["b"] == b
+    assert r["ch_index"] == ch
