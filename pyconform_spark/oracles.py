@@ -6652,3 +6652,116 @@ SELECT event_type, n1, n2,
           > 38416 * (n1 + n2)) AS rate_drifted
 FROM agg WHERE n1 + n2 >= 4
 """
+
+_HOURLY_RANKS = """
+hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, hr, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS t,
+         (2 * rank() OVER (PARTITION BY event_type ORDER BY m)
+          + count(*) OVER (PARTITION BY event_type, m) - 1)::BIGINT AS r2,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM hourly)"""
+
+ORACLES["pettitt_changepoint"] = f"""
+WITH {_HOURLY_RANKS},
+u AS (
+  SELECT event_type, hr, t, n,
+         ((sum(r2) OVER (PARTITION BY event_type ORDER BY t))::BIGINT
+          - t * (n + 1))::BIGINT AS u
+  FROM seq),
+best AS (
+  SELECT event_type, n, t, hr, u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(u) DESC, t) AS rn
+  FROM u WHERE t < n)
+SELECT event_type, n, abs(u)::BIGINT AS k_stat, t AS tau_t, hr AS tau_hr,
+       (2 * abs(u))::DOUBLE / (n * (n + 1))::DOUBLE AS k_frac,
+       (60000 * abs(u) * abs(u) > 36889 * (n * n * n + n * n)) AS changed
+FROM best WHERE rn = 1 AND n >= 8
+"""
+
+ORACLES["cox_stuart_trend"] = f"""
+WITH {_HOURLY_RANKS},
+g AS (
+  SELECT event_type, list(m ORDER BY t) AS arr, count(*)::BIGINT AS n
+  FROM seq GROUP BY 1),
+st AS (
+  SELECT event_type, n,
+         list_sum(list_transform(
+           generate_series(1, (n - (n + 1) // 2)::INT),
+           i -> CASE WHEN arr[(i + (n + 1) // 2)::INT] > arr[i]
+                     THEN 1 ELSE 0 END))::BIGINT AS pos,
+         list_sum(list_transform(
+           generate_series(1, (n - (n + 1) // 2)::INT),
+           i -> CASE WHEN arr[(i + (n + 1) // 2)::INT] < arr[i]
+                     THEN 1 ELSE 0 END))::BIGINT AS neg
+  FROM g WHERE n >= 8)
+SELECT event_type, n, pos, neg,
+       (2 * pos - (pos + neg))::DOUBLE / sqrt((pos + neg)::DOUBLE)
+         AS trend_z,
+       (10000 * (2 * pos - (pos + neg)) * (2 * pos - (pos + neg))
+          > 38416 * (pos + neg)) AS trended,
+       CASE WHEN 10000 * (2 * pos - (pos + neg)) * (2 * pos - (pos + neg))
+                   > 38416 * (pos + neg)
+            THEN CASE WHEN 2 * pos - (pos + neg) > 0
+                      THEN 'increasing' ELSE 'decreasing' END
+            ELSE 'none' END AS direction
+FROM st WHERE pos + neg >= 4
+"""
+
+ORACLES["bartels_rank_ratio"] = f"""
+WITH {_HOURLY_RANKS},
+st AS (
+  SELECT event_type, n,
+         (r2 - lead(r2) OVER (PARTITION BY event_type ORDER BY t))
+           AS d,
+         (r2 - (n + 1)) AS e
+  FROM seq),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         sum(d * d)::BIGINT AS num4, sum(e * e)::BIGINT AS den4
+  FROM st GROUP BY 1)
+SELECT event_type, n, num4, den4,
+       num4::DOUBLE / den4::DOUBLE AS rvn,
+       (num4::DOUBLE / den4::DOUBLE - 2.0)
+         / sqrt((4 * (n - 2) * (5 * n * n - 2 * n - 9))::DOUBLE
+                / (5 * n * (n + 1) * (n - 1) * (n - 1))::DOUBLE) AS rvn_z,
+       (abs(num4::DOUBLE / den4::DOUBLE - 2.0)
+         / sqrt((4 * (n - 2) * (5 * n * n - 2 * n - 9))::DOUBLE
+                / (5 * n * (n + 1) * (n - 1) * (n - 1))::DOUBLE)
+        > 1.96) AS nonrandom
+FROM agg WHERE n >= 10 AND den4 > 0
+"""
+
+ORACLES["teager_kaiser_energy"] = """
+WITH base AS (
+  SELECT event_type, event_id, floor(epoch(ts))::BIGINT AS es,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+st AS (
+  SELECT event_type, event_id, es,
+         (vq * vq - lag(vq) OVER w * lead(vq) OVER w)::BIGINT AS psi
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
+ranked AS (
+  SELECT event_type, event_id, es, psi,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY psi DESC, es, event_id) AS rn
+  FROM st WHERE psi IS NOT NULL),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_psi,
+         sum(psi)::BIGINT AS sum_psi,
+         sum(CASE WHEN psi < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+         max(CASE WHEN rn = 1 THEN psi END)::BIGINT AS max_psi,
+         max(CASE WHEN rn = 1 THEN event_id END)::BIGINT AS peak_event_id
+  FROM ranked GROUP BY 1)
+SELECT event_type, n_psi,
+       sum_psi::DOUBLE / n_psi::DOUBLE AS mean_psi,
+       n_negative, max_psi, peak_event_id
+FROM agg
+"""

@@ -13107,3 +13107,290 @@ def poisson_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev.cast("double") / F.sqrt(n.cast("double"))).alias("rate_z"),
         (10000 * dev * dev > 38416 * n).alias("rate_drifted"),
     )
+
+
+def _hourly_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staging for the rank-based trend/changepoint tests:
+    per-(event_type, hour) mean of centi-quantized values as one exact
+    BIGINT/BIGINT division, with the hour-ordered index t, the
+    doubled mid-rank r2 = 2*avg_rank (an INTEGER even under ties:
+    2*((2*rank_min + cnt - 1)/2)), and the per-type length n."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    wv = Window.partitionBy("event_type").orderBy("m")
+    wtie = Window.partitionBy("event_type", "m")
+    wn = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hr",
+        "m",
+        F.row_number().over(wt).cast("long").alias("t"),
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(wtie)
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+
+
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test per event_type (Pettitt
+    1979, public literature): on the hourly mean series, U_t =
+    2*sum_{i<=t} r_i - t*(n+1) measures how the first t ranks deviate
+    from their null share; K = max_t |U_t| locates the most likely
+    single change point tau = argmax (earliest on ties).  The
+    nonparametric sibling of cusum_changepoints: rank-based, so one
+    wild outlier cannot fake a level shift.
+
+    EXACT cross-engine: ranks are doubled mid-ranks (r2 = 2*rank_min
+    + tie_count - 1, always BIGINT), so U_t = cumsum(r2) - t*(n+1) is
+    a pure-integer statistic; the 5% decision uses Pettitt's
+    approximation p = 2*exp(-6K^2/(n^3+n^2)) squared into the integer
+    gate 60000*K^2 > 36889*(n^3+n^2) (36889 = 10^4*ln(40), the p<0.05
+    boundary) — no transcendental anywhere; k_frac = 2K/(n(n+1)) is
+    one division of exact integers.
+
+    Scale shape: raw reduces to (type, hour) FIRST; two window sorts
+    (rank by value, cumsum by time) over the small hourly frame; one
+    row per type out."""
+    seq = _hourly_means(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "n",
+        (F.sum("r2").over(wcum) - F.col("t") * (F.col("n") + 1))
+        .cast("long")
+        .alias("u"),
+    ).filter(F.col("t") < F.col("n"))
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("t")
+    )
+    best = u.select(
+        "event_type",
+        "n",
+        "t",
+        "hr",
+        "u",
+        F.row_number().over(wpick).alias("rn"),
+    ).filter((F.col("rn") == 1) & (F.col("n") >= 8))
+    k = F.abs(F.col("u"))
+    n = F.col("n")
+    return best.select(
+        "event_type",
+        "n",
+        k.alias("k_stat"),
+        F.col("t").alias("tau_t"),
+        F.col("hr").alias("tau_hr"),
+        ((2 * k).cast("double") / (n * (n + 1)).cast("double")).alias(
+            "k_frac"
+        ),
+        (60000 * k * k > 36889 * (n * n * n + n * n)).alias("changed"),
+    )
+
+
+def cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign test for monotone trend per event_type (Cox &
+    Stuart 1955, public literature): the hourly mean series is folded
+    at c = ceil(n/2) and each x_i is paired with x_{i+c}; under no
+    trend the later half beats the earlier half in Binomial(m, 1/2)
+    of the m non-tied pairs.  The distribution-free companion of
+    mann_kendall_trend at O(n) pairs instead of O(n^2).
+
+    EXACT cross-engine: pos/neg are BIGINT counts from folds over the
+    t-sorted pair list (order-pinned, though the sum is order-free
+    anyway); the 5% two-sided gate squares z = (2*pos-m)/sqrt(m) into
+    the pure-integer comparison 10000*(2*pos-m)^2 > 38416*m; trend_z
+    is one integer-staged numerator, one IEEE sqrt, one division.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the pair fold
+    rides a per-type array of hourly means (bounded by the series
+    span in hours); one row per type out."""
+    seq = _hourly_means(spark, sf_dir)
+    g = (
+        seq.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+            F.max("n").alias("n"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    c = F.floor((F.col("n") + 1) / 2).cast("long")
+    npairs = (F.col("n") - c).cast("int")
+    def _cnt(cmp):
+        return F.aggregate(
+            F.sequence(F.lit(1), npairs),
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.when(
+                cmp(
+                    F.element_at(F.col("arr"), (i + c).cast("int"))["m"],
+                    F.element_at(F.col("arr"), i.cast("int"))["m"],
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    st = g.select(
+        "event_type",
+        "n",
+        _cnt(lambda late, early: late > early).alias("pos"),
+        _cnt(lambda late, early: late < early).alias("neg"),
+    )
+    m = (F.col("pos") + F.col("neg")).cast("long")
+    dev = (2 * F.col("pos") - m).cast("long")
+    return st.filter(m >= 4).select(
+        "event_type",
+        "n",
+        "pos",
+        "neg",
+        (dev.cast("double") / F.sqrt(m.cast("double"))).alias("trend_z"),
+        (10000 * dev * dev > 38416 * m).alias("trended"),
+        F.when(
+            10000 * dev * dev > 38416 * m,
+            F.when(dev > 0, F.lit("increasing")).otherwise(
+                F.lit("decreasing")
+            ),
+        )
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    )
+
+
+def bartels_rank_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank version of von Neumann's ratio per event_type
+    (Bartels 1982, public literature): RVN = sum (r_i - r_{i+1})^2 /
+    sum (r_i - rbar)^2 on the hourly mean ranks — E[RVN] = 2 under
+    randomness, below 2 means positive serial dependence (trend /
+    slow drift), above 2 rapid alternation.  Complements runs_test
+    (which only sees the median crossing) with full rank magnitude.
+
+    EXACT cross-engine: doubled mid-ranks r2 keep everything BIGINT;
+    rbar2 = n+1 exactly (sum r2 = n(n+1)), so numerator and
+    denominator are integer sums of squares whose common factor 4
+    cancels in the ratio; z = (RVN-2)/sqrt(Var) uses Bartels' exact
+    null variance 4(n-2)(5n^2-2n-9) / (5n(n+1)(n-1)^2) as one
+    division of exact integers — identical IEEE sequence in both
+    engines.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one lead() over
+    the hourly frame, one aggregate; one row per type out."""
+    seq = _hourly_means(spark, sf_dir)
+    wt = Window.partitionBy("event_type").orderBy("t")
+    d = F.col("r2") - F.lead("r2").over(wt)
+    e = F.col("r2") - (F.col("n") + 1)
+    st = seq.select(
+        "event_type",
+        "n",
+        (d * d).cast("long").alias("d2"),
+        (e * e).cast("long").alias("e2"),
+    )
+    agg = (
+        st.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("d2").cast("long").alias("num4"),
+            F.sum("e2").cast("long").alias("den4"),
+        )
+        .filter((F.col("n") >= 10) & (F.col("den4") > 0))
+    )
+    n = F.col("n")
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    var = (
+        (4 * (n - 2) * (5 * n * n - 2 * n - 9)).cast("double")
+        / (5 * n * (n + 1) * (n - 1) * (n - 1)).cast("double")
+    )
+    z = (rvn - F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n",
+        "num4",
+        "den4",
+        rvn.alias("rvn"),
+        z.alias("rvn_z"),
+        (F.abs(z) > F.lit(1.96)).alias("nonrandom"),
+    )
+
+
+def teager_kaiser_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teager-Kaiser energy operator per event_type (Kaiser 1990,
+    public literature): psi_t = x_t^2 - x_{t-1}*x_{t+1} on the
+    centi-quantized raw values in stable (ts, event_id) order — an
+    instantaneous energy that spikes on BOTH amplitude jumps and
+    frequency bursts, where a plain difference filter only sees the
+    former.  Reports the series' energy profile and the single
+    highest-energy event.
+
+    EXACT cross-engine: psi is pure BIGINT (|vq| <= ~5e4, so
+    psi <= ~5e9); mean_psi is one BIGINT/BIGINT division; the peak
+    row is the earliest argmax under the pinned
+    (psi DESC, ts, event_id) order.
+
+    Scale shape: one window sort per type (the same sort serves lag
+    and lead), one aggregate; one row per type out."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    base = df.select(
+        "event_type", "event_id", es.alias("es"), vq.alias("vq")
+    )
+    psi = (
+        F.col("vq") * F.col("vq")
+        - F.lag("vq").over(w) * F.lead("vq").over(w)
+    ).cast("long")
+    st = base.select("event_type", "event_id", "es", psi.alias("psi")).filter(
+        F.col("psi").isNotNull()
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("psi").desc(), "es", "event_id"
+    )
+    ranked = st.select(
+        "event_type",
+        "event_id",
+        "psi",
+        F.row_number().over(wpk).alias("rn"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_psi"),
+        F.sum("psi").cast("long").alias("sum_psi"),
+        F.sum(F.when(F.col("psi") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.max(F.when(F.col("rn") == 1, F.col("psi"))).alias("max_psi"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "peak_event_id"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_psi",
+        (F.col("sum_psi").cast("double") / F.col("n_psi").cast("double"))
+        .alias("mean_psi"),
+        "n_negative",
+        "max_psi",
+        "peak_event_id",
+    )

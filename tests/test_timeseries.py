@@ -2418,3 +2418,85 @@ def test_poisson_rate_balanced_not_flagged(spark, tmp_path):
     assert (r["n1"], r["n2"]) == (5, 5)
     assert r["rate_z"] == 0.0
     assert bool(r["rate_drifted"]) is False
+
+
+def test_pettitt_step_change_golden(spark, tmp_path):
+    """Six hourly 1.0s then six 9.0s: mid-ranks double to r2=7 and 19,
+    U_t = -6t before the break and 6t-72 after, so K = 36 at tau_t=6
+    and the integer gate 60000*36^2 > 36889*(12^3+12^2) fires."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0] * 6 + [9.0] * 6
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "p", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.pettitt_changepoint(spark, str(tmp_path)).collect()
+    assert (r["n"], r["k_stat"], r["tau_t"]) == (12, 36, 6)
+    assert r["k_frac"] == 72.0 / 156.0
+    assert bool(r["changed"]) is True
+
+
+def test_pettitt_flat_series_not_flagged(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 5.5]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "f", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.pettitt_changepoint(spark, str(tmp_path)).collect()
+    assert bool(r["changed"]) is False
+
+
+def test_cox_stuart_monotone_rise(spark, tmp_path):
+    """Ten strictly rising hourly values: c=5, all five pairs positive,
+    z = 5/sqrt(5), integer gate 10000*25 > 38416*5 fires increasing."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "c", float(i + 1), "{}")
+            for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.cox_stuart_trend(spark, str(tmp_path)).collect()
+    import math
+    assert (r["n"], r["pos"], r["neg"]) == (10, 5, 0)
+    assert r["trend_z"] == 5.0 / math.sqrt(5.0)
+    assert (bool(r["trended"]), r["direction"]) == (True, "increasing")
+
+
+def test_cox_stuart_odd_n_drops_middle(spark, tmp_path):
+    """n=9: c=5, four pairs (the middle sample pairs with nothing);
+    a falling series flags decreasing."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "d", float(9 - i), "{}")
+            for i in range(9)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.cox_stuart_trend(spark, str(tmp_path)).collect()
+    assert (r["pos"], r["neg"]) == (0, 4)
+    assert (bool(r["trended"]), r["direction"]) == (True, "decreasing")
+
+
+def test_bartels_alternation_above_two(spark, tmp_path):
+    """0/10 alternation for 10 hours: r2 alternates 6/16, num4 =
+    9*100, den4 = 10*25, RVN = 3.6 > 2 and z clears 1.96."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "a",
+             0.0 if i % 2 == 0 else 10.0, "{}") for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.bartels_rank_ratio(spark, str(tmp_path)).collect()
+    import math
+    assert (r["n"], r["num4"], r["den4"]) == (10, 900, 250)
+    assert r["rvn"] == 3.6
+    var = (4 * 8 * (500 - 20 - 9)) / (5 * 10 * 11 * 81)
+    assert r["rvn_z"] == (3.6 - 2.0) / math.sqrt(var)
+    assert bool(r["nonrandom"]) is True
+
+
+def test_teager_kaiser_spike_energy(spark, tmp_path):
+    """x = [1,1,5,1,1] in centi-units: psi = [-40000, 240000, -40000]
+    at the three interior points; the spike owns the peak."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 1.0, 5.0, 1.0, 1.0]
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "t", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.teager_kaiser_energy(spark, str(tmp_path)).collect()
+    assert (r["n_psi"], r["n_negative"]) == (3, 2)
+    assert r["max_psi"] == 240000
+    assert r["peak_event_id"] == 2
+    assert r["mean_psi"] == 160000.0 / 3.0
