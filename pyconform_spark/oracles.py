@@ -6765,3 +6765,145 @@ SELECT event_type, n_psi,
        n_negative, max_psi, peak_event_id
 FROM agg
 """
+
+ORACLES["dickey_fuller_level"] = f"""
+WITH {_HOURLY_RANKS},
+arr0 AS (
+  SELECT event_type,
+         list(struct_pack(t := t, m := m) ORDER BY t) AS arr,
+         max(n)::BIGINT AS n
+  FROM seq GROUP BY 1),
+st1 AS (
+  SELECT event_type, n,
+         list_transform(list_slice(arr, 1, (n - 1)::INT), v -> v.m) AS lv,
+         list_transform(list_zip(list_slice(arr, 2, n::INT),
+                                 list_slice(arr, 1, (n - 1)::INT)),
+                        s -> s[1].m - s[2].m) AS dd
+  FROM arr0 WHERE n >= 8),
+st2 AS (
+  SELECT event_type, n, lv, dd,
+         list_reduce(lv, (p, q) -> p + q) AS sx,
+         list_reduce(dd, (p, q) -> p + q) AS sd,
+         list_reduce(list_transform(lv, x -> x * x), (p, q) -> p + q)
+           AS sxx,
+         list_reduce(list_transform(list_zip(lv, dd), s -> s[1] * s[2]),
+                     (p, q) -> p + q) AS sxd
+  FROM st1),
+st3 AS (
+  SELECT event_type, n, lv, dd, sx, sd, sxx,
+         ((n - 1)::DOUBLE * sxd - sx * sd)
+           / nullif((n - 1)::DOUBLE * sxx - sx * sx, 0.0) AS phi
+  FROM st2),
+st4 AS (
+  SELECT event_type, n, lv, dd, sx, sxx, phi,
+         (sd - phi * sx) / (n - 1)::DOUBLE AS alpha
+  FROM st3),
+st5 AS (
+  SELECT event_type, n, sx, sxx, phi, alpha,
+         list_reduce(list_transform(list_zip(dd, lv),
+                       s -> ((s[1] - alpha) - phi * s[2])
+                            * ((s[1] - alpha) - phi * s[2])),
+                     (p, q) -> p + q) AS ssr
+  FROM st4)
+SELECT event_type, n, phi, alpha,
+       phi / nullif(sqrt((ssr / ((n - 1)::DOUBLE - 2.0))
+                  / nullif(sxx - sx * sx / (n - 1)::DOUBLE, 0.0)), 0.0)
+         AS df_t,
+       (phi / nullif(sqrt((ssr / ((n - 1)::DOUBLE - 2.0))
+                   / nullif(sxx - sx * sx / (n - 1)::DOUBLE, 0.0)), 0.0))
+         < -2.86 AS mean_reverting
+FROM st5
+"""
+
+ORACLES["dfa_profile"] = """
+WITH hourly AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS rn
+  FROM hourly),
+expanded AS (
+  SELECT event_type, t.k::BIGINT AS k, m,
+         floor((rn - 1) / t.k)::BIGINT AS blk,
+         ((rn - 1) % t.k + 1)::BIGINT AS idx
+  FROM seq CROSS JOIN (VALUES (8),(16),(32),(64)) t(k)),
+blocks AS (
+  SELECT event_type, k, blk,
+         list(struct_pack(idx := idx, m := m) ORDER BY idx) AS arr,
+         count(*)::BIGINT AS cnt
+  FROM expanded GROUP BY 1, 2, 3),
+st1 AS (
+  SELECT event_type, k, blk, arr,
+         list_reduce(list_transform(arr, v -> v.m), (p, q) -> p + q)
+           / k::DOUBLE AS mu
+  FROM blocks WHERE cnt = k),
+st2 AS (
+  SELECT event_type, k, blk,
+         list_transform(arr, e -> struct_pack(
+           x := e.idx::DOUBLE,
+           y := list_reduce(list_transform(list_slice(arr, 1, e.idx),
+                                           v -> v.m), (p, q) -> p + q)
+                - e.idx::DOUBLE * mu)) AS p
+  FROM st1),
+st3 AS (
+  SELECT event_type, k, blk, p,
+         (k::DOUBLE * list_reduce(list_transform(p, v -> v.x * v.y),
+                                  (a, b) -> a + b)
+          - (k * (k + 1) / 2)::DOUBLE
+            * list_reduce(list_transform(p, v -> v.y), (a, b) -> a + b))
+         / nullif(k::DOUBLE * (k * (k + 1) * (2 * k + 1) / 6)::DOUBLE
+                  - (k * (k + 1) / 2)::DOUBLE * (k * (k + 1) / 2)::DOUBLE,
+                  0.0) AS beta,
+         list_reduce(list_transform(p, v -> v.y), (a, b) -> a + b) AS sy
+  FROM st2),
+st4 AS (
+  SELECT event_type, k, blk, p, beta,
+         (sy - beta * (k * (k + 1) / 2)::DOUBLE) / k::DOUBLE AS a0
+  FROM st3),
+st5 AS (
+  SELECT event_type, k, blk,
+         sqrt(list_reduce(list_transform(p,
+                v -> (v.y - a0 - beta * v.x) * (v.y - a0 - beta * v.x)),
+              (a, b) -> a + b) / k::DOUBLE) AS f_blk
+  FROM st4),
+perk AS (
+  SELECT event_type, k, count(*)::BIGINT AS n_blocks,
+         list_reduce(list(f_blk ORDER BY blk), (a, b) -> a + b) AS s_f
+  FROM st5 WHERE f_blk IS NOT NULL GROUP BY 1, 2),
+st6 AS (
+  SELECT event_type, k, n_blocks, s_f / n_blocks::DOUBLE AS mean_f
+  FROM perk WHERE n_blocks >= 2)
+SELECT event_type, k, n_blocks, mean_f,
+       mean_f / lag(mean_f) OVER (PARTITION BY event_type ORDER BY k)
+         AS f_growth_vs_half
+FROM st6
+"""
+
+ORACLES["hodges_lehmann_shift"] = f"""
+WITH {_HOURLY_RANKS},
+arr0 AS (
+  SELECT event_type, list(m ORDER BY t) AS arr, max(n)::BIGINT AS n
+  FROM seq GROUP BY 1),
+st1 AS (
+  SELECT event_type, n,
+         list_slice(arr, 1, (n // 2)::INT) AS early,
+         list_slice(arr, (n // 2 + 1)::INT, n::INT) AS late
+  FROM arr0 WHERE n >= 8),
+st2 AS (
+  SELECT event_type, n,
+         len(early)::BIGINT AS n_early, len(late)::BIGINT AS n_late,
+         list_sort(flatten(list_transform(late,
+           l -> list_transform(early, e -> l - e)))) AS d
+  FROM st1)
+SELECT event_type, n, n_early, n_late,
+       (n_early * n_late)::BIGINT AS n_pairs,
+       CASE WHEN (n_early * n_late) % 2 = 1
+            THEN d[((n_early * n_late + 1) // 2)::INT]
+            ELSE (d[((n_early * n_late) // 2)::INT]
+                  + d[((n_early * n_late) // 2 + 1)::INT]) / 2.0
+       END AS hl_shift
+FROM st2
+"""

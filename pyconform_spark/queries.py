@@ -13394,3 +13394,318 @@ def teager_kaiser_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_psi",
         "peak_event_id",
     )
+
+
+def dickey_fuller_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test with constant per event_type
+    (Dickey & Fuller 1979, public literature): regress delta_y_t on
+    y_{t-1} over the hourly mean series and report the t-statistic of
+    the lagged-level coefficient — df_t below the MacKinnon 5%
+    critical value with constant (-2.86) rejects the unit root, i.e.
+    the series mean-reverts.  The direct complement of
+    kpss_level_stat: KPSS's null is stationarity, DF's null is the
+    unit root, and a series should fail at most one of them.
+
+    EXACT cross-engine: hourly means are single BIGINT/BIGINT
+    divisions; every regression sum is an ORDER-PINNED left fold over
+    the hr-sorted array (Spark `aggregate` from 0.0 == DuckDB
+    `list_reduce` over the same element expressions); phi/alpha/ssr/
+    df_t are identical double expression trees with NULLIF guards for
+    zero level variance; the one sqrt is IEEE-exact in both engines.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the fold rides a
+    per-type array bounded by the span in hours; one row per type."""
+    seq = _hourly_means(spark, sf_dir)
+    arr0 = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+        F.max("n").alias("n"),
+    ).filter(F.col("n") >= 8)
+    ni = F.col("n").cast("int")
+    st1 = arr0.select(
+        "event_type",
+        "n",
+        F.transform(
+            F.slice("arr", 1, ni - 1), lambda v: v["m"]
+        ).alias("lv"),
+        F.zip_with(
+            F.transform(F.slice("arr", 2, ni - 1), lambda v: v["m"]),
+            F.transform(F.slice("arr", 1, ni - 1), lambda v: v["m"]),
+            lambda c, p: c - p,
+        ).alias("dd"),
+    )
+
+    def fsum(col, fn=None):
+        return F.aggregate(
+            col, F.lit(0.0), lambda a, v: a + (fn(v) if fn else v)
+        )
+
+    st2 = st1.select(
+        "event_type",
+        "n",
+        "lv",
+        "dd",
+        fsum("lv").alias("sx"),
+        fsum("dd").alias("sd"),
+        fsum("lv", lambda v: v * v).alias("sxx"),
+        fsum(F.zip_with("lv", "dd", lambda x, d: x * d)).alias("sxd"),
+    )
+    m = (F.col("n") - 1).cast("double")
+    st3 = st2.select(
+        "event_type",
+        "n",
+        "lv",
+        "dd",
+        "sx",
+        "sd",
+        "sxx",
+        (
+            (m * F.col("sxd") - F.col("sx") * F.col("sd"))
+            / F.nullif(m * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+        ).alias("phi"),
+    )
+    st4 = st3.select(
+        "event_type",
+        "n",
+        "lv",
+        "dd",
+        "sx",
+        "sxx",
+        "phi",
+        ((F.col("sd") - F.col("phi") * F.col("sx")) / m).alias("alpha"),
+    )
+    st5 = st4.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        "phi",
+        "alpha",
+        fsum(
+            F.zip_with(
+                "dd",
+                "lv",
+                lambda d, x: (d - F.col("alpha")) - F.col("phi") * x,
+            ),
+            lambda r: r * r,
+        ).alias("ssr"),
+    )
+    se = F.sqrt(
+        (F.col("ssr") / (m - F.lit(2.0)))
+        / F.nullif(
+            F.col("sxx") - F.col("sx") * F.col("sx") / m, F.lit(0.0)
+        )
+    )
+    # a PERFECT fit (ssr = 0 => se = 0) yields NULL, not +-inf: the
+    # unit-root question is vacuous when delta_y is an exact linear
+    # function of the level (golden-tested on a pure alternation)
+    df_t = F.col("phi") / F.nullif(se, F.lit(0.0))
+    return st5.select(
+        "event_type",
+        "n",
+        "phi",
+        "alpha",
+        df_t.alias("df_t"),
+        (df_t < F.lit(-2.86)).alias("mean_reverting"),
+    )
+
+
+def dfa_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis per event_type (Peng et al.
+    1994, public literature): the cumulative mean-deviation profile is
+    cut into complete blocks of k = 8/16/32/64 hourly samples, each
+    block is detrended by its own least-squares line, and F(k) is the
+    average RMS residual — the detrended sibling of
+    rescaled_range_profile, immune to the level drift that inflates
+    R/S.  Like R/S the dyadic growth ratio F(k)/F(k/2) is reported
+    EXACTLY (2^H for DFA exponent H); the log-fit is left to the
+    analyst because ln is not cross-engine bit-stable (repo
+    convention).
+
+    EXACT cross-engine: profiles, OLS sums, and residual squares are
+    ORDER-PINNED folds over the idx-sorted block array (identical in
+    Spark `aggregate` and DuckDB `list_reduce`); the trend-line
+    moments Sx = k(k+1)/2 and Sxx = k(k+1)(2k+1)/6 are pure integers;
+    sqrt is IEEE-exact; per-k averages fold in blk order.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the x4 expansion
+    rides the hourly frame; block arrays are <= 64 elements."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    seq = hourly.select(
+        "event_type", "m", F.row_number().over(wt).cast("long").alias("rn")
+    )
+    ks = F.array(*[F.lit(k).cast("long") for k in (8, 16, 32, 64)])
+    expanded = seq.select(
+        "event_type", "m", "rn", F.explode(ks).alias("k")
+    ).select(
+        "event_type",
+        "k",
+        "m",
+        (F.floor((F.col("rn") - 1) / F.col("k"))).cast("long").alias("blk"),
+        ((F.col("rn") - 1) % F.col("k") + 1).cast("long").alias("idx"),
+    )
+    blocks = (
+        expanded.groupBy("event_type", "k", "blk")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("k"))
+    )
+    kd = F.col("k").cast("double")
+    mu = F.aggregate(F.col("arr"), F.lit(0.0), lambda a, v: a + v["m"]) / kd
+    st1 = blocks.select("event_type", "k", "blk", "arr", mu.alias("mu"))
+    prof = F.transform(
+        "arr",
+        lambda e: F.struct(
+            e["idx"].cast("double").alias("x"),
+            (
+                F.aggregate(
+                    F.slice(F.col("arr"), 1, e["idx"].cast("int")),
+                    F.lit(0.0),
+                    lambda a, v: a + v["m"],
+                )
+                - e["idx"].cast("double") * F.col("mu")
+            ).alias("y"),
+        ),
+    )
+    st2 = st1.select("event_type", "k", "blk", prof.alias("p"))
+    sx = (F.col("k") * (F.col("k") + 1) / 2).cast("double")
+    sxx = (
+        F.col("k") * (F.col("k") + 1) * (2 * F.col("k") + 1) / 6
+    ).cast("double")
+    sy = F.aggregate(F.col("p"), F.lit(0.0), lambda a, v: a + v["y"])
+    sxy = F.aggregate(
+        F.col("p"), F.lit(0.0), lambda a, v: a + v["x"] * v["y"]
+    )
+    st3 = st2.select(
+        "event_type",
+        "k",
+        "blk",
+        "p",
+        (
+            (kd * sxy - sx * sy) / F.nullif(kd * sxx - sx * sx, F.lit(0.0))
+        ).alias("beta"),
+        sy.alias("sy"),
+    )
+    st4 = st3.select(
+        "event_type",
+        "k",
+        "blk",
+        "p",
+        "beta",
+        ((F.col("sy") - F.col("beta") * sx) / kd).alias("a0"),
+    )
+    ss = F.aggregate(
+        F.col("p"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["y"] - F.col("a0") - F.col("beta") * v["x"])
+        * (v["y"] - F.col("a0") - F.col("beta") * v["x"]),
+    )
+    st5 = st4.select(
+        "event_type",
+        "k",
+        "blk",
+        F.sqrt(ss / kd).alias("f_blk"),
+    ).filter(F.col("f_blk").isNotNull())
+    perk = st5.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.array_sort(F.collect_list(F.struct("blk", "f_blk"))).alias("fs"),
+    )
+    mean_f = (
+        F.aggregate(F.col("fs"), F.lit(0.0), lambda a, v: a + v["f_blk"])
+        / F.col("n_blocks").cast("double")
+    )
+    st6 = perk.filter(F.col("n_blocks") >= 2).select(
+        "event_type", "k", "n_blocks", mean_f.alias("mean_f")
+    )
+    wk = Window.partitionBy("event_type").orderBy("k")
+    return st6.select(
+        "event_type",
+        "k",
+        "n_blocks",
+        "mean_f",
+        (F.col("mean_f") / F.lag("mean_f").over(wk)).alias(
+            "f_growth_vs_half"
+        ),
+    )
+
+
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator per event_type (Hodges
+    & Lehmann 1963, public literature): the median of ALL pairwise
+    differences late_j - early_i between the two half-window hourly
+    mean samples — the robust effect-size companion of mannwhitney_u,
+    which only decides WHETHER the halves differ; HL says BY HOW
+    MUCH, with a 29% breakdown point where the difference of means has
+    none.
+
+    EXACT cross-engine: pairwise differences are one IEEE subtraction
+    of exact hourly means, expanded inside a nested higher-order
+    expression (never a self-join); the median picks element
+    (np+1)/2 of the sorted array for odd np and averages the two
+    middles (one addition, one halving — both exact) for even np.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the pair array is
+    (n/2)^2 per type, bounded by the series span in hours (not raw
+    rows), and lives inside one array expression — no shuffle."""
+    seq = _hourly_means(spark, sf_dir)
+    g = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+        F.max("n").alias("n"),
+    ).filter(F.col("n") >= 8)
+    half = F.floor(F.col("n") / 2).cast("int")
+    st1 = g.select(
+        "event_type",
+        "n",
+        F.transform(F.slice("arr", 1, half), lambda v: v["m"]).alias(
+            "early"
+        ),
+        F.transform(
+            F.slice("arr", half + 1, F.col("n").cast("int") - half),
+            lambda v: v["m"],
+        ).alias("late"),
+    )
+    diffs = F.array_sort(
+        F.flatten(
+            F.transform(
+                "late",
+                lambda lv: F.transform("early", lambda ev: lv - ev),
+            )
+        )
+    )
+    st2 = st1.select(
+        "event_type",
+        "n",
+        F.size("early").cast("long").alias("n_early"),
+        F.size("late").cast("long").alias("n_late"),
+        diffs.alias("d"),
+    )
+    np_ = (F.col("n_early") * F.col("n_late")).cast("long")
+    lo = F.element_at(F.col("d"), F.floor(np_ / 2).cast("int"))
+    hi = F.element_at(F.col("d"), (F.floor(np_ / 2) + 1).cast("int"))
+    mid = F.element_at(F.col("d"), F.floor((np_ + 1) / 2).cast("int"))
+    hl = F.when(np_ % 2 == 1, mid).otherwise((lo + hi) / F.lit(2.0))
+    return st2.select(
+        "event_type",
+        "n",
+        "n_early",
+        "n_late",
+        np_.alias("n_pairs"),
+        hl.alias("hl_shift"),
+    )

@@ -2500,3 +2500,138 @@ def test_teager_kaiser_spike_energy(spark, tmp_path):
     assert r["max_psi"] == 240000
     assert r["peak_event_id"] == 2
     assert r["mean_psi"] == 160000.0 / 3.0
+
+
+def test_dickey_fuller_noisy_alternation_mean_reverts(spark, tmp_path):
+    """A jittered alternation is strongly mean-reverting: df_t is
+    asserted bit-for-bit against a pure-Python mirror of the
+    fold-exact OLS, and the -2.86 gate fires."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 10.0, 1.0, 9.0, 0.0, 10.0, 2.0, 8.0, 0.0, 10.0,
+            1.0, 9.0]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "u", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.dickey_fuller_level(spark, str(tmp_path)).collect()
+
+    import functools, math
+    fold = lambda vs: functools.reduce(lambda p, q: p + q, vs, 0.0)  # noqa
+    y = [v * 100.0 for v in vals]
+    lv = y[:-1]
+    dd = [c - p for c, p in zip(y[1:], y[:-1])]
+    m = float(len(lv))
+    sx, sd = fold(lv), fold(dd)
+    sxx = fold([x * x for x in lv])
+    sxd = fold([x * d for x, d in zip(lv, dd)])
+    phi = (m * sxd - sx * sd) / (m * sxx - sx * sx)
+    alpha = (sd - phi * sx) / m
+    ssr = fold([((d - alpha) - phi * x) * ((d - alpha) - phi * x)
+                for d, x in zip(dd, lv)])
+    df_t = phi / math.sqrt((ssr / (m - 2.0)) / (sxx - sx * sx / m))
+    assert r["phi"] == phi and r["df_t"] == df_t
+    assert df_t < -2.86 and bool(r["mean_reverting"]) is True
+
+
+def test_dickey_fuller_perfect_fit_is_null(spark, tmp_path):
+    """A pure 0/10 alternation makes delta_y an EXACT linear function
+    of the level (ssr = 0): df_t is NULL by convention, never inf or
+    an ANSI divide-by-zero."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0 if i % 2 == 0 else 10.0 for i in range(12)]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "u", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.dickey_fuller_level(spark, str(tmp_path)).collect()
+    assert r["df_t"] is None and r["mean_reverting"] is None
+
+
+def test_dickey_fuller_monotone_walk_not_rejected(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "w", float(i * i), "{}")
+            for i in range(12)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.dickey_fuller_level(spark, str(tmp_path)).collect()
+    assert bool(r["mean_reverting"]) is False
+
+
+def test_dfa_constant_series_zero_fluctuation(spark, tmp_path):
+    """16 constant hourly samples: the profile is identically zero in
+    every k=8 block, so mean_f = 0 exactly; k=16 has a single block
+    and falls under the n_blocks >= 2 gate."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "z", 7.0, "{}")
+            for i in range(16)]
+    _write_events(spark, tmp_path, rows)
+    out = Q.dfa_profile(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r["k"], r["n_blocks"], r["mean_f"]) == (8, 2, 0.0)
+    assert r["f_growth_vs_half"] is None
+
+
+def test_dfa_mean_f_matches_python_mirror(spark, tmp_path):
+    """16 noisy hourly samples -> two complete k=8 blocks; mean F(8)
+    is asserted bit-for-bit against a pure-Python mirror of the
+    pinned per-block profile/OLS/residual folds."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 4.0, 1.0, 3.0, 2.0, 2.0, 3.0, 1.0,
+            5.0, 0.0, 5.0, 0.0, 5.0, 0.0, 5.0, 1.0]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "r", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.dfa_profile(spark, str(tmp_path)).collect()
+    assert (r["k"], r["n_blocks"]) == (8, 2)
+
+    import functools, math
+    fold = lambda vs: functools.reduce(lambda p, q: p + q, vs, 0.0)  # noqa
+
+    def f_of(block):
+        k = len(block)
+        mu = fold(block) / float(k)
+        prof = [(float(j), fold(block[:j]) - j * mu)
+                for j in range(1, k + 1)]
+        sx = k * (k + 1) / 2
+        sxx = k * (k + 1) * (2 * k + 1) / 6
+        sy = fold([y for _, y in prof])
+        sxy = fold([x * y for x, y in prof])
+        beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        a0 = (sy - beta * sx) / k
+        ss = fold([(y - a0 - beta * x) * (y - a0 - beta * x)
+                   for x, y in prof])
+        return math.sqrt(ss / k)
+
+    m = [v * 100.0 for v in vals]
+    expected = ((0.0 + f_of(m[:8])) + f_of(m[8:])) / 2.0
+    assert r["mean_f"] == expected
+
+
+def test_hodges_lehmann_even_pairs_average(spark, tmp_path):
+    """early [1..4], late [11..14] (centi-scaled): 16 pairwise diffs,
+    both middles are 1000, HL = 1000.0 exactly."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "h", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.hodges_lehmann_shift(spark, str(tmp_path)).collect()
+    assert (r["n_early"], r["n_late"], r["n_pairs"]) == (4, 4, 16)
+    assert r["hl_shift"] == 1000.0
+
+
+def test_hodges_lehmann_odd_pairs_middle(spark, tmp_path):
+    """n=9 -> early 4, late 5, 20 pairs (even); shift by a constant
+    10 units gives HL exactly 1000 centi-units regardless of noise
+    ordering."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [1.0, 2.0, 3.0, 4.0]
+    late = [e + 10.0 for e in early] + [12.5]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "h", v, "{}")
+            for i, v in enumerate(early + late)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.hodges_lehmann_shift(spark, str(tmp_path)).collect()
+    assert (r["n_early"], r["n_late"], r["n_pairs"]) == (4, 5, 20)
+    import functools
+    diffs = sorted(
+        (l - e) * 100.0 for l in late for e in early  # noqa: E741
+    )
+    assert r["hl_shift"] == (diffs[9] + diffs[10]) / 2.0
