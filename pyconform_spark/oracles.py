@@ -6907,3 +6907,99 @@ SELECT event_type, n, n_early, n_late,
        END AS hl_shift
 FROM st2
 """
+
+
+def _chow_stage() -> str:
+    """Build the chow_break_midpoint oracle: the same fold-exact
+    SSR(y ~ t) staged per segment (pooled / first half / second
+    half), suffixed columns."""
+    sums = """
+         list_reduce(list_transform({a}, v -> v.t::DOUBLE),
+                     (p, q) -> p + q) AS sx_{s},
+         list_reduce(list_transform({a}, v -> v.m), (p, q) -> p + q)
+           AS sy_{s},
+         list_reduce(list_transform({a}, v -> v.t::DOUBLE * v.t::DOUBLE),
+                     (p, q) -> p + q) AS sxx_{s},
+         list_reduce(list_transform({a}, v -> v.t::DOUBLE * v.m),
+                     (p, q) -> p + q) AS sxy_{s},
+         len({a})::DOUBLE AS cnt_{s}"""
+    beta = """
+         (cnt_{s} * sxy_{s} - sx_{s} * sy_{s})
+           / nullif(cnt_{s} * sxx_{s} - sx_{s} * sx_{s}, 0.0) AS beta_{s},
+         {a} AS keep_{s}"""
+    alpha = "(sy_{s} - beta_{s} * sx_{s}) / cnt_{s} AS alpha_{s}"
+    ssr = """
+         list_reduce(list_transform(keep_{s},
+             v -> ((v.m - alpha_{s}) - beta_{s} * v.t::DOUBLE)
+                  * ((v.m - alpha_{s}) - beta_{s} * v.t::DOUBLE)),
+           (p, q) -> p + q) AS ssr_{s}"""
+    segs = [("p", "arr"), ("a", "arr1"), ("b", "arr2")]
+    s1 = ",".join(sums.format(a=a, s=s) for s, a in segs)
+    s2 = ",".join(beta.format(a=a, s=s) for s, a in segs)
+    s2b = ",\n".join(
+        f"sx_{s}, sy_{s}, cnt_{s}" for s, _ in segs
+    )
+    s3 = ",".join(alpha.format(s=s) for s, _ in segs)
+    s3b = ",\n".join(f"beta_{s}, keep_{s}, cnt_{s}" for s, _ in segs)
+    s4 = ",".join(ssr.format(s=s) for s, _ in segs)
+    return f"""
+arr0 AS (
+  SELECT event_type,
+         list(struct_pack(t := t, m := m) ORDER BY t) AS arr,
+         max(n)::BIGINT AS n
+  FROM seq GROUP BY 1),
+cut AS (
+  SELECT event_type, n, arr,
+         list_slice(arr, 1, (n // 2)::INT) AS arr1,
+         list_slice(arr, (n // 2 + 1)::INT, n::INT) AS arr2
+  FROM arr0 WHERE n >= 12),
+sm AS (
+  SELECT event_type, n, arr, arr1, arr2,{s1}
+  FROM cut),
+bt AS (
+  SELECT event_type, n,
+{s2b},{s2}
+  FROM sm),
+al AS (
+  SELECT event_type, n,
+{s3b},{s3}
+  FROM bt),
+sr AS (
+  SELECT event_type, n,{s4}
+  FROM al)"""
+
+
+ORACLES["chow_break_midpoint"] = f"""
+WITH {_HOURLY_RANKS},{_chow_stage()}
+SELECT event_type, n, ssr_p AS ssr_pooled, ssr_a AS ssr1, ssr_b AS ssr2,
+       ((ssr_p - ssr_a - ssr_b) / 2.0)
+         / nullif((ssr_a + ssr_b) / (n::DOUBLE - 4.0), 0.0) AS f_stat,
+       (((ssr_p - ssr_a - ssr_b) / 2.0)
+         / nullif((ssr_a + ssr_b) / (n::DOUBLE - 4.0), 0.0)) > 2.996
+         AS broke
+FROM sr
+"""
+
+ORACLES["gumbel_moments_extremes"] = """
+WITH daily AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT
+           AS day,
+         max(floor(value * 100)::BIGINT)::BIGINT AS mx
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(mx)::BIGINT AS s1, sum(mx * mx)::BIGINT AS s2,
+         max(mx)::BIGINT AS max_of_max
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, max_of_max,
+       s1::DOUBLE / n_days::DOUBLE AS mean_max,
+       sqrt(6.0 * ((n_days * s2 - s1 * s1)::DOUBLE
+                   / (n_days * n_days)::DOUBLE)) / 3.141592653589793
+         AS gumbel_scale,
+       s1::DOUBLE / n_days::DOUBLE
+         - 0.5772156649015329
+           * (sqrt(6.0 * ((n_days * s2 - s1 * s1)::DOUBLE
+                          / (n_days * n_days)::DOUBLE))
+              / 3.141592653589793) AS gumbel_location
+FROM agg WHERE n_days >= 8
+"""

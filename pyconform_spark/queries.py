@@ -13709,3 +13709,139 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_.alias("n_pairs"),
         hl.alias("hl_shift"),
     )
+
+
+def chow_break_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break at the series midpoint per
+    event_type (Chow 1960, public literature): fit the linear time
+    trend y = a + b*t over the whole hourly mean series and over each
+    half separately; F = ((SSR_pooled - SSR1 - SSR2)/2) /
+    ((SSR1 + SSR2)/(n - 4)) asks whether ONE trend line explains the
+    series as well as two — the parametric complement of
+    pettitt_changepoint (which only sees a level shift in ranks, not
+    a slope change).
+
+    EXACT cross-engine: the regressor is the integer index t, so
+    Sx/Sxx are exact; Sy/Sxy/SSR are ORDER-PINNED folds over the
+    t-sorted array (Spark `aggregate` == DuckDB `list_reduce`);
+    beta/alpha/F are identical double expression trees with NULLIF
+    for degenerate segments; `broke` gates on the asymptotic
+    chi2(2)/2 5% point 2.996 (exact-F critical values need the Beta
+    inverse, not cross-engine available — documented approximation).
+
+    Scale shape: raw reduces to (type, hour) FIRST; three fold passes
+    over one per-type array; one row per type."""
+    seq = _hourly_means(spark, sf_dir)
+    g = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+        F.max("n").alias("n"),
+    ).filter(F.col("n") >= 12)
+
+    def ssr_of(arr_col):
+        """SSR of the OLS line y ~ t over an array<struct<t,m>> as one
+        nested expression (pinned fold order)."""
+        cnt = F.size(arr_col).cast("double")
+        sx = F.aggregate(
+            arr_col, F.lit(0.0), lambda a, v: a + v["t"].cast("double")
+        )
+        sy = F.aggregate(arr_col, F.lit(0.0), lambda a, v: a + v["m"])
+        sxx = F.aggregate(
+            arr_col,
+            F.lit(0.0),
+            lambda a, v: a + v["t"].cast("double") * v["t"].cast("double"),
+        )
+        sxy = F.aggregate(
+            arr_col,
+            F.lit(0.0),
+            lambda a, v: a + v["t"].cast("double") * v["m"],
+        )
+        beta = (cnt * sxy - sx * sy) / F.nullif(
+            cnt * sxx - sx * sx, F.lit(0.0)
+        )
+        alpha = (sy - beta * sx) / cnt
+        return F.aggregate(
+            arr_col,
+            F.lit(0.0),
+            lambda a, v: a
+            + ((v["m"] - alpha) - beta * v["t"].cast("double"))
+            * ((v["m"] - alpha) - beta * v["t"].cast("double")),
+        )
+
+    half = F.floor(F.col("n") / 2).cast("int")
+    st = g.select(
+        "event_type",
+        "n",
+        ssr_of(F.col("arr")).alias("ssr_pooled"),
+        ssr_of(F.slice("arr", 1, half)).alias("ssr1"),
+        ssr_of(
+            F.slice("arr", half + 1, F.col("n").cast("int") - half)
+        ).alias("ssr2"),
+    )
+    nd = F.col("n").cast("double")
+    fstat = (
+        (F.col("ssr_pooled") - F.col("ssr1") - F.col("ssr2")) / F.lit(2.0)
+    ) / F.nullif(
+        (F.col("ssr1") + F.col("ssr2")) / (nd - F.lit(4.0)), F.lit(0.0)
+    )
+    return st.select(
+        "event_type",
+        "n",
+        "ssr_pooled",
+        "ssr1",
+        "ssr2",
+        fstat.alias("f_stat"),
+        (fstat > F.lit(2.996)).alias("broke"),
+    )
+
+
+def gumbel_moments_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit by the method of moments over daily
+    block maxima per event_type (Gumbel 1958, public literature):
+    scale beta = sqrt(6*Var)/pi and location mu = mean - gamma*beta
+    (gamma = Euler-Mascheroni) from the daily maximum of the
+    centi-quantized values — the parametric capstone of the extremes
+    battery (extremal_index reads clustering, max_drawdown reads the
+    worst excursion, this fits the tail law block maxima actually
+    follow).
+
+    EXACT cross-engine: daily maxima are BIGINT; mean and population
+    variance are staged as the pure-integer sums n*sum(x^2) -
+    (sum x)^2 before ONE division; pi and gamma are the same IEEE
+    double literals in both engines; no transcendental beyond sqrt.
+    The return-level math (exp/ln) is left to the analyst — not
+    cross-engine bit-stable (repo convention).
+
+    Scale shape: raw reduces to (type, day) maxima FIRST (partial
+    max-aggregate, map-side combinable); one aggregate per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    daily = (
+        df.select(
+            "event_type",
+            F.floor(es / 86400).cast("long").alias("day"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("vq").cast("long").alias("mx"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+        F.max("mx").alias("max_of_max"),
+    ).filter(F.col("n_days") >= 8)
+    n = F.col("n_days")
+    mean = F.col("s1").cast("double") / n.cast("double")
+    varnum = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    var = varnum / (n * n).cast("double")
+    beta = F.sqrt(F.lit(6.0) * var) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    return agg.select(
+        "event_type",
+        "n_days",
+        "max_of_max",
+        mean.alias("mean_max"),
+        beta.alias("gumbel_scale"),
+        mu.alias("gumbel_location"),
+    )

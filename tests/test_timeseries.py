@@ -2635,3 +2635,77 @@ def test_hodges_lehmann_odd_pairs_middle(spark, tmp_path):
         (l - e) * 100.0 for l in late for e in early  # noqa: E741
     )
     assert r["hl_shift"] == (diffs[9] + diffs[10]) / 2.0
+
+
+def test_chow_slope_break_matches_mirror(spark, tmp_path):
+    """Flat-with-jitter first half, steep-ramp-with-jitter second
+    half: f_stat is asserted bit-for-bit against a pure-Python mirror
+    of the three fold-exact segment regressions, and the 2.996 gate
+    fires."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0,
+            10.0, 21.0, 30.0, 41.0, 50.0, 61.0]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "b", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.chow_break_midpoint(spark, str(tmp_path)).collect()
+
+    import functools
+    fold = lambda vs: functools.reduce(lambda p, q: p + q, vs, 0.0)  # noqa
+
+    def ssr(pairs):
+        cnt = float(len(pairs))
+        sx = fold([float(t) for t, _ in pairs])
+        sy = fold([m for _, m in pairs])
+        sxx = fold([float(t) * float(t) for t, _ in pairs])
+        sxy = fold([float(t) * m for t, m in pairs])
+        beta = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+        alpha = (sy - beta * sx) / cnt
+        return fold([((m - alpha) - beta * float(t))
+                     * ((m - alpha) - beta * float(t))
+                     for t, m in pairs])
+
+    pairs = [(i + 1, v * 100.0) for i, v in enumerate(vals)]
+    sp, s1, s2 = ssr(pairs), ssr(pairs[:6]), ssr(pairs[6:])
+    f = ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (12.0 - 4.0))
+    assert r["ssr_pooled"] == sp and r["ssr1"] == s1 and r["ssr2"] == s2
+    assert r["f_stat"] == f and f > 2.996
+    assert bool(r["broke"]) is True
+
+
+def test_chow_perfect_halves_null(spark, tmp_path):
+    """Both halves fit their own line exactly (SSR1 = SSR2 = 0): the
+    F denominator vanishes and f_stat is NULL by convention."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [0.0] * 6 + [10.0 * (i + 1) for i in range(6)]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "p", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.chow_break_midpoint(spark, str(tmp_path)).collect()
+    assert (r["ssr1"], r["ssr2"]) == (0.0, 0.0)
+    assert r["f_stat"] is None and r["broke"] is None
+
+
+def test_gumbel_moments_golden(spark, tmp_path):
+    """8 days with maxima 5..12 (centi 500..1200): integer-staged
+    variance 52500, scale sqrt(315000)/pi, location mean -
+    gamma*scale."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(8):
+        for v in (1.0, float(d + 5)):
+            rows.append((eid, t0 + dt.timedelta(days=d, hours=eid % 3),
+                         1, "g", v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.gumbel_moments_extremes(spark, str(tmp_path)).collect()
+    import math
+    assert (r["n_days"], r["max_of_max"]) == (8, 1200)
+    assert r["mean_max"] == 850.0
+    s1 = sum(range(500, 1300, 100))
+    s2 = sum(v * v for v in range(500, 1300, 100))
+    var = (8 * s2 - s1 * s1) / 64.0
+    scale = math.sqrt(6.0 * var) / 3.141592653589793
+    assert r["gumbel_scale"] == scale
+    assert r["gumbel_location"] == 850.0 - 0.5772156649015329 * scale
