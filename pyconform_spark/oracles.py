@@ -7003,3 +7003,71 @@ SELECT event_type, n_days, max_of_max,
               / 3.141592653589793) AS gumbel_location
 FROM agg WHERE n_days >= 8
 """
+
+ORACLES["lz76_complexity"] = f"""
+WITH {_HOURLY_RANKS},
+arr0 AS (
+  SELECT event_type, list(m ORDER BY t) AS arr, max(n)::BIGINT AS n
+  FROM seq GROUP BY 1),
+st1 AS (
+  SELECT event_type, n, arr,
+         list_reduce(arr, (p, q) -> p + q) / n::DOUBLE AS mu
+  FROM arr0 WHERE n >= 16),
+st2 AS (
+  SELECT event_type, n,
+         array_to_string(list_transform(arr,
+           v -> CASE WHEN v > mu THEN '1' ELSE '0' END), '') AS s
+  FROM st1),
+st3 AS (
+  SELECT event_type, n, s,
+         list_reduce(
+           list_transform(generate_series(2, n), j -> struct_pack(
+             c := (CASE WHEN contains(substr(s, 1, 1), substr(s, 2, 1))
+                        THEN 1 ELSE 2 END)::BIGINT,
+             i := (CASE WHEN contains(substr(s, 1, 1), substr(s, 2, 1))
+                        THEN 2 ELSE 3 END)::BIGINT,
+             j := j)),
+           (a, e) -> CASE WHEN contains(
+                            substr(s, 1, (e.j - 1)::INT),
+                            substr(s, a.i::INT, (e.j - a.i + 1)::INT))
+                     THEN struct_pack(c := a.c, i := a.i, j := e.j)
+                     ELSE struct_pack(c := a.c + 1, i := e.j + 1,
+                                      j := e.j) END) AS f
+  FROM st2)
+SELECT event_type, n, length(s)::BIGINT AS n_symbols,
+       (f.c + CASE WHEN f.i <= n THEN 1 ELSE 0 END)::BIGINT AS lz_phrases,
+       (f.c + CASE WHEN f.i <= n THEN 1 ELSE 0 END)::DOUBLE / n::DOUBLE
+         AS c_over_n
+FROM st3
+"""
+
+ORACLES["page_hinkley_drift"] = f"""
+WITH RECURSIVE {_HOURLY_RANKS},
+walk AS (
+  SELECT event_type, n, 1::BIGINT AS k, m AS s,
+         0.0::DOUBLE AS ph, 0.0::DOUBLE AS mn, 0.0::DOUBLE AS alarm
+  FROM seq WHERE t = 1 AND n >= 8
+  UNION ALL
+  -- NOTE: a list_reduce struct-accumulator fold (the
+  -- aqe_coalesce_simulator trick) silently corrupts this recurrence
+  -- in DuckDB 1.0.0 when the lambda repeats a large subexpression
+  -- across struct fields (verified: single step fine, chained fold
+  -- reads neighbouring state) — hence the recursive CTE, which reads
+  -- the previous row's columns by construction.
+  SELECT w.event_type, w.n, w.k + 1, w.s + x.m,
+         w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0),
+         least(w.mn,
+               w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0)),
+         greatest(w.alarm,
+               w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0)
+               - least(w.mn,
+                   w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE
+                           - 5.0)))
+  FROM walk w JOIN seq x
+    ON x.event_type = w.event_type AND x.t = w.k + 1
+  WHERE w.k < w.n)
+SELECT event_type, n, ph AS ph_final, alarm AS ph_alarm,
+       alarm / n::DOUBLE AS alarm_rate,
+       (alarm / n::DOUBLE > 150.0) AS drifted
+FROM walk WHERE k = n
+"""

@@ -13845,3 +13845,177 @@ def gumbel_moments_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta.alias("gumbel_scale"),
         mu.alias("gumbel_location"),
     )
+
+
+def lz76_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lempel-Ziv (LZ76) sequence complexity per event_type (Lempel &
+    Ziv 1976; Kaspar & Schuster 1987, public literature): the hourly
+    mean series is binarized against its own mean (the standard
+    binarization in the EEG/complexity literature) and parsed into
+    the minimal exhaustive phrase history — each phrase is the
+    shortest prefix of the remainder that never occurred in the
+    string before its end.  Low phrase counts = repetitive series,
+    high = incompressible; the symbolic sibling of sample_entropy
+    that sees STRUCTURE (repeats at any lag), not just local matches.
+
+    EXACT cross-engine: the binarized string is built from exact
+    comparisons against a fold-exact mean; the parse is ONE
+    struct-accumulator fold (Spark `aggregate` with init (c=1, i=2)
+    == DuckDB `list_reduce` with the first element pre-transformed to
+    that same first step, the aqe_coalesce_simulator trick) whose
+    per-step test is a substring containment — pure integer/string
+    ops, nothing floating; c_over_n is one division of exact
+    integers.  The log-normalized c*log2(n)/n is left to the analyst
+    (ln is not cross-engine bit-stable — repo convention).
+
+    Scale shape: raw reduces to (type, hour) FIRST; the parse rides a
+    per-type string bounded by the span in hours; one row per type."""
+    seq = _hourly_means(spark, sf_dir)
+    g = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+        F.max("n").alias("n"),
+    ).filter(F.col("n") >= 16)
+    mean = (
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, v: a + v["m"])
+        / F.col("n").cast("double")
+    )
+    st1 = g.select("event_type", "n", "arr", mean.alias("mu"))
+    s = F.array_join(
+        F.transform(
+            "arr",
+            lambda v: F.when(v["m"] > F.col("mu"), F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    st2 = st1.select("event_type", "n", s.alias("s"))
+    init = F.struct(
+        F.lit(1).cast("long").alias("c"), F.lit(2).cast("long").alias("i")
+    )
+    parsed = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), F.col("n")),
+        init,
+        lambda a, j: F.when(
+            F.contains(
+                F.substring(F.col("s"), F.lit(1), (j - 1).cast("int")),
+                F.substring(
+                    F.col("s"), a["i"].cast("int"), (j - a["i"] + 1).cast("int")
+                ),
+            ),
+            a,
+        ).otherwise(
+            F.struct(
+                (a["c"] + 1).cast("long").alias("c"),
+                (j + 1).cast("long").alias("i"),
+            )
+        ),
+        lambda a: a["c"]
+        + F.when(a["i"] <= F.col("n"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    st3 = st2.select(
+        "event_type", "n", "s", parsed.cast("long").alias("lz_phrases")
+    )
+    return st3.select(
+        "event_type",
+        "n",
+        F.length("s").cast("long").alias("n_symbols"),
+        "lz_phrases",
+        (
+            F.col("lz_phrases").cast("double") / F.col("n").cast("double")
+        ).alias("c_over_n"),
+    )
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector per event_type (Page 1954;
+    Hinkley 1971, public literature): PH_t accumulates x_t minus the
+    RUNNING mean minus a drift allowance delta; the alarm statistic
+    is max_t (PH_t - min_{i<=t} PH_i), which grows only under a
+    sustained upward mean shift.  The self-normalizing sibling of
+    cusum_changepoints: CUSUM measures against the global mean (needs
+    the whole series twice), PH adapts its reference as it walks —
+    the form streaming monitors actually deploy.
+
+    EXACT cross-engine: ONE struct-accumulator fold over the t-sorted
+    hourly means carrying (k, sum, ph, min_ph, alarm); the running
+    mean is sum/k (exact-int-derived doubles divided identically);
+    delta = 5 centi-units; the alarm gate is the per-step rate
+    alarm/n > 150 centi-units/hour, span-invariant where a fixed
+    lambda saturates on any long noisy series.  Identical IEEE op sequence in
+    both engines (the DuckDB twin pre-transforms the first element,
+    the aqe_coalesce_simulator trick).
+
+    Scale shape: raw reduces to (type, hour) FIRST; one fold per
+    type; one row per type."""
+    delta, lam_rate = 5.0, 150.0
+    seq = _hourly_means(spark, sf_dir)
+    g = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("t", "m"))).alias("arr"),
+        F.max("n").alias("n"),
+    ).filter(F.col("n") >= 8)
+    first = F.element_at(F.col("arr"), 1)["m"]
+    init = F.struct(
+        F.lit(1).cast("long").alias("k"),
+        first.alias("s"),
+        F.lit(0.0).alias("ph"),
+        F.lit(0.0).alias("mn"),
+        F.lit(0.0).alias("alarm"),
+    )
+    folded = F.aggregate(
+        F.slice("arr", 2, F.col("n").cast("int") - 1),
+        init,
+        lambda a, v: F.struct(
+            (a["k"] + 1).cast("long").alias("k"),
+            (a["s"] + v["m"]).alias("s"),
+            (
+                a["ph"]
+                + (
+                    v["m"]
+                    - (a["s"] + v["m"])
+                    / (a["k"] + 1).cast("double")
+                    - F.lit(delta)
+                )
+            ).alias("ph"),
+            F.least(
+                a["mn"],
+                a["ph"]
+                + (
+                    v["m"]
+                    - (a["s"] + v["m"])
+                    / (a["k"] + 1).cast("double")
+                    - F.lit(delta)
+                ),
+            ).alias("mn"),
+            F.greatest(
+                a["alarm"],
+                a["ph"]
+                + (
+                    v["m"]
+                    - (a["s"] + v["m"])
+                    / (a["k"] + 1).cast("double")
+                    - F.lit(delta)
+                )
+                - F.least(
+                    a["mn"],
+                    a["ph"]
+                    + (
+                        v["m"]
+                        - (a["s"] + v["m"])
+                        / (a["k"] + 1).cast("double")
+                        - F.lit(delta)
+                    ),
+                ),
+            ).alias("alarm"),
+        ),
+    )
+    st = g.select("event_type", "n", folded.alias("f"))
+    rate = F.col("f")["alarm"] / F.col("n").cast("double")
+    return st.select(
+        "event_type",
+        "n",
+        F.col("f")["ph"].alias("ph_final"),
+        F.col("f")["alarm"].alias("ph_alarm"),
+        rate.alias("alarm_rate"),
+        (rate > F.lit(lam_rate)).alias("drifted"),
+    )
