@@ -7071,3 +7071,153 @@ SELECT event_type, n, ph AS ph_final, alarm AS ph_alarm,
        (alarm / n::DOUBLE > 150.0) AS drifted
 FROM walk WHERE k = n
 """
+
+
+_HOURLY_CANDLES = """
+cndl0 AS (
+  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         floor(value * 100)::BIGINT AS vq, ts, event_id
+  FROM events),
+cndl1 AS (
+  SELECT event_type, hr, vq,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM cndl0),
+candles0 AS (
+  SELECT event_type, hr,
+         max(CASE WHEN ra = 1 THEN vq END)::BIGINT AS o,
+         max(vq)::BIGINT AS h,
+         min(vq)::BIGINT AS l,
+         max(CASE WHEN rd = 1 THEN vq END)::BIGINT AS c,
+         sum(vq)::BIGINT AS s
+  FROM cndl1 GROUP BY 1, 2),
+candles AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS t,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM candles0)"""
+
+
+def _dyadic_sql(col: str, span: int) -> str:
+    """Truncated alpha=1/2 EWMA numerator: exact integer weighted sum
+    sum_k 2^(span-1-k) * lag(col, k), matching queries.macd_signal's
+    left-associated fold (integers, so association is irrelevant)."""
+    w = "OVER (PARTITION BY event_type ORDER BY hr)"
+    terms = []
+    for k in range(span):
+        weight = 1 << (span - 1 - k)
+        base = col if k == 0 else f"lag({col}, {k}) {w}"
+        terms.append(f"({base}) * {weight}")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES["macd_signal"] = f"""
+WITH {_HOURLY_CANDLES},
+m1 AS (
+  SELECT event_type, hr, t,
+         ({_dyadic_sql('s', 8)} * 65535
+          - {_dyadic_sql('s', 16)} * 255)::BIGINT AS macd_scaled
+  FROM candles),
+m2 AS (SELECT * FROM m1 WHERE t >= 16),
+m3 AS (
+  SELECT event_type, hr, t, macd_scaled,
+         ({_dyadic_sql('macd_scaled', 4)})::BIGINT AS signal_scaled
+  FROM m2),
+m4 AS (SELECT * FROM m3 WHERE t >= 19),
+m5 AS (
+  SELECT event_type, hr, macd_scaled, signal_scaled,
+         (macd_scaled * 15 - signal_scaled)::BIGINT AS hist_scaled,
+         lag(macd_scaled * 15 - signal_scaled)
+           OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS prev_hist_scaled
+  FROM m4)
+SELECT event_type, hr,
+       macd_scaled::DOUBLE / (1671142500)::DOUBLE AS macd,
+       signal_scaled::DOUBLE / (25067137500)::DOUBLE AS macd_sig,
+       hist_scaled::DOUBLE / (25067137500)::DOUBLE AS hist,
+       (hist_scaled > 0 AND coalesce(prev_hist_scaled <= 0, FALSE))
+         AS cross_up,
+       (hist_scaled < 0 AND coalesce(prev_hist_scaled >= 0, FALSE))
+         AS cross_down
+FROM m5
+"""
+
+ORACLES["bollinger_breach"] = f"""
+WITH {_HOURLY_CANDLES},
+b1 AS (
+  SELECT event_type, hr, t, s,
+         sum(s) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
+           AS s_w,
+         sum(s * s) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
+           AS q_w
+  FROM candles),
+b2 AS (SELECT * FROM b1 WHERE t >= 16),
+b3 AS (
+  SELECT event_type, hr,
+         s::DOUBLE / (100)::DOUBLE AS sval,
+         s_w::DOUBLE / (1600)::DOUBLE AS boll_mean,
+         sqrt((16 * q_w - s_w * s_w)::DOUBLE) / (1600)::DOUBLE AS boll_std
+  FROM b2)
+SELECT event_type, hr, sval, boll_mean, boll_std,
+       boll_mean + (2)::DOUBLE * boll_std AS boll_up,
+       boll_mean - (2)::DOUBLE * boll_std AS boll_dn,
+       (sval > boll_mean + (2)::DOUBLE * boll_std) AS breach_up,
+       (sval < boll_mean - (2)::DOUBLE * boll_std) AS breach_dn
+FROM b3
+"""
+
+ORACLES["atr_cutler"] = f"""
+WITH {_HOURLY_CANDLES},
+a1 AS (
+  SELECT event_type, hr, t, c, h, l,
+         lag(c) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS pc
+  FROM candles),
+a2 AS (
+  SELECT event_type, hr, t, c,
+         greatest(h - l, abs(h - pc), abs(l - pc))::BIGINT AS trq
+  FROM a1 WHERE t >= 2),
+a3 AS (
+  SELECT event_type, hr, t, c, trq,
+         sum(trq) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)::BIGINT
+           AS sum_tr
+  FROM a2)
+SELECT event_type, hr,
+       trq::DOUBLE / (100)::DOUBLE AS tr,
+       sum_tr::DOUBLE / (1400)::DOUBLE AS atr,
+       (sum_tr * 100)::DOUBLE / nullif(14 * c, 0)::DOUBLE AS natr
+FROM a3 WHERE t >= 15
+"""
+
+ORACLES["stochastic_oscillator"] = f"""
+WITH {_HOURLY_CANDLES},
+k1 AS (
+  SELECT event_type, hr, t, c,
+         max(h) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
+           AS hh,
+         min(l) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
+           AS ll
+  FROM candles),
+k2 AS (
+  SELECT event_type, hr, t,
+         (100 * (c - ll))::DOUBLE / nullif(hh - ll, 0)::DOUBLE AS pct_k
+  FROM k1 WHERE t >= 16),
+k3 AS (
+  SELECT event_type, hr, t, pct_k,
+         (pct_k
+          + lag(pct_k, 1) OVER (PARTITION BY event_type ORDER BY hr)
+          + lag(pct_k, 2) OVER (PARTITION BY event_type ORDER BY hr))
+           / (3)::DOUBLE AS pct_d
+  FROM k2)
+SELECT event_type, hr, pct_k, pct_d,
+       (pct_k > (80)::DOUBLE) AS overbought,
+       (pct_k < (20)::DOUBLE) AS oversold
+FROM k3 WHERE t >= 18
+"""

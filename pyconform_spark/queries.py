@@ -14019,3 +14019,294 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("alarm_rate"),
         (rate > F.lit(lam_rate)).alias("drifted"),
     )
+
+
+def _hourly_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staging for the indicator/control-chart family: one OHLC
+    candle per (event_type, hour) on centi-quantized values — open and
+    close are picks under the total (ts, event_id) order (min_by /
+    max_by: ONE partial+final aggregate, map-side combined, no Window
+    over raw events), high/low are extremes, s is the exact BIGINT
+    hourly total.  t is the hour-ordered index, n the per-type span."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hr"),
+            vq.alias("vq"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.min_by("vq", okey).alias("o"),
+            F.max("vq").alias("h"),
+            F.min("vq").alias("l"),
+            F.max_by("vq", okey).alias("c"),
+            F.sum("vq").alias("s"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    wn = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hr",
+        "o",
+        "h",
+        "l",
+        "c",
+        "s",
+        F.row_number().over(wt).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+
+
+def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD convergence-divergence on the hourly total series (Appel,
+    public trading literature) with the repo's dyadic-EWMA discipline
+    (alpha = 1/2 truncated windows, as in ewma_smooth): fast span 8,
+    slow span 16, signal span 4.  Emitted only where every window is
+    full (t >= 19), so each EWMA is a ratio of an exact integer
+    weighted sum to the constant norm 2^span - 1.
+
+    EXACT cross-engine: macd rides the common denominator 255*65535 —
+    macd_scaled = s_fast*65535 - s_slow*255 is an exact BIGINT (peak
+    ~1e13); the signal line folds the SAME integers through the span-4
+    dyadic weights (norm 15); histogram sign and crossovers are
+    decided on hist_scaled = 15*macd_scaled - signal_scaled, a pure
+    integer — so cross_up/cross_down are boolean-exact, immune to any
+    float rounding.  The emitted macd/signal/hist doubles are single
+    divisions of those integers by literal constants.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST (map-side
+    combined agg); all 8+16 lags ride ONE window sort per series, the
+    signal lags a second pass over the same partitioning (no extra
+    shuffle — same hash partitioning reused)."""
+    nf, ns, nsig = 255, 65535, 15  # 2^8-1, 2^16-1, 2^4-1
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+
+    def dyadic(col: str, span: int) -> Column:
+        acc = None
+        for k in range(span):
+            weight = F.lit(1 << (span - 1 - k))
+            lagged = F.lag(col, k).over(w) if k else F.col(col)
+            term = lagged * weight
+            acc = term if acc is None else acc + term
+        return acc
+
+    st1 = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        (dyadic("s", 8) * F.lit(ns) - dyadic("s", 16) * F.lit(nf)).alias(
+            "macd_scaled"
+        ),
+    ).filter(F.col("t") >= 16)
+    st2 = st1.select(
+        "event_type",
+        "hr",
+        "t",
+        "macd_scaled",
+        dyadic("macd_scaled", 4).alias("signal_scaled"),
+    ).filter(F.col("t") >= 19)
+    hist_scaled = F.col("macd_scaled") * F.lit(nsig) - F.col("signal_scaled")
+    st3 = st2.select(
+        "event_type",
+        "hr",
+        "macd_scaled",
+        "signal_scaled",
+        hist_scaled.alias("hist_scaled"),
+        F.lag(hist_scaled, 1).over(w).alias("prev_hist_scaled"),
+    )
+    d1 = float(nf * ns * 100)
+    return st3.select(
+        "event_type",
+        "hr",
+        (F.col("macd_scaled").cast("double") / F.lit(d1)).alias("macd"),
+        (F.col("signal_scaled").cast("double") / F.lit(d1 * nsig)).alias(
+            "macd_sig"
+        ),
+        (F.col("hist_scaled").cast("double") / F.lit(d1 * nsig)).alias(
+            "hist"
+        ),
+        (
+            (F.col("hist_scaled") > 0)
+            & (F.coalesce(F.col("prev_hist_scaled") <= 0, F.lit(False)))
+        ).alias("cross_up"),
+        (
+            (F.col("hist_scaled") < 0)
+            & (F.coalesce(F.col("prev_hist_scaled") >= 0, F.lit(False)))
+        ).alias("cross_down"),
+    )
+
+
+def bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (Bollinger, public trading literature) on the
+    hourly total series: 16-hour rolling mean +- 2 population standard
+    deviations, with breach flags where the hour's total leaves the
+    band.  The volatility-envelope sibling of rolling_zscore_frame —
+    same integer staging, band form instead of score form.
+
+    EXACT cross-engine: over the full 16-hour window, S = sum(s) and
+    Q = sum(s*s) are exact BIGINTs (peak ~6e13 < 2^53), so
+    var_scaled = 16*Q - S*S is an exact integer and
+    std = sqrt(var_scaled)/1600 uses the ONE correctly-rounded IEEE
+    op both engines share.  mean = S/1600 is a single division;
+    band edges are mean +- 2*std (exact dyadic multiple, one add);
+    breach compares s/100 — every operand bit-identical.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; the
+    rolling sums ride one window sort per series; no second shuffle."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    st = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "s",
+        F.sum("s").over(w).alias("s_w"),
+        F.sum(F.col("s") * F.col("s")).over(w).alias("q_w"),
+    ).filter(F.col("t") >= 16)
+    var_scaled = (
+        F.lit(16) * F.col("q_w") - F.col("s_w") * F.col("s_w")
+    ).cast("double")
+    mean = F.col("s_w").cast("double") / F.lit(1600.0)
+    std = F.sqrt(var_scaled) / F.lit(1600.0)
+    sval = F.col("s").cast("double") / F.lit(100.0)
+    up = mean + F.lit(2.0) * std
+    dn = mean - F.lit(2.0) * std
+    return st.select(
+        "event_type",
+        "hr",
+        sval.alias("sval"),
+        mean.alias("boll_mean"),
+        std.alias("boll_std"),
+        up.alias("boll_up"),
+        dn.alias("boll_dn"),
+        (sval > up).alias("breach_up"),
+        (sval < dn).alias("breach_dn"),
+    )
+
+
+def atr_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (Wilder's TR with Cutler's SMA smoothing,
+    public trading literature) on the hourly candles: TR_t =
+    max(h-l, |h - c_prev|, |l - c_prev|) captures gap moves between
+    hours that plain high-low misses; ATR is the 14-hour simple mean;
+    NATR normalizes by the close so series of different magnitude
+    compare.  (Wilder's own RMA smoothing has a non-dyadic 1/14
+    recurrence — Cutler's SMA variant is the standard exact-window
+    form, and the one repo discipline can make bit-exact.)
+
+    EXACT cross-engine: TR is pure integer min/max/abs on centi
+    BIGINTs; sum_tr over the full 14-window is an exact BIGINT;
+    atr = sum_tr/1400 is a single division and
+    natr = (sum_tr*100)/(14*c) is a single division of exact integers
+    (NULL where c = 0).
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; prev-close
+    lag and the rolling TR sum ride one window sort per series."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    st1 = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "c",
+        "h",
+        "l",
+        F.lag("c", 1).over(w).alias("pc"),
+    ).filter(F.col("t") >= 2)
+    tr = F.greatest(
+        F.col("h") - F.col("l"),
+        F.abs(F.col("h") - F.col("pc")),
+        F.abs(F.col("l") - F.col("pc")),
+    )
+    st2 = st1.select(
+        "event_type", "hr", "t", "c", tr.alias("trq")
+    ).select(
+        "event_type",
+        "hr",
+        "t",
+        "c",
+        "trq",
+        F.sum("trq").over(w14).alias("sum_tr"),
+    ).filter(
+        F.col("t") >= 15
+    )
+    return st2.select(
+        "event_type",
+        "hr",
+        (F.col("trq").cast("double") / F.lit(100.0)).alias("tr"),
+        (F.col("sum_tr").cast("double") / F.lit(1400.0)).alias("atr"),
+        F.try_divide(
+            (F.col("sum_tr") * F.lit(100)).cast("double"),
+            (F.lit(14) * F.col("c")).cast("double"),
+        ).alias("natr"),
+    )
+
+
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D (Lane, public trading literature)
+    on the hourly candles: %K locates the close inside the 16-hour
+    high-low range (0 = at the low, 100 = at the high); %D is the
+    3-hour simple mean of %K; overbought/oversold flag the 80/20
+    bands.  The range-position sibling of rolling_zscore_frame —
+    bounded, unit-free, no variance estimate needed.
+
+    EXACT cross-engine: HH/LL are integer window extremes of the
+    candle h/l; %K = (100*(c-LL))/(HH-LL) is ONE division of exact
+    BIGINTs (NULL where the range is flat); %D sums three
+    bit-identical doubles in the same left-associated order in both
+    engines, then one literal division; band flags compare those
+    identical doubles.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; the window
+    extremes and the two %K lags ride one window sort per series."""
+    seq = _hourly_candles(spark, sf_dir)
+    w16 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    st1 = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "c",
+        F.max("h").over(w16).alias("hh"),
+        F.min("l").over(w16).alias("ll"),
+    ).filter(F.col("t") >= 16)
+    k = F.try_divide(
+        (F.lit(100) * (F.col("c") - F.col("ll"))).cast("double"),
+        (F.col("hh") - F.col("ll")).cast("double"),
+    )
+    st2 = st1.select("event_type", "hr", "t", k.alias("pct_k"))
+    d = (
+        F.col("pct_k") + F.lag("pct_k", 1).over(w) + F.lag("pct_k", 2).over(w)
+    ) / F.lit(3.0)
+    st3 = st2.select(
+        "event_type", "hr", "t", "pct_k", d.alias("pct_d")
+    ).filter(F.col("t") >= 18)
+    return st3.select(
+        "event_type",
+        "hr",
+        "pct_k",
+        "pct_d",
+        (F.col("pct_k") > F.lit(80.0)).alias("overbought"),
+        (F.col("pct_k") < F.lit(20.0)).alias("oversold"),
+    )
