@@ -7221,3 +7221,101 @@ SELECT event_type, hr, pct_k, pct_d,
        (pct_k < (20)::DOUBLE) AS oversold
 FROM k3 WHERE t >= 18
 """
+
+ORACLES["aroon_indicator"] = f"""
+WITH {_HOURLY_CANDLES},
+ar1 AS (
+  SELECT event_type, hr, t,
+         (max(struct_pack(h := h, th := t))
+            OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)).th
+           ::BIGINT AS t_hi,
+         (min(struct_pack(l := l, mt := -t))
+            OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)).mt
+           ::BIGINT AS neg_t_lo
+  FROM candles),
+ar2 AS (
+  SELECT event_type, hr,
+         (100 * (15 - (t - t_hi)))::DOUBLE / (15)::DOUBLE AS aroon_up,
+         (100 * (15 - (t + neg_t_lo)))::DOUBLE / (15)::DOUBLE AS aroon_down
+  FROM ar1 WHERE t >= 16)
+SELECT event_type, hr, aroon_up, aroon_down,
+       aroon_up - aroon_down AS aroon_osc
+FROM ar2
+"""
+
+ORACLES["xmr_western_electric"] = f"""
+WITH {_HOURLY_CANDLES},
+x1 AS (
+  SELECT event_type, hr, t, n, s,
+         sum(s) OVER (PARTITION BY event_type)::BIGINT AS sum_s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS ps
+  FROM candles),
+x2 AS (
+  SELECT event_type, hr, t, n, s, sum_s,
+         (CASE WHEN s * n > sum_s THEN 1
+               WHEN s * n < sum_s THEN -1 ELSE 0 END)::BIGINT AS side,
+         (CASE WHEN ps IS NULL THEN NULL
+               WHEN s > ps THEN 1 WHEN s < ps THEN -1
+               ELSE 0 END)::BIGINT AS dsgn,
+         abs(s - ps)::BIGINT AS mr
+  FROM x1),
+x3 AS (
+  SELECT *,
+         t - row_number() OVER (PARTITION BY event_type, side
+                                ORDER BY hr) AS isl,
+         CASE WHEN dsgn * lag(dsgn) OVER (PARTITION BY event_type
+                                          ORDER BY hr) = -1
+              THEN 1 ELSE 0 END AS alt
+  FROM x2),
+x4 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, side, isl
+                            ORDER BY hr) AS run_pos,
+         sum(dsgn) OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           ::BIGINT AS d5,
+         count(dsgn) OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           ::BIGINT AS c5,
+         sum(alt)
+           OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+           ::BIGINT AS a13,
+         count(*) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+           ::BIGINT AS c13
+  FROM x3),
+x5 AS (
+  SELECT event_type,
+         max(n)::BIGINT AS n,
+         max(sum_s)::BIGINT AS sum_s,
+         sum(mr)::BIGINT AS sum_mr,
+         sum(CASE WHEN run_pos >= 9 AND side != 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_rule2,
+         sum(CASE WHEN c5 = 5 AND abs(d5) = 5 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_rule3,
+         sum(CASE WHEN c13 = 13 AND a13 = 13 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_rule4
+  FROM x4 GROUP BY 1),
+x6 AS (
+  SELECT event_type, n, n_rule2, n_rule3, n_rule4, sum_s, sum_mr,
+         sum_s::DOUBLE / (n * 100)::DOUBLE AS center,
+         sum_mr::DOUBLE / ((n - 1) * 100)::DOUBLE AS mrbar
+  FROM x5),
+x7 AS (
+  SELECT event_type, n, center, mrbar,
+         center + (2.66)::DOUBLE * mrbar AS ucl,
+         center - (2.66)::DOUBLE * mrbar AS lcl,
+         n_rule2, n_rule3, n_rule4
+  FROM x6)
+SELECT x7.event_type, x7.n, x7.center, x7.mrbar, x7.ucl, x7.lcl,
+       (SELECT count(*) FROM x2
+        WHERE x2.event_type = x7.event_type
+          AND (x2.s::DOUBLE / (100)::DOUBLE > x7.ucl
+               OR x2.s::DOUBLE / (100)::DOUBLE < x7.lcl))::BIGINT
+         AS n_rule1,
+       x7.n_rule2, x7.n_rule3, x7.n_rule4
+FROM x7
+"""

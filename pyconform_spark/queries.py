@@ -14310,3 +14310,199 @@ def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pct_k") > F.lit(80.0)).alias("overbought"),
         (F.col("pct_k") < F.lit(20.0)).alias("oversold"),
     )
+
+
+def aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down/oscillator (Chande, public trading literature) on
+    the hourly candles: over the trailing 16-hour window, how recently
+    did the window high / window low print?  aroon_up = 100 * pos/15
+    where pos is the 0-based position (0 = oldest, 15 = newest) of the
+    most RECENT occurrence of the window-max high; near 100 means the
+    high just printed (uptrend pressure).  The argmax-position sibling
+    of stochastic_oscillator (which measures level, not recency).
+
+    EXACT cross-engine: the most-recent argmax rides a lexicographic
+    struct extreme — max(struct(h, t)) picks max h with ties broken
+    toward the LARGEST t, and min(struct(l, -t)) the same for the low
+    — pure integer comparisons in both engines, no float, no
+    nondeterministic arg_max tie; aroon_up/down are single divisions
+    of exact integers and the oscillator subtracts two bit-identical
+    doubles.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; both
+    struct extremes ride one window sort per series."""
+    seq = _hourly_candles(spark, sf_dir)
+    w16 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    st = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        F.max(F.struct(F.col("h"), F.col("t").alias("th"))).over(w16)[
+            "th"
+        ].alias("t_hi"),
+        F.min(
+            F.struct(F.col("l"), (-F.col("t")).alias("mt"))
+        ).over(w16)["mt"].alias("neg_t_lo"),
+    ).filter(F.col("t") >= 16)
+    up = (
+        F.lit(100) * (F.lit(15) - (F.col("t") - F.col("t_hi")))
+    ).cast("double") / F.lit(15.0)
+    dn = (
+        F.lit(100) * (F.lit(15) - (F.col("t") + F.col("neg_t_lo")))
+    ).cast("double") / F.lit(15.0)
+    return st.select(
+        "event_type",
+        "hr",
+        up.alias("aroon_up"),
+        dn.alias("aroon_down"),
+        (up - dn).alias("aroon_osc"),
+    )
+
+
+def xmr_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR individuals control chart with Western Electric run rules
+    (Shewhart; WECO handbook 1956, public literature) on the hourly
+    total series: center = series mean, sigma-hat = 2.66 * mean moving
+    range (the XmR constant d2-based estimate), and four rule counts
+    per series — r1: points outside center +- 2.66*MRbar; r2: points
+    that are the 9th-or-later of a same-side-of-center run; r3: points
+    that close 6 strictly monotone increases/decreases; r4: points
+    that close 14 strict alternations.  The process-control sibling of
+    anomaly_zscore: limits from SHORT-term variation (moving range),
+    so slow drift trips rules 2/3 long before rule 1.
+
+    EXACT cross-engine: side-of-center is decided on the exact integer
+    s*n - sum_s (never on the divided mean); run positions, monotone
+    counts, and alternation counts are pure integer window logic;
+    the emitted center/mrbar/ucl/lcl are one division each plus a
+    deterministic literal multiply-add.  Rule 1's band compare uses
+    those bit-identical doubles.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; the global
+    per-type sums, lags, run ranks, and rolling rule windows all ride
+    the one hash partitioning on event_type; final reduce emits one
+    row per series."""
+    seq = _hourly_candles(spark, sf_dir)
+    wn = Window.partitionBy("event_type")
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    st1 = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "n",
+        "s",
+        F.sum("s").over(wn).alias("sum_s"),
+        F.lag("s", 1).over(wt).alias("ps"),
+    )
+    side = F.signum((F.col("s") * F.col("n") - F.col("sum_s")).cast("double"))
+    diff = F.col("s") - F.col("ps")
+    st2 = st1.select(
+        "event_type",
+        "hr",
+        "t",
+        "n",
+        "s",
+        "sum_s",
+        side.cast("long").alias("side"),
+        F.when(F.col("ps").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.signum(diff.cast("double")).cast("long"))
+        .alias("dsgn"),
+        F.abs(diff).alias("mr"),
+    )
+    # same-side run position: islands keyed by (side, t - rank-in-side)
+    w_side = Window.partitionBy("event_type", "side").orderBy("hr")
+    st3 = st2.select(
+        "*",
+        (F.col("t") - F.row_number().over(w_side)).alias("isl"),
+    )
+    w_isl = Window.partitionBy("event_type", "side", "isl").orderBy("hr")
+    w5 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    w13 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, Window.currentRow)
+    )
+    alt = F.when(
+        (F.col("dsgn") * F.lag("dsgn", 1).over(wt) == -1), F.lit(1)
+    ).otherwise(F.lit(0))
+    st4 = st3.select(
+        "event_type",
+        "t",
+        "n",
+        "s",
+        "sum_s",
+        "side",
+        "mr",
+        F.row_number().over(w_isl).alias("run_pos"),
+        F.sum("dsgn").over(w5).alias("d5"),
+        F.count("dsgn").over(w5).alias("c5"),
+        F.sum(alt).over(w13).alias("a13"),
+        F.count(F.lit(1)).over(w13).alias("c13"),
+    )
+    center = F.col("sum_s").cast("double") / (
+        F.col("n") * F.lit(100)
+    ).cast("double")
+    mrbar = F.col("sum_mr").cast("double") / (
+        (F.col("n") - 1) * F.lit(100)
+    ).cast("double")
+    agg = st4.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sum_s").alias("sum_s"),
+        F.sum("mr").alias("sum_mr"),
+        F.sum(
+            F.when((F.col("run_pos") >= 9) & (F.col("side") != 0), 1).otherwise(0)
+        ).alias("n_rule2"),
+        F.sum(
+            F.when(
+                (F.col("c5") == 5) & (F.abs(F.col("d5")) == 5), 1
+            ).otherwise(0)
+        ).alias("n_rule3"),
+        F.sum(
+            F.when((F.col("c13") == 13) & (F.col("a13") == 13), 1).otherwise(
+                0
+            )
+        ).alias("n_rule4"),
+        F.collect_list(F.struct("t", "s")).alias("pts"),
+    )
+    st5 = agg.select(
+        "event_type",
+        "n",
+        center.alias("center"),
+        mrbar.alias("mrbar"),
+        "n_rule2",
+        "n_rule3",
+        "n_rule4",
+        "pts",
+    )
+    ucl = F.col("center") + F.lit(2.66) * F.col("mrbar")
+    lcl = F.col("center") - F.lit(2.66) * F.col("mrbar")
+    n_rule1 = F.aggregate(
+        "pts",
+        F.lit(0).cast("long"),
+        lambda a, p: a
+        + F.when(
+            (p["s"].cast("double") / F.lit(100.0) > ucl)
+            | (p["s"].cast("double") / F.lit(100.0) < lcl),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return st5.select(
+        "event_type",
+        "n",
+        "center",
+        "mrbar",
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        n_rule1.cast("long").alias("n_rule1"),
+        F.col("n_rule2").cast("long").alias("n_rule2"),
+        F.col("n_rule3").cast("long").alias("n_rule3"),
+        F.col("n_rule4").cast("long").alias("n_rule4"),
+    )
