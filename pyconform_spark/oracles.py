@@ -31,6 +31,10 @@ FROM events GROUP BY 1,2,3
 """
 
 
+from pyconform_spark.operators.cluster import (
+    kmeans_embeddings_sql as _kmeans_embeddings_sql,
+)
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["rollup_1m"] = _rollup_sql(60)
@@ -7318,4 +7322,173 @@ SELECT x7.event_type, x7.n, x7.center, x7.mrbar, x7.ucl, x7.lcl,
          AS n_rule1,
        x7.n_rule2, x7.n_rule3, x7.n_rule4
 FROM x7
+"""
+
+
+ORACLES["mood_median_test"] = f"""
+WITH {_HOURLY_RANKS},
+mood_ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (ORDER BY m, event_type, hr) AS pos,
+         count(*) OVER () AS nn
+  FROM seq),
+mood_med AS (
+  SELECT max(CASE WHEN pos = (nn + 1) // 2 THEN m END) AS med
+  FROM mood_ranked),
+flagged AS (
+  SELECT event_type, (m > med) AS above FROM mood_ranked, mood_med),
+cells AS (
+  SELECT event_type, above, count(*)::BIGINT AS o
+  FROM flagged GROUP BY 1, 2),
+staged AS (
+  SELECT event_type, above, o,
+         sum(o) OVER (PARTITION BY event_type)::BIGINT AS r,
+         sum(o) OVER (PARTITION BY above)::BIGINT AS c,
+         sum(o) OVER ()::BIGINT AS n
+  FROM cells)
+SELECT event_type, above, o, r, c, n,
+       (n * o - r * c)::BIGINT AS dev,
+       ((n * o - r * c)::DOUBLE * (n * o - r * c)::DOUBLE)
+         / (r * c * n)::DOUBLE AS chi2_contrib
+FROM staged
+"""
+
+ORACLES["cochran_q_shifts"] = """
+WITH base AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         (floor(floor(epoch(ts))::BIGINT / 28800)::BIGINT % 3)::BIGINT
+           AS shift,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+totals AS (
+  SELECT event_type, day, shift, sum(vq)::BIGINT AS tot
+  FROM base GROUP BY 1, 2, 3),
+days AS (SELECT DISTINCT event_type, day FROM base),
+grid AS (
+  SELECT d.event_type, d.day, s.shift
+  FROM days d CROSS JOIN
+       (SELECT unnest([0, 1, 2])::BIGINT AS shift) s),
+filled AS (
+  SELECT g.event_type, g.day, g.shift, coalesce(t.tot, 0)::BIGINT AS tot
+  FROM grid g LEFT JOIN totals t USING (event_type, day, shift)),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY tot, day, shift) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM filled),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (cnt + 1) // 2 THEN tot END) AS med
+  FROM ranked GROUP BY 1),
+x AS (
+  SELECT f.event_type, f.day, f.shift,
+         (CASE WHEN f.tot > m.med THEN 1 ELSE 0 END)::BIGINT AS x
+  FROM filled f JOIN med m USING (event_type)),
+pb AS (SELECT event_type, day, sum(x)::BIGINT AS bb FROM x GROUP BY 1, 2),
+ps AS (SELECT event_type, shift, sum(x)::BIGINT AS tt FROM x GROUP BY 1, 2),
+aggb AS (
+  SELECT event_type, count(*)::BIGINT AS n_blocks,
+         sum(bb)::BIGINT AS t_total, sum(bb * bb)::BIGINT AS sb2
+  FROM pb GROUP BY 1),
+aggt AS (
+  SELECT event_type, sum(tt * tt)::BIGINT AS st2,
+         max(CASE WHEN shift = 0 THEN tt END)::BIGINT AS t_night,
+         max(CASE WHEN shift = 1 THEN tt END)::BIGINT AS t_day,
+         max(CASE WHEN shift = 2 THEN tt END)::BIGINT AS t_evening
+  FROM ps GROUP BY 1)
+SELECT aggb.event_type, n_blocks, t_night, t_day, t_evening,
+       (2 * (3 * st2 - t_total * t_total))::DOUBLE
+         / nullif(3 * t_total - sb2, 0)::DOUBLE AS q_stat
+FROM aggb JOIN aggt USING (event_type)
+"""
+
+ORACLES["mcnemar_daily_flip"] = """
+WITH daily AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sq
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sq, day) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM daily),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (cnt + 1) // 2 THEN sq END) AS med
+  FROM ranked GROUP BY 1),
+flags AS (
+  SELECT d.event_type, d.day, (d.sq > m.med) AS hi
+  FROM daily d JOIN med m USING (event_type)),
+pairs AS (
+  SELECT e.event_type, e.hi AS hi_early, l.hi AS hi_late
+  FROM flags e JOIN flags l
+    ON l.event_type = e.event_type AND l.day - 15 = e.day),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN hi_early AND NOT hi_late THEN 1 ELSE 0 END)
+           ::BIGINT AS b,
+         sum(CASE WHEN NOT hi_early AND hi_late THEN 1 ELSE 0 END)
+           ::BIGINT AS c
+  FROM pairs GROUP BY 1)
+SELECT event_type, n_pairs, b, c,
+       ((b - c) * (b - c))::DOUBLE / nullif(b + c, 0)::DOUBLE
+         AS mcnemar_stat,
+       coalesce(((b - c) * (b - c))::DOUBLE / nullif(b + c, 0)::DOUBLE
+                > (3.84)::DOUBLE, FALSE) AS flipped
+FROM agg
+"""
+
+ORACLES["cramers_v_association"] = """
+WITH cells AS (
+  SELECT event_type,
+         ((floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT + 4) % 7)
+           ::BIGINT AS dow,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type)::BIGINT AS r,
+         sum(o) OVER (PARTITION BY dow)::BIGINT AS c,
+         sum(o) OVER ()::BIGINT AS n
+  FROM cells),
+terms AS (
+  SELECT event_type, dow, n,
+         ((n * o - r * c)::DOUBLE * (n * o - r * c)::DOUBLE)
+           / (r * c * n)::DOUBLE AS term
+  FROM staged),
+agg AS (
+  SELECT max(n)::BIGINT AS n,
+         count(DISTINCT event_type)::BIGINT AS nr,
+         count(DISTINCT dow)::BIGINT AS nc,
+         list_reduce(list(term ORDER BY event_type, dow),
+                     (a, b) -> a + b) AS chi2
+  FROM terms)
+SELECT n, nr, nc, chi2,
+       sqrt(chi2 / (n * least(nr - 1, nc - 1))::DOUBLE) AS cramers_v
+FROM agg
+"""
+
+ORACLES["adjusted_rand_kmeans"] = f"""
+WITH km AS ({_kmeans_embeddings_sql()}),
+cont AS (
+  SELECT k.cluster, e.label, count(*)::BIGINT AS nij
+  FROM km k JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+p AS (
+  SELECT sum(nij * (nij - 1))::BIGINT AS p2, sum(nij)::BIGINT AS n
+  FROM cont),
+a AS (
+  SELECT sum(ai * (ai - 1))::BIGINT AS a2
+  FROM (SELECT sum(nij)::BIGINT AS ai FROM cont GROUP BY cluster)),
+b AS (
+  SELECT sum(bj * (bj - 1))::BIGINT AS b2
+  FROM (SELECT sum(nij)::BIGINT AS bj FROM cont GROUP BY label))
+SELECT n, p2, a2, b2,
+       (n * (n - 1) * p2 - a2 * b2)::DOUBLE
+         / nullif((n * (n - 1) * (a2 + b2)) // 2 - a2 * b2, 0)::DOUBLE
+         AS ari
+FROM p, a, b
 """

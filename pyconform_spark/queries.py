@@ -14506,3 +14506,383 @@ def xmr_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rule3").cast("long").alias("n_rule3"),
         F.col("n_rule4").cast("long").alias("n_rule4"),
     )
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types (Mood 1950, public
+    literature): are the k hourly-mean distributions centered on the
+    same median?  Every hourly mean is classified above / not-above
+    the GLOBAL lower median and the resulting 2 x k contingency gets
+    the same integer chi-square staging as chi2_independence — the
+    robust k-sample location sibling of kruskal_wallis_contrib (which
+    uses full ranks; Mood only uses the median split, so it survives
+    arbitrary monotone corruption of the tails).
+
+    EXACT cross-engine: the global median is an exact PICK (the value
+    at row (N+1)//2 of the m-ordered frame — m values are exact
+    BIGINT/BIGINT divisions); the above/not-above split compares
+    bit-identical doubles; every emitted cell is integers plus the
+    single deterministic contrib division dev^2/(r*c*n).
+
+    Scale shape: raw reduces to (type, hour) FIRST (~k*720 rows); the
+    single-partition median rank rides that reduced frame only; cells
+    are 2k rows."""
+    seq = _hourly_means(spark, sf_dir)
+    wall = Window.partitionBy()
+    wpos = Window.partitionBy().orderBy("m", "event_type", "hr")
+    ranked = seq.select(
+        "event_type",
+        "m",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("nn"),
+    )
+    med_row = ranked.agg(
+        F.max(
+            F.when(
+                F.col("pos") == F.expr("(nn + 1) div 2"),
+                F.col("m"),
+            )
+        ).alias("med")
+    )
+    flagged = ranked.crossJoin(F.broadcast(med_row)).select(
+        "event_type", (F.col("m") > F.col("med")).alias("above")
+    )
+    cells = flagged.groupBy("event_type", "above").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("above")
+    staged = cells.select(
+        "event_type",
+        "above",
+        "o",
+        F.sum("o").over(wr).cast("long").alias("r"),
+        F.sum("o").over(wc).cast("long").alias("c"),
+        F.sum("o").over(wall).cast("long").alias("n"),
+    )
+    dev = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("long")
+    contrib = (dev.cast("double") * dev.cast("double")) / (
+        F.col("r") * F.col("c") * F.col("n")
+    ).cast("double")
+    return staged.select(
+        "event_type",
+        "above",
+        "o",
+        "r",
+        "c",
+        "n",
+        dev.alias("dev"),
+        contrib.alias("chi2_contrib"),
+    )
+
+
+def cochran_q_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test per event type (Cochran 1950, public
+    literature): with days as blocks and the three 8-hour shifts
+    (night/day/evening) as treatments, is the binary outcome "this
+    shift's total beat the type's median shift total" homogeneous
+    across shifts?  The blocked-binary sibling of
+    friedman_page_blocked (Friedman ranks a numeric response; Cochran
+    tests a 0/1 response) — the shift-load skew audit an ops team
+    runs before choosing rollup epoch boundaries.
+
+    EXACT cross-engine: shift totals are exact BIGINT sums on a
+    COMPLETE (day x shift) grid (missing cells are true zeros, built
+    by cross-joining the type's day list with the 3 shift literals);
+    the threshold is an exact rank pick (lower median at (cnt+1)//2
+    with a full deterministic tie order); Q = (k-1)(k*St2 - T^2) /
+    (k*T - Sb2) is ONE division of exact integers.
+
+    Scale shape: raw reduces to (type, day, shift) FIRST; the grid
+    completion joins two tiny frames; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+        (F.floor(es / 28800).cast("long") % 3).alias("shift"),
+        vq.alias("vq"),
+    )
+    totals = base.groupBy("event_type", "day", "shift").agg(
+        F.sum("vq").cast("long").alias("tot")
+    )
+    days = base.select("event_type", "day").distinct()
+    grid = days.crossJoin(
+        spark.range(3).select(F.col("id").cast("long").alias("shift"))
+    )
+    filled = grid.join(totals, ["event_type", "day", "shift"], "left").select(
+        "event_type",
+        "day",
+        "shift",
+        F.coalesce("tot", F.lit(0)).cast("long").alias("tot"),
+    )
+    wtype = Window.partitionBy("event_type")
+    wpos = Window.partitionBy("event_type").orderBy("tot", "day", "shift")
+    ranked = filled.select(
+        "*",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wtype).alias("cnt"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(cnt + 1) div 2"), F.col("tot"))
+        ).alias("med")
+    )
+    x = filled.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "shift",
+        F.when(F.col("tot") > F.col("med"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("x"),
+    )
+    per_block = x.groupBy("event_type", "day").agg(
+        F.sum("x").cast("long").alias("bb")
+    )
+    per_shift = x.groupBy("event_type", "shift").agg(
+        F.sum("x").cast("long").alias("tt")
+    )
+    agg_b = per_block.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("bb").cast("long").alias("t_total"),
+        F.sum(F.col("bb") * F.col("bb")).cast("long").alias("sb2"),
+    )
+    agg_t = per_shift.groupBy("event_type").agg(
+        F.sum(F.col("tt") * F.col("tt")).cast("long").alias("st2"),
+        F.max(F.when(F.col("shift") == 0, F.col("tt"))).alias("t_night"),
+        F.max(F.when(F.col("shift") == 1, F.col("tt"))).alias("t_day"),
+        F.max(F.when(F.col("shift") == 2, F.col("tt"))).alias("t_evening"),
+    )
+    j = agg_b.join(agg_t, "event_type")
+    q = F.try_divide(
+        (
+            F.lit(2)
+            * (F.lit(3) * F.col("st2") - F.col("t_total") * F.col("t_total"))
+        ).cast("double"),
+        (F.lit(3) * F.col("t_total") - F.col("sb2")).cast("double"),
+    )
+    return j.select(
+        "event_type",
+        "n_blocks",
+        F.col("t_night").cast("long").alias("t_night"),
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("t_evening").cast("long").alias("t_evening"),
+        q.alias("q_stat"),
+    )
+
+
+def mcnemar_daily_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-flip test per event type (McNemar 1947, public
+    literature): pair day d with day d+15 and flag each day as
+    above / not-above the type's median daily total; the test only
+    looks at the DISCORDANT pairs — b = high-then-low, c =
+    low-then-high — so shared day-of-month effects cancel by
+    construction.  stat = (b-c)^2/(b+c) ~ chi2(1).  The paired sibling
+    of ks_drift's split-halves comparison: same question ("did the
+    level regime flip between fortnights?") but matched day-by-day.
+
+    EXACT cross-engine: daily totals are exact BIGINT sums; the median
+    threshold is an exact rank pick with a full deterministic order;
+    b and c are integer counts over an equality join on day
+    arithmetic; the statistic is ONE division of exact integers (NULL
+    when there are no discordant pairs).
+
+    Scale shape: raw reduces to (type, day) FIRST (~30 rows/type);
+    the self-join rides that reduced frame; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    daily = (
+        df.select(
+            "event_type",
+            F.floor(es / 86400).cast("long").alias("day"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").cast("long").alias("sq"))
+    )
+    wtype = Window.partitionBy("event_type")
+    wpos = Window.partitionBy("event_type").orderBy("sq", "day")
+    ranked = daily.select(
+        "*",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wtype).alias("cnt"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(cnt + 1) div 2"), F.col("sq"))
+        ).alias("med")
+    )
+    flags = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("sq") > F.col("med")).alias("hi"),
+    )
+    early = flags.select(
+        "event_type", "day", F.col("hi").alias("hi_early")
+    )
+    late = flags.select(
+        "event_type",
+        (F.col("day") - 15).alias("day"),
+        F.col("hi").alias("hi_late"),
+    )
+    pairs = early.join(late, ["event_type", "day"])
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("hi_early") & ~F.col("hi_late"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(~F.col("hi_early") & F.col("hi_late"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    diff = F.col("b") - F.col("c")
+    stat = F.try_divide(
+        (diff * diff).cast("double"), (F.col("b") + F.col("c")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        "b",
+        "c",
+        stat.alias("mcnemar_stat"),
+        F.coalesce(stat > F.lit(3.84), F.lit(False)).alias("flipped"),
+    )
+
+
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the event_type x day-of-week
+    contingency (Cramer 1946, public literature): the [0, 1]
+    normalization of chi2_independence's statistic — V =
+    sqrt(chi2 / (n * min(r-1, c-1))) — so "is the association LARGE",
+    not just "is it significant" (at 10^12 turns everything is
+    significant; only effect size is informative).
+
+    EXACT cross-engine: reuses the integer cell staging of
+    chi2_independence (dev = n*o - r*c, all BIGINT); chi2 sums the
+    per-cell dev^2/(r*c*n) terms through an ORDER-PINNED float fold
+    (cells sorted by (event_type, dow); DuckDB's list_reduce seeds
+    with the first term, Spark folds from 0.0 — exact because
+    0.0 + x == x in IEEE); V is one division and one
+    correctly-rounded sqrt.
+
+    Scale shape: one hash aggregate to |types| x 7 cells; everything
+    after rides that tiny frame; one output row."""
+    df = _events(spark, sf_dir)
+    days = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+    cells = (
+        df.select(
+            F.col("event_type"),
+            ((days + 4) % 7).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).cast("long").alias("r"),
+        F.sum("o").over(wc).cast("long").alias("c"),
+        F.sum("o").over(wall).cast("long").alias("n"),
+    )
+    dev = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    term = (dev * dev) / (F.col("r") * F.col("c") * F.col("n")).cast(
+        "double"
+    )
+    rows = staged.select(
+        "event_type", "dow", "n", term.alias("term")
+    )
+    agg = rows.groupBy().agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "dow", "term"))
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v["term"],
+        ).alias("chi2"),
+    )
+    md = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    return agg.select(
+        "n",
+        "nr",
+        "nc",
+        "chi2",
+        F.sqrt(
+            F.col("chi2") / (F.col("n") * md).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+def adjusted_rand_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the integer k-means clustering and
+    the embeddings table's ground-truth labels (Hubert & Arabie 1985,
+    public literature): chance-corrected pair-counting agreement —
+    1 = identical partitions, ~0 = no better than random.  The
+    external-validity companion of silhouette_kmeans /
+    calinski_harabasz_kmeans (both internal): did the deterministic
+    clustering recover the label structure?
+
+    EXACT cross-engine: the clustering itself is the repo's
+    bit-reproducible integer Lloyd's k-means (operators/cluster.py);
+    the contingency counts and all pair-counting sums are BIGINTs in
+    DOUBLED form (P = sum nij*(nij-1), A, B likewise, N = n*(n-1), so
+    no /2 ever truncates); ARI = (N*P - A*B) / (N*(A+B)/2 - A*B) is
+    ONE division of exact integers (N*(A+B) is always even).
+
+    Scale shape: assignment broadcasts k centroids over one corpus
+    scan; the contingency is a |k| x |labels| hash aggregate; one
+    output row."""
+    from pyconform_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    asg = cluster.kmeans_integer(emb).select("vec_id", "cluster")
+    lab = emb.select("vec_id", "label")
+    cont = (
+        asg.join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    p2 = cont.agg(
+        F.sum(F.col("nij") * (F.col("nij") - 1)).cast("long").alias("p2"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    a2 = (
+        cont.groupBy("cluster")
+        .agg(F.sum("nij").cast("long").alias("ai"))
+        .agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1)).cast("long").alias("a2")
+        )
+    )
+    b2 = (
+        cont.groupBy("label")
+        .agg(F.sum("nij").cast("long").alias("bj"))
+        .agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1)).cast("long").alias("b2")
+        )
+    )
+    j = p2.crossJoin(a2).crossJoin(b2)
+    nn = F.col("n") * (F.col("n") - 1)
+    num = nn * F.col("p2") - F.col("a2") * F.col("b2")
+    den = F.expr("(n * (n - 1) * (a2 + b2)) div 2") - F.col("a2") * F.col(
+        "b2"
+    )
+    return j.select(
+        "n",
+        "p2",
+        "a2",
+        "b2",
+        F.try_divide(num.cast("double"), den.cast("double")).alias("ari"),
+    )
