@@ -7492,3 +7492,87 @@ SELECT n, p2, a2, b2,
          AS ari
 FROM p, a, b
 """
+
+ORACLES["lb_keogh_pairs"] = f"""
+WITH dtwres AS ({_dtw_sql()}),
+lkcounts AS (
+  SELECT event_type AS series, extract(hour FROM ts)::INT AS h,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+lkgrid AS (SELECT unnest(generate_series(0, 23)) AS h),
+lkprof AS (
+  SELECT s.series, list(coalesce(c.cnt, 0) ORDER BY g.h) AS profile
+  FROM (SELECT DISTINCT series FROM lkcounts) s
+  CROSS JOIN lkgrid g
+  LEFT JOIN lkcounts c ON c.series = s.series AND c.h = g.h
+  GROUP BY s.series),
+lkpairs AS (
+  SELECT a.series AS series_a, b.series AS series_b,
+         a.profile AS pa, b.profile AS pb
+  FROM lkprof a JOIN lkprof b ON a.series < b.series),
+lkbound AS (
+  SELECT series_a, series_b,
+         list_sum(list_transform(generate_series(1, 24), j ->
+           greatest(0::BIGINT,
+             pa[j] - list_max(pb[greatest(1, j - 6):least(24, j + 6)]),
+             list_min(pb[greatest(1, j - 6):least(24, j + 6)]) - pa[j])
+         ))::BIGINT AS lb_l1
+  FROM lkpairs)
+SELECT b.series_a, b.series_b, b.lb_l1, d.dtw_dist,
+       b.lb_l1::DOUBLE / nullif(d.dtw_dist, 0)::DOUBLE AS lb_ratio
+FROM lkbound b JOIN dtwres d USING (series_a, series_b)
+"""
+
+ORACLES["demand_classification"] = """
+WITH hourly AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         (max(hr) - min(hr) + 1)::BIGINT AS span_hours,
+         count(*)::BIGINT AS n_demand,
+         sum(cnt)::BIGINT AS s_sz,
+         sum(cnt * cnt)::BIGINT AS q_sz
+  FROM hourly GROUP BY 1)
+SELECT event_type, span_hours, n_demand,
+       span_hours::DOUBLE / n_demand::DOUBLE AS adi,
+       (n_demand * q_sz - s_sz * s_sz)::DOUBLE
+         / (s_sz * s_sz)::DOUBLE AS cv2,
+       CASE
+         WHEN 100 * span_hours < 132 * n_demand
+              AND 100 * (n_demand * q_sz - s_sz * s_sz)
+                  < 49 * s_sz * s_sz THEN 'smooth'
+         WHEN 100 * span_hours < 132 * n_demand THEN 'erratic'
+         WHEN 100 * (n_demand * q_sz - s_sz * s_sz)
+              < 49 * s_sz * s_sz THEN 'intermittent'
+         ELSE 'lumpy' END AS quadrant
+FROM agg
+"""
+
+ORACLES["backfill_job_planner"] = """
+WITH hours AS (
+  SELECT DISTINCT event_type,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr
+  FROM events),
+gaps AS (
+  SELECT event_type,
+         (hr + 1)::BIGINT AS gap_start_hr,
+         (next_hr - 1)::BIGINT AS gap_end_hr,
+         (next_hr - hr - 1)::BIGINT AS n_missing
+  FROM (
+    SELECT event_type, hr,
+           lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS next_hr
+    FROM hours)
+  WHERE next_hr - hr > 1),
+planned AS (
+  SELECT *,
+         (sum(n_missing) OVER (PARTITION BY event_type
+                               ORDER BY gap_start_hr)
+          - n_missing)::BIGINT AS missing_before
+  FROM gaps)
+SELECT event_type, gap_start_hr, gap_end_hr, n_missing,
+       (missing_before // 24)::BIGINT AS batch_id
+FROM planned
+"""

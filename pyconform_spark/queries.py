@@ -14886,3 +14886,183 @@ def adjusted_rand_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b2",
         F.try_divide(num.cast("double"), den.cast("double")).alias("ari"),
     )
+
+
+def lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LB_Keogh lower bound (Keogh & Ratanamahatana 2005, public
+    literature) for every DTW pair the catalog scores: the candidate
+    profile's Sakoe-Chiba envelope (U_j / L_j = max/min of y over
+    |i-j| <= r) is built declaratively, and the bound sums the L1
+    exceedances of the query outside that envelope — a TRUE lower
+    bound of the banded L1-DTW in dtw_profile_pairs.  THIS is the
+    scale path for DTW at 10^6 series: the bound is pure window/array
+    algebra (no DP, no Arrow UDF), so candidates with lb > best-so-far
+    are pruned before any pair ships to the quadratic scorer.  The
+    emitted lb_ratio measures how much pruning the bound buys on this
+    corpus.
+
+    EXACT cross-engine: profiles are integer event counts; envelope
+    extremes, exceedances, and the bound are pure BIGINT ops;
+    dtw_dist joins in from the same integer DP both engines already
+    agree on; the ratio is ONE division of exact integers.
+
+    Scale shape: the raw table reduces to 24-long profiles once; the
+    pair frame broadcasts the small side; the bound adds zero
+    shuffles on top of the pair join."""
+    from pyconform_spark.operators import dtw
+
+    prof = dtw.hourly_profiles(_events(spark, sf_dir)).persist()
+    a = prof.select(
+        F.col("series").alias("series_a"), F.col("profile").alias("pa")
+    )
+    b = prof.select(
+        F.col("series").alias("series_b"), F.col("profile").alias("pb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("series_a") < F.col("series_b"))
+    r, L = dtw.BAND, dtw.L
+
+    def exceed(j: Column) -> Column:
+        lo = F.greatest(F.lit(1), j - r)
+        hi = F.least(F.lit(L), j + r)
+        win = F.slice(F.col("pb"), lo, hi - lo + 1)
+        x = F.element_at(F.col("pa"), j)
+        return F.greatest(
+            F.lit(0).cast("long"),
+            x - F.array_max(win),
+            F.array_min(win) - x,
+        )
+
+    lb = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(L)), exceed),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    bounds = pairs.select("series_a", "series_b", lb.alias("lb_l1"))
+    dists = dtw.dtw_pairs(prof)
+    return bounds.join(dists, ["series_a", "series_b"]).select(
+        "series_a",
+        "series_b",
+        "lb_l1",
+        "dtw_dist",
+        F.try_divide(
+            F.col("lb_l1").cast("double"), F.col("dtw_dist").cast("double")
+        ).alias("lb_ratio"),
+    )
+
+
+def demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification per event type
+    (Syntetos, Boylan & Croston 2005, public literature): ADI (average
+    inter-demand interval over the hourly grid) and CV^2 (squared
+    coefficient of variation of the nonzero demand sizes) place each
+    series in the smooth / intermittent / erratic / lumpy quadrant —
+    the router that decides WHICH forecaster applies (croston_forecast
+    for intermittent+, holt/seasonal for smooth), so it belongs next
+    to them in the catalog.
+
+    EXACT cross-engine: demand sizes are integer hourly event counts;
+    ADI = span_hours/n_demand and CV^2 = (n*Q - S^2)/S^2 are emitted
+    as single divisions of exact BIGINTs, and the QUADRANT DECISION
+    never touches those floats — the textbook cutoffs ADI < 1.32 and
+    CV^2 < 0.49 are decided as the integer inequalities
+    100*span < 132*n_demand and 100*(n*Q - S^2) < 49*S^2.
+
+    Scale shape: raw reduces to (type, hour) counts FIRST; one hash
+    aggregate per type; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            "event_type", F.floor(es / 3600).cast("long").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    agg = hourly.groupBy("event_type").agg(
+        (F.max("hr") - F.min("hr") + 1).cast("long").alias("span_hours"),
+        F.count(F.lit(1)).cast("long").alias("n_demand"),
+        F.sum("cnt").cast("long").alias("s_sz"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("q_sz"),
+    )
+    nq_s2 = F.col("n_demand") * F.col("q_sz") - F.col("s_sz") * F.col("s_sz")
+    adi_low = (
+        F.lit(100) * F.col("span_hours") < F.lit(132) * F.col("n_demand")
+    )
+    cv2_low = F.lit(100) * nq_s2 < F.lit(49) * F.col("s_sz") * F.col("s_sz")
+    quadrant = (
+        F.when(adi_low & cv2_low, F.lit("smooth"))
+        .when(adi_low & ~cv2_low, F.lit("erratic"))
+        .when(~adi_low & cv2_low, F.lit("intermittent"))
+        .otherwise(F.lit("lumpy"))
+    )
+    return agg.select(
+        "event_type",
+        "span_hours",
+        "n_demand",
+        (
+            F.col("span_hours").cast("double")
+            / F.col("n_demand").cast("double")
+        ).alias("adi"),
+        (
+            nq_s2.cast("double")
+            / (F.col("s_sz") * F.col("s_sz")).cast("double")
+        ).alias("cv2"),
+        quadrant.alias("quadrant"),
+    )
+
+
+def backfill_job_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill job planner over the hourly tier grid: find every
+    missing-hour gap per series (gaps-and-islands on the hour index),
+    and assign contiguous gaps to capped backfill batches — batch
+    boundaries fall every 24 cumulative missing hours, so each
+    spark-submit backfill job re-reads a bounded raw range.  This is
+    the ops-side complement of gap_detect (which reports gaps;
+    this PLANS the refill) and pipeline.refresh_late (which applies
+    it): the query a scheduler runs nightly against the lineage table
+    before launching catch-up jobs.
+
+    EXACT cross-engine: gaps come from integer lead() deltas on the
+    hour index; batch assignment is an integer running sum divided by
+    the cap — every column is a BIGINT.
+
+    Scale shape: raw reduces to (type, distinct hour) FIRST; one
+    window sort per series; output is one row per gap (rare by
+    construction)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hours = (
+        df.select(
+            "event_type", F.floor(es / 3600).cast("long").alias("hr")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    gaps = (
+        hours.select(
+            "event_type",
+            "hr",
+            F.lead("hr", 1).over(w).alias("next_hr"),
+        )
+        .filter(F.col("next_hr") - F.col("hr") > 1)
+        .select(
+            "event_type",
+            (F.col("hr") + 1).alias("gap_start_hr"),
+            (F.col("next_hr") - 1).alias("gap_end_hr"),
+            (F.col("next_hr") - F.col("hr") - 1).alias("n_missing"),
+        )
+    )
+    wg = Window.partitionBy("event_type").orderBy("gap_start_hr")
+    planned = gaps.select(
+        "*",
+        (
+            F.sum("n_missing").over(wg) - F.col("n_missing")
+        ).alias("missing_before"),
+    )
+    return planned.select(
+        "event_type",
+        "gap_start_hr",
+        "gap_end_hr",
+        "n_missing",
+        F.expr("missing_before div 24").cast("long").alias("batch_id"),
+    )
