@@ -7576,3 +7576,67 @@ SELECT event_type, gap_start_hr, gap_end_hr, n_missing,
        (missing_before // 24)::BIGINT AS batch_id
 FROM planned
 """
+
+ORACLES["optimal_two_changepoints"] = f"""
+WITH {_HOURLY_CANDLES},
+pre AS (
+  SELECT event_type, t, n,
+         sum(s) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS p
+  FROM candles),
+tot AS (
+  SELECT event_type, p AS ptot, n AS nn FROM pre WHERE t = n),
+pairs AS (
+  SELECT f1.event_type, f1.t AS t1, f2.t AS t2, tt.nn,
+         f1.p AS p1, f2.p AS p2, tt.ptot
+  FROM pre f1
+  JOIN pre f2 ON f2.event_type = f1.event_type AND f2.t > f1.t
+  JOIN tot tt ON tt.event_type = f1.event_type AND f2.t < tt.nn),
+scored AS (
+  SELECT event_type, t1, t2, nn,
+         p1 AS a, (p2 - p1) AS b, (ptot - p2) AS c,
+         ((p1 * p1) // t1
+          + ((p2 - p1) * (p2 - p1)) // (t2 - t1)
+          + ((ptot - p2) * (ptot - p2)) // (nn - t2))::BIGINT AS obj_q,
+         t1 AS l1, (t2 - t1) AS l2, (nn - t2) AS l3
+  FROM pairs),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY obj_q DESC, t1, t2) AS rn
+  FROM scored)
+SELECT event_type, nn::BIGINT AS n, t1::BIGINT AS t1, t2::BIGINT AS t2,
+       obj_q,
+       a::DOUBLE / (l1 * 100)::DOUBLE AS seg1_mean,
+       b::DOUBLE / (l2 * 100)::DOUBLE AS seg2_mean,
+       c::DOUBLE / (l3 * 100)::DOUBLE AS seg3_mean
+FROM best WHERE rn = 1
+"""
+
+ORACLES["ewma_control_chart"] = f"""
+WITH {_HOURLY_CANDLES},
+e1 AS (
+  SELECT event_type, hr, t, n, s,
+         ({_dyadic_sql('s', 16)})::BIGINT AS es,
+         sum(s) OVER (PARTITION BY event_type)::BIGINT AS sum_s,
+         sum(s * s) OVER (PARTITION BY event_type)::BIGINT AS sum_q
+  FROM candles),
+e2 AS (SELECT * FROM e1 WHERE t >= 16),
+e3 AS (
+  SELECT event_type, hr,
+         es::DOUBLE / (6553500)::DOUBLE AS ewma,
+         sum_s::DOUBLE / (n * 100)::DOUBLE AS center,
+         sqrt((n * sum_q - sum_s * sum_s)::DOUBLE)
+           / (n * 100)::DOUBLE AS sigma
+  FROM e2),
+e4 AS (
+  SELECT event_type, hr, ewma, center,
+         center + (3)::DOUBLE * sigma
+           * sqrt((4294967295)::DOUBLE / (12884508675)::DOUBLE) AS ucl,
+         center - (3)::DOUBLE * sigma
+           * sqrt((4294967295)::DOUBLE / (12884508675)::DOUBLE) AS lcl
+  FROM e3)
+SELECT event_type, hr, ewma, center, ucl, lcl,
+       (ewma > ucl) AS breach_up,
+       (ewma < lcl) AS breach_dn
+FROM e4
+"""

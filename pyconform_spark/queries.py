@@ -15066,3 +15066,166 @@ def backfill_job_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_missing",
         F.expr("missing_before div 24").cast("long").alias("batch_id"),
     )
+
+
+def optimal_two_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT best two-changepoint segmentation per event type
+    (optimal partitioning with k=3 segments, L2 cost; Jackson et al.
+    2005 lineage, public literature): minimizing total within-segment
+    SSE is equivalent to maximizing sum_i (segment sum)^2 / len_i, so
+    every (t1, t2) split pair is scored from prefix sums and the
+    argmax taken — the exhaustive complement of changepoint_binseg
+    (binary segmentation is greedy and can miss the joint optimum;
+    this cannot).
+
+    EXACT cross-engine: prefix sums are BIGINT; the objective is
+    QUANTIZED order-free — obj_q = A*A div l1 + B*B div l2 + C*C div
+    l3, three truncated integer divisions (the simplified-silhouette
+    discipline: the decision rides exact integers, the objective is
+    deterministic to the unit), ties broken on (t1, t2); the emitted
+    segment means are one exact division each.
+
+    Scale shape: raw reduces to (type, hour) FIRST, so the O(n^2)
+    split-pair frame rides ~n^2 tiny rows per series (n = span in
+    hours), embarrassingly parallel after the one prefix-sum window
+    sort; the argmax is one TakeOrdered per series.  At month-scale n
+    this is exact and cheap; at year-scale spans, changepoint_binseg
+    is the approximate fast path."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = seq.select(
+        "event_type",
+        "t",
+        "n",
+        F.sum("s").over(w).alias("p"),
+    )
+    tot = pre.filter(F.col("t") == F.col("n")).select(
+        "event_type", F.col("p").alias("ptot"), F.col("n").alias("nn")
+    )
+    f1 = pre.select(
+        "event_type", F.col("t").alias("t1"), F.col("p").alias("p1")
+    )
+    f2 = pre.select(
+        "event_type", F.col("t").alias("t2"), F.col("p").alias("p2")
+    )
+    pairs = (
+        f1.join(f2, "event_type")
+        .filter(F.col("t2") > F.col("t1"))
+        .join(F.broadcast(tot), "event_type")
+        .filter(F.col("t2") < F.col("nn"))
+    )
+    a = F.col("p1")
+    b = F.col("p2") - F.col("p1")
+    c = F.col("ptot") - F.col("p2")
+    l1 = F.col("t1")
+    l2 = F.col("t2") - F.col("t1")
+    l3 = F.col("nn") - F.col("t2")
+    scored = pairs.select(
+        "event_type",
+        "t1",
+        "t2",
+        "nn",
+        a.alias("a"),
+        b.alias("b"),
+        c.alias("c"),
+        (
+            F.expr("(p1 * p1) div t1")
+            + F.expr("((p2 - p1) * (p2 - p1)) div (t2 - t1)")
+            + F.expr("((ptot - p2) * (ptot - p2)) div (nn - t2)")
+        ).alias("obj_q"),
+        l1.alias("l1"),
+        l2.alias("l2"),
+        l3.alias("l3"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("obj_q"), "t1", "t2"
+    )
+    best = scored.select(
+        "*", F.row_number().over(wbest).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("nn").alias("n"),
+        "t1",
+        "t2",
+        "obj_q",
+        (F.col("a").cast("double") / (F.col("l1") * F.lit(100)).cast("double"))
+        .alias("seg1_mean"),
+        (F.col("b").cast("double") / (F.col("l2") * F.lit(100)).cast("double"))
+        .alias("seg2_mean"),
+        (F.col("c").cast("double") / (F.col("l3") * F.lit(100)).cast("double"))
+        .alias("seg3_mean"),
+    )
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990, public
+    literature) on the hourly total series: the dyadic alpha=1/2
+    span-16 EWMA (ewma_smooth's exact smoother) monitored against
+    center +- 3 * sigma * sqrt(c), where sigma is the series'
+    population standard deviation and c = sum(w^2)/(sum w)^2 =
+    (4^16 - 1) / (3 * (2^16 - 1)^2) is the EXACT variance-inflation
+    factor of the truncated dyadic weight profile — the drift-
+    sensitive sibling of xmr_western_electric (EWMA pools the recent
+    past, so small sustained shifts trip it long before an
+    individuals chart).
+
+    EXACT cross-engine: the EWMA is one division of exact BIGINTs
+    (weighted sum / norm); sigma = sqrt(n*Q - S*S)/(n*100) has every
+    input an exact integer-valued double and the factor sqrt(c) is
+    one division of exact integer literals then one correctly-rounded
+    sqrt; breach flags compare bit-identical doubles.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; the 16
+    lags ride one window sort per series; the per-type sigma rides
+    the same partitioning."""
+    span = 16
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wn = Window.partitionBy("event_type")
+    terms = []
+    for k in range(span):
+        weight = F.lit(1 << (span - 1 - k))
+        lagged = F.lag("s", k).over(w) if k else F.col("s")
+        terms.append(lagged * weight)
+    s_scaled = terms[0]
+    for tm in terms[1:]:
+        s_scaled = s_scaled + tm
+    st = seq.select(
+        "event_type",
+        "hr",
+        "t",
+        "n",
+        "s",
+        s_scaled.alias("es"),
+        F.sum("s").over(wn).alias("sum_s"),
+        F.sum(F.col("s") * F.col("s")).over(wn).alias("sum_q"),
+    ).filter(F.col("t") >= span)
+    norm = float((1 << span) - 1)
+    ewma = F.col("es").cast("double") / F.lit(norm * 100.0)
+    center = F.col("sum_s").cast("double") / (
+        F.col("n") * F.lit(100)
+    ).cast("double")
+    sigma = F.sqrt(
+        (F.col("n") * F.col("sum_q") - F.col("sum_s") * F.col("sum_s"))
+        .cast("double")
+    ) / (F.col("n") * F.lit(100)).cast("double")
+    cfac = F.sqrt(
+        F.lit(float((1 << 32) - 1))
+        / F.lit(float(3 * ((1 << span) - 1) ** 2))
+    )
+    half = F.lit(3.0) * sigma * cfac
+    up = center + half
+    dn = center - half
+    return st.select(
+        "event_type",
+        "hr",
+        ewma.alias("ewma"),
+        center.alias("center"),
+        up.alias("ucl"),
+        dn.alias("lcl"),
+        (ewma > up).alias("breach_up"),
+        (ewma < dn).alias("breach_dn"),
+    )
