@@ -7640,3 +7640,119 @@ SELECT event_type, hr, ewma, center, ucl, lcl,
        (ewma < lcl) AS breach_dn
 FROM e4
 """
+
+ORACLES["theta_forecast"] = f"""
+WITH {_HOURLY_CANDLES},
+t1c AS (
+  SELECT event_type, t, n, s,
+         ({_dyadic_sql('s', 16)})::BIGINT AS es
+  FROM candles),
+tagg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         max(CASE WHEN t = n THEN es END)::BIGINT AS es_tail,
+         sum(s)::BIGINT AS sy, sum(t * s)::BIGINT AS sxy,
+         sum(t)::BIGINT AS sx, sum(t * t)::BIGINT AS sxx
+  FROM t1c GROUP BY 1 HAVING max(n) >= 16),
+tb AS (
+  SELECT event_type, n,
+         es_tail::DOUBLE / (6553500)::DOUBLE AS ses,
+         (n * sxy - sx * sy)::DOUBLE
+           / ((n * sxx - sx * sx) * 100)::DOUBLE AS slope_hr
+  FROM tagg),
+hs AS (
+  SELECT tb.*, hh.h FROM tb CROSS JOIN
+    (SELECT unnest(generate_series(1, 6))::BIGINT AS h) hh)
+SELECT event_type, n, h, ses, slope_hr,
+       ses + (slope_hr / (2)::DOUBLE) * (h + 1)::DOUBLE AS theta_fcst
+FROM hs
+"""
+
+ORACLES["higuchi_lengths_profile"] = f"""
+WITH {_HOURLY_CANDLES},
+hlag AS (
+  SELECT event_type, t, n,
+         abs(s - lag(s, 1) OVER w)::BIGINT AS d1,
+         abs(s - lag(s, 2) OVER w)::BIGINT AS d2,
+         abs(s - lag(s, 4) OVER w)::BIGINT AS d4,
+         abs(s - lag(s, 8) OVER w)::BIGINT AS d8
+  FROM candles WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+hex AS (
+  SELECT event_type, t, n, kk.k,
+         CASE kk.k WHEN 1 THEN d1 WHEN 2 THEN d2
+                   WHEN 4 THEN d4 ELSE d8 END AS dk
+  FROM hlag CROSS JOIN (SELECT unnest([1, 2, 4, 8])::BIGINT AS k) kk),
+hoff AS (
+  SELECT event_type, n, k, ((t - 1) % k) + 1 AS m, dk
+  FROM hex WHERE dk IS NOT NULL),
+hper AS (
+  SELECT event_type, k, m, sum(dk)::BIGINT AS sm, max(n)::BIGINT AS n
+  FROM hoff GROUP BY 1, 2, 3),
+hterm AS (
+  SELECT event_type, k, m, n,
+         (sm * (n - 1))::DOUBLE
+           / ((((n - m) // k) * k) * 100)::DOUBLE AS term
+  FROM hper),
+hfold AS (
+  SELECT event_type, k, max(n)::BIGINT AS n,
+         list_reduce(list(term ORDER BY m), (a, b) -> a + b) AS lsum
+  FROM hterm GROUP BY 1, 2)
+SELECT event_type, n, k::BIGINT AS k,
+       lsum / (k * k)::DOUBLE AS length_k
+FROM hfold
+"""
+
+ORACLES["cardinality_explosion"] = """
+WITH active AS (
+  SELECT DISTINCT event_type, user_id,
+         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day
+  FROM events),
+fs AS (
+  SELECT event_type, user_id, min(day)::BIGINT AS born
+  FROM active GROUP BY 1, 2),
+da AS (SELECT day, count(*)::BIGINT AS n_active FROM active GROUP BY 1),
+bi AS (SELECT born AS day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+j AS (
+  SELECT da.day, da.n_active, coalesce(bi.n_new, 0)::BIGINT AS n_new
+  FROM da LEFT JOIN bi USING (day)),
+st AS (
+  SELECT *, sum(n_new) OVER (ORDER BY day)::BIGINT AS cum_series FROM j)
+SELECT day, n_active, n_new, cum_series,
+       n_new::DOUBLE / nullif(cum_series - n_new, 0)::DOUBLE
+         AS birth_ratio,
+       (5 * n_new > cum_series - n_new) AS explosion
+FROM st
+"""
+
+ORACLES["goodman_kruskal_gamma"] = """
+WITH base AS (
+  SELECT floor((floor(epoch(ts))::BIGINT % 86400) / 21600)::BIGINT AS hq,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+vc AS (SELECT vq, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+cum AS (
+  SELECT vq,
+         sum(cnt) OVER (ORDER BY vq)::BIGINT AS cum,
+         sum(cnt) OVER ()::BIGINT AS nn
+  FROM vc),
+th AS (
+  SELECT min(CASE WHEN 4 * cum >= nn THEN vq END)::BIGINT AS th1,
+         min(CASE WHEN 4 * cum >= 2 * nn THEN vq END)::BIGINT AS th2,
+         min(CASE WHEN 4 * cum >= 3 * nn THEN vq END)::BIGINT AS th3
+  FROM cum),
+bk AS (
+  SELECT hq,
+         ((vq > th1)::BIGINT + (vq > th2)::BIGINT + (vq > th3)::BIGINT)
+           AS vquart
+  FROM base, th),
+cells AS (SELECT hq, vquart, count(*)::BIGINT AS o FROM bk GROUP BY 1, 2),
+agg AS (
+  SELECT sum(CASE WHEN b.hq > a.hq AND b.vquart > a.vquart
+                  THEN a.o * b.o ELSE 0 END)::BIGINT AS c_pairs,
+         sum(CASE WHEN b.hq > a.hq AND b.vquart < a.vquart
+                  THEN a.o * b.o ELSE 0 END)::BIGINT AS d_pairs
+  FROM cells a CROSS JOIN cells b)
+SELECT c_pairs, d_pairs,
+       (c_pairs - d_pairs)::DOUBLE
+         / nullif(c_pairs + d_pairs, 0)::DOUBLE AS gamma
+FROM agg
+"""

@@ -15229,3 +15229,327 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ewma > up).alias("breach_up"),
         (ewma < dn).alias("breach_dn"),
     )
+
+
+def theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast per event type (Assimakopoulos &
+    Nikolopoulos 2000; the M3 winner), in its SES-with-drift
+    equivalence (Hyndman & Billah 2003, public literature):
+    fcst(h) = SES_n + (b/2) * (h - 1 + 1/alpha), where b is the
+    least-squares trend of the whole series and SES is the repo's
+    exact dyadic alpha = 1/2 smoother — so with alpha = 1/2 the drift
+    multiplier is simply (h + 1).  Completes the forecasting shelf:
+    holt (level+trend recurrence), hw_seasonal, croston
+    (intermittent), backtest_models — theta is the drift-damped
+    benchmark they're all compared against in the M-competitions.
+
+    EXACT cross-engine: SES_n is one division of exact BIGINTs (the
+    ewma_smooth weighted sum at the series tail); the slope is the
+    anchored integer least-squares closed form (one division of exact
+    BIGINT sums over t = 1..n); each horizon's forecast composes
+    those two doubles with a literal multiply-add — identical IEEE
+    sequence both engines.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; one
+    window sort yields both the tail EWMA and the regression sums;
+    horizons explode from a 6-element literal array — 6k rows out of
+    k series, no extra shuffle."""
+    span = 16
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    terms = []
+    for k in range(span):
+        weight = F.lit(1 << (span - 1 - k))
+        lagged = F.lag("s", k).over(w) if k else F.col("s")
+        terms.append(lagged * weight)
+    es = terms[0]
+    for tm in terms[1:]:
+        es = es + tm
+    st = seq.select("event_type", "t", "n", "s", es.alias("es"))
+    agg = st.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("es"))).alias(
+            "es_tail"
+        ),
+        F.sum("s").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("s")).cast("long").alias("sxy"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+    ).filter(F.col("n") >= span)
+    ses = F.col("es_tail").cast("double") / F.lit(
+        float(((1 << span) - 1) * 100)
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(100)
+        ).cast("double")
+    )
+    based = agg.select(
+        "event_type", "n", ses.alias("ses"), slope.alias("slope_hr")
+    )
+    hs = based.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("h")
+    )
+    fcst = F.col("ses") + (F.col("slope_hr") / F.lit(2.0)) * (
+        F.col("h") + 1
+    ).cast("double")
+    return hs.select(
+        "event_type",
+        "n",
+        F.col("h").cast("long").alias("h"),
+        "ses",
+        "slope_hr",
+        fcst.alias("theta_fcst"),
+    )
+
+
+def higuchi_lengths_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higuchi curve-length profile per event type (Higuchi 1988,
+    public literature) at dyadic scales k = 1, 2, 4, 8: the mean
+    normalized length L(k) of the k-strided sub-curves — L(k) ~
+    k^(-D) with D the fractal dimension, so the PROFILE (not the
+    log-log slope: ln is not cross-engine bit-stable, repo
+    convention) is emitted, the same shape as dfa_profile /
+    rescaled_range_profile.  L(k) barely falling with k = smooth
+    trending series; L(k) ~ 1/k = white noise.
+
+    EXACT cross-engine: every strided difference |s_t - s_{t-k}| is a
+    BIGINT from ONE window sort (the 4 lags share it); per-offset
+    sums are exact; each offset's normalized term S_m*(n-1)/N_m is a
+    single division of exact integers; the <= k terms fold in PINNED
+    m-order (DuckDB list_reduce seeded by the first term; Spark folds
+    from 0.0 — exact as 0.0 + x == x); the final /k*k is a literal
+    division.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; one
+    window sort carries all four strides; k*(k+1)/2 = 15 offset rows
+    per series; output 4 rows per series."""
+    ks = [1, 2, 4, 8]
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lags = seq.select(
+        "event_type",
+        "t",
+        "n",
+        "s",
+        *[
+            F.abs(F.col("s") - F.lag("s", k).over(w)).alias(f"d{k}")
+            for k in ks
+        ],
+    )
+    karr = F.array(*[F.lit(k) for k in ks])
+    ex = lags.select(
+        "event_type",
+        "t",
+        "n",
+        F.explode(karr).alias("k"),
+        F.array(*[F.col(f"d{k}") for k in ks]).alias("ds"),
+    ).select(
+        "event_type",
+        "t",
+        "n",
+        "k",
+        F.element_at(
+            "ds",
+            F.when(F.col("k") == 1, 1)
+            .when(F.col("k") == 2, 2)
+            .when(F.col("k") == 4, 3)
+            .otherwise(4),
+        ).alias("dk"),
+    )
+    offs = ex.filter(F.col("dk").isNotNull()).select(
+        "event_type",
+        "n",
+        "k",
+        (((F.col("t") - 1) % F.col("k")) + 1).alias("m"),
+        "dk",
+    )
+    per_off = offs.groupBy("event_type", "k", "m").agg(
+        F.sum("dk").cast("long").alias("sm"),
+        F.max("n").cast("long").alias("n"),
+    )
+    nm = (
+        F.expr("((n - m) div k)") * F.col("k")
+    )  # floor((n-m)/k)*k — the Higuchi normalizer
+    term = (F.col("sm") * (F.col("n") - 1)).cast("double") / (
+        nm * F.lit(100)
+    ).cast("double")
+    folded = (
+        per_off.select("event_type", "k", "m", "n", term.alias("term"))
+        .groupBy("event_type", "k")
+        .agg(
+            F.max("n").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "term"))),
+                F.lit(0.0),
+                lambda a, v: a + v["term"],
+            ).alias("lsum"),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n",
+        F.col("k").cast("long").alias("k"),
+        (F.col("lsum") / (F.col("k") * F.col("k")).cast("double")).alias(
+            "length_k"
+        ),
+    )
+
+
+def cardinality_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-cardinality watchdog over the store's (event_type,
+    user_id) label space (the TSDB failure mode Prometheus/M3 docs
+    call cardinality explosion, public knowledge): per day, how many
+    distinct series were active, how many were BORN (first ever
+    seen), the cumulative series count, and an integer alarm when
+    births exceed 20% of the prior cumulative count — the guard a
+    rollup engine runs before accepting a new scrape source, since
+    every new series costs index + tier state forever.
+
+    EXACT cross-engine: first-seen day is an exact min; counts are
+    integers; the alarm gate is the integer inequality 5*new > cum_prev
+    (never a float ratio); the emitted birth_ratio is one division.
+
+    Scale shape: one hash agg to the distinct series frame (map-side
+    combined), one agg per day — the raw table never sorts; at 10^12
+    turns the series frame is the SMALL output of the first combine."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    day = F.floor(es / 86400).cast("long")
+    active = (
+        df.select("event_type", "user_id", day.alias("day"))
+        .groupBy("event_type", "user_id", "day")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .drop("_c")
+    )
+    first_seen = active.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("born")
+    )
+    daily_active = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    births = first_seen.groupBy(F.col("born").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    joined = daily_active.join(births, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    wcum = Window.orderBy("day")
+    st = joined.select(
+        "*",
+        F.sum("n_new").over(wcum).cast("long").alias("cum_series"),
+    ).select(
+        "*",
+        (F.col("cum_series") - F.col("n_new")).alias("cum_prev"),
+    )
+    return st.select(
+        "day",
+        "n_active",
+        "n_new",
+        "cum_series",
+        F.try_divide(
+            F.col("n_new").cast("double"), F.col("cum_prev").cast("double")
+        ).alias("birth_ratio"),
+        (F.lit(5) * F.col("n_new") > F.col("cum_prev")).alias("explosion"),
+    )
+
+
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between the hour-of-day quadrant
+    (night/morning/afternoon/evening) and the value quartile
+    (Goodman & Kruskal 1954, public literature): the ordinal
+    association that IGNORES ties — gamma = (C - D)/(C + D) over
+    concordant/discordant pairs of the 4 x 4 contingency — answering
+    "do higher values systematically arrive later in the day?".
+    The bucketed sibling of kendall_tau_pairs (tau counts ties in its
+    denominator; gamma is the tie-free effect size, the right one for
+    coarse ordinal grids).
+
+    EXACT cross-engine: quartile thresholds come from cumulative
+    counts over the DISTINCT value frame (the percentiles_by_type
+    discipline — no global row rank, no single-partition sort of raw
+    data): th_i = min vq with 4*cum >= i*n, an integer inequality;
+    each row buckets by three integer compares against the broadcast
+    thresholds (ties share a bucket — gamma is tie-aware by design);
+    C and D are integer sums over the 16-cell contingency self-join;
+    gamma is ONE division of exact BIGINTs.
+
+    Scale shape: one hash agg to distinct values, one tiny cumulative
+    window, a broadcast of 3 thresholds into the scan, one hash agg
+    to 16 cells, and a 16 x 16 broadcast self-join; one output row."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        F.floor((es % 86400) / 21600).cast("long").alias("hq"),
+        vq.alias("vq"),
+    )
+    vcounts = base.groupBy("vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("vq")
+    wall = Window.partitionBy()
+    cum = vcounts.select(
+        "vq",
+        F.sum("cnt").over(wv).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("nn"),
+    )
+    th = cum.agg(
+        F.min(
+            F.when(F.lit(4) * F.col("cum") >= F.col("nn"), F.col("vq"))
+        ).alias("th1"),
+        F.min(
+            F.when(F.lit(4) * F.col("cum") >= 2 * F.col("nn"), F.col("vq"))
+        ).alias("th2"),
+        F.min(
+            F.when(F.lit(4) * F.col("cum") >= 3 * F.col("nn"), F.col("vq"))
+        ).alias("th3"),
+    )
+    bucketed = base.crossJoin(F.broadcast(th)).select(
+        "hq",
+        (
+            (F.col("vq") > F.col("th1")).cast("long")
+            + (F.col("vq") > F.col("th2")).cast("long")
+            + (F.col("vq") > F.col("th3")).cast("long")
+        ).alias("vquart"),
+    )
+    cells = bucketed.groupBy("hq", "vquart").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    a = cells.select(
+        F.col("hq").alias("hq_a"),
+        F.col("vquart").alias("vq_a"),
+        F.col("o").alias("oa"),
+    )
+    b = cells.select(
+        F.col("hq").alias("hq_b"),
+        F.col("vquart").alias("vq_b"),
+        F.col("o").alias("ob"),
+    )
+    crossed = a.crossJoin(F.broadcast(b))
+    conc = F.sum(
+        F.when(
+            (F.col("hq_b") > F.col("hq_a")) & (F.col("vq_b") > F.col("vq_a")),
+            F.col("oa") * F.col("ob"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    disc = F.sum(
+        F.when(
+            (F.col("hq_b") > F.col("hq_a")) & (F.col("vq_b") < F.col("vq_a")),
+            F.col("oa") * F.col("ob"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    agg = crossed.agg(conc.alias("c_pairs"), disc.alias("d_pairs"))
+    return agg.select(
+        "c_pairs",
+        "d_pairs",
+        F.try_divide(
+            (F.col("c_pairs") - F.col("d_pairs")).cast("double"),
+            (F.col("c_pairs") + F.col("d_pairs")).cast("double"),
+        ).alias("gamma"),
+    )
