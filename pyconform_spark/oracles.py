@@ -7756,3 +7756,177 @@ SELECT c_pairs, d_pairs,
          / nullif(c_pairs + d_pairs, 0)::DOUBLE AS gamma
 FROM agg
 """
+
+
+ORACLES["burstiness_memory"] = """
+WITH ev AS (
+  SELECT event_type, ts, event_id, floor(epoch(ts))::BIGINT AS es
+  FROM events),
+gaps AS (
+  SELECT event_type, ts, event_id,
+         es - lag(es) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS g
+  FROM ev),
+g2 AS (SELECT * FROM gaps WHERE g IS NOT NULL),
+paired AS (
+  SELECT event_type, g,
+         lag(g) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pg
+  FROM g2),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(g)::BIGINT AS s,
+         sum(g * g)::BIGINT AS q, count(pg)::BIGINT AS m,
+         sum(CASE WHEN pg IS NOT NULL THEN g END)::BIGINT AS sy,
+         sum(CASE WHEN pg IS NOT NULL THEN g * g END)::BIGINT AS syy,
+         sum(pg)::BIGINT AS sx, sum(pg * pg)::BIGINT AS sxx,
+         sum(pg * g)::BIGINT AS sxy
+  FROM paired GROUP BY 1)
+SELECT event_type, n,
+       s::DOUBLE / n::DOUBLE AS gap_mean_s,
+       sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE AS gap_std_s,
+       (sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE
+          - s::DOUBLE / n::DOUBLE)
+         / (sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE
+            + s::DOUBLE / n::DOUBLE) AS burstiness,
+       (m * sxy - sx * sy)::DOUBLE
+         / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                  * sqrt((m * syy - sy * sy)::DOUBLE), 0)
+         AS memory
+FROM agg
+"""
+
+ORACLES["decomposition_strengths"] = f"""
+WITH {_HOURLY_CANDLES},
+dsx AS (
+  SELECT event_type, hr, s, (hr % 24)::BIGINT AS phase,
+         (CASE WHEN count(*) OVER wc = 25
+               THEN sum(s) OVER wc END)::BIGINT AS trend_num
+  FROM candles
+  WINDOW wc AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+df1 AS (SELECT * FROM dsx WHERE trend_num IS NOT NULL),
+df2 AS (
+  SELECT *,
+         sum(25 * s - trend_num)
+           OVER (PARTITION BY event_type, phase)::BIGINT AS s_num,
+         count(*) OVER (PARTITION BY event_type, phase)::BIGINT AS s_cnt
+  FROM df1),
+rows0 AS (
+  SELECT event_type, hr,
+         (s::DOUBLE / (100)::DOUBLE
+          - trend_num::DOUBLE / (2500)::DOUBLE
+          - s_num::DOUBLE / (s_cnt * 2500)::DOUBLE) AS resid,
+         (s::DOUBLE / (100)::DOUBLE
+          - s_num::DOUBLE / (s_cnt * 2500)::DOUBLE) AS deseason,
+         (s::DOUBLE / (100)::DOUBLE
+          - trend_num::DOUBLE / (2500)::DOUBLE) AS detrend
+  FROM df2),
+folds AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         list_reduce(list(resid ORDER BY hr), (a, b) -> a + b) AS sr,
+         list_reduce(list(resid * resid ORDER BY hr),
+                     (a, b) -> a + b) AS qr,
+         list_reduce(list(deseason ORDER BY hr), (a, b) -> a + b) AS ss,
+         list_reduce(list(deseason * deseason ORDER BY hr),
+                     (a, b) -> a + b) AS qs,
+         list_reduce(list(detrend ORDER BY hr), (a, b) -> a + b) AS st,
+         list_reduce(list(detrend * detrend ORDER BY hr),
+                     (a, b) -> a + b) AS qt
+  FROM rows0 GROUP BY 1),
+vars0 AS (
+  SELECT event_type, n,
+         (n::DOUBLE * qr - sr * sr) / (n::DOUBLE * n::DOUBLE) AS vr,
+         (n::DOUBLE * qs - ss * ss) / (n::DOUBLE * n::DOUBLE) AS vds,
+         (n::DOUBLE * qt - st * st) / (n::DOUBLE * n::DOUBLE) AS vdt
+  FROM folds)
+SELECT event_type, n, vr AS var_resid,
+       greatest((0)::DOUBLE, (1)::DOUBLE - vr / nullif(vds, 0))
+         AS trend_strength,
+       greatest((0)::DOUBLE, (1)::DOUBLE - vr / nullif(vdt, 0))
+         AS seasonal_strength
+FROM vars0
+"""
+
+ORACLES["walsh_band_energy"] = f"""
+WITH {_HOURLY_CANDLES},
+wh0 AS MATERIALIZED (
+  SELECT event_type, list(s ORDER BY t) AS a, max(n) AS n
+  FROM (SELECT * FROM candles WHERE t <= 256) GROUP BY 1
+  HAVING max(n) >= 256),
+wh1 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 1) = 0
+         THEN a[(i - (i & 1) + 1)::INT] + a[((i | 1) + 1)::INT]
+         ELSE a[(i - (i & 1) + 1)::INT] - a[((i | 1) + 1)::INT]
+    END) AS a
+  FROM wh0),
+wh2 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 2) = 0
+         THEN a[(i - (i & 2) + 1)::INT] + a[((i | 2) + 1)::INT]
+         ELSE a[(i - (i & 2) + 1)::INT] - a[((i | 2) + 1)::INT]
+    END) AS a
+  FROM wh1),
+wh3 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 4) = 0
+         THEN a[(i - (i & 4) + 1)::INT] + a[((i | 4) + 1)::INT]
+         ELSE a[(i - (i & 4) + 1)::INT] - a[((i | 4) + 1)::INT]
+    END) AS a
+  FROM wh2),
+wh4 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 8) = 0
+         THEN a[(i - (i & 8) + 1)::INT] + a[((i | 8) + 1)::INT]
+         ELSE a[(i - (i & 8) + 1)::INT] - a[((i | 8) + 1)::INT]
+    END) AS a
+  FROM wh3),
+wh5 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 16) = 0
+         THEN a[(i - (i & 16) + 1)::INT] + a[((i | 16) + 1)::INT]
+         ELSE a[(i - (i & 16) + 1)::INT] - a[((i | 16) + 1)::INT]
+    END) AS a
+  FROM wh4),
+wh6 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 32) = 0
+         THEN a[(i - (i & 32) + 1)::INT] + a[((i | 32) + 1)::INT]
+         ELSE a[(i - (i & 32) + 1)::INT] - a[((i | 32) + 1)::INT]
+    END) AS a
+  FROM wh5),
+wh7 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 64) = 0
+         THEN a[(i - (i & 64) + 1)::INT] + a[((i | 64) + 1)::INT]
+         ELSE a[(i - (i & 64) + 1)::INT] - a[((i | 64) + 1)::INT]
+    END) AS a
+  FROM wh6),
+wh8 AS MATERIALIZED (
+  SELECT event_type, list_transform(generate_series(0, 255), i ->
+    CASE WHEN (i & 128) = 0
+         THEN a[(i - (i & 128) + 1)::INT] + a[((i | 128) + 1)::INT]
+         ELSE a[(i - (i & 128) + 1)::INT] - a[((i | 128) + 1)::INT]
+    END) AS a
+  FROM wh7),
+ex AS (
+  SELECT event_type, unnest(a) AS coef,
+         generate_subscripts(a, 1) - 1 AS i
+  FROM wh8),
+banded AS (
+  SELECT event_type,
+         (CASE WHEN i = 0 THEN 0 WHEN i <= 1 THEN 1 WHEN i <= 3 THEN 2
+               WHEN i <= 7 THEN 3 WHEN i <= 15 THEN 4 WHEN i <= 31 THEN 5
+               WHEN i <= 63 THEN 6 WHEN i <= 127 THEN 7 ELSE 8 END)
+           ::BIGINT AS band,
+         (coef * coef)::BIGINT AS e
+  FROM ex),
+be AS (
+  SELECT event_type, band, sum(e)::BIGINT AS energy
+  FROM banded GROUP BY 1, 2)
+SELECT event_type, band, energy,
+       energy::DOUBLE
+         / (sum(energy) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
+         AS energy_frac
+FROM be
+"""

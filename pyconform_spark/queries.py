@@ -15553,3 +15553,254 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_pairs") + F.col("d_pairs")).cast("double"),
         ).alias("gamma"),
     )
+
+
+def burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness B and memory M of the inter-event gaps per event
+    type (Goh & Barabasi 2008, public literature): B = (sigma - mu) /
+    (sigma + mu) of the gap distribution (-1 = metronome, 0 =
+    Poisson, +1 = extreme bursts) and M = lag-1 Pearson correlation
+    of consecutive gaps (do long gaps follow long gaps?).  The
+    (B, M) plane is THE standard taxonomy of event-stream rhythm —
+    the summary interarrival_stats' min/avg/max cannot see.
+
+    EXACT cross-engine: gaps are integer seconds from one window
+    sort; B composes mu = S/n and sigma = sqrt(n*Q - S*S)/n — every
+    input an exact BIGINT, one cast each, sqrt correctly rounded, and
+    the final ratio divides two bit-identical doubles; M's five
+    regression sums over the lag-1 pairs are exact BIGINTs feeding
+    the textbook closed form (two sqrts, one division).
+
+    Scale shape: one (type) window sort for gaps + the lag pair; two
+    hash aggregates; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        df.select("event_type", "ts", "event_id", es.alias("es"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("es") - F.lag("es", 1).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    paired = gaps.select(
+        "event_type", "g", F.lag("g", 1).over(w).alias("pg")
+    )
+    agg = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("q"),
+        F.count("pg").cast("long").alias("m"),
+        F.sum(F.when(F.col("pg").isNotNull(), F.col("g"))).cast("long")
+        .alias("sy"),
+        F.sum(
+            F.when(F.col("pg").isNotNull(), F.col("g") * F.col("g"))
+        ).cast("long").alias("syy"),
+        F.sum("pg").cast("long").alias("sx"),
+        F.sum(F.col("pg") * F.col("pg")).cast("long").alias("sxx"),
+        F.sum(F.col("pg") * F.col("g")).cast("long").alias("sxy"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = (
+        F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+               .cast("double"))
+        / F.col("n").cast("double")
+    )
+    burst = (sd - mu) / (sd + mu)
+    mem = F.try_divide(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double"),
+        F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        * F.sqrt(
+            (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        mu.alias("gap_mean_s"),
+        sd.alias("gap_std_s"),
+        burst.alias("burstiness"),
+        mem.alias("memory"),
+    )
+
+
+def decomposition_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH per event type (the stl_features
+    F_t / F_s of Wang, Smith & Hyndman 2006 / the tsfeatures package,
+    public literature), on the hourly total series with a centered
+    25-hour trend MA and hour-of-day seasonality:
+    F_t = max(0, 1 - Var(R)/Var(x - S)) and
+    F_s = max(0, 1 - Var(R)/Var(x - T)) — the two numbers a feature
+    store keeps per series to route forecasting models, where
+    seasonal_decompose keeps the full per-row decomposition.
+
+    EXACT cross-engine: trend_num (25-hour integer window sum) and
+    the detrended integers are BIGINT; the seasonal means are one
+    division each; residuals compose bit-identical doubles in a
+    pinned subtraction chain; the four variance sums fold in PINNED
+    hr-order (list_reduce seeded by the first term == fold from 0.0),
+    and each strength is one division inside greatest(0, 1 - r).
+
+    Scale shape: raw reduces to (type, hour) FIRST; one window sort
+    per series for the MA, one (type, phase) window for seasonal
+    means, one pinned fold per series; one row per type."""
+    p = 25
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wc = w.rowsBetween(-(p // 2), p // 2)
+    staged = seq.select(
+        "event_type",
+        "hr",
+        "s",
+        (F.col("hr") % 24).alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(wc) == p, F.sum("s").over(wc)
+        ).alias("trend_num"),
+    ).filter(F.col("trend_num").isNotNull())
+    wp = Window.partitionBy("event_type", "phase")
+    d = F.lit(p) * F.col("s") - F.col("trend_num")
+    staged2 = staged.select(
+        "event_type",
+        "hr",
+        "s",
+        "trend_num",
+        d.alias("d"),
+        F.sum(d).over(wp).alias("s_num"),
+        F.count(F.lit(1)).over(wp).alias("s_cnt"),
+    )
+    x = F.col("s").cast("double") / F.lit(100.0)
+    trend = F.col("trend_num").cast("double") / F.lit(float(p * 100))
+    seasonal = F.col("s_num").cast("double") / (
+        F.col("s_cnt") * F.lit(p * 100)
+    ).cast("double")
+    rows = staged2.select(
+        "event_type",
+        "hr",
+        (x - trend - seasonal).alias("resid"),
+        (x - seasonal).alias("deseason"),
+        (x - trend).alias("detrend"),
+    )
+    arr = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("hr", "resid", "deseason", "detrend"))
+        ).alias("a"),
+    )
+
+    def var_of(field: str) -> Column:
+        ssum = F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, v: acc + v[field]
+        )
+        sq = F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, v: acc + v[field] * v[field]
+        )
+        nd = F.col("n").cast("double")
+        return (nd * sq - ssum * ssum) / (nd * nd)
+
+    vr, vds, vdt = var_of("resid"), var_of("deseason"), var_of("detrend")
+    ft = F.greatest(F.lit(0.0), F.lit(1.0) - F.try_divide(vr, vds))
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - F.try_divide(vr, vdt))
+    return arr.select(
+        "event_type",
+        "n",
+        vr.alias("var_resid"),
+        ft.alias("trend_strength"),
+        fs.alias("seasonal_strength"),
+    )
+
+
+def walsh_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh-Hadamard sequency spectrum per event type (Walsh 1923;
+    the WHT of Beauchamp 1975, public literature): the first 256
+    hourly totals transform through 8 in-plan butterfly stages and
+    the 256 coefficients' energies reduce to 9 dyadic sequency bands
+    (DC, then octaves) — spectral analysis the repo's exactness
+    discipline can actually certify, because the WHT is ADDITION-ONLY
+    (every coefficient is a +-1-signed integer sum; an FFT's
+    sin/cos twiddles are not cross-engine bit-stable).  High energy
+    in low bands = slow regime structure; flat spectrum = noise —
+    dominant_period_folding's broadband complement.
+
+    EXACT cross-engine: all 8 stages are BIGINT adds/subtracts on a
+    256-array (coefficients bounded by 256*max|s| ~ 1.3e8); band
+    energies are exact BIGINT sums of squares (< 2^62 total); the
+    band fraction is ONE division of exact integers.
+
+    Scale shape: raw reduces to (type, hour) candles FIRST; each
+    series carries ONE 256-long array through 8 projections (no
+    shuffle between stages); output is 9 rows per series."""
+    n_fft, stages = 256, 8
+    seq = _hourly_candles(spark, sf_dir)
+    g = (
+        seq.filter(F.col("t") <= n_fft)
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "s"))),
+                lambda v: v["s"],
+            ).alias("a"),
+            F.max("n").alias("n"),
+        )
+        .filter(F.col("n") >= n_fft)
+    )
+    # one aggregate fold over the stage indices keeps the expression
+    # tree CONSTANT-SIZE: unrolling the 8 stages as nested transforms
+    # would inline each stage's full expression twice per element and
+    # blow up the plan exponentially (measured: analyzer hang)
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(stages)])
+
+    def butterfly(acc: Column, st: Column) -> Column:
+        b = F.element_at(pow2, (st + 1).cast("int"))
+
+        def cell(i: Column) -> Column:
+            lo = F.element_at(acc, (i - i.bitwiseAND(b) + 1).cast("int"))
+            hi = F.element_at(acc, (i.bitwiseOR(b) + 1).cast("int"))
+            return F.when(i.bitwiseAND(b) == 0, lo + hi).otherwise(lo - hi)
+
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_fft - 1)), cell
+        )
+
+    cur = F.aggregate(
+        F.sequence(F.lit(0), F.lit(stages - 1)), F.col("a"), butterfly
+    )
+    coeffs = g.select("event_type", cur.alias("c"))
+    ex = coeffs.select(
+        "event_type", F.posexplode("c").alias("i", "coef")
+    )
+    band = (
+        F.when(F.col("i") == 0, F.lit(0))
+        .when(F.col("i") <= 1, F.lit(1))
+        .when(F.col("i") <= 3, F.lit(2))
+        .when(F.col("i") <= 7, F.lit(3))
+        .when(F.col("i") <= 15, F.lit(4))
+        .when(F.col("i") <= 31, F.lit(5))
+        .when(F.col("i") <= 63, F.lit(6))
+        .when(F.col("i") <= 127, F.lit(7))
+        .otherwise(F.lit(8))
+        .cast("long")
+    )
+    be = ex.select(
+        "event_type", band.alias("band"),
+        (F.col("coef") * F.col("coef")).alias("e"),
+    ).groupBy("event_type", "band").agg(
+        F.sum("e").cast("long").alias("energy")
+    )
+    wt = Window.partitionBy("event_type")
+    return be.select(
+        "event_type",
+        "band",
+        "energy",
+        (
+            F.col("energy").cast("double")
+            / F.sum("energy").over(wt).cast("double")
+        ).alias("energy_frac"),
+    )
