@@ -7930,3 +7930,116 @@ SELECT event_type, band, energy,
          AS energy_frac
 FROM be
 """
+
+ORACLES["yue_pilon_mk"] = f"""
+WITH {_HOURLY_CANDLES},
+ypl AS (
+  SELECT event_type, t, n, s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS ps
+  FROM candles),
+ypl2 AS (SELECT * FROM ypl WHERE ps IS NOT NULL),
+reg AS (
+  SELECT event_type, count(*)::BIGINT AS m,
+         sum(ps)::BIGINT AS sx, sum(s)::BIGINT AS sy,
+         sum(ps * ps)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
+         sum(ps * s)::BIGINT AS sxy
+  FROM ypl2 GROUP BY 1),
+rframe AS (
+  SELECT event_type,
+         (m * sxy - sx * sy)::DOUBLE
+           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r1
+  FROM reg),
+pw AS (
+  SELECT l.event_type, l.t, (l.s::DOUBLE - r.r1 * l.ps::DOUBLE) AS y
+  FROM ypl2 l JOIN rframe r USING (event_type)),
+mk AS (
+  SELECT a.event_type,
+         sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END)::BIGINT AS s_mk
+  FROM pw a JOIN pw b
+    ON b.event_type = a.event_type AND b.t > a.t
+  GROUP BY 1),
+nn AS (SELECT event_type, count(*)::BIGINT AS n FROM pw GROUP BY 1)
+SELECT mk.event_type, nn.n, rframe.r1, mk.s_mk,
+       CASE WHEN mk.s_mk > 0 THEN (mk.s_mk - 1)::DOUBLE
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5))::DOUBLE
+                     / (18)::DOUBLE)
+            WHEN mk.s_mk < 0 THEN (mk.s_mk + 1)::DOUBLE
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5))::DOUBLE
+                     / (18)::DOUBLE)
+            ELSE (0)::DOUBLE END AS z_mk
+FROM mk JOIN nn USING (event_type) JOIN rframe USING (event_type)
+"""
+
+ORACLES["interrupted_time_series"] = f"""
+WITH {_HOURLY_CANDLES},
+its AS (
+  SELECT event_type, t, n, s, (t <= (n + 1) // 2) AS pre
+  FROM candles),
+nrow AS (SELECT event_type, max(n)::BIGINT AS n FROM its GROUP BY 1),
+segp AS (
+  SELECT event_type, count(*)::BIGINT AS n_pre,
+         sum(t)::BIGINT AS sx_pre, sum(s)::BIGINT AS sy_pre,
+         sum(t * t)::BIGINT AS sxx_pre, sum(t * s)::BIGINT AS sxy_pre
+  FROM its WHERE pre GROUP BY 1),
+segq AS (
+  SELECT event_type, count(*)::BIGINT AS n_post,
+         sum(t)::BIGINT AS sx_post, sum(s)::BIGINT AS sy_post,
+         sum(t * t)::BIGINT AS sxx_post, sum(t * s)::BIGINT AS sxy_post
+  FROM its WHERE NOT pre GROUP BY 1),
+lines AS (
+  SELECT nrow.event_type, nrow.n,
+         (n_pre * sxy_pre - sx_pre * sy_pre)::DOUBLE
+           / ((n_pre * sxx_pre - sx_pre * sx_pre)::DOUBLE
+              * (100)::DOUBLE) AS b_pre,
+         (sy_pre * sxx_pre - sx_pre * sxy_pre)::DOUBLE
+           / ((n_pre * sxx_pre - sx_pre * sx_pre)::DOUBLE
+              * (100)::DOUBLE) AS a_pre,
+         (n_post * sxy_post - sx_post * sy_post)::DOUBLE
+           / ((n_post * sxx_post - sx_post * sx_post)::DOUBLE
+              * (100)::DOUBLE) AS b_post,
+         (sy_post * sxx_post - sx_post * sxy_post)::DOUBLE
+           / ((n_post * sxx_post - sx_post * sx_post)::DOUBLE
+              * (100)::DOUBLE) AS a_post
+  FROM nrow JOIN segp USING (event_type) JOIN segq USING (event_type))
+SELECT event_type, n,
+       b_pre AS pre_slope, b_post AS post_slope,
+       b_post - b_pre AS slope_change,
+       (a_post + b_post * ((n + 1) // 2 + 1)::DOUBLE)
+         - (a_pre + b_pre * ((n + 1) // 2 + 1)::DOUBLE) AS level_change
+FROM lines
+"""
+
+ORACLES["pot_gpd_moments"] = f"""
+WITH {_HOURLY_CANDLES},
+ranked AS (
+  SELECT event_type, hr, s, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, hr) AS pos
+  FROM candles),
+u AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
+  FROM ranked GROUP BY 1),
+exc AS (
+  SELECT c.event_type, u.u, (c.s - u.u)::BIGINT AS e
+  FROM candles c JOIN u USING (event_type)
+  WHERE c.s > u.u),
+agg AS (
+  SELECT event_type, max(u)::BIGINT AS u, count(*)::BIGINT AS n_exc,
+         sum(e)::BIGINT AS se, sum(e * e)::BIGINT AS qe
+  FROM exc GROUP BY 1)
+SELECT event_type,
+       u::DOUBLE / (100)::DOUBLE AS threshold,
+       n_exc,
+       se::DOUBLE / (n_exc * 100)::DOUBLE AS mean_excess,
+       (0.5)::DOUBLE * ((1)::DOUBLE
+         - (se * se)::DOUBLE
+           / nullif(n_exc * qe - se * se, 0)::DOUBLE) AS gpd_xi,
+       (0.5)::DOUBLE * (se::DOUBLE / (n_exc * 100)::DOUBLE)
+         * ((se * se)::DOUBLE
+            / nullif(n_exc * qe - se * se, 0)::DOUBLE + (1)::DOUBLE)
+         AS gpd_beta
+FROM agg
+"""

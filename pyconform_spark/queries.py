@@ -15804,3 +15804,240 @@ def walsh_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("energy").over(wt).cast("double")
         ).alias("energy_frac"),
     )
+
+
+def yue_pilon_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yue-Pilon prewhitened Mann-Kendall trend test per event type
+    (Yue, Pilon, Phinney & Cavadias 2002, public literature) on the
+    hourly total series: serial correlation inflates the plain MK
+    test's false-positive rate, so the lag-1 component is removed
+    first — y_t = s_t - r1 * s_(t-1) — and MK runs on the prewhitened
+    residuals.  The autocorrelation-robust companion of
+    mann_kendall_trend (which tests the raw recent window) and
+    seasonal_mann_kendall.
+
+    EXACT cross-engine: r1 is the lag-1 Pearson over consecutive
+    integer pairs (five exact BIGINT sums, two sqrts, one division);
+    every prewhitened value composes the SAME two doubles in both
+    engines, so the O(n^2) pairwise sign comparisons agree bitwise;
+    S is an exact integer and z = (S -+ 1)/sqrt(n(n-1)(2n+5)/18) is
+    the untied variance form (prewhitened real-valued series are
+    generically tie-free; an exact tie still compares identically in
+    both engines).
+
+    Scale shape: raw reduces to (type, hour) FIRST; the pair frame is
+    O(span^2) per series on that reduced frame (the
+    optimal_two_changepoints shape), embarrassingly parallel."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = seq.select(
+        "event_type",
+        "t",
+        "n",
+        "s",
+        F.lag("s", 1).over(w).alias("ps"),
+    ).filter(F.col("ps").isNotNull())
+    reg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("ps").cast("long").alias("sx"),
+        F.sum("s").cast("long").alias("sy"),
+        F.sum(F.col("ps") * F.col("ps")).cast("long").alias("sxx"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("syy"),
+        F.sum(F.col("ps") * F.col("s")).cast("long").alias("sxy"),
+    )
+    r1 = F.try_divide(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double"),
+        F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        * F.sqrt(
+            (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ),
+    )
+    rframe = reg.select("event_type", r1.alias("r1"))
+    pw = (
+        lagged.join(F.broadcast(rframe), "event_type")
+        .select(
+            "event_type",
+            "t",
+            (
+                F.col("s").cast("double")
+                - F.col("r1") * F.col("ps").cast("double")
+            ).alias("y"),
+        )
+    )
+    a = pw.select("event_type", F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = pw.select("event_type", F.col("t").alias("tj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "event_type").filter(F.col("tj") > F.col("ti"))
+    sgn = F.when(F.col("yj") > F.col("yi"), 1).when(
+        F.col("yj") < F.col("yi"), -1
+    ).otherwise(0)
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(sgn).cast("long").alias("s_mk"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    ).join(
+        pw.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        "event_type",
+    ).join(rframe, "event_type")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_mk") > 0,
+            (F.col("s_mk") - 1).cast("double") / F.sqrt(var18),
+        )
+        .when(
+            F.col("s_mk") < 0,
+            (F.col("s_mk") + 1).cast("double") / F.sqrt(var18),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "event_type", "n", "r1", "s_mk", z.alias("z_mk")
+    )
+
+
+def interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series segmented regression per event type
+    (ITS; Wagner et al. 2002 lineage, public literature) with the
+    interruption pinned at the series midpoint: fit separate
+    least-squares lines to the pre and post halves and report the
+    LEVEL change (the jump between the two fits evaluated at the
+    first post-break hour) and the SLOPE change — the deploy-impact
+    readout an SRE wants after a rollout, where
+    chow_break_midpoint only reports whether the break is
+    significant.
+
+    EXACT cross-engine: each segment's slope and intercept are the
+    anchored closed forms over exact BIGINT sums (num and den both
+    integers, one division each); the level change evaluates both
+    lines at t_b + 1 with literal multiply-adds on bit-identical
+    doubles.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one hash agg per
+    segment over that frame; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    base = seq.select(
+        "event_type",
+        "t",
+        "n",
+        "s",
+        (F.col("t") <= F.expr("(n + 1) div 2")).alias("pre"),
+    )
+
+    def seg_sums(flag: bool, tag: str):
+        side = base.filter(F.col("pre") == flag)
+        return side.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum("t").cast("long").alias(f"sx_{tag}"),
+            F.sum("s").cast("long").alias(f"sy_{tag}"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias(f"sxx_{tag}"),
+            F.sum(F.col("t") * F.col("s")).cast("long").alias(f"sxy_{tag}"),
+        )
+
+    nrow = seq.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
+    j = (
+        nrow.join(seg_sums(True, "pre"), "event_type")
+        .join(seg_sums(False, "post"), "event_type")
+    )
+
+    def line(tag: str):
+        n_, sx, sy, sxx, sxy = (
+            F.col(f"n_{tag}"),
+            F.col(f"sx_{tag}"),
+            F.col(f"sy_{tag}"),
+            F.col(f"sxx_{tag}"),
+            F.col(f"sxy_{tag}"),
+        )
+        den = (n_ * sxx - sx * sx).cast("double")
+        slope = (n_ * sxy - sx * sy).cast("double") / (
+            den * F.lit(100.0)
+        )
+        intercept = (sy * sxx - sx * sxy).cast("double") / (
+            den * F.lit(100.0)
+        )
+        return slope, intercept
+
+    b_pre, a_pre = line("pre")
+    b_post, a_post = line("post")
+    tb1 = (F.expr("(n + 1) div 2") + 1).cast("double")
+    level_change = (a_post + b_post * tb1) - (a_pre + b_pre * tb1)
+    return j.select(
+        "event_type",
+        "n",
+        b_pre.alias("pre_slope"),
+        b_post.alias("post_slope"),
+        (b_post - b_pre).alias("slope_change"),
+        level_change.alias("level_change"),
+    )
+
+
+def pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-over-threshold GPD moment fit per event type (Pickands
+    1975; Hosking & Wallis 1987 moment estimators, public
+    literature): hourly totals exceeding the exact p90 threshold form
+    the excess sample, and the generalized Pareto shape/scale follow
+    from its mean and variance — xi = (1 - e^2/v)/2,
+    beta = e*(e^2/v + 1)/2.  The POT complement of
+    gumbel_moments_extremes (block maxima): POT uses EVERY extreme
+    hour, not one per day, so it converges faster on short series —
+    together they are the two textbook EVT routes to tail risk.
+
+    EXACT cross-engine: the threshold u is an exact rank pick on the
+    integer totals (full deterministic tie order); excesses are
+    BIGINTs; the pivotal ratio e^2/v collapses to the SINGLE integer
+    division Se*Se / (n*Qe - Se*Se), so xi and beta compose one
+    division each plus literal halving — no float accumulates.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one rank window
+    and two hash aggs on that frame; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type",
+        "hr",
+        "s",
+        "n",
+        F.row_number().over(wpos).alias("pos"),
+    )
+    u = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(9 * n) div 10"), F.col("s"))
+        ).alias("u")
+    )
+    exc = (
+        seq.join(F.broadcast(u), "event_type")
+        .filter(F.col("s") > F.col("u"))
+        .select("event_type", "u", (F.col("s") - F.col("u")).alias("e"))
+    )
+    agg = exc.groupBy("event_type").agg(
+        F.max("u").alias("u"),
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum("e").cast("long").alias("se"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("qe"),
+    )
+    ratio = F.try_divide(
+        (F.col("se") * F.col("se")).cast("double"),
+        (
+            F.col("n_exc") * F.col("qe") - F.col("se") * F.col("se")
+        ).cast("double"),
+    )
+    mean_e = F.col("se").cast("double") / (
+        F.col("n_exc") * F.lit(100)
+    ).cast("double")
+    xi = F.lit(0.5) * (F.lit(1.0) - ratio)
+    beta = F.lit(0.5) * mean_e * (ratio + F.lit(1.0))
+    return agg.select(
+        "event_type",
+        (F.col("u").cast("double") / F.lit(100.0)).alias("threshold"),
+        "n_exc",
+        mean_e.alias("mean_excess"),
+        xi.alias("gpd_xi"),
+        beta.alias("gpd_beta"),
+    )
