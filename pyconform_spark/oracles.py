@@ -8043,3 +8043,116 @@ SELECT event_type,
          AS gpd_beta
 FROM agg
 """
+
+ORACLES["dod_bucket_profile"] = """
+WITH ev AS (
+  SELECT event_type, ts, event_id, floor(epoch(ts))::BIGINT AS es
+  FROM events),
+d1 AS (
+  SELECT event_type, ts, event_id,
+         es - lag(es) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS delta
+  FROM ev),
+d2 AS (
+  SELECT event_type,
+         delta - lag(delta) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS dod
+  FROM d1),
+d3 AS (SELECT event_type, dod FROM d2 WHERE dod IS NOT NULL),
+classed AS (
+  SELECT event_type,
+         (CASE WHEN dod = 0 THEN 0
+               WHEN dod >= -63 AND dod <= 64 THEN 1
+               WHEN dod >= -255 AND dod <= 256 THEN 2
+               WHEN dod >= -2047 AND dod <= 2048 THEN 3
+               ELSE 4 END)::BIGINT AS cls
+  FROM d3),
+cb AS (
+  SELECT event_type, cls,
+         (CASE cls WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 12
+                   WHEN 3 THEN 16 ELSE 68 END)::BIGINT AS bits
+  FROM classed),
+per_cls AS (
+  SELECT event_type, cls, count(*)::BIGINT AS n_tokens,
+         sum(bits)::BIGINT AS bits_cls
+  FROM cb GROUP BY 1, 2)
+SELECT event_type, cls, n_tokens,
+       n_tokens::DOUBLE
+         / (sum(n_tokens) OVER (PARTITION BY event_type))
+             ::BIGINT::DOUBLE AS frac,
+       (sum(bits_cls) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
+         / (sum(n_tokens) OVER (PARTITION BY event_type))
+             ::BIGINT::DOUBLE AS bits_per_sample
+FROM per_cls
+"""
+
+ORACLES["xor_meaningful_bits"] = """
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+x1 AS (
+  SELECT event_type,
+         xor(vq, lag(vq) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id)) AS x
+  FROM ev),
+x2 AS (SELECT event_type, x FROM x1 WHERE x IS NOT NULL),
+x3 AS (
+  SELECT event_type, x,
+         (CASE WHEN x < 0 THEN 64
+               ELSE list_sum(list_transform(generate_series(0, 62),
+                      k -> CASE WHEN x >= (1::BIGINT << k)
+                                THEN 1 ELSE 0 END))
+          END)::BIGINT AS width
+  FROM x2),
+x4 AS (
+  SELECT event_type, width, ((width + 7) // 8)::BIGINT AS band,
+         (CASE WHEN width = 0 THEN 1 ELSE 14 + width END)::BIGINT AS bits
+  FROM x3),
+per_band AS (
+  SELECT event_type, band, count(*)::BIGINT AS n_xors,
+         sum(bits)::BIGINT AS bits_band
+  FROM x4 GROUP BY 1, 2)
+SELECT event_type, band, n_xors,
+       n_xors::DOUBLE
+         / (sum(n_xors) OVER (PARTITION BY event_type))
+             ::BIGINT::DOUBLE AS frac,
+       (sum(bits_band) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
+         / (sum(n_xors) OVER (PARTITION BY event_type))
+             ::BIGINT::DOUBLE AS bits_per_sample
+FROM per_band
+"""
+
+ORACLES["rle_compressibility"] = f"""
+WITH {_HOURLY_CANDLES},
+rrank AS (
+  SELECT event_type, hr, s, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, hr) AS pos
+  FROM candles),
+rmed AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (n + 1) // 2 THEN s END)::BIGINT AS med
+  FROM rrank GROUP BY 1),
+rflags AS (
+  SELECT c.event_type, c.hr, c.n,
+         (CASE WHEN c.s > m.med THEN 1 ELSE 0 END)::BIGINT AS flag
+  FROM candles c JOIN rmed m USING (event_type)),
+rruns AS (
+  SELECT event_type, n,
+         CASE WHEN lag(flag) OVER w IS NULL
+                   OR flag != lag(flag) OVER w
+              THEN 1 ELSE 0 END AS is_start
+  FROM rflags
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+ragg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         sum(is_start)::BIGINT AS n_runs
+  FROM rruns GROUP BY 1)
+SELECT event_type, n, n_runs,
+       n::DOUBLE / n_runs::DOUBLE AS avg_run_len,
+       (11 * n_runs)::BIGINT AS rle_bits,
+       n AS bitmap_bits,
+       (11 * n_runs)::DOUBLE / n::DOUBLE AS rle_ratio
+FROM ragg
+"""

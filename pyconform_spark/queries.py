@@ -16041,3 +16041,205 @@ def pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         xi.alias("gpd_xi"),
         beta.alias("gpd_beta"),
     )
+
+
+def dod_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta compressibility planner per event type: classify
+    every timestamp delta-of-delta into the EXACT token classes of the
+    repo's Gorilla-style codec (operators/codec.py:26-28 — '0' 1 bit;
+    '10'+7b for [-63,64] = 9 bits; '110'+9b for [-255,256] = 12;
+    '1110'+12b for [-2047,2048] = 16; '1111'+64b raw = 68) and report
+    the class mix and predicted bits/sample — the query a capacity
+    planner runs BEFORE a backfill to size the compressed tier, where
+    compress_roundtrip proves the codec itself.  Cadence regularity
+    shows up directly: a perfect 1-per-hour series is 100% class 0.
+
+    EXACT cross-engine: deltas and dods are BIGINT from two lags on
+    one window sort; class assignment is integer range tests copied
+    from the encoder; bits/sample is ONE division of exact integers.
+
+    Scale shape: one (type) window sort; one hash agg to 5*|types|
+    class rows; a tiny per-type rollup for the bit estimate."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    st1 = df.select("event_type", "ts", "event_id", es.alias("es")).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("es") - F.lag("es", 1).over(w)).alias("delta"),
+    )
+    st2 = st1.select(
+        "event_type",
+        (F.col("delta") - F.lag("delta", 1).over(w)).alias("dod"),
+    ).filter(F.col("dod").isNotNull())
+    cls = (
+        F.when(F.col("dod") == 0, F.lit(0))
+        .when((F.col("dod") >= -63) & (F.col("dod") <= 64), F.lit(1))
+        .when((F.col("dod") >= -255) & (F.col("dod") <= 256), F.lit(2))
+        .when((F.col("dod") >= -2047) & (F.col("dod") <= 2048), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+    )
+    bits = (
+        F.when(F.col("cls") == 0, F.lit(1))
+        .when(F.col("cls") == 1, F.lit(9))
+        .when(F.col("cls") == 2, F.lit(12))
+        .when(F.col("cls") == 3, F.lit(16))
+        .otherwise(F.lit(68))
+        .cast("long")
+    )
+    classed = st2.select("event_type", cls.alias("cls")).select(
+        "event_type", "cls", bits.alias("bits")
+    )
+    wt = Window.partitionBy("event_type")
+    per_cls = classed.groupBy("event_type", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("bits_cls"),
+    )
+    return per_cls.select(
+        "event_type",
+        "cls",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wt).cast("double")
+        ).alias("frac"),
+        (
+            F.sum("bits_cls").over(wt).cast("double")
+            / F.sum("n_tokens").over(wt).cast("double")
+        ).alias("bits_per_sample"),
+    )
+
+
+def xor_meaningful_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla value-XOR compressibility planner per event type: the
+    width (highest set bit + 1) of each consecutive centi-value XOR,
+    bucketed into 8-bit bands, plus the predicted value-stream
+    bits/sample under the simplified Gorilla cost model 1 bit for
+    XOR==0 else 2 control + 6 leading-zero + 6 length + width
+    meaningful bits (Pelkonen et al. 2015 VLDB, public literature) —
+    the value-side twin of dod_bucket_profile.  Slow-moving gauges
+    produce tiny widths; noisy series pay full freight.
+
+    EXACT cross-engine: XORs are BIGINT two's-complement (both
+    engines); the width is an integer FOLD over the 63 powers of two
+    (width = count of 2^k <= x; negative XOR = sign bit set = width
+    64) — no log2 float anywhere; the bit estimate is ONE division of
+    exact integers.
+
+    Scale shape: one (type) window sort; the 63-term fold is constant
+    work per row; one hash agg to <= 9*|types| band rows."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    st1 = df.select("event_type", "ts", "event_id", vq.alias("vq")).select(
+        "event_type",
+        F.col("vq").bitwiseXOR(F.lag("vq", 1).over(w)).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(63)])
+    width = F.when(F.col("x") < 0, F.lit(64).cast("long")).otherwise(
+        F.aggregate(
+            pow2,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(F.col("x") >= p, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    st2 = st1.select("event_type", "x", width.alias("width"))
+    bits = F.when(F.col("width") == 0, F.lit(1).cast("long")).otherwise(
+        F.lit(14) + F.col("width")
+    )
+    st3 = st2.select(
+        "event_type",
+        "width",
+        F.expr("((width + 7) div 8)").cast("long").alias("band"),
+        bits.alias("bits"),
+    )
+    wt = Window.partitionBy("event_type")
+    per_band = st3.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xors"),
+        F.sum("bits").cast("long").alias("bits_band"),
+    )
+    return per_band.select(
+        "event_type",
+        "band",
+        "n_xors",
+        (
+            F.col("n_xors").cast("double")
+            / F.sum("n_xors").over(wt).cast("double")
+        ).alias("frac"),
+        (
+            F.sum("bits_band").over(wt).cast("double")
+            / F.sum("n_xors").over(wt).cast("double")
+        ).alias("bits_per_sample"),
+    )
+
+
+def rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compressibility of the above-median bitmap per event
+    type: the hourly total series binarizes against its exact median
+    and the flag stream's RUN structure decides whether a roaring/RLE
+    bitmap index beats a plain bitmap — rle_bits models each run as
+    1 flag + 10 length bits, bitmap_bits = n (public bitmap-index
+    folklore; cf. Chambi et al. 2016 Roaring, public literature).
+    Long regimes (few runs) compress ~50x; alternating noise doesn't
+    compress at all — so this doubles as a regime-persistence
+    readout next to lz76_complexity.
+
+    EXACT cross-engine: the median is an exact rank pick; flags and
+    run starts (flag != lag(flag)) are integer logic; the ratio is
+    ONE division of exact integers.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one rank window
+    and one lag ride the same per-type sort; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type",
+        "hr",
+        "s",
+        "n",
+        F.row_number().over(wpos).alias("pos"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(n + 1) div 2"), F.col("s"))
+        ).alias("med")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    flags = seq.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("s") > F.col("med")).cast("long").alias("flag"),
+    )
+    runs = flags.select(
+        "event_type",
+        "n",
+        F.when(
+            F.lag("flag", 1).over(w).isNull()
+            | (F.col("flag") != F.lag("flag", 1).over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_runs",
+        (F.col("n").cast("double") / F.col("n_runs").cast("double")).alias(
+            "avg_run_len"
+        ),
+        (F.lit(11) * F.col("n_runs")).cast("long").alias("rle_bits"),
+        F.col("n").alias("bitmap_bits"),
+        (
+            (F.lit(11) * F.col("n_runs")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("rle_ratio"),
+    )
