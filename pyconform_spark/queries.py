@@ -15100,7 +15100,7 @@ def optimal_two_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "n",
         F.sum("s").over(w).alias("p"),
-    )
+    ).persist()  # feeds tot + both pair sides: one scan, one prefix sort
     tot = pre.filter(F.col("t") == F.col("n")).select(
         "event_type", F.col("p").alias("ptot"), F.col("n").alias("nn")
     )
@@ -15424,6 +15424,7 @@ def cardinality_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id", "day")
         .agg(F.count(F.lit(1)).alias("_c"))
         .drop("_c")
+        .persist()  # feeds births AND daily actives: one raw scan
     )
     first_seen = active.groupBy("event_type", "user_id").agg(
         F.min("day").alias("born")
@@ -15837,6 +15838,11 @@ def yue_pilon_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.lag("s", 1).over(w).alias("ps"),
     ).filter(F.col("ps").isNotNull())
+    # lagged feeds the r1 regression AND the prewhitened frame; pw
+    # feeds both pair sides and the length agg — lazy persists keep
+    # the raw scan + window sort to ONE run (the dtw pair-frame
+    # discipline)
+    lagged = lagged.persist()
     reg = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("ps").cast("long").alias("sx"),
@@ -15868,6 +15874,7 @@ def yue_pilon_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("r1") * F.col("ps").cast("double")
             ).alias("y"),
         )
+        .persist()
     )
     a = pw.select("event_type", F.col("t").alias("ti"), F.col("y").alias("yi"))
     b = pw.select("event_type", F.col("t").alias("tj"), F.col("y").alias("yj"))
@@ -15997,7 +16004,7 @@ def pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: raw reduces to (type, hour) FIRST; one rank window
     and two hash aggs on that frame; one row per type."""
-    seq = _hourly_candles(spark, sf_dir)
+    seq = _hourly_candles(spark, sf_dir).persist()  # threshold + excess passes
     wpos = Window.partitionBy("event_type").orderBy("s", "hr")
     ranked = seq.select(
         "event_type",
@@ -16193,7 +16200,7 @@ def rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: raw reduces to (type, hour) FIRST; one rank window
     and one lag ride the same per-type sort; one row per type."""
-    seq = _hourly_candles(spark, sf_dir)
+    seq = _hourly_candles(spark, sf_dir).persist()  # threshold + excess passes
     wpos = Window.partitionBy("event_type").orderBy("s", "hr")
     ranked = seq.select(
         "event_type",

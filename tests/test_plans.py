@@ -2203,3 +2203,61 @@ def test_arch_and_rescaled_range_joinless_single_scan(spark):
                      "ShuffledHashJoin"):
             assert node not in plan
         assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_indicator_family_single_window_sort(spark):
+    """MACD / Bollinger / Aroon / EWMA-chart all ride the shared
+    hourly-candle staging: one raw scan, one candle aggregate, and
+    every lag/frame stacks on ONE sort of the per-type partitioning —
+    adding an indicator must never add a sort or an exchange."""
+    for q in (Q.macd_signal, Q.bollinger_breach, Q.aroon_indicator,
+              Q.ewma_control_chart):
+        plan = plan_of(q(spark, SF))
+        assert count_nodes(plan, "Scan parquet") == 1
+        assert count_nodes(plan, "Sort") == 1
+        assert count_nodes(plan, "Exchange") == 2  # candle agg + window
+        for node in ("SortMergeJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert node not in plan
+
+
+def test_compression_planners_one_exchange(spark):
+    """The dod / XOR planners reduce via one (type)-keyed window sort
+    and a same-key hash aggregate — a single exchange end to end (the
+    per-class/band rollup reuses the window partitioning)."""
+    for q in (Q.dod_bucket_profile, Q.xor_meaningful_bits):
+        plan = plan_of(q(spark, SF))
+        assert count_nodes(plan, "Scan parquet") == 1
+        assert count_nodes(plan, "Exchange") == 1
+        assert "Join" not in plan
+
+
+def test_changepoint_pairs_ride_persisted_prefix(spark):
+    """optimal_two_changepoints: the O(n^2) pair join runs on the
+    PERSISTED prefix-sum frame — one parquet scan total, both pair
+    sides and the total row from cache, broadcast joins only."""
+    plan = plan_of(Q.optimal_two_changepoints(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "InMemoryTableScan") >= 3
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 2
+
+
+def test_yue_pilon_single_scan_cached_reuse(spark):
+    """yue_pilon_mk reuses the lagged frame (r1 regression + both
+    prewhitened pair sides) from cache: exactly one parquet scan and
+    one sort; without the persists this plan had SEVEN raw scans."""
+    plan = plan_of(Q.yue_pilon_mk(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_walsh_fold_keeps_plan_constant_size(spark):
+    """The 8 WHT butterfly stages fold through ONE aggregate — the
+    plan stays a single scan + two exchanges regardless of stage
+    count (an unrolled transform chain exploded the analyzer)."""
+    plan = plan_of(Q.walsh_band_energy(spark, SF))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 2
+    assert "Join" not in plan
