@@ -8156,3 +8156,164 @@ SELECT event_type, n, n_runs,
        (11 * n_runs)::DOUBLE / n::DOUBLE AS rle_ratio
 FROM ragg
 """
+
+
+ORACLES["l_moments_profile"] = f"""
+WITH {_HOURLY_CANDLES},
+lmr AS (
+  SELECT event_type, s, n,
+         (row_number() OVER (PARTITION BY event_type ORDER BY s, hr)
+          - 1)::BIGINT AS i
+  FROM candles),
+lma AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         sum(s)::BIGINT AS s0, sum(i * s)::BIGINT AS s1,
+         sum(i * (i - 1) * s)::BIGINT AS s2,
+         sum(i * (i - 1) * (i - 2) * s)::BIGINT AS s3
+  FROM lmr GROUP BY 1 HAVING max(n) >= 4),
+lmb AS (
+  SELECT event_type, n,
+         (s0 * (n - 1) * (n - 2) * (n - 3))::BIGINT AS b0,
+         (s1 * (n - 2) * (n - 3))::BIGINT AS b1,
+         (s2 * (n - 3))::BIGINT AS b2,
+         s3 AS b3
+  FROM lma),
+lmc AS (
+  SELECT event_type, n, b0,
+         (2 * b1 - b0)::BIGINT AS lam2,
+         (6 * b2 - 6 * b1 + b0)::BIGINT AS lam3,
+         (20 * b3 - 30 * b2 + 12 * b1 - b0)::BIGINT AS lam4
+  FROM lmb)
+SELECT event_type, n,
+       b0::DOUBLE
+         / (n * (n - 1) * (n - 2) * (n - 3) * 100)::DOUBLE AS l_loc,
+       lam2::DOUBLE
+         / (n * (n - 1) * (n - 2) * (n - 3) * 100)::DOUBLE AS l_scale,
+       lam3::DOUBLE / nullif(lam2, 0)::DOUBLE AS l_skew,
+       lam4::DOUBLE / nullif(lam2, 0)::DOUBLE AS l_kurt
+FROM lmc
+"""
+
+ORACLES["ar2_yule_walker"] = f"""
+WITH {_HOURLY_CANDLES},
+a2l AS (
+  SELECT event_type, s,
+         lag(s, 1) OVER w::BIGINT AS p1,
+         lag(s, 2) OVER w::BIGINT AS p2
+  FROM candles WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+reg1 AS (
+  SELECT event_type, count(*)::BIGINT AS m,
+         sum(p1)::BIGINT AS sx, sum(s)::BIGINT AS sy,
+         sum(p1 * p1)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
+         sum(p1 * s)::BIGINT AS sxy
+  FROM a2l WHERE p1 IS NOT NULL GROUP BY 1),
+reg2 AS (
+  SELECT event_type, count(*)::BIGINT AS m,
+         sum(p2)::BIGINT AS sx, sum(s)::BIGINT AS sy,
+         sum(p2 * p2)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
+         sum(p2 * s)::BIGINT AS sxy
+  FROM a2l WHERE p2 IS NOT NULL GROUP BY 1),
+r1f AS (
+  SELECT event_type,
+         (m * sxy - sx * sy)::DOUBLE
+           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r1
+  FROM reg1),
+r2f AS (
+  SELECT event_type,
+         (m * sxy - sx * sy)::DOUBLE
+           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r2
+  FROM reg2)
+SELECT event_type, r1, r2,
+       (r1 * ((1)::DOUBLE - r2))
+         / nullif((1)::DOUBLE - r1 * r1, 0) AS phi1,
+       (r2 - r1 * r1) / nullif((1)::DOUBLE - r1 * r1, 0) AS phi2,
+       ((r2 - r1 * r1) / nullif((1)::DOUBLE - r1 * r1, 0)
+        < (0)::DOUBLE) AS oscillatory
+FROM r1f JOIN r2f USING (event_type)
+"""
+
+ORACLES["seasonal_esd_outliers"] = f"""
+WITH {_HOURLY_CANDLES},
+sstg AS (
+  SELECT event_type, hr, s, n, (hr % 24)::BIGINT AS phase
+  FROM candles),
+srank AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, phase
+                            ORDER BY s, hr) AS ppos,
+         count(*) OVER (PARTITION BY event_type, phase) AS pcnt
+  FROM sstg),
+spmed AS (
+  SELECT event_type, phase,
+         max(CASE WHEN ppos = (pcnt + 1) // 2 THEN s END)::BIGINT AS pm
+  FROM srank GROUP BY 1, 2),
+r0 AS (
+  SELECT g.event_type, g.hr, (g.s - m.pm)::BIGINT AS r
+  FROM sstg g JOIN spmed m USING (event_type, phase)),
+st1 AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+         sum(r * r)::BIGINT AS qr
+  FROM r0 GROUP BY 1),
+b1 AS (
+  SELECT * FROM (
+    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
+           abs(t.m * p.r - t.sr)::BIGINT AS dev,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
+             AS rk
+    FROM r0 p JOIN st1 t USING (event_type))
+  WHERE rk = 1),
+r1 AS (
+  SELECT p.event_type, p.hr, p.r
+  FROM r0 p JOIN b1 b USING (event_type)
+  WHERE p.hr != b.hr),
+st2 AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+         sum(r * r)::BIGINT AS qr
+  FROM r1 GROUP BY 1),
+b2 AS (
+  SELECT * FROM (
+    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
+           abs(t.m * p.r - t.sr)::BIGINT AS dev,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
+             AS rk
+    FROM r1 p JOIN st2 t USING (event_type))
+  WHERE rk = 1),
+r2 AS (
+  SELECT p.event_type, p.hr, p.r
+  FROM r1 p JOIN b2 b USING (event_type)
+  WHERE p.hr != b.hr),
+st3 AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+         sum(r * r)::BIGINT AS qr
+  FROM r2 GROUP BY 1),
+b3 AS (
+  SELECT * FROM (
+    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
+           abs(t.m * p.r - t.sr)::BIGINT AS dev,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
+             AS rk
+    FROM r2 p JOIN st3 t USING (event_type))
+  WHERE rk = 1)
+SELECT event_type, 1::BIGINT AS round, hr,
+       r::DOUBLE / (100)::DOUBLE AS residual,
+       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
+         AS deviate
+FROM b1
+UNION ALL
+SELECT event_type, 2::BIGINT AS round, hr,
+       r::DOUBLE / (100)::DOUBLE AS residual,
+       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
+         AS deviate
+FROM b2
+UNION ALL
+SELECT event_type, 3::BIGINT AS round, hr,
+       r::DOUBLE / (100)::DOUBLE AS residual,
+       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
+         AS deviate
+FROM b3
+"""

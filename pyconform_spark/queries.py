@@ -16250,3 +16250,243 @@ def rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("rle_ratio"),
     )
+
+
+def l_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample L-moments per event type (Hosking 1990, public
+    literature): L-scale, L-skewness tau3 and L-kurtosis tau4 from
+    the probability-weighted moments b0..b3 — the ROBUST distribution
+    shape vector (linear in the order statistics, so outliers get
+    weight ~1 instead of the classical moments' x^3/x^4) that
+    regional frequency analysis and the EVT shelf
+    (gumbel_moments_extremes / pot_gpd_moments) standardize on.
+
+    EXACT cross-engine: ranks come from the deterministic (s, hr)
+    order; each weighted sum S_k = sum (i-1)(i-2)..(i-k) * s_i is an
+    exact BIGINT; the lambda combinations ride the COMMON scaled
+    numerators (multiply through by the falling-factorial
+    denominators), so tau3 = lam3/lam2 and tau4 = lam4/lam2 are each
+    ONE division of exact integers, and l_scale is one division.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one rank window
+    per series; one hash agg; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type",
+        "s",
+        "n",
+        (F.row_number().over(wpos) - 1).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s0"),
+        F.sum(F.col("i") * F.col("s")).cast("long").alias("s1"),
+        F.sum(F.col("i") * (F.col("i") - 1) * F.col("s"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.col("i") * (F.col("i") - 1) * (F.col("i") - 2) * F.col("s")
+        )
+        .cast("long")
+        .alias("s3"),
+    ).filter(F.col("n") >= 4)
+    n = F.col("n")
+    # common-denominator scaled numerators: B_k = S_k scaled so that
+    # b_k = B_k / (n (n-1) (n-2) (n-3)); lambda combos stay integer
+    d1, d2, d3 = (n - 1), (n - 1) * (n - 2), (n - 1) * (n - 2) * (n - 3)
+    b0 = F.col("s0") * d3
+    b1 = F.col("s1") * (n - 2) * (n - 3)
+    b2 = F.col("s2") * (n - 3)
+    b3 = F.col("s3")
+    lam2 = 2 * b1 - b0
+    lam3 = 6 * b2 - 6 * b1 + b0
+    lam4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    den = (n * d3 * F.lit(100)).cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        (b0.cast("double") / den).alias("l_loc"),
+        (lam2.cast("double") / den).alias("l_scale"),
+        F.try_divide(lam3.cast("double"), lam2.cast("double")).alias(
+            "l_skew"
+        ),
+        F.try_divide(lam4.cast("double"), lam2.cast("double")).alias(
+            "l_kurt"
+        ),
+    )
+
+
+def ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit per event type (Yule 1927; Walker 1931,
+    public literature) on the hourly total series: phi1 =
+    r1(1 - r2)/(1 - r1^2), phi2 = (r2 - r1^2)/(1 - r1^2) from the
+    lag-1/lag-2 autocorrelations — the minimal model that separates
+    momentum (phi1) from oscillation (phi2 < 0 = mean-reverting
+    overshoot), feeding the same shelf as pacf_lag2 / acf_lags but as
+    an explicit generative fit.
+
+    EXACT cross-engine: r1 and r2 are the paired-Pearson estimators
+    over consecutive integer pairs (exact BIGINT sums, two sqrts, one
+    division each — the burstiness_memory staging at two lags); phi1
+    and phi2 compose those two bit-identical doubles with literal
+    arithmetic only.
+
+    Scale shape: raw reduces to (type, hour) FIRST; both lags ride
+    one window sort; one hash agg; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = seq.select(
+        "event_type",
+        "s",
+        F.lag("s", 1).over(w).alias("p1"),
+        F.lag("s", 2).over(w).alias("p2"),
+    ).persist()
+
+    def pearson(xcol: str):
+        side = lagged.filter(F.col(xcol).isNotNull())
+        a = side.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(xcol).cast("long").alias("sx"),
+            F.sum("s").cast("long").alias("sy"),
+            F.sum(F.col(xcol) * F.col(xcol)).cast("long").alias("sxx"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("syy"),
+            F.sum(F.col(xcol) * F.col("s")).cast("long").alias("sxy"),
+        )
+        r = F.try_divide(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double"),
+            F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            * F.sqrt(
+                (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+        )
+        return a.select("event_type", r.alias(f"r_{xcol}"))
+
+    j = pearson("p1").join(pearson("p2"), "event_type")
+    r1, r2 = F.col("r_p1"), F.col("r_p2")
+    den = F.lit(1.0) - r1 * r1
+    phi1 = F.try_divide(r1 * (F.lit(1.0) - r2), den)
+    phi2 = F.try_divide(r2 - r1 * r1, den)
+    return j.select(
+        "event_type",
+        r1.alias("r1"),
+        r2.alias("r2"),
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        (phi2 < F.lit(0.0)).alias("oscillatory"),
+    )
+
+
+def seasonal_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid ESD outliers per event type (Rosner 1983
+    generalized ESD on median-deseasonalized residuals — the Twitter
+    AnomalyDetection recipe, Hochenbaum et al. 2017, public
+    literature), k = 3 unrolled rounds: residual = s - global median
+    - hour-of-day seasonal median (ALL integer picks, so residuals
+    are exact BIGINTs), then each round removes the point maximizing
+    the studentized deviate and re-computes mean/std on the
+    remainder.  The multi-round seasonal upgrade of
+    grubbs_max_deviate: a daily rhythm no longer masquerades as an
+    anomaly, and up to 3 genuine spikes surface instead of 1.
+
+    EXACT cross-engine: each round's ARGMAX decision rides the exact
+    integer |n*r - sum_r| (never the divided z-score), ties broken on
+    (deviation, hr); the reported deviate composes exact sums with
+    one sqrt and one division.
+
+    Scale shape: raw reduces to (type, hour) FIRST; medians are rank
+    picks on that frame; each round is one tiny agg + one broadcast
+    argmax join — 3 rounds, all on the cached residual frame."""
+    seq = _hourly_candles(spark, sf_dir)
+    wph = Window.partitionBy("event_type", "phase").orderBy("s", "hr")
+    staged = seq.select(
+        "event_type",
+        "hr",
+        "s",
+        "n",
+        (F.col("hr") % 24).alias("phase"),
+    )
+    ranked = staged.select(
+        "*",
+        F.row_number().over(wph).alias("ppos"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "phase")
+        ).alias("pcnt"),
+    )
+    pmed = ranked.groupBy("event_type", "phase").agg(
+        F.max(
+            F.when(F.col("ppos") == F.expr("(pcnt + 1) div 2"), F.col("s"))
+        ).alias("pm")
+    )
+    # residual = s - phase median (the phase medians absorb the level,
+    # so the separate global-median term cancels algebraically)
+    resid = (
+        staged.join(F.broadcast(pmed), ["event_type", "phase"])
+        .select(
+            "event_type",
+            "hr",
+            (F.col("s") - F.col("pm")).alias("r"),
+        )
+        .persist()
+    )
+    remaining = resid
+    picks = []
+    for rnd in range(3):
+        stats = remaining.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("r").cast("long").alias("sr"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("qr"),
+        )
+        scored = remaining.join(F.broadcast(stats), "event_type").select(
+            "event_type",
+            "hr",
+            "r",
+            "m",
+            "sr",
+            "qr",
+            F.abs(F.col("m") * F.col("r") - F.col("sr")).alias("dev"),
+        )
+        wbest = Window.partitionBy("event_type").orderBy(
+            F.desc("dev"), "hr"
+        )
+        best = (
+            scored.select(
+                "*", F.row_number().over(wbest).alias("rk")
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                "event_type",
+                F.lit(rnd + 1).cast("long").alias("round"),
+                "hr",
+                (F.col("r").cast("double") / F.lit(100.0)).alias(
+                    "residual"
+                ),
+                F.try_divide(
+                    F.col("dev").cast("double"),
+                    F.sqrt(
+                        (
+                            F.col("m") * F.col("qr")
+                            - F.col("sr") * F.col("sr")
+                        ).cast("double")
+                    ),
+                ).alias("deviate"),
+            )
+        )
+        picks.append(best)
+        hit = best.select(
+            "event_type", F.col("hr").alias("hr_hit")
+        )
+        remaining = remaining.join(
+            F.broadcast(hit), "event_type"
+        ).filter(F.col("hr") != F.col("hr_hit")).select(
+            "event_type", "hr", "r"
+        ).persist()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
