@@ -8317,3 +8317,66 @@ SELECT event_type, 3::BIGINT AS round, hr,
          AS deviate
 FROM b3
 """
+
+ORACLES["join_size_estimate_audit"] = """
+WITH span AS (
+  SELECT min(o_orderkey)::BIGINT AS lo, max(o_orderkey)::BIGINT AS hi
+  FROM orders),
+ob AS (
+  SELECT least(63, ((o_orderkey - lo) * 64) // (hi - lo + 1))::BIGINT
+           AS bucket,
+         o_orderkey AS k
+  FROM orders, span),
+lb AS (
+  SELECT least(63, ((l_orderkey - lo) * 64) // (hi - lo + 1))::BIGINT
+           AS bucket,
+         l_orderkey AS k
+  FROM lineitem, span),
+osb AS (
+  SELECT bucket, count(*)::BIGINT AS r1,
+         count(DISTINCT k)::BIGINT AS d1
+  FROM ob GROUP BY 1),
+lsb AS (
+  SELECT bucket, count(*)::BIGINT AS r2,
+         count(DISTINCT k)::BIGINT AS d2
+  FROM lb GROUP BY 1),
+okc AS (SELECT bucket, k, count(*)::BIGINT AS c1 FROM ob GROUP BY 1, 2),
+lkc AS (SELECT bucket, k, count(*)::BIGINT AS c2 FROM lb GROUP BY 1, 2),
+act AS (
+  SELECT bucket, sum(c1 * c2)::BIGINT AS actual
+  FROM okc JOIN lkc USING (bucket, k) GROUP BY 1),
+j AS (
+  SELECT osb.bucket, r1, r2,
+         ((r1 * r2) // greatest(d1, d2))::BIGINT AS est_rows,
+         coalesce(act.actual, 0)::BIGINT AS actual_rows
+  FROM osb JOIN lsb USING (bucket) LEFT JOIN act USING (bucket))
+SELECT bucket, r1, r2, est_rows, actual_rows,
+       (est_rows - actual_rows)::DOUBLE
+         / nullif(actual_rows, 0)::DOUBLE AS rel_error
+FROM j
+"""
+
+ORACLES["zonemap_skip_audit"] = """
+WITH zones AS (
+  SELECT event_type, (event_id // 256)::BIGINT AS zone,
+         min(floor(epoch(ts))::BIGINT)::BIGINT AS zmin,
+         max(floor(epoch(ts))::BIGINT)::BIGINT AS zmax
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, min(zmin)::BIGINT AS lo, max(zmax)::BIGINT AS hi
+  FROM zones GROUP BY 1),
+probed AS (
+  SELECT z.event_type, z.zone, z.zmin, z.zmax,
+         (s.lo + ((s.hi - s.lo) * 45) // 100)::BIGINT AS wlo,
+         (s.lo + ((s.hi - s.lo) * 55) // 100)::BIGINT AS whi
+  FROM zones z JOIN spans s USING (event_type)),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_zones,
+         sum(CASE WHEN zmin <= whi AND zmax >= wlo THEN 1 ELSE 0 END)
+           ::BIGINT AS n_hit
+  FROM probed GROUP BY 1)
+SELECT event_type, n_zones, n_hit,
+       (n_zones - n_hit)::BIGINT AS n_skipped,
+       (n_zones - n_hit)::DOUBLE / n_zones::DOUBLE AS skip_frac
+FROM agg
+"""

@@ -16490,3 +16490,152 @@ def seasonal_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_size_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator audit on orders |><| lineitem
+    (the Selinger/System-R histogram estimate, public literature):
+    bucket the join key into 64 equi-width ranges, estimate each
+    bucket's output as rows1 * rows2 / max(ndv1, ndv2) (uniform
+    per-distinct-key spread), and compare the summed estimate with
+    the EXACT join size — the audit a cost-based optimizer (or a
+    skew-aware shuffle planner choosing salt factors) runs to learn
+    how wrong its stats are on this key.  Per-bucket error also
+    pinpoints WHERE the estimate breaks (skewed ranges).
+
+    EXACT cross-engine: bucket ids, counts, and distinct counts are
+    integers; each bucket estimate is one truncated integer division
+    (est_b = r1*r2 div max(d1, d2) — deterministic both engines);
+    the actual is the exact per-key c1*c2 sum; error_pct is one
+    division.
+
+    Scale shape: two hash aggs to (bucket, key stats); the actual
+    rides a per-key count-product — the same combiner-bounded shape
+    as the join itself, but carrying one row per key, not the join
+    output; one 64-row frame out."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    span = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    nb = 64
+
+    def bucketed(df, key):
+        return df.crossJoin(F.broadcast(span)).select(
+            F.least(
+                F.lit(nb - 1),
+                F.expr(
+                    f"(({key} - lo) * {nb}) div (hi - lo + 1)"
+                ).cast("long"),
+            ).alias("bucket"),
+            F.col(key).alias("k"),
+        )
+
+    o = bucketed(orders, "o_orderkey")
+    li = bucketed(lineitem, "l_orderkey")
+    os = o.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r1"),
+        F.countDistinct("k").cast("long").alias("d1"),
+    )
+    ls = li.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r2"),
+        F.countDistinct("k").cast("long").alias("d2"),
+    )
+    ok = o.groupBy("bucket", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    lk = li.groupBy("bucket", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    actual = (
+        ok.join(lk, ["bucket", "k"])
+        .groupBy("bucket")
+        .agg(F.sum(F.col("c1") * F.col("c2")).cast("long").alias("actual"))
+    )
+    est = F.expr("(r1 * r2) div greatest(d1, d2)").cast("long")
+    j = (
+        os.join(ls, "bucket")
+        .join(actual, "bucket", "left")
+        .select(
+            "bucket",
+            "r1",
+            "r2",
+            est.alias("est_rows"),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual_rows"),
+        )
+    )
+    return j.select(
+        "*",
+        F.try_divide(
+            (F.col("est_rows") - F.col("actual_rows")).cast("double"),
+            F.col("actual_rows").cast("double"),
+        ).alias("rel_error"),
+    )
+
+
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min-max pruning) effectiveness audit per event type:
+    group events into zones of 256 consecutive event_ids (the write
+    order), record each zone's [min_ts, max_ts], and measure how many
+    zones a mid-span 10%-window probe could SKIP — exactly what
+    Iceberg/parquet row-group pruning gets from its column stats, so
+    the skip fraction measures how time-clustered the physical layout
+    is (1.0 - skip ~ clustering depth).  A store written in arrival
+    order prunes ~90% of zones for a 10% window; one shuffled by an
+    upstream join prunes nothing and needs a sort-and-rewrite
+    (compaction planning input).
+
+    EXACT cross-engine: zone ids are integer div on event_id; zone
+    extents are integer epoch-second min/max; the probe window is
+    integer arithmetic on the type's global span; overlap tests and
+    counts are pure integer logic; skip_frac is one division.
+
+    Scale shape: one hash agg to zones (map-side combined), a
+    broadcast of per-type spans, one tiny rollup; output one row per
+    type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    zones = (
+        df.select(
+            "event_type",
+            F.expr("event_id div 256").cast("long").alias("zone"),
+            es.alias("es"),
+        )
+        .groupBy("event_type", "zone")
+        .agg(
+            F.min("es").alias("zmin"),
+            F.max("es").alias("zmax"),
+        )
+    )
+    spans = zones.groupBy("event_type").agg(
+        F.min("zmin").alias("lo"), F.max("zmax").alias("hi")
+    )
+    probed = zones.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "zone",
+        "zmin",
+        "zmax",
+        (
+            F.col("lo")
+            + F.expr("((hi - lo) * 45) div 100").cast("long")
+        ).alias("wlo"),
+        (
+            F.col("lo")
+            + F.expr("((hi - lo) * 55) div 100").cast("long")
+        ).alias("whi"),
+    )
+    hit = (F.col("zmin") <= F.col("whi")) & (F.col("zmax") >= F.col("wlo"))
+    agg = probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_zones"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "event_type",
+        "n_zones",
+        "n_hit",
+        (F.col("n_zones") - F.col("n_hit")).alias("n_skipped"),
+        (
+            (F.col("n_zones") - F.col("n_hit")).cast("double")
+            / F.col("n_zones").cast("double")
+        ).alias("skip_frac"),
+    )
