@@ -8380,3 +8380,119 @@ SELECT event_type, n_zones, n_hit,
        (n_zones - n_hit)::DOUBLE / n_zones::DOUBLE AS skip_frac
 FROM agg
 """
+
+
+ORACLES["sprt_conversion"] = f"""
+WITH {_HOURLY_CANDLES},
+sprank AS (
+  SELECT event_type, hr, s, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, hr) AS pos
+  FROM candles),
+spmed AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (n + 1) // 2 THEN s END)::BIGINT AS med
+  FROM sprank GROUP BY 1),
+spflags AS (
+  SELECT c.event_type, c.hr, c.t, c.n,
+         CASE WHEN c.s > m.med THEN 1 ELSE 0 END AS x
+  FROM candles c JOIN spmed m USING (event_type)),
+spcum AS (
+  SELECT *,
+         sum(x) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
+           AS succ
+  FROM spflags),
+spllr AS (
+  SELECT event_type, t, n,
+         succ::DOUBLE * ('0.1823215567939546')::DOUBLE
+           + (t - succ)::DOUBLE * ('-0.2231435513142097')::DOUBLE AS llr
+  FROM spcum),
+spcross AS (
+  SELECT event_type, t, n, llr,
+         CASE WHEN llr >= ('2.9444389791664403')::DOUBLE THEN t END AS t_h1,
+         CASE WHEN llr <= -(('2.9444389791664403')::DOUBLE) THEN t END AS t_h0
+  FROM spllr),
+spagg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         min(t_h1)::BIGINT AS t_h1, min(t_h0)::BIGINT AS t_h0,
+         max(CASE WHEN t = n THEN llr END) AS llr_final
+  FROM spcross GROUP BY 1)
+SELECT event_type, n,
+       CASE WHEN t_h1 IS NOT NULL
+                 AND (t_h0 IS NULL OR t_h1 < t_h0) THEN 'accept_h1'
+            WHEN t_h0 IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       least(t_h1, t_h0)::BIGINT AS t_decision,
+       llr_final
+FROM spagg
+"""
+
+ORACLES["watermark_planner"] = """
+WITH late AS (
+  SELECT event_type, event_id,
+         (max(floor(epoch(ts))::BIGINT)
+            OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING)
+          - floor(epoch(ts))::BIGINT)::BIGINT AS late_s
+  FROM events),
+wrank AS (
+  SELECT event_type, late_s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY late_s, event_id) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM late),
+picks AS (
+  SELECT event_type, max(cnt)::BIGINT AS n,
+         sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+         max(CASE WHEN pos = (cnt + 1) // 2 THEN late_s END)::BIGINT
+           AS p50_s,
+         max(CASE WHEN pos = (19 * cnt) // 20 + 1 THEN late_s END)
+           ::BIGINT AS p95_s,
+         max(CASE WHEN pos = (99 * cnt) // 100 + 1 THEN late_s END)
+           ::BIGINT AS p99_s
+  FROM wrank GROUP BY 1),
+dropped AS (
+  SELECT l.event_type,
+         sum(CASE WHEN l.late_s > p.p95_s THEN 1 ELSE 0 END)::BIGINT
+           AS n_dropped_p95
+  FROM late l JOIN picks p USING (event_type) GROUP BY 1)
+SELECT p.event_type, p.n, p.n_late, p.p50_s, p.p95_s, p.p99_s,
+       (((p.p99_s + 59) // 60) * 60)::BIGINT AS watermark_s,
+       d.n_dropped_p95::DOUBLE / p.n::DOUBLE AS drop_frac_p95
+FROM picks p JOIN dropped d USING (event_type)
+"""
+
+ORACLES["lead_lag_argmax"] = f"""
+WITH {_HOURLY_CANDLES},
+lla AS (
+  SELECT event_type AS type_a, hr AS hr_a, s AS sa FROM candles),
+llb AS (
+  SELECT event_type AS type_b, hr AS hr_b, s AS sb FROM candles),
+lagged AS (
+  SELECT a.type_a, a.hr_a, a.sa, lg.lag
+  FROM lla a CROSS JOIN
+       (SELECT unnest(generate_series(-6, 6))::BIGINT AS lag) lg),
+joined AS (
+  SELECT l.type_a, b.type_b, l.lag, l.sa, b.sb
+  FROM lagged l JOIN llb b
+    ON b.type_b > l.type_a AND b.hr_b = l.hr_a + l.lag),
+sums AS (
+  SELECT type_a, type_b, lag, count(*)::BIGINT AS m,
+         sum(sa)::BIGINT AS sx, sum(sb)::BIGINT AS sy,
+         sum(sa * sa)::BIGINT AS sxx, sum(sb * sb)::BIGINT AS syy,
+         sum(sa * sb)::BIGINT AS sxy
+  FROM joined GROUP BY 1, 2, 3),
+scored AS (
+  SELECT type_a, type_b, lag,
+         (m * sxy - sx * sy)::DOUBLE
+           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS corr
+  FROM sums),
+sc2 AS (SELECT * FROM scored WHERE corr IS NOT NULL)
+SELECT type_a, type_b,
+       -((max(struct_pack(c := corr, nl := -lag))).nl)::BIGINT
+         AS best_lag,
+       (max(struct_pack(c := corr, nl := -lag))).c AS best_corr,
+       max(CASE WHEN lag = 0 THEN corr END) AS corr_lag0
+FROM sc2 GROUP BY 1, 2
+"""

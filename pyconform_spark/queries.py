@@ -16639,3 +16639,265 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_zones").cast("double")
         ).alias("skip_frac"),
     )
+
+
+def sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test per event type (Wald
+    1945, public literature): walking the hour-ordered binary stream
+    "did this hour's total beat the series median", SPRT tests
+    p = 0.5 (H0) against p = 0.6 (H1) with alpha = beta = 0.05 and
+    reports WHEN the evidence first crossed a boundary — the
+    sequential A/B monitor that stops reading data the moment the
+    answer is known, instead of fixing n up front
+    (mcnemar_daily_flip's fixed-n complement).
+
+    EXACT cross-engine: the log-likelihood increments ln(1.2),
+    ln(0.8) and the boundaries +-ln(19) are PYTHON-COMPUTED literals
+    embedded in both plans (the DuckDB twin parses the same repr via
+    a string cast, which is correctly rounded — a plain numeric
+    literal would round through DECIMAL); the LLR at hour t is
+    succ_t * l1 + fail_t * l0 — two exact integer counts times a
+    literal, one add — so every crossing decision compares
+    bit-identical doubles; the median gate is an exact rank pick.
+
+    Scale shape: raw reduces to (type, hour) FIRST; cumulative counts
+    ride one window sort; the first-crossing pick is one hash agg."""
+    import math as m
+
+    l1, l0 = m.log(1.2), m.log(0.8)
+    bound = m.log(19.0)  # ln((1-beta)/alpha), alpha = beta = 0.05
+    seq = _hourly_candles(spark, sf_dir)
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type", "hr", "s", "n",
+        F.row_number().over(wpos).alias("pos"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(n + 1) div 2"), F.col("s"))
+        ).alias("med")
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    flags = seq.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hr",
+        "t",
+        "n",
+        F.when(F.col("s") > F.col("med"), 1).otherwise(0).alias("x"),
+    )
+    cum = flags.select(
+        "*",
+        F.sum("x").over(wt).cast("long").alias("succ"),
+    ).select(
+        "*", (F.col("t") - F.col("succ")).alias("fail")
+    )
+    llr = (
+        F.col("succ").cast("double") * F.lit(l1)
+        + F.col("fail").cast("double") * F.lit(l0)
+    )
+    crossed = cum.select(
+        "event_type",
+        "t",
+        "n",
+        llr.alias("llr"),
+        F.when(llr >= F.lit(bound), F.col("t")).alias("t_h1"),
+        F.when(llr <= F.lit(-bound), F.col("t")).alias("t_h0"),
+    )
+    agg = crossed.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min("t_h1").cast("long").alias("t_h1"),
+        F.min("t_h0").cast("long").alias("t_h0"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("llr"))).alias(
+            "llr_final"
+        ),
+    )
+    decision = (
+        F.when(
+            F.col("t_h1").isNotNull()
+            & (
+                F.col("t_h0").isNull() | (F.col("t_h1") < F.col("t_h0"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("t_h0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        decision.alias("decision"),
+        F.least("t_h1", "t_h0").alias("t_decision"),
+        "llr_final",
+    )
+
+
+def watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark recommendation per event type: lateness of each
+    record against the running event-time high-water mark in ARRIVAL
+    order (event_id — the write sequence), exact p50/p95/p99 lateness
+    picks, and the recommended streaming watermark = p99 rounded up
+    to a whole minute — the number a Structured Streaming job passes
+    to withWatermark(), sized from the store's own disorder instead
+    of folklore.  Also reports the drop fraction a tighter p95
+    watermark would cost.  The PLANNING twin of out_of_order_stats
+    (which describes disorder; this prescribes the knob).
+
+    EXACT cross-engine: the running max rides the arrival-order
+    window; lateness values are integer seconds; the three quantiles
+    are exact rank picks under the full (lateness, event_id) order;
+    the rounding is integer ceil-division; drop_frac_p95 is ONE
+    division of exact integers.
+
+    Scale shape: one (type) window sort in arrival order, one rank
+    sort on the lateness frame; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    warr = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = df.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        es.alias("es"),
+    ).select(
+        "event_type",
+        "event_id",
+        (F.max("es").over(warr) - F.col("es")).alias("late_s"),
+    )
+    wpos = Window.partitionBy("event_type").orderBy("late_s", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = late.select(
+        "event_type",
+        "late_s",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    picks = ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max(
+            F.when(F.col("pos") == F.expr("(cnt + 1) div 2"), F.col("late_s"))
+        ).cast("long").alias("p50_s"),
+        F.max(
+            F.when(
+                F.col("pos") == F.expr("(19 * cnt) div 20 + 1"),
+                F.col("late_s"),
+            )
+        ).cast("long").alias("p95_s"),
+        F.max(
+            F.when(
+                F.col("pos") == F.expr("(99 * cnt) div 100 + 1"),
+                F.col("late_s"),
+            )
+        ).cast("long").alias("p99_s"),
+    )
+    dropped = (
+        late.join(
+            F.broadcast(picks.select("event_type", "p95_s")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("late_s") > F.col("p95_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_p95")
+        )
+    )
+    j = picks.join(dropped, "event_type")
+    return j.select(
+        "event_type",
+        "n",
+        "n_late",
+        "p50_s",
+        "p95_s",
+        "p99_s",
+        (F.expr("((p99_s + 59) div 60) * 60")).cast("long").alias(
+            "watermark_s"
+        ),
+        (
+            F.col("n_dropped_p95").cast("double") / F.col("n").cast("double")
+        ).alias("drop_frac_p95"),
+    )
+
+
+def lead_lag_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag scan between every pair of event-type hourly series:
+    Pearson correlation at every lag in [-6, +6] hours, reporting the
+    lag that maximizes it — "errors lead purchases by 2 hours" is the
+    incident-propagation readout series_correlation (lag 0 only) and
+    cross_corr_lagged (lags 0/1 on one pair family) cannot give.
+
+    EXACT cross-engine: each lag's correlation comes from the six
+    exact BIGINT sums over the overlapping hours of the shifted join
+    (the series_correlation closed form: two sqrts, one divide);
+    the ARGMAX compares those bit-identical doubles with ties broken
+    toward the smallest lag, via one lexicographic struct max —
+    deterministic in both engines.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the lag scan is
+    ONE join of the tiny hourly frame against itself shifted (the
+    13 lags ride the join condition t_b = t_a + lag from an exploded
+    literal array); one hash agg per (pair, lag); one row per pair."""
+    seq = _hourly_candles(spark, sf_dir)
+    a = seq.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hr").alias("hr_a"),
+        F.col("s").alias("sa"),
+    )
+    b = seq.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("s").alias("sb"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k).cast("long") for k in range(-6, 7)])
+    ).alias("lag")
+    al = a.select("*", lags)
+    joined = al.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & (F.col("hr_b") == F.col("hr_a") + F.col("lag")),
+    )
+    sums = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("sa").cast("long").alias("sx"),
+        F.sum("sb").cast("long").alias("sy"),
+        F.sum(F.col("sa") * F.col("sa")).cast("long").alias("sxx"),
+        F.sum(F.col("sb") * F.col("sb")).cast("long").alias("syy"),
+        F.sum(F.col("sa") * F.col("sb")).cast("long").alias("sxy"),
+    )
+    corr = F.try_divide(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double"),
+        F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        * F.sqrt(
+            (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ),
+    )
+    scored = sums.select(
+        "type_a", "type_b", "lag", F.col("m").alias("n_overlap"),
+        corr.alias("corr"),
+    ).filter(F.col("corr").isNotNull())
+    best = scored.groupBy("type_a", "type_b").agg(
+        F.max(
+            F.struct(
+                F.col("corr").alias("c"),
+                (-F.col("lag")).alias("nl"),
+            )
+        ).alias("b"),
+        F.max(F.when(F.col("lag") == 0, F.col("corr"))).alias("corr_lag0"),
+    )
+    return best.select(
+        "type_a",
+        "type_b",
+        (-F.col("b")["nl"]).cast("long").alias("best_lag"),
+        F.col("b")["c"].alias("best_corr"),
+        "corr_lag0",
+    )
