@@ -228,6 +228,24 @@ BENCH_QUERIES = [
     "cusumsq_variance_change",
     "kruskal_wallis_contrib",
     "tile_stability_lumpiness",
+    # continuation-session additions: indicator family on the shared
+    # candle staging, Walsh integer spectrum, exact 2-changepoint pair
+    # scan, LB_Keogh-pruned DTW, compression planners, lead-lag join,
+    # planner audits, sequential SPRT
+    "macd_signal",
+    "xmr_western_electric",
+    "walsh_band_energy",
+    "optimal_two_changepoints",
+    "lb_keogh_pairs",
+    "xor_meaningful_bits",
+    "dod_bucket_profile",
+    "seasonal_esd_outliers",
+    "lead_lag_argmax",
+    "join_size_estimate_audit",
+    "watermark_planner",
+    "yue_pilon_mk",
+    "l_moments_profile",
+    "sprt_conversion",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
