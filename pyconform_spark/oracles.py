@@ -8496,3 +8496,92 @@ SELECT type_a, type_b,
        max(CASE WHEN lag = 0 THEN corr END) AS corr_lag0
 FROM sc2 GROUP BY 1, 2
 """
+
+
+ORACLES["mmr_diverse_topk"] = """
+WITH mcodes AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings),
+mqc AS (
+  SELECT list(c ORDER BY pos) AS qv FROM (
+    SELECT pos, (sum(v) // count(*))::BIGINT AS c FROM (
+      SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+      FROM mcodes WHERE label = 0) GROUP BY pos)),
+msc AS MATERIALIZED (
+  SELECT vec_id, label, q,
+         list_sum(list_transform(generate_series(1, 64),
+                  j -> q[j] * qv[j]))::BIGINT AS dotq
+  FROM mcodes, mqc),
+mb1 AS (
+  SELECT 1::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
+         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
+         b.sc AS score, b.qq AS q
+  FROM (SELECT max(struct_pack(sc := dotq, nvid := -vec_id,
+                               lb := label, dq := dotq,
+                               rd := NULL::BIGINT, qq := q)) AS b
+        FROM msc) t),
+mr1 AS (SELECT s.* FROM msc s, mb1 WHERE s.vec_id != mb1.vec_id),
+mc2 AS (
+  SELECT s.vec_id, s.label, s.q, s.dotq,
+         list_sum(list_transform(generate_series(1, 64),
+                  j -> s.q[j] * mb1.q[j]))::BIGINT AS red
+  FROM mr1 s, mb1),
+mb2 AS (
+  SELECT 2::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
+         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
+         b.sc AS score, b.qq AS q
+  FROM (SELECT max(struct_pack(sc := dotq - red, nvid := -vec_id,
+                               lb := label, dq := dotq, rd := red,
+                               qq := q)) AS b
+        FROM mc2) t),
+mr2 AS (SELECT s.* FROM mr1 s, mb2 WHERE s.vec_id != mb2.vec_id),
+mc3 AS (
+  SELECT s.vec_id, s.label, s.q, s.dotq,
+         greatest(
+           list_sum(list_transform(generate_series(1, 64),
+                    j -> s.q[j] * mb1.q[j]))::BIGINT,
+           list_sum(list_transform(generate_series(1, 64),
+                    j -> s.q[j] * mb2.q[j]))::BIGINT) AS red
+  FROM mr2 s, mb1, mb2),
+mb3 AS (
+  SELECT 3::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
+         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
+         b.sc AS score, b.qq AS q
+  FROM (SELECT max(struct_pack(sc := dotq - red, nvid := -vec_id,
+                               lb := label, dq := dotq, rd := red,
+                               qq := q)) AS b
+        FROM mc3) t)
+SELECT round, vec_id, label, dotq, redundancy, score FROM mb1
+UNION ALL
+SELECT round, vec_id, label, dotq, redundancy, score FROM mb2
+UNION ALL
+SELECT round, vec_id, label, dotq, redundancy, score FROM mb3
+"""
+
+ORACLES["intra_hour_uniformity"] = """
+WITH base AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT % 3600)::BIGINT AS o,
+         event_id
+  FROM events),
+ranked AS (
+  SELECT event_type, o,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY o, event_id)::BIGINT AS i,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM base),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         max(greatest(i * 3600 - n * o, n * o - (i - 1) * 3600))
+           ::BIGINT AS d_scaled
+  FROM ranked GROUP BY 1)
+SELECT event_type, n, d_scaled,
+       d_scaled::DOUBLE / (n * 3600)::DOUBLE AS ks_stat,
+       (d_scaled::DOUBLE / (n * 3600)::DOUBLE) * sqrt(n::DOUBLE)
+         AS ks_scaled,
+       ((d_scaled::DOUBLE / (n * 3600)::DOUBLE) * sqrt(n::DOUBLE)
+        > ('1.36')::DOUBLE) AS non_uniform
+FROM agg
+"""

@@ -16901,3 +16901,191 @@ def lead_lag_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b")["c"].alias("best_corr"),
         "corr_lag0",
     )
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection over the embeddings table
+    (Carbonell & Goldstein 1998, public literature), 3 greedy rounds
+    with lambda = 1/2: the query is the integer centroid of label 0,
+    round 1 picks the most-relevant vector, and each later round
+    picks argmax of (relevance - max similarity to the already-picked
+    set) — the diversity-aware retrieval a training-data curator uses
+    so the top-k isn't k near-duplicates (the selection-side
+    complement of the dedup shelf).
+
+    EXACT cross-engine: embeddings quantize to the same 1e6 lattice
+    as operators/cluster.py; the query centroid uses the Lloyd
+    update's truncated integer mean; relevance and redundancy are
+    exact BIGINT dot products, so with lambda = 1/2 the MMR score is
+    the pure integer dot_q - max_sel and every ARGMAX ties on
+    (score DESC, vec_id) — no float enters any decision.
+
+    Scale shape: the query centroid is one combiner-bounded agg; each
+    round is one corpus projection against a BROADCAST selected set
+    (grows by 1 row/round) + ONE lexicographic struct-max aggregate
+    (combiner-friendly — no global sort); 3 rounds, no corpus shuffle
+    anywhere."""
+    from pyconform_spark.operators.cluster import quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = emb.select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("q")
+    ).persist()
+    qvec = (
+        codes.filter(F.col("label") == 0)
+        .select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.expr("sum(v) div count(*)").cast("long").alias("c")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("qv")
+        )
+    )
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = codes.crossJoin(F.broadcast(qvec)).select(
+        "vec_id", "label", "q", dot(F.col("q"), F.col("qv")).alias("dotq")
+    ).persist()
+    picks = []
+    remaining = scored
+    sel = None
+    for rnd in range(3):
+        if sel is None:
+            cand = remaining.select(
+                "vec_id",
+                "label",
+                "q",
+                "dotq",
+                F.lit(None).cast("long").alias("redundancy"),
+                F.col("dotq").alias("score"),
+            )
+        else:
+            red = F.array_max(
+                F.transform("sel", lambda s: dot(F.col("q"), s["sq"]))
+            )
+            cand = remaining.crossJoin(F.broadcast(sel)).select(
+                "vec_id",
+                "label",
+                "q",
+                "dotq",
+                red.alias("redundancy"),
+                (F.col("dotq") - red).alias("score"),
+            )
+        # combiner-friendly ARGMAX: one lexicographic struct max — no
+        # global sort of the candidate frame (ties to smallest vec_id)
+        m = cand.agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("sc"),
+                    (-F.col("vec_id")).alias("nvid"),
+                    F.col("label").alias("lb"),
+                    F.col("dotq").alias("dq"),
+                    F.col("redundancy").alias("rd"),
+                    F.col("q").alias("qq"),
+                )
+            ).alias("b")
+        )
+        best = m.select(
+            F.lit(rnd + 1).cast("long").alias("round"),
+            (-F.col("b.nvid")).cast("long").alias("vec_id"),
+            F.col("b.lb").alias("label"),
+            F.col("b.dq").alias("dotq"),
+            F.col("b.rd").alias("redundancy"),
+            F.col("b.sc").alias("score"),
+            F.col("b.qq").alias("q"),
+        ).persist()
+        picks.append(best.drop("q"))
+        sel_new = best.select(
+            F.struct(
+                F.col("vec_id").alias("svid"), F.col("q").alias("sq")
+            ).alias("one")
+        )
+        if sel is None:
+            sel = sel_new.agg(F.collect_list("one").alias("sel"))
+        else:
+            sel = (
+                sel.crossJoin(sel_new)
+                .select(
+                    F.array_union(
+                        F.col("sel"), F.array(F.col("one"))
+                    ).alias("sel")
+                )
+            )
+        hit = best.select(F.col("vec_id").alias("hit_vid"))
+        remaining = remaining.crossJoin(F.broadcast(hit)).filter(
+            F.col("vec_id") != F.col("hit_vid")
+        ).select("vec_id", "label", "q", "dotq").persist()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def intra_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov uniformity test of WITHIN-hour arrival
+    offsets per event type (classic KS one-sample vs U(0, 3600),
+    public literature): if events arrive by a Poisson process the
+    second-of-hour is uniform; batched/cron-aligned producers pile up
+    near offset 0 and blow the statistic.  The intra-bucket
+    micro-rhythm audit — infer_cadence sees the hourly macro grid;
+    this sees WITHIN the bucket (a batching artifact inflates every
+    1m-tier rollup's point counts at the bucket edge).
+
+    EXACT cross-engine: offsets are integer seconds; with the sorted
+    offsets o_(i), the scaled two-sided KS statistic
+    d_scaled = max_i max(i*3600 - n*o_i, n*o_i - (i-1)*3600) is PURE
+    BIGINT; ks = d_scaled/(n*3600) is ONE division, and the crossing
+    gate ks*sqrt(n) > 1.36 (alpha = 0.05) squares to the integer
+    inequality (d_scaled)^2 * ... kept as the deterministic double
+    compare of bit-identical values.
+
+    Scale shape: raw reduces to per-type sorted offsets via one rank
+    window; one hash agg; one row per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_type",
+        (es % 3600).alias("o"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    wpos = Window.partitionBy("event_type").orderBy("o", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "o",
+        F.row_number().over(wpos).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    dev = F.greatest(
+        F.col("i") * F.lit(3600) - F.col("n") * F.col("o"),
+        F.col("n") * F.col("o") - (F.col("i") - 1) * F.lit(3600),
+    )
+    agg = ranked.select("event_type", "n", dev.alias("dev")).groupBy(
+        "event_type"
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("dev").cast("long").alias("d_scaled"),
+    )
+    ks = F.col("d_scaled").cast("double") / (
+        F.col("n") * F.lit(3600)
+    ).cast("double")
+    stat = ks * F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "event_type",
+        "n",
+        "d_scaled",
+        ks.alias("ks_stat"),
+        stat.alias("ks_scaled"),
+        (stat > F.lit(1.36)).alias("non_uniform"),
+    )
