@@ -8585,3 +8585,69 @@ SELECT event_type, n, d_scaled,
         > ('1.36')::DOUBLE) AS non_uniform
 FROM agg
 """
+
+ORACLES["retention_expiry_audit"] = """
+WITH base AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events),
+now_s AS (
+  SELECT event_type, max(es)::BIGINT AS now_s FROM base GROUP BY 1),
+tier1m AS (
+  SELECT event_type, (es // 60)::BIGINT AS bucket,
+         count(*)::BIGINT AS rows
+  FROM base GROUP BY 1, 2),
+tier1h AS (
+  SELECT event_type, (es // 3600)::BIGINT AS bucket,
+         count(*)::BIGINT AS rows
+  FROM base GROUP BY 1, 2),
+a1m AS (
+  SELECT t.event_type, '1m' AS tier, count(*)::BIGINT AS n_buckets,
+         sum(CASE WHEN t.bucket * 60 < n.now_s - 604800
+                  THEN 1 ELSE 0 END)::BIGINT AS n_expired,
+         sum(CASE WHEN t.bucket * 60 < n.now_s - 604800
+                  THEN t.rows ELSE 0 END)::BIGINT AS rows_expired,
+         sum(t.rows)::BIGINT AS rows_total
+  FROM tier1m t JOIN now_s n USING (event_type) GROUP BY 1),
+a1h AS (
+  SELECT t.event_type, '1h' AS tier, count(*)::BIGINT AS n_buckets,
+         sum(CASE WHEN t.bucket * 3600 < n.now_s - 2592000
+                  THEN 1 ELSE 0 END)::BIGINT AS n_expired,
+         sum(CASE WHEN t.bucket * 3600 < n.now_s - 2592000
+                  THEN t.rows ELSE 0 END)::BIGINT AS rows_expired,
+         sum(t.rows)::BIGINT AS rows_total
+  FROM tier1h t JOIN now_s n USING (event_type) GROUP BY 1)
+SELECT event_type, tier, n_buckets, n_expired, rows_expired,
+       rows_expired::DOUBLE / rows_total::DOUBLE AS reclaim_frac
+FROM a1m
+UNION ALL
+SELECT event_type, tier, n_buckets, n_expired, rows_expired,
+       rows_expired::DOUBLE / rows_total::DOUBLE AS reclaim_frac
+FROM a1h
+"""
+
+ORACLES["climatology_bands"] = """
+WITH cells AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         floor((floor(epoch(ts))::BIGINT % 86400) / 3600)::BIGINT AS hod,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS tot
+  FROM events GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT event_type, hod, tot,
+         row_number() OVER (PARTITION BY event_type, hod
+                            ORDER BY tot, day) AS pos,
+         count(*) OVER (PARTITION BY event_type, hod) AS cnt
+  FROM cells),
+agg AS (
+  SELECT event_type, hod, max(cnt)::BIGINT AS n_days,
+         max(CASE WHEN pos = cnt // 10 + 1 THEN tot END)::BIGINT AS p10q,
+         max(CASE WHEN pos = (cnt + 1) // 2 THEN tot END)::BIGINT AS p50q,
+         max(CASE WHEN pos = (9 * cnt) // 10 + 1 THEN tot END)::BIGINT
+           AS p90q
+  FROM ranked GROUP BY 1, 2)
+SELECT event_type, hod, n_days,
+       p10q::DOUBLE / (100)::DOUBLE AS p10,
+       p50q::DOUBLE / (100)::DOUBLE AS p50,
+       p90q::DOUBLE / (100)::DOUBLE AS p90,
+       (p90q - p10q)::DOUBLE / (100)::DOUBLE AS band_width
+FROM agg
+"""

@@ -17089,3 +17089,132 @@ def intra_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat.alias("ks_scaled"),
         (stat > F.lit(1.36)).alias("non_uniform"),
     )
+
+
+def retention_expiry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-expiry audit over the tier layout: with NOW pinned to
+    the newest event, report per (event_type, tier) how many buckets
+    and rows fall past the tier's retention horizon (1m keeps 7 days,
+    1h keeps 30, 1d keeps forever — the tiered_read policy) — the
+    nightly reaper's work estimate, and the audit that catches a
+    misconfigured producer still writing into expired ranges.
+
+    EXACT cross-engine: bucket ids and the cutoffs are integer
+    arithmetic on epoch seconds (NOW = max ts is an exact pick);
+    counts are integers; reclaim_frac is ONE division.
+
+    Scale shape: one hash agg per tier on the raw scan (map-side
+    combined), a broadcast of the per-type NOW; output is
+    |types| x 2 rows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("event_type", es.alias("es")).persist()
+    now = base.groupBy("event_type").agg(F.max("es").alias("now_s"))
+    tiers = [("1m", 60, 7 * 86400), ("1h", 3600, 30 * 86400)]
+    outs = []
+    for name, width, keep in tiers:
+        b = (
+            base.select(
+                "event_type",
+                F.floor(F.col("es") / width).cast("long").alias("bucket"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("rows"))
+        )
+        j = b.join(F.broadcast(now), "event_type").select(
+            "event_type",
+            "bucket",
+            "rows",
+            (
+                F.col("bucket") * width
+                < F.col("now_s") - F.lit(keep)
+            ).alias("expired"),
+        )
+        agg = j.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("expired"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired"),
+            F.sum(F.when(F.col("expired"), F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_expired"),
+            F.sum("rows").cast("long").alias("rows_total"),
+        )
+        outs.append(
+            agg.select(
+                "event_type",
+                F.lit(name).alias("tier"),
+                "n_buckets",
+                "n_expired",
+                "rows_expired",
+                (
+                    F.col("rows_expired").cast("double")
+                    / F.col("rows_total").cast("double")
+                ).alias("reclaim_frac"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def climatology_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day climatology BANDS per event type: exact p10 / p50 /
+    p90 of the daily totals observed at each hour-of-day — the
+    percentile envelope an anomaly dashboard shades behind the live
+    line (climatology_hourly gives the mean; alerts need the band,
+    and seasonal z-scores need its width).
+
+    EXACT cross-engine: the per-(type, hour-of-day, day) totals are
+    BIGINT; each band edge is an exact rank pick under the full
+    (total, day) order — p10 at (cnt) div 10 + 1, p50 at
+    (cnt + 1) div 2, p90 at (9*cnt) div 10 + 1; band_width is one
+    subtraction of picked integers divided once.
+
+    Scale shape: one hash agg to (type, hod, day), one rank window
+    per (type, hod), one rollup to 24 rows per type."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    cells = (
+        df.select(
+            "event_type",
+            F.floor(es / 86400).cast("long").alias("day"),
+            F.floor((es % 86400) / 3600).cast("long").alias("hod"),
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "hod", "day")
+        .agg(F.sum("vq").cast("long").alias("tot"))
+    )
+    wpos = Window.partitionBy("event_type", "hod").orderBy("tot", "day")
+    wn = Window.partitionBy("event_type", "hod")
+    ranked = cells.select(
+        "event_type",
+        "hod",
+        "tot",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    agg = ranked.groupBy("event_type", "hod").agg(
+        F.max("cnt").cast("long").alias("n_days"),
+        F.max(
+            F.when(F.col("pos") == F.expr("cnt div 10 + 1"), F.col("tot"))
+        ).cast("long").alias("p10q"),
+        F.max(
+            F.when(F.col("pos") == F.expr("(cnt + 1) div 2"), F.col("tot"))
+        ).cast("long").alias("p50q"),
+        F.max(
+            F.when(
+                F.col("pos") == F.expr("(9 * cnt) div 10 + 1"), F.col("tot")
+            )
+        ).cast("long").alias("p90q"),
+    )
+    return agg.select(
+        "event_type",
+        "hod",
+        "n_days",
+        (F.col("p10q").cast("double") / F.lit(100.0)).alias("p10"),
+        (F.col("p50q").cast("double") / F.lit(100.0)).alias("p50"),
+        (F.col("p90q").cast("double") / F.lit(100.0)).alias("p90"),
+        (
+            (F.col("p90q") - F.col("p10q")).cast("double") / F.lit(100.0)
+        ).alias("band_width"),
+    )
