@@ -8651,3 +8651,72 @@ SELECT event_type, hod, n_days,
        (p90q - p10q)::DOUBLE / (100)::DOUBLE AS band_width
 FROM agg
 """
+
+ORACLES["partial_correlation_triples"] = f"""
+WITH {_HOURLY_CANDLES},
+pca AS (SELECT event_type AS ta, hr, s AS sa FROM candles),
+pcb AS (SELECT event_type AS tb, hr, s AS sb FROM candles),
+psums AS (
+  SELECT ta, tb, count(*)::BIGINT AS m,
+         sum(sa)::BIGINT AS sx, sum(sb)::BIGINT AS sy,
+         sum(sa * sa)::BIGINT AS sxx, sum(sb * sb)::BIGINT AS syy,
+         sum(sa * sb)::BIGINT AS sxy
+  FROM pca JOIN pcb USING (hr) WHERE ta < tb GROUP BY 1, 2),
+pcorr AS (
+  SELECT ta, tb,
+         (m * sxy - sx * sy)::DOUBLE
+           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r
+  FROM psums),
+ptypes AS (SELECT DISTINCT event_type AS tz FROM candles),
+ptriples AS (
+  SELECT c.ta AS tx, c.tb AS ty, z.tz
+  FROM pcorr c CROSS JOIN ptypes z
+  WHERE z.tz != c.ta AND z.tz != c.tb),
+pj AS (
+  SELECT t.tx, t.ty, t.tz,
+         cxy.r AS r_xy, cxz.r AS r_xz, cyz.r AS r_yz
+  FROM ptriples t
+  JOIN pcorr cxy ON cxy.ta = t.tx AND cxy.tb = t.ty
+  JOIN pcorr cxz ON cxz.ta = least(t.tx, t.tz)
+                AND cxz.tb = greatest(t.tx, t.tz)
+  JOIN pcorr cyz ON cyz.ta = least(t.ty, t.tz)
+                AND cyz.tb = greatest(t.ty, t.tz))
+SELECT tx, ty, tz, r_xy,
+       (r_xy - r_xz * r_yz)
+         / nullif(sqrt((1)::DOUBLE - r_xz * r_xz)
+                  * sqrt((1)::DOUBLE - r_yz * r_yz), 0)
+         AS r_xy_given_z,
+       (abs((r_xy - r_xz * r_yz)
+            / nullif(sqrt((1)::DOUBLE - r_xz * r_xz)
+                     * sqrt((1)::DOUBLE - r_yz * r_yz), 0))
+        < abs(r_xy)) AS z_explains
+FROM pj
+"""
+
+ORACLES["tail_dependence_pairs"] = f"""
+WITH {_HOURLY_CANDLES},
+tdrank AS (
+  SELECT event_type, hr, s, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, hr) AS pos
+  FROM candles),
+tdu AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
+  FROM tdrank GROUP BY 1),
+tdf AS (
+  SELECT c.event_type, c.hr,
+         (CASE WHEN c.s > u.u THEN 1 ELSE 0 END)::BIGINT AS exc
+  FROM candles c JOIN tdu u USING (event_type)),
+tda AS (SELECT event_type AS ta, hr, exc AS ea FROM tdf),
+tdb AS (SELECT event_type AS tb, hr, exc AS eb FROM tdf),
+tagg AS (
+  SELECT ta, tb, count(*)::BIGINT AS n_aligned,
+         sum(eb)::BIGINT AS n_b_exc,
+         sum(ea * eb)::BIGINT AS n_joint
+  FROM tda JOIN tdb USING (hr) WHERE ta < tb GROUP BY 1, 2)
+SELECT ta, tb, n_aligned, n_b_exc, n_joint,
+       n_joint::DOUBLE / nullif(n_b_exc, 0)::DOUBLE AS chi_u
+FROM tagg
+"""

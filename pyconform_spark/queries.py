@@ -17218,3 +17218,170 @@ def climatology_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p90q") - F.col("p10q")).cast("double") / F.lit(100.0)
         ).alias("band_width"),
     )
+
+
+def partial_correlation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation for every (x, y | z) triple of
+    event-type hourly series (Yule 1907 lineage, public literature):
+    r_xy.z = (r_xy - r_xz * r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2)) —
+    does the x~y co-movement survive after controlling for z, or was
+    z (a shared upstream, a deploy, the diurnal load) driving both?
+    The confound audit on top of series_correlation / lead_lag_argmax.
+
+    EXACT cross-engine: each pairwise r comes from the six exact
+    BIGINT sums over the pair's aligned hours (two sqrts, one
+    division); the partial composes three such bit-identical doubles
+    with literal arithmetic — both engines run the same IEEE
+    sequence.
+
+    Scale shape: raw reduces to (type, hour) FIRST; ONE self-join of
+    the tiny hourly frame builds all pairs; the triple frame is a
+    broadcast join of the |types|^2-row correlation table with the
+    type list."""
+    seq = _hourly_candles(spark, sf_dir).persist()
+    a = seq.select(
+        F.col("event_type").alias("ta"),
+        F.col("hr").alias("hr"),
+        F.col("s").alias("sa"),
+    )
+    b = seq.select(
+        F.col("event_type").alias("tb"),
+        F.col("hr").alias("hr"),
+        F.col("s").alias("sb"),
+    )
+    sums = (
+        a.join(b, "hr")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("sa").cast("long").alias("sx"),
+            F.sum("sb").cast("long").alias("sy"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("sxx"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("syy"),
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("sxy"),
+        )
+    )
+    r = F.try_divide(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double"),
+        F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        * F.sqrt(
+            (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ),
+    )
+    corr = sums.select("ta", "tb", r.alias("r")).persist()
+    types = seq.select(
+        F.col("event_type").alias("tz")
+    ).distinct()
+    triples = (
+        corr.select(F.col("ta").alias("tx"), F.col("tb").alias("ty"))
+        .crossJoin(F.broadcast(types))
+        .filter((F.col("tz") != F.col("tx")) & (F.col("tz") != F.col("ty")))
+    )
+    cxy = corr.select(
+        F.col("ta").alias("tx"), F.col("tb").alias("ty"),
+        F.col("r").alias("r_xy"),
+    )
+    cxz = corr.select(
+        F.col("ta").alias("xz_lo"), F.col("tb").alias("xz_hi"),
+        F.col("r").alias("r_xz"),
+    )
+    cyz = corr.select(
+        F.col("ta").alias("yz_lo"), F.col("tb").alias("yz_hi"),
+        F.col("r").alias("r_yz"),
+    )
+    j = (
+        triples.join(F.broadcast(cxy), ["tx", "ty"])
+        .join(
+            F.broadcast(cxz),
+            (F.col("xz_lo") == F.least("tx", "tz"))
+            & (F.col("xz_hi") == F.greatest("tx", "tz")),
+        )
+        .join(
+            F.broadcast(cyz),
+            (F.col("yz_lo") == F.least("ty", "tz"))
+            & (F.col("yz_hi") == F.greatest("ty", "tz")),
+        )
+    )
+    partial = F.try_divide(
+        F.col("r_xy") - F.col("r_xz") * F.col("r_yz"),
+        F.sqrt(F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+        * F.sqrt(F.lit(1.0) - F.col("r_yz") * F.col("r_yz")),
+    )
+    return j.select(
+        "tx",
+        "ty",
+        "tz",
+        "r_xy",
+        partial.alias("r_xy_given_z"),
+        (F.abs(partial) < F.abs(F.col("r_xy"))).alias("z_explains"),
+    )
+
+
+def tail_dependence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper tail-dependence coefficient for every event-type pair
+    (the empirical chi(u) of Coles, Heffernan & Tawn 1999, public
+    literature) at u = p90: of the aligned hours where y exceeds its
+    own p90, what fraction also sees x above ITS p90?  Pearson misses
+    this entirely — two series can be uncorrelated in the bulk yet
+    always spike together (shared failure domain), which is exactly
+    what incident co-occurrence cares about.  The dependence-side
+    complement of pot_gpd_moments' marginal tail fit.
+
+    EXACT cross-engine: each series' p90 is an exact rank pick over
+    its own hours; exceedance flags, joint counts, and the aligned
+    frame are pure integers; chi_u is ONE division of exact counts.
+
+    Scale shape: raw reduces to (type, hour) FIRST; thresholds
+    broadcast; ONE self-join of the hourly frame on hr; one hash agg
+    per pair."""
+    seq = _hourly_candles(spark, sf_dir).persist()
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type",
+        "hr",
+        "s",
+        "n",
+        F.row_number().over(wpos).alias("pos"),
+    )
+    u = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(9 * n) div 10"), F.col("s"))
+        ).alias("u")
+    )
+    flagged = seq.join(F.broadcast(u), "event_type").select(
+        "event_type",
+        "hr",
+        (F.col("s") > F.col("u")).cast("long").alias("exc"),
+    )
+    a = flagged.select(
+        F.col("event_type").alias("ta"), "hr", F.col("exc").alias("ea")
+    )
+    b = flagged.select(
+        F.col("event_type").alias("tb"), "hr", F.col("exc").alias("eb")
+    )
+    agg = (
+        a.join(b, "hr")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_aligned"),
+            F.sum("eb").cast("long").alias("n_b_exc"),
+            F.sum(F.col("ea") * F.col("eb")).cast("long").alias("n_joint"),
+        )
+    )
+    return agg.select(
+        "ta",
+        "tb",
+        "n_aligned",
+        "n_b_exc",
+        "n_joint",
+        F.try_divide(
+            F.col("n_joint").cast("double"), F.col("n_b_exc").cast("double")
+        ).alias("chi_u"),
+    )
