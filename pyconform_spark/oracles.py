@@ -8720,3 +8720,85 @@ SELECT ta, tb, n_aligned, n_b_exc, n_joint,
        n_joint::DOUBLE / nullif(n_b_exc, 0)::DOUBLE AS chi_u
 FROM tagg
 """
+
+ORACLES["poincare_sd"] = f"""
+WITH {_HOURLY_CANDLES},
+pp AS (
+  SELECT event_type, s,
+         lead(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS nx
+  FROM candles),
+pp2 AS (SELECT * FROM pp WHERE nx IS NOT NULL),
+pagg AS (
+  SELECT event_type, count(*)::BIGINT AS m,
+         sum(s - nx)::BIGINT AS sd_, sum((s - nx) * (s - nx))::BIGINT AS qd,
+         sum(s + nx)::BIGINT AS st_, sum((s + nx) * (s + nx))::BIGINT AS qt
+  FROM pp2 GROUP BY 1),
+psd AS (
+  SELECT event_type, m,
+         sqrt((m * qd - sd_ * sd_)::DOUBLE)
+           / (m::DOUBLE * (100)::DOUBLE * sqrt((2)::DOUBLE)) AS sd1,
+         sqrt((m * qt - st_ * st_)::DOUBLE)
+           / (m::DOUBLE * (100)::DOUBLE * sqrt((2)::DOUBLE)) AS sd2
+  FROM pagg)
+SELECT event_type, m AS n_pairs, sd1, sd2,
+       sd1 / nullif(sd2, 0) AS sd1_sd2_ratio
+FROM psd
+"""
+
+ORACLES["rqa_determinism"] = f"""
+WITH {_HOURLY_CANDLES},
+rqp AS (
+  SELECT a.event_type, a.t AS i, b.t AS j,
+         (abs(a.s - b.s) < 10) AS rec
+  FROM candles a JOIN candles b
+    ON b.event_type = a.event_type AND b.t > a.t),
+rqr AS (SELECT event_type, i, j FROM rqp WHERE rec),
+rqd AS (
+  SELECT r.event_type,
+         CASE WHEN n.i IS NULL THEN 0 ELSE 1 END AS cont
+  FROM rqr r LEFT JOIN rqr n
+    ON n.event_type = r.event_type
+   AND n.i = r.i + 1 AND n.j = r.j + 1),
+rqc AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN rec THEN 1 ELSE 0 END)::BIGINT AS n_rec
+  FROM rqp GROUP BY 1),
+rqdet AS (
+  SELECT event_type, sum(cont)::BIGINT AS n_diag FROM rqd GROUP BY 1)
+SELECT c.event_type, c.n_pairs, c.n_rec,
+       coalesce(d.n_diag, 0)::BIGINT AS n_diag,
+       c.n_rec::DOUBLE / c.n_pairs::DOUBLE AS recurrence_rate,
+       coalesce(d.n_diag, 0)::DOUBLE / nullif(c.n_rec, 0)::DOUBLE
+         AS determinism
+FROM rqc c LEFT JOIN rqdet d USING (event_type)
+"""
+
+ORACLES["spike_triggered_average"] = f"""
+WITH {_HOURLY_CANDLES},
+strank AS (
+  SELECT event_type, hr, s, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, hr) AS pos
+  FROM candles),
+stu AS (
+  SELECT event_type,
+         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
+  FROM strank GROUP BY 1),
+sttrig AS (
+  SELECT c.event_type AS trigger_type, c.hr AS t_hr
+  FROM candles c JOIN stu u USING (event_type)
+  WHERE c.s > u.u),
+stoffs AS (
+  SELECT t.*, o.off
+  FROM sttrig t CROSS JOIN
+       (SELECT unnest(generate_series(-3, 3))::BIGINT AS off) o),
+stj AS (
+  SELECT o.trigger_type, r.event_type AS response_type, o.off,
+         r.s AS rs
+  FROM stoffs o JOIN candles r
+    ON r.hr = o.t_hr + o.off AND r.event_type != o.trigger_type)
+SELECT trigger_type, response_type, off,
+       count(*)::BIGINT AS n_obs,
+       sum(rs)::BIGINT::DOUBLE / (count(*) * 100)::DOUBLE AS sta_mean
+FROM stj GROUP BY 1, 2, 3
+"""

@@ -17385,3 +17385,197 @@ def tail_dependence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_joint").cast("double"), F.col("n_b_exc").cast("double")
         ).alias("chi_u"),
     )
+
+
+def poincare_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poincare-plot descriptors SD1/SD2 per event type (the HRV
+    return-map geometry of Brennan, Palaniswami & Kamen 2001, public
+    literature) on consecutive hourly totals: SD1^2 = var(x_t -
+    x_(t+1))/2 measures fast beat-to-beat variability, SD2^2 =
+    var(x_t + x_(t+1))/2 the slow drift along the identity line, and
+    their ratio separates jitter from trend — the two-number return
+    map summary next to teager_kaiser_energy.
+
+    EXACT cross-engine: sums/sumsq of the integer difference and sum
+    pairs are BIGINT; each SD composes one int division-free variance
+    numerator m*Q - S*S, one sqrt, one literal division; the ratio
+    divides two bit-identical doubles.
+
+    Scale shape: raw reduces to (type, hour) FIRST; one lag on one
+    window sort; one hash agg; one row per type."""
+    seq = _hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    paired = seq.select(
+        "event_type",
+        "s",
+        F.lead("s", 1).over(w).alias("nx"),
+    ).filter(F.col("nx").isNotNull())
+    d = F.col("s") - F.col("nx")
+    t = F.col("s") + F.col("nx")
+    agg = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(d).cast("long").alias("sd_"),
+        F.sum(d * d).cast("long").alias("qd"),
+        F.sum(t).cast("long").alias("st_"),
+        F.sum(t * t).cast("long").alias("qt"),
+    )
+    m = F.col("m").cast("double")
+    sd1 = F.sqrt(
+        (F.col("m") * F.col("qd") - F.col("sd_") * F.col("sd_"))
+        .cast("double")
+    ) / (m * F.lit(100.0) * F.sqrt(F.lit(2.0)))
+    sd2 = F.sqrt(
+        (F.col("m") * F.col("qt") - F.col("st_") * F.col("st_"))
+        .cast("double")
+    ) / (m * F.lit(100.0) * F.sqrt(F.lit(2.0)))
+    return agg.select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        sd1.alias("sd1"),
+        sd2.alias("sd2"),
+        F.try_divide(sd1, sd2).alias("sd1_sd2_ratio"),
+    )
+
+
+def rqa_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence quantification per event type (Webber & Zbilut
+    1994; Marwan et al. 2007, public literature): with recurrence
+    defined as |s_i - s_j| < eps (eps = 10 centi-units) on the hourly
+    series, RR = recurrent fraction of all ordered pairs (i < j) and
+    DET = the fraction of those recurrences that CONTINUE diagonally
+    (the (i+1, j+1) pair also recurs) — periodic/deterministic
+    dynamics put recurrences on long diagonals, noise scatters them.
+    The nonlinear-dynamics determinism readout next to
+    sample_entropy_counts / lz76_complexity.
+
+    EXACT cross-engine: every recurrence test is an integer
+    comparison; the diagonal-continuation test joins each pair with
+    its (i+1, j+1) shift — still pure integers; RR and DET are ONE
+    division each.
+
+    Scale shape: raw reduces to (type, hour) FIRST; the pair frame is
+    O(span^2) per series on that reduced frame (the
+    optimal_two_changepoints shape); the diagonal check is a
+    self-join of the RECURRENT pairs only (sparse)."""
+    eps = 10
+    seq = _hourly_candles(spark, sf_dir).persist()
+    a = seq.select(
+        "event_type", F.col("t").alias("i"), F.col("s").alias("si")
+    )
+    b = seq.select(
+        "event_type", F.col("t").alias("j"), F.col("s").alias("sj")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("j") > F.col("i"))
+        .select(
+            "event_type",
+            "i",
+            "j",
+            (F.abs(F.col("si") - F.col("sj")) < eps).alias("rec"),
+        )
+        .persist()
+    )
+    recs = pairs.filter(F.col("rec")).select("event_type", "i", "j")
+    nxt = recs.select(
+        "event_type",
+        (F.col("i") - 1).alias("i"),
+        (F.col("j") - 1).alias("j"),
+        F.lit(1).alias("cont"),
+    )
+    diag = recs.join(nxt, ["event_type", "i", "j"], "left").select(
+        "event_type", F.coalesce("cont", F.lit(0)).alias("cont")
+    )
+    counts = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("rec"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rec"),
+    )
+    dets = diag.groupBy("event_type").agg(
+        F.sum("cont").cast("long").alias("n_diag")
+    )
+    j = counts.join(dets, "event_type", "left").select(
+        "event_type",
+        "n_pairs",
+        "n_rec",
+        F.coalesce("n_diag", F.lit(0)).cast("long").alias("n_diag"),
+    )
+    return j.select(
+        "*",
+        (
+            F.col("n_rec").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("recurrence_rate"),
+        F.try_divide(
+            F.col("n_diag").cast("double"), F.col("n_rec").cast("double")
+        ).alias("determinism"),
+    )
+
+
+def spike_triggered_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike-triggered average between event-type pairs (the event
+    study / STA of neural coding, Schwartz et al. 2006 lineage,
+    public literature): around the hours where the TRIGGER series
+    exceeds its exact p90, average the RESPONSE series at offsets
+    -3..+3 hours — the propagation fingerprint ("views dip two hours
+    after error spikes") that lead_lag_argmax summarizes to one lag
+    but cannot show the shape of.
+
+    EXACT cross-engine: trigger hours come from the exact p90 rank
+    pick; the offset join is integer hour arithmetic; each (pair,
+    offset) cell emits an exact BIGINT sum and count and ONE
+    division.
+
+    Scale shape: raw reduces to (type, hour) FIRST; trigger hours are
+    a small filtered frame broadcast against the hourly frame with a
+    7-element literal offset explode; one hash agg to
+    |pairs| x 7 rows."""
+    seq = _hourly_candles(spark, sf_dir).persist()
+    wpos = Window.partitionBy("event_type").orderBy("s", "hr")
+    ranked = seq.select(
+        "event_type", "hr", "s", "n",
+        F.row_number().over(wpos).alias("pos"),
+    )
+    u = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == F.expr("(9 * n) div 10"), F.col("s"))
+        ).alias("u")
+    )
+    trig = (
+        seq.join(F.broadcast(u), "event_type")
+        .filter(F.col("s") > F.col("u"))
+        .select(
+            F.col("event_type").alias("trigger_type"),
+            F.col("hr").alias("t_hr"),
+        )
+    )
+    offs = trig.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in range(-3, 4)])
+        ).alias("off"),
+    )
+    resp = seq.select(
+        F.col("event_type").alias("response_type"),
+        F.col("hr").alias("r_hr"),
+        F.col("s").alias("rs"),
+    )
+    joined = offs.join(
+        resp,
+        (F.col("r_hr") == F.col("t_hr") + F.col("off"))
+        & (F.col("response_type") != F.col("trigger_type")),
+    )
+    agg = joined.groupBy("trigger_type", "response_type", "off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("rs").cast("long").alias("sum_rs"),
+    )
+    return agg.select(
+        "trigger_type",
+        "response_type",
+        "off",
+        "n_obs",
+        (
+            F.col("sum_rs").cast("double")
+            / (F.col("n_obs") * F.lit(100)).cast("double")
+        ).alias("sta_mean"),
+    )
