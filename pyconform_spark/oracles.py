@@ -8802,3 +8802,19 @@ SELECT trigger_type, response_type, off,
        sum(rs)::BIGINT::DOUBLE / (count(*) * 100)::DOUBLE AS sta_mean
 FROM stj GROUP BY 1, 2, 3
 """
+
+ORACLES["hourly_mix_hhi"] = """
+WITH cells AS (
+  SELECT floor((floor(epoch(ts))::BIGINT % 86400) / 3600)::BIGINT
+           AS hod,
+         event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT hod, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS tot,
+         sum(c * c)::BIGINT AS sq
+  FROM cells GROUP BY 1)
+SELECT hod, n_types, tot,
+       sq::DOUBLE / (tot * tot)::DOUBLE AS hhi,
+       (tot * tot)::DOUBLE / sq::DOUBLE AS effective_types
+FROM agg
+"""

@@ -17579,3 +17579,49 @@ def spike_triggered_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_obs") * F.lit(100)).cast("double")
         ).alias("sta_mean"),
     )
+
+
+def hourly_mix_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the event-type mix per
+    hour-of-day (the HHI of industrial-organization economics, public
+    literature): HHI = sum of squared type shares, and its inverse —
+    the "effective number of types" (Hill number of order 2) — both
+    as EXACT single divisions: HHI = sum(c_i^2)/(sum c)^2 and
+    eff_types = (sum c)^2 / sum(c_i^2).  A flat mix scores
+    eff ~ |types|; an hour owned by one producer scores ~1 — the
+    mix-skew view that type_gini_diversity (per-type Gini) and
+    calendar_profile (raw counts) don't collapse to.
+
+    EXACT cross-engine: counts are integers; both statistics are one
+    division of exact BIGINTs each.
+
+    Scale shape: one hash agg to (hod, type) cells, one rollup to 24
+    rows; the raw table is scanned once."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    cells = (
+        df.select(
+            F.floor((es % 86400) / 3600).cast("long").alias("hod"),
+            "event_type",
+        )
+        .groupBy("hod", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = cells.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    return agg.select(
+        "hod",
+        "n_types",
+        "tot",
+        (
+            F.col("sq").cast("double")
+            / (F.col("tot") * F.col("tot")).cast("double")
+        ).alias("hhi"),
+        (
+            (F.col("tot") * F.col("tot")).cast("double")
+            / F.col("sq").cast("double")
+        ).alias("effective_types"),
+    )
