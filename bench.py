@@ -246,6 +246,11 @@ BENCH_QUERIES = [
     "yue_pilon_mk",
     "l_moments_profile",
     "sprt_conversion",
+    "rqa_determinism",
+    "spike_triggered_average",
+    "mmr_diverse_topk",
+    "partial_correlation_triples",
+    "tail_dependence_pairs",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
