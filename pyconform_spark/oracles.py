@@ -8818,3 +8818,110 @@ SELECT hod, n_types, tot,
        (tot * tot)::DOUBLE / sq::DOUBLE AS effective_types
 FROM agg
 """
+
+ORACLES["kz_smooth"] = """
+WITH hourly AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS vsum
+  FROM events GROUP BY 1, 2),
+p1 AS (
+  SELECT event_type, hb, vsum,
+         CASE WHEN count(*) OVER w = 5
+              THEN sum(vsum) OVER w END::BIGINT AS s1
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+p2 AS (
+  SELECT event_type, hb, vsum,
+         CASE WHEN count(s1) OVER w = 5
+              THEN sum(s1) OVER w END::BIGINT AS s2
+  FROM p1
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+p3 AS (
+  SELECT event_type, hb, vsum,
+         CASE WHEN count(s2) OVER w = 5
+              THEN sum(s2) OVER w END::BIGINT AS s3
+  FROM p2
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+SELECT event_type, hb, vsum, s3::DOUBLE / 125 AS kz
+FROM p3 WHERE s3 IS NOT NULL
+"""
+
+ORACLES["ess_autocorr"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::HUGEINT AS vq,
+         lag(floor(value * 100)::HUGEINT, 1) OVER w AS l1,
+         lag(floor(value * 100)::HUGEINT, 2) OVER w AS l2,
+         lag(floor(value * 100)::HUGEINT, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, event_type,
+         count(*)::HUGEINT AS n,
+         sum(vq) AS s, sum(vq * vq) AS q,
+         sum(vq * l1) AS sxy1,
+         sum(CASE WHEN l1 IS NOT NULL THEN vq END) AS sx1, sum(l1) AS sy1,
+         sum(vq * l2) AS sxy2,
+         sum(CASE WHEN l2 IS NOT NULL THEN vq END) AS sx2, sum(l2) AS sy2,
+         sum(vq * l3) AS sxy3,
+         sum(CASE WHEN l3 IS NOT NULL THEN vq END) AS sx3, sum(l3) AS sy3
+  FROM base GROUP BY 1, 2),
+alg AS (
+  SELECT user_id, event_type, n,
+         (n*n*q - n*s*s) AS den,
+         (n*n*q - n*s*s)
+           + 2 * ((n*n*sxy1 - n*s*(sx1+sy1) + (n-1)*s*s)
+                + (n*n*sxy2 - n*s*(sx2+sy2) + (n-2)*s*s)
+                + (n*n*sxy3 - n*s*(sx3+sy3) + (n-3)*s*s)) AS tau_num
+  FROM g)
+SELECT user_id, event_type, n::BIGINT AS n_obs,
+       CASE WHEN den = 0 THEN NULL
+            ELSE tau_num::DOUBLE / den::DOUBLE END AS tau_int,
+       CASE WHEN tau_num = 0 THEN NULL
+            ELSE (n * den)::DOUBLE / tau_num::DOUBLE END AS ess
+FROM alg
+"""
+
+ORACLES["siegel_repeated_median"] = """
+WITH recent AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+k AS (SELECT * FROM recent WHERE rn <= 24),
+pairs AS (
+  SELECT a.user_id, a.event_type, a.rn AS r1,
+         a.vq - b.vq AS dv,
+         a.t_us - b.t_us AS dt_us
+  FROM k a JOIN k b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+  WHERE a.rn <> b.rn AND a.t_us <> b.t_us),
+sl AS (
+  SELECT user_id, event_type, r1, dv, dt_us,
+         CAST(dv AS DOUBLE) / CAST(dt_us AS DOUBLE) AS slope
+  FROM pairs),
+inner_ranked AS (
+  SELECT user_id, event_type, r1, slope,
+         row_number() OVER (PARTITION BY user_id, event_type, r1
+                            ORDER BY slope, dv, dt_us) AS irn,
+         count(*) OVER (PARTITION BY user_id, event_type, r1) AS inp
+  FROM sl),
+inner_med AS (
+  SELECT user_id, event_type, r1, slope AS med_i
+  FROM inner_ranked WHERE irn = (inp + 1) // 2),
+outer_ranked AS (
+  SELECT user_id, event_type, med_i, r1,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY med_i, r1) AS orn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_anchors
+  FROM inner_med)
+SELECT user_id, event_type, n_anchors::BIGINT AS n_anchors,
+       med_i AS slope,
+       med_i * CAST('864000000' AS DOUBLE) AS slope_per_day
+FROM outer_ranked WHERE orn = (n_anchors + 1) // 2
+"""

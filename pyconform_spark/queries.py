@@ -17625,3 +17625,239 @@ def hourly_mix_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sq").cast("double")
         ).alias("effective_types"),
     )
+
+
+def kz_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Zurbenko low-pass filter over the hourly volume
+    series per event_type: KZ(m=5, k=3) — three iterations of a
+    5-point centered moving average (public literature; the iterated-MA
+    filter whose transfer function is sinc^3, far steeper roll-off than
+    the single MA of savgol/median/hampel smoothers already in the
+    catalog).  Applied to the hourly centi-value volume (an integer
+    series), so all three passes are pure integer frame sums; the only
+    division is the final /125 (= 5^3).
+
+    EXACT cross-engine: each pass is sum over ROWS BETWEEN 2 PRECEDING
+    AND 2 FOLLOWING gated on a full 5-row frame (count == 5); integer
+    sums are exact; rows whose 3rd-pass support is incomplete are
+    dropped in both engines, so boundary semantics are identical.  The
+    filter runs over OBSERVED hours in hb order (documented: calendar
+    gaps are not re-gridded — gapfill_* are the re-gridding operators).
+
+    Scale shape: one hash aggregate to the hourly frame, then three
+    window passes sharing ONE (event_type, hb) sort — the per-type
+    hourly frame is |types| x |hours|, never the raw points."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            "event_type",
+            F.floor(es / 3600).cast("long").alias("hb"),
+            F.floor(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.sum("vq").cast("long").alias("vsum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-2, 2)
+    )
+    p1 = hourly.select(
+        "event_type",
+        "hb",
+        "vsum",
+        F.when(
+            F.count(F.lit(1)).over(w) == 5, F.sum("vsum").over(w)
+        ).alias("s1"),
+    )
+    p2 = p1.select(
+        "event_type",
+        "hb",
+        "vsum",
+        F.when(F.count("s1").over(w) == 5, F.sum("s1").over(w)).alias("s2"),
+    )
+    p3 = p2.select(
+        "event_type",
+        "hb",
+        "vsum",
+        F.when(F.count("s2").over(w) == 5, F.sum("s2").over(w)).alias("s3"),
+    )
+    return p3.filter(F.col("s3").isNotNull()).select(
+        "event_type",
+        "hb",
+        "vsum",
+        (F.col("s3").cast("double") / F.lit(125.0)).alias("kz"),
+    )
+
+
+def ess_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size per series via the integrated
+    autocorrelation time tau = 1 + 2*(rho_1 + rho_2 + rho_3) and
+    ESS = n / tau (the MCMC-diagnostics estimator, public literature,
+    truncated at lag 3 to match acf_lags) — the "how many independent
+    points does this autocorrelated series really carry" number a
+    rollup engine needs before quoting confidence intervals on tier
+    means.
+
+    EXACT cross-engine: with acf_lags' DECIMAL(38,0)/HUGEINT staging,
+    rho_k = num_k/den with num_k = n^2*sxy_k - n*S*(sx_k+sy_k) +
+    (n-k)*S^2 and den = n^2*Q - n*S^2, so
+
+        tau = (den + 2*(num_1+num_2+num_3)) / den
+        ess = n * den / (den + 2*(num_1+num_2+num_3))
+
+    — pure exact-integer numerators/denominators, ONE double division
+    each (try_divide: NULL on constant series or a vanishing truncated
+    tau sum).  A negative truncated tau (strong anticorrelation) is
+    reported as-is; callers clamp.
+
+    Scale shape: identical to acf_lags — one (series, ts) window sort
+    for the three lags, one map-side-combinable hash aggregate; output
+    is |series| rows."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        vq.alias("vq"),
+        *[F.lag(vq, k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(dec("vq")).alias("s"),
+        F.sum(dec("vq") * dec("vq")).alias("q"),
+    ]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(dec("vq") * dec(f"l{k}")).alias(f"sxy{k}"),
+            F.sum(
+                F.when(F.col(f"l{k}").isNotNull(), dec("vq"))
+            ).alias(f"sx{k}"),
+            F.sum(dec(f"l{k}")).alias(f"sy{k}"),
+        ]
+    g = staged.groupBy(*EKEYS).agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    den = n * n * q - n * s * s
+    nums = []
+    for k in (1, 2, 3):
+        nums.append(
+            n * n * F.col(f"sxy{k}")
+            - n * s * (F.col(f"sx{k}") + F.col(f"sy{k}"))
+            + (n - F.lit(k).cast("decimal(20,0)")) * s * s
+        )
+    tau_num = den + F.lit(2).cast("decimal(20,0)") * (
+        nums[0] + nums[1] + nums[2]
+    )
+    return g.select(
+        *EKEYS,
+        n.cast("long").alias("n_obs"),
+        F.try_divide(tau_num.cast("double"), den.cast("double")).alias(
+            "tau_int"
+        ),
+        F.try_divide(
+            (n * den).cast("double"), tau_num.cast("double")
+        ).alias("ess"),
+    )
+
+
+def siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median slope per series (Siegel 1982, public
+    literature): median over points i of ( median over j != i of the
+    pairwise slope (v_i - v_j)/(t_i - t_j) ) on the K = 24 most recent
+    samples — the 50%-breakdown robust trend (Theil-Sen, already in the
+    catalog, breaks down at 29%; this survives half the points being
+    corrupted).
+
+    EXACT cross-engine: slopes are ONE double division of
+    centi-quantized value deltas by epoch-microsecond time deltas; the
+    inner median per anchor point is the LOWER median picked by
+    row_number over (slope, dv, dt_us); the outer median is the LOWER
+    median over (inner_slope, r1) — r1 (the recency rank) is unique per
+    series, so both picks are fully deterministic, no averaging.
+    Same-timestamp pairs are excluded in both engines; anchors with no
+    valid pair drop out of the outer median identically.
+
+    Scale shape: the O(K^2) directed-pair blow-up (552 rows/series)
+    happens AFTER the top-K recency restriction — bounded per series
+    regardless of series length.  One window sort for recency, one
+    co-partitioned self-join, two window sorts for the nested medians."""
+    k = 24
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy(F.desc("t_us"), F.desc("event_id"))
+    recent = (
+        df.select(
+            *EKEYS,
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.floor(F.col("value").cast("double") * 100).cast("long").alias("vq"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    a = recent.select(
+        *EKEYS,
+        F.col("t_us").alias("t1"),
+        F.col("vq").alias("v1"),
+        F.col("rn").alias("r1"),
+    )
+    b = recent.select(
+        *EKEYS,
+        F.col("t_us").alias("t2"),
+        F.col("vq").alias("v2"),
+        F.col("rn").alias("r2"),
+    )
+    pairs = (
+        a.join(b, EKEYS)
+        .filter((F.col("r1") != F.col("r2")) & (F.col("t1") != F.col("t2")))
+        .select(
+            *EKEYS,
+            "r1",
+            (F.col("v1") - F.col("v2")).alias("dv"),
+            (F.col("t1") - F.col("t2")).alias("dt_us"),
+        )
+    )
+    sl = pairs.select(
+        *EKEYS,
+        "r1",
+        "dv",
+        "dt_us",
+        (F.col("dv").cast("double") / F.col("dt_us").cast("double")).alias(
+            "slope"
+        ),
+    )
+    wi = Window.partitionBy(*EKEYS, "r1").orderBy("slope", "dv", "dt_us")
+    wic = Window.partitionBy(*EKEYS, "r1")
+    inner = (
+        sl.select(
+            *EKEYS,
+            "r1",
+            "slope",
+            F.row_number().over(wi).alias("irn"),
+            F.count(F.lit(1)).over(wic).alias("inp"),
+        )
+        .filter(
+            F.col("irn") == ((F.col("inp") + F.lit(1)) / F.lit(2)).cast("int")
+        )
+        .select(*EKEYS, "r1", F.col("slope").alias("med_i"))
+    )
+    wo = Window.partitionBy(*EKEYS).orderBy("med_i", "r1")
+    woc = Window.partitionBy(*EKEYS)
+    outer = inner.select(
+        *EKEYS,
+        "med_i",
+        "r1",
+        F.row_number().over(wo).alias("orn"),
+        F.count(F.lit(1)).over(woc).alias("n_anchors"),
+    ).filter(
+        F.col("orn") == ((F.col("n_anchors") + F.lit(1)) / F.lit(2)).cast("int")
+    )
+    return outer.select(
+        *EKEYS,
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("med_i").alias("slope"),
+        (F.col("med_i") * F.lit(864000000.0)).alias("slope_per_day"),
+    )

@@ -2709,3 +2709,117 @@ def test_gumbel_moments_golden(spark, tmp_path):
     scale = math.sqrt(6.0 * var) / 3.141592653589793
     assert r["gumbel_scale"] == scale
     assert r["gumbel_location"] == 850.0 - 0.5772156649015329 * scale
+
+
+def test_kz_smooth_constant_series_identity(spark, tmp_path):
+    """A constant hourly volume (one event of value 2.0 per hour) is a
+    fixed point of the iterated MA: kz == vsum == 200 on every interior
+    hour; the 3rd-pass support needs hours 0-5 and n-6..n-1 dropped
+    (6 rows lost at each boundary of a 20-hour series -> 8 survivors)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "k", 2.0, "{}")
+            for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    out = Q.kz_smooth(spark, str(tmp_path)).collect()
+    assert len(out) == 20 - 12
+    assert all(r["kz"] == 200.0 and r["vsum"] == 200 for r in out)
+
+
+def test_kz_smooth_matches_numpy_triple_convolve(spark, tmp_path):
+    """Random integer hourly volumes vs numpy: three repeated
+    'valid'-mode length-5 box convolutions of the hourly sums."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 500, size=30)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "k", float(v), "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    out = {r["hb"]: r["kz"]
+           for r in Q.kz_smooth(spark, str(tmp_path)).collect()}
+    vq = (vals * 100).astype(np.int64)
+    box = np.ones(5)
+    sm = vq.astype(float)
+    for _ in range(3):
+        sm = np.convolve(sm, box, mode="valid")
+    sm = sm / 125.0
+    hb0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    expected = {hb0 + 6 + i: sm[i] for i in range(len(sm))}
+    assert out == expected
+
+
+def test_ess_autocorr_iid_alternation(spark, tmp_path):
+    """A +/- alternating series has rho_1 ~ -1, rho_2 ~ +1, rho_3 ~ -1:
+    the truncated tau and ESS must match the exact python mirror of the
+    integer algebra."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [1.0 if i % 2 == 0 else 3.0 for i in range(12)]
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "e", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.ess_autocorr(spark, str(tmp_path)).collect()
+    vq = [int(v * 100) for v in vals]
+    n = len(vq)
+    s = sum(vq)
+    q = sum(v * v for v in vq)
+    den = n * n * q - n * s * s
+    nums = []
+    for k in (1, 2, 3):
+        sxy = sum(vq[i] * vq[i - k] for i in range(k, n))
+        sx = sum(vq[i] for i in range(k, n))
+        sy = sum(vq[i - k] for i in range(k, n))
+        nums.append(n * n * sxy - n * s * (sx + sy) + (n - k) * s * s)
+    tau_num = den + 2 * sum(nums)
+    assert r["n_obs"] == n
+    assert r["tau_int"] == float(tau_num) / float(den)
+    assert r["ess"] == float(n * den) / float(tau_num)
+    # alternation: truncated tau is far below 1 (anticorrelation)
+    assert r["tau_int"] < 0.5
+
+
+def test_ess_autocorr_constant_series_null(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "c", 5.0, "{}")
+            for i in range(8)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.ess_autocorr(spark, str(tmp_path)).collect()
+    assert r["tau_int"] is None and r["ess"] is None
+
+
+def test_siegel_outlier_immune_vs_mirror(spark, tmp_path):
+    """A clean slope-1 line (value = i, hourly) with 40% of points
+    blown up by +1000: the repeated median still reports the clean
+    slope, and the value equals the exact python mirror of the nested
+    lower medians."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    n = 10
+    vals = [float(i) for i in range(n)]
+    for i in (1, 3, 5, 7):
+        vals[i] += 1000.0
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "s", vals[i], "{}")
+            for i in range(n)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.siegel_repeated_median(spark, str(tmp_path)).collect()
+
+    t_us = [int((t0 + dt.timedelta(hours=i))
+                .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            for i in range(n)]
+    vq = [int(v * 100) for v in vals]
+    # recency rank: most recent first
+    order = sorted(range(n), key=lambda i: -t_us[i])
+    rnk = {i: k + 1 for k, i in enumerate(order)}
+    inner = {}
+    for i in range(n):
+        sl = sorted(
+            ((vq[i] - vq[j]) / (t_us[i] - t_us[j]),
+             vq[i] - vq[j], t_us[i] - t_us[j])
+            for j in range(n) if j != i
+        )
+        inner[rnk[i]] = sl[(len(sl) + 1) // 2 - 1][0]
+    outer = sorted(inner.items(), key=lambda kv: (kv[1], kv[0]))
+    expect = outer[(len(outer) + 1) // 2 - 1][1]
+    assert r["slope"] == expect
+    assert r["slope_per_day"] == expect * 864000000.0
+    # the clean line is 1 unit/hour = 24 units/day, outliers ignored
+    assert abs(r["slope_per_day"] - 24.0) < 1e-9
