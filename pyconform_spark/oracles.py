@@ -8925,3 +8925,108 @@ SELECT user_id, event_type, n_anchors::BIGINT AS n_anchors,
        med_i * CAST('864000000' AS DOUBLE) AS slope_per_day
 FROM outer_ranked WHERE orn = (n_anchors + 1) // 2
 """
+
+ORACLES["roc_youden_threshold"] = """
+WITH cells AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         sum(CASE WHEN floor((floor(epoch(ts))::BIGINT % 86400) / 3600)
+                       BETWEEN 8 AND 17 THEN 1 ELSE 0 END)::BIGINT AS p_c,
+         sum(CASE WHEN floor((floor(epoch(ts))::BIGINT % 86400) / 3600)
+                       BETWEEN 8 AND 17 THEN 0 ELSE 1 END)::BIGINT AS n_c
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT event_type, vq, p_c, n_c,
+         sum(p_c) OVER w AS tp, sum(n_c) OVER w AS fp,
+         sum(p_c) OVER wt AS pos, sum(n_c) OVER wt AS neg
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY vq DESC),
+         wt AS (PARTITION BY event_type)),
+scored AS (
+  SELECT event_type, vq, tp, fp, pos, neg,
+         n_c::HUGEINT * (2 * tp::HUGEINT - p_c::HUGEINT) AS term,
+         tp * neg - fp * pos AS j_scaled
+  FROM staged),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_thresholds,
+         sum(term) AS auc_num,
+         max(pos)::BIGINT AS pos, max(neg)::BIGINT AS neg
+  FROM scored GROUP BY 1),
+best AS (
+  SELECT event_type, vq AS best_vq, tp AS best_tp, fp AS best_fp,
+         j_scaled AS best_j_scaled,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY j_scaled DESC, vq ASC) AS rk
+  FROM scored)
+SELECT a.event_type, a.pos, a.neg, a.n_thresholds,
+       CASE WHEN a.pos = 0 OR a.neg = 0 THEN NULL
+            ELSE a.auc_num::DOUBLE
+                 / (2::HUGEINT * a.pos::HUGEINT * a.neg::HUGEINT)::DOUBLE
+       END AS auc,
+       b.best_vq,
+       CASE WHEN a.pos = 0 THEN NULL
+            ELSE b.best_tp::DOUBLE / a.pos::DOUBLE END AS best_tpr,
+       CASE WHEN a.neg = 0 THEN NULL
+            ELSE b.best_fp::DOUBLE / a.neg::DOUBLE END AS best_fpr,
+       CASE WHEN a.pos * a.neg = 0 THEN NULL
+            ELSE b.best_j_scaled::DOUBLE / (a.pos * a.neg)::DOUBLE
+       END AS best_j
+FROM agg a JOIN best b ON a.event_type = b.event_type AND b.rk = 1
+"""
+
+ORACLES["cohen_kappa_detectors"] = """
+WITH base AS (
+  SELECT event_type, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+stats AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(vq::HUGEINT) AS s, sum(vq::HUGEINT * vq::HUGEINT) AS q
+  FROM base GROUP BY 1),
+medr AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vq, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM base),
+med AS (SELECT event_type, vq AS med FROM medr WHERE rn = (cnt + 1) // 2),
+devs AS (
+  SELECT b.event_type, b.event_id, b.vq, abs(b.vq - m.med) AS dev
+  FROM base b JOIN med m ON b.event_type = m.event_type),
+madr AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM devs),
+mad AS (SELECT event_type, dev AS mad FROM madr WHERE rn = (cnt + 1) // 2),
+flagged AS (
+  SELECT d.event_type,
+         ((d.vq::HUGEINT * st.n - st.s) * (d.vq::HUGEINT * st.n - st.s)
+            > 4 * (st.n * st.q - st.s * st.s)) AS af,
+         (d.dev > 4 * m.mad) AS bf
+  FROM devs d
+  JOIN mad m ON d.event_type = m.event_type
+  JOIN stats st ON d.event_type = st.event_type),
+conf AS (
+  SELECT event_type,
+         sum(CASE WHEN af AND bf THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN af AND NOT bf THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT af AND bf THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT af AND NOT bf THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM flagged GROUP BY 1)
+SELECT event_type, (a + b + c + d)::BIGINT AS n_obs, a, b, c, d,
+       CASE WHEN (a+b+c+d)::HUGEINT * (a+b+c+d)::HUGEINT
+                 - ((a+b)::HUGEINT*(a+c)::HUGEINT
+                    + (c+d)::HUGEINT*(b+d)::HUGEINT) = 0 THEN NULL
+            ELSE ((a+b+c+d)::HUGEINT * (a+d)::HUGEINT
+                  - ((a+b)::HUGEINT*(a+c)::HUGEINT
+                     + (c+d)::HUGEINT*(b+d)::HUGEINT))::DOUBLE
+                 / ((a+b+c+d)::HUGEINT * (a+b+c+d)::HUGEINT
+                    - ((a+b)::HUGEINT*(a+c)::HUGEINT
+                       + (c+d)::HUGEINT*(b+d)::HUGEINT))::DOUBLE
+       END AS kappa,
+       CASE WHEN a + b + c + d = 0 THEN NULL
+            ELSE (a + d)::DOUBLE / (a + b + c + d)::DOUBLE
+       END AS agree_rate
+FROM conf
+"""

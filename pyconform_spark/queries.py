@@ -17861,3 +17861,236 @@ def siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med_i").alias("slope"),
         (F.col("med_i") * F.lit(864000000.0)).alias("slope_per_day"),
     )
+
+
+def roc_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC analysis per event_type for the classifier "value >=
+    threshold predicts business hours": full threshold sweep over the
+    distinct centi-values, trapezoid AUC, and the Youden-J-optimal
+    alert threshold (J = TPR - FPR; Youden 1950, public literature) —
+    the alert-threshold picker an ops pipeline runs before arming a
+    static limit (limit_clamp / hysteresis_alerts consume the chosen
+    cut).
+
+    EXACT cross-engine: labels (hour-of-day in [8, 17]) and per-
+    threshold tp/fp are integers from ONE descending cumulative window
+    over the (type, vq) cells; the trapezoid identity
+
+        2*P*N*AUC = sum_t n_t * (2*tp_t - p_t)
+
+    (n_t / p_t = negatives / positives AT vq = t) makes the AUC
+    numerator an exact integer staged through DECIMAL(38,0) (at
+    10^12-row types the n^2-scale sum outgrows int64), so AUC is ONE
+    double division; ties in score are handled exactly (this equals
+    the midrank Mann-Whitney AUC).  J is maximized on the scaled
+    integer tp*N - fp*P with (J desc, vq asc) tie-break — fully
+    deterministic in both engines.
+
+    Scale shape: one hash aggregate to (type, vq) cells (bounded by
+    the centi-quantized value range, ~5e4 cells/type at ANY corpus
+    size), one window sort over cells, one per-type reduce."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hod = F.floor((es % 86400) / 3600).cast("long")
+    y = F.when((hod >= 8) & (hod <= 17), F.lit(1)).otherwise(F.lit(0))
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    cells = (
+        df.select(F.col("event_type"), vq.alias("vq"), y.alias("y"))
+        .groupBy("event_type", "vq")
+        .agg(
+            F.sum("y").cast("long").alias("p_c"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("vq"))
+    wt = Window.partitionBy("event_type")
+    staged = cells.select(
+        "event_type",
+        "vq",
+        "p_c",
+        "n_c",
+        F.sum("p_c").over(w).alias("tp"),
+        F.sum("n_c").over(w).alias("fp"),
+        F.sum("p_c").over(wt).alias("pos"),
+        F.sum("n_c").over(wt).alias("neg"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    term = dec("n_c") * (
+        F.lit(2).cast("decimal(38,0)") * dec("tp") - dec("p_c")
+    )
+    j_scaled = F.col("tp") * F.col("neg") - F.col("fp") * F.col("pos")
+    scored = staged.select(
+        "event_type",
+        "vq",
+        "tp",
+        "fp",
+        "pos",
+        "neg",
+        term.alias("term"),
+        j_scaled.alias("j_scaled"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.sum("term").alias("auc_num"),
+        F.max("pos").cast("long").alias("pos"),
+        F.max("neg").cast("long").alias("neg"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc("j_scaled"), F.asc("vq")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("vq").alias("best_vq"),
+            F.col("tp").alias("best_tp"),
+            F.col("fp").alias("best_fp"),
+            F.col("j_scaled").alias("best_j_scaled"),
+        )
+    )
+    out = agg.join(best, "event_type")
+    return out.select(
+        "event_type",
+        "pos",
+        "neg",
+        "n_thresholds",
+        F.try_divide(
+            F.col("auc_num").cast("double"),
+            (
+                F.lit(2).cast("decimal(38,0)")
+                * F.col("pos").cast("decimal(38,0)")
+                * F.col("neg").cast("decimal(38,0)")
+            ).cast("double"),
+        ).alias("auc"),
+        "best_vq",
+        F.try_divide(
+            F.col("best_tp").cast("double"), F.col("pos").cast("double")
+        ).alias("best_tpr"),
+        F.try_divide(
+            F.col("best_fp").cast("double"), F.col("neg").cast("double")
+        ).alias("best_fpr"),
+        F.try_divide(
+            F.col("best_j_scaled").cast("double"),
+            (F.col("pos") * F.col("neg")).cast("double"),
+        ).alias("best_j"),
+    )
+
+
+def cohen_kappa_detectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement per event_type between two independent
+    anomaly detectors — A: the mean/variance rule (|v - mean| > 2*sd)
+    and B: the median/MAD rule (|v - median| > 4*MAD) (Cohen 1960,
+    public literature) — the chance-corrected agreement score that
+    tells an alerting pipeline whether its redundant detectors actually
+    measure the same thing (anomaly_ensemble votes them; this
+    quantifies their association).
+
+    EXACT cross-engine: detector A fires on the INTEGER inequality
+    (n*v - S)^2 > 4*(n*Q - S^2) (the squared-z form, no sqrt) staged
+    through DECIMAL(38,0)/HUGEINT; detector B's median and MAD are
+    LOWER medians picked by row_number (no averaging), so its
+    inequality |v - med| > 4*MAD is pure integers; kappa multiplies out
+    to ONE double division
+
+        kappa = (n*(a+d) - pe) / (n^2 - pe),
+        pe = (a+b)*(a+c) + (c+d)*(b+d)
+
+    over the exact 2x2 confusion counts (try_divide: NULL when a
+    detector is constant and n^2 == pe).
+
+    Scale shape: per-type moment aggregate broadcast back; the two
+    median picks ride (type, vq)- and (type, dev)-partitioned window
+    sorts; one final hash aggregate to |types| rows."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        vq.alias("vq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("vq"))).alias("s"),
+        F.sum(dec(F.col("vq")) * dec(F.col("vq"))).alias("q"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        base.select(
+            "event_type",
+            "vq",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(
+            F.col("rn") == ((F.col("cnt") + F.lit(1)) / F.lit(2)).cast("int")
+        )
+        .select("event_type", F.col("vq").alias("med"))
+    )
+    devs = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "vq",
+        F.abs(F.col("vq") - F.col("med")).alias("dev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        devs.select(
+            "event_type",
+            "dev",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(
+            F.col("rn") == ((F.col("cnt") + F.lit(1)) / F.lit(2)).cast("int")
+        )
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    flagged = (
+        devs.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            (
+                (dec(F.col("vq")) * F.col("n") - F.col("s"))
+                * (dec(F.col("vq")) * F.col("n") - F.col("s"))
+                > F.lit(4).cast("decimal(38,0)")
+                * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            ).alias("af"),
+            (F.col("dev") > F.lit(4) * F.col("mad")).alias("bf"),
+        )
+    )
+    conf = flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("af") & F.col("bf"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("af") & ~F.col("bf"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("af") & F.col("bf"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("af") & ~F.col("bf"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("decimal(38,0)") for x in "abcd")
+    ntot = a + b + c + d
+    pe = (a + b) * (a + c) + (c + d) * (b + d)
+    return conf.select(
+        "event_type",
+        (a + b + c + d).cast("long").alias("n_obs"),
+        "a",
+        "b",
+        "c",
+        "d",
+        F.try_divide(
+            (ntot * (a + d) - pe).cast("double"),
+            (ntot * ntot - pe).cast("double"),
+        ).alias("kappa"),
+        F.try_divide((a + d).cast("double"), ntot.cast("double")).alias(
+            "agree_rate"
+        ),
+    )

@@ -1753,6 +1753,183 @@ FROM feat
 """
 
 
+# ------------------------------------------------------------ rouge overlap
+def rouge_consecutive(docs: DataFrame) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 overlap between each document and its
+    predecessor within the same source (Lin 2004, public literature) —
+    the n-gram recall/precision/F1 the LLM-eval stack quotes for
+    summary-vs-reference similarity, here as a crawl-adjacency audit
+    (high ROUGE between consecutive same-source docs = templated or
+    near-duplicated content that edit_distance_pairs' strict
+    Levenshtein misses on reordered text).
+
+    Clipped-count semantics: overlap = sum over grams of
+    min(count_cand(g), count_ref(g)); recall = ov/|ref grams|,
+    precision = ov/|cand grams|, F1 = 2*ov/(|ref|+|cand|) (the clipped
+    harmonic mean collapses to one exact division).
+
+    EXACT cross-engine: token/bigram counts are integers; each metric
+    is ONE double division of exact BIGINTs (NULL when a side is
+    empty).
+
+    Scale shape: gram frames are (doc, gram) hash aggregates; each
+    pair's overlap is an equi-join on (doc pair, gram) — work is
+    proportional to shared vocabulary, never |docs|^2 (pairs are the
+    lag-adjacency, one window sort by (source, doc_id))."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "source",
+            F.col("doc_id").alias("cand_id"),
+            F.lag("doc_id").over(w).alias("ref_id"),
+        )
+        .filter(F.col("ref_id").isNotNull())
+    )
+    toks = tokens(F.col("text"))
+    bi = F.transform(
+        index_seq(F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n1"),
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("long").alias("n2"),
+    )
+    out = pairs
+    for n, grams in ((1, toks), (2, bi)):
+        ex = (
+            docs.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        cand = ex.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
+        )
+        ref = ex.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc")
+        )
+        ov = (
+            pairs.join(cand, "cand_id")
+            .join(ref, ["ref_id", "g"])
+            .groupBy("cand_id", "ref_id")
+            .agg(F.sum(F.least("cc", "rc")).cast("long").alias(f"ov{n}"))
+        )
+        out = out.join(ov, ["cand_id", "ref_id"], "left")
+    ct = totals.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("n1").alias("cn1"),
+        F.col("n2").alias("cn2"),
+    )
+    rt = totals.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n1").alias("rn1"),
+        F.col("n2").alias("rn2"),
+    )
+    j = (
+        out.join(ct, "cand_id")
+        .join(rt, "ref_id")
+        .select(
+            "source",
+            "cand_id",
+            "ref_id",
+            "cn1",
+            "rn1",
+            F.coalesce("ov1", F.lit(0)).cast("long").alias("ov1"),
+            "cn2",
+            "rn2",
+            F.coalesce("ov2", F.lit(0)).cast("long").alias("ov2"),
+        )
+    )
+    dd = lambda a, b: F.try_divide(  # noqa: E731
+        F.col(a).cast("double"), b.cast("double")
+    )
+    return j.select(
+        "source",
+        "cand_id",
+        "ref_id",
+        "cn1",
+        "rn1",
+        "ov1",
+        dd("ov1", F.col("rn1")).alias("rouge1_r"),
+        dd("ov1", F.col("cn1")).alias("rouge1_p"),
+        F.try_divide(
+            (F.lit(2) * F.col("ov1")).cast("double"),
+            (F.col("rn1") + F.col("cn1")).cast("double"),
+        ).alias("rouge1_f"),
+        "cn2",
+        "rn2",
+        "ov2",
+        dd("ov2", F.col("rn2")).alias("rouge2_r"),
+        dd("ov2", F.col("cn2")).alias("rouge2_p"),
+        F.try_divide(
+            (F.lit(2) * F.col("ov2")).cast("double"),
+            (F.col("rn2") + F.col("cn2")).cast("double"),
+        ).alias("rouge2_f"),
+    )
+
+
+BIGRAMS_SQL = (
+    f"list_transform(generate_series(1, greatest(len({TOKENS_SQL}) - 1, 0)),"
+    f" i -> array_to_string(list_slice({TOKENS_SQL}, i, i + 1), ' '))"
+)
+
+ROUGE_CONSECUTIVE_SQL = f"""
+WITH pairs AS (
+  SELECT source, doc_id AS cand_id,
+         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+  FROM documents),
+p AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
+uni AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS g FROM documents)
+  GROUP BY 1, 2),
+bi AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({BIGRAMS_SQL}) AS g FROM documents)
+  GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, len({TOKENS_SQL})::BIGINT AS n1,
+         greatest(len({TOKENS_SQL}) - 1, 0)::BIGINT AS n2
+  FROM documents),
+ov1 AS (
+  SELECT p.cand_id, p.ref_id, sum(least(c1.c, c2.c))::BIGINT AS ov1
+  FROM p
+  JOIN uni c1 ON c1.doc_id = p.cand_id
+  JOIN uni c2 ON c2.doc_id = p.ref_id AND c2.g = c1.g
+  GROUP BY 1, 2),
+ov2 AS (
+  SELECT p.cand_id, p.ref_id, sum(least(c1.c, c2.c))::BIGINT AS ov2
+  FROM p
+  JOIN bi c1 ON c1.doc_id = p.cand_id
+  JOIN bi c2 ON c2.doc_id = p.ref_id AND c2.g = c1.g
+  GROUP BY 1, 2)
+SELECT p.source, p.cand_id, p.ref_id,
+       ct.n1 AS cn1, rt.n1 AS rn1,
+       coalesce(ov1.ov1, 0)::BIGINT AS ov1,
+       CASE WHEN rt.n1 = 0 THEN NULL
+            ELSE coalesce(ov1.ov1, 0)::DOUBLE / rt.n1::DOUBLE END AS rouge1_r,
+       CASE WHEN ct.n1 = 0 THEN NULL
+            ELSE coalesce(ov1.ov1, 0)::DOUBLE / ct.n1::DOUBLE END AS rouge1_p,
+       CASE WHEN rt.n1 + ct.n1 = 0 THEN NULL
+            ELSE (2 * coalesce(ov1.ov1, 0))::DOUBLE
+                 / (rt.n1 + ct.n1)::DOUBLE END AS rouge1_f,
+       ct.n2 AS cn2, rt.n2 AS rn2,
+       coalesce(ov2.ov2, 0)::BIGINT AS ov2,
+       CASE WHEN rt.n2 = 0 THEN NULL
+            ELSE coalesce(ov2.ov2, 0)::DOUBLE / rt.n2::DOUBLE END AS rouge2_r,
+       CASE WHEN ct.n2 = 0 THEN NULL
+            ELSE coalesce(ov2.ov2, 0)::DOUBLE / ct.n2::DOUBLE END AS rouge2_p,
+       CASE WHEN rt.n2 + ct.n2 = 0 THEN NULL
+            ELSE (2 * coalesce(ov2.ov2, 0))::DOUBLE
+                 / (rt.n2 + ct.n2)::DOUBLE END AS rouge2_f
+FROM p
+LEFT JOIN ov1 ON ov1.cand_id = p.cand_id AND ov1.ref_id = p.ref_id
+LEFT JOIN ov2 ON ov2.cand_id = p.cand_id AND ov2.ref_id = p.ref_id
+JOIN tot ct ON ct.doc_id = p.cand_id
+JOIN tot rt ON rt.doc_id = p.ref_id
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -1807,11 +1984,13 @@ def register_text_queries() -> dict[str, callable]:
         "split_leakage_audit": lambda s, d: split_leakage_audit(_docs(s, d)),
         "edit_distance_pairs": lambda s, d: edit_distance_consecutive(_docs(s, d)),
         "novelty_curve": lambda s, d: novelty_curve(_docs(s, d)),
+        "rouge_overlap_pairs": lambda s, d: rouge_consecutive(_docs(s, d)),
     }
 
 
 TEXT_ORACLES: dict[str, str] = {
     "dedup_exact": EXACT_DEDUP_SQL,
+    "rouge_overlap_pairs": ROUGE_CONSECUTIVE_SQL,
     "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
     "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),

@@ -871,3 +871,37 @@ def test_lang_id_kappa_perfect_and_degenerate(spark, tmp_path):
     docs2 = spark.read.parquet(f"{tmp_path}/documents.parquet")
     [r2] = lang_id_kappa(docs2).collect()
     assert r2["kappa"] is None and r2["agreement"] == "chance"
+
+
+def test_rouge_identical_consecutive_docs_f1_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),
+            (2, "a b c d", "s"),
+            (3, "a a b", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["cand_id"]: r
+           for r in textops.rouge_consecutive(docs).collect()}
+    assert set(out) == {2, 3}
+    r2 = out[2]
+    assert (r2["ov1"], r2["ov2"]) == (4, 3)
+    assert r2["rouge1_f"] == 1.0 and r2["rouge2_f"] == 1.0
+    # clipping: cand "a a b" vs ref "a b c d" -> unigram ov = min(2,1)+1 = 2
+    r3 = out[3]
+    assert r3["ov1"] == 2
+    assert r3["rouge1_p"] == 2.0 / 3.0 and r3["rouge1_r"] == 2.0 / 4.0
+    # bigrams: cand {"a a","a b"} vs ref {"a b","b c","c d"} -> ov2 = 1
+    assert r3["ov2"] == 1
+
+
+def test_rouge_empty_side_is_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y", "s"), (2, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    [r] = textops.rouge_consecutive(docs).collect()
+    assert r["cand_id"] == 2
+    assert r["ov1"] == 0 and r["rouge1_p"] is None
+    assert r["rouge1_r"] == 0.0  # ref has 2 tokens, zero matched

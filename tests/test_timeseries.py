@@ -2823,3 +2823,62 @@ def test_siegel_outlier_immune_vs_mirror(spark, tmp_path):
     assert r["slope_per_day"] == expect * 864000000.0
     # the clean line is 1 unit/hour = 24 units/day, outliers ignored
     assert abs(r["slope_per_day"] - 24.0) < 1e-9
+
+
+def test_roc_perfect_separation_auc_one(spark, tmp_path):
+    """Business-hour values 9.0, off-hour values 1.0: the score
+    separates perfectly -> AUC = 1, Youden J = 1 at threshold 900."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(48):
+        hod = i % 24
+        v = 9.0 if 8 <= hod <= 17 else 1.0
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "r", v, "{}"))
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.roc_youden_threshold(spark, str(tmp_path)).collect()
+    assert (r["pos"], r["neg"]) == (20, 28)
+    assert r["auc"] == 1.0
+    assert r["best_vq"] == 900 and r["best_j"] == 1.0
+    assert r["best_tpr"] == 1.0 and r["best_fpr"] == 0.0
+
+
+def test_roc_useless_score_auc_half(spark, tmp_path):
+    """The same constant value everywhere: one threshold, AUC must be
+    exactly 0.5 (the tie-midrank trapezoid), J = 0."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "u", 5.0, "{}")
+            for i in range(24)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.roc_youden_threshold(spark, str(tmp_path)).collect()
+    assert r["n_thresholds"] == 1
+    assert r["auc"] == 0.5 and r["best_j"] == 0.0
+
+
+def test_cohen_kappa_detectors_golden_mirror(spark, tmp_path):
+    """Random-ish integer series vs an exact python mirror of both
+    detector rules and the kappa algebra."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [3.0, 5.0, 4.0, 100.0, 5.0, 6.0, 4.0, 5.0, 90.0, 5.0,
+            4.0, 6.0, 5.0, 4.0, 5.0]
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "g", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.cohen_kappa_detectors(spark, str(tmp_path)).collect()
+    vq = [int(v * 100) for v in vals]
+    n = len(vq)
+    s = sum(vq)
+    q = sum(v * v for v in vq)
+    med = sorted(vq)[(n + 1) // 2 - 1]
+    devs = [abs(v - med) for v in vq]
+    mad = sorted(devs)[(n + 1) // 2 - 1]
+    af = [(n * v - s) ** 2 > 4 * (n * q - s * s) for v in vq]
+    bf = [d > 4 * mad for d in devs]
+    a = sum(1 for x, y in zip(af, bf) if x and y)
+    b = sum(1 for x, y in zip(af, bf) if x and not y)
+    c = sum(1 for x, y in zip(af, bf) if not x and y)
+    d = sum(1 for x, y in zip(af, bf) if not x and not y)
+    pe = (a + b) * (a + c) + (c + d) * (b + d)
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+    assert r["kappa"] == float(n * (a + d) - pe) / float(n * n - pe)
+    # both rules flag the two gross outliers -> strong agreement
+    assert r["kappa"] > 0.5
