@@ -9030,3 +9030,50 @@ SELECT event_type, (a + b + c + d)::BIGINT AS n_obs, a, b, c, d,
        END AS agree_rate
 FROM conf
 """
+
+ORACLES["bh_fdr_alerts"] = """
+WITH base AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es,
+         floor(value * 100)::HUGEINT AS vq
+  FROM events),
+spans AS (
+  SELECT user_id, event_type,
+         floor((min(es) + max(es)) / 2)::BIGINT AS mid
+  FROM base GROUP BY 1, 2),
+g AS (
+  SELECT b.user_id, b.event_type,
+         sum(CASE WHEN b.es <= sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n1,
+         sum(CASE WHEN b.es <= sp.mid THEN b.vq END) AS s1,
+         sum(CASE WHEN b.es <= sp.mid THEN b.vq * b.vq END) AS q1,
+         sum(CASE WHEN b.es > sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n2,
+         sum(CASE WHEN b.es > sp.mid THEN b.vq END) AS s2,
+         sum(CASE WHEN b.es > sp.mid THEN b.vq * b.vq END) AS q2
+  FROM base b
+  JOIN spans sp ON b.user_id = sp.user_id AND b.event_type = sp.event_type
+  GROUP BY 1, 2
+  HAVING n1 > 0 AND n2 > 0 AND n1 + n2 >= 3),
+alg AS (
+  SELECT user_id, event_type, n1, n2,
+         (s1*n2 - s2*n1) * (s1*n2 - s2*n1) * (n1 + n2 - 2) AS zn,
+         (n1*n2*(q1+q2) - n2*s1*s1 - n1*s2*s2) * (n1 + n2) AS zd
+  FROM g),
+staged AS (
+  SELECT user_id, event_type, n1::BIGINT AS n_early, n2::BIGINT AS n_late,
+         zn, zd,
+         CASE WHEN zn = 0 THEN 1.0
+              ELSE least(1.0, zd::DOUBLE / zn::DOUBLE) END AS p_bound
+  FROM alg),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_bound, user_id, event_type) AS k,
+         count(*) OVER () AS m_tests
+  FROM staged),
+flagged AS (
+  SELECT user_id, event_type, n_early, n_late, p_bound, k, m_tests,
+         CASE WHEN zn > 0 AND zd * 20 * m_tests <= zn * k
+              THEN k END AS k_ok
+  FROM ranked)
+SELECT user_id, event_type, n_early, n_late, p_bound,
+       k::BIGINT AS bh_rank, m_tests::BIGINT AS m_tests,
+       (k <= coalesce(max(k_ok) OVER (), 0)) AS significant
+FROM flagged
+"""

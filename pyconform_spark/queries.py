@@ -18094,3 +18094,122 @@ def cohen_kappa_detectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agree_rate"
         ),
     )
+
+
+def bh_fdr_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (BH 1995, public literature)
+    across ALL per-series early-vs-late mean-shift tests at once — the
+    multiple-testing correction a fleet-wide drift monitor needs: with
+    ~10^6 series, 5% of uncorrected per-series tests fire by chance
+    every scan; BH bounds the EXPECTED FALSE-DISCOVERY FRACTION at 5%
+    instead.
+
+    The per-series p-value is the distribution-free Chebyshev bound
+    p <= 1/z^2 on the pooled two-sample mean-shift z (no normality
+    assumption, and — unlike the normal tail — free of transcendental
+    functions, so it stays EXACT cross-engine):
+
+        z^2 = ZN/ZD,  ZN = (S1*n2 - S2*n1)^2 * (n1+n2-2),
+                      ZD = (n1*n2*(Q1+Q2) - n2*S1^2 - n1*S2^2) * (n1+n2)
+
+    (pure integers via DECIMAL(38,0)/HUGEINT).  BH's step-up rule
+    "p_(k) <= k*alpha/m" at alpha = 1/20 is evaluated WITHOUT computing
+    any p-value: ZD*20*m <= ZN*k — an exact integer comparison; the
+    reported p_bound = min(1, ZD/ZN) is one double division used only
+    for the deterministic ordering (ties broken by series key).
+
+    Scale shape: one hash aggregate to |series| rows; the BH ranking
+    windows run over that already-reduced frame (documented global
+    window over |series|, never the raw points)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    base = df.select(*EKEYS, es.alias("es"), vq.alias("vq"))
+    spans = base.groupBy(*EKEYS).agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    early = F.col("es") <= F.col("mid")
+    h = base.join(F.broadcast(spans), EKEYS)
+    g = (
+        h.groupBy(*EKEYS)
+        .agg(
+            F.sum(F.when(early, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("n1"),
+            F.sum(F.when(early, dec(F.col("vq")))).alias("s1"),
+            F.sum(F.when(early, dec(F.col("vq")) * dec(F.col("vq")))).alias(
+                "q1"
+            ),
+            F.sum(F.when(~early, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("n2"),
+            F.sum(F.when(~early, dec(F.col("vq")))).alias("s2"),
+            F.sum(F.when(~early, dec(F.col("vq")) * dec(F.col("vq")))).alias(
+                "q2"
+            ),
+        )
+        .filter(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") >= 3)
+        )
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    zn = (
+        (s1 * n2 - s2 * n1)
+        * (s1 * n2 - s2 * n1)
+        * (n1 + n2 - F.lit(2).cast("decimal(38,0)"))
+    )
+    zd = (n1 * n2 * (q1 + q2) - n2 * s1 * s1 - n1 * s2 * s2) * (n1 + n2)
+    staged = g.select(
+        *EKEYS,
+        n1.cast("long").alias("n_early"),
+        n2.cast("long").alias("n_late"),
+        zn.alias("zn"),
+        zd.alias("zd"),
+        F.when(zn == 0, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0), F.col("zd").cast("double") / zn.cast("double")
+            )
+        )
+        .alias("p_bound"),
+    )
+    wr = Window.orderBy("p_bound", *EKEYS)
+    wg = Window.partitionBy()
+    ranked = staged.select(
+        *EKEYS,
+        "n_early",
+        "n_late",
+        "zn",
+        "zd",
+        "p_bound",
+        F.row_number().over(wr).alias("k"),
+        F.count(F.lit(1)).over(wg).alias("m_tests"),
+    )
+    cond = (F.col("zn") > 0) & (
+        F.col("zd") * F.lit(20).cast("decimal(38,0)")
+        * F.col("m_tests").cast("decimal(38,0)")
+        <= F.col("zn") * F.col("k").cast("decimal(38,0)")
+    )
+    flagged = ranked.select(
+        *EKEYS,
+        "n_early",
+        "n_late",
+        "p_bound",
+        "k",
+        F.col("m_tests").cast("long").alias("m_tests"),
+        F.when(cond, F.col("k")).alias("k_ok"),
+    )
+    kstar = F.coalesce(F.max("k_ok").over(wg), F.lit(0))
+    return flagged.select(
+        *EKEYS,
+        "n_early",
+        "n_late",
+        "p_bound",
+        F.col("k").cast("long").alias("bh_rank"),
+        "m_tests",
+        (F.col("k") <= kstar).alias("significant"),
+    )

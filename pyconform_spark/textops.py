@@ -1930,6 +1930,140 @@ JOIN tot rt ON rt.doc_id = p.ref_id
 """
 
 
+# ----------------------------------------------------- corpus accounting
+def corpus_token_budget(docs: DataFrame) -> DataFrame:
+    """Training-token budget accounting per (source, lang): docs,
+    chars, bytes, whitespace tokens, BPE-ish subword tokens, and the
+    tokens/doc, bytes/token, tokens/char ratios — the first query every
+    LLM data pipeline runs ("how many tokens do we actually have, and
+    what is this corpus's tokenizer fertility per slice").
+
+    EXACT cross-engine: all counts are integers (char length, byte
+    length, array lengths of the shared-regex token extraction); each
+    ratio is ONE double division (NULL on empty slices via try_divide).
+
+    Scale shape: a single scan + one hash aggregate to the
+    |sources| x |langs| frame; the BPE-ish regex is the same Java/RE2-
+    compatible pattern text_token_bpeish already cross-validates."""
+    toks = tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPEISH_RE), 0)
+    staged = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+        F.size(toks).cast("long").alias("ws_toks"),
+        F.size(bpe).cast("long").alias("bpe_toks"),
+    )
+    g = staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.sum("ws_toks").cast("long").alias("n_ws_tokens"),
+        F.sum("bpe_toks").cast("long").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.try_divide(
+            F.col("n_bpe_tokens").cast("double"),
+            F.col("n_docs").cast("double"),
+        ).alias("tokens_per_doc"),
+        F.try_divide(
+            F.col("n_bytes").cast("double"),
+            F.col("n_bpe_tokens").cast("double"),
+        ).alias("bytes_per_token"),
+        F.try_divide(
+            F.col("n_bpe_tokens").cast("double"),
+            F.col("n_chars").cast("double"),
+        ).alias("tokens_per_char"),
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = f"""
+WITH staged AS (
+  SELECT source, lang,
+         length(text)::BIGINT AS chars,
+         strlen(text)::BIGINT AS bytes,
+         len({TOKENS_SQL})::BIGINT AS ws_toks,
+         len(regexp_extract_all(text, '{BPEISH_RE}'))::BIGINT AS bpe_toks
+  FROM documents),
+g AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(chars)::BIGINT AS n_chars, sum(bytes)::BIGINT AS n_bytes,
+         sum(ws_toks)::BIGINT AS n_ws_tokens,
+         sum(bpe_toks)::BIGINT AS n_bpe_tokens
+  FROM staged GROUP BY 1, 2)
+SELECT source, lang, n_docs, n_chars, n_bytes, n_ws_tokens, n_bpe_tokens,
+       CASE WHEN n_docs = 0 THEN NULL
+            ELSE n_bpe_tokens::DOUBLE / n_docs::DOUBLE END AS tokens_per_doc,
+       CASE WHEN n_bpe_tokens = 0 THEN NULL
+            ELSE n_bytes::DOUBLE / n_bpe_tokens::DOUBLE END AS bytes_per_token,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE n_bpe_tokens::DOUBLE / n_chars::DOUBLE END AS tokens_per_char
+FROM g
+"""
+
+
+def dedup_savings_histogram(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram + the dedup savings ledger: for
+    each exact-duplicate cluster size c, how many clusters exist, how
+    many documents and characters they hold, and how many of those an
+    exact dedup pass deletes ((c-1) per cluster) — the economics
+    readout that justifies (or kills) a dedup stage before it runs at
+    100 TB.
+
+    EXACT cross-engine: pure integer counts through two hash
+    aggregates.
+
+    Scale shape: group-by text (at 10^12 docs: by md5(text), as
+    exact_dedup documents) then group-by cluster size — output is the
+    tiny |distinct sizes| frame."""
+    clusters = docs.groupBy("text").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.length(F.first("text")).cast("long").alias("chars"),
+    )
+    return (
+        clusters.groupBy("copies")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("copies") * F.col("chars"))
+            .cast("long")
+            .alias("chars_total"),
+            F.sum((F.col("copies") - 1) * F.col("chars"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .select(
+            "copies",
+            "n_clusters",
+            (F.col("copies") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("copies") - 1) * F.col("n_clusters")).alias("docs_removed"),
+            "chars_total",
+            "chars_saved",
+        )
+    )
+
+
+DEDUP_SAVINGS_SQL = """
+WITH clusters AS (
+  SELECT text, count(*)::BIGINT AS copies,
+         length(text)::BIGINT AS chars
+  FROM documents GROUP BY text)
+SELECT copies, count(*)::BIGINT AS n_clusters,
+       (copies * count(*))::BIGINT AS n_docs,
+       ((copies - 1) * count(*))::BIGINT AS docs_removed,
+       sum(copies * chars)::BIGINT AS chars_total,
+       sum((copies - 1) * chars)::BIGINT AS chars_saved
+FROM clusters GROUP BY copies
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -1985,12 +2119,16 @@ def register_text_queries() -> dict[str, callable]:
         "edit_distance_pairs": lambda s, d: edit_distance_consecutive(_docs(s, d)),
         "novelty_curve": lambda s, d: novelty_curve(_docs(s, d)),
         "rouge_overlap_pairs": lambda s, d: rouge_consecutive(_docs(s, d)),
+        "corpus_token_budget": lambda s, d: corpus_token_budget(_docs(s, d)),
+        "dedup_savings_histogram": lambda s, d: dedup_savings_histogram(_docs(s, d)),
     }
 
 
 TEXT_ORACLES: dict[str, str] = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "rouge_overlap_pairs": ROUGE_CONSECUTIVE_SQL,
+    "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
+    "dedup_savings_histogram": DEDUP_SAVINGS_SQL,
     "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
     "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),

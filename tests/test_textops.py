@@ -905,3 +905,33 @@ def test_rouge_empty_side_is_null(spark):
     assert r["cand_id"] == 2
     assert r["ov1"] == 0 and r["rouge1_p"] is None
     assert r["rouge1_r"] == 0.0  # ref has 2 tokens, zero matched
+
+
+def test_dedup_savings_histogram_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "aaaa"), (4, "bb"), (5, "bb"),
+         (6, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["copies"]: r
+           for r in textops.dedup_savings_histogram(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["n_clusters"] == 1 and out[3]["docs_removed"] == 2
+    assert out[3]["chars_saved"] == 8 and out[3]["chars_total"] == 12
+    assert out[2]["chars_saved"] == 2
+    assert out[1]["docs_removed"] == 0 and out[1]["chars_saved"] == 0
+
+
+def test_corpus_token_budget_ratios(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello world", "en", "web"), (2, "a b c", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    [r] = textops.corpus_token_budget(docs).collect()
+    # BPE-ish: "Hello" -> H? no: [A-Z][a-z0-9]* matches "Hello"; "world";
+    # "a","b","c" -> 5 subword tokens total
+    assert r["n_docs"] == 2 and r["n_ws_tokens"] == 5
+    assert r["n_bpe_tokens"] == 5
+    assert r["n_chars"] == 16 and r["n_bytes"] == 16
+    assert r["tokens_per_doc"] == 2.5
+    assert r["bytes_per_token"] == 16 / 5

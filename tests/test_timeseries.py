@@ -2882,3 +2882,45 @@ def test_cohen_kappa_detectors_golden_mirror(spark, tmp_path):
     assert r["kappa"] == float(n * (a + d) - pe) / float(n * n - pe)
     # both rules flag the two gross outliers -> strong agreement
     assert r["kappa"] > 0.5
+
+
+def test_bh_fdr_one_strong_shift_flagged(spark, tmp_path):
+    """19 stable series + 1 series with a massive level shift: BH at
+    FDR 0.05 flags exactly the shifted series (Chebyshev bound is
+    conservative but the shift's z^2 is enormous), and the rule
+    replays the exact integer algebra."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(20):
+        for i in range(40):
+            # stable: alternate 5.0/5.02; shifted series: 1.0 -> 9.0
+            if u == 7:
+                v = 1.0 if i < 20 else 9.0
+            else:
+                v = 5.0 if i % 2 == 0 else 5.02
+            rows.append((eid, t0 + dt.timedelta(hours=i), u, "t", v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = Q.bh_fdr_alerts(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    sig = {r["user_id"] for r in out if r["significant"]}
+    assert sig == {7}
+    [r7] = [r for r in out if r["user_id"] == 7]
+    assert r7["bh_rank"] == 1 and r7["m_tests"] == 20
+    assert r7["p_bound"] < 0.05 / 20
+
+
+def test_bh_fdr_no_shift_none_flagged(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(30):
+            v = 5.0 if (i + u) % 2 == 0 else 7.0
+            rows.append((eid, t0 + dt.timedelta(hours=i), u, "t", v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = Q.bh_fdr_alerts(spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    assert not any(r["significant"] for r in out)
