@@ -1309,18 +1309,19 @@ import math as _math
 _HLL_CORR = [float(_HLL_M) * _math.log(float(_HLL_M) / z) for z in range(1, _HLL_M + 1)]
 
 
-def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-user sketch per event_type, built from
-    first principles as a composition of DataFrame ops (Flajolet et
-    al. 2007) and DETERMINISTIC cross-engine: md5-derived hashes, and
-    an estimator made only of dyadic rationals (2^-rank sums are exact
-    in float64 regardless of order) and one final division — no ln()
-    small-range correction, so the raw estimate is bit-identical in
-    DuckDB.  Exact count_distinct rides along to show the error."""
+def hll_registers(df: DataFrame, keys: list[str] | None = None,
+                  id_col: str = "user_id") -> DataFrame:
+    """HyperLogLog register table per key: (keys..., _b, m) with
+    m = max rank witnessed in bucket _b — the max-mergeable sketch
+    state shared by hll_distinct_users (batch), hll_tier_merge (tier
+    composition proof) and streaming.stream_hll_registers (continuous
+    cardinality).  md5-derived hashes, pure integer rank extraction —
+    deterministic cross-engine.  Works on batch AND streaming frames
+    (one stateful max-aggregate, state bounded at |keys| * 512 rows)."""
     from pyconform_spark.textops import md5_lower64
 
-    df = _events(spark, sf_dir)
-    h = md5_lower64(F.col("user_id").cast("string"))
+    keys = list(keys or ["event_type"])
+    h = md5_lower64(F.col(id_col).cast("string"))
     bucket = (h % _HLL_M).cast("long")
     w32 = (((h - (h % _HLL_M)) / _HLL_M) % F.lit(1 << 32).cast("decimal(20,0)")).cast(
         "long"
@@ -1330,40 +1331,60 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = rank.when(
             F.col("_w") % (1 << (k + 1)) == (1 << k), F.lit(k + 1)
         )
-    per_bucket = (
-        df.select(
-            "event_type", bucket.alias("_b"), w32.alias("_w")
-        )
-        .select("event_type", "_b", rank.alias("_rank"))
-        .groupBy("event_type", "_b")
+    return (
+        df.select(*keys, bucket.alias("_b"), w32.alias("_w"))
+        .select(*keys, "_b", rank.alias("_rank"))
+        .groupBy(*keys, "_b")
         .agg(F.max("_rank").alias("m"))
     )
-    agg = per_bucket.groupBy("event_type").agg(
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                keys: list[str] | None = None) -> DataFrame:
+    """Fold an hll_registers table to the cardinality estimate.  The
+    estimator uses only dyadic rationals (2^-rank sums are exact in
+    float64 regardless of order) and one final division; the
+    small-range linear-counting correction's ln() is NOT cross-engine
+    bit-stable (Java Math.log vs libm differ by 1 ulp on ~7% of
+    inputs), so the 512 possible correction values are precomputed in
+    Python and embedded as literals in BOTH the Spark plan and the
+    oracle SQL — table lookup, no transcendental call."""
+    keys = list(keys or ["event_type"])
+    agg = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
         F.count(F.lit(1)).alias("_nb"),
     )
     sum_inv = F.col("_s") + (_HLL_M - F.col("_nb"))  # absent buckets: 2^0
     raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_inv
     zeros = F.lit(_HLL_M) - F.col("_nb")
-    # small-range linear-counting correction (Flajolet §4).  ln() is
-    # NOT cross-engine bit-stable (Java Math.log vs libm differ by 1
-    # ulp on ~7% of inputs), so the 512 possible correction values are
-    # precomputed in Python and embedded as literals in BOTH the Spark
-    # plan and the oracle SQL — table lookup, no transcendental call.
     corr = F.element_at(
         F.array(*[F.lit(v) for v in _HLL_CORR]), zeros.cast("int")
     )
     est = F.when((raw <= 2.5 * _HLL_M) & (zeros > 0), corr).otherwise(raw)
+    return agg.select(*keys, est.cast("double").alias("hll_estimate"))
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event_type, built from
+    first principles as a composition of DataFrame ops (Flajolet et
+    al. 2007) and DETERMINISTIC cross-engine: md5-derived hashes, and
+    an estimator made only of dyadic rationals (2^-rank sums are exact
+    in float64 regardless of order) and one final division — no ln()
+    small-range correction, so the raw estimate is bit-identical in
+    DuckDB.  Exact count_distinct rides along to show the error.
+    (Register build + fold live in hll_registers /
+    hll_estimate_from_registers, shared with the streaming twin.)"""
+    df = _events(spark, sf_dir)
     exact = (
         df.groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("exact_distinct"))
     )
     return (
-        agg.select("event_type", est.alias("hll_estimate"))
+        hll_estimate_from_registers(hll_registers(df))
         .join(exact, "event_type")
         .select(
             "event_type",
-            F.col("hll_estimate").cast("double").alias("hll_estimate"),
+            "hll_estimate",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
     )

@@ -1647,3 +1647,24 @@ def stream_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hll_registers(stream: DataFrame) -> DataFrame:
+    """Continuous cardinality: HyperLogLog registers per event_type as
+    a STREAMING stateful max-aggregate — the streaming twin of
+    queries.hll_distinct_users (same md5 hash, same bucket/rank
+    staging via the shared queries.hll_registers builder).
+
+    Emits (event_type, _b, m) register updates in UPDATE mode.  No
+    watermark, deliberately: register state never expires and is
+    bounded at |event_types| x 512 rows regardless of stream length —
+    the sketch IS the eviction policy.  Registers are max-mergeable,
+    so folding the memory-sink updates with max over (event_type, _b)
+    yields exactly the batch register table at any point; feed that to
+    queries.hll_estimate_from_registers for the estimate (a second
+    unwindowed stateful agg cannot be chained in one streaming query,
+    so the fold-at-read split mirrors how a production job would serve
+    the estimate from the continuously-maintained register store)."""
+    from pyconform_spark import queries as Q
+
+    return Q.hll_registers(stream)

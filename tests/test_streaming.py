@@ -1222,3 +1222,54 @@ def test_stream_cusum_matches_batch_bitwise(spark, tmp_path):
     # was never exercised
     n_pre = events.where(F.col("ts") < cut).count()
     assert 0 < n_pre < events.count()
+
+
+def test_stream_hll_registers_fold_matches_batch(spark, tmp_path):
+    """Streaming HLL register updates, max-folded at read, must equal
+    the batch register table bit-for-bit across a mid-corpus
+    micro-batch split — and the folded estimate must equal
+    hll_distinct_users' estimate exactly."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "hll_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_hll_registers(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hllstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = (
+        spark.table("hllstream")
+        .groupBy("event_type", "_b")
+        .agg(F.max("m").alias("m"))
+    )
+    want = Q.hll_registers(events)
+    assert _rows(folded) == _rows(want)
+    got_est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in Q.hll_estimate_from_registers(folded).collect()
+    }
+    want_est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in Q.hll_distinct_users(spark, sf).collect()
+    }
+    assert got_est == want_est
