@@ -9077,3 +9077,60 @@ SELECT user_id, event_type, n_early, n_late, p_bound,
        (k <= coalesce(max(k_ok) OVER (), 0)) AS significant
 FROM flagged
 """
+
+ORACLES["tail_expected_shortfall"] = """
+WITH ranked AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY floor(value * 100)::BIGINT,
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+staged AS (
+  SELECT event_type, vq, rn, n,
+         (19 * n + 19) // 20 AS k95,
+         (99 * n + 99) // 100 AS k99
+  FROM ranked)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = k95 THEN vq END)::BIGINT AS var95,
+       sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END)::BIGINT AS t95_n,
+       CASE WHEN sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE sum(CASE WHEN rn >= k95 THEN vq END)::BIGINT::DOUBLE
+                 / sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       END AS es95,
+       max(CASE WHEN rn = k99 THEN vq END)::BIGINT AS var99,
+       sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END)::BIGINT AS t99_n,
+       CASE WHEN sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE sum(CASE WHEN rn >= k99 THEN vq END)::BIGINT::DOUBLE
+                 / sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       END AS es99
+FROM staged GROUP BY event_type
+"""
+
+ORACLES["median_of_means"] = """
+WITH base AS (
+  SELECT user_id, event_type, floor(value * 100)::BIGINT AS vq,
+         (row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) - 1) % 8 AS blk
+  FROM events),
+blocks AS (
+  SELECT user_id, event_type, blk,
+         sum(vq)::BIGINT AS bs, count(*)::BIGINT AS bn
+  FROM base GROUP BY 1, 2, 3),
+means AS (
+  SELECT user_id, event_type, blk, bs, bn,
+         bs::DOUBLE / bn::DOUBLE AS bmean
+  FROM blocks),
+ranked AS (
+  SELECT user_id, event_type, bmean,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY bmean, blk) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS nb,
+         sum(bs) OVER (PARTITION BY user_id, event_type) AS s_tot,
+         sum(bn) OVER (PARTITION BY user_id, event_type) AS n_tot
+  FROM means)
+SELECT user_id, event_type, n_tot::BIGINT AS n_obs, nb::BIGINT AS n_blocks,
+       bmean AS mom,
+       s_tot::DOUBLE / n_tot::DOUBLE AS plain_mean
+FROM ranked WHERE rn = (nb + 1) // 2
+"""

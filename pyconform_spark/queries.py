@@ -18234,3 +18234,150 @@ def bh_fdr_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_tests",
         (F.col("k") <= kstar).alias("significant"),
     )
+
+
+def tail_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of the value distribution per
+    event_type at the 95% and 99% levels (Rockafellar & Uryasev 2000,
+    public literature): VaR_q = the rank-ceil(q*n) order statistic and
+    ES_q = the mean of the worst (1-q) tail INCLUDING that point — the
+    latency/SLO budgeting number that p90/p99 point quantiles
+    understate ("how bad is it once you're past the threshold", the
+    coherent tail measure slo_burn_rate and rolling_p90 don't give).
+
+    EXACT cross-engine: rank picks use row_number over (vq, event_id)
+    with k = ceil(q*n) as the integer (q_num*n + q_den - 1) // q_den;
+    tail sums/counts are integers; each ES is ONE double division.
+
+    Scale shape: one (type, vq) window sort serves both levels; one
+    hash aggregate to |types| rows.  (At 10^12 rows/type, swap the
+    row_number pick for percentiles_by_type's cumulative-count rank —
+    same semantics, no per-row ordinal.)"""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = df.select(
+        "event_type",
+        vq.alias("vq"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).select(
+        "event_type",
+        "vq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k95 = F.floor((F.lit(19) * F.col("n") + 19) / 20).cast("long")
+    k99 = F.floor((F.lit(99) * F.col("n") + 99) / 100).cast("long")
+    staged = ranked.select(
+        "event_type",
+        "vq",
+        "rn",
+        "n",
+        k95.alias("k95"),
+        k99.alias("k99"),
+    )
+    g = staged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k95"), F.col("vq"))).alias(
+            "var95"
+        ),
+        F.max(F.when(F.col("rn") == F.col("k99"), F.col("vq"))).alias(
+            "var99"
+        ),
+        F.sum(F.when(F.col("rn") >= F.col("k95"), F.col("vq")))
+        .cast("long")
+        .alias("t95_sum"),
+        F.sum(F.when(F.col("rn") >= F.col("k95"), 1).otherwise(0))
+        .cast("long")
+        .alias("t95_n"),
+        F.sum(F.when(F.col("rn") >= F.col("k99"), F.col("vq")))
+        .cast("long")
+        .alias("t99_sum"),
+        F.sum(F.when(F.col("rn") >= F.col("k99"), 1).otherwise(0))
+        .cast("long")
+        .alias("t99_n"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "var95",
+        "t95_n",
+        F.try_divide(
+            F.col("t95_sum").cast("double"), F.col("t95_n").cast("double")
+        ).alias("es95"),
+        "var99",
+        "t99_n",
+        F.try_divide(
+            F.col("t99_sum").cast("double"), F.col("t99_n").cast("double")
+        ).alias("es99"),
+    )
+
+
+def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean estimator per series (Nemirovsky &
+    Yudin 1983, public literature): split the series into k = 8
+    interleaved blocks by arrival order, average each block, take the
+    median of the block means — the sub-Gaussian-deviation estimator
+    heavy-tailed telemetry needs where the plain mean is wrecked by
+    one fat sample (trimmed_mean cuts a fixed fraction; this bounds
+    the influence of ANY o(n/k) contamination).
+
+    EXACT cross-engine: block sums/counts are integers; each block
+    mean is ONE double division of identical integers (deterministic
+    IEEE doubles), and the median is the LOWER median picked by
+    row_number over (mean, block_id) — no averaging.  The plain mean
+    rides along for contrast.
+
+    Scale shape: one (series, ts) window sort assigns interleaved
+    blocks; two hash aggregates (series x 8 blocks, then series); the
+    median pick windows over the 8-row-per-series block frame."""
+    k = 8
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    blocks = (
+        df.select(*EKEYS, "ts", vq.alias("vq"),
+                  F.col("event_id").cast("long").alias("event_id"))
+        .select(
+            *EKEYS,
+            "vq",
+            ((F.row_number().over(w) - 1) % k).alias("blk"),
+        )
+        .groupBy(*EKEYS, "blk")
+        .agg(
+            F.sum("vq").cast("long").alias("bs"),
+            F.count(F.lit(1)).cast("long").alias("bn"),
+        )
+    )
+    means = blocks.select(
+        *EKEYS,
+        "blk",
+        "bs",
+        "bn",
+        (F.col("bs").cast("double") / F.col("bn").cast("double")).alias(
+            "bmean"
+        ),
+    )
+    wm = Window.partitionBy(*EKEYS).orderBy("bmean", "blk")
+    wc = Window.partitionBy(*EKEYS)
+    ranked = means.select(
+        *EKEYS,
+        "bmean",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nb"),
+        F.sum("bs").over(wc).alias("s_tot"),
+        F.sum("bn").over(wc).alias("n_tot"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("nb") + F.lit(1)) / F.lit(2)).cast("int")
+    )
+    return med.select(
+        *EKEYS,
+        F.col("n_tot").cast("long").alias("n_obs"),
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("bmean").alias("mom"),
+        (
+            F.col("s_tot").cast("double") / F.col("n_tot").cast("double")
+        ).alias("plain_mean"),
+    )

@@ -2064,6 +2064,65 @@ FROM clusters GROUP BY copies
 """
 
 
+def kfold_balance_audit(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Hash-based k-fold split assignment + balance audit: every doc
+    is deterministically assigned fold = md5(doc_id) % k (the
+    leakage-free split split_leakage_audit polices), and the audit
+    reports, per (fold, lang), the doc/char mass and each fold's share
+    of its language — the pre-training sanity check that a 1/k split
+    did not starve a low-resource language slice.
+
+    EXACT cross-engine: the fold hash is the shared md5_number_lower
+    convention; counts are integers; shares are ONE double division
+    each.
+
+    Scale shape: one scan, one hash aggregate to the k x |langs|
+    frame; the per-lang totals ride a window over that reduced frame."""
+    fold = (md5_lower64(F.col("doc_id").cast("string")) % k).cast("long")
+    cells = (
+        docs.select(
+            fold.alias("fold"),
+            "lang",
+            F.length("text").cast("long").alias("chars"),
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "fold",
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.try_divide(
+            F.col("n_docs").cast("double"),
+            F.sum("n_docs").over(wl).cast("double"),
+        ).alias("doc_share_of_lang"),
+        F.try_divide(
+            F.col("n_chars").cast("double"),
+            F.sum("n_chars").over(wl).cast("double"),
+        ).alias("char_share_of_lang"),
+    )
+
+
+KFOLD_BALANCE_SQL = """
+WITH cells AS (
+  SELECT (md5_number_lower(doc_id::VARCHAR) % 5)::BIGINT AS fold, lang,
+         count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS n_chars
+  FROM documents GROUP BY 1, 2)
+SELECT fold, lang, n_docs, n_chars,
+       n_docs::DOUBLE / (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE
+         AS doc_share_of_lang,
+       n_chars::DOUBLE / (sum(n_chars) OVER (PARTITION BY lang))::DOUBLE
+         AS char_share_of_lang
+FROM cells
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -2121,6 +2180,7 @@ def register_text_queries() -> dict[str, callable]:
         "rouge_overlap_pairs": lambda s, d: rouge_consecutive(_docs(s, d)),
         "corpus_token_budget": lambda s, d: corpus_token_budget(_docs(s, d)),
         "dedup_savings_histogram": lambda s, d: dedup_savings_histogram(_docs(s, d)),
+        "kfold_balance_audit": lambda s, d: kfold_balance_audit(_docs(s, d)),
     }
 
 
@@ -2129,6 +2189,7 @@ TEXT_ORACLES: dict[str, str] = {
     "rouge_overlap_pairs": ROUGE_CONSECUTIVE_SQL,
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
     "dedup_savings_histogram": DEDUP_SAVINGS_SQL,
+    "kfold_balance_audit": KFOLD_BALANCE_SQL,
     "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_lsh_sql(),
     "dedup_jaccard_all_pairs": ngram_jaccard_pairs_sql(),

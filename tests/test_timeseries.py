@@ -2924,3 +2924,32 @@ def test_bh_fdr_no_shift_none_flagged(spark, tmp_path):
     out = Q.bh_fdr_alerts(spark, str(tmp_path)).collect()
     assert len(out) == 5
     assert not any(r["significant"] for r in out)
+
+
+def test_tail_expected_shortfall_small_exact(spark, tmp_path):
+    """20 values 1..20: k95 = ceil(0.95*20) = 19 -> VaR95 = 19, tail
+    {19, 20}, ES95 = 19.5; k99 = 20 -> ES99 = VaR99 = 20."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "t", float(i + 1), "{}")
+            for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.tail_expected_shortfall(spark, str(tmp_path)).collect()
+    assert (r["n"], r["var95"], r["t95_n"]) == (20, 1900, 2)
+    assert r["es95"] == 1950.0
+    assert (r["var99"], r["t99_n"], r["es99"]) == (2000, 1, 2000.0)
+
+
+def test_median_of_means_shrugs_outlier(spark, tmp_path):
+    """16 points of 5.0 with one 10000.0 spike: the spike lands in one
+    of 8 blocks, so MoM stays 500 (centi-units) while the plain mean
+    is dragged far above."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [5.0] * 16
+    vals[3] = 10000.0
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "m", v, "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.median_of_means(spark, str(tmp_path)).collect()
+    assert r["n_blocks"] == 8 and r["n_obs"] == 16
+    assert r["mom"] == 500.0
+    assert r["plain_mean"] > 60000.0
