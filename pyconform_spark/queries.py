@@ -18381,3 +18381,181 @@ def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_tot").cast("double") / F.col("n_tot").cast("double")
         ).alias("plain_mean"),
     )
+
+
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate per event_type (Card &
+    Krueger 1994 popularized it; public literature): treatment group =
+    even user_id (the deterministic assignment stand-in an A/B
+    platform would replace with its bucketing hash), periods = early /
+    late halves of the per-type time span; DiD = (mean_T2 - mean_T1) -
+    (mean_C2 - mean_C1) — the causal-inference workhorse that
+    interrupted_time_series (single-series ITS) doesn't give: the
+    control group nets out the common time trend.
+
+    EXACT cross-engine: the four cell means multiply out over the
+    common denominator n_T1*n_T2*n_C1*n_C2, so DiD is ONE double
+    division of DECIMAL(38,0)/HUGEINT-staged integers (NULL when any
+    cell is empty); per-cell means are one division each.
+
+    Scale shape: one scan, one hash aggregate to |types| rows (the
+    per-type span broadcast back, as the drift battery does)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        es.alias("es"),
+        vq.alias("vq"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+    )
+    spans = base.groupBy("event_type").agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    h = base.join(F.broadcast(spans), "event_type")
+    late = F.col("es") > F.col("mid")
+    t = F.col("treated")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def cell(cond: Column, tag: str) -> list:
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(cond, dec(F.col("vq")))).alias(f"s_{tag}"),
+        ]
+
+    g = h.groupBy("event_type").agg(
+        *cell(t & ~late, "t1"),
+        *cell(t & late, "t2"),
+        *cell(~t & ~late, "c1"),
+        *cell(~t & late, "c2"),
+    )
+    nt1, nt2, nc1, nc2 = (F.col(f"n_{x}") for x in ("t1", "t2", "c1", "c2"))
+    st1, st2, sc1, sc2 = (F.col(f"s_{x}") for x in ("t1", "t2", "c1", "c2"))
+    num = (
+        st2 * nt1 * nc1 * nc2
+        - st1 * nt2 * nc1 * nc2
+        - sc2 * nt1 * nt2 * nc1
+        + sc1 * nt1 * nt2 * nc2
+    )
+    den = nt1 * nt2 * nc1 * nc2
+    mean = lambda s, n: F.try_divide(  # noqa: E731
+        s.cast("double"), n.cast("double")
+    )
+    return g.select(
+        "event_type",
+        nt1.cast("long").alias("n_t1"),
+        nt2.cast("long").alias("n_t2"),
+        nc1.cast("long").alias("n_c1"),
+        nc2.cast("long").alias("n_c2"),
+        mean(st1, nt1).alias("mean_t1"),
+        mean(st2, nt2).alias("mean_t2"),
+        mean(sc1, nc1).alias("mean_c1"),
+        mean(sc2, nc2).alias("mean_c2"),
+        F.try_divide(num.cast("double"), den.cast("double")).alias("did"),
+    )
+
+
+def pfor_pack_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-adaptive integer bit-packing simulation per series (the
+    PFOR / frame-of-reference family, Zukowski et al. 2006, and the
+    block form simple8b-style TSDB delta encoders actually ship):
+    zigzag the successive centi-value deltas, split each series into
+    consecutive 16-delta blocks, give every block the bit width of its
+    widest value rounded up the selector ladder {1,2,3,4,5,6,7,8,10,
+    12,15,20,30,60}, and pack each block into 60-bit payload words of
+    floor(60/width) values — reporting words, bits/point and the
+    compression ratio vs raw 64-bit.  Completes the compression-
+    planner corner (dod_bucket_profile = Gorilla timestamps,
+    xor_meaningful_bits = Gorilla values, rle_compressibility =
+    bitmaps; this = packed integer deltas).
+
+    A NOTE ON THE GREEDY VARIANT: the per-value greedy packer is a
+    sequential fold; DuckDB 1.0.0 executes multi-row list_reduce /
+    recursive-CTE folds of that shape nondeterministically (verified:
+    1-2 series out of 750 flip between runs while a pure-Python replay
+    and the Spark aggregate agree), so the oracle-gated operator uses
+    the deterministic BLOCK form — which is also what columnar systems
+    do in practice (fixed-size miniblocks, per-block selector).
+    tests/test_timeseries.py pins the block semantics against an
+    independent numpy replay.
+
+    EXACT cross-engine: deltas/zigzag/ladder/ceil-divisions are pure
+    integer CASE arithmetic through two hash aggregates; bits/point is
+    one double division.
+
+    Scale shape: one (series, ts) window sort for deltas + block ids,
+    one (series, block) aggregate, one series aggregate — no arrays,
+    no folds, unbounded series lengths welcome."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(*EKEYS).orderBy("ts", "event_id")
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    staged = df.select(
+        *EKEYS,
+        vq.alias("vq"),
+        F.row_number().over(w).alias("rn"),
+        (vq - F.lag(vq).over(w)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    z = F.when(F.col("d") >= 0, 2 * F.col("d")).otherwise(
+        -2 * F.col("d") - 1
+    )
+    blk = F.floor((F.col("rn") - 2) / 16).cast("long")
+    blocks = (
+        staged.select(*EKEYS, blk.alias("blk"), z.alias("z"))
+        .groupBy(*EKEYS, "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.max("z").alias("zmax"),
+        )
+    )
+    zm = F.col("zmax")
+    width = (
+        F.when(zm <= 1, 1)
+        .when(zm < 4, 2)
+        .when(zm < 8, 3)
+        .when(zm < 16, 4)
+        .when(zm < 32, 5)
+        .when(zm < 64, 6)
+        .when(zm < 128, 7)
+        .when(zm < 256, 8)
+        .when(zm < 1024, 10)
+        .when(zm < 4096, 12)
+        .when(zm < 32768, 15)
+        .when(zm < 1048576, 20)
+        .when(zm < 1073741824, 30)
+        .otherwise(60)
+        .cast("long")
+    )
+    per_word = F.floor(F.lit(60) / width).cast("long")
+    words_blk = F.floor(
+        (F.col("cnt") + per_word - 1) / per_word
+    ).cast("long")
+    wb = blocks.select(
+        *EKEYS,
+        "cnt",
+        width.alias("width"),
+        words_blk.alias("words_blk"),
+    )
+    g = wb.groupBy(*EKEYS).agg(
+        F.sum("cnt").cast("long").alias("n_deltas"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("words_blk").cast("long").alias("words"),
+        F.max("width").cast("long").alias("max_width"),
+    )
+    return g.select(
+        *EKEYS,
+        "n_deltas",
+        "n_blocks",
+        "words",
+        "max_width",
+        (F.col("words") * F.lit(64)).cast("long").alias("packed_bits"),
+        (
+            (F.col("words") * F.lit(64)).cast("double")
+            / F.col("n_deltas").cast("double")
+        ).alias("bits_per_point"),
+        (
+            (F.col("n_deltas") * F.lit(64)).cast("double")
+            / (F.col("words") * F.lit(64)).cast("double")
+        ).alias("compression_ratio"),
+    )

@@ -2953,3 +2953,69 @@ def test_median_of_means_shrugs_outlier(spark, tmp_path):
     assert r["n_blocks"] == 8 and r["n_obs"] == 16
     assert r["mom"] == 500.0
     assert r["plain_mean"] > 60000.0
+
+
+def test_did_parallel_trends_nets_out(spark, tmp_path):
+    """Control rises 1.0 -> 3.0 between halves (common trend);
+    treatment rises 1.0 -> 8.0.  DiD = (8-1) - (3-1) = 5.0 exactly
+    (in centi-units: 500)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in (2, 4):       # treated (even)
+        for i in range(10):
+            v = 1.0 if i < 5 else 8.0
+            rows.append((eid, t0 + dt.timedelta(hours=i), u, "d", v, "{}"))
+            eid += 1
+    for u in (1, 3):       # control (odd)
+        for i in range(10):
+            v = 1.0 if i < 5 else 3.0
+            rows.append((eid, t0 + dt.timedelta(hours=i), u, "d", v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.did_estimator(spark, str(tmp_path)).collect()
+    assert (r["n_t1"], r["n_t2"], r["n_c1"], r["n_c2"]) == (10, 10, 10, 10)
+    assert r["mean_t1"] == 100.0 and r["mean_t2"] == 800.0
+    assert r["mean_c1"] == 100.0 and r["mean_c2"] == 300.0
+    assert r["did"] == 500.0
+
+
+def test_pfor_pack_profile_numpy_replay(spark, tmp_path):
+    """Random-walk series vs an independent numpy replay of the block
+    packing: 16-delta blocks, ladder width of the max zigzag, 60-bit
+    payload words of floor(60/width) values."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vals = np.cumsum(rng.randint(-300, 301, size=75)) / 100.0
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "p", float(v), "{}")
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.pfor_pack_profile(spark, str(tmp_path)).collect()
+
+    vq = np.floor(vals * 100).astype(np.int64)
+    d = np.diff(vq)
+    z = np.where(d >= 0, 2 * d, -2 * d - 1)
+    ladder = [1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 15, 20, 30, 60]
+    lims = [2, 4, 8, 16, 32, 64, 128, 256, 1024, 4096, 32768,
+            1048576, 1073741824]
+
+    def width(zm):
+        for lim, b in zip(lims, ladder):
+            if zm < lim:
+                return b
+        return 60
+
+    words = 0
+    n_blocks = 0
+    for s in range(0, len(z), 16):
+        blk = z[s:s + 16]
+        wd = width(int(blk.max()))
+        per = 60 // wd
+        words += -(-len(blk) // per)
+        n_blocks += 1
+    assert r["n_deltas"] == len(z)
+    assert r["n_blocks"] == n_blocks
+    assert r["words"] == words
+    assert r["bits_per_point"] == (words * 64) / len(z)
