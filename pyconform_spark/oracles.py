@@ -9213,4182 +9213,3 @@ SELECT user_id, event_type,
          AS compression_ratio
 FROM wb2 GROUP BY 1, 2
 """
-
-ORACLES["conformal_interval"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         ((epoch_ms(ts) // 1000) % 86400 // 3600)::BIGINT AS hod,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-tagged AS (
-  SELECT b.event_type, b.hod, b.vq, (b.es <= s.mid) AS is_cal
-  FROM base b JOIN spans s USING (event_type)),
-cal_cells AS (
-  SELECT event_type, hod, vq, count(*)::BIGINT AS cnt
-  FROM tagged WHERE is_cal GROUP BY 1, 2, 3),
-ranked AS (
-  SELECT event_type, hod, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY vq
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type, hod)::BIGINT AS n
-  FROM cal_cells),
-med AS (
-  SELECT event_type, hod, min(vq)::BIGINT AS med
-  FROM ranked
-  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
-  GROUP BY 1, 2),
-resid AS (
-  SELECT t.event_type, t.is_cal, abs(t.vq - m.med)::BIGINT AS r
-  FROM tagged t JOIN med m ON t.event_type = m.event_type
-                          AND t.hod = m.hod),
-rcells AS (
-  SELECT event_type, r, count(*)::BIGINT AS cnt
-  FROM resid WHERE is_cal GROUP BY 1, 2),
-rranked AS (
-  SELECT event_type, r, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY r
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n_cal
-  FROM rcells),
-qhat AS (
-  SELECT event_type, min(r)::BIGINT AS qhat_cq, max(n_cal)::BIGINT AS n_cal
-  FROM rranked
-  WHERE cum - cnt < least(n_cal, (9 * (n_cal + 1) + 9) // 10)
-    AND least(n_cal, (9 * (n_cal + 1) + 9) // 10) <= cum
-  GROUP BY 1),
-test AS (
-  SELECT re.event_type, q.n_cal, q.qhat_cq, re.r
-  FROM resid re JOIN qhat q USING (event_type)
-  WHERE NOT re.is_cal)
-SELECT event_type,
-       max(n_cal)::BIGINT AS n_cal,
-       max(qhat_cq)::BIGINT AS qhat_cq,
-       count(*)::BIGINT AS n_test,
-       sum(CASE WHEN r <= qhat_cq THEN 1 ELSE 0 END)::BIGINT AS n_covered,
-       sum(CASE WHEN r <= qhat_cq THEN 1 ELSE 0 END)::DOUBLE
-         / count(*)::DOUBLE AS coverage
-FROM test GROUP BY 1 HAVING count(*) >= 1
-"""
-
-ORACLES["trimmed_mean"] = """
-WITH cells AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM cells),
-kept AS (
-  SELECT event_type, n, vq,
-         greatest(0, least(cum, n - n // 10)
-                     - greatest(cum - cnt, n // 10))::BIGINT AS k
-  FROM ranked)
-SELECT event_type,
-       max(n)::BIGINT AS n,
-       sum(k)::BIGINT AS n_kept,
-       sum(k * vq)::BIGINT AS kept_sum_cq,
-       sum(k * vq)::DOUBLE / sum(k)::DOUBLE / 100.0 AS trimmed_mean
-FROM kept GROUP BY 1 HAVING sum(k) >= 1
-"""
-
-ORACLES["jarque_bera_normality"] = """
-WITH base AS (
-  SELECT event_type, floor(value * 10)::BIGINT AS vq
-  FROM events),
-agg AS (
-  SELECT event_type,
-         count(*)::BIGINT AS n,
-         sum(vq)::BIGINT AS s1,
-         sum(vq * vq)::BIGINT AS s2,
-         sum((vq * vq * vq)::HUGEINT)::HUGEINT AS s3,
-         sum((vq * vq * vq * vq)::HUGEINT)::HUGEINT AS s4
-  FROM base GROUP BY 1),
-staged AS (
-  SELECT event_type, n,
-         (n::HUGEINT * s2 - s1::HUGEINT * s1) AS m2,
-         (n::HUGEINT * n * s3 - 3 * n::HUGEINT * s1 * s2
-            + 2 * s1::HUGEINT * s1 * s1) AS m3,
-         (n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
-            + 6 * n::HUGEINT * s1 * s1 * s2
-            - 3 * s1::HUGEINT * s1 * s1 * s1) AS m4
-  FROM agg
-  WHERE n >= 8 AND (n::HUGEINT * s2 - s1::HUGEINT * s1) > 0)
-SELECT event_type, n,
-       m3::DOUBLE * m3::DOUBLE / (m2::DOUBLE * m2::DOUBLE * m2::DOUBLE)
-         AS skew_g1sq,
-       m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) AS kurtosis_g2,
-       n::DOUBLE * (
-         m3::DOUBLE * m3::DOUBLE / (m2::DOUBLE * m2::DOUBLE * m2::DOUBLE) / 6.0
-         + (m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0)
-           * (m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0) / 24.0
-       ) AS jb_stat,
-       CASE WHEN m3 > 0 THEN 'right_skew'
-            WHEN m3 < 0 THEN 'left_skew'
-            ELSE 'symmetric' END AS skew_dir
-FROM staged
-"""
-
-ORACLES["bootstrap_ci_mean"] = """
-WITH base AS (
-  SELECT event_type, event_id::BIGINT AS eid,
-         floor(value * 10)::BIGINT AS vq
-  FROM events),
-rep AS (
-  SELECT event_type, eid, vq, b.b
-  FROM base
-  CROSS JOIN (SELECT unnest(range(64)) AS b) b),
-weighted AS (
-  SELECT event_type, b, vq,
-         CASE
-           WHEN r < 367879 THEN 0
-           WHEN r < 735759 THEN 1
-           WHEN r < 919699 THEN 2
-           WHEN r < 981012 THEN 3
-           WHEN r < 996340 THEN 4
-           WHEN r < 999406 THEN 5
-           ELSE 6
-         END::BIGINT AS m
-  FROM (SELECT *,
-          (md5_number_lower('boot:' || eid::VARCHAR || ':' || b::VARCHAR)
-             % 1000000)::BIGINT AS r
-        FROM rep)),
-cells AS (
-  SELECT event_type, b,
-         sum(m)::BIGINT AS rn,
-         sum(m * vq)::BIGINT AS rs,
-         count(*)::BIGINT AS n,
-         sum(vq)::BIGINT AS s
-  FROM weighted GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, b, n, s,
-         rs::DOUBLE / rn::DOUBLE AS mean_b,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY rs::DOUBLE / rn::DOUBLE, b) AS rk
-  FROM cells WHERE rn > 0),
-agg AS (
-  SELECT event_type,
-         max(n)::BIGINT AS n, max(s)::BIGINT AS s,
-         max(CASE WHEN rk = 2 THEN mean_b END) AS lo_dq,
-         max(CASE WHEN rk = 63 THEN mean_b END) AS hi_dq,
-         count(*)::BIGINT AS b_used
-  FROM ranked GROUP BY 1)
-SELECT event_type, n,
-       s::DOUBLE / n::DOUBLE / 10.0 AS mean_value,
-       lo_dq / 10.0 AS ci95_lo,
-       hi_dq / 10.0 AS ci95_hi,
-       b_used
-FROM agg WHERE n >= 30
-"""
-
-ORACLES["newey_west_lrv"] = """
-WITH base AS (
-  SELECT user_id, event_type,
-         floor(value * 100)::HUGEINT AS vq,
-         lag(floor(value * 100)::HUGEINT, 1) OVER w AS l1,
-         lag(floor(value * 100)::HUGEINT, 2) OVER w AS l2,
-         lag(floor(value * 100)::HUGEINT, 3) OVER w AS l3,
-         lag(floor(value * 100)::HUGEINT, 4) OVER w AS l4
-  FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
-g AS (
-  SELECT user_id, event_type,
-         count(*)::HUGEINT AS n,
-         sum(vq) AS s, sum(vq * vq) AS q,
-         sum(vq * l1) AS sxy1,
-         sum(CASE WHEN l1 IS NOT NULL THEN vq END) AS sx1, sum(l1) AS sy1,
-         sum(vq * l2) AS sxy2,
-         sum(CASE WHEN l2 IS NOT NULL THEN vq END) AS sx2, sum(l2) AS sy2,
-         sum(vq * l3) AS sxy3,
-         sum(CASE WHEN l3 IS NOT NULL THEN vq END) AS sx3, sum(l3) AS sy3,
-         sum(vq * l4) AS sxy4,
-         sum(CASE WHEN l4 IS NOT NULL THEN vq END) AS sx4, sum(l4) AS sy4
-  FROM base GROUP BY 1, 2),
-staged AS (
-  SELECT user_id, event_type, n,
-         (n*n*q - n*s*s) AS g0,
-         (n*n*sxy1 - n*s*(sx1+sy1) + (n-1)*s*s) AS g1,
-         (n*n*sxy2 - n*s*(sx2+sy2) + (n-2)*s*s) AS g2,
-         (n*n*sxy3 - n*s*(sx3+sy3) + (n-3)*s*s) AS g3,
-         (n*n*sxy4 - n*s*(sx4+sy4) + (n-4)*s*s) AS g4
-  FROM g)
-SELECT user_id, event_type, n::BIGINT AS n_obs,
-       (5*g0 + 8*g1 + 6*g2 + 4*g3 + 2*g4)::DOUBLE
-         / (5*n*n*n)::DOUBLE AS lrv_cq2,
-       (5*g0 + 8*g1 + 6*g2 + 4*g3 + 2*g4)::DOUBLE
-         / (5*g0)::DOUBLE AS hac_inflation
-FROM staged
-WHERE n >= 12 AND g0 > 0
-"""
-
-ORACLES["cusumsq_variance_change"] = """
-WITH base AS (
-  SELECT event_type, ts, event_id,
-         floor(value * 10)::BIGINT * floor(value * 10)::BIGINT AS sq
-  FROM events),
-staged AS (
-  SELECT event_type, ts,
-         row_number() OVER wo AS k,
-         sum(sq) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING)::BIGINT AS ck,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
-         sum(sq) OVER (PARTITION BY event_type)::BIGINT AS cn
-  FROM base
-  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id)),
-scored AS (
-  SELECT event_type, ts, k, n, cn,
-         abs(n * ck - k * cn)::BIGINT AS d
-  FROM staged WHERE n >= 16 AND cn > 0),
-ranked AS (
-  SELECT event_type, ts, k, n, cn, d,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY d DESC, k ASC) AS rk
-  FROM scored)
-SELECT event_type, n, k AS split_k, ts AS split_ts,
-       d::DOUBLE / (n::DOUBLE * cn::DOUBLE) AS cusumsq_stat
-FROM ranked WHERE rk = 1
-"""
-
-ORACLES["kruskal_wallis_contrib"] = """
-WITH base AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq
-  FROM events),
-cells AS (
-  SELECT vq, event_type, count(*)::BIGINT AS cnt
-  FROM base GROUP BY 1, 2),
-enriched AS (
-  SELECT vq, event_type, cnt,
-         sum(cnt) OVER (PARTITION BY vq)::BIGINT AS cnt_v,
-         coalesce(sum(cnt) OVER (ORDER BY vq
-             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           0)::BIGINT AS cum_below
-  FROM cells),
-per_type AS (
-  SELECT event_type,
-         sum(cnt)::BIGINT AS n_i,
-         sum(cnt * (2 * cum_below + cnt_v + 1))::BIGINT AS dr_i
-  FROM enriched GROUP BY 1),
-ties AS (
-  SELECT sum(c * c * c - c)::BIGINT AS ties_t,
-         sum(c)::BIGINT AS n_total
-  FROM (SELECT vq, max(cnt_v)::BIGINT AS c FROM enriched GROUP BY 1)),
-joined AS (
-  SELECT p.*, t.ties_t, t.n_total FROM per_type p CROSS JOIN ties t),
-alg AS (
-  SELECT event_type, n_i, dr_i, n_total, ties_t,
-         (3::HUGEINT * dr_i * dr_i) AS num,
-         (n_i::HUGEINT * n_total * (n_total + 1)) AS den,
-         (n_total::HUGEINT * n_total * n_total - n_total) AS ncube
-  FROM joined)
-SELECT event_type, n_i, dr_i, n_total, ties_t,
-       dr_i::DOUBLE / n_i::DOUBLE AS mean_rank2,
-       num::DOUBLE / den::DOUBLE AS h_contrib,
-       (num * ncube)::DOUBLE / (den * (ncube - ties_t))::DOUBLE AS h_corr
-FROM alg
-WHERE n_total >= 8 AND den * (ncube - ties_t) > 0
-"""
-
-ORACLES["tile_stability_lumpiness"] = """
-WITH base AS (
-  SELECT event_type,
-         floor(value * 10)::BIGINT AS vq,
-         ((row_number() OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) - 1) // 24)::BIGINT
-           AS tile
-  FROM events),
-tiles AS (
-  SELECT event_type, tile,
-         count(*)::BIGINT AS cnt,
-         sum(vq)::BIGINT AS s,
-         sum(vq * vq)::BIGINT AS q
-  FROM base GROUP BY 1, 2
-  HAVING count(*) = 24),
-agg AS (
-  SELECT event_type,
-         count(*)::HUGEINT AS k,
-         sum(s)::HUGEINT AS ss,
-         sum(s::HUGEINT * s)::HUGEINT AS ss2,
-         sum(24 * q - s * s)::HUGEINT AS su,
-         sum((24 * q - s * s)::HUGEINT * (24 * q - s * s))::HUGEINT AS su2
-  FROM tiles GROUP BY 1)
-SELECT event_type, k::BIGINT AS k,
-       -- ::VARCHAR::DOUBLE: DuckDB's direct int128->double conversion
-       -- double-rounds past 2^53 (1-ulp off); the string path is
-       -- correctly rounded and matches Spark's BigDecimal.doubleValue
-       (k * ss2 - ss * ss)::VARCHAR::DOUBLE
-         / (k * k * 576)::VARCHAR::DOUBLE AS stability_dq2,
-       (k * su2 - su * su)::VARCHAR::DOUBLE
-         / (k * k * 576 * 576)::VARCHAR::DOUBLE AS lumpiness_dq4
-FROM agg WHERE k >= 4
-"""
-
-ORACLES["siegel_tukey_scale"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-ranked AS (
-  SELECT b.event_type,
-         (b.es <= s.mid) AS early,
-         row_number() OVER (PARTITION BY b.event_type
-                            ORDER BY b.vq, b.es, b.event_id)::BIGINT AS r,
-         count(*) OVER (PARTITION BY b.event_type)::BIGINT AS n
-  FROM base b JOIN spans s USING (event_type)),
-scored AS (
-  SELECT event_type, early, n,
-         CASE WHEN r <= n + 1 - r
-              THEN CASE WHEN r % 2 = 1 THEN 2 * r - 1 ELSE 2 * r END
-              ELSE CASE WHEN (n + 1 - r) % 2 = 1 THEN 2 * (n + 1 - r)
-                        ELSE 2 * (n + 1 - r) - 1 END
-         END::BIGINT AS score
-  FROM ranked),
-agg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         sum(CASE WHEN early THEN 1 ELSE 0 END)::BIGINT AS n1,
-         sum(CASE WHEN early THEN score ELSE 0 END)::BIGINT AS m_score
-  FROM scored GROUP BY 1),
-alg AS (
-  SELECT event_type, n, n1, (n - n1)::BIGINT AS n2, m_score,
-         (n::HUGEINT * (n + 1) // 2) AS t1,
-         (n::HUGEINT * (n + 1) * (2 * n + 1) // 6) AS t2
-  FROM agg),
-fin AS (
-  SELECT event_type, n, n1, n2, m_score,
-         (n::HUGEINT * m_score - n1::HUGEINT * t1) AS dev,
-         (n::HUGEINT * t2 - t1 * t1) AS spread
-  FROM alg)
-SELECT event_type, n, n1, m_score,
-       (dev * dev * (n - 1))::VARCHAR::DOUBLE
-         / (n1::HUGEINT * n2 * spread)::VARCHAR::DOUBLE AS st_z2,
-       CASE WHEN dev < 0 THEN 'early_more_spread'
-            WHEN dev > 0 THEN 'late_more_spread'
-            ELSE 'no_scale_shift' END AS spread_shift
-FROM fin
-WHERE n >= 8 AND n1 >= 2 AND n2 >= 2
-  AND (n1::HUGEINT * n2 * spread) > 0
-"""
-
-ORACLES["cliffs_delta_effect"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, ((min(es) + max(es)) // 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-groups AS (
-  SELECT b.event_type, b.vq,
-         count(*)::BIGINT AS c,
-         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1
-  FROM base b JOIN spans s USING (event_type)
-  GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, c1, (c - c1)::BIGINT AS c2,
-         coalesce(sum(c - c1) OVER (PARTITION BY event_type ORDER BY vq
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lt2,
-         coalesce(sum(c - c1) OVER (PARTITION BY event_type ORDER BY vq
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)::BIGINT AS gt2
-  FROM groups),
-agg AS (
-  SELECT event_type,
-         sum(c1)::BIGINT AS n1,
-         sum(c2)::BIGINT AS n2,
-         sum(c1 * lt2)::BIGINT AS gt_pairs,
-         sum(c1 * gt2)::BIGINT AS lt_pairs,
-         sum(c1 * c2)::BIGINT AS tie_pairs
-  FROM cum GROUP BY 1),
-alg AS (
-  SELECT event_type, n1, n2, gt_pairs, lt_pairs, tie_pairs,
-         (n1::HUGEINT * n2) AS nn,
-         (gt_pairs::HUGEINT - lt_pairs) AS dev,
-         abs(gt_pairs::HUGEINT - lt_pairs) AS adev
-  FROM agg)
-SELECT event_type, n1, n2, gt_pairs, lt_pairs, tie_pairs,
-       dev::VARCHAR::DOUBLE / nn::VARCHAR::DOUBLE AS cliffs_delta,
-       (2::HUGEINT * gt_pairs + tie_pairs)::VARCHAR::DOUBLE
-         / (2 * nn)::VARCHAR::DOUBLE AS ps_a,
-       CASE WHEN adev * 1000 < 147 * nn THEN 'negligible'
-            WHEN adev * 1000 < 330 * nn THEN 'small'
-            WHEN adev * 1000 < 474 * nn THEN 'medium'
-            ELSE 'large' END AS magnitude
-FROM alg WHERE n1 >= 1 AND n2 >= 1
-"""
-
-ORACLES["wilcoxon_signed_rank"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-pos AS (
-  SELECT event_type, vq,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY es, event_id)::BIGINT AS rn,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM base),
-tagged AS (
-  SELECT event_type,
-         CASE WHEN rn <= n // 2 THEN rn ELSE rn - n // 2 END::BIGINT AS pair_id,
-         (rn <= n // 2) AS is_first, vq
-  FROM pos WHERE rn <= 2 * (n // 2)),
-pairs AS (
-  SELECT event_type, pair_id,
-         (max(CASE WHEN NOT is_first THEN vq END)
-          - max(CASE WHEN is_first THEN vq END))::BIGINT AS d
-  FROM tagged GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, d,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY abs(d), pair_id)::BIGINT AS r
-  FROM pairs WHERE d <> 0),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS m,
-         sum(CASE WHEN d > 0 THEN r ELSE 0 END)::BIGINT AS w_plus
-  FROM ranked GROUP BY 1),
-alg AS (
-  SELECT event_type, m, w_plus,
-         (4::HUGEINT * w_plus - m::HUGEINT * (m + 1)) AS dev
-  FROM agg)
-SELECT event_type, m, w_plus,
-       (3::HUGEINT * dev * dev)::VARCHAR::DOUBLE
-         / (2::HUGEINT * m * (m + 1) * (2 * m + 1))::VARCHAR::DOUBLE AS wsr_z2,
-       CASE WHEN dev > 0 THEN 'late_higher'
-            WHEN dev < 0 THEN 'late_lower'
-            ELSE 'no_median_change' END AS median_shift
-FROM alg WHERE m >= 6
-"""
-
-ORACLES["wasserstein_drift"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-pos AS (
-  SELECT event_type, vq,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY es, event_id)::BIGINT AS rn,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM base),
-mark AS (
-  SELECT event_type, vq, (rn <= n // 2) AS is_early,
-         (n // 2)::BIGINT AS a, (n - n // 2)::BIGINT AS b
-  FROM pos),
-cnt AS (
-  SELECT event_type, vq, max(a) AS a, max(b) AS b,
-         sum(CASE WHEN is_early THEN 1 ELSE 0 END)::BIGINT AS ca,
-         sum(CASE WHEN is_early THEN 0 ELSE 1 END)::BIGINT AS cb
-  FROM mark GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, a, b,
-         sum(ca) OVER w::BIGINT AS cum_a,
-         sum(cb) OVER w::BIGINT AS cum_b,
-         (lead(vq) OVER w - vq)::BIGINT AS gap
-  FROM cnt
-  WINDOW w AS (PARTITION BY event_type ORDER BY vq)),
-agg AS (
-  SELECT event_type, max(a)::BIGINT AS n_early, max(b)::BIGINT AS n_late,
-         sum(abs(b::HUGEINT * cum_a - a::HUGEINT * cum_b)
-             * coalesce(gap, 0))::HUGEINT AS num
-  FROM cum GROUP BY 1)
-SELECT event_type, n_early, n_late,
-       num::VARCHAR::DOUBLE
-         / (n_early::HUGEINT * n_late * 100)::VARCHAR::DOUBLE AS w1
-FROM agg WHERE n_early >= 1 AND n_late >= 1
-"""
-
-ORACLES["energy_distance_halves"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-pos AS (
-  SELECT event_type, vq,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY es, event_id)::BIGINT AS rn,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM base),
-mark AS (
-  SELECT event_type, vq, n, (rn <= n // 2) AS is_early,
-         (n // 2)::BIGINT AS a, (n - n // 2)::BIGINT AS b
-  FROM pos),
-ranked AS (
-  SELECT event_type, vq, n, is_early, a, b,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY vq)::BIGINT AS rp,
-         row_number() OVER (PARTITION BY event_type, is_early
-                            ORDER BY vq)::BIGINT AS rh
-  FROM mark),
-agg AS (
-  SELECT event_type, max(a)::BIGINT AS n_early, max(b)::BIGINT AS n_late,
-         sum((2 * rp - n - 1)::HUGEINT * vq)::HUGEINT AS p,
-         sum(CASE WHEN is_early
-                  THEN (2 * rh - a - 1)::HUGEINT * vq ELSE 0 END)::HUGEINT AS x,
-         sum(CASE WHEN NOT is_early
-                  THEN (2 * rh - b - 1)::HUGEINT * vq ELSE 0 END)::HUGEINT AS y
-  FROM ranked GROUP BY 1),
-alg AS (
-  SELECT event_type, n_early, n_late,
-         (2::HUGEINT * n_early * n_late * (p - x - y)
-          - 2::HUGEINT * n_late * n_late * x
-          - 2::HUGEINT * n_early * n_early * y) AS num
-  FROM agg)
-SELECT event_type, n_early, n_late,
-       num::VARCHAR::DOUBLE
-         / (n_early::HUGEINT * n_early * n_late * n_late
-            * 100)::VARCHAR::DOUBLE AS e_dist,
-       num::VARCHAR::DOUBLE
-         / (n_early::HUGEINT * n_late * (n_early + n_late)
-            * 100)::VARCHAR::DOUBLE AS t_stat
-FROM alg WHERE n_early >= 1 AND n_late >= 1
-"""
-
-ORACLES["friedman_page_blocked"] = """
-WITH scores AS (
-  SELECT event_type, ts::DATE AS day,
-         sum(floor(value * 100)::BIGINT)::BIGINT AS score
-  FROM events GROUP BY 1, 2),
-kd AS (
-  SELECT *, count(DISTINCT event_type) OVER ()::BIGINT AS k FROM scores),
-cb AS (
-  SELECT *, count(*) OVER (PARTITION BY day)::BIGINT AS tcnt FROM kd),
-rk AS (
-  SELECT event_type, k,
-         row_number() OVER (PARTITION BY day
-                            ORDER BY score, event_type)::BIGINT AS r
-  FROM cb WHERE tcnt = k),
-ag AS (
-  SELECT event_type, max(k)::BIGINT AS k, count(*)::BIGINT AS n_blocks,
-         sum(r)::BIGINT AS rank_sum
-  FROM rk GROUP BY 1),
-fin AS (
-  SELECT event_type, k, n_blocks, rank_sum,
-         row_number() OVER (ORDER BY event_type)::BIGINT AS ord,
-         sum((2::HUGEINT * rank_sum - n_blocks * (k + 1))
-             * (2::HUGEINT * rank_sum - n_blocks * (k + 1))) OVER () AS sum_dev2
-  FROM ag),
-fin2 AS (
-  SELECT *, sum(ord::HUGEINT * rank_sum) OVER () AS page_l FROM fin),
-alg AS (
-  SELECT *, (4::HUGEINT * page_l
-             - n_blocks::HUGEINT * k * (k + 1) * (k + 1)) AS dev_l
-  FROM fin2)
-SELECT event_type, k, n_blocks, rank_sum,
-       (3::HUGEINT * sum_dev2)::VARCHAR::DOUBLE
-         / (n_blocks::HUGEINT * k * (k + 1))::VARCHAR::DOUBLE AS friedman_q,
-       page_l::BIGINT AS page_l,
-       (9::HUGEINT * dev_l * dev_l)::VARCHAR::DOUBLE
-         / (n_blocks::HUGEINT * k * k * (k + 1)
-            * (k * k - 1))::VARCHAR::DOUBLE AS page_z2,
-       CASE WHEN dev_l > 0 THEN 'increasing_with_type_order'
-            WHEN dev_l < 0 THEN 'decreasing_with_type_order'
-            ELSE 'no_ordered_trend' END AS page_trend
-FROM alg WHERE k >= 2 AND n_blocks >= 2
-"""
-
-ORACLES["hjorth_parameters"] = """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ms(ts) // 1000)::BIGINT AS es,
-         event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-lev AS (
-  SELECT event_type, es, event_id, vq,
-         (vq - lag(vq) OVER w)::BIGINT AS d1
-  FROM base
-  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
-dd AS (
-  SELECT event_type, vq, d1,
-         (d1 - lag(d1) OVER w)::BIGINT AS d2
-  FROM lev
-  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
-agg AS (
-  SELECT event_type,
-         count(vq)::BIGINT AS m0_n, sum(vq)::BIGINT AS m0_s1,
-         sum(vq::HUGEINT * vq)::HUGEINT AS m0_s2,
-         count(d1)::BIGINT AS m1_n, sum(d1)::BIGINT AS m1_s1,
-         sum(d1::HUGEINT * d1)::HUGEINT AS m1_s2,
-         count(d2)::BIGINT AS m2_n, sum(d2)::BIGINT AS m2_s1,
-         sum(d2::HUGEINT * d2)::HUGEINT AS m2_s2
-  FROM dd GROUP BY 1),
-alg AS (
-  SELECT event_type, m0_n,
-         (m0_n::HUGEINT * m0_s2 - m0_s1::HUGEINT * m0_s1) AS ssd0,
-         (m1_n::HUGEINT * m1_s2 - m1_s1::HUGEINT * m1_s1) AS ssd1,
-         (m2_n::HUGEINT * m2_s2 - m2_s1::HUGEINT * m2_s1) AS ssd2,
-         m0_n::HUGEINT AS n0, m1_n::HUGEINT AS n1, m2_n::HUGEINT AS n2,
-         m2_n AS m2n
-  FROM agg)
-SELECT event_type, m0_n AS n,
-       ssd0::VARCHAR::DOUBLE / (n0 * n0 * 10000)::VARCHAR::DOUBLE AS activity,
-       (n0 * n0 * ssd1)::VARCHAR::DOUBLE
-         / (n1 * n1 * ssd0)::VARCHAR::DOUBLE AS mobility2,
-       ((n1 * n1 * ssd2)::VARCHAR::DOUBLE
-          / (n2 * n2 * ssd1)::VARCHAR::DOUBLE)
-         / ((n0 * n0 * ssd1)::VARCHAR::DOUBLE
-              / (n1 * n1 * ssd0)::VARCHAR::DOUBLE) AS complexity2
-FROM alg WHERE m2n >= 2 AND ssd0 > 0 AND ssd1 > 0
-"""
-
-ORACLES["grubbs_max_deviate"] = """
-WITH base AS (
-  SELECT event_type, event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-mom AS (
-  SELECT event_type, event_id, vq,
-         count(*) OVER w::BIGINT AS n,
-         sum(vq) OVER w::BIGINT AS s1,
-         sum(vq::HUGEINT * vq) OVER w AS s2
-  FROM base
-  WINDOW w AS (PARTITION BY event_type)),
-scored AS (
-  SELECT *, (n * vq - s1)::BIGINT AS dev,
-         ((n * vq - s1)::HUGEINT * (n * vq - s1)) AS dev2
-  FROM mom),
-top AS (
-  SELECT *, max(dev2) OVER (PARTITION BY event_type) AS maxdev2 FROM scored),
-agg AS (
-  SELECT event_type, max(n)::BIGINT AS n, max(s1)::BIGINT AS s1,
-         max(s2) AS s2, max(maxdev2) AS maxdev2,
-         max(CASE WHEN dev2 = maxdev2 THEN event_id END)::BIGINT
-           AS outlier_event_id,
-         max(CASE WHEN dev2 = maxdev2
-                  THEN CASE WHEN dev > 0 THEN 'high' ELSE 'low' END END)
-           AS outlier_side
-  FROM top GROUP BY 1),
-alg AS (
-  SELECT *, (n::HUGEINT * s2 - s1::HUGEINT * s1) AS ssd FROM agg)
-SELECT event_type, n,
-       ((n - 1)::HUGEINT * maxdev2)::VARCHAR::DOUBLE
-         / (n::HUGEINT * ssd)::VARCHAR::DOUBLE AS g2,
-       outlier_event_id, outlier_side
-FROM alg WHERE n >= 3 AND ssd > 0
-"""
-
-ORACLES["boxplot_profile"] = """
-WITH counted AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM counted),
-quart AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         min(vq)::BIGINT AS vmin, max(vq)::BIGINT AS vmax,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 0.25)::BIGINT + 1
-                   AND floor((n - 1) * 0.25)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS q1,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 0.50)::BIGINT + 1
-                   AND floor((n - 1) * 0.50)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS q2,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 0.75)::BIGINT + 1
-                   AND floor((n - 1) * 0.75)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS q3
-  FROM ranked GROUP BY 1),
-joined AS (
-  SELECT r.event_type, r.vq, r.cnt, q.n, q.vmin, q.vmax, q.q1, q.q2, q.q3,
-         (2 * r.vq < 5 * q.q1 - 3 * q.q3) AS lo_out,
-         (2 * r.vq > 5 * q.q3 - 3 * q.q1) AS hi_out
-  FROM ranked r JOIN quart q USING (event_type))
-SELECT event_type, max(n)::BIGINT AS n,
-       max(vmin)::DOUBLE / 100.0 AS vmin,
-       max(q1)::DOUBLE / 100.0 AS q1,
-       max(q2)::DOUBLE / 100.0 AS q2,
-       max(q3)::DOUBLE / 100.0 AS q3,
-       max(vmax)::DOUBLE / 100.0 AS vmax,
-       min(CASE WHEN NOT lo_out AND NOT hi_out THEN vq END)::DOUBLE / 100.0
-         AS whisker_lo,
-       max(CASE WHEN NOT lo_out AND NOT hi_out THEN vq END)::DOUBLE / 100.0
-         AS whisker_hi,
-       sum(CASE WHEN lo_out THEN cnt ELSE 0 END)::BIGINT AS n_low_outliers,
-       sum(CASE WHEN hi_out THEN cnt ELSE 0 END)::BIGINT AS n_high_outliers
-FROM joined GROUP BY 1 HAVING max(n) >= 4
-"""
-
-ORACLES["robust_moments"] = """
-WITH counted AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM counted),
-oct AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e1,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e2,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e3,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e4,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e5,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e6,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e7
-  FROM ranked GROUP BY 1)
-SELECT event_type, n,
-       e2::DOUBLE / 100.0 AS q1,
-       e4::DOUBLE / 100.0 AS q2,
-       e6::DOUBLE / 100.0 AS q3,
-       (e6 - 2 * e4 + e2)::DOUBLE / nullif(e6 - e2, 0)::DOUBLE
-         AS bowley_skew,
-       ((e7 - e5) + (e3 - e1))::DOUBLE / nullif(e6 - e2, 0)::DOUBLE
-         AS moors_kurtosis,
-       (e6 - e2)::DOUBLE / nullif(e6 + e2, 0)::DOUBLE AS qcd
-FROM oct WHERE n >= 8
-"""
-
-ORACLES["anderson_darling_drift"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-cells AS (
-  SELECT b.event_type, b.vq,
-         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c1,
-         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS c2
-  FROM base b JOIN spans s USING (event_type)
-  GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, vq, (c1 + c2)::BIGINT AS l,
-         sum(c1) OVER (PARTITION BY event_type ORDER BY vq
-                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum1,
-         sum(c2) OVER (PARTITION BY event_type ORDER BY vq
-                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum2,
-         sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
-         sum(c2) OVER (PARTITION BY event_type)::BIGINT AS n2
-  FROM cells),
-terms AS (
-  SELECT event_type, vq, n1, n2,
-         (l::DOUBLE * (n2 * cum1 - n1 * cum2)::DOUBLE
-            * (n2 * cum1 - n1 * cum2)::DOUBLE)
-           / ((cum1 + cum2) * (n1 + n2 - cum1 - cum2))::DOUBLE AS term
-  FROM cum WHERE cum1 + cum2 < n1 + n2),
-agg AS (
-  SELECT event_type, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
-         list_reduce(list(term ORDER BY vq), (a, b) -> a + b) AS ad_sum
-  FROM terms GROUP BY 1)
-SELECT event_type, n1, n2, ad_sum,
-       ad_sum / (n1::DOUBLE * n2::DOUBLE) AS ad_stat
-FROM agg WHERE n1 >= 2 AND n2 >= 2
-"""
-
-ORACLES["kuiper_drift"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-grid AS (
-  SELECT b.event_type, b.vq,
-         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS c_a,
-         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS c_b
-  FROM base b JOIN spans s USING (event_type)
-  GROUP BY 1, 2),
-cdf AS (
-  SELECT event_type,
-         sum(c_a) OVER (PARTITION BY event_type)::BIGINT AS n_a,
-         sum(c_b) OVER (PARTITION BY event_type)::BIGINT AS n_b,
-         (sum(c_a) OVER (PARTITION BY event_type ORDER BY vq
-                         ROWS UNBOUNDED PRECEDING)
-            * sum(c_b) OVER (PARTITION BY event_type)
-          - sum(c_b) OVER (PARTITION BY event_type ORDER BY vq
-                           ROWS UNBOUNDED PRECEDING)
-            * sum(c_a) OVER (PARTITION BY event_type))::BIGINT AS dev
-  FROM grid),
-agg AS (
-  SELECT event_type, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
-         greatest(max(dev), 0)::BIGINT AS dplus_num,
-         greatest(max(-dev), 0)::BIGINT AS dminus_num
-  FROM cdf GROUP BY 1)
-SELECT event_type, n_a, n_b,
-       dplus_num::DOUBLE / (n_a * n_b)::DOUBLE AS d_plus,
-       dminus_num::DOUBLE / (n_a * n_b)::DOUBLE AS d_minus,
-       (dplus_num + dminus_num)::DOUBLE / (n_a * n_b)::DOUBLE AS kuiper_v,
-       CASE WHEN dplus_num > dminus_num THEN 'late_higher'
-            WHEN dplus_num < dminus_num THEN 'late_lower'
-            ELSE 'balanced' END AS dominant_direction
-FROM agg WHERE n_a >= 1 AND n_b >= 1
-"""
-
-ORACLES["engle_granger_coint"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::BIGINT AS sv,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-pairs AS (
-  SELECT a.event_type AS type_y, b.event_type AS type_x, a.hr,
-         a.sv::DOUBLE / a.cnt::DOUBLE AS ym,
-         b.sv::DOUBLE / b.cnt::DOUBLE AS xm
-  FROM hourly a JOIN hourly b USING (hr)
-  WHERE a.event_type < b.event_type),
-arr0 AS (
-  SELECT type_y, type_x,
-         list(struct_pack(hr := hr, xm := xm, ym := ym) ORDER BY hr) AS arr,
-         count(*)::BIGINT AS n
-  FROM pairs GROUP BY 1, 2),
-st1 AS (
-  SELECT type_y, type_x, arr, n,
-         list_reduce(list_transform(arr, v -> v.xm), (p, q) -> p + q) AS sx,
-         list_reduce(list_transform(arr, v -> v.ym), (p, q) -> p + q) AS sy,
-         list_reduce(list_transform(arr, v -> v.xm * v.xm),
-                     (p, q) -> p + q) AS sxx,
-         list_reduce(list_transform(arr, v -> v.xm * v.ym),
-                     (p, q) -> p + q) AS sxy
-  FROM arr0 WHERE n >= 4),
-st2 AS (
-  SELECT type_y, type_x, arr, n, sx, sy,
-         (n::DOUBLE * sxy - sx * sy)
-           / nullif(n::DOUBLE * sxx - sx * sx, 0.0) AS beta
-  FROM st1),
-st3 AS (
-  SELECT type_y, type_x, arr, n, beta,
-         (sy - beta * sx) / n::DOUBLE AS alpha
-  FROM st2),
-st4 AS (
-  SELECT type_y, type_x, n, beta, alpha,
-         list_transform(arr, v -> (v.ym - alpha) - beta * v.xm) AS e
-  FROM st3),
-st5 AS (
-  SELECT type_y, type_x, n, beta, alpha,
-         list_slice(e, 1, n - 1) AS ep,
-         list_transform(list_zip(list_slice(e, 2, n),
-                                 list_slice(e, 1, n - 1)),
-                        s -> s[1] - s[2]) AS de
-  FROM st4),
-st6 AS (
-  SELECT type_y, type_x, n, beta, alpha, ep, de,
-         list_reduce(list_transform(list_zip(ep, de), s -> s[1] * s[2]),
-                     (p, q) -> p + q) AS spd,
-         list_reduce(list_transform(ep, p -> p * p), (p, q) -> p + q) AS spp
-  FROM st5),
-st7 AS (
-  SELECT type_y, type_x, n, beta, alpha, ep, de, spp,
-         spd / nullif(spp, 0.0) AS df_phi
-  FROM st6),
-st8 AS (
-  SELECT type_y, type_x, n, beta, alpha, spp, df_phi,
-         list_reduce(list_transform(list_zip(de, ep),
-                                    s -> (s[1] - df_phi * s[2])
-                                         * (s[1] - df_phi * s[2])),
-                     (p, q) -> p + q) AS ssr
-  FROM st7)
-SELECT type_y, type_x, n AS n_hours, beta, alpha, df_phi,
-       df_phi / sqrt((ssr / (n::DOUBLE - 2.0)) / spp) AS df_t,
-       (df_phi / sqrt((ssr / (n::DOUBLE - 2.0)) / spp)) < -3.34
-         AS cointegrated
-FROM st8
-"""
-
-ORACLES["vocab_growth_heaps"] = """
-WITH spans AS (
-  SELECT source, floor((min(doc_id) + max(doc_id)) / 2)::BIGINT AS mid
-  FROM documents GROUP BY 1),
-exploded AS (
-  SELECT d.source,
-         CASE WHEN d.doc_id <= s.mid THEN 1 ELSE 0 END AS in_a,
-         unnest(CASE WHEN trim(d.text) = '' THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(d.text), '\\s+')
-                END) AS tok
-  FROM documents d JOIN spans s USING (source)),
-agg AS (
-  SELECT source,
-         sum(in_a)::BIGINT AS n_tokens_half,
-         count(*)::BIGINT AS n_tokens_full,
-         count(DISTINCT CASE WHEN in_a = 1 THEN tok END)::BIGINT
-           AS vocab_half,
-         count(DISTINCT tok)::BIGINT AS vocab_full
-  FROM exploded GROUP BY 1)
-SELECT source, n_tokens_half, n_tokens_full, vocab_half, vocab_full,
-       n_tokens_full::DOUBLE / n_tokens_half::DOUBLE AS token_growth,
-       vocab_full::DOUBLE / vocab_half::DOUBLE AS vocab_growth,
-       vocab_half::DOUBLE / n_tokens_half::DOUBLE AS ttr_half,
-       vocab_full::DOUBLE / n_tokens_full::DOUBLE AS ttr_full
-FROM agg
-WHERE n_tokens_half >= 1 AND n_tokens_full > n_tokens_half
-"""
-
-ORACLES["zipf_decay_profile"] = """
-WITH terms AS (
-  SELECT source, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                             ELSE regexp_split_to_array(trim(text), '\\s+')
-                        END) AS tok
-  FROM documents),
-counted AS (
-  SELECT source, tok, count(*)::BIGINT AS freq
-  FROM terms GROUP BY 1, 2),
-ranked AS (
-  SELECT source, tok, freq,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY freq DESC, tok ASC)::BIGINT AS rank,
-         max(freq) OVER (PARTITION BY source)::BIGINT AS f1
-  FROM counted)
-SELECT source, rank, tok AS term, freq,
-       (rank * freq)::BIGINT AS rank_x_freq,
-       freq::DOUBLE / f1::DOUBLE AS decay_from_top,
-       (rank * freq)::DOUBLE / f1::DOUBLE AS zipf_flatness
-FROM ranked WHERE rank IN (1, 2, 4, 8, 16, 32, 64)
-"""
-
-ORACLES["sign_transfer_qmi"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-sig AS (
-  SELECT event_type, hr,
-         CASE WHEN lag(hr) OVER w = hr - 1
-              THEN sign(m - lag(m) OVER w)::INT END AS sc
-  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-sig2 AS (
-  SELECT event_type, hr, sc,
-         CASE WHEN lag(hr) OVER w = hr - 1
-              THEN lag(sc) OVER w END AS sp
-  FROM sig WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-pairs AS (
-  SELECT a.event_type AS type_y, b.event_type AS type_x,
-         b.sp AS i, a.sc AS j
-  FROM sig2 a JOIN sig2 b USING (hr)
-  WHERE a.event_type <> b.event_type
-    AND b.sp IS NOT NULL AND a.sc IS NOT NULL),
-cells AS (
-  SELECT type_y, type_x, i, j, count(*)::BIGINT AS o
-  FROM pairs GROUP BY 1, 2, 3, 4),
-rc AS (
-  SELECT type_y, type_x, i, j, o,
-         sum(o) OVER (PARTITION BY type_y, type_x, i)::BIGINT AS r,
-         sum(o) OVER (PARTITION BY type_y, type_x, j)::BIGINT AS c,
-         sum(o) OVER (PARTITION BY type_y, type_x)::BIGINT AS n
-  FROM cells),
-devs AS (
-  SELECT *,
-         (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT) AS dev,
-         row_number() OVER (
-           PARTITION BY type_y, type_x
-           ORDER BY (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT)
-                    * (n::HUGEINT * o::HUGEINT - r::HUGEINT * c::HUGEINT)
-                    DESC, i DESC, j DESC) AS rn
-  FROM rc),
-agg AS (
-  SELECT type_y, type_x, max(n)::BIGINT AS n_pairs,
-         sum(o::HUGEINT * o::HUGEINT) AS so2,
-         sum(o::HUGEINT * r::HUGEINT * c::HUGEINT) AS sorc,
-         sum(o::HUGEINT * r::HUGEINT) AS sr2,
-         sum(o::HUGEINT * c::HUGEINT) AS sc2,
-         max(CASE WHEN rn = 1 THEN
-           (CASE WHEN i = -1 THEN 'down' WHEN i = 0 THEN 'flat'
-                 ELSE 'up' END) || '_then_' ||
-           (CASE WHEN j = -1 THEN 'down' WHEN j = 0 THEN 'flat'
-                 ELSE 'up' END) END) AS dominant_pattern
-  FROM devs GROUP BY 1, 2)
-SELECT type_y, type_x, n_pairs,
-       (n_pairs::HUGEINT * n_pairs::HUGEINT * so2
-        - 2::HUGEINT * n_pairs::HUGEINT * sorc
-        + sr2 * sc2)::DOUBLE
-         / (n_pairs::DOUBLE * n_pairs::DOUBLE
-            * n_pairs::DOUBLE * n_pairs::DOUBLE) AS qmi,
-       dominant_pattern
-FROM agg WHERE n_pairs >= 8
-"""
-
-ORACLES["hellinger_decile_drift"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-spans AS (
-  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid,
-         min(vq)::BIGINT AS vmin, max(vq)::BIGINT AS vmax
-  FROM base GROUP BY 1),
-binned AS (
-  SELECT b.event_type,
-         floor(10 * (b.vq - s.vmin) / (s.vmax - s.vmin + 1))::BIGINT AS bin,
-         CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END AS in_a
-  FROM base b JOIN spans s USING (event_type)),
-cells AS (
-  SELECT event_type, bin,
-         sum(in_a)::BIGINT AS c1,
-         sum(1 - in_a)::BIGINT AS c2
-  FROM binned GROUP BY 1, 2),
-agg AS (
-  SELECT event_type,
-         sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
-         list_reduce(list(sqrt((c1 * c2)::DOUBLE) ORDER BY bin),
-                     (a, b) -> a + b) AS s_bc
-  FROM cells GROUP BY 1)
-SELECT event_type, n1, n2,
-       s_bc / sqrt((n1 * n2)::DOUBLE) AS bhattacharyya,
-       sqrt(greatest(1.0 - s_bc / sqrt((n1 * n2)::DOUBLE), 0.0))
-         AS hellinger
-FROM agg WHERE n1 >= 1 AND n2 >= 1
-"""
-
-ORACLES["equidepth_histogram"] = """
-WITH counted AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM counted),
-oct AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e1,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e2,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e3,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e4,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e5,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e6,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
-                  THEN vq END)::BIGINT AS e7,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 1 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 1 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c1,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 2 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 2 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c2,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 3 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 3 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c3,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 4 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 4 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c4,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 5 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 5 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c5,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 6 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 6 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c6,
-         min(CASE WHEN cum - cnt < floor((n - 1) * 7 / 8)::BIGINT + 1
-                   AND floor((n - 1) * 7 / 8)::BIGINT + 1 <= cum
-                  THEN cum END)::BIGINT AS c7
-  FROM ranked GROUP BY 1),
-rows_ AS (
-  SELECT event_type, n, t.k::BIGINT AS k,
-         CASE t.k WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
-                  WHEN 4 THEN e4 WHEN 5 THEN e5 WHEN 6 THEN e6
-                  ELSE e7 END AS eb,
-         CASE t.k WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
-                  WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6
-                  ELSE c7 END AS cum_le
-  FROM oct CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)
-  WHERE n >= 8)
-SELECT event_type, n, k,
-       (floor((n - 1) * k / 8)::BIGINT + 1)::BIGINT AS target_rank,
-       eb::DOUBLE / 100.0 AS boundary,
-       cum_le,
-       (cum_le - (floor((n - 1) * k / 8)::BIGINT + 1))::BIGINT AS tie_excess,
-       cum_le::DOUBLE / n::DOUBLE AS depth_share
-FROM rows_
-"""
-
-ORACLES["brown_forsythe_scale"] = """
-WITH counted AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM counted),
-dev AS (
-  SELECT event_type, cnt,
-         abs(vq - min(CASE WHEN cum - cnt < floor((n - 1) / 2)::BIGINT + 1
-                            AND floor((n - 1) / 2)::BIGINT + 1 <= cum
-                           THEN vq END)
-                 OVER (PARTITION BY event_type))::BIGINT AS z
-  FROM ranked),
-per_type AS (
-  SELECT event_type,
-         sum(cnt)::BIGINT AS n_i,
-         sum(cnt * z)::BIGINT AS s_i,
-         sum(cnt * z * z)::BIGINT AS q_i
-  FROM dev GROUP BY 1),
-gall AS (
-  SELECT count(*)::BIGINT AS k,
-         sum(n_i)::BIGINT AS n_total,
-         sum(s_i)::BIGINT AS t_sum,
-         sum(q_i)::BIGINT AS q_sum,
-         list_reduce(list(s_i::DOUBLE * s_i::DOUBLE / n_i::DOUBLE
-                          ORDER BY event_type), (a, b) -> a + b) AS ssb_sum,
-         max(struct_pack(mz := s_i::DOUBLE / n_i::DOUBLE,
-                         t := event_type)) AS top
-  FROM per_type)
-SELECT k, n_total,
-       ssb_sum - (t_sum::DOUBLE * t_sum::DOUBLE) / n_total::DOUBLE
-         AS ss_between,
-       q_sum::DOUBLE - ssb_sum AS ss_within,
-       ((ssb_sum - (t_sum::DOUBLE * t_sum::DOUBLE) / n_total::DOUBLE)
-          / (k::DOUBLE - 1.0))
-         / nullif((q_sum::DOUBLE - ssb_sum)
-                  / (n_total::DOUBLE - k::DOUBLE), 0.0) AS bf_f,
-       k::DOUBLE - 1.0 AS df1,
-       n_total::DOUBLE - k::DOUBLE AS df2,
-       top.t AS most_dispersed_type,
-       top.mz AS max_mean_absdev_centi
-FROM gall WHERE k >= 2 AND n_total > k
-"""
-
-ORACLES["durbin_watson_trend"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-arr0 AS (
-  SELECT event_type,
-         list(struct_pack(hr := hr, m := m) ORDER BY hr) AS arr,
-         count(*)::BIGINT AS n
-  FROM hourly GROUP BY 1),
-st0 AS (
-  SELECT event_type, n,
-         list_transform(arr, v -> struct_pack(
-           t := (v.hr - arr[1].hr)::DOUBLE, m := v.m)) AS tm
-  FROM arr0 WHERE n >= 4),
-st1 AS (
-  SELECT event_type, n, tm,
-         list_reduce(list_transform(tm, v -> v.t), (p, q) -> p + q) AS st,
-         list_reduce(list_transform(tm, v -> v.m), (p, q) -> p + q) AS sm,
-         list_reduce(list_transform(tm, v -> v.t * v.t),
-                     (p, q) -> p + q) AS stt,
-         list_reduce(list_transform(tm, v -> v.t * v.m),
-                     (p, q) -> p + q) AS stm
-  FROM st0),
-st2 AS (
-  SELECT event_type, n, tm, sm, st,
-         (n::DOUBLE * stm - st * sm)
-           / nullif(n::DOUBLE * stt - st * st, 0.0) AS beta
-  FROM st1),
-st3 AS (
-  SELECT event_type, n, tm, beta,
-         (sm - beta * st) / n::DOUBLE AS alpha
-  FROM st2),
-st4 AS (
-  SELECT event_type, n, beta, alpha,
-         list_transform(tm, v -> (v.m - alpha) - beta * v.t) AS e
-  FROM st3),
-st5 AS (
-  SELECT event_type, n, beta, alpha,
-         list_reduce(list_transform(e, r -> r * r), (p, q) -> p + q) AS see,
-         list_reduce(list_transform(
-             list_zip(list_slice(e, 2, n), list_slice(e, 1, n - 1)),
-             s -> (s[1] - s[2]) * (s[1] - s[2])), (p, q) -> p + q) AS sdd
-  FROM st4)
-SELECT event_type, n AS n_hours,
-       beta AS trend_slope_centi_per_hr,
-       sdd / nullif(see, 0.0) AS dw,
-       1.0 - (sdd / nullif(see, 0.0)) / 2.0 AS rho1,
-       CASE WHEN sdd / nullif(see, 0.0) < 1.5 THEN 'positive_autocorr'
-            WHEN sdd / nullif(see, 0.0) > 2.5 THEN 'negative_autocorr'
-            ELSE 'white' END AS residual_verdict
-FROM st5
-"""
-
-ORACLES["shortest_half_interval"] = """
-WITH counted AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, vq, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
-                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
-         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM counted),
-unioned AS (
-  SELECT event_type, n, (floor(n / 2)::BIGINT + 1)::BIGINT AS h,
-         (cum - cnt + floor(n / 2)::BIGINT + 1)::BIGINT AS key,
-         1 AS kind, vq AS qvq, NULL::BIGINT AS vvq
-  FROM ranked WHERE cum - cnt + floor(n / 2)::BIGINT + 1 <= n
-  UNION ALL
-  SELECT event_type, n, (floor(n / 2)::BIGINT + 1)::BIGINT AS h,
-         (cum - cnt + 1)::BIGINT AS key,
-         0 AS kind, NULL::BIGINT AS qvq, vq AS vvq
-  FROM ranked),
-looked AS (
-  SELECT event_type, n, h, kind, qvq,
-         last_value(vvq IGNORE NULLS)
-           OVER (PARTITION BY event_type ORDER BY key, kind
-                 ROWS UNBOUNDED PRECEDING) AS rvq
-  FROM unioned),
-agg AS (
-  SELECT event_type, max(n)::BIGINT AS n, max(h)::BIGINT AS h,
-         min(struct_pack(w := (rvq - qvq)::BIGINT,
-                         lo := qvq, hi := rvq)) AS best
-  FROM looked WHERE kind = 1 GROUP BY 1)
-SELECT event_type, n, h,
-       best.lo::DOUBLE / 100.0 AS shorth_lo,
-       best.hi::DOUBLE / 100.0 AS shorth_hi,
-       best.w::DOUBLE / 100.0 AS shorth_width,
-       (best.lo + best.hi)::DOUBLE / 200.0 AS shorth_mode
-FROM agg WHERE n >= 2
-"""
-
-ORACLES["logrank_survival_drift"] = """
-WITH base AS (
-  SELECT user_id, event_id,
-         (epoch_ms(ts) // 1000)::BIGINT AS es, ts
-  FROM events),
-flagged AS (
-  SELECT user_id, es, ts, event_id,
-         CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
-              THEN 1 ELSE 0 END AS new_sess
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-sess_tag AS (
-  SELECT user_id, es,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged),
-sessions AS (
-  SELECT user_id, session_id,
-         min(es)::BIGINT AS s_start, max(es)::BIGINT AS s_end
-  FROM sess_tag GROUP BY 1, 2),
-horizon AS (
-  SELECT max(s_end)::BIGINT AS t_max,
-         floor((min(s_start) + max(s_start)) / 2)::BIGINT AS mid
-  FROM sessions),
-tagged AS (
-  SELECT ((s_end - s_start) // 60)::BIGINT AS dur,
-         (t_max - s_end < 1800) AS censored,
-         (s_start <= mid) AS in_a
-  FROM sessions, horizon),
-grid AS (
-  SELECT dur,
-         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS a1,
-         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS a2,
-         sum(CASE WHEN in_a AND NOT censored THEN 1 ELSE 0 END)::BIGINT
-           AS d1,
-         sum(CASE WHEN NOT in_a AND NOT censored THEN 1 ELSE 0 END)::BIGINT
-           AS d2
-  FROM tagged GROUP BY 1),
-risk AS (
-  SELECT dur, d1, d2,
-         sum(a1) OVER (ORDER BY dur
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n1,
-         sum(a2) OVER (ORDER BY dur
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n2
-  FROM grid),
-terms AS (
-  SELECT dur, d1, (d1 + d2)::BIGINT AS d, n1, n2, (n1 + n2)::BIGINT AS n
-  FROM risk WHERE d1 + d2 >= 1 AND n1 + n2 >= 2),
-gall AS (
-  SELECT count(*)::BIGINT AS n_times,
-         list_reduce(list(
-             d1::DOUBLE - (d::DOUBLE * n1::DOUBLE) / n::DOUBLE
-             ORDER BY dur), (a, b) -> a + b) AS o_minus_e,
-         list_reduce(list(
-             CASE WHEN n >= 2 THEN
-               ((d * n1)::HUGEINT * n2::HUGEINT * (n - d)::HUGEINT)::DOUBLE
-                 / (n * n * (n - 1))::DOUBLE
-             ELSE 0.0 END ORDER BY dur), (a, b) -> a + b) AS variance
-  FROM terms)
-SELECT n_times, o_minus_e, variance,
-       (o_minus_e * o_minus_e) / nullif(variance, 0.0) AS logrank_chi2,
-       ((o_minus_e * o_minus_e) / nullif(variance, 0.0)) > 3.841
-         AS survival_drifted
-FROM gall WHERE n_times >= 1
-"""
-
-ORACLES["nelson_aalen_hazard"] = """
-WITH RECURSIVE base AS (
-  SELECT user_id, event_id,
-         (epoch_ms(ts) // 1000)::BIGINT AS es, ts
-  FROM events),
-flagged AS (
-  SELECT user_id, es, ts, event_id,
-         CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
-              THEN 1 ELSE 0 END AS new_sess
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-sess_tag AS (
-  SELECT user_id, es,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged),
-sessions AS (
-  SELECT user_id, session_id,
-         min(es)::BIGINT AS s_start, max(es)::BIGINT AS s_end
-  FROM sess_tag GROUP BY 1, 2),
-horizon AS (SELECT max(s_end)::BIGINT AS t_max FROM sessions),
-tagged AS (
-  SELECT ((s_end - s_start) // 60)::BIGINT AS dur,
-         (t_max - s_end < 1800) AS censored
-  FROM sessions, horizon),
-grid AS (
-  SELECT dur,
-         count(*)::BIGINT AS cnt_all,
-         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d_events
-  FROM tagged GROUP BY 1),
-staged AS (
-  SELECT dur, d_events,
-         (sum(cnt_all) OVER ()
-          - sum(cnt_all) OVER (ORDER BY dur
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          + cnt_all)::BIGINT AS n_risk
-  FROM grid),
-ev AS (
-  SELECT dur, d_events, n_risk,
-         d_events::DOUBLE / n_risk::DOUBLE AS inc,
-         d_events::DOUBLE / (n_risk::DOUBLE * n_risk::DOUBLE) AS vinc,
-         row_number() OVER (ORDER BY dur) AS k
-  FROM staged WHERE d_events >= 1),
-rec AS (
-  SELECT k, dur, d_events, n_risk,
-         0.0 + inc AS na, 0.0 + vinc AS nav
-  FROM ev WHERE k = 1
-  UNION ALL
-  SELECT e.k, e.dur, e.d_events, e.n_risk,
-         r.na + e.inc, r.nav + e.vinc
-  FROM ev e JOIN rec r ON e.k = r.k + 1)
-SELECT dur AS duration_min, n_risk, d_events,
-       na AS na_hazard, nav AS na_variance
-FROM rec
-"""
-
-ORACLES["range_partition_planner"] = """
-WITH sample_u AS (
-  SELECT user_id::BIGINT AS uid
-  FROM events WHERE user_id % 20 = 3 GROUP BY 1),
-ranked AS (
-  SELECT uid, row_number() OVER (ORDER BY uid)::BIGINT AS r,
-         count(*) OVER ()::BIGINT AS m
-  FROM sample_u),
-bounds AS (
-  SELECT max(m)::BIGINT AS m_sample,
-         min(CASE WHEN r = floor((m - 1) * 1 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b1,
-         min(CASE WHEN r = floor((m - 1) * 2 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b2,
-         min(CASE WHEN r = floor((m - 1) * 3 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b3,
-         min(CASE WHEN r = floor((m - 1) * 4 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b4,
-         min(CASE WHEN r = floor((m - 1) * 5 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b5,
-         min(CASE WHEN r = floor((m - 1) * 6 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b6,
-         min(CASE WHEN r = floor((m - 1) * 7 / 8)::BIGINT + 1
-                  THEN uid END)::BIGINT AS b7
-  FROM ranked),
-tagged AS (
-  SELECT ((CASE WHEN e.user_id > b.b1 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b2 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b3 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b4 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b5 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b6 THEN 1 ELSE 0 END)
-        + (CASE WHEN e.user_id > b.b7 THEN 1 ELSE 0 END))::BIGINT AS bucket,
-         e.user_id AS uid
-  FROM events e, bounds b),
-hist AS (
-  SELECT bucket, count(*)::BIGINT AS n_rows,
-         count(DISTINCT uid)::BIGINT AS n_users
-  FROM tagged GROUP BY 1),
-tot AS (
-  SELECT bucket, n_rows, n_users,
-         sum(n_rows) OVER ()::BIGINT AS total
-  FROM hist)
-SELECT bucket, n_rows, n_users,
-       n_rows::DOUBLE / total::DOUBLE AS row_share,
-       (8 * n_rows)::DOUBLE / total::DOUBLE AS skew_factor,
-       (8 * n_rows > 2 * total) AS straggler_risk
-FROM tot
-"""
-
-ORACLES["salt_factor_planner"] = """
-WITH counted AS (
-  SELECT user_id::BIGINT AS uid, count(*)::BIGINT AS c
-  FROM events GROUP BY 1),
-exploded AS (
-  SELECT t.s::BIGINT AS s,
-         ((c + t.s - 1) // t.s)::BIGINT AS ceilc,
-         c
-  FROM counted CROSS JOIN (VALUES (1),(2),(4),(8),(16)) t(s)),
-per_s AS (
-  SELECT s, max(ceilc)::BIGINT AS max_task_rows,
-         sum(c)::BIGINT AS total_rows
-  FROM exploded GROUP BY 1),
-outp AS (
-  SELECT s, max_task_rows, total_rows,
-         first_value(max_task_rows) OVER (ORDER BY s
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-           ::BIGINT AS unsalted
-  FROM per_s)
-SELECT s, max_task_rows, total_rows,
-       max_task_rows::DOUBLE / total_rows::DOUBLE AS max_task_share,
-       unsalted::DOUBLE / max_task_rows::DOUBLE AS straggler_speedup
-FROM outp
-"""
-
-ORACLES["aqe_coalesce_simulator"] = """
-WITH buckets AS (
-  SELECT (user_id % 64)::BIGINT AS b, count(*)::BIGINT AS c
-  FROM events GROUP BY 1),
-gall AS (
-  SELECT count(*)::BIGINT AS n_buckets,
-         sum(c)::BIGINT AS total_rows,
-         list(struct_pack(b := b, c := c) ORDER BY b, c) AS arr
-  FROM buckets),
-st AS (
-  SELECT n_buckets, total_rows, arr,
-         floor((total_rows + 15) / 16)::BIGINT AS target
-  FROM gall),
-st2 AS (
-  SELECT n_buckets, total_rows, target,
-         list_reduce(
-           list_transform(arr, e -> struct_pack(
-             cur := e.c, grp := 0::BIGINT, mx := 0::BIGINT)),
-           (a, e) -> CASE WHEN a.cur > 0 AND a.cur + e.cur > target
-             THEN struct_pack(cur := e.cur, grp := a.grp + 1,
-                              mx := greatest(a.mx, a.cur))
-             ELSE struct_pack(cur := a.cur + e.cur, grp := a.grp,
-                              mx := a.mx) END) AS f
-  FROM st)
-SELECT n_buckets, total_rows, target,
-       (f.grp + 1)::BIGINT AS n_coalesced,
-       greatest(f.mx, f.cur)::BIGINT AS max_group_rows,
-       total_rows::DOUBLE / (f.grp + 1)::DOUBLE AS avg_group_rows,
-       greatest(f.mx, f.cur)::DOUBLE / target::DOUBLE AS balance_vs_target
-FROM st2 WHERE n_buckets >= 1
-"""
-
-ORACLES["arch_effect_lag1"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-st1 AS (
-  SELECT event_type, hr,
-         (CASE WHEN lag(hr) OVER w = hr - 1
-               THEN m - lag(m) OVER w END)
-         * (CASE WHEN lag(hr) OVER w = hr - 1
-                 THEN m - lag(m) OVER w END) AS a
-  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-st2 AS (
-  SELECT event_type, hr, a,
-         CASE WHEN lag(hr) OVER w = hr - 1 THEN lag(a) OVER w END AS ap
-  FROM st1 WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-pairs AS (
-  SELECT event_type, hr, ap, a FROM st2
-  WHERE a IS NOT NULL AND ap IS NOT NULL),
-arr0 AS (
-  SELECT event_type, count(*)::BIGINT AS n,
-         list_reduce(list(ap ORDER BY hr), (p, q) -> p + q) AS sx,
-         list_reduce(list(a ORDER BY hr), (p, q) -> p + q) AS sy,
-         list_reduce(list(ap * ap ORDER BY hr), (p, q) -> p + q) AS sxx,
-         list_reduce(list(a * a ORDER BY hr), (p, q) -> p + q) AS syy,
-         list_reduce(list(ap * a ORDER BY hr), (p, q) -> p + q) AS sxy
-  FROM pairs GROUP BY 1)
-SELECT event_type, n AS n_pairs,
-       ((n::DOUBLE * sxy - sx * sy) * (n::DOUBLE * sxy - sx * sy))
-         / nullif((n::DOUBLE * sxx - sx * sx)
-                  * (n::DOUBLE * syy - sy * sy), 0.0) AS arch_r2,
-       n::DOUBLE * (((n::DOUBLE * sxy - sx * sy)
-                     * (n::DOUBLE * sxy - sx * sy))
-         / nullif((n::DOUBLE * sxx - sx * sx)
-                  * (n::DOUBLE * syy - sy * sy), 0.0)) AS arch_lm,
-       (n::DOUBLE * (((n::DOUBLE * sxy - sx * sy)
-                      * (n::DOUBLE * sxy - sx * sy))
-         / nullif((n::DOUBLE * sxx - sx * sx)
-                  * (n::DOUBLE * syy - sy * sy), 0.0))) > 3.841
-         AS volatility_clustered
-  FROM arr0 WHERE n >= 4
-"""
-
-ORACLES["rescaled_range_profile"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-seq AS (
-  SELECT event_type, m,
-         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS rn
-  FROM hourly),
-expanded AS (
-  SELECT event_type, t.k::BIGINT AS k, m,
-         floor((rn - 1) / t.k)::BIGINT AS blk,
-         ((rn - 1) % t.k + 1)::BIGINT AS idx
-  FROM seq CROSS JOIN (VALUES (8),(16),(32),(64)) t(k)),
-blocks AS (
-  SELECT event_type, k, blk,
-         list(struct_pack(idx := idx, m := m) ORDER BY idx) AS arr,
-         count(*)::BIGINT AS cnt
-  FROM expanded GROUP BY 1, 2, 3),
-st1 AS (
-  SELECT event_type, k, blk, arr,
-         list_reduce(list_transform(arr, v -> v.m), (p, q) -> p + q)
-           / k::DOUBLE AS mu
-  FROM blocks WHERE cnt = k),
-st2 AS (
-  SELECT event_type, k, blk,
-         (list_max(list_transform(arr, e ->
-            list_reduce(list_transform(list_slice(arr, 1, e.idx),
-                                       v -> v.m), (p, q) -> p + q)
-            - e.idx::DOUBLE * mu))
-          - list_min(list_transform(arr, e ->
-            list_reduce(list_transform(list_slice(arr, 1, e.idx),
-                                       v -> v.m), (p, q) -> p + q)
-            - e.idx::DOUBLE * mu))) AS r,
-         sqrt(list_reduce(list_transform(arr,
-                v -> (v.m - mu) * (v.m - mu)), (p, q) -> p + q)
-              / k::DOUBLE) AS s
-  FROM st1),
-st3 AS (
-  SELECT event_type, k, blk, r / nullif(s, 0.0) AS rs
-  FROM st2 WHERE r / nullif(s, 0.0) IS NOT NULL),
-perk AS (
-  SELECT event_type, k, count(*)::BIGINT AS n_blocks,
-         list_reduce(list(rs ORDER BY blk), (p, q) -> p + q) AS s_rs
-  FROM st3 GROUP BY 1, 2),
-st4 AS (
-  SELECT event_type, k, n_blocks,
-         s_rs / n_blocks::DOUBLE AS mean_rs
-  FROM perk WHERE n_blocks >= 2)
-SELECT event_type, k, n_blocks, mean_rs,
-       mean_rs / lag(mean_rs) OVER (PARTITION BY event_type ORDER BY k)
-         AS rs_growth_vs_half
-FROM st4
-"""
-
-ORACLES["poisson_rate_drift"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events),
-spans AS (
-  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-agg AS (
-  SELECT b.event_type,
-         sum(CASE WHEN b.es <= s.mid THEN 1 ELSE 0 END)::BIGINT AS n1,
-         sum(CASE WHEN b.es > s.mid THEN 1 ELSE 0 END)::BIGINT AS n2
-  FROM base b JOIN spans s USING (event_type)
-  GROUP BY 1)
-SELECT event_type, n1, n2,
-       n2::DOUBLE / nullif(n1, 0)::DOUBLE AS rate_ratio,
-       (2 * n1 - (n1 + n2))::DOUBLE / sqrt((n1 + n2)::DOUBLE) AS rate_z,
-       (10000 * (2 * n1 - (n1 + n2)) * (2 * n1 - (n1 + n2))
-          > 38416 * (n1 + n2)) AS rate_drifted
-FROM agg WHERE n1 + n2 >= 4
-"""
-
-_HOURLY_RANKS = """
-hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-seq AS (
-  SELECT event_type, hr, m,
-         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS t,
-         (2 * rank() OVER (PARTITION BY event_type ORDER BY m)
-          + count(*) OVER (PARTITION BY event_type, m) - 1)::BIGINT AS r2,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM hourly)"""
-
-ORACLES["pettitt_changepoint"] = f"""
-WITH {_HOURLY_RANKS},
-u AS (
-  SELECT event_type, hr, t, n,
-         ((sum(r2) OVER (PARTITION BY event_type ORDER BY t))::BIGINT
-          - t * (n + 1))::BIGINT AS u
-  FROM seq),
-best AS (
-  SELECT event_type, n, t, hr, u,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY abs(u) DESC, t) AS rn
-  FROM u WHERE t < n)
-SELECT event_type, n, abs(u)::BIGINT AS k_stat, t AS tau_t, hr AS tau_hr,
-       (2 * abs(u))::DOUBLE / (n * (n + 1))::DOUBLE AS k_frac,
-       (60000 * abs(u) * abs(u) > 36889 * (n * n * n + n * n)) AS changed
-FROM best WHERE rn = 1 AND n >= 8
-"""
-
-ORACLES["cox_stuart_trend"] = f"""
-WITH {_HOURLY_RANKS},
-g AS (
-  SELECT event_type, list(m ORDER BY t) AS arr, count(*)::BIGINT AS n
-  FROM seq GROUP BY 1),
-st AS (
-  SELECT event_type, n,
-         list_sum(list_transform(
-           generate_series(1, (n - (n + 1) // 2)::INT),
-           i -> CASE WHEN arr[(i + (n + 1) // 2)::INT] > arr[i]
-                     THEN 1 ELSE 0 END))::BIGINT AS pos,
-         list_sum(list_transform(
-           generate_series(1, (n - (n + 1) // 2)::INT),
-           i -> CASE WHEN arr[(i + (n + 1) // 2)::INT] < arr[i]
-                     THEN 1 ELSE 0 END))::BIGINT AS neg
-  FROM g WHERE n >= 8)
-SELECT event_type, n, pos, neg,
-       (2 * pos - (pos + neg))::DOUBLE / sqrt((pos + neg)::DOUBLE)
-         AS trend_z,
-       (10000 * (2 * pos - (pos + neg)) * (2 * pos - (pos + neg))
-          > 38416 * (pos + neg)) AS trended,
-       CASE WHEN 10000 * (2 * pos - (pos + neg)) * (2 * pos - (pos + neg))
-                   > 38416 * (pos + neg)
-            THEN CASE WHEN 2 * pos - (pos + neg) > 0
-                      THEN 'increasing' ELSE 'decreasing' END
-            ELSE 'none' END AS direction
-FROM st WHERE pos + neg >= 4
-"""
-
-ORACLES["bartels_rank_ratio"] = f"""
-WITH {_HOURLY_RANKS},
-st AS (
-  SELECT event_type, n,
-         (r2 - lead(r2) OVER (PARTITION BY event_type ORDER BY t))
-           AS d,
-         (r2 - (n + 1)) AS e
-  FROM seq),
-agg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         sum(d * d)::BIGINT AS num4, sum(e * e)::BIGINT AS den4
-  FROM st GROUP BY 1)
-SELECT event_type, n, num4, den4,
-       num4::DOUBLE / den4::DOUBLE AS rvn,
-       (num4::DOUBLE / den4::DOUBLE - 2.0)
-         / sqrt((4 * (n - 2) * (5 * n * n - 2 * n - 9))::DOUBLE
-                / (5 * n * (n + 1) * (n - 1) * (n - 1))::DOUBLE) AS rvn_z,
-       (abs(num4::DOUBLE / den4::DOUBLE - 2.0)
-         / sqrt((4 * (n - 2) * (5 * n * n - 2 * n - 9))::DOUBLE
-                / (5 * n * (n + 1) * (n - 1) * (n - 1))::DOUBLE)
-        > 1.96) AS nonrandom
-FROM agg WHERE n >= 10 AND den4 > 0
-"""
-
-ORACLES["teager_kaiser_energy"] = """
-WITH base AS (
-  SELECT event_type, event_id, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-st AS (
-  SELECT event_type, event_id, es,
-         (vq * vq - lag(vq) OVER w * lead(vq) OVER w)::BIGINT AS psi
-  FROM base
-  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)),
-ranked AS (
-  SELECT event_type, event_id, es, psi,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY psi DESC, es, event_id) AS rn
-  FROM st WHERE psi IS NOT NULL),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n_psi,
-         sum(psi)::BIGINT AS sum_psi,
-         sum(CASE WHEN psi < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
-         max(CASE WHEN rn = 1 THEN psi END)::BIGINT AS max_psi,
-         max(CASE WHEN rn = 1 THEN event_id END)::BIGINT AS peak_event_id
-  FROM ranked GROUP BY 1)
-SELECT event_type, n_psi,
-       sum_psi::DOUBLE / n_psi::DOUBLE AS mean_psi,
-       n_negative, max_psi, peak_event_id
-FROM agg
-"""
-
-ORACLES["dickey_fuller_level"] = f"""
-WITH {_HOURLY_RANKS},
-arr0 AS (
-  SELECT event_type,
-         list(struct_pack(t := t, m := m) ORDER BY t) AS arr,
-         max(n)::BIGINT AS n
-  FROM seq GROUP BY 1),
-st1 AS (
-  SELECT event_type, n,
-         list_transform(list_slice(arr, 1, (n - 1)::INT), v -> v.m) AS lv,
-         list_transform(list_zip(list_slice(arr, 2, n::INT),
-                                 list_slice(arr, 1, (n - 1)::INT)),
-                        s -> s[1].m - s[2].m) AS dd
-  FROM arr0 WHERE n >= 8),
-st2 AS (
-  SELECT event_type, n, lv, dd,
-         list_reduce(lv, (p, q) -> p + q) AS sx,
-         list_reduce(dd, (p, q) -> p + q) AS sd,
-         list_reduce(list_transform(lv, x -> x * x), (p, q) -> p + q)
-           AS sxx,
-         list_reduce(list_transform(list_zip(lv, dd), s -> s[1] * s[2]),
-                     (p, q) -> p + q) AS sxd
-  FROM st1),
-st3 AS (
-  SELECT event_type, n, lv, dd, sx, sd, sxx,
-         ((n - 1)::DOUBLE * sxd - sx * sd)
-           / nullif((n - 1)::DOUBLE * sxx - sx * sx, 0.0) AS phi
-  FROM st2),
-st4 AS (
-  SELECT event_type, n, lv, dd, sx, sxx, phi,
-         (sd - phi * sx) / (n - 1)::DOUBLE AS alpha
-  FROM st3),
-st5 AS (
-  SELECT event_type, n, sx, sxx, phi, alpha,
-         list_reduce(list_transform(list_zip(dd, lv),
-                       s -> ((s[1] - alpha) - phi * s[2])
-                            * ((s[1] - alpha) - phi * s[2])),
-                     (p, q) -> p + q) AS ssr
-  FROM st4)
-SELECT event_type, n, phi, alpha,
-       phi / nullif(sqrt((ssr / ((n - 1)::DOUBLE - 2.0))
-                  / nullif(sxx - sx * sx / (n - 1)::DOUBLE, 0.0)), 0.0)
-         AS df_t,
-       (phi / nullif(sqrt((ssr / ((n - 1)::DOUBLE - 2.0))
-                   / nullif(sxx - sx * sx / (n - 1)::DOUBLE, 0.0)), 0.0))
-         < -2.86 AS mean_reverting
-FROM st5
-"""
-
-ORACLES["dfa_profile"] = """
-WITH hourly AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         sum(floor(value * 100)::BIGINT)::DOUBLE / count(*)::DOUBLE AS m
-  FROM events GROUP BY 1, 2),
-seq AS (
-  SELECT event_type, m,
-         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS rn
-  FROM hourly),
-expanded AS (
-  SELECT event_type, t.k::BIGINT AS k, m,
-         floor((rn - 1) / t.k)::BIGINT AS blk,
-         ((rn - 1) % t.k + 1)::BIGINT AS idx
-  FROM seq CROSS JOIN (VALUES (8),(16),(32),(64)) t(k)),
-blocks AS (
-  SELECT event_type, k, blk,
-         list(struct_pack(idx := idx, m := m) ORDER BY idx) AS arr,
-         count(*)::BIGINT AS cnt
-  FROM expanded GROUP BY 1, 2, 3),
-st1 AS (
-  SELECT event_type, k, blk, arr,
-         list_reduce(list_transform(arr, v -> v.m), (p, q) -> p + q)
-           / k::DOUBLE AS mu
-  FROM blocks WHERE cnt = k),
-st2 AS (
-  SELECT event_type, k, blk,
-         list_transform(arr, e -> struct_pack(
-           x := e.idx::DOUBLE,
-           y := list_reduce(list_transform(list_slice(arr, 1, e.idx),
-                                           v -> v.m), (p, q) -> p + q)
-                - e.idx::DOUBLE * mu)) AS p
-  FROM st1),
-st3 AS (
-  SELECT event_type, k, blk, p,
-         (k::DOUBLE * list_reduce(list_transform(p, v -> v.x * v.y),
-                                  (a, b) -> a + b)
-          - (k * (k + 1) / 2)::DOUBLE
-            * list_reduce(list_transform(p, v -> v.y), (a, b) -> a + b))
-         / nullif(k::DOUBLE * (k * (k + 1) * (2 * k + 1) / 6)::DOUBLE
-                  - (k * (k + 1) / 2)::DOUBLE * (k * (k + 1) / 2)::DOUBLE,
-                  0.0) AS beta,
-         list_reduce(list_transform(p, v -> v.y), (a, b) -> a + b) AS sy
-  FROM st2),
-st4 AS (
-  SELECT event_type, k, blk, p, beta,
-         (sy - beta * (k * (k + 1) / 2)::DOUBLE) / k::DOUBLE AS a0
-  FROM st3),
-st5 AS (
-  SELECT event_type, k, blk,
-         sqrt(list_reduce(list_transform(p,
-                v -> (v.y - a0 - beta * v.x) * (v.y - a0 - beta * v.x)),
-              (a, b) -> a + b) / k::DOUBLE) AS f_blk
-  FROM st4),
-perk AS (
-  SELECT event_type, k, count(*)::BIGINT AS n_blocks,
-         list_reduce(list(f_blk ORDER BY blk), (a, b) -> a + b) AS s_f
-  FROM st5 WHERE f_blk IS NOT NULL GROUP BY 1, 2),
-st6 AS (
-  SELECT event_type, k, n_blocks, s_f / n_blocks::DOUBLE AS mean_f
-  FROM perk WHERE n_blocks >= 2)
-SELECT event_type, k, n_blocks, mean_f,
-       mean_f / lag(mean_f) OVER (PARTITION BY event_type ORDER BY k)
-         AS f_growth_vs_half
-FROM st6
-"""
-
-ORACLES["hodges_lehmann_shift"] = f"""
-WITH {_HOURLY_RANKS},
-arr0 AS (
-  SELECT event_type, list(m ORDER BY t) AS arr, max(n)::BIGINT AS n
-  FROM seq GROUP BY 1),
-st1 AS (
-  SELECT event_type, n,
-         list_slice(arr, 1, (n // 2)::INT) AS early,
-         list_slice(arr, (n // 2 + 1)::INT, n::INT) AS late
-  FROM arr0 WHERE n >= 8),
-st2 AS (
-  SELECT event_type, n,
-         len(early)::BIGINT AS n_early, len(late)::BIGINT AS n_late,
-         list_sort(flatten(list_transform(late,
-           l -> list_transform(early, e -> l - e)))) AS d
-  FROM st1)
-SELECT event_type, n, n_early, n_late,
-       (n_early * n_late)::BIGINT AS n_pairs,
-       CASE WHEN (n_early * n_late) % 2 = 1
-            THEN d[((n_early * n_late + 1) // 2)::INT]
-            ELSE (d[((n_early * n_late) // 2)::INT]
-                  + d[((n_early * n_late) // 2 + 1)::INT]) / 2.0
-       END AS hl_shift
-FROM st2
-"""
-
-
-def _chow_stage() -> str:
-    """Build the chow_break_midpoint oracle: the same fold-exact
-    SSR(y ~ t) staged per segment (pooled / first half / second
-    half), suffixed columns."""
-    sums = """
-         list_reduce(list_transform({a}, v -> v.t::DOUBLE),
-                     (p, q) -> p + q) AS sx_{s},
-         list_reduce(list_transform({a}, v -> v.m), (p, q) -> p + q)
-           AS sy_{s},
-         list_reduce(list_transform({a}, v -> v.t::DOUBLE * v.t::DOUBLE),
-                     (p, q) -> p + q) AS sxx_{s},
-         list_reduce(list_transform({a}, v -> v.t::DOUBLE * v.m),
-                     (p, q) -> p + q) AS sxy_{s},
-         len({a})::DOUBLE AS cnt_{s}"""
-    beta = """
-         (cnt_{s} * sxy_{s} - sx_{s} * sy_{s})
-           / nullif(cnt_{s} * sxx_{s} - sx_{s} * sx_{s}, 0.0) AS beta_{s},
-         {a} AS keep_{s}"""
-    alpha = "(sy_{s} - beta_{s} * sx_{s}) / cnt_{s} AS alpha_{s}"
-    ssr = """
-         list_reduce(list_transform(keep_{s},
-             v -> ((v.m - alpha_{s}) - beta_{s} * v.t::DOUBLE)
-                  * ((v.m - alpha_{s}) - beta_{s} * v.t::DOUBLE)),
-           (p, q) -> p + q) AS ssr_{s}"""
-    segs = [("p", "arr"), ("a", "arr1"), ("b", "arr2")]
-    s1 = ",".join(sums.format(a=a, s=s) for s, a in segs)
-    s2 = ",".join(beta.format(a=a, s=s) for s, a in segs)
-    s2b = ",\n".join(
-        f"sx_{s}, sy_{s}, cnt_{s}" for s, _ in segs
-    )
-    s3 = ",".join(alpha.format(s=s) for s, _ in segs)
-    s3b = ",\n".join(f"beta_{s}, keep_{s}, cnt_{s}" for s, _ in segs)
-    s4 = ",".join(ssr.format(s=s) for s, _ in segs)
-    return f"""
-arr0 AS (
-  SELECT event_type,
-         list(struct_pack(t := t, m := m) ORDER BY t) AS arr,
-         max(n)::BIGINT AS n
-  FROM seq GROUP BY 1),
-cut AS (
-  SELECT event_type, n, arr,
-         list_slice(arr, 1, (n // 2)::INT) AS arr1,
-         list_slice(arr, (n // 2 + 1)::INT, n::INT) AS arr2
-  FROM arr0 WHERE n >= 12),
-sm AS (
-  SELECT event_type, n, arr, arr1, arr2,{s1}
-  FROM cut),
-bt AS (
-  SELECT event_type, n,
-{s2b},{s2}
-  FROM sm),
-al AS (
-  SELECT event_type, n,
-{s3b},{s3}
-  FROM bt),
-sr AS (
-  SELECT event_type, n,{s4}
-  FROM al)"""
-
-
-ORACLES["chow_break_midpoint"] = f"""
-WITH {_HOURLY_RANKS},{_chow_stage()}
-SELECT event_type, n, ssr_p AS ssr_pooled, ssr_a AS ssr1, ssr_b AS ssr2,
-       ((ssr_p - ssr_a - ssr_b) / 2.0)
-         / nullif((ssr_a + ssr_b) / (n::DOUBLE - 4.0), 0.0) AS f_stat,
-       (((ssr_p - ssr_a - ssr_b) / 2.0)
-         / nullif((ssr_a + ssr_b) / (n::DOUBLE - 4.0), 0.0)) > 2.996
-         AS broke
-FROM sr
-"""
-
-ORACLES["gumbel_moments_extremes"] = """
-WITH daily AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT
-           AS day,
-         max(floor(value * 100)::BIGINT)::BIGINT AS mx
-  FROM events GROUP BY 1, 2),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n_days,
-         sum(mx)::BIGINT AS s1, sum(mx * mx)::BIGINT AS s2,
-         max(mx)::BIGINT AS max_of_max
-  FROM daily GROUP BY 1)
-SELECT event_type, n_days, max_of_max,
-       s1::DOUBLE / n_days::DOUBLE AS mean_max,
-       sqrt(6.0 * ((n_days * s2 - s1 * s1)::DOUBLE
-                   / (n_days * n_days)::DOUBLE)) / 3.141592653589793
-         AS gumbel_scale,
-       s1::DOUBLE / n_days::DOUBLE
-         - 0.5772156649015329
-           * (sqrt(6.0 * ((n_days * s2 - s1 * s1)::DOUBLE
-                          / (n_days * n_days)::DOUBLE))
-              / 3.141592653589793) AS gumbel_location
-FROM agg WHERE n_days >= 8
-"""
-
-ORACLES["lz76_complexity"] = f"""
-WITH {_HOURLY_RANKS},
-arr0 AS (
-  SELECT event_type, list(m ORDER BY t) AS arr, max(n)::BIGINT AS n
-  FROM seq GROUP BY 1),
-st1 AS (
-  SELECT event_type, n, arr,
-         list_reduce(arr, (p, q) -> p + q) / n::DOUBLE AS mu
-  FROM arr0 WHERE n >= 16),
-st2 AS (
-  SELECT event_type, n,
-         array_to_string(list_transform(arr,
-           v -> CASE WHEN v > mu THEN '1' ELSE '0' END), '') AS s
-  FROM st1),
-st3 AS (
-  SELECT event_type, n, s,
-         list_reduce(
-           list_transform(generate_series(2, n), j -> struct_pack(
-             c := (CASE WHEN contains(substr(s, 1, 1), substr(s, 2, 1))
-                        THEN 1 ELSE 2 END)::BIGINT,
-             i := (CASE WHEN contains(substr(s, 1, 1), substr(s, 2, 1))
-                        THEN 2 ELSE 3 END)::BIGINT,
-             j := j)),
-           (a, e) -> CASE WHEN contains(
-                            substr(s, 1, (e.j - 1)::INT),
-                            substr(s, a.i::INT, (e.j - a.i + 1)::INT))
-                     THEN struct_pack(c := a.c, i := a.i, j := e.j)
-                     ELSE struct_pack(c := a.c + 1, i := e.j + 1,
-                                      j := e.j) END) AS f
-  FROM st2)
-SELECT event_type, n, length(s)::BIGINT AS n_symbols,
-       (f.c + CASE WHEN f.i <= n THEN 1 ELSE 0 END)::BIGINT AS lz_phrases,
-       (f.c + CASE WHEN f.i <= n THEN 1 ELSE 0 END)::DOUBLE / n::DOUBLE
-         AS c_over_n
-FROM st3
-"""
-
-ORACLES["page_hinkley_drift"] = f"""
-WITH RECURSIVE {_HOURLY_RANKS},
-walk AS (
-  SELECT event_type, n, 1::BIGINT AS k, m AS s,
-         0.0::DOUBLE AS ph, 0.0::DOUBLE AS mn, 0.0::DOUBLE AS alarm
-  FROM seq WHERE t = 1 AND n >= 8
-  UNION ALL
-  -- NOTE: a list_reduce struct-accumulator fold (the
-  -- aqe_coalesce_simulator trick) silently corrupts this recurrence
-  -- in DuckDB 1.0.0 when the lambda repeats a large subexpression
-  -- across struct fields (verified: single step fine, chained fold
-  -- reads neighbouring state) — hence the recursive CTE, which reads
-  -- the previous row's columns by construction.
-  SELECT w.event_type, w.n, w.k + 1, w.s + x.m,
-         w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0),
-         least(w.mn,
-               w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0)),
-         greatest(w.alarm,
-               w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE - 5.0)
-               - least(w.mn,
-                   w.ph + (x.m - (w.s + x.m) / (w.k + 1)::DOUBLE
-                           - 5.0)))
-  FROM walk w JOIN seq x
-    ON x.event_type = w.event_type AND x.t = w.k + 1
-  WHERE w.k < w.n)
-SELECT event_type, n, ph AS ph_final, alarm AS ph_alarm,
-       alarm / n::DOUBLE AS alarm_rate,
-       (alarm / n::DOUBLE > 150.0) AS drifted
-FROM walk WHERE k = n
-"""
-
-
-_HOURLY_CANDLES = """
-cndl0 AS (
-  SELECT event_type, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         floor(value * 100)::BIGINT AS vq, ts, event_id
-  FROM events),
-cndl1 AS (
-  SELECT event_type, hr, vq,
-         row_number() OVER (PARTITION BY event_type, hr
-                            ORDER BY ts, event_id) AS ra,
-         row_number() OVER (PARTITION BY event_type, hr
-                            ORDER BY ts DESC, event_id DESC) AS rd
-  FROM cndl0),
-candles0 AS (
-  SELECT event_type, hr,
-         max(CASE WHEN ra = 1 THEN vq END)::BIGINT AS o,
-         max(vq)::BIGINT AS h,
-         min(vq)::BIGINT AS l,
-         max(CASE WHEN rd = 1 THEN vq END)::BIGINT AS c,
-         sum(vq)::BIGINT AS s
-  FROM cndl1 GROUP BY 1, 2),
-candles AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS t,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM candles0)"""
-
-
-def _dyadic_sql(col: str, span: int) -> str:
-    """Truncated alpha=1/2 EWMA numerator: exact integer weighted sum
-    sum_k 2^(span-1-k) * lag(col, k), matching queries.macd_signal's
-    left-associated fold (integers, so association is irrelevant)."""
-    w = "OVER (PARTITION BY event_type ORDER BY hr)"
-    terms = []
-    for k in range(span):
-        weight = 1 << (span - 1 - k)
-        base = col if k == 0 else f"lag({col}, {k}) {w}"
-        terms.append(f"({base}) * {weight}")
-    return "(" + " + ".join(terms) + ")"
-
-
-ORACLES["macd_signal"] = f"""
-WITH {_HOURLY_CANDLES},
-m1 AS (
-  SELECT event_type, hr, t,
-         ({_dyadic_sql('s', 8)} * 65535
-          - {_dyadic_sql('s', 16)} * 255)::BIGINT AS macd_scaled
-  FROM candles),
-m2 AS (SELECT * FROM m1 WHERE t >= 16),
-m3 AS (
-  SELECT event_type, hr, t, macd_scaled,
-         ({_dyadic_sql('macd_scaled', 4)})::BIGINT AS signal_scaled
-  FROM m2),
-m4 AS (SELECT * FROM m3 WHERE t >= 19),
-m5 AS (
-  SELECT event_type, hr, macd_scaled, signal_scaled,
-         (macd_scaled * 15 - signal_scaled)::BIGINT AS hist_scaled,
-         lag(macd_scaled * 15 - signal_scaled)
-           OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS prev_hist_scaled
-  FROM m4)
-SELECT event_type, hr,
-       macd_scaled::DOUBLE / (1671142500)::DOUBLE AS macd,
-       signal_scaled::DOUBLE / (25067137500)::DOUBLE AS macd_sig,
-       hist_scaled::DOUBLE / (25067137500)::DOUBLE AS hist,
-       (hist_scaled > 0 AND coalesce(prev_hist_scaled <= 0, FALSE))
-         AS cross_up,
-       (hist_scaled < 0 AND coalesce(prev_hist_scaled >= 0, FALSE))
-         AS cross_down
-FROM m5
-"""
-
-ORACLES["bollinger_breach"] = f"""
-WITH {_HOURLY_CANDLES},
-b1 AS (
-  SELECT event_type, hr, t, s,
-         sum(s) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
-           AS s_w,
-         sum(s * s) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
-           AS q_w
-  FROM candles),
-b2 AS (SELECT * FROM b1 WHERE t >= 16),
-b3 AS (
-  SELECT event_type, hr,
-         s::DOUBLE / (100)::DOUBLE AS sval,
-         s_w::DOUBLE / (1600)::DOUBLE AS boll_mean,
-         sqrt((16 * q_w - s_w * s_w)::DOUBLE) / (1600)::DOUBLE AS boll_std
-  FROM b2)
-SELECT event_type, hr, sval, boll_mean, boll_std,
-       boll_mean + (2)::DOUBLE * boll_std AS boll_up,
-       boll_mean - (2)::DOUBLE * boll_std AS boll_dn,
-       (sval > boll_mean + (2)::DOUBLE * boll_std) AS breach_up,
-       (sval < boll_mean - (2)::DOUBLE * boll_std) AS breach_dn
-FROM b3
-"""
-
-ORACLES["atr_cutler"] = f"""
-WITH {_HOURLY_CANDLES},
-a1 AS (
-  SELECT event_type, hr, t, c, h, l,
-         lag(c) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS pc
-  FROM candles),
-a2 AS (
-  SELECT event_type, hr, t, c,
-         greatest(h - l, abs(h - pc), abs(l - pc))::BIGINT AS trq
-  FROM a1 WHERE t >= 2),
-a3 AS (
-  SELECT event_type, hr, t, c, trq,
-         sum(trq) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)::BIGINT
-           AS sum_tr
-  FROM a2)
-SELECT event_type, hr,
-       trq::DOUBLE / (100)::DOUBLE AS tr,
-       sum_tr::DOUBLE / (1400)::DOUBLE AS atr,
-       (sum_tr * 100)::DOUBLE / nullif(14 * c, 0)::DOUBLE AS natr
-FROM a3 WHERE t >= 15
-"""
-
-ORACLES["stochastic_oscillator"] = f"""
-WITH {_HOURLY_CANDLES},
-k1 AS (
-  SELECT event_type, hr, t, c,
-         max(h) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
-           AS hh,
-         min(l) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)::BIGINT
-           AS ll
-  FROM candles),
-k2 AS (
-  SELECT event_type, hr, t,
-         (100 * (c - ll))::DOUBLE / nullif(hh - ll, 0)::DOUBLE AS pct_k
-  FROM k1 WHERE t >= 16),
-k3 AS (
-  SELECT event_type, hr, t, pct_k,
-         (pct_k
-          + lag(pct_k, 1) OVER (PARTITION BY event_type ORDER BY hr)
-          + lag(pct_k, 2) OVER (PARTITION BY event_type ORDER BY hr))
-           / (3)::DOUBLE AS pct_d
-  FROM k2)
-SELECT event_type, hr, pct_k, pct_d,
-       (pct_k > (80)::DOUBLE) AS overbought,
-       (pct_k < (20)::DOUBLE) AS oversold
-FROM k3 WHERE t >= 18
-"""
-
-ORACLES["aroon_indicator"] = f"""
-WITH {_HOURLY_CANDLES},
-ar1 AS (
-  SELECT event_type, hr, t,
-         (max(struct_pack(h := h, th := t))
-            OVER (PARTITION BY event_type ORDER BY hr
-                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)).th
-           ::BIGINT AS t_hi,
-         (min(struct_pack(l := l, mt := -t))
-            OVER (PARTITION BY event_type ORDER BY hr
-                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)).mt
-           ::BIGINT AS neg_t_lo
-  FROM candles),
-ar2 AS (
-  SELECT event_type, hr,
-         (100 * (15 - (t - t_hi)))::DOUBLE / (15)::DOUBLE AS aroon_up,
-         (100 * (15 - (t + neg_t_lo)))::DOUBLE / (15)::DOUBLE AS aroon_down
-  FROM ar1 WHERE t >= 16)
-SELECT event_type, hr, aroon_up, aroon_down,
-       aroon_up - aroon_down AS aroon_osc
-FROM ar2
-"""
-
-ORACLES["xmr_western_electric"] = f"""
-WITH {_HOURLY_CANDLES},
-x1 AS (
-  SELECT event_type, hr, t, n, s,
-         sum(s) OVER (PARTITION BY event_type)::BIGINT AS sum_s,
-         lag(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS ps
-  FROM candles),
-x2 AS (
-  SELECT event_type, hr, t, n, s, sum_s,
-         (CASE WHEN s * n > sum_s THEN 1
-               WHEN s * n < sum_s THEN -1 ELSE 0 END)::BIGINT AS side,
-         (CASE WHEN ps IS NULL THEN NULL
-               WHEN s > ps THEN 1 WHEN s < ps THEN -1
-               ELSE 0 END)::BIGINT AS dsgn,
-         abs(s - ps)::BIGINT AS mr
-  FROM x1),
-x3 AS (
-  SELECT *,
-         t - row_number() OVER (PARTITION BY event_type, side
-                                ORDER BY hr) AS isl,
-         CASE WHEN dsgn * lag(dsgn) OVER (PARTITION BY event_type
-                                          ORDER BY hr) = -1
-              THEN 1 ELSE 0 END AS alt
-  FROM x2),
-x4 AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type, side, isl
-                            ORDER BY hr) AS run_pos,
-         sum(dsgn) OVER (PARTITION BY event_type ORDER BY hr
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-           ::BIGINT AS d5,
-         count(dsgn) OVER (PARTITION BY event_type ORDER BY hr
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-           ::BIGINT AS c5,
-         sum(alt)
-           OVER (PARTITION BY event_type ORDER BY hr
-                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
-           ::BIGINT AS a13,
-         count(*) OVER (PARTITION BY event_type ORDER BY hr
-                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
-           ::BIGINT AS c13
-  FROM x3),
-x5 AS (
-  SELECT event_type,
-         max(n)::BIGINT AS n,
-         max(sum_s)::BIGINT AS sum_s,
-         sum(mr)::BIGINT AS sum_mr,
-         sum(CASE WHEN run_pos >= 9 AND side != 0 THEN 1 ELSE 0 END)
-           ::BIGINT AS n_rule2,
-         sum(CASE WHEN c5 = 5 AND abs(d5) = 5 THEN 1 ELSE 0 END)
-           ::BIGINT AS n_rule3,
-         sum(CASE WHEN c13 = 13 AND a13 = 13 THEN 1 ELSE 0 END)
-           ::BIGINT AS n_rule4
-  FROM x4 GROUP BY 1),
-x6 AS (
-  SELECT event_type, n, n_rule2, n_rule3, n_rule4, sum_s, sum_mr,
-         sum_s::DOUBLE / (n * 100)::DOUBLE AS center,
-         sum_mr::DOUBLE / ((n - 1) * 100)::DOUBLE AS mrbar
-  FROM x5),
-x7 AS (
-  SELECT event_type, n, center, mrbar,
-         center + (2.66)::DOUBLE * mrbar AS ucl,
-         center - (2.66)::DOUBLE * mrbar AS lcl,
-         n_rule2, n_rule3, n_rule4
-  FROM x6)
-SELECT x7.event_type, x7.n, x7.center, x7.mrbar, x7.ucl, x7.lcl,
-       (SELECT count(*) FROM x2
-        WHERE x2.event_type = x7.event_type
-          AND (x2.s::DOUBLE / (100)::DOUBLE > x7.ucl
-               OR x2.s::DOUBLE / (100)::DOUBLE < x7.lcl))::BIGINT
-         AS n_rule1,
-       x7.n_rule2, x7.n_rule3, x7.n_rule4
-FROM x7
-"""
-
-
-ORACLES["mood_median_test"] = f"""
-WITH {_HOURLY_RANKS},
-mood_ranked AS (
-  SELECT event_type, m,
-         row_number() OVER (ORDER BY m, event_type, hr) AS pos,
-         count(*) OVER () AS nn
-  FROM seq),
-mood_med AS (
-  SELECT max(CASE WHEN pos = (nn + 1) // 2 THEN m END) AS med
-  FROM mood_ranked),
-flagged AS (
-  SELECT event_type, (m > med) AS above FROM mood_ranked, mood_med),
-cells AS (
-  SELECT event_type, above, count(*)::BIGINT AS o
-  FROM flagged GROUP BY 1, 2),
-staged AS (
-  SELECT event_type, above, o,
-         sum(o) OVER (PARTITION BY event_type)::BIGINT AS r,
-         sum(o) OVER (PARTITION BY above)::BIGINT AS c,
-         sum(o) OVER ()::BIGINT AS n
-  FROM cells)
-SELECT event_type, above, o, r, c, n,
-       (n * o - r * c)::BIGINT AS dev,
-       ((n * o - r * c)::DOUBLE * (n * o - r * c)::DOUBLE)
-         / (r * c * n)::DOUBLE AS chi2_contrib
-FROM staged
-"""
-
-ORACLES["cochran_q_shifts"] = """
-WITH base AS (
-  SELECT event_type,
-         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
-         (floor(floor(epoch(ts))::BIGINT / 28800)::BIGINT % 3)::BIGINT
-           AS shift,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-totals AS (
-  SELECT event_type, day, shift, sum(vq)::BIGINT AS tot
-  FROM base GROUP BY 1, 2, 3),
-days AS (SELECT DISTINCT event_type, day FROM base),
-grid AS (
-  SELECT d.event_type, d.day, s.shift
-  FROM days d CROSS JOIN
-       (SELECT unnest([0, 1, 2])::BIGINT AS shift) s),
-filled AS (
-  SELECT g.event_type, g.day, g.shift, coalesce(t.tot, 0)::BIGINT AS tot
-  FROM grid g LEFT JOIN totals t USING (event_type, day, shift)),
-ranked AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY tot, day, shift) AS pos,
-         count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM filled),
-med AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (cnt + 1) // 2 THEN tot END) AS med
-  FROM ranked GROUP BY 1),
-x AS (
-  SELECT f.event_type, f.day, f.shift,
-         (CASE WHEN f.tot > m.med THEN 1 ELSE 0 END)::BIGINT AS x
-  FROM filled f JOIN med m USING (event_type)),
-pb AS (SELECT event_type, day, sum(x)::BIGINT AS bb FROM x GROUP BY 1, 2),
-ps AS (SELECT event_type, shift, sum(x)::BIGINT AS tt FROM x GROUP BY 1, 2),
-aggb AS (
-  SELECT event_type, count(*)::BIGINT AS n_blocks,
-         sum(bb)::BIGINT AS t_total, sum(bb * bb)::BIGINT AS sb2
-  FROM pb GROUP BY 1),
-aggt AS (
-  SELECT event_type, sum(tt * tt)::BIGINT AS st2,
-         max(CASE WHEN shift = 0 THEN tt END)::BIGINT AS t_night,
-         max(CASE WHEN shift = 1 THEN tt END)::BIGINT AS t_day,
-         max(CASE WHEN shift = 2 THEN tt END)::BIGINT AS t_evening
-  FROM ps GROUP BY 1)
-SELECT aggb.event_type, n_blocks, t_night, t_day, t_evening,
-       (2 * (3 * st2 - t_total * t_total))::DOUBLE
-         / nullif(3 * t_total - sb2, 0)::DOUBLE AS q_stat
-FROM aggb JOIN aggt USING (event_type)
-"""
-
-ORACLES["mcnemar_daily_flip"] = """
-WITH daily AS (
-  SELECT event_type,
-         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
-         sum(floor(value * 100)::BIGINT)::BIGINT AS sq
-  FROM events GROUP BY 1, 2),
-ranked AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY sq, day) AS pos,
-         count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM daily),
-med AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (cnt + 1) // 2 THEN sq END) AS med
-  FROM ranked GROUP BY 1),
-flags AS (
-  SELECT d.event_type, d.day, (d.sq > m.med) AS hi
-  FROM daily d JOIN med m USING (event_type)),
-pairs AS (
-  SELECT e.event_type, e.hi AS hi_early, l.hi AS hi_late
-  FROM flags e JOIN flags l
-    ON l.event_type = e.event_type AND l.day - 15 = e.day),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n_pairs,
-         sum(CASE WHEN hi_early AND NOT hi_late THEN 1 ELSE 0 END)
-           ::BIGINT AS b,
-         sum(CASE WHEN NOT hi_early AND hi_late THEN 1 ELSE 0 END)
-           ::BIGINT AS c
-  FROM pairs GROUP BY 1)
-SELECT event_type, n_pairs, b, c,
-       ((b - c) * (b - c))::DOUBLE / nullif(b + c, 0)::DOUBLE
-         AS mcnemar_stat,
-       coalesce(((b - c) * (b - c))::DOUBLE / nullif(b + c, 0)::DOUBLE
-                > (3.84)::DOUBLE, FALSE) AS flipped
-FROM agg
-"""
-
-ORACLES["cramers_v_association"] = """
-WITH cells AS (
-  SELECT event_type,
-         ((floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT + 4) % 7)
-           ::BIGINT AS dow,
-         count(*)::BIGINT AS o
-  FROM events GROUP BY 1, 2),
-staged AS (
-  SELECT event_type, dow, o,
-         sum(o) OVER (PARTITION BY event_type)::BIGINT AS r,
-         sum(o) OVER (PARTITION BY dow)::BIGINT AS c,
-         sum(o) OVER ()::BIGINT AS n
-  FROM cells),
-terms AS (
-  SELECT event_type, dow, n,
-         ((n * o - r * c)::DOUBLE * (n * o - r * c)::DOUBLE)
-           / (r * c * n)::DOUBLE AS term
-  FROM staged),
-agg AS (
-  SELECT max(n)::BIGINT AS n,
-         count(DISTINCT event_type)::BIGINT AS nr,
-         count(DISTINCT dow)::BIGINT AS nc,
-         list_reduce(list(term ORDER BY event_type, dow),
-                     (a, b) -> a + b) AS chi2
-  FROM terms)
-SELECT n, nr, nc, chi2,
-       sqrt(chi2 / (n * least(nr - 1, nc - 1))::DOUBLE) AS cramers_v
-FROM agg
-"""
-
-ORACLES["adjusted_rand_kmeans"] = f"""
-WITH km AS ({_kmeans_embeddings_sql()}),
-cont AS (
-  SELECT k.cluster, e.label, count(*)::BIGINT AS nij
-  FROM km k JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
-p AS (
-  SELECT sum(nij * (nij - 1))::BIGINT AS p2, sum(nij)::BIGINT AS n
-  FROM cont),
-a AS (
-  SELECT sum(ai * (ai - 1))::BIGINT AS a2
-  FROM (SELECT sum(nij)::BIGINT AS ai FROM cont GROUP BY cluster)),
-b AS (
-  SELECT sum(bj * (bj - 1))::BIGINT AS b2
-  FROM (SELECT sum(nij)::BIGINT AS bj FROM cont GROUP BY label))
-SELECT n, p2, a2, b2,
-       (n * (n - 1) * p2 - a2 * b2)::DOUBLE
-         / nullif((n * (n - 1) * (a2 + b2)) // 2 - a2 * b2, 0)::DOUBLE
-         AS ari
-FROM p, a, b
-"""
-
-ORACLES["lb_keogh_pairs"] = f"""
-WITH dtwres AS ({_dtw_sql()}),
-lkcounts AS (
-  SELECT event_type AS series, extract(hour FROM ts)::INT AS h,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-lkgrid AS (SELECT unnest(generate_series(0, 23)) AS h),
-lkprof AS (
-  SELECT s.series, list(coalesce(c.cnt, 0) ORDER BY g.h) AS profile
-  FROM (SELECT DISTINCT series FROM lkcounts) s
-  CROSS JOIN lkgrid g
-  LEFT JOIN lkcounts c ON c.series = s.series AND c.h = g.h
-  GROUP BY s.series),
-lkpairs AS (
-  SELECT a.series AS series_a, b.series AS series_b,
-         a.profile AS pa, b.profile AS pb
-  FROM lkprof a JOIN lkprof b ON a.series < b.series),
-lkbound AS (
-  SELECT series_a, series_b,
-         list_sum(list_transform(generate_series(1, 24), j ->
-           greatest(0::BIGINT,
-             pa[j] - list_max(pb[greatest(1, j - 6):least(24, j + 6)]),
-             list_min(pb[greatest(1, j - 6):least(24, j + 6)]) - pa[j])
-         ))::BIGINT AS lb_l1
-  FROM lkpairs)
-SELECT b.series_a, b.series_b, b.lb_l1, d.dtw_dist,
-       b.lb_l1::DOUBLE / nullif(d.dtw_dist, 0)::DOUBLE AS lb_ratio
-FROM lkbound b JOIN dtwres d USING (series_a, series_b)
-"""
-
-ORACLES["demand_classification"] = """
-WITH hourly AS (
-  SELECT event_type,
-         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2),
-agg AS (
-  SELECT event_type,
-         (max(hr) - min(hr) + 1)::BIGINT AS span_hours,
-         count(*)::BIGINT AS n_demand,
-         sum(cnt)::BIGINT AS s_sz,
-         sum(cnt * cnt)::BIGINT AS q_sz
-  FROM hourly GROUP BY 1)
-SELECT event_type, span_hours, n_demand,
-       span_hours::DOUBLE / n_demand::DOUBLE AS adi,
-       (n_demand * q_sz - s_sz * s_sz)::DOUBLE
-         / (s_sz * s_sz)::DOUBLE AS cv2,
-       CASE
-         WHEN 100 * span_hours < 132 * n_demand
-              AND 100 * (n_demand * q_sz - s_sz * s_sz)
-                  < 49 * s_sz * s_sz THEN 'smooth'
-         WHEN 100 * span_hours < 132 * n_demand THEN 'erratic'
-         WHEN 100 * (n_demand * q_sz - s_sz * s_sz)
-              < 49 * s_sz * s_sz THEN 'intermittent'
-         ELSE 'lumpy' END AS quadrant
-FROM agg
-"""
-
-ORACLES["backfill_job_planner"] = """
-WITH hours AS (
-  SELECT DISTINCT event_type,
-         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hr
-  FROM events),
-gaps AS (
-  SELECT event_type,
-         (hr + 1)::BIGINT AS gap_start_hr,
-         (next_hr - 1)::BIGINT AS gap_end_hr,
-         (next_hr - hr - 1)::BIGINT AS n_missing
-  FROM (
-    SELECT event_type, hr,
-           lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS next_hr
-    FROM hours)
-  WHERE next_hr - hr > 1),
-planned AS (
-  SELECT *,
-         (sum(n_missing) OVER (PARTITION BY event_type
-                               ORDER BY gap_start_hr)
-          - n_missing)::BIGINT AS missing_before
-  FROM gaps)
-SELECT event_type, gap_start_hr, gap_end_hr, n_missing,
-       (missing_before // 24)::BIGINT AS batch_id
-FROM planned
-"""
-
-ORACLES["optimal_two_changepoints"] = f"""
-WITH {_HOURLY_CANDLES},
-pre AS (
-  SELECT event_type, t, n,
-         sum(s) OVER (PARTITION BY event_type ORDER BY hr
-                      ROWS UNBOUNDED PRECEDING)::BIGINT AS p
-  FROM candles),
-tot AS (
-  SELECT event_type, p AS ptot, n AS nn FROM pre WHERE t = n),
-pairs AS (
-  SELECT f1.event_type, f1.t AS t1, f2.t AS t2, tt.nn,
-         f1.p AS p1, f2.p AS p2, tt.ptot
-  FROM pre f1
-  JOIN pre f2 ON f2.event_type = f1.event_type AND f2.t > f1.t
-  JOIN tot tt ON tt.event_type = f1.event_type AND f2.t < tt.nn),
-scored AS (
-  SELECT event_type, t1, t2, nn,
-         p1 AS a, (p2 - p1) AS b, (ptot - p2) AS c,
-         ((p1 * p1) // t1
-          + ((p2 - p1) * (p2 - p1)) // (t2 - t1)
-          + ((ptot - p2) * (ptot - p2)) // (nn - t2))::BIGINT AS obj_q,
-         t1 AS l1, (t2 - t1) AS l2, (nn - t2) AS l3
-  FROM pairs),
-best AS (
-  SELECT *, row_number() OVER (PARTITION BY event_type
-                               ORDER BY obj_q DESC, t1, t2) AS rn
-  FROM scored)
-SELECT event_type, nn::BIGINT AS n, t1::BIGINT AS t1, t2::BIGINT AS t2,
-       obj_q,
-       a::DOUBLE / (l1 * 100)::DOUBLE AS seg1_mean,
-       b::DOUBLE / (l2 * 100)::DOUBLE AS seg2_mean,
-       c::DOUBLE / (l3 * 100)::DOUBLE AS seg3_mean
-FROM best WHERE rn = 1
-"""
-
-ORACLES["ewma_control_chart"] = f"""
-WITH {_HOURLY_CANDLES},
-e1 AS (
-  SELECT event_type, hr, t, n, s,
-         ({_dyadic_sql('s', 16)})::BIGINT AS es,
-         sum(s) OVER (PARTITION BY event_type)::BIGINT AS sum_s,
-         sum(s * s) OVER (PARTITION BY event_type)::BIGINT AS sum_q
-  FROM candles),
-e2 AS (SELECT * FROM e1 WHERE t >= 16),
-e3 AS (
-  SELECT event_type, hr,
-         es::DOUBLE / (6553500)::DOUBLE AS ewma,
-         sum_s::DOUBLE / (n * 100)::DOUBLE AS center,
-         sqrt((n * sum_q - sum_s * sum_s)::DOUBLE)
-           / (n * 100)::DOUBLE AS sigma
-  FROM e2),
-e4 AS (
-  SELECT event_type, hr, ewma, center,
-         center + (3)::DOUBLE * sigma
-           * sqrt((4294967295)::DOUBLE / (12884508675)::DOUBLE) AS ucl,
-         center - (3)::DOUBLE * sigma
-           * sqrt((4294967295)::DOUBLE / (12884508675)::DOUBLE) AS lcl
-  FROM e3)
-SELECT event_type, hr, ewma, center, ucl, lcl,
-       (ewma > ucl) AS breach_up,
-       (ewma < lcl) AS breach_dn
-FROM e4
-"""
-
-ORACLES["theta_forecast"] = f"""
-WITH {_HOURLY_CANDLES},
-t1c AS (
-  SELECT event_type, t, n, s,
-         ({_dyadic_sql('s', 16)})::BIGINT AS es
-  FROM candles),
-tagg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         max(CASE WHEN t = n THEN es END)::BIGINT AS es_tail,
-         sum(s)::BIGINT AS sy, sum(t * s)::BIGINT AS sxy,
-         sum(t)::BIGINT AS sx, sum(t * t)::BIGINT AS sxx
-  FROM t1c GROUP BY 1 HAVING max(n) >= 16),
-tb AS (
-  SELECT event_type, n,
-         es_tail::DOUBLE / (6553500)::DOUBLE AS ses,
-         (n * sxy - sx * sy)::DOUBLE
-           / ((n * sxx - sx * sx) * 100)::DOUBLE AS slope_hr
-  FROM tagg),
-hs AS (
-  SELECT tb.*, hh.h FROM tb CROSS JOIN
-    (SELECT unnest(generate_series(1, 6))::BIGINT AS h) hh)
-SELECT event_type, n, h, ses, slope_hr,
-       ses + (slope_hr / (2)::DOUBLE) * (h + 1)::DOUBLE AS theta_fcst
-FROM hs
-"""
-
-ORACLES["higuchi_lengths_profile"] = f"""
-WITH {_HOURLY_CANDLES},
-hlag AS (
-  SELECT event_type, t, n,
-         abs(s - lag(s, 1) OVER w)::BIGINT AS d1,
-         abs(s - lag(s, 2) OVER w)::BIGINT AS d2,
-         abs(s - lag(s, 4) OVER w)::BIGINT AS d4,
-         abs(s - lag(s, 8) OVER w)::BIGINT AS d8
-  FROM candles WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-hex AS (
-  SELECT event_type, t, n, kk.k,
-         CASE kk.k WHEN 1 THEN d1 WHEN 2 THEN d2
-                   WHEN 4 THEN d4 ELSE d8 END AS dk
-  FROM hlag CROSS JOIN (SELECT unnest([1, 2, 4, 8])::BIGINT AS k) kk),
-hoff AS (
-  SELECT event_type, n, k, ((t - 1) % k) + 1 AS m, dk
-  FROM hex WHERE dk IS NOT NULL),
-hper AS (
-  SELECT event_type, k, m, sum(dk)::BIGINT AS sm, max(n)::BIGINT AS n
-  FROM hoff GROUP BY 1, 2, 3),
-hterm AS (
-  SELECT event_type, k, m, n,
-         (sm * (n - 1))::DOUBLE
-           / ((((n - m) // k) * k) * 100)::DOUBLE AS term
-  FROM hper),
-hfold AS (
-  SELECT event_type, k, max(n)::BIGINT AS n,
-         list_reduce(list(term ORDER BY m), (a, b) -> a + b) AS lsum
-  FROM hterm GROUP BY 1, 2)
-SELECT event_type, n, k::BIGINT AS k,
-       lsum / (k * k)::DOUBLE AS length_k
-FROM hfold
-"""
-
-ORACLES["cardinality_explosion"] = """
-WITH active AS (
-  SELECT DISTINCT event_type, user_id,
-         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day
-  FROM events),
-fs AS (
-  SELECT event_type, user_id, min(day)::BIGINT AS born
-  FROM active GROUP BY 1, 2),
-da AS (SELECT day, count(*)::BIGINT AS n_active FROM active GROUP BY 1),
-bi AS (SELECT born AS day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
-j AS (
-  SELECT da.day, da.n_active, coalesce(bi.n_new, 0)::BIGINT AS n_new
-  FROM da LEFT JOIN bi USING (day)),
-st AS (
-  SELECT *, sum(n_new) OVER (ORDER BY day)::BIGINT AS cum_series FROM j)
-SELECT day, n_active, n_new, cum_series,
-       n_new::DOUBLE / nullif(cum_series - n_new, 0)::DOUBLE
-         AS birth_ratio,
-       (5 * n_new > cum_series - n_new) AS explosion
-FROM st
-"""
-
-ORACLES["goodman_kruskal_gamma"] = """
-WITH base AS (
-  SELECT floor((floor(epoch(ts))::BIGINT % 86400) / 21600)::BIGINT AS hq,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-vc AS (SELECT vq, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
-cum AS (
-  SELECT vq,
-         sum(cnt) OVER (ORDER BY vq)::BIGINT AS cum,
-         sum(cnt) OVER ()::BIGINT AS nn
-  FROM vc),
-th AS (
-  SELECT min(CASE WHEN 4 * cum >= nn THEN vq END)::BIGINT AS th1,
-         min(CASE WHEN 4 * cum >= 2 * nn THEN vq END)::BIGINT AS th2,
-         min(CASE WHEN 4 * cum >= 3 * nn THEN vq END)::BIGINT AS th3
-  FROM cum),
-bk AS (
-  SELECT hq,
-         ((vq > th1)::BIGINT + (vq > th2)::BIGINT + (vq > th3)::BIGINT)
-           AS vquart
-  FROM base, th),
-cells AS (SELECT hq, vquart, count(*)::BIGINT AS o FROM bk GROUP BY 1, 2),
-agg AS (
-  SELECT sum(CASE WHEN b.hq > a.hq AND b.vquart > a.vquart
-                  THEN a.o * b.o ELSE 0 END)::BIGINT AS c_pairs,
-         sum(CASE WHEN b.hq > a.hq AND b.vquart < a.vquart
-                  THEN a.o * b.o ELSE 0 END)::BIGINT AS d_pairs
-  FROM cells a CROSS JOIN cells b)
-SELECT c_pairs, d_pairs,
-       (c_pairs - d_pairs)::DOUBLE
-         / nullif(c_pairs + d_pairs, 0)::DOUBLE AS gamma
-FROM agg
-"""
-
-
-ORACLES["burstiness_memory"] = """
-WITH ev AS (
-  SELECT event_type, ts, event_id, floor(epoch(ts))::BIGINT AS es
-  FROM events),
-gaps AS (
-  SELECT event_type, ts, event_id,
-         es - lag(es) OVER (PARTITION BY event_type
-                            ORDER BY ts, event_id) AS g
-  FROM ev),
-g2 AS (SELECT * FROM gaps WHERE g IS NOT NULL),
-paired AS (
-  SELECT event_type, g,
-         lag(g) OVER (PARTITION BY event_type ORDER BY ts, event_id)
-           AS pg
-  FROM g2),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n, sum(g)::BIGINT AS s,
-         sum(g * g)::BIGINT AS q, count(pg)::BIGINT AS m,
-         sum(CASE WHEN pg IS NOT NULL THEN g END)::BIGINT AS sy,
-         sum(CASE WHEN pg IS NOT NULL THEN g * g END)::BIGINT AS syy,
-         sum(pg)::BIGINT AS sx, sum(pg * pg)::BIGINT AS sxx,
-         sum(pg * g)::BIGINT AS sxy
-  FROM paired GROUP BY 1)
-SELECT event_type, n,
-       s::DOUBLE / n::DOUBLE AS gap_mean_s,
-       sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE AS gap_std_s,
-       (sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE
-          - s::DOUBLE / n::DOUBLE)
-         / (sqrt((n * q - s * s)::DOUBLE) / n::DOUBLE
-            + s::DOUBLE / n::DOUBLE) AS burstiness,
-       (m * sxy - sx * sy)::DOUBLE
-         / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                  * sqrt((m * syy - sy * sy)::DOUBLE), 0)
-         AS memory
-FROM agg
-"""
-
-ORACLES["decomposition_strengths"] = f"""
-WITH {_HOURLY_CANDLES},
-dsx AS (
-  SELECT event_type, hr, s, (hr % 24)::BIGINT AS phase,
-         (CASE WHEN count(*) OVER wc = 25
-               THEN sum(s) OVER wc END)::BIGINT AS trend_num
-  FROM candles
-  WINDOW wc AS (PARTITION BY event_type ORDER BY hr
-                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-df1 AS (SELECT * FROM dsx WHERE trend_num IS NOT NULL),
-df2 AS (
-  SELECT *,
-         sum(25 * s - trend_num)
-           OVER (PARTITION BY event_type, phase)::BIGINT AS s_num,
-         count(*) OVER (PARTITION BY event_type, phase)::BIGINT AS s_cnt
-  FROM df1),
-rows0 AS (
-  SELECT event_type, hr,
-         (s::DOUBLE / (100)::DOUBLE
-          - trend_num::DOUBLE / (2500)::DOUBLE
-          - s_num::DOUBLE / (s_cnt * 2500)::DOUBLE) AS resid,
-         (s::DOUBLE / (100)::DOUBLE
-          - s_num::DOUBLE / (s_cnt * 2500)::DOUBLE) AS deseason,
-         (s::DOUBLE / (100)::DOUBLE
-          - trend_num::DOUBLE / (2500)::DOUBLE) AS detrend
-  FROM df2),
-folds AS (
-  SELECT event_type, count(*)::BIGINT AS n,
-         list_reduce(list(resid ORDER BY hr), (a, b) -> a + b) AS sr,
-         list_reduce(list(resid * resid ORDER BY hr),
-                     (a, b) -> a + b) AS qr,
-         list_reduce(list(deseason ORDER BY hr), (a, b) -> a + b) AS ss,
-         list_reduce(list(deseason * deseason ORDER BY hr),
-                     (a, b) -> a + b) AS qs,
-         list_reduce(list(detrend ORDER BY hr), (a, b) -> a + b) AS st,
-         list_reduce(list(detrend * detrend ORDER BY hr),
-                     (a, b) -> a + b) AS qt
-  FROM rows0 GROUP BY 1),
-vars0 AS (
-  SELECT event_type, n,
-         (n::DOUBLE * qr - sr * sr) / (n::DOUBLE * n::DOUBLE) AS vr,
-         (n::DOUBLE * qs - ss * ss) / (n::DOUBLE * n::DOUBLE) AS vds,
-         (n::DOUBLE * qt - st * st) / (n::DOUBLE * n::DOUBLE) AS vdt
-  FROM folds)
-SELECT event_type, n, vr AS var_resid,
-       greatest((0)::DOUBLE, (1)::DOUBLE - vr / nullif(vds, 0))
-         AS trend_strength,
-       greatest((0)::DOUBLE, (1)::DOUBLE - vr / nullif(vdt, 0))
-         AS seasonal_strength
-FROM vars0
-"""
-
-ORACLES["walsh_band_energy"] = f"""
-WITH {_HOURLY_CANDLES},
-wh0 AS MATERIALIZED (
-  SELECT event_type, list(s ORDER BY t) AS a, max(n) AS n
-  FROM (SELECT * FROM candles WHERE t <= 256) GROUP BY 1
-  HAVING max(n) >= 256),
-wh1 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 1) = 0
-         THEN a[(i - (i & 1) + 1)::INT] + a[((i | 1) + 1)::INT]
-         ELSE a[(i - (i & 1) + 1)::INT] - a[((i | 1) + 1)::INT]
-    END) AS a
-  FROM wh0),
-wh2 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 2) = 0
-         THEN a[(i - (i & 2) + 1)::INT] + a[((i | 2) + 1)::INT]
-         ELSE a[(i - (i & 2) + 1)::INT] - a[((i | 2) + 1)::INT]
-    END) AS a
-  FROM wh1),
-wh3 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 4) = 0
-         THEN a[(i - (i & 4) + 1)::INT] + a[((i | 4) + 1)::INT]
-         ELSE a[(i - (i & 4) + 1)::INT] - a[((i | 4) + 1)::INT]
-    END) AS a
-  FROM wh2),
-wh4 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 8) = 0
-         THEN a[(i - (i & 8) + 1)::INT] + a[((i | 8) + 1)::INT]
-         ELSE a[(i - (i & 8) + 1)::INT] - a[((i | 8) + 1)::INT]
-    END) AS a
-  FROM wh3),
-wh5 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 16) = 0
-         THEN a[(i - (i & 16) + 1)::INT] + a[((i | 16) + 1)::INT]
-         ELSE a[(i - (i & 16) + 1)::INT] - a[((i | 16) + 1)::INT]
-    END) AS a
-  FROM wh4),
-wh6 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 32) = 0
-         THEN a[(i - (i & 32) + 1)::INT] + a[((i | 32) + 1)::INT]
-         ELSE a[(i - (i & 32) + 1)::INT] - a[((i | 32) + 1)::INT]
-    END) AS a
-  FROM wh5),
-wh7 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 64) = 0
-         THEN a[(i - (i & 64) + 1)::INT] + a[((i | 64) + 1)::INT]
-         ELSE a[(i - (i & 64) + 1)::INT] - a[((i | 64) + 1)::INT]
-    END) AS a
-  FROM wh6),
-wh8 AS MATERIALIZED (
-  SELECT event_type, list_transform(generate_series(0, 255), i ->
-    CASE WHEN (i & 128) = 0
-         THEN a[(i - (i & 128) + 1)::INT] + a[((i | 128) + 1)::INT]
-         ELSE a[(i - (i & 128) + 1)::INT] - a[((i | 128) + 1)::INT]
-    END) AS a
-  FROM wh7),
-ex AS (
-  SELECT event_type, unnest(a) AS coef,
-         generate_subscripts(a, 1) - 1 AS i
-  FROM wh8),
-banded AS (
-  SELECT event_type,
-         (CASE WHEN i = 0 THEN 0 WHEN i <= 1 THEN 1 WHEN i <= 3 THEN 2
-               WHEN i <= 7 THEN 3 WHEN i <= 15 THEN 4 WHEN i <= 31 THEN 5
-               WHEN i <= 63 THEN 6 WHEN i <= 127 THEN 7 ELSE 8 END)
-           ::BIGINT AS band,
-         (coef * coef)::BIGINT AS e
-  FROM ex),
-be AS (
-  SELECT event_type, band, sum(e)::BIGINT AS energy
-  FROM banded GROUP BY 1, 2)
-SELECT event_type, band, energy,
-       energy::DOUBLE
-         / (sum(energy) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
-         AS energy_frac
-FROM be
-"""
-
-ORACLES["yue_pilon_mk"] = f"""
-WITH {_HOURLY_CANDLES},
-ypl AS (
-  SELECT event_type, t, n, s,
-         lag(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS ps
-  FROM candles),
-ypl2 AS (SELECT * FROM ypl WHERE ps IS NOT NULL),
-reg AS (
-  SELECT event_type, count(*)::BIGINT AS m,
-         sum(ps)::BIGINT AS sx, sum(s)::BIGINT AS sy,
-         sum(ps * ps)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
-         sum(ps * s)::BIGINT AS sxy
-  FROM ypl2 GROUP BY 1),
-rframe AS (
-  SELECT event_type,
-         (m * sxy - sx * sy)::DOUBLE
-           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r1
-  FROM reg),
-pw AS (
-  SELECT l.event_type, l.t, (l.s::DOUBLE - r.r1 * l.ps::DOUBLE) AS y
-  FROM ypl2 l JOIN rframe r USING (event_type)),
-mk AS (
-  SELECT a.event_type,
-         sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
-                  ELSE 0 END)::BIGINT AS s_mk
-  FROM pw a JOIN pw b
-    ON b.event_type = a.event_type AND b.t > a.t
-  GROUP BY 1),
-nn AS (SELECT event_type, count(*)::BIGINT AS n FROM pw GROUP BY 1)
-SELECT mk.event_type, nn.n, rframe.r1, mk.s_mk,
-       CASE WHEN mk.s_mk > 0 THEN (mk.s_mk - 1)::DOUBLE
-              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5))::DOUBLE
-                     / (18)::DOUBLE)
-            WHEN mk.s_mk < 0 THEN (mk.s_mk + 1)::DOUBLE
-              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5))::DOUBLE
-                     / (18)::DOUBLE)
-            ELSE (0)::DOUBLE END AS z_mk
-FROM mk JOIN nn USING (event_type) JOIN rframe USING (event_type)
-"""
-
-ORACLES["interrupted_time_series"] = f"""
-WITH {_HOURLY_CANDLES},
-its AS (
-  SELECT event_type, t, n, s, (t <= (n + 1) // 2) AS pre
-  FROM candles),
-nrow AS (SELECT event_type, max(n)::BIGINT AS n FROM its GROUP BY 1),
-segp AS (
-  SELECT event_type, count(*)::BIGINT AS n_pre,
-         sum(t)::BIGINT AS sx_pre, sum(s)::BIGINT AS sy_pre,
-         sum(t * t)::BIGINT AS sxx_pre, sum(t * s)::BIGINT AS sxy_pre
-  FROM its WHERE pre GROUP BY 1),
-segq AS (
-  SELECT event_type, count(*)::BIGINT AS n_post,
-         sum(t)::BIGINT AS sx_post, sum(s)::BIGINT AS sy_post,
-         sum(t * t)::BIGINT AS sxx_post, sum(t * s)::BIGINT AS sxy_post
-  FROM its WHERE NOT pre GROUP BY 1),
-lines AS (
-  SELECT nrow.event_type, nrow.n,
-         (n_pre * sxy_pre - sx_pre * sy_pre)::DOUBLE
-           / ((n_pre * sxx_pre - sx_pre * sx_pre)::DOUBLE
-              * (100)::DOUBLE) AS b_pre,
-         (sy_pre * sxx_pre - sx_pre * sxy_pre)::DOUBLE
-           / ((n_pre * sxx_pre - sx_pre * sx_pre)::DOUBLE
-              * (100)::DOUBLE) AS a_pre,
-         (n_post * sxy_post - sx_post * sy_post)::DOUBLE
-           / ((n_post * sxx_post - sx_post * sx_post)::DOUBLE
-              * (100)::DOUBLE) AS b_post,
-         (sy_post * sxx_post - sx_post * sxy_post)::DOUBLE
-           / ((n_post * sxx_post - sx_post * sx_post)::DOUBLE
-              * (100)::DOUBLE) AS a_post
-  FROM nrow JOIN segp USING (event_type) JOIN segq USING (event_type))
-SELECT event_type, n,
-       b_pre AS pre_slope, b_post AS post_slope,
-       b_post - b_pre AS slope_change,
-       (a_post + b_post * ((n + 1) // 2 + 1)::DOUBLE)
-         - (a_pre + b_pre * ((n + 1) // 2 + 1)::DOUBLE) AS level_change
-FROM lines
-"""
-
-ORACLES["pot_gpd_moments"] = f"""
-WITH {_HOURLY_CANDLES},
-ranked AS (
-  SELECT event_type, hr, s, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY s, hr) AS pos
-  FROM candles),
-u AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
-  FROM ranked GROUP BY 1),
-exc AS (
-  SELECT c.event_type, u.u, (c.s - u.u)::BIGINT AS e
-  FROM candles c JOIN u USING (event_type)
-  WHERE c.s > u.u),
-agg AS (
-  SELECT event_type, max(u)::BIGINT AS u, count(*)::BIGINT AS n_exc,
-         sum(e)::BIGINT AS se, sum(e * e)::BIGINT AS qe
-  FROM exc GROUP BY 1)
-SELECT event_type,
-       u::DOUBLE / (100)::DOUBLE AS threshold,
-       n_exc,
-       se::DOUBLE / (n_exc * 100)::DOUBLE AS mean_excess,
-       (0.5)::DOUBLE * ((1)::DOUBLE
-         - (se * se)::DOUBLE
-           / nullif(n_exc * qe - se * se, 0)::DOUBLE) AS gpd_xi,
-       (0.5)::DOUBLE * (se::DOUBLE / (n_exc * 100)::DOUBLE)
-         * ((se * se)::DOUBLE
-            / nullif(n_exc * qe - se * se, 0)::DOUBLE + (1)::DOUBLE)
-         AS gpd_beta
-FROM agg
-"""
-
-ORACLES["dod_bucket_profile"] = """
-WITH ev AS (
-  SELECT event_type, ts, event_id, floor(epoch(ts))::BIGINT AS es
-  FROM events),
-d1 AS (
-  SELECT event_type, ts, event_id,
-         es - lag(es) OVER (PARTITION BY event_type
-                            ORDER BY ts, event_id) AS delta
-  FROM ev),
-d2 AS (
-  SELECT event_type,
-         delta - lag(delta) OVER (PARTITION BY event_type
-                                  ORDER BY ts, event_id) AS dod
-  FROM d1),
-d3 AS (SELECT event_type, dod FROM d2 WHERE dod IS NOT NULL),
-classed AS (
-  SELECT event_type,
-         (CASE WHEN dod = 0 THEN 0
-               WHEN dod >= -63 AND dod <= 64 THEN 1
-               WHEN dod >= -255 AND dod <= 256 THEN 2
-               WHEN dod >= -2047 AND dod <= 2048 THEN 3
-               ELSE 4 END)::BIGINT AS cls
-  FROM d3),
-cb AS (
-  SELECT event_type, cls,
-         (CASE cls WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 12
-                   WHEN 3 THEN 16 ELSE 68 END)::BIGINT AS bits
-  FROM classed),
-per_cls AS (
-  SELECT event_type, cls, count(*)::BIGINT AS n_tokens,
-         sum(bits)::BIGINT AS bits_cls
-  FROM cb GROUP BY 1, 2)
-SELECT event_type, cls, n_tokens,
-       n_tokens::DOUBLE
-         / (sum(n_tokens) OVER (PARTITION BY event_type))
-             ::BIGINT::DOUBLE AS frac,
-       (sum(bits_cls) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
-         / (sum(n_tokens) OVER (PARTITION BY event_type))
-             ::BIGINT::DOUBLE AS bits_per_sample
-FROM per_cls
-"""
-
-ORACLES["xor_meaningful_bits"] = """
-WITH ev AS (
-  SELECT event_type, ts, event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-x1 AS (
-  SELECT event_type,
-         xor(vq, lag(vq) OVER (PARTITION BY event_type
-                               ORDER BY ts, event_id)) AS x
-  FROM ev),
-x2 AS (SELECT event_type, x FROM x1 WHERE x IS NOT NULL),
-x3 AS (
-  SELECT event_type, x,
-         (CASE WHEN x < 0 THEN 64
-               ELSE list_sum(list_transform(generate_series(0, 62),
-                      k -> CASE WHEN x >= (1::BIGINT << k)
-                                THEN 1 ELSE 0 END))
-          END)::BIGINT AS width
-  FROM x2),
-x4 AS (
-  SELECT event_type, width, ((width + 7) // 8)::BIGINT AS band,
-         (CASE WHEN width = 0 THEN 1 ELSE 14 + width END)::BIGINT AS bits
-  FROM x3),
-per_band AS (
-  SELECT event_type, band, count(*)::BIGINT AS n_xors,
-         sum(bits)::BIGINT AS bits_band
-  FROM x4 GROUP BY 1, 2)
-SELECT event_type, band, n_xors,
-       n_xors::DOUBLE
-         / (sum(n_xors) OVER (PARTITION BY event_type))
-             ::BIGINT::DOUBLE AS frac,
-       (sum(bits_band) OVER (PARTITION BY event_type))::BIGINT::DOUBLE
-         / (sum(n_xors) OVER (PARTITION BY event_type))
-             ::BIGINT::DOUBLE AS bits_per_sample
-FROM per_band
-"""
-
-ORACLES["rle_compressibility"] = f"""
-WITH {_HOURLY_CANDLES},
-rrank AS (
-  SELECT event_type, hr, s, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY s, hr) AS pos
-  FROM candles),
-rmed AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (n + 1) // 2 THEN s END)::BIGINT AS med
-  FROM rrank GROUP BY 1),
-rflags AS (
-  SELECT c.event_type, c.hr, c.n,
-         (CASE WHEN c.s > m.med THEN 1 ELSE 0 END)::BIGINT AS flag
-  FROM candles c JOIN rmed m USING (event_type)),
-rruns AS (
-  SELECT event_type, n,
-         CASE WHEN lag(flag) OVER w IS NULL
-                   OR flag != lag(flag) OVER w
-              THEN 1 ELSE 0 END AS is_start
-  FROM rflags
-  WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-ragg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         sum(is_start)::BIGINT AS n_runs
-  FROM rruns GROUP BY 1)
-SELECT event_type, n, n_runs,
-       n::DOUBLE / n_runs::DOUBLE AS avg_run_len,
-       (11 * n_runs)::BIGINT AS rle_bits,
-       n AS bitmap_bits,
-       (11 * n_runs)::DOUBLE / n::DOUBLE AS rle_ratio
-FROM ragg
-"""
-
-
-ORACLES["l_moments_profile"] = f"""
-WITH {_HOURLY_CANDLES},
-lmr AS (
-  SELECT event_type, s, n,
-         (row_number() OVER (PARTITION BY event_type ORDER BY s, hr)
-          - 1)::BIGINT AS i
-  FROM candles),
-lma AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         sum(s)::BIGINT AS s0, sum(i * s)::BIGINT AS s1,
-         sum(i * (i - 1) * s)::BIGINT AS s2,
-         sum(i * (i - 1) * (i - 2) * s)::BIGINT AS s3
-  FROM lmr GROUP BY 1 HAVING max(n) >= 4),
-lmb AS (
-  SELECT event_type, n,
-         (s0 * (n - 1) * (n - 2) * (n - 3))::BIGINT AS b0,
-         (s1 * (n - 2) * (n - 3))::BIGINT AS b1,
-         (s2 * (n - 3))::BIGINT AS b2,
-         s3 AS b3
-  FROM lma),
-lmc AS (
-  SELECT event_type, n, b0,
-         (2 * b1 - b0)::BIGINT AS lam2,
-         (6 * b2 - 6 * b1 + b0)::BIGINT AS lam3,
-         (20 * b3 - 30 * b2 + 12 * b1 - b0)::BIGINT AS lam4
-  FROM lmb)
-SELECT event_type, n,
-       b0::DOUBLE
-         / (n * (n - 1) * (n - 2) * (n - 3) * 100)::DOUBLE AS l_loc,
-       lam2::DOUBLE
-         / (n * (n - 1) * (n - 2) * (n - 3) * 100)::DOUBLE AS l_scale,
-       lam3::DOUBLE / nullif(lam2, 0)::DOUBLE AS l_skew,
-       lam4::DOUBLE / nullif(lam2, 0)::DOUBLE AS l_kurt
-FROM lmc
-"""
-
-ORACLES["ar2_yule_walker"] = f"""
-WITH {_HOURLY_CANDLES},
-a2l AS (
-  SELECT event_type, s,
-         lag(s, 1) OVER w::BIGINT AS p1,
-         lag(s, 2) OVER w::BIGINT AS p2
-  FROM candles WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-reg1 AS (
-  SELECT event_type, count(*)::BIGINT AS m,
-         sum(p1)::BIGINT AS sx, sum(s)::BIGINT AS sy,
-         sum(p1 * p1)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
-         sum(p1 * s)::BIGINT AS sxy
-  FROM a2l WHERE p1 IS NOT NULL GROUP BY 1),
-reg2 AS (
-  SELECT event_type, count(*)::BIGINT AS m,
-         sum(p2)::BIGINT AS sx, sum(s)::BIGINT AS sy,
-         sum(p2 * p2)::BIGINT AS sxx, sum(s * s)::BIGINT AS syy,
-         sum(p2 * s)::BIGINT AS sxy
-  FROM a2l WHERE p2 IS NOT NULL GROUP BY 1),
-r1f AS (
-  SELECT event_type,
-         (m * sxy - sx * sy)::DOUBLE
-           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r1
-  FROM reg1),
-r2f AS (
-  SELECT event_type,
-         (m * sxy - sx * sy)::DOUBLE
-           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r2
-  FROM reg2)
-SELECT event_type, r1, r2,
-       (r1 * ((1)::DOUBLE - r2))
-         / nullif((1)::DOUBLE - r1 * r1, 0) AS phi1,
-       (r2 - r1 * r1) / nullif((1)::DOUBLE - r1 * r1, 0) AS phi2,
-       ((r2 - r1 * r1) / nullif((1)::DOUBLE - r1 * r1, 0)
-        < (0)::DOUBLE) AS oscillatory
-FROM r1f JOIN r2f USING (event_type)
-"""
-
-ORACLES["seasonal_esd_outliers"] = f"""
-WITH {_HOURLY_CANDLES},
-sstg AS (
-  SELECT event_type, hr, s, n, (hr % 24)::BIGINT AS phase
-  FROM candles),
-srank AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type, phase
-                            ORDER BY s, hr) AS ppos,
-         count(*) OVER (PARTITION BY event_type, phase) AS pcnt
-  FROM sstg),
-spmed AS (
-  SELECT event_type, phase,
-         max(CASE WHEN ppos = (pcnt + 1) // 2 THEN s END)::BIGINT AS pm
-  FROM srank GROUP BY 1, 2),
-r0 AS (
-  SELECT g.event_type, g.hr, (g.s - m.pm)::BIGINT AS r
-  FROM sstg g JOIN spmed m USING (event_type, phase)),
-st1 AS (
-  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
-         sum(r * r)::BIGINT AS qr
-  FROM r0 GROUP BY 1),
-b1 AS (
-  SELECT * FROM (
-    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
-           abs(t.m * p.r - t.sr)::BIGINT AS dev,
-           row_number() OVER (PARTITION BY p.event_type
-                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
-             AS rk
-    FROM r0 p JOIN st1 t USING (event_type))
-  WHERE rk = 1),
-r1 AS (
-  SELECT p.event_type, p.hr, p.r
-  FROM r0 p JOIN b1 b USING (event_type)
-  WHERE p.hr != b.hr),
-st2 AS (
-  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
-         sum(r * r)::BIGINT AS qr
-  FROM r1 GROUP BY 1),
-b2 AS (
-  SELECT * FROM (
-    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
-           abs(t.m * p.r - t.sr)::BIGINT AS dev,
-           row_number() OVER (PARTITION BY p.event_type
-                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
-             AS rk
-    FROM r1 p JOIN st2 t USING (event_type))
-  WHERE rk = 1),
-r2 AS (
-  SELECT p.event_type, p.hr, p.r
-  FROM r1 p JOIN b2 b USING (event_type)
-  WHERE p.hr != b.hr),
-st3 AS (
-  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
-         sum(r * r)::BIGINT AS qr
-  FROM r2 GROUP BY 1),
-b3 AS (
-  SELECT * FROM (
-    SELECT p.event_type, p.hr, p.r, t.m, t.sr, t.qr,
-           abs(t.m * p.r - t.sr)::BIGINT AS dev,
-           row_number() OVER (PARTITION BY p.event_type
-                              ORDER BY abs(t.m * p.r - t.sr) DESC, p.hr)
-             AS rk
-    FROM r2 p JOIN st3 t USING (event_type))
-  WHERE rk = 1)
-SELECT event_type, 1::BIGINT AS round, hr,
-       r::DOUBLE / (100)::DOUBLE AS residual,
-       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
-         AS deviate
-FROM b1
-UNION ALL
-SELECT event_type, 2::BIGINT AS round, hr,
-       r::DOUBLE / (100)::DOUBLE AS residual,
-       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
-         AS deviate
-FROM b2
-UNION ALL
-SELECT event_type, 3::BIGINT AS round, hr,
-       r::DOUBLE / (100)::DOUBLE AS residual,
-       dev::DOUBLE / nullif(sqrt((m * qr - sr * sr)::DOUBLE), 0)
-         AS deviate
-FROM b3
-"""
-
-ORACLES["join_size_estimate_audit"] = """
-WITH span AS (
-  SELECT min(o_orderkey)::BIGINT AS lo, max(o_orderkey)::BIGINT AS hi
-  FROM orders),
-ob AS (
-  SELECT least(63, ((o_orderkey - lo) * 64) // (hi - lo + 1))::BIGINT
-           AS bucket,
-         o_orderkey AS k
-  FROM orders, span),
-lb AS (
-  SELECT least(63, ((l_orderkey - lo) * 64) // (hi - lo + 1))::BIGINT
-           AS bucket,
-         l_orderkey AS k
-  FROM lineitem, span),
-osb AS (
-  SELECT bucket, count(*)::BIGINT AS r1,
-         count(DISTINCT k)::BIGINT AS d1
-  FROM ob GROUP BY 1),
-lsb AS (
-  SELECT bucket, count(*)::BIGINT AS r2,
-         count(DISTINCT k)::BIGINT AS d2
-  FROM lb GROUP BY 1),
-okc AS (SELECT bucket, k, count(*)::BIGINT AS c1 FROM ob GROUP BY 1, 2),
-lkc AS (SELECT bucket, k, count(*)::BIGINT AS c2 FROM lb GROUP BY 1, 2),
-act AS (
-  SELECT bucket, sum(c1 * c2)::BIGINT AS actual
-  FROM okc JOIN lkc USING (bucket, k) GROUP BY 1),
-j AS (
-  SELECT osb.bucket, r1, r2,
-         ((r1 * r2) // greatest(d1, d2))::BIGINT AS est_rows,
-         coalesce(act.actual, 0)::BIGINT AS actual_rows
-  FROM osb JOIN lsb USING (bucket) LEFT JOIN act USING (bucket))
-SELECT bucket, r1, r2, est_rows, actual_rows,
-       (est_rows - actual_rows)::DOUBLE
-         / nullif(actual_rows, 0)::DOUBLE AS rel_error
-FROM j
-"""
-
-ORACLES["zonemap_skip_audit"] = """
-WITH zones AS (
-  SELECT event_type, (event_id // 256)::BIGINT AS zone,
-         min(floor(epoch(ts))::BIGINT)::BIGINT AS zmin,
-         max(floor(epoch(ts))::BIGINT)::BIGINT AS zmax
-  FROM events GROUP BY 1, 2),
-spans AS (
-  SELECT event_type, min(zmin)::BIGINT AS lo, max(zmax)::BIGINT AS hi
-  FROM zones GROUP BY 1),
-probed AS (
-  SELECT z.event_type, z.zone, z.zmin, z.zmax,
-         (s.lo + ((s.hi - s.lo) * 45) // 100)::BIGINT AS wlo,
-         (s.lo + ((s.hi - s.lo) * 55) // 100)::BIGINT AS whi
-  FROM zones z JOIN spans s USING (event_type)),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n_zones,
-         sum(CASE WHEN zmin <= whi AND zmax >= wlo THEN 1 ELSE 0 END)
-           ::BIGINT AS n_hit
-  FROM probed GROUP BY 1)
-SELECT event_type, n_zones, n_hit,
-       (n_zones - n_hit)::BIGINT AS n_skipped,
-       (n_zones - n_hit)::DOUBLE / n_zones::DOUBLE AS skip_frac
-FROM agg
-"""
-
-
-ORACLES["sprt_conversion"] = f"""
-WITH {_HOURLY_CANDLES},
-sprank AS (
-  SELECT event_type, hr, s, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY s, hr) AS pos
-  FROM candles),
-spmed AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (n + 1) // 2 THEN s END)::BIGINT AS med
-  FROM sprank GROUP BY 1),
-spflags AS (
-  SELECT c.event_type, c.hr, c.t, c.n,
-         CASE WHEN c.s > m.med THEN 1 ELSE 0 END AS x
-  FROM candles c JOIN spmed m USING (event_type)),
-spcum AS (
-  SELECT *,
-         sum(x) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT
-           AS succ
-  FROM spflags),
-spllr AS (
-  SELECT event_type, t, n,
-         succ::DOUBLE * ('0.1823215567939546')::DOUBLE
-           + (t - succ)::DOUBLE * ('-0.2231435513142097')::DOUBLE AS llr
-  FROM spcum),
-spcross AS (
-  SELECT event_type, t, n, llr,
-         CASE WHEN llr >= ('2.9444389791664403')::DOUBLE THEN t END AS t_h1,
-         CASE WHEN llr <= -(('2.9444389791664403')::DOUBLE) THEN t END AS t_h0
-  FROM spllr),
-spagg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         min(t_h1)::BIGINT AS t_h1, min(t_h0)::BIGINT AS t_h0,
-         max(CASE WHEN t = n THEN llr END) AS llr_final
-  FROM spcross GROUP BY 1)
-SELECT event_type, n,
-       CASE WHEN t_h1 IS NOT NULL
-                 AND (t_h0 IS NULL OR t_h1 < t_h0) THEN 'accept_h1'
-            WHEN t_h0 IS NOT NULL THEN 'accept_h0'
-            ELSE 'continue' END AS decision,
-       least(t_h1, t_h0)::BIGINT AS t_decision,
-       llr_final
-FROM spagg
-"""
-
-ORACLES["watermark_planner"] = """
-WITH late AS (
-  SELECT event_type, event_id,
-         (max(floor(epoch(ts))::BIGINT)
-            OVER (PARTITION BY event_type ORDER BY event_id
-                  ROWS UNBOUNDED PRECEDING)
-          - floor(epoch(ts))::BIGINT)::BIGINT AS late_s
-  FROM events),
-wrank AS (
-  SELECT event_type, late_s,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY late_s, event_id) AS pos,
-         count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM late),
-picks AS (
-  SELECT event_type, max(cnt)::BIGINT AS n,
-         sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
-         max(CASE WHEN pos = (cnt + 1) // 2 THEN late_s END)::BIGINT
-           AS p50_s,
-         max(CASE WHEN pos = (19 * cnt) // 20 + 1 THEN late_s END)
-           ::BIGINT AS p95_s,
-         max(CASE WHEN pos = (99 * cnt) // 100 + 1 THEN late_s END)
-           ::BIGINT AS p99_s
-  FROM wrank GROUP BY 1),
-dropped AS (
-  SELECT l.event_type,
-         sum(CASE WHEN l.late_s > p.p95_s THEN 1 ELSE 0 END)::BIGINT
-           AS n_dropped_p95
-  FROM late l JOIN picks p USING (event_type) GROUP BY 1)
-SELECT p.event_type, p.n, p.n_late, p.p50_s, p.p95_s, p.p99_s,
-       (((p.p99_s + 59) // 60) * 60)::BIGINT AS watermark_s,
-       d.n_dropped_p95::DOUBLE / p.n::DOUBLE AS drop_frac_p95
-FROM picks p JOIN dropped d USING (event_type)
-"""
-
-ORACLES["lead_lag_argmax"] = f"""
-WITH {_HOURLY_CANDLES},
-lla AS (
-  SELECT event_type AS type_a, hr AS hr_a, s AS sa FROM candles),
-llb AS (
-  SELECT event_type AS type_b, hr AS hr_b, s AS sb FROM candles),
-lagged AS (
-  SELECT a.type_a, a.hr_a, a.sa, lg.lag
-  FROM lla a CROSS JOIN
-       (SELECT unnest(generate_series(-6, 6))::BIGINT AS lag) lg),
-joined AS (
-  SELECT l.type_a, b.type_b, l.lag, l.sa, b.sb
-  FROM lagged l JOIN llb b
-    ON b.type_b > l.type_a AND b.hr_b = l.hr_a + l.lag),
-sums AS (
-  SELECT type_a, type_b, lag, count(*)::BIGINT AS m,
-         sum(sa)::BIGINT AS sx, sum(sb)::BIGINT AS sy,
-         sum(sa * sa)::BIGINT AS sxx, sum(sb * sb)::BIGINT AS syy,
-         sum(sa * sb)::BIGINT AS sxy
-  FROM joined GROUP BY 1, 2, 3),
-scored AS (
-  SELECT type_a, type_b, lag,
-         (m * sxy - sx * sy)::DOUBLE
-           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS corr
-  FROM sums),
-sc2 AS (SELECT * FROM scored WHERE corr IS NOT NULL)
-SELECT type_a, type_b,
-       -((max(struct_pack(c := corr, nl := -lag))).nl)::BIGINT
-         AS best_lag,
-       (max(struct_pack(c := corr, nl := -lag))).c AS best_corr,
-       max(CASE WHEN lag = 0 THEN corr END) AS corr_lag0
-FROM sc2 GROUP BY 1, 2
-"""
-
-
-ORACLES["mmr_diverse_topk"] = """
-WITH mcodes AS MATERIALIZED (
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
-  FROM embeddings),
-mqc AS (
-  SELECT list(c ORDER BY pos) AS qv FROM (
-    SELECT pos, (sum(v) // count(*))::BIGINT AS c FROM (
-      SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
-      FROM mcodes WHERE label = 0) GROUP BY pos)),
-msc AS MATERIALIZED (
-  SELECT vec_id, label, q,
-         list_sum(list_transform(generate_series(1, 64),
-                  j -> q[j] * qv[j]))::BIGINT AS dotq
-  FROM mcodes, mqc),
-mb1 AS (
-  SELECT 1::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
-         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
-         b.sc AS score, b.qq AS q
-  FROM (SELECT max(struct_pack(sc := dotq, nvid := -vec_id,
-                               lb := label, dq := dotq,
-                               rd := NULL::BIGINT, qq := q)) AS b
-        FROM msc) t),
-mr1 AS (SELECT s.* FROM msc s, mb1 WHERE s.vec_id != mb1.vec_id),
-mc2 AS (
-  SELECT s.vec_id, s.label, s.q, s.dotq,
-         list_sum(list_transform(generate_series(1, 64),
-                  j -> s.q[j] * mb1.q[j]))::BIGINT AS red
-  FROM mr1 s, mb1),
-mb2 AS (
-  SELECT 2::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
-         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
-         b.sc AS score, b.qq AS q
-  FROM (SELECT max(struct_pack(sc := dotq - red, nvid := -vec_id,
-                               lb := label, dq := dotq, rd := red,
-                               qq := q)) AS b
-        FROM mc2) t),
-mr2 AS (SELECT s.* FROM mr1 s, mb2 WHERE s.vec_id != mb2.vec_id),
-mc3 AS (
-  SELECT s.vec_id, s.label, s.q, s.dotq,
-         greatest(
-           list_sum(list_transform(generate_series(1, 64),
-                    j -> s.q[j] * mb1.q[j]))::BIGINT,
-           list_sum(list_transform(generate_series(1, 64),
-                    j -> s.q[j] * mb2.q[j]))::BIGINT) AS red
-  FROM mr2 s, mb1, mb2),
-mb3 AS (
-  SELECT 3::BIGINT AS round, (-(b.nvid))::BIGINT AS vec_id,
-         b.lb AS label, b.dq AS dotq, b.rd AS redundancy,
-         b.sc AS score, b.qq AS q
-  FROM (SELECT max(struct_pack(sc := dotq - red, nvid := -vec_id,
-                               lb := label, dq := dotq, rd := red,
-                               qq := q)) AS b
-        FROM mc3) t)
-SELECT round, vec_id, label, dotq, redundancy, score FROM mb1
-UNION ALL
-SELECT round, vec_id, label, dotq, redundancy, score FROM mb2
-UNION ALL
-SELECT round, vec_id, label, dotq, redundancy, score FROM mb3
-"""
-
-ORACLES["intra_hour_uniformity"] = """
-WITH base AS (
-  SELECT event_type,
-         (floor(epoch(ts))::BIGINT % 3600)::BIGINT AS o,
-         event_id
-  FROM events),
-ranked AS (
-  SELECT event_type, o,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY o, event_id)::BIGINT AS i,
-         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-  FROM base),
-agg AS (
-  SELECT event_type, max(n)::BIGINT AS n,
-         max(greatest(i * 3600 - n * o, n * o - (i - 1) * 3600))
-           ::BIGINT AS d_scaled
-  FROM ranked GROUP BY 1)
-SELECT event_type, n, d_scaled,
-       d_scaled::DOUBLE / (n * 3600)::DOUBLE AS ks_stat,
-       (d_scaled::DOUBLE / (n * 3600)::DOUBLE) * sqrt(n::DOUBLE)
-         AS ks_scaled,
-       ((d_scaled::DOUBLE / (n * 3600)::DOUBLE) * sqrt(n::DOUBLE)
-        > ('1.36')::DOUBLE) AS non_uniform
-FROM agg
-"""
-
-ORACLES["retention_expiry_audit"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events),
-now_s AS (
-  SELECT event_type, max(es)::BIGINT AS now_s FROM base GROUP BY 1),
-tier1m AS (
-  SELECT event_type, (es // 60)::BIGINT AS bucket,
-         count(*)::BIGINT AS rows
-  FROM base GROUP BY 1, 2),
-tier1h AS (
-  SELECT event_type, (es // 3600)::BIGINT AS bucket,
-         count(*)::BIGINT AS rows
-  FROM base GROUP BY 1, 2),
-a1m AS (
-  SELECT t.event_type, '1m' AS tier, count(*)::BIGINT AS n_buckets,
-         sum(CASE WHEN t.bucket * 60 < n.now_s - 604800
-                  THEN 1 ELSE 0 END)::BIGINT AS n_expired,
-         sum(CASE WHEN t.bucket * 60 < n.now_s - 604800
-                  THEN t.rows ELSE 0 END)::BIGINT AS rows_expired,
-         sum(t.rows)::BIGINT AS rows_total
-  FROM tier1m t JOIN now_s n USING (event_type) GROUP BY 1),
-a1h AS (
-  SELECT t.event_type, '1h' AS tier, count(*)::BIGINT AS n_buckets,
-         sum(CASE WHEN t.bucket * 3600 < n.now_s - 2592000
-                  THEN 1 ELSE 0 END)::BIGINT AS n_expired,
-         sum(CASE WHEN t.bucket * 3600 < n.now_s - 2592000
-                  THEN t.rows ELSE 0 END)::BIGINT AS rows_expired,
-         sum(t.rows)::BIGINT AS rows_total
-  FROM tier1h t JOIN now_s n USING (event_type) GROUP BY 1)
-SELECT event_type, tier, n_buckets, n_expired, rows_expired,
-       rows_expired::DOUBLE / rows_total::DOUBLE AS reclaim_frac
-FROM a1m
-UNION ALL
-SELECT event_type, tier, n_buckets, n_expired, rows_expired,
-       rows_expired::DOUBLE / rows_total::DOUBLE AS reclaim_frac
-FROM a1h
-"""
-
-ORACLES["climatology_bands"] = """
-WITH cells AS (
-  SELECT event_type,
-         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
-         floor((floor(epoch(ts))::BIGINT % 86400) / 3600)::BIGINT AS hod,
-         sum(floor(value * 100)::BIGINT)::BIGINT AS tot
-  FROM events GROUP BY 1, 2, 3),
-ranked AS (
-  SELECT event_type, hod, tot,
-         row_number() OVER (PARTITION BY event_type, hod
-                            ORDER BY tot, day) AS pos,
-         count(*) OVER (PARTITION BY event_type, hod) AS cnt
-  FROM cells),
-agg AS (
-  SELECT event_type, hod, max(cnt)::BIGINT AS n_days,
-         max(CASE WHEN pos = cnt // 10 + 1 THEN tot END)::BIGINT AS p10q,
-         max(CASE WHEN pos = (cnt + 1) // 2 THEN tot END)::BIGINT AS p50q,
-         max(CASE WHEN pos = (9 * cnt) // 10 + 1 THEN tot END)::BIGINT
-           AS p90q
-  FROM ranked GROUP BY 1, 2)
-SELECT event_type, hod, n_days,
-       p10q::DOUBLE / (100)::DOUBLE AS p10,
-       p50q::DOUBLE / (100)::DOUBLE AS p50,
-       p90q::DOUBLE / (100)::DOUBLE AS p90,
-       (p90q - p10q)::DOUBLE / (100)::DOUBLE AS band_width
-FROM agg
-"""
-
-ORACLES["partial_correlation_triples"] = f"""
-WITH {_HOURLY_CANDLES},
-pca AS (SELECT event_type AS ta, hr, s AS sa FROM candles),
-pcb AS (SELECT event_type AS tb, hr, s AS sb FROM candles),
-psums AS (
-  SELECT ta, tb, count(*)::BIGINT AS m,
-         sum(sa)::BIGINT AS sx, sum(sb)::BIGINT AS sy,
-         sum(sa * sa)::BIGINT AS sxx, sum(sb * sb)::BIGINT AS syy,
-         sum(sa * sb)::BIGINT AS sxy
-  FROM pca JOIN pcb USING (hr) WHERE ta < tb GROUP BY 1, 2),
-pcorr AS (
-  SELECT ta, tb,
-         (m * sxy - sx * sy)::DOUBLE
-           / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
-                    * sqrt((m * syy - sy * sy)::DOUBLE), 0) AS r
-  FROM psums),
-ptypes AS (SELECT DISTINCT event_type AS tz FROM candles),
-ptriples AS (
-  SELECT c.ta AS tx, c.tb AS ty, z.tz
-  FROM pcorr c CROSS JOIN ptypes z
-  WHERE z.tz != c.ta AND z.tz != c.tb),
-pj AS (
-  SELECT t.tx, t.ty, t.tz,
-         cxy.r AS r_xy, cxz.r AS r_xz, cyz.r AS r_yz
-  FROM ptriples t
-  JOIN pcorr cxy ON cxy.ta = t.tx AND cxy.tb = t.ty
-  JOIN pcorr cxz ON cxz.ta = least(t.tx, t.tz)
-                AND cxz.tb = greatest(t.tx, t.tz)
-  JOIN pcorr cyz ON cyz.ta = least(t.ty, t.tz)
-                AND cyz.tb = greatest(t.ty, t.tz))
-SELECT tx, ty, tz, r_xy,
-       (r_xy - r_xz * r_yz)
-         / nullif(sqrt((1)::DOUBLE - r_xz * r_xz)
-                  * sqrt((1)::DOUBLE - r_yz * r_yz), 0)
-         AS r_xy_given_z,
-       (abs((r_xy - r_xz * r_yz)
-            / nullif(sqrt((1)::DOUBLE - r_xz * r_xz)
-                     * sqrt((1)::DOUBLE - r_yz * r_yz), 0))
-        < abs(r_xy)) AS z_explains
-FROM pj
-"""
-
-ORACLES["tail_dependence_pairs"] = f"""
-WITH {_HOURLY_CANDLES},
-tdrank AS (
-  SELECT event_type, hr, s, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY s, hr) AS pos
-  FROM candles),
-tdu AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
-  FROM tdrank GROUP BY 1),
-tdf AS (
-  SELECT c.event_type, c.hr,
-         (CASE WHEN c.s > u.u THEN 1 ELSE 0 END)::BIGINT AS exc
-  FROM candles c JOIN tdu u USING (event_type)),
-tda AS (SELECT event_type AS ta, hr, exc AS ea FROM tdf),
-tdb AS (SELECT event_type AS tb, hr, exc AS eb FROM tdf),
-tagg AS (
-  SELECT ta, tb, count(*)::BIGINT AS n_aligned,
-         sum(eb)::BIGINT AS n_b_exc,
-         sum(ea * eb)::BIGINT AS n_joint
-  FROM tda JOIN tdb USING (hr) WHERE ta < tb GROUP BY 1, 2)
-SELECT ta, tb, n_aligned, n_b_exc, n_joint,
-       n_joint::DOUBLE / nullif(n_b_exc, 0)::DOUBLE AS chi_u
-FROM tagg
-"""
-
-ORACLES["poincare_sd"] = f"""
-WITH {_HOURLY_CANDLES},
-pp AS (
-  SELECT event_type, s,
-         lead(s) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS nx
-  FROM candles),
-pp2 AS (SELECT * FROM pp WHERE nx IS NOT NULL),
-pagg AS (
-  SELECT event_type, count(*)::BIGINT AS m,
-         sum(s - nx)::BIGINT AS sd_, sum((s - nx) * (s - nx))::BIGINT AS qd,
-         sum(s + nx)::BIGINT AS st_, sum((s + nx) * (s + nx))::BIGINT AS qt
-  FROM pp2 GROUP BY 1),
-psd AS (
-  SELECT event_type, m,
-         sqrt((m * qd - sd_ * sd_)::DOUBLE)
-           / (m::DOUBLE * (100)::DOUBLE * sqrt((2)::DOUBLE)) AS sd1,
-         sqrt((m * qt - st_ * st_)::DOUBLE)
-           / (m::DOUBLE * (100)::DOUBLE * sqrt((2)::DOUBLE)) AS sd2
-  FROM pagg)
-SELECT event_type, m AS n_pairs, sd1, sd2,
-       sd1 / nullif(sd2, 0) AS sd1_sd2_ratio
-FROM psd
-"""
-
-ORACLES["rqa_determinism"] = f"""
-WITH {_HOURLY_CANDLES},
-rqp AS (
-  SELECT a.event_type, a.t AS i, b.t AS j,
-         (abs(a.s - b.s) < 10) AS rec
-  FROM candles a JOIN candles b
-    ON b.event_type = a.event_type AND b.t > a.t),
-rqr AS (SELECT event_type, i, j FROM rqp WHERE rec),
-rqd AS (
-  SELECT r.event_type,
-         CASE WHEN n.i IS NULL THEN 0 ELSE 1 END AS cont
-  FROM rqr r LEFT JOIN rqr n
-    ON n.event_type = r.event_type
-   AND n.i = r.i + 1 AND n.j = r.j + 1),
-rqc AS (
-  SELECT event_type, count(*)::BIGINT AS n_pairs,
-         sum(CASE WHEN rec THEN 1 ELSE 0 END)::BIGINT AS n_rec
-  FROM rqp GROUP BY 1),
-rqdet AS (
-  SELECT event_type, sum(cont)::BIGINT AS n_diag FROM rqd GROUP BY 1)
-SELECT c.event_type, c.n_pairs, c.n_rec,
-       coalesce(d.n_diag, 0)::BIGINT AS n_diag,
-       c.n_rec::DOUBLE / c.n_pairs::DOUBLE AS recurrence_rate,
-       coalesce(d.n_diag, 0)::DOUBLE / nullif(c.n_rec, 0)::DOUBLE
-         AS determinism
-FROM rqc c LEFT JOIN rqdet d USING (event_type)
-"""
-
-ORACLES["spike_triggered_average"] = f"""
-WITH {_HOURLY_CANDLES},
-strank AS (
-  SELECT event_type, hr, s, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY s, hr) AS pos
-  FROM candles),
-stu AS (
-  SELECT event_type,
-         max(CASE WHEN pos = (9 * n) // 10 THEN s END)::BIGINT AS u
-  FROM strank GROUP BY 1),
-sttrig AS (
-  SELECT c.event_type AS trigger_type, c.hr AS t_hr
-  FROM candles c JOIN stu u USING (event_type)
-  WHERE c.s > u.u),
-stoffs AS (
-  SELECT t.*, o.off
-  FROM sttrig t CROSS JOIN
-       (SELECT unnest(generate_series(-3, 3))::BIGINT AS off) o),
-stj AS (
-  SELECT o.trigger_type, r.event_type AS response_type, o.off,
-         r.s AS rs
-  FROM stoffs o JOIN candles r
-    ON r.hr = o.t_hr + o.off AND r.event_type != o.trigger_type)
-SELECT trigger_type, response_type, off,
-       count(*)::BIGINT AS n_obs,
-       sum(rs)::BIGINT::DOUBLE / (count(*) * 100)::DOUBLE AS sta_mean
-FROM stj GROUP BY 1, 2, 3
-"""
-
-ORACLES["hourly_mix_hhi"] = """
-WITH cells AS (
-  SELECT floor((floor(epoch(ts))::BIGINT % 86400) / 3600)::BIGINT
-           AS hod,
-         event_type, count(*)::BIGINT AS c
-  FROM events GROUP BY 1, 2),
-agg AS (
-  SELECT hod, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS tot,
-         sum(c * c)::BIGINT AS sq
-  FROM cells GROUP BY 1)
-SELECT hod, n_types, tot,
-       sq::DOUBLE / (tot * tot)::DOUBLE AS hhi,
-       (tot * tot)::DOUBLE / sq::DOUBLE AS effective_types
-FROM agg
-"""
-
-ORACLES["kz_smooth"] = """
-WITH hourly AS (
-  SELECT event_type,
-         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
-         sum(floor(value * 100)::BIGINT)::BIGINT AS vsum
-  FROM events GROUP BY 1, 2),
-p1 AS (
-  SELECT event_type, hb, vsum,
-         CASE WHEN count(*) OVER w = 5
-              THEN sum(vsum) OVER w END::BIGINT AS s1
-  FROM hourly
-  WINDOW w AS (PARTITION BY event_type ORDER BY hb
-               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
-p2 AS (
-  SELECT event_type, hb, vsum,
-         CASE WHEN count(s1) OVER w = 5
-              THEN sum(s1) OVER w END::BIGINT AS s2
-  FROM p1
-  WINDOW w AS (PARTITION BY event_type ORDER BY hb
-               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
-p3 AS (
-  SELECT event_type, hb, vsum,
-         CASE WHEN count(s2) OVER w = 5
-              THEN sum(s2) OVER w END::BIGINT AS s3
-  FROM p2
-  WINDOW w AS (PARTITION BY event_type ORDER BY hb
-               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
-SELECT event_type, hb, vsum, s3::DOUBLE / 125 AS kz
-FROM p3 WHERE s3 IS NOT NULL
-"""
-
-ORACLES["ess_autocorr"] = """
-WITH base AS (
-  SELECT user_id, event_type,
-         floor(value * 100)::HUGEINT AS vq,
-         lag(floor(value * 100)::HUGEINT, 1) OVER w AS l1,
-         lag(floor(value * 100)::HUGEINT, 2) OVER w AS l2,
-         lag(floor(value * 100)::HUGEINT, 3) OVER w AS l3
-  FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
-g AS (
-  SELECT user_id, event_type,
-         count(*)::HUGEINT AS n,
-         sum(vq) AS s, sum(vq * vq) AS q,
-         sum(vq * l1) AS sxy1,
-         sum(CASE WHEN l1 IS NOT NULL THEN vq END) AS sx1, sum(l1) AS sy1,
-         sum(vq * l2) AS sxy2,
-         sum(CASE WHEN l2 IS NOT NULL THEN vq END) AS sx2, sum(l2) AS sy2,
-         sum(vq * l3) AS sxy3,
-         sum(CASE WHEN l3 IS NOT NULL THEN vq END) AS sx3, sum(l3) AS sy3
-  FROM base GROUP BY 1, 2),
-alg AS (
-  SELECT user_id, event_type, n,
-         (n*n*q - n*s*s) AS den,
-         (n*n*q - n*s*s)
-           + 2 * ((n*n*sxy1 - n*s*(sx1+sy1) + (n-1)*s*s)
-                + (n*n*sxy2 - n*s*(sx2+sy2) + (n-2)*s*s)
-                + (n*n*sxy3 - n*s*(sx3+sy3) + (n-3)*s*s)) AS tau_num
-  FROM g)
-SELECT user_id, event_type, n::BIGINT AS n_obs,
-       CASE WHEN den = 0 THEN NULL
-            ELSE tau_num::DOUBLE / den::DOUBLE END AS tau_int,
-       CASE WHEN tau_num = 0 THEN NULL
-            ELSE (n * den)::DOUBLE / tau_num::DOUBLE END AS ess
-FROM alg
-"""
-
-ORACLES["siegel_repeated_median"] = """
-WITH recent AS (
-  SELECT user_id, event_type, epoch_us(ts) AS t_us,
-         floor(value * 100)::BIGINT AS vq,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events),
-k AS (SELECT * FROM recent WHERE rn <= 24),
-pairs AS (
-  SELECT a.user_id, a.event_type, a.rn AS r1,
-         a.vq - b.vq AS dv,
-         a.t_us - b.t_us AS dt_us
-  FROM k a JOIN k b
-    ON a.user_id = b.user_id AND a.event_type = b.event_type
-  WHERE a.rn <> b.rn AND a.t_us <> b.t_us),
-sl AS (
-  SELECT user_id, event_type, r1, dv, dt_us,
-         CAST(dv AS DOUBLE) / CAST(dt_us AS DOUBLE) AS slope
-  FROM pairs),
-inner_ranked AS (
-  SELECT user_id, event_type, r1, slope,
-         row_number() OVER (PARTITION BY user_id, event_type, r1
-                            ORDER BY slope, dv, dt_us) AS irn,
-         count(*) OVER (PARTITION BY user_id, event_type, r1) AS inp
-  FROM sl),
-inner_med AS (
-  SELECT user_id, event_type, r1, slope AS med_i
-  FROM inner_ranked WHERE irn = (inp + 1) // 2),
-outer_ranked AS (
-  SELECT user_id, event_type, med_i, r1,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY med_i, r1) AS orn,
-         count(*) OVER (PARTITION BY user_id, event_type) AS n_anchors
-  FROM inner_med)
-SELECT user_id, event_type, n_anchors::BIGINT AS n_anchors,
-       med_i AS slope,
-       med_i * CAST('864000000' AS DOUBLE) AS slope_per_day
-FROM outer_ranked WHERE orn = (n_anchors + 1) // 2
-"""
-
-ORACLES["roc_youden_threshold"] = """
-WITH cells AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         sum(CASE WHEN floor((floor(epoch(ts))::BIGINT % 86400) / 3600)
-                       BETWEEN 8 AND 17 THEN 1 ELSE 0 END)::BIGINT AS p_c,
-         sum(CASE WHEN floor((floor(epoch(ts))::BIGINT % 86400) / 3600)
-                       BETWEEN 8 AND 17 THEN 0 ELSE 1 END)::BIGINT AS n_c
-  FROM events GROUP BY 1, 2),
-staged AS (
-  SELECT event_type, vq, p_c, n_c,
-         sum(p_c) OVER w AS tp, sum(n_c) OVER w AS fp,
-         sum(p_c) OVER wt AS pos, sum(n_c) OVER wt AS neg
-  FROM cells
-  WINDOW w AS (PARTITION BY event_type ORDER BY vq DESC),
-         wt AS (PARTITION BY event_type)),
-scored AS (
-  SELECT event_type, vq, tp, fp, pos, neg,
-         n_c::HUGEINT * (2 * tp::HUGEINT - p_c::HUGEINT) AS term,
-         tp * neg - fp * pos AS j_scaled
-  FROM staged),
-agg AS (
-  SELECT event_type, count(*)::BIGINT AS n_thresholds,
-         sum(term) AS auc_num,
-         max(pos)::BIGINT AS pos, max(neg)::BIGINT AS neg
-  FROM scored GROUP BY 1),
-best AS (
-  SELECT event_type, vq AS best_vq, tp AS best_tp, fp AS best_fp,
-         j_scaled AS best_j_scaled,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY j_scaled DESC, vq ASC) AS rk
-  FROM scored)
-SELECT a.event_type, a.pos, a.neg, a.n_thresholds,
-       CASE WHEN a.pos = 0 OR a.neg = 0 THEN NULL
-            ELSE a.auc_num::DOUBLE
-                 / (2::HUGEINT * a.pos::HUGEINT * a.neg::HUGEINT)::DOUBLE
-       END AS auc,
-       b.best_vq,
-       CASE WHEN a.pos = 0 THEN NULL
-            ELSE b.best_tp::DOUBLE / a.pos::DOUBLE END AS best_tpr,
-       CASE WHEN a.neg = 0 THEN NULL
-            ELSE b.best_fp::DOUBLE / a.neg::DOUBLE END AS best_fpr,
-       CASE WHEN a.pos * a.neg = 0 THEN NULL
-            ELSE b.best_j_scaled::DOUBLE / (a.pos * a.neg)::DOUBLE
-       END AS best_j
-FROM agg a JOIN best b ON a.event_type = b.event_type AND b.rk = 1
-"""
-
-ORACLES["cohen_kappa_detectors"] = """
-WITH base AS (
-  SELECT event_type, event_id::BIGINT AS event_id,
-         floor(value * 100)::BIGINT AS vq
-  FROM events),
-stats AS (
-  SELECT event_type, count(*)::HUGEINT AS n,
-         sum(vq::HUGEINT) AS s, sum(vq::HUGEINT * vq::HUGEINT) AS q
-  FROM base GROUP BY 1),
-medr AS (
-  SELECT event_type, vq,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY vq, event_id) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM base),
-med AS (SELECT event_type, vq AS med FROM medr WHERE rn = (cnt + 1) // 2),
-devs AS (
-  SELECT b.event_type, b.event_id, b.vq, abs(b.vq - m.med) AS dev
-  FROM base b JOIN med m ON b.event_type = m.event_type),
-madr AS (
-  SELECT event_type, dev,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY dev, event_id) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM devs),
-mad AS (SELECT event_type, dev AS mad FROM madr WHERE rn = (cnt + 1) // 2),
-flagged AS (
-  SELECT d.event_type,
-         ((d.vq::HUGEINT * st.n - st.s) * (d.vq::HUGEINT * st.n - st.s)
-            > 4 * (st.n * st.q - st.s * st.s)) AS af,
-         (d.dev > 4 * m.mad) AS bf
-  FROM devs d
-  JOIN mad m ON d.event_type = m.event_type
-  JOIN stats st ON d.event_type = st.event_type),
-conf AS (
-  SELECT event_type,
-         sum(CASE WHEN af AND bf THEN 1 ELSE 0 END)::BIGINT AS a,
-         sum(CASE WHEN af AND NOT bf THEN 1 ELSE 0 END)::BIGINT AS b,
-         sum(CASE WHEN NOT af AND bf THEN 1 ELSE 0 END)::BIGINT AS c,
-         sum(CASE WHEN NOT af AND NOT bf THEN 1 ELSE 0 END)::BIGINT AS d
-  FROM flagged GROUP BY 1)
-SELECT event_type, (a + b + c + d)::BIGINT AS n_obs, a, b, c, d,
-       CASE WHEN (a+b+c+d)::HUGEINT * (a+b+c+d)::HUGEINT
-                 - ((a+b)::HUGEINT*(a+c)::HUGEINT
-                    + (c+d)::HUGEINT*(b+d)::HUGEINT) = 0 THEN NULL
-            ELSE ((a+b+c+d)::HUGEINT * (a+d)::HUGEINT
-                  - ((a+b)::HUGEINT*(a+c)::HUGEINT
-                     + (c+d)::HUGEINT*(b+d)::HUGEINT))::DOUBLE
-                 / ((a+b+c+d)::HUGEINT * (a+b+c+d)::HUGEINT
-                    - ((a+b)::HUGEINT*(a+c)::HUGEINT
-                       + (c+d)::HUGEINT*(b+d)::HUGEINT))::DOUBLE
-       END AS kappa,
-       CASE WHEN a + b + c + d = 0 THEN NULL
-            ELSE (a + d)::DOUBLE / (a + b + c + d)::DOUBLE
-       END AS agree_rate
-FROM conf
-"""
-
-ORACLES["bh_fdr_alerts"] = """
-WITH base AS (
-  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::HUGEINT AS vq
-  FROM events),
-spans AS (
-  SELECT user_id, event_type,
-         floor((min(es) + max(es)) / 2)::BIGINT AS mid
-  FROM base GROUP BY 1, 2),
-g AS (
-  SELECT b.user_id, b.event_type,
-         sum(CASE WHEN b.es <= sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n1,
-         sum(CASE WHEN b.es <= sp.mid THEN b.vq END) AS s1,
-         sum(CASE WHEN b.es <= sp.mid THEN b.vq * b.vq END) AS q1,
-         sum(CASE WHEN b.es > sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n2,
-         sum(CASE WHEN b.es > sp.mid THEN b.vq END) AS s2,
-         sum(CASE WHEN b.es > sp.mid THEN b.vq * b.vq END) AS q2
-  FROM base b
-  JOIN spans sp ON b.user_id = sp.user_id AND b.event_type = sp.event_type
-  GROUP BY 1, 2
-  HAVING n1 > 0 AND n2 > 0 AND n1 + n2 >= 3),
-alg AS (
-  SELECT user_id, event_type, n1, n2,
-         (s1*n2 - s2*n1) * (s1*n2 - s2*n1) * (n1 + n2 - 2) AS zn,
-         (n1*n2*(q1+q2) - n2*s1*s1 - n1*s2*s2) * (n1 + n2) AS zd
-  FROM g),
-staged AS (
-  SELECT user_id, event_type, n1::BIGINT AS n_early, n2::BIGINT AS n_late,
-         zn, zd,
-         CASE WHEN zn = 0 THEN 1.0
-              ELSE least(1.0, zd::DOUBLE / zn::DOUBLE) END AS p_bound
-  FROM alg),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY p_bound, user_id, event_type) AS k,
-         count(*) OVER () AS m_tests
-  FROM staged),
-flagged AS (
-  SELECT user_id, event_type, n_early, n_late, p_bound, k, m_tests,
-         CASE WHEN zn > 0 AND zd * 20 * m_tests <= zn * k
-              THEN k END AS k_ok
-  FROM ranked)
-SELECT user_id, event_type, n_early, n_late, p_bound,
-       k::BIGINT AS bh_rank, m_tests::BIGINT AS m_tests,
-       (k <= coalesce(max(k_ok) OVER (), 0)) AS significant
-FROM flagged
-"""
-
-ORACLES["tail_expected_shortfall"] = """
-WITH ranked AS (
-  SELECT event_type, floor(value * 100)::BIGINT AS vq,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY floor(value * 100)::BIGINT,
-                                     event_id) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
-staged AS (
-  SELECT event_type, vq, rn, n,
-         (19 * n + 19) // 20 AS k95,
-         (99 * n + 99) // 100 AS k99
-  FROM ranked)
-SELECT event_type, max(n)::BIGINT AS n,
-       max(CASE WHEN rn = k95 THEN vq END)::BIGINT AS var95,
-       sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END)::BIGINT AS t95_n,
-       CASE WHEN sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END) = 0 THEN NULL
-            ELSE sum(CASE WHEN rn >= k95 THEN vq END)::BIGINT::DOUBLE
-                 / sum(CASE WHEN rn >= k95 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
-       END AS es95,
-       max(CASE WHEN rn = k99 THEN vq END)::BIGINT AS var99,
-       sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END)::BIGINT AS t99_n,
-       CASE WHEN sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END) = 0 THEN NULL
-            ELSE sum(CASE WHEN rn >= k99 THEN vq END)::BIGINT::DOUBLE
-                 / sum(CASE WHEN rn >= k99 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
-       END AS es99
-FROM staged GROUP BY event_type
-"""
-
-ORACLES["median_of_means"] = """
-WITH base AS (
-  SELECT user_id, event_type, floor(value * 100)::BIGINT AS vq,
-         (row_number() OVER (PARTITION BY user_id, event_type
-                             ORDER BY ts, event_id) - 1) % 8 AS blk
-  FROM events),
-blocks AS (
-  SELECT user_id, event_type, blk,
-         sum(vq)::BIGINT AS bs, count(*)::BIGINT AS bn
-  FROM base GROUP BY 1, 2, 3),
-means AS (
-  SELECT user_id, event_type, blk, bs, bn,
-         bs::DOUBLE / bn::DOUBLE AS bmean
-  FROM blocks),
-ranked AS (
-  SELECT user_id, event_type, bmean,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY bmean, blk) AS rn,
-         count(*) OVER (PARTITION BY user_id, event_type) AS nb,
-         sum(bs) OVER (PARTITION BY user_id, event_type) AS s_tot,
-         sum(bn) OVER (PARTITION BY user_id, event_type) AS n_tot
-  FROM means)
-SELECT user_id, event_type, n_tot::BIGINT AS n_obs, nb::BIGINT AS n_blocks,
-       bmean AS mom,
-       s_tot::DOUBLE / n_tot::DOUBLE AS plain_mean
-FROM ranked WHERE rn = (nb + 1) // 2
-"""
-
-ORACLES["did_estimator"] = """
-WITH base AS (
-  SELECT event_type, floor(epoch(ts))::BIGINT AS es,
-         floor(value * 100)::HUGEINT AS vq,
-         (user_id % 2 = 0) AS treated
-  FROM events),
-spans AS (
-  SELECT event_type, floor((min(es) + max(es)) / 2)::BIGINT AS mid
-  FROM base GROUP BY 1),
-g AS (
-  SELECT b.event_type,
-         sum(CASE WHEN b.treated AND b.es <= sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n_t1,
-         sum(CASE WHEN b.treated AND b.es <= sp.mid THEN b.vq END) AS s_t1,
-         sum(CASE WHEN b.treated AND b.es > sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n_t2,
-         sum(CASE WHEN b.treated AND b.es > sp.mid THEN b.vq END) AS s_t2,
-         sum(CASE WHEN NOT b.treated AND b.es <= sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n_c1,
-         sum(CASE WHEN NOT b.treated AND b.es <= sp.mid THEN b.vq END) AS s_c1,
-         sum(CASE WHEN NOT b.treated AND b.es > sp.mid THEN 1 ELSE 0 END)::HUGEINT AS n_c2,
-         sum(CASE WHEN NOT b.treated AND b.es > sp.mid THEN b.vq END) AS s_c2
-  FROM base b JOIN spans sp ON b.event_type = sp.event_type
-  GROUP BY 1)
-SELECT event_type,
-       n_t1::BIGINT AS n_t1, n_t2::BIGINT AS n_t2,
-       n_c1::BIGINT AS n_c1, n_c2::BIGINT AS n_c2,
-       CASE WHEN n_t1 = 0 THEN NULL ELSE s_t1::DOUBLE / n_t1::DOUBLE END AS mean_t1,
-       CASE WHEN n_t2 = 0 THEN NULL ELSE s_t2::DOUBLE / n_t2::DOUBLE END AS mean_t2,
-       CASE WHEN n_c1 = 0 THEN NULL ELSE s_c1::DOUBLE / n_c1::DOUBLE END AS mean_c1,
-       CASE WHEN n_c2 = 0 THEN NULL ELSE s_c2::DOUBLE / n_c2::DOUBLE END AS mean_c2,
-       CASE WHEN n_t1 * n_t2 * n_c1 * n_c2 = 0 THEN NULL
-            ELSE (s_t2 * n_t1 * n_c1 * n_c2
-                  - s_t1 * n_t2 * n_c1 * n_c2
-                  - s_c2 * n_t1 * n_t2 * n_c1
-                  + s_c1 * n_t1 * n_t2 * n_c2)::DOUBLE
-                 / (n_t1 * n_t2 * n_c1 * n_c2)::DOUBLE
-       END AS did
-FROM g
-"""
-
-ORACLES["simple8b_pack_profile"] = """
-WITH staged AS (
-  SELECT user_id, event_type,
-         row_number() OVER w AS rn,
-         floor(value * 100)::BIGINT
-           - lag(floor(value * 100)::BIGINT) OVER w AS d
-  FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
-zz AS (
-  SELECT user_id, event_type, rn,
-         CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END AS z
-  FROM staged WHERE d IS NOT NULL),
-bits AS (
-  SELECT user_id, event_type, rn,
-         CASE WHEN z <= 1 THEN 1 WHEN z < 4 THEN 2 WHEN z < 8 THEN 3
-              WHEN z < 16 THEN 4 WHEN z < 32 THEN 5 WHEN z < 64 THEN 6
-              WHEN z < 128 THEN 7 WHEN z < 256 THEN 8 WHEN z < 1024 THEN 10
-              WHEN z < 4096 THEN 12 WHEN z < 32768 THEN 15
-              WHEN z < 1048576 THEN 20 WHEN z < 1073741824 THEN 30
-              ELSE 60 END::BIGINT AS b
-  FROM zz),
-arrs AS (
-  SELECT user_id, event_type, count(*)::BIGINT AS n_deltas,
-         list(struct_pack(rn := rn, b := b) ORDER BY rn, b) AS arr
-  FROM bits GROUP BY 1, 2),
-folded AS (
-  SELECT user_id, event_type, n_deltas,
-         list_reduce(
-           list_transform(arr, e -> struct_pack(
-             cnt := 1::BIGINT, mb := e.b, words := 0::BIGINT)),
-           (a, e) -> CASE WHEN (a.cnt + 1) * greatest(a.mb, e.mb) <= 60
-             THEN struct_pack(cnt := a.cnt + 1,
-                              mb := greatest(a.mb, e.mb),
-                              words := a.words)
-             ELSE struct_pack(cnt := 1::BIGINT, mb := e.mb,
-                              words := a.words + 1) END) AS f
-  FROM arrs)
-SELECT user_id, event_type, n_deltas,
-       (f.words + 1)::BIGINT AS words,
-       ((f.words + 1) * 64)::BIGINT AS packed_bits,
-       ((f.words + 1) * 64)::DOUBLE / n_deltas::DOUBLE AS bits_per_point,
-       (n_deltas * 64)::DOUBLE / ((f.words + 1) * 64)::DOUBLE
-         AS compression_ratio
-FROM folded
-"""
