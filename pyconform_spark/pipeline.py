@@ -635,6 +635,11 @@ def recover_refreshes(spark: SparkSession, root: str) -> list[str]:
             if mk in applied:
                 _cleanup_refresh(root, mk)
                 continue
+            if not intent["rows"]:
+                # a refresh that touched zero partitions has nothing to
+                # publish or commit — the intent is pure debris
+                _cleanup_refresh(root, mk)
+                continue
             seq = _next_commit_seq(spark, root)
             staging = os.path.join(sdir, _safe_marker(mk))
             trash = os.path.join(tdir, _safe_marker(mk))
@@ -1291,3 +1296,101 @@ def read_tier_evolved(spark: SparkSession, root: str, tier: str) -> DataFrame:
         df = df.select(*cols)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dp, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dp, f))
+            except OSError:
+                pass
+    return total
+
+
+def gc_orphans(spark: SparkSession, root: str, dry_run: bool = False):
+    """Iceberg ``remove_orphan_files`` analog for the epoch-dir store:
+    sweep write-audit-publish debris that no reader or recovery path
+    will ever consult again, and REPORT every decision (the audit a
+    storage team wants before trusting an automated janitor at 100 TB).
+
+    Swept (strictly safe):
+      * refresh/compaction staging + trash + intent artifacts whose
+        marker is ALREADY COMMITTED (in the lineage ledger /
+        compaction log) — the normal post-commit cleanup that a crash
+        between commit and cleanup leaves behind;
+      * staging/trash directories with NO intent file — a crash before
+        the intent write, so the live store was never touched;
+      * stray ``.publish-tmp`` partition copies under ``tiers/`` —
+        ``_swap_in`` recreates them from staging on every (re)publish.
+
+    Kept, reported as ``kept_pending``: anything belonging to an
+    intent whose marker has NOT committed — :func:`recover_refreshes`
+    / :func:`recover_compactions` need exactly those artifacts to roll
+    the crashed publish forward; GC must never race recovery.
+
+    ``dry_run=True`` reports without deleting.  Returns a DataFrame
+    (kind, marker, path, bytes, action)."""
+    rows: list[tuple] = []
+
+    def _rm(path: str) -> None:
+        if dry_run:
+            return
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.isfile(path):
+            os.remove(path)
+
+    def sweep(kind: str, dirs: tuple, applied: set) -> None:
+        idir, sdir, tdir = dirs
+        intents: dict[str, tuple[str, str]] = {}
+        if os.path.isdir(idir):
+            for fn in sorted(os.listdir(idir)):
+                if not fn.endswith(".json"):
+                    continue
+                p = os.path.join(idir, fn)
+                with open(p) as fh:
+                    mk = json.load(fh)["marker"]
+                intents[_safe_marker(mk)] = (mk, p)
+        pending = {s for s, (mk, _) in intents.items() if mk not in applied}
+        for safe, (mk, p) in intents.items():
+            if safe in pending:
+                rows.append(
+                    (f"{kind}_intent", mk, p, os.path.getsize(p),
+                     "kept_pending")
+                )
+            else:
+                rows.append(
+                    (f"{kind}_intent", mk, p, os.path.getsize(p), "removed")
+                )
+                _rm(p)
+        for base, sub in ((sdir, "staging"), (tdir, "trash")):
+            if not os.path.isdir(base):
+                continue
+            for d in sorted(os.listdir(base)):
+                p = os.path.join(base, d)
+                action = "kept_pending" if d in pending else "removed"
+                rows.append((f"{kind}_{sub}", d, p, _dir_bytes(p), action))
+                if action == "removed":
+                    _rm(p)
+
+    sweep("refresh", _refresh_dirs(root), applied_refresh_markers(spark, root))
+    sweep("compact", _compact_dirs(root), _logged_compactions(spark, root))
+    tiers_dir = os.path.join(root, "tiers")
+    if os.path.isdir(tiers_dir):
+        for tier in sorted(os.listdir(tiers_dir)):
+            td = os.path.join(tiers_dir, tier)
+            if not os.path.isdir(td):
+                continue
+            for d in sorted(os.listdir(td)):
+                if d.endswith(".publish-tmp"):
+                    p = os.path.join(td, d)
+                    rows.append(
+                        ("publish_tmp", d, p, _dir_bytes(p), "removed")
+                    )
+                    _rm(p)
+    schema = "kind string, marker string, path string, bytes long, action string"
+    return spark.createDataFrame(
+        [(k, m, p, int(b), a) for k, m, p, b, a in rows], schema
+    )

@@ -92,3 +92,78 @@ def test_compact_crash_mid_publish_rolls_forward(
 def test_recover_is_noop_on_clean_store(spark, store):
     pipeline.compact_small_files(spark, store, "1m")
     assert pipeline.recover_compactions(spark, store) == []
+
+
+def test_gc_orphans_sweeps_committed_debris_keeps_pending(spark, store, tmp_path):
+    """Post-commit leftovers (applied compaction marker's staging/
+    trash/intent) and intent-less debris are removed; a PENDING
+    refresh intent's artifacts survive GC and recovery still rolls the
+    refresh forward afterwards; the store verifies green throughout."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    before = _rows(pipeline.read_tier(spark, store, "1m"))
+    stats = pipeline.compact_small_files(spark, store, "1m", marker="gc-test")
+    assert stats
+
+    # 1. recreate post-commit debris for the APPLIED compaction marker
+    idir, sdir, tdir = pipeline._compact_dirs(store)
+    os.makedirs(os.path.join(sdir, "gc-test", "1m"), exist_ok=True)
+    with open(os.path.join(sdir, "gc-test", "1m", "junk.parquet"), "wb") as fh:
+        fh.write(b"x" * 128)
+    os.makedirs(idir, exist_ok=True)
+    with open(os.path.join(idir, "gc-test.json"), "w") as fh:
+        json.dump({"marker": "gc-test", "rows": []}, fh)
+
+    # 2. intent-less refresh staging debris
+    ridir, rsdir, rtdir = pipeline._refresh_dirs(store)
+    os.makedirs(os.path.join(rsdir, "crashed-early"), exist_ok=True)
+    with open(os.path.join(rsdir, "crashed-early", "junk"), "wb") as fh:
+        fh.write(b"y" * 64)
+
+    # 3. a stray publish-tmp copy next to a live partition
+    ep = pipeline._tier_epochs_dir(store, "1m")[0]
+    live = pipeline._tier_path(store, "1m", ep)
+    shutil.copytree(live, live + ".publish-tmp")
+
+    # 4. a PENDING refresh intent (marker not in the ledger) with its
+    #    staging artifacts — GC must keep every piece
+    os.makedirs(ridir, exist_ok=True)
+    os.makedirs(os.path.join(rsdir, "pending-mk"), exist_ok=True)
+    with open(os.path.join(rsdir, "pending-mk", "keep"), "wb") as fh:
+        fh.write(b"z" * 32)
+    with open(os.path.join(ridir, "pending-mk.json"), "w") as fh:
+        json.dump({"marker": "pending-mk", "rows": []}, fh)
+
+    report = pipeline.gc_orphans(spark, store, dry_run=True).collect()
+    acts = {(r["kind"], r["marker"]): r["action"] for r in report}
+    assert acts[("compact_intent", "gc-test")] == "removed"
+    assert acts[("compact_staging", "gc-test")] == "removed"
+    assert acts[("refresh_staging", "crashed-early")] == "removed"
+    assert acts[("publish_tmp", f"epoch={ep}.publish-tmp")] == "removed"
+    assert acts[("refresh_intent", "pending-mk")] == "kept_pending"
+    assert acts[("refresh_staging", "pending-mk")] == "kept_pending"
+    # dry run deleted nothing
+    assert os.path.isfile(os.path.join(idir, "gc-test.json"))
+    assert os.path.isdir(live + ".publish-tmp")
+
+    report2 = pipeline.gc_orphans(spark, store).collect()
+    assert any(r["bytes"] > 0 for r in report2)
+    assert not os.path.isfile(os.path.join(idir, "gc-test.json"))
+    assert not os.path.isdir(os.path.join(sdir, "gc-test"))
+    assert not os.path.isdir(os.path.join(rsdir, "crashed-early"))
+    assert not os.path.isdir(live + ".publish-tmp")
+    # pending artifacts untouched
+    assert os.path.isfile(os.path.join(ridir, "pending-mk.json"))
+    assert os.path.isfile(os.path.join(rsdir, "pending-mk", "keep"))
+
+    # store content identical, verify green, recovery path intact
+    assert _rows(pipeline.read_tier(spark, store, "1m")) == before
+    bad = pipeline.verify_store(spark, store).where(
+        F.col("status") != "ok"
+    )
+    assert bad.count() == 0
+    pipeline.recover_refreshes(spark, store)  # consumes pending intent
+    assert not os.path.isfile(os.path.join(ridir, "pending-mk.json"))
