@@ -1668,3 +1668,91 @@ def stream_hll_registers(stream: DataFrame) -> DataFrame:
     from pyconform_spark import queries as Q
 
     return Q.hll_registers(stream)
+
+
+def stream_mg_summary(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    k: int = 8,
+    shards: int = 8,
+) -> DataFrame:
+    """Continuous Misra-Gries heavy-hitter summaries — the streaming
+    twin of operators.heavyhitters (same _mg_merge decrement rule, so
+    the mergeable-summaries guarantee ``true_count - N/(k+1) <=
+    summed_mg <= true_count`` holds for ANY arrival order and ANY
+    micro-batch split).
+
+    Sharded exactly like the batch sketch is partitioned: each of
+    ``shards`` hash shards keeps one k-entry summary in state (bounded
+    at shards x k rows forever — the sketch IS the eviction policy,
+    like stream_hll_registers).  Every micro-batch each touched shard
+    re-emits its full summary in UPDATE mode stamped with a
+    monotonically increasing ``emit_seq``; the reader folds the memory
+    sink with "latest emit_seq per shard", sums summaries across
+    shards, applies the candidate rule ``mg_sum >= T - N/(k+1)`` and
+    verifies exactly — identical downstream composition to
+    heavy_hitters_exact, so the VERIFIED output is bit-equal to the
+    batch run (exactness comes from the verify, not the sketch).
+
+    One sentinel row per shard (NULL key) carries the shard's total
+    row count N_shard, mirroring the batch summaries' contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyconform_spark.operators.heavyhitters import _mg_merge
+
+    out_schema = (
+        f"shard long, {key_col} long, mg_count long, "
+        "part_rows long, emit_seq long"
+    )
+    state_schema = (
+        "keys array<long>, counts array<long>, total long, seq long"
+    )
+
+    def upd(key, pdfs, state):
+        shard = int(key[0])
+        if state.exists:
+            keys, counts, total, seq = state.get
+            acc = pd.Series(
+                [float(c) for c in counts], index=list(keys), dtype="float64"
+            )
+        else:
+            acc, total, seq = pd.Series(dtype="float64"), 0, 0
+        for pdf in pdfs:
+            total += len(pdf)
+            acc = _mg_merge(acc, pdf[key_col].value_counts(), k)
+        seq += 1
+        state.update((
+            [int(x) for x in acc.index],
+            [int(x) for x in acc.values],
+            int(total),
+            int(seq),
+        ))
+        ks = [int(x) for x in acc.index]
+        cs = [int(x) for x in acc.values]
+        yield pd.DataFrame(
+            {
+                "shard": pd.array([shard] * (len(ks) + 1), dtype="Int64"),
+                key_col: pd.array(ks + [None], dtype="Int64"),
+                "mg_count": pd.array(cs + [0], dtype="Int64"),
+                "part_rows": pd.array(
+                    [0] * len(ks) + [int(total)], dtype="Int64"
+                ),
+                "emit_seq": pd.array(
+                    [int(seq)] * (len(ks) + 1), dtype="Int64"
+                ),
+            }
+        )
+
+    shard = (F.col(key_col) % shards).cast("long").alias("shard")
+    return (
+        stream.select(shard, key_col)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            upd,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

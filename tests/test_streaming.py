@@ -1273,3 +1273,65 @@ def test_stream_hll_registers_fold_matches_batch(spark, tmp_path):
         for r in Q.hll_distinct_users(spark, sf).collect()
     }
     assert got_est == want_est
+
+
+def test_stream_mg_summary_guarantee_and_verified_parity(spark, tmp_path):
+    """Streaming MG summaries (latest per shard), summed across
+    shards, must satisfy the Misra-Gries band
+    true - N/(k+1) <= mg_sum <= true for EVERY key, across a
+    mid-corpus micro-batch split; and the candidate->exact-verify
+    composition must reproduce heavy_hitters_exact bit-for-bit."""
+    from pyconform_spark.operators.heavyhitters import heavy_hitters_exact
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "mg_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    k, shards, threshold = 8, 4, 30
+    out = streaming.stream_mg_summary(stream, "user_id", k=k, shards=shards)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mgstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table("mgstream").toPandas()
+    latest = sink[sink.groupby("shard")["emit_seq"].transform("max")
+                  == sink["emit_seq"]]
+    n_total = int(latest.loc[latest["user_id"].isna(), "part_rows"].sum())
+    assert n_total == events.count()
+    mg = (latest.dropna(subset=["user_id"])
+          .groupby("user_id")["mg_count"].sum())
+    exact = {r["user_id"]: r["c"] for r in events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    # per-shard band: summed over shards the slack is N_total/(k+1)
+    for key, true in exact.items():
+        got = float(mg.get(key, 0.0))
+        assert true - n_total / (k + 1) <= got <= true, (key, got, true)
+    # candidates -> exact verify == batch composition
+    cand = [int(key) for key in exact
+            if float(mg.get(key, 0.0)) >= threshold - n_total / (k + 1)]
+    verified = sorted(
+        key for key in cand if exact[key] >= threshold
+    )
+    want = sorted(
+        r["user_id"]
+        for r in heavy_hitters_exact(
+            events, "user_id", threshold, k * shards
+        ).collect()
+    )
+    assert verified == want and len(want) > 0
