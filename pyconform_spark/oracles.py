@@ -9213,3 +9213,50 @@ SELECT user_id, event_type,
          AS compression_ratio
 FROM wb2 GROUP BY 1, 2
 """
+
+ORACLES["age_of_information"] = """
+WITH staged AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es,
+         floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w
+           AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY
+               floor(epoch(ts))::BIGINT, event_id)),
+g AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n_obs,
+         sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+         sum(gap::HUGEINT * gap::HUGEINT) AS sq,
+         (max(es) - min(es))::BIGINT AS span_s,
+         max(gap)::BIGINT AS aoi_peak_s
+  FROM staged GROUP BY 1, 2)
+SELECT user_id, event_type, n_obs, span_s, aoi_peak_s,
+       CASE WHEN span_s = 0 THEN NULL
+            ELSE sq::DOUBLE / (2::HUGEINT * span_s::HUGEINT)::DOUBLE
+       END AS aoi_avg_s
+FROM g WHERE n_gaps >= 1
+"""
+
+ORACLES["abc_classification"] = """
+WITH mass AS (
+  SELECT event_type, user_id, sum(floor(value * 100)::BIGINT)::BIGINT AS m
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT event_type, user_id, m,
+         sum(m) OVER (PARTITION BY event_type
+                      ORDER BY m DESC, user_id ASC) AS cum,
+         sum(m) OVER (PARTITION BY event_type) AS tot
+  FROM mass),
+classed AS (
+  SELECT event_type,
+         CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+              WHEN 20 * cum <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc,
+         m, tot
+  FROM staged)
+SELECT event_type, abc, count(*)::BIGINT AS n_users,
+       sum(m)::BIGINT AS class_mass,
+       CASE WHEN max(tot) = 0 THEN NULL
+            ELSE sum(m)::BIGINT::DOUBLE / max(tot)::DOUBLE
+       END AS mass_share
+FROM classed GROUP BY 1, 2
+"""

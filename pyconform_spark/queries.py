@@ -18559,3 +18559,123 @@ def pfor_pack_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("words") * F.lit(64)).cast("double")
         ).alias("compression_ratio"),
     )
+
+
+def age_of_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-of-Information per series (Kaul, Yates & Gruteser 2012,
+    public literature): the time-average of "how stale is the latest
+    sample right now", integrated over the observation span — for a
+    sawtooth that resets to 0 at every arrival, the integral is
+    sum(gap^2)/2, so
+
+        aoi_avg = sum(gap_i^2) / (2 * T),   aoi_peak = max(gap_i)
+
+    with gaps in seconds and T = span seconds.  The freshness metric a
+    monitoring pipeline wants where interarrival_stats' mean gap
+    understates bursty staleness (AoI weights each gap by itself) and
+    stale_series only flags the current tail.
+
+    EXACT cross-engine: gaps are integer second deltas from one lag;
+    sum(gap^2) stays integer (DECIMAL(38,0)/HUGEINT); aoi_avg is ONE
+    double division; series with < 2 samples drop (no gap, T = 0).
+
+    Scale shape: one (series, ts) window sort, one hash aggregate to
+    |series| rows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy(*EKEYS).orderBy("es", "event_id")
+    staged = df.select(
+        *EKEYS,
+        es.alias("es"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).select(
+        *EKEYS,
+        "es",
+        (F.col("es") - F.lag("es").over(w)).alias("gap"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = staged.groupBy(*EKEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.when(F.col("gap").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum(dec(F.col("gap")) * dec(F.col("gap"))).alias("sq"),
+        (F.max("es") - F.min("es")).cast("long").alias("span_s"),
+        F.max("gap").cast("long").alias("aoi_peak_s"),
+    )
+    return g.filter(F.col("n_gaps") >= 1).select(
+        *EKEYS,
+        "n_obs",
+        "span_s",
+        "aoi_peak_s",
+        F.try_divide(
+            F.col("sq").cast("double"),
+            (F.lit(2).cast("decimal(38,0)") * dec(F.col("span_s"))).cast(
+                "double"
+            ),
+        ).alias("aoi_avg_s"),
+    )
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of users by total event value (the
+    Pareto-analysis workhorse of operations management, public
+    literature): rank users by descending value mass; class A = users
+    while the running share is <= 80%, B = to 95%, C = the tail —
+    reported as one row per class per event_type with user counts and
+    exact value shares (pareto_concentration gives the Lorenz points;
+    this gives the named buckets planners actually act on).
+
+    EXACT cross-engine: class cuts are INTEGER comparisons
+    (5*cum <= 4*total for 80%, 20*cum <= 19*total for 95%) on the
+    cumulative centi-value sums over one (type, user-mass) window sort
+    with deterministic (mass desc, user_id) ordering; shares are one
+    double division per class.
+
+    Scale shape: one hash aggregate to (type, user) mass, one window
+    sort over that reduced frame, one class rollup to <= 3|types|
+    rows."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value").cast("double") * 100).cast("long")
+    mass = (
+        df.select("event_type", "user_id", vq.alias("vq"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("vq").cast("long").alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("m"), F.asc("user_id")
+    )
+    wt = Window.partitionBy("event_type")
+    staged = mass.select(
+        "event_type",
+        "user_id",
+        "m",
+        F.sum("m").over(w).alias("cum"),
+        F.sum("m").over(wt).alias("tot"),
+    )
+    cls = (
+        F.when(
+            F.lit(5) * F.col("cum") <= F.lit(4) * F.col("tot"), F.lit("A")
+        )
+        .when(
+            F.lit(20) * F.col("cum") <= F.lit(19) * F.col("tot"), F.lit("B")
+        )
+        .otherwise(F.lit("C"))
+    )
+    g = staged.select("event_type", cls.alias("abc"), "m", "tot").groupBy(
+        "event_type", "abc"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("m").cast("long").alias("class_mass"),
+        F.max("tot").cast("long").alias("total_mass"),
+    )
+    return g.select(
+        "event_type",
+        "abc",
+        "n_users",
+        "class_mass",
+        F.try_divide(
+            F.col("class_mass").cast("double"),
+            F.col("total_mass").cast("double"),
+        ).alias("mass_share"),
+    )

@@ -3019,3 +3019,34 @@ def test_pfor_pack_profile_numpy_replay(spark, tmp_path):
     assert r["n_blocks"] == n_blocks
     assert r["words"] == words
     assert r["bits_per_point"] == (words * 64) / len(z)
+
+
+def test_age_of_information_sawtooth_exact(spark, tmp_path):
+    """Gaps 10s,10s,40s over a 60s span: AoI = (100+100+1600)/2/60 =
+    15.0 s; peak = 40 s.  Equal mean gap (20 s) but the bursty gap
+    dominates — the property the metric exists for."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    offs = [0, 10, 20, 60]
+    rows = [(i, t0 + dt.timedelta(seconds=s), 1, "a", 1.0, "{}")
+            for i, s in enumerate(offs)]
+    _write_events(spark, tmp_path, rows)
+    [r] = Q.age_of_information(spark, str(tmp_path)).collect()
+    assert (r["span_s"], r["aoi_peak_s"]) == (60, 40)
+    assert r["aoi_avg_s"] == 1800.0 / 120.0
+
+
+def test_abc_classification_shares(spark, tmp_path):
+    """One user owns exactly 80% of the mass -> class A alone; the
+    next owns 15% -> B; the rest C; shares exact."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "s", 80.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "s", 15.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2), 3, "s", 3.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=3), 4, "s", 2.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["abc"]: r for r in Q.abc_classification(spark, str(tmp_path)).collect()}
+    assert out["A"]["n_users"] == 1 and out["A"]["mass_share"] == 0.8
+    assert out["B"]["n_users"] == 1 and out["B"]["mass_share"] == 0.15
+    assert out["C"]["n_users"] == 2 and out["C"]["mass_share"] == 0.05
