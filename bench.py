@@ -251,6 +251,24 @@ BENCH_QUERIES = [
     "mmr_diverse_topk",
     "partial_correlation_triples",
     "tail_dependence_pairs",
+    # round-4 late continuation: robust estimators, eval-stack metrics,
+    # the FDR fleet monitor, compression planner, corpus accounting
+    "kz_smooth",
+    "ess_autocorr",
+    "siegel_repeated_median",
+    "rouge_overlap_pairs",
+    "roc_youden_threshold",
+    "cohen_kappa_detectors",
+    "bh_fdr_alerts",
+    "corpus_token_budget",
+    "dedup_savings_histogram",
+    "kfold_balance_audit",
+    "tail_expected_shortfall",
+    "median_of_means",
+    "did_estimator",
+    "pfor_pack_profile",
+    "age_of_information",
+    "abc_classification",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
