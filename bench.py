@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "pfor_pack_profile",
     "age_of_information",
     "abc_classification",
+    "markov_stationary",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

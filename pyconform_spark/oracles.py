@@ -9260,3 +9260,41 @@ SELECT event_type, abc, count(*)::BIGINT AS n_users,
        END AS mass_share
 FROM classed GROUP BY 1, 2
 """
+
+def _markov_sql(iters: int = 5) -> str:
+    steps = []
+    for i in range(iters):
+        steps.append(f"""v{i + 1} AS (
+  SELECT s.state,
+         (coalesce(c.s, 0)
+          + CASE WHEN o.frm IS NULL THEN v.v ELSE 0 END)::HUGEINT AS v
+  FROM states s
+  JOIN v{i} v ON v.state = s.state
+  LEFT JOIN outdeg o ON o.frm = s.state
+  LEFT JOIN (
+    SELECT e.dst, sum((v.v * e.c) // e.r)::HUGEINT AS s
+    FROM e JOIN v{i} v ON v.state = e.frm GROUP BY e.dst
+  ) c ON c.dst = s.state)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS frm,
+         event_type AS dst
+  FROM events),
+trans AS (
+  SELECT frm, dst, count(*)::HUGEINT AS c
+  FROM pairs WHERE frm IS NOT NULL GROUP BY 1, 2),
+outdeg AS (SELECT frm, sum(c)::HUGEINT AS r FROM trans GROUP BY 1),
+e AS (SELECT t.frm, t.dst, t.c, o.r FROM trans t JOIN outdeg o USING (frm)),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+v0 AS (SELECT state, 1000000000000::HUGEINT AS v FROM states),
+{chain},
+tot AS (SELECT sum(v)::HUGEINT AS t FROM v{iters})
+SELECT state, v::BIGINT AS mass_scaled,
+       CASE WHEN tot.t = 0 THEN NULL
+            ELSE v::DOUBLE / tot.t::DOUBLE END AS stationary_share
+FROM v{iters}, tot
+"""
+
+ORACLES["markov_stationary"] = _markov_sql()

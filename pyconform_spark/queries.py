@@ -18679,3 +18679,85 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_mass").cast("double"),
         ).alias("mass_share"),
     )
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (the
+    long-run fraction of activity each state absorbs), by FIVE exact
+    integer power-iteration steps on the per-user consecutive-event
+    transition matrix — the forward-looking twin of transition_matrix
+    (which reports one-step probabilities): "if today's dynamics
+    persist, what mix does the system settle into", the capacity-mix
+    forecast a tier planner sizes storage classes with.
+
+    EXACT cross-engine: transition counts c_ij and row sums r_i are
+    integers; each step is v'_j = sum_i (v_i * c_ij) div r_i on
+    DECIMAL(38,0)/HUGEINT (floor division, pagerank_handoff's proven
+    integer-iteration idiom; states with no outgoing transitions keep
+    their mass — absorbing-state guard); the final share is ONE double
+    division by the total surviving mass.
+
+    Scale shape: transitions reduce to a <= |types|^2 frame
+    immediately; the five iterations join |types|-row frames
+    (broadcast); the raw table is scanned once for pairs."""
+    scale = 10**12
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        "user_id",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").alias("dst"),
+    ).select(
+        F.lag("dst").over(w).alias("frm"), "dst"
+    ).filter(F.col("frm").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    trans = pairs.groupBy("frm", "dst").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    outdeg = trans.groupBy("frm").agg(F.sum("c").alias("r"))
+    e = trans.join(outdeg, "frm")
+    states = df.select(F.col("event_type").alias("state")).distinct()
+    v = states.select(
+        "state", F.lit(scale).cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(5):
+        contrib = (
+            e.join(v, e["frm"] == v["state"])
+            .select(
+                F.col("dst"),
+                F.expr("(v * c) div r").cast("decimal(38,0)").alias("t"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("t").alias("s"))
+        )
+        v = (
+            states.join(v, "state")
+            .join(
+                outdeg.select(F.col("frm").alias("state"),
+                              F.lit(1).alias("has_out")),
+                "state",
+                "left",
+            )
+            .join(contrib, states["state"] == contrib["dst"], "left")
+            .select(
+                "state",
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)"))
+                    + F.when(
+                        F.col("has_out").isNull(), F.col("v")
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).cast("decimal(38,0)").alias("v"),
+            )
+        )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return v.select(
+        "state",
+        F.col("v").cast("long").alias("mass_scaled"),
+        F.try_divide(
+            F.col("v").cast("double"),
+            F.sum("v").over(wall).cast("double"),
+        ).alias("stationary_share"),
+    )

@@ -3050,3 +3050,35 @@ def test_abc_classification_shares(spark, tmp_path):
     assert out["A"]["n_users"] == 1 and out["A"]["mass_share"] == 0.8
     assert out["B"]["n_users"] == 1 and out["B"]["mass_share"] == 0.15
     assert out["C"]["n_users"] == 2 and out["C"]["mass_share"] == 0.05
+
+
+def test_markov_stationary_two_state_mirror(spark, tmp_path):
+    """A two-state chain visited A,B,B,A,B,B,... (per one user):
+    transitions A->B, B->B, B->A ... vs a python mirror of the exact
+    integer iteration; shares sum to ~1 and favor B 2:1."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = ["A", "B", "B"] * 8
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, s, 1.0, "{}")
+            for i, s in enumerate(seq)]
+    _write_events(spark, tmp_path, rows)
+    out = {r["state"]: r for r in
+           Q.markov_stationary(spark, str(tmp_path)).collect()}
+
+    # python mirror
+    trans = {}
+    for a, b in zip(seq, seq[1:]):
+        trans[(a, b)] = trans.get((a, b), 0) + 1
+    r = {}
+    for (a, _), c in trans.items():
+        r[a] = r.get(a, 0) + c
+    v = {"A": 10**12, "B": 10**12}
+    for _ in range(5):
+        nv = {s: 0 for s in v}
+        for (a, b), c in trans.items():
+            nv[b] += (v[a] * c) // r[a]
+        v = nv
+    tot = sum(v.values())
+    for s in ("A", "B"):
+        assert out[s]["mass_scaled"] == v[s]
+        assert out[s]["stationary_share"] == v[s] / tot
+    assert out["B"]["stationary_share"] > 0.6
