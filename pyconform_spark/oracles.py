@@ -9298,3 +9298,44 @@ FROM v{iters}, tot
 """
 
 ORACLES["markov_stationary"] = _markov_sql()
+
+def _cov_mode_sql(iters: int = 5) -> str:
+    steps = []
+    for i in range(iters):
+        steps.append(f"""f{i + 1} AS (
+  SELECT m.i AS state,
+         list_reduce(list(m.mij * v.v ORDER BY m.j), (p, q) -> p + q) AS mv
+  FROM m JOIN v{i} v ON v.state = m.j GROUP BY m.i),
+r{i + 1} AS (
+  SELECT state, mv,
+         row_number() OVER (ORDER BY abs(mv) DESC, state ASC) AS rk
+  FROM f{i + 1}),
+v{i + 1} AS (
+  SELECT state, mv / (SELECT abs(mv) FROM r{i + 1} WHERE rk = 1) AS v
+  FROM r{i + 1})""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS t,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.t AS i, b.t AS j, count(*)::HUGEINT AS n,
+         sum(a.v::HUGEINT) AS sx, sum(b.v::HUGEINT) AS sy,
+         sum(a.v::HUGEINT * b.v::HUGEINT) AS sxy
+  FROM hourly a JOIN hourly b USING (hb)
+  GROUP BY 1, 2),
+m AS (
+  SELECT i, j,
+         CASE WHEN n = 0 THEN NULL
+              ELSE (n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE
+         END AS mij
+  FROM pairs),
+states AS (SELECT DISTINCT t AS state FROM hourly),
+v0 AS (SELECT state, 1.0::DOUBLE AS v FROM states),
+{chain}
+SELECT state, v AS loading FROM v{iters}
+"""
+
+ORACLES["covariance_dominant_mode"] = _cov_mode_sql()

@@ -18761,3 +18761,97 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").over(wall).cast("double"),
         ).alias("stationary_share"),
     )
+
+
+def covariance_dominant_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the event-type hourly-volume
+    covariance matrix (PCA's first mode, via five power-iteration
+    steps) — "which single co-movement pattern explains the fleet's
+    volume swings": types loading with the same sign move together
+    (one shared driver), a lone opposite sign marks the countercyclic
+    series.  series_correlation gives pairwise numbers; this collapses
+    them into the one vector a capacity planner reads.
+
+    EXACT cross-engine: per-pair covariance entries are ONE double
+    division each of exact integers ((n*sxy - sx*sy) / (n*n) over the
+    pair's common hours); every matrix-vector product pins its 5-term
+    summation order with the array_sort + aggregate left fold (==
+    DuckDB list_reduce over list(... ORDER BY ...)), and each
+    normalization divides by the max-|component| picked by a
+    deterministic (abs desc, state) rank — so all five iterations are
+    bit-reproducible in both engines.  Loadings are reported
+    normalized to max |loading| = 1.
+
+    Scale shape: one hash aggregate to the (type, hour) frame, one
+    self-join on hour bounded by |types|^2 cells, then five iterations
+    over 5-row frames (trivially broadcast)."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            F.col("event_type").alias("t"),
+            F.floor(es / 3600).cast("long").alias("hb"),
+            F.floor(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("t", "hb")
+        .agg(F.sum("vq").cast("long").alias("v"))
+    )
+    a = hourly.select(F.col("t").alias("i"), "hb", F.col("v").alias("x"))
+    b = hourly.select(F.col("t").alias("j"), "hb", F.col("v").alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(b, "hb").groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+    )
+    m = pairs.select(
+        "i",
+        "j",
+        F.try_divide(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            ),
+            (F.col("n") * F.col("n")).cast("double"),
+        ).alias("mij"),
+    )
+    states = hourly.select(F.col("t").alias("state")).distinct()
+    v = states.select("state", F.lit(1.0).alias("v"))
+    wmax = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for _ in range(5):
+        terms = m.join(v, m["j"] == v["state"]).select(
+            "i", "j", (F.col("mij") * F.col("v")).alias("term")
+        )
+        folded = terms.groupBy("i").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "term"))),
+                F.lit(0.0),
+                lambda acc, e: acc + e["term"],
+            ).alias("mv")
+        )
+        ranked = folded.select(
+            F.col("i").alias("state"),
+            "mv",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc(F.abs(F.col("mv"))), F.asc(F.col("i"))
+                )
+            )
+            .alias("rk"),
+        )
+        norm = ranked.select(
+            "state",
+            "mv",
+            F.max(F.when(F.col("rk") == 1, F.abs(F.col("mv")))).over(
+                wmax
+            ).alias("nrm"),
+        )
+        v = norm.select(
+            "state", F.try_divide(F.col("mv"), F.col("nrm")).alias("v")
+        )
+    return v.select("state", F.col("v").alias("loading"))

@@ -3082,3 +3082,40 @@ def test_markov_stationary_two_state_mirror(spark, tmp_path):
         assert out[s]["mass_scaled"] == v[s]
         assert out[s]["stationary_share"] == v[s] / tot
     assert out["B"]["stationary_share"] > 0.6
+
+
+def test_covariance_dominant_mode_numpy_direction(spark, tmp_path):
+    """Two perfectly correlated types and one anticorrelated: the
+    dominant mode loads the correlated pair with equal sign and the
+    anti one opposite; direction matches numpy's leading eigenvector
+    up to the max-=1 normalization."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rng = np.random.RandomState(3)
+    base = rng.randint(10, 500, size=40)
+    rows, eid = [], 0
+    series = {"up1": base, "up2": base * 2, "dn": 600 - base}
+    for name, vals in series.items():
+        for i, x in enumerate(vals):
+            rows.append((eid, t0 + dt.timedelta(hours=i), 1, name,
+                         float(x), "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["state"]: r["loading"] for r in
+           Q.covariance_dominant_mode(spark, str(tmp_path)).collect()}
+    assert out["up2"] == 1.0 or out["up2"] == -1.0  # largest variance
+    assert out["up1"] * out["up2"] > 0
+    assert out["dn"] * out["up2"] < 0
+
+    # numpy cross-check of the direction (cov eigvec, sign-aligned)
+    X = np.array([(series["up1"] * 100), (series["up2"] * 100),
+                  (series["dn"] * 100)], dtype=float)
+    C = np.cov(X, bias=True)
+    w_, V = np.linalg.eigh(C)
+    lead = V[:, -1]
+    lead = lead / np.max(np.abs(lead))
+    got = np.array([out["up1"], out["up2"], out["dn"]])
+    if np.sign(lead[1]) != np.sign(got[1]):
+        lead = -lead
+    assert np.allclose(np.abs(got), np.abs(lead), atol=1e-6)
