@@ -270,6 +270,10 @@ BENCH_QUERIES = [
     "age_of_information",
     "abc_classification",
     "markov_stationary",
+    # continuation wave 2: dynamics, experimentation, frontier
+    "var1_coupling",
+    "cuped_adjustment",
+    "pareto_skyline",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -9339,3 +9339,109 @@ SELECT state, v AS loading FROM v{iters}
 """
 
 ORACLES["covariance_dominant_mode"] = _cov_mode_sql()
+
+ORACLES["var1_coupling"] = """
+WITH hourly AS (
+  SELECT event_type AS t,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+rows_ AS (
+  SELECT ci.t AS ti, cj.t AS tj,
+         li.c::HUGEINT AS u, lj.c::HUGEINT AS w,
+         ci.c::HUGEINT AS p, cj.c::HUGEINT AS q
+  FROM hourly ci
+  JOIN hourly cj ON cj.hb = ci.hb AND ci.t < cj.t
+  JOIN hourly li ON li.t = ci.t AND li.hb = ci.hb - 1
+  JOIN hourly lj ON lj.t = cj.t AND lj.hb = ci.hb - 1),
+g AS (
+  SELECT ti, tj, count(*)::HUGEINT AS n,
+         sum(u) AS su, sum(w) AS sw, sum(p) AS sp, sum(q) AS sq,
+         sum(u*u) AS suu, sum(w*w) AS sww, sum(u*w) AS suw,
+         sum(u*p) AS sup, sum(w*p) AS swp,
+         sum(u*q) AS suq, sum(w*q) AS swq
+  FROM rows_ GROUP BY 1, 2),
+m AS (
+  SELECT ti, tj, n::BIGINT AS n_hours,
+         (n*suu - su*su) AS cuu, (n*sww - sw*sw) AS cww,
+         (n*suw - su*sw) AS cuw,
+         (n*sup - su*sp) AS cup, (n*swp - sw*sp) AS cwp,
+         (n*suq - su*sq) AS cuq, (n*swq - sw*sq) AS cwq
+  FROM g),
+m2 AS (
+  SELECT ti, tj, n_hours,
+         (cuu*cww - cuw*cuw) AS d,
+         (cww*cup - cuw*cwp) AS n11,
+         (cuu*cwp - cuw*cup) AS n12,
+         (cww*cuq - cuw*cwq) AS n21,
+         (cuu*cwq - cuw*cuq) AS n22,
+         (cup*cwq - cuq*cwp) AS ndet
+  FROM m)
+SELECT ti, tj, n_hours,
+       CASE WHEN d > 0 THEN n11::DOUBLE / d::DOUBLE END AS a11,
+       CASE WHEN d > 0 THEN n12::DOUBLE / d::DOUBLE END AS a12,
+       CASE WHEN d > 0 THEN n21::DOUBLE / d::DOUBLE END AS a21,
+       CASE WHEN d > 0 THEN n22::DOUBLE / d::DOUBLE END AS a22,
+       CASE WHEN d > 0 THEN (n11 + n22)::DOUBLE / d::DOUBLE END AS trace_a,
+       CASE WHEN d > 0 THEN ndet::DOUBLE / d::DOUBLE END AS det_a,
+       CASE WHEN d > 0 THEN (abs(ndet) < d
+                             AND d - (n11 + n22) + ndet > 0
+                             AND d + (n11 + n22) + ndet > 0) END AS stable
+FROM m2 ORDER BY ti, tj
+"""
+
+ORACLES["cuped_adjustment"] = """
+WITH base AS (
+  SELECT floor(epoch(ts))::BIGINT AS es, user_id AS uid,
+         (user_id % 2 = 0) AS treated
+  FROM events),
+span AS (SELECT floor((min(es) + max(es)) / 2)::BIGINT AS mid FROM base),
+per_user AS (
+  SELECT uid, treated,
+         sum(CASE WHEN es <= mid THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN es > mid THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM base, span GROUP BY 1, 2),
+pooled AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(y::HUGEINT * y::HUGEINT) AS syy
+  FROM per_user),
+stats AS (
+  SELECT CASE WHEN (n*sxx - sx*sx) > 0
+              THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE END
+           AS theta,
+         CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+              THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))::DOUBLE
+                   / ((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE END
+           AS rho2,
+         sx::DOUBLE / n::DOUBLE AS mean_x_all
+  FROM pooled),
+arms AS (
+  SELECT treated, count(*)::BIGINT AS n_users,
+         sum(x::HUGEINT) AS gsx, sum(y::HUGEINT) AS gsy
+  FROM per_user GROUP BY 1)
+SELECT treated, n_users,
+       gsy::DOUBLE / n_users::DOUBLE AS mean_y,
+       gsy::DOUBLE / n_users::DOUBLE
+         - theta * (gsx::DOUBLE / n_users::DOUBLE - mean_x_all)
+         AS adj_mean_y,
+       theta, rho2
+FROM arms, stats ORDER BY treated
+"""
+
+ORACLES["pareto_skyline"] = """
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS n_errors
+  FROM events GROUP BY 1)
+SELECT user_id, n_events, n_errors
+FROM per_user s
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_user o
+  WHERE o.n_events >= s.n_events AND o.n_errors <= s.n_errors
+    AND (o.n_events > s.n_events OR o.n_errors < s.n_errors))
+ORDER BY user_id
+"""

@@ -18855,3 +18855,266 @@ def covariance_dominant_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state", F.try_divide(F.col("mv"), F.col("nrm")).alias("v")
         )
     return v.select("state", F.col("v").alias("loading"))
+
+
+def var1_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR(1) coupling fit for every event-type pair: regress both
+    hourly turn-rate series on BOTH series' previous hour (Sims 1980;
+    Lütkepohl's textbook closed form) and report the 2×2 companion
+    matrix plus an EXACT stability verdict — the dynamics question
+    granger_lag1's F-test doesn't answer ("does the coupled system
+    damp or amplify?").  A fleet operator reads `stable = false` as a
+    feedback loop between two tools' traffic.
+
+    EXACT cross-engine: slopes are the centered normal equations over
+    each pair's common support (consecutive-hour rows where both
+    series observed); every centered moment is the integer
+    ``n*Sxy - Sx*Sy``, so each coefficient is ONE double division of
+    DECIMAL(38,0)-staged integers by the shared Gram determinant D.
+    Stability uses the Jury/Schur-Cohn test for z² − trace·z + det
+    rearranged to INTEGER inequalities (det(A) = det(C)/D with C the
+    cross-moment matrix, so no product-of-quotients): D > 0 ∧
+    |detC| < D ∧ D − tr + detC > 0 ∧ D + tr + detC > 0 — bit-free of
+    float rounding in both engines.
+
+    Scale shape: one hash aggregate to the (type, hour) frame, one
+    equi-join on hour bounded by |types|² cells per hour, one hash
+    aggregate to |types|² rows.  Survives 100×: the hourly frame grows
+    with the time span, never with raw row count."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            F.col("event_type").alias("t"),
+            F.floor(es / 3600).cast("long").alias("hb"),
+        )
+        .groupBy("t", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # current-hour frames for the pair (ti < tj) and both 1-hour lags:
+    # inner 4-way join = the pair's common support.
+    ci = hourly.select(F.col("t").alias("ti"), "hb", F.col("c").alias("p"))
+    cj = hourly.select(F.col("t").alias("tj"), "hb", F.col("c").alias("q"))
+    li = hourly.select(
+        F.col("t").alias("ti"),
+        (F.col("hb") + 1).alias("hb"),
+        F.col("c").alias("u"),
+    )
+    lj = hourly.select(
+        F.col("t").alias("tj"),
+        (F.col("hb") + 1).alias("hb"),
+        F.col("c").alias("w"),
+    )
+    rows = (
+        ci.join(cj, "hb")
+        .where(F.col("ti") < F.col("tj"))
+        .join(li, ["ti", "hb"])
+        .join(lj, ["tj", "hb"])
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = rows.groupBy("ti", "tj").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("u")).alias("su"),
+        F.sum(dec("w")).alias("sw"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("u") * dec("u")).alias("suu"),
+        F.sum(dec("w") * dec("w")).alias("sww"),
+        F.sum(dec("u") * dec("w")).alias("suw"),
+        F.sum(dec("u") * dec("p")).alias("sup"),
+        F.sum(dec("w") * dec("p")).alias("swp"),
+        F.sum(dec("u") * dec("q")).alias("suq"),
+        F.sum(dec("w") * dec("q")).alias("swq"),
+    )
+    n = F.col("n")
+    cm = lambda sxy, sx, sy: n * F.col(sxy) - F.col(sx) * F.col(sy)  # noqa: E731
+    cuu, cww, cuw = cm("suu", "su", "su"), cm("sww", "sw", "sw"), cm(
+        "suw", "su", "sw"
+    )
+    cup, cwp = cm("sup", "su", "sp"), cm("swp", "sw", "sp")
+    cuq, cwq = cm("suq", "su", "sq"), cm("swq", "sw", "sq")
+    d = (cuu * cww - cuw * cuw).alias("d")
+    m = g.select(
+        "ti",
+        "tj",
+        n.cast("long").alias("n_hours"),
+        d,
+        (cww * cup - cuw * cwp).alias("n11"),
+        (cuu * cwp - cuw * cup).alias("n12"),
+        (cww * cuq - cuw * cwq).alias("n21"),
+        (cuu * cwq - cuw * cuq).alias("n22"),
+        (cup * cwq - cuq * cwp).alias("ndet"),
+    )
+    dv = F.col("d")
+    tr = F.col("n11") + F.col("n22")
+    coef = lambda c: F.when(  # noqa: E731
+        dv > 0, F.try_divide(F.col(c).cast("double"), dv.cast("double"))
+    )
+    return m.select(
+        "ti",
+        "tj",
+        "n_hours",
+        coef("n11").alias("a11"),
+        coef("n12").alias("a12"),
+        coef("n21").alias("a21"),
+        coef("n22").alias("a22"),
+        F.when(
+            dv > 0, F.try_divide(tr.cast("double"), dv.cast("double"))
+        ).alias("trace_a"),
+        F.when(
+            dv > 0,
+            F.try_divide(F.col("ndet").cast("double"), dv.cast("double")),
+        ).alias("det_a"),
+        F.when(
+            dv > 0,
+            (F.abs(F.col("ndet")) < dv)
+            & (dv - tr + F.col("ndet") > 0)
+            & (dv + tr + F.col("ndet") > 0),
+        ).alias("stable"),
+    ).orderBy("ti", "tj")
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013 — the industry-standard A/B trick): per-user
+    pre-period activity (events in the first half of the global span)
+    is the covariate for the post-period metric; θ = Cov(x,y)/Var(x)
+    pooled across arms, each arm's adjusted mean is
+    mean_y − θ·(mean_x − mean_x_pooled), and ρ² = Cxy²/(Cxx·Cyy) is
+    the variance fraction CUPED removes.  Arms are the deterministic
+    even/odd user_id split did_estimator already uses.
+
+    EXACT cross-engine: the global midpoint is an integer-epoch floor;
+    per-user x/y are conditional COUNTs; the pooled centered moments
+    are the integer ``n*Sxy − Sx*Sy`` staged in DECIMAL(38,0), so θ and
+    ρ² are each ONE double division; adjusted means pin the identical
+    IEEE expression tree (single-division means, then one multiply and
+    subtract) in both engines.
+
+    Scale shape: one scan for the span scalar (broadcast back), one
+    hash aggregate to |users| rows, one aggregate to 1 pooled row
+    re-broadcast onto the 2 arm rows.  No shuffle grows with raw
+    rows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        es.alias("es"),
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+    )
+    span = base.agg(
+        F.floor((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy("uid", "treated")
+        .agg(
+            F.sum(F.when(F.col("es") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("es") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    cyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    stats = pooled.select(
+        F.when(
+            cxx > 0, F.try_divide(cxy.cast("double"), cxx.cast("double"))
+        ).alias("theta"),
+        F.when(
+            (cxx > 0) & (cyy > 0),
+            F.try_divide(
+                (cxy * cxy).cast("double"), (cxx * cyy).cast("double")
+            ),
+        ).alias("rho2"),
+        F.try_divide(F.col("sx").cast("double"), n.cast("double")).alias(
+            "mean_x_all"
+        ),
+    )
+    arms = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(dec("x")).alias("gsx"),
+        F.sum(dec("y")).alias("gsy"),
+    )
+    mean = lambda s: F.try_divide(  # noqa: E731
+        F.col(s).cast("double"), F.col("n_users").cast("double")
+    )
+    return (
+        arms.crossJoin(F.broadcast(stats))
+        .select(
+            "treated",
+            "n_users",
+            mean("gsy").alias("mean_y"),
+            (
+                mean("gsy")
+                - F.col("theta") * (mean("gsx") - F.col("mean_x_all"))
+            ).alias("adj_mean_y"),
+            "theta",
+            "rho2",
+        )
+        .orderBy("treated")
+    )
+
+
+def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (maximal vectors; Börzsönyi/Kossmann/Stocker
+    ICDE 2001's SKYLINE OF) of users on (activity ↑, error burden ↓):
+    a user survives iff no other user has ≥ events AND ≤ errors with
+    at least one strict — the non-dominated frontier an abuse/capacity
+    reviewer walks, where abc_classification's single-axis cutoffs
+    can't surface the "high-volume yet clean" corner.
+
+    EXACT cross-engine: both objectives are integer COUNTs; dominance
+    is pure integer comparison (no divisions anywhere), evaluated as a
+    NOT-EXISTS anti-join on the aggregated |users| frame.
+
+    Scale shape: one hash aggregate to |users| rows, then the
+    dominance anti-join on the REDUCED frame (broadcast — |users| ≪
+    raw rows; worst case |users|² comparisons, never touching the raw
+    scan again)."""
+    df = _events(spark, sf_dir)
+    per_user = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    other = F.broadcast(
+        per_user.select(
+            F.col("user_id").alias("o_uid"),
+            F.col("n_events").alias("o_n"),
+            F.col("n_errors").alias("o_e"),
+        )
+    )
+    dominated = (
+        per_user.alias("s")
+        .join(
+            other,
+            (F.col("o_n") >= F.col("n_events"))
+            & (F.col("o_e") <= F.col("n_errors"))
+            & (
+                (F.col("o_n") > F.col("n_events"))
+                | (F.col("o_e") < F.col("n_errors"))
+            ),
+            "left_semi",
+        )
+        .select("user_id")
+    )
+    return (
+        per_user.join(dominated, "user_id", "left_anti")
+        .select("user_id", "n_events", "n_errors")
+        .orderBy("user_id")
+    )

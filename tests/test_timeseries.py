@@ -3119,3 +3119,111 @@ def test_covariance_dominant_mode_numpy_direction(spark, tmp_path):
     if np.sign(lead[1]) != np.sign(got[1]):
         lead = -lead
     assert np.allclose(np.abs(got), np.abs(lead), atol=1e-6)
+
+
+def _emit_hourly_counts(rows, eid, t0, name, counts):
+    """Emit `counts[i]` events for `name` inside hour i."""
+    for i, c in enumerate(counts):
+        for k in range(int(c)):
+            rows.append((eid, t0 + dt.timedelta(hours=i, minutes=k % 50),
+                         1, name, 1.0, "{}"))
+            eid += 1
+    return eid
+
+
+def test_var1_coupling_matches_numpy_ols_and_eigen_stability(spark, tmp_path):
+    """Slopes equal numpy's with-intercept OLS on the lagged pair;
+    `stable` equals the companion-eigenvalue test."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, 7, size=30)
+    b = rng.randint(1, 7, size=30)
+    rows, eid = [], 0
+    eid = _emit_hourly_counts(rows, eid, t0, "a", a)
+    eid = _emit_hourly_counts(rows, eid, t0, "b", b)
+    _write_events(spark, tmp_path, rows)
+    out = Q.var1_coupling(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ti, r.tj, r.n_hours) == ("a", "b", 29)
+
+    u, w = a[:-1].astype(float), b[:-1].astype(float)
+    p, q = a[1:].astype(float), b[1:].astype(float)
+    X = np.column_stack([u, w, np.ones_like(u)])
+    ca, *_ = np.linalg.lstsq(X, p, rcond=None)
+    cb, *_ = np.linalg.lstsq(X, q, rcond=None)
+    A = np.array([[ca[0], ca[1]], [cb[0], cb[1]]])
+    assert np.allclose([r.a11, r.a12, r.a21, r.a22], A.ravel(), atol=1e-9)
+    assert np.isclose(r.trace_a, A[0, 0] + A[1, 1], atol=1e-9)
+    assert np.isclose(r.det_a, np.linalg.det(A), atol=1e-9)
+    lam = np.abs(np.linalg.eigvals(A))
+    assert r.stable == bool(np.all(lam < 1.0))
+
+
+def test_var1_coupling_collinear_pair_yields_nulls(spark, tmp_path):
+    """b = 2a exactly: the Gram determinant is 0 and every coefficient
+    plus the verdict is NULL rather than garbage."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    a = [1, 2, 3, 1, 2, 3, 1, 2]
+    rows, eid = [], 0
+    eid = _emit_hourly_counts(rows, eid, t0, "a", a)
+    eid = _emit_hourly_counts(rows, eid, t0, "b", [2 * x for x in a])
+    _write_events(spark, tmp_path, rows)
+    r = Q.var1_coupling(spark, str(tmp_path)).collect()[0]
+    assert r.a11 is None and r.a22 is None and r.stable is None
+
+
+def test_cuped_adjustment_matches_numpy(spark, tmp_path):
+    """theta, rho2 and the adjusted means equal the numpy CUPED
+    formulas on the per-user (pre, post) counts."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # 6 users; user u gets u+1 events in the pre half (hour 0) and
+    # 2u+1 in the post half (hour 10); span midpoint falls between.
+    pre = {u: u + 1 for u in range(6)}
+    post = {u: 2 * u + 1 for u in range(6)}
+    for u in range(6):
+        for k in range(pre[u]):
+            rows.append((eid, t0 + dt.timedelta(minutes=k), u, "c", 1.0,
+                         "{}")); eid += 1
+        for k in range(post[u]):
+            rows.append((eid, t0 + dt.timedelta(hours=10, minutes=k), u,
+                         "c", 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.treated: r for r in
+           Q.cuped_adjustment(spark, str(tmp_path)).collect()}
+    x = np.array([pre[u] for u in range(6)], float)
+    y = np.array([post[u] for u in range(6)], float)
+    cxy = np.cov(x, y, bias=True)[0, 1]
+    theta = cxy / np.var(x)
+    rho2 = cxy ** 2 / (np.var(x) * np.var(y))
+    for g, uids in ((True, [0, 2, 4]), (False, [1, 3, 5])):
+        r = out[g]
+        assert r.n_users == 3
+        assert np.isclose(r.theta, theta, atol=1e-12)
+        assert np.isclose(r.rho2, rho2, atol=1e-12)
+        my, mx = y[uids].mean(), x[uids].mean()
+        assert np.isclose(r.mean_y, my, atol=1e-12)
+        assert np.isclose(r.adj_mean_y, my - theta * (mx - x.mean()),
+                          atol=1e-12)
+
+
+def test_pareto_skyline_hand_frontier(spark, tmp_path):
+    """(10 events, 0 errors) and (12, 3) survive; (5,0), (10,5), (3,1)
+    are dominated."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spec = {1: (10, 0), 2: (5, 0), 3: (10, 5), 4: (3, 1), 5: (12, 3)}
+    rows, eid = [], 0
+    for u, (n, e) in spec.items():
+        for k in range(n):
+            typ = "error" if k < e else "click"
+            rows.append((eid, t0 + dt.timedelta(minutes=k), u, typ, 1.0,
+                         "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {(r.user_id, r.n_events, r.n_errors)
+           for r in Q.pareto_skyline(spark, str(tmp_path)).collect()}
+    assert got == {(1, 10, 0), (5, 12, 3)}
