@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     "var1_coupling",
     "cuped_adjustment",
     "pareto_skyline",
+    "zorder_layout_audit",
+    "rendezvous_shard_audit",
+    "join_order_planner",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -9445,3 +9445,132 @@ WHERE NOT EXISTS (
     AND (o.n_events > s.n_events OR o.n_errors < s.n_errors))
 ORDER BY user_id
 """
+
+ORACLES["zorder_layout_audit"] = """
+WITH base AS (
+  SELECT event_id, (user_id % 16)::BIGINT AS ub,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb
+  FROM events),
+span AS (SELECT min(hb) AS h0, max(hb) AS h1 FROM base),
+rows_ AS (
+  SELECT event_id, ub,
+         least(15, ((hb - h0) * 16) // (h1 - h0 + 1))::BIGINT AS tb
+  FROM base, span),
+rows2 AS (
+  SELECT event_id, ub, tb,
+         (((tb >> 0) & 1) << 0) + (((ub >> 0) & 1) << 1)
+       + (((tb >> 1) & 1) << 2) + (((ub >> 1) & 1) << 3)
+       + (((tb >> 2) & 1) << 4) + (((ub >> 2) & 1) << 5)
+       + (((tb >> 3) & 1) << 6) + (((ub >> 3) & 1) << 7) AS mz
+  FROM rows_),
+lin AS (
+  SELECT 'linear_time_user' AS layout, ub, tb,
+         ((row_number() OVER (ORDER BY tb, ub, event_id) - 1) * 32)
+           // (count(*) OVER ()) AS file_id
+  FROM rows2),
+zo AS (
+  SELECT 'zorder' AS layout, ub, tb,
+         ((row_number() OVER (ORDER BY mz, event_id) - 1) * 32)
+           // (count(*) OVER ()) AS file_id
+  FROM rows2),
+lays AS (SELECT * FROM lin UNION ALL SELECT * FROM zo),
+files AS (
+  SELECT layout, file_id, min(ub) AS ub_lo, max(ub) AS ub_hi,
+         min(tb) AS tb_lo, max(tb) AS tb_hi
+  FROM lays GROUP BY 1, 2),
+probes AS (
+  SELECT * FROM (VALUES ('user_and_time', 4, 7, 4, 7),
+                        ('user_only', 4, 7, 0, 15))
+    p(probe, pu0, pu1, pt0, pt1)),
+agg AS (
+  SELECT layout, probe,
+         sum(CASE WHEN ub_hi >= pu0 AND ub_lo <= pu1
+                   AND tb_hi >= pt0 AND tb_lo <= pt1
+                  THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+         count(*)::BIGINT AS files_total
+  FROM files, probes GROUP BY 1, 2)
+SELECT layout, probe, files_scanned, files_total,
+       files_scanned::DOUBLE / files_total::DOUBLE AS scan_frac
+FROM agg ORDER BY layout, probe
+"""
+
+ORACLES["rendezvous_shard_audit"] = """
+WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+shards AS (SELECT unnest(range(0, 9)) AS s),
+mmix AS (
+  SELECT k, s,
+         (k * 2654435761 + s * 40503 + 104729) % 2147483647 AS m
+  FROM keys, shards),
+w AS (SELECT k, s, (m * m) % 2147483647 AS wt FROM mmix),
+old AS (
+  SELECT k, s AS old_shard FROM (
+    SELECT k, s,
+           row_number() OVER (PARTITION BY k ORDER BY wt DESC, s ASC) AS rn
+    FROM w WHERE s < 8) WHERE rn = 1),
+new AS (
+  SELECT k, s AS new_shard FROM (
+    SELECT k, s,
+           row_number() OVER (PARTITION BY k ORDER BY wt DESC, s ASC) AS rn
+    FROM w) WHERE rn = 1)
+SELECT old_shard::BIGINT AS old_shard, new_shard::BIGINT AS new_shard,
+       count(*)::BIGINT AS n_keys,
+       (old_shard = new_shard OR new_shard = 8) AS invariant_ok
+FROM old JOIN new USING (k)
+GROUP BY old.old_shard, new.new_shard ORDER BY 1, 2
+"""
+
+ORACLES["join_order_planner"] = """
+WITH c_stats AS (
+  SELECT count(*)::HUGEINT AS n_c,
+         count(DISTINCT c_custkey)::HUGEINT AS ndv_c_ck FROM customer),
+o_stats AS (
+  SELECT count(*)::HUGEINT AS n_o,
+         count(DISTINCT o_custkey)::HUGEINT AS ndv_o_ck,
+         count(DISTINCT o_orderkey)::HUGEINT AS ndv_o_ok FROM orders),
+l_stats AS (
+  SELECT count(*)::HUGEINT AS n_l,
+         count(DISTINCT l_orderkey)::HUGEINT AS ndv_l_ok FROM lineitem),
+tco AS (
+  SELECT sum(c1 * c2)::HUGEINT AS t_co FROM
+    (SELECT c_custkey AS k, count(*)::HUGEINT AS c1
+       FROM customer GROUP BY 1) a
+  JOIN (SELECT o_custkey AS k, count(*)::HUGEINT AS c2
+          FROM orders GROUP BY 1) b USING (k)),
+tol AS (
+  SELECT sum(c1 * c2)::HUGEINT AS t_ol FROM
+    (SELECT o_orderkey AS k, count(*)::HUGEINT AS c1
+       FROM orders GROUP BY 1) a
+  JOIN (SELECT l_orderkey AS k, count(*)::HUGEINT AS c2
+          FROM lineitem GROUP BY 1) b USING (k)),
+tcol AS (
+  SELECT sum(c1 * col_cnt)::HUGEINT AS t_col FROM
+    (SELECT c_custkey AS k, count(*)::HUGEINT AS c1
+       FROM customer GROUP BY 1) a
+  JOIN (SELECT o.o_custkey AS ck, sum(b.c2)::HUGEINT AS col_cnt
+          FROM orders o
+          JOIN (SELECT l_orderkey AS k, count(*)::HUGEINT AS c2
+                  FROM lineitem GROUP BY 1) b ON b.k = o.o_orderkey
+          GROUP BY 1) w ON w.ck = a.k),
+s AS (
+  SELECT *, (n_c * n_o // greatest(ndv_c_ck, ndv_o_ck)) AS e_co,
+            (n_o * n_l // greatest(ndv_o_ok, ndv_l_ok)) AS e_ol
+  FROM c_stats, o_stats, l_stats, tco, tol, tcol),
+s2 AS (
+  SELECT *,
+         (e_co * n_l // greatest(least(e_co, ndv_o_ok), ndv_l_ok)) AS ef_co,
+         (e_ol * n_c // greatest(least(e_ol, ndv_o_ck), ndv_c_ck)) AS ef_ol
+  FROM s),
+plans AS (
+  SELECT 'customer_orders_then_lineitem' AS plan, e_co::BIGINT AS est_first,
+         ef_co::BIGINT AS est_final, t_co::BIGINT AS true_first,
+         t_col::BIGINT AS true_final FROM s2
+  UNION ALL
+  SELECT 'orders_lineitem_then_customer', e_ol::BIGINT, ef_ol::BIGINT,
+         t_ol::BIGINT, t_col::BIGINT FROM s2)
+SELECT plan, est_first, est_final, true_first, true_final,
+       est_first = min(est_first) OVER () AS chosen_by_estimate,
+       true_first = min(true_first) OVER () AS truly_optimal,
+       (est_first = min(est_first) OVER ())
+         = (true_first = min(true_first) OVER ()) AS agree
+FROM plans ORDER BY plan
+"""

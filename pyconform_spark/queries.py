@@ -19118,3 +19118,334 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "n_errors")
         .orderBy("user_id")
     )
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear-sort layout chooser (Morton 1966; the
+    OPTIMIZE ZORDER BY decision Delta/Iceberg compaction jobs make):
+    bucket rows into a 16×16 (user, time) grid, lay the table out in
+    32 files two ways — lexicographic (time, user) sort vs Morton
+    bit-interleaved sort — and for a two-dimensional probe and a
+    user-only probe count how many files each layout's min-max column
+    stats let the scan SKIP.  zonemap_skip_audit measures ONE existing
+    layout's clustering; this answers the writer's question: which
+    sort order to PAY for, given the probe mix — the layout decision
+    that dominates scan cost at 100 TB.
+
+    EXACT cross-engine: grid buckets are modulo / truncated-div
+    integer arithmetic; Morton codes are 8 explicit shift-and-mask
+    terms; file ids are rank*32 div n over a fully-tiebroken total
+    order; box-intersection tests and counts are pure integers;
+    scan_frac is one division.  The global sort IS the audited
+    operation (a layout rewrite is a global sort by construction), so
+    the window here models exactly the cost the writer would pay.
+
+    Scale shape: one scan to the bucketed frame, two sorts (the
+    candidate layouts), one hash agg to 32 file-stat rows per layout,
+    then constant-size probe logic."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "event_id",
+        (F.col("user_id") % 16).cast("long").alias("ub"),
+        F.floor(es / 3600).cast("long").alias("hb"),
+    )
+    span = base.agg(
+        F.min("hb").alias("h0"), F.max("hb").alias("h1")
+    )
+    rows = base.crossJoin(F.broadcast(span)).select(
+        "event_id",
+        "ub",
+        F.least(
+            F.lit(15),
+            F.expr("((hb - h0) * 16) div (h1 - h0 + 1)"),
+        ).cast("long").alias("tb"),
+    )
+    morton = sum(
+        (
+            F.shiftleft(F.shiftright(F.col("tb"), k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(
+                F.shiftright(F.col("ub"), k).bitwiseAND(F.lit(1)), 2 * k + 1
+            )
+        )
+        for k in range(4)
+    )
+    rows = rows.select("event_id", "ub", "tb", morton.alias("mz"))
+    n_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def layout(order_cols: list, name: str) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(*order_cols))
+        return rows.select(
+            F.lit(name).alias("layout"),
+            "ub",
+            "tb",
+            rn.alias("rn"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        ).select(
+            "layout",
+            "ub",
+            "tb",
+            F.expr("(rn - 1) * 32 div n").cast("long").alias("file_id"),
+        )
+
+    both = layout(
+        [F.asc("tb"), F.asc("ub"), F.asc("event_id")], "linear_time_user"
+    ).unionByName(layout([F.asc("mz"), F.asc("event_id")], "zorder"))
+    files = both.groupBy("layout", "file_id").agg(
+        F.min("ub").alias("ub_lo"),
+        F.max("ub").alias("ub_hi"),
+        F.min("tb").alias("tb_lo"),
+        F.max("tb").alias("tb_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    probes = spark.createDataFrame(
+        [
+            ("user_and_time", 4, 7, 4, 7),
+            ("user_only", 4, 7, 0, 15),
+        ],
+        "probe string, pu0 int, pu1 int, pt0 int, pt1 int",
+    )
+    hit = (
+        (F.col("ub_hi") >= F.col("pu0"))
+        & (F.col("ub_lo") <= F.col("pu1"))
+        & (F.col("tb_hi") >= F.col("pt0"))
+        & (F.col("tb_lo") <= F.col("pt1"))
+    )
+    return (
+        files.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+                "files_scanned"
+            ),
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+        )
+        .select(
+            "layout",
+            "probe",
+            "files_scanned",
+            "files_total",
+            F.try_divide(
+                F.col("files_scanned").cast("double"),
+                F.col("files_total").cast("double"),
+            ).alias("scan_frac"),
+        )
+        .orderBy("layout", "probe")
+    )
+
+
+def rendezvous_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing rebalance audit
+    (Thaler & Ravishankar 1998; the consistent-assignment scheme
+    cache/shard routers use): assign every conversation key to the
+    max-weight shard among 8, then re-run with a 9th shard added and
+    report the movement matrix — PROVING the minimal-disruption
+    property: keys only ever move TO the new shard (never between old
+    shards), and roughly 1/9 of them do.  salt_factor_planner sizes
+    shards for skew; this audits the RESHARD, the operation a 100 TB
+    store runs when it grows the cluster.
+
+    EXACT cross-engine: the weight is an explicit mid-square mix
+    (m = (key*2654435761 + shard*40503 + 104729) mod (2^31-1), weight
+    = m² mod (2^31-1)) in pure int64 arithmetic — no engine hash
+    functions, and the squaring makes the across-shard ordering
+    key-dependent (a purely linear form would rank shards identically
+    for every key); m² < 2^63 so nothing overflows for keys up to
+    ~3.4e9.  Argmax ties break to the smallest shard via max-struct
+    ordering on (weight, -shard).
+
+    Scale shape: one distinct to |keys|, one explode to |keys|·17
+    weight rows (map-side, no shuffle growth), two hash aggs."""
+    df = _events(spark, sf_dir)
+    keys = df.select(F.col("user_id").alias("k")).distinct()
+
+    def w(s: int):
+        m = (
+            F.col("k") * F.lit(2654435761)
+            + F.lit(s) * F.lit(40503)
+            + F.lit(104729)
+        ) % F.lit(2147483647)
+        return (m * m) % F.lit(2147483647)
+
+    def assign(n_shards: int, out: str) -> DataFrame:
+        pairs = keys.select(
+            "k",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        w(s).alias("wt"), F.lit(-s).alias("neg_s")
+                    )
+                    for s in range(n_shards)
+                ])
+            ).alias("e"),
+        )
+        return pairs.groupBy("k").agg(
+            (-F.max("e")["neg_s"]).cast("long").alias(out)
+        )
+
+    old = assign(8, "old_shard")
+    new = assign(9, "new_shard")
+    return (
+        old.join(new, "k")
+        .groupBy("old_shard", "new_shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n_keys",
+            (
+                (F.col("old_shard") == F.col("new_shard"))
+                | (F.col("new_shard") == 8)
+            ).alias("invariant_ok"),
+        )
+        .orderBy("old_shard", "new_shard")
+    )
+
+
+def join_order_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-deep join-order choice for customer⋈orders⋈lineitem with
+    the Selinger/System-R estimator (|A⋈B| = |A||B|/max(ndv)), then
+    the ground truth: both candidate orders' EXACT intermediate sizes
+    (per-key count products — never materializing the join), which
+    plan the estimator picks, which is truly optimal, and whether they
+    agree.  join_size_estimate_audit grades ONE join's estimate; this
+    audits the DECISION the estimates exist for — the join-order pick
+    whose intermediate dominates shuffle volume at 100 TB.
+
+    EXACT cross-engine: row counts and distinct counts are integers;
+    estimates use truncated integer division with the textbook
+    ndv-propagation bound (ndv_intermediate = least(est_rows,
+    ndv_base)); true sizes are Σ_k c1(k)·c2(k) over per-key count
+    frames in DECIMAL(38,0).
+
+    Scale shape: base stats are map-side-combined aggs; true sizes
+    join per-KEY count frames (|keys| rows, not join output rows);
+    output is 2 rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(38,0)"
+    c_stats = cust.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_c"),
+        F.countDistinct("c_custkey").cast(dec).alias("ndv_c_ck"),
+    )
+    o_stats = orders.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_o"),
+        F.countDistinct("o_custkey").cast(dec).alias("ndv_o_ck"),
+        F.countDistinct("o_orderkey").cast(dec).alias("ndv_o_ok"),
+    )
+    l_stats = li.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_l"),
+        F.countDistinct("l_orderkey").cast(dec).alias("ndv_l_ok"),
+    )
+    # exact intermediate sizes from per-key count frames
+    ck_c = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast(dec).alias("c1")
+    )
+    ck_o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast(dec).alias("c2")
+    )
+    true_co = ck_c.join(ck_o, "k").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("t_co")
+    )
+    ok_o = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast(dec).alias("c1")
+    )
+    ok_l = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast(dec).alias("c2")
+    )
+    true_ol = ok_o.join(ok_l, "k").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("t_ol")
+    )
+    # exact final size: per-custkey counts of (orders joined to
+    # per-orderkey lineitem counts), times customer counts
+    o_with_l = (
+        orders.select(
+            F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("k")
+        )
+        .join(ok_l, "k")
+        .groupBy("ck")
+        .agg(F.sum("c2").alias("col_cnt"))
+    )
+    true_col = (
+        ck_c.join(o_with_l, ck_c["k"] == o_with_l["ck"])
+        .agg(F.sum(F.col("c1") * F.col("col_cnt")).alias("t_col"))
+    )
+    stats = (
+        c_stats.crossJoin(F.broadcast(o_stats))
+        .crossJoin(F.broadcast(l_stats))
+        .crossJoin(F.broadcast(true_co))
+        .crossJoin(F.broadcast(true_ol))
+        .crossJoin(F.broadcast(true_col))
+    )
+    stats = stats.select(
+        "*",
+        F.expr("n_c * n_o div greatest(ndv_c_ck, ndv_o_ck)")
+        .cast(dec)
+        .alias("e_co"),
+        F.expr("n_o * n_l div greatest(ndv_o_ok, ndv_l_ok)")
+        .cast(dec)
+        .alias("e_ol"),
+    ).select(
+        "*",
+        F.expr("e_co * n_l div greatest(least(e_co, ndv_o_ok), ndv_l_ok)")
+        .cast(dec)
+        .alias("ef_co"),
+        F.expr("e_ol * n_c div greatest(least(e_ol, ndv_o_ck), ndv_c_ck)")
+        .cast(dec)
+        .alias("ef_ol"),
+    )
+    plans = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("customer_orders_then_lineitem").alias("plan"),
+                    F.col("e_co").alias("est_first"),
+                    F.col("ef_co").alias("est_final"),
+                    F.col("t_co").alias("true_first"),
+                ),
+                F.struct(
+                    F.lit("orders_lineitem_then_customer").alias("plan"),
+                    F.col("e_ol").alias("est_first"),
+                    F.col("ef_ol").alias("est_final"),
+                    F.col("t_ol").alias("true_first"),
+                ),
+            )
+        ).alias("p"),
+        F.col("t_col").alias("true_final"),
+    ).select(
+        F.col("p.plan").alias("plan"),
+        F.col("p.est_first").cast("long").alias("est_first"),
+        F.col("p.est_final").cast("long").alias("est_final"),
+        F.col("p.true_first").cast("long").alias("true_first"),
+        F.col("true_final").cast("long").alias("true_final"),
+    )
+    wmin = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        plans.select(
+            "plan",
+            "est_first",
+            "est_final",
+            "true_first",
+            "true_final",
+            (
+                F.col("est_first")
+                == F.min("est_first").over(wmin)
+            ).alias("chosen_by_estimate"),
+            (
+                F.col("true_first")
+                == F.min("true_first").over(wmin)
+            ).alias("truly_optimal"),
+        )
+        .select(
+            "*",
+            (
+                F.col("chosen_by_estimate") == F.col("truly_optimal")
+            ).alias("agree"),
+        )
+        .orderBy("plan")
+    )

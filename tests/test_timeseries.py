@@ -3227,3 +3227,90 @@ def test_pareto_skyline_hand_frontier(spark, tmp_path):
     got = {(r.user_id, r.n_events, r.n_errors)
            for r in Q.pareto_skyline(spark, str(tmp_path)).collect()}
     assert got == {(1, 10, 0), (5, 12, 3)}
+
+
+def test_zorder_layout_audit_uniform_grid_exact_counts(spark, tmp_path):
+    """On the uniform 16x16 grid (one row per cell, 32 files of 8
+    rows) the file counts are fully determined: linear (time, user)
+    scans 4 / 16 files for the quadrant / user-only probes; Morton
+    order scans 2 / 8 — the textbook 2x win on both probe shapes."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for h in range(16):
+        for u in range(16):
+            rows.append((eid, t0 + dt.timedelta(hours=h), u, "c", 1.0,
+                         "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {(r.layout, r.probe): r for r in
+           Q.zorder_layout_audit(spark, str(tmp_path)).collect()}
+    assert out[("linear_time_user", "user_and_time")].files_scanned == 4
+    assert out[("linear_time_user", "user_only")].files_scanned == 16
+    assert out[("zorder", "user_and_time")].files_scanned == 2
+    assert out[("zorder", "user_only")].files_scanned == 8
+    assert all(r.files_total == 32 for r in out.values())
+
+
+def test_rendezvous_shard_audit_matches_python_and_invariant(spark, tmp_path):
+    """Movement matrix equals a pure-Python recompute; keys only ever
+    move TO the new shard (the HRW minimal-disruption property), and
+    some keys do move."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    keys = list(range(200))
+    rows = [(i, t0 + dt.timedelta(minutes=i), k, "c", 1.0, "{}")
+            for i, k in enumerate(keys)]
+    _write_events(spark, tmp_path, rows)
+
+    def assign(k, n):
+        best = None
+        for s in range(n):
+            m = (k * 2654435761 + s * 40503 + 104729) % 2147483647
+            wt = (m * m) % 2147483647
+            cand = (wt, -s)
+            if best is None or cand > best[0]:
+                best = (cand, s)
+        return best[1]
+
+    expected = {}
+    for k in keys:
+        o, n = assign(k, 8), assign(k, 9)
+        expected[(o, n)] = expected.get((o, n), 0) + 1
+    got = {(r.old_shard, r.new_shard): r.n_keys for r in
+           Q.rendezvous_shard_audit(spark, str(tmp_path)).collect()}
+    assert got == expected
+    moved = {k: v for k, v in got.items() if k[0] != k[1]}
+    assert moved and all(n == 8 for (_, n) in moved)
+    # roughly 1/9 of keys land on the new shard (loose band)
+    frac = sum(moved.values()) / len(keys)
+    assert 0.03 < frac < 0.25
+
+
+def test_join_order_planner_hand_stats(spark, tmp_path):
+    """3 customers, 4 orders, 8 lineitems with known key fan-outs:
+    every estimate and every true size equals the hand computation."""
+    spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long") \
+        .coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 9)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10,)] * 3 + [(11,)] * 2 + [(12,)] * 2 + [(99,)],
+        "l_orderkey long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.plan: r for r in
+           Q.join_order_planner(spark, str(tmp_path)).collect()}
+    co = out["customer_orders_then_lineitem"]
+    ol = out["orders_lineitem_then_customer"]
+    # est first: |C||O|/max(ndv) = 3*4 // max(3,3) = 4 ; 4*8 // max(4,4) = 8
+    assert co.est_first == 4 and ol.est_first == 8
+    # true first: C join O on custkey: cust1 x2 + cust2 x1 = 3;
+    # O join L on orderkey: 3+2+2 = 7
+    assert co.true_first == 3 and ol.true_first == 7
+    # true final: orders of cust1 carry 3+2 lineitems, cust2 carries 2
+    assert co.true_final == 7 and ol.true_final == 7
+    # est finals: e_co*|L| // max(least(4, ndv_o_ok=4), ndv_l_ok=4) -> 4*8//4=8
+    # e_ol*|C| // max(least(8, ndv_o_ck=3), ndv_c_ck=3) -> 8*3//3=8
+    assert co.est_final == 8 and ol.est_final == 8
+    assert co.chosen_by_estimate and not ol.chosen_by_estimate
+    assert co.truly_optimal and not ol.truly_optimal
+    assert co.agree and ol.agree
