@@ -277,6 +277,9 @@ BENCH_QUERIES = [
     "zorder_layout_audit",
     "rendezvous_shard_audit",
     "join_order_planner",
+    "fsst_symbol_profile",
+    "lru_stack_distance",
+    "roaring_container_profile",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -9574,3 +9574,83 @@ SELECT plan, est_first, est_final, true_first, true_final,
          = (true_first = min(true_first) OVER ()) AS agree
 FROM plans ORDER BY plan
 """
+
+ORACLES["fsst_symbol_profile"] = """
+WITH docs AS (SELECT text FROM documents WHERE length(text) >= 3),
+grams AS (
+  SELECT substring(text, i, 3) AS g
+  FROM docs, unnest(range(1, length(text) - 1)) AS t(i)),
+top AS (
+  SELECT g, count(*)::BIGINT AS overlap_count
+  FROM grams GROUP BY g
+  ORDER BY overlap_count DESC, g ASC LIMIT 16),
+ranked AS (
+  SELECT g, overlap_count,
+         row_number() OVER (ORDER BY overlap_count DESC, g ASC)::BIGINT
+           AS rank
+  FROM top),
+total AS (SELECT sum(length(text))::BIGINT AS total_chars FROM documents),
+gains AS (
+  SELECT g, rank, overlap_count,
+         sum((length(text) - length(replace(text, g, ''))) // 3)::BIGINT
+           AS nonoverlap_count
+  FROM docs, ranked GROUP BY 1, 2, 3)
+SELECT g AS gram, rank, overlap_count, nonoverlap_count,
+       (nonoverlap_count * 2)::BIGINT AS chars_saved,
+       (nonoverlap_count * 2)::DOUBLE / total_chars::DOUBLE AS savings_frac
+FROM gains, total ORDER BY rank
+"""
+
+ORACLES["lru_stack_distance"] = """
+WITH acc AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY ts, event_id)::BIGINT AS pos
+  FROM events),
+pairs AS (
+  SELECT user_id, pos,
+         lag(pos) OVER (PARTITION BY user_id ORDER BY pos) AS ppos
+  FROM acc),
+d AS (
+  SELECT p.pos, count(DISTINCT a.user_id)::BIGINT AS d
+  FROM pairs p JOIN acc a ON a.pos > p.ppos AND a.pos < p.pos
+  WHERE p.ppos IS NOT NULL
+  GROUP BY p.pos),
+dist AS (
+  SELECT CASE WHEN p.ppos IS NULL THEN NULL
+              ELSE coalesce(d.d, 0) + 1 END AS stack_distance
+  FROM pairs p LEFT JOIN d ON d.pos = p.pos),
+caps AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS capacity),
+agg AS (
+  SELECT capacity::BIGINT AS capacity,
+         sum(CASE WHEN stack_distance <= capacity THEN 1 ELSE 0 END)::BIGINT
+           AS hits,
+         sum(CASE WHEN stack_distance IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS cold_misses,
+         count(*)::BIGINT AS total_accesses
+  FROM dist, caps GROUP BY 1)
+SELECT capacity, hits, cold_misses, total_accesses,
+       hits::DOUBLE / total_accesses::DOUBLE AS hit_ratio
+FROM agg ORDER BY capacity
+"""
+
+ORACLES["roaring_container_profile"] = """
+WITH chunks AS (
+  SELECT event_type, event_id // 256 AS chunk,
+         count(DISTINCT event_id)::BIGINT AS card
+  FROM events GROUP BY 1, 2),
+per_chunk AS (
+  SELECT event_type, card, (card <= 16) AS is_array,
+         CASE WHEN card <= 16 THEN card * 2 ELSE 32 END::BIGINT AS bytes
+  FROM chunks),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN is_array THEN 1 ELSE 0 END)::BIGINT AS n_array,
+         sum(CASE WHEN is_array THEN 0 ELSE 1 END)::BIGINT AS n_bitmap,
+         sum(bytes)::BIGINT AS bytes_roaring,
+         (sum(card) * 2)::BIGINT AS bytes_flat_array
+  FROM per_chunk GROUP BY 1)
+SELECT *, bytes_roaring::DOUBLE / bytes_flat_array::DOUBLE
+         AS compression_ratio
+FROM agg ORDER BY event_type
+"""

@@ -19449,3 +19449,235 @@ def join_order_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plan")
     )
+
+
+def fsst_symbol_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSST-style symbol-table gain profile for the text column
+    (Boncz, Neumann & Leis, VLDB 2020 — the string-compression scheme
+    DuckDB/Umbra ship): find the 16 highest-frequency 3-byte
+    substrings corpus-wide, then for each compute the EXACT
+    non-overlapping occurrence count (left-to-right greedy — both
+    engines' ``replace`` semantics) and the chars saved if that symbol
+    got a 1-byte code (2 per occurrence).  Completes the compression-
+    planner family for the TEXT side: dod/xor/pfor/rle plan the value
+    and timestamp columns, this plans the payload column that
+    dominates transcript bytes.
+
+    EXACT cross-engine: candidate counts explode every overlapping
+    3-gram position (integer counts); the top-16 pick orders by
+    (count DESC, gram ASC); non-overlap counts are
+    (len(text) − len(replace(text, g, ''))) div 3 — ``replace`` is
+    sequential non-overlapping in Spark and DuckDB alike; the corpus
+    is ASCII (pinned by the edit-distance divergence test) so chars
+    are bytes; savings_frac is one double division.
+
+    Scale shape: the candidate pass is one explode (3× corpus chars —
+    a production FSST sampler would subsample; the plan shape is the
+    same scan + map-side-combined hash agg either way), the gain pass
+    is |docs|×16 broadcast-joined rows with zero shuffle growth.
+    Per-symbol gains are independent estimates (first-pass FSST
+    semantics), not a joint greedy encode."""
+    docs = _documents(spark, sf_dir).where(F.length("text") >= 3)
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g")
+    )
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_count"))
+        .orderBy(F.desc("overlap_count"), F.asc("g"))
+        .limit(16)
+        .select(
+            "g",
+            "overlap_count",
+            F.row_number()
+            .over(Window.orderBy(F.desc("overlap_count"), F.asc("g")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    total = _documents(spark, sf_dir).agg(
+        F.sum(F.length("text")).cast("long").alias("total_chars")
+    )
+    gains = (
+        docs.crossJoin(F.broadcast(top))
+        .select(
+            "g",
+            "overlap_count",
+            "rank",
+            F.expr(
+                "(length(text) - length(replace(text, g, ''))) div 3"
+            ).cast("long").alias("occ"),
+        )
+        .groupBy("g", "rank", "overlap_count")
+        .agg(F.sum("occ").cast("long").alias("nonoverlap_count"))
+    )
+    return (
+        gains.crossJoin(F.broadcast(total))
+        .select(
+            F.col("g").alias("gram"),
+            "rank",
+            "overlap_count",
+            "nonoverlap_count",
+            (F.col("nonoverlap_count") * 2).cast("long").alias("chars_saved"),
+            F.try_divide(
+                (F.col("nonoverlap_count") * 2).cast("double"),
+                F.col("total_chars").cast("double"),
+            ).alias("savings_frac"),
+        )
+        .orderBy("rank")
+    )
+
+
+def lru_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU stack-distance (reuse-distance) analysis of the access log
+    (Mattson et al., IBM Systems Journal 1970 — the one-pass curve
+    that prices EVERY cache size at once): treat events as accesses
+    keyed by user, compute each access's stack distance = 1 + the
+    number of DISTINCT other keys touched since that key's previous
+    access, and report the exact LRU hit count/ratio for capacities
+    {1,2,4,8,16,32} — the working-set curve a 100 TB store reads to
+    size its hot tier.
+
+    EXACT cross-engine: the access order is the global (ts, event_id)
+    total order materialized as an integer position (the log IS a
+    total order; the sort is the operation's input contract);
+    in-between counts are COUNT(DISTINCT key) over integer position
+    ranges; hit_ratio is one division.
+
+    Scale shape: per-key lag gives each access its previous position;
+    the in-between scan is an interval equi-join banded by position
+    div 1024 (rangejoin.py's bucketing trick — no nested-loop), so
+    work is accesses + gap lengths, hash-partitioned on the band."""
+    df = _events(spark, sf_dir)
+    pos_w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    acc = df.select(
+        "user_id",
+        F.row_number().over(pos_w).cast("long").alias("pos"),
+    )
+    per_key = Window.partitionBy("user_id").orderBy("pos")
+    pairs = acc.select(
+        "user_id",
+        "pos",
+        F.lag("pos").over(per_key).alias("ppos"),
+    )
+    live = pairs.where(F.col("ppos").isNotNull())
+    bands = live.select(
+        "pos",
+        "ppos",
+        F.explode(
+            F.sequence(
+                F.expr("ppos div 1024"), F.expr("pos div 1024")
+            )
+        ).alias("band"),
+    )
+    probes = acc.select(
+        F.col("user_id").alias("a_user"),
+        F.col("pos").alias("a_pos"),
+        F.expr("pos div 1024").alias("band"),
+    )
+    d = (
+        bands.join(probes, "band")
+        .where(
+            (F.col("a_pos") > F.col("ppos")) & (F.col("a_pos") < F.col("pos"))
+        )
+        .groupBy("pos")
+        .agg(F.countDistinct("a_user").cast("long").alias("d"))
+    )
+    dist = pairs.join(d, "pos", "left").select(
+        F.when(
+            F.col("ppos").isNull(), F.lit(None).cast("long")
+        ).otherwise(F.coalesce(F.col("d"), F.lit(0)) + 1).alias(
+            "stack_distance"
+        )
+    )
+    caps = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (32,)], "capacity long"
+    )
+    return (
+        dist.crossJoin(F.broadcast(caps))
+        .groupBy("capacity")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("stack_distance") <= F.col("capacity"), 1
+                ).otherwise(0)
+            ).cast("long").alias("hits"),
+            F.sum(
+                F.when(F.col("stack_distance").isNull(), 1).otherwise(0)
+            ).cast("long").alias("cold_misses"),
+            F.count(F.lit(1)).cast("long").alias("total_accesses"),
+        )
+        .select(
+            "capacity",
+            "hits",
+            "cold_misses",
+            "total_accesses",
+            F.try_divide(
+                F.col("hits").cast("double"),
+                F.col("total_accesses").cast("double"),
+            ).alias("hit_ratio"),
+        )
+        .orderBy("capacity")
+    )
+
+
+def roaring_container_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap container sizing per event-type id-set (Chambi,
+    Lemire et al. 2016): split each type's event_id set into 256-wide
+    chunks (the scaled-down stand-in for roaring's 2^16 containers,
+    threshold scaled to 16 = width/16 exactly as roaring's 4096 =
+    2^16/16), pick array (2 chars/id) vs bitmap (32 chars) per chunk
+    by exact cardinality, and report the bytes a roaring index costs
+    vs a flat sorted-array index — the index-format decision a
+    secondary-index builder makes per posting list.
+
+    EXACT cross-engine: chunk ids are truncated integer division;
+    cardinalities are COUNT(DISTINCT); container choice and byte
+    costs are pure integer logic; compression_ratio is one division.
+
+    Scale shape: one hash aggregate to (type, chunk) — map-side
+    combined — then one rollup to |types| rows."""
+    df = _events(spark, sf_dir)
+    chunks = (
+        df.select(
+            "event_type", F.expr("event_id div 256").alias("chunk"), "event_id"
+        )
+        .groupBy("event_type", "chunk")
+        .agg(F.countDistinct("event_id").cast("long").alias("card"))
+    )
+    is_array = F.col("card") <= 16
+    per_chunk = chunks.select(
+        "event_type",
+        "card",
+        is_array.alias("is_array"),
+        F.when(is_array, F.col("card") * 2).otherwise(32).cast("long").alias(
+            "bytes"
+        ),
+    )
+    return (
+        per_chunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("is_array"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_array"),
+            F.sum(F.when(~F.col("is_array"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bitmap"),
+            F.sum("bytes").cast("long").alias("bytes_roaring"),
+            (F.sum("card") * 2).cast("long").alias("bytes_flat_array"),
+        )
+        .select(
+            "*",
+            F.try_divide(
+                F.col("bytes_roaring").cast("double"),
+                F.col("bytes_flat_array").cast("double"),
+            ).alias("compression_ratio"),
+        )
+        .orderBy("event_type")
+    )

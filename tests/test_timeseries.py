@@ -3314,3 +3314,87 @@ def test_join_order_planner_hand_stats(spark, tmp_path):
     assert co.chosen_by_estimate and not ol.chosen_by_estimate
     assert co.truly_optimal and not ol.truly_optimal
     assert co.agree and ol.agree
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+
+
+def test_fsst_symbol_profile_hand_counts(spark, tmp_path):
+    """'abc' in 'abcabcabc'+'xabcx': overlap count 4, non-overlap
+    count 4 (replace is greedy left-to-right), 8 chars saved."""
+    _write_docs(spark, tmp_path, ["abcabcabc", "xabcx"])
+    out = {r.gram: r for r in
+           Q.fsst_symbol_profile(spark, str(tmp_path)).collect()}
+    r = out["abc"]
+    assert r.rank == 1
+    assert r.overlap_count == 4
+    assert r.nonoverlap_count == 4
+    assert r.chars_saved == 8
+    assert r.savings_frac == 8 / 14
+    # 'bca' overlaps twice inside doc1 but non-overlap greedy finds 0
+    # (every occurrence straddles a removed 'abc'); replace still
+    # counts it independently: 'bcabcabc...' -> replace('bca') removes
+    # 2 of them from the raw string
+    assert out["bca"].overlap_count == 2
+
+
+def test_lru_stack_distance_cyclic_pattern(spark, tmp_path):
+    """A B C A B C A B C: 3 cold misses, every re-access has stack
+    distance 3 -> 0 hits at capacity 2, all 6 at capacity 4."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), (i % 3) + 1, "c", 1.0, "{}")
+            for i in range(9)]
+    _write_events(spark, tmp_path, rows)
+    out = {r.capacity: r for r in
+           Q.lru_stack_distance(spark, str(tmp_path)).collect()}
+    for c in (1, 2):
+        assert out[c].hits == 0
+    for c in (4, 8, 16, 32):
+        assert out[c].hits == 6
+    assert out[4].cold_misses == 3 and out[4].total_accesses == 9
+    assert out[4].hit_ratio == 6 / 9
+
+
+def test_lru_stack_distance_immediate_reuse_hits_capacity_one(
+    spark, tmp_path
+):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), u, "c", 1.0, "{}")
+            for i, u in enumerate([1, 1, 2, 2, 1])]
+    _write_events(spark, tmp_path, rows)
+    out = {r.capacity: r for r in
+           Q.lru_stack_distance(spark, str(tmp_path)).collect()}
+    # reuses: pos2 (A after A, d=1), pos4 (B after B, d=1),
+    # pos5 (A with B between, d=2)
+    assert out[1].hits == 2
+    assert out[2].hits == 3
+    assert out[1].cold_misses == 2
+
+
+def test_roaring_container_profile_hand_sizing(spark, tmp_path):
+    """Type a: 10 ids in one chunk -> array (20 chars).  Type b: 20
+    ids in chunk 0 -> bitmap (32) + 2 ids in chunk 1 -> array (4)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(10):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "a", 1.0, "{}"))
+    for i in range(20):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 1, "b", 1.0,
+                     "{}"))
+    for i in (256, 257):
+        rows.append((i, t0 + dt.timedelta(hours=1), 1, "b", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in
+           Q.roaring_container_profile(spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_chunks, a.n_array, a.n_bitmap) == (1, 1, 0)
+    assert a.bytes_roaring == 20 and a.bytes_flat_array == 20
+    assert (b.n_chunks, b.n_array, b.n_bitmap) == (2, 1, 1)
+    assert b.bytes_roaring == 36 and b.bytes_flat_array == 44
+    assert b.compression_ratio == 36 / 44
