@@ -280,6 +280,9 @@ BENCH_QUERIES = [
     "fsst_symbol_profile",
     "lru_stack_distance",
     "roaring_container_profile",
+    "ewma_time_decay_1h",
+    "cow_mor_cost_audit",
+    "unseen_vocab_estimate",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -9654,3 +9654,72 @@ SELECT *, bytes_roaring::DOUBLE / bytes_flat_array::DOUBLE
          AS compression_ratio
 FROM agg ORDER BY event_type
 """
+
+ORACLES["ewma_time_decay_1h"] = """
+WITH hourly AS (
+  SELECT user_id, floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
+         sum(floor(value * 100)::BIGINT)::HUGEINT AS vsum,
+         count(*)::HUGEINT AS cnt
+  FROM events GROUP BY 1, 2),
+contrib AS (
+  SELECT user_id, vsum, cnt, hb AS src_hb,
+         unnest(range(hb, hb + 41)) AS hb2
+  FROM hourly),
+joined AS (
+  SELECT t.user_id, t.hb,
+         sum(c.vsum * (1::HUGEINT << (40 - (t.hb - c.src_hb))::INT)) AS num,
+         sum(c.cnt  * (1::HUGEINT << (40 - (t.hb - c.src_hb))::INT)) AS den
+  FROM hourly t
+  JOIN contrib c ON c.user_id = t.user_id AND c.hb2 = t.hb
+  GROUP BY 1, 2)
+SELECT user_id, to_timestamp(hb * 3600)::TIMESTAMP AS bucket_ts,
+       num::DOUBLE / den::DOUBLE AS decayed_mean
+FROM joined ORDER BY user_id, bucket_ts
+"""
+
+ORACLES["cow_mor_cost_audit"] = """
+WITH base AS (
+  SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hour,
+         (event_type = 'error') AS is_update
+  FROM events),
+sizes AS (SELECT day, count(*)::BIGINT AS part_rows FROM base GROUP BY 1),
+upd AS (
+  SELECT day, count(*)::BIGINT AS n_updates,
+         count(DISTINCT hour)::BIGINT AS n_update_hours
+  FROM base WHERE is_update GROUP BY 1),
+j AS (
+  SELECT s.day, s.part_rows,
+         coalesce(u.n_updates, 0)::BIGINT AS n_updates,
+         coalesce(u.n_update_hours, 0)::BIGINT AS n_update_hours
+  FROM sizes s LEFT JOIN upd u ON u.day = s.day)
+SELECT to_timestamp(day * 86400)::TIMESTAMP AS day_ts,
+       part_rows, n_updates, n_update_hours,
+       (n_update_hours * part_rows)::BIGINT AS cow_write_rows,
+       n_updates AS mor_write_rows,
+       (part_rows + n_updates)::DOUBLE / part_rows::DOUBLE AS mor_read_amp,
+       (n_update_hours * part_rows > n_updates * 10) AS recommend_mor
+FROM j ORDER BY day_ts
+"""
+
+ORACLES["unseen_vocab_estimate"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+counts AS (
+  SELECT source, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+spectrum AS (
+  SELECT source,
+         count(*)::BIGINT AS vocab,
+         sum(c)::BIGINT AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM counts GROUP BY 1)
+SELECT source, n_tokens, vocab, f1, f2,
+       (vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT
+         AS chao1_richness,
+       f1::DOUBLE / n_tokens::DOUBLE AS unseen_mass,
+       1.0 - f1::DOUBLE / n_tokens::DOUBLE AS coverage
+FROM spectrum ORDER BY source
+"""

@@ -19681,3 +19681,213 @@ def roaring_container_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def ewma_time_decay_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed hourly mean with half-life 1 h over each user's
+    IRREGULAR event series (the wall-clock decay Riemann/RRDtool-style
+    monitors use) — unlike ewma_smooth's event-index recursion, the
+    weight here is 2^(−Δhours), so a series that goes quiet for six
+    hours decays 64×, not one step.  Emitted at hourly grain: every
+    observed (user, hour) gets the decayed mean over its trailing
+    40 hours (2^−40 ≈ 1e−12 — contributions beyond that are exactly
+    dropped, making the window FINITE and the arithmetic exact).
+
+    EXACT cross-engine: hour buckets are integer-epoch floors; all
+    same-hour events share weight 1 (hour-resolution decay,
+    documented); the numerator is Σ vq_h'·2^(40−Δ) and the
+    denominator Σ cnt_h'·2^(40−Δ) in DECIMAL(38,0) — dyadic weights
+    are exact binary integers via shifts — so the decayed mean is ONE
+    double division.
+
+    Scale shape: one hash agg to the (user, hour) frame, then the
+    trailing window is an equi-join of that frame against itself
+    exploded to 41 target hours (rangejoin.py's bucketing idea with
+    the band = the window itself) — work is hourly-cells × 41, hash
+    partitioned, never raw-row quadratic."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            "user_id",
+            F.floor(es / 3600).cast("long").alias("hb"),
+            F.floor(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(
+            F.sum("vq").cast("decimal(38,0)").alias("vsum"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+        )
+    )
+    contrib = hourly.select(
+        "user_id",
+        "vsum",
+        "cnt",
+        F.col("hb").alias("src_hb"),
+        F.explode(
+            F.sequence(F.col("hb"), F.col("hb") + 40)
+        ).alias("hb"),
+    )
+    targets = hourly.select("user_id", "hb")
+    return (
+        targets.join(contrib, ["user_id", "hb"])
+        .select(
+            "user_id",
+            "hb",
+            (
+                F.col("vsum")
+                * F.expr(
+                    "cast(shiftleft(1L,"
+                    " cast(40 - (hb - src_hb) as int)) as decimal(38,0))"
+                )
+            ).alias("num_term"),
+            (
+                F.col("cnt")
+                * F.expr(
+                    "cast(shiftleft(1L,"
+                    " cast(40 - (hb - src_hb) as int)) as decimal(38,0))"
+                )
+            ).alias("den_term"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(
+            F.sum("num_term").alias("num"),
+            F.sum("den_term").alias("den"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("hb") * 3600)
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            F.try_divide(
+                F.col("num").cast("double"), F.col("den").cast("double")
+            ).alias("decayed_mean"),
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+def cow_mor_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write vs merge-on-read cost audit per day partition
+    (the Iceberg/Delta/Hudi table-format decision): treating 'error'
+    events as row updates against their day's partition, COW rewrites
+    the whole partition once per update-hour (write amplification =
+    Σ update-hours × partition rows), MOR appends one delta row per
+    update but taxes every read with the delta count.  The audit
+    reports both write costs, the MOR read amplification, and the
+    integer decision rule (recommend MOR when COW writes exceed 10×
+    the update volume) — the maintenance-policy choice a 100 TB store
+    makes per table.
+
+    EXACT cross-engine: day/hour buckets are integer-epoch floors;
+    costs are pure integer products/sums; read_amp is one division.
+
+    Scale shape: two hash aggregates over one scan (per-day sizes,
+    per-day update stats) joined on the |days| frame — no shuffle
+    grows with raw rows."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        F.floor(es / 86400).cast("long").alias("day"),
+        F.floor(es / 3600).cast("long").alias("hour"),
+        (F.col("event_type") == "error").alias("is_update"),
+    )
+    sizes = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("part_rows")
+    )
+    upd = (
+        base.where("is_update")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_updates"),
+            F.countDistinct("hour").cast("long").alias("n_update_hours"),
+        )
+    )
+    j = sizes.join(upd, "day", "left").select(
+        "day",
+        "part_rows",
+        F.coalesce("n_updates", F.lit(0)).cast("long").alias("n_updates"),
+        F.coalesce("n_update_hours", F.lit(0))
+        .cast("long")
+        .alias("n_update_hours"),
+    )
+    return j.select(
+        F.timestamp_seconds(F.col("day") * 86400)
+        .cast("timestamp_ntz")
+        .alias("day_ts"),
+        "part_rows",
+        "n_updates",
+        "n_update_hours",
+        (F.col("n_update_hours") * F.col("part_rows"))
+        .cast("long")
+        .alias("cow_write_rows"),
+        F.col("n_updates").alias("mor_write_rows"),
+        F.try_divide(
+            (F.col("part_rows") + F.col("n_updates")).cast("double"),
+            F.col("part_rows").cast("double"),
+        ).alias("mor_read_amp"),
+        (
+            F.col("n_update_hours") * F.col("part_rows")
+            > F.col("n_updates") * 10
+        ).alias("recommend_mor"),
+    ).orderBy("day_ts")
+
+
+def unseen_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation per source: Chao1 species richness
+    (Chao 1984, bias-corrected: S + f1(f1−1)/(2(f2+1))) and the
+    Good–Turing unseen-probability mass f1/N from the token frequency
+    spectrum — the coverage question a tokenizer-training pipeline
+    asks before freezing a vocab ("how much of this source's
+    vocabulary have we NOT seen yet?").  vocab_growth_heaps fits the
+    growth curve; this estimates the asymptote.
+
+    EXACT cross-engine: tokens are whitespace splits of trimmed text
+    (ASCII corpus); S/f1/f2/N are integer counts; Chao1's correction
+    term uses truncated integer division; unseen_mass and coverage
+    are one double division each.
+
+    Scale shape: explode to tokens, two cascaded hash aggs (token
+    counts → frequency-of-frequency spectrum), both map-side
+    combinable; output |sources| rows."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    spectrum = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return spectrum.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab")
+            + F.expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")
+        ).cast("long").alias("chao1_richness"),
+        F.try_divide(
+            F.col("f1").cast("double"), F.col("n_tokens").cast("double")
+        ).alias("unseen_mass"),
+        (
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("f1").cast("double"),
+                F.col("n_tokens").cast("double"),
+            )
+        ).alias("coverage"),
+    ).orderBy("source")

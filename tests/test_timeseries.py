@@ -3398,3 +3398,81 @@ def test_roaring_container_profile_hand_sizing(spark, tmp_path):
     assert (b.n_chunks, b.n_array, b.n_bitmap) == (2, 1, 1)
     assert b.bytes_roaring == 36 and b.bytes_flat_array == 44
     assert b.compression_ratio == 36 / 44
+
+
+def test_ewma_time_decay_halves_per_hour_gap(spark, tmp_path):
+    """One user, values 100 at hour 0 and 300 at hour 2: at hour 2 the
+    decayed mean is (300*2^40 + 100*2^38) / (2^40 + 2^38) = 260."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "c", 1.00, "{}"),
+        (1, t0 + dt.timedelta(hours=2), 1, "c", 3.00, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.bucket_ts: r.decayed_mean for r in
+           Q.ewma_time_decay_1h(spark, str(tmp_path)).collect()}
+    assert out[t0] == 100.0
+    assert out[t0 + dt.timedelta(hours=2)] == (300 * 4 + 100) / 5
+    # same-hour events share weight 1: two more values in hour 2
+    rows += [
+        (2, t0 + dt.timedelta(hours=2, minutes=5), 1, "c", 5.00, "{}"),
+        (3, t0 + dt.timedelta(hours=2, minutes=9), 1, "c", 7.00, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.bucket_ts: r.decayed_mean for r in
+           Q.ewma_time_decay_1h(spark, str(tmp_path)).collect()}
+    num = (300 + 500 + 700) * 4 + 100
+    den = 3 * 4 + 1
+    assert out[t0 + dt.timedelta(hours=2)] == num / den
+
+
+def test_ewma_time_decay_window_cuts_at_40_hours(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "c", 1.00, "{}"),
+        (1, t0 + dt.timedelta(hours=41), 1, "c", 3.00, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.bucket_ts: r.decayed_mean for r in
+           Q.ewma_time_decay_1h(spark, str(tmp_path)).collect()}
+    # the hour-0 sample is outside the 40-hour window: no blending
+    assert out[t0 + dt.timedelta(hours=41)] == 300.0
+
+
+def test_cow_mor_cost_audit_hand_costs(spark, tmp_path):
+    """Day with 10 rows and errors in 2 distinct hours: COW rewrites
+    2*10 rows, MOR writes 3 delta rows, read amp (10+3)/10."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(7):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0,
+                     "{}"))
+    rows.append((7, t0 + dt.timedelta(hours=1), 1, "error", 1.0, "{}"))
+    rows.append((8, t0 + dt.timedelta(hours=1, minutes=5), 1, "error", 1.0,
+                 "{}"))
+    rows.append((9, t0 + dt.timedelta(hours=3), 1, "error", 1.0, "{}"))
+    # a second, update-free day
+    rows.append((10, t0 + dt.timedelta(days=1), 1, "view", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {r.day_ts: r for r in
+           Q.cow_mor_cost_audit(spark, str(tmp_path)).collect()}
+    d0 = out[t0]
+    assert d0.part_rows == 10 and d0.n_updates == 3
+    assert d0.n_update_hours == 2
+    assert d0.cow_write_rows == 20 and d0.mor_write_rows == 3
+    assert d0.mor_read_amp == 13 / 10
+    assert not d0.recommend_mor  # 20 <= 30
+    d1 = out[t0 + dt.timedelta(days=1)]
+    assert d1.cow_write_rows == 0 and d1.mor_read_amp == 1.0
+
+
+def test_unseen_vocab_estimate_hand_spectrum(spark, tmp_path):
+    """'a a b c' + 'c d': f1 = {b, d} = 2, f2 = {a? no a=2 ... }"""
+    _write_docs(spark, tmp_path, ["a a b c", "c d"])
+    # token counts: a=2, b=1, c=2, d=1 -> vocab 4, N 6, f1 2, f2 2
+    r = Q.unseen_vocab_estimate(spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (6, 4, 2, 2)
+    # chao1 = 4 + (2*1) // (2*3) = 4
+    assert r.chao1_richness == 4
+    assert r.unseen_mass == 2 / 6
+    assert r.coverage == 1.0 - 2 / 6
