@@ -283,6 +283,9 @@ BENCH_QUERIES = [
     "ewma_time_decay_1h",
     "cow_mor_cost_audit",
     "unseen_vocab_estimate",
+    "morans_i_hourweek",
+    "shapley_attribution",
+    "littles_law_audit",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

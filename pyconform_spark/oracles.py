@@ -9723,3 +9723,114 @@ SELECT source, n_tokens, vocab, f1, f2,
        1.0 - f1::DOUBLE / n_tokens::DOUBLE AS coverage
 FROM spectrum ORDER BY source
 """
+
+ORACLES["morans_i_hourweek"] = """
+WITH counts AS (
+  SELECT (floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT % 168) AS c,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+cells AS (SELECT unnest(range(0, 168))::BIGINT AS c),
+grid AS (
+  SELECT cells.c, coalesce(counts.x, 0)::BIGINT AS x
+  FROM cells LEFT JOIN counts ON counts.c = cells.c),
+tot AS (SELECT sum(x)::BIGINT AS sx FROM grid),
+z AS (
+  SELECT c, (168 * x - sx)::HUGEINT AS z FROM grid, tot),
+nb AS (
+  SELECT c, sum(zn) AS nbsum FROM (
+    SELECT (c + 1) % 168 AS c, z AS zn FROM z
+    UNION ALL
+    SELECT (c + 167) % 168 AS c, z AS zn FROM z) u
+  GROUP BY 1),
+s AS (
+  SELECT sum(z.z * nb.nbsum) AS s_cross, sum(z.z * z.z) AS s_zz
+  FROM z JOIN nb ON nb.c = z.c)
+SELECT 168::BIGINT AS n_cells,
+       s_cross::DOUBLE AS s_cross, s_zz::DOUBLE AS s_zz,
+       (168::HUGEINT * s_cross)::DOUBLE / (336::HUGEINT * s_zz)::DOUBLE
+         AS morans_i,
+       -1.0 / 167.0 AS expected_i
+FROM s
+"""
+
+ORACLES["shapley_attribution"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+cells AS (
+  SELECT hc, hv, hs, count(*)::BIGINT AS users, sum(conv)::BIGINT AS convs
+  FROM per_user GROUP BY 1, 2, 3),
+v AS (
+  SELECT
+    coalesce(max(CASE WHEN hc=1 AND hv=0 AND hs=0
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_100,
+    coalesce(max(CASE WHEN hc=0 AND hv=1 AND hs=0
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_010,
+    coalesce(max(CASE WHEN hc=0 AND hv=0 AND hs=1
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_001,
+    coalesce(max(CASE WHEN hc=1 AND hv=1 AND hs=0
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_110,
+    coalesce(max(CASE WHEN hc=1 AND hv=0 AND hs=1
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_101,
+    coalesce(max(CASE WHEN hc=0 AND hv=1 AND hs=1
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_011,
+    coalesce(max(CASE WHEN hc=1 AND hv=1 AND hs=1
+                 THEN convs::DOUBLE / users::DOUBLE END), 0.0) AS v_111
+  FROM cells)
+SELECT channel, shapley_value FROM (
+  SELECT 'click' AS channel,
+         (2.0 * v_100 + (v_110 - v_010) + (v_101 - v_001)
+          + 2.0 * (v_111 - v_011)) / 6.0 AS shapley_value FROM v
+  UNION ALL
+  SELECT 'view',
+         (2.0 * v_010 + (v_110 - v_100) + (v_011 - v_001)
+          + 2.0 * (v_111 - v_101)) / 6.0 FROM v
+  UNION ALL
+  SELECT 'signup',
+         (2.0 * v_001 + (v_101 - v_100) + (v_011 - v_010)
+          + 2.0 * (v_111 - v_110)) / 6.0 FROM v)
+ORDER BY channel
+"""
+
+ORACLES["littles_law_audit"] = """
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events),
+marked AS (
+  SELECT user_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+                   > 1800 THEN 1 ELSE 0 END AS brk
+  FROM ev),
+sess AS (
+  SELECT user_id, sid, min(es) AS s0, max(es) AS s1 FROM (
+    SELECT user_id, es,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY es
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked) g
+  GROUP BY 1, 2),
+stats AS (
+  SELECT count(*)::BIGINT AS n_sessions,
+         sum(s1 - s0)::BIGINT AS busy_direct FROM sess),
+bounds AS (
+  SELECT s0 AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT s1 AS t, -1 AS delta FROM sess),
+sweep AS (
+  SELECT sum(conc * coalesce(gap, 0))::BIGINT AS busy_sweep FROM (
+    SELECT sum(delta) OVER (ORDER BY t, delta
+                            ROWS UNBOUNDED PRECEDING) AS conc,
+           lead(t) OVER (ORDER BY t, delta) - t AS gap
+    FROM bounds) x),
+span AS (SELECT (max(es) - min(es))::BIGINT AS span_seconds FROM ev)
+SELECT n_sessions, busy_direct, busy_sweep,
+       (busy_direct = busy_sweep) AS identity_ok,
+       span_seconds,
+       (n_sessions * 3600)::DOUBLE / span_seconds::DOUBLE
+         AS lambda_per_hour,
+       busy_direct::DOUBLE / n_sessions::DOUBLE AS w_mean_seconds,
+       busy_direct::DOUBLE / span_seconds::DOUBLE AS l_avg_concurrency
+FROM stats, sweep, span
+"""

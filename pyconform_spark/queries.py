@@ -19891,3 +19891,275 @@ def unseen_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("coverage"),
     ).orderBy("source")
+
+
+def morans_i_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation (Moran 1950) of the
+    hour-of-week traffic profile on the cyclic 168-cell ring: do
+    adjacent hours carry similar load (I → 1, smooth diurnal shape)
+    or alternate (I < 0)?  climatology_hourly reports the profile;
+    this collapses its SHAPE into the one statistic a capacity
+    planner tracks for drift — a sudden drop of I flags traffic
+    turning spiky faster than any single-cell alert.
+
+    EXACT cross-engine: the 168-cell grid is DENSE (missing cells are
+    true zeros, generated by sequence/range); centering uses the
+    integer trick Z_c = 168·x_c − Σx; the ring neighbor sum comes from
+    two modular shifts; S_cross = Σ Z_c(Z_{c−1}+Z_{c+1}) and
+    S_zz = Σ Z_c² are DECIMAL(38,0) integers, so
+    I = (N·S_cross)/(W·S_zz) with W = 336 is ONE double division;
+    expected_i = −1/(N−1) is a pinned constant expression.
+
+    Scale shape: one hash agg to ≤168 cells; everything after runs on
+    the constant-size grid."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    counts = (
+        df.select((F.floor(es / 3600) % 168).cast("long").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    cells = spark.range(168).select(F.col("id").cast("long").alias("c"))
+    grid = (
+        cells.join(counts, "c", "left")
+        .select("c", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    tot = grid.agg(F.sum("x").cast("long").alias("sx"))
+    z = grid.crossJoin(F.broadcast(tot)).select(
+        "c",
+        (F.lit(168) * F.col("x") - F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("z"),
+    )
+    nb = (
+        z.select(((F.col("c") + 1) % 168).alias("c"), F.col("z").alias("zn"))
+        .unionByName(
+            z.select(
+                ((F.col("c") + 167) % 168).alias("c"),
+                F.col("z").alias("zn"),
+            )
+        )
+        .groupBy("c")
+        .agg(F.sum("zn").alias("nbsum"))
+    )
+    s = (
+        z.join(nb, "c")
+        .agg(
+            F.sum(F.col("z") * F.col("nbsum")).alias("s_cross"),
+            F.sum(F.col("z") * F.col("z")).alias("s_zz"),
+        )
+    )
+    return s.select(
+        F.lit(168).cast("long").alias("n_cells"),
+        F.col("s_cross").cast("double").alias("s_cross"),
+        F.col("s_zz").cast("double").alias("s_zz"),
+        F.try_divide(
+            (F.lit(168).cast("decimal(38,0)") * F.col("s_cross")).cast(
+                "double"
+            ),
+            (F.lit(336).cast("decimal(38,0)") * F.col("s_zz")).cast(
+                "double"
+            ),
+        ).alias("morans_i"),
+        (F.lit(-1.0) / F.lit(167.0)).alias("expected_i"),
+    )
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution over the three touch
+    channels click/view/signup (Shapley 1953; the data-driven
+    attribution Dalessandro et al. 2012 and the ad platforms run):
+    the characteristic function v(S) is the conversion rate of users
+    whose exposure set is EXACTLY S, and each channel's credit is the
+    exact 3-player Shapley sum 6φ_c = 2·v({c}) + [v({c,a})−v({a})] +
+    [v({c,b})−v({b})] + 2·v({a,b,c})−2·v({a,b}).
+    attribution_credit splits single conversions by touch position;
+    this answers the budget question across the whole population —
+    which CHANNEL causes conversions, marginal over every coalition.
+
+    EXACT cross-engine: exposure sets and conversion flags are
+    per-user booleans from one aggregate; each v(S) is ONE double
+    division of integer counts (empty exposure cells contribute
+    v = 0 by definition); φ assembles those doubles through the
+    IDENTICAL pinned expression tree in both engines.
+
+    Scale shape: one hash agg to |users|, one to the 8 exposure
+    cells, then constant-size arithmetic."""
+    df = _events(spark, sf_dir)
+    per_user = df.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "hc"
+        ),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "hv"
+        ),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "hs"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = per_user.groupBy("hc", "hv", "hs").agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.sum("conv").cast("long").alias("convs"),
+    )
+    v = cells.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("hc") == c)
+                        & (F.col("hv") == vw)
+                        & (F.col("hs") == s),
+                        F.try_divide(
+                            F.col("convs").cast("double"),
+                            F.col("users").cast("double"),
+                        ),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"v_{c}{vw}{s}")
+            for c in (0, 1)
+            for vw in (0, 1)
+            for s in (0, 1)
+        ]
+    )
+    # channel order (c=click, v=view, s=signup); subsets keyed c,v,s
+    phi_c = (
+        F.lit(2.0) * F.col("v_100")
+        + (F.col("v_110") - F.col("v_010"))
+        + (F.col("v_101") - F.col("v_001"))
+        + F.lit(2.0) * (F.col("v_111") - F.col("v_011"))
+    ) / F.lit(6.0)
+    phi_v = (
+        F.lit(2.0) * F.col("v_010")
+        + (F.col("v_110") - F.col("v_100"))
+        + (F.col("v_011") - F.col("v_001"))
+        + F.lit(2.0) * (F.col("v_111") - F.col("v_101"))
+    ) / F.lit(6.0)
+    phi_s = (
+        F.lit(2.0) * F.col("v_001")
+        + (F.col("v_101") - F.col("v_100"))
+        + (F.col("v_011") - F.col("v_010"))
+        + F.lit(2.0) * (F.col("v_111") - F.col("v_110"))
+    ) / F.lit(6.0)
+    return (
+        v.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("click").alias("channel"),
+                        phi_c.alias("shapley_value"),
+                    ),
+                    F.struct(
+                        F.lit("view").alias("channel"),
+                        phi_v.alias("shapley_value"),
+                    ),
+                    F.struct(
+                        F.lit("signup").alias("channel"),
+                        phi_s.alias("shapley_value"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.channel").alias("channel"),
+                F.col("e.shapley_value").alias("shapley_value"))
+        .orderBy("channel")
+    )
+
+
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law consistency audit (Little 1961) over 30-minute-gap
+    user sessions: busy time is computed TWO independent ways — the
+    direct per-session duration sum and the sweep-line concurrency
+    integral Σ concurrency·gap — and the audit asserts the exact
+    integer identity between them, then reports L (time-average
+    concurrent sessions), λ (arrival rate) and W (mean session
+    duration).  The sweep-line machinery is concurrency_timeline's;
+    the IDENTITY check is what this adds: a corrupted sessionizer
+    (lost ends, double starts) breaks the equality before any
+    downstream metric looks wrong.
+
+    EXACT cross-engine: session boundaries are the (ts, −1 before +1)
+    sorted order (half-open [start, end) intervals); the integral and
+    the duration sum are integer seconds; identity_ok is an integer
+    equality; L, λ/hour and W are one double division each.
+
+    Scale shape: per-user lag windows sessionize in one shuffle; the
+    sweep is a sort of 2·|sessions| boundary rows (bounded by
+    sessions, not events) with a running-sum window."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    ev = df.select("user_id", es.alias("es"))
+    per = Window.partitionBy("user_id").orderBy("es")
+    marked = ev.select(
+        "user_id",
+        "es",
+        F.when(
+            F.col("es") - F.lag("es").over(per) > 1800, 1
+        ).otherwise(0).alias("brk"),
+    )
+    sess = (
+        marked.select(
+            "user_id",
+            "es",
+            F.sum("brk").over(
+                per.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("es").alias("s0"),
+            F.max("es").alias("s1"),
+        )
+    )
+    stats = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).cast("long").alias("busy_direct"),
+    )
+    bounds = sess.select(
+        F.col("s0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("s1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep_w = Window.orderBy("t", "delta")
+    sweep = bounds.select(
+        "t",
+        F.sum("delta").over(
+            sweep_w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("conc"),
+        (F.lead("t").over(sweep_w) - F.col("t")).alias("gap"),
+    ).agg(
+        F.sum(F.col("conc") * F.coalesce(F.col("gap"), F.lit(0)))
+        .cast("long")
+        .alias("busy_sweep")
+    )
+    span = ev.agg(
+        (F.max("es") - F.min("es")).cast("long").alias("span_seconds")
+    )
+    return (
+        stats.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "n_sessions",
+            "busy_direct",
+            "busy_sweep",
+            (F.col("busy_direct") == F.col("busy_sweep")).alias(
+                "identity_ok"
+            ),
+            "span_seconds",
+            F.try_divide(
+                (F.col("n_sessions") * F.lit(3600)).cast("double"),
+                F.col("span_seconds").cast("double"),
+            ).alias("lambda_per_hour"),
+            F.try_divide(
+                F.col("busy_direct").cast("double"),
+                F.col("n_sessions").cast("double"),
+            ).alias("w_mean_seconds"),
+            F.try_divide(
+                F.col("busy_direct").cast("double"),
+                F.col("span_seconds").cast("double"),
+            ).alias("l_avg_concurrency"),
+        )
+    )

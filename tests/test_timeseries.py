@@ -3476,3 +3476,96 @@ def test_unseen_vocab_estimate_hand_spectrum(spark, tmp_path):
     assert r.chao1_richness == 4
     assert r.unseen_mass == 2 / 6
     assert r.coverage == 1.0 - 2 / 6
+
+
+def test_morans_i_smooth_vs_alternating(spark, tmp_path):
+    """A smooth block profile (first half heavy) gives I near +1; an
+    alternating profile gives I near -1; both match a pure-Python
+    recompute on the ring."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def build(counts):
+        rows, eid = [], 0
+        for c, n in enumerate(counts):
+            for k in range(n):
+                rows.append((eid, t0 + dt.timedelta(hours=c, minutes=k % 50),
+                             1, "c", 1.0, "{}"))
+                eid += 1
+        return rows
+
+    def moran_py(x):
+        n = len(x)
+        sx = sum(x)
+        z = [n * xi - sx for xi in x]
+        s_cross = sum(z[i] * (z[(i - 1) % n] + z[(i + 1) % n])
+                      for i in range(n))
+        s_zz = sum(zi * zi for zi in z)
+        return (n * s_cross) / (2 * n * s_zz)
+
+    smooth = [10] * 84 + [1] * 84
+    _write_events(spark, tmp_path, build(smooth))
+    r = Q.morans_i_hourweek(spark, str(tmp_path)).collect()[0]
+    assert abs(r.morans_i - moran_py(smooth)) < 1e-12
+    assert r.morans_i > 0.9
+
+    alt = [10 if c % 2 == 0 else 1 for c in range(168)]
+    _write_events(spark, tmp_path, build(alt))
+    r = Q.morans_i_hourweek(spark, str(tmp_path)).collect()[0]
+    assert abs(r.morans_i - moran_py(alt)) < 1e-12
+    assert r.morans_i < -0.9
+
+
+def test_shapley_attribution_hand_case(spark, tmp_path):
+    """Users exposed to exactly {click} convert at 1.0, {view} at 0.0,
+    {click,view} at 1.0: click carries all the credit it should."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def user(u, types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, t, 1.0,
+                         "{}"))
+            eid += 1
+
+    user(1, ["click", "purchase"])
+    user(2, ["click", "purchase"])
+    user(3, ["view"])
+    user(4, ["view"])
+    user(5, ["click", "view", "purchase"])
+    _write_events(spark, tmp_path, rows)
+    out = {r.channel: r.shapley_value for r in
+           Q.shapley_attribution(spark, str(tmp_path)).collect()}
+    # v_100 = 1.0, v_010 = 0.0, v_110 = 1.0; all other cells empty -> 0
+    # phi_click  = (2*(1-0) + (1-0) + (0-0) + 2*(0-0))/6 = 1/2
+    # phi_view   = (2*0 + (1-1) + (0-0) + 2*(0-0))/6 = 0
+    # phi_signup = (2*0 + (0-1) + (0-0) + 2*(0-1))/6 = -1/2
+    assert out["click"] == 0.5
+    assert out["view"] == 0.0
+    assert out["signup"] == -0.5
+    # efficiency: credits sum to v(grand coalition) - v(empty) = 0
+    assert sum(out.values()) == 0.0
+
+
+def test_littles_law_identity_and_rates(spark, tmp_path):
+    """Two users with overlapping sessions: the sweep integral equals
+    the duration sum exactly and the rates are the hand values."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: session [0, 600]
+        (0, t0, 1, "c", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=600), 1, "c", 1.0, "{}"),
+        # user 2: session [300, 900] overlaps; second session [4000, 4100]
+        (2, t0 + dt.timedelta(seconds=300), 2, "c", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=900), 2, "c", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=4000), 2, "c", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=4100), 2, "c", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.littles_law_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_sessions == 3
+    assert r.busy_direct == 600 + 600 + 100
+    assert r.identity_ok and r.busy_sweep == r.busy_direct
+    assert r.span_seconds == 4100
+    assert r.w_mean_seconds == 1300 / 3
+    assert r.l_avg_concurrency == 1300 / 4100
