@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     "morans_i_hourweek",
     "shapley_attribution",
     "littles_law_audit",
+    "rmst_survival",
+    "simpson_paradox_audit",
+    "ttl_cache_hit_curve",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

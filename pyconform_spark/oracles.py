@@ -9834,3 +9834,141 @@ SELECT n_sessions, busy_direct, busy_sweep,
        busy_direct::DOUBLE / span_seconds::DOUBLE AS l_avg_concurrency
 FROM stats, sweep, span
 """
+
+ORACLES["rmst_survival"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id,
+         (epoch_ms(ts) // 1000)::BIGINT AS es, ts
+  FROM events),
+flagged AS (
+  SELECT user_id, es, ts, event_id,
+         CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess_tag AS (
+  SELECT user_id, es,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_id,
+         min(es)::BIGINT AS s_start, max(es)::BIGINT AS s_end
+  FROM sess_tag GROUP BY 1, 2),
+horizon AS (
+  SELECT max(s_end)::BIGINT AS t_max,
+         floor((min(s_start) + max(s_start)) / 2)::BIGINT AS mid
+  FROM sessions),
+tagged AS (
+  SELECT CASE WHEN s_start <= mid THEN 'early' ELSE 'late' END AS cohort,
+         ((s_end - s_start) // 60)::BIGINT AS dur,
+         (t_max - s_end < 1800) AS censored
+  FROM sessions, horizon),
+grid AS (
+  SELECT cohort, dur, count(*)::BIGINT AS cnt_all,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d_events
+  FROM tagged GROUP BY 1, 2),
+staged AS (
+  SELECT cohort, dur, d_events,
+         (sum(cnt_all) OVER (PARTITION BY cohort)
+          - sum(cnt_all) OVER (PARTITION BY cohort ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + cnt_all)::BIGINT AS n_risk
+  FROM grid),
+ev AS (
+  SELECT cohort, dur, d_events, n_risk,
+         (n_risk - d_events)::DOUBLE / n_risk::DOUBLE AS factor,
+         row_number() OVER (PARTITION BY cohort ORDER BY dur)::BIGINT AS k
+  FROM staged WHERE d_events >= 1),
+rec AS (
+  SELECT cohort, k, dur, d_events, n_risk, 1.0 * factor AS km
+  FROM ev WHERE k = 1
+  UNION ALL
+  SELECT e.cohort, e.k, e.dur, e.d_events, e.n_risk, r.km * e.factor
+  FROM ev e JOIN rec r ON e.cohort = r.cohort AND e.k = r.k + 1),
+seg AS (
+  SELECT cohort, k,
+         coalesce(lag(km) OVER w2, 1.0)
+           * (least(dur::DOUBLE, 60.0)
+              - least(coalesce(lag(dur) OVER w2, 0)::DOUBLE, 60.0))
+         + CASE WHEN lead(dur) OVER w2 IS NULL
+                THEN km * (60.0 - least(dur::DOUBLE, 60.0))
+                ELSE 0.0 END AS contrib
+  FROM rec
+  WINDOW w2 AS (PARTITION BY cohort ORDER BY dur)),
+counts AS (
+  SELECT cohort, count(*)::BIGINT AS n_sessions,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS n_deaths
+  FROM tagged GROUP BY 1),
+rmst AS (
+  SELECT cohort,
+         list_reduce(list(contrib ORDER BY k), (a, b) -> a + b) AS rmst_min
+  FROM seg GROUP BY 1)
+SELECT c.cohort, c.n_sessions, c.n_deaths, 60::BIGINT AS tau_min,
+       coalesce(r.rmst_min, 60.0) AS rmst_min
+FROM counts c LEFT JOIN rmst r ON r.cohort = c.cohort
+ORDER BY c.cohort
+"""
+
+ORACLES["simpson_paradox_audit"] = """
+WITH base AS (
+  SELECT (floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT % 7) AS dow,
+         (user_id % 2 = 0) AS treated,
+         (event_type = 'error') AS is_err
+  FROM events),
+cells AS (
+  SELECT dow, treated, count(*)::BIGINT AS n,
+         sum(CASE WHEN is_err THEN 1 ELSE 0 END)::BIGINT AS e
+  FROM base GROUP BY 1, 2),
+strata AS (
+  SELECT 'dow_' || dow::VARCHAR AS stratum,
+         sum(CASE WHEN treated THEN n END)::BIGINT AS n_treated,
+         sum(CASE WHEN treated THEN e END)::BIGINT AS err_treated,
+         sum(CASE WHEN NOT treated THEN n END)::BIGINT AS n_control,
+         sum(CASE WHEN NOT treated THEN e END)::BIGINT AS err_control
+  FROM cells GROUP BY dow),
+pooled AS (
+  SELECT 'pooled' AS stratum,
+         sum(CASE WHEN treated THEN n END)::BIGINT AS n_treated,
+         sum(CASE WHEN treated THEN e END)::BIGINT AS err_treated,
+         sum(CASE WHEN NOT treated THEN n END)::BIGINT AS n_control,
+         sum(CASE WHEN NOT treated THEN e END)::BIGINT AS err_control
+  FROM cells),
+pd AS (
+  SELECT sign((err_treated * n_control
+               - err_control * n_treated)::DOUBLE)::BIGINT AS pooled_dir
+  FROM pooled),
+unioned AS (
+  SELECT * FROM strata UNION ALL SELECT * FROM pooled)
+SELECT stratum, n_treated, err_treated, n_control, err_control,
+       err_treated::DOUBLE / n_treated::DOUBLE AS rate_treated,
+       err_control::DOUBLE / n_control::DOUBLE AS rate_control,
+       sign((err_treated * n_control
+             - err_control * n_treated)::DOUBLE)::BIGINT AS direction,
+       (stratum <> 'pooled'
+        AND sign((err_treated * n_control
+                  - err_control * n_treated)::DOUBLE)::BIGINT <> 0
+        AND pooled_dir <> 0
+        AND sign((err_treated * n_control
+                  - err_control * n_treated)::DOUBLE)::BIGINT
+            = -pooled_dir) AS reversed_vs_pooled
+FROM unioned, pd ORDER BY stratum
+"""
+
+ORACLES["ttl_cache_hit_curve"] = """
+WITH gaps AS (
+  SELECT floor(epoch(ts))::BIGINT
+         - lag(floor(epoch(ts))::BIGINT)
+             OVER (PARTITION BY user_id
+                   ORDER BY floor(epoch(ts))::BIGINT, event_id) AS gap
+  FROM events),
+ttls AS (SELECT unnest([60, 600, 1800, 3600, 14400])::BIGINT
+           AS ttl_seconds)
+SELECT ttl_seconds,
+       sum(CASE WHEN gap <= ttl_seconds THEN 1 ELSE 0 END)::BIGINT AS hits,
+       sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END)::BIGINT AS cold_misses,
+       count(*)::BIGINT AS total_accesses,
+       sum(CASE WHEN gap <= ttl_seconds THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS hit_ratio
+FROM gaps, ttls GROUP BY 1 ORDER BY 1
+"""

@@ -20163,3 +20163,287 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l_avg_concurrency"),
         )
     )
+
+
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (RMST, τ = 60 min) of session
+    durations per early/late cohort (Royston & Parmar 2013 made it
+    the standard KM summary): the AREA under each cohort's
+    Kaplan-Meier curve up to τ — "expected minutes of engagement in
+    the first hour", the single number that compares cohorts without
+    the proportional-hazards assumption logrank_survival_drift leans
+    on.  kaplan_meier_sessions draws the curve; this integrates it.
+
+    EXACT cross-engine: sessionization, censoring (in flight at the
+    global horizon) and at-risk counts are integers on the minute
+    grid; each KM factor is ONE double division; the running product
+    folds STRICTLY LEFT-TO-RIGHT in duration order (Spark: cumulative
+    collect_list fold; DuckDB: recursive CTE); the integral is a
+    pinned left fold over per-segment contributions
+    km_{k−1}·(min(t_k,τ)−min(t_{k−1},τ)) with the tail piece
+    km_last·(τ−min(t_last,τ)) added on the last row — identical IEEE
+    trees in both engines.
+
+    Scale shape: the per-cohort death grid is bounded by the session-
+    length range in minutes (never corpus size); all unpartitioned
+    windows run on that tiny grid (the kaplan_meier precedent)."""
+    tau = 60
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select("user_id", "event_id", "ts", es.alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        (F.col("es") - F.lag("es").over(w) > 1800)
+        | F.lag("es").over(w).isNull()
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        base.select(
+            "user_id",
+            "es",
+            F.sum(new_sess.cast("long")).over(cum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("es").alias("s_start"), F.max("es").alias("s_end"))
+    )
+    horizon = sessions.agg(
+        F.max("s_end").alias("t_max"),
+        F.floor((F.min("s_start") + F.max("s_start")) / 2)
+        .cast("long")
+        .alias("mid"),
+    )
+    tagged = sessions.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("s_start") <= F.col("mid"), "early")
+        .otherwise("late")
+        .alias("cohort"),
+        F.floor((F.col("s_end") - F.col("s_start")) / 60)
+        .cast("long")
+        .alias("dur"),
+        (F.col("t_max") - F.col("s_end") < 1800).alias("censored"),
+    )
+    grid = tagged.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+    )
+    wall = Window.partitionBy("cohort")
+    wcum = Window.partitionBy("cohort").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = grid.select(
+        "cohort",
+        "dur",
+        "d_events",
+        (
+            F.sum("cnt_all").over(wall)
+            - F.sum("cnt_all").over(wcum)
+            + F.col("cnt_all")
+        ).cast("long").alias("n_risk"),
+    ).where(F.col("d_events") >= 1)
+    factor = (
+        (F.col("n_risk") - F.col("d_events")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    worder = Window.partitionBy("cohort").orderBy("dur")
+    wprod = worder.rowsBetween(Window.unboundedPreceding, 0)
+    ev = staged.select(
+        "cohort",
+        "dur",
+        "d_events",
+        F.row_number().over(worder).cast("long").alias("k"),
+        F.aggregate(
+            F.collect_list(factor).over(wprod),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("km"),
+    )
+    lag_km = F.coalesce(F.lag("km").over(worder), F.lit(1.0))
+    lag_t = F.coalesce(F.lag("dur").over(worder), F.lit(0).cast("long"))
+    cut = lambda c: F.least(c.cast("double"), F.lit(float(tau)))  # noqa: E731
+    is_last = F.lead("dur").over(worder).isNull()
+    seg = ev.select(
+        "cohort",
+        "k",
+        "d_events",
+        (
+            lag_km * (cut(F.col("dur")) - cut(lag_t))
+            + F.when(
+                is_last,
+                F.col("km")
+                * (F.lit(float(tau)) - cut(F.col("dur"))),
+            ).otherwise(F.lit(0.0))
+        ).alias("contrib"),
+    )
+    counts = tagged.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deaths"),
+    )
+    rmst = seg.groupBy("cohort").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", "contrib"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["contrib"],
+        ).alias("rmst_min")
+    )
+    return (
+        counts.join(rmst, "cohort", "left")
+        .select(
+            "cohort",
+            "n_sessions",
+            "n_deaths",
+            F.lit(tau).cast("long").alias("tau_min"),
+            # a cohort with zero observed deaths has S(t) = 1 on
+            # [0, tau): RMST = tau exactly
+            F.coalesce(F.col("rmst_min"), F.lit(float(tau))).alias(
+                "rmst_min"
+            ),
+        )
+        .orderBy("cohort")
+    )
+
+
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951; Bickel's Berkeley study
+    made it famous) for the treated-vs-control error-rate comparison:
+    compare even- vs odd-user error rates POOLED and within each
+    day-of-week stratum, and flag every stratum whose direction
+    REVERSES the pooled one — the confounding check an experimentation
+    platform runs before believing any pooled lift, which
+    did_estimator and cuped_adjustment both silently assume away.
+
+    EXACT cross-engine: every direction is the integer sign of the
+    cross-multiplied rate difference e_t·n_c − e_c·n_t (no float
+    compare anywhere); rates are one double division each for
+    display; the pooled direction broadcasts onto the 7 stratum
+    rows.
+
+    Scale shape: one hash agg to 7×2 cells, then constant-size
+    logic."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        (F.floor(es / 86400) % 7).cast("long").alias("dow"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    cells = base.groupBy("dow", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_err"), 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    def pivot(frame: DataFrame, keys: list) -> DataFrame:
+        return frame.groupBy(*keys).agg(
+            F.sum(F.when(F.col("treated"), F.col("n"))).cast("long").alias(
+                "n_treated"
+            ),
+            F.sum(F.when(F.col("treated"), F.col("e"))).cast("long").alias(
+                "err_treated"
+            ),
+            F.sum(F.when(~F.col("treated"), F.col("n"))).cast("long").alias(
+                "n_control"
+            ),
+            F.sum(F.when(~F.col("treated"), F.col("e"))).cast("long").alias(
+                "err_control"
+            ),
+        )
+    strata = pivot(cells, ["dow"]).select(
+        F.concat(F.lit("dow_"), F.col("dow").cast("string")).alias(
+            "stratum"
+        ),
+        "n_treated",
+        "err_treated",
+        "n_control",
+        "err_control",
+    )
+    pooled = pivot(cells, []).select(
+        F.lit("pooled").alias("stratum"),
+        "n_treated",
+        "err_treated",
+        "n_control",
+        "err_control",
+    )
+    sign = F.signum(
+        (
+            F.col("err_treated") * F.col("n_control")
+            - F.col("err_control") * F.col("n_treated")
+        ).cast("double")
+    ).cast("long")
+    pooled_dir = pooled.select(sign.alias("pooled_dir"))
+    out = strata.unionByName(pooled).crossJoin(F.broadcast(pooled_dir))
+    return out.select(
+        "stratum",
+        "n_treated",
+        "err_treated",
+        "n_control",
+        "err_control",
+        F.try_divide(
+            F.col("err_treated").cast("double"),
+            F.col("n_treated").cast("double"),
+        ).alias("rate_treated"),
+        F.try_divide(
+            F.col("err_control").cast("double"),
+            F.col("n_control").cast("double"),
+        ).alias("rate_control"),
+        sign.alias("direction"),
+        (
+            (F.col("stratum") != "pooled")
+            & (sign != 0)
+            & (F.col("pooled_dir") != 0)
+            & (sign == -F.col("pooled_dir"))
+        ).alias("reversed_vs_pooled"),
+    ).orderBy("stratum")
+
+
+def ttl_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL cache hit curve: for expiry-based caching (the OTHER cache
+    policy — lru_stack_distance prices capacity, this prices
+    freshness), an access hits iff the SAME key was fetched within the
+    TTL; the curve over TTLs {1m, 10m, 30m, 1h, 4h} is exactly what a
+    result-cache or materialized-tier owner reads to set the expiry —
+    capacity-infinite, time-bounded.
+
+    EXACT cross-engine: per-key previous-access gaps are integer
+    seconds from one lag window; hit tests are integer comparisons
+    against the TTL grid; hit_ratio is one division.
+
+    Scale shape: one per-key lag window (hash partitioned on the
+    key), one broadcast of the 5-row TTL grid, one hash agg."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    per = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = df.select(
+        "user_id", es.alias("es"), "event_id"
+    ).select(
+        (F.col("es") - F.lag("es").over(per)).alias("gap")
+    )
+    ttls = spark.createDataFrame(
+        [(60,), (600,), (1800,), (3600,), (14400,)], "ttl_seconds long"
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ttls))
+        .groupBy("ttl_seconds")
+        .agg(
+            F.sum(
+                F.when(F.col("gap") <= F.col("ttl_seconds"), 1).otherwise(0)
+            ).cast("long").alias("hits"),
+            F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("cold_misses"),
+            F.count(F.lit(1)).cast("long").alias("total_accesses"),
+        )
+        .select(
+            "ttl_seconds",
+            "hits",
+            "cold_misses",
+            "total_accesses",
+            F.try_divide(
+                F.col("hits").cast("double"),
+                F.col("total_accesses").cast("double"),
+            ).alias("hit_ratio"),
+        )
+        .orderBy("ttl_seconds")
+    )
