@@ -289,6 +289,9 @@ BENCH_QUERIES = [
     "rmst_survival",
     "simpson_paradox_audit",
     "ttl_cache_hit_curve",
+    "hierarchy_reconcile",
+    "settling_time_estimate",
+    "population_estimators",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

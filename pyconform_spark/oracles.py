@@ -9972,3 +9972,104 @@ SELECT ttl_seconds,
          / count(*)::DOUBLE AS hit_ratio
 FROM gaps, ttls GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["hierarchy_reconcile"] = """
+WITH daily AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+last AS (SELECT max(day) AS last_day FROM daily),
+hist AS (
+  SELECT event_type, sum(n)::BIGINT AS hist,
+         count(DISTINCT day)::BIGINT AS n_days
+  FROM daily, last WHERE day < last_day GROUP BY 1),
+actual AS (
+  SELECT event_type, sum(n)::BIGINT AS actual
+  FROM daily, last WHERE day = last_day GROUP BY 1),
+top AS (
+  SELECT sum(hist)::BIGINT AS hist_total,
+         max(n_days)::BIGINT AS n_days_top FROM hist),
+leaves AS (
+  SELECT h.event_type, h.n_days,
+         coalesce(a.actual, 0)::BIGINT AS actual,
+         ((100 * h.hist) // h.n_days)::BIGINT AS base_fc_centi,
+         ((((100 * t.hist_total) // t.n_days_top) * h.hist)
+            // t.hist_total)::BIGINT AS td_fc_centi
+  FROM hist h LEFT JOIN actual a ON a.event_type = h.event_type, top t),
+total_row AS (
+  SELECT '__total__' AS event_type,
+         max(n_days)::BIGINT AS n_days,
+         sum(actual)::BIGINT AS actual,
+         sum(base_fc_centi)::BIGINT AS base_fc_centi,
+         (SELECT ((100 * hist_total) // n_days_top)::BIGINT FROM top)
+           AS td_fc_centi
+  FROM leaves),
+unioned AS (
+  SELECT * FROM leaves UNION ALL SELECT * FROM total_row)
+SELECT event_type, n_days,
+       (actual * 100)::BIGINT AS actual_centi,
+       base_fc_centi, td_fc_centi,
+       abs(actual * 100 - base_fc_centi)::BIGINT AS base_abs_err_centi,
+       abs(actual * 100 - td_fc_centi)::BIGINT AS td_abs_err_centi
+FROM unioned ORDER BY event_type
+"""
+
+ORACLES["settling_time_estimate"] = """
+WITH hourly AS (
+  SELECT event_type,
+         floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS hb,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hb)::BIGINT
+           AS idx,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours
+  FROM hourly),
+tail AS (
+  SELECT event_type, sum(x)::BIGINT AS s_tail,
+         count(*)::BIGINT AS n_tail
+  FROM ranked WHERE idx > n_hours - 24 GROUP BY 1),
+flagged AS (
+  SELECT r.event_type, r.n_hours, t.s_tail, t.n_tail,
+         CASE WHEN abs(t.n_tail * r.x - t.s_tail) * 5 > t.s_tail
+              THEN r.idx ELSE 0 END AS viol_idx
+  FROM ranked r JOIN tail t ON t.event_type = r.event_type)
+SELECT event_type, n_hours,
+       s_tail::DOUBLE / n_tail::DOUBLE AS final_level,
+       (max(viol_idx) + 1)::BIGINT AS settle_idx,
+       (n_hours - max(viol_idx))::DOUBLE / n_hours::DOUBLE
+         AS settled_frac
+FROM flagged GROUP BY event_type, n_hours, s_tail, n_tail
+ORDER BY event_type
+"""
+
+ORACLES["population_estimators"] = """
+WITH base AS (
+  SELECT user_id,
+         (floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT % 2 = 0)
+           AS even_day
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN even_day THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN NOT even_day THEN 1 ELSE 0 END) AS in2
+  FROM base GROUP BY 1),
+agg AS (
+  SELECT sum(in1)::BIGINT AS n1, sum(in2)::BIGINT AS n2,
+         sum(in1 * in2)::BIGINT AS m_both,
+         count(*)::BIGINT AS true_distinct_users,
+         max(CASE WHEN in1 = 1 THEN user_id + 1 END)::BIGINT
+           AS gt_max_serial,
+         max(user_id + 1)::BIGINT AS true_id_space
+  FROM per_user)
+SELECT n1, n2, m_both,
+       (((n1 + 1) * (n2 + 1)) // (m_both + 1) - 1)::BIGINT
+         AS chapman_estimate,
+       true_distinct_users, gt_max_serial,
+       (gt_max_serial + gt_max_serial // n1 - 1)::BIGINT
+         AS german_tank_estimate,
+       true_id_space
+FROM agg
+"""

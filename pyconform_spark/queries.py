@@ -20447,3 +20447,229 @@ def ttl_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ttl_seconds")
     )
+
+
+def hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation audit (Hyndman et al.'s
+    bottom-up vs top-down, the forecasting-textbook baseline pair)
+    over the type→total hierarchy: each leaf's naive forecast for the
+    LAST day is its mean daily count over the prior days, the total's
+    direct forecast is the mean daily total, and top-down splits the
+    direct total by historical leaf shares.  The audit reports, per
+    leaf AND for the total row, both reconciled forecasts against the
+    actual last day — the coherence question (leaf forecasts summing
+    to the total's) every tiered rollup store hits when it forecasts
+    at more than one grain.
+
+    EXACT cross-engine: forecasts live in CENTI-counts via truncated
+    integer division — base_fc = (100·hist) div n_days, top-down
+    fc = f_top·hist_leaf div hist_total — so coherence gaps and
+    absolute errors are pure integers; no floats anywhere.
+
+    Scale shape: one hash agg to (type, day), one to |types|, a 1-row
+    top broadcast; the last-day actuals ride the same reduced
+    frame."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    daily = (
+        df.select(
+            "event_type", F.floor(es / 86400).cast("long").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    last = daily.agg(F.max("day").alias("last_day"))
+    tagged = daily.crossJoin(F.broadcast(last))
+    hist = (
+        tagged.where(F.col("day") < F.col("last_day"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("hist"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+        )
+    )
+    actual = (
+        tagged.where(F.col("day") == F.col("last_day"))
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("actual"))
+    )
+    top = hist.agg(
+        F.sum("hist").cast("long").alias("hist_total"),
+        F.max("n_days").cast("long").alias("n_days_top"),
+    )
+    leaves = (
+        hist.join(actual, "event_type", "left")
+        .crossJoin(F.broadcast(top))
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            F.expr("(100 * hist) div n_days").cast("long").alias(
+                "base_fc_centi"
+            ),
+            F.expr(
+                "(((100 * hist_total) div n_days_top) * hist)"
+                " div hist_total"
+            ).cast("long").alias("td_fc_centi"),
+        )
+    )
+    total_row = leaves.agg(
+        F.lit("__total__").alias("event_type"),
+        F.max("n_days").cast("long").alias("n_days"),
+        F.sum("actual").cast("long").alias("actual"),
+        F.sum("base_fc_centi").cast("long").alias("base_fc_centi"),
+    ).crossJoin(F.broadcast(top)).select(
+        "event_type",
+        "n_days",
+        "actual",
+        "base_fc_centi",
+        F.expr("(100 * hist_total) div n_days_top").cast("long").alias(
+            "td_fc_centi"
+        ),
+    )
+    out = leaves.select(
+        "event_type", "n_days", "actual", "base_fc_centi", "td_fc_centi"
+    ).unionByName(total_row)
+    return out.select(
+        "event_type",
+        "n_days",
+        (F.col("actual") * 100).alias("actual_centi"),
+        "base_fc_centi",
+        "td_fc_centi",
+        F.abs(F.col("actual") * 100 - F.col("base_fc_centi"))
+        .cast("long")
+        .alias("base_abs_err_centi"),
+        F.abs(F.col("actual") * 100 - F.col("td_fc_centi"))
+        .cast("long")
+        .alias("td_abs_err_centi"),
+    ).orderBy("event_type")
+
+
+def settling_time_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settling time of each event-type hourly series (control-theory
+    step-response vocabulary): the first hour after which the count
+    stays inside ±20% of the FINAL level (mean of the last 24 observed
+    hours) forever — "when did this tool's traffic reach steady
+    state?", the ramp-up diagnostic a capacity planner reads after a
+    launch, which trend tests (mann_kendall, theil_sen) don't answer
+    because they score the whole series, not the knee.
+
+    EXACT cross-engine: the band test |24·x − S| · 5 ≤ S cross-
+    multiplies the ±20% condition into pure integers (S = sum of the
+    last-24 window); the settling index is max(violation·(idx+1))
+    over the per-type partition; settled_frac is one division.
+
+    Scale shape: one hash agg to (type, hour), per-type windows on
+    that reduced frame, one row per type out."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        df.select(
+            "event_type", F.floor(es / 3600).cast("long").alias("hb")
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per = Window.partitionBy("event_type").orderBy("hb")
+    idx = F.row_number().over(per).cast("long")
+    wall = Window.partitionBy("event_type")
+    ranked = hourly.select(
+        "event_type",
+        "x",
+        idx.alias("idx"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_hours"),
+    )
+    tail = ranked.where(
+        F.col("idx") > F.col("n_hours") - 24
+    ).groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("s_tail"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+    )
+    j = ranked.join(F.broadcast(tail), "event_type")
+    viol = (
+        F.abs(
+            F.col("n_tail") * F.col("x") - F.col("s_tail")
+        ) * 5
+        > F.col("s_tail")
+    )
+    flagged = j.select(
+        "event_type",
+        "n_hours",
+        "s_tail",
+        "n_tail",
+        F.when(viol, F.col("idx")).otherwise(F.lit(0)).alias("viol_idx"),
+    )
+    return (
+        flagged.groupBy("event_type", "n_hours", "s_tail", "n_tail")
+        .agg(F.max("viol_idx").cast("long").alias("last_violation"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.try_divide(
+                F.col("s_tail").cast("double"),
+                F.col("n_tail").cast("double"),
+            ).alias("final_level"),
+            (F.col("last_violation") + 1).cast("long").alias(
+                "settle_idx"
+            ),
+            F.try_divide(
+                (F.col("n_hours") - F.col("last_violation")).cast(
+                    "double"
+                ),
+                F.col("n_hours").cast("double"),
+            ).alias("settled_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def population_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-size estimators audited against the truth:
+    Chapman's capture-recapture (the bias-corrected Lincoln–Petersen
+    ecologists and dedup-cardinality auditors use) on the even/odd-day
+    user samples, and the German-tank (maximum-serial) estimator on
+    the even-day sample's largest user id — both compared with the
+    exact distinct-user count and id space.  hll_distinct_users
+    estimates with a sketch of ALL rows; these estimate from PARTIAL
+    observations, the situation a sampled scan actually faces.
+
+    EXACT cross-engine: sample memberships are integer day-parity
+    predicates; both estimators are pure integer formulas
+    (Chapman: (n1+1)(n2+1) div (m+1) − 1; tank: m + m div k − 1 on
+    1-based serials); no floats anywhere.
+
+    Scale shape: one scan, three distinct-aggregates (each one
+    shuffle on user_id), one constant-size output row."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = df.select(
+        "user_id",
+        (F.floor(es / 86400) % 2 == 0).alias("even_day"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.max(F.when(F.col("even_day"), 1).otherwise(0)).alias("in1"),
+        F.max(F.when(~F.col("even_day"), 1).otherwise(0)).alias("in2"),
+    )
+    return per_user.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m_both"),
+        F.count(F.lit(1)).cast("long").alias("true_distinct_users"),
+        F.max(F.when(F.col("in1") == 1, F.col("user_id") + 1)).cast(
+            "long"
+        ).alias("gt_max_serial"),
+        F.max(F.col("user_id") + 1).cast("long").alias("true_id_space"),
+    ).select(
+        "n1",
+        "n2",
+        "m_both",
+        F.expr(
+            "((n1 + 1) * (n2 + 1)) div (m_both + 1) - 1"
+        ).cast("long").alias("chapman_estimate"),
+        "true_distinct_users",
+        "gt_max_serial",
+        F.expr("gt_max_serial + gt_max_serial div n1 - 1").cast(
+            "long"
+        ).alias("german_tank_estimate"),
+        "true_id_space",
+    )

@@ -3696,3 +3696,77 @@ def test_ttl_cache_hit_curve_hand_gaps(spark, tmp_path):
     assert out[14400].hits == 3    # all three gaps
     assert out[60].cold_misses == 2 and out[60].total_accesses == 5
     assert out[1800].hit_ratio == 2 / 5
+
+
+def test_hierarchy_reconcile_hand_forecasts(spark, tmp_path):
+    """Two types over 2 prior days + 1 last day: base forecasts are
+    exact centi-count means; top-down splits by historical share; the
+    total row is coherent with bottom-up by construction."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def emit(day, typ, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=k % 300),
+                         1, typ, 1.0, "{}"))
+            eid += 1
+
+    emit(0, "a", 10); emit(1, "a", 20)   # hist a = 30 over 2 days
+    emit(0, "b", 40); emit(1, "b", 50)   # hist b = 90 over 2 days
+    emit(2, "a", 17); emit(2, "b", 43)   # last day actuals
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in
+           Q.hierarchy_reconcile(spark, str(tmp_path)).collect()}
+    a, b, tot = out["a"], out["b"], out["__total__"]
+    assert a.base_fc_centi == (100 * 30) // 2 == 1500
+    assert b.base_fc_centi == 4500
+    # top: (100*120)//2 = 6000; td a = 6000*30//120 = 1500
+    assert a.td_fc_centi == 1500 and b.td_fc_centi == 4500
+    assert tot.base_fc_centi == 6000 and tot.td_fc_centi == 6000
+    assert a.actual_centi == 1700 and a.base_abs_err_centi == 200
+    assert tot.actual_centi == 6000 and tot.base_abs_err_centi == 0
+
+
+def test_settling_time_detects_ramp_knee(spark, tmp_path):
+    """Ramp 1..5 then 30 steady hours at 10: the final level is 10,
+    the ramp hours violate the ±20% band, settle_idx lands at the
+    first steady hour."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    counts = [1, 2, 3, 4, 5] + [10] * 30
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=k % 50),
+                         1, "a", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.settling_time_estimate(spark, str(tmp_path)).collect()[0]
+    assert r.n_hours == 35
+    assert r.final_level == 10.0  # last 24 hours all equal 10
+    assert r.settle_idx == 6      # hours 1-5 violate, steady from idx 6
+    assert r.settled_frac == 30 / 35
+
+
+def test_population_estimators_hand_samples(spark, tmp_path):
+    """Known overlap: users {1..6} on even day, {4..9} on odd day,
+    m = 3 -> Chapman ((7*7)//4)-1 = 11; truth 9."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base_day = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    even_off = 0 if base_day % 2 == 0 else 1
+    rows, eid = [], 0
+    for u in range(1, 7):
+        rows.append((eid, t0 + dt.timedelta(days=even_off), u, "c", 1.0,
+                     "{}")); eid += 1
+    for u in range(4, 10):
+        rows.append((eid, t0 + dt.timedelta(days=even_off + 1), u, "c",
+                     1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.population_estimators(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.m_both) == (6, 6, 3)
+    assert r.chapman_estimate == (7 * 7) // 4 - 1 == 11
+    assert r.true_distinct_users == 9
+    # german tank: max serial in sample1 = 7, k = 6 -> 7 + 1 - 1 = 7
+    assert r.gt_max_serial == 7
+    assert r.german_tank_estimate == 7 + 7 // 6 - 1 == 7
+    assert r.true_id_space == 10
