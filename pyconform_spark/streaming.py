@@ -1756,3 +1756,100 @@ def stream_mg_summary(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_time_decay(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``queries.ewma_time_decay_1h`` — the
+    half-life-1h wall-clock-decayed hourly mean per user, emitted
+    continuously.  The carried state is the trailing ≤ 41 hourly
+    cells (hour, Σvq, count) per user — bounded by the EXACT window
+    the batch query uses (2⁻⁴⁰ contributions are dropped there too),
+    so state is O(window), never O(history).
+
+    Contract: in-order arrival per user across micro-batches (the
+    recursion twins' shared ingest contract).  Within a batch, rows
+    aggregate into hourly partials first, so Arrow chunk splits and
+    intra-batch disorder are harmless; an hour SPLIT across batches
+    re-emits its row with the updated value — with update-mode
+    semantics the LAST emission per (user, hour) equals the batch
+    query bit-for-bit (pytest parity gate): Python's float(int) and
+    Spark's DECIMAL(38,0)→double cast are both correctly-rounded, and
+    the division is the same IEEE op."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("bucket_ts", T.TimestampNTZType(), True),
+        T.StructField("decayed_mean", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("hbs", T.ArrayType(T.LongType()), True),
+        T.StructField("vsums", T.ArrayType(T.LongType()), True),
+        T.StructField("cnts", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        hb = (ns // (3600 * 10**9)).astype("int64")
+        vq = np.floor(
+            pdf["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        cells: dict[int, tuple[int, int]] = {}
+        for h, v in zip(hb.tolist(), vq.tolist()):
+            s = cells.get(h)
+            cells[h] = (s[0] + v, s[1] + 1) if s else (v, 1)
+        if state.exists:
+            hbs, vsums, cnts = state.get
+            for h, v, c in zip(hbs, vsums, cnts):
+                s = cells.get(h)
+                cells[h] = (s[0] + v, s[1] + c) if s else (v, c)
+        # emit every hour touched by THIS batch from the full cells
+        out_h, out_m = [], []
+        for h in sorted(set(hb.tolist())):
+            num = 0
+            den = 0
+            for h2, (v, c) in cells.items():
+                if h - 40 <= h2 <= h:
+                    w = 1 << (40 - (h - h2))
+                    num += v * w
+                    den += c * w
+            out_h.append(h)
+            out_m.append(float(num) / float(den))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(out_h), user_id, dtype=np.int64),
+                "bucket_ts": pd.to_datetime(
+                    np.array(out_h, dtype="int64") * 3600, unit="s"
+                ),
+                "decayed_mean": np.array(out_m, dtype=np.float64),
+            }
+        )
+        hmax = max(cells)
+        kept = sorted(h for h in cells if h >= hmax - 40)
+        state.update(
+            (
+                [int(h) for h in kept],
+                [int(cells[h][0]) for h in kept],
+                [int(cells[h][1]) for h in kept],
+            )
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1335,3 +1335,55 @@ def test_stream_mg_summary_guarantee_and_verified_parity(spark, tmp_path):
         ).collect()
     )
     assert verified == want and len(want) > 0
+
+
+def test_stream_time_decay_matches_batch_bitwise(spark, tmp_path):
+    """Streaming half-life decay == batch ewma_time_decay_1h with the
+    corpus split mid-corpus (and therefore mid-hour for some users):
+    update-mode re-emission means the LAST row per (user, hour) must
+    equal the batch value bit-for-bit."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "decay_in")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_time_decay(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decaystream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emission per (user, hour) — memory sink appends in batch
+    # order, so keep the final row
+    rows = spark.sql(
+        "select * from decaystream"
+    ).collect()
+    got = {}
+    for r in rows:
+        got[(r.user_id, r.bucket_ts)] = r.decayed_mean
+    want = {
+        (r.user_id, r.bucket_ts): r.decayed_mean
+        for r in Q.ewma_time_decay_1h(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    n_pre = events.where(F.col("ts") < cut).count()
+    assert 0 < n_pre < events.count()
