@@ -2261,3 +2261,65 @@ def test_walsh_fold_keeps_plan_constant_size(spark):
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "Exchange") == 2
     assert "Join" not in plan
+
+
+def test_lru_stack_distance_uses_banded_equijoin(spark):
+    """The in-between scan must be a hash/sort-merge equi-join on the
+    position band — never a BroadcastNestedLoopJoin (the quadratic
+    range-join trap)."""
+    plan = plan_of(Q.lru_stack_distance(spark, SF))
+    # the in-between scan itself is an equi-join on the band key
+    assert (
+        count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "SortMergeJoin")
+        >= 1
+    )
+    # the only nested-loop is the constant 6-row capacities cross
+    # (broadcast, Cross build); the range predicate must NOT be one
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastNestedLoopJoin Inner" not in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_ewma_time_decay_uses_equijoin_no_bnlj(spark):
+    """The trailing-window join rides the exploded 41-hour equi-key;
+    a range-predicate plan would fall into BNLJ."""
+    plan = plan_of(Q.ewma_time_decay_1h(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "HashAggregate") >= 2  # partial+final
+
+
+def test_fsst_gain_pass_broadcasts_the_symbol_table(spark):
+    """The 16-symbol table must broadcast onto the docs scan (the gain
+    pass re-scans text once; the corpus never shuffles)."""
+    plan = plan_of(Q.fsst_symbol_profile(spark, SF))
+    assert count_nodes(plan, "BroadcastExchange") >= 1
+    # candidate pass keeps map-side combine before its one exchange
+    assert "partial_count" in plan
+
+
+def test_pareto_skyline_broadcasts_reduced_frame(spark):
+    """Dominance tests join the REDUCED per-user frame against its
+    broadcast copy — the raw scan feeds one hash aggregate only."""
+    plan = plan_of(Q.pareto_skyline(spark, SF))
+    assert count_nodes(plan, "BroadcastExchange") >= 1
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_var1_coupling_single_agg_over_hourly_joins(spark):
+    """The pair frame aggregates once (partial+final) after equi-joins
+    on the hourly grid; no nested-loop anywhere."""
+    plan = plan_of(Q.var1_coupling(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "partial_sum" in plan
+
+
+def test_zorder_audit_probe_side_is_broadcast(spark):
+    """The constant probe frame broadcasts onto the 64 file-stat rows;
+    the only unpartitioned windows are the two candidate layout sorts
+    (the audited operation itself)."""
+    plan = plan_of(Q.zorder_layout_audit(spark, SF))
+    assert count_nodes(plan, "BroadcastExchange") >= 1
+    assert count_nodes(plan, "CartesianProduct") == 0
