@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "hierarchy_reconcile",
     "settling_time_estimate",
     "population_estimators",
+    "median_polish_dowhour",
+    "calibration_bins_audit",
+    "lift_gain_curve",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

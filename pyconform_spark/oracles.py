@@ -10073,3 +10073,136 @@ SELECT n1, n2, m_both,
        true_id_space
 FROM agg
 """
+
+ORACLES["median_polish_dowhour"] = """
+WITH counts AS (
+  SELECT (floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT % 7) AS d,
+         (floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT % 24) AS h,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT dd.d, hh.h
+  FROM (SELECT unnest(range(0, 7))::BIGINT AS d) dd,
+       (SELECT unnest(range(0, 24))::BIGINT AS h) hh),
+g0 AS (
+  SELECT cells.d, cells.h, coalesce(counts.x, 0)::BIGINT AS r
+  FROM cells LEFT JOIN counts
+    ON counts.d = cells.d AND counts.h = cells.h),
+rm1 AS (
+  SELECT d, r AS med FROM (
+    SELECT d, r, row_number() OVER (PARTITION BY d ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY d) AS n FROM g0) q
+  WHERE rn = (n + 1) // 2),
+g1 AS (SELECT g0.d, g0.h, g0.r - rm1.med AS r
+       FROM g0 JOIN rm1 ON rm1.d = g0.d),
+cm1 AS (
+  SELECT h, r AS med FROM (
+    SELECT h, r, row_number() OVER (PARTITION BY h ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY h) AS n FROM g1) q
+  WHERE rn = (n + 1) // 2),
+g2 AS (SELECT g1.d, g1.h, g1.r - cm1.med AS r
+       FROM g1 JOIN cm1 ON cm1.h = g1.h),
+rm2 AS (
+  SELECT d, r AS med FROM (
+    SELECT d, r, row_number() OVER (PARTITION BY d ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY d) AS n FROM g2) q
+  WHERE rn = (n + 1) // 2),
+g3 AS (SELECT g2.d, g2.h, g2.r - rm2.med AS r
+       FROM g2 JOIN rm2 ON rm2.d = g2.d),
+cm2 AS (
+  SELECT h, r AS med FROM (
+    SELECT h, r, row_number() OVER (PARTITION BY h ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY h) AS n FROM g3) q
+  WHERE rn = (n + 1) // 2),
+g4 AS (SELECT g3.d, g3.h, g3.r - cm2.med AS r
+       FROM g3 JOIN cm2 ON cm2.h = g3.h),
+row_eff AS (
+  SELECT rm1.d, (rm1.med + rm2.med)::BIGINT AS e
+  FROM rm1 JOIN rm2 ON rm2.d = rm1.d),
+col_eff AS (
+  SELECT cm1.h, (cm1.med + cm2.med)::BIGINT AS e
+  FROM cm1 JOIN cm2 ON cm2.h = cm1.h),
+resid AS (
+  SELECT max(abs(r))::BIGINT AS max_abs, sum(abs(r))::BIGINT AS sum_abs
+  FROM g4)
+SELECT * FROM (
+  SELECT 'row' AS component, d::BIGINT AS idx, e AS effect FROM row_eff
+  UNION ALL
+  SELECT 'col', h::BIGINT, e FROM col_eff
+  UNION ALL
+  SELECT 'resid_max_abs', -1::BIGINT, max_abs FROM resid
+  UNION ALL
+  SELECT 'resid_sum_abs', -1::BIGINT, sum_abs FROM resid)
+ORDER BY component, idx
+"""
+
+ORACLES["calibration_bins_audit"] = """
+WITH span AS (
+  SELECT floor((min(floor(epoch(ts))::BIGINT)
+                + max(floor(epoch(ts))::BIGINT)) / 2)::BIGINT AS mid
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT <= mid
+                  THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT <= mid
+                   AND event_type = 'error'
+                  THEN 1 ELSE 0 END)::BIGINT AS e1,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT > mid
+                  THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT > mid
+                   AND event_type = 'error'
+                  THEN 1 ELSE 0 END)::BIGINT AS e2
+  FROM events, span GROUP BY user_id
+  HAVING n1 > 0 AND n2 > 0),
+scored AS (
+  SELECT least(((100 * e1) // n1) // 10, 9)::BIGINT AS bin,
+         ((100 * e1) // n1)::BIGINT AS score_centi, n2, e2
+  FROM per_user),
+agg AS (
+  SELECT bin, count(*)::BIGINT AS n_users,
+         sum(score_centi)::BIGINT AS s_score,
+         sum(n2)::BIGINT AS n_post, sum(e2)::BIGINT AS e_post
+  FROM scored GROUP BY 1)
+SELECT bin, n_users,
+       s_score::DOUBLE / (n_users * 100)::DOUBLE AS mean_predicted,
+       e_post::DOUBLE / n_post::DOUBLE AS empirical_rate,
+       s_score::DOUBLE / (n_users * 100)::DOUBLE
+         - e_post::DOUBLE / n_post::DOUBLE AS calibration_gap
+FROM agg ORDER BY bin
+"""
+
+ORACLES["lift_gain_curve"] = """
+WITH span AS (
+  SELECT floor((min(floor(epoch(ts))::BIGINT)
+                + max(floor(epoch(ts))::BIGINT)) / 2)::BIGINT AS mid
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT <= mid
+                  THEN 1 ELSE 0 END)::BIGINT AS score,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT > mid
+                   AND event_type = 'error'
+                  THEN 1 ELSE 0 END)::BIGINT AS e2
+  FROM events, span GROUP BY user_id),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, user_id ASC)::BIGINT
+           AS rn,
+         count(*) OVER ()::BIGINT AS n_users,
+         sum(e2) OVER (ORDER BY score DESC, user_id ASC
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS e_cum,
+         sum(e2) OVER ()::BIGINT AS e_tot
+  FROM per_user),
+per_dec AS (
+  SELECT (((rn - 1) * 10) // n_users + 1)::BIGINT AS decile,
+         max(rn)::BIGINT AS users_cum,
+         max(e_cum)::BIGINT AS errors_cum,
+         max(e_tot)::BIGINT AS e_tot,
+         max(n_users)::BIGINT AS n_users
+  FROM ranked GROUP BY 1)
+SELECT decile, users_cum, errors_cum,
+       errors_cum::DOUBLE / e_tot::DOUBLE AS capture_frac,
+       (errors_cum * n_users)::DOUBLE / (e_tot * users_cum)::DOUBLE
+         AS lift
+FROM per_dec ORDER BY decile
+"""

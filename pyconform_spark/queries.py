@@ -20673,3 +20673,286 @@ def population_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("german_tank_estimate"),
         "true_id_space",
     )
+
+
+def median_polish_dowhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (2 sweeps) of the day-of-week × hour-of-day
+    traffic grid — the ROBUST two-way decomposition (row effects +
+    column effects + residuals) that, unlike climatology means, a
+    single anomalous Tuesday can't drag around; the residual grid is
+    where calendar-shaped anomalies live after the weekly and diurnal
+    patterns are removed.
+
+    EXACT cross-engine: the 7×24 grid is dense (missing cells are true
+    zeros); every median is the LOWER median — the value at rank
+    (n+1) div 2 ordered by value — so all effects and residuals stay
+    integers through both sweeps; no floats anywhere.
+
+    Scale shape: one hash agg to 168 cells; all four median-subtract
+    sweeps run windows on that constant-size grid."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    counts = (
+        df.select(
+            ((F.floor(es / 86400)) % 7).cast("long").alias("d"),
+            ((F.floor(es / 3600)) % 24).cast("long").alias("h"),
+        )
+        .groupBy("d", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    cells = (
+        spark.range(7)
+        .select(F.col("id").cast("long").alias("d"))
+        .crossJoin(
+            spark.range(24).select(F.col("id").cast("long").alias("h"))
+        )
+    )
+    g = cells.join(counts, ["d", "h"], "left").select(
+        "d", "h", F.coalesce("x", F.lit(0)).cast("long").alias("r")
+    )
+
+    def med_over(frame: DataFrame, key: str, val: str) -> DataFrame:
+        """Lower median of `val` per `key` (rank (n+1) div 2)."""
+        w = Window.partitionBy(key).orderBy(val)
+        wall = Window.partitionBy(key)
+        return (
+            frame.select(
+                key,
+                val,
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wall).alias("n"),
+            )
+            .where(F.expr("rn = (n + 1) div 2"))
+            .select(F.col(key), F.col(val).alias("med"))
+        )
+
+    row_eff = None
+    col_eff = None
+    for _ in range(2):
+        rm = med_over(g, "d", "r")
+        g = g.join(rm, "d").select(
+            "d", "h", (F.col("r") - F.col("med")).alias("r")
+        )
+        row_eff = (
+            rm.select("d", F.col("med").alias("e"))
+            if row_eff is None
+            else row_eff.join(
+                rm.select("d", F.col("med").alias("e2")), "d"
+            ).select("d", (F.col("e") + F.col("e2")).alias("e"))
+        )
+        cm = med_over(g, "h", "r")
+        g = g.join(cm, "h").select(
+            "d", "h", (F.col("r") - F.col("med")).alias("r")
+        )
+        col_eff = (
+            cm.select("h", F.col("med").alias("e"))
+            if col_eff is None
+            else col_eff.join(
+                cm.select("h", F.col("med").alias("e2")), "h"
+            ).select("h", (F.col("e") + F.col("e2")).alias("e"))
+        )
+    resid = g.agg(
+        F.max(F.abs(F.col("r"))).cast("long").alias("max_abs"),
+        F.sum(F.abs(F.col("r"))).cast("long").alias("sum_abs"),
+    )
+    out = (
+        row_eff.select(
+            F.lit("row").alias("component"),
+            F.col("d").alias("idx"),
+            F.col("e").cast("long").alias("effect"),
+        )
+        .unionByName(
+            col_eff.select(
+                F.lit("col").alias("component"),
+                F.col("h").alias("idx"),
+                F.col("e").cast("long").alias("effect"),
+            )
+        )
+        .unionByName(
+            resid.select(
+                F.lit("resid_max_abs").alias("component"),
+                F.lit(-1).cast("long").alias("idx"),
+                F.col("max_abs").alias("effect"),
+            )
+        )
+        .unionByName(
+            resid.select(
+                F.lit("resid_sum_abs").alias("component"),
+                F.lit(-1).cast("long").alias("idx"),
+                F.col("sum_abs").alias("effect"),
+            )
+        )
+    )
+    return out.orderBy("component", "idx")
+
+
+def calibration_bins_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) audit: predict each user's
+    second-half error risk with their FIRST-half error share, bin the
+    centi-scores into deciles, and compare each bin's mean predicted
+    score with its empirical second-half error rate — the calibration
+    check an alerting model needs before its scores can gate anything
+    (roc_youden_threshold ranks discrimination; this measures whether
+    the scores MEAN what they say).
+
+    EXACT cross-engine: scores are centi-integers via truncated
+    division (100·errs div events on the first half); bins are
+    integer div 10 clamped to 9; per-bin mean score and empirical
+    rate are one double division each; the gap is their pinned IEEE
+    difference.
+
+    Scale shape: one hash agg to |users| (conditional sums over one
+    scan), one to ≤10 bins."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    span = df.agg(
+        F.floor((F.min(es) + F.max(es)) / 2).cast("long").alias("mid")
+    )
+    per_user = (
+        df.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(es <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(
+                    (es <= F.col("mid"))
+                    & (F.col("event_type") == "error"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("e1"),
+            F.sum(F.when(es > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(
+                F.when(
+                    (es > F.col("mid"))
+                    & (F.col("event_type") == "error"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("e2"),
+        )
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    scored = per_user.select(
+        F.expr("(100 * e1) div n1").cast("long").alias("score_centi"),
+        "n2",
+        "e2",
+    ).select(
+        F.least(F.expr("score_centi div 10"), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "score_centi",
+        "n2",
+        "e2",
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("score_centi").cast("long").alias("s_score"),
+            F.sum("n2").cast("long").alias("n_post"),
+            F.sum("e2").cast("long").alias("e_post"),
+        )
+        .select(
+            "bin",
+            "n_users",
+            F.try_divide(
+                F.col("s_score").cast("double"),
+                (F.col("n_users") * 100).cast("double"),
+            ).alias("mean_predicted"),
+            F.try_divide(
+                F.col("e_post").cast("double"),
+                F.col("n_post").cast("double"),
+            ).alias("empirical_rate"),
+            (
+                F.try_divide(
+                    F.col("s_score").cast("double"),
+                    (F.col("n_users") * 100).cast("double"),
+                )
+                - F.try_divide(
+                    F.col("e_post").cast("double"),
+                    F.col("n_post").cast("double"),
+                )
+            ).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve: rank users by first-half
+    activity (the targeting score), then measure what share of
+    second-half ERRORS the top-k% captures, for k at each decile —
+    the model-free targeting readout ("top 10% of users by volume
+    carry X% of tomorrow's incidents") that ROC's threshold sweep
+    doesn't give directly.
+
+    EXACT cross-engine: the ranking is a total order (score DESC,
+    user_id ASC) on the REDUCED |users| frame; cumulative counts are
+    integer window sums; decile membership is rank·10 div n;
+    capture_frac is one division and lift is ONE division of integer
+    cross-products (e_cum·u_tot)/(e_tot·u_cum).
+
+    Scale shape: one hash agg to |users|, one sort of that reduced
+    frame (the ranking IS the operator), one 10-row output."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    span = df.agg(
+        F.floor((F.min(es) + F.max(es)) / 2).cast("long").alias("mid")
+    )
+    per_user = (
+        df.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(es <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.sum(
+                F.when(
+                    (es > F.col("mid"))
+                    & (F.col("event_type") == "error"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("e2"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_users"),
+        F.sum("e2").over(wcum).cast("long").alias("e_cum"),
+        F.sum("e2").over(wall).cast("long").alias("e_tot"),
+    ).select(
+        F.expr("((rn - 1) * 10) div n_users + 1").cast("long").alias(
+            "decile"
+        ),
+        "rn",
+        "n_users",
+        "e_cum",
+        "e_tot",
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.max("rn").cast("long").alias("users_cum"),
+        F.max("e_cum").cast("long").alias("errors_cum"),
+        F.max("e_tot").cast("long").alias("e_tot"),
+        F.max("n_users").cast("long").alias("n_users"),
+    )
+    return per_dec.select(
+        "decile",
+        "users_cum",
+        "errors_cum",
+        F.try_divide(
+            F.col("errors_cum").cast("double"),
+            F.col("e_tot").cast("double"),
+        ).alias("capture_frac"),
+        F.try_divide(
+            (F.col("errors_cum") * F.col("n_users")).cast("double"),
+            (F.col("e_tot") * F.col("users_cum")).cast("double"),
+        ).alias("lift"),
+    ).orderBy("decile")

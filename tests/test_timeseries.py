@@ -3770,3 +3770,82 @@ def test_population_estimators_hand_samples(spark, tmp_path):
     assert r.gt_max_serial == 7
     assert r.german_tank_estimate == 7 + 7 // 6 - 1 == 7
     assert r.true_id_space == 10
+
+
+def test_median_polish_additive_grid_recovers_effects(spark, tmp_path):
+    """A perfectly additive grid x[d][h] = base + rowfx[d] + colfx[h]
+    leaves ZERO residual after one sweep, and the recovered effects
+    differ from the truth only by the usual location shift (row and
+    col effects absorb the base between them)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base_day = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    rowfx = [0, 1, 2, 3, 4, 5, 6]
+    colfx = [h % 4 for h in range(24)]
+    rows, eid = [], 0
+    for day in range(7):
+        d = (base_day + day) % 7
+        for h in range(24):
+            n = 5 + rowfx[d] + colfx[h]
+            for k in range(n):
+                rows.append((eid, t0 + dt.timedelta(days=day, hours=h,
+                                                    minutes=k % 50),
+                             1, "c", 1.0, "{}"))
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {(r.component, r.idx): r.effect for r in
+           Q.median_polish_dowhour(spark, str(tmp_path)).collect()}
+    assert out[("resid_max_abs", -1)] == 0
+    assert out[("resid_sum_abs", -1)] == 0
+    # additive structure: row effect differences equal the true ones
+    for d in range(1, 7):
+        assert (out[("row", d)] - out[("row", 0)]
+                == rowfx[d] - rowfx[0])
+    for h in range(1, 24):
+        assert (out[("col", h)] - out[("col", 0)]
+                == colfx[h] - colfx[0])
+
+
+def test_calibration_audit_perfectly_calibrated_halves(spark, tmp_path):
+    """Users whose first-half error share exactly repeats in the
+    second half land in bins with zero calibration gap."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # user u: 10 events per half, u errors per half (u = 0..5)
+    for u in range(6):
+        for half, off in ((0, 0), (1, 10)):
+            for k in range(10):
+                typ = "error" if k < u else "click"
+                rows.append((eid, t0 + dt.timedelta(days=off, minutes=k),
+                             u, typ, 1.0, "{}"))
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = Q.calibration_bins_audit(spark, str(tmp_path)).collect()
+    for r in out:
+        assert r.calibration_gap == 0.0
+        assert r.mean_predicted == r.empirical_rate
+
+
+def test_lift_gain_curve_perfect_targeting(spark, tmp_path):
+    """Second-half errors concentrated in the highest-scoring user:
+    decile 1 captures 100% with lift = n_users/users_cum."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # user 1: heavy first half + all the second-half errors
+    for k in range(20):
+        rows.append((eid, t0 + dt.timedelta(minutes=k), 1, "click", 1.0,
+                     "{}")); eid += 1
+    for k in range(5):
+        rows.append((eid, t0 + dt.timedelta(days=10, minutes=k), 1,
+                     "error", 1.0, "{}")); eid += 1
+    # users 2..10: light activity, no errors
+    for u in range(2, 11):
+        rows.append((eid, t0 + dt.timedelta(minutes=30 + u), u, "view",
+                     1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.decile: r for r in
+           Q.lift_gain_curve(spark, str(tmp_path)).collect()}
+    d1 = out[1]
+    assert d1.users_cum == 1 and d1.errors_cum == 5
+    assert d1.capture_frac == 1.0
+    assert d1.lift == 10.0  # (5*10)/(5*1)
+    assert out[10].capture_frac == 1.0 and out[10].lift == 1.0
