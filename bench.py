@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "median_polish_dowhour",
     "calibration_bins_audit",
     "lift_gain_curve",
+    "qte_deciles",
+    "degree_assortativity",
+    "edge_reciprocity",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -10206,3 +10206,83 @@ SELECT decile, users_cum, errors_cum,
          AS lift
 FROM per_dec ORDER BY decile
 """
+
+ORACLES["qte_deciles"] = """
+WITH base AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+cells AS (
+  SELECT treated, vq, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT treated, vq,
+         sum(c) OVER (PARTITION BY treated ORDER BY vq
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY treated)::BIGINT AS n
+  FROM cells),
+qs AS (SELECT unnest(range(1, 10))::BIGINT AS q),
+picks AS (
+  SELECT treated, q, min(vq)::BIGINT AS v
+  FROM cum, qs WHERE cum >= (q * n + 9) // 10
+  GROUP BY 1, 2)
+SELECT t.q, t.v AS treated_centi, c.v AS control_centi,
+       (t.v - c.v)::BIGINT AS qte_centi
+FROM picks t JOIN picks c ON c.q = t.q AND NOT c.treated
+WHERE t.treated ORDER BY t.q
+"""
+
+ORACLES["degree_assortativity"] = """
+WITH ordered AS (
+  SELECT ts::DATE AS d, ts, event_id, user_id FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+edges0 AS (
+  SELECT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+  FROM raw WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT u, v FROM edges0 UNION ALL SELECT v AS u, u AS v FROM edges0),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM bidir GROUP BY 1),
+s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(du.deg::HUGEINT) AS sx,
+         sum(du.deg::HUGEINT * du.deg::HUGEINT) AS sxx,
+         sum(du.deg::HUGEINT * dv.deg::HUGEINT) AS sxy
+  FROM bidir b
+  JOIN deg du ON du.u = b.u
+  JOIN deg dv ON dv.u = b.v)
+SELECT (n / 2)::BIGINT AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN (n * sxy - sx * sx)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE END AS assortativity
+FROM s
+"""
+
+ORACLES["edge_reciprocity"] = """
+WITH ordered AS (
+  SELECT ts::DATE AS d, ts, event_id, user_id FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+edges AS (
+  SELECT src::BIGINT AS src, dst::BIGINT AS dst, count(*)::BIGINT AS w
+  FROM raw WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2),
+j AS (
+  SELECT e.w, r.w AS w_rev
+  FROM edges e
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+SELECT count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_reciprocated,
+       sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS reciprocity,
+       sum(w)::BIGINT AS w_total,
+       sum(least(w, coalesce(w_rev, 0)))::BIGINT AS w_min_sum,
+       sum(least(w, coalesce(w_rev, 0)))::DOUBLE / sum(w)::DOUBLE
+         AS weighted_reciprocity
+FROM j
+"""

@@ -20956,3 +20956,170 @@ def lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e_tot") * F.col("users_cum")).cast("double"),
         ).alias("lift"),
     ).orderBy("decile")
+
+
+def qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect at the deciles (Doksum 1974; the
+    distributional A/B readout): the exact type-1 decile values of the
+    centi-quantized event value in the treated (even-user) and control
+    arms, and their difference per decile — where did_estimator moves
+    one mean, QTE shows WHERE in the distribution the treatment acts
+    (median unmoved but p90 fattened is invisible to a mean).
+
+    EXACT cross-engine: deciles are rank lookups — the smallest value
+    whose cumulative count reaches ceil(q·n/10) — computed from
+    per-value counts and a cumulative window over the DISTINCT-value
+    grid (the r3 percentile pattern: no global row sort, the
+    cumulative window runs on |distinct values| rows); ceil is the
+    integer (q·n + 9) div 10; effects are integer differences.
+
+    Scale shape: one hash agg to (arm, value) cells, cumulative
+    window on that reduced grid, broadcast of the 9-row decile
+    frame."""
+    df = _events(spark, sf_dir)
+    base = df.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("vq"),
+    )
+    cells = base.groupBy("treated", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    warm = Window.partitionBy("treated")
+    wcum = Window.partitionBy("treated").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "treated",
+        "vq",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(warm).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in range(1, 10)], "q long")
+    picks = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.expr("(q * n + 9) div 10"))
+        .groupBy("treated", "q")
+        .agg(F.min("vq").cast("long").alias("v"))
+    )
+    t = picks.where("treated").select("q", F.col("v").alias("v_treated"))
+    c = picks.where(~F.col("treated")).select(
+        "q", F.col("v").alias("v_control")
+    )
+    return (
+        t.join(c, "q")
+        .select(
+            "q",
+            F.col("v_treated").alias("treated_centi"),
+            F.col("v_control").alias("control_centi"),
+            (F.col("v_treated") - F.col("v_control"))
+            .cast("long")
+            .alias("qte_centi"),
+        )
+        .orderBy("q")
+    )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected handoff
+    graph: do high-degree users hand off to other high-degree users
+    (r > 0, hub-club) or to leaves (r < 0, hub-and-spoke)?  The one
+    number that tells a router whether hot keys cluster —
+    pagerank/triangles score nodes, this scores the WIRING.
+
+    EXACT cross-engine: degrees are distinct-neighbor counts on the
+    simple graph (self-loops dropped); each undirected edge
+    contributes BOTH orientations, which makes the two marginals
+    identical, so Newman's r collapses to
+    (n·Sxy − Sx²)/(n·Sxx − Sx²) — DECIMAL(38,0) integers, ONE double
+    division, NO square root.
+
+    Scale shape: edge build is the catalog's handoff shuffle; degrees
+    are one hash agg; the moment sums ride the edge frame joined to
+    the two degree frames (hash equi-joins)."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    edges = (
+        graph.undirected_edges(graph.handoff_edges(ev))
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = (
+        both.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec("dx")).alias("sx"),
+            F.sum(dec("dx") * dec("dx")).alias("sxx"),
+            F.sum(dec("dx") * dec("dy")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den != 0,
+            F.try_divide(num.cast("double"), den.cast("double")),
+        ).alias("assortativity"),
+    )
+
+
+def edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED handoff graph (Garlaschelli &
+    Loffredo 2004): the share of edges whose reverse edge also exists,
+    plus the weighted form Σ min(w_uv, w_vu)/Σ w — "are handoffs
+    conversations or broadcasts?".  Directionality is exactly what
+    the undirected triangle/assortativity views erase.
+
+    EXACT cross-engine: a self-left-join on the swapped key pair;
+    counts, min-weights and sums are integers; the two ratios are one
+    double division each.
+
+    Scale shape: one hash agg to the edge list, one hash equi-join on
+    (dst, src) — both partition on the edge key."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    edges = graph.handoff_edges(ev).where(F.col("src") != F.col("dst"))
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    j = edges.join(rev, ["src", "dst"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("w_rev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.sum("w").cast("long").alias("w_total"),
+        F.sum(F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))))
+        .cast("long")
+        .alias("w_min_sum"),
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        F.try_divide(
+            F.col("n_reciprocated").cast("double"),
+            F.col("n_edges").cast("double"),
+        ).alias("reciprocity"),
+        "w_total",
+        "w_min_sum",
+        F.try_divide(
+            F.col("w_min_sum").cast("double"),
+            F.col("w_total").cast("double"),
+        ).alias("weighted_reciprocity"),
+    )

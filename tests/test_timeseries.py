@@ -3849,3 +3849,66 @@ def test_lift_gain_curve_perfect_targeting(spark, tmp_path):
     assert d1.capture_frac == 1.0
     assert d1.lift == 10.0  # (5*10)/(5*1)
     assert out[10].capture_frac == 1.0 and out[10].lift == 1.0
+
+
+def test_qte_deciles_hand_ranks(spark, tmp_path):
+    """Treated values 100..1000 by 100, control values 10..100 by 10:
+    type-1 deciles are the k-th order statistics and QTE is exactly
+    their gap."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for i in range(1, 11):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 2, "c",
+                     float(i), "{}")); eid += 1          # treated: 100i centi
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, "c",
+                     float(i) / 10, "{}")); eid += 1     # control: 10i centi
+    _write_events(spark, tmp_path, rows)
+    out = {r.q: r for r in Q.qte_deciles(spark, str(tmp_path)).collect()}
+    for q in range(1, 10):
+        # ceil(q*10/10) = q -> q-th order statistic
+        assert out[q].treated_centi == 100 * q
+        assert out[q].control_centi == 10 * q
+        assert out[q].qte_centi == 90 * q
+
+
+def test_degree_assortativity_star_is_negative(spark, tmp_path):
+    """A star graph (hub handing off to leaves) is maximally
+    disassortative: r = -1."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # same-day alternating sequence hub,leaf1,hub,leaf2,... builds
+    # hub<->leaf edges only
+    for i, leaf in enumerate(range(2, 7)):
+        rows.append((eid, t0 + dt.timedelta(minutes=2 * i), 1, "c", 1.0,
+                     "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=2 * i + 1), leaf, "c",
+                     1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r.n_edges == 5
+    assert r.assortativity == -1.0
+
+
+def test_edge_reciprocity_hand_graph(spark, tmp_path):
+    """Sequence 1,2,1 creates 1->2 and 2->1 (reciprocated); then 3,4
+    creates 3->4 (not). Weighted form uses min(w, w_rev)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [1, 2, 1, 2, 1]          # edges 1->2 w2, 2->1 w2
+    rows, eid = [], 0
+    for u in seq:
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "c", 1.0,
+                     "{}")); eid += 1
+    rows.append((eid, t0 + dt.timedelta(minutes=30), 3, "c", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, t0 + dt.timedelta(minutes=31), 4, "c", 1.0, "{}"))
+    eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.edge_reciprocity(spark, str(tmp_path)).collect()[0]
+    # edges: 1->2 (w2), 2->1 (w2), 2->3? no: last of seq is 1, then 3
+    # (consecutive same day!) -> 1->3, then 3->4
+    assert r.n_edges == 4
+    assert r.n_reciprocated == 2
+    assert r.reciprocity == 0.5
+    # w: 1->2 =2, 2->1 =2, 1->3 =1, 3->4 =1 -> total 6, min-sum 4
+    assert r.w_total == 6 and r.w_min_sum == 4
+    assert r.weighted_reciprocity == 4 / 6
