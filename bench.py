@@ -298,6 +298,9 @@ BENCH_QUERIES = [
     "qte_deciles",
     "degree_assortativity",
     "edge_reciprocity",
+    "weighted_quantile_revenue",
+    "rich_club_profile",
+    "backoff_pattern_detect",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -10286,3 +10286,104 @@ SELECT count(*)::BIGINT AS n_edges,
          AS weighted_reciprocity
 FROM j
 """
+
+ORACLES["weighted_quantile_revenue"] = """
+WITH cells AS (
+  SELECT floor(l_extendedprice * 100)::BIGINT AS price_centi,
+         count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY 1),
+revs AS (
+  SELECT price_centi, (price_centi::HUGEINT * cnt::HUGEINT) AS rev
+  FROM cells),
+cum AS (
+  SELECT price_centi,
+         sum(rev) OVER (ORDER BY price_centi
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS total
+  FROM revs),
+qs AS (SELECT unnest(range(1, 10))::BIGINT AS q),
+picks AS (
+  SELECT q, min(price_centi)::BIGINT AS price_centi
+  FROM cum, qs WHERE cum * 10 >= q * total
+  GROUP BY 1)
+SELECT p.q, p.price_centi,
+       c.cum::DOUBLE / c.total::DOUBLE AS cum_share
+FROM picks p JOIN cum c ON c.price_centi = p.price_centi
+ORDER BY p.q
+"""
+
+ORACLES["rich_club_profile"] = """
+WITH ordered AS (
+  SELECT ts::DATE AS d, ts, event_id, user_id FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+edges AS (
+  SELECT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+  FROM raw WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM bidir GROUP BY 1),
+ks AS (SELECT unnest(range(1, 6))::BIGINT AS k),
+nk0 AS (
+  SELECT k, count(*)::BIGINT AS n_k
+  FROM deg, ks WHERE deg > k GROUP BY 1),
+nk AS (
+  SELECT ks.k, coalesce(nk0.n_k, 0)::BIGINT AS n_k
+  FROM ks LEFT JOIN nk0 ON nk0.k = ks.k),
+ek AS (
+  SELECT k, count(*)::BIGINT AS e_k
+  FROM edges e
+  JOIN deg du ON du.u = e.u
+  JOIN deg dv ON dv.u = e.v, ks
+  WHERE du.deg > k AND dv.deg > k
+  GROUP BY 1)
+SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0)::BIGINT AS e_k,
+       CASE WHEN nk.n_k >= 2
+            THEN (coalesce(ek.e_k, 0) * 2)::DOUBLE
+                 / (nk.n_k * (nk.n_k - 1))::DOUBLE END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+ORDER BY nk.k
+"""
+
+ORACLES["backoff_pattern_detect"] = """
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id FROM events),
+gaps AS (
+  SELECT user_id, es, event_id,
+         es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS g
+  FROM ev),
+gaps2 AS (SELECT * FROM gaps WHERE g IS NOT NULL),
+steps AS (
+  SELECT user_id, es, event_id, g AS g2,
+         lag(g) OVER (PARTITION BY user_id ORDER BY es, event_id) AS g1
+  FROM gaps2),
+steps2 AS (
+  SELECT user_id, es, event_id,
+         (g1 > 0 AND g2 * 2 >= g1 * 3 AND g2 <= g1 * 3) AS q
+  FROM steps WHERE g1 IS NOT NULL),
+runs AS (
+  SELECT user_id, q,
+         sum(CASE WHEN q THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM steps2),
+run_lens AS (
+  SELECT user_id, island, count(*)::BIGINT AS run_len
+  FROM runs WHERE q GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_gaps FROM gaps2 GROUP BY 1),
+agg AS (
+  SELECT user_id, sum(run_len)::BIGINT AS n_backoff_steps,
+         max(run_len)::BIGINT AS max_backoff_run
+  FROM run_lens GROUP BY 1)
+SELECT p.user_id, p.n_gaps,
+       coalesce(a.n_backoff_steps, 0)::BIGINT AS n_backoff_steps,
+       coalesce(a.max_backoff_run, 0)::BIGINT AS max_backoff_run,
+       (coalesce(a.max_backoff_run, 0) >= 3) AS suspect
+FROM per_user p LEFT JOIN agg a ON a.user_id = p.user_id
+ORDER BY p.user_id
+"""

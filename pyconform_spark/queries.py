@@ -21123,3 +21123,211 @@ def edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_total").cast("double"),
         ).alias("weighted_reciprocity"),
     )
+
+
+def weighted_quantile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deciles of line price, weighted by revenue mass: the
+    smallest extended price p such that lines priced ≤ p carry at
+    least q/10 of TOTAL revenue — "what price level splits the
+    revenue into tenths", the weighted-quantile class (every unit of
+    revenue votes, not every row) that percentiles_by_type's
+    row-quantiles can't express.
+
+    EXACT cross-engine: prices and revenue are centi-integers; the
+    cumulative revenue runs over the DISTINCT-price grid (the r3
+    percentile pattern — no global row sort); the threshold is the
+    integer ceil (q·total + 9) div 10; cum_share is one division.
+
+    Scale shape: one hash agg to |distinct prices|, one cumulative
+    window on that grid, broadcast of the 9-row decile frame."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = (
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_centi")
+        )
+        .groupBy("price_centi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "price_centi",
+            (F.col("price_centi") * F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("rev"),
+        )
+    )
+    wcum = Window.orderBy("price_centi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "price_centi",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in range(1, 10)], "q long")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        # cum >= q*total/10 cross-multiplied: exact, no rounding
+        .where(F.col("cum") * 10 >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min("price_centi").cast("long").alias("price_centi"),
+        )
+        .join(
+            cum.select(F.col("price_centi"), "cum", "total"),
+            "price_centi",
+        )
+        .select(
+            "q",
+            "price_centi",
+            F.try_divide(
+                F.col("cum").cast("double"), F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("q")
+    )
+
+
+def rich_club_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient profile (Zhou & Mondragón 2004; Colizza
+    et al. 2006) of the undirected handoff graph: for each degree
+    threshold k, the edge density AMONG the nodes with degree > k —
+    rising φ(k) means the hubs wire to each other (a routing hot-spot
+    clique), which degree_assortativity summarizes but cannot
+    localize to a threshold.
+
+    EXACT cross-engine: degrees are distinct-neighbor counts; N_k and
+    E_k are integer counts from broadcast-joined degree tags; φ(k) =
+    2·E_k / (N_k·(N_k−1)) is ONE double division (NULL below 2
+    members).
+
+    Scale shape: degrees are one hash agg; each threshold's member
+    and edge counts ride conditional sums over the SAME joined edge
+    frame — one pass, |thresholds| output rows."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    edges = graph.undirected_edges(graph.handoff_edges(ev))
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ks = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "k long"
+    )
+    nk_counts = (
+        deg.crossJoin(F.broadcast(ks))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    nk = ks.join(nk_counts, "k", "left").select(
+        "k", F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k")
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    ek = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.col("n_k") >= 2,
+                F.try_divide(
+                    (F.coalesce("e_k", F.lit(0)) * 2).cast("double"),
+                    (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+def backoff_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-backoff detection per user: consecutive
+    inter-event gaps that keep (roughly) doubling — the observability
+    signature of a client stuck in a retry loop with exponential
+    backoff, invisible to rate metrics because the rate is LOW.  A
+    qualifying step is 1.5·g ≤ g' ≤ 3·g (doubling with jitter), and a
+    suspect is a user with ≥ 3 consecutive qualifying steps.
+
+    EXACT cross-engine: gaps are integer seconds from per-user lag
+    windows; the step test cross-multiplies to pure integers
+    (2·g' ≥ 3·g ∧ g' ≤ 3·g ∧ g > 0); run lengths use the standard
+    gaps-and-islands cumulative-sum trick — all integers.
+
+    Scale shape: two per-user lag windows and one hash agg — one
+    shuffle on the user key, nothing global."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    per = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = df.select("user_id", es.alias("es"), "event_id").select(
+        "user_id",
+        "es",
+        "event_id",
+        (F.col("es") - F.lag("es").over(per)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    perg = Window.partitionBy("user_id").orderBy("es", "event_id")
+    steps = gaps.select(
+        "user_id",
+        "es",
+        "event_id",
+        F.col("g").alias("g2"),
+        F.lag("g").over(perg).alias("g1"),
+    ).where(F.col("g1").isNotNull())
+    q = (
+        (F.col("g1") > 0)
+        & (F.col("g2") * 2 >= F.col("g1") * 3)
+        & (F.col("g2") <= F.col("g1") * 3)
+    )
+    wcum = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = steps.select(
+        "user_id",
+        q.cast("long").alias("q"),
+        F.sum((~q).cast("long")).over(wcum).alias("island"),
+    )
+    run_lens = (
+        runs.where(F.col("q") == 1)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    agg = run_lens.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_backoff_steps"),
+        F.max("run_len").cast("long").alias("max_backoff_run"),
+    )
+    return (
+        per_user.join(agg, "user_id", "left")
+        .select(
+            "user_id",
+            "n_gaps",
+            F.coalesce("n_backoff_steps", F.lit(0))
+            .cast("long")
+            .alias("n_backoff_steps"),
+            F.coalesce("max_backoff_run", F.lit(0))
+            .cast("long")
+            .alias("max_backoff_run"),
+            (F.coalesce("max_backoff_run", F.lit(0)) >= 3).alias(
+                "suspect"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -3912,3 +3912,95 @@ def test_edge_reciprocity_hand_graph(spark, tmp_path):
     # w: 1->2 =2, 2->1 =2, 1->3 =1, 3->4 =1 -> total 6, min-sum 4
     assert r.w_total == 6 and r.w_min_sum == 4
     assert r.weighted_reciprocity == 4 / 6
+
+
+def test_weighted_quantile_revenue_hand_masses(spark, tmp_path):
+    """Prices 1.00 x9 and 10.00 x1: revenue 900 + 1000 centi; the
+    cheap lines carry 47.4% of revenue, so deciles 1-4 pick 1.00 and
+    5-9 pick 10.00."""
+    rows = [(1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))] * 9
+    rows = [(i, 1, 1, i, 1.0, 1.00, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)) for i in range(9)]
+    rows.append((9, 1, 1, 9, 1.0, 10.00, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber "
+        "int, l_quantity double, l_extendedprice double, l_discount "
+        "double, l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet")
+    out = {r.q: r for r in
+           Q.weighted_quantile_revenue(spark, str(tmp_path)).collect()}
+    # total 1900; cum at price 100 = 900; 900*10 >= q*1900 for q <= 4
+    for q in range(1, 5):
+        assert out[q].price_centi == 100
+    for q in range(5, 10):
+        assert out[q].price_centi == 1000
+    assert out[1].cum_share == 900 / 1900
+    assert out[9].cum_share == 1.0
+
+
+def test_rich_club_star_vs_clique(spark, tmp_path):
+    """A 4-clique among users 1-4 (all degree >= 3) plus leaf users:
+    phi(2) over the clique members is 1.0."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # same-day consecutive pairs building all 6 clique edges + leaves
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 10), (2, 11)]
+    for a, b in pairs:
+        rows.append((eid, t0 + dt.timedelta(minutes=10 * eid), a, "c",
+                     1.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=10 * eid), b, "c",
+                     1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.k: r for r in
+           Q.rich_club_profile(spark, str(tmp_path)).collect()}
+    # NOTE: consecutive pair writing also creates bridge edges between
+    # pairs (b of one pair -> a of next); recompute expectations in
+    # python instead of asserting a fixed clique
+    import itertools
+    seq = list(itertools.chain.from_iterable(pairs))
+    edges = set()
+    for x, y in zip(seq, seq[1:]):
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    deg = {}
+    for u, v in edges:
+        deg.setdefault(u, set()).add(v)
+        deg.setdefault(v, set()).add(u)
+    for k in range(1, 6):
+        members = {u for u, nb in deg.items() if len(nb) > k}
+        e_k = sum(1 for u, v in edges if u in members and v in members)
+        n_k = len(members)
+        r = out[k]
+        assert r.n_k == n_k and r.e_k == e_k
+        if n_k >= 2:
+            assert r.phi == 2 * e_k / (n_k * (n_k - 1))
+        else:
+            assert r.phi is None
+
+
+def test_backoff_detect_doubling_gaps(spark, tmp_path):
+    """User 1 retries with gaps 10,20,40,80,160 (4 qualifying steps ->
+    suspect); user 2 has uniform gaps (0 qualifying)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    t = 0
+    for gap in [0, 10, 20, 40, 80, 160]:
+        t += gap
+        rows.append((eid, t0 + dt.timedelta(seconds=t), 1, "c", 1.0,
+                     "{}")); eid += 1
+    for k in range(5):
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * k), 2, "c", 1.0,
+                     "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.user_id: r for r in
+           Q.backoff_pattern_detect(spark, str(tmp_path)).collect()}
+    u1, u2 = out[1], out[2]
+    assert u1.n_gaps == 5 and u1.n_backoff_steps == 4
+    assert u1.max_backoff_run == 4 and u1.suspect
+    assert u2.n_backoff_steps == 0 and not u2.suspect
