@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "weighted_quantile_revenue",
     "rich_club_profile",
     "backoff_pattern_detect",
+    "lsm_compaction_planner",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -10387,3 +10387,27 @@ SELECT p.user_id, p.n_gaps,
 FROM per_user p LEFT JOIN agg a ON a.user_id = p.user_id
 ORDER BY p.user_id
 """
+
+ORACLES["lsm_compaction_planner"] = """
+WITH days AS (
+  SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         count(*)::BIGINT AS rows_,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS updates
+  FROM events GROUP BY 1),
+ladder AS (
+  SELECT lv::BIGINT AS lv, (1000 * power(10, lv))::BIGINT AS cap
+  FROM (SELECT unnest(range(0, 9)) AS lv)),
+leveled AS (
+  SELECT day, rows_, updates, min(lv)::BIGINT AS levels
+  FROM days, ladder WHERE cap >= rows_
+  GROUP BY 1, 2, 3)
+SELECT to_timestamp(day * 86400)::TIMESTAMP AS day_ts,
+       rows_ AS rows, updates, levels,
+       (levels * 10 // 2)::BIGINT AS wa_leveled,
+       levels AS wa_tiered,
+       1::BIGINT AS ra_leveled,
+       greatest(levels, 1)::BIGINT AS ra_tiered,
+       (updates * 10 > rows_) AS recommend_tiered
+FROM leveled ORDER BY day_ts
+"""

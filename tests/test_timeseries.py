@@ -4004,3 +4004,26 @@ def test_backoff_detect_doubling_gaps(spark, tmp_path):
     assert u1.n_gaps == 5 and u1.n_backoff_steps == 4
     assert u1.max_backoff_run == 4 and u1.suspect
     assert u2.n_backoff_steps == 0 and not u2.suspect
+
+
+def test_lsm_planner_level_ladder(spark, tmp_path):
+    """500 rows fit the memtable (L0); 5000 rows need L1; a
+    write-heavy day (>10% updates) flips the recommendation."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for k in range(500):
+        rows.append((eid, t0 + dt.timedelta(minutes=k % 1440), 1,
+                     "click", 1.0, "{}")); eid += 1
+    for k in range(5000):
+        typ = "error" if k < 1000 else "click"
+        rows.append((eid, t0 + dt.timedelta(days=1, minutes=k % 1440), 1,
+                     typ, 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r.day_ts: r for r in
+           Q.lsm_compaction_planner(spark, str(tmp_path)).collect()}
+    d0 = out[t0]
+    assert d0.levels == 0 and d0.wa_leveled == 0 and d0.wa_tiered == 0
+    assert not d0.recommend_tiered
+    d1 = out[t0 + dt.timedelta(days=1)]
+    assert d1.levels == 1 and d1.wa_leveled == 5 and d1.wa_tiered == 1
+    assert d1.recommend_tiered  # 1000*10 > 5000
