@@ -10411,3 +10411,103 @@ SELECT to_timestamp(day * 86400)::TIMESTAMP AS day_ts,
        (updates * 10 > rows_) AS recommend_tiered
 FROM leveled ORDER BY day_ts
 """
+
+def _kcore_sql(rounds: int = 8) -> str:
+    steps = []
+    for i in range(rounds):
+        # MATERIALIZED: DuckDB inlines plain CTEs, which would expand
+        # the peel chain ~3^rounds times (the dtw oracle precedent)
+        steps.append(f"""n{i + 1} AS MATERIALIZED (
+  SELECT u FROM (
+    SELECT u FROM e{i} UNION ALL SELECT v FROM e{i}) b
+  GROUP BY u HAVING count(*) >= 2),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  WHERE e.u IN (SELECT u FROM n{i + 1})
+    AND e.v IN (SELECT u FROM n{i + 1}))""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH ordered AS (
+  SELECT ts::DATE AS d, ts, event_id, user_id FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+e0 AS MATERIALIZED (
+  SELECT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+  FROM raw WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2),
+{chain}
+SELECT DISTINCT u AS user_id FROM (
+  SELECT u FROM e{rounds} UNION ALL SELECT v FROM e{rounds}) m
+ORDER BY user_id
+"""
+
+ORACLES["kcore_membership"] = _kcore_sql()
+
+ORACLES["link_prediction_scores"] = """
+WITH ordered AS (
+  SELECT ts::DATE AS d, ts, event_id, user_id FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+edges AS (
+  SELECT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+  FROM raw WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM bidir GROUP BY 1),
+nb AS (SELECT u AS z, v AS n FROM bidir),
+wedges AS (
+  SELECT l.n AS a, r.n AS b, l.z
+  FROM nb l JOIN nb r ON r.z = l.z AND l.n < r.n),
+scored AS (
+  SELECT a, b, count(*)::BIGINT AS common_neighbors,
+         sum(1000000 // deg)::BIGINT AS ra_micro
+  FROM wedges w JOIN deg ON deg.u = w.z
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.u = s.a AND e.v = s.b))
+SELECT a, b, common_neighbors, ra_micro
+FROM nonadj
+ORDER BY common_neighbors DESC, ra_micro DESC, a, b
+LIMIT 20
+"""
+
+ORACLES["icc_user_repeatability"] = """
+WITH counts AS (
+  SELECT user_id, floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM counts),
+days AS (SELECT DISTINCT day FROM counts),
+grid AS (
+  SELECT u.user_id, d.day, coalesce(c.x, 0)::BIGINT AS x
+  FROM users u CROSS JOIN days d
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = d.day),
+per_user AS (
+  SELECT user_id, sum(x)::HUGEINT AS t_u,
+         sum(x::HUGEINT * x::HUGEINT) AS s2_u,
+         count(*)::HUGEINT AS d
+  FROM grid GROUP BY 1),
+s AS (
+  SELECT count(*)::HUGEINT AS u, max(d) AS d, sum(t_u) AS t,
+         sum(t_u * t_u) AS s1, sum(s2_u) AS s2
+  FROM per_user),
+f AS (
+  SELECT u, d,
+         (u * s1 - t * t) AS ssb,
+         (u * d * s2 - u * s1) AS ssw
+  FROM s)
+SELECT u::BIGINT AS n_users, d::BIGINT AS n_days,
+       CASE WHEN (u * (d - 1) * ssb + (d - 1) * (u - 1) * ssw) <> 0
+            THEN (u * (d - 1) * ssb - (u - 1) * ssw)::DOUBLE
+                 / (u * (d - 1) * ssb
+                    + (d - 1) * (u - 1) * ssw)::DOUBLE
+       END AS icc
+FROM f
+"""

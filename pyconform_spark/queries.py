@@ -21392,3 +21392,180 @@ def lsm_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recommend_tiered"
         ),
     ).orderBy("day_ts")
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the undirected handoff graph (Seidman 1983): peel
+    degree-<2 nodes repeatedly until stable — the maximal subgraph
+    where everyone keeps ≥ 2 partners, i.e. the part of the handoff
+    network that stays connected when leaves churn away.  Connected
+    components finds who touches whom; the k-core finds the RESILIENT
+    backbone.
+
+    EXACT cross-engine: EIGHT fixed peeling rounds (the pytest gate
+    proves round 8 == round 9 on the test corpus, i.e. convergence,
+    so the fixed count IS the fixpoint); each round is a degree
+    count + two semi-joins — pure integers.
+
+    Scale shape: per round one hash agg + two hash semi-joins on the
+    edge frame, with the edge frame ``localCheckpoint``-ed between
+    rounds exactly like ``dedup_components``: each round references
+    the previous edge frame FIVE times (bidir twice, keep twice via
+    bidir, plus the semi-join left side), so an unrolled lineage is
+    ~5^rounds logical-plan nodes — a measured analyzer hang by round
+    8.  Truncation keeps every round's plan constant-size."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    edges = graph.undirected_edges(graph.handoff_edges(ev))
+    e = edges
+    for _ in range(8):
+        # truncate lineage BEFORE fanning out: e is referenced 5x in
+        # the round below, so carrying lineage grows the plan 5x/round
+        e = e.localCheckpoint()
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            bidir.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 2)
+            .select("u")
+        )
+        e = e.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+    members = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("user_id"))
+    )
+    return members.orderBy("user_id")
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the undirected handoff graph: for every
+    NON-adjacent pair sharing ≥ 1 common neighbor, the
+    common-neighbors count and the resource-allocation index
+    (Zhou/Lü/Zhang 2009 — Adamic-Adar's log-free sibling, Σ 1/deg(z)
+    over shared neighbors z), top-20 — "who will hand off to whom
+    next", the wedge-join workload a recommender runs at graph scale.
+
+    EXACT cross-engine: wedges come from the per-node neighbor
+    self-join; RA is staged as Σ (10^6 div deg_z) micro-units
+    (truncated integer division — deterministic both engines); the
+    top-20 orders by (cn DESC, ra DESC, a, b).
+
+    Scale shape: the wedge join is the triangle-count shape (bounded
+    by Σ deg², the classic skew knob); existing-edge exclusion is an
+    anti-join; one TakeOrdered(20) at the end — no global sort."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    edges = graph.undirected_edges(graph.handoff_edges(ev))
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nb = bidir.select(F.col("u").alias("z"), F.col("v").alias("n"))
+    wedges = (
+        nb.alias("l")
+        .join(nb.alias("r"), "z")
+        .where(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("a"),
+            F.col("r.n").alias("b"),
+            "z",
+        )
+    )
+    scored = (
+        wedges.join(deg.select(F.col("u").alias("z"), "deg"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000 div deg")).cast("long").alias(
+                "ra_micro"
+            ),
+        )
+    )
+    non_adjacent = scored.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return non_adjacent.orderBy(
+        F.desc("common_neighbors"), F.desc("ra_micro"), "a", "b"
+    ).limit(20)
+
+
+def icc_user_repeatability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) (Shrout & Fleiss 1979) of daily
+    activity on the BALANCED user×day panel (absent days are true
+    zeros): how much of day-to-day variance is BETWEEN users
+    (stable identity) vs within them (noise) — the repeatability
+    number behind "is per-user personalization worth anything here".
+
+    EXACT cross-engine: the panel is dense (users × observed days,
+    zero-filled), so the one-way ANOVA decomposition clears to
+    integers over the common denominator U·D:
+    num = U(D−1)(U·S1 − T²) − (U−1)(U·D·S2 − U·S1),
+    den = U(D−1)(U·S1 − T²) + (D−1)(U−1)(U·D·S2 − U·S1) — all
+    DECIMAL(38,0), ICC is ONE double division.
+
+    Scale shape: one hash agg to (user, day), a dense-grid left join
+    (|users|·|days| cells), two aggregates — nothing scales with raw
+    rows after the first agg."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    counts = (
+        df.select(
+            "user_id", F.floor(es / 86400).cast("long").alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    users = counts.select("user_id").distinct()
+    days = counts.select("day").distinct()
+    grid = (
+        users.crossJoin(days)
+        .join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    dec = "decimal(38,0)"
+    per_user = grid.groupBy("user_id").agg(
+        F.sum("x").cast(dec).alias("t_u"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("s2_u"),
+        F.count(F.lit(1)).cast(dec).alias("d"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("u"),
+        F.max("d").alias("d"),
+        F.sum("t_u").alias("t"),
+        F.sum(F.col("t_u") * F.col("t_u")).alias("s1"),
+        F.sum("s2_u").alias("s2"),
+    )
+    ssb = F.col("u") * F.col("s1") - F.col("t") * F.col("t")
+    ssw = F.col("u") * F.col("d") * F.col("s2") - F.col("u") * F.col("s1")
+    num = (
+        F.col("u") * (F.col("d") - 1) * ssb
+        - (F.col("u") - 1) * ssw
+    )
+    den = (
+        F.col("u") * (F.col("d") - 1) * ssb
+        + (F.col("d") - 1) * (F.col("u") - 1) * ssw
+    )
+    return s.select(
+        F.col("u").cast("long").alias("n_users"),
+        F.col("d").cast("long").alias("n_days"),
+        F.when(
+            den != 0,
+            F.try_divide(num.cast("double"), den.cast("double")),
+        ).alias("icc"),
+    )
