@@ -10511,3 +10511,125 @@ SELECT u::BIGINT AS n_users, d::BIGINT AS n_days,
        END AS icc
 FROM f
 """
+
+ORACLES["mann_whitney_u"] = """
+WITH base AS (
+  SELECT event_type,
+         floor(value * 100)::BIGINT AS vq,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM events),
+counts AS (
+  SELECT event_type, vq,
+         count(*)::BIGINT AS t,
+         sum(we)::BIGINT AS t_we
+  FROM base GROUP BY 1, 2),
+staged AS (
+  SELECT event_type, t, t_we,
+         coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS c_less
+  FROM counts),
+agg AS (
+  SELECT event_type,
+         sum(t)::DECIMAL(38,0) AS n,
+         sum(t_we)::DECIMAL(38,0) AS n1,
+         sum(t_we::DECIMAL(38,0)
+             * (2 * c_less + t + 1)::DECIMAL(38,0)) AS r2_we,
+         sum(t::DECIMAL(38,0) * t::DECIMAL(38,0) * t::DECIMAL(38,0)
+             - t::DECIMAL(38,0)) AS tie_t
+  FROM staged GROUP BY 1),
+alg AS (
+  SELECT event_type, n, n1, (n - n1) AS n2,
+         (r2_we - n1 * (n1 + 1)) AS u2,
+         ((r2_we - n1 * (n1 + 1)) - n1 * (n - n1))::DOUBLE AS num,
+         (n1 * (n - n1))::DOUBLE AS a,
+         (n * n * n - n - tie_t)::DOUBLE AS b,
+         (12 * n * (n - 1))::DOUBLE AS c
+  FROM agg)
+SELECT event_type,
+       n2::BIGINT AS n_weekday,
+       n1::BIGINT AS n_weekend,
+       u2::BIGINT AS u2_weekend,
+       num / (2.0 * sqrt(a * b / c)) AS z,
+       num / a AS rank_biserial
+FROM alg
+WHERE n1 >= 2 AND n2 >= 2 AND b > 0
+ORDER BY event_type
+"""
+
+ORACLES["runs_up_down"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+stepped AS (
+  SELECT event_type, ts, event_id,
+         vq - lag(vq) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS d
+  FROM base),
+nz AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+  FROM stepped WHERE d IS NOT NULL AND d <> 0),
+flagged AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER w IS NOT NULL
+                   AND lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS flip
+  FROM nz
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type,
+         (count(*) + 1)::BIGINT AS n_eff,
+         (1 + sum(flip))::BIGINT AS runs
+  FROM flagged GROUP BY 1),
+alg AS (
+  SELECT event_type, n_eff, runs,
+         (2.0 * n_eff::DOUBLE - 1.0) / 3.0 AS er,
+         (16.0 * n_eff::DOUBLE - 29.0) / 90.0 AS varr
+  FROM agg WHERE n_eff >= 3)
+SELECT event_type, n_eff, runs,
+       er AS expected_runs,
+       (runs::DOUBLE - er) / sqrt(varr) AS z,
+       CASE WHEN abs((runs::DOUBLE - er) / sqrt(varr))
+                 <= 1.959963984540054 THEN 'random'
+            WHEN runs::DOUBLE < er THEN 'trending'
+            ELSE 'oscillating' END AS pattern
+FROM alg
+ORDER BY event_type
+"""
+
+ORACLES["phi_association"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM events),
+ranked AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vq, ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_all
+  FROM base),
+med AS (
+  SELECT event_type, vq AS med FROM ranked
+  WHERE rn = (n_all + 1) // 2),
+cells AS (
+  SELECT b.event_type,
+         sum(CASE WHEN b.vq > m.med AND b.we = 1 THEN 1 ELSE 0 END)
+           ::BIGINT AS a,
+         sum(CASE WHEN b.vq > m.med AND b.we = 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS b,
+         sum(CASE WHEN b.vq <= m.med AND b.we = 1 THEN 1 ELSE 0 END)
+           ::BIGINT AS c,
+         sum(CASE WHEN b.vq <= m.med AND b.we = 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS d
+  FROM base b JOIN med m USING (event_type)
+  GROUP BY 1)
+SELECT event_type, a, b, c, d,
+       (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+         / (sqrt(((a + b) * (c + d))::DOUBLE)
+            * sqrt(((a + c) * (b + d))::DOUBLE)) AS phi
+FROM cells
+WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+ORDER BY event_type
+"""

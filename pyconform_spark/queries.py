@@ -21569,3 +21569,234 @@ def icc_user_repeatability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(num.cast("double"), den.cast("double")),
         ).alias("icc"),
     )
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event_type: does the
+    weekend value distribution stochastically dominate the weekday
+    one?  The nonparametric two-sample location test — what
+    ks_drift_detect answers with a distance, this answers with a
+    direction + effect size (rank-biserial r), the pair an
+    experimentation dashboard shows side by side.
+
+    EXACT cross-engine: midranks are staged as 2x integers
+    (2*midrank = 2*c_less + t + 1 from per-(type, value) counts and
+    a cumulative window — no per-row ranking), so 2*R_weekend,
+    2*U = 2R - n1(n1+1), and the tie term T = SUM(t^3 - t) are pure
+    BIGINT/DECIMAL; the tie-corrected z enters IEEE once as
+    num / (2*sqrt(a*b/c)) with a = n1*n2, b = n^3 - n - T,
+    c = 12n(n-1), each factor exactly representable (< 2^53 at test
+    scales) and the expression written identically in both engines.
+    Rank-biserial r = num/a is ONE further division.
+
+    Scale shape: one hash agg to (type, vq) counts, one cumulative
+    window over the per-type value axis (|distinct values| rows, not
+    raw rows), one final agg — no raw self-join, no per-row rank."""
+    df = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    dow = (F.dayofweek(ts) - F.lit(1)).cast("int")
+    base = df.select(
+        "event_type",
+        vq.alias("vq"),
+        F.when(dow.isin(0, 6), F.lit(1)).otherwise(F.lit(0)).alias("we"),
+    )
+    counts = base.groupBy("event_type", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("we").cast("long").alias("t_we"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(38,0)"
+    staged = counts.select(
+        "event_type",
+        "t",
+        "t_we",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("long").alias(
+            "c_less"
+        ),
+    )
+    agg = staged.groupBy("event_type").agg(
+        F.sum("t").cast(dec).alias("n"),
+        F.sum("t_we").cast(dec).alias("n1"),
+        F.sum(
+            F.col("t_we").cast(dec)
+            * (2 * F.col("c_less") + F.col("t") + 1).cast(dec)
+        ).alias("r2_we"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie_t"),
+    )
+    n = F.col("n")
+    n1 = F.col("n1")
+    n2 = n - n1
+    u2 = F.col("r2_we") - n1 * (n1 + 1)
+    num = (u2 - n1 * n2).cast("double")
+    a = (n1 * n2).cast("double")
+    b = (n * n * n - n - F.col("tie_t")).cast("double")
+    c = (12 * n * (n - 1)).cast("double")
+    z = num / (F.lit(2.0) * F.sqrt(a * b / c))
+    return (
+        agg.filter((n1 >= 2) & (n2 >= 2) & (b > 0))
+        .select(
+            "event_type",
+            n2.cast("long").alias("n_weekday"),
+            n1.cast("long").alias("n_weekend"),
+            u2.cast("long").alias("u2_weekend"),
+            z.alias("z"),
+            (num / a).alias("rank_biserial"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-up-and-down randomness test per event_type (the
+    difference-sign test): count maximal strictly-monotone runs in
+    the time-ordered series.  Complements runs_test (above/below
+    median — level clustering): THIS one catches short-period
+    oscillation and smooth drift that a level split can't see.
+
+    EXACT cross-engine: zero steps (ties) are dropped (standard
+    treatment), the run count R = 1 + #(direction flips) over the
+    surviving steps and m = #steps are BIGINTs; with n_eff = m + 1,
+    E[R] = (2*n_eff - 1)/3 and Var[R] = (16*n_eff - 29)/90 enter one
+    identical IEEE expression in both engines.
+
+    Scale shape: one window sort by time per series for the lag-diff,
+    a filter, one more lag over the surviving steps, one final agg —
+    all linear, no self-join."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type", "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        vq.alias("vq"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    stepped = base.select(
+        "event_type", "ts", "event_id",
+        (F.col("vq") - F.lag("vq").over(wt)).alias("d"),
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    sgn = F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(-1))
+    flagged = stepped.select(
+        "event_type",
+        sgn.alias("sgn"),
+        F.when(
+            F.lag(sgn).over(wt).isNotNull()
+            & (F.lag(sgn).over(wt) != sgn),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_eff"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    ne = F.col("n_eff").cast("double")
+    er = (F.lit(2.0) * ne - F.lit(1.0)) / F.lit(3.0)
+    varr = (F.lit(16.0) * ne - F.lit(29.0)) / F.lit(90.0)
+    z = (F.col("runs").cast("double") - er) / F.sqrt(varr)
+    return (
+        agg.filter(F.col("n_eff") >= 3)
+        .select(
+            "event_type",
+            "n_eff",
+            "runs",
+            er.alias("expected_runs"),
+            z.alias("z"),
+            F.when(F.abs(z) <= 1.959963984540054, F.lit("random"))
+            .when(F.col("runs").cast("double") < er, F.lit("trending"))
+            .otherwise(F.lit("oscillating"))
+            .alias("pattern"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def phi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phi coefficient (= Matthews correlation of the 2x2 table) per
+    event_type between "value above the type's lower median" and
+    "weekend": a signed, bounded [-1, 1] association number — the
+    2x2 special case cramers_v deliberately unsigned-s away, and the
+    score a feature-screening pass ranks binary features by.
+
+    EXACT cross-engine: the lower median is the order statistic at
+    floor((n+1)/2) on quantized values (runs_test's convention);
+    rows equal to the median fall in the "low" cell (documented).
+    Cells a (hi,we), b (hi,wd), c (lo,we), d (lo,wd) are BIGINTs;
+    phi = (a*d - b*c) / (sqrt((a+b)*(c+d)) * sqrt((a+c)*(b+d))) is
+    staged so every factor is < 2^53-exact (pair products of
+    marginals, NOT the 4-way product which overflows a double at
+    ~10^5 rows/type) and written identically in both engines.
+
+    Scale shape: one window sort by value for the median, a broadcast
+    median join, one hash agg to four counters per type."""
+    df = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    dow = (F.dayofweek(ts) - F.lit(1)).cast("int")
+    base = df.select(
+        "event_type",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        vq.alias("vq"),
+        F.when(dow.isin(0, 6), F.lit(1)).otherwise(F.lit(0)).alias("we"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("vq", "ts", "event_id")
+    ranked = base.select(
+        "event_type", "vq", F.row_number().over(wv).alias("rn")
+    )
+    med = (
+        ranked.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+        .join(ranked, "event_type")
+        .where(F.col("rn") == F.floor((F.col("n_all") + 1) / 2))
+        .select("event_type", F.col("vq").alias("med"))
+    )
+    cells = (
+        base.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            (F.col("vq") > F.col("med")).cast("long").alias("hi"),
+            "we",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("hi") * F.col("we")).cast("long").alias("a"),
+            F.sum(F.col("hi") * (1 - F.col("we"))).cast("long").alias("b"),
+            F.sum((1 - F.col("hi")) * F.col("we")).cast("long").alias("c"),
+            F.sum((1 - F.col("hi")) * (1 - F.col("we")))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    ad_bc = (
+        F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    ).cast("double")
+    den = F.sqrt(
+        ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))).cast(
+            "double"
+        )
+    )
+    return (
+        cells.filter(
+            (F.col("a") + F.col("b") > 0)
+            & (F.col("c") + F.col("d") > 0)
+            & (F.col("a") + F.col("c") > 0)
+            & (F.col("b") + F.col("d") > 0)
+        )
+        .select(
+            "event_type", "a", "b", "c", "d", (ad_bc / den).alias("phi")
+        )
+        .orderBy("event_type")
+    )

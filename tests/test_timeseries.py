@@ -4099,3 +4099,64 @@ def test_icc_matches_numpy_anova(spark, tmp_path):
     msw = ssw / (U * (D - 1))
     icc = (msb - msw) / (msb + (D - 1) * msw)
     assert abs(r.icc - icc) < 1e-12
+
+
+def test_mann_whitney_midranks_and_tie_correction(spark, tmp_path):
+    """Weekday values [1,2,3] vs weekend [2,4,5]: midrank of the tied
+    2s is 2.5, so R_we = 13.5, U_we = 7.5, tie term T = 6, and the
+    tie-corrected z and rank-biserial follow in closed form."""
+    import math
+
+    wd = dt.datetime(2024, 1, 1, 0, 0, 0)   # Monday
+    we = dt.datetime(2024, 1, 6, 0, 0, 0)   # Saturday
+    rows, eid = [], 0
+    for v in (1.0, 2.0, 3.0):
+        rows.append((eid, wd + dt.timedelta(minutes=eid), 1, "c", v,
+                     "{}")); eid += 1
+    for v in (2.0, 4.0, 5.0):
+        rows.append((eid, we + dt.timedelta(minutes=eid), 1, "c", v,
+                     "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.mann_whitney_u(spark, str(tmp_path)).collect()[0]
+    assert (r.n_weekday, r.n_weekend) == (3, 3)
+    assert r.u2_weekend == 15            # 2*U = 2*13.5 - 3*4
+    # Var = n1 n2 (n^3 - n - T) / (12 n (n-1)) = 9*204/360 = 5.1
+    assert abs(r.z - 3.0 / math.sqrt(5.1)) < 1e-12
+    assert abs(r.rank_biserial - 6.0 / 9.0) < 1e-15
+
+
+def test_runs_up_down_drops_ties_and_counts_flips(spark, tmp_path):
+    """Series 1,2,3,2,2,1: diffs +,+,-,0,- -> the zero step is
+    dropped, leaving sign sequence ++-- : 2 runs over n_eff=5."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "c", v, "{}")
+            for i, v in enumerate([1.0, 2.0, 3.0, 2.0, 2.0, 1.0])]
+    _write_events(spark, tmp_path, rows)
+    r = Q.runs_up_down(spark, str(tmp_path)).collect()[0]
+    assert (r.n_eff, r.runs) == (5, 2)
+    assert r.expected_runs == 3.0
+    assert abs(r.z - (-1.0 / math.sqrt(51.0 / 90.0))) < 1e-12
+    assert r.pattern == "random"
+
+
+def test_phi_association_2x2_cells_and_value(spark, tmp_path):
+    """8 rows, lower median 2 (4th order statistic), equals fall in
+    'low': cells a=2 b=2 c=1 d=3 -> phi = 4/sqrt(240)."""
+    import math
+
+    wd = dt.datetime(2024, 1, 1, 0, 0, 0)   # Monday
+    we = dt.datetime(2024, 1, 6, 0, 0, 0)   # Saturday
+    data = [  # (value, is_weekend)
+        (3.0, True), (3.0, False), (4.0, True), (4.0, False),
+        (1.0, True), (1.0, False), (2.0, False), (2.0, False),
+    ]
+    rows = []
+    for i, (v, wk) in enumerate(data):
+        base = we if wk else wd
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "c", v, "{}"))
+    _write_events(spark, tmp_path, rows)
+    r = Q.phi_association(spark, str(tmp_path)).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (2, 2, 1, 3)
+    assert abs(r.phi - 4.0 / math.sqrt(240.0)) < 1e-12
