@@ -10633,3 +10633,175 @@ FROM cells
 WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
 ORDER BY event_type
 """
+
+ORACLES["friedman_test"] = """
+WITH counts AS (
+  SELECT (epoch_ms(ts) // 86400000)::BIGINT AS day, event_type,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM counts),
+types AS (SELECT DISTINCT event_type FROM counts),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.x, 0)::BIGINT AS x
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type),
+tallies AS (
+  SELECT day, x, count(*)::BIGINT AS t FROM grid GROUP BY 1, 2),
+staged AS (
+  SELECT day, x, t,
+         coalesce(sum(t) OVER (PARTITION BY day ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS c_less
+  FROM tallies),
+ranked AS (
+  SELECT g.day, g.event_type,
+         (2 * s.c_less + s.t + 1)::BIGINT AS s2
+  FROM grid g JOIN staged s ON s.day = g.day AND s.x = g.x),
+per_type AS (
+  SELECT event_type,
+         sum(s2)::DECIMAL(38,0) AS r2,
+         count(*)::DECIMAL(38,0) AS n
+  FROM ranked GROUP BY 1),
+ties AS (
+  SELECT sum(t::DECIMAL(38,0) * t::DECIMAL(38,0) * t::DECIMAL(38,0)
+             - t::DECIMAL(38,0)) AS tie_t
+  FROM staged),
+km AS (
+  SELECT count(*)::DECIMAL(38,0) AS k, max(n) AS n FROM per_type),
+s4 AS (
+  SELECT km.k, km.n,
+         sum((p.r2 - p.n * (km.k + 1)) * (p.r2 - p.n * (km.k + 1)))
+           AS s4
+  FROM per_type p CROSS JOIN km
+  GROUP BY 1, 2)
+SELECT s4.n::BIGINT AS n_days,
+       s4.k::BIGINT AS k_types,
+       (3 * (s4.k - 1) * s4.s4)::DOUBLE
+         / ((s4.k - 1) * s4.n * s4.k * (s4.k + 1) - t.tie_t)::DOUBLE
+         AS q
+FROM s4 CROSS JOIN ties t
+WHERE (s4.k - 1) * s4.n * s4.k * (s4.k + 1) - t.tie_t > 0
+"""
+
+ORACLES["ansari_bradley"] = """
+WITH base AS (
+  SELECT event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM events),
+scored AS (
+  SELECT event_type, we,
+         least(rn, n_all + 1 - rn)::BIGINT AS a
+  FROM (
+    SELECT event_type, we,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY vq, ts, event_id)::BIGINT AS rn,
+           count(*) OVER (PARTITION BY event_type)::BIGINT AS n_all
+    FROM base)),
+agg AS (
+  SELECT event_type,
+         count(*)::DECIMAL(38,0) AS n,
+         sum(we)::DECIMAL(38,0) AS n1,
+         sum(a * we)::DECIMAL(38,0) AS w,
+         sum(a)::DECIMAL(38,0) AS s,
+         sum(a::DECIMAL(38,0) * a::DECIMAL(38,0)) AS s2
+  FROM scored GROUP BY 1),
+alg AS (
+  SELECT event_type, n, n1, (n - n1) AS n2, w,
+         (n * w - n1 * s)::DOUBLE AS num,
+         (n * s2 - s * s)::DOUBLE AS d1,
+         (n1 * (n - n1))::DOUBLE AS d2
+  FROM agg)
+SELECT event_type,
+       n2::BIGINT AS n_weekday,
+       n1::BIGINT AS n_weekend,
+       w::BIGINT AS w_weekend,
+       num / sqrt(d2 * d1 / (n - 1)::DOUBLE) AS z,
+       CASE WHEN num / sqrt(d2 * d1 / (n - 1)::DOUBLE)
+                 < -1.959963984540054 THEN 'weekend_wider'
+            WHEN num / sqrt(d2 * d1 / (n - 1)::DOUBLE)
+                 > 1.959963984540054 THEN 'weekend_narrower'
+            ELSE 'similar' END AS spread
+FROM alg
+WHERE n1 >= 2 AND n2 >= 2 AND d1 > 0
+ORDER BY event_type
+"""
+
+ORACLES["jonckheere_trend"] = """
+WITH base AS (
+  SELECT event_type, (hour(ts) // 6)::INT AS band,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+c AS (
+  SELECT event_type, band, vq, count(*)::BIGINT AS c
+  FROM base GROUP BY 1, 2, 3),
+axis AS (SELECT DISTINCT event_type, vq FROM c),
+bands AS (SELECT unnest([0, 1, 2, 3])::INT AS band),
+grid AS (
+  SELECT a.event_type, b.band, a.vq, coalesce(c.c, 0)::BIGINT AS c
+  FROM axis a CROSS JOIN bands b
+  LEFT JOIN c ON c.event_type = a.event_type AND c.band = b.band
+             AND c.vq = a.vq),
+cum AS (
+  SELECT event_type, band, vq, c,
+         coalesce(sum(c) OVER (PARTITION BY event_type, band
+             ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS cl
+  FROM grid),
+u2j AS (
+  SELECT g2.event_type,
+         sum(g2.c::DECIMAL(38,0)
+             * (2 * g1.cl + g1.c)::DECIMAL(38,0)) AS u2j
+  FROM cum g2 JOIN cum g1
+    ON g1.event_type = g2.event_type AND g1.vq = g2.vq
+   AND g1.band < g2.band
+  GROUP BY 1),
+ng AS (
+  SELECT event_type, band, sum(c)::BIGINT AS ng
+  FROM c GROUP BY 1, 2),
+gsum AS (
+  SELECT event_type,
+         sum(ng)::DECIMAL(38,0) AS nn,
+         sum(ng::DECIMAL(38,0) * ng::DECIMAL(38,0)) AS sum_n2,
+         sum(ng::DECIMAL(38,0) * (ng - 1)::DECIMAL(38,0)
+             * (2 * ng + 5)::DECIMAL(38,0)) AS a_g,
+         sum(ng::DECIMAL(38,0) * (ng - 1)::DECIMAL(38,0)
+             * (ng - 2)::DECIMAL(38,0)) AS b_g,
+         sum(ng::DECIMAL(38,0) * (ng - 1)::DECIMAL(38,0)) AS c_g
+  FROM ng GROUP BY 1),
+tt AS (
+  SELECT event_type, vq, sum(c)::BIGINT AS t
+  FROM c GROUP BY 1, 2),
+tsum AS (
+  SELECT event_type,
+         sum(t::DECIMAL(38,0) * (t - 1)::DECIMAL(38,0)
+             * (2 * t + 5)::DECIMAL(38,0)) AS a_t,
+         sum(t::DECIMAL(38,0) * (t - 1)::DECIMAL(38,0)
+             * (t - 2)::DECIMAL(38,0)) AS b_t,
+         sum(t::DECIMAL(38,0) * (t - 1)::DECIMAL(38,0)) AS c_t
+  FROM tt GROUP BY 1),
+alg AS (
+  SELECT j.event_type, g.nn, j.u2j,
+         (2 * j.u2j - (g.nn * g.nn - g.sum_n2))::DOUBLE AS num,
+         (g.nn * (g.nn - 1) * (2 * g.nn + 5) - g.a_g - t.a_t)::DOUBLE
+           / 72.0 AS term1,
+         g.b_g::DOUBLE * (t.b_t::DOUBLE
+           / (36 * g.nn * (g.nn - 1) * (g.nn - 2))::DOUBLE) AS term2,
+         (g.c_g::DOUBLE * t.c_t::DOUBLE)
+           / (8 * g.nn * (g.nn - 1))::DOUBLE AS term3
+  FROM u2j j JOIN gsum g USING (event_type)
+  JOIN tsum t USING (event_type))
+SELECT event_type,
+       nn::BIGINT AS n_total,
+       u2j::BIGINT AS u2j,
+       num / (4.0 * sqrt(term1 + term2 + term3)) AS z,
+       CASE WHEN num / (4.0 * sqrt(term1 + term2 + term3))
+                 > 1.959963984540054 THEN 'increasing'
+            WHEN num / (4.0 * sqrt(term1 + term2 + term3))
+                 < -1.959963984540054 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM alg
+WHERE nn >= 3 AND term1 + term2 + term3 > 0
+ORDER BY event_type
+"""

@@ -21800,3 +21800,341 @@ def phi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked-rank test: do the event types keep a STABLE
+    activity ordering across days (blocks = UTC days, treatments =
+    event types, observation = daily event count, absent cells are
+    true zeros)?  The nonparametric repeated-measures ANOVA — what
+    kruskal-wallis asks across independent samples, this asks with
+    every day acting as its own control.
+
+    EXACT cross-engine: within-day midranks are staged as 2x integers
+    from per-(day, count-value) tallies (2*mid = 2*c_less + t + 1);
+    with S4 = SUM_j (2R_j - n(k+1))^2 and the tie term
+    T = SUM_days SUM_ties (t^3 - t), R's tie-corrected statistic
+    clears to Q = 3*(k-1)*S4 / ((k-1)*n*k*(k+1) - T) — ONE division
+    of two exact integers.
+
+    Scale shape: one hash agg to (day, type) counts, a dense
+    |days|x|types| zero-filled grid, rank staging on (day, value)
+    tallies, two aggregates — nothing scales with raw rows past the
+    first agg."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    counts = (
+        df.select(
+            F.floor(es / 86400).cast("long").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    tallies = grid.groupBy("day", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = tallies.select(
+        "day",
+        "x",
+        "t",
+        F.coalesce(F.sum("t").over(wd), F.lit(0)).cast("long").alias(
+            "c_less"
+        ),
+    )
+    dec = "decimal(38,0)"
+    ranked = grid.join(staged, ["day", "x"]).select(
+        "day",
+        "event_type",
+        (2 * F.col("c_less") + F.col("t") + 1).cast("long").alias("s2"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("s2").cast(dec).alias("r2"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+    )
+    ties = staged.agg(
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie_t")
+    )
+    km = per_type.agg(F.count(F.lit(1)).cast(dec).alias("k"))
+    s4 = (
+        per_type.crossJoin(F.broadcast(km))
+        .select(
+            (
+                (F.col("r2") - F.col("n") * (F.col("k") + 1))
+                * (F.col("r2") - F.col("n") * (F.col("k") + 1))
+            ).alias("dev2"),
+            "k",
+            "n",
+        )
+        .groupBy("k", "n")
+        .agg(F.sum("dev2").alias("s4"))
+    )
+    out = s4.crossJoin(F.broadcast(ties))
+    k = F.col("k")
+    n = F.col("n")
+    den = (k - 1) * n * k * (k + 1) - F.col("tie_t")
+    q = F.try_divide(
+        (3 * (k - 1) * F.col("s4")).cast("double"), den.cast("double")
+    )
+    return out.filter(den > 0).select(
+        n.cast("long").alias("n_days"),
+        k.cast("long").alias("k_types"),
+        q.alias("q"),
+    )
+
+
+def ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test per event_type: is the WEEKEND value
+    distribution wider or narrower than the weekday one (same
+    location, different spread)?  The dispersion-sided sibling of
+    mann_whitney_u — a location test can't see a variance doubling,
+    this can.
+
+    EXACT cross-engine: rows get the classic AB scores
+    a_i = min(i, n+1-i) on the TOTAL order (value, ts, event_id) —
+    ties broken by time, a fixed deterministic score vector (the
+    permutation-test moments below hold for ANY fixed score vector,
+    so conditioning on the realized ordering is exact, documented in
+    lieu of midscores whose per-value denominators break integer
+    staging).  W = SUM a_i over weekend rows, S = SUM a_i,
+    S2 = SUM a_i^2 are BIGINT/DECIMAL; E[W] = n1*S/n and
+    Var[W] = n1*n2*(n*S2 - S^2)/(n^2*(n-1)) clear to
+    z = (n*W - n1*S) / sqrt(n1*n2*(n*S2 - S^2)/(n-1)) with every
+    integer factor < 2^53 before its one double conversion.
+
+    Scale shape: one window sort by value per type (the ranking), one
+    broadcast of the |types|-row size frame, one final agg."""
+    df = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    dow = (F.dayofweek(ts) - F.lit(1)).cast("int")
+    base = df.select(
+        "event_type",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        vq.alias("vq"),
+        F.when(dow.isin(0, 6), F.lit(1)).otherwise(F.lit(0)).alias("we"),
+    )
+    sizes = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all")
+    )
+    wv = Window.partitionBy("event_type").orderBy("vq", "ts", "event_id")
+    scored = (
+        base.select(
+            "event_type", "we", F.row_number().over(wv).alias("rn")
+        )
+        .join(F.broadcast(sizes), "event_type")
+        .select(
+            "event_type",
+            "we",
+            F.least(
+                F.col("rn").cast("long"),
+                F.col("n_all") + 1 - F.col("rn"),
+            ).alias("a"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("we").cast(dec).alias("n1"),
+        F.sum(F.col("a") * F.col("we")).cast(dec).alias("w"),
+        F.sum("a").cast(dec).alias("s"),
+        F.sum(F.col("a").cast(dec) * F.col("a").cast(dec)).alias("s2"),
+    )
+    n = F.col("n")
+    n1 = F.col("n1")
+    n2 = n - n1
+    num = (n * F.col("w") - n1 * F.col("s")).cast("double")
+    d1 = (n * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+    d2 = (n1 * n2).cast("double")
+    z = num / F.sqrt(d2 * d1 / (n - 1).cast("double"))
+    return (
+        agg.filter((n1 >= 2) & (n2 >= 2) & (d1 > 0))
+        .select(
+            "event_type",
+            n2.cast("long").alias("n_weekday"),
+            n1.cast("long").alias("n_weekend"),
+            F.col("w").cast("long").alias("w_weekend"),
+            z.alias("z"),
+            F.when(z < -1.959963984540054, F.lit("weekend_wider"))
+            .when(z > 1.959963984540054, F.lit("weekend_narrower"))
+            .otherwise(F.lit("similar"))
+            .alias("spread"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test per
+    event_type across the four 6-hour day bands (night 0-5, morning
+    6-11, afternoon 12-17, evening 18-23): do values MONOTONICALLY
+    shift upward through the day?  Kruskal-Wallis only says "bands
+    differ"; J-T is powered specifically for the ordered alternative
+    a diurnal-load hypothesis actually states.
+
+    EXACT cross-engine: 2J = SUM over band pairs b1<b2 and values v
+    of c2(v) * (2*cumless1(v) + c1(v)) — per-(band, value) counts on
+    a zero-filled shared value axis, all BIGINT.  The tie-corrected
+    null moments (Hollander & Wolfe): with integer group/tie sums
+    A_g/B_g/C_g and A_t/B_t/C_t, num = 2*(2J) - (N^2 - SUM n_g^2)
+    and Var = (N(N-1)(2N+5) - A_g - A_t)/72
+            + B_g * (B_t / (36 N(N-1)(N-2)))
+            + (C_g * C_t) / (8 N(N-1)) — three IEEE terms of exact
+    integers, written with IDENTICAL nesting in both engines;
+    z = num / (4*sqrt(Var)).
+
+    Scale shape: per type one hash agg to (band, value) counts, a
+    cumulative window over the value axis per band, one 6-combo
+    band-pair join on the aligned axis — no raw-row pair join."""
+    df = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        (F.hour(ts) / 6).cast("int").alias("band"),
+        vq.alias("vq"),
+    )
+    c = base.groupBy("event_type", "band", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    axis = c.select("event_type", "vq").distinct()
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    grid = (
+        axis.crossJoin(F.broadcast(bands))
+        .join(c, ["event_type", "band", "vq"], "left")
+        .select(
+            "event_type",
+            "band",
+            "vq",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wb = (
+        Window.partitionBy("event_type", "band")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "event_type",
+        "band",
+        "vq",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias(
+            "cl"
+        ),
+    )
+    dec = "decimal(38,0)"
+    g1 = cum.select(
+        "event_type",
+        F.col("band").alias("b1"),
+        "vq",
+        F.col("c").alias("c1"),
+        F.col("cl").alias("cl1"),
+    )
+    g2 = cum.select(
+        "event_type",
+        F.col("band").alias("b2"),
+        "vq",
+        F.col("c").alias("c2"),
+    )
+    u2j = (
+        g2.join(g1, ["event_type", "vq"])
+        .where(F.col("b1") < F.col("b2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("c2").cast(dec)
+                * (2 * F.col("cl1") + F.col("c1")).cast(dec)
+            ).alias("u2j")
+        )
+    )
+    ng = c.groupBy("event_type", "band").agg(
+        F.sum("c").cast("long").alias("ng")
+    )
+    gsum = ng.groupBy("event_type").agg(
+        F.sum("ng").cast(dec).alias("nn"),
+        F.sum(F.col("ng").cast(dec) * F.col("ng").cast(dec)).alias(
+            "sum_n2"
+        ),
+        F.sum(
+            F.col("ng").cast(dec)
+            * (F.col("ng") - 1).cast(dec)
+            * (2 * F.col("ng") + 5).cast(dec)
+        ).alias("a_g"),
+        F.sum(
+            F.col("ng").cast(dec)
+            * (F.col("ng") - 1).cast(dec)
+            * (F.col("ng") - 2).cast(dec)
+        ).alias("b_g"),
+        F.sum(
+            F.col("ng").cast(dec) * (F.col("ng") - 1).cast(dec)
+        ).alias("c_g"),
+    )
+    tt = c.groupBy("event_type", "vq").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    tsum = tt.groupBy("event_type").agg(
+        F.sum(
+            F.col("t").cast(dec)
+            * (F.col("t") - 1).cast(dec)
+            * (2 * F.col("t") + 5).cast(dec)
+        ).alias("a_t"),
+        F.sum(
+            F.col("t").cast(dec)
+            * (F.col("t") - 1).cast(dec)
+            * (F.col("t") - 2).cast(dec)
+        ).alias("b_t"),
+        F.sum(
+            F.col("t").cast(dec) * (F.col("t") - 1).cast(dec)
+        ).alias("c_t"),
+    )
+    j = u2j.join(gsum, "event_type").join(tsum, "event_type")
+    nn = F.col("nn")
+    num = (2 * F.col("u2j") - (nn * nn - F.col("sum_n2"))).cast("double")
+    term1 = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("a_g") - F.col("a_t"))
+        .cast("double")
+        / F.lit(72.0)
+    )
+    term2 = F.col("b_g").cast("double") * (
+        F.col("b_t").cast("double")
+        / (36 * nn * (nn - 1) * (nn - 2)).cast("double")
+    )
+    term3 = (F.col("c_g").cast("double") * F.col("c_t").cast("double")) / (
+        8 * nn * (nn - 1)
+    ).cast("double")
+    var = term1 + term2 + term3
+    z = num / (F.lit(4.0) * F.sqrt(var))
+    return (
+        j.filter((nn >= 3) & (term1 + term2 + term3 > 0))
+        .select(
+            "event_type",
+            nn.cast("long").alias("n_total"),
+            F.col("u2j").cast("long").alias("u2j"),
+            z.alias("z"),
+            F.when(z > 1.959963984540054, F.lit("increasing"))
+            .when(z < -1.959963984540054, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )

@@ -4160,3 +4160,73 @@ def test_phi_association_2x2_cells_and_value(spark, tmp_path):
     r = Q.phi_association(spark, str(tmp_path)).collect()[0]
     assert (r.a, r.b, r.c, r.d) == (2, 2, 1, 3)
     assert abs(r.phi - 4.0 / math.sqrt(240.0)) < 1e-12
+
+
+def test_friedman_tie_corrected_statistic(spark, tmp_path):
+    """3 days x 3 types with daily counts ((1,2,3),(2,2,5),(3,1,2)):
+    midranks give 2R = (11,9,16), S4 = 26, tie term T = 6, so
+    Q = 3*2*26 / (2*3*3*4 - 6) = 156/66."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    daily = [  # per day: counts for types a, b, c
+        (1, 2, 3),
+        (2, 2, 5),
+        (3, 1, 2),
+    ]
+    rows, eid = [], 0
+    for d, (na, nb, nc) in enumerate(daily):
+        for typ, cnt in zip(("a", "b", "c"), (na, nb, nc)):
+            for k in range(cnt):
+                rows.append((eid, t0 + dt.timedelta(days=d, minutes=eid % 1440),
+                             1, typ, 1.0, "{}"))
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.friedman_test(spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.k_types) == (3, 3)
+    assert abs(r.q - 156.0 / 66.0) < 1e-15
+
+
+def test_ansari_bradley_scores_and_moments(spark, tmp_path):
+    """Weekday values {10,11,12,13} (narrow) vs weekend {1,2,20,21}
+    (wide), no ties: AB scores a_i = min(i, 9-i) on the sorted merge;
+    weekend occupies the 4 extreme positions -> W = 1+2+2+1 = 6,
+    S = 20, S2 = 60, and z follows the closed form."""
+    import math
+
+    wd = dt.datetime(2024, 1, 1, 0, 0, 0)   # Monday
+    we = dt.datetime(2024, 1, 6, 0, 0, 0)   # Saturday
+    rows, eid = [], 0
+    for v in (10.0, 11.0, 12.0, 13.0):
+        rows.append((eid, wd + dt.timedelta(minutes=eid), 1, "c", v,
+                     "{}")); eid += 1
+    for v in (1.0, 2.0, 20.0, 21.0):
+        rows.append((eid, we + dt.timedelta(minutes=eid), 1, "c", v,
+                     "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.ansari_bradley(spark, str(tmp_path)).collect()[0]
+    assert (r.n_weekday, r.n_weekend) == (4, 4)
+    assert r.w_weekend == 6
+    # num = n*W - n1*S = 48-80 = -32; d1 = n*S2 - S^2 = 80; d2 = 16
+    expect_z = -32.0 / math.sqrt(16.0 * 80.0 / 7.0)
+    assert abs(r.z - expect_z) < 1e-12
+    assert r.spread == "weekend_wider"  # z ~ -2.366 < -1.96
+
+
+def test_jonckheere_two_band_hand_example(spark, tmp_path):
+    """Band0 (hour 0) values {1,2}, band1 (hour 6) values {2,3}:
+    J = 3.5 (three strict wins + half a tie), E[J] = 2, and the
+    tie-corrected variance is 1.5 -> z = 1.5/sqrt(1.5)."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0.replace(hour=0, minute=0), 1, "c", 1.0, "{}"),
+        (1, t0.replace(hour=0, minute=1), 1, "c", 2.0, "{}"),
+        (2, t0.replace(hour=6, minute=0), 1, "c", 2.0, "{}"),
+        (3, t0.replace(hour=6, minute=1), 1, "c", 3.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.jonckheere_trend(spark, str(tmp_path)).collect()[0]
+    assert r.n_total == 4
+    assert r.u2j == 7          # 2J = 2*3.5
+    assert abs(r.z - 1.5 / math.sqrt(1.5)) < 1e-12
+    assert r.trend == "none"
