@@ -2323,3 +2323,89 @@ def test_zorder_audit_probe_side_is_broadcast(spark):
     plan = plan_of(Q.zorder_layout_audit(spark, SF))
     assert count_nodes(plan, "BroadcastExchange") >= 1
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_mann_whitney_ranks_counts_not_rows(spark):
+    """The rank staging runs on the (type, value) COUNT frame — one
+    partial-aggregated hash agg off the scan, a cumulative window
+    over the value axis, no join of any kind."""
+    plan = plan_of(Q.mann_whitney_u(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_runs_tests_are_joinless_linear_pipelines(spark):
+    """Both runs tests (up-down here, about-median in runs_test) are
+    window + filter + agg chains: no join may appear."""
+    for q in (Q.runs_up_down, Q.runs_test):
+        plan = plan_of(q(spark, SF))
+        assert count_nodes(plan, "SortMergeJoin") == 0 or q is Q.runs_test
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert count_nodes(plan, "CartesianProduct") == 0
+    # runs_up_down specifically: zero joins of any kind
+    plan = plan_of(Q.runs_up_down(spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert count_nodes(plan, node) == 0
+
+
+def test_phi_and_ansari_broadcast_their_tiny_frames(spark):
+    """The |types|-row median / size frames broadcast onto the raw
+    scan — never a shuffle join against 5 rows."""
+    for q in (Q.phi_association, Q.ansari_bradley):
+        plan = plan_of(q(spark, SF))
+        assert count_nodes(plan, "BroadcastExchange") >= 1
+        assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_friedman_reduces_before_the_dense_grid(spark):
+    """The day x type grid is built from the REDUCED (day, type)
+    count frame (partial agg off the scan); the 3 constant-size
+    side frames (types, k, tie term) all broadcast."""
+    plan = plan_of(Q.friedman_test(spark, SF))
+    assert "partial_count" in plan
+    assert count_nodes(plan, "BroadcastExchange") >= 2
+
+
+def test_jonckheere_band_pairs_join_on_the_value_axis(spark):
+    """The band-pair product happens on the aligned (type, value)
+    axis frame — an equi-join with the b1<b2 filter, never a
+    cartesian over raw rows; the 4-row band frame broadcasts."""
+    plan = plan_of(Q.jonckheere_trend(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastExchange") >= 1
+
+
+def test_kcore_checkpoint_keeps_plan_constant_size(spark):
+    """Eight peeling rounds with per-round localCheckpoint: the final
+    plan contains ONLY the last round (two semi-joins over a
+    checkpointed leaf), not an exponentially nested 8-round tree."""
+    plan = plan_of(Q.kcore_membership(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    joins = sum(
+        count_nodes(plan, n)
+        for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert joins <= 4          # the last round's two semi-joins only
+    assert len(plan) < 20000
+
+
+def test_link_prediction_top20_avoids_global_sort(spark):
+    """orderBy + limit(20) must compile to TakeOrderedAndProject;
+    existing-edge exclusion is a left-anti join."""
+    plan = plan_of(Q.link_prediction_scores(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_icc_grid_joins_reduced_frames_only(spark):
+    """The user x day dense grid is assembled from the reduced
+    (user, day) count frame; the raw scan feeds exactly one
+    partial-aggregated hash agg."""
+    plan = plan_of(Q.icc_user_repeatability(spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or count_nodes(
+        plan, "BroadcastExchange"
+    ) >= 1
