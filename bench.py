@@ -302,6 +302,15 @@ BENCH_QUERIES = [
     "rich_club_profile",
     "backoff_pattern_detect",
     "lsm_compaction_planner",
+    "kcore_membership",
+    "link_prediction_scores",
+    "icc_user_repeatability",
+    "mann_whitney_u",
+    "runs_up_down",
+    "phi_association",
+    "friedman_test",
+    "ansari_bradley",
+    "jonckheere_trend",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -219,3 +219,62 @@ FROM idx x JOIN mn ON mn.series = x.series AND mn.i = x.i
   AND mn.a <= x.i
 GROUP BY x.series, x.d, x.y
 """
+
+
+def croston(
+    df: DataFrame,
+    keys: list[str],
+    order: str = "h",
+    demand: str = "demand",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand: two parallel
+    SES recurrences — smoothed demand size z and smoothed inter-demand
+    interval p — updated only at non-zero periods; the per-period
+    forecast is z/p.  The classic estimator for sparse series where
+    plain SES collapses toward zero between demands.
+
+    State per series is (z, p, q periods-since-demand, seen); like the
+    Holt smoothers above, the recurrences are coupled through the
+    demand indicator so no frame-aggregate form exists — the host is
+    applyInPandas and the cross-engine proof is a recursive-CTE oracle
+    stepping the SAME dyadic float expressions (alpha = 0.5) in the
+    SAME order.  Rows before the first demand carry NULL state."""
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("croston_z", T.DoubleType(), True),
+            T.StructField("croston_p", T.DoubleType(), True),
+            T.StructField("croston_forecast", T.DoubleType(), True),
+        ]
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(
+            drop=True
+        )
+        z = p = None
+        q = 0
+        seen = False
+        zs, ps, fs = [], [], []
+        for d in pdf[demand].tolist():
+            d = float(d)
+            q += 1
+            if d > 0:
+                if seen:
+                    z = alpha * d + (1.0 - alpha) * z
+                    p = alpha * float(q) + (1.0 - alpha) * p
+                else:
+                    z = d
+                    p = float(q)
+                    seen = True
+                q = 0
+            zs.append(z)
+            ps.append(p)
+            fs.append(z / p if seen else None)
+        pdf["croston_z"] = zs
+        pdf["croston_p"] = ps
+        pdf["croston_forecast"] = fs
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_run, schema=out_schema)

@@ -4230,3 +4230,24 @@ def test_jonckheere_two_band_hand_example(spark, tmp_path):
     assert r.u2j == 7          # 2J = 2*3.5
     assert abs(r.z - 1.5 / math.sqrt(1.5)) < 1e-12
     assert r.trend == "none"
+
+
+def test_croston_hand_walked_recurrence(spark, tmp_path):
+    """Demand series 2,0,0,1,0,3 on the hourly axis: z/p state updates
+    only at demand periods; forecasts are 2, 2, 2, 0.75, 0.75,
+    1.125 (alpha = 0.5, interval smoothing on periods-since-demand)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for h, n in ((0, 2), (3, 1), (5, 3)):
+        for k in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=k),
+                         1, "c", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = (Q.croston_intermittent(spark, str(tmp_path))
+           .orderBy("bucket_ts").collect())
+    assert [r.demand for r in out] == [2, 0, 0, 1, 0, 3]
+    assert [r.croston_forecast for r in out] == [
+        2.0, 2.0, 2.0, 0.75, 0.75, 1.125]
+    assert [r.croston_z for r in out] == [2.0, 2.0, 2.0, 1.5, 1.5, 2.25]
+    assert [r.croston_p for r in out] == [1.0, 1.0, 1.0, 2.0, 2.0, 2.0]
