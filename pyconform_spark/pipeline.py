@@ -813,6 +813,24 @@ def refresh_late(
         # (not the merged result) — additivity makes the two equal,
         # and the late batch is scanned only once
 
+    return _publish_refresh(
+        spark, root, mk, seq, idir, staging, trash, intent_rows
+    )
+
+
+def _publish_refresh(
+    spark: SparkSession,
+    root: str,
+    mk: str,
+    seq: int,
+    idir: str,
+    staging: str,
+    trash: str,
+    intent_rows: list[dict],
+) -> dict[str, int]:
+    """Phases 2-4 of the write-audit-publish refresh protocol, shared
+    by :func:`refresh_late` and :func:`refresh_cdc`: intent commit
+    (atomic rename), per-partition publish, lineage commit, cleanup."""
     # ---- phase 2: intent commit (atomic rename); publish may only
     # start after this survives
     os.makedirs(idir, exist_ok=True)
@@ -833,6 +851,197 @@ def refresh_late(
     written_points = _commit_refresh_lineage(spark, root, mk, intent_rows, seq)
     _cleanup_refresh(root, mk)
     return written_points
+
+
+def refresh_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    root: str,
+    marker: str | None = None,
+) -> dict[str, int]:
+    """CDC refresh: apply a batch of signed row-level CHANGES —
+    transcripts columns plus ``op`` (+1 insert, -1 delete) — to the
+    committed tiers, the plain-parquet analog of Iceberg MERGE INTO
+    with equality deletes (merge-on-read compacted eagerly).  A
+    delete row must carry the SAME (conv_id, tool, role, ts, text) as
+    the turn it retracts — tier stats are signed integer sums, so
+
+        merge(tier(live), signed_tier(changes)) ==
+        tier(live rows minus deletes plus inserts)
+
+    bit-for-bit at every tier.  Buckets whose merged turn_count
+    reaches 0 are dropped from the rewritten partition.
+
+    Safety rails, all checked BEFORE the intent commit (so a refusal
+    leaves the live store untouched and any staging debris is swept
+    by :func:`recover_refreshes`):
+
+    * ``op`` values outside {-1, +1} -> ValueError;
+    * an epoch whose net turn delta is ZERO -> ValueError: the WAP
+      crash-recovery classifies partitions by sum(turn_count)
+      fingerprints, and a zero net delta makes pre == post
+      indistinguishable.  Split such batches into a delete marker and
+      an insert marker (each with nonzero net);
+    * a merged bucket with negative turn_count / text_len_sum, or a
+      zero-count bucket with nonzero text_len_sum (a delete that
+      doesn't match what the store holds) -> ValueError.
+
+    Exactly-once semantics, crash recovery, marker replay and lineage
+    are the :func:`refresh_late` machinery verbatim (shared
+    :func:`_publish_refresh`); delta fingerprints may be negative,
+    which the recovery classifier already handles because it compares
+    equality, not ordering."""
+    os.makedirs(root, exist_ok=True)
+    if marker is not None and marker in applied_refresh_markers(spark, root):
+        return {t: 0 for t in TIER_ORDER}
+    recover_refreshes(spark, root)
+    if marker is not None and marker in applied_refresh_markers(spark, root):
+        return {t: 0 for t in TIER_ORDER}
+
+    bad_ops = changes.where(~F.col("op").isin(1, -1)).count()
+    if bad_ops:
+        raise ValueError(
+            f"refresh_cdc: {bad_ops} change rows have op outside "
+            "{+1, -1}"
+        )
+    touched = list_epochs(changes)
+    if not touched:
+        return {t: 0 for t in TIER_ORDER}
+    day = (
+        F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    zero_net = [
+        int(r["epoch"])
+        for r in changes.groupBy(day.alias("epoch"))
+        .agg(F.sum("op").alias("net"))
+        .where(F.col("net") == 0)
+        .collect()
+    ]
+    if zero_net:
+        raise ValueError(
+            "refresh_cdc: epochs with ZERO net turn delta "
+            f"{sorted(zero_net)} are indistinguishable to crash "
+            "recovery (pre == post fingerprint); split the batch into "
+            "a delete marker and an insert marker"
+        )
+
+    mk = marker if marker is not None else f"cdc-{time.time_ns()}"
+    seq = _next_commit_seq(spark, root)
+    idir, sdir, tdir = _refresh_dirs(root)
+    staging = os.path.join(sdir, _safe_marker(mk))
+    trash = os.path.join(tdir, _safe_marker(mk))
+
+    epoch_col = (
+        F.col("bucket_start").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+
+    from pyconform_spark.tables import TIERS
+
+    text_len = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+
+    # ---- phase 1: stage merged partitions (live tree untouched)
+    intent_rows: list[dict] = []
+    delta = None
+    for tier in TIER_ORDER:
+        secs = TIERS[tier].seconds
+        if delta is None:
+            delta = (
+                changes.select(
+                    *SERIES_KEYS,
+                    rollup.bucket_ts(F.col("ts"), secs).alias(
+                        "bucket_start"
+                    ),
+                    F.col("op").cast("long").alias("op"),
+                    (F.col("op") * text_len).cast("long").alias("slen"),
+                )
+                .groupBy(*SERIES_KEYS, "bucket_start")
+                .agg(
+                    F.sum("op").alias("turn_count"),
+                    F.sum("slen").alias("text_len_sum"),
+                )
+            )
+        else:
+            delta = (
+                delta.select(
+                    *SERIES_KEYS,
+                    rollup.bucket_ts(F.col("bucket_start"), secs).alias(
+                        "bucket_start"
+                    ),
+                    "turn_count",
+                    "text_len_sum",
+                )
+                .groupBy(*SERIES_KEYS, "bucket_start")
+                .agg(
+                    F.sum("turn_count").alias("turn_count"),
+                    F.sum("text_len_sum").alias("text_len_sum"),
+                )
+            )
+        base = os.path.join(root, "tiers", tier)
+        d_sums = delta.select(
+            *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+        )
+        pre_sums: dict[int, int] = {}
+        if os.path.isdir(base):
+            live = spark.read.parquet(base).where(F.col("epoch").isin(touched))
+            pre_sums = {
+                int(r["epoch"]): int(r["s"])
+                for r in live.groupBy("epoch")
+                .agg(F.sum("turn_count").alias("s"))
+                .collect()
+            }
+            existing = live.select(
+                *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
+            )
+            merged_sums = (
+                existing.unionByName(d_sums)
+                .groupBy(*SERIES_KEYS, "bucket_start")
+                .agg(
+                    F.sum("turn_count").alias("turn_count"),
+                    F.sum("text_len_sum").alias("text_len_sum"),
+                )
+            )
+        else:
+            merged_sums = d_sums
+        bad = merged_sums.where(
+            (F.col("turn_count") < 0)
+            | (F.col("text_len_sum") < 0)
+            | ((F.col("turn_count") == 0) & (F.col("text_len_sum") != 0))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"refresh_cdc: tier={tier} has {bad} merged buckets "
+                "with negative or inconsistent sums — a delete does "
+                "not match what the store holds; refusing before the "
+                "intent commit (live store untouched)"
+            )
+        merged_sums = merged_sums.where(F.col("turn_count") > 0)
+        delta_sums = {
+            int(r["epoch"]): int(r["s"])
+            for r in d_sums.withColumn("epoch", epoch_col)
+            .groupBy("epoch")
+            .agg(F.sum("turn_count").alias("s"))
+            .collect()
+        }
+        merged = rollup._finish_tier(merged_sums, secs)
+        merged = merged.withColumn("epoch", epoch_col)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(os.path.join(staging, tier))
+        )
+        intent_rows.extend(
+            {
+                "tier": tier,
+                "epoch": e,
+                "pre_sum": pre_sums.get(e),
+                "delta_sum": delta_sums[e],
+            }
+            for e in sorted(delta_sums)
+        )
+
+    return _publish_refresh(
+        spark, root, mk, seq, idir, staging, trash, intent_rows
+    )
 
 
 def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:

@@ -567,3 +567,111 @@ def test_store_diff_classifies_backfill_changes(spark, tx, tmp_path):
     kinds2 = {r["status"] for r in d2.select("status").distinct().collect()}
     assert "removed" in kinds2 and "changed" in kinds2
     assert "added" not in kinds2
+
+
+def test_cdc_refresh_matches_edited_recompute(spark, tx, tmp_path):
+    """Committing ALL rows, then applying a CDC batch that deletes a
+    deterministic ~10%% slice and inserts replacement turns, must
+    equal the full recompute over (tx minus deletes plus inserts)
+    bit-for-bit at every tier."""
+    root = str(tmp_path / "cdc")
+    pipeline.run_batch(spark, tx, root)
+
+    is_del = F.abs(F.hash("conv_id", "turn_idx")) % 10 == 0
+    deletes = tx.where(is_del).withColumn("op", F.lit(-1))
+    inserts = (
+        tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 10 == 3)
+        .withColumn("turn_idx", F.col("turn_idx") + 100000)
+        .withColumn("op", F.lit(1))
+    )
+    assert deletes.count() > 0 and inserts.count() > 0
+
+    # a mixed batch can net zero in an epoch (the documented refusal);
+    # apply as the documented split: one delete marker, one insert
+    # marker — all-same-sign batches always carry nonzero net deltas
+    points = pipeline.refresh_cdc(spark, deletes, root, marker="cdc1-del")
+    assert any(points[t] != 0 for t in pipeline.TIER_ORDER)
+    points = pipeline.refresh_cdc(spark, inserts, root, marker="cdc1-ins")
+    assert any(points[t] != 0 for t in pipeline.TIER_ORDER)
+
+    edited = tx.where(~is_del).unionByName(inserts.drop("op"))
+    direct = rollup.all_tiers(edited)
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, tier
+
+    # marker replay is a no-op
+    again = pipeline.refresh_cdc(spark, deletes, root, marker="cdc1-del")
+    assert all(again[t] == 0 for t in pipeline.TIER_ORDER)
+
+
+def test_cdc_refusals_leave_store_untouched(spark, tx, tmp_path):
+    """Zero-net epochs, bad op values, and deletes that don't match
+    the store all refuse BEFORE the intent commit."""
+    root = str(tmp_path / "cdcref")
+    pipeline.run_batch(spark, tx, root)
+    before = {
+        t: _tier_rows(pipeline.read_tier(spark, root, t))
+        for t in pipeline.TIER_ORDER
+    }
+
+    one = tx.limit(1)
+    # (a) op outside {+1,-1}
+    with pytest.raises(ValueError, match="op outside"):
+        pipeline.refresh_cdc(
+            spark, one.withColumn("op", F.lit(2)), root
+        )
+    # (b) delete+insert of the same row nets zero in its epoch
+    zero_net = one.withColumn("op", F.lit(-1)).unionByName(
+        one.withColumn("op", F.lit(1))
+    )
+    with pytest.raises(ValueError, match="ZERO net"):
+        pipeline.refresh_cdc(spark, zero_net, root)
+    # (c) deleting a turn the store does not hold drives a bucket
+    # negative
+    ghost = (
+        one.withColumn("conv_id", F.lit("no-such-conversation"))
+        .withColumn("op", F.lit(-1))
+    )
+    with pytest.raises(ValueError, match="negative or inconsistent"):
+        pipeline.refresh_cdc(spark, ghost, root)
+
+    for t in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, t)) == before[t]
+
+
+def test_cdc_crash_before_commit_rolls_forward(
+    spark, tx, tmp_path, monkeypatch
+):
+    """A crash after publishing tier partitions but before the lineage
+    commit must roll FORWARD on the next call — the signed delta is
+    never applied twice (negative fingerprints classify the same way
+    positive ones do)."""
+    root = str(tmp_path / "cdccrash")
+    pipeline.run_batch(spark, tx, root)
+    deletes = tx.where(
+        F.abs(F.hash("conv_id", "turn_idx")) % 7 == 0
+    ).withColumn("op", F.lit(-1))
+    assert deletes.count() > 0
+
+    real_commit = pipeline._commit_refresh_lineage
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.refresh_cdc(spark, deletes, root, marker="cdcm")
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", real_commit)
+
+    points = pipeline.refresh_cdc(spark, deletes, root, marker="cdcm")
+    assert all(points[t] == 0 for t in pipeline.TIER_ORDER)
+
+    direct = rollup.all_tiers(
+        tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 != 0)
+    )
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        want = _tier_rows(direct[tier])
+        assert got == want, tier
