@@ -21574,10 +21574,11 @@ def icc_user_repeatability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) per event_type: does the
     weekend value distribution stochastically dominate the weekday
-    one?  The nonparametric two-sample location test — what
-    ks_drift_detect answers with a distance, this answers with a
-    direction + effect size (rank-biserial r), the pair an
-    experimentation dashboard shows side by side.
+    one?  Complements ``mannwhitney_u`` (early-vs-late drift variant,
+    integer U + direction label only): THIS one completes the
+    inference with the tie-corrected normal z and the rank-biserial
+    effect size r on a calendar design — the pair an experimentation
+    dashboard shows side by side.
 
     EXACT cross-engine: midranks are staged as 2x integers
     (2*midrank = 2*c_less + t + 1 from per-(type, value) counts and
