@@ -429,6 +429,40 @@ def stream_refresh_tiers(
     return writer
 
 
+def stream_refresh_cdc(
+    stream: DataFrame, root: str, checkpoint: str | None = None
+):
+    """Streaming CDC maintenance: micro-batches of signed changes
+    (transcripts columns + ``op`` +1/-1) merge into the committed tier
+    store through :func:`pipeline.refresh_cdc` — the streaming face of
+    the Iceberg MERGE-INTO analog, for upsert feeds (a conversation
+    edited or redacted after ingest).
+
+    Each micro-batch is applied as TWO markers — deletes first
+    (``stream-cdc-<id>-d``), then inserts (``stream-cdc-<id>-i``) —
+    because refresh_cdc refuses mixed batches whose net turn delta is
+    zero in some epoch (the WAP fingerprint blind spot), and an
+    all-same-sign batch always carries a nonzero net.  Exactly-once
+    under foreachBatch's at-least-once contract survives a crash
+    BETWEEN the two applies: on replay the delete marker is found in
+    the ledger and skipped, the insert marker is applied — each half
+    commits independently through the intent/fingerprint protocol."""
+    from pyconform_spark import pipeline as _pl
+    from pyspark.sql import functions as F
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        sp = df.sparkSession
+        dels = df.where(F.col("op") == -1)
+        ins = df.where(F.col("op") == 1)
+        _pl.refresh_cdc(sp, dels, root, marker=f"stream-cdc-{batch_id}-d")
+        _pl.refresh_cdc(sp, ins, root, marker=f"stream-cdc-{batch_id}-i")
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(_apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def stream_anomaly_zscore(stream: DataFrame, window: int = 20,
                           threshold: float = 3.0) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-series

@@ -1387,3 +1387,60 @@ def test_stream_time_decay_matches_batch_bitwise(spark, tmp_path):
     assert got == want
     n_pre = events.where(F.col("ts") < cut).count()
     assert 0 < n_pre < events.count()
+
+
+def test_stream_cdc_applies_deletes_and_inserts_exactly_once(spark, tmp_path):
+    """stream_refresh_cdc: signed micro-batches (delete feed, then an
+    insert feed) edit the committed store; final tiers equal the batch
+    rollup over the EDITED raw set, and each half-batch marker replays
+    as a no-op."""
+    from pyspark.sql import types as T
+
+    from pyconform_spark import pipeline
+
+    src = str(tmp_path / "in_cdc")
+    root = str(tmp_path / "store_cdc")
+    ckpt = str(tmp_path / "ck_cdc")
+    tx = synth.transcripts(spark, 2000)
+    pipeline.run_batch(spark, tx, root)
+
+    is_del = F.abs(F.hash("conv_id", "turn_idx")) % 4 == 0
+    deletes = tx.where(is_del).withColumn("op", F.lit(-1))
+    inserts = (
+        tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 4 == 1)
+        .withColumn("turn_idx", F.col("turn_idx") + 100000)
+        .withColumn("op", F.lit(1))
+    )
+    cdc_schema = T.StructType(
+        list(TRANSCRIPTS_SCHEMA) + [T.StructField("op", T.IntegerType(), True)]
+    )
+    deletes.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = streaming.stream_refresh_cdc(stream, root, checkpoint=ckpt).start()
+    try:
+        q.processAllAvailable()
+        inserts.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    edited = tx.where(~is_del).unionByName(inserts.drop("op"))
+    direct = rollup.all_tiers(edited)
+    for tier in pipeline.TIER_ORDER:
+        assert _rows(pipeline.read_tier(spark, root, tier)) == _rows(
+            direct[tier]
+        ), tier
+
+    # replay: both half-markers of the delete batch are in the ledger,
+    # so re-applying is a no-op
+    markers = pipeline.applied_refresh_markers(spark, root)
+    assert any(m.endswith("-d") for m in markers)
+    assert any(m.endswith("-i") for m in markers)
+    mk = next(m for m in markers if m.endswith("-d"))
+    points = pipeline.refresh_cdc(spark, deletes, root, marker=mk)
+    assert points == {t: 0 for t in pipeline.TIER_ORDER}
