@@ -1301,3 +1301,46 @@ def _resets_window(args, kwds, window_keys):
         col=F.sum(F.col(sname)).over(wf).cast("long"),
         stages=((sname, flag),),
     )
+
+
+def _register_over_time(key: str, make):
+    """Shared shape for the PromQL ``*_over_time`` aggregates: one
+    trailing-N-row frame over the (keys, t) sort; every member rides
+    the SAME window sort as rate/increase/changes, and every value is
+    computed on centi-quantized integers with at most ONE final
+    division back to the value domain."""
+
+    @register_window_function(key)
+    def _fn(args, kwds, window_keys, _make=make, _key=key):
+        _, t, win, w, vq = _range_window_args(args, kwds, window_keys, _key)
+        wf = w.rowsBetween(-(win - 1), 0)
+        return Compiled(col=_make(vq, wf))
+
+    _fn.__doc__ = (
+        f"``{key}(v, t, window=N)``: PromQL {key} pinned to a "
+        "trailing N-row frame on the shared series sort."
+    )
+    return _fn
+
+
+_register_over_time(
+    "min_over_time", lambda vq, wf: F.min(vq).over(wf).cast("double") / 100.0
+)
+_register_over_time(
+    "max_over_time", lambda vq, wf: F.max(vq).over(wf).cast("double") / 100.0
+)
+_register_over_time(
+    "sum_over_time", lambda vq, wf: F.sum(vq).over(wf).cast("double") / 100.0
+)
+_register_over_time(
+    "count_over_time",
+    lambda vq, wf: F.count(vq).over(wf).cast("long"),
+)
+_register_over_time(
+    "avg_over_time",
+    # exact: one division of two exact integers (centi-sum, 100*n)
+    lambda vq, wf: F.try_divide(
+        F.sum(vq).over(wf).cast("double"),
+        (F.count(vq).over(wf) * F.lit(100)).cast("double"),
+    ),
+)

@@ -10859,3 +10859,20 @@ SELECT user_id, event_type,
        CASE WHEN seen THEN z / p END AS croston_forecast
 FROM cr
 """
+
+ORACLES["promql_over_time"] = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id::BIGINT AS event_id,
+         floor(value * 100)::BIGINT AS vq
+  FROM events)
+SELECT user_id, event_type, ts, event_id,
+       (min(vq) OVER wf)::DOUBLE / 100.0 AS mn_10,
+       (max(vq) OVER wf)::DOUBLE / 100.0 AS mx_10,
+       (sum(vq) OVER wf)::DOUBLE / 100.0 AS sum_10,
+       (sum(vq) OVER wf)::DOUBLE
+         / ((count(vq) OVER wf) * 100)::DOUBLE AS avg_10,
+       (count(vq) OVER wf)::BIGINT AS cnt_10
+FROM base
+WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""

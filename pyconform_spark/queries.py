@@ -22202,3 +22202,43 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "croston_p",
         "croston_forecast",
     )
+
+
+def promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL ``*_over_time`` aggregate family from DEFINITION
+    STRINGS — min/max/sum/avg/count over the trailing 10 samples per
+    series — completing the definition-surface registry next to
+    rate/increase/changes/resets/predict_linear: a dashboard's range
+    aggregations now compile from the same spec language as its
+    counters.
+
+    EXACT cross-engine: every member computes on centi-quantized
+    integers over ONE shared (series, ts) window sort (plan-gated)
+    with at most one final division back to the value domain
+    (avg = centi-sum / (100 n), one division of two exact ints).
+
+    Scale shape: five frame aggregates on one key-local sort; no
+    join, no shuffle beyond the window exchange."""
+    from pyconform_spark import defs as D
+
+    df = _events(spark, sf_dir).select(
+        *EKEYS,
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = D.evaluate_defs(
+        df,
+        [
+            "mn_10 = min_over_time(value, ts, window=10)",
+            "mx_10 = max_over_time(value, ts, window=10)",
+            "sum_10 = sum_over_time(value, ts, window=10)",
+            "avg_10 = avg_over_time(value, ts, window=10)",
+            "cnt_10 = count_over_time(value, ts, window=10)",
+        ],
+        window_keys=tuple(EKEYS),
+    )
+    return out.select(
+        *EKEYS, "ts", "event_id",
+        "mn_10", "mx_10", "sum_10", "avg_10", "cnt_10",
+    )

@@ -2409,3 +2409,15 @@ def test_icc_grid_joins_reduced_frames_only(spark):
     assert "BroadcastNestedLoopJoin" in plan or count_nodes(
         plan, "BroadcastExchange"
     ) >= 1
+
+
+def test_over_time_family_shares_one_window_sort(spark):
+    """All five *_over_time members ride ONE (series, ts) sort and
+    one exchange — the Window operators stack without re-sorting
+    (evaluate_defs evaluates definitions sequentially, so Catalyst
+    emits one Window node per definition; the discipline that matters
+    at scale is a single sort/shuffle, and that is what we pin)."""
+    plan = plan_of(Q.promql_over_time(spark, SF))
+    assert count_nodes(plan, "Sort") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") <= 5

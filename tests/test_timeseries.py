@@ -4251,3 +4251,30 @@ def test_croston_hand_walked_recurrence(spark, tmp_path):
         2.0, 2.0, 2.0, 0.75, 0.75, 1.125]
     assert [r.croston_z for r in out] == [2.0, 2.0, 2.0, 1.5, 1.5, 2.25]
     assert [r.croston_p for r in out] == [1.0, 1.0, 1.0, 2.0, 2.0, 2.0]
+
+
+def test_over_time_family_hand_values(spark, tmp_path):
+    """values 1..5 with window=3 (the query pins window=10; here we
+    drive defs directly): min/max/sum/avg/count over the trailing
+    frame match the hand computation."""
+    from pyconform_spark import defs as D
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "c", float(i + 1), "{}")
+            for i in range(5)]
+    _write_events(spark, tmp_path, rows)
+    df = spark.read.parquet(f"{tmp_path}/events.parquet")
+    out = D.evaluate_defs(
+        df,
+        ["mn = min_over_time(value, ts, window=3)",
+         "mx = max_over_time(value, ts, window=3)",
+         "sm = sum_over_time(value, ts, window=3)",
+         "av = avg_over_time(value, ts, window=3)",
+         "ct = count_over_time(value, ts, window=3)"],
+        window_keys=("user_id", "event_type"),
+    ).orderBy("ts").collect()
+    assert [r.mn for r in out] == [1.0, 1.0, 1.0, 2.0, 3.0]
+    assert [r.mx for r in out] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert [r.sm for r in out] == [1.0, 3.0, 6.0, 9.0, 12.0]
+    assert [r.av for r in out] == [1.0, 1.5, 2.0, 3.0, 4.0]
+    assert [r.ct for r in out] == [1, 2, 3, 3, 3]
