@@ -2123,6 +2123,70 @@ FROM cells
 """
 
 
+def repeated_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Duplicated-text-fraction audit (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public arXiv): per
+    document, the fraction of its distinct word 5-gram shingles that
+    ALSO occur in at least one other document — the corpus-level
+    repeated-span signal that motivates substring dedup, where
+    doc-level dedup (exact/minhash/simhash) sees two long documents
+    sharing one boilerplate paragraph as "different".
+
+    EXACT: shingles are per-doc DISTINCT, so a shingle's occurrence
+    count IS its document frequency; dup_fraction = dup_shingles /
+    n_shingles is one division of two BIGINTs.  Docs too short to
+    form a 5-gram emit no row (documented).
+
+    Scale shape: explode -> (shingle, doc) frame, one shingle-keyed
+    hash agg for df, one shuffle join back on shingle (Zipf-skewed —
+    AQE skew-join splits boilerplate keys), one doc-keyed agg.  The
+    same shape as tfidf_top_terms; no quadratic stage."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    )
+    df_ = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_doc = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long"))
+            .cast("long")
+            .alias("dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "dup_shingles",
+        (
+            F.col("dup_shingles").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+def repeated_ngram_fraction_sql(n: int = 5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql(n)}) AS shingle FROM documents),
+dfreq AS (
+  SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS dup_shingles
+  FROM sh JOIN dfreq USING (shingle)
+  GROUP BY 1)
+SELECT doc_id, n_shingles, dup_shingles,
+       dup_shingles::DOUBLE / n_shingles::DOUBLE AS dup_fraction
+FROM per_doc
+"""
+
+
 def register_text_queries() -> dict[str, callable]:
     """(name -> callable(spark, sf_dir)) for the driver catalog."""
 
@@ -2161,6 +2225,9 @@ def register_text_queries() -> dict[str, callable]:
         "pii_redact": lambda s, d: pii_redact(_docs(s, d)),
         "dedup_chunks": lambda s, d: chunk_dedup_stats(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d)),
+        "repeated_ngram_fraction": lambda s, d: repeated_ngram_fraction(
+            _docs(s, d)
+        ),
         "quality_classifier": lambda s, d: quality_classifier(_docs(s, d)),
         "dedup_chunks_cdc": lambda s, d: cdc_chunk_dedup(_docs(s, d)),
         # decontamination demo split: docs with id%10==7 play the eval
@@ -2218,6 +2285,7 @@ TEXT_ORACLES: dict[str, str] = {
     "pii_redact": pii_redact_sql(),
     "dedup_chunks": chunk_dedup_stats_sql(),
     "tfidf_top_terms": tfidf_top_terms_sql(),
+    "repeated_ngram_fraction": repeated_ngram_fraction_sql(),
     "quality_classifier": quality_classifier_sql(),
     "dedup_chunks_cdc": cdc_chunk_dedup_sql(),
 }

@@ -935,3 +935,25 @@ def test_corpus_token_budget_ratios(spark):
     assert r["n_chars"] == 16 and r["n_bytes"] == 16
     assert r["tokens_per_doc"] == 2.5
     assert r["bytes_per_token"] == 16 / 5
+
+
+def test_repeated_ngram_fraction_shared_span(spark):
+    """doc1 and doc2 share exactly one 5-gram ("a b c d e"); doc3 is
+    all-unique; a doc too short for a 5-gram emits no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y", "en", "web"),
+            (2, "z a b c d e q", "en", "web"),
+            (3, "p q r s t", "en", "web"),
+            (4, "too short", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in
+           textops.repeated_ngram_fraction(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_shingles, out[1].dup_shingles) == (3, 1)
+    assert (out[2].n_shingles, out[2].dup_shingles) == (3, 1)
+    assert (out[3].n_shingles, out[3].dup_shingles) == (1, 0)
+    assert out[1].dup_fraction == 1.0 / 3.0
+    assert out[3].dup_fraction == 0.0
