@@ -88,3 +88,87 @@ def test_spark_submit_pyfiles_rollup(tmp_path):
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary2["computed"] == 0
     assert summary2["skipped"] == summary["computed"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this host"
+)
+def test_spark_submit_cdc_job(tmp_path, spark):
+    """cdc_job.py end-to-end through --py-files: build a store with
+    rollup_job, delete a deterministic slice via the CDC job, verify
+    the tiers equal the rollup of the edited synth set, and re-submit
+    the same marker as a no-op."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import pipeline, synth
+    from pyconform_spark.operators import rollup
+
+    subprocess.run(
+        ["bash", str(REPO / "scripts" / "make_pyfiles.sh")],
+        check=True,
+        capture_output=True,
+    )
+    root = tmp_path / "ckpt"
+    env = {**os.environ, "PYTHONPATH": ""}
+    base_cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", str(REPO / "dist" / "pyconform_spark.zip"),
+    ]
+    r = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "rollup_job.py"),
+            "--synth", "5000", "--output", str(root),
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # synth is hash-deterministic: regenerate the job's exact rows
+    tx = synth.transcripts(spark, 5000)
+    is_del = F.abs(F.hash("conv_id", "turn_idx")) % 4 == 0
+    changes = tx.where(is_del).withColumn("op", F.lit(-1))
+    ch_path = tmp_path / "changes.parquet"
+    changes.coalesce(1).write.parquet(str(ch_path))
+
+    r2 = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "cdc_job.py"),
+            "--changes", str(ch_path), "--root", str(root),
+            "--marker", "redact-1",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert any(v != 0 for v in summary["points_deleted_side"].values())
+
+    direct = rollup.all_tiers(tx.where(~is_del))
+    for tier in pipeline.TIER_ORDER:
+        got = sorted(
+            map(tuple, pipeline.read_tier(spark, str(root), tier).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        want = sorted(
+            map(tuple, direct[tier].collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        assert got == want, tier
+
+    r3 = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "cdc_job.py"),
+            "--changes", str(ch_path), "--root", str(root),
+            "--marker", "redact-1",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    summary3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert all(v == 0 for v in summary3["points_deleted_side"].values())
+    assert all(v == 0 for v in summary3["points_inserted_side"].values())
