@@ -10876,3 +10876,26 @@ FROM base
 WINDOW wf AS (PARTITION BY user_id, event_type ORDER BY ts
               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """
+
+ORACLES["dau_wau_mau_stickiness"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(ts) // 86400000)::BIGINT AS day
+  FROM events),
+dau AS (
+  SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT day, count(*)::BIGINT AS wau FROM (
+    SELECT DISTINCT user_id, unnest(generate_series(day, day + 6)) AS day
+    FROM ud) GROUP BY 1),
+mau AS (
+  SELECT day, count(*)::BIGINT AS mau FROM (
+    SELECT DISTINCT user_id, unnest(generate_series(day, day + 29)) AS day
+    FROM ud) GROUP BY 1)
+SELECT to_timestamp(dau.day * 86400)::TIMESTAMP AS day_ts,
+       dau.dau, wau.wau, mau.mau,
+       dau.dau::DOUBLE / mau.mau::DOUBLE AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day
+JOIN mau ON mau.day = dau.day
+ORDER BY day_ts
+"""

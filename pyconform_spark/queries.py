@@ -22242,3 +22242,63 @@ def promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         *EKEYS, "ts", "event_id",
         "mn_10", "mx_10", "sum_10", "avg_10", "cnt_10",
     )
+
+
+def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / trailing-30-day MAU / stickiness
+    (DAU/MAU) per observed day — the engagement headline every product
+    dashboard opens with.  Spark windows cannot COUNT DISTINCT over a
+    moving frame; the scale-safe construction inverts the window: each
+    active (user, day) COVERS the 7 (resp. 30) future days it keeps
+    that user inside the trailing window — explode the coverage
+    interval, de-duplicate (user, covered_day), count per day.  Linear
+    in user-days with bounded fan-out (7x / 30x), no self-join, no
+    per-day re-scan.
+
+    EXACT cross-engine: pure distinct-counts on integer days;
+    stickiness is ONE double division.  Output rows = days with >= 1
+    event (the DAU spine; trailing windows are reported on those
+    days).
+
+    Scale shape: one (user, day) distinct hash agg off the scan, two
+    bounded explodes each followed by a distinct + per-day count, two
+    broadcast-size joins on the day spine."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    ud = (
+        df.select(
+            "user_id", F.floor(es / 86400).cast("long").alias("day")
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+
+    def trailing(frame: DataFrame, span: int, name: str) -> DataFrame:
+        return (
+            frame.select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.col("day"), F.col("day") + (span - 1))
+                ).alias("day"),
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    wau = trailing(ud, 7, "wau")
+    mau = trailing(ud, 30, "mau")
+    out = dau.join(wau, "day").join(mau, "day")
+    return out.select(
+        F.timestamp_seconds(F.col("day") * 86400)
+        .cast("timestamp_ntz")
+        .alias("day_ts"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+            "stickiness"
+        ),
+    ).orderBy("day_ts")

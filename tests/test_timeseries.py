@@ -4278,3 +4278,24 @@ def test_over_time_family_hand_values(spark, tmp_path):
     assert [r.sm for r in out] == [1.0, 3.0, 6.0, 9.0, 12.0]
     assert [r.av for r in out] == [1.0, 1.5, 2.0, 3.0, 4.0]
     assert [r.ct for r in out] == [1, 2, 3, 3, 3]
+
+
+def test_dau_wau_mau_coverage_semantics(spark, tmp_path):
+    """User 1 active day 0 only; user 2 active days 0 and 8.  Day 0:
+    DAU=2, WAU=2, MAU=2.  Day 8: DAU=1 (user 2), but WAU=1 because
+    user 1's 7-day coverage (days 0-6) has lapsed while MAU=2 keeps
+    both (30-day coverage)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "c", 1.0, "{}"),
+        (1, t0, 2, "c", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=8), 2, "c", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.day_ts: r for r in
+           Q.dau_wau_mau_stickiness(spark, str(tmp_path)).collect()}
+    d0 = out[t0]
+    d8 = out[t0 + dt.timedelta(days=8)]
+    assert (d0.dau, d0.wau, d0.mau) == (2, 2, 2)
+    assert (d8.dau, d8.wau, d8.mau) == (1, 1, 2)
+    assert d8.stickiness == 0.5
