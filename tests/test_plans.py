@@ -2421,3 +2421,38 @@ def test_over_time_family_shares_one_window_sort(spark):
     assert count_nodes(plan, "Sort") == 1
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") <= 5
+
+
+def test_croston_is_one_arrow_recurrence_after_reduction(spark):
+    """The recurrence host is a single applyInPandas over the reduced
+    dense (series, hour) frame — one FlatMapGroupsInPandas, a bounded
+    sequence explode, partial-aggregated counts off the scan, never a
+    per-row Python UDF or a cartesian."""
+    plan = plan_of(Q.croston_intermittent(spark, SF))
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "partial_count" in plan
+
+
+def test_repeated_ngram_reduces_then_joins_on_shingle(spark):
+    """The df join runs on the exploded-shingle frame (tfidf's
+    Zipf-skew shape), with partial aggregation and no quadratic
+    stage."""
+    from pyconform_spark import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.repeated_ngram_fraction(docs))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "partial_count" in plan
+
+
+def test_dau_wau_mau_bounded_fanout_no_self_join(spark):
+    """The trailing windows come from bounded coverage explodes over
+    the REDUCED (user, day) distinct frame — two Generates, no raw
+    self-join, no cartesian; the final joins run on the tiny day
+    spine."""
+    plan = plan_of(Q.dau_wau_mau_stickiness(spark, SF))
+    assert count_nodes(plan, "Generate") == 2
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
