@@ -10899,3 +10899,34 @@ FROM dau JOIN wau ON wau.day = dau.day
 JOIN mau ON mau.day = dau.day
 ORDER BY day_ts
 """
+
+ORACLES["apdex_daily"] = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 86400000)::BIGINT AS day,
+         floor(value * 100)::BIGINT AS vq
+  FROM events),
+agg AS (
+  SELECT event_type, day,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN vq <= 150 THEN 1 ELSE 0 END)::BIGINT AS s,
+         sum(CASE WHEN vq > 150 AND vq <= 600 THEN 1 ELSE 0 END)::BIGINT
+           AS t
+  FROM base GROUP BY 1, 2)
+SELECT event_type,
+       to_timestamp(day * 86400)::TIMESTAMP AS day_ts,
+       n, s AS satisfied, t AS tolerating,
+       (n - s - t)::BIGINT AS frustrated,
+       (2 * s + t)::DOUBLE / (2 * n)::DOUBLE AS apdex,
+       CASE WHEN (2 * s + t)::DOUBLE / (2 * n)::DOUBLE >= 0.94
+              THEN 'excellent'
+            WHEN (2 * s + t)::DOUBLE / (2 * n)::DOUBLE >= 0.85
+              THEN 'good'
+            WHEN (2 * s + t)::DOUBLE / (2 * n)::DOUBLE >= 0.70
+              THEN 'fair'
+            WHEN (2 * s + t)::DOUBLE / (2 * n)::DOUBLE >= 0.50
+              THEN 'poor'
+            ELSE 'unacceptable' END AS rating
+FROM agg
+ORDER BY event_type, day_ts
+"""

@@ -22302,3 +22302,58 @@ def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     ).orderBy("day_ts")
+
+
+def apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index, public Apdex Alliance
+    spec) per (event_type, UTC day), reading ``value`` as a latency:
+    satisfied (v <= T), tolerating (T < v <= 4T), frustrated (> 4T)
+    with T = 1.5; score = (satisfied + tolerating/2) / n — the
+    user-experience rollup an SLO dashboard shows next to
+    slo_burn_rate's error-budget view.
+
+    EXACT cross-engine: the threshold tests run on centi-quantized
+    integers (T = 150, 4T = 600); the score is staged as
+    (2s + t) / (2n) — ONE division of two exact BIGINTs — and the
+    rating label compares that exact quotient against the published
+    Apdex boundaries.
+
+    Scale shape: one map-side-combined hash aggregate to a
+    |types| x |days| frame; no window, no join."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select(
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+        vq.alias("vq"),
+    )
+    agg = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("vq") <= 150).cast("long")).cast("long").alias("s"),
+        F.sum(((F.col("vq") > 150) & (F.col("vq") <= 600)).cast("long"))
+        .cast("long")
+        .alias("t"),
+    )
+    score = (2 * F.col("s") + F.col("t")).cast("double") / (
+        2 * F.col("n")
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        F.timestamp_seconds(F.col("day") * 86400)
+        .cast("timestamp_ntz")
+        .alias("day_ts"),
+        "n",
+        F.col("s").alias("satisfied"),
+        F.col("t").alias("tolerating"),
+        (F.col("n") - F.col("s") - F.col("t")).cast("long").alias(
+            "frustrated"
+        ),
+        score.alias("apdex"),
+        F.when(score >= 0.94, F.lit("excellent"))
+        .when(score >= 0.85, F.lit("good"))
+        .when(score >= 0.70, F.lit("fair"))
+        .when(score >= 0.50, F.lit("poor"))
+        .otherwise(F.lit("unacceptable"))
+        .alias("rating"),
+    ).orderBy("event_type", "day_ts")

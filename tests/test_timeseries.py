@@ -4299,3 +4299,16 @@ def test_dau_wau_mau_coverage_semantics(spark, tmp_path):
     assert (d0.dau, d0.wau, d0.mau) == (2, 2, 2)
     assert (d8.dau, d8.wau, d8.mau) == (1, 1, 2)
     assert d8.stickiness == 0.5
+
+
+def test_apdex_buckets_and_score(spark, tmp_path):
+    """Latencies 1.0, 1.5 (satisfied <= 1.5), 2.0, 6.0 (tolerating),
+    7.0 (frustrated): apdex = (2 + 2/2)/5 = 0.6 -> 'poor'."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "c", v, "{}")
+            for i, v in enumerate([1.0, 1.5, 2.0, 6.0, 7.0])]
+    _write_events(spark, tmp_path, rows)
+    r = Q.apdex_daily(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.satisfied, r.tolerating, r.frustrated) == (5, 2, 2, 1)
+    assert r.apdex == 0.6
+    assert r.rating == "poor"
