@@ -311,6 +311,12 @@ BENCH_QUERIES = [
     "friedman_test",
     "ansari_bradley",
     "jonckheere_trend",
+    "croston_intermittent",
+    "promql_over_time",
+    "repeated_ngram_fraction",
+    "dau_wau_mau_stickiness",
+    "apdex_daily",
+    "tail_at_scale_fanout",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -10930,3 +10930,51 @@ SELECT event_type,
 FROM agg
 ORDER BY event_type, day_ts
 """
+
+ORACLES["tail_at_scale_fanout"] = """
+WITH counts AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, vq,
+         sum(c) OVER (PARTITION BY event_type ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum
+  FROM counts),
+totals AS (
+  SELECT event_type, sum(c)::BIGINT AS n FROM counts GROUP BY 1),
+ks AS (SELECT unnest([1, 2, 4, 8])::INT AS k),
+staged AS (
+  SELECT c.event_type, k.k, t.n, c.vq
+  FROM cum c JOIN totals t USING (event_type)
+  CROSS JOIN ks k
+  WHERE 100 * (CASE WHEN k.k = 1 THEN c.cum::DECIMAL(38,0)
+                    WHEN k.k = 2 THEN c.cum::DECIMAL(38,0)
+                                      * c.cum::DECIMAL(38,0)
+                    WHEN k.k = 4 THEN (c.cum::DECIMAL(38,0)
+                                       * c.cum::DECIMAL(38,0))
+                                      * (c.cum::DECIMAL(38,0)
+                                         * c.cum::DECIMAL(38,0))
+                    ELSE ((c.cum::DECIMAL(38,0) * c.cum::DECIMAL(38,0))
+                          * (c.cum::DECIMAL(38,0) * c.cum::DECIMAL(38,0)))
+                         * ((c.cum::DECIMAL(38,0) * c.cum::DECIMAL(38,0))
+                            * (c.cum::DECIMAL(38,0)
+                               * c.cum::DECIMAL(38,0))) END)
+        >= 99 * (CASE WHEN k.k = 1 THEN t.n::DECIMAL(38,0)
+                      WHEN k.k = 2 THEN t.n::DECIMAL(38,0)
+                                        * t.n::DECIMAL(38,0)
+                      WHEN k.k = 4 THEN (t.n::DECIMAL(38,0)
+                                         * t.n::DECIMAL(38,0))
+                                        * (t.n::DECIMAL(38,0)
+                                           * t.n::DECIMAL(38,0))
+                      ELSE ((t.n::DECIMAL(38,0) * t.n::DECIMAL(38,0))
+                            * (t.n::DECIMAL(38,0) * t.n::DECIMAL(38,0)))
+                           * ((t.n::DECIMAL(38,0) * t.n::DECIMAL(38,0))
+                              * (t.n::DECIMAL(38,0)
+                                 * t.n::DECIMAL(38,0))) END))
+SELECT event_type, k, max(n)::BIGINT AS n_samples,
+       min(vq)::DOUBLE / 100.0 AS p99_effective
+FROM staged GROUP BY 1, 2
+ORDER BY event_type, k
+"""

@@ -22357,3 +22357,75 @@ def apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unacceptable"))
         .alias("rating"),
     ).orderBy("event_type", "day_ts")
+
+
+def tail_at_scale_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency amplification under fan-out (Dean & Barroso, "The
+    Tail at Scale", CACM 2013): when one request fans out to k
+    parallel calls and waits for ALL, the p99 of the SLOWEST call is
+    the value v where P(X <= v)^k >= 0.99 — per event_type, the
+    effective p99 for k in {1, 2, 4, 8}, read off the exact value
+    distribution.  The number that explains why a 1-in-100 slow
+    server makes most fan-out requests slow.
+
+    EXACT cross-engine: the cumulative distribution comes from
+    per-(type, value) counts + one cumulative window (the
+    rank-from-cumulative-counts percentile pattern); the k-th-power
+    comparison clears to integers — (cum/n)^k >= 99/100  <=>
+    100*cum^k >= 99*n^k — staged as DECIMAL(38,0)/HUGEINT products
+    (exact below n ~ 10^4.6 at k=8; documented bound), so the picked
+    value is an integer argmin, no float quantile anywhere.
+
+    Scale shape: one hash agg to the (type, value) frame, one
+    cumulative window over the value axis, a broadcast 4-row k frame,
+    one min-agg — never a sort or quantile over raw rows."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counts = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("event_type", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "event_type",
+        "vq",
+        F.sum("c").over(wv).cast("long").alias("cum"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    ks = spark.range(4).select(
+        F.expr("cast(shiftleft(1, cast(id as int)) as int)").alias("k")
+    )
+    dec = "decimal(38,0)"
+
+    def powk(c):
+        c1 = c.cast(dec)
+        c2 = c1 * c1
+        c4 = c2 * c2
+        return (
+            F.when(F.col("k") == 1, c1)
+            .when(F.col("k") == 2, c2)
+            .when(F.col("k") == 4, c4)
+            .otherwise(c4 * c4)
+        )
+
+    staged = (
+        cum.join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .where(100 * powk(F.col("cum")) >= 99 * powk(F.col("n")))
+    )
+    picked = staged.groupBy("event_type", "k").agg(
+        F.min("vq").alias("_vq"), F.max("n").alias("n")
+    )
+    return picked.select(
+        "event_type",
+        "k",
+        F.col("n").alias("n_samples"),
+        (F.col("_vq").cast("double") / 100.0).alias("p99_effective"),
+    ).orderBy("event_type", "k")

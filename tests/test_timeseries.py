@@ -4312,3 +4312,18 @@ def test_apdex_buckets_and_score(spark, tmp_path):
     assert (r.n, r.satisfied, r.tolerating, r.frustrated) == (5, 2, 2, 1)
     assert r.apdex == 0.6
     assert r.rating == "poor"
+
+
+def test_tail_at_scale_amplifies_p99(spark, tmp_path):
+    """Uniform 1..1000: the all-of-k p99 is the ceil of
+    1000 * 0.99^(1/k) -> 990, 995, 998, 999 for k = 1, 2, 4, 8 —
+    computed here by exact integer power comparison, no float pow."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "c", float(i + 1), "{}")
+            for i in range(1000)]
+    _write_events(spark, tmp_path, rows)
+    out = {r.k: r for r in
+           Q.tail_at_scale_fanout(spark, str(tmp_path)).collect()}
+    assert [out[k].p99_effective for k in (1, 2, 4, 8)] == [
+        990.0, 995.0, 998.0, 999.0]
+    assert all(out[k].n_samples == 1000 for k in (1, 2, 4, 8))
