@@ -10978,3 +10978,55 @@ SELECT event_type, k, max(n)::BIGINT AS n_samples,
 FROM staged GROUP BY 1, 2
 ORDER BY event_type, k
 """
+
+ORACLES["hedged_request_planner"] = """
+WITH counts AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, max(vq) AS mx, sum(c)::BIGINT AS n
+  FROM counts GROUP BY 1),
+axis AS (
+  SELECT event_type, n, unnest(generate_series(0, mx)) AS t
+  FROM bounds),
+surv AS (
+  SELECT a.event_type, a.n, a.t,
+         (a.n - sum(coalesce(c.c, 0)) OVER (
+             PARTITION BY a.event_type ORDER BY a.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS s
+  FROM axis a LEFT JOIN counts c
+    ON c.event_type = a.event_type AND c.vq = a.t),
+dsel AS (
+  SELECT event_type, min(t) AS d FROM surv
+  WHERE 20 * (n - s) >= 19 * n GROUP BY 1),
+base AS (
+  SELECT s.event_type, max(s.n)::BIGINT AS n, max(d.d)::BIGINT AS d,
+         sum(s.s)::DECIMAL(38,0) AS ex_num,
+         sum(CASE WHEN s.t < d.d THEN s.s ELSE 0 END)::DECIMAL(38,0)
+           AS head_num
+  FROM surv s JOIN dsel d USING (event_type) GROUP BY 1),
+tailsum AS (
+  SELECT l.event_type,
+         sum(l.s::DECIMAL(38,0) * r.s)::DECIMAL(38,0) AS tail_num
+  FROM (SELECT s.event_type, s.t, s.s, d.d
+        FROM surv s JOIN dsel d USING (event_type)
+        WHERE s.t >= d.d) l
+  JOIN surv r ON r.event_type = l.event_type AND r.t = l.t - l.d
+  GROUP BY 1),
+alg AS (
+  SELECT b.event_type, b.n, b.d,
+         b.ex_num::DOUBLE / b.n::DOUBLE AS e_base,
+         (b.n::DECIMAL(38,0) * b.head_num + t.tail_num)::DOUBLE
+           / (b.n::DECIMAL(38,0) * b.n::DECIMAL(38,0))::DOUBLE
+           AS e_hedged
+  FROM base b JOIN tailsum t USING (event_type))
+SELECT event_type, n AS n_samples,
+       d::DOUBLE / 100.0 AS hedge_at_p95,
+       e_base / 100.0 AS mean_latency,
+       e_hedged / 100.0 AS mean_latency_hedged,
+       1.0 - e_hedged / e_base AS latency_reduction
+FROM alg
+ORDER BY event_type
+"""

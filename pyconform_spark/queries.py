@@ -22429,3 +22429,126 @@ def tail_at_scale_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_samples"),
         (F.col("_vq").cast("double") / 100.0).alias("p99_effective"),
     ).orderBy("event_type", "k")
+
+
+def hedged_request_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hedged-request planner (Dean & Barroso 2013's mitigation to
+    tail_at_scale_fanout's problem): send a backup request when the
+    first hasn't answered by the p95 latency, take the first response
+    — per event_type, the EXPECTED latency before and after hedging
+    and the extra-load fraction, computed EXACTLY from the empirical
+    distribution (independence assumption, as in the paper).
+
+    With survival counts S(t) = #(X > t) on the integer (centi)
+    latency axis and hedge delay d = the exact p95 order statistic:
+
+        n   * E[X] = SUM_t S(t)
+        n^2 * E[T] = n * SUM_{t<d} S(t) + SUM_{t>=d} S(t)*S(t-d)
+
+    (E[min(X1, d + X2)] summed by survival; both numerators are pure
+    integers, each expectation is ONE double division; extra load =
+    S(d-1)/n... exactly the fraction of requests still open at d).
+
+    EXACT cross-engine: the dense t axis is sequence/generate_series
+    0..max; S(t) comes from a running-sum window over the zero-filled
+    axis; the shift S(t-d) is an equi-join on (type, t-d) — integer
+    keys, no float anywhere before the final divisions.
+
+    Scale shape: counts reduce raw rows first; the dense axis is
+    |max centi-latency| rows per type (bounded by the value domain,
+    not the row count); one window + one self-equi-join on it."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counts = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("event_type", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.max("vq").alias("mx"), F.sum("c").cast("long").alias("n")
+    )
+    axis = bounds.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mx"))).alias(
+            "t"
+        ),
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = (
+        axis.join(
+            counts.select("event_type", F.col("vq").alias("t"), "c"),
+            ["event_type", "t"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "n",
+            "t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "t",
+            (F.col("n") - F.sum("c").over(wa)).cast("long").alias("s"),
+        )
+    )
+    # hedge delay d = exact upper p95 order statistic: smallest t with
+    # cum >= ceil(0.95 n)  <=>  smallest t with 20*(n - s) >= 19*n
+    dsel = (
+        surv.where(20 * (F.col("n") - F.col("s")) >= 19 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("t").alias("d"))
+    )
+    sj = surv.join(F.broadcast(dsel), "event_type")
+    base_num = sj.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("d").alias("d"),
+        F.sum("s").cast("decimal(38,0)").alias("ex_num"),
+        F.sum(
+            F.when(F.col("t") < F.col("d"), F.col("s")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("head_num"),
+    )
+    left = sj.where(F.col("t") >= F.col("d")).select(
+        "event_type", "t", "d", "s", (F.col("t") - F.col("d")).alias("tm")
+    )
+    right = surv.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("t").alias("tm"),
+        F.col("s").alias("s_prev"),
+    )
+    tail = (
+        left.join(
+            right,
+            (F.col("event_type") == F.col("event_type_r"))
+            & (left["tm"] == right["tm"]),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s_prev"))
+            .cast("decimal(38,0)")
+            .alias("tail_num")
+        )
+    )
+    out = base_num.join(tail, "event_type")
+    n = F.col("n").cast("decimal(38,0)")
+    e_base = F.col("ex_num").cast("double") / F.col("n").cast("double")
+    e_hedged = (
+        (n * F.col("head_num") + F.col("tail_num")).cast("double")
+        / (n * n).cast("double")
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_samples"),
+        (F.col("d").cast("double") / 100.0).alias("hedge_at_p95"),
+        (e_base / 100.0).alias("mean_latency"),
+        (e_hedged / 100.0).alias("mean_latency_hedged"),
+        (F.lit(1.0) - e_hedged / e_base).alias("latency_reduction"),
+    ).orderBy("event_type")

@@ -4327,3 +4327,38 @@ def test_tail_at_scale_amplifies_p99(spark, tmp_path):
     assert [out[k].p99_effective for k in (1, 2, 4, 8)] == [
         990.0, 995.0, 998.0, 999.0]
     assert all(out[k].n_samples == 1000 for k in (1, 2, 4, 8))
+
+
+def test_hedged_request_matches_numpy_expectation(spark, tmp_path):
+    """Uniform latencies 1..100: the hedged expectation from the
+    survival-sum formula is recomputed independently in numpy (dense
+    integer axis, same independence assumption) and must match the
+    engine to the last bit of the staged divisions."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "c", float(i + 1), "{}")
+            for i in range(100)]
+    _write_events(spark, tmp_path, rows)
+    r = Q.hedged_request_planner(spark, str(tmp_path)).collect()[0]
+
+    vq = (np.arange(100) + 1) * 100
+    n = len(vq)
+    mx = vq.max()
+    t_axis = np.arange(mx + 1)
+    s = np.array([(vq > t).sum() for t in t_axis], dtype=np.int64)
+    cum = n - s
+    d = int(t_axis[20 * cum >= 19 * n].min())
+    ex_num = int(s.sum())
+    head = int(s[:d].sum())
+    tail = int(sum(int(s[t]) * int(s[t - d]) for t in range(d, mx + 1)))
+    e_base = ex_num / n
+    e_hedged = (n * head + tail) / (n * n)
+
+    assert r.n_samples == 100
+    assert r.hedge_at_p95 == d / 100.0
+    assert r.mean_latency == e_base / 100.0
+    assert r.mean_latency_hedged == e_hedged / 100.0
+    assert abs(r.latency_reduction - (1.0 - e_hedged / e_base)) < 1e-15
+    # hedging must actually help on a uniform distribution
+    assert r.mean_latency_hedged < r.mean_latency
