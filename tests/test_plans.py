@@ -2456,3 +2456,30 @@ def test_dau_wau_mau_bounded_fanout_no_self_join(spark):
     assert count_nodes(plan, "Generate") == 2
     assert count_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_apdex_is_one_joinless_aggregate(spark):
+    """Apdex reduces to one map-side-combined hash agg off the scan —
+    no window, no join of any kind."""
+    plan = plan_of(Q.apdex_daily(spark, SF))
+    assert "partial_count" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert count_nodes(plan, node) == 0
+
+
+def test_tail_at_scale_broadcasts_constant_frames(spark):
+    """The totals frame and the 4-row k frame broadcast onto the
+    cumulative value-axis frame; never a cartesian on raw rows."""
+    plan = plan_of(Q.tail_at_scale_fanout(spark, SF))
+    assert count_nodes(plan, "BroadcastExchange") >= 2
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_hedged_planner_shift_is_equi_join(spark):
+    """The S(t-d) shift joins the dense axis to itself on integer
+    keys — an equi-join, not a theta/cartesian — and the hedge-delay
+    frame broadcasts."""
+    plan = plan_of(Q.hedged_request_planner(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "BroadcastExchange") >= 1
