@@ -11030,3 +11030,45 @@ SELECT event_type, n AS n_samples,
 FROM alg
 ORDER BY event_type
 """
+
+ORACLES["tied_request_planner"] = """
+WITH counts AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, max(vq) AS mx, sum(c)::BIGINT AS n
+  FROM counts GROUP BY 1),
+axis AS (
+  SELECT event_type, n, unnest(generate_series(0, mx)) AS t
+  FROM bounds),
+surv AS (
+  SELECT a.event_type, a.n, a.t,
+         (a.n - sum(coalesce(c.c, 0)) OVER (
+             PARTITION BY a.event_type ORDER BY a.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS s
+  FROM axis a LEFT JOIN counts c
+    ON c.event_type = a.event_type AND c.vq = a.t),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         sum(s)::HUGEINT AS ex_num,
+         sum(s::HUGEINT * s::HUGEINT)::HUGEINT AS tied_num,
+         min(CASE WHEN 100 * (n - s) >= 99 * n THEN t END) AS p99q,
+         min(CASE WHEN (n::HUGEINT * n - s::HUGEINT * s) * 100
+                       >= n::HUGEINT * n * 99 THEN t END) AS p99q_tied
+  FROM surv GROUP BY 1),
+alg AS (
+  SELECT event_type, n, p99q, p99q_tied,
+         ex_num::DOUBLE / n::DOUBLE AS e_base,
+         tied_num::DOUBLE / (n::HUGEINT * n)::DOUBLE AS e_tied
+  FROM agg)
+SELECT event_type, n AS n_samples,
+       e_base / 100.0 AS mean_latency,
+       e_tied / 100.0 AS mean_latency_tied,
+       1.0 - e_tied / e_base AS latency_reduction,
+       p99q::DOUBLE / 100.0 AS p99,
+       p99q_tied::DOUBLE / 100.0 AS p99_tied
+FROM alg
+ORDER BY event_type
+"""

@@ -22552,3 +22552,98 @@ def hedged_request_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_hedged / 100.0).alias("mean_latency_hedged"),
         (F.lit(1.0) - e_hedged / e_base).alias("latency_reduction"),
     ).orderBy("event_type")
+
+
+def tied_request_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tied-request planner (Dean & Barroso 2013, the stronger cousin
+    of hedged_request_planner): issue TWO copies of every request
+    immediately, cancel the loser when the first completes — per
+    event_type, the EXACT expected latency and exact p99 before and
+    after tying, from integer survival sums on the dense centi-latency
+    axis (independence assumption, as in the paper).
+
+    With survival counts S(t) = #(X > t), min of two iid draws has
+    survival S(t)^2 / n^2, so
+
+        n   * E[X]          = SUM_t S(t)
+        n^2 * E[min(X1,X2)] = SUM_t S(t)^2
+        p99      = min t : 100 * (n   - S(t))     >= 99 * n
+        p99_tied = min t : 100 * (n^2 - S(t)^2)   >= 99 * n^2
+
+    — every numerator a pure integer (DECIMAL(38,0) staging for the
+    squares, HUGEINT in the oracle), each output ONE double division;
+    the order statistics are exact integer threshold crossings, no
+    float percentile anywhere.  Unlike the hedged planner there is no
+    S(t-d) shift, so no self-join: one window + one aggregate.
+
+    Scale shape: counts reduce raw rows first; the dense axis is
+    bounded by the centi-latency value domain, not the row count; the
+    squared-survival comparison stays in decimal so a 10^12-sample
+    type cannot wrap the n^2 term."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    counts = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("event_type", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.max("vq").alias("mx"), F.sum("c").cast("long").alias("n")
+    )
+    axis = bounds.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mx"))).alias("t"),
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = (
+        axis.join(
+            counts.select("event_type", F.col("vq").alias("t"), "c"),
+            ["event_type", "t"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "n",
+            "t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "t",
+            (F.col("n") - F.sum("c").over(wa)).cast("long").alias("s"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+    n2 = (nd * nd).cast("decimal(38,0)")
+    s2 = (sd * sd).cast("decimal(38,0)")
+    agg = surv.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("ex_num"),
+        F.sum(s2).cast("decimal(38,0)").alias("tied_num"),
+        F.min(
+            F.when(100 * (F.col("n") - F.col("s")) >= 99 * F.col("n"), F.col("t"))
+        ).alias("p99q"),
+        F.min(
+            F.when((n2 - s2) * 100 >= n2 * 99, F.col("t"))
+        ).alias("p99q_tied"),
+    )
+    e_base = F.col("ex_num").cast("double") / F.col("n").cast("double")
+    e_tied = F.col("tied_num").cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("n")
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_samples"),
+        (e_base / 100.0).alias("mean_latency"),
+        (e_tied / 100.0).alias("mean_latency_tied"),
+        (F.lit(1.0) - e_tied / e_base).alias("latency_reduction"),
+        (F.col("p99q").cast("double") / 100.0).alias("p99"),
+        (F.col("p99q_tied").cast("double") / 100.0).alias("p99_tied"),
+    ).orderBy("event_type")

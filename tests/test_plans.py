@@ -2483,3 +2483,15 @@ def test_hedged_planner_shift_is_equi_join(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "BroadcastExchange") >= 1
+
+
+def test_tied_planner_no_self_join(spark):
+    """Unlike the hedged planner, tied requests need no S(t-d) shift:
+    the plan has exactly one join (counts onto the dense axis), no
+    cartesian, no nested-loop."""
+    plan = plan_of(Q.tied_request_planner(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "SortMergeJoin") + count_nodes(
+        plan, "BroadcastHashJoin"
+    ) + count_nodes(plan, "ShuffledHashJoin") == 1

@@ -4362,3 +4362,36 @@ def test_hedged_request_matches_numpy_expectation(spark, tmp_path):
     assert abs(r.latency_reduction - (1.0 - e_hedged / e_base)) < 1e-15
     # hedging must actually help on a uniform distribution
     assert r.mean_latency_hedged < r.mean_latency
+
+
+def test_tied_request_matches_numpy_expectation(spark, tmp_path):
+    """Uniform latencies 1..100: E[min(X1,X2)] and the exact p99 of
+    the min from the survival-square formula, recomputed independently
+    in numpy, must match the engine bit-for-bit."""
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "c", float(i + 1), "{}")
+            for i in range(100)]
+    _write_events(spark, tmp_path, rows)
+    r = Q.tied_request_planner(spark, str(tmp_path)).collect()[0]
+
+    vq = (np.arange(100) + 1) * 100
+    n = len(vq)
+    mx = int(vq.max())
+    t_axis = np.arange(mx + 1)
+    s = np.array([(vq > t).sum() for t in t_axis], dtype=np.int64)
+    e_base = int(s.sum()) / n
+    e_tied = int((s.astype(object) ** 2).sum()) / (n * n)
+    p99 = int(t_axis[100 * (n - s) >= 99 * n].min())
+    p99t = int(t_axis[100 * (n * n - s * s) >= 99 * (n * n)].min())
+
+    assert r.n_samples == 100
+    assert r.mean_latency == e_base / 100.0
+    assert r.mean_latency_tied == e_tied / 100.0
+    assert abs(r.latency_reduction - (1.0 - e_tied / e_base)) < 1e-15
+    assert r.p99 == p99 / 100.0
+    assert r.p99_tied == p99t / 100.0
+    # two tied copies of a uniform draw: E[min] -> ~n/3, p99 shrinks
+    assert r.mean_latency_tied < r.mean_latency
+    assert r.p99_tied < r.p99
