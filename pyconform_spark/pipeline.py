@@ -545,12 +545,21 @@ def _commit_refresh_lineage(
     marker: str | None,
     rows: list[dict],
     seq: int,
+    extra_markers: tuple[str, ...] | list[str] = (),
 ) -> dict[str, int]:
     """The refresh COMMIT: one lineage append covering every published
     (tier, epoch), carrying the idempotency marker.  Lineage is derived
     from the files actually on disk (back-read of the touched
     partitions), so recovery can rebuild it without the original
-    delta."""
+    delta.
+
+    ``extra_markers`` (batched refresh): additional idempotency
+    markers that rode the SAME publish — each is recorded as one
+    zero-point sentinel row (``partition_id = -1``, ``point_count =
+    0``) on a (tier, epoch) this commit already covers, so
+    :func:`applied_refresh_markers` sees every marker while
+    :func:`verify_store`'s per-epoch point sums are unchanged (+0 to
+    an epoch the commit owns at the same commit_seq)."""
     by_tier: dict[str, list[int]] = {}
     for r in rows:
         by_tier.setdefault(r["tier"], []).append(r["epoch"])
@@ -586,6 +595,14 @@ def _commit_refresh_lineage(
     lin_all = lineage_parts[0]
     for extra in lineage_parts[1:]:
         lin_all = lin_all.unionByName(extra)
+    if extra_markers:
+        sent = [
+            (-1, rows[0]["tier"], None, None, int(rows[0]["epoch"]), 0, xm, seq)
+            for xm in extra_markers
+        ]
+        lin_all = lin_all.unionByName(
+            spark.createDataFrame(sent, lin_all.schema)
+        )
     lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
     return written_points
 
@@ -663,7 +680,16 @@ def recover_refreshes(spark: SparkSession, root: str) -> list[str]:
                         f"{post} (post-merge) — store mutated outside "
                         f"the refresh protocol"
                     )
-            _commit_refresh_lineage(spark, root, mk, intent["rows"], seq)
+            _commit_refresh_lineage(
+                spark,
+                root,
+                mk,
+                intent["rows"],
+                seq,
+                extra_markers=[
+                    m for m in intent.get("markers", []) if m != mk
+                ],
+            )
             _cleanup_refresh(root, mk)
             recovered.append(mk)
     # staging/trash dirs with no intent: crashed before the intent
@@ -827,16 +853,27 @@ def _publish_refresh(
     staging: str,
     trash: str,
     intent_rows: list[dict],
+    extra_markers: tuple[str, ...] | list[str] = (),
 ) -> dict[str, int]:
     """Phases 2-4 of the write-audit-publish refresh protocol, shared
-    by :func:`refresh_late` and :func:`refresh_cdc`: intent commit
-    (atomic rename), per-partition publish, lineage commit, cleanup."""
+    by :func:`refresh_late`, :func:`refresh_cdc` and
+    :func:`refresh_cdc_batched`: intent commit (atomic rename),
+    per-partition publish, lineage commit, cleanup.  ``extra_markers``
+    ride the intent (so crash recovery replays them into the lineage
+    commit) and the commit itself."""
     # ---- phase 2: intent commit (atomic rename); publish may only
     # start after this survives
     os.makedirs(idir, exist_ok=True)
     ipath = os.path.join(idir, _safe_marker(mk) + ".json")
     with open(ipath + ".tmp", "w") as fh:
-        json.dump({"marker": mk, "rows": intent_rows}, fh)
+        json.dump(
+            {
+                "marker": mk,
+                "markers": [mk, *extra_markers],
+                "rows": intent_rows,
+            },
+            fh,
+        )
     os.replace(ipath + ".tmp", ipath)
 
     # ---- phase 3: publish every staged partition into the live tree
@@ -847,8 +884,10 @@ def _publish_refresh(
             trash,
         )
 
-    # ---- phase 4: lineage commit (the marker rides it), then cleanup
-    written_points = _commit_refresh_lineage(spark, root, mk, intent_rows, seq)
+    # ---- phase 4: lineage commit (every marker rides it), then cleanup
+    written_points = _commit_refresh_lineage(
+        spark, root, mk, intent_rows, seq, extra_markers=extra_markers
+    )
     _cleanup_refresh(root, mk)
     return written_points
 
@@ -926,6 +965,20 @@ def refresh_cdc(
         )
 
     mk = marker if marker is not None else f"cdc-{time.time_ns()}"
+    return _apply_cdc(spark, changes, root, mk, touched)
+
+
+def _apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    root: str,
+    mk: str,
+    touched: list[int],
+    extra_markers: tuple[str, ...] | list[str] = (),
+) -> dict[str, int]:
+    """Stage + publish one validated CDC change set under marker
+    ``mk`` (phases 1-4 of the WAP protocol); shared by
+    :func:`refresh_cdc` and :func:`refresh_cdc_batched`."""
     seq = _next_commit_seq(spark, root)
     idir, sdir, tdir = _refresh_dirs(root)
     staging = os.path.join(sdir, _safe_marker(mk))
@@ -1040,7 +1093,101 @@ def refresh_cdc(
         )
 
     return _publish_refresh(
-        spark, root, mk, seq, idir, staging, trash, intent_rows
+        spark,
+        root,
+        mk,
+        seq,
+        idir,
+        staging,
+        trash,
+        intent_rows,
+        extra_markers=extra_markers,
+    )
+
+
+def refresh_cdc_batched(
+    spark: SparkSession,
+    batches: list[tuple[str, DataFrame]],
+    root: str,
+) -> dict[str, int]:
+    """Apply SEVERAL CDC change batches — each carrying its own
+    idempotency marker — as ONE staged write-audit-publish cycle with
+    ONE lineage commit recording every marker (the Iceberg analog:
+    many MERGE INTOs squashed into one snapshot commit).  Compared to
+    calling :func:`refresh_cdc` per batch, the touched tier
+    partitions are read back and rewritten ONCE instead of once per
+    batch — the dominant cost when a marker backlog (e.g. a replayed
+    CDC topic) lands on the same hot epochs.
+
+    Semantics: signed sums commute, so the combined result is
+    bit-for-bit the sequential result.  Markers already in the ledger
+    are skipped up front; the survivors commit atomically — after a
+    successful call (or a crash rolled forward by
+    :func:`recover_refreshes`) EVERY pending marker is applied, and a
+    later :func:`refresh_cdc` replay of any individual one no-ops.
+    The primary marker owns the intent/staging dirs; the rest ride
+    the intent file and land as zero-point sentinel lineage rows (see
+    :func:`_commit_refresh_lineage`).
+
+    Rails: duplicate markers in one call -> ValueError (the caller's
+    batch list is malformed — applying one DataFrame under two names
+    would double-count); per-batch op-domain check names the
+    offending marker; the zero-net-epoch rail applies to the COMBINED
+    change set, since the WAP fingerprint classifies partitions by
+    the combined sum — batches whose deltas cancel per epoch must be
+    committed separately (exactly the delete-marker/insert-marker
+    split :func:`refresh_cdc` prescribes)."""
+    os.makedirs(root, exist_ok=True)
+    mks = [m for m, _ in batches]
+    if any(m is None for m in mks):
+        raise ValueError("refresh_cdc_batched: every batch needs a marker")
+    dups = sorted({m for m in mks if mks.count(m) > 1})
+    if dups:
+        raise ValueError(
+            f"refresh_cdc_batched: duplicate markers {dups} in one call"
+        )
+    recover_refreshes(spark, root)
+    applied = applied_refresh_markers(spark, root)
+    pending = [(m, df) for m, df in batches if m not in applied]
+    if not pending:
+        return {t: 0 for t in TIER_ORDER}
+    for m, df in pending:
+        bad_ops = df.where(~F.col("op").isin(1, -1)).count()
+        if bad_ops:
+            raise ValueError(
+                f"refresh_cdc_batched: batch {m!r} has {bad_ops} change "
+                "rows with op outside {+1, -1}"
+            )
+    changes = pending[0][1]
+    for _, df in pending[1:]:
+        changes = changes.unionByName(df)
+    touched = list_epochs(changes)
+    if not touched:
+        return {t: 0 for t in TIER_ORDER}
+    day = (
+        F.col("ts").cast("timestamp").cast("long") / EPOCH_SECONDS
+    ).cast("long")
+    zero_net = [
+        int(r["epoch"])
+        for r in changes.groupBy(day.alias("epoch"))
+        .agg(F.sum("op").alias("net"))
+        .where(F.col("net") == 0)
+        .collect()
+    ]
+    if zero_net:
+        raise ValueError(
+            "refresh_cdc_batched: the COMBINED batch nets ZERO turns in "
+            f"epochs {sorted(zero_net)} — indistinguishable to crash "
+            "recovery (pre == post fingerprint); commit the cancelling "
+            "batches separately"
+        )
+    return _apply_cdc(
+        spark,
+        changes,
+        root,
+        pending[0][0],
+        touched,
+        extra_markers=[m for m, _ in pending[1:]],
     )
 
 

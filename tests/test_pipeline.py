@@ -675,3 +675,152 @@ def test_cdc_crash_before_commit_rolls_forward(
         got = _tier_rows(pipeline.read_tier(spark, root, tier))
         want = _tier_rows(direct[tier])
         assert got == want, tier
+
+
+def test_cdc_batched_matches_sequential(spark, tx, tmp_path):
+    """Two CDC delete batches applied via refresh_cdc_batched must
+    equal the same batches applied sequentially with refresh_cdc,
+    bit-for-bit at every tier; the batched call writes ONE lineage
+    commit carrying BOTH markers, each of which then replays as a
+    no-op, and the store audit stays clean (the zero-point sentinel
+    rows add nothing to per-epoch point sums)."""
+    b1 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    b2 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 1).withColumn(
+        "op", F.lit(-1)
+    )
+    assert b1.count() > 0 and b2.count() > 0
+
+    seq_root = str(tmp_path / "cdcseq")
+    pipeline.run_batch(spark, tx, seq_root)
+    pipeline.refresh_cdc(spark, b1, seq_root, marker="m1")
+    pipeline.refresh_cdc(spark, b2, seq_root, marker="m2")
+
+    bat_root = str(tmp_path / "cdcbat")
+    pipeline.run_batch(spark, tx, bat_root)
+    points = pipeline.refresh_cdc_batched(
+        spark, [("m1", b1), ("m2", b2)], bat_root
+    )
+    assert any(points[t] != 0 for t in pipeline.TIER_ORDER)
+
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, bat_root, tier))
+        want = _tier_rows(pipeline.read_tier(spark, seq_root, tier))
+        assert got == want, tier
+
+    # ONE commit: both markers share a single commit_seq
+    lin = pipeline.lineage(spark, bat_root)
+    seqs = (
+        lin.where(F.col("refresh_marker").isin("m1", "m2"))
+        .select("commit_seq")
+        .distinct()
+        .collect()
+    )
+    assert len(seqs) == 1
+    assert pipeline.applied_refresh_markers(spark, bat_root) >= {"m1", "m2"}
+
+    # each individual marker now replays as a no-op
+    for mk, b in (("m1", b1), ("m2", b2)):
+        again = pipeline.refresh_cdc(spark, b, bat_root, marker=mk)
+        assert all(again[t] == 0 for t in pipeline.TIER_ORDER)
+    again = pipeline.refresh_cdc_batched(
+        spark, [("m1", b1), ("m2", b2)], bat_root
+    )
+    assert all(again[t] == 0 for t in pipeline.TIER_ORDER)
+
+    audit = pipeline.verify_store(spark, bat_root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+
+
+def test_cdc_batched_skips_applied_and_rails(spark, tx, tmp_path):
+    """A marker already in the ledger is skipped (only the remainder
+    applies); duplicate markers and a combined zero-net epoch refuse
+    up front with the live store untouched."""
+    root = str(tmp_path / "cdcskip")
+    pipeline.run_batch(spark, tx, root)
+    b1 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    b2 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 1).withColumn(
+        "op", F.lit(-1)
+    )
+    pipeline.refresh_cdc(spark, b1, root, marker="m1")
+
+    # batched with one already-applied: only m2's delta lands
+    pipeline.refresh_cdc_batched(spark, [("m1", b1), ("m2", b2)], root)
+    direct = rollup.all_tiers(
+        tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 >= 2)
+    )
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+
+    before = {
+        t: _tier_rows(pipeline.read_tier(spark, root, t))
+        for t in pipeline.TIER_ORDER
+    }
+    one = tx.limit(1)
+    with pytest.raises(ValueError, match="duplicate markers"):
+        pipeline.refresh_cdc_batched(
+            spark,
+            [("d", one.withColumn("op", F.lit(1))),
+             ("d", one.withColumn("op", F.lit(1)))],
+            root,
+        )
+    with pytest.raises(ValueError, match="COMBINED batch nets ZERO"):
+        pipeline.refresh_cdc_batched(
+            spark,
+            [("za", one.withColumn("op", F.lit(-1))),
+             ("zb", one.withColumn("op", F.lit(1)))],
+            root,
+        )
+    with pytest.raises(ValueError, match="batch 'bad'"):
+        pipeline.refresh_cdc_batched(
+            spark, [("bad", one.withColumn("op", F.lit(2)))], root
+        )
+    for t in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, t)) == before[t]
+
+
+def test_cdc_batched_crash_rolls_forward_all_markers(
+    spark, tx, tmp_path, monkeypatch
+):
+    """A crash between publish and the (single) lineage commit must
+    roll forward so that EVERY batched marker is recorded — a retry of
+    any individual member afterwards is a no-op and the tiers equal
+    the full recompute."""
+    root = str(tmp_path / "cdcbatcrash")
+    pipeline.run_batch(spark, tx, root)
+    b1 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    b2 = tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 == 1).withColumn(
+        "op", F.lit(-1)
+    )
+
+    real_commit = pipeline._commit_refresh_lineage
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.refresh_cdc_batched(spark, [("m1", b1), ("m2", b2)], root)
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", real_commit)
+
+    # recovery happens on the next refresh entry; individual replays
+    # must then no-op for BOTH markers
+    again = pipeline.refresh_cdc(spark, b2, root, marker="m2")
+    assert all(again[t] == 0 for t in pipeline.TIER_ORDER)
+    again = pipeline.refresh_cdc(spark, b1, root, marker="m1")
+    assert all(again[t] == 0 for t in pipeline.TIER_ORDER)
+
+    direct = rollup.all_tiers(
+        tx.where(F.abs(F.hash("conv_id", "turn_idx")) % 7 >= 2)
+    )
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
