@@ -11072,3 +11072,25 @@ SELECT event_type, n AS n_samples,
 FROM alg
 ORDER BY event_type
 """
+
+ORACLES["kll_range_sketch_readouts"] = """
+WITH q AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS vq FROM events),
+b AS (
+  SELECT event_type, floor(vq / 5000)::BIGINT AS bucket, vq FROM q),
+agg AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS n_bucket,
+         min(vq) AS mn, max(vq) AS mx
+  FROM b GROUP BY 1, 2)
+SELECT event_type, bucket,
+       bucket::DOUBLE * 50.0 AS bucket_lo,
+       n_bucket,
+       mn::DOUBLE / 100.0 AS sketch_min,
+       mx::DOUBLE / 100.0 AS sketch_max,
+       (sum(n_bucket) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS rank_at_upper
+FROM agg
+ORDER BY event_type, bucket
+"""

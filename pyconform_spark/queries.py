@@ -22647,3 +22647,78 @@ def tied_request_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p99q").cast("double") / 100.0).alias("p99"),
         (F.col("p99q_tied").cast("double") / 100.0).alias("p99_tied"),
     ).orderBy("event_type")
+
+
+def kll_range_sketch_readouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank sketch over RANGE-PARTITIONED SORTED RUNS, read out at
+    the points where the sketch is provably EXACT — the deterministic
+    SQL-replayable build the sketch operator (operators/kll.py) itself
+    cannot offer (its content depends on arbitrary partition feed
+    order, so it ships pytest-gated only).
+
+    Build: centi-quantized event latencies are bucketed into fixed
+    50-unit value ranges, each (event_type, bucket) cell is fed to the
+    deterministic compactor as ONE ascending sorted run
+    (repartition on the cell key + sortWithinPartitions), and rank
+    queries DECOMPOSE over the disjoint ranges.  Three readouts are
+    then exact BY CONSTRUCTION, independent of how compaction dropped
+    interior items, and a DuckDB oracle checks all three against the
+    raw data:
+
+    * ``n_bucket`` — the sketch's total weight per cell: compaction
+      replaces 2m items with m items of doubled weight, conserving
+      weight exactly, so SUM(weight) == COUNT(*);
+    * ``sketch_min`` / ``sketch_max`` — under an ascending feed with
+      the alternating-offset compactor, the minimum survives every
+      compaction it meets (each level's FIRST compaction has offset 0
+      and the minimum sits at sorted position 0) and the maximum is
+      always either in the uncompacted level-0 tail or the odd-buffer
+      leftover (an even capacity makes every level-0 compaction
+      process an odd buffer, which retains its largest item) — so
+      MIN(item) and MAX(item) equal the true extremes (pinned by
+      tests/test_kll.py::test_ascending_feed_preserves_extremes);
+    * ``rank_at_upper`` — the estimated rank at a bucket's UPPER range
+      boundary: every sketch item of buckets <= b is <= the boundary
+      (compaction never invents values) and every item above is
+      greater, so the decomposed estimate collapses to the cumulative
+      bucket weight — the exact cumulative count.
+
+    Interior ranks stay approximate with the O(n/k) deterministic
+    bound (test_kll rank-error gates).  Scale shape: one hash shuffle
+    on the cell key, Arrow-batched compactor per cell (the only
+    Python), sketch rows (not raw rows) into a bounded per-cell
+    aggregate, cumulative window over the |types| x |buckets| frame."""
+    from pyconform_spark.operators import kll
+
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    cells = df.select(
+        "event_type",
+        vq.alias("vq"),
+        F.floor(vq / F.lit(5000)).cast("long").alias("bucket"),
+    )
+    runs = cells.repartition("event_type", "bucket").sortWithinPartitions(
+        "event_type", "bucket", "vq"
+    )
+    sk = kll.build_group_sketches(
+        runs, keys=["event_type", "bucket"], value="vq", k=200
+    )
+    per_bucket = sk.groupBy("event_type", "bucket").agg(
+        F.sum("weight").cast("long").alias("n_bucket"),
+        F.min("item").alias("mn"),
+        F.max("item").alias("mx"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_bucket.select(
+        "event_type",
+        "bucket",
+        (F.col("bucket").cast("double") * 50.0).alias("bucket_lo"),
+        "n_bucket",
+        (F.col("mn").cast("double") / 100.0).alias("sketch_min"),
+        (F.col("mx").cast("double") / 100.0).alias("sketch_max"),
+        F.sum("n_bucket").over(wc).cast("long").alias("rank_at_upper"),
+    ).orderBy("event_type", "bucket")

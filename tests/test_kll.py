@@ -96,3 +96,26 @@ def test_quantile_readoff_matches_rank_inverse():
         est = kll.quantile_of(s, q)
         true_rank = int((vals <= est).sum())
         assert abs(true_rank - q * len(vals)) <= bound
+
+
+def test_ascending_feed_preserves_extremes():
+    """The invariant kll_range_sketch_readouts relies on: feeding a
+    sorted run into the deterministic compactor keeps the exact min
+    (every level's first compaction has offset 0, where the minimum
+    sits) and the exact max (even capacity => every level-0 compaction
+    processes an odd buffer and retains its largest item; the tail
+    stays uncompacted) — at EVERY prefix length, including ones that
+    trigger compaction cascades."""
+    rng = np.random.default_rng(7)
+    vals = np.sort(rng.integers(-10**6, 10**6, size=5000))
+    for k in (2, 8, 200):
+        for n in (1, 2, k, k + 1, 3 * k + 2, 2500, 5000):
+            levels: list[list] = [[]]
+            counters = [0]
+            kll._feed(levels, counters, vals[:n], k)
+            items = [v for lvl in levels for v in lvl]
+            assert min(items) == int(vals[:n].min()), (k, n)
+            assert max(items) == int(vals[:n].max()), (k, n)
+            # weight conservation at every prefix too
+            total = sum(len(lvl) << i for i, lvl in enumerate(levels))
+            assert total == n, (k, n)

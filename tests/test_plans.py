@@ -2495,3 +2495,14 @@ def test_tied_planner_no_self_join(spark):
     assert count_nodes(plan, "SortMergeJoin") + count_nodes(
         plan, "BroadcastHashJoin"
     ) + count_nodes(plan, "ShuffledHashJoin") == 1
+
+
+def test_kll_range_readouts_single_cell_shuffle(spark):
+    """The sorted-run build shuffles ONCE on the (event_type, bucket)
+    cell key into the Arrow compactor stage; readouts aggregate sketch
+    rows, never raw rows, and nothing joins or cartesians."""
+    plan = plan_of(Q.kll_range_sketch_readouts(spark, SF))
+    assert "MapInPandas" in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(event_type" in plan
