@@ -278,3 +278,70 @@ def croston(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_run, schema=out_schema)
+
+
+def kalman_local_level(
+    df: DataFrame,
+    keys: list[str],
+    order: str = "h",
+    value: str = "y",
+    q: float = 0.25,
+    r: float = 1.0,
+) -> DataFrame:
+    """Kalman filter for the LOCAL LEVEL model (random-walk level
+    observed with noise — Durbin & Koopman ch. 2, the state-space
+    generalization of SES whose gain ADAPTS instead of being a fixed
+    alpha): per step, with process variance ``q`` and observation
+    variance ``r``,
+
+        P_pred = P + q
+        K      = P_pred / (P_pred + r)
+        l      = l + K * (y - l)
+        P      = (1 - K) * P_pred
+
+    initialized l = y_0, P = r at the first observation.  Early rows
+    get a high gain (uncertain level, follow the data), and K decays
+    toward the steady-state gain — the principled warm-up SES lacks.
+
+    Like the Holt/Croston recurrences above, the gain couples state to
+    every prior observation, so no window-aggregate form exists — the
+    host is applyInPandas over Python IEEE doubles with a PINNED
+    operation order, and the cross-engine proof is a recursive-CTE
+    oracle stepping the SAME float expressions.  ``q`` and ``r``
+    must stay dyadic so the literals parse identically in both
+    engines."""
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("kalman_level", T.DoubleType(), True),
+            T.StructField("kalman_gain", T.DoubleType(), True),
+            T.StructField("kalman_var", T.DoubleType(), True),
+        ]
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(
+            drop=True
+        )
+        l = P = K = None
+        ls, ks, ps = [], [], []
+        for y in pdf[value].tolist():
+            y = float(y)
+            if l is None:
+                l = y
+                P = r
+                K = None
+            else:
+                Ppred = P + q
+                K = Ppred / (Ppred + r)
+                l = l + K * (y - l)
+                P = (1.0 - K) * Ppred
+            ls.append(l)
+            ks.append(K)
+            ps.append(P)
+        pdf["kalman_level"] = ls
+        pdf["kalman_gain"] = ks
+        pdf["kalman_var"] = ps
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_run, schema=out_schema)

@@ -11094,3 +11094,40 @@ SELECT event_type, bucket,
 FROM agg
 ORDER BY event_type, bucket
 """
+
+ORACLES["kalman_hourly_rate"] = """
+WITH RECURSIVE c AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000)::BIGINT AS h,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(h) AS mh, max(h) AS xh FROM c GROUP BY 1),
+axis AS (
+  SELECT event_type, unnest(generate_series(mh, xh)) AS h FROM bounds),
+dense AS (
+  SELECT a.event_type, a.h, coalesce(c.n, 0)::BIGINT AS n,
+         coalesce(c.n, 0)::DOUBLE AS y,
+         row_number() OVER (PARTITION BY a.event_type ORDER BY a.h) AS rn
+  FROM axis a LEFT JOIN c
+    ON c.event_type = a.event_type AND c.h = a.h),
+kf AS (
+  SELECT event_type, h, n, rn,
+         y AS l,
+         CAST(NULL AS DOUBLE) AS k,
+         CAST(1.0 AS DOUBLE) AS p
+  FROM dense WHERE rn = 1
+  UNION ALL
+  SELECT n2.event_type, n2.h, n2.n, n2.rn,
+         s.l + ((s.p + 0.25) / ((s.p + 0.25) + 1.0)) * (n2.y - s.l) AS l,
+         (s.p + 0.25) / ((s.p + 0.25) + 1.0) AS k,
+         (1.0 - (s.p + 0.25) / ((s.p + 0.25) + 1.0)) * (s.p + 0.25) AS p
+  FROM kf s JOIN dense n2
+    ON n2.event_type = s.event_type AND n2.rn = s.rn + 1)
+SELECT event_type,
+       to_timestamp(h * 3600)::TIMESTAMP AS bucket_ts,
+       n AS n_events,
+       l AS kalman_level,
+       k AS kalman_gain,
+       p AS kalman_var
+FROM kf
+"""

@@ -22722,3 +22722,58 @@ def kll_range_sketch_readouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx").cast("double") / 100.0).alias("sketch_max"),
         F.sum("n_bucket").over(wc).cast("long").alias("rank_at_upper"),
     ).orderBy("event_type", "bucket")
+
+
+def kalman_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level filter over per-type hourly event counts —
+    the adaptive-gain replacement for fixed-alpha SES on a noisy rate
+    series (operators/smooth.py kalman_local_level; Durbin & Koopman's
+    local level model).  The gain starts high (the level is uncertain,
+    follow the data) and decays to the steady state implied by
+    q/r = 0.25 — early observations are weighted by a principled
+    warm-up instead of SES's arbitrary seed.
+
+    EXACT cross-engine: the dense hourly axis is sequence/
+    generate_series per type, counts are BIGINTs cast once to double,
+    and the predict/gain/update recurrence runs dyadic constants
+    (q = 0.25, r = 1.0) in a pinned operation order — the
+    recursive-CTE oracle steps the SAME IEEE expressions (the
+    croston/hw_seasonal precedent).
+
+    Scale shape: raw rows reduce to (type, hour) counts first; the
+    Arrow recurrence carries 2 floats of state per series; the only
+    shuffle is the hash onto the series key."""
+    from pyconform_spark.operators import smooth
+
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    c = (
+        df.select("event_type", F.floor(es / 3600).cast("long").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounds = c.groupBy("event_type").agg(
+        F.min("h").alias("mh"), F.max("h").alias("xh")
+    )
+    axis = bounds.select(
+        "event_type", F.explode(F.sequence("mh", "xh")).alias("h")
+    )
+    dense = axis.join(c, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    dense = dense.withColumn("y", F.col("n_events").cast("double"))
+    out = smooth.kalman_local_level(
+        dense, keys=["event_type"], order="h", value="y"
+    )
+    return out.select(
+        "event_type",
+        F.timestamp_seconds(F.col("h") * 3600)
+        .cast("timestamp_ntz")
+        .alias("bucket_ts"),
+        "n_events",
+        "kalman_level",
+        "kalman_gain",
+        "kalman_var",
+    )

@@ -2506,3 +2506,14 @@ def test_kll_range_readouts_single_cell_shuffle(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_kalman_rate_reduces_before_recurrence(spark):
+    """Raw events reduce to (type, hour) counts BEFORE the Arrow
+    recurrence (partial aggregation present); one grouped-Arrow stage,
+    no cartesian."""
+    plan = plan_of(Q.kalman_hourly_rate(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -4395,3 +4395,44 @@ def test_tied_request_matches_numpy_expectation(spark, tmp_path):
     # two tied copies of a uniform draw: E[min] -> ~n/3, p99 shrinks
     assert r.mean_latency_tied < r.mean_latency
     assert r.p99_tied < r.p99
+
+
+def test_kalman_local_level_matches_numpy_and_converges(spark):
+    """The Kalman local-level recurrence recomputed independently in
+    plain Python must match the Arrow host bit-for-bit, the gain must
+    decay monotonically toward the steady state K* of q/r = 0.25
+    (root of K^2 + qK - q = 0, ~0.39039), and the level must stay
+    inside the data envelope."""
+    from pyconform_spark.operators import smooth
+
+    ys = [5.0, 9.0, 2.0, 7.0, 7.0, 0.0, 4.0, 8.0, 1.0, 6.0] * 4
+    df = spark.createDataFrame(
+        [("s", i, y) for i, y in enumerate(ys)], "k string, h long, y double"
+    )
+    out = (
+        smooth.kalman_local_level(df, keys=["k"], order="h", value="y")
+        .orderBy("h")
+        .collect()
+    )
+
+    l, P, q, r = ys[0], 1.0, 0.25, 1.0
+    exp = [(l, None, P)]
+    for y in ys[1:]:
+        Pp = P + q
+        K = Pp / (Pp + r)
+        l = l + K * (y - l)
+        P = (1.0 - K) * Pp
+        exp.append((l, K, P))
+    for row, (el, ek, ep) in zip(out, exp):
+        assert row.kalman_level == el
+        assert row.kalman_gain == ek
+        assert row.kalman_var == ep
+
+    import math
+
+    kstar = (-q + math.sqrt(q * q + 4 * q * r)) / 2.0
+    gains = [row.kalman_gain for row in out[1:]]
+    # monotone decay up to 1-ulp float noise at the converged tail
+    assert all(a >= b - 1e-12 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - kstar) < 1e-6
+    assert all(min(ys) <= row.kalman_level <= max(ys) for row in out)
