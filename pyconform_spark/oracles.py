@@ -11131,3 +11131,40 @@ SELECT event_type,
        p AS kalman_var
 FROM kf
 """
+
+ORACLES["erlang_c_staffing"] = """
+WITH RECURSIVE base AS (
+  SELECT event_type, count(*)::BIGINT AS n_arrivals,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sum_vq,
+         (max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000))::BIGINT
+           AS span_s
+  FROM events GROUP BY 1),
+feas AS (
+  SELECT event_type, sum_vq::DOUBLE / (100 * span_s)::DOUBLE AS a
+  FROM base WHERE span_s > 0),
+erl AS (
+  SELECT event_type, a, 0 AS c, CAST(1.0 AS DOUBLE) AS b
+  FROM feas
+  UNION ALL
+  SELECT event_type, a, c + 1, a * b / ((c + 1) + a * b)
+  FROM erl WHERE c < 64),
+pwrows AS (
+  SELECT event_type, a, c, b,
+         c * b / (c - a * (1.0 - b)) AS pw
+  FROM erl WHERE c >= 1 AND c > a),
+pick AS (
+  SELECT event_type, min(c) AS c_min FROM pwrows
+  WHERE pw <= 0.2 GROUP BY 1)
+SELECT bs.event_type, bs.n_arrivals,
+       f.a AS offered_load,
+       p.c_min::BIGINT AS c_min,
+       w.b AS erlang_b,
+       w.pw AS p_wait,
+       f.a / p.c_min AS utilization
+FROM base bs
+LEFT JOIN feas f USING (event_type)
+LEFT JOIN pick p USING (event_type)
+LEFT JOIN pwrows w
+  ON w.event_type = bs.event_type AND w.c = p.c_min
+ORDER BY event_type
+"""

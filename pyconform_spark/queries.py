@@ -22777,3 +22777,87 @@ def kalman_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kalman_gain",
         "kalman_var",
     )
+
+
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing planner per event class: the smallest worker
+    count c such that an M/M/c queue fed by the class's measured
+    arrival rate and mean service time keeps the probability of
+    queueing at or under 20% — the sizing rule for a tool-executor
+    pool serving agent requests (Erlang 1917; the call-center formula
+    applied to concurrency planning).
+
+    Inputs stay EXACT until one division: offered load
+    a = lambda * E[S] = sum(centi-seconds of service) / (100 * span)
+    — both integers (BIGINT sums; floats never sum across partitions,
+    so no nondeterministic double reduction).  The Erlang-B ladder
+
+        B_0 = 1,  B_c = a*B_{c-1} / (c + a*B_{c-1})
+
+    and the Erlang-C conversion  C_c = c*B_c / (c - a*(1 - B_c))
+    run c = 1..64 in IEEE doubles with a pinned operation order — the
+    Arrow host steps them in Python, the DuckDB oracle in a
+    64-step recursive CTE, bit-for-bit.  Classes with no feasible
+    c <= 64 (or a zero observation span) report NULL.
+
+    Scale shape: raw rows reduce to 4 integers per class before any
+    Python; the ladder is O(64) per class on a |classes|-row frame."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = df.select("event_type", es.alias("es"), vq.alias("vq")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum("vq").cast("long").alias("sum_vq"),
+        (F.max("es") - F.min("es")).cast("long").alias("span_s"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_arrivals", T.LongType()),
+            T.StructField("offered_load", T.DoubleType()),
+            T.StructField("c_min", T.LongType(), True),
+            T.StructField("erlang_b", T.DoubleType(), True),
+            T.StructField("p_wait", T.DoubleType(), True),
+            T.StructField("utilization", T.DoubleType(), True),
+        ]
+    )
+
+    def _plan(pdf):
+        out = []
+        for r in pdf.itertuples(index=False):
+            if r.span_s <= 0:
+                out.append((r.event_type, r.n_arrivals, None, None, None, None, None))
+                continue
+            a = float(r.sum_vq) / float(100 * r.span_s)
+            B = 1.0
+            pick = None
+            for c in range(1, 65):
+                B = a * B / (c + a * B)
+                if c > a:
+                    pw = c * B / (c - a * (1.0 - B))
+                    if pick is None and pw <= 0.2:
+                        pick = (c, B, pw, a / c)
+            if pick is None:
+                out.append((r.event_type, r.n_arrivals, a, None, None, None, None))
+            else:
+                c, b, pw, util = pick
+                out.append((r.event_type, r.n_arrivals, a, c, b, pw, util))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "n_arrivals", "offered_load", "c_min",
+                "erlang_b", "p_wait", "utilization",
+            ],
+        )
+
+    return (
+        base.groupBy("event_type")
+        .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
+        .orderBy("event_type")
+    )

@@ -2517,3 +2517,13 @@ def test_kalman_rate_reduces_before_recurrence(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_erlang_staffing_reduces_to_class_aggregates(spark):
+    """Raw events reduce to 4 integers per class (partial aggregation)
+    before the 64-step ladder; no join, no cartesian."""
+    plan = plan_of(Q.erlang_c_staffing(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert "HashAggregate" in plan

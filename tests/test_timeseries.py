@@ -4436,3 +4436,40 @@ def test_kalman_local_level_matches_numpy_and_converges(spark):
     assert all(a >= b - 1e-12 for a, b in zip(gains, gains[1:]))
     assert abs(gains[-1] - kstar) < 1e-6
     assert all(min(ys) <= row.kalman_level <= max(ys) for row in out)
+
+
+def test_erlang_c_staffing_matches_closed_form(spark, tmp_path):
+    """The ladder-computed Erlang-C must agree with the independent
+    closed-form  C(c,a) = (a^c/c! * c/(c-a)) / (sum_{k<c} a^k/k! +
+    a^c/c! * c/(c-a))  at the chosen c, and c_min must be the true
+    threshold crossing: C(c_min) <= 0.2 < C(c_min - 1)."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 3600 arrivals over an hour, 4s mean service => offered load ~4
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "c", 4.0, "{}")
+        for i in range(3600)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.erlang_c_staffing(spark, str(tmp_path)).collect()[0]
+
+    span = 3599
+    a = (3600 * 400) / (100 * span)
+    assert r.offered_load == a
+
+    def erlang_c(c, a):
+        if c <= a:
+            return 1.0
+        top = (a**c / math.factorial(c)) * (c / (c - a))
+        bot = sum(a**k / math.factorial(k) for k in range(c)) + top
+        return top / bot
+
+    assert r.c_min is not None
+    assert abs(r.p_wait - erlang_c(int(r.c_min), a)) < 1e-12
+    assert erlang_c(int(r.c_min), a) <= 0.2
+    if r.c_min > 1 and (r.c_min - 1) > a:
+        assert erlang_c(int(r.c_min) - 1, a) > 0.2
+    assert r.utilization == a / r.c_min
+    # sanity: load ~4 with a 20% wait target needs 6-7 workers
+    assert 5 <= r.c_min <= 8
