@@ -11168,3 +11168,52 @@ LEFT JOIN pwrows w
   ON w.event_type = bs.event_type AND w.c = p.c_min
 ORDER BY event_type
 """
+
+ORACLES["backlog_drain_planner"] = """
+WITH c AS (
+  SELECT event_type, (epoch_ms(ts) // 60000)::BIGINT AS m,
+         count(*)::BIGINT AS a
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(m) AS mm, max(m) AS xm,
+         sum(a)::BIGINT AS n
+  FROM c GROUP BY 1),
+axis AS (
+  SELECT event_type, n, (xm - mm + 1)::BIGINT AS mcount, mm AS m0,
+         unnest(generate_series(mm, xm)) AS m
+  FROM bounds),
+dense AS (
+  SELECT a2.event_type, a2.n, a2.mcount, a2.m0, a2.m,
+         coalesce(c.a, 0)::BIGINT AS a,
+         ((a2.n + a2.mcount - 1) // a2.mcount)::BIGINT AS cap
+  FROM axis a2 LEFT JOIN c
+    ON c.event_type = a2.event_type AND c.m = a2.m),
+swept AS (
+  SELECT event_type, m, cap,
+         (sum(a) OVER w - cap * (m - m0 + 1))::BIGINT AS drift
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+backlog AS (
+  SELECT event_type, m, cap,
+         (drift - least(0, min(drift) OVER w))::BIGINT AS b
+  FROM swept
+  WINDOW w AS (PARTITION BY event_type ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+mx AS (
+  SELECT event_type, m, cap, b,
+         max(b) OVER (PARTITION BY event_type) AS mxb
+  FROM backlog)
+SELECT event_type,
+       max(cap) AS capacity_per_min,
+       max(b) AS max_backlog,
+       to_timestamp(min(CASE WHEN b = mxb THEN m END) * 60)::TIMESTAMP
+         AS peak_minute,
+       sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS congested_minutes,
+       sum(b)::BIGINT AS queued_request_minutes,
+       to_timestamp(max(CASE WHEN b > 0 THEN m END) * 60)::TIMESTAMP
+         AS last_congested_minute
+FROM mx
+GROUP BY event_type
+ORDER BY event_type
+"""

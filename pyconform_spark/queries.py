@@ -22861,3 +22861,116 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
         .orderBy("event_type")
     )
+
+
+def backlog_drain_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog/drain planner per event class: run the per-minute
+    arrival series against a fixed service capacity C = ceil(mean
+    arrivals/minute) and report how deep the queue gets and how long
+    it stays congested — the capacity-review readout for a consumer
+    that was provisioned to the AVERAGE rate (every burst then queues;
+    Lindley 1952's recurrence tells you by how much).
+
+    The queue recurrence  b_m = max(0, b_{m-1} + a_m - C)  needs no
+    recursion: with cumulative arrivals S_m it has the EXACT closed
+    form
+
+        b_m = (S_m - C*m) - min_{0<=j<=m} (S_j - C*j)
+
+    (the j = 0 term makes the max-with-zero automatic), so the whole
+    sweep is one running sum + one running min over the dense minute
+    axis — pure BIGINTs, no float, no Python, trivially the same in
+    the DuckDB oracle.
+
+    Outputs per class: the capacity used, peak backlog and when it
+    peaked (earliest minute on ties), how many minutes were congested,
+    total queued request-minutes (the Little's-law area), and the last
+    congested minute (when the queue finally drained).
+
+    Scale shape: raw rows reduce to (class, minute) counts; the axis
+    is span-bounded; two windows on the same (class, minute) sort —
+    ONE exchange — then a per-class aggregate."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    c = (
+        df.select("event_type", F.floor(es / 60).cast("long").alias("m"))
+        .groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    bounds = c.groupBy("event_type").agg(
+        F.min("m").alias("mm"),
+        F.max("m").alias("xm"),
+        F.sum("a").cast("long").alias("n"),
+    )
+    axis = bounds.select(
+        "event_type",
+        "n",
+        (F.col("xm") - F.col("mm") + 1).alias("mcount"),
+        F.col("mm").alias("m0"),
+        F.explode(F.sequence("mm", "xm")).alias("m"),
+    )
+    dense = axis.join(c, ["event_type", "m"], "left").select(
+        "event_type",
+        "n",
+        "mcount",
+        "m0",
+        "m",
+        F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+    )
+    cap = F.expr("(n + mcount - 1) div mcount")
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = dense.select(
+        "event_type",
+        "m",
+        cap.alias("cap"),
+        (
+            F.sum("a").over(ws)
+            - cap * (F.col("m") - F.col("m0") + 1)
+        ).alias("drift"),
+    )
+    # prefix min over (0, drift_1..m): the j=0 term is literal 0
+    backlog = swept.select(
+        "event_type",
+        "m",
+        "cap",
+        (
+            F.col("drift")
+            - F.least(F.lit(0).cast("long"), F.min("drift").over(ws))
+        ).alias("b"),
+    )
+    backlog = backlog.withColumn(
+        "mx", F.max("b").over(Window.partitionBy("event_type"))
+    )
+    return (
+        backlog.groupBy("event_type")
+        .agg(
+            F.max("cap").alias("capacity_per_min"),
+            F.max("b").alias("max_backlog"),
+            F.min(
+                F.when(F.col("b") == F.col("mx"), F.col("m"))
+            ).alias("peak_m"),
+            F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("congested_minutes"),
+            F.sum("b").cast("long").alias("queued_request_minutes"),
+            F.max(F.when(F.col("b") > 0, F.col("m"))).alias("last_m"),
+        )
+        .select(
+            "event_type",
+            "capacity_per_min",
+            "max_backlog",
+            F.timestamp_seconds(F.col("peak_m") * 60)
+            .cast("timestamp_ntz")
+            .alias("peak_minute"),
+            "congested_minutes",
+            "queued_request_minutes",
+            F.timestamp_seconds(F.col("last_m") * 60)
+            .cast("timestamp_ntz")
+            .alias("last_congested_minute"),
+        )
+        .orderBy("event_type")
+    )

@@ -2527,3 +2527,13 @@ def test_erlang_staffing_reduces_to_class_aggregates(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert "HashAggregate" in plan
+
+
+def test_backlog_drain_windows_share_sort(spark):
+    """The running-sum and prefix-min windows ride the SAME
+    (event_type, m) sort — adding the closed-form min does not add a
+    sort or exchange per window; no join beyond the axis equi-join."""
+    plan = plan_of(Q.backlog_drain_planner(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Sort ") <= 2

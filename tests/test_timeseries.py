@@ -4473,3 +4473,38 @@ def test_erlang_c_staffing_matches_closed_form(spark, tmp_path):
     assert r.utilization == a / r.c_min
     # sanity: load ~4 with a 20% wait target needs 6-7 workers
     assert 5 <= r.c_min <= 8
+
+
+def test_backlog_drain_matches_lindley_loop(spark, tmp_path):
+    """The closed-form sweep must equal the literal Lindley recurrence
+    b_m = max(0, b_{m-1} + a_m - C) stepped in a Python loop on a
+    bursty synthetic: 120 arrivals in minute 0, then a trickle."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    i = 0
+    for _ in range(120):  # burst in minute 0
+        rows.append((i, t0 + dt.timedelta(seconds=i % 60), 1, "c", 1.0, "{}"))
+        i += 1
+    for m in range(1, 30):  # 2/minute afterwards
+        for s in (0, 30):
+            rows.append(
+                (i, t0 + dt.timedelta(minutes=m, seconds=s), 1, "c", 1.0, "{}")
+            )
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.backlog_drain_planner(spark, str(tmp_path)).collect()[0]
+
+    arrivals = [120] + [2] * 29
+    n, mcount = sum(arrivals), len(arrivals)
+    cap = -(-n // mcount)
+    b, bs = 0, []
+    for a in arrivals:
+        b = max(0, b + a - cap)
+        bs.append(b)
+    assert r.capacity_per_min == cap
+    assert r.max_backlog == max(bs)
+    assert r.peak_minute == t0 + dt.timedelta(minutes=bs.index(max(bs)))
+    assert r.congested_minutes == sum(1 for x in bs if x > 0)
+    assert r.queued_request_minutes == sum(bs)
+    last = max(m for m, x in enumerate(bs) if x > 0)
+    assert r.last_congested_minute == t0 + dt.timedelta(minutes=last)
