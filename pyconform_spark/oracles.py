@@ -11217,3 +11217,41 @@ FROM mx
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["retry_budget_planner"] = """
+WITH base AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CASE WHEN floor(value * 100)::BIGINT >= 200
+                  THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM events GROUP BY 1),
+ks AS (
+  SELECT event_type, n, s, unnest(generate_series(0, 3)) AS k
+  FROM base),
+pw AS (
+  SELECT event_type, n, s, k,
+         n::HUGEINT AS n1, s::HUGEINT AS s1,
+         n::HUGEINT * n AS n2, s::HUGEINT * s AS s2,
+         n::HUGEINT * n * n AS n3, s::HUGEINT * s * s AS s3,
+         n::HUGEINT * n * n * n AS n4, s::HUGEINT * s * s * s AS s4
+  FROM ks),
+alg AS (
+  SELECT event_type, n, s, k,
+         CASE k WHEN 0 THEN 1::HUGEINT
+                WHEN 1 THEN n1 + s1
+                WHEN 2 THEN n2 + s1 * n1 + s2
+                ELSE n3 + s1 * n2 + s2 * n1 + s3 END AS att_num,
+         CASE k WHEN 0 THEN 1::HUGEINT WHEN 1 THEN n1
+                WHEN 2 THEN n2 ELSE n3 END AS att_den,
+         CASE k WHEN 0 THEN s1 WHEN 1 THEN s2
+                WHEN 2 THEN s3 ELSE s4 END AS fail_num,
+         CASE k WHEN 0 THEN n1 WHEN 1 THEN n2
+                WHEN 2 THEN n3 ELSE n4 END AS fail_den
+  FROM pw)
+SELECT event_type, n, s, k,
+       s::DOUBLE / n::DOUBLE AS fail_rate,
+       fail_num::DOUBLE / fail_den::DOUBLE AS p_all_fail,
+       att_num::DOUBLE / att_den::DOUBLE AS exp_attempts,
+       fail_num * 1000 <= fail_den AS meets_999
+FROM alg
+ORDER BY event_type, k
+"""

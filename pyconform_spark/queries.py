@@ -22974,3 +22974,97 @@ def backlog_drain_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def retry_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-budget planner per event class: with failure probability
+    p measured from the data (a request counts as failed when its
+    centi-quantized latency reaches 2s — the Apdex 'frustrated'
+    cutoff), lay out for k = 0..3 retries what an independent-retry
+    policy buys and costs:
+
+        p_all_fail(k)   = p^(k+1)
+        exp_attempts(k) = (1 - p^(k+1)) / (1 - p)
+                        = (n^k + s*n^(k-1) + ... + s^k) / n^k
+        meets_999(k)    = 1000 * s^(k+1) <= n^(k+1)
+
+    — with p = s/n kept as EXACT integers: the powers and the
+    geometric-series numerator stay in DECIMAL(38,0) (HUGEINT in the
+    oracle), every readout is ONE double division, and the 99.9%
+    success gate is a pure integer cross-multiplication — no float
+    pow, no epsilon.  Range: DECIMAL(38,0) holds n^4 for class sizes
+    up to ~3e9 rows; a larger class must be pre-reduced (e.g. count
+    per day and sum counts — p is a ratio of sums, unaffected), and
+    an overflow is LOUD, not silently wrong: the decimal turns NULL
+    and the oracle compare mismatches.
+
+    Scale shape: one partial-aggregated count pass; the k axis is a
+    4-row explode per class; output is |classes| x 4 rows."""
+    df = _events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = (
+        df.select("event_type", vq.alias("vq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("vq") >= 200, 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    ks = base.select(
+        "event_type",
+        "n",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+
+    def _pow(c, e):
+        out = F.lit(1).cast("decimal(38,0)")
+        for _ in range(e):
+            out = (out * c).cast("decimal(38,0)")
+        return out
+
+    k = F.col("k")
+    attempts_num = F.when(
+        k == 0, _pow(nd, 0)
+    ).when(
+        k == 1, (_pow(nd, 1) + _pow(sd, 1)).cast("decimal(38,0)")
+    ).when(
+        k == 2,
+        (_pow(nd, 2) + sd * _pow(nd, 1) + _pow(sd, 2)).cast("decimal(38,0)"),
+    ).otherwise(
+        (
+            _pow(nd, 3)
+            + sd * _pow(nd, 2)
+            + _pow(sd, 2) * nd
+            + _pow(sd, 3)
+        ).cast("decimal(38,0)")
+    )
+    attempts_den = F.when(k == 0, _pow(nd, 0)).when(
+        k == 1, _pow(nd, 1)
+    ).when(k == 2, _pow(nd, 2)).otherwise(_pow(nd, 3))
+    fail_num = F.when(k == 0, _pow(sd, 1)).when(
+        k == 1, _pow(sd, 2)
+    ).when(k == 2, _pow(sd, 3)).otherwise(_pow(sd, 4))
+    fail_den = F.when(k == 0, _pow(nd, 1)).when(
+        k == 1, _pow(nd, 2)
+    ).when(k == 2, _pow(nd, 3)).otherwise(_pow(nd, 4))
+    return ks.select(
+        "event_type",
+        "n",
+        "s",
+        "k",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "fail_rate"
+        ),
+        (fail_num.cast("double") / fail_den.cast("double")).alias(
+            "p_all_fail"
+        ),
+        (attempts_num.cast("double") / attempts_den.cast("double")).alias(
+            "exp_attempts"
+        ),
+        (fail_num * 1000 <= fail_den).alias("meets_999"),
+    ).orderBy("event_type", "k")

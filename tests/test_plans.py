@@ -2537,3 +2537,13 @@ def test_backlog_drain_windows_share_sort(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "Sort ") <= 2
+
+
+def test_retry_budget_single_reduce_no_join(spark):
+    """One partial-aggregated count pass, a 4-row explode per class,
+    zero joins — the decimal power ladder is pure projection."""
+    plan = plan_of(Q.retry_budget_planner(spark, SF))
+    assert "HashAggregate" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0

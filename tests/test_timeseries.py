@@ -4508,3 +4508,34 @@ def test_backlog_drain_matches_lindley_loop(spark, tmp_path):
     assert r.queued_request_minutes == sum(bs)
     last = max(m for m, x in enumerate(bs) if x > 0)
     assert r.last_congested_minute == t0 + dt.timedelta(minutes=last)
+
+
+def test_retry_budget_matches_fraction_arithmetic(spark, tmp_path):
+    """Known p = 1/4 (25 slow of 100): every readout must equal the
+    exact fraction arithmetic done independently with Python ints,
+    and the 99.9% gate must flip exactly where 1000 * s^(k+1) crosses
+    n^(k+1) (here k=3: 1000*25^4 = 3.90625e8 <= 1e8? no — so k=3
+    still fails; p=0.25 needs 5 nines of attempts)."""
+    from fractions import Fraction
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "c",
+         2.5 if i < 25 else 0.5, "{}")
+        for i in range(100)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.k: r for r in Q.retry_budget_planner(spark, str(tmp_path)).collect()}
+
+    n, s = 100, 25
+    for k in range(4):
+        r = out[k]
+        assert r.n == n and r.s == s
+        assert r.fail_rate == s / n
+        pf = Fraction(s, n) ** (k + 1)
+        assert r.p_all_fail == pf.numerator / pf.denominator
+        ea = sum(Fraction(s, n) ** j for j in range(k + 1))
+        assert r.exp_attempts == ea.numerator / ea.denominator
+        assert r.meets_999 == (1000 * s ** (k + 1) <= n ** (k + 1))
+    # p = 0.25: three retries leave p_all_fail ~ 0.39%, above 0.1%
+    assert not out[3].meets_999
