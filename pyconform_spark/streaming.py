@@ -1887,3 +1887,114 @@ def stream_time_decay(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_kalman_level(
+    stream: DataFrame, q: float = 0.25, r: float = 1.0
+) -> DataFrame:
+    """Streaming twin of ``queries.kalman_hourly_rate`` — the
+    local-level Kalman filter over per-type hourly event counts,
+    emitted continuously.  The carried state is FOUR scalars per
+    event_type: the in-progress hour and its running count, plus the
+    filter's (level, variance) at the last CLOSED hour — O(1), never
+    O(history), because the local-level recurrence needs nothing else.
+
+    An hour CLOSES when a later hour's first event arrives; closing
+    steps the recurrence once for the closed hour's final count and
+    once (y = 0) for every empty hour in the gap — reproducing the
+    batch query's dense axis.  The still-open hour emits a PROVISIONAL
+    row each batch, recomputed from the committed state plus the
+    running count WITHOUT updating state, so an hour split across
+    micro-batches re-emits with a growing count and the emission with
+    the LARGEST count per (type, hour) — its final one — equals the
+    batch query BIT-FOR-BIT, including the series' last hour, which
+    no later event ever closes (pytest parity gate with a mid-hour
+    batch cut).
+
+    Contract: in-order arrival per type across micro-batches (the
+    recursion twins' shared ingest contract); within a batch the
+    group's chunks are concatenated and sorted ONCE, so Arrow chunk
+    splits are harmless."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("h", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("kalman_level", T.DoubleType(), True),
+        T.StructField("kalman_gain", T.DoubleType(), True),
+        T.StructField("kalman_var", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("h_cur", T.LongType(), True),
+        T.StructField("c_cur", T.LongType(), True),
+        T.StructField("lvl", T.DoubleType(), True),
+        T.StructField("pvar", T.DoubleType(), True),
+        T.StructField("inited", T.BooleanType(), True),
+    ])
+
+    def _step(l: float, p: float, y: float):
+        Pp = p + q
+        K = Pp / (Pp + r)
+        return l + K * (y - l), (1.0 - K) * Pp, K
+
+    def _close(l, p, y: float, inited: bool):
+        if not inited:
+            return y, r, None
+        return _step(l, p, y)
+
+    def _update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        hours = (
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // (3600 * 10**9)
+        ).astype(np.int64)
+        uh, counts = np.unique(hours, return_counts=True)  # ascending
+        if state.exists:
+            h_cur, c_cur, l, p, inited = state.get
+        else:
+            h_cur = None
+        rows = []
+        for h, c in zip(uh.tolist(), counts.tolist()):
+            if h_cur is None:
+                h_cur, c_cur, l, p, inited = h, 0, None, None, False
+            if h == h_cur:
+                c_cur += int(c)
+                continue
+            # close the open hour, then the empty gap, then move on
+            l, p, K = _close(l, p, float(c_cur), inited)
+            inited = True
+            rows.append((event_type, h_cur, c_cur, l, K, p))
+            for hz in range(h_cur + 1, h):
+                l, p, K = _step(l, p, 0.0)
+                rows.append((event_type, hz, 0, l, K, p))
+            h_cur, c_cur = h, int(c)
+        # provisional row for the still-open hour (state not advanced)
+        lp, pp, Kp = _close(l, p, float(c_cur), inited)
+        rows.append((event_type, h_cur, c_cur, lp, Kp, pp))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "h", "n_events",
+                "kalman_level", "kalman_gain", "kalman_var",
+            ],
+        )
+        state.update((int(h_cur), int(c_cur), l, p, bool(inited)))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1444,3 +1444,73 @@ def test_stream_cdc_applies_deletes_and_inserts_exactly_once(spark, tmp_path):
     mk = next(m for m in markers if m.endswith("-d"))
     points = pipeline.refresh_cdc(spark, deletes, root, marker=mk)
     assert points == {t: 0 for t in pipeline.TIER_ORDER}
+
+
+def test_stream_kalman_matches_batch_bitwise(spark, tmp_path):
+    """Streaming Kalman == batch kalman_hourly_rate bit-for-bit with
+    the stream cut MID-HOUR across micro-batches: the provisional
+    re-emission of the split hour must be superseded by its final
+    emission (largest count per hour), and the O(1) (level, var)
+    carry must reproduce the dense-axis recurrence exactly, zero-gap
+    hours included."""
+    from pyconform_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "kalman_in")
+    # a cut mid-hour: hour 2024-01-02 11:00 has 4 events spanning
+    # 11:18-11:40, so cutting at 11:30 splits that cell across batches
+    cut = F.lit("2024-01-02 11:30:00").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_kalman_level(stream)
+    qs = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kalmanstream")
+        .start()
+    )
+    try:
+        qs.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        qs.processAllAvailable()
+    finally:
+        qs.stop()
+
+    emitted = spark.sql("select * from kalmanstream").toPandas()
+    # fold update-mode re-emissions: final emission per (type, hour)
+    # is the one with the largest count
+    idx = emitted.groupby(["event_type", "h"])["n_events"].idxmax()
+    import pandas as pd
+
+    got = {
+        (r.event_type, int(r.h)): (
+            int(r.n_events),
+            r.kalman_level,
+            None if pd.isna(r.kalman_gain) else r.kalman_gain,
+            r.kalman_var,
+        )
+        for r in emitted.loc[idx].itertuples()
+    }
+    batch = Q.kalman_hourly_rate(spark, sf).collect()
+    want = {
+        (r.event_type, int(r.bucket_ts.timestamp() // 3600)): (
+            int(r.n_events), r.kalman_level, r.kalman_gain, r.kalman_var
+        )
+        for r in batch
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # the cut must split at least one (type, hour) cell across batches
+    h_start = F.lit("2024-01-02 11:00:00").cast("timestamp_ntz")
+    h_end = F.lit("2024-01-02 12:00:00").cast("timestamp_ntz")
+    n_pre = events.where((F.col("ts") >= h_start) & (F.col("ts") < cut)).count()
+    n_post = events.where((F.col("ts") >= cut) & (F.col("ts") < h_end)).count()
+    assert n_pre > 0 and n_post > 0  # provisional emission exercised
