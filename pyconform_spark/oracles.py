@@ -11255,3 +11255,28 @@ SELECT event_type, n, s, k,
 FROM alg
 ORDER BY event_type, k
 """
+
+ORACLES["mg1_wait_audit"] = """
+WITH base AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS s1,
+         sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT)::BIGINT
+           AS s2,
+         (max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000))::BIGINT AS t
+  FROM events GROUP BY 1),
+alg AS (
+  SELECT event_type, n, s1, s2, t,
+         100::HUGEINT * t AS ht,
+         100::HUGEINT * t - s1 AS slack
+  FROM base WHERE t > 0)
+SELECT event_type, n AS n_arrivals,
+       s1::DOUBLE / (n::DOUBLE * 100.0) AS mean_service,
+       s1::DOUBLE / ht::DOUBLE AS rho,
+       CASE WHEN slack > 0
+            THEN s2::DOUBLE / (slack * 200)::DOUBLE END AS mean_wait,
+       CASE WHEN slack > 0
+            THEN (n::HUGEINT * s2)::DOUBLE
+                 / (slack * 200 * t)::DOUBLE END AS mean_queue_len
+FROM alg
+ORDER BY event_type
+"""

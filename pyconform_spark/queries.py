@@ -23068,3 +23068,65 @@ def retry_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (fail_num * 1000 <= fail_den).alias("meets_999"),
     ).orderBy("event_type", "k")
+
+
+def mg1_wait_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pollaczek-Khinchine M/G/1 wait audit per event class — the
+    single-server mean queueing delay implied by the MEASURED service
+    distribution (not an exponential assumption: P-K needs only
+    E[S] and E[S^2], which is why it punishes heavy-tailed service
+    hard).  Completes the queueing family: Erlang-C (M/M/c sizing),
+    the Lindley drain sweep (transient backlog), Little's law (the
+    conservation audit) — this is the steady-state delay readout.
+
+    EXACT staging: with centi-second latencies vq, T the observed
+    span and n the arrivals,
+
+        rho = sum(vq) / (100 T)
+        W_q = lambda E[S^2] / (2 (1 - rho))
+            = sum(vq^2) / (200 * (100 T - sum(vq)))       [seconds]
+        L_q = lambda W_q
+            = n * sum(vq^2) / (200 T * (100 T - sum(vq)))
+
+    — every numerator/denominator a BIGINT/DECIMAL integer (HUGEINT
+    in the oracle), each output ONE double division; classes at or
+    past saturation (rho >= 1) report NULL wait, by definition.
+
+    Scale shape: one partial-aggregated pass to 4 integers per class;
+    nothing else."""
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = (
+        df.select("event_type", es.alias("es"), vq.alias("vq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("s1"),
+            F.sum(F.col("vq") * F.col("vq")).cast("long").alias("s2"),
+            (F.max("es") - F.min("es")).cast("long").alias("t"),
+        )
+        .where(F.col("t") > 0)
+    )
+    hundred_t = (F.col("t").cast("decimal(38,0)") * 100).cast("decimal(38,0)")
+    slack = (hundred_t - F.col("s1")).cast("decimal(38,0)")
+    rho = F.col("s1").cast("double") / hundred_t.cast("double")
+    wq = F.when(
+        slack > 0,
+        F.col("s2").cast("double") / (slack * 200).cast("double"),
+    )
+    lq = F.when(
+        slack > 0,
+        (F.col("n").cast("decimal(38,0)") * F.col("s2")).cast("double")
+        / (slack * 200 * F.col("t")).cast("double"),
+    )
+    return base.select(
+        "event_type",
+        F.col("n").alias("n_arrivals"),
+        (F.col("s1").cast("double") / (F.col("n").cast("double") * 100.0)).alias(
+            "mean_service"
+        ),
+        rho.alias("rho"),
+        wq.alias("mean_wait"),
+        lq.alias("mean_queue_len"),
+    ).orderBy("event_type")

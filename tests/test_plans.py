@@ -2547,3 +2547,13 @@ def test_retry_budget_single_reduce_no_join(spark):
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "BroadcastHashJoin") == 0
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_mg1_wait_single_pass(spark):
+    """One partial-aggregated pass to 4 integers per class; no join,
+    no window, no Python."""
+    plan = plan_of(Q.mg1_wait_audit(spark, SF))
+    assert "HashAggregate" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0

@@ -4539,3 +4539,36 @@ def test_retry_budget_matches_fraction_arithmetic(spark, tmp_path):
         assert r.meets_999 == (1000 * s ** (k + 1) <= n ** (k + 1))
     # p = 0.25: three retries leave p_all_fail ~ 0.39%, above 0.1%
     assert not out[3].meets_999
+
+
+def test_mg1_wait_matches_pk_formula(spark, tmp_path):
+    """Deterministic service times (all 2s) over a known span: P-K
+    must reduce to rho^2/(lambda(1-rho))/2... checked directly from
+    the fraction arithmetic, plus the M/D/1 sanity that deterministic
+    service halves the M/M/1 wait."""
+    from fractions import Fraction
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 100 arrivals over 400s (lambda=0.25/s approx), all exactly 2s
+    rows = [
+        (i, t0 + dt.timedelta(seconds=4 * i), 1, "c", 2.0, "{}")
+        for i in range(100)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.mg1_wait_audit(spark, str(tmp_path)).collect()[0]
+
+    n, s1, s2, t = 100, 100 * 200, 100 * 200 * 200, 4 * 99
+    rho = Fraction(s1, 100 * t)
+    wq = Fraction(s2, 200 * (100 * t - s1))
+    lq = Fraction(n * s2, 200 * t * (100 * t - s1))
+    assert r.n_arrivals == n
+    assert r.mean_service == 2.0
+    assert r.rho == rho.numerator / rho.denominator
+    assert r.mean_wait == wq.numerator / wq.denominator
+    assert r.mean_queue_len == lq.numerator / lq.denominator
+    # M/D/1 identity: deterministic service (E[S^2] = E[S]^2) makes
+    # the P-K wait EXACTLY half the M/M/1 wait rho/(mu - lambda)
+    assert 0.5 < r.rho < 0.6
+    mm1_wait = rho / (Fraction(1, 2) - Fraction(s1, 200 * t))
+    half = mm1_wait / 2
+    assert r.mean_wait == half.numerator / half.denominator
