@@ -317,6 +317,15 @@ BENCH_QUERIES = [
     "dau_wau_mau_stickiness",
     "apdex_daily",
     "tail_at_scale_fanout",
+    # round-4 final-session additions
+    "tied_request_planner",
+    "hedged_request_planner",
+    "kll_range_sketch_readouts",
+    "kalman_hourly_rate",
+    "erlang_c_staffing",
+    "backlog_drain_planner",
+    "retry_budget_planner",
+    "mg1_wait_audit",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the
@@ -531,6 +540,40 @@ def main() -> None:
     hot.unpersist()
     times["window_skew_plain"] = round(t_wplain, 3)
     times["window_skew_chunked"] = round(t_wchunk, 3)
+
+    # -- batched CDC win, quantified: a 4-marker backlog landing on the
+    # same epochs, applied marker-by-marker (each re-reads and rewrites
+    # the touched tier partitions) vs refresh_cdc_batched (one staged
+    # publish + one lineage commit for all four).  Same final store
+    # bit-for-bit (pytest-gated); this measures the saved tier
+    # rewrites.
+    from pyconform_spark import pipeline as pl
+
+    cdc_tx = synth.transcripts(spark, 200_000)
+    cdc_tx.persist().count()
+    cdc_batches = [
+        (
+            f"bench-m{i}",
+            cdc_tx.where(
+                F.abs(F.hash("conv_id", "turn_idx")) % 16 == i
+            ).withColumn("op", F.lit(-1)),
+        )
+        for i in range(4)
+    ]
+    seq_root = tempfile.mkdtemp(prefix="bench_cdc_seq_")
+    bat_root = tempfile.mkdtemp(prefix="bench_cdc_bat_")
+    pl.run_batch(spark, cdc_tx, seq_root)
+    pl.run_batch(spark, cdc_tx, bat_root)
+    t0 = time.monotonic()
+    for mk, b in cdc_batches:
+        pl.refresh_cdc(spark, b, seq_root, marker=mk)
+    t_cdc_seq = time.monotonic() - t0
+    t0 = time.monotonic()
+    pl.refresh_cdc_batched(spark, cdc_batches, bat_root)
+    t_cdc_bat = time.monotonic() - t0
+    cdc_tx.unpersist()
+    times["cdc_four_markers_sequential"] = round(t_cdc_seq, 3)
+    times["cdc_four_markers_batched"] = round(t_cdc_bat, 3)
 
     # -- ANN recall, quantified, vs exact brute force at the
     # rule-sized plane count log2(N/B) for target bucket B=64 (5
@@ -803,6 +846,7 @@ def main() -> None:
                 "mp_single_group_sec": round(t_mp_single, 2),
                 "mp_tiled_sec": round(t_mp_tiled, 2),
                 "mp_tiled_speedup": round(t_mp_single / t_mp_tiled, 2),
+                "cdc_batched_speedup": round(t_cdc_seq / t_cdc_bat, 2),
                 "cpus": cpus,
             }
         )

@@ -1,6 +1,6 @@
 """spark-submit entry point: CDC maintenance of the tier store —
-apply a batch of signed row-level changes (inserts AND deletes) to
-the committed 1m/1h/1d tiers.
+apply signed row-level changes (inserts AND deletes) to the committed
+1m/1h/1d tiers.
 
 Usage:
 
@@ -8,16 +8,28 @@ Usage:
         jobs/cdc_job.py --changes /path/changes.parquet \
         --root /path/ckpt_root [--marker redaction-2024-01-07]
 
-``changes.parquet`` carries the transcripts columns plus ``op``
+    # a marker BACKLOG (e.g. a replayed CDC topic), squashed into two
+    # lineage commits instead of 2N:
+    spark-submit ... jobs/cdc_job.py --batched \
+        --changes day1.parquet day2.parquet day3.parquet \
+        --root /path/ckpt_root --marker replay-2024-01
+
+Each ``changes`` parquet carries the transcripts columns plus ``op``
 (+1 insert, -1 delete); a delete row must match the ingested turn
-exactly.  The batch is applied as TWO lineage markers —
-``<marker>-d`` (deletes) then ``<marker>-i`` (inserts) — because a
-mixed batch whose net turn delta is zero in some epoch is refused
-(the crash-recovery fingerprint cannot distinguish pre from post),
-and an all-same-sign half always carries a nonzero net.  Re-running
-the job after a crash or after success is safe: each committed half
-short-circuits on its marker, an uncommitted half rolls forward
-through the write-audit-publish intent (pipeline.refresh_cdc).
+exactly.  Every batch is applied as TWO sides — deletes then inserts
+— because a mixed batch whose net turn delta is zero in some epoch is
+refused (the crash-recovery fingerprint cannot distinguish pre from
+post), and an all-same-sign half always carries a nonzero net.
+
+Single-file mode commits markers ``<marker>-d`` then ``<marker>-i``
+(pipeline.refresh_cdc).  ``--batched`` mode commits ALL files' delete
+halves as ONE staged publish under markers ``<marker>-b<i>-d`` and
+then all insert halves under ``<marker>-b<i>-i``
+(pipeline.refresh_cdc_batched) — the touched tier partitions are read
+back and rewritten once per side instead of once per file.  Re-running
+after a crash or success is safe either way: committed markers
+short-circuit individually, an uncommitted publish rolls forward
+through the write-audit-publish intent.
 """
 
 from __future__ import annotations
@@ -28,13 +40,28 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--changes", required=True, help="signed-change parquet")
+    ap.add_argument(
+        "--changes",
+        required=True,
+        nargs="+",
+        help="signed-change parquet path(s)",
+    )
     ap.add_argument("--root", required=True, help="checkpoint root directory")
     ap.add_argument(
         "--marker",
         help="idempotency key; reuse the same value on retries of one batch",
     )
+    ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="apply ALL change files per side as one staged publish "
+        "(requires --marker)",
+    )
     args = ap.parse_args()
+    if args.batched and not args.marker:
+        ap.error("--batched requires --marker (stable replay keys)")
+    if len(args.changes) > 1 and not args.batched:
+        ap.error("multiple --changes files require --batched")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -47,18 +74,36 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    changes = spark.read.parquet(args.changes)
     out = {}
-    for suffix, side in (("-d", -1), ("-i", 1)):
-        mk = (args.marker + suffix) if args.marker else None
-        half = changes.where(F.col("op") == side)
-        out[suffix] = pipeline.refresh_cdc(spark, half, args.root, marker=mk)
+    if args.batched:
+        frames = [spark.read.parquet(p) for p in args.changes]
+        for suffix, side in (("-d", -1), ("-i", 1)):
+            batches = [
+                (
+                    f"{args.marker}-b{i}{suffix}",
+                    df.where(F.col("op") == side),
+                )
+                for i, df in enumerate(frames)
+            ]
+            out[suffix] = pipeline.refresh_cdc_batched(
+                spark, batches, args.root
+            )
+    else:
+        changes = spark.read.parquet(args.changes[0])
+        for suffix, side in (("-d", -1), ("-i", 1)):
+            mk = (args.marker + suffix) if args.marker else None
+            half = changes.where(F.col("op") == side)
+            out[suffix] = pipeline.refresh_cdc(
+                spark, half, args.root, marker=mk
+            )
     print(
         json.dumps(
             {
                 "points_deleted_side": out["-d"],
                 "points_inserted_side": out["-i"],
                 "marker": args.marker,
+                "batched": args.batched,
+                "n_files": len(args.changes),
             }
         )
     )

@@ -172,3 +172,99 @@ def test_spark_submit_cdc_job(tmp_path, spark):
     summary3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert all(v == 0 for v in summary3["points_deleted_side"].values())
     assert all(v == 0 for v in summary3["points_inserted_side"].values())
+
+
+def test_spark_submit_cdc_job_batched(tmp_path, spark):
+    """cdc_job.py --batched through --py-files: two delete-only change
+    files squash into ONE staged publish (single commit_seq carrying
+    both per-file markers), the tiers equal the rollup of the edited
+    synth set, and a re-submit is a no-op for every marker."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import pipeline, synth
+    from pyconform_spark.operators import rollup
+
+    subprocess.run(
+        ["bash", str(REPO / "scripts" / "make_pyfiles.sh")],
+        check=True,
+        capture_output=True,
+    )
+    root = tmp_path / "ckpt"
+    env = {**os.environ, "PYTHONPATH": ""}
+    base_cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", str(REPO / "dist" / "pyconform_spark.zip"),
+    ]
+    r = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "rollup_job.py"),
+            "--synth", "5000", "--output", str(root),
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    tx = synth.transcripts(spark, 5000)
+    sel = F.abs(F.hash("conv_id", "turn_idx")) % 8
+    paths = []
+    for i in range(2):
+        ch = tx.where(sel == i).withColumn("op", F.lit(-1))
+        p = tmp_path / f"changes{i}.parquet"
+        ch.coalesce(1).write.parquet(str(p))
+        paths.append(str(p))
+
+    r2 = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "cdc_job.py"),
+            "--batched", "--changes", *paths,
+            "--root", str(root), "--marker", "replay-1",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["batched"] and summary["n_files"] == 2
+    assert any(v != 0 for v in summary["points_deleted_side"].values())
+    assert all(v == 0 for v in summary["points_inserted_side"].values())
+
+    direct = rollup.all_tiers(tx.where(sel >= 2))
+    for tier in pipeline.TIER_ORDER:
+        got = sorted(
+            map(tuple, pipeline.read_tier(spark, str(root), tier).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        want = sorted(
+            map(tuple, direct[tier].collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        assert got == want, tier
+
+    # both per-file markers rode ONE lineage commit
+    lin = pipeline.lineage(spark, str(root))
+    seqs = (
+        lin.where(
+            F.col("refresh_marker").isin("replay-1-b0-d", "replay-1-b1-d")
+        )
+        .select("commit_seq")
+        .distinct()
+        .collect()
+    )
+    assert len(seqs) == 1
+
+    r3 = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "cdc_job.py"),
+            "--batched", "--changes", *paths,
+            "--root", str(root), "--marker", "replay-1",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    summary3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert all(v == 0 for v in summary3["points_deleted_side"].values())
