@@ -524,7 +524,25 @@ def _swap_in(staged: str, live: str, trash: str) -> None:
     copy is duplicated first (so recovery can always re-publish), the
     old live dir is moved to trash, and the copy renamed into place —
     a crash at any point leaves either old-live, missing-live, or
-    new-live, all of which recovery classifies and repairs."""
+    new-live, all of which recovery classifies and repairs.
+
+    A MISSING staged dir is an empty publish: the merge dropped every
+    bucket of the partition (a CDC purge of a whole epoch writes no
+    ``epoch=<k>`` dir at all), so publishing means REMOVING the live
+    dir — the same to-trash move, nothing renamed in."""
+    if not os.path.isdir(staged):
+        if os.path.isdir(live):
+            os.makedirs(trash, exist_ok=True)
+            dst = os.path.join(
+                trash,
+                os.path.basename(os.path.dirname(live))
+                + "-"
+                + os.path.basename(live),
+            )
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(live, dst)
+        return
     tmp = live + ".publish-tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
@@ -565,10 +583,27 @@ def _commit_refresh_lineage(
         by_tier.setdefault(r["tier"], []).append(r["epoch"])
     written_points: dict[str, int] = {t: 0 for t in TIER_ORDER}
     lineage_parts: list[DataFrame] = []
+    tombstones: list[tuple[str, int]] = []
     for tier, eps in by_tier.items():
         base = os.path.join(root, "tiers", tier)
+        if not os.path.isdir(base):
+            # every epoch of this tier purged: all tombstones
+            tombstones.extend((tier, int(e)) for e in eps)
+            continue
         back = spark.read.parquet(base).where(F.col("epoch").isin(eps))
         written_points[tier] = back.count()
+        # epochs the refresh touched but whose merge dropped EVERY
+        # bucket (full-epoch purge) have no rows to back-read — they
+        # commit as zero-point TOMBSTONE generations so verify_store's
+        # latest-generation expectation for them is 0, not the stale
+        # pre-purge count
+        present = {
+            int(r2["epoch"])
+            for r2 in back.select("epoch").distinct().collect()
+        }
+        tombstones.extend(
+            (tier, int(e)) for e in eps if int(e) not in present
+        )
         lineage_parts.append(
             back.select(
                 F.spark_partition_id().alias("partition_id"),
@@ -592,16 +627,26 @@ def _commit_refresh_lineage(
                 F.lit(seq).cast("long").alias("commit_seq"),
             )
         )
-    lin_all = lineage_parts[0]
-    for extra in lineage_parts[1:]:
-        lin_all = lin_all.unionByName(extra)
-    if extra_markers:
-        sent = [
-            (-1, rows[0]["tier"], None, None, int(rows[0]["epoch"]), 0, xm, seq)
-            for xm in extra_markers
-        ]
-        lin_all = lin_all.unionByName(
-            spark.createDataFrame(sent, lin_all.schema)
+    extra_rows = [
+        (-1, tier, None, None, int(e), 0, marker, seq)
+        for tier, e in tombstones
+    ] + [
+        (-1, rows[0]["tier"], None, None, int(rows[0]["epoch"]), 0, xm, seq)
+        for xm in extra_markers
+    ]
+    if lineage_parts:
+        lin_all = lineage_parts[0]
+        for extra in lineage_parts[1:]:
+            lin_all = lin_all.unionByName(extra)
+        if extra_rows:
+            lin_all = lin_all.unionByName(
+                spark.createDataFrame(extra_rows, lin_all.schema)
+            )
+    else:
+        # every touched tier was fully purged: the commit is pure
+        # tombstones; match the ledger's on-disk schema
+        lin_all = spark.createDataFrame(
+            extra_rows, lineage(spark, root).schema
         )
     lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
     return written_points
@@ -668,6 +713,20 @@ def recover_refreshes(spark: SparkSession, root: str) -> list[str]:
                 live_sum = _partition_turn_sum(spark, live)
                 pre = r["pre_sum"]
                 post = (pre or 0) + r["delta_sum"]
+                if post == 0:
+                    # full-epoch purge: published means the dir is GONE
+                    if live_sum is None:
+                        continue
+                    if live_sum == pre:
+                        _swap_in(staged, live, trash)  # empty publish
+                        continue
+                    raise RuntimeError(
+                        f"refresh recovery: tier={r['tier']} "
+                        f"epoch={r['epoch']} has sum(turn_count)="
+                        f"{live_sum}, expected {pre} (pre-purge) or "
+                        "no data (post-purge) — store mutated outside "
+                        "the refresh protocol"
+                    )
                 if live_sum == post:
                     continue  # this partition already published
                 if live_sum == pre or live_sum is None:
@@ -1287,7 +1346,12 @@ def verify_store(spark: SparkSession, root: str) -> DataFrame:
                     seen_dirs.add((tier, int(d.split("=")[1])))
     for (tier, epoch), want in sorted(exp.items()):
         if (tier, epoch) not in seen_dirs:
-            rows.append((tier, epoch, int(want), None, "missing"))
+            # a zero-point latest generation is a TOMBSTONE (full-epoch
+            # CDC purge): no data dir is the CORRECT state
+            rows.append(
+                (tier, epoch, int(want), None,
+                 "ok" if int(want) == 0 else "missing")
+            )
             continue
         got = _count_rows(_tier_path(root, tier, epoch))
         rows.append(

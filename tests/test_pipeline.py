@@ -13,6 +13,7 @@ Proves the reference's chunk-dedup + atomic-rename semantics
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -822,5 +823,82 @@ def test_cdc_batched_crash_rolls_forward_all_markers(
     for tier in pipeline.TIER_ORDER:
         got = _tier_rows(pipeline.read_tier(spark, root, tier))
         assert got == _tier_rows(direct[tier]), tier
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+
+
+def _epoch_of():
+    return (
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+
+
+def test_cdc_full_epoch_purge(spark, tx, tmp_path):
+    """Deleting EVERY turn of one epoch (the GDPR full-day purge) must
+    publish the epoch's REMOVAL: no partition dir at any tier, a
+    zero-point tombstone generation in lineage (so verify_store reads
+    the store as clean, not 'missing'), tiers equal to the recompute
+    without that day, and marker replay a no-op."""
+    root = str(tmp_path / "purge")
+    pipeline.run_batch(spark, tx, root)
+    epochs = sorted(pipeline.committed_epochs(spark, root))
+    assert len(epochs) >= 2
+    victim = epochs[0]
+
+    deletes = tx.where(_epoch_of() == victim).withColumn("op", F.lit(-1))
+    assert deletes.count() > 0
+    points = pipeline.refresh_cdc(spark, deletes, root, marker="purge-1")
+    assert isinstance(points, dict)
+
+    direct = rollup.all_tiers(tx.where(_epoch_of() != victim))
+    for tier in pipeline.TIER_ORDER:
+        got = _tier_rows(pipeline.read_tier(spark, root, tier))
+        assert got == _tier_rows(direct[tier]), tier
+        assert not os.path.isdir(
+            pipeline._tier_path(root, tier, victim)
+        ), tier
+
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+    tomb = [
+        r for r in audit
+        if r["epoch"] == victim and r["expected_points"] == 0
+    ]
+    assert len(tomb) == len(pipeline.TIER_ORDER)
+
+    again = pipeline.refresh_cdc(spark, deletes, root, marker="purge-1")
+    assert all(v == 0 for v in again.values())
+
+
+def test_cdc_full_epoch_purge_crash_rolls_forward(
+    spark, tx, tmp_path, monkeypatch
+):
+    """Crash between the purge's publish (partition dirs removed) and
+    its lineage commit: recovery must classify the GONE dir as
+    post-purge (fingerprint 0 == no data), finish the commit with the
+    tombstone generation, and never resurrect the day."""
+    root = str(tmp_path / "purgecrash")
+    pipeline.run_batch(spark, tx, root)
+    victim = sorted(pipeline.committed_epochs(spark, root))[0]
+    deletes = tx.where(_epoch_of() == victim).withColumn("op", F.lit(-1))
+
+    real_commit = pipeline._commit_refresh_lineage
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.refresh_cdc(spark, deletes, root, marker="purge-c")
+    monkeypatch.setattr(pipeline, "_commit_refresh_lineage", real_commit)
+
+    again = pipeline.refresh_cdc(spark, deletes, root, marker="purge-c")
+    assert all(v == 0 for v in again.values())
+
+    direct = rollup.all_tiers(tx.where(_epoch_of() != victim))
+    for tier in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, tier)) == _tier_rows(
+            direct[tier]
+        ), tier
     audit = pipeline.verify_store(spark, root).collect()
     assert {r["status"] for r in audit} == {"ok"}
