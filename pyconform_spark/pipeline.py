@@ -28,6 +28,7 @@ only the epochs that intersect it.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -1248,6 +1249,92 @@ def refresh_cdc_batched(
         touched,
         extra_markers=[m for m, _ in pending[1:]],
     )
+
+
+def purge_conversations(
+    spark: SparkSession,
+    root: str,
+    conv_ids: list[str],
+    raw_root: str | None = None,
+    marker: str | None = None,
+) -> dict:
+    """Right-to-be-forgotten: remove EVERY turn of the given
+    conversations from the tier store AND the raw day partitions — the
+    end-to-end GDPR erasure a transcripts engine must offer, built
+    from parts that are each already crash-safe:
+
+    1. **tiers** — a CDC purge refresh (op = -1 for every victim turn
+       in already-rolled-up epochs) under a DETERMINISTIC marker
+       derived from the sorted conv-id set, so a re-run (or a crashed
+       run retried) short-circuits on the ledger instead of
+       double-deleting; epochs not yet rolled up are skipped (their
+       raw gets cleaned below, so a later rollup never sees the
+       conversation);
+    2. **raw** — each touched ``epoch_day=`` partition is rewritten
+       WITHOUT the victim rows into a staging dir and swapped in via
+       the same publish primitive the refreshes use (:func:`_swap_in`;
+       a day whose every row was the victim's stages nothing and the
+       swap REMOVES the day dir — the empty-publish path).
+
+    Idempotent end to end: filtering again removes nothing, the
+    marker replays as a no-op, and a crash at any point converges on
+    re-run.  The default marker hashes the conv-id set — retries of
+    ONE logical purge share it; if a purged conversation is ever
+    RE-INGESTED and must be purged again, pass a fresh ``marker``
+    explicitly (the ledger cannot distinguish the second purge from a
+    replay of the first).  Returns the marker, touched day count, raw
+    rows removed, and per-tier points rewritten."""
+    ids = sorted(set(conv_ids))
+    if marker is None:
+        marker = (
+            "purge-conv-"
+            + hashlib.sha256("\n".join(ids).encode()).hexdigest()[:16]
+        )
+    rroot = raw_root or root
+    raw_path = os.path.join(rroot, "raw")
+    raw = read_raw(spark, rroot)
+    victims = raw.where(F.col("conv_id").isin(ids))
+    days = sorted(
+        int(r["epoch_day"])
+        for r in victims.select("epoch_day").distinct().collect()
+    )
+    out = {
+        "marker": marker,
+        "raw_days": len(days),
+        "raw_rows_removed": 0,
+        "tier_points": {t: 0 for t in TIER_ORDER},
+    }
+    if not days:
+        return out
+    out["raw_rows_removed"] = victims.count()
+
+    rolled = sorted(set(days) & committed_epochs(spark, root))
+    if rolled:
+        deletes = (
+            victims.where(F.col("epoch_day").isin(rolled))
+            .drop("epoch_day")
+            .withColumn("op", F.lit(-1))
+        )
+        out["tier_points"] = refresh_cdc(spark, deletes, root, marker=marker)
+
+    staging = os.path.join(
+        rroot, "raw_purge_staging", _safe_marker(marker)
+    )
+    trash = os.path.join(rroot, "raw_purge_trash", _safe_marker(marker))
+    kept = raw.where(F.col("epoch_day").isin(days)).where(
+        ~F.col("conv_id").isin(ids)
+    )
+    kept.write.mode("overwrite").partitionBy("epoch_day").parquet(staging)
+    for d in days:
+        _swap_in(
+            os.path.join(staging, f"epoch_day={d}"),
+            os.path.join(raw_path, f"epoch_day={d}"),
+            trash,
+        )
+    for p in (staging, trash):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    return out
 
 
 def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:

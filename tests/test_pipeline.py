@@ -902,3 +902,88 @@ def test_cdc_full_epoch_purge_crash_rolls_forward(
         ), tier
     audit = pipeline.verify_store(spark, root).collect()
     assert {r["status"] for r in audit} == {"ok"}
+
+
+def test_purge_conversations_end_to_end(spark, tx, tmp_path):
+    """Right-to-be-forgotten: after purge_conversations, the victim
+    conversations exist in NEITHER the raw day partitions NOR any
+    tier; tiers equal the recompute without them; the audit stays
+    clean; a re-run removes nothing and replays the marker as a
+    no-op."""
+    root = str(tmp_path / "gdpr")
+    pipeline.run_batch(spark, tx, root)
+    pipeline.ingest_raw(tx, root)
+    victims = [
+        r["conv_id"]
+        for r in tx.select("conv_id").distinct().limit(2).collect()
+    ]
+
+    out = pipeline.purge_conversations(spark, root, victims)
+    assert out["raw_rows_removed"] > 0 and out["raw_days"] > 0
+    assert any(v != 0 for v in out["tier_points"].values())
+
+    raw_after = pipeline.read_raw(spark, root)
+    assert raw_after.where(F.col("conv_id").isin(victims)).count() == 0
+    direct = rollup.all_tiers(tx.where(~F.col("conv_id").isin(victims)))
+    for tier in pipeline.TIER_ORDER:
+        got = pipeline.read_tier(spark, root, tier)
+        assert got.where(F.col("conv_id").isin(victims)).count() == 0
+        assert _tier_rows(got) == _tier_rows(direct[tier]), tier
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+
+    again = pipeline.purge_conversations(spark, root, victims)
+    assert again["raw_rows_removed"] == 0 and again["raw_days"] == 0
+    assert all(v == 0 for v in again["tier_points"].values())
+    # total row conservation: raw lost exactly the victim turns
+    assert raw_after.count() == tx.count() - out["raw_rows_removed"]
+
+
+def test_purge_conversations_crash_mid_raw_rewrite(
+    spark, tx, tmp_path, monkeypatch
+):
+    """Crash while swapping raw day partitions (after the tier CDC
+    committed): the re-run must converge — remaining dirty days get
+    cleaned, the committed marker short-circuits the tier side, and
+    the final state equals a clean one-shot purge."""
+    root = str(tmp_path / "gdprcrash")
+    pipeline.run_batch(spark, tx, root)
+    pipeline.ingest_raw(tx, root)
+    victims = [
+        r["conv_id"]
+        for r in tx.select("conv_id").distinct().limit(2).collect()
+    ]
+
+    real_swap = pipeline._swap_in
+    calls = {"n": 0}
+
+    def flaky_swap(staged, live, trash):
+        # only count RAW day-partition swaps; tier publishes (the CDC
+        # inside the purge) pass through untouched
+        if "epoch_day=" in staged:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash mid raw rewrite")
+        return real_swap(staged, live, trash)
+
+    monkeypatch.setattr(pipeline, "_swap_in", flaky_swap)
+    try:
+        pipeline.purge_conversations(spark, root, victims)
+        crashed = False
+    except RuntimeError:
+        crashed = True
+    monkeypatch.setattr(pipeline, "_swap_in", real_swap)
+    assert crashed  # the victim set must span >= 2 raw days
+
+    out2 = pipeline.purge_conversations(spark, root, victims)
+    assert all(v == 0 for v in out2["tier_points"].values())  # marker held
+
+    raw_after = pipeline.read_raw(spark, root)
+    assert raw_after.where(F.col("conv_id").isin(victims)).count() == 0
+    direct = rollup.all_tiers(tx.where(~F.col("conv_id").isin(victims)))
+    for tier in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, tier)) == _tier_rows(
+            direct[tier]
+        ), tier
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
