@@ -3,11 +3,16 @@ retention enforcement over an epoch-checkpointed tier store.
 
     spark-submit --py-files dist/pyconform_spark.zip \
         jobs/maintain_job.py --root /path/ckpt_root \
-        [--compact-tier 1h] [--keep-1m 7 --keep-1h 90 --keep-1d -1]
+        [--compact-tier 1h] [--keep-1m 7 --keep-1h 90 --keep-1d -1] \
+        [--purge-conv CONV_ID ... [--purge-marker KEY]]
 
-Run it after (or on a schedule alongside) jobs/rollup_job.py: compacts
-the requested tier into Gorilla/delta-of-delta blobs, then expires
-epochs beyond each tier's horizon (-1 = keep forever).  Idempotent.
+Run it after (or on a schedule alongside) jobs/rollup_job.py:
+optionally erases the named conversations end to end (raw day
+partitions AND every tier — pipeline.purge_conversations; pass
+--purge-marker to re-purge a conversation that was re-ingested after
+an earlier purge), compacts the requested tier into
+Gorilla/delta-of-delta blobs, then expires epochs beyond each tier's
+horizon (-1 = keep forever).  Idempotent.
 """
 
 from __future__ import annotations
@@ -25,6 +30,10 @@ def main() -> None:
     ap.add_argument("--keep-1h", type=int, default=90)
     ap.add_argument("--keep-1d", type=int, default=-1)
     ap.add_argument("--now-epoch", type=int, default=-1)
+    ap.add_argument("--purge-conv", nargs="+", default=None,
+                    help="conversation ids to erase end to end")
+    ap.add_argument("--purge-marker", default=None,
+                    help="explicit idempotency key for --purge-conv")
     ap.add_argument("--verify", action="store_true",
                     help="audit tiers against the lineage ledger first")
     args = ap.parse_args()
@@ -41,6 +50,10 @@ def main() -> None:
     )
 
     out: dict = {}
+    if args.purge_conv:
+        out["purge"] = pipeline.purge_conversations(
+            spark, args.root, args.purge_conv, marker=args.purge_marker
+        )
     if args.verify:
         audit = pipeline.verify_store(spark, args.root).collect()
         out["verify"] = {
