@@ -1359,6 +1359,57 @@ def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:
     return {r["refresh_marker"] for r in rows}
 
 
+def latest_commit_seq(spark: SparkSession, root: str) -> int:
+    """The highest committed ``commit_seq`` in the ledger (0 when the
+    ledger predates the commit-ordinal schema or is empty) — the
+    cursor an incremental consumer saves between runs."""
+    return _next_commit_seq(spark, root) - 1
+
+
+def read_tier_changes(
+    spark: SparkSession, root: str, tier: str, since_seq: int
+) -> tuple[DataFrame | None, list[int]]:
+    """Incremental tier read — the Iceberg incremental-scan analog
+    over the epoch ledger: the (tier) epochs whose LATEST lineage
+    generation has ``commit_seq > since_seq`` (ingested, refreshed,
+    CDC-edited, or purged since the consumer's saved cursor), plus the
+    current rows of those epochs.
+
+    A downstream consumer starts at ``since_seq = -1`` (the initial
+    ingest commits at ordinal 0), runs
+    ``cur = latest_commit_seq(...)`` after each sync and passes the
+    saved cursor here on the next one — unchanged epochs are never
+    re-read (partition-pruned multi-path scan), which at 10^12 turns
+    is the difference between re-syncing a day and re-syncing years.
+
+    Returns ``(changed_rows, changed_epochs)``; ``changed_rows`` is
+    None when nothing changed or every changed epoch was purged
+    (epochs present in ``changed_epochs`` but with no live dir are
+    purge/retention tombstones — the consumer deletes its copy)."""
+    lin = lineage(spark, root)
+    if "commit_seq" not in lin.columns:
+        lin = lin.withColumn("commit_seq", F.lit(0).cast("long"))
+    lin = lin.withColumn(
+        "commit_seq", F.coalesce(F.col("commit_seq"), F.lit(0)).cast("long")
+    )
+    rows = (
+        lin.where(F.col("tier") == tier)
+        .groupBy("checkpoint_epoch")
+        .agg(F.max("commit_seq").alias("mx"))
+        .where(F.col("mx") > since_seq)
+        .collect()
+    )
+    changed = sorted(int(r["checkpoint_epoch"]) for r in rows)
+    paths = [
+        _tier_path(root, tier, e)
+        for e in changed
+        if os.path.isdir(_tier_path(root, tier, e))
+    ]
+    if not paths:
+        return None, changed
+    return spark.read.parquet(*paths), changed
+
+
 def verify_store(spark: SparkSession, root: str) -> DataFrame:
     """Integrity audit of a tier store against its lineage ledger.
 

@@ -987,3 +987,47 @@ def test_purge_conversations_crash_mid_raw_rewrite(
         ), tier
     audit = pipeline.verify_store(spark, root).collect()
     assert {r["status"] for r in audit} == {"ok"}
+
+
+def test_read_tier_changes_incremental_cursor(spark, tx, tmp_path):
+    """Incremental consumer protocol: after the initial batch every
+    epoch is 'changed'; after saving the cursor, a late-data refresh
+    touching ONE epoch surfaces exactly that epoch (with its merged
+    rows); a full-epoch purge surfaces the epoch as a tombstone (in
+    the changed list, no rows); an idle store surfaces nothing."""
+    root = str(tmp_path / "incr")
+    pipeline.run_batch(spark, tx, root)
+    epochs = sorted(pipeline.committed_epochs(spark, root))
+    assert len(epochs) >= 2
+
+    df0, ch0 = pipeline.read_tier_changes(spark, root, "1h", -1)
+    assert ch0 == epochs and df0 is not None
+    cur = pipeline.latest_commit_seq(spark, root)
+
+    # idle: nothing changed past the cursor
+    dfi, chi = pipeline.read_tier_changes(spark, root, "1h", cur)
+    assert dfi is None and chi == []
+
+    # late refresh into the FIRST epoch only
+    late = tx.where(
+        (F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS)
+        .cast("long") == epochs[0]
+    ).withColumn("turn_idx", F.col("turn_idx") + 500000)
+    assert late.count() > 0
+    pipeline.refresh_late(spark, late, root, marker="late-incr")
+    df1, ch1 = pipeline.read_tier_changes(spark, root, "1h", cur)
+    assert ch1 == [epochs[0]]
+    # the changed rows ARE the merged current partition
+    want = spark.read.parquet(pipeline._tier_path(root, "1h", epochs[0]))
+    assert _tier_rows(df1.select(*want.columns)) == _tier_rows(want)
+    cur = pipeline.latest_commit_seq(spark, root)
+
+    # purge the SECOND epoch entirely -> tombstone: listed, no rows
+    deletes = tx.where(
+        (F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS)
+        .cast("long") == epochs[1]
+    ).withColumn("op", F.lit(-1))
+    pipeline.refresh_cdc(spark, deletes, root, marker="purge-incr")
+    df2, ch2 = pipeline.read_tier_changes(spark, root, "1h", cur)
+    assert ch2 == [epochs[1]]
+    assert df2 is None
