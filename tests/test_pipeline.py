@@ -1031,3 +1031,47 @@ def test_read_tier_changes_incremental_cursor(spark, tx, tmp_path):
     df2, ch2 = pipeline.read_tier_changes(spark, root, "1h", cur)
     assert ch2 == [epochs[1]]
     assert df2 is None
+
+
+def test_purge_requests_backlog_single_commit(spark, tx, tmp_path):
+    """A two-ticket deletion backlog erased in one pass: tiers equal
+    the recompute without EITHER subject, both request markers ride
+    ONE lineage commit, raw holds no victim rows, the audit stays
+    clean, and a replayed backlog no-ops per request id."""
+    root = str(tmp_path / "dsar")
+    pipeline.run_batch(spark, tx, root)
+    pipeline.ingest_raw(tx, root)
+    convs = [
+        r["conv_id"]
+        for r in tx.select("conv_id").distinct().limit(4).collect()
+    ]
+    requests = [("t1", convs[:2]), ("t2", convs[2:])]
+
+    out = pipeline.purge_requests(spark, root, requests)
+    assert out["requests"] == 2 and out["raw_rows_removed"] > 0
+    assert any(v != 0 for v in out["tier_points"].values())
+
+    raw_after = pipeline.read_raw(spark, root)
+    assert raw_after.where(F.col("conv_id").isin(convs)).count() == 0
+    direct = rollup.all_tiers(tx.where(~F.col("conv_id").isin(convs)))
+    for tier in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, tier)) == _tier_rows(
+            direct[tier]
+        ), tier
+
+    lin = pipeline.lineage(spark, root)
+    seqs = (
+        lin.where(
+            F.col("refresh_marker").isin("purge-req-t1", "purge-req-t2")
+        )
+        .select("commit_seq")
+        .distinct()
+        .collect()
+    )
+    assert len(seqs) == 1
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+
+    again = pipeline.purge_requests(spark, root, requests)
+    assert again["raw_rows_removed"] == 0
+    assert all(v == 0 for v in again["tier_points"].values())
