@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "backlog_drain_planner",
     "retry_budget_planner",
     "mg1_wait_audit",
+    "mgc_wait_estimate",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -11280,3 +11280,49 @@ SELECT event_type, n AS n_arrivals,
 FROM alg
 ORDER BY event_type
 """
+
+ORACLES["mgc_wait_estimate"] = """
+WITH RECURSIVE base AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS s1,
+         sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT)::BIGINT
+           AS s2,
+         (max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000))::BIGINT AS t
+  FROM events GROUP BY 1),
+feas AS (
+  SELECT event_type,
+         s1::DOUBLE / (100 * t)::DOUBLE AS a,
+         n::DOUBLE / t::DOUBLE AS lam,
+         (100 * n)::DOUBLE / s1::DOUBLE AS mu,
+         (n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE
+           / (s1::HUGEINT * s1)::DOUBLE AS cv2
+  FROM base WHERE t > 0 AND s1 > 0),
+erl AS (
+  SELECT event_type, a, lam, mu, cv2, 0 AS c, CAST(1.0 AS DOUBLE) AS b
+  FROM feas
+  UNION ALL
+  SELECT event_type, a, lam, mu, cv2, c + 1, a * b / ((c + 1) + a * b)
+  FROM erl WHERE c < 64),
+pwrows AS (
+  SELECT event_type, a, lam, mu, cv2, c, b,
+         c * b / (c - a * (1.0 - b)) AS pw
+  FROM erl WHERE c >= 1 AND c > a),
+pick AS (
+  SELECT event_type, min(c) AS c_min FROM pwrows
+  WHERE pw <= 0.2 GROUP BY 1),
+alg AS (
+  SELECT w.event_type, w.a, w.cv2, w.c,
+         w.pw / (w.c * w.mu - w.lam) AS wm
+  FROM pwrows w JOIN pick p
+    ON p.event_type = w.event_type AND w.c = p.c_min)
+SELECT bs.event_type,
+       f.a AS offered_load,
+       f.cv2 AS cv2_service,
+       g.c::BIGINT AS c_min,
+       g.wm AS wait_mmc,
+       g.wm * ((1.0 + g.cv2) / 2.0) AS wait_mgc
+FROM base bs
+LEFT JOIN feas f USING (event_type)
+LEFT JOIN (SELECT event_type, c, cv2, wm FROM alg) g USING (event_type)
+ORDER BY event_type
+"""

@@ -23130,3 +23130,94 @@ def mg1_wait_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         wq.alias("mean_wait"),
         lq.alias("mean_queue_len"),
     ).orderBy("event_type")
+
+
+def mgc_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/G/c wait estimate per event class — the planner the other two
+    queueing readouts bracket: erlang_c_staffing sizes the pool
+    assuming EXPONENTIAL service, mg1_wait_audit prices the measured
+    service variability but only for ONE server; this query combines
+    them with the standard two-moment approximation (Lee & Longton
+    1959, the M/M/c wait scaled by (1 + CV^2)/2):
+
+        W_q(M/G/c)  ~=  W_q(M/M/c) * (1 + CV^2) / 2
+
+    at the c_min the Erlang-C rule picks (queueing probability <=
+    20%).  Heavy-tailed service (CV^2 > 1) inflates the exponential
+    estimate; deterministic service (CV^2 = 0) halves it — the same
+    M/D/1 identity mg1's golden test pins, now at c servers.
+
+    EXACT staging, as in its siblings: n, sum(vq), sum(vq^2), span
+    are BIGINTs; lambda, mu, CV^2 and the offered load are single
+    double divisions of integer numerators (CV^2 = (n*s2 - s1^2) /
+    s1^2 in DECIMAL/HUGEINT); the Erlang-B ladder and every
+    downstream float expression run the SAME IEEE ops in the SAME
+    order as the 64-step recursive-CTE oracle.
+
+    Scale shape: one partial-aggregated pass to 4 integers per class,
+    then O(64) per class."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    base = (
+        df.select("event_type", es.alias("es"), vq.alias("vq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("s1"),
+            F.sum(F.col("vq") * F.col("vq")).cast("long").alias("s2"),
+            (F.max("es") - F.min("es")).cast("long").alias("t"),
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("offered_load", T.DoubleType(), True),
+            T.StructField("cv2_service", T.DoubleType(), True),
+            T.StructField("c_min", T.LongType(), True),
+            T.StructField("wait_mmc", T.DoubleType(), True),
+            T.StructField("wait_mgc", T.DoubleType(), True),
+        ]
+    )
+
+    def _plan(pdf):
+        out = []
+        for r in pdf.itertuples(index=False):
+            if r.t <= 0 or r.s1 <= 0:
+                out.append((r.event_type, None, None, None, None, None))
+                continue
+            a = float(r.s1) / float(100 * r.t)
+            lam = float(r.n) / float(r.t)
+            mu = float(100 * r.n) / float(r.s1)
+            cv2 = float(r.n * r.s2 - r.s1 * r.s1) / float(r.s1 * r.s1)
+            B = 1.0
+            pick = None
+            for c in range(1, 65):
+                B = a * B / (c + a * B)
+                if c > a:
+                    pw = c * B / (c - a * (1.0 - B))
+                    if pick is None and pw <= 0.2:
+                        wq = pw / (c * mu - lam)
+                        pick = (c, wq, wq * ((1.0 + cv2) / 2.0))
+            if pick is None:
+                out.append((r.event_type, a, cv2, None, None, None))
+            else:
+                c, wm, wg = pick
+                out.append((r.event_type, a, cv2, c, wm, wg))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "offered_load", "cv2_service",
+                "c_min", "wait_mmc", "wait_mgc",
+            ],
+        )
+
+    return (
+        base.groupBy("event_type")
+        .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
+        .orderBy("event_type")
+    )

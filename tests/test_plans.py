@@ -2557,3 +2557,13 @@ def test_mg1_wait_single_pass(spark):
     assert "FlatMapGroupsInPandas" not in plan
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_mgc_wait_single_reduce(spark):
+    """Same shape gate as the Erlang planner: one partial-aggregated
+    pass, one Arrow stage, no joins."""
+    plan = plan_of(Q.mgc_wait_estimate(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "HashAggregate" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0

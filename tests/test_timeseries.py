@@ -4572,3 +4572,34 @@ def test_mg1_wait_matches_pk_formula(spark, tmp_path):
     mm1_wait = rho / (Fraction(1, 2) - Fraction(s1, 200 * t))
     half = mm1_wait / 2
     assert r.mean_wait == half.numerator / half.denominator
+
+
+def test_mgc_wait_deterministic_service_halves_mmc(spark, tmp_path):
+    """cv2 = 0 (all service times 2s): the M/G/c estimate must be
+    EXACTLY half the M/M/c wait, and the M/M/c wait itself must match
+    the independent closed-form Erlang-C at the chosen c."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "c", 4.0, "{}")
+        for i in range(3600)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.mgc_wait_estimate(spark, str(tmp_path)).collect()[0]
+
+    assert r.cv2_service == 0.0
+    assert r.wait_mgc == r.wait_mmc * 0.5
+    a = (3600 * 400) / (100 * 3599)
+
+    def erlang_c(c, a):
+        top = (a**c / math.factorial(c)) * (c / (c - a))
+        bot = sum(a**k / math.factorial(k) for k in range(c)) + top
+        return top / bot
+
+    c = int(r.c_min)
+    lam = 3600 / 3599
+    mu = (100 * 3600) / (3600 * 400)
+    want = erlang_c(c, a) / (c * mu - lam)
+    assert abs(r.wait_mmc - want) < 1e-12
+    assert r.offered_load == a
