@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "retry_budget_planner",
     "mg1_wait_audit",
     "mgc_wait_estimate",
+    "harmonic_centrality_2hop",
 ]
 
 # Synthetic transcripts rows for the flagship pipeline, per sf of the

@@ -11326,3 +11326,32 @@ LEFT JOIN feas f USING (event_type)
 LEFT JOIN (SELECT event_type, c, cv2, wm FROM alg) g USING (event_type)
 ORDER BY event_type
 """
+
+ORACLES["harmonic_centrality_2hop"] = """
+WITH ordered AS (
+  SELECT event_id, ts, user_id, date_trunc('day', ts) AS d FROM events),
+raw AS (
+  SELECT lag(user_id) OVER (PARTITION BY d ORDER BY ts, event_id) AS src,
+         user_id AS dst
+  FROM ordered),
+euv AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src IS NOT NULL AND src <> dst),
+adj AS (SELECT u AS a, v AS b FROM euv UNION ALL SELECT v AS a, u AS b FROM euv),
+c1 AS (SELECT a, count(*)::BIGINT AS c1 FROM adj GROUP BY 1),
+wedges AS (
+  SELECT DISTINCT w.a, x.b AS c
+  FROM adj w JOIN adj x ON x.a = w.b
+  WHERE x.b <> w.a),
+d2 AS (
+  SELECT w.a, count(*)::BIGINT AS c2
+  FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj e WHERE e.a = w.a AND e.b = w.c)
+  GROUP BY 1)
+SELECT c1.a AS user_id, c1.c1,
+       coalesce(d2.c2, 0)::BIGINT AS c2,
+       (2 * c1.c1 + coalesce(d2.c2, 0))::BIGINT AS harmonic_x2,
+       (2 * c1.c1 + coalesce(d2.c2, 0))::DOUBLE / 2.0 AS harmonic
+FROM c1 LEFT JOIN d2 ON d2.a = c1.a
+ORDER BY user_id
+"""

@@ -23221,3 +23221,58 @@ def mgc_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
         .orderBy("event_type")
     )
+
+
+def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop harmonic centrality per user over the undirected
+    handoff graph — the centrality rung between degree (1 hop) and
+    PageRank (global): h = c1/1 + c2/2 with c_d the count of nodes at
+    distance exactly d (Boldi & Vigna 2014's harmonic centrality,
+    truncated at the radius that stays tractable for EVERY node at
+    once).  Staged as the EXACT integer 2h = 2*c1 + c2; the double is
+    one final halving.
+
+    Scale shape: c1 is the degree (one hash-agg over the adjacency
+    list); c2 is one wedge join (adjacency squared) with the
+    distance-1 closure anti-joined out and self-pairs dropped — the
+    same |E|*avg-degree cost class as the catalog's triangle count,
+    NOT an all-pairs BFS (which is why the radius stops at 2: the
+    distance-3 closure cubes the degree).  All counts BIGINT,
+    bit-exact by construction."""
+    from pyconform_spark.operators import graph
+
+    ev = _events(spark, sf_dir)
+    euv = graph.undirected_edges(graph.handoff_edges(ev)).persist()
+    adj = euv.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        euv.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).persist()
+    c1 = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    adj2 = adj.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = (
+        adj.join(adj2, adj["b"] == adj2["m"])
+        .where(F.col("a") != F.col("c"))
+        .select("a", "c")
+        .distinct()
+    )
+    d2 = (
+        wedges.join(
+            adj.select(F.col("a").alias("a2"), F.col("b").alias("b2")),
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("b2")),
+            "left_anti",
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    out = c1.join(d2, "a", "left").select(
+        F.col("a").alias("user_id"),
+        "c1",
+        F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+    )
+    hx2 = (2 * F.col("c1") + F.col("c2")).cast("long")
+    return out.select(
+        "user_id",
+        "c1",
+        "c2",
+        hx2.alias("harmonic_x2"),
+        (hx2.cast("double") / 2.0).alias("harmonic"),
+    ).orderBy("user_id")

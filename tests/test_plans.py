@@ -2567,3 +2567,13 @@ def test_mgc_wait_single_reduce(spark):
     assert "HashAggregate" in plan
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_harmonic_2hop_no_cartesian_wedge(spark):
+    """The wedge join and the distance-1 anti-join are hash
+    equi-joins — never a nested-loop — and raw events reduce to the
+    edge list before any join."""
+    plan = plan_of(Q.harmonic_centrality_2hop(spark, SF))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

@@ -4603,3 +4603,30 @@ def test_mgc_wait_deterministic_service_halves_mmc(spark, tmp_path):
     want = erlang_c(c, a) / (c * mu - lam)
     assert abs(r.wait_mmc - want) < 1e-12
     assert r.offered_load == a
+
+
+def test_harmonic_2hop_hand_graph(spark, tmp_path):
+    """Path graph 1-2-3-4-5 built from a single day's handoff
+    sequence: hand-computed c1/c2 per node pin the wedge + anti-join
+    construction (e.g. node 3 sees two at distance 1, two at
+    distance 2 -> 2h = 6)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # consecutive events by users 1,2,3,4,5 -> handoff edges 1-2,
+    # 2-3, 3-4, 4-5 (path graph)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), u, "c", 1.0, "{}")
+        for i, u in enumerate([1, 2, 3, 4, 5])
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.user_id: (r.c1, r.c2, r.harmonic_x2, r.harmonic)
+        for r in Q.harmonic_centrality_2hop(spark, str(tmp_path)).collect()
+    }
+    want = {
+        1: (1, 1, 3, 1.5),
+        2: (2, 1, 5, 2.5),
+        3: (2, 2, 6, 3.0),
+        4: (2, 1, 5, 2.5),
+        5: (1, 1, 3, 1.5),
+    }
+    assert out == want
