@@ -1998,3 +1998,97 @@ def stream_kalman_level(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_backlog(stream: DataFrame, capacity_per_min: int) -> DataFrame:
+    """Streaming queue-depth monitor — the continuous twin of
+    queries.backlog_drain_planner's Lindley sweep at a FIXED
+    provisioned capacity: per event_type, the backlog
+    b_m = max(0, b_{m-1} + arrivals_m - C) emitted per minute as the
+    stream advances.  The carried state is FOUR BIGINTs per type: the
+    open minute and its running count, plus the closed-prefix drift
+    sum and its running minimum — the closed form
+    b = drift - min(0, min-prefix-drift) needs nothing else, so state
+    is O(1), never O(history).
+
+    A minute CLOSES when a later minute's first event arrives
+    (empty gap minutes each step the drift by -C and emit their
+    backlog); the open minute emits a PROVISIONAL row per batch,
+    recomputed without committing state — the emission with the
+    largest count per (type, minute) equals the batch sweep
+    bit-for-bit, including the final minute no later event closes
+    (pytest parity vs an independent Lindley loop, with a mid-minute
+    batch cut).  In-order arrival per type across micro-batches, as
+    with the other recursion twins; in-batch chunks are concatenated
+    and sorted once."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    cap = int(capacity_per_min)
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("m", T.LongType(), False),
+        T.StructField("n_arrivals", T.LongType(), False),
+        T.StructField("backlog", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("m_cur", T.LongType(), True),
+        T.StructField("a_cur", T.LongType(), True),
+        T.StructField("drift", T.LongType(), True),
+        T.StructField("runmin", T.LongType(), True),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        mins = (
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // (60 * 10**9)
+        ).astype(np.int64)
+        um, counts = np.unique(mins, return_counts=True)
+        if state.exists:
+            m_cur, a_cur, drift, runmin = state.get
+        else:
+            m_cur, a_cur, drift, runmin = None, 0, 0, 0
+        rows = []
+
+        def close(m, a, drift, runmin):
+            drift += a - cap
+            runmin = min(runmin, drift)
+            rows.append(
+                (event_type, m, a, drift - min(0, runmin))
+            )
+            return drift, runmin
+
+        for m, c in zip(um.tolist(), counts.tolist()):
+            if m_cur is None:
+                m_cur, a_cur = m, 0
+            if m == m_cur:
+                a_cur += int(c)
+                continue
+            drift, runmin = close(m_cur, a_cur, drift, runmin)
+            for mz in range(m_cur + 1, m):
+                drift, runmin = close(mz, 0, drift, runmin)
+            m_cur, a_cur = m, int(c)
+        # provisional open-minute row (state not advanced)
+        close(m_cur, a_cur, drift, runmin)
+        yield pd.DataFrame(
+            rows, columns=["event_type", "m", "n_arrivals", "backlog"]
+        )
+        state.update((int(m_cur), int(a_cur), int(drift), int(runmin)))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1514,3 +1514,62 @@ def test_stream_kalman_matches_batch_bitwise(spark, tmp_path):
     n_pre = events.where((F.col("ts") >= h_start) & (F.col("ts") < cut)).count()
     n_post = events.where((F.col("ts") >= cut) & (F.col("ts") < h_end)).count()
     assert n_pre > 0 and n_post > 0  # provisional emission exercised
+
+
+def test_stream_backlog_matches_lindley_loop(spark, tmp_path):
+    """Streaming backlog == an independent per-minute Lindley loop
+    over the same events, bit-for-bit, with the stream cut MID-MINUTE
+    (the split minute re-emits provisionally and its final emission
+    — largest count per minute — wins), gap minutes included."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "backlog_in")
+    cut = F.lit("2024-01-02 11:30:00").cast("timestamp_ntz")
+    events.where(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    cap = 2
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.stream_backlog(stream, capacity_per_min=cap)
+    qs = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("backlogstream")
+        .start()
+    )
+    try:
+        qs.processAllAvailable()
+        events.where(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        qs.processAllAvailable()
+    finally:
+        qs.stop()
+
+    emitted = spark.sql("select * from backlogstream").toPandas()
+    idx = emitted.groupby(["event_type", "m"])["n_arrivals"].idxmax()
+    got = {
+        (r.event_type, int(r.m)): (int(r.n_arrivals), int(r.backlog))
+        for r in emitted.loc[idx].itertuples()
+    }
+
+    # independent Lindley recurrence per type over the dense minute axis
+    pdf = events.select(
+        "event_type", F.floor(F.col("ts").cast("timestamp").cast("long") / 60)
+        .cast("long").alias("m")
+    ).toPandas()
+    want = {}
+    for et, g in pdf.groupby("event_type"):
+        counts = g.groupby("m").size()
+        b = 0
+        for m in range(int(counts.index.min()), int(counts.index.max()) + 1):
+            a = int(counts.get(m, 0))
+            b = max(0, b + a - cap)
+            want[(et, m)] = (a, b)
+    assert set(got) == set(want)
+    assert got == want
