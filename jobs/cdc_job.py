@@ -26,7 +26,12 @@ Single-file mode commits markers ``<marker>-d`` then ``<marker>-i``
 halves as ONE staged publish under markers ``<marker>-b<i>-d`` and
 then all insert halves under ``<marker>-b<i>-i``
 (pipeline.refresh_cdc_batched) — the touched tier partitions are read
-back and rewritten once per side instead of once per file.  Re-running
+back and rewritten once per side instead of once per file.  If a later
+file deletes a turn an earlier file inserts (a cross-file dependency a
+replayed topic can carry), the combined delete side is refused before
+any write and the job falls back to sequential per-file application
+under the SAME markers (reported as ``sequential_fallback``).
+Re-running
 after a crash or success is safe either way: committed markers
 short-circuit individually, an uncommitted publish rolls forward
 through the write-audit-publish intent.
@@ -75,19 +80,53 @@ def main() -> None:
         .getOrCreate()
     )
     out = {}
+    fell_back = False
     if args.batched:
         frames = [spark.read.parquet(p) for p in args.changes]
-        for suffix, side in (("-d", -1), ("-i", 1)):
-            batches = [
-                (
-                    f"{args.marker}-b{i}{suffix}",
-                    df.where(F.col("op") == side),
+
+        def _sequential():
+            # per-file, delete half then insert half — the order a
+            # replayed topic was produced in; committed halves from
+            # any earlier (batched or sequential) attempt no-op on
+            # their markers
+            acc = {"-d": None, "-i": None}
+            for i, df in enumerate(frames):
+                for suffix, side in (("-d", -1), ("-i", 1)):
+                    pts = pipeline.refresh_cdc(
+                        spark,
+                        df.where(F.col("op") == side),
+                        args.root,
+                        marker=f"{args.marker}-b{i}{suffix}",
+                    )
+                    if acc[suffix] is None:
+                        acc[suffix] = dict(pts)
+                    else:
+                        for t, v in pts.items():
+                            acc[suffix][t] += v
+            return acc
+
+        try:
+            for suffix, side in (("-d", -1), ("-i", 1)):
+                batches = [
+                    (
+                        f"{args.marker}-b{i}{suffix}",
+                        df.where(F.col("op") == side),
+                    )
+                    for i, df in enumerate(frames)
+                ]
+                out[suffix] = pipeline.refresh_cdc_batched(
+                    spark, batches, args.root
                 )
-                for i, df in enumerate(frames)
-            ]
-            out[suffix] = pipeline.refresh_cdc_batched(
-                spark, batches, args.root
-            )
+        except ValueError:
+            # cross-file dependency: a later file deletes a turn an
+            # earlier file inserts, so the combined delete side
+            # retracts rows not yet in the store and the rail refuses
+            # BEFORE the intent commit (store untouched).  Signed sums
+            # commute only when every intermediate state is valid —
+            # fall back to sequential per-file order.
+            fell_back = True
+            acc = _sequential()
+            out["-d"], out["-i"] = acc["-d"], acc["-i"]
     else:
         changes = spark.read.parquet(args.changes[0])
         for suffix, side in (("-d", -1), ("-i", 1)):
@@ -103,6 +142,7 @@ def main() -> None:
                 "points_inserted_side": out["-i"],
                 "marker": args.marker,
                 "batched": args.batched,
+                "sequential_fallback": fell_back,
                 "n_files": len(args.changes),
             }
         )

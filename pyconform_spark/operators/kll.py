@@ -95,23 +95,35 @@ def build_group_sketches(
     )
 
     def _partition_sketch(it):
+        # ONE compactor per group per Spark partition, fed ACROSS the
+        # partition's Arrow batches: a group larger than one Arrow
+        # batch (~10k rows) continues its own feed instead of spawning
+        # per-batch sketches that would re-merge later — this is what
+        # makes a cell-keyed repartition + sortWithinPartitions a
+        # genuine single ascending run per cell at ANY cell size
+        # (the min/max-survival guarantee kll_range_sketch_readouts
+        # relies on; pinned by test_cross_batch_feed_is_one_run).
+        states: dict[tuple, tuple[list, list]] = {}
         for pdf in it:
-            frames = []
             for gk, sub in pdf.groupby(keys, sort=False, dropna=False):
-                levels: list[list] = [[]]
-                counters = [0]
-                _feed(levels, counters, sub[value].to_numpy(), k)
-                rows = _sketch_rows(levels)
-                if not rows:
-                    continue
-                g = pd.DataFrame(rows, columns=["item", "weight"])
                 if not isinstance(gk, tuple):
                     gk = (gk,)
-                for c, v in zip(keys, gk):
-                    g[c] = v
-                frames.append(g[keys + ["item", "weight"]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                st = states.get(gk)
+                if st is None:
+                    st = ([[]], [0])
+                    states[gk] = st
+                _feed(st[0], st[1], sub[value].to_numpy(), k)
+        frames = []
+        for gk, (levels, _counters) in states.items():
+            rows = _sketch_rows(levels)
+            if not rows:
+                continue
+            g = pd.DataFrame(rows, columns=["item", "weight"])
+            for c, v in zip(keys, gk):
+                g[c] = v
+            frames.append(g[keys + ["item", "weight"]])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     parts = df.select(*keys, value).mapInPandas(
         _partition_sketch, schema=part_schema

@@ -520,18 +520,31 @@ def _partition_turn_sum(spark: SparkSession, path: str) -> int | None:
     return None if row["s"] is None else int(row["s"])
 
 
-def _swap_in(staged: str, live: str, trash: str) -> None:
+def _swap_in(
+    staged: str, live: str, trash: str, allow_empty: bool = False
+) -> None:
     """Publish one staged partition dir over the live one.  The staged
     copy is duplicated first (so recovery can always re-publish), the
     old live dir is moved to trash, and the copy renamed into place —
     a crash at any point leaves either old-live, missing-live, or
     new-live, all of which recovery classifies and repairs.
 
-    A MISSING staged dir is an empty publish: the merge dropped every
-    bucket of the partition (a CDC purge of a whole epoch writes no
-    ``epoch=<k>`` dir at all), so publishing means REMOVING the live
-    dir — the same to-trash move, nothing renamed in."""
+    With ``allow_empty``, a MISSING staged dir is an empty publish:
+    the merge dropped every bucket of the partition (a CDC purge of a
+    whole epoch writes no ``epoch=<k>`` dir at all), so publishing
+    means REMOVING the live dir — the same to-trash move, nothing
+    renamed in.  Callers must opt in ONLY where an empty result is a
+    legal outcome of the staged computation (a purge's zero-sum
+    fingerprint, a raw day wholly owned by erased conversations);
+    everywhere else a missing staged dir is a lost staging tree and
+    raises instead of silently deleting live data."""
     if not os.path.isdir(staged):
+        if not allow_empty:
+            raise RuntimeError(
+                f"_swap_in: staged dir {staged} is missing and the "
+                "caller did not declare an empty publish — refusing "
+                "to remove the live partition"
+            )
         if os.path.isdir(live):
             os.makedirs(trash, exist_ok=True)
             dst = os.path.join(
@@ -587,8 +600,21 @@ def _commit_refresh_lineage(
     tombstones: list[tuple[str, int]] = []
     for tier, eps in by_tier.items():
         base = os.path.join(root, "tiers", tier)
-        if not os.path.isdir(base):
-            # every epoch of this tier purged: all tombstones
+        # the base dir may be missing (whole tier purged on a young
+        # store), or may EXIST but hold zero epoch dirs (the purge
+        # removed every partition but the parent remains) — reading
+        # parquet from either would throw AFTER publish, wedging the
+        # commit; both cases are pure tombstones
+        has_data = os.path.isdir(base) and any(
+            d.startswith("epoch=")
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(base, d))
+            )
+            for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))
+        )
+        if not has_data:
             tombstones.extend((tier, int(e)) for e in eps)
             continue
         back = spark.read.parquet(base).where(F.col("epoch").isin(eps))
@@ -719,7 +745,7 @@ def recover_refreshes(spark: SparkSession, root: str) -> list[str]:
                     if live_sum is None:
                         continue
                     if live_sum == pre:
-                        _swap_in(staged, live, trash)  # empty publish
+                        _swap_in(staged, live, trash, allow_empty=True)
                         continue
                     raise RuntimeError(
                         f"refresh recovery: tier={r['tier']} "
@@ -937,11 +963,14 @@ def _publish_refresh(
     os.replace(ipath + ".tmp", ipath)
 
     # ---- phase 3: publish every staged partition into the live tree
+    # (an intent row whose post-merge fingerprint is ZERO is a
+    # full-epoch purge: its staged dir legitimately does not exist)
     for r in intent_rows:
         _swap_in(
             os.path.join(staging, r["tier"], f"epoch={r['epoch']}"),
             _tier_path(root, r["tier"], r["epoch"]),
             trash,
+            allow_empty=(r["pre_sum"] or 0) + r["delta_sum"] == 0,
         )
 
     # ---- phase 4: lineage commit (every marker rides it), then cleanup
@@ -1179,8 +1208,15 @@ def refresh_cdc_batched(
     batch — the dominant cost when a marker backlog (e.g. a replayed
     CDC topic) lands on the same hot epochs.
 
-    Semantics: signed sums commute, so the combined result is
-    bit-for-bit the sequential result.  Markers already in the ledger
+    Semantics: signed sums commute, so when every batch's deletes
+    retract rows the LIVE store already holds, the combined result is
+    bit-for-bit the sequential result.  The rails are stricter than
+    sequential application in one case: if a later batch deletes a
+    turn an earlier batch in the SAME call inserts, the combined
+    delete side retracts a row not yet in the store and the
+    negative-bucket rail refuses (before the intent commit — store
+    untouched); apply such dependent batches sequentially
+    (jobs/cdc_job.py --batched falls back automatically).  Markers already in the ledger
     are skipped up front; the survivors commit atomically — after a
     successful call (or a crash rolled forward by
     :func:`recover_refreshes`) EVERY pending marker is applied, and a
@@ -1251,6 +1287,39 @@ def refresh_cdc_batched(
     )
 
 
+def _rewrite_raw_without(
+    spark: SparkSession,
+    rroot: str,
+    ids: list[str],
+    days: list[int],
+    mk: str,
+) -> None:
+    """Rewrite the touched raw ``epoch_day=`` partitions WITHOUT the
+    victim conversations: kept rows stage under the marker, then each
+    day swaps in via the shared publish primitive (a day wholly owned
+    by victims stages nothing and swaps to a removal).  Shared by
+    :func:`purge_conversations` and :func:`purge_requests` so the two
+    erasure entry points cannot diverge in crash behavior."""
+    raw = read_raw(spark, rroot)
+    staging = os.path.join(rroot, "raw_purge_staging", _safe_marker(mk))
+    trash = os.path.join(rroot, "raw_purge_trash", _safe_marker(mk))
+    kept = raw.where(F.col("epoch_day").isin(days)).where(
+        ~F.col("conv_id").isin(ids)
+    )
+    kept.write.mode("overwrite").partitionBy("epoch_day").parquet(staging)
+    raw_path = os.path.join(rroot, "raw")
+    for d in days:
+        _swap_in(
+            os.path.join(staging, f"epoch_day={d}"),
+            os.path.join(raw_path, f"epoch_day={d}"),
+            trash,
+            allow_empty=True,
+        )
+    for p in (staging, trash):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
 def purge_conversations(
     spark: SparkSession,
     root: str,
@@ -1291,7 +1360,6 @@ def purge_conversations(
             + hashlib.sha256("\n".join(ids).encode()).hexdigest()[:16]
         )
     rroot = raw_root or root
-    raw_path = os.path.join(rroot, "raw")
     raw = read_raw(spark, rroot)
     victims = raw.where(F.col("conv_id").isin(ids))
     days = sorted(
@@ -1317,23 +1385,7 @@ def purge_conversations(
         )
         out["tier_points"] = refresh_cdc(spark, deletes, root, marker=marker)
 
-    staging = os.path.join(
-        rroot, "raw_purge_staging", _safe_marker(marker)
-    )
-    trash = os.path.join(rroot, "raw_purge_trash", _safe_marker(marker))
-    kept = raw.where(F.col("epoch_day").isin(days)).where(
-        ~F.col("conv_id").isin(ids)
-    )
-    kept.write.mode("overwrite").partitionBy("epoch_day").parquet(staging)
-    for d in days:
-        _swap_in(
-            os.path.join(staging, f"epoch_day={d}"),
-            os.path.join(raw_path, f"epoch_day={d}"),
-            trash,
-        )
-    for p in (staging, trash):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+    _rewrite_raw_without(spark, rroot, ids, days, marker)
     return out
 
 
@@ -1368,7 +1420,10 @@ def purge_requests(
     """Batch right-to-be-forgotten: a BACKLOG of deletion requests —
     ``(request_id, [conv_id, ...])`` pairs, e.g. a week of DSAR
     tickets — erased in ONE maintenance pass instead of one store
-    rewrite per ticket:
+    rewrite per ticket.  A conversation named by several tickets is
+    erased once, under the first ticket that names it (duplicate
+    submissions are routine; double-retraction would trip the
+    negative-bucket rail).  The pass:
 
     1. **tiers** — every request's victim turns (in already-rolled-up
        epochs) leave via :func:`refresh_cdc_batched`: one staged
@@ -1388,8 +1443,18 @@ def purge_requests(
     needs a fresh request id.  Returns per-request raw row counts and
     the tier points rewritten."""
     rroot = raw_root or root
-    ids_by_req = [(rid, sorted(set(cs))) for rid, cs in requests]
-    all_ids = sorted({c for _, cs in ids_by_req for c in cs})
+    # a conversation named by SEVERAL tickets (duplicate DSAR
+    # submissions are routine) is erased ONCE, under the first ticket
+    # that names it — without this dedup the batched deletes would
+    # retract the same turns twice and the negative-bucket rail would
+    # refuse the whole backlog
+    seen: set[str] = set()
+    ids_by_req = []
+    for rid, cs in requests:
+        mine = sorted(set(cs) - seen)
+        seen.update(mine)
+        ids_by_req.append((rid, mine))
+    all_ids = sorted(seen)
     raw = read_raw(spark, rroot)
     victims = raw.where(F.col("conv_id").isin(all_ids))
     days = sorted(
@@ -1422,22 +1487,7 @@ def purge_requests(
     mk = "purge-batch-" + hashlib.sha256(
         "\n".join(rid for rid, _ in ids_by_req).encode()
     ).hexdigest()[:16]
-    staging = os.path.join(rroot, "raw_purge_staging", _safe_marker(mk))
-    trash = os.path.join(rroot, "raw_purge_trash", _safe_marker(mk))
-    kept = raw.where(F.col("epoch_day").isin(days)).where(
-        ~F.col("conv_id").isin(all_ids)
-    )
-    kept.write.mode("overwrite").partitionBy("epoch_day").parquet(staging)
-    raw_path = os.path.join(rroot, "raw")
-    for d in days:
-        _swap_in(
-            os.path.join(staging, f"epoch_day={d}"),
-            os.path.join(raw_path, f"epoch_day={d}"),
-            trash,
-        )
-    for p in (staging, trash):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+    _rewrite_raw_without(spark, rroot, all_ids, days, mk)
     return out
 
 
@@ -1445,7 +1495,7 @@ def latest_commit_seq(spark: SparkSession, root: str) -> int:
     """The highest committed ``commit_seq`` in the ledger (0 when the
     ledger predates the commit-ordinal schema or is empty) — the
     cursor an incremental consumer saves between runs."""
-    return _next_commit_seq(spark, root) - 1
+    return max(0, _next_commit_seq(spark, root) - 1)
 
 
 def read_tier_changes(

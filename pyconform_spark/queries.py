@@ -22779,6 +22779,23 @@ def kalman_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _erlang_pick(a: float, target: float = 0.2, c_max: int = 64):
+    """Step the Erlang-B ladder B_c = a*B/(c + a*B) for c = 1..c_max
+    and return (c, B_c, ErlangC_c) at the FIRST c with c > a and
+    queueing probability <= target, else None.  Shared by
+    erlang_c_staffing and mgc_wait_estimate; the operation order is
+    pinned — both recursive-CTE oracles replay these exact IEEE
+    expressions."""
+    B = 1.0
+    for c in range(1, c_max + 1):
+        B = a * B / (c + a * B)
+        if c > a:
+            pw = c * B / (c - a * (1.0 - B))
+            if pw <= target:
+                return c, B, pw
+    return None
+
+
 def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Erlang-C staffing planner per event class: the smallest worker
     count c such that an M/M/c queue fed by the class's measured
@@ -22835,19 +22852,12 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((r.event_type, r.n_arrivals, None, None, None, None, None))
                 continue
             a = float(r.sum_vq) / float(100 * r.span_s)
-            B = 1.0
-            pick = None
-            for c in range(1, 65):
-                B = a * B / (c + a * B)
-                if c > a:
-                    pw = c * B / (c - a * (1.0 - B))
-                    if pick is None and pw <= 0.2:
-                        pick = (c, B, pw, a / c)
+            pick = _erlang_pick(a)
             if pick is None:
                 out.append((r.event_type, r.n_arrivals, a, None, None, None, None))
             else:
-                c, b, pw, util = pick
-                out.append((r.event_type, r.n_arrivals, a, c, b, pw, util))
+                c, b, pw = pick
+                out.append((r.event_type, r.n_arrivals, a, c, b, pw, a / c))
         return pd.DataFrame(
             out,
             columns=[
@@ -22858,7 +22868,7 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         base.groupBy("event_type")
-        .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
+        .applyInPandas(_plan, schema=schema)
         .orderBy("event_type")
     )
 
@@ -23190,19 +23200,20 @@ def mgc_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r.t <= 0 or r.s1 <= 0:
                 out.append((r.event_type, None, None, None, None, None))
                 continue
-            a = float(r.s1) / float(100 * r.t)
-            lam = float(r.n) / float(r.t)
-            mu = float(100 * r.n) / float(r.s1)
-            cv2 = float(r.n * r.s2 - r.s1 * r.s1) / float(r.s1 * r.s1)
-            B = 1.0
+            # numpy int64 from itertuples wraps at n*s2 ~ 9.2e18;
+            # Python ints are exact at any class size (the DECIMAL/
+            # HUGEINT claim in the docstring)
+            n, s1, s2, t = int(r.n), int(r.s1), int(r.s2), int(r.t)
+            a = float(s1) / float(100 * t)
+            lam = float(n) / float(t)
+            mu = float(100 * n) / float(s1)
+            cv2 = float(n * s2 - s1 * s1) / float(s1 * s1)
+            got = _erlang_pick(a)
             pick = None
-            for c in range(1, 65):
-                B = a * B / (c + a * B)
-                if c > a:
-                    pw = c * B / (c - a * (1.0 - B))
-                    if pick is None and pw <= 0.2:
-                        wq = pw / (c * mu - lam)
-                        pick = (c, wq, wq * ((1.0 + cv2) / 2.0))
+            if got is not None:
+                c, _b, pw = got
+                wq = pw / (c * mu - lam)
+                pick = (c, wq, wq * ((1.0 + cv2) / 2.0))
             if pick is None:
                 out.append((r.event_type, a, cv2, None, None, None))
             else:
@@ -23218,7 +23229,7 @@ def mgc_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         base.groupBy("event_type")
-        .applyInPandas(lambda pdf: _plan(pdf), schema=schema)
+        .applyInPandas(_plan, schema=schema)
         .orderBy("event_type")
     )
 
@@ -23242,7 +23253,10 @@ def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconform_spark.operators import graph
 
     ev = _events(spark, sf_dir)
-    euv = graph.undirected_edges(graph.handoff_edges(ev)).persist()
+    euv = graph.undirected_edges(graph.handoff_edges(ev))
+    # adj is read three times (degree, wedge both sides, anti-join);
+    # one persist materializes the window-derived edge subtree once.
+    # euv itself is only read to build adj, so it carries no cache.
     adj = euv.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         euv.select(F.col("v").alias("a"), F.col("u").alias("b"))
     ).persist()

@@ -119,3 +119,26 @@ def test_ascending_feed_preserves_extremes():
             # weight conservation at every prefix too
             total = sum(len(lvl) << i for i, lvl in enumerate(levels))
             assert total == n, (k, n)
+
+
+def test_cross_batch_feed_is_one_run(spark):
+    """A cell larger than one Arrow batch must behave as ONE ascending
+    feed — exact min/max and total weight — not as per-batch sketches
+    re-merged (the merge path can drop the true minimum once a level's
+    compaction offset has flipped).  30k rows at the default 10k-row
+    Arrow batch size exercises three batches through one compactor."""
+    n = 30_000
+    df = (
+        spark.range(n)
+        .selectExpr("'g' AS g", "CAST(id * 7 - 1000 AS LONG) AS vq")
+        .repartition(1, "g")
+        .sortWithinPartitions("g", "vq")
+    )
+    sk = kll.build_group_sketches(df, ["g"], "vq", k=64).toPandas()
+    assert int(sk.weight.sum()) == n
+    assert int(sk.item.min()) == -1000
+    assert int(sk.item.max()) == (n - 1) * 7 - 1000
+    # bounded: one compactor's worth of rows, not three merged ones
+    import numpy as np
+    n_levels = int(np.log2(max(int(sk.weight.max()), 1))) + 1
+    assert len(sk) <= (64 + 1) * n_levels

@@ -439,11 +439,11 @@ def test_refresh_crash_mid_publish_rolls_forward(spark, tx, tmp_path, monkeypatc
     real_swap = pipeline._swap_in
     calls = {"n": 0}
 
-    def swap_then_die(staged, live, trash):
+    def swap_then_die(staged, live, trash, **kw):
         if calls["n"] >= 1:
             raise RuntimeError("injected crash mid-publish")
         calls["n"] += 1
-        real_swap(staged, live, trash)
+        real_swap(staged, live, trash, **kw)
 
     monkeypatch.setattr(pipeline, "_swap_in", swap_then_die)
     with pytest.raises(RuntimeError, match="mid-publish"):
@@ -957,14 +957,14 @@ def test_purge_conversations_crash_mid_raw_rewrite(
     real_swap = pipeline._swap_in
     calls = {"n": 0}
 
-    def flaky_swap(staged, live, trash):
+    def flaky_swap(staged, live, trash, **kw):
         # only count RAW day-partition swaps; tier publishes (the CDC
         # inside the purge) pass through untouched
         if "epoch_day=" in staged:
             calls["n"] += 1
             if calls["n"] == 2:
                 raise RuntimeError("injected crash mid raw rewrite")
-        return real_swap(staged, live, trash)
+        return real_swap(staged, live, trash, **kw)
 
     monkeypatch.setattr(pipeline, "_swap_in", flaky_swap)
     try:
@@ -1075,3 +1075,74 @@ def test_purge_requests_backlog_single_commit(spark, tx, tmp_path):
     again = pipeline.purge_requests(spark, root, requests)
     assert again["raw_rows_removed"] == 0
     assert all(v == 0 for v in again["tier_points"].values())
+
+
+def test_cdc_purge_every_epoch_commits_pure_tombstones(spark, tx, tmp_path):
+    """Deleting EVERY turn of EVERY epoch (the whole-store purge) must
+    not wedge: all tier partitions are removed, the lineage commit is
+    pure tombstones (the back-read guard must not try to infer a
+    schema from an epoch-less tier dir), the audit is clean, and the
+    marker replays as a no-op."""
+    root = str(tmp_path / "purgeall")
+    pipeline.run_batch(spark, tx, root)
+    deletes = tx.withColumn("op", F.lit(-1))
+    points = pipeline.refresh_cdc(spark, deletes, root, marker="wipe-1")
+    assert all(v == 0 for v in points.values())  # nothing left on disk
+
+    for tier in pipeline.TIER_ORDER:
+        base = os.path.join(root, "tiers", tier)
+        assert not any(
+            d.startswith("epoch=") for d in os.listdir(base)
+        ), tier
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+    assert all(r["expected_points"] == 0 for r in audit)
+
+    again = pipeline.refresh_cdc(spark, deletes, root, marker="wipe-1")
+    assert all(v == 0 for v in again.values())
+
+
+def test_purge_requests_overlapping_tickets(spark, tx, tmp_path):
+    """Duplicate DSAR submissions: two tickets naming the SAME
+    conversation must not double-retract its turns — the backlog
+    applies cleanly, the conversation is erased once, and both
+    tickets' markers are recorded."""
+    root = str(tmp_path / "dsardup")
+    pipeline.run_batch(spark, tx, root)
+    pipeline.ingest_raw(tx, root)
+    convs = [
+        r["conv_id"]
+        for r in tx.select("conv_id").distinct().limit(3).collect()
+    ]
+    requests = [("dup-a", convs[:2]), ("dup-b", [convs[1], convs[2]])]
+
+    out = pipeline.purge_requests(spark, root, requests)
+    assert out["raw_rows_removed"] > 0
+
+    raw_after = pipeline.read_raw(spark, root)
+    assert raw_after.where(F.col("conv_id").isin(convs)).count() == 0
+    direct = rollup.all_tiers(tx.where(~F.col("conv_id").isin(convs)))
+    for tier in pipeline.TIER_ORDER:
+        assert _tier_rows(pipeline.read_tier(spark, root, tier)) == _tier_rows(
+            direct[tier]
+        ), tier
+    applied = pipeline.applied_refresh_markers(spark, root)
+    assert {"purge-req-dup-a", "purge-req-dup-b"} <= applied
+    audit = pipeline.verify_store(spark, root).collect()
+    assert {r["status"] for r in audit} == {"ok"}
+
+
+def test_latest_commit_seq_floor_and_missing_staged_refusal(
+    spark, tx, tmp_path
+):
+    """Two rails from the review pass: latest_commit_seq never returns
+    below 0 (a legacy/empty ledger yields the documented 0), and
+    _swap_in refuses a missing staged dir unless the caller declared
+    an empty publish."""
+    root = str(tmp_path / "rails")
+    assert pipeline.latest_commit_seq(spark, root) == 0
+
+    with pytest.raises(RuntimeError, match="did not declare an empty"):
+        pipeline._swap_in(
+            str(tmp_path / "nope"), str(tmp_path / "live"), str(tmp_path / "t")
+        )

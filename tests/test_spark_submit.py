@@ -268,3 +268,80 @@ def test_spark_submit_cdc_job_batched(tmp_path, spark):
     assert r3.returncode == 0, r3.stderr[-3000:]
     summary3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert all(v == 0 for v in summary3["points_deleted_side"].values())
+
+
+def test_spark_submit_cdc_batched_falls_back_on_dependency(tmp_path, spark):
+    """--batched with a cross-file dependency (file 2 deletes turns
+    file 1 inserts): the combined delete side is refused before any
+    write and the job falls back to sequential per-file application —
+    reported via sequential_fallback — landing the same final store a
+    per-file run would."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import pipeline, synth
+    from pyconform_spark.operators import rollup
+
+    subprocess.run(
+        ["bash", str(REPO / "scripts" / "make_pyfiles.sh")],
+        check=True, capture_output=True,
+    )
+    root = tmp_path / "ckpt"
+    env = {**os.environ, "PYTHONPATH": ""}
+    base_cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", str(REPO / "dist" / "pyconform_spark.zip"),
+    ]
+    r = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "rollup_job.py"),
+            "--synth", "4000", "--output", str(root),
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    tx = synth.transcripts(spark, 4000)
+    # a BRAND-NEW conversation: its buckets do not exist in the store,
+    # so the combined delete side (which retracts it before the insert
+    # side runs) drives them negative and the rail refuses
+    inserted = (
+        tx.limit(50)
+        .withColumn("conv_id", F.concat(F.lit("dep-conv-"), F.col("conv_id")))
+        .withColumn("turn_idx", F.col("turn_idx") + 900000)
+    )
+    # file 1 inserts new turns; file 2 deletes those same turns
+    f1 = inserted.withColumn("op", F.lit(1))
+    f2 = inserted.withColumn("op", F.lit(-1))
+    p1, p2 = tmp_path / "c1.parquet", tmp_path / "c2.parquet"
+    f1.coalesce(1).write.parquet(str(p1))
+    f2.coalesce(1).write.parquet(str(p2))
+
+    r2 = subprocess.run(
+        base_cmd + [
+            str(REPO / "jobs" / "cdc_job.py"),
+            "--batched", "--changes", str(p1), str(p2),
+            "--root", str(root), "--marker", "dep-1",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["sequential_fallback"] is True
+
+    # net effect: inserted then deleted -> the original store
+    direct = rollup.all_tiers(tx)
+    for tier in pipeline.TIER_ORDER:
+        got = sorted(
+            map(tuple, pipeline.read_tier(spark, str(root), tier).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        want = sorted(
+            map(tuple, direct[tier].collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        assert got == want, tier
