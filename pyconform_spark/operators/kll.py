@@ -104,10 +104,21 @@ def build_group_sketches(
         # (the min/max-survival guarantee kll_range_sketch_readouts
         # relies on; pinned by test_cross_batch_feed_is_one_run).
         states: dict[tuple, tuple[list, list]] = {}
+
+        def _norm(gk: tuple) -> tuple:
+            # pandas surfaces null group keys as NaN/NaT under
+            # dropna=False, and NaN != NaN would make the dict lookup
+            # miss across Arrow batches — null-keyed groups would
+            # silently fall back to per-batch sketches, voiding the
+            # single-ascending-run min/max-survival guarantee.  Map
+            # every null-ish element to None so the key is stable.
+            return tuple(None if pd.isna(v) else v for v in gk)
+
         for pdf in it:
             for gk, sub in pdf.groupby(keys, sort=False, dropna=False):
                 if not isinstance(gk, tuple):
                     gk = (gk,)
+                gk = _norm(gk)
                 st = states.get(gk)
                 if st is None:
                     st = ([[]], [0])

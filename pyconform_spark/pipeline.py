@@ -36,12 +36,31 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from pyconform_spark.operators import rollup
 from pyconform_spark.tables import SERIES_KEYS
 
 EPOCH_SECONDS = 86400  # day-aligned commit unit
 TIER_ORDER = ["1m", "1h", "1d"]
+
+# the ledger's full 8-column row shape (matches _lineage_rows /
+# _commit_refresh_lineage output).  Kept explicit so commits that
+# cannot derive a schema from data — e.g. a pure-tombstone purge on a
+# legacy ledger written before commit_seq existed — still build
+# 8-column rows instead of failing against the on-disk 7-column schema
+_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("tier", T.StringType(), True),
+        T.StructField("input_range_start", T.TimestampNTZType(), True),
+        T.StructField("input_range_end", T.TimestampNTZType(), True),
+        T.StructField("checkpoint_epoch", T.LongType(), True),
+        T.StructField("point_count", T.LongType(), True),
+        T.StructField("refresh_marker", T.StringType(), True),
+        T.StructField("commit_seq", T.LongType(), True),
+    ]
+)
 
 
 @dataclass
@@ -671,10 +690,11 @@ def _commit_refresh_lineage(
             )
     else:
         # every touched tier was fully purged: the commit is pure
-        # tombstones; match the ledger's on-disk schema
-        lin_all = spark.createDataFrame(
-            extra_rows, lineage(spark, root).schema
-        )
+        # tombstones.  Build against the EXPLICIT 8-column lineage
+        # schema, not the on-disk ledger's — a ledger written before
+        # commit_seq existed has 7 columns, and using it would fail
+        # AFTER the partitions were published (post-publish wedge)
+        lin_all = spark.createDataFrame(extra_rows, _LINEAGE_SCHEMA)
     lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
     return written_points
 
@@ -1057,6 +1077,37 @@ def refresh_cdc(
     return _apply_cdc(spark, changes, root, mk, touched)
 
 
+def _retired_epochs(spark: SparkSession, root: str, tier: str) -> set[int]:
+    """Epochs this tier once held but retention expired: tombstoned in
+    ``retention_log`` and no longer on disk.  CDC treats them as
+    already-zero — a delete targeting an expired 1m partition has
+    nothing left to retract THERE (the 1h/1d tiers that still hold the
+    data get their deletes normally), so the negative-bucket rail must
+    not refuse the whole batch over it."""
+    path = os.path.join(root, "retention_log")
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return set()
+    logged = {
+        int(r["epoch"])
+        for r in spark.read.parquet(path)
+        .where(F.col("tier") == tier)
+        .select("epoch")
+        .distinct()
+        .collect()
+    }
+    base = os.path.join(root, "tiers", tier)
+    live = set()
+    if os.path.isdir(base):
+        live = {
+            int(n.split("=", 1)[1])
+            for n in os.listdir(base)
+            if n.startswith("epoch=")
+        }
+    return logged - live
+
+
 def _apply_cdc(
     spark: SparkSession,
     changes: DataFrame,
@@ -1067,7 +1118,15 @@ def _apply_cdc(
 ) -> dict[str, int]:
     """Stage + publish one validated CDC change set under marker
     ``mk`` (phases 1-4 of the WAP protocol); shared by
-    :func:`refresh_cdc` and :func:`refresh_cdc_batched`."""
+    :func:`refresh_cdc` and :func:`refresh_cdc_batched`.
+
+    Per tier, change rows landing in RETIRED epochs (expired by
+    retention, see :func:`_retired_epochs`) are dropped before the
+    merge: the tier partition is already gone, so the deletes are
+    already satisfied there — without this, a purge of a conversation
+    older than the shortest tier horizon would go negative on the
+    expired tier and abort the WHOLE erasure, including tiers that
+    still hold the data."""
     seq = _next_commit_seq(spark, root)
     idir, sdir, tdir = _refresh_dirs(root)
     staging = os.path.join(sdir, _safe_marker(mk))
@@ -1122,6 +1181,12 @@ def _apply_cdc(
         d_sums = delta.select(
             *SERIES_KEYS, "bucket_start", "turn_count", "text_len_sum"
         )
+        # drop changes aimed at retention-expired partitions of THIS
+        # tier (already-zero there); the cascading `delta` stays
+        # unfiltered — coarser tiers may still hold those epochs
+        retired = _retired_epochs(spark, root, tier)
+        if retired:
+            d_sums = d_sums.where(~epoch_col.isin(sorted(retired)))
         pre_sums: dict[int, int] = {}
         if os.path.isdir(base):
             live = spark.read.parquet(base).where(F.col("epoch").isin(touched))

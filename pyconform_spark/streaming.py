@@ -1954,6 +1954,11 @@ def stream_kalman_level(
         pdf = parts[0] if len(parts) == 1 else pd.concat(
             parts, ignore_index=True
         )
+        if len(pdf) == 0 and not state.exists:
+            # a group batch with zero rows and no prior state has no
+            # hour to open or close — emitting would fabricate an
+            # h=None row (non-null schema) or hit uninitialized state
+            return
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         hours = (
             pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
@@ -2048,6 +2053,10 @@ def stream_backlog(stream: DataFrame, capacity_per_min: int) -> DataFrame:
         pdf = parts[0] if len(parts) == 1 else pd.concat(
             parts, ignore_index=True
         )
+        if len(pdf) == 0 and not state.exists:
+            # no rows and no carried state: nothing to close, and the
+            # provisional close would emit m=None into a non-null column
+            return
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         mins = (
             pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")

@@ -142,3 +142,26 @@ def test_cross_batch_feed_is_one_run(spark):
     import numpy as np
     n_levels = int(np.log2(max(int(sk.weight.max()), 1))) + 1
     assert len(sk) <= (64 + 1) * n_levels
+
+
+def test_cross_batch_feed_null_key(spark):
+    """The cross-batch compactor state must keep feeding a NULL-keyed
+    group too: pandas surfaces the null key as NaN, and NaN != NaN
+    would miss the dict lookup on every Arrow batch after the first —
+    silently reverting to per-batch sketches and voiding the
+    single-ascending-run min/max-survival guarantee."""
+    n = 30_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "CAST(NULL AS STRING) AS g",
+            "CAST(id * 7 - 1000 AS LONG) AS vq",
+        )
+        .repartition(1)
+        .sortWithinPartitions("vq")
+    )
+    sk = kll.build_group_sketches(df, ["g"], "vq", k=64).toPandas()
+    assert sk.g.isna().all()
+    assert int(sk.weight.sum()) == n
+    assert int(sk.item.min()) == -1000
+    assert int(sk.item.max()) == (n - 1) * 7 - 1000

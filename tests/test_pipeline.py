@@ -1146,3 +1146,83 @@ def test_latest_commit_seq_floor_and_missing_staged_refusal(
         pipeline._swap_in(
             str(tmp_path / "nope"), str(tmp_path / "live"), str(tmp_path / "t")
         )
+
+
+def test_purge_after_retention_expired_fine_tier(spark, tx, tmp_path):
+    """GDPR erasure on a retention-enabled store: a conversation whose
+    oldest epoch the 1m tier already EXPIRED must still purge cleanly.
+    The expired 1m partition is treated as already-zero (the CDC delta
+    is restricted per tier to non-retired epochs) while the 1h/1d
+    tiers that still hold the data get real deletes — before the fix,
+    the negative-bucket rail refused the whole erasure."""
+    from pyconform_spark import retention
+
+    root = str(tmp_path / "gdpr-ret")
+    pipeline.run_batch(spark, tx, root)
+    pipeline.ingest_raw(tx, root)
+    epochs = sorted(pipeline.committed_epochs(spark, root))
+    assert len(epochs) >= 3
+    oldest, now = epochs[0], epochs[-1]
+    policy = retention.RetentionPolicy(
+        {"1m": now - oldest - 1, "1h": None, "1d": None}
+    )
+    expired = retention.apply_retention(spark, root, policy)
+    assert expired["1m"] == [oldest] and expired["1h"] == []
+
+    victims = [
+        r["conv_id"]
+        for r in tx.where(_epoch_of() == oldest)
+        .select("conv_id")
+        .distinct()
+        .limit(2)
+        .collect()
+    ]
+    out = pipeline.purge_conversations(spark, root, victims)
+    assert out["raw_rows_removed"] > 0
+
+    raw_after = pipeline.read_raw(spark, root)
+    assert raw_after.where(F.col("conv_id").isin(victims)).count() == 0
+    direct = rollup.all_tiers(tx.where(~F.col("conv_id").isin(victims)))
+    for tier in ("1h", "1d"):
+        assert _tier_rows(pipeline.read_tier(spark, root, tier)) == _tier_rows(
+            direct[tier]
+        ), tier
+    # 1m equals the recompute restricted to its LIVE (non-expired) epochs
+    b_epoch = (
+        F.col("bucket_start").cast("timestamp").cast("long")
+        / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    assert _tier_rows(pipeline.read_tier(spark, root, "1m")) == _tier_rows(
+        direct["1m"].where(b_epoch != oldest)
+    )
+    # replay is a no-op
+    again = pipeline.purge_conversations(spark, root, victims)
+    assert again["raw_rows_removed"] == 0
+    assert all(v == 0 for v in again["tier_points"].values())
+
+
+def test_full_purge_on_legacy_ledger_without_commit_seq(spark, tx, tmp_path):
+    """A pure-tombstone commit (full-store purge) on a ledger written
+    BEFORE the commit_seq column existed must still commit: the
+    tombstone rows are built against the explicit 8-column lineage
+    schema, not the on-disk 7-column one (which would fail AFTER the
+    partitions were published — the post-publish wedge)."""
+    root = str(tmp_path / "legacy")
+    pipeline.run_batch(spark, tx, root)
+    lp = pipeline._lineage_path(root)
+    legacy = spark.read.parquet(lp).drop("commit_seq")
+    tmp = lp + "-legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    shutil.rmtree(lp)
+    os.rename(tmp, lp)
+    assert "commit_seq" not in spark.read.parquet(lp).columns
+
+    deletes = tx.withColumn("op", F.lit(-1))
+    pipeline.refresh_cdc(spark, deletes, root, marker="wipe-all")
+    for tier in pipeline.TIER_ORDER:
+        with pytest.raises(FileNotFoundError):
+            pipeline.read_tier(spark, root, tier)
+    assert "wipe-all" in pipeline.applied_refresh_markers(spark, root)
+    # replay is marker-skipped
+    again = pipeline.refresh_cdc(spark, deletes, root, marker="wipe-all")
+    assert all(v == 0 for v in again.values())
