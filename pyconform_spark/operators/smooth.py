@@ -345,3 +345,94 @@ def kalman_local_level(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_run, schema=out_schema)
+
+
+def croston_sparse(
+    df: DataFrame,
+    keys: list[str],
+    order: str = "h",
+    demand: str = "demand",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's recurrence on DEMAND POINTS ONLY — the scale form of
+    :func:`croston`.  The dense-axis twin steps through every zero
+    period, but state only CHANGES at demand points: an inter-demand
+    interval is just the lag diff of consecutive demand hours, so the
+    dense min..max explode (~1/fill-rate row inflation, unbounded for
+    sparse long-lived series) is unnecessary — the reference's gap
+    lesson (``mapdates.py:167-216``: detect gaps, don't materialize
+    them).
+
+    Input must hold only rows with ``demand > 0``.  The first demand
+    of a series uses interval 1 (the dense twin's axis starts AT the
+    first demand hour, so its q there is 1); every later demand uses
+    ``h_i - h_{i-1}``.  State per series is two floats — identical to
+    the dense twin's state AT its demand rows (pinned by
+    test_croston_sparse_equals_dense_at_demand_points); operation
+    order and dyadic alpha are shared with the recursive-CTE oracle.
+
+    Host: keyed ``repartition`` + ``mapInPandas`` concat-then-sort —
+    many thousands of tiny series make per-group applyInPandas pay
+    ~1ms of dispatch per series, and AQE coalesces the byte-small
+    shuffle onto a couple of cores (the mp_scaling lesson); ONE Arrow
+    pass per partition with a series-boundary reset loop does the
+    whole partition in a single call at full parallelism."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("croston_z", T.DoubleType(), True),
+            T.StructField("croston_p", T.DoubleType(), True),
+            T.StructField("croston_forecast", T.DoubleType(), True),
+        ]
+    )
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _run(it):
+        parts = list(it)
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(
+            list(keys) + [order], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        # series boundary: any key differs from the previous row
+        # (null-safe: two nulls compare equal)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for k in keys:
+            cur, prv = pdf[k], pdf[k].shift()
+            new |= ((cur != prv) & ~(cur.isna() & prv.isna())).to_numpy()
+        h = pdf[order].to_numpy()
+        d = pdf[demand].to_numpy().astype(np.float64)
+        zs = np.empty(n, dtype=np.float64)
+        ps = np.empty(n, dtype=np.float64)
+        z = p = 0.0
+        prev_h = 0
+        for i in range(n):
+            if new[i]:
+                z = d[i]
+                p = 1.0
+            else:
+                z = alpha * d[i] + (1.0 - alpha) * z
+                p = alpha * float(h[i] - prev_h) + (1.0 - alpha) * p
+            prev_h = h[i]
+            zs[i] = z
+            ps[i] = p
+        pdf["croston_z"] = zs
+        pdf["croston_p"] = ps
+        pdf["croston_forecast"] = zs / ps
+        yield pdf
+
+    return df.repartition(n_parts, *keys).mapInPandas(
+        _run, schema=out_schema
+    )

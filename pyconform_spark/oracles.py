@@ -10812,43 +10812,23 @@ WITH RECURSIVE c AS (
          (epoch_ms(ts) // 3600000)::BIGINT AS h,
          count(*)::BIGINT AS d
   FROM events GROUP BY 1, 2, 3),
-bounds AS (
-  SELECT user_id, event_type, min(h) AS mh, max(h) AS xh
-  FROM c GROUP BY 1, 2),
-axis AS (
-  SELECT user_id, event_type,
-         unnest(generate_series(mh, xh)) AS h
-  FROM bounds),
-dense AS (
-  SELECT a.user_id, a.event_type, a.h,
-         coalesce(c.d, 0)::BIGINT AS d,
-         row_number() OVER (PARTITION BY a.user_id, a.event_type
-                            ORDER BY a.h) AS rn
-  FROM axis a LEFT JOIN c
-    ON c.user_id = a.user_id AND c.event_type = a.event_type
-   AND c.h = a.h),
+pts AS (
+  SELECT user_id, event_type, h, d,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY h) AS rn,
+         coalesce(h - lag(h) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY h), 1)::BIGINT AS gap
+  FROM c),
 cr AS (
   SELECT user_id, event_type, h, d, rn,
-         CASE WHEN d > 0 THEN d::DOUBLE END AS z,
-         CASE WHEN d > 0 THEN CAST(1 AS DOUBLE) END AS p,
-         CASE WHEN d > 0 THEN 0 ELSE 1 END AS q,
-         (d > 0) AS seen
-  FROM dense WHERE rn = 1
+         d::DOUBLE AS z,
+         CAST(1 AS DOUBLE) AS p
+  FROM pts WHERE rn = 1
   UNION ALL
   SELECT n.user_id, n.event_type, n.h, n.d, n.rn,
-         CASE WHEN n.d > 0 THEN
-             CASE WHEN s.seen
-                  THEN 0.5 * n.d::DOUBLE + 0.5 * s.z
-                  ELSE n.d::DOUBLE END
-           ELSE s.z END AS z,
-         CASE WHEN n.d > 0 THEN
-             CASE WHEN s.seen
-                  THEN 0.5 * (s.q + 1)::DOUBLE + 0.5 * s.p
-                  ELSE (s.q + 1)::DOUBLE END
-           ELSE s.p END AS p,
-         CASE WHEN n.d > 0 THEN 0 ELSE s.q + 1 END AS q,
-         (s.seen OR n.d > 0) AS seen
-  FROM cr s JOIN dense n
+         0.5 * n.d::DOUBLE + 0.5 * s.z AS z,
+         0.5 * n.gap::DOUBLE + 0.5 * s.p AS p
+  FROM cr s JOIN pts n
     ON n.user_id = s.user_id AND n.event_type = s.event_type
    AND n.rn = s.rn + 1)
 SELECT user_id, event_type,
@@ -10856,7 +10836,7 @@ SELECT user_id, event_type,
        d AS demand,
        z AS croston_z,
        p AS croston_p,
-       CASE WHEN seen THEN z / p END AS croston_forecast
+       z / p AS croston_forecast
 FROM cr
 """
 

@@ -22154,13 +22154,18 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence + explode vs generate_series), demand counts are
     BIGINTs, and the two SES recurrences use dyadic alpha = 0.5 with
     a pinned operation order — the recursive-CTE oracle steps the
-    SAME float expressions (operators/smooth.py croston; the
+    SAME float expressions (operators/smooth.py croston_sparse; the
     hw_seasonal/int_tabulated precedent).  Forecast = z/p is one IEEE
     division per row.
 
-    Scale shape: one hash agg to (series, hour) counts, a per-series
-    sequence explode, one shuffle onto the series keys for the Arrow
-    recurrence — state is 3 floats + 1 int per series."""
+    Scale shape: one hash agg to (series, hour) DEMAND counts, one
+    shuffle onto the series keys for the Arrow recurrence — state is
+    2 floats per series.  Croston's state only changes at demand
+    points, so the inter-demand intervals are lag diffs of the demand
+    hours and NO dense min..max axis is materialized (the old dense
+    explode inflated rows by ~1/fill-rate — ~14x at test scales,
+    unbounded for sparse long-lived series; plan-gated: no Generate
+    node).  Output rows are the demand points."""
     from pyconform_spark.operators import smooth
 
     df = _events(spark, sf_dir)
@@ -22174,22 +22179,8 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("demand"))
     )
-    bounds = c.groupBy("user_id", "event_type").agg(
-        F.min("h").alias("mh"), F.max("h").alias("xh")
-    )
-    axis = bounds.select(
-        "user_id",
-        "event_type",
-        F.explode(F.sequence("mh", "xh")).alias("h"),
-    )
-    dense = axis.join(c, ["user_id", "event_type", "h"], "left").select(
-        "user_id",
-        "event_type",
-        "h",
-        F.coalesce("demand", F.lit(0)).cast("long").alias("demand"),
-    )
-    out = smooth.croston(
-        dense, keys=["user_id", "event_type"], order="h", demand="demand"
+    out = smooth.croston_sparse(
+        c, keys=["user_id", "event_type"], order="h", demand="demand"
     )
     return out.select(
         "user_id",

@@ -2424,15 +2424,23 @@ def test_over_time_family_shares_one_window_sort(spark):
 
 
 def test_croston_is_one_arrow_recurrence_after_reduction(spark):
-    """The recurrence host is a single applyInPandas over the reduced
-    dense (series, hour) frame — one FlatMapGroupsInPandas, a bounded
-    sequence explode, partial-aggregated counts off the scan, never a
-    per-row Python UDF or a cartesian."""
+    """The recurrence host is a single mapInPandas pass over the
+    keyed-repartitioned (series, hour) DEMAND frame — one MapInPandas,
+    partial-aggregated counts off the scan, never a per-row Python UDF
+    or a cartesian, and NO Generate node: the dense min..max explode
+    is gone — inter-demand intervals are lag diffs inside the
+    recurrence, so rows stay proportional to demand points, not to
+    the series' time span (the ~14x fill-rate inflation at test
+    scales, unbounded for sparse long-lived series)."""
     plan = plan_of(Q.croston_intermittent(spark, SF))
-    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(plan, "MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "Generate") == 0
     assert "partial_count" in plan
+    # the recurrence shuffle is an EXPLICIT keyed repartition (AQE
+    # would coalesce the byte-small exchange onto ~2 cores)
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
 
 
 def test_repeated_ngram_reduces_then_joins_on_shingle(spark):

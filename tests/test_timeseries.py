@@ -4233,9 +4233,10 @@ def test_jonckheere_two_band_hand_example(spark, tmp_path):
 
 
 def test_croston_hand_walked_recurrence(spark, tmp_path):
-    """Demand series 2,0,0,1,0,3 on the hourly axis: z/p state updates
-    only at demand periods; forecasts are 2, 2, 2, 0.75, 0.75,
-    1.125 (alpha = 0.5, interval smoothing on periods-since-demand)."""
+    """Hourly demands 2 (h=0), 1 (h=3), 3 (h=5): z/p state updates at
+    demand points with the inter-demand interval as the lag diff of
+    demand hours; forecasts are 2, 0.75, 1.125 (alpha = 0.5) — the
+    demand-points-only output (zero hours are not materialized)."""
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows, eid = [], 0
     for h, n in ((0, 2), (3, 1), (5, 3)):
@@ -4246,11 +4247,58 @@ def test_croston_hand_walked_recurrence(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     out = (Q.croston_intermittent(spark, str(tmp_path))
            .orderBy("bucket_ts").collect())
-    assert [r.demand for r in out] == [2, 0, 0, 1, 0, 3]
-    assert [r.croston_forecast for r in out] == [
-        2.0, 2.0, 2.0, 0.75, 0.75, 1.125]
-    assert [r.croston_z for r in out] == [2.0, 2.0, 2.0, 1.5, 1.5, 2.25]
-    assert [r.croston_p for r in out] == [1.0, 1.0, 1.0, 2.0, 2.0, 2.0]
+    assert [r.demand for r in out] == [2, 1, 3]
+    assert [r.croston_forecast for r in out] == [2.0, 0.75, 1.125]
+    assert [r.croston_z for r in out] == [2.0, 1.5, 2.25]
+    assert [r.croston_p for r in out] == [1.0, 2.0, 2.0]
+
+
+def test_croston_sparse_equals_dense_at_demand_points(spark):
+    """The demand-points-only recurrence carries EXACTLY the dense
+    twin's state: for every series, croston_sparse's (z, p, forecast)
+    at each demand hour equal smooth.croston's on the densified
+    min..max axis at the same hours, bit-for-bit — the dense form
+    stays as the audit twin, the sparse form is the scale path."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark.operators import smooth
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    c = (
+        df.select(
+            "user_id", "event_type",
+            F.floor(es / 3600).cast("long").alias("h"),
+        )
+        .groupBy("user_id", "event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    )
+    sparse = smooth.croston_sparse(
+        c, keys=["user_id", "event_type"], order="h", demand="demand"
+    )
+    bounds = c.groupBy("user_id", "event_type").agg(
+        F.min("h").alias("mh"), F.max("h").alias("xh")
+    )
+    dense_axis = bounds.select(
+        "user_id", "event_type",
+        F.explode(F.sequence("mh", "xh")).alias("h"),
+    )
+    dense_in = dense_axis.join(
+        c, ["user_id", "event_type", "h"], "left"
+    ).select(
+        "user_id", "event_type", "h",
+        F.coalesce("demand", F.lit(0)).cast("long").alias("demand"),
+    )
+    dense = smooth.croston(
+        dense_in, keys=["user_id", "event_type"], order="h",
+        demand="demand",
+    ).where(F.col("demand") > 0)
+    cols = ["user_id", "event_type", "h", "demand",
+            "croston_z", "croston_p", "croston_forecast"]
+    a = sorted(map(tuple, sparse.select(*cols).collect()))
+    b = sorted(map(tuple, dense.select(*cols).collect()))
+    assert len(a) > 100
+    assert a == b
 
 
 def test_over_time_family_hand_values(spark, tmp_path):
