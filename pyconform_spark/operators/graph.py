@@ -282,3 +282,47 @@ d0 AS (SELECT user_id, 0::BIGINT AS dist FROM nodes
 {chain}
 SELECT user_id, dist FROM d{k}
 """
+
+
+def kcore(edges_uv: DataFrame, k: int = 2) -> DataFrame:
+    """k-core (Seidman 1983) by CONVERGENT peeling: repeatedly drop
+    nodes of degree < k until NO edge is removed, returning the
+    surviving undirected (u, v) edge frame.  The production variant of
+    the fixed-round peel in ``queries.kcore_membership``'s oracle —
+    a fixed count silently returns a SUPERSET of the core on any graph
+    whose peel is deeper than the count (a pendant chain peels one
+    node per round), so the engine API loops to the fixpoint.
+
+    Convergence is detected by the edge COUNT reaching a fixed point:
+    a peeling round removes edges iff it removes a node, so equal
+    counts <=> no node dropped <=> every remaining degree >= k.  The
+    count is an O(1)-per-round action on the just-checkpointed frame.
+
+    Scale shape: per round one hash agg (degrees) + two hash
+    semi-joins, with the edge frame ``localCheckpoint``-ed every round
+    (the ``textops.connected_components`` pattern) — each round
+    references the previous frame five times, so without truncation
+    the logical plan grows ~5x per round (a measured analyzer hang by
+    round 8).  Total rounds are bounded by the peel depth (<= |V|;
+    O(sqrt(|E|)) on real graphs), each round strictly shrinking the
+    frame."""
+    e = edges_uv
+    prev: int | None = None
+    while True:
+        e = e.localCheckpoint()
+        n = e.count()
+        if n == 0 or n == prev:
+            return e
+        prev = n
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            bidir.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("u")
+        )
+        e = e.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )

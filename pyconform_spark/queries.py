@@ -21402,10 +21402,15 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     components finds who touches whom; the k-core finds the RESILIENT
     backbone.
 
-    EXACT cross-engine: EIGHT fixed peeling rounds (the pytest gate
-    proves round 8 == round 9 on the test corpus, i.e. convergence,
-    so the fixed count IS the fixpoint); each round is a degree
-    count + two semi-joins — pure integers.
+    EXACT cross-engine: the engine loops the peel to its FIXPOINT
+    (``operators/graph.kcore``: no edge removed <=> every remaining
+    degree >= 2 — convergence-safe at ANY peel depth), while the
+    static SQL oracle unrolls eight rounds; the two agree because the
+    test corpus converges within eight (pinned by
+    test_kcore_corpus_converges_within_oracle_rounds, and by the
+    chain-into-triangle pytest where a FIXED eight rounds would
+    return a superset).  Each round is a
+    degree count + two semi-joins — pure integers.
 
     Scale shape: per round one hash agg + two hash semi-joins on the
     edge frame, with the edge frame ``localCheckpoint``-ed between
@@ -21418,23 +21423,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     edges = graph.undirected_edges(graph.handoff_edges(ev))
-    e = edges
-    for _ in range(8):
-        # truncate lineage BEFORE fanning out: e is referenced 5x in
-        # the round below, so carrying lineage grows the plan 5x/round
-        e = e.localCheckpoint()
-        bidir = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        keep = (
-            bidir.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= 2)
-            .select("u")
-        )
-        e = e.join(keep, "u", "left_semi").join(
-            keep.select(F.col("u").alias("v")), "v", "left_semi"
-        )
+    e = graph.kcore(edges, k=2)
     members = (
         e.select("u")
         .unionByName(e.select(F.col("v").alias("u")))

@@ -4047,6 +4047,55 @@ def test_kcore_peels_tail_keeps_cycle(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_kcore_converges_past_eight_rounds(spark, tmp_path):
+    """A 12-node pendant chain hanging off a triangle peels ONE node
+    per round — deeper than any fixed eight-round unroll, which would
+    return a superset (chain remnants).  The convergent production
+    peel (graph.kcore) must return exactly the triangle."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # same-day consecutive walk: triangle 1-2-3-1, then chain
+    # 3-10-11-...-21 (12 chain nodes => 12 peel rounds)
+    seq = [1, 2, 3, 1, 3] + list(range(10, 22))
+    rows = []
+    for eid, u in enumerate(seq):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "c", 1.0,
+                     "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = [r.user_id for r in
+           Q.kcore_membership(spark, str(tmp_path)).collect()]
+    assert got == [1, 2, 3]
+
+
+def test_kcore_corpus_converges_within_oracle_rounds(spark):
+    """The 8-round SQL oracle is the sf0.001 corpus' fixpoint: the
+    convergent production peel equals a fixed 8-round peel — this is
+    WHY the static unrolled oracle stays exact for the looped API."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark.operators import graph
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edges = graph.undirected_edges(graph.handoff_edges(ev))
+    conv = sorted(map(tuple, graph.kcore(edges, k=2).collect()))
+    e = edges
+    for _ in range(8):
+        e = e.localCheckpoint()
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            bidir.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 2)
+            .select("u")
+        )
+        e = e.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+    assert conv == sorted(map(tuple, e.collect()))
+    assert len(conv) > 0
+
+
 def test_link_prediction_wedge_scores(spark, tmp_path):
     """Star 1-2, 1-3, 1-4: pairs (2,3),(2,4),(3,4) share hub 1 with
     deg 3 -> cn=1, ra = 1000000//3; none are adjacent."""
