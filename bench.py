@@ -694,6 +694,67 @@ def main() -> None:
     times["layout_scan_plain"] = round(t_lplain, 3)
     times["layout_scan_clustered"] = round(t_lclust, 3)
 
+    # -- ledger-stats epoch pruning, quantified: the SAME one-day
+    # point read over the committed tier store, full-scan+filter vs
+    # the stats-pruned read_tier path (per-epoch key ranges from the
+    # lineage ledger skip epoch dirs BEFORE Spark lists them — the
+    # Iceberg manifest-pruning analog).  Store build is untimed
+    # (ingest cost, paid once); the epochs_scanned/total pair is the
+    # deterministic number that scales with store age.
+    import datetime as _dt
+
+    from pyconform_spark import pipeline as pipemod
+
+    store_root = os.path.join(lay_base, "tierstore")
+    pipemod.run_batch(spark, tx, store_root)
+    store_eps = sorted(pipemod.committed_epochs(spark, store_root))
+    target_ep = store_eps[len(store_eps) // 2]
+    tp_lo = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+        seconds=target_ep * pipemod.EPOCH_SECONDS
+    )
+    tp_hi = tp_lo + _dt.timedelta(seconds=pipemod.EPOCH_SECONDS - 1)
+    n_scanned = len(
+        pipemod._prune_epochs_by_stats(
+            store_eps,
+            pipemod._tier_epoch_stats(spark, store_root, "1m"),
+            None,
+            (tp_lo, tp_hi),
+        )
+    )
+
+    def tier_point_plain():
+        run_noop(
+            pipemod.read_tier(spark, store_root, "1m")
+            .where(
+                (F.col("bucket_start") >= F.lit(tp_lo))
+                & (F.col("bucket_start") <= F.lit(tp_hi))
+            )
+            .groupBy("role")
+            .count()
+        )
+
+    def tier_point_pruned():
+        run_noop(
+            pipemod.read_tier(
+                spark, store_root, "1m", bucket_range=(tp_lo, tp_hi)
+            )
+            .groupBy("role")
+            .count()
+        )
+
+    tier_point_plain()  # warm
+    tier_point_pruned()
+    t_tplain, t_tpruned = float("inf"), float("inf")
+    for _visit in range(2):
+        t0 = time.monotonic()
+        tier_point_plain()
+        t_tplain = min(t_tplain, time.monotonic() - t0)
+        t0 = time.monotonic()
+        tier_point_pruned()
+        t_tpruned = min(t_tpruned, time.monotonic() - t0)
+    times["tier_point_read_plain"] = round(t_tplain, 3)
+    times["tier_point_read_pruned"] = round(t_tpruned, 3)
+
     # -- exact-complete ssjoin pruning, quantified DETERMINISTICALLY
     # (like the layout pruning fractions — candidate COUNTS, not
     # timing: at bench scale both joins are stage-overhead-bound, and
@@ -829,6 +890,11 @@ def main() -> None:
                 ),
                 "layout_prune_fraction_plain": round(prune_plain, 3),
                 "layout_prune_fraction_clustered": round(prune_clust, 3),
+                "tier_point_read_speedup": round(
+                    t_tplain / max(t_tpruned, 1e-9), 2
+                ),
+                "tier_point_epochs_total": len(store_eps),
+                "tier_point_epochs_scanned": n_scanned,
                 "ann_recall_single_bucket": round(rec_single, 3),
                 "ann_recall_multiprobe": round(rec_probe, 3),
                 "ann_recall_multitable": round(rec_table, 3),

@@ -44,21 +44,18 @@ from pyconform_spark.tables import SERIES_KEYS
 EPOCH_SECONDS = 86400  # day-aligned commit unit
 TIER_ORDER = ["1m", "1h", "1d"]
 
-# the ledger's full 8-column row shape (matches _lineage_rows /
-# _commit_refresh_lineage output).  Kept explicit so commits that
-# cannot derive a schema from data — e.g. a pure-tombstone purge on a
-# legacy ledger written before commit_seq existed — still build
-# 8-column rows instead of failing against the on-disk 7-column schema
+# the ledger's full row shape (tables.LINEAGE_SCHEMA, nullable-relaxed
+# so tombstone/sentinel rows can carry Nones).  Kept explicit so
+# commits that cannot derive a schema from data — e.g. a pure-tombstone
+# purge on a legacy ledger written before commit_seq existed — still
+# build full-width rows instead of failing against a narrower on-disk
+# schema
+from pyconform_spark.tables import LINEAGE_SCHEMA as _TABLES_LINEAGE_SCHEMA
+
 _LINEAGE_SCHEMA = T.StructType(
     [
-        T.StructField("partition_id", T.IntegerType(), True),
-        T.StructField("tier", T.StringType(), True),
-        T.StructField("input_range_start", T.TimestampNTZType(), True),
-        T.StructField("input_range_end", T.TimestampNTZType(), True),
-        T.StructField("checkpoint_epoch", T.LongType(), True),
-        T.StructField("point_count", T.LongType(), True),
-        T.StructField("refresh_marker", T.StringType(), True),
-        T.StructField("commit_seq", T.LongType(), True),
+        T.StructField(f.name, f.dataType, True)
+        for f in _TABLES_LINEAGE_SCHEMA.fields
     ]
 )
 
@@ -139,17 +136,22 @@ def _lineage_rows(
     tier_df: DataFrame, tier: str, epoch: int, commit_seq: int = 0
 ) -> DataFrame:
     """Per-shuffle-partition lineage: (partition_id, tier, input range,
-    epoch, point count) — the observability half of the commit."""
+    epoch, point count, conv-id range) — the observability half of the
+    commit, doubling as the pruning stats :func:`read_tier` consults
+    (the Iceberg file-stats analog)."""
     return (
         tier_df.select(
             F.spark_partition_id().alias("partition_id"),
             F.col("bucket_start"),
+            F.col("conv_id"),
         )
         .groupBy("partition_id")
         .agg(
             F.min("bucket_start").alias("input_range_start"),
             F.max("bucket_start").alias("input_range_end"),
             F.count(F.lit(1)).alias("point_count"),
+            F.min("conv_id").alias("conv_id_min"),
+            F.max("conv_id").alias("conv_id_max"),
         )
         .select(
             "partition_id",
@@ -160,6 +162,8 @@ def _lineage_rows(
             F.col("point_count").cast("long").alias("point_count"),
             F.lit(None).cast("string").alias("refresh_marker"),
             F.lit(commit_seq).cast("long").alias("commit_seq"),
+            "conv_id_min",
+            "conv_id_max",
         )
     )
 
@@ -225,17 +229,185 @@ def run(
     return results
 
 
-def read_tier(spark: SparkSession, root: str, tier: str) -> DataFrame:
-    """All committed epochs of a tier (uncommitted data dirs excluded)."""
+# memo for _tier_epoch_stats keyed by (root, tier, ledger file
+# signature): the ledger only changes by appending files at commit
+# points, so an unchanged file listing means unchanged stats —
+# repeated point reads re-pay nothing
+_EPOCH_STATS_CACHE: dict[tuple, dict[int, tuple]] = {}
+
+
+def _tier_epoch_stats(
+    spark: SparkSession, root: str, tier: str
+) -> dict[int, tuple]:
+    """Per-epoch pruning stats from the LATEST lineage generation of
+    each (tier, epoch): ``{epoch: (bs_min, bs_max, conv_min,
+    conv_max)}`` — the Iceberg manifest-stats analog over the epoch
+    ledger.  Any None inside a tuple means that bound is unknown for
+    the epoch (legacy ledger rows, or a generation whose only rows are
+    sentinels), which disables pruning for that epoch, never
+    correctness.
+
+    Metadata-sized and metadata-priced: ONE narrow collect of the
+    (tiny, driver-coalesced) ledger with the latest-generation fold in
+    Python — no shuffle, no self-join — memoized on the ledger's file
+    listing so repeated point reads cost nothing."""
+    path = _lineage_path(root)
+    if not os.path.isdir(path):
+        return {}
+    sig = (root, tier, tuple(sorted(os.listdir(path))))
+    hit = _EPOCH_STATS_CACHE.get(sig)
+    if hit is not None:
+        return hit
+    lin = lineage(spark, root)
+    if "conv_id_min" not in lin.columns or "commit_seq" not in lin.columns:
+        _EPOCH_STATS_CACHE[sig] = {}
+        return {}
+    rows = (
+        lin.where(F.col("tier") == tier)
+        .select(
+            "checkpoint_epoch",
+            "commit_seq",
+            "input_range_start",
+            "input_range_end",
+            "conv_id_min",
+            "conv_id_max",
+            "point_count",
+        )
+        .collect()
+    )
+    latest: dict[int, int] = {}
+    for r in rows:
+        e = int(r["checkpoint_epoch"])
+        s = int(r["commit_seq"] or 0)
+        if e not in latest or s > latest[e]:
+            latest[e] = s
+    # fold the latest generation per epoch; sentinel/tombstone rows
+    # (point_count 0, null stats) are skipped, but a DATA row missing
+    # a bound (legacy) voids the epoch's bounds entirely
+    out: dict[int, tuple] = {}
+    unknown: set[int] = set()
+    for r in rows:
+        e = int(r["checkpoint_epoch"])
+        if int(r["commit_seq"] or 0) != latest[e]:
+            continue
+        if not r["point_count"]:
+            out.setdefault(e, (None, None, None, None))
+            continue
+        if r["input_range_start"] is None or r["conv_id_min"] is None:
+            unknown.add(e)
+            continue
+        cur = out.get(e)
+        if cur is None or cur[0] is None:
+            out[e] = (
+                r["input_range_start"],
+                r["input_range_end"],
+                r["conv_id_min"],
+                r["conv_id_max"],
+            )
+        else:
+            out[e] = (
+                min(cur[0], r["input_range_start"]),
+                max(cur[1], r["input_range_end"]),
+                min(cur[2], r["conv_id_min"]),
+                max(cur[3], r["conv_id_max"]),
+            )
+    for e in unknown:
+        out[e] = (None, None, None, None)
+    _EPOCH_STATS_CACHE[sig] = out
+    return out
+
+
+def _prune_epochs_by_stats(
+    epochs: list[int],
+    stats: dict[int, tuple],
+    conv_id: str | None,
+    bucket_range: tuple | None,
+) -> list[int]:
+    """Drop epochs whose ledger key ranges cannot match the predicate;
+    epochs with unknown bounds are always kept."""
+    if not stats or (conv_id is None and bucket_range is None):
+        return epochs
+    keep = []
+    for e in epochs:
+        st = stats.get(e)
+        if st is None:
+            keep.append(e)
+            continue
+        bs_min, bs_max, cv_min, cv_max = st
+        if (
+            conv_id is not None
+            and cv_min is not None
+            and cv_max is not None
+            and not (cv_min <= conv_id <= cv_max)
+        ):
+            continue
+        if (
+            bucket_range is not None
+            and bs_min is not None
+            and bs_max is not None
+        ):
+            lo, hi = bucket_range
+            if (hi is not None and bs_min > hi) or (
+                lo is not None and bs_max < lo
+            ):
+                continue
+        keep.append(e)
+    return keep
+
+
+def _apply_key_predicates(
+    df: DataFrame, conv_id: str | None, bucket_range: tuple | None
+) -> DataFrame:
+    if conv_id is not None:
+        df = df.where(F.col("conv_id") == conv_id)
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        if lo is not None:
+            df = df.where(F.col("bucket_start") >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col("bucket_start") <= F.lit(hi))
+    return df
+
+
+def read_tier(
+    spark: SparkSession,
+    root: str,
+    tier: str,
+    conv_id: str | None = None,
+    bucket_range: tuple | None = None,
+) -> DataFrame:
+    """All committed epochs of a tier (uncommitted data dirs excluded).
+
+    ``conv_id`` / ``bucket_range=(lo, hi)`` (inclusive bounds, either
+    side None for open) are KEY PREDICATES: they are applied as WHERE
+    filters, and additionally prune whole epoch directories whose
+    ledger-recorded (conv_id, bucket_start) ranges cannot match —
+    BEFORE Spark ever lists them (the Iceberg manifest-pruning analog:
+    a point read on a year-long store opens only the epochs that can
+    hold the key, pinned by test_point_read_opens_only_matching_epochs
+    and the layout_scan bench pair).  Semantics are identical to the
+    unpruned read plus the same WHERE."""
     done = committed_epochs(spark, root)
+    eps = sorted(done)
+    if conv_id is not None or bucket_range is not None:
+        eps = _prune_epochs_by_stats(
+            eps, _tier_epoch_stats(spark, root, tier), conv_id, bucket_range
+        )
     paths = [
         _tier_path(root, tier, e)
-        for e in sorted(done)
+        for e in eps
         if os.path.isdir(_tier_path(root, tier, e))
     ]
     if not paths:
+        if conv_id is not None or bucket_range is not None:
+            # every epoch pruned: empty result with the tier schema
+            from pyconform_spark.tables import TIER_SCHEMA
+
+            return spark.createDataFrame([], TIER_SCHEMA)
         raise FileNotFoundError(f"no committed epochs for tier {tier} under {root}")
-    return spark.read.parquet(*paths)
+    return _apply_key_predicates(
+        spark.read.parquet(*paths), conv_id, bucket_range
+    )
 
 
 def read_tier_as_of(
@@ -328,6 +500,7 @@ def run_batch(
                 written.select(
                     F.spark_partition_id().alias("partition_id"),
                     "bucket_start",
+                    "conv_id",
                     "epoch",
                 )
                 .groupBy("epoch", "partition_id")
@@ -335,6 +508,8 @@ def run_batch(
                     F.min("bucket_start").alias("input_range_start"),
                     F.max("bucket_start").alias("input_range_end"),
                     F.count(F.lit(1)).alias("point_count"),
+                    F.min("conv_id").alias("conv_id_min"),
+                    F.max("conv_id").alias("conv_id_max"),
                 )
                 .select(
                     "partition_id",
@@ -345,6 +520,8 @@ def run_batch(
                     F.col("point_count").cast("long").alias("point_count"),
                     F.lit(None).cast("string").alias("refresh_marker"),
                     F.lit(seq).cast("long").alias("commit_seq"),
+                    "conv_id_min",
+                    "conv_id_max",
                 )
             )
             counts[tier] = {
@@ -654,6 +831,7 @@ def _commit_refresh_lineage(
             back.select(
                 F.spark_partition_id().alias("partition_id"),
                 "bucket_start",
+                "conv_id",
                 "epoch",
             )
             .groupBy("epoch", "partition_id")
@@ -661,6 +839,8 @@ def _commit_refresh_lineage(
                 F.min("bucket_start").alias("input_range_start"),
                 F.max("bucket_start").alias("input_range_end"),
                 F.count(F.lit(1)).alias("point_count"),
+                F.min("conv_id").alias("conv_id_min"),
+                F.max("conv_id").alias("conv_id_max"),
             )
             .select(
                 "partition_id",
@@ -671,13 +851,26 @@ def _commit_refresh_lineage(
                 F.col("point_count").cast("long").alias("point_count"),
                 F.lit(marker).cast("string").alias("refresh_marker"),
                 F.lit(seq).cast("long").alias("commit_seq"),
+                "conv_id_min",
+                "conv_id_max",
             )
         )
     extra_rows = [
-        (-1, tier, None, None, int(e), 0, marker, seq)
+        (-1, tier, None, None, int(e), 0, marker, seq, None, None)
         for tier, e in tombstones
     ] + [
-        (-1, rows[0]["tier"], None, None, int(rows[0]["epoch"]), 0, xm, seq)
+        (
+            -1,
+            rows[0]["tier"],
+            None,
+            None,
+            int(rows[0]["epoch"]),
+            0,
+            xm,
+            seq,
+            None,
+            None,
+        )
         for xm in extra_markers
     ]
     if lineage_parts:
@@ -1564,13 +1757,25 @@ def latest_commit_seq(spark: SparkSession, root: str) -> int:
 
 
 def read_tier_changes(
-    spark: SparkSession, root: str, tier: str, since_seq: int
+    spark: SparkSession,
+    root: str,
+    tier: str,
+    since_seq: int,
+    conv_id: str | None = None,
+    bucket_range: tuple | None = None,
 ) -> tuple[DataFrame | None, list[int]]:
     """Incremental tier read — the Iceberg incremental-scan analog
     over the epoch ledger: the (tier) epochs whose LATEST lineage
     generation has ``commit_seq > since_seq`` (ingested, refreshed,
     CDC-edited, or purged since the consumer's saved cursor), plus the
     current rows of those epochs.
+
+    ``conv_id`` / ``bucket_range`` key predicates prune the SCANNED
+    changed epochs via the ledger's per-epoch key stats (see
+    :func:`read_tier`) and filter the returned rows; the
+    ``changed_epochs`` list itself is NOT narrowed — the consumer
+    still learns every changed epoch (tombstone detection), it just
+    never opens files that cannot hold the key.
 
     A downstream consumer starts at ``since_seq = -1`` (the initial
     ingest commits at ordinal 0), runs
@@ -1597,14 +1802,24 @@ def read_tier_changes(
         .collect()
     )
     changed = sorted(int(r["checkpoint_epoch"]) for r in rows)
+    scan = changed
+    if conv_id is not None or bucket_range is not None:
+        scan = _prune_epochs_by_stats(
+            scan, _tier_epoch_stats(spark, root, tier), conv_id, bucket_range
+        )
     paths = [
         _tier_path(root, tier, e)
-        for e in changed
+        for e in scan
         if os.path.isdir(_tier_path(root, tier, e))
     ]
     if not paths:
         return None, changed
-    return spark.read.parquet(*paths), changed
+    return (
+        _apply_key_predicates(
+            spark.read.parquet(*paths), conv_id, bucket_range
+        ),
+        changed,
+    )
 
 
 def verify_store(spark: SparkSession, root: str) -> DataFrame:

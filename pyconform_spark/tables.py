@@ -82,5 +82,13 @@ LINEAGE_SCHEMA = T.StructType(
         # (tier, epoch) is the current truth (refreshes re-commit an
         # epoch's lineage); verify_store audits against it
         T.StructField("commit_seq", T.LongType(), False),
+        # per-partition conv_id min/max recorded at commit time — the
+        # Iceberg file-stats analog: read_tier prunes whole epoch dirs
+        # whose key range cannot match a point predicate BEFORE Spark
+        # lists them.  Nullable: rows from ledgers written before these
+        # columns existed (or sentinel/tombstone rows) disable pruning
+        # for their epoch, never correctness
+        T.StructField("conv_id_min", T.StringType(), True),
+        T.StructField("conv_id_max", T.StringType(), True),
     ]
 )

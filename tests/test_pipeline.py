@@ -1226,3 +1226,94 @@ def test_full_purge_on_legacy_ledger_without_commit_seq(spark, tx, tmp_path):
     # replay is marker-skipped
     again = pipeline.refresh_cdc(spark, deletes, root, marker="wipe-all")
     assert all(v == 0 for v in again.values())
+
+
+def test_point_read_opens_only_matching_epochs(spark, tx, tmp_path):
+    """Ledger-stats file skipping: a key-predicate read consults the
+    per-epoch (conv_id, bucket_start) ranges the commit recorded and
+    prunes epoch dirs BEFORE Spark lists them — the Iceberg
+    manifest-pruning analog.  Conv ids here are prefixed per day so
+    the per-epoch conv ranges are disjoint and pruning is provable;
+    results must equal the unpruned read plus the same WHERE."""
+    import datetime as dt
+
+    root = str(tmp_path / "prune")
+    day = (
+        F.col("ts").cast("timestamp").cast("long") / pipeline.EPOCH_SECONDS
+    ).cast("long")
+    tx2 = tx.withColumn(
+        "conv_id",
+        F.concat(F.lit("d"), day.cast("string"), F.lit("_"), "conv_id"),
+    )
+    pipeline.run_batch(spark, tx2, root)
+    epochs = sorted(pipeline.committed_epochs(spark, root))
+    assert len(epochs) >= 3
+    stats = pipeline._tier_epoch_stats(spark, root, "1h")
+    assert set(stats) == set(epochs)
+
+    target = epochs[1]
+    conv = (
+        tx2.where(day == target).select("conv_id").first()["conv_id"]
+    )
+    # conv predicate prunes to exactly the one epoch that can hold it
+    assert pipeline._prune_epochs_by_stats(
+        epochs, stats, conv, None
+    ) == [target]
+    got = pipeline.read_tier(spark, root, "1h", conv_id=conv)
+    want = pipeline.read_tier(spark, root, "1h").where(
+        F.col("conv_id") == conv
+    )
+    assert got.count() > 0
+    assert _tier_rows(got) == _tier_rows(want)
+
+    # a one-day bucket range prunes to that day's epoch
+    lo = dt.datetime(1970, 1, 1) + dt.timedelta(
+        seconds=target * pipeline.EPOCH_SECONDS
+    )
+    hi = lo + dt.timedelta(seconds=pipeline.EPOCH_SECONDS - 1)
+    assert pipeline._prune_epochs_by_stats(
+        epochs, stats, None, (lo, hi)
+    ) == [target]
+    got_r = pipeline.read_tier(spark, root, "1m", bucket_range=(lo, hi))
+    want_r = pipeline.read_tier(spark, root, "1m").where(
+        (F.col("bucket_start") >= F.lit(lo))
+        & (F.col("bucket_start") <= F.lit(hi))
+    )
+    assert _tier_rows(got_r) == _tier_rows(want_r)
+
+    # a key beyond every epoch's range: all pruned, empty frame, no error
+    assert (
+        pipeline.read_tier(spark, root, "1h", conv_id="zzz_nowhere").count()
+        == 0
+    )
+
+    # incremental read honors the same predicates
+    chg, eps_chg = pipeline.read_tier_changes(
+        spark, root, "1h", since_seq=-1, conv_id=conv
+    )
+    assert eps_chg == epochs  # change list is NOT narrowed
+    assert _tier_rows(chg) == _tier_rows(want)
+
+
+def test_point_read_on_legacy_ledger_without_stats(spark, tx, tmp_path):
+    """A ledger written before the conv_id_min/max stats columns
+    existed yields no pruning stats — key-predicate reads fall back to
+    scanning every committed epoch with a plain WHERE (correctness
+    never depends on the stats)."""
+    root = str(tmp_path / "legacy-stats")
+    pipeline.run_batch(spark, tx, root)
+    lp = pipeline._lineage_path(root)
+    legacy = spark.read.parquet(lp).drop("conv_id_min", "conv_id_max")
+    tmp = lp + "-legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    shutil.rmtree(lp)
+    os.rename(tmp, lp)
+
+    assert pipeline._tier_epoch_stats(spark, root, "1h") == {}
+    conv = tx.select("conv_id").first()["conv_id"]
+    got = pipeline.read_tier(spark, root, "1h", conv_id=conv)
+    want = pipeline.read_tier(spark, root, "1h").where(
+        F.col("conv_id") == conv
+    )
+    assert got.count() > 0
+    assert _tier_rows(got) == _tier_rows(want)
