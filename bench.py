@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # composites, plus the round's new operators
     "curation_pipeline",
     "dedup_components",
+    # round-5: the O(log n) large-star/small-star CC twin — the
+    # intentional pair against propagation-mode dedup_components
+    "dedup_components_star",
     "vertical_interp_linear",
     "media_decoded_props",
     "ann_lsh_multiprobe",

@@ -957,3 +957,36 @@ def test_repeated_ngram_fraction_shared_span(spark):
     assert (out[3].n_shingles, out[3].dup_shingles) == (1, 0)
     assert out[1].dup_fraction == 1.0 / 3.0
     assert out[3].dup_fraction == 0.0
+
+
+def test_cc_star_matches_propagation_on_lsh_graph(spark):
+    """mode='star' must produce the IDENTICAL labeling to min-label
+    propagation on the real LSH candidate graph — same smallest-id
+    component contract, different round complexity."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, textops.lsh_components(docs).collect()))
+    b = sorted(
+        map(tuple, textops.lsh_components(docs, mode="star").collect())
+    )
+    assert len(a) > 0
+    assert a == b
+
+
+def test_cc_star_path_graph_round_bound(spark):
+    """A 10k-node PATH graph: propagation needs ~n/2 rounds (diameter
+    bound — adversarial for dedup-style CC), the large-star/small-star
+    alternation must converge in O(log n): <= 2*log2(n) + 5
+    alternations, with exact labels (every node -> 0)."""
+    import math
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    ).repartition(8)
+    stats: dict = {}
+    comp = textops.connected_components(edges, mode="star", stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component_id"] == 0 for r in rows)
+    bound = 2 * math.ceil(math.log2(n)) + 5
+    assert stats["rounds"] <= bound, (stats["rounds"], bound)
