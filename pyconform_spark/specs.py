@@ -671,3 +671,247 @@ def run_cmor_tier(
         )
     out = src.groupBy(*keys, "bucket_start").agg(*aggs)
     return out.select(*keys, "bucket_start", "n_samples", *finals)
+
+
+# ---------------------------------------------------------------- MIP
+# table ingestion: the two remaining reference branches, stdlib-only.
+# An .xlsx workbook is a ZIP of SpreadsheetML XML parts, so the Excel
+# branch needs no openpyxl; the dreq branch parses the data-request
+# ENTITY-LINK model (experiment -> requestItem -> requestLink ->
+# requestVarGroup -> requestVar -> CMORvar) from its XML serialization
+# with xml.etree.  Both return the reference's standardized
+# ``{table_id: {'variables', 'axes', 'table_info'}}`` shape.
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC12' -> 0-based column index 54."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def _xlsx_sheet_rows(root, shared: list[str]) -> list[list]:
+    """SpreadsheetML worksheet -> dense list-of-rows (None gaps)."""
+    rows: list[list] = []
+    for row in root.iter():
+        if _localname(row.tag) != "row":
+            continue
+        cells: dict[int, object] = {}
+        for c in row:
+            if _localname(c.tag) != "c":
+                continue
+            idx = _xlsx_cell_col(c.get("r", "A"))
+            ctype = c.get("t", "n")
+            val = None
+            for child in c:
+                ln = _localname(child.tag)
+                if ln == "v":
+                    val = child.text
+                elif ln == "is":  # inline string
+                    val = "".join(
+                        t.text or ""
+                        for t in child.iter()
+                        if _localname(t.tag) == "t"
+                    )
+            if val is None:
+                cells[idx] = None
+            elif ctype == "s":
+                cells[idx] = shared[int(val)]
+            elif ctype == "b":
+                cells[idx] = bool(int(val))
+            elif ctype in ("str", "inlineStr"):
+                cells[idx] = val
+            else:
+                f = float(val)
+                cells[idx] = int(f) if f.is_integer() else f
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
+def parse_mip_excel(path: str, variables: list[str] | None = None) -> dict:
+    """MIP table WORKBOOK (.xlsx) -> the standardized ``{sheet:
+    {'variables', 'axes', 'table_info'}}`` dict — the reference's
+    ParseExcel branch (miptableparser.py:171-243) without openpyxl:
+    the workbook ZIP's SpreadsheetML parts are parsed with
+    zipfile + xml.etree.  Per non-'Notes' sheet, row 0 is the header,
+    each later row is one variable keyed by its 'Variable Name' cell;
+    the variable dict carries every column verbatim plus
+    ``variable_id``, ``mipTable`` (the sheet name) and pipe-joined
+    ``coordinates``; each name in ``dimensions`` becomes an (empty)
+    axes entry; ``table_info['table_id']`` is the sheet name."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    want = set(variables) if variables else None
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            for si in ET.fromstring(zf.read("xl/sharedStrings.xml")):
+                shared.append(
+                    "".join(
+                        t.text or ""
+                        for t in si.iter()
+                        if _localname(t.tag) == "t"
+                    )
+                )
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target") for r in rels
+        }
+        sheets: list[tuple[str, str]] = []
+        for el in wb.iter():
+            if _localname(el.tag) != "sheet":
+                continue
+            rid = next(
+                (v for k, v in el.attrib.items() if _localname(k) == "id"),
+                None,
+            )
+            tgt = rel_target.get(rid, "")
+            if not tgt.startswith("xl/"):
+                tgt = "xl/" + tgt.lstrip("/")
+            sheets.append((el.get("name"), tgt))
+        out: dict = {}
+        for name, tgt in sheets:
+            if name == "Notes":
+                continue
+            rows = _xlsx_sheet_rows(ET.fromstring(zf.read(tgt)), shared)
+            if not rows:
+                continue
+            cols = [str(c) if c is not None else "" for c in rows[0]]
+            if "Variable Name" not in cols:
+                raise SpecError(
+                    f"sheet {name!r} has no 'Variable Name' column"
+                )
+            vnc = cols.index("Variable Name")
+            vars_out: dict = {}
+            axes: dict = {}
+            for r in rows[1:]:
+                if vnc >= len(r) or r[vnc] in (None, ""):
+                    continue
+                vn = str(r[vnc])
+                if want is not None and vn not in want:
+                    continue
+                v = {
+                    cols[i]: (r[i] if i < len(r) else None)
+                    for i in range(len(cols))
+                }
+                v["variable_id"] = vn
+                v["mipTable"] = name
+                dims = str(v.get("dimensions") or "")
+                v["coordinates"] = dims.strip().replace(" ", "|")
+                vars_out[vn] = v
+                for dim in dims.split():
+                    axes.setdefault(dim, {})
+            out[name] = {
+                "variables": vars_out,
+                "axes": axes,
+                "table_info": {"table_id": name},
+            }
+    return out
+
+
+def parse_dreq_xml(
+    path: str,
+    experiment: str,
+    mips: list[str] | None = None,
+    variables: list[str] | None = None,
+) -> dict:
+    """Data-request XML -> standardized ``{table_id: {'variables',
+    'axes', 'table_info'}}`` — the reference's ParseXML/dreqPy branch
+    (miptableparser.py:321-430) re-implemented over the dreq
+    ENTITY-LINK model with stdlib etree (no dreqPy): the document
+    holds flat sections of uid-keyed rows; the walk is
+
+        experiment[label] -> requestItem[mip in mips, rlid] ->
+        requestLink[refid] -> requestVar[group == refid, vid] ->
+        CMORvar[uid] (+ its attribute payload)
+
+    one output table per requestLink, keyed by the CMORvars'
+    ``mipTable``; ``table_info`` carries experiment / experiment_id /
+    data_specs_version / activity_id like the reference.  Unknown
+    experiment -> {} (the reference prints-and-returns-{})."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    sect: dict[str, list[dict]] = {}
+    for el in root.iter():
+        ln = _localname(el.tag)
+        if el.attrib and ("uid" in el.attrib or "label" in el.attrib):
+            sect.setdefault(ln, []).append(dict(el.attrib))
+    exps = [
+        e
+        for e in sect.get("experiment", [])
+        if e.get("label") == experiment
+    ]
+    if not exps:
+        return {}
+    exp_row = exps[0]
+    activity_id = exp_row.get("mip", "")
+    mip_filter = set(mips) if mips else None
+    want = set(variables) if variables else None
+    by_uid = {
+        r["uid"]: r
+        for rows in sect.values()
+        for r in rows
+        if "uid" in r
+    }
+    version = next(
+        (
+            dict(el.attrib).get("version")
+            for el in root.iter()
+            if _localname(el.tag) == "prologue" and el.get("version")
+        ),
+        root.get("version", ""),
+    )
+    out: dict = {}
+    for ri in sect.get("requestItem", []):
+        if ri.get("esid") not in (None, "", exp_row.get("uid")):
+            continue
+        if mip_filter is not None and ri.get("mip") not in mip_filter:
+            continue
+        rl = by_uid.get(ri.get("rlid", ""))
+        if rl is None:
+            continue
+        gid = rl.get("refid", "")
+        for rv in sect.get("requestVar", []):
+            if rv.get("group") != gid:
+                continue
+            cv = by_uid.get(rv.get("vid", ""))
+            if cv is None:
+                continue
+            label = cv.get("label", "")
+            if want is not None and label not in want:
+                continue
+            table_id = cv.get("mipTable", "")
+            t = out.setdefault(
+                table_id,
+                {
+                    "variables": {},
+                    "axes": {},
+                    "table_info": {
+                        "experiment": exp_row.get("title", ""),
+                        "experiment_id": experiment,
+                        "data_specs_version": version,
+                        "activity_id": activity_id,
+                        "table_id": table_id,
+                    },
+                },
+            )
+            v = dict(cv)
+            v["variable_id"] = label
+            dims = str(v.get("dimensions") or "")
+            v["coordinates"] = dims.strip().replace(" ", "|")
+            t["variables"][label] = v
+            for dim in dims.split():
+                t["axes"].setdefault(dim, {})
+    return out

@@ -556,3 +556,156 @@ def test_run_cmor_tier_declared_frequency(spark, events):
     with pytest.raises(specs.SpecError, match="frequency"):
         bad = {**table, "Header": {"table_id": "T", "realm": "a"}}
         specs.run_cmor_tier(events, bad, definitions={"v_amp": "value"}, keys=[])
+
+
+def _write_min_xlsx(path, sheets):
+    """Minimal SpreadsheetML workbook: {sheet_name: list-of-rows}.
+    Strings go inline (t='inlineStr'); numbers as plain cells — enough
+    surface for parse_mip_excel's stdlib reader."""
+    import zipfile
+
+    def colref(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    def sheet_xml(rows):
+        parts = ['<?xml version="1.0"?><worksheet xmlns='
+                 '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                 "<sheetData>"]
+        for ri, row in enumerate(rows, start=1):
+            parts.append(f'<row r="{ri}">')
+            for ci, val in enumerate(row):
+                if val is None:
+                    continue
+                ref = f"{colref(ci)}{ri}"
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    parts.append(f'<c r="{ref}"><v>{val}</v></c>')
+                else:
+                    parts.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>'
+                    )
+            parts.append("</row>")
+        parts.append("</sheetData></worksheet>")
+        return "".join(parts)
+
+    names = list(sheets)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns='
+            '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships"><sheets>'
+            + "".join(
+                f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+                for i, n in enumerate(names)
+            )
+            + "</sheets></workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{i+1}" Type="x" '
+                f'Target="worksheets/sheet{i+1}.xml"/>'
+                for i in range(len(names))
+            )
+            + "</Relationships>",
+        )
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", sheet_xml(sheets[n]))
+
+
+def test_parse_mip_excel_standardizes_like_reference(tmp_path):
+    """The Excel branch (reference miptableparser.py:171-243): per
+    non-'Notes' sheet, header row + one variable per row, enriched
+    with variable_id / mipTable / pipe-joined coordinates, and an
+    (empty) axes entry per dimension — via the stdlib ZIP+XML reader,
+    no openpyxl."""
+    p = str(tmp_path / "mip.xlsx")
+    _write_min_xlsx(
+        p,
+        {
+            "Amon": [
+                ["Variable Name", "units", "dimensions", "priority"],
+                ["tas", "K", "longitude latitude time", 1],
+                ["pr", "kg m-2 s-1", "longitude latitude time", 2],
+            ],
+            "Omon": [
+                ["Variable Name", "units", "dimensions"],
+                ["tos", "degC", "longitude latitude time"],
+            ],
+            "Notes": [["ignore me"]],
+        },
+    )
+    out = specs.parse_mip_excel(p)
+    assert set(out) == {"Amon", "Omon"}
+    amon = out["Amon"]
+    assert set(amon["variables"]) == {"tas", "pr"}
+    tas = amon["variables"]["tas"]
+    assert tas["variable_id"] == "tas"
+    assert tas["mipTable"] == "Amon"
+    assert tas["units"] == "K"
+    assert tas["priority"] == 1
+    assert tas["coordinates"] == "longitude|latitude|time"
+    assert set(amon["axes"]) == {"longitude", "latitude", "time"}
+    assert amon["table_info"]["table_id"] == "Amon"
+    # variable filter
+    only = specs.parse_mip_excel(p, variables=["tos"])
+    assert set(only["Omon"]["variables"]) == {"tos"}
+    assert only["Amon"]["variables"] == {}
+    # the standardized sheet feeds the same spec builder as CMOR-JSON
+    spec = specs.cmor_to_spec(amon, {"tas": "tas_c + 273.15"})
+    assert "tas" in spec and spec["tas"]["attributes"]["units"] == "K"
+
+
+def test_parse_dreq_xml_walks_entity_links(tmp_path):
+    """The dreqPy branch (reference miptableparser.py:321-430) over
+    the entity-link model: experiment -> requestItem (mip filter) ->
+    requestLink -> requestVar(group) -> CMORvar, one table per
+    mipTable, table_info carrying experiment/activity metadata."""
+    p = str(tmp_path / "dreq.xml")
+    with open(p, "w") as fh:
+        fh.write(
+            """<?xml version="1.0"?>
+<dreq><prologue version="01.00.31"/>
+ <main>
+  <experiment uid="e1" label="historical" title="All-forcing run" mip="CMIP"/>
+  <experiment uid="e2" label="piControl" title="Control" mip="CMIP"/>
+  <requestItem uid="ri1" mip="CMIP" rlid="rl1" esid="e1"/>
+  <requestItem uid="ri2" mip="OtherMIP" rlid="rl2" esid="e1"/>
+  <requestLink uid="rl1" refid="g1"/>
+  <requestLink uid="rl2" refid="g2"/>
+  <requestVar uid="rv1" vid="cv1" group="g1"/>
+  <requestVar uid="rv2" vid="cv2" group="g1"/>
+  <requestVar uid="rv3" vid="cv3" group="g2"/>
+  <CMORvar uid="cv1" label="tas" mipTable="Amon" units="K"
+           dimensions="longitude latitude time"/>
+  <CMORvar uid="cv2" label="pr" mipTable="Amon" units="kg m-2 s-1"
+           dimensions="longitude latitude time"/>
+  <CMORvar uid="cv3" label="tos" mipTable="Omon" units="degC"
+           dimensions="longitude latitude time"/>
+ </main></dreq>"""
+        )
+    out = specs.parse_dreq_xml(p, "historical")
+    assert set(out) == {"Amon", "Omon"}
+    amon = out["Amon"]
+    assert set(amon["variables"]) == {"tas", "pr"}
+    ti = amon["table_info"]
+    assert ti["experiment_id"] == "historical"
+    assert ti["experiment"] == "All-forcing run"
+    assert ti["activity_id"] == "CMIP"
+    assert ti["data_specs_version"] == "01.00.31"
+    tas = amon["variables"]["tas"]
+    assert tas["coordinates"] == "longitude|latitude|time"
+    assert set(amon["axes"]) == {"longitude", "latitude", "time"}
+    # mip filter drops the OtherMIP request item (and with it Omon)
+    filtered = specs.parse_dreq_xml(p, "historical", mips=["CMIP"])
+    assert set(filtered) == {"Amon"}
+    # unknown experiment -> {} like the reference
+    assert specs.parse_dreq_xml(p, "nope") == {}
