@@ -436,12 +436,28 @@ def lineage(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(root))
 
 
+def _bucketed_source(
+    spark: SparkSession, sl: DataFrame, n_buckets: int, table: str
+) -> DataFrame:
+    """Stage a batch slice as a hash(conv_id)-bucketed table and read
+    it back WITH bucketing metadata — the ingest-time shuffle that
+    makes every tier aggregate of the batch plan with ZERO Exchange
+    nodes (operators/bucketing.py; plan-gated by
+    test_run_batch_bucketed_cascade_plans_zero_exchange)."""
+    from pyconform_spark.operators import bucketing
+
+    bucketing.write_bucketed(sl, table, n_buckets)
+    return bucketing.read_bucketed(spark, table)
+
+
 def run_batch(
     spark: SparkSession,
     transcripts: DataFrame,
     root: str,
     epochs: list[int] | None = None,
     epochs_per_commit: int = 64,
+    bucketed: bool = False,
+    n_buckets: int | None = None,
 ) -> list[EpochResult]:
     """Batched epoch processing: ONE scan of the raw table per commit
     batch regardless of how many epochs it spans (``run`` scans once
@@ -454,7 +470,17 @@ def run_batch(
     batch is appended at the end — the commit point; a crash mid-batch
     leaves only uncommitted partition dirs, which the next run
     overwrites (same exactly-once contract, batch granularity).
-    """
+
+    ``bucketed=True`` routes each batch through the proven
+    zero-Exchange cascade (``operators/bucketing.py``): the slice is
+    staged once as a ``bucketBy(n_buckets, conv_id)`` table (the
+    ingest-time cost), the 1m aggregate then plans with no shuffle,
+    and the 1h/1d tiers cascade from the PERSISTED in-memory 1m/1h
+    frames (whose clustered partitioning they inherit) instead of the
+    plain read-back — zero Exchange end to end.  Tier rows are
+    bit-identical to the default path (integer sums compose;
+    pytest-pinned); at the measured group≈row density this was the
+    2.6x structural-spill win of the sustained 100M-turn run."""
     os.makedirs(root, exist_ok=True)
     all_epochs = epochs if epochs is not None else list_epochs(transcripts)
     done = committed_epochs(spark, root)
@@ -474,6 +500,20 @@ def run_batch(
         seq = _next_commit_seq(spark, root)
         sl = _epoch_filter(transcripts, batch)
 
+        staged_table = None
+        cached: list[DataFrame] = []
+        if bucketed:
+            n = n_buckets or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            staged_table = (
+                "pyconform_ingest_"
+                + hashlib.sha256(
+                    f"{root}:{batch[0]}:{batch[-1]}".encode()
+                ).hexdigest()[:16]
+            )
+            sl = _bucketed_source(spark, sl, n, staged_table)
+
         lineage_parts: list[DataFrame] = []
         counts: dict[str, dict[int, int]] = {}
         source = sl  # raw transcripts feed the 1m tier; tiers cascade after
@@ -484,6 +524,13 @@ def run_batch(
                 if tier == "1m"
                 else rollup.cascade_rollup(source, tier)
             )
+            if bucketed:
+                # cache the tier frame WITH its clustered partitioning:
+                # the next tier cascades from it shuffle-free, and the
+                # write below materializes it exactly once
+                td = td.persist()
+                cached.append(td)
+            tier_frame = td
             td = td.withColumn("epoch", epoch_col)
             base = os.path.join(root, "tiers", tier)
             (
@@ -530,13 +577,21 @@ def run_batch(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            source = written.drop("epoch")
+            # bucketed mode cascades from the cached in-memory frame
+            # (clustered partitioning preserved => no Exchange);
+            # default mode cascades from the files actually written
+            source = tier_frame if bucketed else written.drop("epoch")
 
         # ---- commit point for the whole batch
         lin_all = lineage_parts[0]
         for extra in lineage_parts[1:]:
             lin_all = lin_all.unionByName(extra)
         lin_all.coalesce(1).write.mode("append").parquet(_lineage_path(root))
+
+        for c in cached:
+            c.unpersist()
+        if staged_table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {staged_table}")
 
         for e in batch:
             results.append(

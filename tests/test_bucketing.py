@@ -101,3 +101,52 @@ def test_bucketed_join_plans_no_exchange(spark, bucketed_tx):
         assert n == bucketed_tx.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS tx_convs_test")
+
+
+def test_run_batch_bucketed_identical_tiers_and_zero_exchange(
+    spark, tmp_path
+):
+    """The default pipeline path accepts bucketed=True: each batch is
+    staged once as a bucketBy(conv_id) table and the whole cascade
+    plans with ZERO Exchange nodes (gated below via the same
+    _bucketed_source helper run_batch uses); tier rows are
+    bit-identical to the plain path, and the staging table is dropped
+    after the commit."""
+    from pyspark.sql import functions as F
+
+    from pyconform_spark import pipeline
+
+    tx = synth.transcripts(spark, 20_000)
+    tx.persist().count()
+    r_plain = str(tmp_path / "plain")
+    r_buck = str(tmp_path / "bucketed")
+    res_a = pipeline.run_batch(spark, tx, r_plain)
+    res_b = pipeline.run_batch(spark, tx, r_buck, bucketed=True, n_buckets=8)
+    assert [ (r.epoch, r.points) for r in res_a ] == [
+        (r.epoch, r.points) for r in res_b
+    ]
+    for tier in pipeline.TIER_ORDER:
+        a = _rows(pipeline.read_tier(spark, r_plain, tier))
+        b = _rows(pipeline.read_tier(spark, r_buck, tier))
+        assert a == b, tier
+    # staging table cleaned up
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("pyconform_ingest_")
+    ]
+    assert leftovers == []
+    # the exact staged source run_batch builds plans a zero-Exchange
+    # cascade (1m agg + both cascades)
+    src = pipeline._bucketed_source(
+        spark, tx, 8, "pyconform_ingest_plangate"
+    )
+    try:
+        t1m = rollup.tier_rollup(src, "1m")
+        t1h = rollup.cascade_rollup(t1m, "1h")
+        t1d = rollup.cascade_rollup(t1h, "1d")
+        for frame in (t1m, t1h, t1d):
+            assert _n_exchanges(_plan(frame)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pyconform_ingest_plangate")
+    tx.unpersist()
