@@ -20466,9 +20466,10 @@ def hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = f_top·hist_leaf div hist_total — so coherence gaps and
     absolute errors are pure integers; no floats anywhere.
 
-    Scale shape: one hash agg to (type, day), one to |types|, a 1-row
-    top broadcast; the last-day actuals ride the same reduced
-    frame."""
+    Scale shape: one hash agg to (type, day), ONE conditional agg to
+    |types| (hist, n_days and last-day actuals in a single pass — the
+    old separate hist/actual branches were two extra shuffles of the
+    same reduced frame), a 1-row top broadcast."""
     df = _events(spark, sf_dir)
     es = F.col("ts").cast("timestamp").cast("long")
     daily = (
@@ -20480,26 +20481,27 @@ def hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     last = daily.agg(F.max("day").alias("last_day"))
     tagged = daily.crossJoin(F.broadcast(last))
+    pre = F.col("day") < F.col("last_day")
+    at = F.col("day") == F.col("last_day")
     hist = (
-        tagged.where(F.col("day") < F.col("last_day"))
-        .groupBy("event_type")
+        tagged.groupBy("event_type")
         .agg(
-            F.sum("n").cast("long").alias("hist"),
-            F.countDistinct("day").cast("long").alias("n_days"),
+            F.sum(F.when(pre, F.col("n"))).cast("long").alias("hist"),
+            F.countDistinct(F.when(pre, F.col("day")))
+            .cast("long")
+            .alias("n_days"),
+            F.sum(F.when(at, F.col("n"))).cast("long").alias("actual"),
         )
-    )
-    actual = (
-        tagged.where(F.col("day") == F.col("last_day"))
-        .groupBy("event_type")
-        .agg(F.sum("n").cast("long").alias("actual"))
+        # a type seen ONLY on the last day had no hist branch row in
+        # the unfused form — preserve that row set exactly
+        .where(F.col("hist").isNotNull())
     )
     top = hist.agg(
         F.sum("hist").cast("long").alias("hist_total"),
         F.max("n_days").cast("long").alias("n_days_top"),
     )
     leaves = (
-        hist.join(actual, "event_type", "left")
-        .crossJoin(F.broadcast(top))
+        hist.crossJoin(F.broadcast(top))
         .select(
             "event_type",
             "n_days",
