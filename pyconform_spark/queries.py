@@ -19546,13 +19546,22 @@ def lru_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT cross-engine: the access order is the global (ts, event_id)
     total order materialized as an integer position (the log IS a
     total order; the sort is the operation's input contract);
-    in-between counts are COUNT(DISTINCT key) over integer position
-    ranges; hit_ratio is one division.
+    in-between counts come from the interval decomposition
+    d = cover − span over per-key reuse intervals (operators/reuse.py,
+    brute-force-pinned by pytest); hit_ratio is one division.
 
-    Scale shape: per-key lag gives each access its previous position;
-    the in-between scan is an interval equi-join banded by position
-    div 1024 (rangejoin.py's bucketing trick — no nested-loop), so
-    work is accesses + gap lengths, hash-partitioned on the band."""
+    Scale shape: per-key lead gives each access its reuse interval;
+    the counting host is ONE vectorized Arrow pass (sorted-rank
+    lookups + mergesort dominance counting, O(n log² n)) — the old
+    banded interval join did Θ(Σ gap lengths) work and measured 280 s
+    at sf0.1 where this runs in ~2 s.  Reuse distance against one
+    shared LRU is inherently a total-order problem; at 100 TB shard
+    by cache instance and run the host per shard."""
+    import numpy as np
+    import pandas as pd
+
+    from pyconform_spark.operators.reuse import stack_distances
+
     df = _events(spark, sf_dir)
     pos_w = Window.orderBy(F.col("ts"), F.col("event_id"))
     acc = df.select(
@@ -19560,40 +19569,41 @@ def lru_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(pos_w).cast("long").alias("pos"),
     )
     per_key = Window.partitionBy("user_id").orderBy("pos")
-    pairs = acc.select(
-        "user_id",
+    iv = acc.select(
         "pos",
-        F.lag("pos").over(per_key).alias("ppos"),
+        F.coalesce(F.lead("pos").over(per_key), F.lit(-1))
+        .cast("long")
+        .alias("nq"),
     )
-    live = pairs.where(F.col("ppos").isNotNull())
-    bands = live.select(
-        "pos",
-        "ppos",
-        F.explode(
-            F.sequence(
-                F.expr("ppos div 1024"), F.expr("pos div 1024")
-            )
-        ).alias("band"),
-    )
-    probes = acc.select(
-        F.col("user_id").alias("a_user"),
-        F.col("pos").alias("a_pos"),
-        F.expr("pos div 1024").alias("band"),
-    )
-    d = (
-        bands.join(probes, "band")
-        .where(
-            (F.col("a_pos") > F.col("ppos")) & (F.col("a_pos") < F.col("pos"))
+
+    def _host(it):
+        parts = [p for p in it]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
         )
-        .groupBy("pos")
-        .agg(F.countDistinct("a_user").cast("long").alias("d"))
-    )
-    dist = pairs.join(d, "pos", "left").select(
-        F.when(
-            F.col("ppos").isNull(), F.lit(None).cast("long")
-        ).otherwise(F.coalesce(F.col("d"), F.lit(0)) + 1).alias(
-            "stack_distance"
-        )
+        n = len(pdf)
+        if n == 0:
+            return
+        qarr = pdf["pos"].to_numpy(np.int64)
+        nqarr = pdf["nq"].to_numpy(np.int64).copy()
+        nqarr[nqarr == -1] = n + 1  # final accesses: open interval
+        sd = stack_distances(qarr, nqarr, n)
+        # distance belongs to the access AT position nq; a key's first
+        # access has no incoming interval -> null (cold miss)
+        by_pos = np.full(n + 2, -1, dtype=np.int64)
+        mask = sd != -1
+        by_pos[nqarr[mask]] = sd[mask]
+        own = by_pos[qarr]
+        s = pd.Series(own, dtype="int64").astype("Int64")
+        s[own == -1] = pd.NA
+        yield pd.DataFrame({"stack_distance": s})
+
+    dist = iv.repartition(1).mapInPandas(
+        _host, schema="stack_distance long"
     )
     caps = spark.createDataFrame(
         [(1,), (2,), (4,), (8,), (16,), (32,)], "capacity long"

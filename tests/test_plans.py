@@ -2263,19 +2263,17 @@ def test_walsh_fold_keeps_plan_constant_size(spark):
     assert "Join" not in plan
 
 
-def test_lru_stack_distance_uses_banded_equijoin(spark):
-    """The in-between scan must be a hash/sort-merge equi-join on the
-    position band — never a BroadcastNestedLoopJoin (the quadratic
-    range-join trap)."""
+def test_lru_stack_distance_single_arrow_host_no_joins(spark):
+    """The in-between counting is ONE vectorized Arrow pass over the
+    interval frame (operators/reuse.py cover-minus-span) — no banded
+    interval join at all (the old band join did Θ(Σ gap lengths) work:
+    280 s at sf0.1 vs ~2 s now), no row-at-a-time Python; the only
+    nested-loop is the constant 6-row capacities cross."""
     plan = plan_of(Q.lru_stack_distance(spark, SF))
-    # the in-between scan itself is an equi-join on the band key
-    assert (
-        count_nodes(plan, "BroadcastHashJoin")
-        + count_nodes(plan, "SortMergeJoin")
-        >= 1
-    )
-    # the only nested-loop is the constant 6-row capacities cross
-    # (broadcast, Cross build); the range predicate must NOT be one
+    assert count_nodes(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert "BroadcastNestedLoopJoin Inner" not in plan
     assert count_nodes(plan, "CartesianProduct") == 0

@@ -4727,3 +4727,55 @@ def test_harmonic_2hop_hand_graph(spark, tmp_path):
         5: (1, 1, 3, 1.5),
     }
     assert out == want
+
+
+def test_reuse_distance_operator_matches_bruteforce():
+    """operators/reuse.py: the mergesort dominance counter and the
+    cover-minus-span stack distances equal a brute-force LRU stack
+    simulation on randomized logs (no Spark needed — pure numpy)."""
+    import numpy as np
+
+    from pyconform_spark.operators.reuse import (
+        count_prev_geq,
+        stack_distances,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        n = int(rng.integers(1, 70))
+        a = rng.integers(1, 25, n).astype(np.int64)
+        want = np.array(
+            [sum(1 for i in range(t) if a[i] >= a[t]) for t in range(n)],
+            dtype=np.int64,
+        )
+        assert (count_prev_geq(a) == want).all()
+    for _ in range(60):
+        n = int(rng.integers(1, 90))
+        keys = rng.integers(0, max(2, n // 3), n).tolist()
+        nqs = [n + 1] * n
+        last = {}
+        for p, k in enumerate(keys, start=1):
+            if k in last:
+                nqs[last[k]] = p
+            last[k] = p - 1
+        sd = stack_distances(
+            np.arange(1, n + 1, dtype=np.int64),
+            np.array(nqs, dtype=np.int64),
+            n,
+        )
+        # brute-force LRU stack
+        lastpos, want2 = {}, [None] * n
+        for p, k in enumerate(keys, start=1):
+            if k in lastpos:
+                seen = {
+                    keys[q - 1]
+                    for q in range(lastpos[k] + 1, p)
+                    if keys[q - 1] != k
+                }
+                want2[p - 1] = 1 + len(seen)
+            lastpos[k] = p
+        got = [None] * n
+        for i in range(n):
+            if sd[i] != -1:
+                got[nqs[i] - 1] = int(sd[i])
+        assert got == want2
