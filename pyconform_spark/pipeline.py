@@ -2419,3 +2419,53 @@ def gc_orphans(spark: SparkSession, root: str, dry_run: bool = False):
     return spark.createDataFrame(
         [(k, m, p, int(b), a) for k, m, p, b, a in rows], schema
     )
+
+
+def autoparse_filename(
+    fname: str, df: DataFrame, time_col: str = "ts"
+) -> str:
+    """Fill every ``{fmt1-fmt2}`` segment of ``fname`` with the
+    strftime of the frame's FIRST and LAST time values — the
+    reference's filename date-range autoparse (flownodes.py:672-731):
+    ``tier_{%Y%m%d-%Y%m%d}.parquet`` becomes
+    ``tier_20240101-20240312.parquet``.  Spaces in the rendered dates
+    are replaced by ``'0'`` exactly like the reference; unbalanced
+    braces raise ValueError.  One min/max aggregate of the time
+    column — a metadata-priced job, no full materialization."""
+    if "{" not in fname:
+        return fname
+    row = df.agg(
+        F.min(F.col(time_col).cast("timestamp")).alias("t1"),
+        F.max(F.col(time_col).cast("timestamp")).alias("t2"),
+    ).first()
+    t1, t2 = row["t1"], row["t2"]
+    if t1 is None:
+        raise ValueError(
+            f"autoparse_filename: no time values in column {time_col!r}"
+        )
+    while "{" in fname:
+        beg = fname.find("{")
+        end = fname.find("}", beg)
+        if end == -1:
+            raise ValueError(
+                f"Filename {fname!r} has unbalanced special characters"
+            )
+        fmt1, fmt2 = fname[beg + 1 : end].split("-")
+        d1 = t1.strftime(fmt1).replace(" ", "0")
+        d2 = t2.strftime(fmt2).replace(" ", "0")
+        fname = f"{fname[:beg]}{d1}-{d2}{fname[end + 1:]}"
+    return fname
+
+
+def export_named(
+    df: DataFrame, root: str, template: str, time_col: str = "ts"
+) -> str:
+    """Write ``df`` as parquet under ``root/<resolved name>`` where the
+    name is :func:`autoparse_filename` applied to ``template`` — the
+    human-readable date-range naming option next to the epoch-dir
+    layout (the epoch dirs remain the resumable commit unit; this is
+    the hand-off/export surface a downstream consumer reads by
+    name)."""
+    name = autoparse_filename(template, df, time_col)
+    df.write.mode("overwrite").parquet(os.path.join(root, name))
+    return name

@@ -1317,3 +1317,44 @@ def test_point_read_on_legacy_ledger_without_stats(spark, tx, tmp_path):
     )
     assert got.count() > 0
     assert _tier_rows(got) == _tier_rows(want)
+
+
+def test_autoparse_filename_date_range(spark, tmp_path):
+    """{fmt1-fmt2} segments resolve from the frame's min/max time
+    values, spaces pad to '0' like the reference, multiple segments
+    resolve left to right, unbalanced braces raise."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 5, 3, 0, 0),),
+            (dt.datetime(2024, 3, 9, 12, 30, 0),),
+        ],
+        "ts timestamp",
+    )
+    assert (
+        pipeline.autoparse_filename("tier_{%Y%m%d-%Y%m%d}.parquet", df)
+        == "tier_20240105-20240309.parquet"
+    )
+    # %e renders space-padded day-of-month; the reference replaces
+    # spaces with zeros
+    assert (
+        pipeline.autoparse_filename("d{%e-%e}.parquet", df)
+        == "d05-09.parquet"
+    )
+    assert (
+        pipeline.autoparse_filename(
+            "a_{%Y-%Y}_b_{%m%d-%m%d}.parquet", df
+        )
+        == "a_2024-2024_b_0105-0309.parquet"
+    )
+    assert pipeline.autoparse_filename("plain.parquet", df) == "plain.parquet"
+    with pytest.raises(ValueError, match="unbalanced"):
+        pipeline.autoparse_filename("x_{%Y-%Y.parquet", df)
+
+    name = pipeline.export_named(
+        df, str(tmp_path), "export_{%Y%m%d-%Y%m%d}"
+    )
+    assert name == "export_20240105-20240309"
+    back = spark.read.parquet(str(tmp_path / name))
+    assert back.count() == 2
