@@ -2978,9 +2978,8 @@ staged AS (
 summed AS (
   SELECT *, v0 + v1 + v2 + v3 + v4 + v5 + v6 + v7 AS sw
   FROM staged WHERE v7 IS NOT NULL),
-wins AS (
+centered AS (
   SELECT event_type, rn, ts,
-         (CASE WHEN v0 * 8 > sw THEN 1 ELSE 0 END) + (CASE WHEN v1 * 8 > sw THEN 2 ELSE 0 END) + (CASE WHEN v2 * 8 > sw THEN 4 ELSE 0 END) + (CASE WHEN v3 * 8 > sw THEN 8 ELSE 0 END) + (CASE WHEN v4 * 8 > sw THEN 16 ELSE 0 END) + (CASE WHEN v5 * 8 > sw THEN 32 ELSE 0 END) + (CASE WHEN v6 * 8 > sw THEN 64 ELSE 0 END) + (CASE WHEN v7 * 8 > sw THEN 128 ELSE 0 END) AS word,
          v0 * 8 - sw AS c0,
          v1 * 8 - sw AS c1,
          v2 * 8 - sw AS c2,
@@ -2990,6 +2989,20 @@ wins AS (
          v6 * 8 - sw AS c6,
          v7 * 8 - sw AS c7
   FROM summed),
+wins AS (
+  SELECT event_type, rn, ts,
+         (((c1 < c0)::BIGINT + (c2 < c0)::BIGINT + (c3 < c0)::BIGINT + (c4 < c0)::BIGINT + (c5 < c0)::BIGINT + (c6 < c0)::BIGINT + (c7 < c0)::BIGINT) // 2) * 1
+       + (((c0 < c1)::BIGINT + (c2 < c1)::BIGINT + (c3 < c1)::BIGINT + (c4 < c1)::BIGINT + (c5 < c1)::BIGINT + (c6 < c1)::BIGINT + (c7 < c1)::BIGINT) // 2) * 4
+       + (((c0 < c2)::BIGINT + (c1 < c2)::BIGINT + (c3 < c2)::BIGINT + (c4 < c2)::BIGINT + (c5 < c2)::BIGINT + (c6 < c2)::BIGINT + (c7 < c2)::BIGINT) // 2) * 16
+       + (((c0 < c3)::BIGINT + (c1 < c3)::BIGINT + (c2 < c3)::BIGINT + (c4 < c3)::BIGINT + (c5 < c3)::BIGINT + (c6 < c3)::BIGINT + (c7 < c3)::BIGINT) // 2) * 64
+       + (((c0 < c4)::BIGINT + (c1 < c4)::BIGINT + (c2 < c4)::BIGINT + (c3 < c4)::BIGINT + (c5 < c4)::BIGINT + (c6 < c4)::BIGINT + (c7 < c4)::BIGINT) // 2) * 256
+       + (((c0 < c5)::BIGINT + (c1 < c5)::BIGINT + (c2 < c5)::BIGINT + (c3 < c5)::BIGINT + (c4 < c5)::BIGINT + (c6 < c5)::BIGINT + (c7 < c5)::BIGINT) // 2) * 1024
+       + (((c0 < c6)::BIGINT + (c1 < c6)::BIGINT + (c2 < c6)::BIGINT + (c3 < c6)::BIGINT + (c4 < c6)::BIGINT + (c5 < c6)::BIGINT + (c7 < c6)::BIGINT) // 2) * 4096
+       + (((c0 < c7)::BIGINT + (c1 < c7)::BIGINT + (c2 < c7)::BIGINT + (c3 < c7)::BIGINT + (c4 < c7)::BIGINT + (c5 < c7)::BIGINT + (c6 < c7)::BIGINT) // 2) * 16384
+       + ((greatest(c0, c1, c2, c3, c4, c5, c6, c7)
+           - least(c0, c1, c2, c3, c4, c5, c6, c7)) // 512) * 65536 AS word,
+         c0, c1, c2, c3, c4, c5, c6, c7
+  FROM centered),
 pairs AS (
   SELECT a.event_type, a.rn AS r1, b.rn AS r2, a.ts AS ts1, b.ts AS ts2,
          a.word AS word,

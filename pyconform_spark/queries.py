@@ -5523,8 +5523,16 @@ def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def motif_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-profile-lite motif discovery per event_type: every
-    length-8 sliding window is discretized to an 8-bit SAX-style word
-    (bit j = is element j above the window mean), windows sharing a
+    length-8 sliding window is discretized to a 16-bit SAX word —
+    TWO bits per element, the element's quartile LEVEL within its own
+    window (level = (# window elements strictly below it) >> 1, i.e.
+    the 2-2-2-2 rank split, the standard alphabet-4 SAX realized as
+    64 pure integer comparisons so the whole stage stays inside
+    codegen — no array_sort fallback) PLUS the window's coarse
+    magnitude (spread div 512 in the high bits: rank patterns alone
+    top out at 8!/2^4 = 2520 shapes, a fixed vocabulary that goes
+    quadratic as the series grows; the spread bits keep bucket
+    cardinality falling with scale) — windows sharing a
     word become candidate pairs (bucket equi-join — NEVER all-pairs),
     candidates are verified with an exact integer distance, and the 3
     closest non-overlapping pairs per series are reported — the
@@ -5534,16 +5542,23 @@ def motif_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT cross-engine: the window vector rides 7 lead() columns on
     ONE (series, ts) sort; with Sw = Σwindow vq (centi-quantized), the
     mean-centered element is c_j = 8·vq_j − Sw (pure int64, |c| ≤
-    2.6e5 at corpus max) and the pair distance Σ(c1_j − c2_j)² ≤
+    2.6e5 at corpus max), levels are strict-rank shifts (ties share a
+    rank, hence a level — identical arithmetic both engines), and the
+    pair distance Σ(c1_j − c2_j)² ≤
     2.2e12 stays integer; ranking ties break on (dist, r1, r2).
     Mean-centering gives shift-invariance; variance scaling is
     deliberately omitted (it would need a double sqrt and break
     bit-equality).  Trivial matches are excluded (r2 ≥ r1 + 8,
-    standard matrix-profile exclusion zone).  Scale shape: one
-    key-local window sort, then a (series, word) hash self-join that
-    only ever compares same-bucket windows; at 100 TB a df-cap on
-    hyper-common words (cf. containment_dedup_pairs) bounds bucket
-    skew — at test scale every bucket is small."""
+    standard matrix-profile exclusion zone).
+
+    Scale shape: one key-local window sort, then a (series, word)
+    hash self-join that only ever compares same-bucket windows.  The
+    65,536-word alphabet is what keeps the buckets small as the
+    series grows — the original 1-bit/256-word variant saturated its
+    vocabulary and went quadratic (measured 19x wall for 10x data at
+    sf0.1); flat windows (all-equal values collapse every level to 0)
+    are the residual hot bucket, bounded at 100 TB by a df-cap on
+    hyper-common words (cf. containment_dedup_pairs)."""
     m = 8
     df = _events(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -5556,25 +5571,41 @@ def motif_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead(vq, j).over(wo).alias(f"v{j}") for j in range(1, m)],
     )
     sw = sum(F.col(f"v{j}") for j in range(m))
-    word = sum(
-        F.when(F.col(f"v{j}") * m > F.col("_sw"), F.lit(1 << j)).otherwise(F.lit(0))
-        for j in range(m)
+    centered = staged.where(F.col(f"v{m-1}").isNotNull()).select(
+        "event_type",
+        "rn",
+        "ts",
+        *[
+            (F.col(f"v{j}") * m - sw).alias(f"c{j}")
+            for j in range(m)
+        ],
     )
-    wins = (
-        staged.where(F.col(f"v{m-1}").isNotNull())
-        .withColumn("_sw", sw)
-        .select(
-            "event_type",
-            "rn",
-            "ts",
-            word.alias("word"),
-            *[
-                (F.col(f"v{j}") * m - F.col("_sw")).alias(f"c{j}")
-                for j in range(m)
-            ],
+    def level(j):
+        rank = sum(
+            (F.col(f"c{k}") < F.col(f"c{j}")).cast("long")
+            for k in range(m)
+            if k != j
         )
+        return F.shiftright(rank, 1)
+
+    spread = F.greatest(
+        *[F.col(f"c{j}") for j in range(m)]
+    ) - F.least(*[F.col(f"c{j}") for j in range(m)])
+    word = sum(
+        level(j) * F.lit(1 << (2 * j)) for j in range(m)
+    ) + F.shiftright(spread, 9) * F.lit(1 << 16)
+    wins = centered.select(
+        "event_type",
+        "rn",
+        "ts",
+        word.alias("word"),
+        *[F.col(f"c{j}") for j in range(m)],
     )
-    a, b = wins.alias("a"), wins.alias("b")
+    # both self-join sides scale with the series — force a shuffle
+    # hash join: the session's 64 MB broadcast threshold would collect
+    # the whole wins frame to the driver (measured 11 s of the old
+    # 16 s at sf0.1 was that broadcast build)
+    a, b = wins.hint("shuffle_hash").alias("a"), wins.alias("b")
     dist = sum(
         (F.col(f"a.c{j}") - F.col(f"b.c{j}"))
         * (F.col(f"a.c{j}") - F.col(f"b.c{j}"))
