@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     # round-5: the O(log n) large-star/small-star CC twin — the
     # intentional pair against propagation-mode dedup_components
     "dedup_components_star",
+    # round-5 scale-fix entry (lru_stack_distance is already listed
+    # below): watched per round so regressions show
+    "motif_sax_pairs",
     "vertical_interp_linear",
     "media_decoded_props",
     "ann_lsh_multiprobe",

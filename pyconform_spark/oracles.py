@@ -832,7 +832,7 @@ agg AS (
   FROM buckets GROUP BY 1
 )
 SELECT a.event_type,
-       (CASE WHEN (188686.82445861166::DOUBLE / (s + (512 - nb))) <= 1280.0 AND (512 - nb) > 0 THEN (['3194.022208020228'::DOUBLE, '2839.130851573536'::DOUBLE, '2631.5327162221556'::DOUBLE, '2484.239495126844'::DOUBLE, '2369.9899968539685'::DOUBLE, '2276.6413597754636'::DOUBLE, '2197.7162117039074'::DOUBLE, '2129.348138680152'::DOUBLE, '2069.0432244240837'::DOUBLE, '2015.0986404072767'::DOUBLE, '1966.2998283474624'::DOUBLE, '1921.7500033287718'::DOUBLE, '1880.7681369999211'::DOUBLE, '1842.8248552572156'::DOUBLE, '1807.5005050558964'::DOUBLE, '1774.45678223346'::DOUBLE, '1743.4169758634453'::DOUBLE, '1714.1518679773917'::DOUBLE, '1686.4694506870105'::DOUBLE, '1660.2072839605846'::DOUBLE, '1635.2267199058354'::DOUBLE, '1611.4084719007703'::DOUBLE, '1588.6491694645033'::DOUBLE, '1566.8586468820797'::DOUBLE, '1545.9577856877092'::DOUBLE, '1525.8767805532293'::DOUBLE, '1506.5537326260114'::DOUBLE, '1487.9334988105236'::DOUBLE, '1469.9667430671532'::DOUBLE, '1452.6091486092043'::DOUBLE, '1435.820759323833'::DOUBLE, '1419.565425786768'::DOUBLE, '1403.81033654939'::DOUBLE, '1388.5256194167534'::DOUBLE, '1373.6840005376482'::DOUBLE, '1359.2605115306997'::DOUBLE, '1345.232236746385'::DOUBLE, '1331.5780942403185'::DOUBLE, '1318.278645201849'::DOUBLE, '1305.3159275138926'::DOUBLE, '1292.6733098676225'::DOUBLE, '1280.3353634591433'::DOUBLE, '1268.287748785124'::DOUBLE, '1256.5171154540783'::DOUBLE, '1245.0110132578243'::DOUBLE, '1233.7578130178113'::DOUBLE, '1222.746635944678'::DOUBLE, '1211.967290435388'::DOUBLE, '1201.4102153875872'::DOUBLE, '1191.0664292410172'::DOUBLE, '1180.9274840653732'::DOUBLE, '1170.9854241065373'::DOUBLE, '1161.2327482815415'::DOUBLE, '1151.6623761793194'::DOUBLE, '1142.267617181203'::DOUBLE, '1133.0421423638315'::DOUBLE, '1123.9799588889382'::DOUBLE, '1115.0753866204614'::DOUBLE, '1106.3230367404997'::DOUBLE, '1097.7177921625125'::DOUBLE, '1089.2547895634927'::DOUBLE, '1080.929402877141'::DOUBLE, '1072.7372281077633'::DOUBLE, '1064.674069340076'::DOUBLE, '1056.735925833662'::DOUBLE, '1048.918980102698'::DOUBLE, '1041.2195868920533'::DOUBLE, '1033.6342629700614'::DOUBLE, '1026.1596776664312'::DOUBLE, '1018.7926440909562'::DOUBLE, '1011.5301109750745'::DOUBLE, '1004.3691550840076'::DOUBLE, '997.3069741522517'::DOUBLE, '990.3408802996931'::DOUBLE, '983.468293889637'::DOUBLE, '976.6867377936264'::DOUBLE, '969.9938320311419'::DOUBLE, '963.387288755157'::DOUBLE, '956.8649075571129'::DOUBLE, '950.4245710672006'::DOUBLE, '944.0642408279393'::DOUBLE, '937.7819534209304'::DOUBLE, '931.5758168283699'::DOUBLE, '925.4440070124514'::DOUBLE, '919.3847646971859'::DOUBLE, '913.3963923384321'::DOUBLE, '907.4772512690811'::DOUBLE, '901.6257590073863'::DOUBLE, '895.8403867173723'::DOUBLE, '890.1196568111322'::DOUBLE, '884.4621406836008'::DOUBLE, '878.8664565711193'::DOUBLE, '873.331267525761'::DOUBLE, '867.855279497986'::DOUBLE, '862.4372395207511'::DOUBLE, '857.0759339886959'::DOUBLE, '851.7701870264959'::DOUBLE, '846.5188589408951'::DOUBLE, '841.320844751318'::DOUBLE, '836.1750727943252'::DOUBLE, '831.0805033975032'::DOUBLE, '826.0361276186812'::DOUBLE, '821.0409660466544'::DOUBLE, '816.0940676598452'::DOUBLE, '811.1945087395761'::DOUBLE, '806.3413918348496'::DOUBLE, '801.533844775732'::DOUBLE, '796.7710197326275'::DOUBLE, '792.0520923189065'::DOUBLE, '787.3762607345109'::DOUBLE, '782.7427449483129'::DOUBLE, '778.1507859171395'::DOUBLE, '773.5996448395096'::DOUBLE, '769.0886024422463'::DOUBLE, '764.616958298244'::DOUBLE, '760.1840301737693'::DOUBLE, '755.7891534037769'::DOUBLE, '751.4316802938076'::DOUBLE, '747.1109795471249'::DOUBLE, '742.8264357158205'::DOUBLE, '738.5774486746966'::DOUBLE, '734.3634331168007'::DOUBLE, '730.1838180695503'::DOUBLE, '726.0380464304491'::DOUBLE, '721.9255745214498'::DOUBLE, '717.8458716610712'::DOUBLE, '713.7984197534292'::DOUBLE, '709.782712893384'::DOUBLE, '705.7982569870519'::DOUBLE, '701.8445693869699'::DOUBLE, '697.9211785412384'::DOUBLE, '694.0276236560061'::DOUBLE, '690.16345437069'::DOUBLE, '686.3282304453613'::DOUBLE, '682.5215214597521'::DOUBLE, '678.7429065233694'::DOUBLE, '674.991973996228'::DOUBLE, '671.2683212197392'::DOUBLE, '667.5715542573138'::DOUBLE, '663.9012876442641'::DOUBLE, '660.2571441466058'::DOUBLE, '656.6387545283825'::DOUBLE, '653.0457573271555'::DOUBLE, '649.4777986373157'::DOUBLE, '645.9345319008938'::DOUBLE, '642.4156177055597'::DOUBLE, '638.920723589515'::DOUBLE, '635.4495238530011'::DOUBLE, '632.0016993761529'::DOUBLE, '628.5769374429451'::DOUBLE, '625.1749315709867'::DOUBLE, '621.7953813469344'::DOUBLE, '618.4379922673011'::DOUBLE, '615.1024755844498'::DOUBLE, '611.7885481575737'::DOUBLE, '608.495932308465'::DOUBLE, '605.2243556818943'::DOUBLE, '601.973551110421'::DOUBLE, '598.7432564834695'::DOUBLE, '595.5332146205086'::DOUBLE, '592.3431731481829'::DOUBLE, '589.1728843812473'::DOUBLE, '586.0221052071657'::DOUBLE, '582.8905969742384'::DOUBLE, '579.7781253831307'::DOUBLE, '576.6844603816779'::DOUBLE, '573.6093760628494'::DOUBLE, '570.5526505657593'::DOUBLE, '567.5140659796143'::DOUBLE, '564.493408250494'::DOUBLE, '561.4904670908661'::DOUBLE, '558.50503589174'::DOUBLE, '555.5369116373652'::DOUBLE, '552.5858948223892'::DOUBLE, '549.6517893713888'::DOUBLE, '546.7344025606943'::DOUBLE, '543.8335449424275'::DOUBLE, '540.9490302706804'::DOUBLE, '538.0806754297614'::DOUBLE, '535.2283003644403'::DOUBLE, '532.3917280121252'::DOUBLE, '529.5707842369088'::DOUBLE, '526.7652977654204'::DOUBLE, '523.9751001244273'::DOUBLE, '521.2000255801257'::DOUBLE, '518.439911079069'::DOUBLE, '515.6945961906796'::DOUBLE, '512.9639230512939'::DOUBLE, '510.24773630969105'::DOUBLE, '507.5458830740591'::DOUBLE, '504.85821286035355'::DOUBLE, '502.1845775420038'::DOUBLE, '499.5248313009266'::DOUBLE, '496.87883057980395'::DOUBLE, '494.24643403558963'::DOUBLE, '491.6275024942031'::DOUBLE, '489.0218989063778'::DOUBLE, '486.429488304626'::DOUBLE, '483.8501377612879'::DOUBLE, '481.28371634763323'::DOUBLE, '478.7300950939812'::DOUBLE, '476.18914695081116'::DOUBLE, '473.66074675083286'::DOUBLE, '471.1447711719892'::DOUBLE, '468.641098701363'::DOUBLE, '466.14960959996245'::DOUBLE, '463.670185868359'::DOUBLE, '461.20271121315324'::DOUBLE, '458.74707101424474'::DOUBLE, '456.3031522928841'::DOUBLE, '453.870843680482'::DOUBLE, '451.4500353881576'::DOUBLE, '449.0406191770023'::DOUBLE, '446.64248832903996'::DOUBLE, '444.25553761886465'::DOUBLE, '441.87966328593546'::DOUBLE, '439.51476300751267'::DOUBLE, '437.16073587221445'::DOUBLE, '434.81748235417956'::DOUBLE, '432.48490428781884'::DOUBLE, '430.16290484313856'::DOUBLE, '427.85138850162093'::DOUBLE, '425.5502610326472'::DOUBLE, '423.25942947044757'::DOUBLE, '420.9788020915649'::DOUBLE, '418.7082883928176'::DOUBLE, '416.44779906974986'::DOUBLE, '414.1972459955543'::DOUBLE, '411.95654220045725'::DOUBLE, '409.72560185155197'::DOUBLE, '407.5043402330697'::DOUBLE, '405.2926737270773'::DOUBLE, '403.0905197945893'::DOUBLE, '400.8977969570849'::DOUBLE, '398.7144247784186'::DOUBLE, '396.54032384711564'::DOUBLE, '394.3754157590408'::DOUBLE, '392.2196231004329'::DOUBLE, '390.07286943129446'::DOUBLE, '387.93507926912844'::DOUBLE, '385.80617807301263'::DOUBLE, '383.68609222800455'::DOUBLE, '381.57474902986723'::DOUBLE, '379.47207667010866'::DOUBLE, '377.37800422132784'::DOUBLE, '375.2924616228583'::DOUBLE, '373.21537966670365'::DOUBLE, '371.1466899837571'::DOUBLE, '369.08632503029764'::DOUBLE, '367.0342180747578'::DOUBLE, '364.9903031847546'::DOUBLE, '362.9545152143792'::DOUBLE, '360.9267897917376'::DOUBLE, '358.90706330673726'::DOUBLE, '356.8952728991138'::DOUBLE, '354.891356446692'::DOUBLE, '352.8952525538755'::DOUBLE, '350.90690054035986'::DOUBLE, '348.9262404300647'::DOUBLE, '346.9532129402778'::DOUBLE, '344.9877594710089'::DOUBLE, '343.0298220945464'::DOUBLE, '341.0793435452125'::DOUBLE, '339.1362672093141'::DOUBLE, '337.2005371152822'::DOUBLE, '335.27209792399805'::DOUBLE, '333.35089491930023'::DOUBLE, '331.43687399866934'::DOUBLE, '329.52998166408634'::DOUBLE, '327.63016501306015'::DOUBLE, '325.7373717298211'::DOUBLE, '323.85155007667737'::DOUBLE, '321.9726488855286'::DOUBLE, '320.100617549536'::DOUBLE, '318.23540601494346'::DOUBLE, '316.3769647730472'::DOUBLE, '314.52524485231066'::DOUBLE, '312.68019781062185'::DOUBLE, '310.8417757276888'::DOUBLE, '309.00993119757214'::DOUBLE, '307.1846173213501'::DOUBLE, '305.3657876999138'::DOUBLE, '303.5533964268903'::DOUBLE, '301.7473980816905'::DOUBLE, '299.9477477226789'::DOUBLE, '298.15440088046347'::DOUBLE, '296.367313551302'::DOUBLE, '294.58644219062364'::DOUBLE, '292.81174370666275'::DOUBLE, '291.0431754542019'::DOUBLE, '289.2806952284238'::DOUBLE, '287.5242612588677'::DOUBLE, '285.7738322034895'::DOUBLE, '284.029367142823'::DOUBLE, '282.2908255742402'::DOUBLE, '280.5581674063091'::DOUBLE, '278.83135295324576'::DOUBLE, '277.1103429294609'::DOUBLE, '275.39509844419655'::DOUBLE, '273.68558099625307'::DOUBLE, '271.9817524688036'::DOUBLE, '270.2835751242947'::DOUBLE, '268.591011599431'::DOUBLE, '266.90402490024246'::DOUBLE, '265.22257839723324'::DOUBLE, '263.546635820609'::DOUBLE, '261.87616125558304'::DOUBLE, '260.2111191377579'::DOUBLE, '258.55147424858234'::DOUBLE, '256.8971917108817'::DOUBLE, '255.2482369844601'::DOUBLE, '253.60457586177301'::DOUBLE, '251.96617446366952'::DOUBLE, '250.3329992352023'::DOUBLE, '248.70501694150386'::DOUBLE, '247.08219466372898'::DOUBLE, '245.4644997950603'::DOUBLE, '243.85190003677747'::DOUBLE, '242.24436339438753'::DOUBLE, '240.64185817381664'::DOUBLE, '239.04435297765986'::DOUBLE, '237.4518167014909'::DOUBLE, '235.86421853022787'::DOUBLE, '234.2815279345553'::DOUBLE, '232.70371466740238'::DOUBLE, '231.1307487604737'::DOUBLE, '229.56260052083425'::DOUBLE, '227.99924052754642'::DOUBLE, '226.4406396283576'::DOUBLE, '224.88676893643873'::DOUBLE, '223.33759982717177'::DOUBLE, '221.79310393498588'::DOUBLE, '220.25325315024074'::DOUBLE, '218.7180196161574'::DOUBLE, '217.18737572579397'::DOUBLE, '215.66129411906738'::DOUBLE, '214.1397476798188'::DOUBLE, '212.62270953292236'::DOUBLE, '211.11015304143746'::DOUBLE, '209.60205180380197'::DOUBLE, '208.09837965106738'::DOUBLE, '206.59911064417412'::DOUBLE, '205.10421907126675'::DOUBLE, '203.61367944504804'::DOUBLE, '202.1274665001718'::DOUBLE, '200.64555519067315'::DOUBLE, '199.16792068743604'::DOUBLE, '197.6945383756971'::DOUBLE, '196.22538385258525'::DOUBLE, '194.7604329246968'::DOUBLE, '193.29966160570473'::DOUBLE, '191.84304611400228'::DOUBLE, '190.39056287038005'::DOUBLE, '188.94218849573548'::DOUBLE, '187.49789980881513'::DOUBLE, '186.05767382398838'::DOUBLE, '184.6214877490528'::DOUBLE, '183.18931898306946'::DOUBLE, '181.7611451142292'::DOUBLE, '180.3369439177483'::DOUBLE, '178.91669335379297'::DOUBLE, '177.50037156543317'::DOUBLE, '176.0879568766244'::DOUBLE, '174.6794277902168'::DOUBLE, '173.27476298599234'::DOUBLE, '171.87394131872847'::DOUBLE, '170.476941816288'::DOUBLE, '169.08374367773533'::DOUBLE, '167.69432627147808'::DOUBLE, '166.3086691334337'::DOUBLE, '164.92675196522123'::DOUBLE, '163.54855463237698'::DOUBLE, '162.17405716259444'::DOUBLE, '160.8032397439876'::DOUBLE, '159.43608272337764'::DOUBLE, '158.07256660460197'::DOUBLE, '156.71267204684645'::DOUBLE, '155.35637986299906'::DOUBLE, '154.00367101802567'::DOUBLE, '152.65452662736706'::DOUBLE, '151.3089279553571'::DOUBLE, '149.96685641366153'::DOUBLE, '148.62829355973724'::DOUBLE, '147.2932210953118'::DOUBLE, '145.96162086488246'::DOUBLE, '144.6334748542346'::DOUBLE, '143.30876518897972'::DOUBLE, '141.987474133112'::DOUBLE, '140.66958408758344'::DOUBLE, '139.35507758889761'::DOUBLE, '138.04393730772074'::DOUBLE, '136.7361460475111'::DOUBLE, '135.43168674316627'::DOUBLE, '134.13054245968584'::DOUBLE, '132.83269639085358'::DOUBLE, '131.538131857934'::DOUBLE, '130.24683230838647'::DOUBLE, '128.95878131459588'::DOUBLE, '127.67396257261787'::DOUBLE, '126.39235990094122'::DOUBLE, '125.11395723926455'::DOUBLE, '123.83873864728919'::DOUBLE, '122.5666883035263'::DOUBLE, '121.29779050411916'::DOUBLE, '120.03202966167994'::DOUBLE, '118.76939030414088'::DOUBLE, '117.50985707361934'::DOUBLE, '116.25341472529719'::DOUBLE, '115.00004812631349'::DOUBLE, '113.749742254671'::DOUBLE, '112.50248219815587'::DOUBLE, '111.25825315327043'::DOUBLE, '110.01704042417924'::DOUBLE, '108.778829421667'::DOUBLE, '107.54360566211051'::DOUBLE, '106.3113547664612'::DOUBLE, '105.08206245924161'::DOUBLE, '103.85571456755274'::DOUBLE, '102.63229702009349'::DOUBLE, '101.41179584619206'::DOUBLE, '100.19419717484872'::DOUBLE, '98.97948723378998'::DOUBLE, '97.76765234853366'::DOUBLE, '96.55867894146559'::DOUBLE, '95.35255353092653'::DOUBLE, '94.14926273031034'::DOUBLE, '92.94879324717222'::DOUBLE, '91.75113188234799'::DOUBLE, '90.55626552908329'::DOUBLE, '89.36418117217262'::DOUBLE, '88.17486588710909'::DOUBLE, '86.98830683924348'::DOUBLE, '85.80449128295318'::DOUBLE, '84.6234065608207'::DOUBLE, '83.44504010282172'::DOUBLE, '82.26937942552244'::DOUBLE, '81.09641213128583'::DOUBLE, '79.92612590748755'::DOUBLE, '78.75850852574023'::DOUBLE, '77.59354784112685'::DOUBLE, '76.43123179144285'::DOUBLE, '75.27154839644659'::DOUBLE, '74.1144857571185'::DOUBLE, '72.9600320549289'::DOUBLE, '71.80817555111304'::DOUBLE, '70.65890458595517'::DOUBLE, '69.51220757808073'::DOUBLE, '68.36807302375556'::DOUBLE, '67.22648949619376'::DOUBLE, '66.08744564487289'::DOUBLE, '64.95093019485667'::DOUBLE, '63.816931946125614'::DOUBLE, '62.68543977291457'::DOUBLE, '61.55644262305786'::DOUBLE, '60.42992951734137'::DOUBLE, '59.30588954886228'::DOUBLE, '58.184311882395164'::DOUBLE, '57.06518575376526'::DOUBLE, '55.94850046922892'::DOUBLE, '54.83424540485996'::DOUBLE, '53.722410005943956'::DOUBLE, '52.6129837863777'::DOUBLE, '51.505956328076174'::DOUBLE, '50.401317280385285'::DOUBLE, '49.299056359501556'::DOUBLE, '48.1991633478973'::DOUBLE, '47.10162809375259'::DOUBLE, '46.006440510392906'::DOUBLE, '44.91359057573294'::DOUBLE, '43.82306833172661'::DOUBLE, '42.73486388382209'::DOUBLE, '41.64896740042363'::DOUBLE, '40.565369112358326'::DOUBLE, '39.484059312348776'::DOUBLE, '38.40502835449168'::DOUBLE, '37.32826665374092'::DOUBLE, '36.25376468539731'::DOUBLE, '35.181512984602485'::DOUBLE, '34.11150214583933'::DOUBLE, '33.043722822436436'::DOUBLE, '31.97816572607829'::DOUBLE, '30.91482162632063'::DOUBLE, '29.853681350110808'::DOUBLE, '28.794735781312568'::DOUBLE, '27.737975860236602'::DOUBLE, '26.68339258317522'::DOUBLE, '25.630977001942032'::DOUBLE, '24.58072022341666'::DOUBLE, '23.532613409093557'::DOUBLE, '22.486647774635816'::DOUBLE, '21.4428145894334'::DOUBLE, '20.401105176166286'::DOUBLE, '19.361510910370644'::DOUBLE, '18.324023220011668'::DOUBLE, '17.28863358505855'::DOUBLE, '16.2553335370651'::DOUBLE, '15.224114658754122'::DOUBLE, '14.194968583605641'::DOUBLE, '13.167886995450386'::DOUBLE, '12.142861628065825'::DOUBLE, '11.119884264777166'::DOUBLE, '10.09894673806263'::DOUBLE, '9.08004092916146'::DOUBLE, '8.063158767687225'::DOUBLE, '7.048292231243761'::DOUBLE, '6.035433345045592'::DOUBLE, '5.024574181542231'::DOUBLE, '4.01570686004525'::DOUBLE, '3.008823546360305'::DOUBLE, '2.003916452421793'::DOUBLE, '1.000977835931287'::DOUBLE, '0.0'::DOUBLE])[512 - nb] ELSE 188686.82445861166::DOUBLE / (s + (512 - nb)) END)::DOUBLE
+       (CASE WHEN ('188686.82445861166'::DOUBLE / (s + (512 - nb))) <= 1280.0 AND (512 - nb) > 0 THEN (['3194.022208020228'::DOUBLE, '2839.130851573536'::DOUBLE, '2631.5327162221556'::DOUBLE, '2484.239495126844'::DOUBLE, '2369.9899968539685'::DOUBLE, '2276.6413597754636'::DOUBLE, '2197.7162117039074'::DOUBLE, '2129.348138680152'::DOUBLE, '2069.0432244240837'::DOUBLE, '2015.0986404072767'::DOUBLE, '1966.2998283474624'::DOUBLE, '1921.7500033287718'::DOUBLE, '1880.7681369999211'::DOUBLE, '1842.8248552572156'::DOUBLE, '1807.5005050558964'::DOUBLE, '1774.45678223346'::DOUBLE, '1743.4169758634453'::DOUBLE, '1714.1518679773917'::DOUBLE, '1686.4694506870105'::DOUBLE, '1660.2072839605846'::DOUBLE, '1635.2267199058354'::DOUBLE, '1611.4084719007703'::DOUBLE, '1588.6491694645033'::DOUBLE, '1566.8586468820797'::DOUBLE, '1545.9577856877092'::DOUBLE, '1525.8767805532293'::DOUBLE, '1506.5537326260114'::DOUBLE, '1487.9334988105236'::DOUBLE, '1469.9667430671532'::DOUBLE, '1452.6091486092043'::DOUBLE, '1435.820759323833'::DOUBLE, '1419.565425786768'::DOUBLE, '1403.81033654939'::DOUBLE, '1388.5256194167534'::DOUBLE, '1373.6840005376482'::DOUBLE, '1359.2605115306997'::DOUBLE, '1345.232236746385'::DOUBLE, '1331.5780942403185'::DOUBLE, '1318.278645201849'::DOUBLE, '1305.3159275138926'::DOUBLE, '1292.6733098676225'::DOUBLE, '1280.3353634591433'::DOUBLE, '1268.287748785124'::DOUBLE, '1256.5171154540783'::DOUBLE, '1245.0110132578243'::DOUBLE, '1233.7578130178113'::DOUBLE, '1222.746635944678'::DOUBLE, '1211.967290435388'::DOUBLE, '1201.4102153875872'::DOUBLE, '1191.0664292410172'::DOUBLE, '1180.9274840653732'::DOUBLE, '1170.9854241065373'::DOUBLE, '1161.2327482815415'::DOUBLE, '1151.6623761793194'::DOUBLE, '1142.267617181203'::DOUBLE, '1133.0421423638315'::DOUBLE, '1123.9799588889382'::DOUBLE, '1115.0753866204614'::DOUBLE, '1106.3230367404997'::DOUBLE, '1097.7177921625125'::DOUBLE, '1089.2547895634927'::DOUBLE, '1080.929402877141'::DOUBLE, '1072.7372281077633'::DOUBLE, '1064.674069340076'::DOUBLE, '1056.735925833662'::DOUBLE, '1048.918980102698'::DOUBLE, '1041.2195868920533'::DOUBLE, '1033.6342629700614'::DOUBLE, '1026.1596776664312'::DOUBLE, '1018.7926440909562'::DOUBLE, '1011.5301109750745'::DOUBLE, '1004.3691550840076'::DOUBLE, '997.3069741522517'::DOUBLE, '990.3408802996931'::DOUBLE, '983.468293889637'::DOUBLE, '976.6867377936264'::DOUBLE, '969.9938320311419'::DOUBLE, '963.387288755157'::DOUBLE, '956.8649075571129'::DOUBLE, '950.4245710672006'::DOUBLE, '944.0642408279393'::DOUBLE, '937.7819534209304'::DOUBLE, '931.5758168283699'::DOUBLE, '925.4440070124514'::DOUBLE, '919.3847646971859'::DOUBLE, '913.3963923384321'::DOUBLE, '907.4772512690811'::DOUBLE, '901.6257590073863'::DOUBLE, '895.8403867173723'::DOUBLE, '890.1196568111322'::DOUBLE, '884.4621406836008'::DOUBLE, '878.8664565711193'::DOUBLE, '873.331267525761'::DOUBLE, '867.855279497986'::DOUBLE, '862.4372395207511'::DOUBLE, '857.0759339886959'::DOUBLE, '851.7701870264959'::DOUBLE, '846.5188589408951'::DOUBLE, '841.320844751318'::DOUBLE, '836.1750727943252'::DOUBLE, '831.0805033975032'::DOUBLE, '826.0361276186812'::DOUBLE, '821.0409660466544'::DOUBLE, '816.0940676598452'::DOUBLE, '811.1945087395761'::DOUBLE, '806.3413918348496'::DOUBLE, '801.533844775732'::DOUBLE, '796.7710197326275'::DOUBLE, '792.0520923189065'::DOUBLE, '787.3762607345109'::DOUBLE, '782.7427449483129'::DOUBLE, '778.1507859171395'::DOUBLE, '773.5996448395096'::DOUBLE, '769.0886024422463'::DOUBLE, '764.616958298244'::DOUBLE, '760.1840301737693'::DOUBLE, '755.7891534037769'::DOUBLE, '751.4316802938076'::DOUBLE, '747.1109795471249'::DOUBLE, '742.8264357158205'::DOUBLE, '738.5774486746966'::DOUBLE, '734.3634331168007'::DOUBLE, '730.1838180695503'::DOUBLE, '726.0380464304491'::DOUBLE, '721.9255745214498'::DOUBLE, '717.8458716610712'::DOUBLE, '713.7984197534292'::DOUBLE, '709.782712893384'::DOUBLE, '705.7982569870519'::DOUBLE, '701.8445693869699'::DOUBLE, '697.9211785412384'::DOUBLE, '694.0276236560061'::DOUBLE, '690.16345437069'::DOUBLE, '686.3282304453613'::DOUBLE, '682.5215214597521'::DOUBLE, '678.7429065233694'::DOUBLE, '674.991973996228'::DOUBLE, '671.2683212197392'::DOUBLE, '667.5715542573138'::DOUBLE, '663.9012876442641'::DOUBLE, '660.2571441466058'::DOUBLE, '656.6387545283825'::DOUBLE, '653.0457573271555'::DOUBLE, '649.4777986373157'::DOUBLE, '645.9345319008938'::DOUBLE, '642.4156177055597'::DOUBLE, '638.920723589515'::DOUBLE, '635.4495238530011'::DOUBLE, '632.0016993761529'::DOUBLE, '628.5769374429451'::DOUBLE, '625.1749315709867'::DOUBLE, '621.7953813469344'::DOUBLE, '618.4379922673011'::DOUBLE, '615.1024755844498'::DOUBLE, '611.7885481575737'::DOUBLE, '608.495932308465'::DOUBLE, '605.2243556818943'::DOUBLE, '601.973551110421'::DOUBLE, '598.7432564834695'::DOUBLE, '595.5332146205086'::DOUBLE, '592.3431731481829'::DOUBLE, '589.1728843812473'::DOUBLE, '586.0221052071657'::DOUBLE, '582.8905969742384'::DOUBLE, '579.7781253831307'::DOUBLE, '576.6844603816779'::DOUBLE, '573.6093760628494'::DOUBLE, '570.5526505657593'::DOUBLE, '567.5140659796143'::DOUBLE, '564.493408250494'::DOUBLE, '561.4904670908661'::DOUBLE, '558.50503589174'::DOUBLE, '555.5369116373652'::DOUBLE, '552.5858948223892'::DOUBLE, '549.6517893713888'::DOUBLE, '546.7344025606943'::DOUBLE, '543.8335449424275'::DOUBLE, '540.9490302706804'::DOUBLE, '538.0806754297614'::DOUBLE, '535.2283003644403'::DOUBLE, '532.3917280121252'::DOUBLE, '529.5707842369088'::DOUBLE, '526.7652977654204'::DOUBLE, '523.9751001244273'::DOUBLE, '521.2000255801257'::DOUBLE, '518.439911079069'::DOUBLE, '515.6945961906796'::DOUBLE, '512.9639230512939'::DOUBLE, '510.24773630969105'::DOUBLE, '507.5458830740591'::DOUBLE, '504.85821286035355'::DOUBLE, '502.1845775420038'::DOUBLE, '499.5248313009266'::DOUBLE, '496.87883057980395'::DOUBLE, '494.24643403558963'::DOUBLE, '491.6275024942031'::DOUBLE, '489.0218989063778'::DOUBLE, '486.429488304626'::DOUBLE, '483.8501377612879'::DOUBLE, '481.28371634763323'::DOUBLE, '478.7300950939812'::DOUBLE, '476.18914695081116'::DOUBLE, '473.66074675083286'::DOUBLE, '471.1447711719892'::DOUBLE, '468.641098701363'::DOUBLE, '466.14960959996245'::DOUBLE, '463.670185868359'::DOUBLE, '461.20271121315324'::DOUBLE, '458.74707101424474'::DOUBLE, '456.3031522928841'::DOUBLE, '453.870843680482'::DOUBLE, '451.4500353881576'::DOUBLE, '449.0406191770023'::DOUBLE, '446.64248832903996'::DOUBLE, '444.25553761886465'::DOUBLE, '441.87966328593546'::DOUBLE, '439.51476300751267'::DOUBLE, '437.16073587221445'::DOUBLE, '434.81748235417956'::DOUBLE, '432.48490428781884'::DOUBLE, '430.16290484313856'::DOUBLE, '427.85138850162093'::DOUBLE, '425.5502610326472'::DOUBLE, '423.25942947044757'::DOUBLE, '420.9788020915649'::DOUBLE, '418.7082883928176'::DOUBLE, '416.44779906974986'::DOUBLE, '414.1972459955543'::DOUBLE, '411.95654220045725'::DOUBLE, '409.72560185155197'::DOUBLE, '407.5043402330697'::DOUBLE, '405.2926737270773'::DOUBLE, '403.0905197945893'::DOUBLE, '400.8977969570849'::DOUBLE, '398.7144247784186'::DOUBLE, '396.54032384711564'::DOUBLE, '394.3754157590408'::DOUBLE, '392.2196231004329'::DOUBLE, '390.07286943129446'::DOUBLE, '387.93507926912844'::DOUBLE, '385.80617807301263'::DOUBLE, '383.68609222800455'::DOUBLE, '381.57474902986723'::DOUBLE, '379.47207667010866'::DOUBLE, '377.37800422132784'::DOUBLE, '375.2924616228583'::DOUBLE, '373.21537966670365'::DOUBLE, '371.1466899837571'::DOUBLE, '369.08632503029764'::DOUBLE, '367.0342180747578'::DOUBLE, '364.9903031847546'::DOUBLE, '362.9545152143792'::DOUBLE, '360.9267897917376'::DOUBLE, '358.90706330673726'::DOUBLE, '356.8952728991138'::DOUBLE, '354.891356446692'::DOUBLE, '352.8952525538755'::DOUBLE, '350.90690054035986'::DOUBLE, '348.9262404300647'::DOUBLE, '346.9532129402778'::DOUBLE, '344.9877594710089'::DOUBLE, '343.0298220945464'::DOUBLE, '341.0793435452125'::DOUBLE, '339.1362672093141'::DOUBLE, '337.2005371152822'::DOUBLE, '335.27209792399805'::DOUBLE, '333.35089491930023'::DOUBLE, '331.43687399866934'::DOUBLE, '329.52998166408634'::DOUBLE, '327.63016501306015'::DOUBLE, '325.7373717298211'::DOUBLE, '323.85155007667737'::DOUBLE, '321.9726488855286'::DOUBLE, '320.100617549536'::DOUBLE, '318.23540601494346'::DOUBLE, '316.3769647730472'::DOUBLE, '314.52524485231066'::DOUBLE, '312.68019781062185'::DOUBLE, '310.8417757276888'::DOUBLE, '309.00993119757214'::DOUBLE, '307.1846173213501'::DOUBLE, '305.3657876999138'::DOUBLE, '303.5533964268903'::DOUBLE, '301.7473980816905'::DOUBLE, '299.9477477226789'::DOUBLE, '298.15440088046347'::DOUBLE, '296.367313551302'::DOUBLE, '294.58644219062364'::DOUBLE, '292.81174370666275'::DOUBLE, '291.0431754542019'::DOUBLE, '289.2806952284238'::DOUBLE, '287.5242612588677'::DOUBLE, '285.7738322034895'::DOUBLE, '284.029367142823'::DOUBLE, '282.2908255742402'::DOUBLE, '280.5581674063091'::DOUBLE, '278.83135295324576'::DOUBLE, '277.1103429294609'::DOUBLE, '275.39509844419655'::DOUBLE, '273.68558099625307'::DOUBLE, '271.9817524688036'::DOUBLE, '270.2835751242947'::DOUBLE, '268.591011599431'::DOUBLE, '266.90402490024246'::DOUBLE, '265.22257839723324'::DOUBLE, '263.546635820609'::DOUBLE, '261.87616125558304'::DOUBLE, '260.2111191377579'::DOUBLE, '258.55147424858234'::DOUBLE, '256.8971917108817'::DOUBLE, '255.2482369844601'::DOUBLE, '253.60457586177301'::DOUBLE, '251.96617446366952'::DOUBLE, '250.3329992352023'::DOUBLE, '248.70501694150386'::DOUBLE, '247.08219466372898'::DOUBLE, '245.4644997950603'::DOUBLE, '243.85190003677747'::DOUBLE, '242.24436339438753'::DOUBLE, '240.64185817381664'::DOUBLE, '239.04435297765986'::DOUBLE, '237.4518167014909'::DOUBLE, '235.86421853022787'::DOUBLE, '234.2815279345553'::DOUBLE, '232.70371466740238'::DOUBLE, '231.1307487604737'::DOUBLE, '229.56260052083425'::DOUBLE, '227.99924052754642'::DOUBLE, '226.4406396283576'::DOUBLE, '224.88676893643873'::DOUBLE, '223.33759982717177'::DOUBLE, '221.79310393498588'::DOUBLE, '220.25325315024074'::DOUBLE, '218.7180196161574'::DOUBLE, '217.18737572579397'::DOUBLE, '215.66129411906738'::DOUBLE, '214.1397476798188'::DOUBLE, '212.62270953292236'::DOUBLE, '211.11015304143746'::DOUBLE, '209.60205180380197'::DOUBLE, '208.09837965106738'::DOUBLE, '206.59911064417412'::DOUBLE, '205.10421907126675'::DOUBLE, '203.61367944504804'::DOUBLE, '202.1274665001718'::DOUBLE, '200.64555519067315'::DOUBLE, '199.16792068743604'::DOUBLE, '197.6945383756971'::DOUBLE, '196.22538385258525'::DOUBLE, '194.7604329246968'::DOUBLE, '193.29966160570473'::DOUBLE, '191.84304611400228'::DOUBLE, '190.39056287038005'::DOUBLE, '188.94218849573548'::DOUBLE, '187.49789980881513'::DOUBLE, '186.05767382398838'::DOUBLE, '184.6214877490528'::DOUBLE, '183.18931898306946'::DOUBLE, '181.7611451142292'::DOUBLE, '180.3369439177483'::DOUBLE, '178.91669335379297'::DOUBLE, '177.50037156543317'::DOUBLE, '176.0879568766244'::DOUBLE, '174.6794277902168'::DOUBLE, '173.27476298599234'::DOUBLE, '171.87394131872847'::DOUBLE, '170.476941816288'::DOUBLE, '169.08374367773533'::DOUBLE, '167.69432627147808'::DOUBLE, '166.3086691334337'::DOUBLE, '164.92675196522123'::DOUBLE, '163.54855463237698'::DOUBLE, '162.17405716259444'::DOUBLE, '160.8032397439876'::DOUBLE, '159.43608272337764'::DOUBLE, '158.07256660460197'::DOUBLE, '156.71267204684645'::DOUBLE, '155.35637986299906'::DOUBLE, '154.00367101802567'::DOUBLE, '152.65452662736706'::DOUBLE, '151.3089279553571'::DOUBLE, '149.96685641366153'::DOUBLE, '148.62829355973724'::DOUBLE, '147.2932210953118'::DOUBLE, '145.96162086488246'::DOUBLE, '144.6334748542346'::DOUBLE, '143.30876518897972'::DOUBLE, '141.987474133112'::DOUBLE, '140.66958408758344'::DOUBLE, '139.35507758889761'::DOUBLE, '138.04393730772074'::DOUBLE, '136.7361460475111'::DOUBLE, '135.43168674316627'::DOUBLE, '134.13054245968584'::DOUBLE, '132.83269639085358'::DOUBLE, '131.538131857934'::DOUBLE, '130.24683230838647'::DOUBLE, '128.95878131459588'::DOUBLE, '127.67396257261787'::DOUBLE, '126.39235990094122'::DOUBLE, '125.11395723926455'::DOUBLE, '123.83873864728919'::DOUBLE, '122.5666883035263'::DOUBLE, '121.29779050411916'::DOUBLE, '120.03202966167994'::DOUBLE, '118.76939030414088'::DOUBLE, '117.50985707361934'::DOUBLE, '116.25341472529719'::DOUBLE, '115.00004812631349'::DOUBLE, '113.749742254671'::DOUBLE, '112.50248219815587'::DOUBLE, '111.25825315327043'::DOUBLE, '110.01704042417924'::DOUBLE, '108.778829421667'::DOUBLE, '107.54360566211051'::DOUBLE, '106.3113547664612'::DOUBLE, '105.08206245924161'::DOUBLE, '103.85571456755274'::DOUBLE, '102.63229702009349'::DOUBLE, '101.41179584619206'::DOUBLE, '100.19419717484872'::DOUBLE, '98.97948723378998'::DOUBLE, '97.76765234853366'::DOUBLE, '96.55867894146559'::DOUBLE, '95.35255353092653'::DOUBLE, '94.14926273031034'::DOUBLE, '92.94879324717222'::DOUBLE, '91.75113188234799'::DOUBLE, '90.55626552908329'::DOUBLE, '89.36418117217262'::DOUBLE, '88.17486588710909'::DOUBLE, '86.98830683924348'::DOUBLE, '85.80449128295318'::DOUBLE, '84.6234065608207'::DOUBLE, '83.44504010282172'::DOUBLE, '82.26937942552244'::DOUBLE, '81.09641213128583'::DOUBLE, '79.92612590748755'::DOUBLE, '78.75850852574023'::DOUBLE, '77.59354784112685'::DOUBLE, '76.43123179144285'::DOUBLE, '75.27154839644659'::DOUBLE, '74.1144857571185'::DOUBLE, '72.9600320549289'::DOUBLE, '71.80817555111304'::DOUBLE, '70.65890458595517'::DOUBLE, '69.51220757808073'::DOUBLE, '68.36807302375556'::DOUBLE, '67.22648949619376'::DOUBLE, '66.08744564487289'::DOUBLE, '64.95093019485667'::DOUBLE, '63.816931946125614'::DOUBLE, '62.68543977291457'::DOUBLE, '61.55644262305786'::DOUBLE, '60.42992951734137'::DOUBLE, '59.30588954886228'::DOUBLE, '58.184311882395164'::DOUBLE, '57.06518575376526'::DOUBLE, '55.94850046922892'::DOUBLE, '54.83424540485996'::DOUBLE, '53.722410005943956'::DOUBLE, '52.6129837863777'::DOUBLE, '51.505956328076174'::DOUBLE, '50.401317280385285'::DOUBLE, '49.299056359501556'::DOUBLE, '48.1991633478973'::DOUBLE, '47.10162809375259'::DOUBLE, '46.006440510392906'::DOUBLE, '44.91359057573294'::DOUBLE, '43.82306833172661'::DOUBLE, '42.73486388382209'::DOUBLE, '41.64896740042363'::DOUBLE, '40.565369112358326'::DOUBLE, '39.484059312348776'::DOUBLE, '38.40502835449168'::DOUBLE, '37.32826665374092'::DOUBLE, '36.25376468539731'::DOUBLE, '35.181512984602485'::DOUBLE, '34.11150214583933'::DOUBLE, '33.043722822436436'::DOUBLE, '31.97816572607829'::DOUBLE, '30.91482162632063'::DOUBLE, '29.853681350110808'::DOUBLE, '28.794735781312568'::DOUBLE, '27.737975860236602'::DOUBLE, '26.68339258317522'::DOUBLE, '25.630977001942032'::DOUBLE, '24.58072022341666'::DOUBLE, '23.532613409093557'::DOUBLE, '22.486647774635816'::DOUBLE, '21.4428145894334'::DOUBLE, '20.401105176166286'::DOUBLE, '19.361510910370644'::DOUBLE, '18.324023220011668'::DOUBLE, '17.28863358505855'::DOUBLE, '16.2553335370651'::DOUBLE, '15.224114658754122'::DOUBLE, '14.194968583605641'::DOUBLE, '13.167886995450386'::DOUBLE, '12.142861628065825'::DOUBLE, '11.119884264777166'::DOUBLE, '10.09894673806263'::DOUBLE, '9.08004092916146'::DOUBLE, '8.063158767687225'::DOUBLE, '7.048292231243761'::DOUBLE, '6.035433345045592'::DOUBLE, '5.024574181542231'::DOUBLE, '4.01570686004525'::DOUBLE, '3.008823546360305'::DOUBLE, '2.003916452421793'::DOUBLE, '1.000977835931287'::DOUBLE, '0.0'::DOUBLE])[512 - nb] ELSE '188686.82445861166'::DOUBLE / (s + (512 - nb)) END)::DOUBLE
          AS hll_estimate,
        e.exact_distinct
 FROM agg a
@@ -1457,8 +1457,13 @@ _HCORR_LIST = "[" + ", ".join(
 def _hll_estimate_sql(regs_cte: str, out: str) -> str:
     """Estimator over a (event_type, m) register CTE — same dyadic
     raw estimate + literal-table linear-counting correction as the
-    Spark side."""
-    raw = f"{repr(_HALPHA * _HM * _HM)}::DOUBLE / (s + ({_HM} - nb))"
+    Spark side.  The alpha constant is a QUOTED string cast: DuckDB
+    1.0.0 parses unquoted numeric literals through DECIMAL and lands
+    1 ulp high on this value (measured ~16% of shortest-repr doubles),
+    while '...'::DOUBLE string casts parse correctly — the raw path
+    only activates at larger cardinalities, so this surfaced in the
+    sf0.1 sweep, not at sf0.01."""
+    raw = f"'{repr(_HALPHA * _HM * _HM)}'::DOUBLE / (s + ({_HM} - nb))"
     return f"""
   SELECT event_type,
          (CASE WHEN ({raw}) <= {2.5 * _HM} AND ({_HM} - nb) > 0

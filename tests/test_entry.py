@@ -84,3 +84,35 @@ def test_query_vs_oracle(spark, ddb, name):
         return
     exp = ddb.sql(sql).df()
     _assert_equal(name, got, exp)
+
+
+def test_oracle_float_literals_parse_identically_in_duckdb():
+    """DuckDB 1.0.0 parses UNQUOTED numeric literals through DECIMAL
+    and can land 1 ulp off the correctly-rounded double (measured on
+    the 17-digit HLL alpha constant — the r5 sf0.1 sweep's catch);
+    '...'::DOUBLE string casts parse exactly.  Gate: every unquoted
+    float literal in every oracle must parse to the same bits as
+    Python's strtod, else it must be quoted."""
+    import re
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    seen: dict[str, bool] = {}
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        stripped = re.sub(r"'[^']*'", "", sql)
+        for mm in re.finditer(r"\b\d+\.\d+(?:[eE][+-]?\d+)?\b", stripped):
+            lit = mm.group(0)
+            if lit not in seen:
+                py = np.float64(float(lit))
+                dk = np.float64(
+                    con.execute(f"SELECT {lit}::DOUBLE").fetchone()[0]
+                )
+                seen[lit] = bool(
+                    py.view(np.uint64) != dk.view(np.uint64)
+                )
+            if seen[lit]:
+                offenders.append((name, lit))
+    assert not offenders, offenders
