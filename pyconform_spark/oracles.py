@@ -443,7 +443,7 @@ LEFT JOIN integ ig
 
 ORACLES["tpch_q3"] = """
 SELECT l.l_orderkey,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
             AS DOUBLE) AS revenue,
        o.o_orderdate AS o_orderdate,
        o.o_orderpriority
@@ -468,7 +468,7 @@ FROM events
 
 ORACLES["weighted_downsample_1d"] = f"""
 SELECT user_id, event_type, {_bucket(86400)} AS bucket_start,
-       CAST(sum(CAST(value * (event_id % 5 + 1) AS DECIMAL(24,8))) AS DOUBLE)
+       CAST(CAST(sum(CAST(value * (event_id % 5 + 1) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
          / CAST(sum(event_id % 5 + 1) AS DOUBLE) AS value_wmean
 FROM events GROUP BY 1,2,3
 """
@@ -552,7 +552,7 @@ FROM events
 """
 
 ORACLES["tpch_q6"] = """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE)
+SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
          AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
@@ -564,7 +564,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 ORACLES["tpch_q5"] = """
 SELECT n.n_name,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
             AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -581,13 +581,20 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 ORACLES["tpch_q1"] = """
+-- the wide (24,8) sums cast DECIMAL -> VARCHAR -> DOUBLE: once the
+-- unscaled value exceeds 2^53, DuckDB 1.0.0's direct DECIMAL->DOUBLE
+-- cast double-rounds (int128 / 10^s computed in doubles) and can land
+-- 1 ulp off Spark's correctly-rounded BigDecimal cast (the r5
+-- full-catalog sf0.1 sweep's catch: one group's sum_charge);
+-- the VARCHAR hop is exact and its string->double parse is correctly
+-- rounded.  The (20,6) sums stay under 2^53 unscaled and cast clean.
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
          AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
          AS avg_price,
@@ -599,7 +606,7 @@ GROUP BY 1,2
 
 ORACLES["top_revenue_orders"] = """
 SELECT o.o_orderkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
             AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1106,9 +1113,9 @@ ORACLES["tpch_q14"] = """
 SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
                      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))
                      ELSE CAST(0 AS DECIMAL(24,8)) END) * 100 AS DOUBLE)
-       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       / CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
               AS DOUBLE) AS promo_pct,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
             AS DOUBLE) AS total_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
@@ -1273,7 +1280,7 @@ FROM picked WHERE rn = 1
 ORACLES["tpch_q7"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)))
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS VARCHAR)
             AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1565,9 +1572,9 @@ ORACLES["ewma_chunked_frame"] = ORACLES["ewma_smooth"]
 ORACLES["cmor_tier_1h"] = f"""
 SELECT user_id, event_type, {_bucket(3600)} AS bucket_start,
        count(*)::BIGINT AS n_samples,
-       CAST(sum(CAST(value * 2 AS DECIMAL(24,8))) AS DOUBLE) / count(*)
+       CAST(CAST(sum(CAST(value * 2 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) / count(*)
          AS v_scaled,
-       CAST(sum(CAST(value + 100 AS DECIMAL(24,8))) AS DOUBLE) / count(*)
+       CAST(CAST(sum(CAST(value + 100 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) / count(*)
          AS v_shift
 FROM events GROUP BY 1, 2, 3
 """
@@ -1901,9 +1908,9 @@ LIMIT 100
 ORACLES["tpch_q9"] = """
 SELECT n.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                      - 0.1::DOUBLE * p.p_retailprice * l.l_quantity
-                AS DECIMAL(24,8))) AS DOUBLE) AS sum_profit
+                AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1961,8 +1968,8 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 ORACLES["tpch_q19"] = """
-SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)
