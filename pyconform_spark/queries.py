@@ -5994,20 +5994,22 @@ def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sketch (pytest-gated), which is what makes this a tier
     sketch: days merge to months with no re-scan.
 
-    Scale shape: the build is one projection exploding L*d cell
-    structs per row into a combiner-bounded hash agg (at most
-    L*d*W = 32k groups leave the map side, regardless of corpus
-    size); probes are literal frames; no per-row Python anywhere."""
+    Scale shape: the build first reduces the raw scan to DISTINCT
+    (level, prefix) cell counts — one explode of L ints per row into a
+    combiner-bounded integer hash agg (<= 2x distinct(vq) cells leave
+    the map side regardless of corpus size) — and only THEN computes
+    the md5 bucket lattice on that reduced cell frame (d salted
+    hashes per CELL, not per input row: the old per-row hashing did
+    L*d = 32 md5s per event, ~64M string hashes at sf0.1 and 37 s of
+    wall; cells are ~100k).  Summing cell counts into (r, l, b)
+    gives the identical sketch.  Probes are literal frames; no
+    per-row Python anywhere."""
     df = _events(spark, sf_dir)
     vq = F.floor(F.col("value") * 100).cast("long")
 
-    # two nested explodes instead of one 32-struct array: the md5
-    # bucket expression then appears ONCE in the plan — the inlined
-    # variant generated >64 KB of janino code and fell back to
-    # interpreted evaluation (the sweep log caught it)
     from pyconform_spark.textops import md5_lower64
 
-    lv = (
+    cells = (
         df.select(vq.alias("vq"))
         .select(
             "vq",
@@ -6015,13 +6017,17 @@ def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(x).cast("int") for x in range(_DY_L)])
             ).alias("l"),
         )
-        .select(
-            "l",
-            F.expr("shiftright(vq, l)").cast("long").alias("prefix"),
-            F.explode(
-                F.array(*[F.lit(x).cast("int") for x in range(_DY_D)])
-            ).alias("r"),
-        )
+        .select("l", F.expr("shiftright(vq, l)").cast("long").alias("prefix"))
+        .groupBy("l", "prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    withr = cells.select(
+        "l",
+        "prefix",
+        "cnt",
+        F.explode(
+            F.array(*[F.lit(x).cast("int") for x in range(_DY_D)])
+        ).alias("r"),
     )
     bucket = (
         md5_lower64(
@@ -6037,9 +6043,9 @@ def dyadic_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _DY_W
     ).cast("long")
     sketch = (
-        lv.select("r", "l", bucket.alias("b"))
+        withr.select("r", "l", bucket.alias("b"), "cnt")
         .groupBy("r", "l", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     # probe decompositions are tiny literal frames; the bucket index
     # is PRE-COMPUTED in Python with the same md5 the build uses, so
