@@ -1398,11 +1398,15 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
     2005) built from first principles as DataFrame ops and
     DETERMINISTIC cross-engine: d=4 salted md5 hash rows x w=512
-    buckets, one explode + one hash-agg to build the sketch, then
-    per-key estimate = min over rows of the bucket counts.  Pure
-    integer arithmetic — value-hash exact against DuckDB.  The exact
-    count rides along to show the (always >= 0) overestimate, like
-    hll_distinct_users does for cardinality."""
+    buckets, then per-key estimate = min over rows of the bucket
+    counts.  Pure integer arithmetic — value-hash exact against
+    DuckDB.  The exact count rides along to show the (always >= 0)
+    overestimate, like hll_distinct_users does for cardinality.
+
+    The bucket depends only on (salt, user), so the build hashes the
+    REDUCED per-user count frame (d md5s per distinct user) and sums
+    counts into cells — identical sketch to hashing every event row
+    (the dyadic_rank_sketch lesson: reduce, then hash)."""
     from pyconform_spark.textops import md5_lower64
 
     df = _events(spark, sf_dir)
@@ -1423,15 +1427,13 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    sketch = (
-        df.select(cells.alias("c"))
-        .select("c.r", "c.b")
-        .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("cell_count"))
-    )
     keys = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     keyed = keys.select("user_id", "exact_count", cells.alias("c")).select(
         "user_id", "exact_count", "c.r", "c.b"
+    )
+    sketch = (
+        keyed.groupBy("r", "b")
+        .agg(F.sum("exact_count").alias("cell_count"))
     )
     return (
         keyed.join(sketch, ["r", "b"])
@@ -6948,40 +6950,45 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention (textops.hash31 applied to user||lane), X_j is an
     integer sum, and the estimate is ONE integer->double division.
 
-    Scale shape: the sketch lane is one hash agg over 16 lanes
-    (constant state per partition); the exact lane is the per-user
-    count agg it audits."""
+    Scale shape: X_j = Σ_u sign(u, j) · count(u), so the lanes fold
+    the REDUCED per-user count frame (16 md5s per distinct user, not
+    per event row — the dyadic_rank_sketch lesson); the same per-user
+    agg feeds the exact F2 audit."""
     from pyconform_spark.textops import hash31
 
     lanes = 16
     df = _events(spark, sf_dir).select("user_id")
+    counts = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     lane = F.explode(
         F.sequence(F.lit(0), F.lit(lanes - 1))
     ).alias("lane")
-    signed = df.select("user_id", lane).select(
+    signed = counts.select("user_id", "c", lane).select(
         "lane",
         (
-            hash31(
-                F.concat(
-                    F.col("user_id").cast("string"),
-                    F.lit("|"),
-                    F.col("lane").cast("string"),
+            (
+                hash31(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("lane").cast("string"),
+                    )
                 )
+                % 2
+                * 2
+                - 1
             )
-            % 2
-            * 2
-            - 1
-        ).alias("sign"),
+            * F.col("c")
+        ).alias("sc"),
     )
-    xs = signed.groupBy("lane").agg(F.sum("sign").cast("long").alias("x"))
+    xs = signed.groupBy("lane").agg(F.sum("sc").cast("long").alias("x"))
     est = xs.agg(
         F.count(F.lit(1)).cast("long").alias("n_lanes"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
     )
-    exact = (
-        df.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact")
     )
     out = est.crossJoin(F.broadcast(exact))
     return out.select(
