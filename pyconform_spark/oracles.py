@@ -5192,9 +5192,22 @@ WITH base AS (
          floor(value * 10)::BIGINT AS vq
   FROM events),
 rep AS (
-  SELECT event_type, eid, vq, b.b
+  SELECT event_type, eid, vq, j.j,
+         md5_number_lower('boot:' || eid::VARCHAR || ':' || j::VARCHAR)
+           ::HUGEINT AS lo,
+         md5_number_upper('boot:' || eid::VARCHAR || ':' || j::VARCHAR)
+           ::HUGEINT AS up
   FROM base
-  CROSS JOIN (SELECT unnest(range(64)) AS b) b),
+  CROSS JOIN (SELECT unnest(range(16)) AS j) j),
+drawn AS (
+  SELECT event_type, vq, j * 4 + f.f AS b,
+         (CASE f.f
+            WHEN 0 THEN lo % 1000000
+            WHEN 1 THEN (lo // 1000000) % 1000000
+            WHEN 2 THEN up % 1000000
+            ELSE (up // 1000000) % 1000000
+          END)::BIGINT AS r
+  FROM rep CROSS JOIN (SELECT unnest(range(4)) AS f) f),
 weighted AS (
   SELECT event_type, b, vq,
          CASE
@@ -5206,10 +5219,7 @@ weighted AS (
            WHEN r < 999406 THEN 5
            ELSE 6
          END::BIGINT AS m
-  FROM (SELECT *,
-          (md5_number_lower('boot:' || eid::VARCHAR || ':' || b::VARCHAR)
-             % 1000000)::BIGINT AS r
-        FROM rep)),
+  FROM drawn),
 cells AS (
   SELECT event_type, b,
          sum(m)::BIGINT AS rn,

@@ -83,6 +83,20 @@ def md5_lower64_sql(expr: str) -> str:
     return f"md5_number_lower({expr})"
 
 
+def md5_upper64(c: Column) -> Column:
+    """DuckDB ``md5_number_upper`` as a Spark column (decimal(20,0)) —
+    the digest's OTHER 64 bits, letting one md5 feed twice the salted
+    entropy (bootstrap replicate lanes draw four ~uniform base-1e6
+    fields per digest instead of paying one md5 per draw)."""
+    h = F.md5(c)
+    le_hex = F.concat(*[F.substring(h, 17 - 2 * i, 2) for i in range(1, 9)])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def md5_upper64_sql(expr: str) -> str:
+    return f"md5_number_upper({expr})"
+
+
 def hash31(c: Column) -> Column:
     """md5-derived token hash in [0, P31)."""
     return (md5_lower64(c) % P31).cast("long")

@@ -1358,3 +1358,71 @@ def test_autoparse_filename_date_range(spark, tmp_path):
     assert name == "export_20240105-20240309"
     back = spark.read.parquet(str(tmp_path / name))
     assert back.count() == 2
+
+
+def test_prune_epochs_never_drops_a_matching_epoch():
+    """Property (hypothesis): for random per-epoch key ranges and
+    random point/range predicates, _prune_epochs_by_stats never drops
+    an epoch whose range could hold a matching key — pruning is an
+    OPTIMIZATION, the result set after the WHERE must be identical.
+    Epochs with unknown (None) bounds are always kept."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=int(h))
+
+    epoch_stats = st.dictionaries(
+        st.integers(0, 20),
+        st.one_of(
+            st.just((None, None, None, None)),
+            st.tuples(
+                st.integers(0, 500),
+                st.integers(0, 500),
+                st.integers(0, 100),
+                st.integers(0, 100),
+            ).map(
+                lambda t: (
+                    ts(min(t[0], t[1])),
+                    ts(max(t[0], t[1])),
+                    f"c{min(t[2], t[3]):03d}",
+                    f"c{max(t[2], t[3]):03d}",
+                )
+            ),
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        stats=epoch_stats,
+        conv=st.one_of(st.none(), st.integers(0, 100).map(lambda i: f"c{i:03d}")),
+        lo=st.one_of(st.none(), st.integers(0, 500).map(ts)),
+        hi=st.one_of(st.none(), st.integers(0, 500).map(ts)),
+        use_range=st.booleans(),
+    )
+    def check(stats, conv, lo, hi, use_range):
+        epochs = sorted(stats)
+        rng = (lo, hi) if use_range else None
+        kept = set(
+            pipeline._prune_epochs_by_stats(epochs, stats, conv, rng)
+        )
+        for e in epochs:
+            bs_min, bs_max, cv_min, cv_max = stats[e]
+            # an epoch MAY hold a matching row iff every known bound
+            # admits the predicate
+            may_match = True
+            if conv is not None and cv_min is not None:
+                may_match &= cv_min <= conv <= cv_max
+            if rng is not None and bs_min is not None:
+                if lo is not None and bs_max < lo:
+                    may_match = False
+                if hi is not None and bs_min > hi:
+                    may_match = False
+            if may_match:
+                assert e in kept, (e, stats[e], conv, rng)
+
+    check()

@@ -1837,16 +1837,17 @@ def test_jarque_bera_one_scan_one_aggregate(spark):
 
 
 def test_bootstrap_fanout_is_literal_generate_no_join(spark):
-    """Poisson bootstrap: the 64 replicate lanes come from an exploded
-    literal array (Generate), never a join; map-side partials collapse
-    the fan-out to |types| x 64 cells before the shuffle; the CI rank
-    window runs on that cell frame.  One raw scan."""
+    """Poisson bootstrap: the 64 replicate lanes come from two nested
+    literal explodes (16 digests x 4 base-1e6 fields — Generate
+    nodes), never a join; map-side partials collapse the fan-out to
+    |types| x 64 cells before the shuffle; the CI rank window runs on
+    that cell frame.  One raw scan."""
     plan = plan_of(Q.bootstrap_ci_mean(spark, SF))
     assert count_nodes(plan, "Scan parquet") == 1
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
         assert node not in plan
-    assert count_nodes(plan, "Generate") == 1
+    assert count_nodes(plan, "Generate") == 2
     assert "partial_sum" in plan
 
 

@@ -1392,8 +1392,19 @@ def test_bootstrap_ci_matches_independent_python_resampler(spark, tmp_path):
     [r] = Q.bootstrap_ci_mean(spark, str(tmp_path)).collect()
 
     def mult(eid, b):
-        h = hashlib.md5(f"boot:{eid}:{b}".encode()).digest()
-        u = int.from_bytes(h[8:16], "little") % 1000000
+        # replicate b draws field b%4 of digest b//4: lower-64 /
+        # upper-64 halves, two base-1e6 fields each (the engine's
+        # 4-draws-per-digest derivation, mirrored bit-for-bit)
+        j, f = divmod(b, 4)
+        h = hashlib.md5(f"boot:{eid}:{j}".encode()).digest()
+        lo = int.from_bytes(h[8:16], "little")
+        up = int.from_bytes(h[0:8], "little")
+        u = [
+            lo % 10**6,
+            (lo // 10**6) % 10**6,
+            up % 10**6,
+            (up // 10**6) % 10**6,
+        ][f]
         for k, t in enumerate((367879, 735759, 919699, 981012, 996340, 999406)):
             if u < t:
                 return k
